@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.check.Checks
+import graft.parse.Parsers
+import graft.report._
+import graft.schema._
+
+/** E1 flagship orchestration (SURVEY.md §3): read → (parse) → constraint /
+  * key / foreign-key checks → report.
+  *
+  * Two entry modes:
+  *   - [[validateCsv]]: the reference's own lifecycle — CSV resources read
+  *     all-string with declared schemas, missing-token substitution, typed
+  *     parse with `type-or-format-error` collection, then checks on the
+  *     parsed frame.
+  *   - [[validateTyped]]: checks over already-typed DataFrames (the
+  *     parquet harness path — parsing is a no-op there).
+  *
+  * Scale notes (100 TB): each table is scanned once for the fused
+  * constraint pass ([[Checks.constraintSummary]]); each key/unique check
+  * is one hash-aggregate shuffle; each fk is one anti join with the parent
+  * reduced to distinct keys first. Offending-value samples are bounded by
+  * `maxErrorValues` — nothing unbounded is ever collected to the driver.
+  */
+object Validate {
+
+  val MaxErrorValues = 100
+
+  // -------------------------------------------------------------- CSV read
+  /** S2: all-string read (no inference), then per-field missing-token →
+    * null projection. Spark CSV `nullValue` takes one token; the
+    * projection handles the token *list* and per-field overrides exactly
+    * (SURVEY.md §1.2).
+    */
+  def readCsv(spark: SparkSession, res: Resource): DataFrame = {
+    val schema = StructType(res.schema.fields.map(f =>
+      StructField(f.name, StringType, nullable = true)))
+    val raw = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .schema(schema)
+      .csv(res.path)
+    applyMissing(raw, res.schema)
+  }
+
+  def applyMissing(df: DataFrame, schema: TableSchema): DataFrame =
+    df.select(schema.fields.map { f =>
+      val tokens = f.missingValues.getOrElse(schema.missingValues)
+      Parsers.applyMissing(df(f.name), tokens).as(f.name)
+    }: _*)
+
+  // ----------------------------------------------------------------- parse
+  /** E2 `parse_table`: one projection applying every field's parseExpr;
+    * returns the typed frame plus per-field `type-or-format-error`
+    * results (distinct invalid values, bounded).
+    *
+    * A field that fails to parse *anywhere* is excluded from downstream
+    * constraint checks (its typed column still exists, with nulls at the
+    * bad cells) — matching the reference's skip semantics.
+    */
+  def parseTable(
+      df: DataFrame,
+      schema: TableSchema
+  ): (DataFrame, Seq[CheckResult], Set[String]) = {
+    // one fused agg pass: per field, count of invalid cells + bounded
+    // distinct samples
+    val aggs: Seq[Column] = schema.fields.flatMap { f =>
+      val bad = Parsers.invalidExpr(f, df(f.name))
+      Seq(
+        count(when(bad, lit(1))).as(s"${f.name}__n"),
+        slice(sort_array(collect_set(when(bad, df(f.name)))), 1,
+          MaxErrorValues).as(s"${f.name}__v")
+      )
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val results = schema.fields.zipWithIndex.map { case (f, i) =>
+      CheckResult(
+        table = "",
+        code = ErrorCodes.TypeOrFormat,
+        field = f.name,
+        violations = row.getLong(2 * i),
+        sampleValues = row.getSeq[String](2 * i + 1)
+      )
+    }
+    val failed = results.filterNot(_.passed).map(_.field).toSet
+    val typed = df.select(schema.fields.map(f =>
+      Parsers.parseExpr(f, df(f.name)).as(f.name)): _*)
+    (typed, results, failed)
+  }
+
+  // ---------------------------------------------------------------- checks
+  /** Constraint + key checks for one typed table. `skipFields` excludes
+    * fields whose parse failed (E1 step 4 skip semantics).
+    */
+  def checkTable(
+      df: DataFrame,
+      schema: TableSchema,
+      skipFields: Set[String] = Set.empty
+  ): Seq[CheckResult] = {
+    val buf = Seq.newBuilder[CheckResult]
+    val checked = schema.copy(fields =
+      schema.fields.filterNot(f => skipFields(f.name)))
+
+    // fused single-scan pass for C1, C3-C8
+    if (checked.fields.exists(!_.constraints.isEmpty)) {
+      val summary = Checks.constraintSummary(df, checked)
+      if (summary.columns.nonEmpty) {
+        val row = summary.collect()(0)
+        summary.columns.zipWithIndex.foreach { case (name, i) =>
+          val Array(field, tag) = name.split("__", 2)
+          val code = tag match {
+            case "required"  => ErrorCodes.Required
+            case "minLength" => ErrorCodes.MinLength
+            case "maxLength" => ErrorCodes.MaxLength
+            case "minimum"   => ErrorCodes.Minimum
+            case "maximum"   => ErrorCodes.Maximum
+            case "pattern"   => ErrorCodes.Pattern
+            case "enum"      => ErrorCodes.Enum
+          }
+          buf += CheckResult("", code, field, row.getLong(i), Nil)
+        }
+      }
+    }
+
+    // C2 unique — one shuffle per declared unique field
+    checked.fields.filter(_.constraints.unique.contains(true)).foreach { f =>
+      val v = Checks.unique(df, Seq(f.name))
+      buf += keyResult(v, ErrorCodes.Unique, f.name)
+    }
+    // K1 primary key (uniqueness + implied required)
+    if (schema.primaryKey.nonEmpty) {
+      val v = Checks.unique(df, schema.primaryKey)
+      buf += keyResult(v, ErrorCodes.PrimaryKey, schema.primaryKey.mkString(","))
+    }
+    // K2 uniqueKeys
+    schema.uniqueKeys.foreach { keys =>
+      val v = Checks.unique(df, keys)
+      buf += keyResult(v, ErrorCodes.UniqueKey, keys.mkString(","))
+    }
+    buf.result()
+  }
+
+  private def keyResult(v: DataFrame, code: String, field: String): CheckResult = {
+    // duplicated tuples: violations = sum of extra occurrences; bounded sample
+    val agg = v.agg(
+      coalesce(sum(col("cnt") - 1), lit(0L)).as("n")).collect()(0)
+    val sample = v.orderBy(v.columns.dropRight(1).map(col): _*)
+      .limit(MaxErrorValues).collect()
+      .map(r => r.toSeq.dropRight(1).mkString(",")).toSeq
+    CheckResult("", code, field, agg.getLong(0), sample)
+  }
+
+  // ------------------------------------------------------------------- E1
+  /** Validate pre-loaded (typed or parsed) tables against a package. */
+  def validateTyped(
+      tables: Map[String, DataFrame],
+      pkg: Package
+  ): PackageReport = {
+    val perTable = pkg.resources.map { res =>
+      val df = tables(res.name)
+      val errs = checkTable(df, res.schema).map(_.copy(table = res.name))
+      // K3/K4 foreign keys — parent resolved across the package
+      val fkErrs = res.schema.foreignKeys.map { fk =>
+        val parentName = if (fk.refResource.isEmpty) res.name else fk.refResource
+        val parent = tables(parentName)
+        val v = Checks.foreignKey(df, fk.fields, parent, fk.refFields)
+        val n = v.agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
+        val sample = v.orderBy(v.columns.dropRight(1).map(col): _*)
+          .limit(MaxErrorValues).collect()
+          .map(r => r.toSeq.dropRight(1).mkString(",")).toSeq
+        CheckResult(res.name, ErrorCodes.ForeignKey,
+          s"${fk.fields.mkString(",")}->$parentName.${fk.refFields.mkString(",")}",
+          n, sample)
+      }
+      TableReport(res.name, errs ++ fkErrs)
+    }
+    PackageReport(perTable)
+  }
+
+  /** Full reference lifecycle over CSV resources (E1). */
+  def validateCsv(spark: SparkSession, pkg: Package): PackageReport = {
+    // read + header check + parse each resource once
+    val parsed: Map[String, (DataFrame, Seq[CheckResult], Set[String])] =
+      pkg.resources.map { res =>
+        val raw = readCsv(spark, res)
+        val (typed, parseErrs, failed) = parseTable(raw, res.schema)
+        typed.persist()
+        res.name -> ((typed, parseErrs.map(_.copy(table = res.name)), failed))
+      }.toMap
+    val tables = parsed.map { case (k, (df, _, _)) => k -> df }
+    val base = validateTyped(tables, pkg)
+    val report = PackageReport(base.tables.map { t =>
+      val (_, parseErrs, failed) = parsed(t.table)
+      // drop constraint results for fields whose parse failed
+      val kept = t.errors.filterNot(e => failed(e.field))
+      TableReport(t.table, parseErrs ++ kept)
+    })
+    tables.values.foreach(_.unpersist())
+    report
+  }
+
+  /** Report as a DataFrame — one row per executed check (passing or not);
+    * the harness flagship (`SparkEntry.entry`) uses this: always non-empty.
+    */
+  def reportDF(spark: SparkSession, report: PackageReport): DataFrame = {
+    import spark.implicits._
+    report.tables
+      .flatMap(t => t.errors.map(e =>
+        (t.table, e.code, e.field, e.violations, e.passed)))
+      .toDF("table", "code", "field", "violations", "passed")
+  }
+}

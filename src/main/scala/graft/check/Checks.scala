@@ -1,0 +1,152 @@
+package graft.check
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.schema.{Field, ForeignKey, TableSchema}
+import graft.parse.Parsers
+
+/** Constraint / key / foreign-key checks (SURVEY.md §2.4–2.5, C1–C8 +
+  * K1–K3). Each check returns a **violation DataFrame** — empty means the
+  * check passes — following the reference's report shape of *distinct
+  * offending values + counts*, never one row per bad cell (bounded output:
+  * at 100 TB the result size is bounded by value cardinality, not row
+  * count).
+  *
+  * All checks compose from built-in hash aggregates and anti joins;
+  * Catalyst handles partial aggregation, broadcast selection and AQE skew
+  * handling (SURVEY.md §4.2).
+  */
+object Checks {
+
+  /** Anchored full-match, since `rlike` is an unanchored find()
+    * (SURVEY.md §7.5 hard-part 2 — spec patterns are XML-Schema style).
+    */
+  def fullMatch(c: Column, pattern: String): Column =
+    c.rlike("^(?:" + pattern + ")$")
+
+  // ------------------------------------------------------------ violations
+  /** C1 `required`: count of nulls (after missing-token substitution). */
+  def required(df: DataFrame, c: String): DataFrame =
+    df.filter(df(c).isNull)
+      .agg(count(lit(1)).as("violations"))
+      .filter(col("violations") > 0)
+
+  /** C2 `unique` / K1 `primaryKey` / K2 `uniqueKeys`: duplicated value
+    * tuples with occurrence counts. Nulls exempt per SQL/spec convention
+    * (SURVEY.md §7.5 hard-part 5).
+    */
+  def unique(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val nonNull = cols.map(df(_).isNotNull).reduce(_ && _)
+    df.filter(nonNull)
+      .groupBy(cols.map(df(_)): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+  }
+
+  /** K1 `primaryKey` also implies required on every part (spec). */
+  def primaryKeyNulls(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.filter(keys.map(df(_).isNull).reduce(_ || _))
+      .agg(count(lit(1)).as("violations"))
+      .filter(col("violations") > 0)
+
+  /** Distinct offending values + counts for a boolean violation predicate
+    * over one column — shared shape of C3–C8.
+    */
+  def offendingValues(df: DataFrame, col: String, bad: Column): DataFrame =
+    df.filter(df(col).isNotNull && bad)
+      .groupBy(df(col))
+      .agg(count(lit(1)).as("cnt"))
+
+  def minLength(df: DataFrame, c: String, n: Int): DataFrame =
+    offendingValues(df, c, length(df(c)) < n)
+
+  def maxLength(df: DataFrame, c: String, n: Int): DataFrame =
+    offendingValues(df, c, length(df(c)) > n)
+
+  /** C5/C6: inclusive bounds, compared on the *typed* column. */
+  def minimum(df: DataFrame, c: String, bound: Column): DataFrame =
+    offendingValues(df, c, df(c) < bound)
+
+  def maximum(df: DataFrame, c: String, bound: Column): DataFrame =
+    offendingValues(df, c, df(c) > bound)
+
+  def patternCheck(df: DataFrame, c: String, p: String): DataFrame =
+    offendingValues(df, c, !fullMatch(df(c), p))
+
+  def enumCheck(df: DataFrame, c: String, values: Seq[Any]): DataFrame =
+    offendingValues(df, c, !df(c).isin(values: _*))
+
+  // ------------------------------------------------------------------- keys
+  /** K3 `foreignKeys`: child key tuples not present in the parent —
+    * distinct orphan tuples + counts via left_anti join against the
+    * parent's distinct keys. Rows with any null key part are exempt (SQL
+    * convention). Catalyst broadcasts the parent side automatically when
+    * small; callers may wrap the parent in `broadcast()` for known dims.
+    */
+  def foreignKey(
+      child: DataFrame,
+      childKeys: Seq[String],
+      parent: DataFrame,
+      parentKeys: Seq[String]
+  ): DataFrame = {
+    require(childKeys.size == parentKeys.size, "fk arity mismatch")
+    // project both sides to the key tuple under the child's names
+    val c = child.select(childKeys.map(child(_)): _*)
+      .filter(childKeys.map(child(_).isNotNull).reduce(_ && _))
+    val p = parent.select(
+      parentKeys.zip(childKeys).map { case (pk, ck) => parent(pk).as(ck) }: _*
+    ).distinct()
+    val cond = childKeys.map(k => c(k) === p(k)).reduce(_ && _)
+    c.join(p, cond, "left_anti")
+      .groupBy(childKeys.map(c(_)): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  // ------------------------------------------------- fused single-scan pass
+  /** Compile every field constraint of a table into ONE aggregate pass
+    * (SURVEY.md §4.3 decision 1): a single scan emitting one row with a
+    * `<field>__<constraint>` violation-count column per declared check.
+    * (`unique` needs a shuffle per key-set and is handled separately.)
+    */
+  def constraintSummary(df: DataFrame, schema: TableSchema): DataFrame = {
+    val aggs: Seq[Column] = schema.fields.flatMap { f =>
+      val c = df(f.name)
+      val k = f.constraints
+      def cnt(bad: Column, tag: String): Column =
+        coalesce(count(when(bad, lit(1))), lit(0L))
+          .as(s"${f.name}__$tag")
+      val typedMin = k.minimum.map(m => cnt(c < typedBound(f, m), "minimum"))
+      val typedMax = k.maximum.map(m => cnt(c > typedBound(f, m), "maximum"))
+      Seq(
+        k.required.filter(identity).map(_ => cnt(c.isNull, "required")),
+        k.minLength.map(n => cnt(c.isNotNull && length(c) < n, "minLength")),
+        k.maxLength.map(n => cnt(c.isNotNull && length(c) > n, "maxLength")),
+        typedMin,
+        typedMax,
+        k.pattern.map(p => cnt(c.isNotNull && !fullMatch(c, p), "pattern")),
+        k.enum.map(vs => cnt(c.isNotNull && !c.isin(vs: _*), "enum"))
+      ).flatten
+    }
+    if (aggs.isEmpty) df.sparkSession.emptyDataFrame
+    else df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Type a string bound (from the JSON descriptor) against a field. */
+  def typedBound(f: Field, bound: String): Column = f.ftype match {
+    case "integer" | "year" => lit(bound.toLong)
+    case "number"           => lit(bound.toDouble)
+    case "date"             => to_date(lit(bound))
+    case "datetime"         => to_timestamp(lit(bound))
+    case _                  => lit(bound)
+  }
+
+  /** Parse-error surfacing (shared across P1–P9): distinct raw values that
+    * fail to parse for a field, + counts — the `type-or-format-error`
+    * payload (SURVEY.md §2.3).
+    */
+  def parseErrors(df: DataFrame, f: Field): DataFrame =
+    df.filter(Parsers.invalidExpr(f, df(f.name)))
+      .groupBy(df(f.name))
+      .agg(count(lit(1)).as("cnt"))
+}

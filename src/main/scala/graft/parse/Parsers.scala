@@ -1,0 +1,213 @@
+package graft.parse
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.schema.Field
+
+/** Typed parsing of string columns per Table Schema v1 field descriptors
+  * (SURVEY.md §2.3, P1–P9).
+  *
+  * Shape: for each field we build two pure `Column` expressions over the
+  * raw all-string column —
+  *   - [[parseExpr]]: the typed value, or null when unparseable;
+  *   - [[invalidExpr]]: true iff the raw cell is non-null (i.e. not a
+  *     declared missing token) yet fails to parse — the spec's
+  *     `type-or-format-error` condition.
+  *
+  * Everything composes from built-in, codegen'd expressions (`rlike`,
+  * `regexp_replace`, `when`, `cast`, `to_timestamp`, `split`, `from_json`)
+  * — no UDFs, so whole-stage codegen spans the parse projection. Spark's
+  * `cast` is laxer than the spec (accepts "1e3" for integer, stray
+  * whitespace), so every cast is gated by a strict full-match regex first
+  * (SURVEY.md §7.5 hard-part 3).
+  */
+object Parsers {
+
+  // ---------------------------------------------------------------- missing
+  /** Replace declared missing tokens with null (done once, pre-parse).
+    * Upstream passes them to read_csv as na_values; order-independent
+    * projection is the Spark equivalent (SURVEY.md §1.2).
+    */
+  def applyMissing(raw: Column, tokens: Seq[String]): Column =
+    if (tokens.isEmpty) raw
+    else when(raw.isin(tokens: _*), lit(null: String)).otherwise(raw)
+
+  // ----------------------------------------------------------------- regexes
+  private val EmailRe = "^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$"
+  private val UriRe = "^[A-Za-z][A-Za-z0-9+.-]*:\\S+$"
+  private val UuidRe =
+    "(?i)^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+  private val Base64Re =
+    "^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=|[A-Za-z0-9+/]{4})$"
+  private val IntegerRe = "^[+-]?\\d+$"
+  private val YearRe = "^-?\\d{4}$"
+  private val TimeRe = "^([01]\\d|2[0-3]):[0-5]\\d:[0-5]\\d$"
+  /** Strict decimal with optional exponent, after separator normalization. */
+  private val NumberRe =
+    "(?i)^[+-]?(nan|inf(inity)?|(\\d+(\\.\\d*)?|\\.\\d+)(e[+-]?\\d+)?)$"
+
+  private def anchored(p: String) = "^(?:" + p + ")$"
+
+  // ----------------------------------------------------------------- number
+  /** Normalize a number string: optionally strip non-numeric affixes
+    * (bareNumber=false), remove groupChar, map decimalChar to '.'.
+    */
+  private def normalizedNumber(f: Field, raw: Column): Column = {
+    val bare =
+      if (f.bareNumber) raw
+      else {
+        // extract the first numeric run (keeping the declared separators)
+        val cls = "[0-9" +
+          (if (f.groupChar.nonEmpty) Pattern.quote(f.groupChar) else "") +
+          Pattern.quote(f.decimalChar) + "]"
+        regexp_extract(raw, s"[+-]?$cls*[0-9](?:[eE][+-]?[0-9]+)?", 0)
+      }
+    val ungrouped =
+      if (f.groupChar.isEmpty) bare
+      else regexp_replace(bare, Pattern.quote(f.groupChar), "")
+    if (f.decimalChar == ".") ungrouped
+    else regexp_replace(ungrouped, Pattern.quote(f.decimalChar), ".")
+  }
+
+  private def numberExpr(f: Field, raw: Column): Column = {
+    val n = normalizedNumber(f, raw)
+    val u = upper(n)
+    when(u.isin("NAN"), lit(Double.NaN))
+      .when(u.isin("INF", "INFINITY", "+INF", "+INFINITY"),
+        lit(Double.PositiveInfinity))
+      .when(u.isin("-INF", "-INFINITY"), lit(Double.NegativeInfinity))
+      .when(n.rlike(NumberRe), n.cast(DoubleType))
+      .otherwise(lit(null).cast(DoubleType))
+  }
+
+  private def integerExpr(f: Field, raw: Column): Column = {
+    val bare =
+      if (f.bareNumber) raw
+      else regexp_extract(raw, "[+-]?[0-9]+", 0)
+    when(bare.rlike(IntegerRe), bare.cast(LongType))
+      .otherwise(lit(null).cast(LongType))
+  }
+
+  // ----------------------------------------------------------------- temporal
+  private def dateExpr(f: Field, raw: Column): Column = {
+    val fmt = Patterns.resolve("date", f.format)
+    try_to_timestamp(raw, lit(fmt)).cast(DateType)
+  }
+
+  private def datetimeExpr(f: Field, raw: Column): Column =
+    f.format match {
+      case "default" =>
+        // ISO 8601: seconds, optional fraction, optional Z/offset
+        coalesce(
+          try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ss")),
+          try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+          try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
+          try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+          try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ssX"))
+        )
+      case _ =>
+        try_to_timestamp(raw, lit(Patterns.resolve("datetime", f.format)))
+    }
+
+  /** Time has no Spark type: canonical `HH:mm:ss` string (SURVEY.md §1.2). */
+  private def timeExpr(f: Field, raw: Column): Column =
+    f.format match {
+      case "default" =>
+        when(raw.rlike(TimeRe), raw).otherwise(lit(null: String))
+      case _ =>
+        val fmt = Patterns.resolve("time", f.format)
+        date_format(try_to_timestamp(raw, lit(fmt)), "HH:mm:ss")
+    }
+
+  private def yearExpr(raw: Column): Column =
+    when(raw.rlike(YearRe), raw.cast(IntegerType))
+      .otherwise(lit(null).cast(IntegerType))
+
+  // ----------------------------------------------------------------- geopoint
+  /** lon/lat struct; invalid or out-of-range (±180/±90) → null. */
+  private def geopointExpr(f: Field, raw: Column): Column = {
+    val pair: (Column, Column) = f.format match {
+      case "array" =>
+        val arr = from_json(raw, ArrayType(DoubleType))
+        (when(size(arr) === 2, element_at(arr, 1)),
+          when(size(arr) === 2, element_at(arr, 2)))
+      case "object" =>
+        val st = from_json(raw,
+          StructType(Seq(StructField("lon", DoubleType),
+            StructField("lat", DoubleType))))
+        (st.getField("lon"), st.getField("lat"))
+      case _ => // default: "lon, lat"
+        val numRe = "[+-]?(\\d+(\\.\\d*)?|\\.\\d+)"
+        val ok = raw.rlike(s"^\\s*$numRe\\s*,\\s*$numRe\\s*$$")
+        val parts = split(raw, ",")
+        (when(ok, trim(element_at(parts, 1)).cast(DoubleType)),
+          when(ok, trim(element_at(parts, 2)).cast(DoubleType)))
+    }
+    val (lon, lat) = pair
+    val inRange = lon.isNotNull && lat.isNotNull &&
+      lon.between(-180d, 180d) && lat.between(-90d, 90d)
+    when(inRange, struct(lon.as("lon"), lat.as("lat")))
+      .otherwise(lit(null).cast(
+        StructType(Seq(StructField("lon", DoubleType),
+          StructField("lat", DoubleType)))))
+  }
+
+  // ----------------------------------------------------------------- string
+  private def stringFormatRe(format: String): Option[String] = format match {
+    case "email"  => Some(EmailRe)
+    case "uri"    => Some(UriRe)
+    case "uuid"   => Some(UuidRe)
+    case "binary" => Some(Base64Re)
+    case _        => None // default: always valid
+  }
+
+  // ----------------------------------------------------------------- public
+  /** Spark type of the parsed column for a field. */
+  def parsedType(f: Field): DataType = f.ftype match {
+    case "number"   => DoubleType
+    case "integer"  => LongType
+    case "boolean"  => BooleanType
+    case "date"     => DateType
+    case "datetime" => TimestampType
+    case "year"     => IntegerType
+    case "geopoint" =>
+      StructType(Seq(StructField("lon", DoubleType),
+        StructField("lat", DoubleType)))
+    case _ => StringType // string, time (canonical string)
+  }
+
+  /** Typed value, or null when the raw string fails to parse.
+    * For `string` fields the value passes through unchanged; a failed
+    * format check yields null here and true in [[invalidExpr]].
+    */
+  def parseExpr(f: Field, raw: Column): Column = f.ftype match {
+    case "string" =>
+      stringFormatRe(f.format) match {
+        case Some(re) => when(raw.rlike(re), raw).otherwise(lit(null: String))
+        case None     => raw
+      }
+    case "number"   => numberExpr(f, raw)
+    case "integer"  => integerExpr(f, raw)
+    case "boolean" =>
+      when(raw.isin(f.trueValues: _*), lit(true))
+        .when(raw.isin(f.falseValues: _*), lit(false))
+        .otherwise(lit(null).cast(BooleanType))
+    case "date"     => dateExpr(f, raw)
+    case "datetime" => datetimeExpr(f, raw)
+    case "time"     => timeExpr(f, raw)
+    case "year"     => yearExpr(raw)
+    case "geopoint" => geopointExpr(f, raw)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported field type '$other'")
+  }
+
+  /** True iff raw is present (non-null after missing-token substitution)
+    * but does not parse — the `type-or-format-error` predicate.
+    */
+  def invalidExpr(f: Field, raw: Column): Column =
+    raw.isNotNull && parseExpr(f, raw).isNull
+}

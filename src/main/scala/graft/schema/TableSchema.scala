@@ -1,0 +1,93 @@
+package graft.schema
+
+/** Frictionless Table Schema v1 descriptor model.
+  *
+  * Semantics follow the published Table Schema / Data Package v1 specs
+  * (specs.frictionlessdata.io/table-schema, /data-package), which the
+  * reference (`ezwelty/goodtables-pandas-py`, see SURVEY.md §1) implements:
+  * a schema is a *declared* list of typed fields plus key constraints —
+  * never inferred from data.
+  *
+  * Control-plane only: these case classes live on the driver; the data
+  * plane is a `DataFrame` whose columns are parsed/checked per `Field`.
+  */
+final case class Constraints(
+    required: Option[Boolean] = None,
+    unique: Option[Boolean] = None,
+    minLength: Option[Int] = None,
+    maxLength: Option[Int] = None,
+    minimum: Option[String] = None, // typed lazily against the field type
+    maximum: Option[String] = None,
+    pattern: Option[String] = None,
+    enum: Option[Seq[String]] = None
+) {
+  def isEmpty: Boolean =
+    required.isEmpty && unique.isEmpty && minLength.isEmpty &&
+      maxLength.isEmpty && minimum.isEmpty && maximum.isEmpty &&
+      pattern.isEmpty && enum.isEmpty
+}
+
+/** One field descriptor: `{name, type, format, constraints, ...}`.
+  *
+  * @param ftype       Table Schema type: string/number/integer/boolean/
+  *                    date/time/datetime/year/geopoint (v1 surface)
+  * @param format      type-specific format (e.g. `email`, `%d/%m/%Y`)
+  * @param trueValues  boolean type: accepted true tokens
+  * @param decimalChar number type: decimal separator (default ".")
+  * @param groupChar   number type: group (thousands) separator (default none)
+  * @param bareNumber  number/integer: if false, strip non-numeric affixes
+  * @param missingValues per-field override of package-level missing tokens
+  */
+final case class Field(
+    name: String,
+    ftype: String = "string",
+    format: String = "default",
+    trueValues: Seq[String] = Seq("true", "True", "TRUE", "1"),
+    falseValues: Seq[String] = Seq("false", "False", "FALSE", "0"),
+    decimalChar: String = ".",
+    groupChar: String = "",
+    bareNumber: Boolean = true,
+    constraints: Constraints = Constraints(),
+    missingValues: Option[Seq[String]] = None
+)
+
+/** `foreignKeys` entry: child fields reference parent resource's fields.
+  * Self-reference uses `resource = ""` per the spec.
+  */
+final case class ForeignKey(
+    fields: Seq[String],
+    refResource: String,
+    refFields: Seq[String]
+)
+
+/** Table-level schema: fields + keys.
+  *
+  * @param primaryKey  composite primary key (uniqueness + implied required)
+  * @param uniqueKeys  frictionless extension: extra unique key-sets
+  */
+final case class TableSchema(
+    fields: Seq[Field],
+    primaryKey: Seq[String] = Nil,
+    uniqueKeys: Seq[Seq[String]] = Nil,
+    foreignKeys: Seq[ForeignKey] = Nil,
+    missingValues: Seq[String] = Seq("")
+) {
+  def field(name: String): Option[Field] = fields.find(_.name == name)
+  def fieldNames: Seq[String] = fields.map(_.name)
+}
+
+/** One tabular resource of a data package: named table + path + schema. */
+final case class Resource(
+    name: String,
+    path: String,
+    schema: TableSchema
+)
+
+/** The `datapackage.json` unit that `validate()` operates on. */
+final case class Package(
+    name: String,
+    resources: Seq[Resource]
+) {
+  def resource(name: String): Option[Resource] =
+    resources.find(_.name == name)
+}
