@@ -150,6 +150,181 @@ object SparkEntry {
       .orderBy("raw")
   }
 
+  /** P1 string passthrough: parse_string(default) is the identity. */
+  private def p1String(s: SparkSession, dir: String): DataFrame = {
+    val f = Field("source", "string")
+    t(s, dir, "documents")
+      .select(col("source").as("raw"),
+        Parsers.parseExpr(f, col("source")).as("parsed"))
+      .groupBy("raw", "parsed").agg(count(lit(1)).as("cnt"))
+      .orderBy("raw")
+  }
+
+  /** P1a string format=email: regex validation; value unchanged. */
+  private def p1aEmail(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val raw = when(col("c_custkey") % 7 === 0, col("c_name"))
+      .otherwise(concat(lit("u"), col("c_custkey").cast(StringType),
+        lit("@ex.com")))
+    val f = Field("raw", "string", format = "email")
+    c.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P1b string format=uri. */
+  private def p1bUri(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val raw = when(col("p_partkey") % 5 === 0, col("p_name")) // has a space
+      .otherwise(concat(lit("https://ex.org/p/"),
+        col("p_partkey").cast(StringType)))
+    val f = Field("raw", "string", format = "uri")
+    p.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P1c string format=uuid (synthesized from key hex; some truncated). */
+  private def p1cUuid(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val full = lower(concat(
+      lpad(hex(col("c_custkey")), 8, "0"), lit("-0000-4000-8000-"),
+      lpad(hex(col("c_nationkey")), 12, "0")))
+    val raw = when(col("c_custkey") % 5 === 0, substring(full, 1, 8))
+      .otherwise(full)
+    val f = Field("raw", "string", format = "uuid")
+    c.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P1d string format=binary (base64). */
+  private def p1dBinary(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val raw = when(col("doc_id") % 4 === 0, lit("a!!!"))
+      .otherwise(base64(col("source").cast(BinaryType)))
+    val f = Field("raw", "string", format = "binary")
+    d.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P2 number (default '.', specials, strict — no lax cast forms). */
+  private def p2Number(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val raw = when(col("l_linenumber") % 7 === 0, lit("NaN"))
+      .when(col("l_linenumber") % 7 === 1, lit("INF"))
+      .when(col("l_linenumber") % 7 === 2, lit("-INF"))
+      .when(col("l_linenumber") % 7 === 3, lit("abc"))
+      .otherwise(concat(col("l_orderkey").cast(StringType), lit("."),
+        (col("l_partkey") % 100).cast(StringType)))
+    val f = Field("raw", "number")
+    li.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P2 number with groupChar='.' decimalChar=',' (EU formatting). */
+  private def p2NumberEu(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val raw = concat(
+      col("l_suppkey").cast(StringType), lit("."),
+      lpad((col("l_partkey") % 1000).cast(StringType), 3, "0"), lit(","),
+      lpad((col("l_orderkey") % 100).cast(StringType), 2, "0"))
+    val f = Field("raw", "number", decimalChar = ",", groupChar = ".")
+    li.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P2 number bareNumber=false: strip currency/percent affixes. */
+  private def p2NumberAffix(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val raw = when(col("l_suppkey") % 2 === 0,
+      concat(lit("$"), col("l_suppkey").cast(StringType)))
+      .otherwise(concat(col("l_suppkey").cast(StringType), lit("%")))
+    val f = Field("raw", "number", bareNumber = false)
+    li.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P5 date default (%Y-%m-%d), with unparseable month-13 variants. */
+  private def p5Date(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val raw = when(col("l_linenumber") % 5 === 0, lit("2026-13-01"))
+      .otherwise(date_format(col("l_shipdate"), "yyyy-MM-dd"))
+    val f = Field("raw", "date")
+    li.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P5 date with strptime pattern %d/%m/%Y (exercises Patterns). */
+  private def p5DateFmt(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val raw = when(col("l_linenumber") % 5 === 0,
+      date_format(col("l_shipdate"), "yyyy-MM-dd")) // wrong shape → null
+      .otherwise(date_format(col("l_shipdate"), "dd/MM/yyyy"))
+    val f = Field("raw", "date", format = "%d/%m/%Y")
+    li.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P6 datetime default ISO 8601 (strict: space separator rejected). */
+  private def p6Datetime(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val iso = date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss")
+    val raw = when(col("o_orderkey") % 5 === 0,
+      regexp_replace(iso, "T", " ")).otherwise(iso)
+    val f = Field("raw", "datetime")
+    o.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P7 time default %H:%M:%S (canonical string; range-validated). */
+  private def p7Time(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val raw = when(col("event_id") % 5 === 0, lit("25:61:00"))
+      .otherwise(date_format(col("ts"), "HH:mm:ss"))
+    val f = Field("raw", "time")
+    e.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P8 year: 4-digit gate then cast. */
+  private def p8Year(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val raw = when(col("l_linenumber") % 6 === 0, lit("26"))
+      .when(col("l_linenumber") % 6 === 1, lit("20260"))
+      .otherwise(year(col("l_shipdate")).cast(StringType))
+    val f = Field("raw", "year")
+    li.select(raw.as("raw"))
+      .select(col("raw"),
+        Parsers.parseExpr(f, col("raw")).cast(LongType).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P9 geopoint default "lon, lat": split + cast + ±180/±90 range. */
+  private def p9Geopoint(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val lon = col("p_partkey") % 361 - 180
+    val lat = col("p_size") % 181 - 90
+    val raw = when(col("p_partkey") % 11 === 0, lit("200, 100"))
+      .when(col("p_partkey") % 13 === 0, lit("x,y"))
+      .otherwise(concat(lon.cast(StringType), lit(", "),
+        lat.cast(StringType)))
+    val f = Field("raw", "geopoint")
+    val parsed = Parsers.parseExpr(f, col("raw"))
+    p.select(raw.as("raw"))
+      .select(col("raw"), parsed.getField("lon").as("lon"),
+        parsed.getField("lat").as("lat"))
+      .distinct().orderBy("raw")
+  }
+
   // -------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_pk_lineitem" -> (k1PkLineitem _),
@@ -165,7 +340,21 @@ object SparkEntry {
     "c7_pattern" -> (c7Pattern _),
     "c8_enum" -> (c8Enum _),
     "p3_integer" -> (p3Integer _),
-    "p4_boolean" -> (p4Boolean _)
+    "p4_boolean" -> (p4Boolean _),
+    "p1_string" -> (p1String _),
+    "p1a_email" -> (p1aEmail _),
+    "p1b_uri" -> (p1bUri _),
+    "p1c_uuid" -> (p1cUuid _),
+    "p1d_binary" -> (p1dBinary _),
+    "p2_number" -> (p2Number _),
+    "p2_number_eu" -> (p2NumberEu _),
+    "p2_number_affix" -> (p2NumberAffix _),
+    "p5_date" -> (p5Date _),
+    "p5_date_fmt" -> (p5DateFmt _),
+    "p6_datetime" -> (p6Datetime _),
+    "p7_time" -> (p7Time _),
+    "p8_year" -> (p8Year _),
+    "p9_geopoint" -> (p9Geopoint _)
   )
 
   /** DuckDB twins of `queries` — identical column names and ordering. */
@@ -239,6 +428,141 @@ object SparkEntry {
         |  o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')
         |    AS invalid,
         |  count(*) AS cnt
-        |FROM orders GROUP BY 1,2,3 ORDER BY raw""".stripMargin
+        |FROM orders GROUP BY 1,2,3 ORDER BY raw""".stripMargin,
+    "p1_string" ->
+      """SELECT source AS raw, source AS parsed, count(*) AS cnt
+        |FROM documents GROUP BY 1,2 ORDER BY raw""".stripMargin,
+    "p1a_email" ->
+      """SELECT DISTINCT raw,
+        |  CASE WHEN regexp_full_match(raw, '[^@\s]+@[^@\s]+\.[^@\s]+')
+        |       THEN raw END AS parsed
+        |FROM (SELECT CASE WHEN c_custkey % 7 = 0 THEN c_name
+        |        ELSE 'u' || CAST(c_custkey AS VARCHAR) || '@ex.com' END
+        |        AS raw FROM customer)
+        |ORDER BY raw""".stripMargin,
+    "p1b_uri" ->
+      """SELECT DISTINCT raw,
+        |  CASE WHEN regexp_full_match(raw, '[A-Za-z][A-Za-z0-9+.-]*:\S+')
+        |       THEN raw END AS parsed
+        |FROM (SELECT CASE WHEN p_partkey % 5 = 0 THEN p_name
+        |        ELSE 'https://ex.org/p/' || CAST(p_partkey AS VARCHAR) END
+        |        AS raw FROM part)
+        |ORDER BY raw""".stripMargin,
+    "p1c_uuid" ->
+      """SELECT DISTINCT raw,
+        |  CASE WHEN regexp_full_match(raw,
+        |    '(?i)[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}')
+        |       THEN raw END AS parsed
+        |FROM (
+        |  SELECT CASE WHEN c_custkey % 5 = 0 THEN substr(fulluuid, 1, 8)
+        |              ELSE fulluuid END AS raw
+        |  FROM (SELECT lower(lpad(hex(c_custkey), 8, '0')
+        |          || '-0000-4000-8000-'
+        |          || lpad(hex(c_nationkey), 12, '0')) AS fulluuid,
+        |          c_custkey FROM customer))
+        |ORDER BY raw""".stripMargin,
+    "p1d_binary" ->
+      """SELECT DISTINCT raw,
+        |  CASE WHEN regexp_full_match(raw,
+        |    '(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=|[A-Za-z0-9+/]{4})')
+        |       THEN raw END AS parsed
+        |FROM (SELECT CASE WHEN doc_id % 4 = 0 THEN 'a!!!'
+        |        ELSE to_base64(encode(source)) END AS raw FROM documents)
+        |ORDER BY raw""".stripMargin,
+    "p2_number" ->
+      """SELECT DISTINCT raw,
+        |  CASE WHEN upper(raw) = 'NAN' THEN CAST('NaN' AS DOUBLE)
+        |       WHEN upper(raw) IN ('INF','INFINITY','+INF','+INFINITY')
+        |         THEN CAST('Infinity' AS DOUBLE)
+        |       WHEN upper(raw) IN ('-INF','-INFINITY')
+        |         THEN CAST('-Infinity' AS DOUBLE)
+        |       WHEN regexp_full_match(raw,
+        |         '[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?')
+        |         THEN TRY_CAST(raw AS DOUBLE) END AS parsed
+        |FROM (SELECT CASE
+        |        WHEN l_linenumber % 7 = 0 THEN 'NaN'
+        |        WHEN l_linenumber % 7 = 1 THEN 'INF'
+        |        WHEN l_linenumber % 7 = 2 THEN '-INF'
+        |        WHEN l_linenumber % 7 = 3 THEN 'abc'
+        |        ELSE CAST(l_orderkey AS VARCHAR) || '.'
+        |          || CAST(l_partkey % 100 AS VARCHAR) END AS raw
+        |      FROM lineitem)
+        |ORDER BY raw""".stripMargin,
+    "p2_number_eu" ->
+      """SELECT DISTINCT raw,
+        |  TRY_CAST(replace(replace(raw, '.', ''), ',', '.') AS DOUBLE)
+        |    AS parsed
+        |FROM (SELECT CAST(l_suppkey AS VARCHAR) || '.'
+        |        || lpad(CAST(l_partkey % 1000 AS VARCHAR), 3, '0') || ','
+        |        || lpad(CAST(l_orderkey % 100 AS VARCHAR), 2, '0') AS raw
+        |      FROM lineitem)
+        |ORDER BY raw""".stripMargin,
+    "p2_number_affix" ->
+      """SELECT DISTINCT raw,
+        |  TRY_CAST(regexp_extract(raw, '[0-9]+', 0) AS DOUBLE) AS parsed
+        |FROM (SELECT CASE WHEN l_suppkey % 2 = 0
+        |          THEN '$' || CAST(l_suppkey AS VARCHAR)
+        |          ELSE CAST(l_suppkey AS VARCHAR) || '%' END AS raw
+        |      FROM lineitem)
+        |ORDER BY raw""".stripMargin,
+    "p5_date" ->
+      """SELECT DISTINCT raw,
+        |  CAST(try_strptime(raw, '%Y-%m-%d') AS DATE) AS parsed
+        |FROM (SELECT CASE WHEN l_linenumber % 5 = 0 THEN '2026-13-01'
+        |        ELSE strftime(l_shipdate, '%Y-%m-%d') END AS raw
+        |      FROM lineitem)
+        |ORDER BY raw""".stripMargin,
+    "p5_date_fmt" ->
+      """SELECT DISTINCT raw,
+        |  CAST(try_strptime(raw, '%d/%m/%Y') AS DATE) AS parsed
+        |FROM (SELECT CASE WHEN l_linenumber % 5 = 0
+        |          THEN strftime(l_shipdate, '%Y-%m-%d')
+        |          ELSE strftime(l_shipdate, '%d/%m/%Y') END AS raw
+        |      FROM lineitem)
+        |ORDER BY raw""".stripMargin,
+    "p6_datetime" ->
+      """SELECT DISTINCT raw,
+        |  try_strptime(raw, '%Y-%m-%dT%H:%M:%S') AS parsed
+        |FROM (SELECT CASE WHEN o_orderkey % 5 = 0
+        |          THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+        |          ELSE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') END AS raw
+        |      FROM orders)
+        |ORDER BY raw""".stripMargin,
+    "p7_time" ->
+      """SELECT DISTINCT raw,
+        |  CASE WHEN regexp_full_match(raw,
+        |    '([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9]') THEN raw END
+        |    AS parsed
+        |FROM (SELECT CASE WHEN event_id % 5 = 0 THEN '25:61:00'
+        |        ELSE strftime(ts, '%H:%M:%S') END AS raw FROM events)
+        |ORDER BY raw""".stripMargin,
+    "p8_year" ->
+      """SELECT DISTINCT raw,
+        |  CASE WHEN regexp_full_match(raw, '-?[0-9]{4}')
+        |       THEN CAST(raw AS BIGINT) END AS parsed
+        |FROM (SELECT CASE WHEN l_linenumber % 6 = 0 THEN '26'
+        |        WHEN l_linenumber % 6 = 1 THEN '20260'
+        |        ELSE CAST(year(l_shipdate) AS VARCHAR) END AS raw
+        |      FROM lineitem)
+        |ORDER BY raw""".stripMargin,
+    "p9_geopoint" ->
+      """SELECT DISTINCT raw,
+        |  CASE WHEN ok AND abs(lon0) <= 180 AND abs(lat0) <= 90
+        |       THEN lon0 END AS lon,
+        |  CASE WHEN ok AND abs(lon0) <= 180 AND abs(lat0) <= 90
+        |       THEN lat0 END AS lat
+        |FROM (
+        |  SELECT raw,
+        |    regexp_full_match(raw,
+        |      '\s*[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)\s*,\s*[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)\s*')
+        |      AS ok,
+        |    TRY_CAST(trim(split_part(raw, ',', 1)) AS DOUBLE) AS lon0,
+        |    TRY_CAST(trim(split_part(raw, ',', 2)) AS DOUBLE) AS lat0
+        |  FROM (SELECT CASE WHEN p_partkey % 11 = 0 THEN '200, 100'
+        |          WHEN p_partkey % 13 = 0 THEN 'x,y'
+        |          ELSE CAST(p_partkey % 361 - 180 AS VARCHAR) || ', '
+        |            || CAST(p_size % 181 - 90 AS VARCHAR) END AS raw
+        |        FROM part))
+        |ORDER BY raw""".stripMargin
   )
 }
