@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.check.Checks
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.parse.Parsers
 import graft.schema.{Constraints, Field}
+import graft.streaming.StreamingValidate
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -325,6 +327,165 @@ object SparkEntry {
       .distinct().orderBy("raw")
   }
 
+  // ------------------------------------------------------- §7.6 extensions
+  /** Documents plus exact copies of the first 50 (distinct ids) — the
+    * degraded input for exact-dedup demonstrations.
+    */
+  private def docsWithCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.unionByName(d.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 1000000))
+  }
+
+  /** Exact dedup: full-content-hash groups over documents + copies. */
+  private def xDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupGroups(docsWithCopies(s, dir), "text")
+      .orderBy("content_hash")
+
+  /** Normalized-key (first-3-token prefix) duplicate clusters. */
+  private def xDedupPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixDupGroups(t(s, dir, "documents"), "text", 3)
+      .orderBy("prefix_key")
+
+  /** n-gram Jaccard similarity: each doc vs its 80 %-token-prefix twin —
+    * exact word-3-gram overlap, integer-count division (engine-exact).
+    */
+  private def xDedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = TextAnalysis.tokens(col("text"))
+    val twin = concat_ws(" ",
+      slice(toks, lit(1), floor(size(toks) * 0.8).cast("int")))
+    d.select(col("doc_id"), col("text"), twin.as("twin"))
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 10)
+      .select(col("doc_id"),
+        Dedup.jaccard(col("text"), col("twin"), 3).as("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash+LSH near-dup pairs, verified with exact Jaccard ≥ 0.5 over
+    * documents + 80%-prefix twins. Hash-based — no SQL oracle
+    * (rows-only check); deterministic.
+    */
+  private def xDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = TextAnalysis.tokens(col("text"))
+    val twins = d.select((col("doc_id") + 1000000).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), floor(size(toks) * 0.8).cast("int")))
+        .as("text"))
+    val both = d.select(col("doc_id"), col("text")).unionByName(twins)
+    Dedup.nearDuplicates(both, "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash-64 document sketches (rows-only; deterministic). */
+  private def xDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** Brute-force cosine top-k: 5 query vectors vs the full corpus; rank
+    * output only (cosine computed in doubles on both engines, but kept
+    * out of the compared columns).
+    */
+  private def xSimTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, 10)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Exact cosine near-dup pairs over a bounded subset (all-pairs is the
+    * oracle path; the LSH variant below is the scale path).
+    */
+  private def xSimPairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.exactPairs(
+      t(s, dir, "embeddings").filter(col("vec_id") < 300),
+      threshold = 0.3)
+      .drop("sim")
+      .orderBy("id_a", "id_b")
+
+  /** LSH-bucketed cosine pairs on the full corpus (rows-only check). */
+  private def xSimLshPairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshCandidatePairs(t(s, dir, "embeddings"),
+      nPlanes = 8, threshold = 0.3)
+      .drop("sim")
+      .orderBy("id_a", "id_b")
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens. */
+  private def xTextTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType)
+          .as("n_tokens"),
+        TextAnalysis.wordTokenCount(col("text")).cast(LongType)
+          .as("n_word_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality metrics: declared-length consistency, alpha ratio, average
+    * token length, composite score.
+    */
+  private def xTextQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        (length(col("text")).cast(LongType) === col("n_chars"))
+          .as("n_chars_ok"),
+        TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"),
+        TextAnalysis.avgTokenLength(col("text")).as("avg_token_len"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Language ID (stopword/script heuristic). */
+  private def xTextLangid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: md5 over normalized text. */
+  private def xTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Multimodal: JSON props field extraction (typed metadata column). */
+  private def xMmJson(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractJsonField(t(s, dir, "events"), "props", "k")
+      .select(col("event_id"), col("k"))
+      .orderBy("event_id")
+
+  /** Multimodal: binary payload metadata (byte length of the blob). */
+  private def xMmBinaryMeta(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Multimodal.withBinary(d, "doc_id", "text")
+      .select(col("id").as("doc_id"),
+        col("n_bytes").cast(LongType).as("n_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal: stubbed batched decode (deterministic fake features;
+    * rows-only — the decode seam is a stub, the plumbing is real).
+    */
+  private def xMmDecode(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Multimodal.decode(Multimodal.withBinary(d, "doc_id", "text"))
+      .toDF()
+      .orderBy("id")
+  }
+
+  /** Streaming-shaped tumbling-window aggregation (batch-equivalent
+    * plan of StreamingValidate.windowedCounts, minus the watermark —
+    * identical grouping).
+    */
+  private def xStreamWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value")), 6).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
   // -------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_pk_lineitem" -> (k1PkLineitem _),
@@ -354,7 +515,23 @@ object SparkEntry {
     "p6_datetime" -> (p6Datetime _),
     "p7_time" -> (p7Time _),
     "p8_year" -> (p8Year _),
-    "p9_geopoint" -> (p9Geopoint _)
+    "p9_geopoint" -> (p9Geopoint _),
+    "x_dedup_exact" -> (xDedupExact _),
+    "x_dedup_prefix" -> (xDedupPrefix _),
+    "x_dedup_jaccard" -> (xDedupJaccard _),
+    "x_dedup_minhash" -> (xDedupMinhash _),
+    "x_dedup_simhash" -> (xDedupSimhash _),
+    "x_sim_topk" -> (xSimTopk _),
+    "x_sim_pairs" -> (xSimPairs _),
+    "x_sim_lsh_pairs" -> (xSimLshPairs _),
+    "x_text_tokens" -> (xTextTokens _),
+    "x_text_quality" -> (xTextQuality _),
+    "x_text_langid" -> (xTextLangid _),
+    "x_text_fingerprint" -> (xTextFingerprint _),
+    "x_mm_json" -> (xMmJson _),
+    "x_mm_binary_meta" -> (xMmBinaryMeta _),
+    "x_mm_decode" -> (xMmDecode _),
+    "x_stream_window" -> (xStreamWindow _)
   )
 
   /** DuckDB twins of `queries` — identical column names and ordering. */
@@ -563,6 +740,158 @@ object SparkEntry {
         |          ELSE CAST(p_partkey % 361 - 180 AS VARCHAR) || ', '
         |            || CAST(p_size % 181 - 90 AS VARCHAR) END AS raw
         |        FROM part))
-        |ORDER BY raw""".stripMargin
+        |ORDER BY raw""".stripMargin,
+    "x_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS cnt
+        |FROM (SELECT text FROM documents UNION ALL
+        |      SELECT text FROM documents WHERE doc_id < 50)
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+    "x_dedup_prefix" ->
+      """SELECT array_to_string(list_slice(
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+        |    1, 3), ' ') AS prefix_key, count(*) AS cnt
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+    "x_dedup_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, toks,
+        |    list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INTEGER))
+        |      AS ttoks
+        |  FROM tok WHERE len(toks) >= 10),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |      AS sa,
+        |    CASE WHEN len(ttoks) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(ttoks) - 1),
+        |        i -> array_to_string(list_slice(ttoks, i, i + 2), ' ')))
+        |      ELSE [array_to_string(ttoks, ' ')] END AS sb
+        |  FROM base)
+        |SELECT doc_id,
+        |  CASE WHEN len(list_distinct(list_concat(sa, sb))) > 0
+        |    THEN CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(sa, sb)))
+        |    ELSE 0.0 END AS jaccard
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "x_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+        |      FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> CAST(qv[i] AS DOUBLE) * cv[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+        |         i -> CAST(qv[i] AS DOUBLE) * qv[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+        |         i -> CAST(cv[i] AS DOUBLE) * cv[i])))) AS sim
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x_sim_pairs" ->
+      """WITH v AS (SELECT vec_id AS id, embedding AS vec
+        |           FROM embeddings WHERE vec_id < 300),
+        |s AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.vec) + 1),
+        |      i -> CAST(a.vec[i] AS DOUBLE) * b.vec[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.vec) + 1),
+        |         i -> CAST(a.vec[i] AS DOUBLE) * a.vec[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.vec) + 1),
+        |         i -> CAST(b.vec[i] AS DOUBLE) * b.vec[i])))) AS sim
+        |  FROM v a, v b WHERE a.id < b.id)
+        |SELECT id_a, id_b FROM s WHERE sim >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_word_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, n_chars,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS toks,
+        |    CASE WHEN length(text) > 0
+        |      THEN CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g'))
+        |        AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+        |    CASE WHEN length(text) > 0
+        |      THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+        |        AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) = n_chars AS n_chars_ok,
+        |  alpha_ratio,
+        |  CASE WHEN len(toks) > 0
+        |    THEN CAST(list_sum(list_transform(toks, x -> length(x)))
+        |      AS DOUBLE) / len(toks) ELSE 0.0 END AS avg_token_len,
+        |  round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+        |    + alpha_ratio
+        |    + greatest(0.0, 1.0 - punct_ratio * 10.0)) / 3.0, 6)
+        |    AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "x_text_langid" ->
+      """WITH sc AS (
+        |  SELECT doc_id, text,
+        |    (length(p)-length(replace(p,' the ','')))/5
+        |      + (length(p)-length(replace(p,' and ','')))/5
+        |      + (length(p)-length(replace(p,' of ','')))/4
+        |      + (length(p)-length(replace(p,' to ','')))/4
+        |      + (length(p)-length(replace(p,' a ','')))/3 AS s_en,
+        |    (length(p)-length(replace(p,' el ','')))/4
+        |      + (length(p)-length(replace(p,' la ','')))/4
+        |      + (length(p)-length(replace(p,' de ','')))/4
+        |      + (length(p)-length(replace(p,' que ','')))/5
+        |      + (length(p)-length(replace(p,' y ','')))/3 AS s_es,
+        |    (length(p)-length(replace(p,' le ','')))/4
+        |      + (length(p)-length(replace(p,' et ','')))/4
+        |      + (length(p)-length(replace(p,' les ','')))/5
+        |      + (length(p)-length(replace(p,' des ','')))/5
+        |      + (length(p)-length(replace(p,' un ','')))/4 AS s_fr,
+        |    (length(p)-length(replace(p,' der ','')))/5
+        |      + (length(p)-length(replace(p,' und ','')))/5
+        |      + (length(p)-length(replace(p,' die ','')))/5
+        |      + (length(p)-length(replace(p,' das ','')))/5
+        |      + (length(p)-length(replace(p,' ist ','')))/5 AS s_de
+        |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS p
+        |        FROM documents))
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
+        |       WHEN regexp_matches(text, '[\x{0400}-\x{04FF}]') THEN 'ru'
+        |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de
+        |         THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+        |       WHEN s_fr >= s_de THEN 'fr'
+        |       ELSE 'de' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "x_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_mm_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "x_mm_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_stream_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  event_type, count(*) AS cnt, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   )
 }

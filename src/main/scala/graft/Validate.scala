@@ -47,11 +47,44 @@ object Validate {
     applyMissing(raw, res.schema)
   }
 
+  /** The CSV file's own header row (the declared schema overrides column
+    * naming on read, so reconciliation must look at the raw first line).
+    */
+  def actualCsvHeader(spark: SparkSession, res: Resource): Seq[String] = {
+    val first = spark.read.option("header", "false").textFile(res.path)
+      .head(1).headOption.getOrElse("")
+    first.split(",", -1).map(_.trim).toSeq
+  }
+
   def applyMissing(df: DataFrame, schema: TableSchema): DataFrame =
     df.select(schema.fields.map { f =>
       val tokens = f.missingValues.getOrElse(schema.missingValues)
       Parsers.applyMissing(df(f.name), tokens).as(f.name)
     }: _*)
+
+  // ---------------------------------------------------------------- header
+  /** H1 header reconciliation (SURVEY.md §2.2): compare the frame's
+    * columns against the declared fields — metadata-only, no Spark job.
+    * Codes: missing-header (declared, absent), extra-header (present,
+    * undeclared), non-matching-header (same set, different order),
+    * duplicate-header, blank-header.
+    */
+  def headerCheck(columns: Seq[String], schema: TableSchema): Seq[CheckResult] = {
+    val declared = schema.fieldNames
+    val buf = Seq.newBuilder[CheckResult]
+    def res(code: String, fields: Seq[String]): Unit =
+      if (fields.nonEmpty)
+        buf += CheckResult("", code, fields.mkString(","), fields.size, fields)
+    res("missing-header", declared.filterNot(columns.contains))
+    res("extra-header", columns.filterNot(declared.contains))
+    res("blank-header", columns.filter(_.trim.isEmpty))
+    res("duplicate-header",
+      columns.groupBy(identity).collect { case (c, g) if g.size > 1 => c }.toSeq)
+    // order mismatch only when the header is the same multiset of names
+    if (columns.sorted == declared.sorted && columns != declared)
+      res("non-matching-header", columns)
+    buf.result()
+  }
 
   // ----------------------------------------------------------------- parse
   /** E2 `parse_table`: one projection applying every field's parseExpr;
@@ -187,9 +220,13 @@ object Validate {
     val parsed: Map[String, (DataFrame, Seq[CheckResult], Set[String])] =
       pkg.resources.map { res =>
         val raw = readCsv(spark, res)
+        val headerErrs = headerCheck(actualCsvHeader(spark, res), res.schema)
+          .map(_.copy(table = res.name))
         val (typed, parseErrs, failed) = parseTable(raw, res.schema)
         typed.persist()
-        res.name -> ((typed, parseErrs.map(_.copy(table = res.name)), failed))
+        res.name ->
+          ((typed, headerErrs ++ parseErrs.map(_.copy(table = res.name)),
+            failed))
       }.toMap
     val tables = parsed.map { case (k, (df, _, _)) => k -> df }
     val base = validateTyped(tables, pkg)

@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY.md §7.6): token counting, quality scoring, language ID,
+  * fingerprinting. All pure built-in `Column` expressions — codegen'd,
+  * no UDFs, embarrassingly parallel per row (no shuffle), so they scale
+  * linearly with input splits at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty-safe (leading/trailing whitespace yields
+    * empty fragments in Spark's split — filtered out).
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token estimate: letter runs, digit runs, and isolated
+    * punctuation each count as one token (the pre-tokenization regex most
+    * BPE vocabularies use).
+    */
+  def wordTokenCount(c: Column): Column =
+    regexp_count(c, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"))
+
+  def avgTokenLength(c: Column): Column = {
+    val ts = tokens(c)
+    when(size(ts) > 0,
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(ts))
+      .otherwise(lit(0.0))
+  }
+
+  /** Share of letter characters — low values indicate markup/noise. */
+  def alphaRatio(c: Column): Column =
+    when(length(c) > 0,
+      length(regexp_replace(c, "[^\\p{L}]", "")).cast("double") / length(c))
+      .otherwise(lit(0.0))
+
+  /** Share of punctuation characters. */
+  def punctRatio(c: Column): Column =
+    when(length(c) > 0,
+      length(regexp_replace(c, "[^\\p{Punct}]", "")).cast("double")
+        / length(c))
+      .otherwise(lit(0.0))
+
+  /** Occurrences of a literal substring — replace-based so the same
+    * arithmetic is expressible in any SQL dialect (oracle parity).
+    */
+  def occurrences(c: Column, token: String): Column =
+    (length(c) - length(regexp_replace(c, java.util.regex.Pattern
+      .quote(token), ""))) / token.length
+
+  /** Stopword hits per language (space-padded word matching). */
+  def stopwordScore(c: Column, stopwords: Seq[String]): Column = {
+    val padded = concat(lit(" "), c, lit(" "))
+    stopwords.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
+  }
+
+  val StopwordsEn = Seq("the", "and", "of", "to", "a")
+  val StopwordsEs = Seq("el", "la", "de", "que", "y")
+  val StopwordsFr = Seq("le", "et", "les", "des", "un")
+  val StopwordsDe = Seq("der", "und", "die", "das", "ist")
+
+  /** n-gram-heuristic language ID: script detection for CJK/Cyrillic,
+    * stopword-count argmax for Latin languages (deterministic tie-break
+    * order en > es > fr > de).
+    */
+  def langId(c: Column): Column = {
+    val en = stopwordScore(c, StopwordsEn)
+    val es = stopwordScore(c, StopwordsEs)
+    val fr = stopwordScore(c, StopwordsFr)
+    val de = stopwordScore(c, StopwordsDe)
+    when(c.rlike("[\\x{4E00}-\\x{9FFF}]"), lit("zh"))
+      .when(c.rlike("[\\x{0400}-\\x{04FF}]"), lit("ru"))
+      .when(en >= es && en >= fr && en >= de, lit("en"))
+      .when(es >= fr && es >= de, lit("es"))
+      .when(fr >= de, lit("fr"))
+      .otherwise(lit("de"))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, alpha share,
+    * bounded punctuation — the usual heuristic pre-filter before
+    * expensive pipeline stages.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 200.0, lit(1.0))
+    val alpha = alphaRatio(c)
+    val punct = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 10.0)
+    round((lenScore + alpha + punct) / 3.0, 6)
+  }
+
+  /** Document fingerprint: md5 of case- and whitespace-normalized text.
+    * Stable across engines (SQL-expressible), used as the exact-dedup key.
+    */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+
+  /** Rolling-hash fingerprint: minimum xxhash64 over sliding word
+    * k-grams — a single 64-bit sketch of the document's shingle set
+    * (MinHash with one permutation). Spark-only (xxhash64).
+    */
+  def minShingleHash(c: Column, k: Int = 5): Column = {
+    val sh = Dedup.shingles(c, k)
+    when(size(sh) > 0, array_min(transform(sh, s => xxhash64(s))))
+      .otherwise(lit(null).cast("long"))
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.report.ErrorCodes
+import graft.schema._
+
+/** End-to-end E1 on generated CSV datapackages (FIXTURES.md §B3/§B4):
+  * clean variant → valid report; broken variant → every error class
+  * fires with known offending values. Exercises descriptor JSON, CSV
+  * all-string read, missing tokens, parse, constraints, keys, fks,
+  * header checks, and the report JSON.
+  */
+class ValidateSpec extends SparkSpec {
+
+  private val dir = Files.createTempDirectory("graft_fixtures")
+
+  private def write(name: String, content: String): String = {
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  private def pkg(parentCsv: String, childCsv: String): Package = {
+    val parent = Resource("parent", write("parent.csv", parentCsv),
+      TableSchema(
+        fields = Seq(
+          Field("id", "integer"),
+          Field("code", constraints = Constraints(unique = Some(true),
+            pattern = Some("[A-Z]{2}")))),
+        primaryKey = Seq("id")))
+    val child = Resource("child", write("child.csv", childCsv),
+      TableSchema(
+        fields = Seq(
+          Field("cid", "integer"),
+          Field("parent_id", "integer"),
+          Field("pair_a", "integer"), Field("pair_b", "integer"),
+          Field("qty", "number",
+            constraints = Constraints(minimum = Some("0"))),
+          Field("flag", "boolean")),
+        primaryKey = Seq("cid"),
+        uniqueKeys = Seq(Seq("pair_a", "pair_b")),
+        foreignKeys = Seq(
+          ForeignKey(Seq("parent_id"), "parent", Seq("id")))))
+    Package("fixture", Seq(parent, child))
+  }
+
+  test("clean datapackage validates") {
+    val p = pkg(
+      "id,code\n1,AB\n2,CD\n3,EF\n",
+      "cid,parent_id,pair_a,pair_b,qty,flag\n" +
+        "10,1,1,1,5.5,true\n11,2,1,2,0,false\n12,3,2,1,3,true\n")
+    val report = Validate.validateCsv(spark, p)
+    assert(report.valid, report.toJson)
+    assert(report.errorCount == 0)
+  }
+
+  test("broken datapackage: every error class fires once") {
+    val p = pkg(
+      // duplicate id 2 (pk), duplicate+bad-pattern codes
+      "id,code\n1,AB\n2,CD\n2,CD\n3,x\n",
+      // orphan parent_id 99, duplicate (pair_a,pair_b), negative qty,
+      // unparseable flag 'maybe', missing token '' in parent_id
+      "cid,parent_id,pair_a,pair_b,qty,flag\n" +
+        "10,1,1,1,5.5,true\n11,99,1,2,-4,false\n12,2,1,1,3,maybe\n" +
+        "13,,2,2,1,true\n")
+    val r = Validate.validateCsv(spark, p)
+    assert(!r.valid)
+    val errs = r.tables.flatMap(t => t.errors.filterNot(_.passed)
+      .map(e => (t.table, e.code, e.field) -> e)).toMap
+
+    assert(errs.contains(("parent", ErrorCodes.PrimaryKey, "id")))
+    assert(errs(("parent", ErrorCodes.PrimaryKey, "id")).violations == 1)
+    assert(errs.contains(("parent", ErrorCodes.Unique, "code")))
+    assert(errs.contains(("parent", ErrorCodes.Pattern, "code")))
+    assert(errs.contains(("child", ErrorCodes.UniqueKey, "pair_a,pair_b")))
+    assert(errs.contains(("child", ErrorCodes.Minimum, "qty")))
+    val fk = errs.keys.find(_._2 == ErrorCodes.ForeignKey)
+    assert(fk.isDefined && fk.get._1 == "child")
+    // 'maybe' failed to parse → type-or-format-error with the value
+    val tf = errs(("child", ErrorCodes.TypeOrFormat, "flag"))
+    assert(tf.violations == 1 && tf.sampleValues == Seq("maybe"))
+  }
+
+  test("parse-failed fields are excluded from constraint checks") {
+    val p = Package("f", Seq(
+      Resource("t", write("t.csv", "a\n1\nzz\n-5\n"),
+        TableSchema(Seq(Field("a", "integer",
+          constraints = Constraints(minimum = Some("0"))))))))
+    val r = Validate.validateCsv(spark, p)
+    val codes = r.tables.head.errors.filterNot(_.passed).map(_.code)
+    assert(codes.contains(ErrorCodes.TypeOrFormat))
+    // minimum check skipped because the field had a parse error
+    assert(!codes.contains(ErrorCodes.Minimum))
+  }
+
+  test("header reconciliation codes") {
+    val schema = TableSchema(Seq(Field("a"), Field("b"), Field("c")))
+    def codes(cols: Seq[String]): Set[String] =
+      Validate.headerCheck(cols, schema).map(_.code).toSet
+    assert(codes(Seq("a", "b", "c")).isEmpty)
+    assert(codes(Seq("a", "b")) == Set("missing-header"))
+    assert(codes(Seq("a", "b", "c", "d")) == Set("extra-header"))
+    assert(codes(Seq("c", "b", "a")) == Set("non-matching-header"))
+    assert(codes(Seq("a", "a", "b", "c")) == Set("duplicate-header"))
+    assert(codes(Seq("a", "b", "")) ==
+      Set("missing-header", "extra-header", "blank-header"))
+  }
+
+  test("descriptor JSON round-trip") {
+    val json =
+      """{"name":"p","resources":[{"name":"t","path":"t.csv","schema":{
+        |"fields":[
+        |  {"name":"id","type":"integer","constraints":{"required":true}},
+        |  {"name":"amt","type":"number","decimalChar":",","groupChar":".",
+        |   "bareNumber":false},
+        |  {"name":"flag","type":"boolean","trueValues":["y"],
+        |   "falseValues":["n"]}],
+        |"primaryKey":"id",
+        |"uniqueKeys":[["id","amt"]],
+        |"foreignKeys":[{"fields":"id",
+        |  "reference":{"resource":"other","fields":"oid"}}],
+        |"missingValues":["","NA"]}}]}""".stripMargin
+    val p = DescriptorJson.parsePackage(json)
+    val s = p.resources.head.schema
+    assert(s.primaryKey == Seq("id"))
+    assert(s.uniqueKeys == Seq(Seq("id", "amt")))
+    assert(s.foreignKeys ==
+      Seq(ForeignKey(Seq("id"), "other", Seq("oid"))))
+    assert(s.missingValues == Seq("", "NA"))
+    val amt = s.field("amt").get
+    assert(amt.decimalChar == "," && amt.groupChar == "." &&
+      !amt.bareNumber)
+    assert(s.field("flag").get.trueValues == Seq("y"))
+    assert(s.field("id").get.constraints.required.contains(true))
+  }
+
+  test("report JSON shape") {
+    val p = pkg("id,code\n1,AB\n1,AB\n",
+      "cid,parent_id,pair_a,pair_b,qty,flag\n10,1,1,1,1,true\n")
+    val r = Validate.validateCsv(spark, p)
+    val json = r.toJson
+    assert(json.contains("\"valid\":false"))
+    assert(json.contains(ErrorCodes.PrimaryKey))
+  }
+}

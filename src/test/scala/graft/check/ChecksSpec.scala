@@ -1,0 +1,105 @@
+package graft.check
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.schema.{Constraints, Field, TableSchema}
+
+/** Constraint/key vectors per FIXTURES.md §B2/§B3. */
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("C1 required counts nulls") {
+    val df = Seq(Some("a"), None, None, Some("b")).toDF("x")
+    val v = Checks.required(df, "x").collect()
+    assert(v.length == 1 && v(0).getLong(0) == 2)
+    val clean = Checks.required(Seq("a", "b").toDF("x"), "x")
+    assert(clean.count() == 0)
+  }
+
+  test("C2 unique reports duplicated values, nulls exempt") {
+    val df = Seq(Some(7), Some(7), Some(1), None, None).toDF("x")
+    val v = Checks.unique(df, Seq("x")).collect()
+    assert(v.length == 1 && v(0).getInt(0) == 7 && v(0).getLong(1) == 2)
+  }
+
+  test("C3/C4 length bounds") {
+    val df = Seq("a", "ab", "abcde").toDF("x")
+    assert(Checks.minLength(df, "x", 2).collect()
+      .map(_.getString(0)).toSeq == Seq("a"))
+    assert(Checks.maxLength(df, "x", 4).collect()
+      .map(_.getString(0)).toSeq == Seq("abcde"))
+  }
+
+  test("C5/C6 typed bounds") {
+    val df = Seq(-1.0, 0.0, 5.0, 11.0).toDF("x")
+    assert(Checks.minimum(df, "x", lit(0.0)).collect()
+      .map(_.getDouble(0)).toSeq == Seq(-1.0))
+    assert(Checks.maximum(df, "x", lit(10.0)).collect()
+      .map(_.getDouble(0)).toSeq == Seq(11.0))
+  }
+
+  test("C7 pattern is anchored (full match)") {
+    val df = Seq("ABC", "ab", "ABCD", "xABCx").toDF("x")
+    val bad = Checks.patternCheck(df, "x", "[A-Z]{3}").collect()
+      .map(_.getString(0)).toSet
+    // 'ABC' full-matches; 'ABCD' must fail despite containing a match
+    assert(bad == Set("ab", "ABCD", "xABCx"))
+  }
+
+  test("C8 enum") {
+    val df = Seq("red", "green", "blue", "blue").toDF("x")
+    val v = Checks.enumCheck(df, "x", Seq("red", "green")).collect()
+    assert(v.length == 1 && v(0).getString(0) == "blue" &&
+      v(0).getLong(1) == 2)
+  }
+
+  test("K1/K2 composite key uniqueness") {
+    val df = Seq((1, "a"), (1, "a"), (1, "b"), (2, "a"))
+      .toDF("k1", "k2")
+    val v = Checks.unique(df, Seq("k1", "k2")).collect()
+    assert(v.length == 1 && v(0).getInt(0) == 1 &&
+      v(0).getString(1) == "a" && v(0).getLong(2) == 2)
+  }
+
+  test("K3 foreign key: orphans reported, nulls exempt") {
+    val child = Seq(Some(1), Some(2), Some(99), Some(99), None)
+      .toDF("parent_id")
+    val parent = Seq(1, 2, 3).toDF("id")
+    val v = Checks.foreignKey(child, Seq("parent_id"), parent, Seq("id"))
+      .collect()
+    assert(v.length == 1 && v(0).getInt(0) == 99 && v(0).getLong(1) == 2)
+  }
+
+  test("K3 composite foreign key") {
+    val child = Seq((1, "x"), (1, "y"), (2, "x")).toDF("a", "b")
+    val parent = Seq((1, "x"), (2, "x")).toDF("pa", "pb")
+    val v = Checks.foreignKey(child, Seq("a", "b"), parent,
+      Seq("pa", "pb")).collect()
+    assert(v.length == 1 && v(0).getInt(0) == 1 &&
+      v(0).getString(1) == "y")
+  }
+
+  test("fused constraint summary: one pass, all checks") {
+    val schema = TableSchema(Seq(
+      Field("r", constraints = Constraints(required = Some(true))),
+      Field("n", "number",
+        constraints = Constraints(minimum = Some("0"), maximum = Some("10"))),
+      Field("s", constraints = Constraints(minLength = Some(2),
+        pattern = Some("[a-z]+"), enum = Some(Seq("ab", "cd"))))))
+    val df = Seq(
+      (Some("ok"), Some(5.0), Some("ab")),
+      (None, Some(-1.0), Some("x")),
+      (Some("ok"), Some(11.0), Some("ZZ"))
+    ).toDF("r", "n", "s")
+      .select(col("r"), col("n"), col("s"))
+    val row = Checks.constraintSummary(df, schema).collect()(0)
+    val byName = row.schema.fieldNames.zipWithIndex.toMap
+    assert(row.getLong(byName("r__required")) == 1)
+    assert(row.getLong(byName("n__minimum")) == 1)
+    assert(row.getLong(byName("n__maximum")) == 1)
+    assert(row.getLong(byName("s__minLength")) == 1) // "x"
+    assert(row.getLong(byName("s__pattern")) == 1) // "ZZ"
+    assert(row.getLong(byName("s__enum")) == 2) // "x", "ZZ"
+  }
+}

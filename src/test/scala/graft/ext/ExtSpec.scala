@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different words appear in this one"),
+    (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup finds identical content") {
+    val groups = Dedup.exactDupGroups(docs, "text").collect()
+    assert(groups.length == 1 && groups(0).getLong(1) == 2)
+  }
+
+  test("jaccard: near-dups high, unrelated low, self = 1") {
+    val j = docs.as("a").crossJoin(docs.as("b"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        Dedup.jaccard(col("a.text"), col("b.text")).as("j"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 2L)) > 0.5 && j((1L, 2L)) < 1.0)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("minhash LSH surfaces near-dup candidates, not unrelated docs") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical → all bands collide
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("nearDuplicates pipeline verifies candidates with jaccard") {
+    val nd = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((1L, 4L)))
+    assert(nd.contains((1L, 2L)) || nd.contains((2L, 4L)))
+  }
+
+  test("simhash: identical texts equal, near texts close in hamming") {
+    val s = docs.select(col("doc_id"),
+      Dedup.simhash64(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) == s(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(s(1L), s(2L)) < hamming(s(1L), s(3L)))
+  }
+
+  test("cosine similarity: known vectors") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(2.0f, 0.0f))).toDF("vec_id", "embedding")
+    val sims = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(sims((1L, 3L)) - 1.0) < 1e-12) // parallel
+    assert(math.abs(sims((1L, 2L))) < 1e-12) // orthogonal
+  }
+
+  test("brute-force top-k ranks by cosine") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      df.filter(col("vec_id") === 0L), df, 2).collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+    // closest to (1,0): vec 3 (cos≈0.9988) then vec 1 (cos≈0.9939)
+    assert(top.toSeq == Seq((3L, 1), (1L, 2)))
+  }
+
+  test("LSH pairs are a subset of exact pairs at the same threshold") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 100)
+    val exact = Similarity.exactPairs(e, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshCandidatePairs(e, nPlanes = 6, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("text analysis: tokens, ratios, langid, fingerprint") {
+    val df = Seq("The quick brown fox!").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.wordTokenCount(col("text")).as("nw"),
+      TextAnalysis.alphaRatio(col("text")).as("alpha"),
+      TextAnalysis.fingerprint(col("text")).as("fp")).collect()(0)
+    assert(r.getInt(0) == 4)
+    assert(r.getInt(1) == 5) // 4 words + '!'
+    assert(r.getDouble(2) > 0.7 && r.getDouble(2) < 1.0)
+    assert(r.getString(3).length == 32)
+    val lang = Seq("the cat and the dog of a house to a")
+      .toDF("t").select(TextAnalysis.langId(col("t"))).collect()(0)
+      .getString(0)
+    assert(lang == "en")
+    val zh = Seq("这是中文文本").toDF("t")
+      .select(TextAnalysis.langId(col("t"))).collect()(0).getString(0)
+    assert(zh == "zh")
+  }
+
+  test("multimodal: binary plumbing + stub decode is deterministic") {
+    val d = Seq((1L, "hello"), (2L, "world!")).toDF("doc_id", "text")
+    val withBin = Multimodal.withBinary(d, "doc_id", "text")
+    val meta = Multimodal.decode(withBin).collect()
+      .map(m => m.id -> m).toMap
+    assert(meta(1L).n_bytes == 5 && meta(2L).n_bytes == 6)
+    assert(meta(1L).width >= 1 && meta(1L).width <= 640)
+    // determinism: same input → same features
+    val again = Multimodal.decode(withBin).collect()
+      .map(m => m.id -> m).toMap
+    assert(again(1L) == meta(1L))
+    val frames = Multimodal.sampleFrames(withBin, 3).collect()
+    assert(frames.nonEmpty &&
+      frames.forall(_.getAs[Int]("offset") < 6))
+  }
+}
