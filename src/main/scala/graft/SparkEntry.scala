@@ -127,7 +127,7 @@ object SparkEntry {
   private def p3Integer(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val raw = when(col("l_linenumber") % 3 === 0,
-      col("l_orderkey").cast(StringType))
+      (col("l_orderkey") % 10000).cast(StringType))
       .when(col("l_linenumber") % 3 === 1, lit("1e3"))
       .otherwise(lit("x12"))
     val f = Field("raw", "integer")
@@ -165,9 +165,10 @@ object SparkEntry {
   /** P1a string format=email: regex validation; value unchanged. */
   private def p1aEmail(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
-    val raw = when(col("c_custkey") % 7 === 0, col("c_name"))
-      .otherwise(concat(lit("u"), col("c_custkey").cast(StringType),
-        lit("@ex.com")))
+    val raw = when(col("c_custkey") % 7 === 0,
+      concat(lit("bad mail "), (col("c_custkey") % 100).cast(StringType)))
+      .otherwise(concat(lit("u"), (col("c_custkey") % 10000)
+        .cast(StringType), lit("@ex.com")))
     val f = Field("raw", "string", format = "email")
     c.select(raw.as("raw"))
       .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
@@ -190,7 +191,8 @@ object SparkEntry {
   private def p1cUuid(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val full = lower(concat(
-      lpad(hex(col("c_custkey")), 8, "0"), lit("-0000-4000-8000-"),
+      lpad(hex(col("c_custkey") % 4096), 8, "0"),
+      lit("-0000-4000-8000-"),
       lpad(hex(col("c_nationkey")), 12, "0")))
     val raw = when(col("c_custkey") % 5 === 0, substring(full, 1, 8))
       .otherwise(full)
@@ -218,8 +220,8 @@ object SparkEntry {
       .when(col("l_linenumber") % 7 === 1, lit("INF"))
       .when(col("l_linenumber") % 7 === 2, lit("-INF"))
       .when(col("l_linenumber") % 7 === 3, lit("abc"))
-      .otherwise(concat(col("l_orderkey").cast(StringType), lit("."),
-        (col("l_partkey") % 100).cast(StringType)))
+      .otherwise(concat((col("l_orderkey") % 1000).cast(StringType),
+        lit("."), (col("l_partkey") % 100).cast(StringType)))
     val f = Field("raw", "number")
     li.select(raw.as("raw"))
       .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
@@ -230,8 +232,8 @@ object SparkEntry {
   private def p2NumberEu(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val raw = concat(
-      col("l_suppkey").cast(StringType), lit("."),
-      lpad((col("l_partkey") % 1000).cast(StringType), 3, "0"), lit(","),
+      (col("l_suppkey") % 10).cast(StringType), lit("."),
+      lpad((col("l_partkey") % 100).cast(StringType), 3, "0"), lit(","),
       lpad((col("l_orderkey") % 100).cast(StringType), 2, "0"))
     val f = Field("raw", "number", decimalChar = ",", groupChar = ".")
     li.select(raw.as("raw"))
@@ -327,6 +329,17 @@ object SparkEntry {
       .distinct().orderBy("raw")
   }
 
+  /** R1 error-value sampling via the native bounded_distinct aggregate
+    * (k smallest distinct values — deterministic, O(k) memory; the
+    * custom TypedImperativeAggregate registered by GraftExtensions).
+    */
+  private def r1ErrorSample(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "orders")
+      .agg(call_function("bounded_distinct", col("o_orderpriority"),
+        lit(3)).as("sample_values"))
+  }
+
   // ------------------------------------------------------- §7.6 extensions
   /** Documents plus exact copies of the first 50 (distinct ids) — the
     * degraded input for exact-dedup demonstrations.
@@ -373,14 +386,20 @@ object SparkEntry {
       concat_ws(" ", slice(toks, lit(1), floor(size(toks) * 0.8).cast("int")))
         .as("text"))
     val both = d.select(col("doc_id"), col("text")).unionByName(twins)
-    Dedup.nearDuplicates(both, "doc_id", "text", threshold = 0.5)
+    // k=5 shingles: with a small vocabulary, 3-grams collide across
+    // unrelated docs (quadratic candidate blowup); 5-grams keep the
+    // prefix-twin jaccard ≈ 0.8 while unrelated pairs drop to ~0
+    Dedup.nearDuplicates(both, "doc_id", "text", threshold = 0.5, k = 5)
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash-64 document sketches (rows-only; deterministic). */
+  /** SimHash-64 document sketches (rows-only; deterministic). Two-step
+    * projection so the bit-count aggregate materializes once per doc.
+    */
   private def xDedupSimhash(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+      .select(col("doc_id"), Dedup.simhashBitCounts(col("text")).as("p"))
+      .select(col("doc_id"), Dedup.simhashFinish(col("p")).as("simhash"))
       .orderBy("doc_id")
 
   /** Brute-force cosine top-k: 5 query vectors vs the full corpus; rank
@@ -531,7 +550,8 @@ object SparkEntry {
     "x_mm_json" -> (xMmJson _),
     "x_mm_binary_meta" -> (xMmBinaryMeta _),
     "x_mm_decode" -> (xMmDecode _),
-    "x_stream_window" -> (xStreamWindow _)
+    "x_stream_window" -> (xStreamWindow _),
+    "r1_error_sample" -> (r1ErrorSample _)
   )
 
   /** DuckDB twins of `queries` — identical column names and ordering. */
@@ -594,7 +614,8 @@ object SparkEntry {
         |  CASE WHEN regexp_full_match(raw, '[+-]?[0-9]+')
         |       THEN CAST(raw AS BIGINT) END AS parsed
         |FROM (SELECT CASE
-        |        WHEN l_linenumber % 3 = 0 THEN CAST(l_orderkey AS VARCHAR)
+        |        WHEN l_linenumber % 3 = 0
+        |          THEN CAST(l_orderkey % 10000 AS VARCHAR)
         |        WHEN l_linenumber % 3 = 1 THEN '1e3'
         |        ELSE 'x12' END AS raw FROM lineitem)
         |ORDER BY raw""".stripMargin,
@@ -613,9 +634,10 @@ object SparkEntry {
       """SELECT DISTINCT raw,
         |  CASE WHEN regexp_full_match(raw, '[^@\s]+@[^@\s]+\.[^@\s]+')
         |       THEN raw END AS parsed
-        |FROM (SELECT CASE WHEN c_custkey % 7 = 0 THEN c_name
-        |        ELSE 'u' || CAST(c_custkey AS VARCHAR) || '@ex.com' END
-        |        AS raw FROM customer)
+        |FROM (SELECT CASE WHEN c_custkey % 7 = 0
+        |          THEN 'bad mail ' || CAST(c_custkey % 100 AS VARCHAR)
+        |        ELSE 'u' || CAST(c_custkey % 10000 AS VARCHAR)
+        |          || '@ex.com' END AS raw FROM customer)
         |ORDER BY raw""".stripMargin,
     "p1b_uri" ->
       """SELECT DISTINCT raw,
@@ -633,7 +655,7 @@ object SparkEntry {
         |FROM (
         |  SELECT CASE WHEN c_custkey % 5 = 0 THEN substr(fulluuid, 1, 8)
         |              ELSE fulluuid END AS raw
-        |  FROM (SELECT lower(lpad(hex(c_custkey), 8, '0')
+        |  FROM (SELECT lower(lpad(hex(c_custkey % 4096), 8, '0')
         |          || '-0000-4000-8000-'
         |          || lpad(hex(c_nationkey), 12, '0')) AS fulluuid,
         |          c_custkey FROM customer))
@@ -661,7 +683,7 @@ object SparkEntry {
         |        WHEN l_linenumber % 7 = 1 THEN 'INF'
         |        WHEN l_linenumber % 7 = 2 THEN '-INF'
         |        WHEN l_linenumber % 7 = 3 THEN 'abc'
-        |        ELSE CAST(l_orderkey AS VARCHAR) || '.'
+        |        ELSE CAST(l_orderkey % 1000 AS VARCHAR) || '.'
         |          || CAST(l_partkey % 100 AS VARCHAR) END AS raw
         |      FROM lineitem)
         |ORDER BY raw""".stripMargin,
@@ -669,8 +691,8 @@ object SparkEntry {
       """SELECT DISTINCT raw,
         |  TRY_CAST(replace(replace(raw, '.', ''), ',', '.') AS DOUBLE)
         |    AS parsed
-        |FROM (SELECT CAST(l_suppkey AS VARCHAR) || '.'
-        |        || lpad(CAST(l_partkey % 1000 AS VARCHAR), 3, '0') || ','
+        |FROM (SELECT CAST(l_suppkey % 10 AS VARCHAR) || '.'
+        |        || lpad(CAST(l_partkey % 100 AS VARCHAR), 3, '0') || ','
         |        || lpad(CAST(l_orderkey % 100 AS VARCHAR), 2, '0') AS raw
         |      FROM lineitem)
         |ORDER BY raw""".stripMargin,
@@ -779,18 +801,26 @@ object SparkEntry {
         |    ELSE 0.0 END AS jaccard
         |FROM sh ORDER BY doc_id""".stripMargin,
     "x_sim_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-        |           FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv
-        |      FROM embeddings),
+      """WITH nq AS (
+        |  SELECT vec_id AS query_id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings WHERE vec_id < 5),
+        |q AS (SELECT query_id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS qv
+        |      FROM nq WHERE nrm > 0),
+        |nc AS (
+        |  SELECT vec_id AS neighbor_id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT neighbor_id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS cv
+        |      FROM nc WHERE nrm > 0),
         |s AS (
         |  SELECT query_id, neighbor_id,
         |    list_sum(list_transform(range(1, len(qv) + 1),
-        |      i -> CAST(qv[i] AS DOUBLE) * cv[i]))
-        |    / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
-        |         i -> CAST(qv[i] AS DOUBLE) * qv[i])))
-        |     * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
-        |         i -> CAST(cv[i] AS DOUBLE) * cv[i])))) AS sim
+        |      i -> qv[i] * cv[i])) AS sim
         |  FROM q, c WHERE query_id <> neighbor_id),
         |r AS (
         |  SELECT query_id, neighbor_id,
@@ -800,16 +830,18 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "x_sim_pairs" ->
-      """WITH v AS (SELECT vec_id AS id, embedding AS vec
-        |           FROM embeddings WHERE vec_id < 300),
+      """WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings WHERE vec_id < 300),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
         |s AS (
         |  SELECT a.id AS id_a, b.id AS id_b,
-        |    list_sum(list_transform(range(1, len(a.vec) + 1),
-        |      i -> CAST(a.vec[i] AS DOUBLE) * b.vec[i]))
-        |    / (sqrt(list_sum(list_transform(range(1, len(a.vec) + 1),
-        |         i -> CAST(a.vec[i] AS DOUBLE) * a.vec[i])))
-        |     * sqrt(list_sum(list_transform(range(1, len(b.vec) + 1),
-        |         i -> CAST(b.vec[i] AS DOUBLE) * b.vec[i])))) AS sim
+        |    list_sum(list_transform(range(1, len(a.nvec) + 1),
+        |      i -> a.nvec[i] * b.nvec[i])) AS sim
         |  FROM v a, v b WHERE a.id < b.id)
         |SELECT id_a, id_b FROM s WHERE sim >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
@@ -892,6 +924,9 @@ object SparkEntry {
     "x_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
         |  event_type, count(*) AS cnt, round(sum(value), 6) AS sum_value
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "r1_error_sample" ->
+      """SELECT list_slice(list_sort(list(DISTINCT o_orderpriority)),
+        |  1, 3) AS sample_values FROM orders""".stripMargin
   )
 }

@@ -100,13 +100,15 @@ object Validate {
       schema: TableSchema
   ): (DataFrame, Seq[CheckResult], Set[String]) = {
     // one fused agg pass: per field, count of invalid cells + bounded
-    // distinct samples
+    // distinct samples via the native bounded_distinct aggregate
+    // (O(maxErrorValues) buffer — collect_set would be unbounded)
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val aggs: Seq[Column] = schema.fields.flatMap { f =>
       val bad = Parsers.invalidExpr(f, df(f.name))
       Seq(
         count(when(bad, lit(1))).as(s"${f.name}__n"),
-        slice(sort_array(collect_set(when(bad, df(f.name)))), 1,
-          MaxErrorValues).as(s"${f.name}__v")
+        call_function("bounded_distinct", when(bad, df(f.name)),
+          lit(MaxErrorValues)).as(s"${f.name}__v")
       )
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)

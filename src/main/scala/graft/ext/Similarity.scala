@@ -34,6 +34,25 @@ object Similarity {
     when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
   }
 
+  /** Unit-normalize each vector ONCE per row (`nvec` double array).
+    * Array folds are interpreted (higher-order functions don't codegen),
+    * so norms must never be recomputed inside a pair join: normalizing
+    * up front makes every pairwise cosine a single O(d) dot fold —
+    * at n·k candidate pairs that is the difference between O(n·k·d) and
+    * O(n·k·d²)-ish work. Zero vectors are dropped (cosine undefined).
+    */
+  def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", norm(col("vec")))
+      .filter(col("nrm") > 0)
+      .select(col("id"),
+        transform(col("vec"), x => x.cast("double") / col("nrm"))
+          .as("nvec"))
+
+  /** Dot of two pre-normalized double arrays = cosine. */
+  def dotN(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
   /** Exact top-k neighbors for each query vector.
     * Output: (query_id, neighbor_id, rank), rank 1..k by cosine
     * descending, neighbor id ascending on ties. Self-matches excluded.
@@ -41,14 +60,14 @@ object Similarity {
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cvec"))
+    val q = normalized(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("nvec").as("qvec"))
+    val c = normalized(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("nvec").as("cvec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("sim"))
+        dotN(col("qvec"), col("cvec")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -85,13 +104,17 @@ object Similarity {
   def lshCandidatePairs(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", nPlanes: Int = 12,
       threshold: Double = 0.9): DataFrame = {
-    val b = lshBuckets(df, idCol, vecCol, nPlanes)
-    val a = b.as("a")
-    val c = b.as("b")
-    a.join(c, col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.vec"), col("b.vec")).as("sim"))
+    val b = normalized(df, idCol, vecCol)
+      .withColumn("bucket", lshBucket(col("nvec"), nPlanes))
+    // disjoint names → guaranteed equi join on bucket (see Dedup note)
+    val left = b.select(col("id").as("id_a"), col("nvec").as("nvec_a"),
+      col("bucket"))
+    val right = b.select(col("id").as("id_b"), col("nvec").as("nvec_b"),
+      col("bucket").as("bucket_b"))
+    left.join(right, col("bucket") === col("bucket_b") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        dotN(col("nvec_a"), col("nvec_b")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -101,12 +124,12 @@ object Similarity {
     */
   def exactPairs(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.9): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val v = normalized(df, idCol, vecCol)
     val a = v.as("a")
     val b = v.as("b")
     a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.vec"), col("b.vec")).as("sim"))
+        dotN(col("a.nvec"), col("b.nvec")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

@@ -1,0 +1,26 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** Session-extension entry point: registers graft's native functions.
+  *
+  * Use either
+  *   `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * or programmatically `GraftFunctions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (FunctionIdentifier("bounded_distinct"), BoundedDistinct.info,
+        BoundedDistinct.builder))
+  }
+}
+
+object GraftFunctions {
+  /** Imperative registration on an existing session (tests, harness). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bounded_distinct"), BoundedDistinct.info,
+      BoundedDistinct.builder)
+}
