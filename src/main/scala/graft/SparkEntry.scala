@@ -329,6 +329,13 @@ object SparkEntry {
       .distinct().orderBy("raw")
   }
 
+  /** K2 uniqueKeys: composite (l_partkey, l_suppkey) — the same part
+    * from the same supplier appears on many orders, so duplicates exist.
+    */
+  private def k2UniqueKeys(s: SparkSession, dir: String): DataFrame =
+    Checks.unique(t(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"))
+      .orderBy("l_partkey", "l_suppkey")
+
   /** R1 error-value sampling via the native bounded_distinct aggregate
     * (k smallest distinct values — deterministic, O(k) memory; the
     * custom TypedImperativeAggregate registered by GraftExtensions).
@@ -551,7 +558,8 @@ object SparkEntry {
     "x_mm_binary_meta" -> (xMmBinaryMeta _),
     "x_mm_decode" -> (xMmDecode _),
     "x_stream_window" -> (xStreamWindow _),
-    "r1_error_sample" -> (r1ErrorSample _)
+    "r1_error_sample" -> (r1ErrorSample _),
+    "k2_uniquekeys" -> (k2UniqueKeys _)
   )
 
   /** DuckDB twins of `queries` — identical column names and ordering. */
@@ -927,6 +935,10 @@ object SparkEntry {
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "r1_error_sample" ->
       """SELECT list_slice(list_sort(list(DISTINCT o_orderpriority)),
-        |  1, 3) AS sample_values FROM orders""".stripMargin
+        |  1, 3) AS sample_values FROM orders""".stripMargin,
+    "k2_uniquekeys" ->
+      """SELECT l_partkey, l_suppkey, count(*) AS cnt FROM lineitem
+        |WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+        |GROUP BY 1,2 HAVING count(*) > 1 ORDER BY 1,2""".stripMargin
   )
 }

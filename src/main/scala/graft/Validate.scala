@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
@@ -55,6 +55,28 @@ object Validate {
       .head(1).headOption.getOrElse("")
     first.split(",", -1).map(_.trim).toSeq
   }
+
+  /** S3: inline-data resource → all-string DataFrame (+ missing tokens),
+    * same downstream lifecycle as a CSV read.
+    */
+  def readInline(spark: SparkSession, res: Resource): DataFrame = {
+    val fields = res.schema.fieldNames
+    val rows = res.inlineData.getOrElse(Seq.empty).map { m =>
+      Row.fromSeq(fields.map(f => m.getOrElse(f, null)))
+    }
+    val schema = StructType(fields.map(f =>
+      StructField(f, StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList), schema)
+    applyMissing(df, res.schema)
+  }
+
+  /** Read a resource by whichever source it declares (S2 CSV / S3
+    * inline).
+    */
+  def readResource(spark: SparkSession, res: Resource): DataFrame =
+    if (res.inlineData.isDefined) readInline(spark, res)
+    else readCsv(spark, res)
 
   def applyMissing(df: DataFrame, schema: TableSchema): DataFrame =
     df.select(schema.fields.map { f =>
@@ -221,9 +243,11 @@ object Validate {
     // read + header check + parse each resource once
     val parsed: Map[String, (DataFrame, Seq[CheckResult], Set[String])] =
       pkg.resources.map { res =>
-        val raw = readCsv(spark, res)
-        val headerErrs = headerCheck(actualCsvHeader(spark, res), res.schema)
-          .map(_.copy(table = res.name))
+        val raw = readResource(spark, res)
+        val headerErrs =
+          if (res.inlineData.isDefined) Nil // no header row to reconcile
+          else headerCheck(actualCsvHeader(spark, res), res.schema)
+            .map(_.copy(table = res.name))
         val (typed, parseErrs, failed) = parseTable(raw, res.schema)
         typed.persist()
         res.name ->

@@ -36,8 +36,30 @@ object DescriptorJson {
     val schema = Option(n.get("schema")).filter(_.isObject)
       .map(parseTableSchema)
       .getOrElse(throw DescriptorError(s"resource $name missing schema"))
-    Resource(name, path, schema)
+    // S3: inline `data` — array of objects (keyed rows) or array of
+    // arrays (first row = header)
+    val inline = Option(n.get("data")).filter(_.isArray).map { arr =>
+      val rows = arr.elements().asScala.toSeq
+      if (rows.isEmpty) Seq.empty[Map[String, String]]
+      else if (rows.head.isObject)
+        rows.map(r => r.properties().asScala
+          .map(e => e.getKey -> cell(e.getValue)).toMap)
+      else {
+        val header = rows.head.elements().asScala.map(_.asText()).toSeq
+        rows.tail.map(r => header.zip(
+          r.elements().asScala.map(cell).toSeq).toMap)
+      }
+    }
+    if (path.isEmpty && inline.isEmpty)
+      throw DescriptorError(s"resource $name has neither path nor data")
+    Resource(name, path, schema, inline)
   }
+
+  /** Inline cells arrive as JSON scalars; the engine parses strings
+    * (same as CSV), so nulls stay null and scalars stringify.
+    */
+  private def cell(n: JsonNode): String =
+    if (n == null || n.isNull) null else n.asText()
 
   def parseTableSchema(json: String): TableSchema =
     parseTableSchema(mapper.readTree(json))

@@ -76,11 +76,15 @@ final case class TableSchema(
   def fieldNames: Seq[String] = fields.map(_.name)
 }
 
-/** One tabular resource of a data package: named table + path + schema. */
+/** One tabular resource of a data package: named table + path + schema.
+  * `inlineData` carries rows embedded in the descriptor (`data` key,
+  * S3 in SURVEY.md §2.1) — all values as strings, parsed like CSV cells.
+  */
 final case class Resource(
     name: String,
     path: String,
-    schema: TableSchema
+    schema: TableSchema,
+    inlineData: Option[Seq[Map[String, String]]] = None
 )
 
 /** The `datapackage.json` unit that `validate()` operates on. */

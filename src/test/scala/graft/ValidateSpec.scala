@@ -135,6 +135,42 @@ class ValidateSpec extends SparkSpec {
     assert(s.field("id").get.constraints.required.contains(true))
   }
 
+  test("S3 inline-data resource validates like CSV") {
+    val json =
+      """{"name":"p","resources":[{"name":"t","schema":{
+        |"fields":[{"name":"id","type":"integer"},
+        |          {"name":"amt","type":"number",
+        |           "constraints":{"minimum":0}}],
+        |"primaryKey":"id"},
+        |"data":[["id","amt"],["1","5.5"],["2","-3"],["2","1"],["","7"]]
+        |}]}""".stripMargin
+    val p = DescriptorJson.parsePackage(json)
+    assert(p.resources.head.inlineData.get.size == 4)
+    val r = Validate.validateCsv(spark, p)
+    val errs = r.tables.head.errors.filterNot(_.passed)
+      .map(e => e.code -> e.violations).toMap
+    assert(errs(ErrorCodes.Minimum) == 1) // -3
+    assert(errs(ErrorCodes.PrimaryKey) == 1) // duplicate id 2
+    assert(!r.valid)
+  }
+
+  test("self-referencing foreign key (resource: \"\")") {
+    val json =
+      """{"name":"p","resources":[{"name":"emp","schema":{
+        |"fields":[{"name":"id","type":"integer"},
+        |          {"name":"manager_id","type":"integer"}],
+        |"primaryKey":"id",
+        |"foreignKeys":[{"fields":"manager_id",
+        |  "reference":{"resource":"","fields":"id"}}]},
+        |"data":[["id","manager_id"],["1",""],["2","1"],["3","99"]]
+        |}]}""".stripMargin
+    val r = Validate.validateCsv(spark, DescriptorJson.parsePackage(json))
+    val fk = r.tables.head.errors
+      .find(_.code == ErrorCodes.ForeignKey).get
+    assert(fk.violations == 1) // manager 99 absent; null manager exempt
+    assert(fk.sampleValues == Seq("99"))
+  }
+
   test("report JSON shape") {
     val p = pkg("id,code\n1,AB\n1,AB\n",
       "cid,parent_id,pair_a,pair_b,qty,flag\n10,1,1,1,1,true\n")
