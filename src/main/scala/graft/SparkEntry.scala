@@ -512,6 +512,14 @@ object SparkEntry {
         col("cnt"), col("sum_value"))
       .orderBy("window_start", "event_type")
 
+  /** Custom-state sessionization (flatMapGroupsWithState) in batch mode:
+    * 30-minute-gap sessions per user, oracle-checked against a SQL
+    * lag/cumulative-sum sessionization.
+    */
+  private def xStreamSessionize(s: SparkSession, dir: String): DataFrame =
+    StreamingValidate.sessionize(t(s, dir, "events"), 30)
+      .orderBy("user_id", "session_start")
+
   // -------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_pk_lineitem" -> (k1PkLineitem _),
@@ -559,7 +567,8 @@ object SparkEntry {
     "x_mm_decode" -> (xMmDecode _),
     "x_stream_window" -> (xStreamWindow _),
     "r1_error_sample" -> (r1ErrorSample _),
-    "k2_uniquekeys" -> (k2UniqueKeys _)
+    "k2_uniquekeys" -> (k2UniqueKeys _),
+    "x_stream_sessionize" -> (xStreamSessionize _)
   )
 
   /** DuckDB twins of `queries` — identical column names and ordering. */
@@ -939,6 +948,23 @@ object SparkEntry {
     "k2_uniquekeys" ->
       """SELECT l_partkey, l_suppkey, count(*) AS cnt FROM lineitem
         |WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
-        |GROUP BY 1,2 HAVING count(*) > 1 ORDER BY 1,2""".stripMargin
+        |GROUP BY 1,2 HAVING count(*) > 1 ORDER BY 1,2""".stripMargin,
+    "x_stream_sessionize" ->
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

@@ -212,13 +212,37 @@ object Validate {
   }
 
   // ------------------------------------------------------------------- E1
-  /** Validate pre-loaded (typed or parsed) tables against a package. */
+  /** Validate pre-loaded (typed or parsed) tables against a package.
+    *
+    * Independent tables are checked from parallel driver threads
+    * (SURVEY.md §4.3 decision 3): each check is a small Spark job, and
+    * the scheduler interleaves them across the cluster instead of
+    * running the fan-out serially.
+    */
   def validateTyped(
       tables: Map[String, DataFrame],
       pkg: Package
   ): PackageReport = {
-    val perTable = pkg.resources.map { res =>
-      val df = tables(res.name)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, pkg.resources.size.max(1)))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val futures = pkg.resources.map { res =>
+      Future(checkResource(tables, res))
+    }
+    try {
+      val perTable = Await.result(Future.sequence(futures), Duration.Inf)
+      PackageReport(perTable)
+    } finally pool.shutdown()
+  }
+
+  private def checkResource(
+      tables: Map[String, DataFrame],
+      res: Resource
+  ): TableReport = {
+    val df = tables(res.name)
       val errs = checkTable(df, res.schema).map(_.copy(table = res.name))
       // K3/K4 foreign keys — parent resolved across the package
       val fkErrs = res.schema.foreignKeys.map { fk =>
@@ -233,9 +257,7 @@ object Validate {
           s"${fk.fields.mkString(",")}->$parentName.${fk.refFields.mkString(",")}",
           n, sample)
       }
-      TableReport(res.name, errs ++ fkErrs)
-    }
-    PackageReport(perTable)
+    TableReport(res.name, errs ++ fkErrs)
   }
 
   /** Full reference lifecycle over CSV resources (E1). */

@@ -1,10 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.check.Checks
 import graft.schema.TableSchema
+
+/** Sessionization records (see [[StreamingValidate.sessionize]]).
+  * Times travel as epoch MICROseconds — java.sql.Timestamp.getTime is
+  * millisecond-precision and silently truncates parquet µs timestamps.
+  */
+final case class SessionEvent(user_id: Long, ts_us: Long)
+final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+final case class SessionRaw(
+    user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
 /** Streaming validation (SURVEY.md §7.6): the reference's batch checks
   * re-expressed over Structured Streaming — watermarks, windowed
@@ -88,6 +98,56 @@ object StreamingValidate {
         count(when(bad, lit(1))).as("violations"))
       .select(col("window.start").as("window_start"), col("total"),
         col("violations"))
+
+  /** Custom-state sessionization via `flatMapGroupsWithState`
+    * (KeyValueGroupedDataset custom state, SURVEY.md §7.6): events are
+    * grouped per user; a gap longer than `gapMinutes` closes a session.
+    *
+    * Works on batch (each group arrives complete; all sessions emitted,
+    * including the trailing one) and streaming inputs (the open session
+    * is carried in `GroupState` across micro-batches; a production
+    * deployment would add an event-time timeout to flush idle users —
+    * kept to NoTimeout here so batch and streaming share one code path).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events.select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionRaw](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[SessionEvent],
+         state: GroupState[OpenSession]) =>
+          val times = it.map(_.ts_us).toArray.sorted
+          var open = state.getOption
+          val closed = Seq.newBuilder[SessionRaw]
+          times.foreach { t =>
+            open match {
+              case Some(o) if t - o.lastUs > gapUs =>
+                closed += SessionRaw(userId, o.startUs, o.lastUs, o.n)
+                open = Some(OpenSession(t, t, 1))
+              case Some(o) =>
+                open = Some(o.copy(lastUs = t, n = o.n + 1))
+              case None =>
+                open = Some(OpenSession(t, t, 1))
+            }
+          }
+          // keep the open session in state (streaming continuation) AND
+          // emit it (batch completeness; see scaladoc caveat)
+          open.foreach { o =>
+            state.update(o)
+            closed += SessionRaw(userId, o.startUs, o.lastUs, o.n)
+          }
+          closed.result().iterator
+      }
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("n_events"))
+  }
 
   /** Stateful exact dedup within the watermark horizon: Structured
     * Streaming keeps the seen-key state and drops late duplicates.

@@ -93,6 +93,19 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("sessionize runs as a real stream with state across batches") {
+    val out = runStream("sessions",
+      df => StreamingValidate.sessionize(df, 30),
+      mode = "append")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getAs[java.sql.Timestamp]("session_end")
+        .before(r.getAs[java.sql.Timestamp]("session_start")))
+      assert(r.getAs[Long]("n_events") >= 1)
+    }
+  }
+
   test("violation flags are streaming-safe (stateless projection)") {
     val schema = TableSchema(Seq(
       Field("event_type", constraints = Constraints(
