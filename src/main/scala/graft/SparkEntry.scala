@@ -430,6 +430,19 @@ object SparkEntry {
       .drop("sim")
       .orderBy("id_a", "id_b")
 
+  /** IVF probe-restricted top-k on the full corpus (rows-only:
+    * deterministic but approximate — recall is asserted against the
+    * brute-force baseline in ExtSpec).
+    */
+  private def xSimIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val index = Similarity.ivfIndex(e, nLists = 16)
+    Similarity.ivfTopK(e.filter(col("vec_id") < 5), index, e, 10,
+      nProbe = 4, nLists = 16)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed cosine pairs on the full corpus (rows-only check). */
   private def xSimLshPairs(s: SparkSession, dir: String): DataFrame =
     Similarity.lshCandidatePairs(t(s, dir, "embeddings"),
@@ -558,6 +571,7 @@ object SparkEntry {
     "x_sim_topk" -> (xSimTopk _),
     "x_sim_pairs" -> (xSimPairs _),
     "x_sim_lsh_pairs" -> (xSimLshPairs _),
+    "x_sim_ivf_topk" -> (xSimIvfTopk _),
     "x_text_tokens" -> (xTextTokens _),
     "x_text_quality" -> (xTextQuality _),
     "x_text_langid" -> (xTextLangid _),

@@ -118,6 +118,68 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** IVF (inverted-file) ANN index: a coarse quantizer assigns each
+    * vector to its nearest centroid; a query probes only the `nProbe`
+    * nearest centroid lists instead of the full corpus.
+    *
+    * Centroids are taken deterministically (the `nLists` corpus vectors
+    * with the smallest ids) — a production build would k-means them, but
+    * the *plumbing* (assignment shuffle on list id, probe-restricted
+    * search, broadcast centroids) is identical and that is what has to
+    * scale: corpus shuffles once at build time; each query touches
+    * `nProbe / nLists` of the data.
+    */
+  def ivfIndex(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", nLists: Int = 16): DataFrame = {
+    val v = normalized(df, idCol, vecCol)
+    val cents = v.orderBy(col("id")).limit(nLists)
+      .select(col("id").as("list_id"), col("nvec").as("cvec"))
+    // assign: argmax centroid dot per vector (broadcast centroids)
+    val scored = v.crossJoin(broadcast(cents))
+      .select(col("id"), col("nvec"), col("list_id"),
+        dotN(col("nvec"), col("cvec")).as("cd"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cd").desc, col("list_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("nvec"), col("list_id"))
+  }
+
+  /** Probe-restricted top-k search over an [[ivfIndex]]: each query is
+    * routed to its `nProbe` closest centroid lists, then exact cosine
+    * ranks candidates within those lists only.
+    */
+  def ivfTopK(queries: DataFrame, index: DataFrame, corpus: DataFrame,
+      k: Int, nProbe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding", nLists: Int = 16): DataFrame = {
+    val q = normalized(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("nvec").as("qvec"))
+    val cents = normalized(corpus, idCol, vecCol)
+      .orderBy(col("id")).limit(nLists)
+      .select(col("id").as("list_id"), col("nvec").as("cvec"))
+    // route each query to nProbe lists
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cd").desc, col("list_id").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qvec"), col("list_id"),
+        dotN(col("qvec"), col("cvec")).as("cd"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("list_id"))
+    // search only the probed lists (equi join on list id)
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(index.select(col("id").as("neighbor_id"),
+        col("nvec").as("cvec2"), col("list_id").as("list_id_i")),
+        col("list_id") === col("list_id_i"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotN(col("qvec"), col("cvec2")).as("sim"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Exact all-pairs cosine above a threshold on a *bounded* subset —
     * the correctness oracle for the LSH path. Cross join: only for
     * verification at small n.

@@ -88,6 +88,21 @@ class ExtSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("IVF top-k: probe-restricted search has decent recall") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, e, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = Similarity.ivfIndex(e, nLists = 8)
+    val approx = Similarity.ivfTopK(queries, index, e, 10,
+      nProbe = 4, nLists = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing half the lists should recover a good share of true top-10
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.4, s"recall $recall")
+    assert(approx.size == exact.size) // k results per query either way
+  }
+
   test("text analysis: tokens, ratios, langid, fingerprint") {
     val df = Seq("The quick brown fox!").toDF("text")
     val r = df.select(
