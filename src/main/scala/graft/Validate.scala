@@ -188,10 +188,14 @@ object Validate {
       val v = Checks.unique(df, Seq(f.name))
       buf += keyResult(v, ErrorCodes.Unique, f.name)
     }
-    // K1 primary key (uniqueness + implied required)
+    // K1 primary key (uniqueness + implied required on every part)
     if (schema.primaryKey.nonEmpty) {
       val v = Checks.unique(df, schema.primaryKey)
       buf += keyResult(v, ErrorCodes.PrimaryKey, schema.primaryKey.mkString(","))
+      val nulls = Checks.primaryKeyNulls(df, schema.primaryKey)
+        .collect().headOption.map(_.getLong(0)).getOrElse(0L)
+      buf += CheckResult("", ErrorCodes.Required,
+        schema.primaryKey.mkString(","), nulls, Nil)
     }
     // K2 uniqueKeys
     schema.uniqueKeys.foreach { keys =>

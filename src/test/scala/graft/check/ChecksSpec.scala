@@ -62,6 +62,13 @@ class ChecksSpec extends SparkSpec {
       v(0).getString(1) == "a" && v(0).getLong(2) == 2)
   }
 
+  test("K1 primary key implies required: null key parts counted") {
+    val df = Seq((Some(1), Some("a")), (None, Some("b")), (Some(2), None))
+      .toDF("k1", "k2")
+    val v = Checks.primaryKeyNulls(df, Seq("k1", "k2")).collect()
+    assert(v.length == 1 && v(0).getLong(0) == 2)
+  }
+
   test("K3 foreign key: orphans reported, nulls exempt") {
     val child = Seq(Some(1), Some(2), Some(99), Some(99), None)
       .toDF("parent_id")
