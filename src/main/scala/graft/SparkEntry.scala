@@ -38,7 +38,9 @@ object SparkEntry {
 
   // ------------------------------------------------------------------ keys
   /** K1: primary-key uniqueness on lineitem (l_orderkey, l_linenumber) —
-    * clean data, so the violation set is empty (schema-only compare).
+    * the synthetic lineitem genuinely contains duplicate key tuples
+    * (~1.4k at sf0.001, ~11.8k rows reported at sf0.01), so a NON-empty
+    * result is expected and oracle-verified; do not "fix" it to empty.
     */
   private def k1PkLineitem(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")

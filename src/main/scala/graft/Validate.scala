@@ -37,14 +37,28 @@ object Validate {
     * (SURVEY.md §1.2).
     */
   def readCsv(spark: SparkSession, res: Resource): DataFrame = {
-    val schema = StructType(res.schema.fields.map(f =>
-      StructField(f.name, StringType, nullable = true)))
+    val declared = res.schema.fieldNames
+    val actual = actualCsvHeader(spark, res)
+    // The declared schema binds POSITIONALLY (the header row is only
+    // skipped). When the file's header is the same name multiset in a
+    // different order, bind the all-string schema under the ACTUAL header
+    // names and re-project to declared order — otherwise every downstream
+    // parse/constraint would silently run against the wrong column (the
+    // non-matching-header error is still reported by headerCheck).
+    val bindNames =
+      if (actual.sorted == declared.sorted && actual != declared) actual
+      else declared
+    val schema = StructType(bindNames.map(n =>
+      StructField(n, StringType, nullable = true)))
     val raw = spark.read
       .option("header", "true")
       .option("mode", "PERMISSIVE")
       .schema(schema)
       .csv(res.path)
-    applyMissing(raw, res.schema)
+    val reordered =
+      if (bindNames == declared) raw
+      else raw.select(declared.map(raw(_)): _*)
+    applyMissing(reordered, res.schema)
   }
 
   /** The CSV file's own header row (the declared schema overrides column

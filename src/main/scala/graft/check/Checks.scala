@@ -26,11 +26,13 @@ object Checks {
     c.rlike("^(?:" + pattern + ")$")
 
   // ------------------------------------------------------------ violations
-  /** C1 `required`: count of nulls (after missing-token substitution). */
+  /** C1 `required`: count of nulls (after missing-token substitution).
+    * Always exactly one row — `violations = 0` on clean data — so the
+    * result is oracle-comparable regardless of data cleanliness.
+    */
   def required(df: DataFrame, c: String): DataFrame =
     df.filter(df(c).isNull)
       .agg(count(lit(1)).as("violations"))
-      .filter(col("violations") > 0)
 
   /** C2 `unique` / K1 `primaryKey` / K2 `uniqueKeys`: duplicated value
     * tuples with occurrence counts. Nulls exempt per SQL/spec convention
@@ -44,11 +46,12 @@ object Checks {
       .filter(col("cnt") > 1)
   }
 
-  /** K1 `primaryKey` also implies required on every part (spec). */
+  /** K1 `primaryKey` also implies required on every part (spec).
+    * Like [[required]], always one count row.
+    */
   def primaryKeyNulls(df: DataFrame, keys: Seq[String]): DataFrame =
     df.filter(keys.map(df(_).isNull).reduce(_ || _))
       .agg(count(lit(1)).as("violations"))
-      .filter(col("violations") > 0)
 
   /** Distinct offending values + counts for a boolean violation predicate
     * over one column — shared shape of C3–C8.

@@ -32,10 +32,12 @@ object Patterns {
     'a' -> "EEE",
     'A' -> "EEEE",
     'b' -> "MMM",
-    'B' -> "MMMM",
-    'G' -> "YYYY",   // ISO week-based year
-    'V' -> "ww",     // ISO week number
-    'u' -> "e"       // ISO weekday 1-7
+    'B' -> "MMMM"
+    // NOT mapped: %G/%V/%u (ISO week-based year/week/weekday) — Spark 3+
+    // rejects the java.time letters 'Y'/'w'/'e' outright ("all week-based
+    // patterns are unsupported"), so translating them would throw an
+    // opaque runtime error mid-query; they fall through to PatternError
+    // (schema-error path) like %c/%x instead.
   )
 
   /** Characters that java.time treats as pattern letters and must be

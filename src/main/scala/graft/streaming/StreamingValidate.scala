@@ -11,7 +11,8 @@ import graft.schema.TableSchema
   * Times travel as epoch MICROseconds — java.sql.Timestamp.getTime is
   * millisecond-precision and silently truncates parquet µs timestamps.
   */
-final case class SessionEvent(user_id: Long, ts_us: Long)
+final case class SessionEvent(
+    user_id: Long, ts: java.sql.Timestamp, ts_us: Long)
 final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
 final case class SessionRaw(
     user_id: Long, start_us: Long, end_us: Long, n_events: Long)
@@ -103,45 +104,71 @@ object StreamingValidate {
     * (KeyValueGroupedDataset custom state, SURVEY.md §7.6): events are
     * grouped per user; a gap longer than `gapMinutes` closes a session.
     *
-    * Works on batch (each group arrives complete; all sessions emitted,
-    * including the trailing one) and streaming inputs (the open session
-    * is carried in `GroupState` across micro-batches; a production
-    * deployment would add an event-time timeout to flush idle users —
-    * kept to NoTimeout here so batch and streaming share one code path).
+    * Two modes sharing the session-building core:
+    *   - `streaming = false` (batch): each group arrives complete, so
+    *     every session — including the trailing one — is emitted.
+    *   - `streaming = true`: only CLOSED sessions are emitted. The open
+    *     session is carried in `GroupState` across micro-batches and
+    *     flushed by an event-time timeout once the watermark passes
+    *     `last event + gap` — so a session is emitted exactly once, and
+    *     idle users don't pin state forever. Callers must put a
+    *     `withWatermark("ts", ...)` on the input (required for
+    *     EventTimeTimeout).
     */
-  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  def sessionize(
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      streaming: Boolean = false): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes * 60000000L
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.select(col("user_id").cast("long").as("user_id"),
-        unix_micros(col("ts")).as("ts_us"))
+        col("ts"), unix_micros(col("ts")).as("ts_us"))
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, SessionRaw](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (userId: Long, it: Iterator[SessionEvent],
          state: GroupState[OpenSession]) =>
-          val times = it.map(_.ts_us).toArray.sorted
-          var open = state.getOption
-          val closed = Seq.newBuilder[SessionRaw]
-          times.foreach { t =>
-            open match {
-              case Some(o) if t - o.lastUs > gapUs =>
-                closed += SessionRaw(userId, o.startUs, o.lastUs, o.n)
-                open = Some(OpenSession(t, t, 1))
-              case Some(o) =>
-                open = Some(o.copy(lastUs = t, n = o.n + 1))
-              case None =>
-                open = Some(OpenSession(t, t, 1))
+          if (streaming && state.hasTimedOut) {
+            // watermark passed last event + gap: the open session can
+            // never be extended — flush and clear
+            val o = state.get
+            state.remove()
+            Iterator.single(SessionRaw(userId, o.startUs, o.lastUs, o.n))
+          } else {
+            val times = it.map(_.ts_us).toArray.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionRaw]
+            times.foreach { t =>
+              open match {
+                case Some(o) if t - o.lastUs > gapUs =>
+                  closed += SessionRaw(userId, o.startUs, o.lastUs, o.n)
+                  open = Some(OpenSession(t, t, 1))
+                case Some(o) =>
+                  open = Some(o.copy(lastUs = t, n = o.n + 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
             }
+            if (streaming) {
+              // keep the open session in state; emit it only when closed
+              // (here by a later event, or by the event-time timeout)
+              open.foreach { o =>
+                state.update(o)
+                state.setTimeoutTimestamp(o.lastUs / 1000L + gapMinutes * 60000L)
+              }
+            } else {
+              // batch: the group is complete — the trailing session is
+              // genuinely closed by end-of-data
+              open.foreach(o =>
+                closed += SessionRaw(userId, o.startUs, o.lastUs, o.n))
+            }
+            closed.result().iterator
           }
-          // keep the open session in state (streaming continuation) AND
-          // emit it (batch completeness; see scaladoc caveat)
-          open.foreach { o =>
-            state.update(o)
-            closed += SessionRaw(userId, o.startUs, o.lastUs, o.n)
-          }
-          closed.result().iterator
       }
       .select(col("user_id"),
         timestamp_micros(col("start_us")).as("session_start"),

@@ -13,8 +13,9 @@ class ChecksSpec extends SparkSpec {
     val df = Seq(Some("a"), None, None, Some("b")).toDF("x")
     val v = Checks.required(df, "x").collect()
     assert(v.length == 1 && v(0).getLong(0) == 2)
-    val clean = Checks.required(Seq("a", "b").toDF("x"), "x")
-    assert(clean.count() == 0)
+    // clean data still yields the single count row (violations = 0)
+    val clean = Checks.required(Seq("a", "b").toDF("x"), "x").collect()
+    assert(clean.length == 1 && clean(0).getLong(0) == 0)
   }
 
   test("C2 unique reports duplicated values, nulls exempt") {

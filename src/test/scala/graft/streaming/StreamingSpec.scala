@@ -94,15 +94,58 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("sessionize runs as a real stream with state across batches") {
-    val out = runStream("sessions",
-      df => StreamingValidate.sessionize(df, 30),
-      mode = "append")
-    val rows = out.collect()
-    assert(rows.nonEmpty)
+    // two files + maxFilesPerTrigger=1 → two micro-batches; sessions
+    // spanning the split exercise GroupState carry-over, and streaming
+    // mode must emit each CLOSED session exactly once (no per-batch
+    // re-emission of the open session — the round-1 double-count bug)
+    val d = java.nio.file.Files.createTempDirectory("graft_sess")
+    val ev = batchEvents.orderBy("ts")
+    val n = ev.count()
+    val cut = ev.limit((n / 2).toInt).agg(max(col("ts"))).collect()(0)
+      .getTimestamp(0)
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    ev.filter(col("ts") <= cut).coalesce(1)
+      .write.parquet(s"$d/batch1")
+    ev.filter(col("ts") > cut).coalesce(1)
+      .write.parquet(s"$d/batch2")
+    // file source orders batches by modification time
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    Files.list(Paths.get(s"$d/batch1")).forEach(p =>
+      Files.setLastModifiedTime(p, FileTime.fromMillis(1000000)))
+    Files.list(Paths.get(s"$d/batch2")).forEach(p =>
+      Files.setLastModifiedTime(p, FileTime.fromMillis(2000000)))
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$d/{batch1,batch2}")
+    val q = StreamingValidate.sessionize(
+        stream.withWatermark("ts", "1 minute"), 30, streaming = true)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions").collect()
+    assert(rows.nonEmpty, "no closed sessions emitted")
+    // exactly-once: no (user, session_start) appears twice
+    val keys = rows.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[java.sql.Timestamp]("session_start")))
+    assert(keys.distinct.length == keys.length,
+      "a session was emitted more than once")
+    // every emitted session matches the batch-mode computation
+    val batchSessions = StreamingValidate.sessionize(batchEvents, 30)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"),
+        r.getAs[Long]("n_events"))).toSet
     rows.foreach { r =>
-      assert(!r.getAs[java.sql.Timestamp]("session_end")
-        .before(r.getAs[java.sql.Timestamp]("session_start")))
-      assert(r.getAs[Long]("n_events") >= 1)
+      val t = (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"),
+        r.getAs[Long]("n_events"))
+      assert(batchSessions.contains(t),
+        s"streamed session $t not in batch result")
     }
   }
 
