@@ -385,25 +385,28 @@ object SparkEntry {
   }
 
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard ≥ 0.5 over
-    * documents + 80%-prefix twins. Hash-based — no SQL oracle
-    * (rows-only check); deterministic.
+    * documents + 80%-prefix twins. Portable hashing (md5-prefix +
+    * universal-hash permutations) — fully oracle-checked in DuckDB.
+    * Tokenizes each document ONCE; twins are token-array slices.
     */
   private def xDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val toks = TextAnalysis.tokens(col("text"))
-    val twins = d.select((col("doc_id") + 1000000).as("doc_id"),
-      concat_ws(" ", slice(toks, lit(1), floor(size(toks) * 0.8).cast("int")))
-        .as("text"))
-    val both = d.select(col("doc_id"), col("text")).unionByName(twins)
+    val base = d.select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val twins = base.select((col("id") + 1000000).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val both = base.unionByName(twins)
     // k=5 shingles: with a small vocabulary, 3-grams collide across
     // unrelated docs (quadratic candidate blowup); 5-grams keep the
     // prefix-twin jaccard ≈ 0.8 while unrelated pairs drop to ~0
-    Dedup.nearDuplicates(both, "doc_id", "text", threshold = 0.5, k = 5)
+    Dedup.nearDuplicatesFromTokens(both, threshold = 0.5, k = 5)
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash-64 document sketches (rows-only; deterministic). Two-step
-    * projection so the bit-count aggregate materializes once per doc.
+  /** SimHash-48 document sketches (portable bit math — oracle-checked).
+    * Two-step projection so the bit-count aggregate materializes once
+    * per doc.
     */
   private def xDedupSimhash(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -432,9 +435,10 @@ object SparkEntry {
       .drop("sim")
       .orderBy("id_a", "id_b")
 
-  /** IVF probe-restricted top-k on the full corpus (rows-only:
-    * deterministic but approximate — recall is asserted against the
-    * brute-force baseline in ExtSpec).
+  /** IVF probe-restricted top-k on the full corpus (deterministic;
+    * oracle-checked — the centroid assignment, probe routing and
+    * ranking are plain window/join SQL; recall vs brute force is
+    * additionally asserted in ExtSpec).
     */
   private def xSimIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -445,7 +449,9 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed cosine pairs on the full corpus (rows-only check). */
+  /** LSH-bucketed cosine pairs on the full corpus (portable md5-derived
+    * hyperplanes — oracle-checked).
+    */
   private def xSimLshPairs(s: SparkSession, dir: String): DataFrame =
     Similarity.lshCandidatePairs(t(s, dir, "embeddings"),
       nPlanes = 8, threshold = 0.3)
@@ -504,8 +510,9 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** Multimodal: stubbed batched decode (deterministic fake features;
-    * rows-only — the decode seam is a stub, the plumbing is real).
+  /** Multimodal: stubbed batched decode. The decode seam is a stub but
+    * its fake features are md5-derived, so the whole plumbing —
+    * binary cast, batching, typed output — is oracle-checked end to end.
     */
   private def xMmDecode(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
@@ -587,8 +594,169 @@ object SparkEntry {
     "x_stream_sessionize" -> (xStreamSessionize _)
   )
 
+  /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
+    * hex chars of md5(e) — parsed digit-by-digit (DuckDB 1.0 has no
+    * hex-to-int builtin). `hp` is reserved as the digit-index lambda var.
+    */
+  private def duckHash48(e: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 13),
+       |  hp -> CAST(strpos('0123456789abcdef',
+       |    substr(md5($e), CAST(hp AS INTEGER), 1)) - 1 AS BIGINT)
+       |    * (CAST(1 AS BIGINT) << CAST(4 * (12 - hp) AS INTEGER))))
+       |  AS BIGINT)""".stripMargin
+
+  /** DuckDB rendering of the MinHash permutation (Dedup.permHash): the
+    * same md5-derived coefficient constants, embedded as array literals.
+    */
+  private def duckPerm(h: String, i: String): String = {
+    val as = Dedup.minhashA.take(32).mkString("[", ",", "]")
+    val bs = Dedup.minhashB.take(32).mkString("[", ",", "]")
+    s"""($as[CAST($i + 1 AS INTEGER)] * ($h % ${Dedup.P31})
+       |  + $bs[CAST($i + 1 AS INTEGER)]) % ${Dedup.P31}""".stripMargin
+  }
+
+  /** DuckDB rendering of Similarity.planeComponent(p, d). */
+  private def duckPlane(p: String, d: String): String =
+    s"""((${duckHash48(s"'graft_plane_' || $p || '_' || $d")} % 10000)
+       |  / 10000.0 - 0.5)""".stripMargin
+
   /** DuckDB twins of `queries` — identical column names and ordering. */
   def oracleSql: Map[String, String] = Map(
+    "x_dedup_minhash" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |bothd AS (
+        |  SELECT doc_id AS id, toks FROM tok
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS id,
+        |    list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INTEGER))
+        |      AS toks
+        |  FROM tok),
+        |shd AS (
+        |  SELECT id, list_transform(
+        |    list_distinct(CASE WHEN len(toks) >= 5
+        |      THEN list_transform(range(1, len(toks) - 3),
+        |        i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+        |      ELSE [array_to_string(toks, ' ')] END),
+        |    s -> ${duckHash48("s")}) AS sh
+        |  FROM bothd),
+        |sigd AS (
+        |  SELECT id, list_transform(range(0, 32),
+        |    i -> list_min(list_transform(sh, h -> ${duckPerm("h", "i")})))
+        |    AS sig
+        |  FROM shd),
+        |banded AS (
+        |  SELECT id, bb.b AS band,
+        |    array_to_string(list_slice(sig, bb.b * 2 + 1, bb.b * 2 + 2), '_')
+        |      AS bucket
+        |  FROM sigd, (SELECT unnest(range(0, 16)) AS b) bb),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+        |j AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+        |      THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(sa.sh, sb.sh)))
+        |      ELSE 0.0 END AS jaccard
+        |  FROM cand c
+        |  JOIN shd sa ON c.id_a = sa.id
+        |  JOIN shd sb ON c.id_b = sb.id)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x_dedup_simhash" ->
+      s"""WITH tokh AS (
+        |  SELECT doc_id, list_transform(
+        |    list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+        |      x -> x <> '')),
+        |    t -> ${duckHash48("t")}) AS hs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(coalesce(list_sum(list_transform(range(0, 48), b ->
+        |    CASE WHEN 2 * coalesce(list_sum(list_transform(hs,
+        |             x -> (x >> b) & 1)), 0) > len(hs)
+        |         THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+        |         ELSE 0 END)), 0) AS BIGINT) AS simhash
+        |FROM tokh ORDER BY doc_id""".stripMargin,
+    "x_sim_lsh_pairs" ->
+      s"""WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
+        |bkt AS (
+        |  SELECT id, nvec,
+        |    CAST(list_sum(list_transform(range(0, 8), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(nvec) + 1),
+        |          d -> nvec[d] * ${duckPlane("p", "(d - 1)")})) > 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+        |        ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM v),
+        |s AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.nvec) + 1),
+        |      i -> a.nvec[i] * b.nvec[i])) AS sim
+        |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.id < b.id)
+        |SELECT id_a, id_b FROM s WHERE sim >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x_sim_ivf_topk" ->
+      """WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
+        |cents AS (SELECT id AS list_id, nvec AS cvec FROM v
+        |          ORDER BY id LIMIT 16),
+        |assigned AS (
+        |  SELECT id, nvec, list_id FROM (
+        |    SELECT vv.id, vv.nvec, c.list_id,
+        |      row_number() OVER (PARTITION BY vv.id ORDER BY
+        |        list_sum(list_transform(range(1, len(vv.nvec) + 1),
+        |          i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
+        |    FROM v vv, cents c) WHERE rn = 1),
+        |q AS (SELECT id AS query_id, nvec AS qvec FROM v WHERE id < 5),
+        |probes AS (
+        |  SELECT query_id, qvec, list_id FROM (
+        |    SELECT qq.query_id, qq.qvec, c.list_id,
+        |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
+        |        list_sum(list_transform(range(1, len(qq.qvec) + 1),
+        |          i -> qq.qvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
+        |    FROM q qq, cents c) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(p.qvec) + 1),
+        |      i -> p.qvec[i] * a.nvec[i])) AS sim
+        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+        |  WHERE p.query_id <> a.id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x_mm_decode" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CASE WHEN octet_length(encode(text)) % 2 = 0
+        |       THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(h % 640 + 1 AS INTEGER) AS width,
+        |  CAST(h // 640 % 480 + 1 AS INTEGER) AS height,
+        |  CAST(1 AS INTEGER) AS n_frames
+        |FROM (SELECT doc_id, text,
+        |        CASE WHEN octet_length(encode(text)) = 0 THEN 0
+        |             ELSE ${duckHash48("text")} END AS h
+        |      FROM documents)
+        |ORDER BY id""".stripMargin,
     "k1_pk_lineitem" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |count(*) AS cnt FROM lineitem

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Deduplication operators (SURVEY.md §7.6): exact, normalized-key,
   * MinHash+LSH banding, SimHash, and n-gram Jaccard verification.
@@ -12,20 +13,96 @@ import org.apache.spark.sql.functions._
   * per-bucket joins whose fan-out is controlled by the band count; the
   * expensive exact Jaccard runs only on candidate pairs. AQE handles
   * skewed buckets (e.g. boilerplate-heavy shards).
+  *
+  * Hashing is ENGINE-PORTABLE by design: [[hash48]] (md5-prefix) and the
+  * universal-hash MinHash permutations are plain integer arithmetic any
+  * SQL engine can reproduce, so every pipeline stage is oracle-checkable
+  * (SparkEntry pairs each with a DuckDB twin). The cost vs xxhash64 is
+  * noise next to the shuffles that dominate at scale.
+  *
+  * Interpreter discipline: higher-order functions (transform/aggregate/
+  * zip_with) do NOT participate in whole-stage codegen and have no
+  * common-subexpression elimination — an expression substituted into a
+  * lambda body is re-evaluated per element. Every stage here therefore
+  * consumes *materialized* attribute arrays (tokens → shingle hashes →
+  * signatures as separate projections), never a nested expression.
   */
 object Dedup {
 
-  /** Sliding word k-grams (shingles), distinct. */
-  def shingles(c: Column, k: Int = 3): Column = {
-    val ts = TextAnalysis.tokens(c)
-    val n = size(ts)
-    array_distinct(
-      when(n >= k,
-        transform(sequence(lit(0), n - k),
-          i => concat_ws(" ", slice(ts, i + 1, lit(k)))))
-        .otherwise(array(concat_ws(" ", ts))))
+  // ------------------------------------------------------ portable hashing
+  /** 48-bit portable content hash: integer value of the first 12 hex
+    * chars of md5. 48 bits keep every value exact in double arithmetic
+    * too (< 2^53), so even engines without 64-bit integer ops match.
+    */
+  def hash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
+
+  /** Modulus for MinHash universal hashing: the Mersenne prime 2^31-1.
+    * All arithmetic stays < 2^62 — safe under ANSI overflow checking.
+    */
+  val P31 = 2147483647L
+
+  /** Driver-side twin of [[hash48]] — same md5-prefix value, used to
+    * derive constants at plan-build time.
+    */
+  def hash48Value(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).take(6)
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16)
   }
 
+  /** Independent universal-hash coefficients for up to 64 MinHash
+    * permutations, derived from fixed strings — mutually independent
+    * (a linear family a_i = c·i correlates the min locations across
+    * slots and measurably hurts LSH recall), deterministic, and
+    * embeddable as plain integer literals in any engine's SQL.
+    */
+  val MaxPerms = 64
+  val minhashA: IndexedSeq[Long] =
+    (0 until MaxPerms).map(i => hash48Value(s"minhash_a_$i") % (P31 - 1) + 1)
+  val minhashB: IndexedSeq[Long] =
+    (0 until MaxPerms).map(i => hash48Value(s"minhash_b_$i") % P31)
+
+  private val aLit = array(minhashA.map(lit): _*)
+  private val bLit = array(minhashB.map(lit): _*)
+
+  /** MinHash permutation i: h_i(x) = (a_i·x + b_i) mod p — coefficient
+    * lookup from the constant-folded literal arrays.
+    */
+  private def permHash(x: Column, i: Column): Column =
+    pmod(
+      element_at(aLit, (i + 1).cast("int")) * pmod(x, lit(P31))
+        + element_at(bLit, (i + 1).cast("int")),
+      lit(P31))
+
+  // ------------------------------------------------------------- shingling
+  /** Sliding word k-grams over a *materialized* token-array column;
+    * shorter docs collapse to one whole-doc shingle. Distinct.
+    */
+  def shinglesFromTokens(toks: Column, k: Int): Column =
+    array_distinct(
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+        .otherwise(array(concat_ws(" ", toks))))
+
+  /** Sliding word k-grams (shingles) of a text column, distinct. */
+  def shingles(c: Column, k: Int = 3): Column =
+    shinglesFromTokens(TextAnalysis.tokens(c), k)
+
+  /** Shingle set hashed to 48-bit longs — all downstream MinHash/Jaccard
+    * work runs on 8-byte hashes instead of strings (cheaper to shuffle
+    * and intersect; collisions negligible at 48 bits for corpus-scale
+    * shingle counts).
+    */
+  def shingleHashesFromTokens(toks: Column, k: Int): Column =
+    transform(shinglesFromTokens(toks, k), s => hash48(s))
+
+  def shingleHashes(c: Column, k: Int = 3): Column =
+    transform(shingles(c, k), s => hash48(s))
+
+  // ------------------------------------------------------------ exact dedup
   /** Exact duplicate groups by full-content hash: returns
     * (key, cnt) for groups with >1 member. One hash-agg shuffle on a
     * 32-byte key regardless of document size.
@@ -46,37 +123,29 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
 
-  /** Shingle set hashed to longs — all downstream MinHash/Jaccard work
-    * runs on 8-byte hashes instead of strings (hash collisions are
-    * negligible at 64 bits and the arrays are ~10× cheaper to shuffle
-    * and intersect).
-    */
-  def shingleHashes(c: Column, k: Int = 3): Column =
-    transform(shingles(c, k), s => xxhash64(s))
-
-  /** MinHash signature from hashed shingles: `numHashes` permutations
-    * approximated by seeded xxhash64; each slot is the min over the
-    * shingle set. Pure higher-order functions — stays inside codegen.
+  // --------------------------------------------------------------- MinHash
+  /** MinHash signature from a materialized hashed-shingle array: slot i
+    * is the min of permutation i over the shingle set.
     */
   def minhashFromHashes(sh: Column, numHashes: Int = 32): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(sh, h => xxhash64(h, seed))))
+      i => array_min(transform(sh, h => permHash(h, i))))
 
   def minhashSignature(c: Column, numHashes: Int = 32, k: Int = 3): Column =
     minhashFromHashes(shingleHashes(c, k), numHashes)
 
   /** LSH banding: split the signature into `bands` bands of
-    * `numHashes/bands` rows each; hash each band to a bucket id. Docs
-    * sharing any band bucket are candidate near-duplicates.
+    * `numHashes/bands` rows each; the bucket key is the band's joined
+    * signature slice (a plain string — no extra hash, engine-portable).
+    * Docs sharing any band bucket are candidate near-duplicates.
     */
   def lshBandHashes(sig: Column, numHashes: Int, bands: Int): Column = {
     val rows = numHashes / bands
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"),
-        xxhash64(concat_ws("_",
+        concat_ws("_",
           transform(slice(sig, b * rows + 1, lit(rows)),
-            h => h.cast("string"))))
-          .as("bucket")))
+            h => h.cast("string"))).as("bucket")))
   }
 
   /** Candidate near-duplicate pairs via MinHash LSH over a
@@ -110,15 +179,22 @@ object Dedup {
 
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 32, bands: Int = 8, k: Int = 3): DataFrame =
-    // cache: both sides of the bucket self-join scan the signatures;
-    // without it the (interpreted, lambda-heavy) signature expression
-    // is evaluated twice over the full corpus
+      numHashes: Int = 32, bands: Int = 16, k: Int = 3): DataFrame = {
+    // staged projections: tokens and shingle hashes materialize before
+    // the signature lambda consumes them (see interpreter discipline
+    // note above); cache because both sides of the bucket self-join
+    // scan the signatures
+    val base = df
+      .select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("id"), shingleHashesFromTokens(col("toks"), k).as("sh"))
+      .cache()
     candidatesFromSigs(
-      df.select(col(idCol).as("id"),
-        minhashSignature(col(textCol), numHashes, k).as("sig")).cache(),
+      base.select(col("id"), minhashFromHashes(col("sh"), numHashes).as("sig")),
       numHashes, bands)
+  }
 
+  // --------------------------------------------------------------- Jaccard
   /** Exact n-gram Jaccard similarity of two text columns: |A∩B| / |A∪B|
     * over distinct word k-grams. Integer-count division — deterministic
     * across engines.
@@ -131,41 +207,6 @@ object Dedup {
     when(union > 0, inter.cast("double") / union).otherwise(lit(0.0))
   }
 
-  /** SimHash-64 stage 1: per-bit set counts over token hashes + token
-    * count, as a struct. One pass over the token array (each hash
-    * expanded to its 64 bits, summed with zip_with).
-    *
-    * Split from [[simhashFinish]] on purpose: higher-order functions are
-    * interpreted with NO common-subexpression elimination, so the
-    * finishing sum (which reads the counts 64 times) must consume a
-    * *materialized* attribute, not re-evaluate this aggregate per bit.
-    */
-  def simhashBitCounts(c: Column): Column = {
-    val hs = transform(array_distinct(TextAnalysis.tokens(c)),
-      t => xxhash64(t))
-    val bitArrays = transform(hs, h =>
-      array((0 until 64).map(b =>
-        shiftright(h, b).bitwiseAND(lit(1L))): _*))
-    val counts = aggregate(bitArrays,
-      array_repeat(lit(0L), 64),
-      (acc, bits) => zip_with(acc, bits, (a, x) => a + x))
-    struct(counts.as("counts"), size(hs).cast("long").as("n"))
-  }
-
-  /** SimHash-64 stage 2: bit b is set when more than half the tokens
-    * have it set. 64 cheap array reads of the materialized counts.
-    */
-  def simhashFinish(parts: Column): Column =
-    (0 until 64).map { b =>
-      when(element_at(parts.getField("counts"), b + 1) * 2 >
-        parts.getField("n"), lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** One-column convenience (small inputs / tests): for bulk use, project
-    * [[simhashBitCounts]] first, then [[simhashFinish]] — see SparkEntry.
-    */
-  def simhash64(c: Column): Column = simhashFinish(simhashBitCounts(c))
-
   /** Jaccard over pre-hashed shingle arrays (long-array intersect). */
   def jaccardHashes(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
@@ -173,19 +214,57 @@ object Dedup {
     when(union > 0, inter.cast("double") / union).otherwise(lit(0.0))
   }
 
-  /** Full near-dup pipeline: shingle-hash each doc ONCE, MinHash-LSH
-    * candidates, then exact Jaccard verification on the precomputed
-    * long arrays at `threshold`. The shingle computation is cached so
-    * the signature build and both sides of the verification join reuse
-    * it instead of re-tokenizing per candidate pair (the naive version
-    * was ~50× slower at sf0.1).
+  // --------------------------------------------------------------- SimHash
+  /** SimHash-48 stage 1: per-bit set counts over distinct-token 48-bit
+    * hashes + token count, as a struct. One pass over the token array
+    * (each hash expanded to its 48 bits, summed with zip_with).
+    *
+    * Split from [[simhashFinish]] on purpose: the finishing sum reads
+    * the counts 48 times and must consume a *materialized* attribute,
+    * not re-evaluate this aggregate per bit.
     */
-  def nearDuplicates(
-      df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.7, numHashes: Int = 32, bands: Int = 8,
+  val SimhashBits = 48
+
+  def simhashBitCounts(c: Column): Column = {
+    val hs = transform(array_distinct(TextAnalysis.tokens(c)),
+      t => hash48(t))
+    val bitArrays = transform(hs, h =>
+      array((0 until SimhashBits).map(b =>
+        shiftright(h, b).bitwiseAND(lit(1L))): _*))
+    val counts = aggregate(bitArrays,
+      array_repeat(lit(0L), SimhashBits),
+      (acc, bits) => zip_with(acc, bits, (a, x) => a + x))
+    struct(counts.as("counts"), size(hs).cast("long").as("n"))
+  }
+
+  /** SimHash stage 2: bit b is set when more than half the tokens have
+    * it set. 48 cheap array reads of the materialized counts.
+    */
+  def simhashFinish(parts: Column): Column =
+    (0 until SimhashBits).map { b =>
+      when(element_at(parts.getField("counts"), b + 1) * 2 >
+        parts.getField("n"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** One-column convenience (small inputs / tests): for bulk use, project
+    * [[simhashBitCounts]] first, then [[simhashFinish]] — see SparkEntry.
+    */
+  def simhash48(c: Column): Column = simhashFinish(simhashBitCounts(c))
+
+  // ------------------------------------------------------- full near-dup
+  /** Full near-dup pipeline over a pre-tokenized (id, toks) frame:
+    * shingle-hash each doc ONCE, MinHash-LSH candidates, then exact
+    * Jaccard verification on the precomputed hash arrays at `threshold`.
+    * The hash arrays are cached so the signature build and both sides of
+    * the verification join reuse them instead of re-shingling per
+    * candidate pair (the naive version was ~50× slower at sf0.1).
+    */
+  def nearDuplicatesFromTokens(
+      df: DataFrame,
+      threshold: Double = 0.7, numHashes: Int = 32, bands: Int = 16,
       k: Int = 3): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), k).as("sh")).cache()
+    val base = df.select(col("id"),
+      shingleHashesFromTokens(col("toks"), k).as("sh")).cache()
     val sigs = base.select(col("id"),
       minhashFromHashes(col("sh"), numHashes).as("sig"))
     val cands = candidatesFromSigs(sigs, numHashes, bands)
@@ -196,4 +275,13 @@ object Dedup {
         jaccardHashes(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  def nearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, numHashes: Int = 32, bands: Int = 16,
+      k: Int = 3): DataFrame =
+    nearDuplicatesFromTokens(
+      df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks")),
+      threshold, numHashes, bands, k)
 }

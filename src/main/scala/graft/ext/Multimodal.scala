@@ -35,20 +35,28 @@ object Multimodal {
 
   // ---------------------------------------------------------------- STUB
   /** ??? REAL DECODER GOES HERE ???
-    * Deterministic fake decode: derives "image" dimensions from the blob
-    * bytes. Replace the body with the real codec; the signature — bytes
-    * in, typed features out, called once per row inside a partition
-    * batch — is the production shape.
+    * Deterministic fake decode: derives "image" dimensions from a
+    * portable 48-bit hash of the blob bytes (md5 prefix — the same value
+    * `Dedup.hash48` computes SQL-side, so the stub is oracle-checkable).
+    * Replace the body with the real codec; the signature — bytes in,
+    * typed features out, called once per row inside a partition batch —
+    * is the production shape.
     */
   def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
     val n = if (bytes == null) 0 else bytes.length
-    val h = java.util.Arrays.hashCode(bytes)
+    val h: Long =
+      if (n == 0) 0L
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(bytes).take(6).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16)
+      }
     MediaMeta(
       id = id,
       n_bytes = n,
       format = if (n % 2 == 0) "png" else "jpeg",
-      width = math.floorMod(h, 640) + 1,
-      height = math.floorMod(h / 640, 480) + 1,
+      width = (h % 640 + 1).toInt,
+      height = (h / 640 % 480 + 1).toInt,
       n_frames = 1)
   }
 

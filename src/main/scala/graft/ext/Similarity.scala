@@ -75,12 +75,17 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: hash of
-    * (plane index, dimension index) mapped into [-0.5, 0.5).
+  /** Deterministic pseudo-random hyperplane component: portable hash of
+    * (plane index, dimension index) mapped into [-0.5, 0.5). Uses
+    * [[Dedup.hash48]] (md5-prefix) so any engine reproduces the exact
+    * hyperplanes — components are rationals with denominator 10^4, so
+    * the dot products are bit-identical across engines too.
     */
   private def planeComponent(p: Column, i: Column): Column =
-    (pmod(xxhash64(lit("graft_plane"), p, i), lit(10000L)).cast("double")
-      / 10000.0) - 0.5
+    (pmod(Dedup.hash48(
+        concat(lit("graft_plane_"), p.cast("string"), lit("_"),
+          i.cast("string"))),
+      lit(10000L)).cast("double") / 10000.0) - 0.5
 
   /** Sign-bit LSH bucket id from `nPlanes` hyperplanes (≤ 63). */
   def lshBucket(vec: Column, nPlanes: Int = 12): Column =

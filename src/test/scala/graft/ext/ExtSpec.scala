@@ -46,7 +46,7 @@ class ExtSpec extends SparkSpec {
 
   test("simhash: identical texts equal, near texts close in hamming") {
     val s = docs.select(col("doc_id"),
-      Dedup.simhash64(col("text")).as("h")).collect()
+      Dedup.simhash48(col("text")).as("h")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(s(1L) == s(4L))
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
