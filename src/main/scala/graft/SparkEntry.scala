@@ -331,6 +331,49 @@ object SparkEntry {
       .distinct().orderBy("raw")
   }
 
+  /** P10 yearmonth: `YYYY-MM` gate → DateType at day 1 (month 13 and
+    * un-dashed forms rejected).
+    */
+  private def p10Yearmonth(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val raw = when(col("l_linenumber") % 4 === 0, lit("2026-13"))
+      .when(col("l_linenumber") % 4 === 1, lit("202605"))
+      .otherwise(date_format(col("l_shipdate"), "yyyy-MM"))
+    val f = Field("raw", "yearmonth")
+    li.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P11 object: JSON-object validity over events.props with truncated
+    * and wrong-container corruptions; parsed value = the JSON string.
+    */
+  private def p11Object(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val raw = when(col("event_id") % 5 === 0, substring(col("props"), 1, 8))
+      .when(col("event_id") % 5 === 1, lit("[1,2,3]"))
+      .otherwise(col("props"))
+    val f = Field("raw", "object")
+    e.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P12 array: JSON-array validity (objects and truncations rejected). */
+  private def p12Array(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val k = col("event_id") % 100
+    val raw = when(col("event_id") % 4 === 0, col("props")) // object → invalid
+      .when(col("event_id") % 4 === 1,
+        concat(lit("["), k.cast(StringType), lit(","))) // truncated
+      .otherwise(concat(lit("["), k.cast(StringType), lit(","),
+        (k + 1).cast(StringType), lit("]")))
+    val f = Field("raw", "array")
+    e.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
   /** K2 uniqueKeys: composite (l_partkey, l_suppkey) — the same part
     * from the same supplier appears on many orders, so duplicates exist.
     */
@@ -413,6 +456,32 @@ object SparkEntry {
       .select(col("doc_id"), Dedup.simhashBitCounts(col("text")).as("p"))
       .select(col("doc_id"), Dedup.simhashFinish(col("p")).as("simhash"))
       .orderBy("doc_id")
+
+  /** Canonical-record dedup: earliest event per (user, type) — the
+    * deterministic dropDuplicates replacement (survivor = min ts, not
+    * partition luck).
+    */
+  private def xDedupKeepFirst(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepEarliest(t(s, dir, "events"), Seq("user_id", "event_type"),
+      "ts").orderBy("user_id", "event_type")
+
+  /** Embedding-cosine near-dup canonicalization: each vector with a
+    * cosine-≥-threshold LSH partner maps to its smallest such partner.
+    */
+  private def xDedupEmbed(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCanonical(t(s, dir, "embeddings"), nPlanes = 8,
+      threshold = 0.3).orderBy("dup_id")
+
+  /** Sliding-window (1h every 30min) batch-equivalent of
+    * StreamingValidate.slidingCounts — each event lands in two windows.
+    */
+  private def xStreamSliding(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"))
+      .orderBy("window_start", "event_type")
 
   /** Brute-force cosine top-k: 5 query vectors vs the full corpus; rank
     * output only (cosine computed in doubles on both engines, but kept
@@ -591,7 +660,13 @@ object SparkEntry {
     "x_stream_window" -> (xStreamWindow _),
     "r1_error_sample" -> (r1ErrorSample _),
     "k2_uniquekeys" -> (k2UniqueKeys _),
-    "x_stream_sessionize" -> (xStreamSessionize _)
+    "x_stream_sessionize" -> (xStreamSessionize _),
+    "p10_yearmonth" -> (p10Yearmonth _),
+    "p11_object" -> (p11Object _),
+    "p12_array" -> (p12Array _),
+    "x_dedup_keep_first" -> (xDedupKeepFirst _),
+    "x_dedup_embed" -> (xDedupEmbed _),
+    "x_stream_sliding" -> (xStreamSliding _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -744,6 +819,72 @@ object SparkEntry {
         |      FROM scored)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "p10_yearmonth" ->
+      """SELECT DISTINCT raw,
+        |  CASE WHEN regexp_full_match(raw, '[0-9]{4}-(0[1-9]|1[0-2])')
+        |       THEN CAST(strptime(raw || '-01', '%Y-%m-%d') AS DATE)
+        |  END AS parsed
+        |FROM (SELECT CASE WHEN l_linenumber % 4 = 0 THEN '2026-13'
+        |        WHEN l_linenumber % 4 = 1 THEN '202605'
+        |        ELSE strftime(l_shipdate, '%Y-%m') END AS raw
+        |      FROM lineitem)
+        |ORDER BY raw""".stripMargin,
+    "p11_object" ->
+      """SELECT DISTINCT raw,
+        |  CASE WHEN regexp_matches(raw, '^\s*\{') AND json_valid(raw)
+        |       THEN raw END AS parsed
+        |FROM (SELECT CASE WHEN event_id % 5 = 0 THEN substr(props, 1, 8)
+        |        WHEN event_id % 5 = 1 THEN '[1,2,3]'
+        |        ELSE props END AS raw FROM events)
+        |ORDER BY raw""".stripMargin,
+    "p12_array" ->
+      """SELECT DISTINCT raw,
+        |  CASE WHEN regexp_matches(raw, '^\s*\[') AND json_valid(raw)
+        |       THEN raw END AS parsed
+        |FROM (SELECT CASE WHEN event_id % 4 = 0 THEN props
+        |        WHEN event_id % 4 = 1
+        |          THEN '[' || CAST(event_id % 100 AS VARCHAR) || ','
+        |        ELSE '[' || CAST(event_id % 100 AS VARCHAR) || ','
+        |          || CAST(event_id % 100 + 1 AS VARCHAR) || ']'
+        |        END AS raw FROM events)
+        |ORDER BY raw""".stripMargin,
+    "x_dedup_keep_first" ->
+      """SELECT user_id, event_type, min(ts) AS first_ts,
+        |  count(*) AS n_dups
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "x_dedup_embed" ->
+      s"""WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
+        |bkt AS (
+        |  SELECT id, nvec,
+        |    CAST(list_sum(list_transform(range(0, 8), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(nvec) + 1),
+        |          d -> nvec[d] * ${duckPlane("p", "(d - 1)")})) > 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+        |        ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM v),
+        |s AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.nvec) + 1),
+        |      i -> a.nvec[i] * b.nvec[i])) AS sim
+        |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.id < b.id)
+        |SELECT id_b AS dup_id, min(id_a) AS canonical_id
+        |FROM s WHERE sim >= 0.3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_stream_sliding" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+        |    event_type FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |    - INTERVAL '30 minutes', event_type FROM events)
+        |SELECT window_start, event_type, count(*) AS cnt
+        |FROM w GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "x_mm_decode" ->
       s"""SELECT CAST(doc_id AS BIGINT) AS id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

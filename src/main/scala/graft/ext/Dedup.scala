@@ -123,6 +123,31 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
 
+  /** Canonical-record selection: for each key tuple keep the earliest
+    * `orderCol` value (deterministic min — unlike `dropDuplicates`,
+    * whose survivor depends on partition order). One hash-agg shuffle;
+    * the min is computed map-side first.
+    */
+  def keepEarliest(
+      df: DataFrame, keys: Seq[String], orderCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min(col(orderCol)).as(s"first_$orderCol"),
+        count(lit(1)).as("n_dups"))
+
+  /** Embedding-cosine near-dup canonicalization: LSH-bucketed cosine
+    * pairs at `threshold`, then each duplicate id maps to its smallest
+    * near-duplicate id (the canonical survivor). Pair search shuffles on
+    * the LSH bucket only; the canonical reduction is one more hash agg
+    * on the pair ids.
+    */
+  def embeddingCanonical(
+      df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", nPlanes: Int = 8,
+      threshold: Double = 0.9): DataFrame =
+    Similarity.lshCandidatePairs(df, idCol, vecCol, nPlanes, threshold)
+      .groupBy(col("id_b").as("dup_id"))
+      .agg(min(col("id_a")).as("canonical_id"))
+
   // --------------------------------------------------------------- MinHash
   /** MinHash signature from a materialized hashed-shingle array: slot i
     * is the min of permutation i over the shingle set.

@@ -127,6 +127,27 @@ object Parsers {
     when(raw.rlike(YearRe), raw.cast(IntegerType))
       .otherwise(lit(null).cast(IntegerType))
 
+  /** yearmonth `YYYY-MM` → DateType at day 1 (spec §yearmonth; the
+    * reference leaves it unsupported — we exceed it here).
+    */
+  private val YearMonthRe = "^\\d{4}-(0[1-9]|1[0-2])$"
+  private def yearmonthExpr(raw: Column): Column =
+    when(raw.rlike(YearMonthRe),
+      try_to_timestamp(concat(raw, lit("-01")), lit("yyyy-MM-dd"))
+        .cast(DateType))
+      .otherwise(lit(null).cast(DateType))
+
+  // -------------------------------------------------------------- json types
+  /** object/array (spec §object §array): value must be a JSON object /
+    * array; the parsed representation stays the (validated) JSON string.
+    * `get_json_object(_, '$')` returns null on malformed JSON in both
+    * lenient and strict engines for the shapes we accept; the leading
+    * token pins the container kind.
+    */
+  private def jsonContainerExpr(raw: Column, openRe: String): Column =
+    when(raw.rlike(openRe) && get_json_object(raw, "$").isNotNull, raw)
+      .otherwise(lit(null: String))
+
   // ----------------------------------------------------------------- geopoint
   /** lon/lat struct; invalid or out-of-range (±180/±90) → null. */
   private def geopointExpr(f: Field, raw: Column): Column = {
@@ -168,16 +189,17 @@ object Parsers {
   // ----------------------------------------------------------------- public
   /** Spark type of the parsed column for a field. */
   def parsedType(f: Field): DataType = f.ftype match {
-    case "number"   => DoubleType
-    case "integer"  => LongType
-    case "boolean"  => BooleanType
-    case "date"     => DateType
-    case "datetime" => TimestampType
-    case "year"     => IntegerType
+    case "number"    => DoubleType
+    case "integer"   => LongType
+    case "boolean"   => BooleanType
+    case "date"      => DateType
+    case "datetime"  => TimestampType
+    case "year"      => IntegerType
+    case "yearmonth" => DateType
     case "geopoint" =>
       StructType(Seq(StructField("lon", DoubleType),
         StructField("lat", DoubleType)))
-    case _ => StringType // string, time (canonical string)
+    case _ => StringType // string, time, object, array (canonical string)
   }
 
   /** Typed value, or null when the raw string fails to parse.
@@ -196,11 +218,14 @@ object Parsers {
       when(raw.isin(f.trueValues: _*), lit(true))
         .when(raw.isin(f.falseValues: _*), lit(false))
         .otherwise(lit(null).cast(BooleanType))
-    case "date"     => dateExpr(f, raw)
-    case "datetime" => datetimeExpr(f, raw)
-    case "time"     => timeExpr(f, raw)
-    case "year"     => yearExpr(raw)
-    case "geopoint" => geopointExpr(f, raw)
+    case "date"      => dateExpr(f, raw)
+    case "datetime"  => datetimeExpr(f, raw)
+    case "time"      => timeExpr(f, raw)
+    case "year"      => yearExpr(raw)
+    case "yearmonth" => yearmonthExpr(raw)
+    case "geopoint"  => geopointExpr(f, raw)
+    case "object"    => jsonContainerExpr(raw, "^\\s*\\{")
+    case "array"     => jsonContainerExpr(raw, "^\\s*\\[")
     case other =>
       throw new IllegalArgumentException(s"unsupported field type '$other'")
   }

@@ -152,6 +152,26 @@ class ParsersSpec extends SparkSpec {
     check("binary", Seq("aGVsbG8=", "YQ=="), Seq("a!!!", "aGVsbG8"))
   }
 
+  test("P10 yearmonth: YYYY-MM to first-of-month date") {
+    val got = parse(Field("x", "yearmonth"),
+      Seq("2026-05", "2026-13", "202605", "2026-5", "2026-00"))
+    assert(got("2026-05") == java.sql.Date.valueOf("2026-05-01"))
+    assert(got("2026-13") == null && got("202605") == null)
+    assert(got("2026-5") == null && got("2026-00") == null)
+  }
+
+  test("P11/P12 object and array: JSON container validation") {
+    val o = parse(Field("x", "object"),
+      Seq("""{"a": 1, "b": [2]}""", """{"a": 1""", "[1,2]", "junk"))
+    assert(o("""{"a": 1, "b": [2]}""") == """{"a": 1, "b": [2]}""")
+    assert(o("""{"a": 1""") == null)
+    assert(o("[1,2]") == null && o("junk") == null)
+    val a = parse(Field("x", "array"),
+      Seq("[1, 2, 3]", "[1,", """{"a": 1}"""))
+    assert(a("[1, 2, 3]") == "[1, 2, 3]")
+    assert(a("[1,") == null && a("""{"a": 1}""") == null)
+  }
+
   test("missing values replaced before parse") {
     val got = Seq("", "NA", "42").toDF("raw")
       .select(Parsers.applyMissing(col("raw"), Seq("", "NA")).as("raw"))
