@@ -19,10 +19,18 @@ object Prof {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      if (explain) {
+        println(s"[prof] ===== $name =====")
+        println(df.queryExecution.executedPlan.treeString.linesIterator
+          .map("[prof] " + _).mkString("\n"))
+      }
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, dir).count()
+      val n = df.count()
       println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$n)")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
