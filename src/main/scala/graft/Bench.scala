@@ -11,6 +11,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed JIT/codegen warmup so session spin-up isn't billed to
+    // whichever query happens to run first (touches no benchmark data)
+    spark.range(1000000).selectExpr("sum(id)").collect()
     // Deterministic order (Map iteration is hash-ordered) so per-query
     // timings are comparable across rounds; clear leaked per-query caches
     // between queries so one query's working set doesn't tax the next —

@@ -144,6 +144,33 @@ object Checks {
     case _                  => lit(bound)
   }
 
+  // ------------------------------------------------ opt-in row positions
+  /** Stable 1-based row numbers in the source's scan order (SURVEY.md
+    * §4.3 decision 4). `monotonically_increasing_id` leaves gaps across
+    * partitions; `zipWithIndex` is exact but leaves whole-stage codegen,
+    * so this is an OPT-IN path for reports that genuinely need row
+    * positions — the default report shape stays distinct-values+counts.
+    */
+  def withRowNumbers(df: DataFrame, colName: String = "row_nr"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(colName, org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** First `maxRows` offending row positions + values for a violation
+    * predicate — bounded, ordered, exact row numbers.
+    */
+  def offendingRows(
+      df: DataFrame, c: String, bad: Column, maxRows: Int = 100): DataFrame =
+    withRowNumbers(df.select(df(c)))
+      .filter(col(c).isNotNull && bad)
+      .orderBy(col("row_nr"))
+      .limit(maxRows)
+
   /** Parse-error surfacing (shared across P1–P9): distinct raw values that
     * fail to parse for a field, + counts — the `type-or-format-error`
     * payload (SURVEY.md §2.3).

@@ -176,6 +176,27 @@ object StreamingValidate {
         col("n_events"))
   }
 
+  /** Streaming foreign-key check: a stream-static LEFT ANTI join — each
+    * micro-batch's rows whose key tuple is absent from the (static,
+    * broadcastable) parent dimension flow to the sink as violations.
+    * Stateless (no watermark needed): referential violations surface
+    * with per-batch latency; the parent is re-read per batch, so a
+    * slowly-changing dimension is picked up automatically.
+    */
+  def fkViolations(
+      stream: DataFrame,
+      keys: Seq[String],
+      parent: DataFrame,
+      parentKeys: Seq[String]): DataFrame = {
+    require(keys.size == parentKeys.size, "fk arity mismatch")
+    val p = parent.select(
+      parentKeys.zip(keys).map { case (pk, ck) => parent(pk).as(ck) }: _*)
+      .distinct()
+    val cond = keys.map(k => stream(k) === p(k)).reduce(_ && _)
+    stream.filter(keys.map(stream(_).isNotNull).reduce(_ && _))
+      .join(p, cond, "left_anti")
+  }
+
   /** Stateful exact dedup within the watermark horizon: Structured
     * Streaming keeps the seen-key state and drops late duplicates.
     */

@@ -6,6 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all suites (one per JVM — Test/fork=true). */
 object TestSpark {
   lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_warehouse").toString
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
@@ -13,6 +15,7 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", wh)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -70,6 +70,13 @@ class ChecksSpec extends SparkSpec {
     assert(v.length == 1 && v(0).getLong(0) == 2)
   }
 
+  test("opt-in row numbers: exact 1-based positions of offending cells") {
+    val df = Seq("aa", "b", "cc", "d").toDF("x")
+    val v = Checks.offendingRows(df, "x", length(col("x")) < 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(v.toSeq == Seq(("b", 2L), ("d", 4L)))
+  }
+
   test("K3 foreign key: orphans reported, nulls exempt") {
     val child = Seq(Some(1), Some(2), Some(99), Some(99), None)
       .toDF("parent_id")

@@ -149,6 +149,21 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming fk check: orphans surface via stream-static anti join") {
+    val parent = spark.range(0, 5).toDF("uid") // users 0-4 are valid
+    val out = runStream("fk_viol",
+      df => StreamingValidate.fkViolations(
+        df.withColumn("user_mod", col("user_id") % 10)
+          .select(col("event_id"), col("user_mod")),
+        Seq("user_mod"), parent, Seq("uid")))
+    val batchExpected = batchEvents
+      .withColumn("user_mod", col("user_id") % 10)
+      .filter(col("user_mod") >= 5)
+      .count()
+    assert(out.count() == batchExpected)
+    assert(out.filter(col("user_mod") < 5).count() == 0)
+  }
+
   test("violation flags are streaming-safe (stateless projection)") {
     val schema = TableSchema(Seq(
       Field("event_type", constraints = Constraints(
