@@ -374,6 +374,43 @@ object SparkEntry {
       .distinct().orderBy("raw")
   }
 
+  /** P13 duration: ISO 8601 durations (lookahead-free regex — portable
+    * to RE2 engines); canonical string on success.
+    */
+  private def p13Duration(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val raw = when(col("l_linenumber") % 5 === 0, lit("P"))
+      .when(col("l_linenumber") % 5 === 1, lit("1D"))
+      .when(col("l_linenumber") % 5 === 2, lit("PT"))
+      .when(col("l_linenumber") % 5 === 3,
+        concat(lit("PT"), (col("l_suppkey") % 24).cast(StringType),
+          lit("H")))
+      .otherwise(concat(lit("P"), col("l_linenumber").cast(StringType),
+        lit("DT"), (col("l_suppkey") % 24).cast(StringType), lit("H")))
+    val f = Field("raw", "duration")
+    li.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P14 geojson: type-tagged JSON geometry objects. */
+  private def p14Geojson(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val lon = (col("p_partkey") % 361 - 180).cast(StringType)
+    val lat = (col("p_size") % 181 - 90).cast(StringType)
+    val point = concat(lit("{\"type\": \"Point\", \"coordinates\": ["),
+      lon, lit(", "), lat, lit("]}"))
+    val raw = when(col("p_partkey") % 7 === 0,
+        lit("{\"coordinates\": [1, 2]}"))
+      .when(col("p_partkey") % 7 === 1, lit("{\"type\": \"Circle\"}"))
+      .when(col("p_partkey") % 7 === 2, lit("not json"))
+      .otherwise(point)
+    val f = Field("raw", "geojson")
+    p.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
   /** K2 uniqueKeys: composite (l_partkey, l_suppkey) — the same part
     * from the same supplier appears on many orders, so duplicates exist.
     */
@@ -664,6 +701,8 @@ object SparkEntry {
     "p10_yearmonth" -> (p10Yearmonth _),
     "p11_object" -> (p11Object _),
     "p12_array" -> (p12Array _),
+    "p13_duration" -> (p13Duration _),
+    "p14_geojson" -> (p14Geojson _),
     "x_dedup_keep_first" -> (xDedupKeepFirst _),
     "x_dedup_embed" -> (xDedupEmbed _),
     "x_stream_sliding" -> (xStreamSliding _)
@@ -847,6 +886,36 @@ object SparkEntry {
         |        ELSE '[' || CAST(event_id % 100 AS VARCHAR) || ','
         |          || CAST(event_id % 100 + 1 AS VARCHAR) || ']'
         |        END AS raw FROM events)
+        |ORDER BY raw""".stripMargin,
+    "p13_duration" ->
+      s"""SELECT DISTINCT raw,
+        |  CASE WHEN regexp_full_match(raw, '${Parsers.DurationRe}')
+        |       THEN raw END AS parsed
+        |FROM (SELECT CASE
+        |        WHEN l_linenumber % 5 = 0 THEN 'P'
+        |        WHEN l_linenumber % 5 = 1 THEN '1D'
+        |        WHEN l_linenumber % 5 = 2 THEN 'PT'
+        |        WHEN l_linenumber % 5 = 3
+        |          THEN 'PT' || CAST(l_suppkey % 24 AS VARCHAR) || 'H'
+        |        ELSE 'P' || CAST(l_linenumber AS VARCHAR) || 'DT'
+        |          || CAST(l_suppkey % 24 AS VARCHAR) || 'H'
+        |        END AS raw FROM lineitem)
+        |ORDER BY raw""".stripMargin,
+    "p14_geojson" ->
+      s"""SELECT DISTINCT raw,
+        |  CASE WHEN regexp_matches(raw, '^\\s*\\{')
+        |    AND json_extract_string(TRY_CAST(raw AS JSON), '$$.type') IN
+        |      (${Parsers.GeoJsonTypes.map(t => s"'$t'").mkString(", ")})
+        |    THEN raw
+        |  END AS parsed
+        |FROM (SELECT CASE
+        |    WHEN p_partkey % 7 = 0 THEN '{"coordinates": [1, 2]}'
+        |    WHEN p_partkey % 7 = 1 THEN '{"type": "Circle"}'
+        |    WHEN p_partkey % 7 = 2 THEN 'not json'
+        |    ELSE '{"type": "Point", "coordinates": ['
+        |      || CAST(p_partkey % 361 - 180 AS VARCHAR) || ', '
+        |      || CAST(p_size % 181 - 90 AS VARCHAR) || ']}'
+        |    END AS raw FROM part)
         |ORDER BY raw""".stripMargin,
     "x_dedup_keep_first" ->
       """SELECT user_id, event_type, min(ts) AS first_ts,

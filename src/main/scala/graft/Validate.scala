@@ -51,10 +51,12 @@ object Validate {
     val schema = StructType(bindNames.map(n =>
       StructField(n, StringType, nullable = true)))
     val raw = spark.read
-      .option("header", "true")
+      .option("header", res.dialect.header.toString)
+      .option("sep", res.dialect.delimiter)
+      .option("quote", res.dialect.quoteChar)
       .option("mode", "PERMISSIVE")
       .schema(schema)
-      .csv(res.path)
+      .csv(res.allPaths: _*)
     val reordered =
       if (bindNames == declared) raw
       else raw.select(declared.map(raw(_)): _*)
@@ -65,9 +67,14 @@ object Validate {
     * naming on read, so reconciliation must look at the raw first line).
     */
   def actualCsvHeader(spark: SparkSession, res: Resource): Seq[String] = {
-    val first = spark.read.option("header", "false").textFile(res.path)
+    if (!res.dialect.header) return res.schema.fieldNames // nothing to check
+    val first = spark.read.option("header", "false")
+      .textFile(res.allPaths.head)
       .head(1).headOption.getOrElse("")
-    first.split(",", -1).map(_.trim).toSeq
+    first.split(java.util.regex.Pattern.quote(res.dialect.delimiter), -1)
+      .map(_.trim.stripPrefix(res.dialect.quoteChar)
+        .stripSuffix(res.dialect.quoteChar))
+      .toSeq
   }
 
   /** S3: inline-data resource → all-string DataFrame (+ missing tokens),

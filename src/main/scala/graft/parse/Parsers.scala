@@ -137,6 +137,36 @@ object Parsers {
         .cast(DateType))
       .otherwise(lit(null).cast(DateType))
 
+  /** ISO 8601 duration (spec §duration; reference unsupported — we
+    * exceed it). Lookahead-free alternation (portable to RE2-based
+    * engines, which reject lookaheads): date part Y(M)(D) | M(D) | D | W,
+    * time part H(M)(S) | M(S) | S, at least one component overall.
+    * Canonical string representation (no Spark interval round-trip).
+    */
+  val DurationRe: String = {
+    val tp = "(?:\\d+H(?:\\d+M)?(?:\\d+(?:\\.\\d+)?S)?" +
+      "|\\d+M(?:\\d+(?:\\.\\d+)?S)?|\\d+(?:\\.\\d+)?S)"
+    val dp = "(?:\\d+Y(?:\\d+M)?(?:\\d+D)?|\\d+M(?:\\d+D)?|\\d+D|\\d+W)"
+    s"^P(?:$dp(?:T$tp)?|T$tp)$$"
+  }
+
+  private def durationExpr(raw: Column): Column =
+    when(raw.rlike(DurationRe), raw).otherwise(lit(null: String))
+
+  /** GeoJSON type tags accepted for the `geojson` default format. */
+  val GeoJsonTypes: Seq[String] = Seq(
+    "Point", "MultiPoint", "LineString", "MultiLineString", "Polygon",
+    "MultiPolygon", "GeometryCollection", "Feature", "FeatureCollection")
+
+  /** geojson (spec §geojson; reference unsupported): a JSON object whose
+    * `type` member is a GeoJSON geometry/feature tag. Validated string
+    * passthrough — full geometry validation is out of scope.
+    */
+  private def geojsonExpr(raw: Column): Column =
+    when(raw.rlike("^\\s*\\{") && get_json_object(raw, "$").isNotNull &&
+        get_json_object(raw, "$.type").isin(GeoJsonTypes: _*), raw)
+      .otherwise(lit(null: String))
+
   // -------------------------------------------------------------- json types
   /** object/array (spec §object §array): value must be a JSON object /
     * array; the parsed representation stays the (validated) JSON string.
@@ -199,7 +229,8 @@ object Parsers {
     case "geopoint" =>
       StructType(Seq(StructField("lon", DoubleType),
         StructField("lat", DoubleType)))
-    case _ => StringType // string, time, object, array (canonical string)
+    case _ => StringType // string/time/object/array/duration/geojson
+                          // (canonical string)
   }
 
   /** Typed value, or null when the raw string fails to parse.
@@ -226,6 +257,8 @@ object Parsers {
     case "geopoint"  => geopointExpr(f, raw)
     case "object"    => jsonContainerExpr(raw, "^\\s*\\{")
     case "array"     => jsonContainerExpr(raw, "^\\s*\\[")
+    case "duration"  => durationExpr(raw)
+    case "geojson"   => geojsonExpr(raw)
     case other =>
       throw new IllegalArgumentException(s"unsupported field type '$other'")
   }

@@ -32,7 +32,15 @@ object DescriptorJson {
   def parseResource(n: JsonNode): Resource = {
     val name = txt(n, "name")
       .getOrElse(throw DescriptorError("resource missing name"))
-    val path = txt(n, "path").getOrElse("")
+    // `path` may be a string or an array of chunk paths (spec §path)
+    val allPaths = Option(n.get("path")).map(strOrSeq).getOrElse(Nil)
+    val path = allPaths.headOption.getOrElse("")
+    val dialect = Option(n.get("dialect")).filter(_.isObject).map { dn =>
+      Dialect(
+        delimiter = txt(dn, "delimiter").getOrElse(","),
+        quoteChar = txt(dn, "quoteChar").getOrElse("\""),
+        header = Option(dn.get("header")).forall(_.asBoolean(true)))
+    }.getOrElse(Dialect())
     val schema = Option(n.get("schema")).filter(_.isObject)
       .map(parseTableSchema)
       .getOrElse(throw DescriptorError(s"resource $name missing schema"))
@@ -52,7 +60,7 @@ object DescriptorJson {
     }
     if (path.isEmpty && inline.isEmpty)
       throw DescriptorError(s"resource $name has neither path nor data")
-    Resource(name, path, schema, inline)
+    Resource(name, path, schema, inline, paths = allPaths, dialect = dialect)
   }
 
   /** Inline cells arrive as JSON scalars; the engine parses strings

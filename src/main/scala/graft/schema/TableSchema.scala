@@ -76,16 +76,32 @@ final case class TableSchema(
   def fieldNames: Seq[String] = fields.map(_.name)
 }
 
+/** CSV dialect (Data Package spec §dialect subset): the reading options
+  * the reference forwards to its CSV parser.
+  */
+final case class Dialect(
+    delimiter: String = ",",
+    quoteChar: String = "\"",
+    header: Boolean = true
+)
+
 /** One tabular resource of a data package: named table + path + schema.
   * `inlineData` carries rows embedded in the descriptor (`data` key,
   * S3 in SURVEY.md §2.1) — all values as strings, parsed like CSV cells.
+  * `paths` carries additional chunk paths when the descriptor's `path`
+  * is an array (multi-file resources concatenate).
   */
 final case class Resource(
     name: String,
     path: String,
     schema: TableSchema,
-    inlineData: Option[Seq[Map[String, String]]] = None
-)
+    inlineData: Option[Seq[Map[String, String]]] = None,
+    paths: Seq[String] = Nil,
+    dialect: Dialect = Dialect()
+) {
+  /** Every file of the resource (single- and multi-path forms). */
+  def allPaths: Seq[String] = if (paths.nonEmpty) paths else Seq(path)
+}
 
 /** The `datapackage.json` unit that `validate()` operates on. */
 final case class Package(

@@ -171,6 +171,43 @@ class ValidateSpec extends SparkSpec {
     assert(fk.sampleValues == Seq("99"))
   }
 
+  test("reordered CSV header binds columns by name, not position") {
+    val res = Resource("t", write("reord.csv", "b,a\nBB,1\nCC,2\n"),
+      TableSchema(Seq(Field("a", "integer"), Field("b"))))
+    val df = Validate.readCsv(spark, res)
+    assert(df.columns.toSeq == Seq("a", "b"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("1", "BB"), ("2", "CC")))
+    // the order mismatch is still reported as a header error
+    assert(Validate.headerCheck(Validate.actualCsvHeader(spark, res),
+      res.schema).map(_.code) == Seq("non-matching-header"))
+  }
+
+  test("csv dialect: delimiter, quoteChar, headerless") {
+    val res = Resource("t", write("semi.csv", "a;b\n'x;y';2\n"),
+      TableSchema(Seq(Field("a"), Field("b", "integer"))),
+      dialect = Dialect(delimiter = ";", quoteChar = "'"))
+    val r = Validate.readCsv(spark, res).collect()(0)
+    assert(r.getString(0) == "x;y" && r.getString(1) == "2")
+    val hres = Resource("t2", write("nohdr.csv", "1,foo\n2,bar\n"),
+      TableSchema(Seq(Field("id", "integer"), Field("v"))),
+      dialect = Dialect(header = false))
+    assert(Validate.readCsv(spark, hres).count() == 2)
+  }
+
+  test("multi-path resource concatenates chunks") {
+    val p1 = write("chunk1.csv", "a\n1\n2\n")
+    val p2 = write("chunk2.csv", "a\n3\n")
+    val res = Resource("t", p1, TableSchema(Seq(Field("a", "integer"))),
+      paths = Seq(p1, p2))
+    assert(Validate.readCsv(spark, res).count() == 3)
+    val json =
+      """{"name":"p","resources":[{"name":"t","path":["x.csv","y.csv"],
+        |"schema":{"fields":[{"name":"a"}]}}]}""".stripMargin
+    val parsed = DescriptorJson.parsePackage(json).resources.head
+    assert(parsed.allPaths == Seq("x.csv", "y.csv"))
+  }
+
   test("report JSON shape") {
     val p = pkg("id,code\n1,AB\n1,AB\n",
       "cid,parent_id,pair_a,pair_b,qty,flag\n10,1,1,1,1,true\n")

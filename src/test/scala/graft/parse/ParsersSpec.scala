@@ -172,6 +172,27 @@ class ParsersSpec extends SparkSpec {
     assert(a("[1,") == null && a("""{"a": 1}""") == null)
   }
 
+  test("P13 duration: ISO 8601, at least one component") {
+    val ok = Seq("P1Y", "P2M3D", "P4W", "PT5H", "PT1H30M", "PT0.5S",
+      "P1DT2H", "P1Y2M3DT4H5M6S")
+    val bad = Seq("P", "PT", "1D", "P1S", "PT1D", "P1H", "p1d", "P1.5D")
+    val got = parse(Field("x", "duration"), ok ++ bad)
+    ok.foreach(v => assert(got(v) == v, s"should accept $v"))
+    bad.foreach(v => assert(got(v) == null, s"should reject $v"))
+  }
+
+  test("P14 geojson: type-tagged JSON objects only") {
+    val pt = """{"type": "Point", "coordinates": [1.0, 2.0]}"""
+    val fc = """{"type": "FeatureCollection", "features": []}"""
+    val got = parse(Field("x", "geojson"),
+      Seq(pt, fc, """{"coordinates": [1, 2]}""", """{"type": "Circle"}""",
+        "[1,2]", "junk"))
+    assert(got(pt) == pt && got(fc) == fc)
+    assert(got("""{"coordinates": [1, 2]}""") == null)
+    assert(got("""{"type": "Circle"}""") == null)
+    assert(got("[1,2]") == null && got("junk") == null)
+  }
+
   test("missing values replaced before parse") {
     val got = Seq("", "NA", "42").toDF("raw")
       .select(Parsers.applyMissing(col("raw"), Seq("", "NA")).as("raw"))
