@@ -729,10 +729,15 @@ object SparkEntry {
        |  + $bs[CAST($i + 1 AS INTEGER)]) % ${Dedup.P31}""".stripMargin
   }
 
-  /** DuckDB rendering of Similarity.planeComponent(p, d). */
-  private def duckPlane(p: String, d: String): String =
-    s"""((${duckHash48(s"'graft_plane_' || $p || '_' || $d")} % 10000)
-       |  / 10000.0 - 0.5)""".stripMargin
+  /** DuckDB literal of Similarity.planeMatrix (nPlanes × dims): the
+    * exact same plan-time constants, as a nested list literal — no
+    * hashing in the oracle either. Double.toString round-trips, so both
+    * engines parse to bit-identical doubles.
+    */
+  private def duckPlanes(nPlanes: Int, dims: Int): String =
+    (0 until nPlanes).map(p =>
+      Similarity.planeMatrix(p).take(dims).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
 
   /** DuckDB twins of `queries` — identical column names and ordering. */
   def oracleSql: Map[String, String] = Map(
@@ -805,14 +810,16 @@ object SparkEntry {
         |v AS (SELECT id,
         |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
         |      FROM v0 WHERE nrm > 0),
+        |planesd AS (SELECT ${duckPlanes(8, 64)} AS m),
         |bkt AS (
         |  SELECT id, nvec,
         |    CAST(list_sum(list_transform(range(0, 8), p ->
         |      CASE WHEN list_sum(list_transform(range(1, len(nvec) + 1),
-        |          d -> nvec[d] * ${duckPlane("p", "(d - 1)")})) > 0
+        |          d -> nvec[d] * m[CAST(p + 1 AS INTEGER)][CAST(d AS INTEGER)]))
+        |          > 0
         |        THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
         |        ELSE 0 END)) AS BIGINT) AS bucket
-        |  FROM v),
+        |  FROM v, planesd),
         |s AS (
         |  SELECT a.id AS id_a, b.id AS id_b,
         |    list_sum(list_transform(range(1, len(a.nvec) + 1),
@@ -930,14 +937,16 @@ object SparkEntry {
         |v AS (SELECT id,
         |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
         |      FROM v0 WHERE nrm > 0),
+        |planesd AS (SELECT ${duckPlanes(8, 64)} AS m),
         |bkt AS (
         |  SELECT id, nvec,
         |    CAST(list_sum(list_transform(range(0, 8), p ->
         |      CASE WHEN list_sum(list_transform(range(1, len(nvec) + 1),
-        |          d -> nvec[d] * ${duckPlane("p", "(d - 1)")})) > 0
+        |          d -> nvec[d] * m[CAST(p + 1 AS INTEGER)][CAST(d AS INTEGER)]))
+        |          > 0
         |        THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
         |        ELSE 0 END)) AS BIGINT) AS bucket
-        |  FROM v),
+        |  FROM v, planesd),
         |s AS (
         |  SELECT a.id AS id_a, b.id AS id_b,
         |    list_sum(list_transform(range(1, len(a.nvec) + 1),

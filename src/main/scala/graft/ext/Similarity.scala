@@ -75,27 +75,40 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: portable hash of
-    * (plane index, dimension index) mapped into [-0.5, 0.5). Uses
-    * [[Dedup.hash48]] (md5-prefix) so any engine reproduces the exact
-    * hyperplanes — components are rationals with denominator 10^4, so
-    * the dot products are bit-identical across engines too.
+  /** Deterministic pseudo-random hyperplane components: portable hash of
+    * (plane index, dimension index) mapped into [-0.5, 0.5), derived
+    * from [[Dedup.hash48Value]] ONCE at plan-build time and embedded as
+    * a constant-folded literal matrix — zero per-row hashing (the md5
+    * variant cost ~0.5 ms/row interpreted at 64 dims × 8 planes).
+    * Components are rationals with denominator 10^4, so any engine
+    * evaluating the same literals gets bit-identical dot products.
     */
-  private def planeComponent(p: Column, i: Column): Column =
-    (pmod(Dedup.hash48(
-        concat(lit("graft_plane_"), p.cast("string"), lit("_"),
-          i.cast("string"))),
-      lit(10000L)).cast("double") / 10000.0) - 0.5
+  val MaxPlanes = 16
+  val MaxDims = 256
+  val planeMatrix: IndexedSeq[IndexedSeq[Double]] =
+    (0 until MaxPlanes).map { p =>
+      (0 until MaxDims).map { i =>
+        (Dedup.hash48Value(s"graft_plane_${p}_$i") % 10000L).toDouble /
+          10000.0 - 0.5
+      }
+    }
+  private val planeLit: IndexedSeq[Column] =
+    planeMatrix.map(row => array(row.map(lit): _*))
 
-  /** Sign-bit LSH bucket id from `nPlanes` hyperplanes (≤ 63). */
-  def lshBucket(vec: Column, nPlanes: Int = 12): Column =
+  /** Sign-bit LSH bucket id from `nPlanes` hyperplanes (≤ 63). Vectors
+    * longer than [[MaxDims]] are rejected at plan time.
+    */
+  def lshBucket(vec: Column, nPlanes: Int = 12): Column = {
+    require(nPlanes <= MaxPlanes, s"nPlanes $nPlanes > $MaxPlanes")
     (0 until nPlanes).map { p =>
+      val plane = planeLit(p)
       val d = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(lit(p), i)),
+          (x, i) => x.cast("double") * element_at(plane, i + 1)),
         lit(0.0), (s, v) => s + v)
       when(d > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Corpus bucketed by LSH signature — the index build. */
   def lshBuckets(df: DataFrame, idCol: String = "vec_id",
