@@ -49,9 +49,14 @@ object Similarity {
         transform(col("vec"), x => x.cast("double") / col("nrm"))
           .as("nvec"))
 
-  /** Dot of two pre-normalized double arrays = cosine. */
+  /** Dot of two pre-normalized double arrays = cosine. Native codegen'd
+    * expression (graft.functions.DotProduct) — the HOF fold
+    * `aggregate(zip_with(...))` is interpreted and this is the inner
+    * loop of every pair-scoring stage. Identical left-to-right
+    * summation order, so results are unchanged.
+    */
   def dotN(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dot(a, b)
 
   /** Exact top-k neighbors for each query vector.
     * Output: (query_id, neighbor_id, rank), rank 1..k by cosine

@@ -14,13 +14,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("bounded_distinct"), BoundedDistinct.info,
         BoundedDistinct.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("dot_double"), DotProduct.info,
+        DotProduct.builder))
   }
 }
 
 object GraftFunctions {
   /** Imperative registration on an existing session (tests, harness). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bounded_distinct"), BoundedDistinct.info,
       BoundedDistinct.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_double"), DotProduct.info,
+      DotProduct.builder)
+  }
 }

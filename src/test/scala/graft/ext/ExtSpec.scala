@@ -53,6 +53,22 @@ class ExtSpec extends SparkSpec {
     assert(hamming(s(1L), s(2L)) < hamming(s(1L), s(3L)))
   }
 
+  test("native dot_double: codegen expression matches the HOF fold") {
+    graft.functions.GraftFunctions.register(spark)
+    val sql = spark.sql(
+      "SELECT dot_double(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D))")
+      .collect()(0).getDouble(0)
+    assert(sql == 32.0)
+    val df = Seq((Seq(0.1, 0.2, 0.3), Seq(-1.0, 2.5, 0.7))).toDF("a", "b")
+    val native = df.select(
+      graft.functions.DotProduct.dot(col("a"), col("b"))).collect()(0)
+      .getDouble(0)
+    val fold = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)).collect()(0).getDouble(0)
+    assert(native == fold) // bit-identical summation order
+  }
+
   test("cosine similarity: known vectors") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
