@@ -208,6 +208,19 @@ class ValidateSpec extends SparkSpec {
     assert(parsed.allPaths == Seq("x.csv", "y.csv"))
   }
 
+  test("Graft.validate: reference-shaped entry point from datapackage.json") {
+    write("gv.csv", "id,code\n1,AB\n2,CD\n2,EF\n")
+    val descriptor =
+      """{"name":"gp","resources":[{"name":"t","path":"gv.csv","schema":{
+        |"fields":[{"name":"id","type":"integer"},{"name":"code"}],
+        |"primaryKey":"id"}}]}""".stripMargin
+    val dp = write("datapackage.json", descriptor)
+    val r = Graft.validate(spark, dp) // relative path resolved vs descriptor
+    assert(!r.valid)
+    assert(r.tables.head.errors.exists(e =>
+      e.code == report.ErrorCodes.PrimaryKey && e.violations == 1))
+  }
+
   test("report JSON shape") {
     val p = pkg("id,code\n1,AB\n1,AB\n",
       "cid,parent_id,pair_a,pair_b,qty,flag\n10,1,1,1,1,true\n")
