@@ -24,6 +24,11 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // broadcast/shuffle cleanup is weak-reference driven: without a
+        // GC nudge the ContextCleaner only reclaims on heap pressure,
+        // and on a small driver heap a later allocation-heavy query
+        // then pays the accumulated debt as GC thrash
+        System.gc()
         name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -127,8 +127,11 @@ object Similarity {
   def lshCandidatePairs(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", nPlanes: Int = 12,
       threshold: Double = 0.9): DataFrame = {
+    // cache: the normalize+bucket projection is interpreted (HOF) work
+    // and both sides of the self-join scan it
     val b = normalized(df, idCol, vecCol)
       .withColumn("bucket", lshBucket(col("nvec"), nPlanes))
+      .cache()
     // disjoint names → guaranteed equi join on bucket (see Dedup note)
     val left = b.select(col("id").as("id_a"), col("nvec").as("nvec_a"),
       col("bucket"))
@@ -154,7 +157,8 @@ object Similarity {
     */
   def ivfIndex(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", nLists: Int = 16): DataFrame = {
-    val v = normalized(df, idCol, vecCol)
+    // cache: scanned for the centroid pick AND the assignment pass
+    val v = normalized(df, idCol, vecCol).cache()
     val cents = v.orderBy(col("id")).limit(nLists)
       .select(col("id").as("list_id"), col("nvec").as("cvec"))
     // assign: argmax centroid dot per vector (broadcast centroids)
