@@ -78,6 +78,17 @@ object SparkEntry {
       Seq("c_custkey")).orderBy("o_custkey")
   }
 
+  /** K3 salted variant on the same degraded-parent scenario — identical
+    * result set (the salt never changes membership), exercised against
+    * the SAME oracle; the skew path for fact→fact fks.
+    */
+  private def k3FkSalted(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val parent = t(s, dir, "customer").filter(col("c_custkey") % 10 =!= 0)
+    Checks.foreignKeySalted(orders, Seq("o_custkey"), parent,
+      Seq("c_custkey"), saltBuckets = 8).orderBy("o_custkey")
+  }
+
   /** K3 composite+clean: lineitem (l_orderkey) ⊆ orders — empty result. */
   private def k3FkLineitemOrders(s: SparkSession, dir: String): DataFrame =
     Checks.foreignKey(t(s, dir, "lineitem"), Seq("l_orderkey"),
@@ -648,6 +659,14 @@ object SparkEntry {
     StreamingValidate.sessionize(t(s, dir, "events"), 30)
       .orderBy("user_id", "session_start")
 
+  /** Native session_window sessionization — same sessions via the
+    * built-in windowed aggregation (gap-tie boundary uses >=; see
+    * StreamingValidate.sessionizeNative scaladoc).
+    */
+  private def xStreamSessionizeNative(s: SparkSession, dir: String): DataFrame =
+    StreamingValidate.sessionizeNative(t(s, dir, "events"), 30)
+      .orderBy("user_id", "session_start")
+
   // -------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_pk_lineitem" -> (k1PkLineitem _),
@@ -705,7 +724,9 @@ object SparkEntry {
     "p14_geojson" -> (p14Geojson _),
     "x_dedup_keep_first" -> (xDedupKeepFirst _),
     "x_dedup_embed" -> (xDedupEmbed _),
-    "x_stream_sliding" -> (xStreamSliding _)
+    "x_stream_sliding" -> (xStreamSliding _),
+    "k3_fk_salted" -> (k3FkSalted _),
+    "x_stream_sessionize_native" -> (xStreamSessionizeNative _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -1352,6 +1373,30 @@ object SparkEntry {
       """SELECT l_partkey, l_suppkey, count(*) AS cnt FROM lineitem
         |WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
         |GROUP BY 1,2 HAVING count(*) > 1 ORDER BY 1,2""".stripMargin,
+    "k3_fk_salted" ->
+      """SELECT o.o_custkey, count(*) AS cnt FROM orders o
+        |LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+        |           WHERE c_custkey % 10 <> 0) c
+        |ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_stream_sessionize_native" ->
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "x_stream_sessionize" ->
       """WITH d AS (
         |  SELECT user_id, ts,

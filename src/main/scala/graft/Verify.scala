@@ -23,7 +23,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop per-query leaked caches (e.g. the near-dup hash arrays)
+      // and nudge the weak-ref ContextCleaner (see Bench)
       spark.catalog.clearCache()
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -144,6 +144,42 @@ object Checks {
     case _                  => lit(bound)
   }
 
+  /** K3 for SKEWED fact→fact joins: deterministic salting. The child's
+    * shuffle key gains a per-row salt, the parent's distinct keys are
+    * replicated across all `saltBuckets` salts, and the anti join runs
+    * on (key…, salt) — a hot child key now spreads over `saltBuckets`
+    * reducers instead of one. Result set is identical to [[foreignKey]]
+    * (the salt never changes membership). AQE's skew-join handles the
+    * sort-merge case automatically; explicit salting is for when the
+    * join must hash-partition (e.g. followed by a same-key aggregation)
+    * or AQE is unavailable.
+    */
+  def foreignKeySalted(
+      child: DataFrame,
+      childKeys: Seq[String],
+      parent: DataFrame,
+      parentKeys: Seq[String],
+      saltBuckets: Int = 16
+  ): DataFrame = {
+    require(childKeys.size == parentKeys.size, "fk arity mismatch")
+    val c = child.select(childKeys.map(child(_)): _*)
+      .filter(childKeys.map(child(_).isNotNull).reduce(_ && _))
+      .withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+    val p = parent.select(
+        parentKeys.zip(childKeys).map { case (pk, ck) =>
+          parent(pk).as(ck)
+        }: _*)
+      .distinct()
+      .withColumn("__salt",
+        explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    val cond = (childKeys.map(k => c(k) === p(k)) :+
+      (c("__salt") === p("__salt"))).reduce(_ && _)
+    c.join(p, cond, "left_anti")
+      .groupBy(childKeys.map(c(_)): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   // ------------------------------------------------ opt-in row positions
   /** Stable 1-based row numbers in the source's scan order (SURVEY.md
     * §4.3 decision 4). `monotonically_increasing_id` leaves gaps across

@@ -197,6 +197,28 @@ object StreamingValidate {
       .join(p, cond, "left_anti")
   }
 
+  /** Native session-window sessionization: Spark's built-in
+    * `session_window` expresses the same gap sessions as [[sessionize]]
+    * as a plain windowed aggregation — engine-managed state, works on
+    * batch and (with a watermark) streaming inputs. Identical
+    * semantics, including exact-gap ties (both extend the session when
+    * `next.ts == prev.ts + gap`; verified in StreamingSpec). The window
+    * end is `last event + gap`, so `session_end` subtracts the gap back
+    * to the last event time.
+    */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60000000L
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("session_window.start").as("session_start"),
+        timestamp_micros(unix_micros(col("session_window.end")) - gapUs)
+          .as("session_end"),
+        col("n_events"))
+  }
+
   /** Stateful exact dedup within the watermark horizon: Structured
     * Streaming keeps the seen-key state and drops late duplicates.
     */

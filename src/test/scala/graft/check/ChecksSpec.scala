@@ -70,6 +70,19 @@ class ChecksSpec extends SparkSpec {
     assert(v.length == 1 && v(0).getLong(0) == 2)
   }
 
+  test("salted fk: identical result to plain fk (salt never changes membership)") {
+    val child = Seq(Some(1), Some(2), Some(99), Some(99), None)
+      .toDF("parent_id")
+    val parent = Seq(1, 2, 3).toDF("id")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val plain = toSet(
+      Checks.foreignKey(child, Seq("parent_id"), parent, Seq("id")))
+    val salted = toSet(Checks.foreignKeySalted(
+      child, Seq("parent_id"), parent, Seq("id"), saltBuckets = 4))
+    assert(salted == plain)
+  }
+
   test("opt-in row numbers: exact 1-based positions of offending cells") {
     val df = Seq("aa", "b", "cc", "d").toDF("x")
     val v = Checks.offendingRows(df, "x", length(col("x")) < 2)

@@ -164,6 +164,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("user_mod") < 5).count() == 0)
   }
 
+  test("native session_window matches custom sessionize; splits on exact-gap tie") {
+    import spark.implicits._
+    def ev(rows: Seq[(Long, String)]) =
+      rows.toDF("user_id", "s")
+        .select(col("user_id"), to_timestamp(col("s")).as("ts"))
+    val plain = ev(Seq((1L, "2026-01-01 00:00:00"),
+      (1L, "2026-01-01 00:10:00"), (1L, "2026-01-01 01:00:00")))
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"),
+        r.getAs[Long]("n_events"))).toSeq
+    assert(sessions(StreamingValidate.sessionizeNative(plain, 30)) ==
+      sessions(StreamingValidate.sessionize(plain, 30)))
+    // exact 30-min tie: BOTH keep the session open (session_window's
+    // merge condition is inclusive, matching the custom strict->closes)
+    val tie = ev(Seq((1L, "2026-01-01 00:00:00"),
+      (1L, "2026-01-01 00:30:00")))
+    assert(sessions(StreamingValidate.sessionize(tie, 30)) ==
+      sessions(StreamingValidate.sessionizeNative(tie, 30)))
+    assert(sessions(StreamingValidate.sessionizeNative(tie, 30)).size == 1)
+  }
+
   test("violation flags are streaming-safe (stateless projection)") {
     val schema = TableSchema(Seq(
       Field("event_type", constraints = Constraints(
