@@ -531,6 +531,15 @@ object SparkEntry {
         col("cnt"))
       .orderBy("window_start", "event_type")
 
+  /** Single-scan column profiling over lineitem: exact,
+    * order-independent statistics per column (counts + string-rendered
+    * min/max; no float averages).
+    */
+  private def xProfile(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.columnProfile(t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+      .orderBy("column_name")
+
   /** Brute-force cosine top-k: 5 query vectors vs the full corpus; rank
     * output only (cosine computed in doubles on both engines, but kept
     * out of the compared columns).
@@ -726,7 +735,8 @@ object SparkEntry {
     "x_dedup_embed" -> (xDedupEmbed _),
     "x_stream_sliding" -> (xStreamSliding _),
     "k3_fk_salted" -> (k3FkSalted _),
-    "x_stream_sessionize_native" -> (xStreamSessionizeNative _)
+    "x_stream_sessionize_native" -> (xStreamSessionizeNative _),
+    "x_profile" -> (xProfile _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -1373,6 +1383,32 @@ object SparkEntry {
       """SELECT l_partkey, l_suppkey, count(*) AS cnt FROM lineitem
         |WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
         |GROUP BY 1,2 HAVING count(*) > 1 ORDER BY 1,2""".stripMargin,
+    "x_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
+        |    count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_nulls,
+        |    count(DISTINCT l_orderkey) AS n_distinct,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+        |    CAST(max(l_orderkey) AS VARCHAR) AS max_value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', count(*),
+        |    count(CASE WHEN l_quantity IS NULL THEN 1 END),
+        |    count(DISTINCT l_quantity),
+        |    CAST(min(l_quantity) AS VARCHAR),
+        |    CAST(max(l_quantity) AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(*),
+        |    count(CASE WHEN l_returnflag IS NULL THEN 1 END),
+        |    count(DISTINCT l_returnflag),
+        |    CAST(min(l_returnflag) AS VARCHAR),
+        |    CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', count(*),
+        |    count(CASE WHEN l_shipdate IS NULL THEN 1 END),
+        |    count(DISTINCT l_shipdate),
+        |    CAST(min(l_shipdate) AS VARCHAR),
+        |    CAST(max(l_shipdate) AS VARCHAR) FROM lineitem)
+        |ORDER BY column_name""".stripMargin,
     "k3_fk_salted" ->
       """SELECT o.o_custkey, count(*) AS cnt FROM orders o
         |LEFT JOIN (SELECT DISTINCT c_custkey FROM customer

@@ -91,6 +91,25 @@ class ExtSpec extends SparkSpec {
     assert(native == fold) // bit-identical summation order
   }
 
+  test("hash48 column expression matches driver-side hash48Value") {
+    val vals = Seq("", "abc", "hello world", "ünïcödé ☃")
+    val got = vals.toDF("s")
+      .select(col("s"), Dedup.hash48(col("s")).as("h")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    vals.foreach(v => assert(got(v) == Dedup.hash48Value(v), v))
+  }
+
+  test("column profile: exact stats in one scan") {
+    val df = Seq((1, Some("a")), (2, None), (2, Some("c")))
+      .toDF("k", "v")
+    val prof = Profile.columnProfile(df, Seq("k", "v")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5))).toMap
+    assert(prof("k") == ((3L, 0L, 2L, "1", "2")))
+    assert(prof("v") == ((3L, 1L, 2L, "a", "c")))
+  }
+
   test("cosine similarity: known vectors") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
