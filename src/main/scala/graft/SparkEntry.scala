@@ -647,6 +647,17 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Multimodal: frame-sampling plumbing — k byte-range slices per blob
+    * with offsets (the schema/batch shape of video frame extraction).
+    */
+  private def xMmFrames(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Multimodal.sampleFrames(Multimodal.withBinary(d, "doc_id", "text"), 3)
+      .select(col("id").as("doc_id"), col("offset").cast(LongType)
+        .as("offset"), col("frame_head"))
+      .orderBy("doc_id", "offset")
+  }
+
   /** Streaming-shaped tumbling-window aggregation (batch-equivalent
     * plan of StreamingValidate.windowedCounts, minus the watermark —
     * identical grouping).
@@ -736,7 +747,8 @@ object SparkEntry {
     "x_stream_sliding" -> (xStreamSliding _),
     "k3_fk_salted" -> (k3FkSalted _),
     "x_stream_sessionize_native" -> (xStreamSessionizeNative _),
-    "x_profile" -> (xProfile _)
+    "x_profile" -> (xProfile _),
+    "x_mm_frames" -> (xMmFrames _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -994,6 +1006,17 @@ object SparkEntry {
         |    - INTERVAL '30 minutes', event_type FROM events)
         |SELECT window_start, event_type, count(*) AS cnt
         |FROM w GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "x_mm_frames" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |    to_base64(encode(text)) AS b64 FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(ii.i * greatest(n // 3, 1) AS BIGINT) AS "offset",
+        |    substr(b64, 1, 16) AS frame_head, n
+        |  FROM b, (SELECT unnest(range(0, 3)) AS i) ii)
+        |SELECT doc_id, "offset", frame_head FROM f WHERE "offset" < n
+        |ORDER BY doc_id, "offset" """.stripMargin,
     "x_mm_decode" ->
       s"""SELECT CAST(doc_id AS BIGINT) AS id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -53,6 +53,40 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("law: composed ISO durations always parse; component-free forms never") {
+    val part = Gen.choose(0, 3) // 0 = absent
+    check(Prop.forAll(part, part, part, part, part, part) {
+      (y: Int, m: Int, d: Int, h: Int, mi: Int, sec: Int) =>
+        val date = Seq(y -> "Y", m -> "M", d -> "D")
+          .collect { case (v, u) if v > 0 => s"$v$u" }.mkString
+        val time = Seq(h -> "H", mi -> "M", sec -> "S")
+          .collect { case (v, u) if v > 0 => s"$v$u" }.mkString
+        val s = "P" + date + (if (time.nonEmpty) "T" + time else "")
+        val hasAny = date.nonEmpty || time.nonEmpty
+        val got = Seq(s).toDF("raw")
+          .select(Parsers.parseExpr(Field("raw", "duration"),
+            col("raw")).as("p"))
+          .collect()(0)
+        if (hasAny) got.getString(0) == s else got.isNullAt(0)
+    })
+  }
+
+  test("law: yearmonth round-trips to the first of the month") {
+    val ym = for {
+      y <- Gen.choose(1000, 9999); m <- Gen.choose(1, 12)
+    } yield (y, m)
+    check(Prop.forAll(Gen.listOfN(10, ym)) { (ys: List[(Int, Int)]) =>
+      ys.isEmpty || {
+        val raws = ys.map { case (y, m) => f"$y%04d-$m%02d" }
+        val got = raws.toDF("raw")
+          .select(Parsers.parseExpr(Field("raw", "yearmonth"),
+            col("raw")).as("p"))
+          .collect().map(_.getDate(0).toLocalDate)
+        got.toList == ys.map { case (y, m) => LocalDate.of(y, m, 1) }
+      }
+    })
+  }
+
   test("law: child ⊆ parent ⇒ no fk violations; extras ⇒ exactly those") {
     check(Prop.forAll(
       Gen.nonEmptyListOf(Gen.choose(0, 50)),
