@@ -46,6 +46,27 @@ object Checks {
       .filter(col("cnt") > 1)
   }
 
+  /** Single-pass duplicate pre-screen for `unique`/`primaryKey` at
+    * scale: `(n_rows, approx_distinct, definitely_has_duplicates)` from
+    * one scan with NO key shuffle (HyperLogLog++ partials merge into a
+    * one-row agg). When `approx_distinct` is far below `n_rows` the key
+    * set PROVABLY has duplicates (HLL++ relative error `rsd`, default
+    * 5%, only blurs the boundary) and the expensive exact check can be
+    * scheduled — or skipped entirely when counts match within error and
+    * the caller only needs a cheap health signal.
+    */
+  def uniqueQuickScreen(
+      df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    // \u0001 separator prevents ("a","bc") / ("ab","c") collisions
+    val key = concat_ws("\u0001", cols.map(df(_).cast("string")): _*)
+    df.filter(cols.map(df(_).isNotNull).reduce(_ && _))
+      .agg(count(lit(1)).as("n_rows"),
+        approx_count_distinct(key, rsd).as("approx_distinct"))
+      .select(col("n_rows"), col("approx_distinct"),
+        (col("approx_distinct") < col("n_rows") * (1.0 - 2 * rsd))
+          .as("definitely_has_duplicates"))
+  }
+
   /** K1 `primaryKey` also implies required on every part (spec).
     * Like [[required]], always one count row.
     */

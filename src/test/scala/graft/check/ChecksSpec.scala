@@ -70,6 +70,16 @@ class ChecksSpec extends SparkSpec {
     assert(v.length == 1 && v(0).getLong(0) == 2)
   }
 
+  test("unique quick-screen: flags heavy duplication without a key shuffle") {
+    val dup = spark.range(0, 10000).selectExpr("id % 100 AS k")
+    val r = Checks.uniqueQuickScreen(dup, Seq("k")).collect()(0)
+    assert(r.getLong(0) == 10000L)
+    assert(r.getBoolean(2), "100 distinct over 10k rows must flag")
+    val uniq = spark.range(0, 10000).toDF("k")
+    val u = Checks.uniqueQuickScreen(uniq, Seq("k")).collect()(0)
+    assert(!u.getBoolean(2), "unique keys must not flag")
+  }
+
   test("salted fk: identical result to plain fk (salt never changes membership)") {
     val child = Seq(Some(1), Some(2), Some(99), Some(99), None)
       .toDF("parent_id")
