@@ -118,9 +118,19 @@ object Checks {
     // project both sides to the key tuple under the child's names
     val c = child.select(childKeys.map(child(_)): _*)
       .filter(childKeys.map(child(_).isNotNull).reduce(_ && _))
-    val p = parent.select(
+    val p0 = parent.select(
       parentKeys.zip(childKeys).map { case (pk, ck) => parent(pk).as(ck) }: _*
     ).distinct()
+    // a caller's broadcast() hint on the parent would otherwise sit
+    // BELOW the distinct aggregate and never reach the join side —
+    // re-apply it to the distinct-keys projection (the side that joins)
+    import org.apache.spark.sql.catalyst.plans.logical.{ResolvedHint, UnresolvedHint}
+    val callerHinted = parent.queryExecution.logical.exists {
+      case h: UnresolvedHint => h.name.toUpperCase.contains("BROADCAST")
+      case h: ResolvedHint   => h.hints.strategy.isDefined
+      case _                 => false
+    }
+    val p = if (callerHinted) broadcast(p0) else p0
     val cond = childKeys.map(k => c(k) === p(k)).reduce(_ && _)
     c.join(p, cond, "left_anti")
       .groupBy(childKeys.map(c(_)): _*)

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+
+import graft.check.Checks
+import graft.schema.{Constraints, Field, TableSchema}
+
+/** Physical-plan contracts — the properties that make the operators
+  * scale are asserted, not assumed (PLANS.md): predicate pushdown,
+  * column pruning, broadcast anti joins, single-scan constraint fusion.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Flatten through AQE wrappers (AdaptiveSparkPlanExec finalized
+    * plan, query stages) to the real physical nodes.
+    */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+    case q: QueryStageExec        => q +: flatten(q.plan)
+    case other => other +: other.children.flatMap(flatten)
+  }
+
+  private def nodes(df: DataFrame): Seq[SparkPlan] = {
+    df.collect() // force execution so AQE finalizes
+    flatten(df.queryExecution.executedPlan)
+  }
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    nodes(df).collect { case s: FileSourceScanExec => s }
+
+  test("constraint filter is pushed into the parquet scan, columns pruned") {
+    val v = Checks.minimum(Tables.load(spark, dir, "lineitem"),
+      "l_quantity", lit(10.0))
+    val s = scans(v)
+    assert(s.size == 1)
+    assert(s.head.requiredSchema.fieldNames.toSeq == Seq("l_quantity"),
+      s"scan should read ONLY l_quantity: ${s.head.requiredSchema}")
+    assert(s.head.dataFilters.nonEmpty,
+      "the minimum predicate must reach the scan")
+  }
+
+  test("fk check plans as a broadcast LEFT ANTI with distinct parent keys") {
+    val orders = Tables.load(spark, dir, "orders")
+    // degraded parent → violations exist, so AQE can't collapse the
+    // whole join to an EmptyRelation (which it rightly does on clean fks)
+    val customer = Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") % 10 =!= 0)
+    val v = Checks.foreignKey(orders, Seq("o_custkey"),
+      broadcast(customer), Seq("c_custkey"))
+    val all = nodes(v)
+    val joins = all.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, "expected a broadcast hash join; nodes: " +
+      all.map(_.getClass.getSimpleName).mkString(", "))
+    assert(joins.head.joinType.toString == "LeftAnti")
+    // both scans are key-only projections
+    scans(v).foreach(s =>
+      assert(s.requiredSchema.fieldNames.length == 1,
+        s"fk scan should be key-only: ${s.requiredSchema}"))
+  }
+
+  test("fused constraint pass is ONE scan for all of a table's checks") {
+    val schema = TableSchema(Seq(
+      Field("l_quantity", "number",
+        constraints = Constraints(minimum = Some("5"),
+          maximum = Some("45"))),
+      Field("l_returnflag",
+        constraints = Constraints(enum = Some(Seq("A", "N", "R")))),
+      Field("l_shipdate", constraints = Constraints(required = Some(true)))))
+    val summary = Checks.constraintSummary(
+      Tables.load(spark, dir, "lineitem"), schema)
+    val s = scans(summary)
+    assert(s.size == 1, s"expected exactly one scan, got ${s.size}")
+    assert(s.head.requiredSchema.fieldNames.toSet ==
+      Set("l_quantity", "l_returnflag", "l_shipdate"))
+  }
+}
