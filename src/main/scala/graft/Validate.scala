@@ -142,11 +142,28 @@ object Validate {
       df: DataFrame,
       schema: TableSchema
   ): (DataFrame, Seq[CheckResult], Set[String]) = {
-    // one fused agg pass: per field, count of invalid cells + bounded
-    // distinct samples via the native bounded_distinct aggregate
-    // (O(maxErrorValues) buffer — collect_set would be unbounded)
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val aggs: Seq[Column] = schema.fields.flatMap { f =>
+    // Fields whose descriptor cannot compile to a parse expression
+    // (untranslatable strptime directive, format 'any', unknown type)
+    // are SCHEMA errors, not data errors: report `schema-error`, keep
+    // the raw column, exclude the field from downstream checks —
+    // the reference's abort-the-field behavior, never a crash.
+    val buildErrors: Map[String, String] = schema.fields.flatMap { f =>
+      try { Parsers.parseExpr(f, df(f.name)); None }
+      catch {
+        case e: graft.parse.PatternError => Some(f.name -> e.msg)
+        case e: IllegalArgumentException => Some(f.name -> e.getMessage)
+      }
+    }.toMap
+    val schemaErrs = schema.fields.flatMap(f =>
+      buildErrors.get(f.name).map(msg =>
+        CheckResult("", ErrorCodes.SchemaError, f.name, 1, Seq(msg))))
+    val okFields = schema.fields.filterNot(f => buildErrors.contains(f.name))
+
+    // one fused agg pass: per parseable field, count of invalid cells +
+    // bounded distinct samples via the native bounded_distinct aggregate
+    // (O(maxErrorValues) buffer — collect_set would be unbounded)
+    val aggs: Seq[Column] = okFields.flatMap { f =>
       val bad = Parsers.invalidExpr(f, df(f.name))
       Seq(
         count(when(bad, lit(1))).as(s"${f.name}__n"),
@@ -154,20 +171,26 @@ object Validate {
           lit(MaxErrorValues)).as(s"${f.name}__v")
       )
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val results = schema.fields.zipWithIndex.map { case (f, i) =>
-      CheckResult(
-        table = "",
-        code = ErrorCodes.TypeOrFormat,
-        field = f.name,
-        violations = row.getLong(2 * i),
-        sampleValues = row.getSeq[String](2 * i + 1)
-      )
-    }
-    val failed = results.filterNot(_.passed).map(_.field).toSet
+    val results =
+      if (aggs.isEmpty) Seq.empty
+      else {
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        okFields.zipWithIndex.map { case (f, i) =>
+          CheckResult(
+            table = "",
+            code = ErrorCodes.TypeOrFormat,
+            field = f.name,
+            violations = row.getLong(2 * i),
+            sampleValues = row.getSeq[String](2 * i + 1)
+          )
+        }
+      }
+    val failed = results.filterNot(_.passed).map(_.field).toSet ++
+      buildErrors.keySet
     val typed = df.select(schema.fields.map(f =>
-      Parsers.parseExpr(f, df(f.name)).as(f.name)): _*)
-    (typed, results, failed)
+      if (buildErrors.contains(f.name)) df(f.name)
+      else Parsers.parseExpr(f, df(f.name)).as(f.name)): _*)
+    (typed, schemaErrs ++ results, failed)
   }
 
   // ---------------------------------------------------------------- checks

@@ -94,6 +94,24 @@ class ValidateSpec extends SparkSpec {
     assert(!codes.contains(ErrorCodes.Minimum))
   }
 
+  test("unbuildable field format reports schema-error, no crash") {
+    val p = Package("f", Seq(
+      Resource("t", write("se.csv", "a,b\n2026-01-01,5\nbad,6\n"),
+        TableSchema(Seq(
+          Field("a", "date", format = "%G-%V-%u"), // week-based: rejected
+          Field("b", "integer",
+            constraints = Constraints(minimum = Some("0"))))))))
+    val r = Validate.validateCsv(spark, p)
+    val errs = r.tables.head.errors
+    val se = errs.find(_.code == ErrorCodes.SchemaError)
+    assert(se.isDefined && se.get.field == "a", errs.mkString("; "))
+    // the bad field is excluded from checks; the good field still runs
+    assert(!errs.exists(e => e.field == "a" &&
+      e.code == ErrorCodes.TypeOrFormat))
+    assert(errs.exists(e => e.field == "b" && e.code == ErrorCodes.Minimum))
+    assert(!r.valid)
+  }
+
   test("header reconciliation codes") {
     val schema = TableSchema(Seq(Field("a"), Field("b"), Field("c")))
     def codes(cols: Seq[String]): Set[String] =
