@@ -614,6 +614,19 @@ object SparkEntry {
         TextAnalysis.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  /** Stopword hits + stopword ratio (per-token) — the quality signal
+    * used to pre-filter machine-generated / non-prose text.
+    */
+  private def xTextStopwords(s: SparkSession, dir: String): DataFrame = {
+    val hits = TextAnalysis.stopwordScore(col("text"),
+      TextAnalysis.StopwordsEn)
+    val toks = TextAnalysis.tokenCount(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), hits.cast(LongType).as("en_hits"),
+        round(hits / greatest(toks, lit(1)), 6).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: md5 over normalized text. */
   private def xTextFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -748,7 +761,8 @@ object SparkEntry {
     "k3_fk_salted" -> (k3FkSalted _),
     "x_stream_sessionize_native" -> (xStreamSessionizeNative _),
     "x_profile" -> (xProfile _),
-    "x_mm_frames" -> (xMmFrames _)
+    "x_mm_frames" -> (xMmFrames _),
+    "x_text_stopwords" -> (xTextStopwords _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -1382,6 +1396,21 @@ object SparkEntry {
         |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
         |       WHEN s_fr >= s_de THEN 'fr'
         |       ELSE 'de' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "x_text_stopwords" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    (length(p)-length(replace(p,' the ','')))/5
+        |      + (length(p)-length(replace(p,' and ','')))/5
+        |      + (length(p)-length(replace(p,' of ','')))/4
+        |      + (length(p)-length(replace(p,' to ','')))/4
+        |      + (length(p)-length(replace(p,' a ','')))/3 AS hits,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS toks
+        |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS p
+        |        FROM documents))
+        |SELECT doc_id, CAST(hits AS BIGINT) AS en_hits,
+        |  round(hits / greatest(toks, 1), 6) AS stopword_ratio
         |FROM sc ORDER BY doc_id""".stripMargin,
     "x_text_fingerprint" ->
       """SELECT doc_id,
