@@ -87,6 +87,59 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("law: EU-formatted numbers (groupChar '.', decimalChar ',') round-trip") {
+    val gen = for {
+      intPart <- Gen.choose(0L, 999999999L)
+      fracDigits <- Gen.choose(0, 4)
+      frac <- Gen.listOfN(fracDigits, Gen.numChar).map(_.mkString)
+      neg <- Gen.oneOf(true, false)
+    } yield (intPart, frac, neg)
+    check(Prop.forAll(Gen.listOfN(8, gen)) {
+      (xs: List[(Long, String, Boolean)]) =>
+        xs.isEmpty || {
+          val f = Field("raw", "number", decimalChar = ",", groupChar = ".")
+          val raws = xs.map { case (ip, fr, neg) =>
+            // group the integer part in threes with '.', decimal ','
+            val grouped = ip.toString.reverse.grouped(3)
+              .mkString(".").reverse
+            val sign = if (neg) "-" else ""
+            sign + grouped + (if (fr.nonEmpty) "," + fr else "")
+          }
+          val expect = xs.map { case (ip, fr, neg) =>
+            val s = (if (neg) "-" else "") + ip.toString +
+              (if (fr.nonEmpty) "." + fr else "")
+            s.toDouble
+          }
+          val got = raws.toDF("raw")
+            .select(Parsers.parseExpr(f, col("raw")).as("p"))
+            .collect().map(_.getDouble(0))
+          got.toList == expect
+        }
+    })
+  }
+
+  test("law: geopoint 'lon, lat' round-trips inside range, nulls outside") {
+    val coord = for {
+      lon <- Gen.choose(-250, 250); lat <- Gen.choose(-120, 120)
+    } yield (lon, lat)
+    check(Prop.forAll(Gen.listOfN(10, coord)) { (cs: List[(Int, Int)]) =>
+      cs.isEmpty || {
+        val f = Field("raw", "geopoint")
+        val got = cs.map { case (lon, lat) => s"$lon, $lat" }.toDF("raw")
+          .select(Parsers.parseExpr(f, col("raw")).as("p"))
+          .collect()
+        cs.zip(got).forall { case ((lon, lat), row) =>
+          val inRange = math.abs(lon) <= 180 && math.abs(lat) <= 90
+          if (!inRange) row.isNullAt(0)
+          else {
+            val st = row.getStruct(0)
+            st.getDouble(0) == lon.toDouble && st.getDouble(1) == lat.toDouble
+          }
+        }
+      }
+    })
+  }
+
   test("law: child ⊆ parent ⇒ no fk violations; extras ⇒ exactly those") {
     check(Prop.forAll(
       Gen.nonEmptyListOf(Gen.choose(0, 50)),
