@@ -531,14 +531,75 @@ object SparkEntry {
         col("cnt"))
       .orderBy("window_start", "event_type")
 
-  /** Single-scan column profiling over lineitem: exact,
-    * order-independent statistics per column (counts + string-rendered
-    * min/max; no float averages).
+  /** Single-scan column profiling over lineitem in EXACT mode (the
+    * opt-in path): order-independent statistics per column (counts +
+    * string-rendered min/max; no float averages).
     */
   private def xProfile(s: SparkSession, dir: String): DataFrame =
     graft.ext.Profile.columnProfile(t(s, dir, "lineitem"),
-      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"),
+      exact = true)
       .orderBy("column_name")
+
+  /** Default (approx) profiling mode — the 100 TB path: HLL++ distinct
+    * estimates, one scan with NO Expand (asserted in PlanSpec). The
+    * estimate itself is engine-specific, so the compared columns are
+    * the exact measures plus a sanity gate on the estimate; estimate
+    * accuracy vs exact is additionally asserted in ExtSpec.
+    */
+  private def xProfileApprox(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.columnProfile(t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("min_value"), col("max_value"),
+        (col("n_distinct") >= 1 &&
+          col("n_distinct") <= col("n_rows") * 1.2).as("distinct_sane"))
+      .orderBy("column_name")
+
+  /** HLL++ duplicate quick-screen (Checks.uniqueQuickScreen): one scan,
+    * no key shuffle. The approx estimate is engine-specific, so the
+    * compared columns are `n_rows` and the screening verdict only —
+    * lineitem's degraded PK must scream duplicates, nation's clean PK
+    * must not.
+    */
+  private def xUniqueScreen(s: SparkSession, dir: String): DataFrame = {
+    val li = Checks.uniqueQuickScreen(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber"))
+      .select(lit("lineitem_pk").as("key_set"), col("n_rows"),
+        col("definitely_has_duplicates"))
+    val na = Checks.uniqueQuickScreen(t(s, dir, "nation"),
+        Seq("n_nationkey"))
+      .select(lit("nation_pk").as("key_set"), col("n_rows"),
+        col("definitely_has_duplicates"))
+    li.unionByName(na).orderBy("key_set")
+  }
+
+  /** Hot LSH buckets over documents (boilerplate-cluster reporting):
+    * same shingle/minhash/banding constants as x_dedup_minhash, so the
+    * oracle reuses the portable hash rendering.
+    */
+  private def xHotBuckets(s: SparkSession, dir: String): DataFrame =
+    Dedup.hotBuckets(t(s, dir, "documents"), "doc_id", "text",
+      maxBucketSize = 2, numHashes = 32, bands = 16, k = 5)
+      .select(col("band").cast(LongType).as("band"), col("bucket"),
+        col("bcnt"))
+      .orderBy("band", "bucket")
+
+  /** IVF under sampled k-means centroids — the quality quantizer. The
+    * centroid fit is driver-side Lloyd on a bounded hash-ordered sample
+    * (not SQL-expressible), so this entry has no oracle: the driver
+    * records the rows-only check, while recall-vs-brute-force and
+    * list-balance are asserted in ExtSpec.
+    */
+  private def xSimIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.kmeansCentroids(e, nLists = 16)
+    val index = Similarity.ivfIndexWith(e, cents)
+    Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), index, cents, 10,
+      nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
 
   /** Brute-force cosine top-k: 5 query vectors vs the full corpus; rank
     * output only (cosine computed in doubles on both engines, but kept
@@ -762,7 +823,11 @@ object SparkEntry {
     "x_stream_sessionize_native" -> (xStreamSessionizeNative _),
     "x_profile" -> (xProfile _),
     "x_mm_frames" -> (xMmFrames _),
-    "x_text_stopwords" -> (xTextStopwords _)
+    "x_text_stopwords" -> (xTextStopwords _),
+    "x_profile_approx" -> (xProfileApprox _),
+    "x_unique_screen" -> (xUniqueScreen _),
+    "x_hot_buckets" -> (xHotBuckets _),
+    "x_sim_ivf_kmeans" -> (xSimIvfKmeans _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -1501,6 +1566,70 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+    // x_sim_ivf_kmeans: intentionally no oracle — the centroid fit is a
+    // driver-side bounded-sample Lloyd iteration (not SQL-expressible);
+    // the driver records the rows-only check and ExtSpec asserts recall
+    // + list balance.
+    "x_profile_approx" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
+        |    count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_nulls,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+        |    CAST(max(l_orderkey) AS VARCHAR) AS max_value,
+        |    TRUE AS distinct_sane FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', count(*),
+        |    count(CASE WHEN l_quantity IS NULL THEN 1 END),
+        |    CAST(min(l_quantity) AS VARCHAR),
+        |    CAST(max(l_quantity) AS VARCHAR), TRUE FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(*),
+        |    count(CASE WHEN l_returnflag IS NULL THEN 1 END),
+        |    CAST(min(l_returnflag) AS VARCHAR),
+        |    CAST(max(l_returnflag) AS VARCHAR), TRUE FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', count(*),
+        |    count(CASE WHEN l_shipdate IS NULL THEN 1 END),
+        |    CAST(min(l_shipdate) AS VARCHAR),
+        |    CAST(max(l_shipdate) AS VARCHAR), TRUE FROM lineitem)
+        |ORDER BY column_name""".stripMargin,
+    "x_unique_screen" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem_pk' AS key_set, count(*) AS n_rows,
+        |    TRUE AS definitely_has_duplicates
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'nation_pk', count(*), FALSE
+        |  FROM nation WHERE n_nationkey IS NOT NULL)
+        |ORDER BY key_set""".stripMargin,
+    "x_hot_buckets" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |shd AS (
+        |  SELECT id, list_transform(
+        |    list_distinct(CASE WHEN len(toks) >= 5
+        |      THEN list_transform(range(1, len(toks) - 3),
+        |        i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+        |      ELSE [array_to_string(toks, ' ')] END),
+        |    s -> ${duckHash48("s")}) AS sh
+        |  FROM tok),
+        |sigd AS (
+        |  SELECT id, list_transform(range(0, 32),
+        |    i -> list_min(list_transform(sh, h -> ${duckPerm("h", "i")})))
+        |    AS sig
+        |  FROM shd),
+        |banded AS (
+        |  SELECT id, bb.b AS band,
+        |    array_to_string(list_slice(sig, bb.b * 2 + 1, bb.b * 2 + 2), '_')
+        |      AS bucket
+        |  FROM sigd, (SELECT unnest(range(0, 16)) AS b) bb)
+        |SELECT band, bucket, count(*) AS bcnt FROM banded
+        |GROUP BY band, bucket HAVING count(*) > 2
+        |ORDER BY band, bucket""".stripMargin
   )
 }

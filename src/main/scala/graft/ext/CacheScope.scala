@@ -1,0 +1,29 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+
+/** Scoped cache lifecycle for the dedup/similarity pipelines.
+  *
+  * These operators cache an intermediate frame (hashed shingles, LSH
+  * buckets, normalized vectors) that multiple downstream joins scan. A
+  * bare `.cache()` with no unpersist leaks the cached partitions into
+  * the caller's long-lived session (the repeated-validation production
+  * pattern) until eviction pressure. This helper bounds the cache to
+  * the call: the result is eagerly materialized with `localCheckpoint`
+  * (consuming the cache exactly as many times as the plan needs it),
+  * then the intermediate cache is dropped before returning. The
+  * returned frame is a plain materialized artifact — an index/candidate
+  * set that callers reuse without recomputation — and its storage is
+  * reclaimed automatically by the context cleaner once unreferenced.
+  */
+private[graft] object CacheScope {
+
+  /** Run `body` with `frame` cached; release the cache before returning
+    * the eagerly-materialized result.
+    */
+  def withCached(frame: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
+    val cached = frame.cache()
+    try body(cached).localCheckpoint(eager = true)
+    finally cached.unpersist(blocking = false)
+  }
+}

@@ -248,20 +248,21 @@ object Dedup {
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 16, k: Int = 3,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = 0): DataFrame =
     // staged projections: tokens and shingle hashes materialize before
     // the signature lambda consumes them (see interpreter discipline
-    // note above); cache because both sides of the bucket self-join
-    // scan the signatures
-    val base = df
-      .select(col(idCol).as("id"),
-        TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col("id"), shingleHashesFromTokens(col("toks"), k).as("sh"))
-      .cache()
-    candidatesFromSigs(
-      base.select(col("id"), minhashFromHashes(col("sh"), numHashes).as("sig")),
-      numHashes, bands, maxBucketSize)
-  }
+    // note above); cached (scoped — released before returning) because
+    // both sides of the bucket self-join scan the signatures
+    CacheScope.withCached(
+      df.select(col(idCol).as("id"),
+          TextAnalysis.tokens(col(textCol)).as("toks"))
+        .select(col("id"),
+          shingleHashesFromTokens(col("toks"), k).as("sh"))) { base =>
+      candidatesFromSigs(
+        base.select(col("id"),
+          minhashFromHashes(col("sh"), numHashes).as("sig")),
+        numHashes, bands, maxBucketSize)
+    }
 
   // --------------------------------------------------------------- Jaccard
   /** Exact n-gram Jaccard similarity of two text columns: |A∩B| / |A∪B|
@@ -331,19 +332,20 @@ object Dedup {
   def nearDuplicatesFromTokens(
       df: DataFrame,
       threshold: Double = 0.7, numHashes: Int = 32, bands: Int = 16,
-      k: Int = 3, maxBucketSize: Int = 0): DataFrame = {
-    val base = df.select(col("id"),
-      shingleHashesFromTokens(col("toks"), k).as("sh")).cache()
-    val sigs = base.select(col("id"),
-      minhashFromHashes(col("sh"), numHashes).as("sig"))
-    val cands = candidatesFromSigs(sigs, numHashes, bands, maxBucketSize)
-    cands
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        jaccardHashes(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
+      k: Int = 3, maxBucketSize: Int = 0): DataFrame =
+    CacheScope.withCached(
+      df.select(col("id"),
+        shingleHashesFromTokens(col("toks"), k).as("sh"))) { base =>
+      val sigs = base.select(col("id"),
+        minhashFromHashes(col("sh"), numHashes).as("sig"))
+      val cands = candidatesFromSigs(sigs, numHashes, bands, maxBucketSize)
+      cands
+        .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          jaccardHashes(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
 
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String,

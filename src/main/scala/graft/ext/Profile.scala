@@ -7,25 +7,36 @@ import org.apache.spark.sql.functions._
   * runs before (or instead of) full checks at 100 TB: row/null/distinct
   * counts and value ranges per column.
   *
-  * One `agg()` over one scan computes every measure for every column
-  * (partial aggregation map-side, one tiny exchange); the wide result
-  * row is then unpivoted driver-free with `stack` into the long
-  * (column, measure…) shape. Only exact, order-independent measures are
-  * emitted (counts, min/max) — no float averages whose partition order
-  * could wobble the result.
+  * Distinct counts default to `approx_count_distinct` (HyperLogLog++):
+  * one scan, partial aggregation map-side, one tiny exchange — matching
+  * the operator's quick-screen purpose. EXACT `count_distinct` over N
+  * columns in one `agg` makes Catalyst plan an Expand that multiplies
+  * every input row ×(N+1) before the shuffle — at 100 TB that is N+1
+  * scans' worth of shuffle input, so exact mode is an explicit opt-in
+  * (`exact = true`) for when the precise cardinality is the deliverable.
+  *
+  * The wide one-row result is then unpivoted driver-free with `stack`
+  * into the long (column, measure…) shape. Apart from the approx
+  * distinct estimate, only exact order-independent measures are emitted
+  * (counts, min/max) — no float averages whose partition order could
+  * wobble the result.
   */
 object Profile {
 
   /** Per-column stats: (column, n_rows, n_nulls, n_distinct, min_value,
     * max_value) with min/max rendered as strings (heterogeneous column
-    * types in one output).
+    * types in one output). `n_distinct` is an HLL++ estimate at `rsd`
+    * relative error unless `exact = true`.
     */
-  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def columnProfile(df: DataFrame, cols: Seq[String],
+      exact: Boolean = false, rsd: Double = 0.05): DataFrame = {
+    def distinctAgg(c: Column): Column =
+      if (exact) count_distinct(c) else approx_count_distinct(c, rsd)
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"${c}__n"),
         count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
-        count_distinct(col(c)).as(s"${c}__distinct"),
+        distinctAgg(col(c)).as(s"${c}__distinct"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }

@@ -2,7 +2,8 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+
+import graft.functions.BoundedTopK
 
 /** Similarity search over embedding columns (SURVEY.md §7.6).
   *
@@ -58,6 +59,24 @@ object Similarity {
   def dotN(a: Column, b: Column): Column =
     graft.functions.DotProduct.dot(a, b)
 
+  /** Rank a scored (query_id, neighbor_id, sim) frame down to the top
+    * `k` per query via the native [[BoundedTopK]] aggregate — NOT a
+    * `Window.partitionBy(query_id)` + `row_number`, which would route
+    * every scored corpus row for one query to a single reducer and
+    * sort it there (at 100 TB corpus × 5 queries: 5 reducers each
+    * sorting the whole corpus). The aggregate keeps k entries per
+    * map-side partial and k-merges them in the final hash aggregation —
+    * O(k) memory per task, no global per-query sort. The order (sim
+    * desc, neighbor_id asc) is total, so the output is identical to the
+    * window formulation.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(BoundedTopK.topk(col("sim"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+
   /** Exact top-k neighbors for each query vector.
     * Output: (query_id, neighbor_id, rank), rank 1..k by cosine
     * descending, neighbor id ascending on ties. Self-matches excluded.
@@ -73,11 +92,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         dotN(col("qvec"), col("cvec")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane components: portable hash of
@@ -126,86 +141,183 @@ object Similarity {
     */
   def lshCandidatePairs(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", nPlanes: Int = 12,
-      threshold: Double = 0.9): DataFrame = {
-    // cache: the normalize+bucket projection is interpreted (HOF) work
-    // and both sides of the self-join scan it
-    val b = normalized(df, idCol, vecCol)
-      .withColumn("bucket", lshBucket(col("nvec"), nPlanes))
-      .cache()
-    // disjoint names → guaranteed equi join on bucket (see Dedup note)
-    val left = b.select(col("id").as("id_a"), col("nvec").as("nvec_a"),
-      col("bucket"))
-    val right = b.select(col("id").as("id_b"), col("nvec").as("nvec_b"),
-      col("bucket").as("bucket_b"))
-    left.join(right, col("bucket") === col("bucket_b") &&
-        col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        dotN(col("nvec_a"), col("nvec_b")).as("sim"))
-      .filter(col("sim") >= threshold)
-  }
+      threshold: Double = 0.9): DataFrame =
+    // cache (scoped): the normalize+bucket projection is interpreted
+    // (HOF) work and both sides of the self-join scan it; CacheScope
+    // releases it before returning (no session-lifetime leak)
+    CacheScope.withCached(
+      normalized(df, idCol, vecCol)
+        .withColumn("bucket", lshBucket(col("nvec"), nPlanes))) { b =>
+      // disjoint names → guaranteed equi join on bucket (see Dedup note)
+      val left = b.select(col("id").as("id_a"), col("nvec").as("nvec_a"),
+        col("bucket"))
+      val right = b.select(col("id").as("id_b"), col("nvec").as("nvec_b"),
+        col("bucket").as("bucket_b"))
+      left.join(right, col("bucket") === col("bucket_b") &&
+          col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          dotN(col("nvec_a"), col("nvec_b")).as("sim"))
+        .filter(col("sim") >= threshold)
+    }
 
-  /** IVF (inverted-file) ANN index: a coarse quantizer assigns each
-    * vector to its nearest centroid; a query probes only the `nProbe`
-    * nearest centroid lists instead of the full corpus.
-    *
-    * Centroids are taken deterministically (the `nLists` corpus vectors
-    * with the smallest ids) — a production build would k-means them, but
-    * the *plumbing* (assignment shuffle on list id, probe-restricted
-    * search, broadcast centroids) is identical and that is what has to
-    * scale: corpus shuffles once at build time; each query touches
-    * `nProbe / nLists` of the data.
+  // ------------------------------------------------------------------ IVF
+  /** Deterministic trivial quantizer: the `nLists` corpus vectors with
+    * the smallest ids as centroids — the fully oracle-checkable path
+    * (any SQL engine reproduces the pick). [[kmeansCentroids]] is the
+    * quality quantizer for real (clustered) data.
     */
-  def ivfIndex(df: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", nLists: Int = 16): DataFrame = {
-    // cache: scanned for the centroid pick AND the assignment pass
-    val v = normalized(df, idCol, vecCol).cache()
-    val cents = v.orderBy(col("id")).limit(nLists)
-      .select(col("id").as("list_id"), col("nvec").as("cvec"))
-    // assign: argmax centroid dot per vector (broadcast centroids)
-    val scored = v.crossJoin(broadcast(cents))
-      .select(col("id"), col("nvec"), col("list_id"),
-        dotN(col("nvec"), col("cvec")).as("cd"))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("cd").desc, col("list_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("nvec"), col("list_id"))
-  }
-
-  /** Probe-restricted top-k search over an [[ivfIndex]]: each query is
-    * routed to its `nProbe` closest centroid lists, then exact cosine
-    * ranks candidates within those lists only.
-    */
-  def ivfTopK(queries: DataFrame, index: DataFrame, corpus: DataFrame,
-      k: Int, nProbe: Int = 4, idCol: String = "vec_id",
-      vecCol: String = "embedding", nLists: Int = 16): DataFrame = {
-    val q = normalized(queries, idCol, vecCol)
-      .select(col("id").as("query_id"), col("nvec").as("qvec"))
-    val cents = normalized(corpus, idCol, vecCol)
+  def firstIdCentroids(corpus: DataFrame, nLists: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    normalized(corpus, idCol, vecCol)
       .orderBy(col("id")).limit(nLists)
       .select(col("id").as("list_id"), col("nvec").as("cvec"))
+
+  /** Sampled k-means centroids (Lloyd on a bounded deterministic
+    * sample): the `sampleN` vectors with the smallest md5(id) — a
+    * seeded, partition-independent pseudo-random sample pulled with
+    * `TakeOrderedAndProject` (per-partition top-N, then merge: no global
+    * sort) — are collected to the driver (bounded: `sampleN`·dims
+    * doubles) and iterated there. First-N-ids centroids put all lists
+    * in one corner of id space: on clustered data that means wildly
+    * unbalanced lists, i.e. skew exactly where the probe join shuffles.
+    * K-means spreads centroids over the data's actual density, bounding
+    * list imbalance (asserted in ExtSpec).
+    *
+    * Deterministic end to end: hash-ordered sample, fixed iteration
+    * count, argmax ties to the smaller list id, empty clusters keep
+    * their previous centroid. `list_id` is 0..nLists-1.
+    */
+  def kmeansCentroids(corpus: DataFrame, nLists: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleN: Int = 1024, iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Double]] =
+      normalized(corpus, idCol, vecCol)
+        .orderBy(md5(col("id").cast("string")), col("id"))
+        .limit(sampleN)
+        .select(col("nvec")).collect()
+        .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= nLists,
+      s"need at least $nLists sample vectors, got ${sample.length}")
+    val dims = sample.head.length
+    var cents: Array[Array[Double]] = sample.take(nLists).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nLists)(new Array[Double](dims))
+      val counts = new Array[Int](nLists)
+      sample.foreach { s =>
+        var best = 0; var bestD = Double.NegativeInfinity
+        var j = 0
+        while (j < nLists) {
+          var d = 0.0; var i = 0
+          while (i < dims) { d += s(i) * cents(j)(i); i += 1 }
+          if (d > bestD) { bestD = d; best = j }
+          j += 1
+        }
+        var i = 0
+        while (i < dims) { sums(best)(i) += s(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        if (counts(j) == 0) old
+        else {
+          val m = sums(j).map(_ / counts(j))
+          val nrm = math.sqrt(m.map(x => x * x).sum)
+          if (nrm > 0) m.map(_ / nrm) else old
+        }
+      }
+      it += 1
+    }
+    cents.zipWithIndex
+      .map { case (c, j) => (j.toLong, c.toSeq) }.toSeq
+      .toDF("list_id", "cvec")
+  }
+
+  /** Nearest-centroid assignment: argmax centroid dot per vector, via
+    * the bounded-top-k aggregate with k=1 (hash aggregation with
+    * map-side partials — not a per-id window sort). Ties go to the
+    * smaller list id, matching the window formulation it replaced.
+    */
+  private def assignToLists(v: DataFrame, centroids: DataFrame): DataFrame =
+    v.crossJoin(broadcast(centroids))
+      .select(col("id"), col("nvec"), col("list_id"),
+        dotN(col("nvec"), col("cvec")).as("cd"))
+      .groupBy(col("id"))
+      .agg(BoundedTopK.topk(col("cd"), col("list_id"), 1).as("best"),
+        first(col("nvec")).as("nvec"))
+      .select(col("id"), col("nvec"),
+        element_at(col("best"), 1).getField("id").as("list_id"))
+
+  /** IVF (inverted-file) ANN index build against an explicit centroid
+    * frame (`(list_id, cvec)`): each corpus vector is assigned to its
+    * nearest centroid list. The index materializes eagerly (it IS the
+    * build artifact) and the normalization cache is released before
+    * returning. Corpus shuffles once at build time; each query then
+    * touches `nProbe / nLists` of the data.
+    */
+  def ivfIndexWith(df: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    CacheScope.withCached(normalized(df, idCol, vecCol)) { v =>
+      assignToLists(v, centroids)
+    }
+
+  /** [[ivfIndexWith]] under the trivial first-N-ids quantizer — the
+    * oracle-checked plumbing path (see [[firstIdCentroids]]).
+    */
+  def ivfIndex(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", nLists: Int = 16): DataFrame =
+    ivfIndexWith(df, firstIdCentroids(df, nLists, idCol, vecCol),
+      idCol, vecCol)
+
+  /** [[ivfIndexWith]] under sampled k-means — the quality/scale path. */
+  def ivfIndexKMeans(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", nLists: Int = 16,
+      sampleN: Int = 1024, iters: Int = 5): DataFrame =
+    ivfIndexWith(df,
+      kmeansCentroids(df, nLists, idCol, vecCol, sampleN, iters),
+      idCol, vecCol)
+
+  /** Probe-restricted top-k search over an IVF index, against the SAME
+    * centroid frame the index was built with: each query is routed to
+    * its `nProbe` closest centroid lists (bounded-top-k over the
+    * broadcast centroids), then exact cosine ranks candidates within
+    * those lists only — both rankings are hash aggregations, never a
+    * per-query window sort.
+    */
+  def ivfTopKWith(queries: DataFrame, index: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = normalized(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("nvec").as("qvec"))
     // route each query to nProbe lists
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("cd").desc, col("list_id").asc)
-    val probes = q.crossJoin(broadcast(cents))
+    val probes = q.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qvec"), col("list_id"),
         dotN(col("qvec"), col("cvec")).as("cd"))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("qvec"), col("list_id"))
+      .groupBy(col("query_id"))
+      .agg(BoundedTopK.topk(col("cd"), col("list_id"), nProbe).as("pl"),
+        first(col("qvec")).as("qvec"))
+      .select(col("query_id"), col("qvec"), explode(col("pl")).as("p"))
+      .select(col("query_id"), col("qvec"), col("p.id").as("list_id"))
     // search only the probed lists (equi join on list id)
-    val wr = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    probes.join(index.select(col("id").as("neighbor_id"),
+    val scored = probes.join(index.select(col("id").as("neighbor_id"),
         col("nvec").as("cvec2"), col("list_id").as("list_id_i")),
         col("list_id") === col("list_id_i"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         dotN(col("qvec"), col("cvec2")).as("sim"))
-      .withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    rankTopK(scored, k)
   }
+
+  /** [[ivfTopKWith]] under the trivial first-N-ids quantizer (must
+    * match an [[ivfIndex]]-built index).
+    */
+  def ivfTopK(queries: DataFrame, index: DataFrame, corpus: DataFrame,
+      k: Int, nProbe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding", nLists: Int = 16): DataFrame =
+    ivfTopKWith(queries, index,
+      firstIdCentroids(corpus, nLists, idCol, vecCol), k, nProbe,
+      idCol, vecCol)
 
   /** Exact all-pairs cosine above a threshold on a *bounded* subset —
     * the correctness oracle for the LSH path. Cross join: only for

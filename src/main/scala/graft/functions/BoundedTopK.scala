@@ -1,0 +1,162 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, GraftSqlShim}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** `bounded_top_k(score, id, k)` — the `k` best `(score, id)` pairs of a
+  * group, ordered by score DESC then id ASC, as an array of structs in
+  * rank order.
+  *
+  * Why it exists: ranking "top k per query" with
+  * `Window.partitionBy(query).orderBy(score desc)` + `row_number` routes
+  * EVERY scored row of one query to a single reducer, which then sorts
+  * the lot — at 100 TB corpus × few queries that is a handful of
+  * reducers each sorting the whole corpus. This aggregate keeps the
+  * ranking in ordinary hash aggregation: the partial (map-side) buffer
+  * holds at most `k` entries per group, partials merge associatively,
+  * and the final buffer is the exact global top-k — O(k) memory per
+  * task, no global sort, no single-reducer stage.
+  *
+  * The order is total (score desc, id asc — `java.lang.Double.compare`
+  * on the score, so -0.0/0.0 and NaN are handled consistently), making
+  * the result independent of partitioning and merge order: same answer
+  * on any cluster layout, bit-identical to the window+row_number
+  * formulation it replaces.
+  */
+case class BoundedTopK(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[(Double, Long)]] {
+
+  def this(score: Expression, id: Expression, k: Expression) =
+    this(score, id, BoundedTopK.extractK(k))
+
+  override def children: Seq[Expression] = Seq(score, id)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BoundedTopK =
+    copy(score = newChildren(0), id = newChildren(1))
+
+  override def createAggregationBuffer(): mutable.TreeSet[(Double, Long)] =
+    mutable.TreeSet.empty[(Double, Long)](BoundedTopK.ord)
+
+  /** Insert keeping only the `k` best entries (head = best, last = worst). */
+  private def add(
+      buf: mutable.TreeSet[(Double, Long)], v: (Double, Long)): Unit =
+    if (buf.size < k) {
+      buf += v
+    } else if (BoundedTopK.ord.compare(v, buf.last) < 0) {
+      buf -= buf.last
+      buf += v
+    }
+
+  override def update(
+      buf: mutable.TreeSet[(Double, Long)],
+      input: InternalRow): mutable.TreeSet[(Double, Long)] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      add(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.TreeSet[(Double, Long)],
+      other: mutable.TreeSet[(Double, Long)]): mutable.TreeSet[(Double, Long)] = {
+    other.foreach(add(buf, _))
+    buf
+  }
+
+  /** Rank-ordered array of (id, score) structs. */
+  override def eval(buf: mutable.TreeSet[(Double, Long)]): Any =
+    new GenericArrayData(buf.toArray.map { case (s, i) =>
+      InternalRow(i, s): Any
+    })
+
+  override def serialize(buf: mutable.TreeSet[(Double, Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (s, i) =>
+      out.writeDouble(s)
+      out.writeLong(i)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[(Double, Long)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      buf += ((in.readDouble(), in.readLong()))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): BoundedTopK =
+    copy(mutableAggBufferOffset = offset)
+
+  override def withNewInputAggBufferOffset(offset: Int): BoundedTopK =
+    copy(inputAggBufferOffset = offset)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "bounded_top_k"
+}
+
+object BoundedTopK {
+  /** Total order: score desc, id asc. */
+  val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    override def compare(x: (Double, Long), y: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(y._1, x._1)
+      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+    }
+  }
+
+  private[functions] def extractK(e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other =>
+      throw new IllegalArgumentException(
+        s"bounded_top_k k must be an integer literal, got $other")
+  }
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[BoundedTopK].getName, "bounded_top_k")
+
+  /** SQL builder — casts pin the (double, long) input contract so a
+    * mistyped call is an analysis error, not misaligned reads.
+    */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(score, id, k) => new BoundedTopK(
+      Cast(score, DoubleType), Cast(id, LongType), k)
+    case args => throw new IllegalArgumentException(
+      s"bounded_top_k expects 3 args (score, id, k), got ${args.size}")
+  }
+
+  /** Column-API entry point. */
+  def topk(score: Column, id: Column, k: Int): Column =
+    GraftSqlShim.column(BoundedTopK(
+      GraftSqlShim.expression(score.cast("double")),
+      GraftSqlShim.expression(id.cast("long")), k).toAggregateExpression())
+}

@@ -17,6 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("dot_double"), DotProduct.info,
         DotProduct.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("bounded_top_k"), BoundedTopK.info,
+        BoundedTopK.builder))
   }
 }
 
@@ -29,5 +32,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_double"), DotProduct.info,
       DotProduct.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bounded_top_k"), BoundedTopK.info,
+      BoundedTopK.builder)
   }
 }

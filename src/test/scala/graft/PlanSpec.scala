@@ -1,12 +1,15 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
 import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.functions._
 
 import graft.check.Checks
+import graft.ext.{Profile, Similarity}
 import graft.schema.{Constraints, Field, TableSchema}
 
 /** Physical-plan contracts — the properties that make the operators
@@ -78,5 +81,33 @@ class PlanSpec extends SparkSpec {
     assert(s.size == 1, s"expected exactly one scan, got ${s.size}")
     assert(s.head.requiredSchema.fieldNames.toSet ==
       Set("l_quantity", "l_returnflag", "l_shipdate"))
+  }
+
+  test("top-k ranking is bounded aggregation, not a per-query window sort") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val top = Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, 10)
+    val all = nodes(top)
+    assert(!all.exists(_.isInstanceOf[WindowExec]),
+      "bruteForceTopK must not rank via Window.partitionBy(query_id) — " +
+        "that is a single reducer sorting the whole corpus per query")
+    assert(all.exists(_.isInstanceOf[ObjectHashAggregateExec]),
+      "expected the bounded_top_k hash aggregation")
+    val index = Similarity.ivfIndex(e, nLists = 8)
+    val ivf = Similarity.ivfTopK(e.filter(col("vec_id") < 5), index, e,
+      10, nProbe = 4, nLists = 8)
+    assert(!nodes(ivf).exists(_.isInstanceOf[WindowExec]),
+      "ivfTopK probe routing + ranking must be window-free too")
+  }
+
+  test("default (approx) profile plans without an Expand") {
+    val li = Tables.load(spark, dir, "lineitem")
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag")
+    val approx = Profile.columnProfile(li, cols)
+    assert(!nodes(approx).exists(_.isInstanceOf[ExpandExec]),
+      "approx profile must be one pass — no Expand row multiplication")
+    assert(scans(approx).size == 1)
+    // contrast: exact mode pays the Expand (why it is opt-in)
+    val exact = Profile.columnProfile(li, cols, exact = true)
+    assert(nodes(exact).exists(_.isInstanceOf[ExpandExec]))
   }
 }

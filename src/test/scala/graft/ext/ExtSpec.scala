@@ -99,15 +99,86 @@ class ExtSpec extends SparkSpec {
     vals.foreach(v => assert(got(v) == Dedup.hash48Value(v), v))
   }
 
-  test("column profile: exact stats in one scan") {
+  test("column profile: exact stats in one scan (opt-in exact mode)") {
     val df = Seq((1, Some("a")), (2, None), (2, Some("c")))
       .toDF("k", "v")
-    val prof = Profile.columnProfile(df, Seq("k", "v")).collect()
+    val prof = Profile.columnProfile(df, Seq("k", "v"), exact = true)
+      .collect()
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3),
           r.getString(4), r.getString(5))).toMap
     assert(prof("k") == ((3L, 0L, 2L, "1", "2")))
     assert(prof("v") == ((3L, 1L, 2L, "a", "c")))
+  }
+
+  test("column profile default (approx): estimate within HLL error of exact") {
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val cols = Seq("l_orderkey", "l_returnflag", "l_shipdate")
+    val exact = Profile.columnProfile(li, cols, exact = true).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = Profile.columnProfile(li, cols).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    cols.foreach { c =>
+      val e = exact(c).toDouble
+      assert(math.abs(approx(c) - e) / e <= 0.15,
+        s"$c: approx ${approx(c)} vs exact $e")
+    }
+  }
+
+  test("bounded_top_k matches window row_number under any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 2000)
+      .map(i => ((i % 7).toLong, (i * 37 % 500).toDouble, i.toLong))
+      .toDF("query_id", "sim", "neighbor_id")
+      .repartition(13)
+    val viaAgg = df.groupBy(col("query_id"))
+      .agg(graft.functions.BoundedTopK.topk(
+        col("sim"), col("neighbor_id"), 9).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 9)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("IVF k-means: nLists centroids, bounded list skew, decent recall") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val nLists = 8
+    val cents = Similarity.kmeansCentroids(e, nLists)
+    assert(cents.count() == nLists)
+    val index = Similarity.ivfIndexKMeans(e, nLists = nLists)
+    val sizes = index.groupBy("list_id").count().collect()
+      .map(_.getLong(1))
+    val n = sizes.sum
+    assert(sizes.length == nLists, s"empty lists: only ${sizes.length}")
+    assert(sizes.max <= 4 * n / nLists,
+      s"unbalanced: max ${sizes.max} of $n over $nLists lists")
+    val queries = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, e, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopKWith(queries, index, cents, 10,
+      nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.4, s"recall $recall")
+  }
+
+  test("dedup/similarity release their caches before returning") {
+    spark.catalog.clearCache()
+    Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5).count()
+    Dedup.minhashCandidates(docs, "doc_id", "text").count()
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 50)
+    Similarity.lshCandidatePairs(e, nPlanes = 6, threshold = 0.3).count()
+    Similarity.ivfIndex(e, nLists = 4).count()
+    assert(org.apache.spark.sql.GraftSqlShim.cacheIsEmpty(spark),
+      "an operator left an InMemoryRelation cached after returning")
   }
 
   test("cosine similarity: known vectors") {
