@@ -31,6 +31,35 @@ object Validate {
   val MaxErrorValues = 100
 
   // -------------------------------------------------------------- CSV read
+  /** Data Package dialect → Spark CSV reader options. RFC 4180 doubled
+    * quotes are the spec default and map to `escape = quoteChar`; a
+    * declared `escapeChar` is the mutually-exclusive alternative and
+    * wins. `\r\n` / `\n` line terminators are auto-detected by the
+    * parser, so `lineSep` is only pinned for a custom single-character
+    * terminator (the reader's limit).
+    */
+  def csvOptions(d: Dialect): Map[String, String] = {
+    val escape = d.escapeChar.getOrElse(
+      if (d.doubleQuote) d.quoteChar else "\u0000")
+    val base = Map(
+      "header" -> d.header.toString,
+      "sep" -> d.delimiter,
+      "quote" -> d.quoteChar,
+      "escape" -> escape,
+      "ignoreLeadingWhiteSpace" -> d.skipInitialSpace.toString,
+      "mode" -> "PERMISSIVE")
+    val comment = d.commentChar.map(c => Map("comment" -> c))
+      .getOrElse(Map.empty)
+    val lineSep = d.lineTerminator match {
+      case "\r\n" | "\n" | "" => Map.empty[String, String]
+      case one if one.length == 1 => Map("lineSep" -> one)
+      case other => throw new IllegalArgumentException(
+        s"unsupported lineTerminator (must be \\r\\n, \\n or one char): " +
+          other.map(c => f"\\u${c.toInt}%04x").mkString)
+    }
+    base ++ comment ++ lineSep
+  }
+
   /** S2: all-string read (no inference), then per-field missing-token →
     * null projection. Spark CSV `nullValue` takes one token; the
     * projection handles the token *list* and per-field overrides exactly
@@ -51,10 +80,7 @@ object Validate {
     val schema = StructType(bindNames.map(n =>
       StructField(n, StringType, nullable = true)))
     val raw = spark.read
-      .option("header", res.dialect.header.toString)
-      .option("sep", res.dialect.delimiter)
-      .option("quote", res.dialect.quoteChar)
-      .option("mode", "PERMISSIVE")
+      .options(csvOptions(res.dialect))
       .schema(schema)
       .csv(res.allPaths: _*)
     val reordered =
@@ -65,16 +91,20 @@ object Validate {
 
   /** The CSV file's own header row (the declared schema overrides column
     * naming on read, so reconciliation must look at the raw first line).
+    * Parsed by the CSV reader under the full dialect — NOT a bare
+    * `split` on the delimiter, which would break a quoted header cell
+    * containing the delimiter apart and defeat the name-multiset
+    * permutation check that readCsv's by-name binding relies on.
     */
   def actualCsvHeader(spark: SparkSession, res: Resource): Seq[String] = {
     if (!res.dialect.header) return res.schema.fieldNames // nothing to check
-    val first = spark.read.option("header", "false")
-      .textFile(res.allPaths.head)
-      .head(1).headOption.getOrElse("")
-    first.split(java.util.regex.Pattern.quote(res.dialect.delimiter), -1)
-      .map(_.trim.stripPrefix(res.dialect.quoteChar)
-        .stripSuffix(res.dialect.quoteChar))
-      .toSeq
+    val firstRow = spark.read
+      .options(csvOptions(res.dialect) + ("header" -> "false"))
+      .csv(res.allPaths.head)
+      .head(1).headOption
+    firstRow.map(_.toSeq.map(v =>
+      Option(v).map(_.toString.trim).getOrElse("")))
+      .getOrElse(Seq.empty)
   }
 
   /** S3: inline-data resource → all-string DataFrame (+ missing tokens),

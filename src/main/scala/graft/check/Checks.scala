@@ -88,6 +88,25 @@ object Checks {
   def maxLength(df: DataFrame, c: String, n: Int): DataFrame =
     offendingValues(df, c, length(df(c)) > n)
 
+  /** C3/C4 length measure per the spec's type-dependent semantics:
+    * character count for strings, ELEMENT count for `array` fields and
+    * KEY count for `object` fields (whose validated representation here
+    * is the JSON string — `length()` on it would measure characters).
+    * Non-JSON cells yield null (no violation row: the parse stage
+    * already reported them as type errors).
+    */
+  def lengthOf(f: Field, c: Column): Column = f.ftype match {
+    case "array"  => json_array_length(c)
+    case "object" => size(json_object_keys(c))
+    case _        => length(c)
+  }
+
+  def minLengthTyped(df: DataFrame, f: Field, n: Int): DataFrame =
+    offendingValues(df, f.name, lengthOf(f, df(f.name)) < n)
+
+  def maxLengthTyped(df: DataFrame, f: Field, n: Int): DataFrame =
+    offendingValues(df, f.name, lengthOf(f, df(f.name)) > n)
+
   /** C5/C6: inclusive bounds, compared on the *typed* column. */
   def minimum(df: DataFrame, c: String, bound: Column): DataFrame =
     offendingValues(df, c, df(c) < bound)
@@ -100,6 +119,18 @@ object Checks {
 
   def enumCheck(df: DataFrame, c: String, values: Seq[Any]): DataFrame =
     offendingValues(df, c, !df(c).isin(values: _*))
+
+  /** C8 membership with each declared value TYPED against the field —
+    * enum on an integer/date/number column compares typed values
+    * instead of riding on Spark's implicit cast of the raw descriptor
+    * strings (which under ANSI mode can throw on a malformed literal
+    * instead of reporting a schema problem at plan build).
+    */
+  def enumHit(f: Field, values: Seq[String], c: Column): Column =
+    values.map(v => c === typedBound(f, v)).reduce(_ || _)
+
+  def enumCheckTyped(df: DataFrame, f: Field, values: Seq[String]): DataFrame =
+    offendingValues(df, f.name, !enumHit(f, values, df(f.name)))
 
   // ------------------------------------------------------------------- keys
   /** K3 `foreignKeys`: child key tuples not present in the parent —
@@ -123,11 +154,16 @@ object Checks {
     ).distinct()
     // a caller's broadcast() hint on the parent would otherwise sit
     // BELOW the distinct aggregate and never reach the join side —
-    // re-apply it to the distinct-keys projection (the side that joins)
-    import org.apache.spark.sql.catalyst.plans.logical.{ResolvedHint, UnresolvedHint}
+    // re-apply it to the distinct-keys projection (the side that joins).
+    // ONLY broadcast-family hints count: a deliberate SHUFFLE_MERGE /
+    // SHUFFLE_HASH / NO_BROADCAST hint on a large parent must not get
+    // its key set force-broadcast (driver OOM at scale) — the opposite
+    // of what the caller asked for.
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint, UnresolvedHint}
+    val broadcastNames = Set("BROADCAST", "BROADCASTJOIN", "MAPJOIN")
     val callerHinted = parent.queryExecution.logical.exists {
-      case h: UnresolvedHint => h.name.toUpperCase.contains("BROADCAST")
-      case h: ResolvedHint   => h.hints.strategy.isDefined
+      case h: UnresolvedHint => broadcastNames(h.name.toUpperCase)
+      case h: ResolvedHint   => h.hints.strategy.contains(BROADCAST)
       case _                 => false
     }
     val p = if (callerHinted) broadcast(p0) else p0
@@ -154,12 +190,14 @@ object Checks {
       val typedMax = k.maximum.map(m => cnt(c > typedBound(f, m), "maximum"))
       Seq(
         k.required.filter(identity).map(_ => cnt(c.isNull, "required")),
-        k.minLength.map(n => cnt(c.isNotNull && length(c) < n, "minLength")),
-        k.maxLength.map(n => cnt(c.isNotNull && length(c) > n, "maxLength")),
+        k.minLength.map(n =>
+          cnt(c.isNotNull && lengthOf(f, c) < n, "minLength")),
+        k.maxLength.map(n =>
+          cnt(c.isNotNull && lengthOf(f, c) > n, "maxLength")),
         typedMin,
         typedMax,
         k.pattern.map(p => cnt(c.isNotNull && !fullMatch(c, p), "pattern")),
-        k.enum.map(vs => cnt(c.isNotNull && !c.isin(vs: _*), "enum"))
+        k.enum.map(vs => cnt(c.isNotNull && !enumHit(f, vs, c), "enum"))
       ).flatten
     }
     if (aggs.isEmpty) df.sparkSession.emptyDataFrame
@@ -172,6 +210,7 @@ object Checks {
     case "number"           => lit(bound.toDouble)
     case "date"             => to_date(lit(bound))
     case "datetime"         => to_timestamp(lit(bound))
+    case "boolean"          => lit(f.trueValues.contains(bound))
     case _                  => lit(bound)
   }
 

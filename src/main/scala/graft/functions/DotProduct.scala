@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlShim}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.col
@@ -74,8 +74,14 @@ object DotProduct {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[DotProduct].getName, "dot_double")
 
+  /** SQL builder — the same array<double> casts as the Column path:
+    * without them, `dot_double(array(1,2), ...)` on int arrays would
+    * call `ArrayData.getDouble` on misaligned storage (silent garbage
+    * or a runtime ClassCastException instead of an analysis-time error).
+    */
   val builder: Seq[Expression] => Expression = {
-    case Seq(a, b) => DotProduct(a, b)
+    case Seq(a, b) => DotProduct(
+      Cast(a, ArrayType(DoubleType)), Cast(b, ArrayType(DoubleType)))
     case other => throw new IllegalArgumentException(
       s"dot_double expects 2 arguments, got ${other.size}")
   }

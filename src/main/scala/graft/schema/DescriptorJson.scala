@@ -39,7 +39,13 @@ object DescriptorJson {
       Dialect(
         delimiter = txt(dn, "delimiter").getOrElse(","),
         quoteChar = txt(dn, "quoteChar").getOrElse("\""),
-        header = Option(dn.get("header")).forall(_.asBoolean(true)))
+        header = Option(dn.get("header")).forall(_.asBoolean(true)),
+        doubleQuote = Option(dn.get("doubleQuote")).forall(_.asBoolean(true)),
+        escapeChar = txt(dn, "escapeChar"),
+        lineTerminator = txt(dn, "lineTerminator").getOrElse("\r\n"),
+        skipInitialSpace =
+          Option(dn.get("skipInitialSpace")).exists(_.asBoolean(false)),
+        commentChar = txt(dn, "commentChar"))
     }.getOrElse(Dialect())
     val schema = Option(n.get("schema")).filter(_.isObject)
       .map(parseTableSchema)

@@ -76,13 +76,31 @@ final case class TableSchema(
   def fieldNames: Seq[String] = fields.map(_.name)
 }
 
-/** CSV dialect (Data Package spec §dialect subset): the reading options
-  * the reference forwards to its CSV parser.
+/** CSV dialect (Data Package spec §dialect): the reading options the
+  * reference forwards to its CSV parser, with the spec's defaults.
+  *
+  * @param doubleQuote   a quote inside a quoted cell is escaped by
+  *                      doubling it (RFC 4180) — the spec default,
+  *                      active only when no `escapeChar` is declared
+  * @param escapeChar    alternative escape character (mutually
+  *                      exclusive with doubleQuote per the spec; when
+  *                      set it wins)
+  * @param lineTerminator row separator; `\r\n` (spec default) and
+  *                      `\n` are auto-detected by the parser, any
+  *                      other single character is set explicitly
+  * @param skipInitialSpace ignore whitespace immediately after the
+  *                      delimiter
+  * @param commentChar   lines starting with this character are skipped
   */
 final case class Dialect(
     delimiter: String = ",",
     quoteChar: String = "\"",
-    header: Boolean = true
+    header: Boolean = true,
+    doubleQuote: Boolean = true,
+    escapeChar: Option[String] = None,
+    lineTerminator: String = "\r\n",
+    skipInitialSpace: Boolean = false,
+    commentChar: Option[String] = None
 )
 
 /** One tabular resource of a data package: named table + path + schema.

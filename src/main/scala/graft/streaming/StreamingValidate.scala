@@ -49,7 +49,7 @@ object StreamingValidate {
           (c.isNotNull && !Checks.fullMatch(c, p))
             .as(s"${f.name}__pattern")),
         k.enum.map(vs =>
-          (c.isNotNull && !c.isin(vs: _*)).as(s"${f.name}__enum"))
+          (c.isNotNull && !Checks.enumHit(f, vs, c)).as(s"${f.name}__enum"))
       ).flatten
     }
     df.select(col("*") +: flags: _*)
@@ -149,7 +149,14 @@ object StreamingValidate {
                   closed += SessionRaw(userId, o.startUs, o.lastUs, o.n)
                   open = Some(OpenSession(t, t, 1))
                 case Some(o) =>
-                  open = Some(o.copy(lastUs = t, n = o.n + 1))
+                  // extend with min/max, not assignment: a later
+                  // micro-batch can deliver an out-of-order (but
+                  // within-watermark) event with t < o.lastUs — copying
+                  // t into lastUs would regress the session end and let
+                  // a subsequent in-gap event wrongly split the session
+                  open = Some(OpenSession(
+                    math.min(o.startUs, t), math.max(o.lastUs, t),
+                    o.n + 1))
                 case None =>
                   open = Some(OpenSession(t, t, 1))
               }

@@ -213,6 +213,68 @@ class ValidateSpec extends SparkSpec {
     assert(Validate.readCsv(spark, hres).count() == 2)
   }
 
+  test("csv dialect: RFC 4180 doubled quotes (spec default)") {
+    val res = Resource("t", write("dq.csv",
+      "a,b\n\"he said \"\"hi\"\", twice\",2\nplain,3\n"),
+      TableSchema(Seq(Field("a"), Field("b", "integer"))))
+    val rows = Validate.readCsv(spark, res).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("he said \"hi\", twice", "2"), ("plain", "3")))
+  }
+
+  test("csv dialect: escapeChar (mutually exclusive with doubleQuote)") {
+    val res = Resource("t", write("esc.csv",
+      "a,b\n\"he said \\\"hi\\\"\",2\n"),
+      TableSchema(Seq(Field("a"), Field("b", "integer"))),
+      dialect = Dialect(escapeChar = Some("\\")))
+    val r = Validate.readCsv(spark, res).collect()(0)
+    assert(r.getString(0) == "he said \"hi\"" && r.getString(1) == "2")
+  }
+
+  test("csv dialect: commentChar skips comment lines") {
+    val res = Resource("t", write("com.csv",
+      "a,b\n# a comment line\n1,x\n#another\n2,y\n"),
+      TableSchema(Seq(Field("a", "integer"), Field("b"))),
+      dialect = Dialect(commentChar = Some("#")))
+    val rows = Validate.readCsv(spark, res).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("1", "x"), ("2", "y")))
+  }
+
+  test("csv dialect: skipInitialSpace strips post-delimiter whitespace") {
+    val res = Resource("t", write("sis.csv", "a,b\n1,  x\n2, y\n"),
+      TableSchema(Seq(Field("a", "integer"), Field("b"))),
+      dialect = Dialect(skipInitialSpace = true))
+    val rows = Validate.readCsv(spark, res).collect()
+      .map(_.getString(1)).toSeq
+    assert(rows == Seq("x", "y"))
+  }
+
+  test("quoted header cell containing the delimiter parses as ONE name") {
+    // a bare split on ',' would shred "a,x" apart and misreport headers
+    val res = Resource("t", write("qh.csv", "\"a,x\",b\n1,2\n"),
+      TableSchema(Seq(Field("a,x", "integer"), Field("b", "integer"))))
+    assert(Validate.actualCsvHeader(spark, res) == Seq("a,x", "b"))
+    assert(Validate.headerCheck(Validate.actualCsvHeader(spark, res),
+      res.schema).isEmpty)
+    val r = Validate.readCsv(spark, res).collect()(0)
+    assert(r.getString(0) == "1" && r.getString(1) == "2")
+  }
+
+  test("dialect descriptor JSON parses all spec fields") {
+    val json =
+      """{"name":"p","resources":[{"name":"t","path":"t.csv",
+        |"dialect":{"delimiter":";","quoteChar":"'","header":false,
+        |  "doubleQuote":false,"escapeChar":"\\","lineTerminator":"\n",
+        |  "skipInitialSpace":true,"commentChar":"#"},
+        |"schema":{"fields":[{"name":"a"}]}}]}""".stripMargin
+    val d = DescriptorJson.parsePackage(json).resources.head.dialect
+    assert(d == Dialect(delimiter = ";", quoteChar = "'", header = false,
+      doubleQuote = false, escapeChar = Some("\\"),
+      lineTerminator = "\n", skipInitialSpace = true,
+      commentChar = Some("#")))
+  }
+
   test("multi-path resource concatenates chunks") {
     val p1 = write("chunk1.csv", "a\n1\n2\n")
     val p2 = write("chunk2.csv", "a\n3\n")

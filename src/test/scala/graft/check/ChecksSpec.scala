@@ -140,4 +140,71 @@ class ChecksSpec extends SparkSpec {
     assert(row.getLong(byName("s__pattern")) == 1) // "ZZ"
     assert(row.getLong(byName("s__enum")) == 2) // "x", "ZZ"
   }
+
+  test("C8 enum on typed fields: integer, date, boolean compare typed") {
+    val ints = Seq(1L, 2L, 5L, 5L).toDF("x")
+    val fi = Field("x", "integer",
+      constraints = Constraints(enum = Some(Seq("1", "2", "3"))))
+    val vi = Checks.enumCheckTyped(ints, fi, Seq("1", "2", "3")).collect()
+    assert(vi.length == 1 && vi(0).getLong(0) == 5L &&
+      vi(0).getLong(1) == 2L)
+
+    val dates = Seq("2026-01-01", "2026-02-03").toDF("s")
+      .select(to_date(col("s")).as("x"))
+    val fd = Field("x", "date")
+    val vd = Checks.enumCheckTyped(dates, fd, Seq("2026-01-01")).collect()
+    assert(vd.length == 1 &&
+      vd(0).getDate(0).toString == "2026-02-03")
+
+    val bools = Seq(true, false, false).toDF("x")
+    val fb = Field("x", "boolean")
+    val vb = Checks.enumCheckTyped(bools, fb, Seq("true")).collect()
+    assert(vb.length == 1 && !vb(0).getBoolean(0) &&
+      vb(0).getLong(1) == 2L)
+
+    // fused summary path uses the same typed comparison
+    val schema = TableSchema(Seq(Field("x", "integer",
+      constraints = Constraints(enum = Some(Seq("1", "2", "3"))))))
+    val row = Checks.constraintSummary(ints, schema).collect()(0)
+    assert(row.getLong(0) == 2L)
+  }
+
+  test("C3/C4 on array/object fields measure elements/keys, not chars") {
+    // array field: validated JSON strings; "[1,2]" has 5 chars but 2 els
+    val arr = Seq("""[1,2]""", """["a","b","c"]""", """[]""").toDF("x")
+    val fa = Field("x", "array")
+    assert(Checks.minLengthTyped(arr, fa, 2).collect()
+      .map(_.getString(0)).toSeq == Seq("[]"))
+    assert(Checks.maxLengthTyped(arr, fa, 2).collect()
+      .map(_.getString(0)).toSeq == Seq("""["a","b","c"]"""))
+
+    val obj = Seq("""{"a":1}""", """{"a":1,"b":{"c":2},"d":3}""").toDF("x")
+    val fo = Field("x", "object")
+    assert(Checks.maxLengthTyped(obj, fo, 2).collect()
+      .map(_.getString(0)).toSeq ==
+      Seq("""{"a":1,"b":{"c":2},"d":3}"""))
+
+    // fused summary path agrees
+    val schema = TableSchema(Seq(Field("x", "array",
+      constraints = Constraints(minLength = Some(2)))))
+    val row = Checks.constraintSummary(arr, schema).collect()(0)
+    assert(row.getLong(0) == 1L) // only []
+  }
+
+  test("fk broadcast re-hint applies ONLY to broadcast-family hints") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val child = Seq(Some(1), Some(99)).toDF("parent_id")
+    val parent = Seq(1, 2).toDF("id")
+    // a deliberate non-broadcast strategy hint must NOT be upgraded
+    val merged = parent.hint("SHUFFLE_MERGE")
+    val v = Checks.foreignKey(child, Seq("parent_id"), merged, Seq("id"))
+    val hinted = v.queryExecution.optimizedPlan.collect {
+      case h: ResolvedHint if h.hints.strategy.isDefined => h
+    }
+    assert(!hinted.exists(_.hints.strategy.contains(
+        org.apache.spark.sql.catalyst.plans.logical.BROADCAST)),
+      s"SHUFFLE_MERGE parent was force-broadcast: $hinted")
+    // result is unchanged either way
+    assert(v.collect().map(_.getInt(0)).toSeq == Seq(99))
+  }
 }

@@ -81,6 +81,10 @@ class ExtSpec extends SparkSpec {
       "SELECT dot_double(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D))")
       .collect()(0).getDouble(0)
     assert(sql == 32.0)
+    // SQL path coerces non-double arrays instead of misreading storage
+    val ints = spark.sql("SELECT dot_double(array(1, 2), array(3, 4))")
+      .collect()(0).getDouble(0)
+    assert(ints == 11.0)
     val df = Seq((Seq(0.1, 0.2, 0.3), Seq(-1.0, 2.5, 0.7))).toDF("a", "b")
     val native = df.select(
       graft.functions.DotProduct.dot(col("a"), col("b"))).collect()(0)

@@ -149,6 +149,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming sessionize: out-of-order within-watermark event " +
+      "does not regress or split the open session (3 micro-batches)") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val d = Files.createTempDirectory("graft_sess_ooo")
+    def ev(rows: Seq[(Long, String)]) =
+      rows.toDF("user_id", "s")
+        .select(col("user_id"), to_timestamp(col("s")).as("ts"))
+    // batch2 delivers 10:02 AFTER 10:25 was seen (out of order, inside
+    // the watermark). If the open session's lastUs regressed to 10:02,
+    // the 10:45 event (20 min after the TRUE last, 43 min after the
+    // regressed one) would wrongly split the session.
+    val b1 = ev(Seq((1L, "2026-01-01 10:00:00"),
+      (1L, "2026-01-01 10:25:00")))
+    val b2 = ev(Seq((1L, "2026-01-01 10:02:00"),
+      (1L, "2026-01-01 10:45:00")))
+    // 12:00 closes the session by gap; 23:00 (user 99) advances the
+    // watermark so the trailing session flushes via event-time timeout
+    val b3 = ev(Seq((1L, "2026-01-01 12:00:00"),
+      (99L, "2026-01-01 23:00:00")))
+    Seq((b1, "batch1", 1000000L), (b2, "batch2", 2000000L),
+      (b3, "batch3", 3000000L)).foreach { case (df, name, mt) =>
+      df.coalesce(1).write.parquet(s"$d/$name")
+      Files.list(Paths.get(s"$d/$name")).forEach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(mt)))
+    }
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$d/{batch1,batch2,batch3}")
+    val q = StreamingValidate.sessionize(
+        stream.withWatermark("ts", "2 hours"), 30, streaming = true)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_ooo").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sessions_ooo").filter(col("user_id") === 1L)
+      .orderBy("session_start").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("session_start").toString,
+        r.getAs[java.sql.Timestamp]("session_end").toString,
+        r.getAs[Long]("n_events"))).toSeq
+    assert(u1 == Seq(
+      ("2026-01-01 10:00:00.0", "2026-01-01 10:45:00.0", 4L),
+      ("2026-01-01 12:00:00.0", "2026-01-01 12:00:00.0", 1L)), u1)
+    // and the batch mode agrees on the merged session
+    val batchU1 = StreamingValidate.sessionize(
+        b1.unionByName(b2).unionByName(b3), 30)
+      .filter(col("user_id") === 1L).orderBy("session_start").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("session_start").toString,
+        r.getAs[java.sql.Timestamp]("session_end").toString,
+        r.getAs[Long]("n_events"))).toSeq
+    assert(batchU1 == u1, s"batch $batchU1 != streamed $u1")
+  }
+
   test("streaming fk check: orphans surface via stream-static anti join") {
     val parent = spark.range(0, 5).toDF("uid") // users 0-4 are valid
     val out = runStream("fk_viol",
