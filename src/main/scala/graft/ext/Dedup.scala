@@ -190,17 +190,23 @@ object Dedup {
     */
   def hotBuckets(
       df: DataFrame, idCol: String, textCol: String, maxBucketSize: Int,
-      numHashes: Int = 32, bands: Int = 16, k: Int = 3): DataFrame = {
-    val base = df
-      .select(col(idCol).as("id"),
-        TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col("id"), shingleHashesFromTokens(col("toks"), k).as("sh"))
-    val sigs = base.select(col("id"),
-      minhashFromHashes(col("sh"), numHashes).as("sig"))
-    bandedAssignments(sigs, numHashes, bands)
-      .groupBy("band", "bucket").agg(count(lit(1)).as("bcnt"))
-      .filter(col("bcnt") > maxBucketSize)
-  }
+      numHashes: Int = 32, bands: Int = 16, k: Int = 3): DataFrame =
+    // the scoped cache is a MATERIALIZATION BARRIER, not a reuse cache:
+    // without it CollapseProject substitutes the shingle-hash HOF into
+    // all `numHashes` permutation lambdas (no CSE in interpreted HOFs →
+    // the shingling re-runs once per slot; measured 15.6 s vs 2 s at
+    // sf0.1)
+    CacheScope.withCached(
+      df.select(col(idCol).as("id"),
+          TextAnalysis.tokens(col(textCol)).as("toks"))
+        .select(col("id"),
+          shingleHashesFromTokens(col("toks"), k).as("sh"))) { base =>
+      val sigs = base.select(col("id"),
+        minhashFromHashes(col("sh"), numHashes).as("sig"))
+      bandedAssignments(sigs, numHashes, bands)
+        .groupBy("band", "bucket").agg(count(lit(1)).as("bcnt"))
+        .filter(col("bcnt") > maxBucketSize)
+    }
 
   /** Candidate near-duplicate pairs via MinHash LSH over a
     * (id, sig) frame: explode band buckets, self-join per bucket, emit

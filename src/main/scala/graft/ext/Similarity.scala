@@ -41,14 +41,26 @@ object Similarity {
     * up front makes every pairwise cosine a single O(d) dot fold —
     * at n·k candidate pairs that is the difference between O(n·k·d) and
     * O(n·k·d²)-ish work. Zero vectors are dropped (cosine undefined).
+    *
+    * Two traps shape the implementation (both measured at sf1):
+    *   - the norm uses the NATIVE `dot_double` (tight primitive loop,
+    *     same left-to-right fold order), not the interpreted HOF fold —
+    *     this runs once per corpus row in every index/search build;
+    *   - the division puts `nrm` inside `array_repeat` (evaluated once
+    *     per ROW) instead of referencing it from a `transform` lambda:
+    *     CollapseProject substitutes aliases into lambda bodies, and a
+    *     lambda-body reference is re-evaluated once per ELEMENT — the
+    *     O(d) norm would silently become O(d²) per row.
     */
   def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("nrm", norm(col("vec")))
+    df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("nrm", sqrt(dotN(col("vec"), col("vec"))))
       .filter(col("nrm") > 0)
       .select(col("id"),
-        transform(col("vec"), x => x.cast("double") / col("nrm"))
-          .as("nvec"))
+        zip_with(col("vec"),
+          array_repeat(col("nrm"), size(col("vec"))),
+          (x, n) => x / n).as("nvec"))
 
   /** Dot of two pre-normalized double arrays = cosine. Native codegen'd
     * expression (graft.functions.DotProduct) — the HOF fold
@@ -116,16 +128,17 @@ object Similarity {
     planeMatrix.map(row => array(row.map(lit): _*))
 
   /** Sign-bit LSH bucket id from `nPlanes` hyperplanes (≤ 63). Vectors
-    * longer than [[MaxDims]] are rejected at plan time.
+    * longer than [[MaxDims]] are truncated against the constant plane
+    * (dot over the shorter length). Each plane dot is the native
+    * `dot_double` against the constant-folded literal plane array —
+    * identical left-to-right fold order as the HOF formulation it
+    * replaced (same bucket ids), but a codegen-able primitive loop
+    * instead of an interpreted per-element lambda chain.
     */
   def lshBucket(vec: Column, nPlanes: Int = 12): Column = {
     require(nPlanes <= MaxPlanes, s"nPlanes $nPlanes > $MaxPlanes")
     (0 until nPlanes).map { p =>
-      val plane = planeLit(p)
-      val d = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * element_at(plane, i + 1)),
-        lit(0.0), (s, v) => s + v)
+      val d = dotN(vec, planeLit(p))
       when(d > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
