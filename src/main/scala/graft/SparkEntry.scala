@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.check.Checks
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.parse.Parsers
 import graft.schema.{Constraints, Field}
 import graft.streaming.StreamingValidate
@@ -480,20 +480,36 @@ object SparkEntry {
     * universal-hash permutations) — fully oracle-checked in DuckDB.
     * Tokenizes each document ONCE; twins are token-array slices.
     */
-  private def xDedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    val base = d.select(col("doc_id").as("id"),
+  /** Documents + 80%-token-prefix twins as a tokenized (id, toks) frame
+    * — the shared near-dup input for x_dedup_minhash / x_dedup_clusters.
+    */
+  private def docsWithTwins(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
       TextAnalysis.tokens(col("text")).as("toks"))
     val twins = base.select((col("id") + 1000000).as("id"),
       slice(col("toks"), lit(1),
         floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
-    val both = base.unionByName(twins)
+    base.unionByName(twins)
+  }
+
+  private def xDedupMinhash(s: SparkSession, dir: String): DataFrame =
     // k=5 shingles: with a small vocabulary, 3-grams collide across
     // unrelated docs (quadratic candidate blowup); 5-grams keep the
     // prefix-twin jaccard ≈ 0.8 while unrelated pairs drop to ~0
-    Dedup.nearDuplicatesFromTokens(both, threshold = 0.5, k = 5)
+    Dedup.nearDuplicatesFromTokens(docsWithTwins(s, dir),
+        threshold = 0.5, k = 5)
       .orderBy("id_a", "id_b")
-  }
+
+  /** Transitive near-dup clusters: the x_dedup_minhash pair set closed
+    * under connectivity — each member id mapped to its component's min
+    * id (the canonical survivor). Iterative min-label propagation on
+    * the engine side; recursive-CTE reachability closure in the oracle.
+    */
+  private def xDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(
+        Dedup.nearDuplicatesFromTokens(docsWithTwins(s, dir),
+          threshold = 0.5, k = 5))
+      .orderBy("id")
 
   /** SimHash-48 document sketches (portable bit math — oracle-checked).
     * Two-step projection so the bit-count aggregate materializes once
@@ -519,6 +535,39 @@ object SparkEntry {
   private def xDedupEmbed(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCanonical(t(s, dir, "embeddings"), nPlanes = 8,
       threshold = 0.3).orderBy("dup_id")
+
+  /** Train/valid/test assignment weights for x_sample_split — cumulative
+    * thresholds are computed ONCE (Sampling.cumThresholds) and embedded
+    * verbatim in the oracle SQL so both engines compare against
+    * bit-identical doubles.
+    */
+  private val SplitWeights = Seq("train" -> 0.8, "valid" -> 0.1,
+    "test" -> 0.1)
+
+  /** Deterministic train/valid/test split of documents by id hash:
+    * reproducible across runs/engines/partitionings (unlike df.sample),
+    * zero-shuffle, oracle-checked cell-for-cell.
+    */
+  private def xSampleSplit(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.splitAssign(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", SplitWeights, salt = "split1")
+      .orderBy("doc_id")
+
+  /** Per-source keep-fractions for x_sample_mix (default 0.1 for the
+    * unlisted sources).
+    */
+  private val MixFractions = Map("src0" -> 0.9, "src1" -> 0.5,
+    "src2" -> 0.25)
+
+  /** Weighted corpus mixing: per-source deterministic downsampling of
+    * documents, reported as kept-count per source.
+    */
+  private def xSampleMix(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.weightedMix(t(s, dir, "documents"), "doc_id",
+        "source", MixFractions, default = 0.1, salt = "mix1")
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
 
   /** Sliding-window (1h every 30min) batch-equivalent of
     * StreamingValidate.slidingCounts — each event lands in two windows.
@@ -795,6 +844,9 @@ object SparkEntry {
     "x_dedup_prefix" -> (xDedupPrefix _),
     "x_dedup_jaccard" -> (xDedupJaccard _),
     "x_dedup_minhash" -> (xDedupMinhash _),
+    "x_dedup_clusters" -> (xDedupClusters _),
+    "x_sample_split" -> (xSampleSplit _),
+    "x_sample_mix" -> (xSampleMix _),
     "x_dedup_simhash" -> (xDedupSimhash _),
     "x_sim_topk" -> (xSimTopk _),
     "x_sim_pairs" -> (xSimPairs _),
@@ -861,54 +913,95 @@ object SparkEntry {
       Similarity.planeMatrix(p).take(dims).mkString("[", ",", "]"))
       .mkString("[", ",", "]")
 
+  /** Shared DuckDB CTE chain rendering the x_dedup_minhash pipeline
+    * (documents + prefix twins → hashed shingles → MinHash signatures →
+    * LSH band buckets → verified Jaccard pairs in `j`) — reused by the
+    * pair query and the transitive-cluster closure on top of it.
+    */
+  private def duckMinhashPairCtes: String =
+    s"""tok AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+      |      AS toks
+      |  FROM documents),
+      |bothd AS (
+      |  SELECT doc_id AS id, toks FROM tok
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS id,
+      |    list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INTEGER))
+      |      AS toks
+      |  FROM tok),
+      |shd AS (
+      |  SELECT id, list_transform(
+      |    list_distinct(CASE WHEN len(toks) >= 5
+      |      THEN list_transform(range(1, len(toks) - 3),
+      |        i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+      |      ELSE [array_to_string(toks, ' ')] END),
+      |    s -> ${duckHash48("s")}) AS sh
+      |  FROM bothd),
+      |sigd AS (
+      |  SELECT id, list_transform(range(0, 32),
+      |    i -> list_min(list_transform(sh, h -> ${duckPerm("h", "i")})))
+      |    AS sig
+      |  FROM shd),
+      |banded AS (
+      |  SELECT id, bb.b AS band,
+      |    array_to_string(list_slice(sig, bb.b * 2 + 1, bb.b * 2 + 2), '_')
+      |      AS bucket
+      |  FROM sigd, (SELECT unnest(range(0, 16)) AS b) bb),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+      |j AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+      |      THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(sa.sh, sb.sh)))
+      |      ELSE 0.0 END AS jaccard
+      |  FROM cand c
+      |  JOIN shd sa ON c.id_a = sa.id
+      |  JOIN shd sb ON c.id_b = sb.id)""".stripMargin
+
   /** DuckDB twins of `queries` — identical column names and ordering. */
   def oracleSql: Map[String, String] = Map(
     "x_dedup_minhash" ->
-      s"""WITH tok AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
-        |      AS toks
-        |  FROM documents),
-        |bothd AS (
-        |  SELECT doc_id AS id, toks FROM tok
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS id,
-        |    list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INTEGER))
-        |      AS toks
-        |  FROM tok),
-        |shd AS (
-        |  SELECT id, list_transform(
-        |    list_distinct(CASE WHEN len(toks) >= 5
-        |      THEN list_transform(range(1, len(toks) - 3),
-        |        i -> array_to_string(list_slice(toks, i, i + 4), ' '))
-        |      ELSE [array_to_string(toks, ' ')] END),
-        |    s -> ${duckHash48("s")}) AS sh
-        |  FROM bothd),
-        |sigd AS (
-        |  SELECT id, list_transform(range(0, 32),
-        |    i -> list_min(list_transform(sh, h -> ${duckPerm("h", "i")})))
-        |    AS sig
-        |  FROM shd),
-        |banded AS (
-        |  SELECT id, bb.b AS band,
-        |    array_to_string(list_slice(sig, bb.b * 2 + 1, bb.b * 2 + 2), '_')
-        |      AS bucket
-        |  FROM sigd, (SELECT unnest(range(0, 16)) AS b) bb),
-        |cand AS (
-        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |  FROM banded a JOIN banded b
-        |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-        |j AS (
-        |  SELECT c.id_a, c.id_b,
-        |    CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
-        |      THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(sa.sh, sb.sh)))
-        |      ELSE 0.0 END AS jaccard
-        |  FROM cand c
-        |  JOIN shd sa ON c.id_a = sa.id
-        |  JOIN shd sb ON c.id_b = sb.id)
+      s"""WITH $duckMinhashPairCtes
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "x_sample_split" -> {
+      val Seq(cTrain, cValid) = Sampling.cumThresholds(SplitWeights)
+      s"""SELECT doc_id,
+        |  CASE WHEN u < $cTrain THEN 'train'
+        |       WHEN u < $cValid THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  ${duckHash48("('split1' || CAST(doc_id AS VARCHAR))")}
+        |    / 281474976710656.0 AS u
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
+    },
+    "x_sample_mix" ->
+      s"""SELECT source, count(*) AS n_kept
+        |FROM (SELECT source,
+        |  ${duckHash48("('mix1' || CAST(doc_id AS VARCHAR))")}
+        |    / 281474976710656.0 AS u
+        |  FROM documents)
+        |WHERE u < CASE source WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.5
+        |  WHEN 'src2' THEN 0.25 ELSE 0.1 END
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "x_dedup_clusters" ->
+      s"""WITH RECURSIVE $duckMinhashPairCtes,
+        |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+        |nodes AS (SELECT id_a AS id FROM p UNION SELECT id_b FROM p),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id)
+        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
     "x_dedup_simhash" ->
       s"""WITH tokh AS (
         |  SELECT doc_id, list_transform(

@@ -361,4 +361,63 @@ object Dedup {
       df.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("toks")),
       threshold, numHashes, bands, k)
+
+  // ------------------------------------------------- duplicate clustering
+  /** Transitive duplicate clusters over a verified-pair edge list: every
+    * id appearing in `pairs` maps to the smallest id reachable through
+    * pair edges — the connected component's min, i.e. the canonical
+    * survivor. Pair-source agnostic: feed it MinHash near-dup pairs,
+    * embedding-LSH pairs, or any blocking scheme's verified matches.
+    * Ids must be integral (string keys: [[hash48]] them first — that is
+    * also the cheaper key to shuffle at corpus scale).
+    *
+    * Scale design: iterative min-label propagation. Each round is one
+    * shuffle — the label frame joins the symmetric edge list (cached and
+    * pre-partitioned on `src`, so only labels move) and the propagated
+    * labels hash-aggregate with map-side partial `min`. Rounds needed =
+    * the duplicate graph's diameter; near-dup components are dense (band
+    * co-membership), so this is small, and `maxIters` bounds pathological
+    * chains. Labels only decrease, so convergence is "the label sum is
+    * unchanged" — one scalar aggregate per round (exact in decimal; no
+    * change-detection join). Each round `localCheckpoint`s the labels:
+    * lineage would otherwise grow per iteration until re-optimization
+    * dominates.
+    */
+  def duplicateClusters(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 20): DataFrame = {
+    val a = col(idA).cast(LongType)
+    val b = col(idB).cast(LongType)
+    val edges = pairs.select(a.as("src"), b.as("dst"))
+      .union(pairs.select(b.as("src"), a.as("dst")))
+      .repartition(col("src"))
+      .cache()
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
+        .localCheckpoint(eager = true)
+      // exact decimal sum: label values are < 2^48 but the row count is
+      // unbounded, so a long sum could overflow at corpus scale
+      def labelSum(l: DataFrame): java.math.BigDecimal = {
+        val s = l.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+        if (s == null) java.math.BigDecimal.ZERO else s
+      }
+      var prevSum = labelSum(labels)
+      var it = 0
+      var done = prevSum.signum == 0 && labels.isEmpty
+      while (!done && it < maxIters) {
+        val next = edges.join(labels, col("src") === col("id"))
+          .select(col("dst").as("id"), col("label"))
+          .union(labels)
+          .groupBy("id").agg(min("label").as("label"))
+          .localCheckpoint(eager = true)
+        val s = labelSum(next)
+        done = s.compareTo(prevSum) == 0
+        prevSum = s
+        labels = next
+        it += 1
+      }
+      labels.select(col("id"), col("label").as("cluster_id"))
+    } finally edges.unpersist(blocking = false)
+  }
 }

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training-data pipelines
+  * (SURVEY.md §7.6 extension surface).
+  *
+  * Everything here keys off [[hashUnit]]: a reproducible uniform [0,1)
+  * value derived from the row's id, NOT from Spark's `df.sample` (whose
+  * survivors depend on partition layout and rerun nondeterministically).
+  * That buys, at any scale:
+  *   - narrow plans — sampling/splitting is a filter/projection, zero
+  *     shuffle, fully pushdown-friendly;
+  *   - stability — the same row lands in the same split on every run,
+  *     every engine, every partition count (held-out sets stay held out
+  *     when the corpus is re-ingested);
+  *   - independence — distinct `salt` values draw independent samples
+  *     from the same ids (e.g. a 1% profiling sample uncorrelated with
+  *     the train/valid/test split).
+  *
+  * The hash is the engine-portable md5-prefix ([[Dedup.hash48]]), so
+  * every operator is oracle-checkable cell-for-cell: 48-bit values and
+  * division by 2^48 are both exact in IEEE doubles, making `u < t`
+  * comparisons bit-identical across engines.
+  */
+object Sampling {
+
+  /** 2^48 — the exclusive upper bound of [[Dedup.hash48]] values. */
+  val HashSpan: Double = 281474976710656.0
+
+  /** Deterministic uniform [0,1): md5-prefix hash of (salt ++ id),
+    * scaled by 2^-48. Exact in double arithmetic end-to-end.
+    */
+  def hashUnit(id: Column, salt: String = ""): Column =
+    Dedup.hash48(concat(lit(salt), id.cast("string"))) / lit(HashSpan)
+
+  /** Keep each row iff its hash unit is below `fraction` — a
+    * deterministic Bernoulli(fraction) sample, as a plain filter.
+    */
+  def sampleByHash(
+      df: DataFrame, idCol: String, fraction: Double,
+      salt: String = ""): DataFrame =
+    df.filter(hashUnit(col(idCol), salt) < fraction)
+
+  /** Cumulative split thresholds for `weights` normalized to sum 1:
+    * the first n-1 upper bounds (the last split takes the remainder).
+    * Exposed so oracle SQL can embed the SAME doubles the engine
+    * compares against (re-deriving them risks one-ulp drift at the
+    * boundaries).
+    */
+  def cumThresholds(weights: Seq[(String, Double)]): Seq[Double] = {
+    val total = weights.map(_._2).sum
+    weights.init.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+  }
+
+  /** Assign every row to a named split (train/valid/test/...) by hash
+    * threshold: split i takes u in [cum(i-1), cum(i)). Weights are
+    * normalized; the assignment is a single projection.
+    */
+  def splitAssign(
+      df: DataFrame, idCol: String, weights: Seq[(String, Double)],
+      salt: String = ""): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "split weights must be positive")
+    val u = hashUnit(col(idCol), salt)
+    val expr = weights.init.zip(cumThresholds(weights))
+      .foldRight(lit(weights.last._1): Column) { case (((name, _), c), acc) =>
+        when(u < c, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", expr)
+  }
+
+  /** Weighted corpus mixing: keep a row iff its hash unit is below the
+    * keep-fraction of its `sourceCol` value (`default` for unlisted
+    * sources). The standard "mix N corpora at chosen rates into one
+    * training set" operator — still a single narrow filter; the
+    * per-source rate lookup is a constant-folded CASE chain.
+    */
+  def weightedMix(
+      df: DataFrame, idCol: String, sourceCol: String,
+      fractions: Map[String, Double], default: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    val rate = fractions.toSeq.sortBy(_._1)
+      .foldRight(lit(default): Column) { case ((src, f), acc) =>
+        when(col(sourceCol) === src, lit(f)).otherwise(acc)
+      }
+    df.filter(hashUnit(col(idCol), salt) < rate)
+  }
+}

@@ -66,6 +66,22 @@ class ExtSpec extends SparkSpec {
     assert(nd.contains((1L, 2L)) || nd.contains((2L, 4L)))
   }
 
+  test("duplicateClusters: transitive closure to component-min labels") {
+    // chain 1-2, 2-3, 3-4 needs multiple propagation rounds; 10-11 is a
+    // separate component; 20 appears only as the greater pair member
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (5L, 20L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 5L -> 5L, 20L -> 5L))
+  }
+
+  test("duplicateClusters: empty pair set yields empty mapping") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(empty).count() == 0)
+  }
+
   test("simhash: identical texts equal, near texts close in hamming") {
     val s = docs.select(col("doc_id"),
       Dedup.simhash48(col("text")).as("h")).collect()

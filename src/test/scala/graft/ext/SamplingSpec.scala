@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = (0L until 2000L).toDF("id")
+
+  test("hashUnit is deterministic, in [0,1), and salt-independent draws") {
+    val u1 = Sampling.hashUnit(col("id"), "a")
+    val r = ids.select(u1.as("u")).collect().map(_.getDouble(0))
+    assert(r.forall(u => u >= 0.0 && u < 1.0))
+    val r2 = ids.select(Sampling.hashUnit(col("id"), "a").as("u"))
+      .collect().map(_.getDouble(0))
+    assert(r.sameElements(r2)) // rerun-stable
+    val rb = ids.select(Sampling.hashUnit(col("id"), "b").as("u"))
+      .collect().map(_.getDouble(0))
+    assert(!r.sameElements(rb)) // different salt = different draw
+  }
+
+  test("sampleByHash keeps ~fraction and is a stable subset") {
+    val kept = Sampling.sampleByHash(ids, "id", 0.25, "s").collect()
+      .map(_.getLong(0)).toSet
+    assert(math.abs(kept.size / 2000.0 - 0.25) < 0.05)
+    // sampling at a higher rate with the same salt is a superset
+    val keptMore = Sampling.sampleByHash(ids, "id", 0.5, "s").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept.subsetOf(keptMore))
+  }
+
+  test("splitAssign covers every row, respects weights, disjoint splits") {
+    val bySplit = Sampling.splitAssign(ids, "id",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), "sp")
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == 2000L)
+    assert(math.abs(bySplit("train") / 2000.0 - 0.8) < 0.05)
+    assert(math.abs(bySplit("valid") / 2000.0 - 0.1) < 0.03)
+    assert(math.abs(bySplit("test") / 2000.0 - 0.1) < 0.03)
+  }
+
+  test("splitAssign normalizes weights (2:1:1 == 0.5:0.25:0.25)") {
+    val a = Sampling.splitAssign(ids, "id",
+      Seq("x" -> 2.0, "y" -> 1.0, "z" -> 1.0), "nw").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.splitAssign(ids, "id",
+      Seq("x" -> 0.5, "y" -> 0.25, "z" -> 0.25), "nw").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("weightedMix applies per-source rates with default for unlisted") {
+    val docs = (0L until 3000L)
+      .map(i => (i, s"src${(i % 3).toInt}")).toDF("id", "source")
+    val kept = Sampling.weightedMix(docs, "id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.2), default = 0.0, salt = "m")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("src0") == 1000L) // rate 1.0 keeps everything
+    assert(math.abs(kept("src1") / 1000.0 - 0.2) < 0.06)
+    assert(!kept.contains("src2")) // default 0.0 drops all
+  }
+}
