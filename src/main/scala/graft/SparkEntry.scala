@@ -605,6 +605,16 @@ object SparkEntry {
           col("n_distinct") <= col("n_rows") * 1.2).as("distinct_sane"))
       .orderBy("column_name")
 
+  /** Exact interpolated quantiles over bounded-cardinality lineitem
+    * measures — the documented use of exact mode (value→count map
+    * partials stay small). The approx sketch path is the default in the
+    * library; its accuracy vs exact is asserted in ExtSpec.
+    */
+  private def xProfileQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.numericProfile(t(s, dir, "lineitem"),
+      Seq("l_quantity", "l_discount", "l_linenumber"), exact = true)
+      .orderBy("column_name")
+
   /** HLL++ duplicate quick-screen (Checks.uniqueQuickScreen): one scan,
     * no key shuffle. The approx estimate is engine-specific, so the
     * compared columns are `n_rows` and the screening verdict only —
@@ -802,6 +812,23 @@ object SparkEntry {
     StreamingValidate.sessionize(t(s, dir, "events"), 30)
       .orderBy("user_id", "session_start")
 
+  /** Batch formulation of StreamingValidate.dedupWithinWatermark under
+    * simulated at-least-once redelivery (events unioned with
+    * themselves): dedup on (event_id, ts) recovers exactly the original
+    * stream — event_id is unique, so the survivor rows are well-defined
+    * in every column. Streaming-mode state behavior is asserted in
+    * StreamingSpec.
+    */
+  private def xStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"))
+    StreamingValidate.dedupWithinWatermark(e.unionByName(e),
+        Seq("event_id"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_unique"))
+      .orderBy("event_type")
+  }
+
   /** Native session_window sessionization — same sessions via the
     * built-in windowed aggregation (gap-tie boundary uses >=; see
     * StreamingValidate.sessionizeNative scaladoc).
@@ -846,6 +873,7 @@ object SparkEntry {
     "x_dedup_minhash" -> (xDedupMinhash _),
     "x_dedup_clusters" -> (xDedupClusters _),
     "x_sample_split" -> (xSampleSplit _),
+    "x_profile_quantiles" -> (xProfileQuantiles _),
     "x_sample_mix" -> (xSampleMix _),
     "x_dedup_simhash" -> (xDedupSimhash _),
     "x_sim_topk" -> (xSimTopk _),
@@ -863,6 +891,7 @@ object SparkEntry {
     "r1_error_sample" -> (r1ErrorSample _),
     "k2_uniquekeys" -> (k2UniqueKeys _),
     "x_stream_sessionize" -> (xStreamSessionize _),
+    "x_stream_dedup" -> (xStreamDedup _),
     "p10_yearmonth" -> (p10Yearmonth _),
     "p11_object" -> (p11Object _),
     "p12_array" -> (p12Array _),
@@ -981,6 +1010,27 @@ object SparkEntry {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin
     },
+    "x_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_unique
+        |FROM (SELECT DISTINCT event_id, user_id, event_type, ts
+        |      FROM (SELECT event_id, user_id, event_type, ts FROM events
+        |            UNION ALL
+        |            SELECT event_id, user_id, event_type, ts FROM events))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x_profile_quantiles" ->
+      """SELECT * FROM (
+        |  SELECT 'l_quantity' AS column_name,
+        |    quantile_cont(CAST(l_quantity AS DOUBLE), [0.25, 0.5, 0.75])
+        |      AS quantiles FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount',
+        |    quantile_cont(CAST(l_discount AS DOUBLE), [0.25, 0.5, 0.75])
+        |    FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linenumber',
+        |    quantile_cont(CAST(l_linenumber AS DOUBLE), [0.25, 0.5, 0.75])
+        |    FROM lineitem)
+        |ORDER BY column_name""".stripMargin,
     "x_sample_mix" ->
       s"""SELECT source, count(*) AS n_kept
         |FROM (SELECT source,

@@ -48,4 +48,32 @@ object Profile {
       s"stack(${cols.size}, $stackArgs) AS " +
         "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
   }
+
+  /** Numeric quantile profile: one row per column with its interpolated
+    * quantiles at `probabilities` (linear interpolation — the
+    * `quantile_cont` convention), computed in ONE scan across all
+    * columns.
+    *
+    * Default is `percentile_approx` (a bounded-size quantile sketch per
+    * partial — the only shape that survives unbounded cardinality at
+    * 100 TB). `exact = true` opts into Spark's exact percentile, whose
+    * partial state is a value→count map: partial-aggregable and cheap
+    * while the column's cardinality is bounded (enums, small-domain
+    * measures), NOT for high-cardinality columns. Inputs are cast to
+    * double so decimal columns profile under the same interpolation
+    * arithmetic on every engine.
+    */
+  def numericProfile(df: DataFrame, cols: Seq[String],
+      probabilities: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    val probs = array(probabilities.map(lit): _*)
+    def qAgg(c: Column): Column =
+      if (exact) percentile(c.cast("double"), probs)
+      else percentile_approx(c.cast("double"), probs, lit(accuracy))
+    val aggs = cols.map(c => qAgg(col(c)).as(s"${c}__q"))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', `${c}__q`").mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (column_name, quantiles)")
+  }
 }

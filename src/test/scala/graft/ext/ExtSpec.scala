@@ -66,6 +66,18 @@ class ExtSpec extends SparkSpec {
     assert(nd.contains((1L, 2L)) || nd.contains((2L, 4L)))
   }
 
+  test("numeric profile: approx quantile sketch tracks exact percentile") {
+    val vals = (1 to 5000).map(i => Tuple1(i.toDouble)).toDF("v")
+    def qs(exact: Boolean): Seq[Double] =
+      Profile.numericProfile(vals, Seq("v"), exact = exact)
+        .collect()(0).getSeq[Double](1)
+    val (ex, ap) = (qs(true), qs(false))
+    assert(ex == Seq(1250.75, 2500.5, 3750.25)) // linear interpolation
+    ex.zip(ap).foreach { case (e, a) =>
+      assert(math.abs(e - a) / e < 0.01, s"approx $a vs exact $e")
+    }
+  }
+
   test("duplicateClusters: transitive closure to component-min labels") {
     // chain 1-2, 2-3, 3-4 needs multiple propagation rounds; 10-11 is a
     // separate component; 20 appears only as the greater pair member
