@@ -536,6 +536,23 @@ object SparkEntry {
     Dedup.embeddingCanonical(t(s, dir, "embeddings"), nPlanes = 8,
       threshold = 0.3).orderBy("dup_id")
 
+  /** Benchmark decontamination: the eval set is 80%-token-prefix
+    * excerpts of every 50th document (ids + 2000000); the scan must
+    * recover exactly those source documents as contaminated, with the
+    * shared-shingle counts and eval-coverage fractions oracle-matched.
+    */
+  private def xDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val evalSet = base.filter(col("id") % 50 === 0)
+      .select((col("id") + 2000000).as("id"),
+        slice(col("toks"), lit(1),
+          floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    graft.ext.Decontaminate.contaminationFromTokens(base, evalSet,
+        k = 5, minShared = 2)
+      .orderBy("train_id", "eval_id")
+  }
+
   /** Train/valid/test assignment weights for x_sample_split — cumulative
     * thresholds are computed ONCE (Sampling.cumThresholds) and embedded
     * verbatim in the oracle SQL so both engines compare against
@@ -874,6 +891,7 @@ object SparkEntry {
     "x_dedup_clusters" -> (xDedupClusters _),
     "x_sample_split" -> (xSampleSplit _),
     "x_profile_quantiles" -> (xProfileQuantiles _),
+    "x_decontaminate" -> (xDecontaminate _),
     "x_sample_mix" -> (xSampleMix _),
     "x_dedup_simhash" -> (xDedupSimhash _),
     "x_sim_topk" -> (xSimTopk _),
@@ -942,6 +960,17 @@ object SparkEntry {
       Similarity.planeMatrix(p).take(dims).mkString("[", ",", "]"))
       .mkString("[", ",", "]")
 
+  /** DuckDB rendering of Dedup.shingleHashesFromTokens at k=5 over a
+    * token-list expression.
+    */
+  private def duckShingleHashes5(toks: String): String =
+    s"""list_transform(
+       |    list_distinct(CASE WHEN len($toks) >= 5
+       |      THEN list_transform(range(1, len($toks) - 3),
+       |        i -> array_to_string(list_slice($toks, i, i + 4), ' '))
+       |      ELSE [array_to_string($toks, ' ')] END),
+       |    s -> ${duckHash48("s")})""".stripMargin
+
   /** Shared DuckDB CTE chain rendering the x_dedup_minhash pipeline
     * (documents + prefix twins → hashed shingles → MinHash signatures →
     * LSH band buckets → verified Jaccard pairs in `j`) — reused by the
@@ -998,6 +1027,30 @@ object SparkEntry {
       s"""WITH $duckMinhashPairCtes
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "x_decontaminate" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |tr AS (
+        |  SELECT doc_id AS train_id, ${duckShingleHashes5("toks")} AS sh
+        |  FROM tok),
+        |evtok AS (
+        |  SELECT doc_id + 2000000 AS eval_id,
+        |    list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INTEGER))
+        |      AS toks
+        |  FROM tok WHERE doc_id % 50 = 0),
+        |ev AS (
+        |  SELECT eval_id, ${duckShingleHashes5("toks")} AS sh FROM evtok)
+        |SELECT train_id, eval_id, n_shared,
+        |  CAST(n_shared AS DOUBLE) / n_eval AS eval_coverage
+        |FROM (SELECT t.train_id, e.eval_id,
+        |        len(list_intersect(t.sh, e.sh)) AS n_shared,
+        |        len(e.sh) AS n_eval
+        |      FROM tr t, ev e)
+        |WHERE n_shared >= 2
+        |ORDER BY train_id, eval_id""".stripMargin,
     "x_sample_split" -> {
       val Seq(cTrain, cValid) = Sampling.cumThresholds(SplitWeights)
       s"""SELECT doc_id,

@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find training documents that share k-gram
+  * shingles with an evaluation set (SURVEY.md §7.6 extension surface —
+  * the standard pre-training hygiene pass that keeps eval questions out
+  * of the training corpus).
+  *
+  * Scale shape: the eval side is a benchmark suite — tiny next to a
+  * 100 TB corpus — so its exploded shingle table is `broadcast()` and
+  * the contamination scan is ONE map-side hash-join pass over the train
+  * shingles, zero shuffle for the join itself. Only the surviving
+  * (train_doc, eval_doc) collisions shuffle, into the pair aggregation,
+  * and that input is already restricted to actual shingle matches. The
+  * shingle hashing is the portable 48-bit md5 prefix ([[Dedup.hash48]]),
+  * so the whole pass is oracle-checkable.
+  */
+object Decontaminate {
+
+  /** Overlap report over pre-tokenized (id, toks) frames: training docs
+    * sharing at least `minShared` distinct k-gram shingles with an eval
+    * doc, with the share of the eval doc's shingles covered.
+    *
+    * Shingle arrays are distinct per doc (see [[Dedup.shinglesFromTokens]]),
+    * so each exploded (id, hash) pair is unique and a plain `count` of
+    * join hits equals the distinct-shared-shingle count — no
+    * count_distinct shuffle-side expansion needed.
+    */
+  def contaminationFromTokens(
+      train: DataFrame, evalSet: DataFrame,
+      k: Int = 5, minShared: Int = 2): DataFrame = {
+    val trainSh = train.select(col("id").as("train_id"),
+      explode(Dedup.shingleHashesFromTokens(col("toks"), k)).as("h"))
+    // scoped cache = materialization barrier: size() and explode() both
+    // consume the shingle HOF; without it CollapseProject re-evaluates
+    // the shingling per consumer (interpreted HOFs have no CSE)
+    val evalSh = CacheScope.withCached(
+      evalSet.select(col("id").as("eval_id"),
+        Dedup.shingleHashesFromTokens(col("toks"), k).as("sh"))) { base =>
+      base.select(col("eval_id"), size(col("sh")).as("n_eval"),
+        explode(col("sh")).as("h"))
+    }
+    trainSh.join(broadcast(evalSh), "h")
+      .groupBy("train_id", "eval_id", "n_eval")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("train_id"), col("eval_id"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_eval"))
+          .as("eval_coverage"))
+  }
+
+  /** Text-column convenience: tokenize both corpora, then
+    * [[contaminationFromTokens]].
+    */
+  def contamination(
+      train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 5, minShared: Int = 2): DataFrame = {
+    def shape(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+    contaminationFromTokens(shape(train), shape(evalSet), k, minShared)
+  }
+}

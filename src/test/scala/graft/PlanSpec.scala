@@ -99,6 +99,27 @@ class PlanSpec extends SparkSpec {
       "ivfTopK probe routing + ranking must be window-free too")
   }
 
+  test("decontamination joins via broadcast — train side never shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    val ev = d.filter(col("id") % 50 === 0)
+    val c = graft.ext.Decontaminate.contaminationFromTokens(d, ev)
+    val all = nodes(c)
+    val bhj = all.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "eval shingles must broadcast into the join")
+    // the only exchange is the final pair aggregation, downstream of the
+    // join — nothing shuffles the exploded train shingle table itself
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    val shufflesInsideJoinInput = bhj.flatMap(_.children)
+      .filterNot(c => flatten(c).exists(_.isInstanceOf[BroadcastExchangeLike]))
+      .flatMap(flatten)
+      .collect { case s: ShuffleExchangeExec => s }
+    assert(shufflesInsideJoinInput.isEmpty,
+      "train-side shingle stream must reach the broadcast join unshuffled")
+  }
+
   test("default (approx) profile plans without an Expand") {
     val li = Tables.load(spark, dir, "lineitem")
     val cols = Seq("l_orderkey", "l_quantity", "l_returnflag")

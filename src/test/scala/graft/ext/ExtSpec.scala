@@ -66,6 +66,24 @@ class ExtSpec extends SparkSpec {
     assert(nd.contains((1L, 2L)) || nd.contains((2L, 4L)))
   }
 
+  test("decontamination flags shared-shingle docs, skips clean ones") {
+    def toks(s: String) = s.split(" ").toSeq
+    val train = Seq(
+      (1L, toks("alpha beta gamma delta epsilon zeta eta theta")),
+      (2L, toks("one two three four five six seven eight nine"))
+    ).toDF("id", "toks")
+    val evalSet = Seq(
+      // prefix excerpt of train doc 1 → shares 5-gram shingles
+      (100L, toks("alpha beta gamma delta epsilon zeta")),
+      (101L, toks("totally unrelated benchmark question text here"))
+    ).toDF("id", "toks")
+    val got = Decontaminate.contaminationFromTokens(train, evalSet,
+        k = 5, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // excerpt has 2 shingles (6 tokens, k=5), both inside doc 1's set
+    assert(got.toSeq == Seq((1L, 100L, 2L)))
+  }
+
   test("numeric profile: approx quantile sketch tracks exact percentile") {
     val vals = (1 to 5000).map(i => Tuple1(i.toDouble)).toDF("v")
     def qs(exact: Boolean): Seq[Double] =
