@@ -721,6 +721,42 @@ object SparkEntry {
       .drop("sim")
       .orderBy("id_a", "id_b")
 
+  /** PII audit scan over documents with injected PII-shaped strings
+    * (the corpus itself is synthetic word soup, so known patterns are
+    * appended to make hit counts non-trivial on both engines).
+    */
+  private def xTextPii(s: SparkSession, dir: String): DataFrame = {
+    val raw = when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" reach me at alice.smith@example.com")))
+      .when(col("doc_id") % 5 === 1,
+        concat(col("text"), lit(" or call 555-867-5309 today")))
+      .when(col("doc_id") % 5 === 2,
+        concat(col("text"), lit(" server at 192.168.10.42 responded")))
+      .otherwise(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        TextAnalysis.piiEmailCount(col("raw")).cast(LongType)
+          .as("n_email"),
+        TextAnalysis.piiPhoneCount(col("raw")).cast(LongType)
+          .as("n_phone"),
+        TextAnalysis.piiIpv4Count(col("raw")).cast(LongType)
+          .as("n_ipv4"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-level rollup by declared language: doc counts plus exact
+    * integer token/char totals (no float averages — order-independent).
+    */
+  private def xTextCorpusStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast(LongType))
+          .as("total_tokens"),
+        sum(length(col("text")).cast(LongType)).as("total_chars"))
+      .orderBy("lang")
+
   /** Token counting: whitespace tokens + BPE-ish regex tokens. */
   private def xTextTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -892,6 +928,8 @@ object SparkEntry {
     "x_sample_split" -> (xSampleSplit _),
     "x_profile_quantiles" -> (xProfileQuantiles _),
     "x_decontaminate" -> (xDecontaminate _),
+    "x_text_pii" -> (xTextPii _),
+    "x_text_corpus_stats" -> (xTextCorpusStats _),
     "x_sample_mix" -> (xSampleMix _),
     "x_dedup_simhash" -> (xDedupSimhash _),
     "x_sim_topk" -> (xSimTopk _),
@@ -1063,6 +1101,28 @@ object SparkEntry {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin
     },
+    "x_text_pii" ->
+      s"""SELECT doc_id,
+        |  len(regexp_extract_all(raw, '${TextAnalysis.EmailRe}'))
+        |    AS n_email,
+        |  len(regexp_extract_all(raw, '${TextAnalysis.PhoneRe}'))
+        |    AS n_phone,
+        |  len(regexp_extract_all(raw, '${TextAnalysis.Ipv4Re}'))
+        |    AS n_ipv4
+        |FROM (SELECT doc_id, CASE
+        |    WHEN doc_id % 5 = 0
+        |      THEN text || ' reach me at alice.smith@example.com'
+        |    WHEN doc_id % 5 = 1 THEN text || ' or call 555-867-5309 today'
+        |    WHEN doc_id % 5 = 2
+        |      THEN text || ' server at 192.168.10.42 responded'
+        |    ELSE text END AS raw FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "x_text_corpus_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> ''))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "x_stream_dedup" ->
       """SELECT event_type, count(*) AS n_unique
         |FROM (SELECT DISTINCT event_id, user_id, event_type, ts

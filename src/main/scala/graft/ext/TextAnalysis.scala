@@ -93,6 +93,23 @@ object TextAnalysis {
     round((lenScore + alpha + punct) / 3.0, 6)
   }
 
+  /** PII-shaped substring patterns — deliberately RE2-compatible (no
+    * lookaround, no backrefs) so the same pattern text runs under
+    * Java's engine here and RE2-based engines (DuckDB, Go) in oracles
+    * and downstream scrubbers.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Per-document PII pattern counts (emails, phone-shaped numbers,
+    * IPv4 literals) — the pre-redaction audit scan. Pure regexp_count
+    * projections: codegen'd, zero shuffle, linear in input bytes.
+    */
+  def piiEmailCount(c: Column): Column = regexp_count(c, lit(EmailRe))
+  def piiPhoneCount(c: Column): Column = regexp_count(c, lit(PhoneRe))
+  def piiIpv4Count(c: Column): Column = regexp_count(c, lit(Ipv4Re))
+
   /** Document fingerprint: md5 of case- and whitespace-normalized text.
     * Stable across engines (SQL-expressible), used as the exact-dedup key.
     */
