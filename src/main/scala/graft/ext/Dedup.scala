@@ -420,4 +420,18 @@ object Dedup {
       labels.select(col("id"), col("label").as("cluster_id"))
     } finally edges.unpersist(blocking = false)
   }
+
+  /** Apply a [[duplicateClusters]] mapping to the corpus: drop every row
+    * whose id maps to a different canonical (keep cluster survivors and
+    * all singletons — ids never appearing in a pair). One LEFT ANTI join
+    * against the non-canonical member ids; that set is exactly the
+    * duplicate count (small next to the corpus), so Spark broadcasts it
+    * and the pass stays map-side.
+    */
+  def dropDuplicateMembers(
+      df: DataFrame, clusters: DataFrame, idCol: String): DataFrame = {
+    val dupIds = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(broadcast(dupIds), Seq(idCol), "left_anti")
+  }
 }

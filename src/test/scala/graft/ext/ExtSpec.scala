@@ -107,6 +107,15 @@ class ExtSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 5L -> 5L, 20L -> 5L))
   }
 
+  test("dropDuplicateMembers keeps canonicals and singletons only") {
+    val corpus = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("id", "cluster_id")
+    val kept = Dedup.dropDuplicateMembers(corpus, clusters, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 9L)) // canonical 1, self-canonical 4, singleton 9
+  }
+
   test("duplicateClusters: empty pair set yields empty mapping") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.duplicateClusters(empty).count() == 0)
