@@ -553,6 +553,18 @@ object SparkEntry {
       .orderBy("train_id", "eval_id")
   }
 
+  /** End-to-end dedup application: near-dup pairs → transitive clusters
+    * → corpus minus non-canonical members. The surviving id set is the
+    * deduplicated corpus (canonicals + singletons).
+    */
+  private def xDedupApply(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docsWithTwins(s, dir).select(col("id"))
+    val clusters = Dedup.duplicateClusters(
+      Dedup.nearDuplicatesFromTokens(docsWithTwins(s, dir),
+        threshold = 0.5, k = 5))
+    Dedup.dropDuplicateMembers(corpus, clusters, "id").orderBy("id")
+  }
+
   /** Train/valid/test assignment weights for x_sample_split — cumulative
     * thresholds are computed ONCE (Sampling.cumThresholds) and embedded
     * verbatim in the oracle SQL so both engines compare against
@@ -948,6 +960,7 @@ object SparkEntry {
     "k2_uniquekeys" -> (k2UniqueKeys _),
     "x_stream_sessionize" -> (xStreamSessionize _),
     "x_stream_dedup" -> (xStreamDedup _),
+    "x_dedup_apply" -> (xDedupApply _),
     "p10_yearmonth" -> (p10Yearmonth _),
     "p11_object" -> (p11Object _),
     "p12_array" -> (p12Array _),
@@ -1089,6 +1102,21 @@ object SparkEntry {
         |      FROM tr t, ev e)
         |WHERE n_shared >= 2
         |ORDER BY train_id, eval_id""".stripMargin,
+    "x_dedup_apply" ->
+      s"""WITH RECURSIVE $duckMinhashPairCtes,
+        |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+        |nodes AS (SELECT id_a AS id FROM p UNION SELECT id_b FROM p),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id),
+        |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT b.id FROM bothd b
+        |WHERE b.id NOT IN
+        |  (SELECT id FROM clusters WHERE id <> cluster_id)
+        |ORDER BY b.id""".stripMargin,
     "x_sample_split" -> {
       val Seq(cTrain, cValid) = Sampling.cumThresholds(SplitWeights)
       s"""SELECT doc_id,

@@ -120,15 +120,23 @@ class PlanSpec extends SparkSpec {
       "train-side shingle stream must reach the broadcast join unshuffled")
   }
 
-  test("default (approx) profile plans without an Expand") {
+  test("profile plans are Expand-free in BOTH modes; exact prunes per column") {
     val li = Tables.load(spark, dir, "lineitem")
     val cols = Seq("l_orderkey", "l_quantity", "l_returnflag")
     val approx = Profile.columnProfile(li, cols)
     assert(!nodes(approx).exists(_.isInstanceOf[ExpandExec]),
       "approx profile must be one pass — no Expand row multiplication")
     assert(scans(approx).size == 1)
-    // contrast: exact mode pays the Expand (why it is opt-in)
+    // exact mode: one two-level agg per column — still no Expand (the
+    // N-count_distinct-in-one-agg formulation multiplied rows ×(N+1)
+    // and collapsed 40× worse than linear at sf1), and each scan reads
+    // ONLY its own column
     val exact = Profile.columnProfile(li, cols, exact = true)
-    assert(nodes(exact).exists(_.isInstanceOf[ExpandExec]))
+    assert(!nodes(exact).exists(_.isInstanceOf[ExpandExec]),
+      "exact profile must not pay the multi-count_distinct Expand")
+    val exactScans = scans(exact)
+    assert(exactScans.size == cols.size)
+    assert(exactScans.forall(_.requiredSchema.fieldNames.length == 1),
+      "each exact-profile scan must be pruned to its single column")
   }
 }
