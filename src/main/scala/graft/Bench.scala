@@ -18,7 +18,11 @@ object Bench {
     // timings are comparable across rounds; clear leaked per-query caches
     // between queries so one query's working set doesn't tax the next —
     // in production each validation is its own job with a fresh session.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // optional name filter for local bisection (driver sets no filter)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -402,20 +402,26 @@ object Dedup {
         val s = l.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
         if (s == null) java.math.BigDecimal.ZERO else s
       }
+      val debug = sys.env.contains("GRAFT_DEBUG_CLUSTERS")
       var prevSum = labelSum(labels)
       var it = 0
       var done = prevSum.signum == 0 && labels.isEmpty
       while (!done && it < maxIters) {
+        val t0 = System.nanoTime()
         val next = edges.join(labels, col("src") === col("id"))
           .select(col("dst").as("id"), col("label"))
           .union(labels)
           .groupBy("id").agg(min("label").as("label"))
           .localCheckpoint(eager = true)
+        val t1 = System.nanoTime()
         val s = labelSum(next)
         done = s.compareTo(prevSum) == 0
         prevSum = s
         labels = next
         it += 1
+        if (debug) println(f"[clusters] iter $it%2d " +
+          f"propagate ${(t1 - t0) / 1e9}%7.2f s " +
+          f"sum ${(System.nanoTime() - t1) / 1e9}%7.2f s")
       }
       labels.select(col("id"), col("label").as("cluster_id"))
     } finally edges.unpersist(blocking = false)
