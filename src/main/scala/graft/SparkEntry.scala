@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.check.Checks
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Joins, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.parse.Parsers
 import graft.schema.{Constraints, Field}
 import graft.streaming.StreamingValidate
@@ -902,6 +902,66 @@ object SparkEntry {
     StreamingValidate.sessionizeNative(t(s, dir, "events"), 30)
       .orderBy("user_id", "session_start")
 
+  // ------------------------------------------------------------- temporal joins
+  /** As-of join (Joins.asOfJoin): each purchase event picks up the latest
+    * click by the same user at-or-before it (ties: greatest click_id);
+    * purchases with no prior click keep nulls. Union+window plan — one
+    * shuffle on user_id, no join node (plan shape asserted in PlanSpec).
+    */
+  private def xAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    Joins.asOfJoin(purchases, clicks, "user_id", "ts", "user_id", "ts",
+        "click_id", Seq("click_id", "click_ts"))
+      .orderBy("event_id")
+  }
+
+  /** Keyed range join (Joins.rangeJoinKeyed): clicks by the same user in
+    * the half-open 6-hour window after each purchase, counted per
+    * purchase. The equality key keeps Catalyst on an equi-join with a
+    * residual range filter — never a nested loop (asserted in PlanSpec).
+    */
+  private def xRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    Joins.rangeJoinKeyed(purchases, clicks, "user_id", "c_user",
+        col("c_ts"), col("ts"), col("ts") + expr("INTERVAL 6 HOURS"))
+      .groupBy("event_id", "user_id", "ts")
+      .agg(count(col("c_id")).as("n_clicks"))
+      .orderBy("event_id")
+  }
+
+  /** Keyless interval join via binning (Joins.rangeJoinBinned): event
+    * traffic inside five literal maintenance/eval windows. Without the
+    * bin key Spark would nested-loop |events|×|windows|; the 6-hour bin
+    * turns it into an equi-join plus residual filter.
+    */
+  private def xRangeJoinBinned(s: SparkSession, dir: String): DataFrame = {
+    val windows = Seq(
+      ("w1", "2024-01-03 00:00:00", "2024-01-04 12:00:00"),
+      ("w2", "2024-01-08 06:00:00", "2024-01-09 00:00:00"),
+      ("w3", "2024-01-15 00:00:00", "2024-01-18 00:00:00"),
+      ("w4", "2024-01-22 18:00:00", "2024-01-23 06:00:00"),
+      ("w5", "2024-01-29 00:00:00", "2024-01-31 00:00:00"))
+    val iv = s.createDataFrame(windows).toDF("w_name", "w_start", "w_end")
+      .select(col("w_name"), col("w_start").cast("timestamp").as("w_start"),
+        col("w_end").cast("timestamp").as("w_end"))
+    Joins.rangeJoinBinned(t(s, dir, "events"), "ts", iv,
+        "w_start", "w_end", binSeconds = 21600L)
+      .groupBy("w_name")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy("w_name")
+  }
+
   // -------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_pk_lineitem" -> (k1PkLineitem _),
@@ -977,7 +1037,10 @@ object SparkEntry {
     "x_profile_approx" -> (xProfileApprox _),
     "x_unique_screen" -> (xUniqueScreen _),
     "x_hot_buckets" -> (xHotBuckets _),
-    "x_sim_ivf_kmeans" -> (xSimIvfKmeans _)
+    "x_sim_ivf_kmeans" -> (xSimIvfKmeans _),
+    "x_asof_join" -> (xAsofJoin _),
+    "x_range_join" -> (xRangeJoin _),
+    "x_range_join_binned" -> (xRangeJoinBinned _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -1914,6 +1977,43 @@ object SparkEntry {
         |  FROM sigd, (SELECT unnest(range(0, 16)) AS b) bb)
         |SELECT band, bucket, count(*) AS bcnt FROM banded
         |GROUP BY band, bucket HAVING count(*) > 2
-        |ORDER BY band, bucket""".stripMargin
+        |ORDER BY band, bucket""".stripMargin,
+    "x_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT event_id, user_id, ts, click_id, click_ts FROM (
+        |  SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+        |  FROM p LEFT JOIN c
+        |    ON c.user_id = p.user_id AND c.click_ts <= p.ts) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "x_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, count(c.c_id) AS n_clicks
+        |FROM p LEFT JOIN c ON c.c_user = p.user_id
+        |  AND c.c_ts >= p.ts AND c.c_ts < p.ts + INTERVAL 6 HOUR
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "x_range_join_binned" ->
+      """WITH w(w_name, w_start, w_end) AS (VALUES
+        |  ('w1', TIMESTAMP '2024-01-03 00:00:00',
+        |         TIMESTAMP '2024-01-04 12:00:00'),
+        |  ('w2', TIMESTAMP '2024-01-08 06:00:00',
+        |         TIMESTAMP '2024-01-09 00:00:00'),
+        |  ('w3', TIMESTAMP '2024-01-15 00:00:00',
+        |         TIMESTAMP '2024-01-18 00:00:00'),
+        |  ('w4', TIMESTAMP '2024-01-22 18:00:00',
+        |         TIMESTAMP '2024-01-23 06:00:00'),
+        |  ('w5', TIMESTAMP '2024-01-29 00:00:00',
+        |         TIMESTAMP '2024-01-31 00:00:00'))
+        |SELECT w_name, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM w JOIN events e ON e.ts >= w_start AND e.ts < w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

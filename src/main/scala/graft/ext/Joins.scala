@@ -1,0 +1,135 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators a training-data / event pipeline needs and
+  * vanilla Spark SQL lacks as first-class verbs: as-of joins (latest
+  * right row at-or-before each left row) and interval/range joins.
+  *
+  * Both are expressed as compositions of existing Spark operators chosen
+  * for their plan shape at scale, not as custom physical nodes — the
+  * guiding rule (SURVEY.md §7.5) is that a composition Catalyst can see
+  * through beats an opaque operator it cannot optimize around.
+  *
+  * Scale notes:
+  *  - [[asOfJoin]] is ONE shuffle on the join key followed by a per-key
+  *    sorted window. There is no join node at all, so there is nothing
+  *    to degenerate into a broadcast-nested-loop or a skew-prone
+  *    sort-merge with range predicates; the only skew sensitivity is a
+  *    single hot KEY (all rows of one key sort in one task) — inherent
+  *    to as-of semantics, which require a total time order per key.
+  *  - [[rangeJoinBinned]] turns a keyless interval join — which Spark
+  *    plans as BroadcastNestedLoopJoin, O(|points|·|intervals|)
+  *    comparisons — into an equi-join on a time bin, O(|points| +
+  *    Σ interval-spans/bin) with a residual filter. Bin width trades
+  *    duplication of interval rows against candidate selectivity.
+  */
+object Joins {
+
+  /** Backward as-of join: for every left row, attach the payload of the
+    * single right row with the same key and the greatest `rightTime` that
+    * is <= the left row's `leftTime` (ties on time broken by the greatest
+    * `rightTieBreak`). Left rows with no such right row keep nulls
+    * (left-outer semantics).
+    *
+    * Plan: tag both sides, union, one hash-partition on the key, and a
+    * running `last(payload, ignoreNulls)` over (time, tag, tiebreak)
+    * rows-unbounded-preceding — the classic union-window as-of used by
+    * event-time engines, here left to Catalyst as a plain Window so the
+    * partial ordering, codegen and AQE all apply. No join node, no
+    * broadcast, no per-pair comparison.
+    *
+    * @param payload right columns to carry onto matched left rows; names
+    *                must not collide with left output columns.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      rightTieBreak: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(payload.nonEmpty, "as-of join needs at least one payload column")
+    require(!payload.exists(leftCols.contains),
+      s"payload ${payload.mkString(",")} collides with left columns")
+
+    // Right side reduced to (key, time, tiebreak, payload-struct); left
+    // side keeps its full row with a null payload slot. The union is by
+    // POSITION, so both sides project the same shape.
+    val rCols = Seq(
+      col(rightKey).as("__k"), col(rightTime).as("__t"),
+      col(rightTieBreak).cast("long").as("__tb"),
+      struct(payload.map(col): _*).as("__p"), lit(0).as("__tag")) ++
+      leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
+    val r = right.select(rCols: _*)
+    val lCols = Seq(
+      col(leftKey).as("__k"), col(leftTime).as("__t"),
+      lit(null).cast("long").as("__tb"),
+      lit(null).cast(r.schema("__p").dataType).as("__p"),
+      lit(1).as("__tag")) ++ leftCols.map(col)
+    val l = left.select(lCols: _*)
+
+    // Right rows sort BEFORE a left row at the same instant (tag 0 < 1),
+    // so exact-time matches are visible: <=, not <. Among right rows at
+    // one instant the greatest tiebreak sorts last and wins `last()`.
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__tag"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = r.unionByName(l)
+      .withColumn("__m", last("__p", ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+    matched.select(
+      leftCols.map(col) ++ payload.map(p => col("__m").getField(p).as(p)): _*)
+  }
+
+  /** Keyed range join: equi-join on `key` plus a half-open time window
+    * [rangeStart, rangeEnd) on the right side's `rightTime`, aggregated
+    * or not by the caller. Because an equality predicate exists, Catalyst
+    * plans a hash/sort-merge equi-join with the range as a residual
+    * filter — NOT a nested-loop — so this needs no binning. Exposed as
+    * an operator (rather than "just write the join") to pin that plan
+    * shape in tests and to keep the half-open convention in one place.
+    */
+  def rangeJoinKeyed(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      rightTime: Column, rangeStart: Column, rangeEnd: Column): DataFrame =
+    left.join(
+      right,
+      left(leftKey) === right(rightKey) &&
+        rightTime >= rangeStart && rightTime < rangeEnd,
+      "left_outer")
+
+  /** Keyless interval join via time binning: assign every point to the
+    * bin `floor(epoch/binSeconds)`, explode every interval into the bins
+    * it overlaps, equi-join on the bin, then apply the exact [start, end)
+    * predicate as a residual filter. `distinctPairs` guards against an
+    * interval spanning multiple bins matching a point twice (it cannot —
+    * a point lives in exactly one bin — so no dedup is needed; the
+    * residual filter alone restores exact semantics).
+    *
+    * Intervals are expected to be few-to-moderate (rule thresholds,
+    * maintenance windows, eval windows); the exploded side is
+    * |intervals| · avg-span/binWidth rows and broadcast when small.
+    */
+  def rangeJoinBinned(
+      points: DataFrame, pointTime: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val p = points.withColumn("__bin",
+      floor(unix_timestamp(col(pointTime)) / binSeconds))
+    // end is exclusive: a point at exactly `end` never matches, so the
+    // last covered bin is the one containing end - 1 microsecond.
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(unix_timestamp(col(startCol)) / binSeconds),
+        floor((unix_timestamp(col(endCol)) - lit(1)) / binSeconds))))
+    p.join(iv, Seq("__bin"))
+      .where(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
+      .drop("__bin")
+  }
+}

@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // Deliberately out of input order: as-of must not depend on row order.
+  private val trades = Seq(
+    (1L, "A", ts("2024-01-01 10:00:30")),
+    (2L, "A", ts("2024-01-01 10:02:00")),
+    (3L, "B", ts("2024-01-01 10:00:10")),
+    (4L, "C", ts("2024-01-01 10:00:00"))
+  ).toDF("trade_id", "sym", "t")
+
+  private val quotes = Seq(
+    (10L, "A", ts("2024-01-01 10:00:00"), 1.0),
+    (11L, "A", ts("2024-01-01 10:00:30"), 2.0), // exact-time match
+    (12L, "A", ts("2024-01-01 10:00:30"), 3.0), // same instant: max id wins
+    (13L, "A", ts("2024-01-01 10:05:00"), 4.0), // after both trades
+    (14L, "B", ts("2024-01-01 10:00:05"), 5.0)
+  ).toDF("quote_id", "q_sym", "q_t", "px")
+
+  private def asof: DataFrame =
+    Joins.asOfJoin(trades, quotes, "sym", "t", "q_sym", "q_t",
+      "quote_id", Seq("quote_id", "px"))
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+    case q: QueryStageExec        => q +: flatten(q.plan)
+    case other => other +: other.children.flatMap(flatten)
+  }
+
+  private def nodes(df: DataFrame): Seq[SparkPlan] = {
+    df.collect()
+    flatten(df.queryExecution.executedPlan)
+  }
+
+  test("asOfJoin: exact-time match, tiebreak, outer nulls, order-free") {
+    val got = asof.collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    // trade 1 at 10:00:30: quotes 11 and 12 are at the same instant
+    // (<= matches), greatest quote_id wins
+    assert(got(1L) == (Some(12L), Some(3.0)))
+    // trade 2 at 10:02: latest prior is still quote 12 (13 is later)
+    assert(got(2L) == (Some(12L), Some(3.0)))
+    // trade 3 on B: only quote 14 at 10:00:05 precedes 10:00:10
+    assert(got(3L) == (Some(14L), Some(5.0)))
+    // trade 4 on C: no quotes at all → left-outer nulls
+    assert(got(4L) == (None, None))
+  }
+
+  test("asOfJoin keeps every left row exactly once") {
+    assert(asof.count() == trades.count())
+    assert(asof.select("trade_id").distinct().count() == trades.count())
+  }
+
+  test("asOfJoin plan: no join node, keyed window, single shuffle") {
+    val all = nodes(asof)
+    assert(!all.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "as-of must not plan a nested-loop join")
+    assert(!all.exists(_.nodeName.toLowerCase.contains("mergejoin")),
+      "as-of must not plan a sort-merge join")
+    val wins = all.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "the as-of window must be keyed — a global window is the " +
+        "single-reducer scale-killer")
+    val shuffles = all.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size == 1,
+      s"as-of is ONE shuffle on the key, found ${shuffles.size}")
+  }
+
+  test("rangeJoinKeyed matches a filtered cross join; no nested loop") {
+    val joined = Joins.rangeJoinKeyed(trades, quotes, "sym", "q_sym",
+      col("q_t"), col("t") - expr("INTERVAL 30 SECONDS"),
+      col("t") + expr("INTERVAL 30 SECONDS"))
+      .groupBy("trade_id").agg(count(col("quote_id")).as("n"))
+    val got = joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // trade 1 [10:00:00, 10:01:00): quotes 10 (>= start), 11, 12
+    assert(got(1L) == 3L)
+    // trade 2 [10:01:30, 10:02:30): nothing
+    assert(got(2L) == 0L)
+    // trade 3 [09:59:40, 10:00:40) on B: quote 14
+    assert(got(3L) == 1L)
+    assert(got(4L) == 0L)
+    assert(!nodes(joined).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "equality key present — must not degrade to a nested loop")
+  }
+
+  test("rangeJoinBinned: half-open bounds, multi-bin spans, no nested loop") {
+    val points = (0 until 48).map(h =>
+      (h.toLong, ts(f"2024-01-0${1 + h / 24}%d ${h % 24}%02d:00:00")))
+      .toDF("pid", "pt")
+    val iv = Seq(
+      // one-bin interval; [start, end) excludes the 06:00 point
+      ("a", ts("2024-01-01 02:00:00"), ts("2024-01-01 06:00:00")),
+      // spans multiple 6h bins across midnight
+      ("b", ts("2024-01-01 22:00:00"), ts("2024-01-02 03:00:00")),
+      // zero-length window matches nothing
+      ("c", ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"))
+    ).toDF("w", "ws", "we")
+    val got = Joins.rangeJoinBinned(points, "pt", iv, "ws", "we", 21600L)
+    val naive = points.crossJoin(iv)
+      .where(col("pt") >= col("ws") && col("pt") < col("we"))
+    assert(got.select("pid", "w").collect().toSet ==
+      naive.select("pid", "w").collect().toSet)
+    // a: hours 2,3,4,5 (6 excluded by half-open end)
+    assert(got.where(col("w") === "a").count() == 4)
+    // b: hours 22,23 of day 1 + 0,1,2 of day 2
+    assert(got.where(col("w") === "b").count() == 5)
+    assert(!nodes(got).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "binned range join must plan as an equi-join on the bin")
+  }
+}
