@@ -902,6 +902,32 @@ object SparkEntry {
     StreamingValidate.sessionizeNative(t(s, dir, "events"), 30)
       .orderBy("user_id", "session_start")
 
+  /** Gopher-style repetition quality metrics per document: top-word
+    * fraction and duplicated bigram/trigram fractions — pure per-row
+    * Column expressions (zero shuffle, linear in input bytes).
+    */
+  private def xTextRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_words"),
+      round(TextAnalysis.topWordFrac(col("text")), 6).as("top_word_frac"),
+      round(TextAnalysis.dupNgramFrac(col("text"), 2), 6)
+        .as("dup_bigram_frac"),
+      round(TextAnalysis.dupNgramFrac(col("text"), 3), 6)
+        .as("dup_trigram_frac"))
+      .orderBy("doc_id")
+
+  /** Corpus vocabulary: token frequencies, top 50. orderBy+limit plans
+    * as TakeOrderedAndProject — per-partition top-k then a k-merge, the
+    * same bounded shape as bounded_top_k, with no global sort (asserted
+    * in PlanSpec).
+    */
+  private def xTextVocab(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(50)
+
   // ------------------------------------------------------------- temporal joins
   /** As-of join (Joins.asOfJoin): each purchase event picks up the latest
     * click by the same user at-or-before it (ties: greatest click_id);
@@ -1040,7 +1066,9 @@ object SparkEntry {
     "x_sim_ivf_kmeans" -> (xSimIvfKmeans _),
     "x_asof_join" -> (xAsofJoin _),
     "x_range_join" -> (xRangeJoin _),
-    "x_range_join_binned" -> (xRangeJoinBinned _)
+    "x_range_join_binned" -> (xRangeJoinBinned _),
+    "x_text_repetition" -> (xTextRepetition _),
+    "x_text_vocab" -> (xTextVocab _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -2014,6 +2042,45 @@ object SparkEntry {
         |SELECT w_name, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users
         |FROM w JOIN events e ON e.ts >= w_start AND e.ts < w_end
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_text_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(ws) AS n_words,
+        |    CASE WHEN len(ws) > 0 THEN
+        |      CAST(list_max(list_transform(list_distinct(ws),
+        |        w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws)
+        |      ELSE 0.0 END AS twf,
+        |    CASE WHEN len(ws) >= 2 THEN
+        |      list_transform(range(1, len(ws)),
+        |        i -> ws[CAST(i AS INTEGER)] || ' ' ||
+        |             ws[CAST(i + 1 AS INTEGER)])
+        |      ELSE [] END AS bg,
+        |    CASE WHEN len(ws) >= 3 THEN
+        |      list_transform(range(1, len(ws) - 1),
+        |        i -> ws[CAST(i AS INTEGER)] || ' ' ||
+        |             ws[CAST(i + 1 AS INTEGER)] || ' ' ||
+        |             ws[CAST(i + 2 AS INTEGER)])
+        |      ELSE [] END AS tg
+        |  FROM tok)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(twf, 6) AS top_word_frac,
+        |  round(CASE WHEN len(bg) > 0 THEN
+        |    1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+        |    ELSE 0.0 END, 6) AS dup_bigram_frac,
+        |  round(CASE WHEN len(tg) > 0 THEN
+        |    1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+        |    ELSE 0.0 END, 6) AS dup_trigram_frac
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "x_text_vocab" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin
   )
 }

@@ -110,6 +110,42 @@ object TextAnalysis {
   def piiPhoneCount(c: Column): Column = regexp_count(c, lit(PhoneRe))
   def piiIpv4Count(c: Column): Column = regexp_count(c, lit(Ipv4Re))
 
+  /** Word n-grams WITH duplicates — unlike [[Dedup.shingles]], which
+    * distincts (set semantics for MinHash). Repetition measures need the
+    * multiset: the duplicates ARE the signal.
+    */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val ts = tokens(c)
+    when(size(ts) >= n,
+      transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of words taken by the single most frequent word (Gopher-
+    * style repetition filter: boilerplate and keyword-stuffed pages
+    * score high). O(words · distinct-words) per row — per-row compute,
+    * zero shuffle, so it scales with input splits.
+    */
+  def topWordFrac(c: Column): Column = {
+    val ws = tokens(c)
+    when(size(ws) > 0,
+      array_max(transform(array_distinct(ws),
+        w => size(filter(ws, x => x === w)))).cast("double") / size(ws))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of word n-grams that are repeats of an earlier n-gram in
+    * the same document (1 - distinct/total) — the duplicated-n-gram
+    * family of quality filters.
+    */
+  def dupNgramFrac(c: Column, n: Int): Column = {
+    val gs = wordNgrams(c, n)
+    when(size(gs) > 0,
+      lit(1.0) - size(array_distinct(gs)).cast("double") / size(gs))
+      .otherwise(lit(0.0))
+  }
+
   /** Document fingerprint: md5 of case- and whitespace-normalized text.
     * Stable across engines (SQL-expressible), used as the exact-dedup key.
     */

@@ -99,6 +99,20 @@ class PlanSpec extends SparkSpec {
       "ivfTopK probe routing + ranking must be window-free too")
   }
 
+  test("vocab top-k plans as TakeOrdered, not a global sort") {
+    import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
+    val v = Tables.load(spark, dir, "documents")
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text")))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(50)
+    val all = nodes(v)
+    assert(all.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "orderBy+limit must compile to per-partition top-k + k-merge")
+    assert(!all.exists(_.isInstanceOf[SortExec]),
+      "a full Sort under a limit means the top-k wasn't pushed down")
+  }
+
   test("decontamination joins via broadcast — train side never shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val d = Tables.load(spark, dir, "documents")

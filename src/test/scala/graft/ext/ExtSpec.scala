@@ -30,6 +30,24 @@ class ExtSpec extends SparkSpec {
     assert(j((1L, 3L)) == 0.0)
   }
 
+  test("repetition metrics: uniform text low, repeated text high") {
+    val r = Seq(
+      (1L, "a b c d e f g h"),           // all distinct
+      (2L, "spam spam spam spam"),       // one word repeated
+      (3L, "x y x y x y x y"),           // repeated bigrams
+      (4L, ""), (5L, "solo")             // degenerate: empty / 1 word
+    ).toDF("id", "text").select(
+      col("id"),
+      TextAnalysis.topWordFrac(col("text")).as("twf"),
+      TextAnalysis.dupNgramFrac(col("text"), 2).as("dbf"))
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2)))
+      .toMap
+    assert(r(1L) == (0.125, 0.0))  // 1/8 top word, 7 distinct bigrams
+    assert(r(2L) == (1.0, 1.0 - 1.0 / 3.0)) // "spam spam" ×3, 1 distinct
+    assert(r(3L)._1 == 0.5 && r(3L)._2 == 1.0 - 2.0 / 7.0)
+    assert(r(4L) == (0.0, 0.0) && r(5L) == (1.0, 0.0))
+  }
+
   test("minhash LSH surfaces near-dup candidates, not unrelated docs") {
     val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
