@@ -536,6 +536,20 @@ object SparkEntry {
     Dedup.embeddingCanonical(t(s, dir, "embeddings"), nPlanes = 8,
       threshold = 0.3).orderBy("dup_id")
 
+  /** SemDeDup-style semantic dedup under the oracle-checkable first-N
+    * quantizer: nearest-centroid clusters, within-cluster cosine >=
+    * 0.35, canonical = smallest same-cluster partner. (The synthetic
+    * embeddings are near-orthogonal — max pairwise cosine ~0.51 — so
+    * the threshold sits below that; its nearest actual sim is 3.6e-4
+    * away, far beyond cross-engine float noise.)
+    */
+  private def xDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Dedup.semanticCanonical(e,
+      graft.ext.Similarity.firstIdCentroids(e, nLists = 16),
+      threshold = 0.35).orderBy("dup_id")
+  }
+
   /** Benchmark decontamination: the eval set is 80%-token-prefix
     * excerpts of every 50th document (ids + 2000000); the scan must
     * recover exactly those source documents as contaminated, with the
@@ -597,6 +611,17 @@ object SparkEntry {
         "source", MixFractions, default = 0.1, salt = "mix1")
       .groupBy("source").agg(count(lit(1)).as("n_kept"))
       .orderBy("source")
+
+  /** Deterministic output sharding: documents → 8 hash shards; reported
+    * as per-shard counts + id ranges (bounded output at any scale).
+    */
+  private def xSampleShards(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.shardAssign(t(s, dir, "documents"), "doc_id",
+        nShards = 8, salt = "shard1")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("shard")
 
   /** Sliding-window (1h every 30min) batch-equivalent of
     * StreamingValidate.slidingCounts — each event lands in two windows.
@@ -1068,7 +1093,9 @@ object SparkEntry {
     "x_range_join" -> (xRangeJoin _),
     "x_range_join_binned" -> (xRangeJoinBinned _),
     "x_text_repetition" -> (xTextRepetition _),
-    "x_text_vocab" -> (xTextVocab _)
+    "x_text_vocab" -> (xTextVocab _),
+    "x_dedup_semantic" -> (xDedupSemantic _),
+    "x_sample_shards" -> (xSampleShards _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -2081,6 +2108,38 @@ object SparkEntry {
         |  SELECT unnest(list_filter(
         |    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
         |  FROM documents)
-        |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+    "x_dedup_semantic" ->
+      """WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
+        |cents AS (SELECT id AS list_id, nvec AS cvec FROM v
+        |          ORDER BY id LIMIT 16),
+        |assigned AS (
+        |  SELECT id, nvec, list_id FROM (
+        |    SELECT vv.id, vv.nvec, c.list_id,
+        |      row_number() OVER (PARTITION BY vv.id ORDER BY
+        |        list_sum(list_transform(range(1, len(vv.nvec) + 1),
+        |          i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
+        |    FROM v vv, cents c) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.nvec) + 1),
+        |      i -> a.nvec[i] * b.nvec[i])) AS sim
+        |  FROM assigned a JOIN assigned b
+        |    ON a.list_id = b.list_id AND a.id < b.id)
+        |SELECT id_b AS dup_id, min(id_a) AS canonical_id
+        |FROM pairs WHERE sim >= 0.35
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_sample_shards" ->
+      s"""SELECT ${duckHash48("('shard1' || CAST(doc_id AS VARCHAR))")} % 8
+        |    AS shard,
+        |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

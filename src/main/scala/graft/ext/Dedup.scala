@@ -148,6 +148,40 @@ object Dedup {
       .groupBy(col("id_b").as("dup_id"))
       .agg(min(col("id_a")).as("canonical_id"))
 
+  /** SemDeDup-style semantic dedup: assign every vector to its nearest
+    * centroid list (the same IVF assignment the ANN index uses), compare
+    * pairs ONLY within a list, and map each near-duplicate to its
+    * smallest same-list partner (canonical survivor).
+    *
+    * Scale shape: the pairwise stage shuffles on `list_id` only and its
+    * cost is Σ per-list n², bounded by centroid count and balance (use
+    * [[Similarity.kmeansCentroids]] on clustered data — list balance is
+    * exactly what it optimizes); the canonical reduction is one hash agg
+    * on pair ids. Against an all-pairs formulation this is the same
+    * candidates-only shape as MinHash banding, with clusters instead of
+    * signature buckets. Cross-list near-dups (rare: near-identical
+    * vectors share a nearest centroid except at list boundaries) are the
+    * recall tradeoff, same as SemDeDup's.
+    */
+  def semanticCanonical(df: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.9): DataFrame = {
+    // the index is an eagerly-materialized artifact (its internal
+    // normalization cache is already scoped+released by ivfIndexWith)
+    val idx = Similarity.ivfIndexWith(df, centroids, idCol, vecCol)
+    val left = idx.select(col("id").as("id_a"),
+      col("nvec").as("nvec_a"), col("list_id"))
+    val right = idx.select(col("id").as("id_b"),
+      col("nvec").as("nvec_b"), col("list_id").as("list_id_b"))
+    left.join(right,
+        col("list_id") === col("list_id_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.dotN(col("nvec_a"), col("nvec_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("id_b").as("dup_id"))
+      .agg(min(col("id_a")).as("canonical_id"))
+  }
+
   // --------------------------------------------------------------- MinHash
   /** MinHash signature from a materialized hashed-shingle array: slot i
     * is the min of permutation i over the shingle set.

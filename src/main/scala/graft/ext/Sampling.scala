@@ -71,6 +71,23 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic output sharding: shard = hash48(salt ++ id) mod n.
+    * A pure function of the row id — rerun-stable, engine-portable,
+    * and independent of partition layout (unlike partition-index or
+    * round-robin sharding, which reshuffle rows between shards whenever
+    * the upstream plan changes). Downstream:
+    * `.repartition(col("shard")).write.partitionBy("shard")` writes one
+    * stable directory per shard with one shuffle.
+    */
+  def shardAssign(
+      df: DataFrame, idCol: String, nShards: Int,
+      salt: String = ""): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    df.withColumn("shard",
+      Dedup.hash48(concat(lit(salt), col(idCol).cast("string")))
+        % nShards)
+  }
+
   /** Weighted corpus mixing: keep a row iff its hash unit is below the
     * keep-fraction of its `sourceCol` value (`default` for unlisted
     * sources). The standard "mix N corpora at chosen rates into one

@@ -283,6 +283,22 @@ class ExtSpec extends SparkSpec {
     assert(top.toSeq == Seq((3L, 1), (1L, 2)))
   }
 
+  test("semanticCanonical: within-cluster near-dups map to min partner") {
+    // first-2 centroids are the axes (vecs 0, 1); 2/3 near-dup with 0
+    // on x, 4 with 1 on y, 5 in a cluster but far from its members
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.99f, 0.14f)), (3L, Seq(0.995f, 0.1f)),
+      (4L, Seq(0.05f, 1.0f)), (5L, Seq(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.firstIdCentroids(df, 2)
+    val got = Dedup.semanticCanonical(df, cents, threshold = 0.98)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2 and 3 both canonicalize to 0 (their smallest partner, not 2→3's
+    // pairwise chain); 4's partner is 1; 5 survives (cos ≈ 0.71..0.76)
+    assert(got == Map(2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
   test("LSH pairs are a subset of exact pairs at the same threshold") {
     val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .filter(col("vec_id") < 100)

@@ -52,6 +52,21 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("shardAssign: complete, balanced, layout-independent") {
+    val n = 8
+    val a = Sampling.shardAssign(ids, "id", n, "sh").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.values.forall(s => s >= 0 && s < n))
+    // every shard hit, roughly uniformly (2000 ids over 8 shards)
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size == n)
+    assert(sizes.values.forall(c => c > 150 && c < 350))
+    // assignment is a function of the id, not the partitioning
+    val b = Sampling.shardAssign(ids.repartition(7), "id", n, "sh")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("weightedMix applies per-source rates with default for unlisted") {
     val docs = (0L until 3000L)
       .map(i => (i, s"src${(i % 3).toInt}")).toDF("id", "source")
