@@ -187,6 +187,14 @@ object Dedup {
     * is the min of permutation i over the shingle set.
     */
   def minhashFromHashes(sh: Column, numHashes: Int = 32): Column =
+    graft.functions.MinHashSig.sigs(sh, numHashes)
+
+  /** The HOF formulation of [[minhashFromHashes]] — interpreted, kept as
+    * the executable spec the native expression is asserted against
+    * (ExtSpec parity test) and as documentation of the exact arithmetic
+    * the oracle SQL reproduces.
+    */
+  def minhashFromHashesHof(sh: Column, numHashes: Int = 32): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(sh, h => permHash(h, i))))
 

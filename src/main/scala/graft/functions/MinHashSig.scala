@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+import graft.ext.Dedup
+
+/** `minhash_sigs(hashes)` — the full MinHash signature (all `numHashes`
+  * permutation minima) of a hashed-shingle array in ONE pass, as a
+  * native Catalyst expression with codegen.
+  *
+  * Why it exists: the HOF formulation
+  * `transform(sequence(0, n-1), i -> array_min(transform(sh, h -> perm(h, i))))`
+  * is interpreted — no whole-stage codegen, no CSE, a lambda dispatch
+  * per (permutation × shingle) with a literal-array `element_at`
+  * coefficient lookup each time. The signature build is the dominant
+  * map-side cost of every MinHash dedup stage (it touches every shingle
+  * of every document 32×). This loop is numHashes·|shingles| long
+  * multiply-mod operations on primitive arrays.
+  *
+  * Semantics are bit-identical to [[Dedup.minhashFromHashesHof]]: same
+  * [[Dedup.minhashA]]/[[Dedup.minhashB]] coefficients, h_i(x) =
+  * (a_i · (x mod p) + b_i) mod p over p = 2^31-1, min per slot
+  * (`pmod` parity: inputs are 48-bit non-negative, every intermediate
+  * stays < 2^62 and non-negative, so `%` == `pmod`). Empty input →
+  * all-null slots (what `array_min` of an empty array yields in the HOF
+  * formulation); null input → null.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+  extends UnaryExpression {
+
+  require(numHashes > 0 && numHashes <= Dedup.MaxPerms,
+    s"numHashes must be in 1..${Dedup.MaxPerms}, got $numHashes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def prettyName: String = "minhash_sigs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashSig$$.MODULE$$.compute($c, $numHashes)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSig = copy(child = newChild)
+}
+
+object MinHashSig {
+
+  private val P = Dedup.P31
+  private val A: Array[Long] = Dedup.minhashA.toArray
+  private val B: Array[Long] = Dedup.minhashB.toArray
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0)
+      return new GenericArrayData(
+        Array.fill[Any](numHashes)(null))
+    val out = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val a = A(i)
+      val b = B(i)
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val xm = arr.getLong(j) % P
+        val xp = if (xm < 0) xm + P else xm
+        val v = (a * xp + b) % P
+        if (v < mn) mn = v
+        j += 1
+      }
+      out(i) = mn
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column-API entry point; the cast pins the array<long> contract. */
+  def sigs(hashes: Column, numHashes: Int): Column =
+    GraftSqlShim.column(MinHashSig(
+      GraftSqlShim.expression(hashes.cast("array<long>")), numHashes))
+}

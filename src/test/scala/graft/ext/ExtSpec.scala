@@ -48,6 +48,22 @@ class ExtSpec extends SparkSpec {
     assert(r(4L) == (0.0, 0.0) && r(5L) == (1.0, 0.0))
   }
 
+  test("native minhash_sigs is bit-identical to the HOF formulation") {
+    val base = docs.select(col("doc_id"),
+      Dedup.shingleHashes(col("text"), 3).as("sh"))
+      // empty shingle set exercises the all-null-slots edge
+      .union(Seq((99L, "")).toDF("doc_id", "text")
+        .select(col("doc_id"), filter(Dedup.shingleHashes(col("text"), 3),
+          _ =!= Dedup.hash48(lit(""))).as("sh")))
+    val both = base.select(col("doc_id"),
+      Dedup.minhashFromHashes(col("sh"), 32).as("native"),
+      Dedup.minhashFromHashesHof(col("sh"), 32).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.get(1) == r.get(2),
+      s"signature mismatch for doc ${r.getLong(0)}"))
+    assert(both.length == 5)
+  }
+
   test("minhash LSH surfaces near-dup candidates, not unrelated docs") {
     val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
