@@ -623,6 +623,45 @@ object SparkEntry {
         max(col("doc_id")).as("max_id"))
       .orderBy("shard")
 
+  /** End-to-end cleaning funnel over documents + injected exact copies:
+    * quality filter → repetition filter (top-word fraction: the
+    * keyword-stuffing gate — every doc here is Latin script, so a
+    * language gate would be a no-op on this corpus) → exact dedup
+    * (min-id survivor per content hash) → per-source cap. One bounded
+    * report row per stage; every stage is the library operator,
+    * composed. (Threshold comparisons sit on integer-ratio doubles —
+    * identical in any IEEE engine.)
+    */
+  private def xPipelineClean(s: SparkSession, dir: String): DataFrame = {
+    val base = docsWithCopies(s, dir).select("doc_id", "text", "source")
+    graft.ext.Pipeline.funnel(base, Seq(
+      "s1_quality" -> ((df: DataFrame) =>
+        df.filter(TextAnalysis.qualityScore(col("text")) >= 0.9)),
+      "s2_repetition" -> ((df: DataFrame) =>
+        df.filter(TextAnalysis.topWordFrac(col("text")) <= 0.12)),
+      "s3_exact_dedup" -> ((df: DataFrame) =>
+        df.groupBy(md5(col("text")).as("f"))
+          .agg(min(struct(col("doc_id"), col("source"), col("text")))
+            .as("r"))
+          .select(col("r.doc_id"), col("r.source"), col("r.text"))),
+      "s4_cap_per_source" -> ((df: DataFrame) =>
+        graft.ext.Sampling.capPerKey(df, Seq("source"), "doc_id",
+          maxPerKey = 10, salt = "fcap"))
+    )).orderBy("stage_idx")
+  }
+
+  /** Per-key cap (max 500 events per type, smallest-hash survivors) —
+    * reported as kept-count + kept-id checksum per key so the oracle
+    * verifies WHICH rows survived, with output bounded at any scale.
+    */
+  private def xSampleCap(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.capPerKey(t(s, dir, "events"), Seq("event_type"),
+        "event_id", maxPerKey = 500, salt = "cap1")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("event_id")).as("sum_kept_ids"))
+      .orderBy("event_type")
+
   /** Sliding-window (1h every 30min) batch-equivalent of
     * StreamingValidate.slidingCounts — each event lands in two windows.
     */
@@ -1095,7 +1134,9 @@ object SparkEntry {
     "x_text_repetition" -> (xTextRepetition _),
     "x_text_vocab" -> (xTextVocab _),
     "x_dedup_semantic" -> (xDedupSemantic _),
-    "x_sample_shards" -> (xSampleShards _)
+    "x_sample_shards" -> (xSampleShards _),
+    "x_sample_cap" -> (xSampleCap _),
+    "x_pipeline_clean" -> (xPipelineClean _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -2140,6 +2181,62 @@ object SparkEntry {
       s"""SELECT ${duckHash48("('shard1' || CAST(doc_id AS VARCHAR))")} % 8
         |    AS shard,
         |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_sample_cap" ->
+      s"""SELECT event_type, count(*) AS n_kept,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_kept_ids FROM (
+        |  SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY
+        |      ${duckHash48("('cap1' || CAST(event_id AS VARCHAR))")} ASC,
+        |      event_id ASC) AS rn
+        |  FROM events) t WHERE rn <= 500
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_pipeline_clean" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, source FROM documents
+        |  WHERE doc_id < 50),
+        |q AS (
+        |  SELECT * FROM base
+        |  WHERE round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+        |    + CASE WHEN length(text) > 0
+        |        THEN CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
+        |          AS DOUBLE) / length(text) ELSE 0.0 END
+        |    + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+        |        THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '',
+        |          'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 10.0))
+        |    / 3.0, 6) >= 0.9),
+        |l AS (
+        |  SELECT doc_id, text, source FROM (
+        |    SELECT doc_id, text, source,
+        |      list_filter(regexp_split_to_array(text, '\\s+'),
+        |        x -> x <> '') AS ws
+        |    FROM q)
+        |  WHERE CASE WHEN len(ws) > 0
+        |    THEN CAST(list_max(list_transform(list_distinct(ws),
+        |      w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws)
+        |    ELSE 0.0 END <= 0.12),
+        |surv AS (
+        |  SELECT doc_id, source FROM (
+        |    SELECT doc_id, source,
+        |      row_number() OVER (PARTITION BY md5(text)
+        |        ORDER BY doc_id) AS drn
+        |    FROM l) WHERE drn = 1),
+        |cap AS (
+        |  SELECT source, doc_id FROM (
+        |    SELECT source, doc_id,
+        |      row_number() OVER (PARTITION BY source ORDER BY
+        |        ${duckHash48("('fcap' || CAST(doc_id AS VARCHAR))")} ASC,
+        |        doc_id ASC) AS crn
+        |    FROM surv) WHERE crn <= 10)
+        |SELECT * FROM (
+        |  SELECT 0 AS stage_idx, 's0_raw' AS stage, count(*) AS n_rows
+        |  FROM base
+        |  UNION ALL SELECT 1, 's1_quality', count(*) FROM q
+        |  UNION ALL SELECT 2, 's2_repetition', count(*) FROM l
+        |  UNION ALL SELECT 3, 's3_exact_dedup', count(*) FROM surv
+        |  UNION ALL SELECT 4, 's4_cap_per_source', count(*) FROM cap)
+        |ORDER BY stage_idx""".stripMargin
   )
 }

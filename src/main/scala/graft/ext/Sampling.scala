@@ -88,6 +88,31 @@ object Sampling {
         % nShards)
   }
 
+  /** Per-key row cap (the C4/RefinedWeb "at most N documents per
+    * domain" rule): for every key keep the `maxPerKey` rows with the
+    * smallest deterministic hash — an unbiased fixed-size sample per
+    * key, stable across reruns and partitionings. Returns the kept
+    * (keys..., id) tuples; callers semi-join back for full rows.
+    *
+    * Ranking is the [[graft.functions.BoundedTopK]] aggregate (order:
+    * hash asc, id asc via negated score), NOT `Window.partitionBy(key)`
+    * + `row_number`: the aggregate's map-side partials hold ≤ maxPerKey
+    * entries per key, so a hot key (the exact case the cap exists for —
+    * one domain with 10^9 pages) costs O(maxPerKey) memory per task and
+    * never routes all its rows through one reducer sort.
+    */
+  def capPerKey(
+      df: DataFrame, keys: Seq[String], idCol: String, maxPerKey: Int,
+      salt: String = ""): DataFrame = {
+    require(keys.nonEmpty && maxPerKey > 0, "need keys and a positive cap")
+    df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.BoundedTopK.topk(
+        -hashUnit(col(idCol), salt), col(idCol).cast("long"), maxPerKey)
+        .as("__tk"))
+      .select(keys.map(col) :+ explode(col("__tk")).as("__e"): _*)
+      .select(keys.map(col) :+ col("__e.id").as(idCol): _*)
+  }
+
   /** Weighted corpus mixing: keep a row iff its hash unit is below the
     * keep-fraction of its `sourceCol` value (`default` for unlisted
     * sources). The standard "mix N corpora at chosen rates into one

@@ -67,6 +67,34 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("capPerKey: exact cap, under-cap keys intact, layout-stable") {
+    val rows = (0L until 900L).map(i => (i, s"k${(i % 3).toInt}"))
+      .toDF("id", "key")
+      // key k0 also appears only 10 times extra under another name
+      .union((1000L until 1010L).map(i => (i, "rare")).toDF("id", "key"))
+    val kept = Sampling.capPerKey(rows, Seq("key"), "id", 100, "c")
+    val byKey = kept.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey("k0") == 100 && byKey("k1") == 100 && byKey("k2") == 100)
+    assert(byKey("rare") == 10) // under the cap: every row survives
+    // survivors are a stable function of (key, id), not the layout
+    val again = Sampling.capPerKey(rows.repartition(13), Seq("key"),
+      "id", 100, "c")
+    assert(kept.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      again.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    // ranking is hash aggregation, not a per-key window sort
+    import org.apache.spark.sql.execution.window.WindowExec
+    kept.collect()
+    def anyWindow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.isInstanceOf[WindowExec] || p.children.exists(anyWindow) ||
+        (p match {
+          case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => anyWindow(a.executedPlan)
+          case _ => false
+        })
+    assert(!anyWindow(kept.queryExecution.executedPlan))
+  }
+
   test("weightedMix applies per-source rates with default for unlisted") {
     val docs = (0L until 3000L)
       .map(i => (i, s"src${(i % 3).toInt}")).toDF("id", "source")
