@@ -124,10 +124,20 @@ object TextAnalysis {
 
   /** Fraction of words taken by the single most frequent word (Gopher-
     * style repetition filter: boilerplate and keyword-stuffed pages
-    * score high). O(words · distinct-words) per row — per-row compute,
-    * zero shuffle, so it scales with input splits.
+    * score high). One native O(words) hash pass per row
+    * (`array_top_count`), zero shuffle — scales with input splits.
     */
   def topWordFrac(c: Column): Column = {
+    val ws = tokens(c)
+    when(size(ws) > 0,
+      graft.functions.ArrayCounts.topCount(ws).cast("double") / size(ws))
+      .otherwise(lit(0.0))
+  }
+
+  /** HOF formulation of [[topWordFrac]] — the executable spec the
+    * native expression is parity-tested against (O(n·d) interpreted).
+    */
+  def topWordFracHof(c: Column): Column = {
     val ws = tokens(c)
     when(size(ws) > 0,
       array_max(transform(array_distinct(ws),
@@ -137,9 +147,18 @@ object TextAnalysis {
 
   /** Fraction of word n-grams that are repeats of an earlier n-gram in
     * the same document (1 - distinct/total) — the duplicated-n-gram
-    * family of quality filters.
+    * family of quality filters. Native O(n) distinct count.
     */
   def dupNgramFrac(c: Column, n: Int): Column = {
+    val gs = wordNgrams(c, n)
+    when(size(gs) > 0,
+      lit(1.0) - graft.functions.ArrayCounts.distinctCount(gs)
+        .cast("double") / size(gs))
+      .otherwise(lit(0.0))
+  }
+
+  /** HOF formulation of [[dupNgramFrac]] (parity spec). */
+  def dupNgramFracHof(c: Column, n: Int): Column = {
     val gs = wordNgrams(c, n)
     when(size(gs) > 0,
       lit(1.0) - size(array_distinct(gs)).cast("double") / size(gs))

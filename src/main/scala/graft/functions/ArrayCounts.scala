@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Multiplicity statistics over string arrays as native expressions —
+  * the inner loops of the repetition quality filters.
+  *
+  * The HOF formulations are quadratic AND interpreted:
+  * `array_max(transform(array_distinct(ws), w -> size(filter(ws, ...))))`
+  * is O(n·d) lambda dispatches per row, and `array_distinct` on
+  * non-primitive element types is itself a linear scan per element.
+  * Both of these are O(n) hash passes in a tight loop. Null elements
+  * count as a value (matching the HOF/SQL semantics of `=`-based
+  * counting only for non-null tokens — tokenizers here never produce
+  * nulls; null ARRAY input → null output).
+  */
+object ArrayCounts {
+
+  private def countsMax(arr: ArrayData): Long = {
+    val m = new java.util.HashMap[UTF8String, Long]()
+    var mx = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val c = m.merge(s, 1L, (a, b) => a + b)
+      if (c > mx) mx = c
+      i += 1
+    }
+    mx
+  }
+
+  private def distinct(arr: ArrayData): Long = {
+    val m = new java.util.HashSet[UTF8String]()
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) { m.add(arr.getUTF8String(i)); i += 1 }
+    m.size.toLong
+  }
+
+  /** Public entry points referenced from generated code. */
+  def computeTop(arr: ArrayData): Long = countsMax(arr)
+  def computeDistinct(arr: ArrayData): Long = distinct(arr)
+
+  def topCount(a: Column): Column =
+    GraftSqlShim.column(TopCount(
+      GraftSqlShim.expression(a.cast("array<string>"))))
+
+  def distinctCount(a: Column): Column =
+    GraftSqlShim.column(DistinctCount(
+      GraftSqlShim.expression(a.cast("array<string>"))))
+}
+
+/** `array_top_count(arr)` — the multiplicity of the most frequent
+  * element (0 for an empty array).
+  */
+case class TopCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "array_top_count"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayCounts.computeTop(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ArrayCounts$$.MODULE$$.computeTop($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): TopCount = copy(child = newChild)
+}
+
+/** `array_distinct_count(arr)` — the number of distinct elements. */
+case class DistinctCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "array_distinct_count"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayCounts.computeDistinct(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ArrayCounts$$.MODULE$$.computeDistinct($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): DistinctCount = copy(child = newChild)
+}

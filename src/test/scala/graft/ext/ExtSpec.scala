@@ -48,6 +48,22 @@ class ExtSpec extends SparkSpec {
     assert(r(4L) == (0.0, 0.0) && r(5L) == (1.0, 0.0))
   }
 
+  test("native repetition counts match the HOF formulations") {
+    val r = docs.union(Seq((9L, ""), (10L, "solo"),
+        (11L, "x x x y y z")).toDF("doc_id", "text"))
+      .select(col("doc_id"),
+        TextAnalysis.topWordFrac(col("text")).as("n1"),
+        TextAnalysis.topWordFracHof(col("text")).as("h1"),
+        TextAnalysis.dupNgramFrac(col("text"), 2).as("n2"),
+        TextAnalysis.dupNgramFracHof(col("text"), 2).as("h2"))
+      .collect()
+    r.foreach { x =>
+      assert(x.getDouble(1) == x.getDouble(2), s"topWordFrac @ ${x.get(0)}")
+      assert(x.getDouble(3) == x.getDouble(4), s"dupNgramFrac @ ${x.get(0)}")
+    }
+    assert(r.length == 7)
+  }
+
   test("native minhash_sigs is bit-identical to the HOF formulation") {
     val base = docs.select(col("doc_id"),
       Dedup.shingleHashes(col("text"), 3).as("sh"))
