@@ -54,6 +54,24 @@ object ArrayCounts {
   def distinctCount(a: Column): Column =
     GraftSqlShim.column(DistinctCount(
       GraftSqlShim.expression(a.cast("array<string>"))))
+
+  import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
+
+  val topInfo = new ExpressionInfo(classOf[TopCount].getName,
+    "array_top_count")
+  val topBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => TopCount(Cast(a, ArrayType(StringType)))
+    case other => throw new IllegalArgumentException(
+      s"array_top_count expects 1 argument, got ${other.size}")
+  }
+
+  val distinctInfo = new ExpressionInfo(classOf[DistinctCount].getName,
+    "array_distinct_count")
+  val distinctBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => DistinctCount(Cast(a, ArrayType(StringType)))
+    case other => throw new IllegalArgumentException(
+      s"array_distinct_count expects 1 argument, got ${other.size}")
+  }
 }
 
 /** `array_top_count(arr)` — the multiplicity of the most frequent

@@ -20,6 +20,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("bounded_top_k"), BoundedTopK.info,
         BoundedTopK.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("minhash_sigs"), MinHashSig.info,
+        MinHashSig.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("array_top_count"), ArrayCounts.topInfo,
+        ArrayCounts.topBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier("array_distinct_count"),
+        ArrayCounts.distinctInfo, ArrayCounts.distinctBuilder))
   }
 }
 
@@ -35,5 +44,14 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bounded_top_k"), BoundedTopK.info,
       BoundedTopK.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_sigs"), MinHashSig.info,
+      MinHashSig.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("array_top_count"), ArrayCounts.topInfo,
+      ArrayCounts.topBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("array_distinct_count"), ArrayCounts.distinctInfo,
+      ArrayCounts.distinctBuilder)
   }
 }

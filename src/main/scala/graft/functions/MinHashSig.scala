@@ -87,4 +87,26 @@ object MinHashSig {
   def sigs(hashes: Column, numHashes: Int): Column =
     GraftSqlShim.column(MinHashSig(
       GraftSqlShim.expression(hashes.cast("array<long>")), numHashes))
+
+  val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+    classOf[MinHashSig].getName, "minhash_sigs")
+
+  /** SQL builder: `minhash_sigs(hashes, k)` with a literal `k` —
+    * the same array<long> cast as the Column path.
+    */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(h, k) =>
+      val kv = k match {
+        case org.apache.spark.sql.catalyst.expressions
+          .Literal(v: Int, _) => v
+        case org.apache.spark.sql.catalyst.expressions
+          .Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"minhash_sigs: k must be an integer literal, got $other")
+      }
+      MinHashSig(org.apache.spark.sql.catalyst.expressions.Cast(
+        h, ArrayType(LongType)), kv)
+    case other => throw new IllegalArgumentException(
+      s"minhash_sigs expects 2 arguments, got ${other.size}")
+  }
 }

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.Dedup
+
+/** SQL-registration coverage for the round-3 native expressions: the
+  * registered builders must behave exactly like the Column API
+  * (including the defensive input casts).
+  */
+class NativeFnSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash_sigs in SQL matches the Column API and the HOF spec") {
+    GraftFunctions.register(spark)
+    Seq("the quick brown fox jumps over it", "another doc entirely")
+      .toDF("text")
+      .select(Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .createOrReplaceTempView("mh_t")
+    val viaSql = spark.sql("SELECT minhash_sigs(sh, 8) AS s FROM mh_t")
+      .collect().map(_.getSeq[Long](0))
+    val viaCol = spark.table("mh_t")
+      .select(Dedup.minhashFromHashes(col("sh"), 8).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    val viaHof = spark.table("mh_t")
+      .select(Dedup.minhashFromHashesHof(col("sh"), 8).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(viaSql.toSeq == viaCol.toSeq)
+    assert(viaSql.toSeq == viaHof.toSeq)
+  }
+
+  test("array_top_count / array_distinct_count in SQL, with input casts") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT array_top_count(array('a','b','a','a')) AS t,
+        |  array_distinct_count(array('a','b','a')) AS d,
+        |  array_top_count(array()) AS e,
+        |  array_distinct_count(array(1, 2, 2)) AS casted
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == 0L)
+    assert(r.getLong(3) == 2L) // int array casts to array<string>
+  }
+
+  test("minhash_sigs rejects a non-literal k at analysis time") {
+    GraftFunctions.register(spark)
+    Seq(Seq(1L, 2L)).toDF("sh").createOrReplaceTempView("mh_k")
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sigs(sh, CAST(rand()*4 AS INT)) FROM mh_k")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
+}
