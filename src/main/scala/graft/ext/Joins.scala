@@ -64,7 +64,14 @@ object Joins {
       col(rightTieBreak).cast("long").as("__tb"),
       struct(payload.map(col): _*).as("__p"), lit(0).as("__tag")) ++
       leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
-    val r = right.select(rCols: _*)
+    // null-key/null-time right rows can never be "the latest quote for
+    // some key" under SQL join semantics (NULL = NULL is not a match) —
+    // dropping them here keeps the union-window formulation equivalent
+    // to the join formulation (a null-key LEFT row still survives, in
+    // its own window partition, with a null payload)
+    val r = right
+      .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(rCols: _*)
     val lCols = Seq(
       col(leftKey).as("__k"), col(leftTime).as("__t"),
       lit(null).cast("long").as("__tb"),
@@ -120,14 +127,18 @@ object Joins {
       intervals: DataFrame, startCol: String, endCol: String,
       binSeconds: Long): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
+    // microsecond arithmetic throughout: unix_timestamp() truncates to
+    // seconds, which under-covers the final bin when an interval end
+    // has a sub-second part landing exactly past a bin boundary
+    val binUs = binSeconds * 1000000L
     val p = points.withColumn("__bin",
-      floor(unix_timestamp(col(pointTime)) / binSeconds))
+      floor(unix_micros(col(pointTime)) / binUs))
     // end is exclusive: a point at exactly `end` never matches, so the
     // last covered bin is the one containing end - 1 microsecond.
     val iv = intervals.withColumn("__bin",
       explode(sequence(
-        floor(unix_timestamp(col(startCol)) / binSeconds),
-        floor((unix_timestamp(col(endCol)) - lit(1)) / binSeconds))))
+        floor(unix_micros(col(startCol)) / binUs),
+        floor((unix_micros(col(endCol)) - lit(1)) / binUs))))
     p.join(iv, Seq("__bin"))
       .where(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
       .drop("__bin")

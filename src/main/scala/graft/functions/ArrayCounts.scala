@@ -27,9 +27,13 @@ object ArrayCounts {
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val c = m.merge(s, 1L, (a, b) => a + b)
-      if (c > mx) mx = c
+      // skip nulls: the HOF spec's `x === w` comparison never counts a
+      // null element, so null multiplicity must not win the max
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val c = m.merge(s, 1L, (a, b) => a + b)
+        if (c > mx) mx = c
+      }
       i += 1
     }
     mx

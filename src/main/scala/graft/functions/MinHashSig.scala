@@ -57,27 +57,32 @@ object MinHashSig {
   private val A: Array[Long] = Dedup.minhashA.toArray
   private val B: Array[Long] = Dedup.minhashB.toArray
 
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. Null elements are
+    * skipped, matching `array_min`'s null handling in the HOF spec; a
+    * slot with no non-null inputs is null (what `array_min` of an
+    * empty/all-null array yields).
+    */
   def compute(arr: ArrayData, numHashes: Int): ArrayData = {
     val n = arr.numElements()
-    if (n == 0)
-      return new GenericArrayData(
-        Array.fill[Any](numHashes)(null))
-    val out = new Array[Long](numHashes)
+    val out = new Array[Any](numHashes)
     var i = 0
     while (i < numHashes) {
       val a = A(i)
       val b = B(i)
       var mn = Long.MaxValue
+      var seen = false
       var j = 0
       while (j < n) {
-        val xm = arr.getLong(j) % P
-        val xp = if (xm < 0) xm + P else xm
-        val v = (a * xp + b) % P
-        if (v < mn) mn = v
+        if (!arr.isNullAt(j)) {
+          seen = true
+          val xm = arr.getLong(j) % P
+          val xp = if (xm < 0) xm + P else xm
+          val v = (a * xp + b) % P
+          if (v < mn) mn = v
+        }
         j += 1
       }
-      out(i) = mn
+      out(i) = if (seen) mn else null
       i += 1
     }
     new GenericArrayData(out)

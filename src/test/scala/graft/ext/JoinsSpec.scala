@@ -82,6 +82,38 @@ class JoinsSpec extends SparkSpec {
       s"as-of is ONE shuffle on the key, found ${shuffles.size}")
   }
 
+  test("asOfJoin: null keys never match (SQL join semantics)") {
+    val l = Seq((1L, Option("A"), ts("2024-01-01 10:00:30")),
+      (2L, Option.empty[String], ts("2024-01-01 10:00:30")))
+      .toDF("trade_id", "sym", "t")
+    val r = Seq((10L, Option("A"), ts("2024-01-01 10:00:00"), 1.0),
+      (11L, Option.empty[String], ts("2024-01-01 10:00:00"), 9.9))
+      .toDF("quote_id", "q_sym", "q_t", "px")
+    val got = Joins.asOfJoin(l, r, "sym", "t", "q_sym", "q_t",
+        "quote_id", Seq("quote_id", "px"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(3))).toMap
+    assert(got(1L) == Some(10L)) // normal match
+    // the null-key trade must NOT pick up the null-key quote
+    assert(got(2L).isEmpty)
+    assert(got.size == 2) // both left rows survive (outer semantics)
+  }
+
+  test("rangeJoinBinned: sub-second interval ends cover the right bins") {
+    val points = Seq((1L, "2024-01-01 05:59:59.5"),
+      (2L, "2024-01-01 06:00:00.2"), (3L, "2024-01-01 06:00:00.9"))
+      .toDF("pid", "pts")
+      .select(col("pid"), col("pts").cast("timestamp").as("pt"))
+    // ends at 06:00:00.5 — past the 6h bin boundary by half a second;
+    // second-truncating bin math would stop the span one bin short
+    val iv = Seq(("w", "2024-01-01 05:00:00", "2024-01-01 06:00:00.5"))
+      .toDF("w", "wss", "wes")
+      .select(col("w"), col("wss").cast("timestamp").as("ws"),
+        col("wes").cast("timestamp").as("we"))
+    val got = Joins.rangeJoinBinned(points, "pt", iv, "ws", "we", 21600L)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L)) // 3 is past the exclusive end
+  }
+
   test("rangeJoinKeyed matches a filtered cross join; no nested loop") {
     val joined = Joins.rangeJoinKeyed(trades, quotes, "sym", "q_sym",
       col("q_t"), col("t") - expr("INTERVAL 30 SECONDS"),

@@ -44,6 +44,23 @@ class NativeFnSqlSpec extends SparkSpec {
     assert(r.getLong(3) == 2L) // int array casts to array<string>
   }
 
+  test("null array elements: skipped like the HOF formulations") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT minhash_sigs(array(CAST(NULL AS BIGINT)), 4) AS allnull,
+        |  minhash_sigs(array(7, NULL, 7), 2) AS mixed,
+        |  array_top_count(array('a', NULL, NULL, NULL)) AS t
+        |""".stripMargin).collect()(0)
+    assert(r.getSeq[Any](0) == Seq(null, null, null, null))
+    assert(!r.getSeq[Any](1).contains(null)) // non-null inputs → values
+    assert(r.getLong(2) == 1L) // three nulls must not win the max
+    // mixed matches the HOF spec on the same input
+    val hof = Seq(Seq(Some(7L), None, Some(7L))).toDF("sh")
+      .select(graft.ext.Dedup.minhashFromHashesHof(col("sh"), 2).as("s"))
+      .collect()(0).getSeq[Any](0)
+    assert(r.getSeq[Any](1) == hof)
+  }
+
   test("minhash_sigs rejects a non-literal k at analysis time") {
     GraftFunctions.register(spark)
     Seq(Seq(1L, 2L)).toDF("sh").createOrReplaceTempView("mh_k")
