@@ -958,6 +958,36 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Stream-static dimension enrichment (batch formulation of
+    * StreamingValidate.enrich — streaming mode covered in
+    * StreamingSpec): events pick up the customer's market segment via
+    * a broadcast left join, rolled up per day × segment.
+    */
+  private def xStreamEnrich(s: SparkSession, dir: String): DataFrame =
+    StreamingValidate.enrich(t(s, dir, "events"), Seq("user_id"),
+        t(s, dir, "customer"), Seq("c_custkey"), Seq("c_mktsegment"))
+      .groupBy(window(col("ts"), "1 day"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("c_mktsegment"), col("cnt"))
+      .orderBy("window_start", "c_mktsegment")
+
+  /** Event-rate anomaly scan: hourly counts per type, z-scored against
+    * the type's own distribution from explicit integer sums (engine-
+    * exact arithmetic — see Profile.rateAnomalies), |z| >= 2 flagged.
+    */
+  private def xStreamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("cnt"))
+    graft.ext.Profile.rateAnomalies(hourly, Seq("event_type"), "cnt", 2.0)
+      .select(col("window_start"), col("event_type"), col("cnt"),
+        round(col("z"), 6).as("z"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** Native session_window sessionization — same sessions via the
     * built-in windowed aggregation (gap-tie boundary uses >=; see
     * StreamingValidate.sessionizeNative scaladoc).
@@ -1136,7 +1166,9 @@ object SparkEntry {
     "x_dedup_semantic" -> (xDedupSemantic _),
     "x_sample_shards" -> (xSampleShards _),
     "x_sample_cap" -> (xSampleCap _),
-    "x_pipeline_clean" -> (xPipelineClean _)
+    "x_pipeline_clean" -> (xPipelineClean _),
+    "x_stream_enrich" -> (xStreamEnrich _),
+    "x_stream_anomaly" -> (xStreamAnomaly _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -2237,6 +2269,27 @@ object SparkEntry {
         |  UNION ALL SELECT 2, 's2_repetition', count(*) FROM l
         |  UNION ALL SELECT 3, 's3_exact_dedup', count(*) FROM surv
         |  UNION ALL SELECT 4, 's4_cap_per_source', count(*) FROM cap)
-        |ORDER BY stage_idx""".stripMargin
+        |ORDER BY stage_idx""".stripMargin,
+    "x_stream_enrich" ->
+      """SELECT time_bucket(INTERVAL '1 day', e.ts) AS window_start,
+        |  c.c_mktsegment, count(*) AS cnt
+        |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x_stream_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |    event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(cnt) AS DOUBLE) AS s1,
+        |    CAST(sum(cnt * cnt) AS DOUBLE) AS s2
+        |  FROM hourly GROUP BY 1 HAVING count(*) > 1)
+        |SELECT window_start, event_type, cnt, round(z, 6) AS z FROM (
+        |  SELECT h.window_start, h.event_type, h.cnt,
+        |    (h.cnt - s.s1 / s.n) /
+        |      sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS z
+        |  FROM hourly h JOIN stats s ON h.event_type = s.event_type)
+        |WHERE abs(z) >= 2.0 ORDER BY window_start, event_type""".stripMargin
   )
 }

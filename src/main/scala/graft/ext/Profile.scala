@@ -102,4 +102,36 @@ object Profile {
     wide.selectExpr(
       s"stack(${cols.size}, $stackArgs) AS (column_name, quantiles)")
   }
+
+  /** Z-score anomaly scan over a counted series: flag rows of `counts`
+    * whose `valueCol` deviates from its group's mean by at least
+    * `zThreshold` sample standard deviations.
+    *
+    * Group statistics come from explicit integer sums (Σx, Σx², n) and
+    * the textbook variance identity — NOT `stddev_samp` — so the same
+    * arithmetic expression tree evaluates bit-identically on any IEEE
+    * engine (oracle parity; Welford-style online variance, which
+    * builtins use, is numerically better but engine-specific in its
+    * last ulp). Counted series are small integers, where the identity
+    * is exact. The stats frame is one tiny row per group, broadcast
+    * back onto the series; groups with fewer than 2 rows have no
+    * sample variance and are never flagged.
+    */
+  def rateAnomalies(
+      counts: DataFrame, groupCols: Seq[String], valueCol: String,
+      zThreshold: Double = 2.0): DataFrame = {
+    val v = col(valueCol)
+    val stats = counts.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(v).cast("double").as("__s1"),
+        sum(v * v).cast("double").as("__s2"))
+      .filter(col("__n") > 1)
+    val z = (v - col("__s1") / col("__n")) /
+      sqrt((col("__s2") - col("__s1") * col("__s1") / col("__n")) /
+        (col("__n") - 1))
+    counts.join(broadcast(stats), groupCols)
+      .withColumn("z", z)
+      .filter(abs(col("z")) >= zThreshold)
+      .drop("__n", "__s1", "__s2")
+  }
 }

@@ -204,6 +204,26 @@ object StreamingValidate {
       .join(p, cond, "left_anti")
   }
 
+  /** Stream-static dimension enrichment: left-join each micro-batch
+    * against a broadcast dimension (the standard "attach user/customer
+    * attributes to an event stream" step). Stateless — no watermark; the
+    * dimension is re-read per batch, so slowly-changing attributes are
+    * picked up automatically; unmatched stream rows keep nulls (they are
+    * data, not errors — fkViolations is the check for that). The
+    * explicit `broadcast` pins the no-shuffle plan: the stream side
+    * must never repartition on the join key just to meet a hash join.
+    */
+  def enrich(
+      stream: DataFrame, keys: Seq[String],
+      dim: DataFrame, dimKeys: Seq[String],
+      payload: Seq[String]): DataFrame = {
+    require(keys.size == dimKeys.size, "enrich key arity mismatch")
+    val p = dim.select(
+      dimKeys.zip(keys).map { case (dk, k) => dim(dk).as(k) } ++
+        payload.map(dim(_)): _*)
+    stream.join(broadcast(p), keys, "left")
+  }
+
   /** Native session-window sessionization: Spark's built-in
     * `session_window` expresses the same gap sessions as [[sessionize]]
     * as a plain windowed aggregation — engine-managed state, works on

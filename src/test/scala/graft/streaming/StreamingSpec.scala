@@ -203,6 +203,22 @@ class StreamingSpec extends SparkSpec {
     assert(batchU1 == u1, s"batch $batchU1 != streamed $u1")
   }
 
+  test("stream-static enrichment matches the batch join, keeps nulls") {
+    val dim = Tables.load(spark, dir, "customer")
+    val streamed = runStream("enrich",
+      df => StreamingValidate.enrich(
+        df.select(col("event_id"), col("user_id")), Seq("user_id"),
+        dim, Seq("c_custkey"), Seq("c_mktsegment")))
+    val batch = StreamingValidate.enrich(
+      batchEvents.select(col("event_id"), col("user_id")), Seq("user_id"),
+      dim, Seq("c_custkey"), Seq("c_mktsegment"))
+    assert(streamed.count() == batchEvents.count()) // left join: no loss
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "c_mktsegment").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(tuples(streamed) == tuples(batch))
+  }
+
   test("streaming fk check: orphans surface via stream-static anti join") {
     val parent = spark.range(0, 5).toDF("uid") // users 0-4 are valid
     val out = runStream("fk_viol",
