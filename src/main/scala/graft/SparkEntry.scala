@@ -612,6 +612,41 @@ object SparkEntry {
       .groupBy("source").agg(count(lit(1)).as("n_kept"))
       .orderBy("source")
 
+  /** Term-rarity top-k per document (TF-IDF-shaped): tf/df scoring
+    * (exact integer-ratio doubles — ln-based idf differs in the last
+    * ulp across libm implementations, so the oracle-checked variant
+    * stays rational; the ranking is the same monotone-in-df idea),
+    * document frequencies broadcast back onto term counts, per-doc
+    * top-3 via sort of the doc's own bounded term list — no windows,
+    * state per doc bounded by its vocabulary.
+    */
+  private def xTextTfidf(s: SparkSession, dir: String): DataFrame = {
+    val terms = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") / col("df")).as("score"))
+    scored.groupBy("doc_id")
+      .agg(slice(sort_array(collect_list(
+        struct(col("score"), col("term"))), asc = false), 1, 3).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("rank"),
+        col("t.term").as("term"), round(col("t.score"), 6).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Fixed-width histogram profile of l_quantity over [1, 51) in 10
+    * bins — one hash-agg on the integer bin index, bounded output.
+    */
+  private def xProfileHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.histogram(t(s, dir, "lineitem"), "l_quantity",
+        lo = 1.0, hi = 51.0, bins = 10)
+      .orderBy("bin")
+
   /** Deterministic output sharding: documents → 8 hash shards; reported
     * as per-shard counts + id ranges (bounded output at any scale).
     */
@@ -1168,7 +1203,9 @@ object SparkEntry {
     "x_sample_cap" -> (xSampleCap _),
     "x_pipeline_clean" -> (xPipelineClean _),
     "x_stream_enrich" -> (xStreamEnrich _),
-    "x_stream_anomaly" -> (xStreamAnomaly _)
+    "x_stream_anomaly" -> (xStreamAnomaly _),
+    "x_text_tfidf" -> (xTextTfidf _),
+    "x_profile_histogram" -> (xProfileHistogram _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -2290,6 +2327,36 @@ object SparkEntry {
         |    (h.cnt - s.s1 / s.n) /
         |      sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS z
         |  FROM hourly h JOIN stats s ON h.event_type = s.event_type)
-        |WHERE abs(z) >= 2.0 ORDER BY window_start, event_type""".stripMargin
+        |WHERE abs(z) >= 2.0 ORDER BY window_start, event_type""".stripMargin,
+    "x_text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf AS DOUBLE) / d.df AS score
+        |  FROM tf JOIN dfreq d ON tf.term = d.term)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term,
+        |  round(score, 6) AS score
+        |FROM (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term DESC) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "x_profile_histogram" ->
+      """SELECT CAST(floor((CAST(l_quantity AS DOUBLE) - 1.0) / 5.0)
+        |    AS BIGINT) AS bin,
+        |  count(*) AS cnt,
+        |  min(CAST(l_quantity AS DOUBLE)) AS bin_min,
+        |  max(CAST(l_quantity AS DOUBLE)) AS bin_max
+        |FROM lineitem
+        |WHERE CAST(l_quantity AS DOUBLE) >= 1.0
+        |  AND CAST(l_quantity AS DOUBLE) < 51.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -103,6 +103,24 @@ object Profile {
       s"stack(${cols.size}, $stackArgs) AS (column_name, quantiles)")
   }
 
+  /** Fixed-width histogram of a numeric column over [lo, hi): one
+    * hash-agg on the bin index (integer arithmetic — no windows, no
+    * sort), rows outside the range are dropped (a profiling histogram
+    * reports the declared domain; pair with min/max from
+    * [[columnProfile]] to pick the range). Output is `bins` rows max,
+    * bounded at any scale.
+    */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    val w = (hi - lo) / bins
+    val v = col(c).cast("double")
+    df.filter(v >= lo && v < hi)
+      .groupBy(floor((v - lo) / w).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"), min(v).as("bin_min"),
+        max(v).as("bin_max"))
+  }
+
   /** Z-score anomaly scan over a counted series: flag rows of `counts`
     * whose `valueCol` deviates from its group's mean by at least
     * `zThreshold` sample standard deviations.

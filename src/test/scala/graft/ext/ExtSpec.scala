@@ -48,6 +48,17 @@ class ExtSpec extends SparkSpec {
     assert(r(4L) == (0.0, 0.0) && r(5L) == (1.0, 0.0))
   }
 
+  test("histogram: half-open bins, range-clipped, boundary values") {
+    val df = Seq(0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 10.0, -4.0)
+      .toDF("v")
+    val h = Profile.histogram(df, "v", lo = 1.0, hi = 3.0, bins = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // [1,2): 1.0, 1.5; [2,3): 2.0, 2.5; 3.0 excluded (half-open hi),
+    // 0.5 / -4 / 10 out of range
+    assert(h == Map(0L -> ((2L, 1.0, 1.5)), 1L -> ((2L, 2.0, 2.5))))
+  }
+
   test("native repetition counts match the HOF formulations") {
     val r = docs.union(Seq((9L, ""), (10L, "solo"),
         (11L, "x x x y y z")).toDF("doc_id", "text"))
