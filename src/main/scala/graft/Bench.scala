@@ -48,6 +48,14 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // localCheckpoint storage is NOT covered by clearCache — the
+        // checkpointed RDDs sit in persistent storage until GC'd, and
+        // measured +4x on late dedup queries at sf1 as the session
+        // accumulated blocks. Everything persisted is per-query debris
+        // at this point (each query builds its own artifacts), so drop
+        // it deterministically.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         // broadcast/shuffle cleanup is weak-reference driven: without a
         // GC nudge the ContextCleaner only reclaims on heap pressure,
         // and on a small driver heap a later allocation-heavy query

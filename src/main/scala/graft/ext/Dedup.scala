@@ -325,8 +325,14 @@ object Dedup {
     when(union > 0, inter.cast("double") / union).otherwise(lit(0.0))
   }
 
-  /** Jaccard over pre-hashed shingle arrays (long-array intersect). */
-  def jaccardHashes(a: Column, b: Column): Column = {
+  /** Jaccard over pre-hashed shingle arrays — the native primitive-set
+    * expression (one hash pass per array, no intermediate arrays).
+    */
+  def jaccardHashes(a: Column, b: Column): Column =
+    graft.functions.JaccardLong.jaccard(a, b)
+
+  /** Built-in formulation of [[jaccardHashes]] (parity spec). */
+  def jaccardHashesHof(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
     val union = size(array_union(a, b))
     when(union > 0, inter.cast("double") / union).otherwise(lit(0.0))

@@ -75,6 +75,23 @@ class ExtSpec extends SparkSpec {
     assert(r.length == 7)
   }
 
+  test("native jaccard_long matches the array_intersect formulation") {
+    val pairs = docs.as("a").crossJoin(docs.as("b"))
+      .select(
+        Dedup.shingleHashes(col("a.text"), 3).as("sa"),
+        Dedup.shingleHashes(col("b.text"), 3).as("sb"))
+      // degenerate rows: empty vs empty, empty vs non-empty
+      .union(Seq((Seq.empty[Long], Seq.empty[Long]),
+        (Seq.empty[Long], Seq(1L, 2L)), (Seq(3L, 3L, 4L), Seq(3L)))
+        .toDF("sa", "sb"))
+      .select(
+        Dedup.jaccardHashes(col("sa"), col("sb")).as("native"),
+        Dedup.jaccardHashesHof(col("sa"), col("sb")).as("hof"))
+      .collect()
+    pairs.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(pairs.length == 19)
+  }
+
   test("native minhash_sigs is bit-identical to the HOF formulation") {
     val base = docs.select(col("doc_id"),
       Dedup.shingleHashes(col("text"), 3).as("sh"))
