@@ -550,6 +550,18 @@ object SparkEntry {
       threshold = 0.35).orderBy("dup_id")
   }
 
+  /** Corpus-overlap screen via mergeable MinHash sketches: even-id vs
+    * odd-id documents (shared soup vocabulary → moderate overlap
+    * estimate), constant-size comparison at any corpus size.
+    */
+  private def xDedupCorpusSim(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    Dedup.corpusSimilarity(
+      base.filter(col("id") % 2 === 0), base.filter(col("id") % 2 === 1),
+      numHashes = 32, k = 3)
+  }
+
   /** Benchmark decontamination: the eval set is 80%-token-prefix
     * excerpts of every 50th document (ids + 2000000); the scan must
     * recover exactly those source documents as contaminated, with the
@@ -1205,7 +1217,8 @@ object SparkEntry {
     "x_stream_enrich" -> (xStreamEnrich _),
     "x_stream_anomaly" -> (xStreamAnomaly _),
     "x_text_tfidf" -> (xTextTfidf _),
-    "x_profile_histogram" -> (xProfileHistogram _)
+    "x_profile_histogram" -> (xProfileHistogram _),
+    "x_dedup_corpus_sim" -> (xDedupCorpusSim _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -2357,6 +2370,38 @@ object SparkEntry {
         |FROM lineitem
         |WHERE CAST(l_quantity AS DOUBLE) >= 1.0
         |  AND CAST(l_quantity AS DOUBLE) < 51.0
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_dedup_corpus_sim" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |shd AS (
+        |  SELECT id, list_transform(
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+        |      ELSE [array_to_string(toks, ' ')] END),
+        |    s -> ${duckHash48("s")}) AS sh
+        |  FROM tok),
+        |sigd AS (
+        |  SELECT id, list_transform(range(0, 32),
+        |    i -> list_min(list_transform(sh, h -> ${duckPerm("h", "i")})))
+        |    AS sig
+        |  FROM shd),
+        |slots AS (
+        |  SELECT id, ss.i AS slot, sig[CAST(ss.i + 1 AS INTEGER)] AS h
+        |  FROM sigd, (SELECT unnest(range(0, 32)) AS i) ss),
+        |ca AS (SELECT slot, min(h) AS min_h FROM slots
+        |       WHERE id % 2 = 0 GROUP BY 1),
+        |cb AS (SELECT slot, min(h) AS min_h_b FROM slots
+        |       WHERE id % 2 = 1 GROUP BY 1)
+        |SELECT count(*) AS n_slots,
+        |  CAST(sum(CASE WHEN min_h = min_h_b THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_equal,
+        |  CAST(sum(CASE WHEN min_h = min_h_b THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) AS est_jaccard
+        |FROM ca JOIN cb USING (slot)""".stripMargin
   )
 }

@@ -338,6 +338,43 @@ object Dedup {
     when(union > 0, inter.cast("double") / union).otherwise(lit(0.0))
   }
 
+  // ------------------------------------------------- corpus-level sketches
+  /** Corpus-level MinHash sketch: the elementwise min over every
+    * document's signature — i.e. the signature of the UNION of all
+    * shingle sets. Slot-min is associative and commutative, so this is
+    * a textbook mergeable summary: partial sketches combine map-side,
+    * per-corpus state is `numHashes` longs regardless of corpus size,
+    * and sketches of data shards can be merged without re-reading them.
+    * Output: (slot, min_h), `numHashes` rows.
+    */
+  def corpusSignature(df: DataFrame, numHashes: Int = 32,
+      k: Int = 3): DataFrame =
+    df.select(posexplode(
+        minhashFromHashes(shingleHashesFromTokens(col("toks"), k),
+          numHashes)).as(Seq("slot", "h")))
+      .groupBy("slot").agg(min("h").as("min_h"))
+
+  /** Estimated shingle-set Jaccard between two corpora from their
+    * sketches: the fraction of matching slots (the standard MinHash
+    * estimator, standard error ~ 1/sqrt(numHashes)). Constant-size
+    * comparison no matter how large either corpus is — the "how much
+    * does this new crawl overlap what we already have" screen that
+    * would otherwise be a cross-corpus join.
+    */
+  def corpusSimilarity(a: DataFrame, b: DataFrame, numHashes: Int = 32,
+      k: Int = 3): DataFrame = {
+    val sa = corpusSignature(a, numHashes, k)
+    val sb = corpusSignature(b, numHashes, k)
+      .withColumnRenamed("min_h", "min_h_b")
+    sa.join(sb, "slot")
+      .agg(count(lit(1)).as("n_slots"),
+        sum(when(col("min_h") === col("min_h_b"), 1L).otherwise(0L))
+          .as("n_equal"))
+      .select(col("n_slots"), col("n_equal"),
+        (col("n_equal").cast("double") / col("n_slots"))
+          .as("est_jaccard"))
+  }
+
   // --------------------------------------------------------------- SimHash
   /** SimHash-48 stage 1: per-bit set counts over distinct-token 48-bit
     * hashes + token count, as a struct. One pass over the token array

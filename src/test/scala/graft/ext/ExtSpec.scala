@@ -75,6 +75,27 @@ class ExtSpec extends SparkSpec {
     assert(r.length == 7)
   }
 
+  test("corpus sketch similarity: self = 1, disjoint ~ 0, merge = union") {
+    import org.apache.spark.sql.DataFrame
+    def toks(df: DataFrame) = df.select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val a = toks(docs)
+    val b = toks(Seq((7L, "zz yy xx ww vv uu tt ss rr qq"))
+      .toDF("doc_id", "text"))
+    val self = Dedup.corpusSimilarity(a, a).collect()(0)
+    assert(self.getDouble(2) == 1.0)
+    val disj = Dedup.corpusSimilarity(a, b).collect()(0)
+    assert(disj.getDouble(2) < 0.2) // no shared shingles; hash luck only
+    // mergeability: the sketch of a union is the slot-min of sketches
+    val merged = Dedup.corpusSignature(a.unionByName(b)).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sa = Dedup.corpusSignature(a).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sb = Dedup.corpusSignature(b).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(merged == sa.map { case (s, v) => s -> math.min(v, sb(s)) })
+  }
+
   test("native jaccard_long matches the array_intersect formulation") {
     val pairs = docs.as("a").crossJoin(docs.as("b"))
       .select(
