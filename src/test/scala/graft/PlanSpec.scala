@@ -99,6 +99,41 @@ class PlanSpec extends SparkSpec {
       "ivfTopK probe routing + ranking must be window-free too")
   }
 
+  test("semantic dedup: no nested loop, shuffles bounded to list/pair keys") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val e = Tables.load(spark, dir, "embeddings")
+    val v = graft.ext.Dedup.semanticCanonical(e,
+      graft.ext.Similarity.firstIdCentroids(e, 8), threshold = 0.3)
+    val all = nodes(v)
+    assert(!all.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "within-list pairing must equi-join on list_id, never nested-loop " +
+        "the corpus against itself")
+  }
+
+  test("histogram is one scan, one hash agg — no Expand, no sort") {
+    import org.apache.spark.sql.execution.SortExec
+    val h = graft.ext.Profile.histogram(
+      Tables.load(spark, dir, "lineitem"), "l_quantity", 1.0, 51.0, 10)
+    val all = nodes(h)
+    assert(scans(h).size == 1)
+    assert(!all.exists(_.isInstanceOf[ExpandExec]))
+    assert(!all.exists(_.isInstanceOf[SortExec]))
+  }
+
+  test("corpus sketch aggregates with map-side partial min") {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    val sig = graft.ext.Dedup.corpusSignature(base)
+    val aggs = nodes(sig).collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    // partial + final pair: the slot-min combines map-side (mergeable
+    // summary), so the shuffle moves ≤ numHashes rows per map task
+    assert(aggs.size >= 2,
+      s"expected partial+final hash aggregation, got ${aggs.size}")
+  }
+
   test("vocab top-k plans as TakeOrdered, not a global sort") {
     import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
     val v = Tables.load(spark, dir, "documents")
