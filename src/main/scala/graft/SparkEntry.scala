@@ -550,6 +550,19 @@ object SparkEntry {
       threshold = 0.35).orderBy("dup_id")
   }
 
+  /** Linear quality-classifier stage: fixed-weight linear score over
+    * rational text features (raw score, not sigmoid — monotone-
+    * equivalent and engine-exact), thresholded at 0.9 (nearest actual
+    * score 7.7e-4 away).
+    */
+  private def xTextClassifier(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      round(TextAnalysis.qualityClassifierScore(col("text")), 6)
+        .as("score"),
+      (TextAnalysis.qualityClassifierScore(col("text")) >= 0.9)
+        .as("label"))
+      .orderBy("doc_id")
+
   /** Corpus-overlap screen via mergeable MinHash sketches: even-id vs
     * odd-id documents (shared soup vocabulary → moderate overlap
     * estimate), constant-size comparison at any corpus size.
@@ -1218,7 +1231,8 @@ object SparkEntry {
     "x_stream_anomaly" -> (xStreamAnomaly _),
     "x_text_tfidf" -> (xTextTfidf _),
     "x_profile_histogram" -> (xProfileHistogram _),
-    "x_dedup_corpus_sim" -> (xDedupCorpusSim _)
+    "x_dedup_corpus_sim" -> (xDedupCorpusSim _),
+    "x_text_classifier" -> (xTextClassifier _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -2402,6 +2416,37 @@ object SparkEntry {
         |    AS BIGINT) AS n_equal,
         |  CAST(sum(CASE WHEN min_h = min_h_b THEN 1 ELSE 0 END)
         |    AS DOUBLE) / count(*) AS est_jaccard
-        |FROM ca JOIN cb USING (slot)""".stripMargin
+        |FROM ca JOIN cb USING (slot)""".stripMargin,
+    "x_text_classifier" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS DOUBLE) AS toks,
+        |    (length(p)-length(replace(p,' the ','')))/5
+        |      + (length(p)-length(replace(p,' and ','')))/5
+        |      + (length(p)-length(replace(p,' of ','')))/4
+        |      + (length(p)-length(replace(p,' to ','')))/4
+        |      + (length(p)-length(replace(p,' a ','')))/3 AS hits,
+        |    CASE WHEN length(text) > 0
+        |      THEN CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g'))
+        |        AS DOUBLE) / length(text) ELSE 0.0 END AS alpha,
+        |    CASE WHEN length(text) > 0
+        |      THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '',
+        |        'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct,
+        |    CASE WHEN len(ws) > 0
+        |      THEN CAST(list_max(list_transform(list_distinct(ws),
+        |        w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)
+        |        / len(ws) ELSE 0.0 END AS twf
+        |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS p,
+        |          list_filter(regexp_split_to_array(text, '\s+'),
+        |            x -> x <> '') AS ws
+        |        FROM documents)),
+        |s AS (
+        |  SELECT doc_id,
+        |    -1.0 + least(toks / 100.0, 1.0) * 1.5 + alpha * 1.0
+        |      + (hits / greatest(toks, 1.0)) * 4.0
+        |      - twf * 3.0 - punct * 2.0 AS score
+        |  FROM f)
+        |SELECT doc_id, round(score, 6) AS score, score >= 0.9 AS label
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }

@@ -165,6 +165,30 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Linear quality classifier: a fixed-weight linear model over the
+    * per-row text features (the FastText-style quality-classifier
+    * pipeline stage, with hand-set weights standing in for trained
+    * ones — swap the weight map when a trained model exists). The raw
+    * LINEAR score is returned rather than its sigmoid: the sigmoid is
+    * monotone, so thresholding the linear score classifies identically,
+    * and exp() differs across libm implementations in the last ulp
+    * while the linear combination of rational features is bit-exact on
+    * any IEEE engine. Zero shuffle, codegen'd, linear in input bytes.
+    */
+  def qualityClassifierScore(c: Column): Column = {
+    val toks = tokenCount(c).cast("double")
+    val stopRatio = stopwordScore(c, StopwordsEn).cast("double") /
+      greatest(toks, lit(1.0))
+    // weights: longer docs with natural stopword density and low
+    // repetition score high; keyword stuffing drags the score down
+    lit(-1.0) +
+      least(toks / 100.0, lit(1.0)) * 1.5 +
+      alphaRatio(c) * 1.0 +
+      stopRatio * 4.0 -
+      topWordFrac(c) * 3.0 -
+      punctRatio(c) * 2.0
+  }
+
   /** Document fingerprint: md5 of case- and whitespace-normalized text.
     * Stable across engines (SQL-expressible), used as the exact-dedup key.
     */
