@@ -40,7 +40,8 @@ object Bench {
     // in production each validation is its own job with a fresh session.
     // optional name filter for local bisection (driver sets no filter)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }.map {
       case (name, fn) =>

@@ -9,7 +9,8 @@ object Verify {
     // only — the driver always calls with two args = run everything)
     val Array(sfDir, outDir) = args.take(2)
     val only: Set[String] =
-      if (args.length > 2) args(2).split(",").toSet else Set.empty
+      if (args.length > 2) args(2).split(",").filter(_.nonEmpty).toSet
+      else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,9 +29,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop per-query leaked caches (e.g. the near-dup hash arrays)
-      // and nudge the weak-ref ContextCleaner (see Bench)
+      // drop per-query leaked caches (e.g. the near-dup hash arrays),
+      // checkpoint blocks (clearCache misses those — see Bench), and
+      // nudge the weak-ref ContextCleaner
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

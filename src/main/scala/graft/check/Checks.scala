@@ -127,7 +127,11 @@ object Checks {
     * instead of reporting a schema problem at plan build).
     */
   def enumHit(f: Field, values: Seq[String], c: Column): Column =
-    values.map(v => c === typedBound(f, v)).reduce(_ || _)
+    // empty enum: nothing is a member (every non-null value violates) —
+    // the same verdict `isin()` with zero arguments renders; reduceOption
+    // because reduce throws on the empty descriptor `"enum": []`
+    values.map(v => c === typedBound(f, v))
+      .reduceOption(_ || _).getOrElse(lit(false))
 
   def enumCheckTyped(df: DataFrame, f: Field, values: Seq[String]): DataFrame =
     offendingValues(df, f.name, !enumHit(f, values, df(f.name)))

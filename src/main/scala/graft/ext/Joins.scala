@@ -61,7 +61,10 @@ object Joins {
     // POSITION, so both sides project the same shape.
     val rCols = Seq(
       col(rightKey).as("__k"), col(rightTime).as("__t"),
-      col(rightTieBreak).cast("long").as("__tb"),
+      // keep the tiebreak's own (orderable) type: casting to long would
+      // turn e.g. a string id into all-NULLs and silently break the
+      // "greatest tiebreak wins" contract
+      col(rightTieBreak).as("__tb"),
       struct(payload.map(col): _*).as("__p"), lit(0).as("__tag")) ++
       leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
     // null-key/null-time right rows can never be "the latest quote for
@@ -74,7 +77,7 @@ object Joins {
       .select(rCols: _*)
     val lCols = Seq(
       col(leftKey).as("__k"), col(leftTime).as("__t"),
-      lit(null).cast("long").as("__tb"),
+      lit(null).cast(right.schema(rightTieBreak).dataType).as("__tb"),
       lit(null).cast(r.schema("__p").dataType).as("__p"),
       lit(1).as("__tag")) ++ leftCols.map(col)
     val l = left.select(lCols: _*)

@@ -115,8 +115,12 @@ object Profile {
     require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
     val w = (hi - lo) / bins
     val v = col(c).cast("double")
+    // least(): when (hi-lo)/bins is not exactly representable, a value
+    // just under hi can floor to `bins` — clamp to the last bin so the
+    // 0..bins-1 contract holds for every in-range value
     df.filter(v >= lo && v < hi)
-      .groupBy(floor((v - lo) / w).cast("long").as("bin"))
+      .groupBy(least(floor((v - lo) / w), lit(bins - 1.0)).cast("long")
+        .as("bin"))
       .agg(count(lit(1)).as("cnt"), min(v).as("bin_min"),
         max(v).as("bin_max"))
   }

@@ -41,10 +41,18 @@ object ArrayCounts {
 
   private def distinct(arr: ArrayData): Long = {
     val m = new java.util.HashSet[UTF8String]()
+    // null slots must not reach getUTF8String (unsafe storage returns
+    // an empty-string view there, conflating NULL with "") — track the
+    // null member separately; array_distinct keeps exactly one null
+    var sawNull = false
     var i = 0
     val n = arr.numElements()
-    while (i < n) { m.add(arr.getUTF8String(i)); i += 1 }
-    m.size.toLong
+    while (i < n) {
+      if (arr.isNullAt(i)) sawNull = true
+      else m.add(arr.getUTF8String(i))
+      i += 1
+    }
+    m.size.toLong + (if (sawNull) 1L else 0L)
   }
 
   /** Public entry points referenced from generated code. */

@@ -25,11 +25,14 @@ import org.apache.spark.sql.types._
   * and the final buffer is the exact global top-k — O(k) memory per
   * task, no global sort, no single-reducer stage.
   *
-  * The order is total (score desc, id asc — `java.lang.Double.compare`
-  * on the score, so -0.0/0.0 and NaN are handled consistently), making
-  * the result independent of partitioning and merge order: same answer
-  * on any cluster layout, bit-identical to the window+row_number
-  * formulation it replaces.
+  * The buffer is a MULTISET (counted tree map): duplicate (score, id)
+  * input rows each occupy a rank slot, exactly as `row_number` over the
+  * same order would rank them. The order is total (score desc, id asc —
+  * `java.lang.Double.compare` on the score, so -0.0/0.0 and NaN are
+  * handled consistently), making the result independent of partitioning
+  * and merge order: same answer on any cluster layout, bit-identical to
+  * the window+row_number formulation it replaces — including on inputs
+  * with duplicated rows.
   */
 case class BoundedTopK(
     score: Expression,
@@ -37,7 +40,7 @@ case class BoundedTopK(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.TreeSet[(Double, Long)]] {
+  extends TypedImperativeAggregate[BoundedTopK.Buf] {
 
   def this(score: Expression, id: Expression, k: Expression) =
     this(score, id, BoundedTopK.extractK(k))
@@ -48,22 +51,25 @@ case class BoundedTopK(
       newChildren: IndexedSeq[Expression]): BoundedTopK =
     copy(score = newChildren(0), id = newChildren(1))
 
-  override def createAggregationBuffer(): mutable.TreeSet[(Double, Long)] =
-    mutable.TreeSet.empty[(Double, Long)](BoundedTopK.ord)
+  override def createAggregationBuffer(): BoundedTopK.Buf =
+    new BoundedTopK.Buf(
+      mutable.TreeMap.empty[(Double, Long), Int](BoundedTopK.ord), 0)
 
-  /** Insert keeping only the `k` best entries (head = best, last = worst). */
-  private def add(
-      buf: mutable.TreeSet[(Double, Long)], v: (Double, Long)): Unit =
-    if (buf.size < k) {
-      buf += v
-    } else if (BoundedTopK.ord.compare(v, buf.last) < 0) {
-      buf -= buf.last
-      buf += v
+  /** Insert keeping only the `k` best occurrences. */
+  private def add(buf: BoundedTopK.Buf, v: (Double, Long)): Unit =
+    if (buf.n < k) {
+      buf.m.updateWith(v) { c => Some(c.getOrElse(0) + 1) }
+      buf.n += 1
+    } else {
+      val last = buf.m.last
+      if (BoundedTopK.ord.compare(v, last._1) < 0) {
+        if (last._2 == 1) buf.m -= last._1
+        else buf.m.update(last._1, last._2 - 1)
+        buf.m.updateWith(v) { c => Some(c.getOrElse(0) + 1) }
+      }
     }
 
-  override def update(
-      buf: mutable.TreeSet[(Double, Long)],
-      input: InternalRow): mutable.TreeSet[(Double, Long)] = {
+  override def update(buf: BoundedTopK.Buf, input: InternalRow): BoundedTopK.Buf = {
     val s = score.eval(input)
     val i = id.eval(input)
     if (s != null && i != null) {
@@ -72,38 +78,48 @@ case class BoundedTopK(
     buf
   }
 
-  override def merge(
-      buf: mutable.TreeSet[(Double, Long)],
-      other: mutable.TreeSet[(Double, Long)]): mutable.TreeSet[(Double, Long)] = {
-    other.foreach(add(buf, _))
+  override def merge(buf: BoundedTopK.Buf, other: BoundedTopK.Buf): BoundedTopK.Buf = {
+    other.m.foreach { case (v, c) =>
+      var i = 0
+      while (i < c) { add(buf, v); i += 1 }
+    }
     buf
   }
 
   /** Rank-ordered array of (id, score) structs. */
-  override def eval(buf: mutable.TreeSet[(Double, Long)]): Any =
-    new GenericArrayData(buf.toArray.map { case (s, i) =>
-      InternalRow(i, s): Any
-    })
+  override def eval(buf: BoundedTopK.Buf): Any = {
+    val out = Array.newBuilder[Any]
+    buf.m.foreach { case ((s, i), c) =>
+      var j = 0
+      while (j < c) { out += (InternalRow(i, s): Any); j += 1 }
+    }
+    new GenericArrayData(out.result())
+  }
 
-  override def serialize(buf: mutable.TreeSet[(Double, Long)]): Array[Byte] = {
+  override def serialize(buf: BoundedTopK.Buf): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (s, i) =>
+    out.writeInt(buf.m.size)
+    buf.m.foreach { case ((s, i), c) =>
       out.writeDouble(s)
       out.writeLong(i)
+      out.writeInt(c)
     }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[(Double, Long)] = {
+  override def deserialize(bytes: Array[Byte]): BoundedTopK.Buf = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = createAggregationBuffer()
     var i = 0
     while (i < n) {
-      buf += ((in.readDouble(), in.readLong()))
+      val s = in.readDouble()
+      val id = in.readLong()
+      val c = in.readInt()
+      buf.m.update((s, id), c)
+      buf.n += c
       i += 1
     }
     buf
@@ -125,6 +141,11 @@ case class BoundedTopK(
 }
 
 object BoundedTopK {
+  /** Counted tree multiset: entry → multiplicity, with the total
+    * occurrence count tracked (`n` ≤ k by construction).
+    */
+  final class Buf(val m: mutable.TreeMap[(Double, Long), Int], var n: Int)
+
   /** Total order: score desc, id asc. */
   val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
     override def compare(x: (Double, Long), y: (Double, Long)): Int = {

@@ -14,6 +14,12 @@ import graft.schema.TableSchema
 final case class SessionEvent(
     user_id: Long, ts: java.sql.Timestamp, ts_us: Long)
 final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+/** Streaming-state carrier: ALL not-yet-closed sessions of a user —
+  * within-watermark disorder can open an earlier session than the
+  * latest one, so a single-interval state cannot be correct (it either
+  * wrongly merges across a gap or wrongly drops the earlier session).
+  */
+final case class OpenSessions(ss: Seq[OpenSession])
 final case class SessionRaw(
     user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
@@ -107,12 +113,14 @@ object StreamingValidate {
     * Two modes sharing the session-building core:
     *   - `streaming = false` (batch): each group arrives complete, so
     *     every session — including the trailing one — is emitted.
-    *   - `streaming = true`: only CLOSED sessions are emitted. The open
-    *     session is carried in `GroupState` across micro-batches and
-    *     flushed by an event-time timeout once the watermark passes
-    *     `last event + gap` — so a session is emitted exactly once, and
-    *     idle users don't pin state forever. Callers must put a
-    *     `withWatermark("ts", ...)` on the input (required for
+    *   - `streaming = true`: only CLOSED sessions are emitted. ALL
+    *     unclosed session intervals are carried in `GroupState` across
+    *     micro-batches (within-watermark disorder can open a session
+    *     earlier than the latest one); a session closes — and is
+    *     emitted exactly once — when the watermark passes its
+    *     `last event + gap`, via the next batch or the event-time
+    *     timeout, so idle users don't pin state forever. Callers must
+    *     put a `withWatermark("ts", ...)` on the input (required for
     *     EventTimeTimeout).
     */
   def sessionize(
@@ -129,52 +137,50 @@ object StreamingValidate {
         col("ts"), unix_micros(col("ts")).as("ts_us"))
       .as[SessionEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, SessionRaw](
+      .flatMapGroupsWithState[OpenSessions, SessionRaw](
         OutputMode.Append, timeout) {
         (userId: Long, it: Iterator[SessionEvent],
-         state: GroupState[OpenSession]) =>
-          if (streaming && state.hasTimedOut) {
-            // watermark passed last event + gap: the open session can
-            // never be extended — flush and clear
-            val o = state.get
-            state.remove()
-            Iterator.single(SessionRaw(userId, o.startUs, o.lastUs, o.n))
+         state: GroupState[OpenSessions]) =>
+          // Merge this batch's events into the state's disjoint session
+          // intervals: every event is a singleton interval; two
+          // intervals belong to one session iff they are within the gap.
+          // Holding ALL unclosed intervals (not just the latest) is what
+          // makes within-watermark disorder safe: an event can open a
+          // session EARLIER than the current one, and a single-interval
+          // state would wrongly merge across a gap (min/max) or lose
+          // the earlier session entirely. The timeout branch is the
+          // same code with no new events.
+          val prior = state.getOption.map(_.ss.toList).getOrElse(Nil)
+          val merged = (it.map(e =>
+              OpenSession(e.ts_us, e.ts_us, 1)).toList ++ prior)
+            .sortBy(s => (s.startUs, s.lastUs))
+            .foldLeft(List.empty[OpenSession]) { (acc, s) =>
+              acc match {
+                case h :: tl if s.startUs <= h.lastUs + gapUs =>
+                  OpenSession(h.startUs, math.max(h.lastUs, s.lastUs),
+                    h.n + s.n) :: tl
+                case _ => s :: acc
+              }
+            }.reverse
+          if (streaming) {
+            // a session is closed once the watermark passes its end +
+            // gap (no admissible event can extend it); the rest stays
+            // in state, with the timeout at the earliest possible close
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (closed, open) =
+              merged.partition(s => s.lastUs + gapUs <= wmUs)
+            if (open.isEmpty) { if (state.exists) state.remove() }
+            else {
+              state.update(OpenSessions(open))
+              state.setTimeoutTimestamp(
+                (open.map(_.lastUs).min + gapUs) / 1000L + 1L)
+            }
+            closed.map(s =>
+              SessionRaw(userId, s.startUs, s.lastUs, s.n)).iterator
           } else {
-            val times = it.map(_.ts_us).toArray.sorted
-            var open = state.getOption
-            val closed = Seq.newBuilder[SessionRaw]
-            times.foreach { t =>
-              open match {
-                case Some(o) if t - o.lastUs > gapUs =>
-                  closed += SessionRaw(userId, o.startUs, o.lastUs, o.n)
-                  open = Some(OpenSession(t, t, 1))
-                case Some(o) =>
-                  // extend with min/max, not assignment: a later
-                  // micro-batch can deliver an out-of-order (but
-                  // within-watermark) event with t < o.lastUs — copying
-                  // t into lastUs would regress the session end and let
-                  // a subsequent in-gap event wrongly split the session
-                  open = Some(OpenSession(
-                    math.min(o.startUs, t), math.max(o.lastUs, t),
-                    o.n + 1))
-                case None =>
-                  open = Some(OpenSession(t, t, 1))
-              }
-            }
-            if (streaming) {
-              // keep the open session in state; emit it only when closed
-              // (here by a later event, or by the event-time timeout)
-              open.foreach { o =>
-                state.update(o)
-                state.setTimeoutTimestamp(o.lastUs / 1000L + gapMinutes * 60000L)
-              }
-            } else {
-              // batch: the group is complete — the trailing session is
-              // genuinely closed by end-of-data
-              open.foreach(o =>
-                closed += SessionRaw(userId, o.startUs, o.lastUs, o.n))
-            }
-            closed.result().iterator
+            // batch: the group is complete — every session is closed
+            merged.map(s =>
+              SessionRaw(userId, s.startUs, s.lastUs, s.n)).iterator
           }
       }
       .select(col("user_id"),

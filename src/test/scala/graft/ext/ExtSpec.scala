@@ -305,6 +305,20 @@ class ExtSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("bounded_top_k multiset: duplicated rows occupy rank slots") {
+    // one key, 2 distinct ids each duplicated 5 times, k = 6: window
+    // row_number keeps 6 rows (5×id1 + 1×id2); a set-semantics buffer
+    // would collapse to 2
+    val df = (1 to 10).map(i => (1L, 1.0, ((i - 1) / 5 + 1).toLong))
+      .toDF("q", "sim", "nid").repartition(4)
+    val rows = df.groupBy(col("q"))
+      .agg(graft.functions.BoundedTopK.topk(
+        col("sim"), col("nid"), 6).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.id")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(rows == Seq(1L, 1L, 1L, 1L, 1L, 2L))
+  }
+
   test("IVF k-means: nLists centroids, bounded list skew, decent recall") {
     val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val nLists = 8

@@ -203,6 +203,57 @@ class StreamingSpec extends SparkSpec {
     assert(batchU1 == u1, s"batch $batchU1 != streamed $u1")
   }
 
+  test("streaming sessionize: within-watermark event opening an EARLIER " +
+      "disjoint session is not merged into the open one") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val d = Files.createTempDirectory("graft_sess_early")
+    def ev(rows: Seq[(Long, String)]) =
+      rows.toDF("user_id", "s")
+        .select(col("user_id"), to_timestamp(col("s")).as("ts"))
+    val b1 = ev(Seq((1L, "2026-01-01 10:00:00"),
+      (1L, "2026-01-01 10:25:00")))
+    // 09:00 is within the 2h watermark but a full hour before the open
+    // session: it must become its OWN session, not drag the open one's
+    // start back across the gap
+    val b2 = ev(Seq((1L, "2026-01-01 09:00:00"),
+      (1L, "2026-01-01 10:45:00")))
+    val b3 = ev(Seq((1L, "2026-01-01 12:00:00"),
+      (99L, "2026-01-01 23:00:00")))
+    Seq((b1, "batch1", 1000000L), (b2, "batch2", 2000000L),
+      (b3, "batch3", 3000000L)).foreach { case (df, name, mt) =>
+      df.coalesce(1).write.parquet(s"$d/$name")
+      Files.list(Paths.get(s"$d/$name")).forEach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(mt)))
+    }
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$d/{batch1,batch2,batch3}")
+    val q = StreamingValidate.sessionize(
+        stream.withWatermark("ts", "2 hours"), 30, streaming = true)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_early").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sessions_early").filter(col("user_id") === 1L)
+      .orderBy("session_start").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("session_start").toString,
+        r.getAs[java.sql.Timestamp]("session_end").toString,
+        r.getAs[Long]("n_events"))).toSeq
+    val batchU1 = StreamingValidate.sessionize(
+        b1.unionByName(b2).unionByName(b3), 30)
+      .filter(col("user_id") === 1L).orderBy("session_start").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("session_start").toString,
+        r.getAs[java.sql.Timestamp]("session_end").toString,
+        r.getAs[Long]("n_events"))).toSeq
+    assert(u1 == Seq(
+      ("2026-01-01 09:00:00.0", "2026-01-01 09:00:00.0", 1L),
+      ("2026-01-01 10:00:00.0", "2026-01-01 10:45:00.0", 3L),
+      ("2026-01-01 12:00:00.0", "2026-01-01 12:00:00.0", 1L)), u1)
+    assert(batchU1 == u1, s"batch $batchU1 != streamed $u1")
+  }
+
   test("stream-static enrichment matches the batch join, keeps nulls") {
     val dim = Tables.load(spark, dir, "customer")
     val streamed = runStream("enrich",
