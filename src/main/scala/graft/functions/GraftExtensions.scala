@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("array_distinct_count"),
         ArrayCounts.distinctInfo, ArrayCounts.distinctBuilder))
+    ext.injectOptimizerRule(_ => LowerQuadraticArrayOps)
   }
 }
 

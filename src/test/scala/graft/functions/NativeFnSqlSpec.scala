@@ -61,6 +61,28 @@ class NativeFnSqlSpec extends SparkSpec {
     assert(r.getSeq[Any](1) == hof)
   }
 
+  test("optimizer rule lowers size(array_distinct) on string arrays") {
+    // column-dependent input: a pure literal would be constant-folded
+    // to a LocalRelation before the plan could show the rewrite
+    val df = spark.range(2).select(
+      size(array_distinct(
+        split(concat(lit("a,b,a,x"), col("id")), ","))).as("n"),
+      size(array_distinct(array(col("id").cast("int")))).as("m"))
+    val rewritten = LowerQuadraticArrayOps(df.queryExecution.analyzed)
+    val lowered = rewritten.expressions
+      .filter(_.exists(_.isInstanceOf[DistinctCount]))
+    assert(lowered.size == 1, "exactly the string-array Size lowers")
+    // end to end: same answers with the rule active in the optimizer
+    val prior = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prior :+ LowerQuadraticArrayOps
+    try {
+      val r = df.orderBy("n").collect()(0)
+      assert(r.getInt(0) == 3 && r.getInt(1) == 1)
+      assert(df.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[DistinctCount])))
+    } finally spark.experimental.extraOptimizations = prior
+  }
+
   test("minhash_sigs rejects a non-literal k at analysis time") {
     GraftFunctions.register(spark)
     Seq(Seq(1L, 2L)).toDF("sh").createOrReplaceTempView("mh_k")
