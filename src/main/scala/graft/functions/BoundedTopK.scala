@@ -42,6 +42,8 @@ case class BoundedTopK(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[BoundedTopK.Buf] {
 
+  require(k > 0, s"bounded_top_k needs k > 0, got $k")
+
   def this(score: Expression, id: Expression, k: Expression) =
     this(score, id, BoundedTopK.extractK(k))
 

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, Size}
+import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, Cast, Size}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, StringType}
@@ -26,14 +26,19 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   * only non-legacy Size (DistinctCount is null-on-null).
   */
 object LowerQuadraticArrayOps extends Rule[LogicalPlan] {
+
+  private def isStringArray(dt: org.apache.spark.sql.types.DataType) =
+    dt match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case s @ Size(ArrayDistinct(child), false)
-        if child.dataType == ArrayType(StringType, true) ||
-          child.dataType == ArrayType(StringType, false) =>
+        if isStringArray(child.dataType) =>
         // Size is IntegerType; DistinctCount is LongType — cast back so
         // downstream resolution is unchanged
-        org.apache.spark.sql.catalyst.expressions.Cast(
-          DistinctCount(child), s.dataType)
+        Cast(DistinctCount(child), s.dataType)
     }
 }

@@ -20,15 +20,19 @@ class JoinsPropSpec extends SparkSpec {
   }
 
   private val keyGen = Gen.oneOf("A", "B", "C")
+  // ~12% null keys: SQL join semantics (NULL never matches) must hold
+  private val keyOptGen =
+    Gen.frequency(7 -> keyGen.map(Option(_)), 1 -> Gen.const(None))
   private val tsGen = Gen.choose(0L, 50L) // tight range → many ties
 
-  test("law: asOfJoin equals the latest-at-or-before reference") {
+  test("law: asOfJoin equals the latest-at-or-before reference " +
+      "(incl. null keys)") {
     val leftGen = Gen.listOfN(25,
-      Gen.zip(keyGen, tsGen)).map(_.zipWithIndex.map {
+      Gen.zip(keyOptGen, tsGen)).map(_.zipWithIndex.map {
         case ((k, t), i) => (i.toLong, k, t)
       })
     val rightGen = Gen.listOfN(25,
-      Gen.zip(keyGen, tsGen)).map(_.zipWithIndex.map {
+      Gen.zip(keyOptGen, tsGen)).map(_.zipWithIndex.map {
         case ((k, t), i) => (1000L + i, k, t, i * 1.5)
       })
     check(Prop.forAll(leftGen, rightGen) { (ls, rs) =>
@@ -41,9 +45,11 @@ class JoinsPropSpec extends SparkSpec {
           Seq("rid", "px"))
         .collect().map(x => x.getLong(0) -> Option(x.get(3))).toMap
       // reference: per left row, the right row with max (rt, rid)
-      // among same-key rows with rt <= t
+      // among same-NON-NULL-key rows with rt <= t; a null left or
+      // right key never matches (SQL join semantics)
       val want = ls.map { case (lid, k, t) =>
-        val cands = rs.filter(x => x._2 == k && x._3 <= t)
+        val cands = rs.filter(x =>
+          k.isDefined && x._2.isDefined && x._2 == k && x._3 <= t)
         lid -> (if (cands.isEmpty) None
                 else Some(cands.maxBy(x => (x._3, x._1))._1))
       }.toMap
