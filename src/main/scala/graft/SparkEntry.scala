@@ -1048,6 +1048,23 @@ object SparkEntry {
       .orderBy("window_start", "event_type")
   }
 
+  /** Trailing-baseline anomaly scan: each hourly count z-scored against
+    * its type's previous 24 buckets (drifting-baseline monitor shape) —
+    * the window runs over the aggregated series, not raw events.
+    */
+  private def xStreamAnomalyTrailing(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("cnt"))
+    graft.ext.Profile.rateAnomaliesTrailing(hourly, Seq("event_type"),
+        "window_start", "cnt", trailing = 24, zThreshold = 2.5)
+      .select(col("window_start"), col("event_type"), col("cnt"),
+        round(col("z"), 6).as("z"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** Native session_window sessionization — same sessions via the
     * built-in windowed aggregation (gap-tie boundary uses >=; see
     * StreamingValidate.sessionizeNative scaladoc).
@@ -1232,7 +1249,8 @@ object SparkEntry {
     "x_text_tfidf" -> (xTextTfidf _),
     "x_profile_histogram" -> (xProfileHistogram _),
     "x_dedup_corpus_sim" -> (xDedupCorpusSim _),
-    "x_text_classifier" -> (xTextClassifier _)
+    "x_text_classifier" -> (xTextClassifier _),
+    "x_stream_anomaly_trailing" -> (xStreamAnomalyTrailing _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -2447,6 +2465,25 @@ object SparkEntry {
         |      - twf * 3.0 - punct * 2.0 AS score
         |  FROM f)
         |SELECT doc_id, round(score, 6) AS score, score >= 0.9 AS label
-        |FROM s ORDER BY doc_id""".stripMargin
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "x_stream_anomaly_trailing" ->
+      """WITH hourly AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |    event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT window_start, event_type, cnt,
+        |    CAST(count(cnt) OVER w AS DOUBLE) AS n,
+        |    CAST(sum(cnt) OVER w AS DOUBLE) AS s1,
+        |    CAST(sum(cnt * cnt) OVER w AS DOUBLE) AS s2
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT window_start, event_type, cnt, round(z, 6) AS z FROM (
+        |  SELECT window_start, event_type, cnt,
+        |    (cnt - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
+        |  FROM t WHERE n > 1 AND s2 - s1 * s1 / n > 0)
+        |WHERE abs(z) >= 2.5
+        |ORDER BY window_start, event_type""".stripMargin
   )
 }

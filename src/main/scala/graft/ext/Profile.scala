@@ -125,6 +125,45 @@ object Profile {
         max(v).as("bin_max"))
   }
 
+  /** Trailing-baseline variant of [[rateAnomalies]]: each row is
+    * z-scored against the mean/variance of the PREVIOUS `trailing`
+    * rows of its group (ordered by `orderCol`) — the drifting-baseline
+    * monitor shape (a diurnal pattern inflates the global variance and
+    * hides spikes; a trailing window tracks the current regime).
+    *
+    * The window runs over the counted SERIES, not the raw events: its
+    * partition is the group key and its rows are one-per-bucket, so
+    * even at 100 TB of events the windowed frame is
+    * |groups| × |buckets| — the aggregation upstream already collapsed
+    * the volume. Same explicit-integer-sums arithmetic as
+    * [[rateAnomalies]]; rows with fewer than 2 trailing rows have no
+    * sample variance and are never flagged.
+    */
+  def rateAnomaliesTrailing(
+      counts: DataFrame, groupCols: Seq[String], orderCol: String,
+      valueCol: String, trailing: Int, zThreshold: Double = 2.0): DataFrame = {
+    require(trailing > 1, "need at least 2 trailing rows for variance")
+    val v = col(valueCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(-trailing.toLong, -1L)
+    val z = (v - col("__s1") / col("__n")) /
+      sqrt((col("__s2") - col("__s1") * col("__s1") / col("__n")) /
+        (col("__n") - 1))
+    counts
+      .withColumn("__n", count(v).over(w).cast("double"))
+      .withColumn("__s1", sum(v).over(w).cast("double"))
+      .withColumn("__s2", sum(v * v).over(w).cast("double"))
+      .filter(col("__n") > 1)
+      // zero-variance baseline → z is NaN (v equal) or ±Inf (v differs),
+      // and engines DISAGREE on NaN comparisons (Spark: false; DuckDB
+      // sorts NaN above everything) — skip the degenerate baseline
+      .filter(col("__s2") - col("__s1") * col("__s1") / col("__n") > 0)
+      .withColumn("z", z)
+      .filter(abs(col("z")) >= zThreshold)
+      .drop("__n", "__s1", "__s2")
+  }
+
   /** Z-score anomaly scan over a counted series: flag rows of `counts`
     * whose `valueCol` deviates from its group's mean by at least
     * `zThreshold` sample standard deviations.
@@ -148,6 +187,9 @@ object Profile {
         sum(v).cast("double").as("__s1"),
         sum(v * v).cast("double").as("__s2"))
       .filter(col("__n") > 1)
+      // zero variance would make z NaN/±Inf, where engine comparison
+      // semantics diverge (see rateAnomaliesTrailing) — skip the group
+      .filter(col("__s2") - col("__s1") * col("__s1") / col("__n") > 0)
     val z = (v - col("__s1") / col("__n")) /
       sqrt((col("__s2") - col("__s1") * col("__s1") / col("__n")) /
         (col("__n") - 1))

@@ -48,6 +48,28 @@ class ExtSpec extends SparkSpec {
     assert(r(4L) == (0.0, 0.0) && r(5L) == (1.0, 0.0))
   }
 
+  test("rate anomalies: zero-variance baselines skipped, spikes flagged") {
+    // group g: constant baseline then a spike — trailing variance is 0
+    // for every row after the constant run, so nothing NaN/Inf leaks;
+    // group h: noisy baseline then a clear spike — flagged
+    val rows = ((1 to 10).map(i => ("g", i.toLong, 5L)) :+ ("g", 11L, 50L)) ++
+      ((1 to 10).map(i => ("h", i.toLong, (5 + i % 3).toLong)) :+
+        ("h", 11L, 50L))
+    val df = rows.toDF("grp", "bucket", "cnt")
+    // threshold 3: early two-row trailing baselines legitimately reach
+    // |z| ≈ 2.1 on the noisy group — only the real spike clears 3
+    val got = Profile.rateAnomaliesTrailing(df, Seq("grp"), "bucket",
+        "cnt", trailing = 8, zThreshold = 3.0)
+      .select("grp", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("h", 11L)),
+      s"expected only h's spike (g's zero-variance baseline skipped): $got")
+    // global variant skips an all-constant group entirely
+    val const = (1 to 5).map(i => ("c", i.toLong, 7L))
+      .toDF("grp", "bucket", "cnt")
+    assert(Profile.rateAnomalies(const, Seq("grp"), "cnt", 0.0).count() == 0)
+  }
+
   test("histogram: half-open bins, range-clipped, boundary values") {
     val df = Seq(0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 10.0, -4.0)
       .toDF("v")
