@@ -710,6 +710,24 @@ object SparkEntry {
     )).orderBy("stage_idx")
   }
 
+  /** Sequence packing: documents into 2000-token bins across 8 hash
+    * shards (append-style, deterministic); reported as per-shard bin
+    * statistics so output stays bounded at any corpus size.
+    */
+  private def xSamplePack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+    graft.ext.Sampling.packBins(docs, "doc_id", "n_tokens",
+        budget = 2000.0, nShards = 8, salt = "pack1")
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_bins"),
+        max(col("bin_tokens")).as("max_bin_tokens"),
+        sum(col("n_docs")).as("n_docs"))
+      .orderBy("shard")
+  }
+
   /** Per-key cap (max 500 events per type, smallest-hash survivors) —
     * reported as kept-count + kept-id checksum per key so the oracle
     * verifies WHICH rows survived, with output bounded at any scale.
@@ -1250,7 +1268,8 @@ object SparkEntry {
     "x_profile_histogram" -> (xProfileHistogram _),
     "x_dedup_corpus_sim" -> (xDedupCorpusSim _),
     "x_text_classifier" -> (xTextClassifier _),
-    "x_stream_anomaly_trailing" -> (xStreamAnomalyTrailing _)
+    "x_stream_anomaly_trailing" -> (xStreamAnomalyTrailing _),
+    "x_sample_pack" -> (xSamplePack _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -2484,6 +2503,35 @@ object SparkEntry {
         |    (cnt - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
         |  FROM t WHERE n > 1 AND s2 - s1 * s1 / n > 0)
         |WHERE abs(z) >= 2.5
-        |ORDER BY window_start, event_type""".stripMargin
+        |ORDER BY window_start, event_type""".stripMargin,
+    "x_sample_pack" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    ${duckHash48("('pack1' || CAST(doc_id AS VARCHAR))")} % 8
+        |      AS shard,
+        |    ${duckHash48("('pack1' || CAST(doc_id AS VARCHAR))")}
+        |      / 281474976710656.0 AS u
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY u, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum
+        |  FROM tk),
+        |b AS (
+        |  SELECT shard, CAST(floor(cum / 2000.0) AS BIGINT) AS bin,
+        |    doc_id, n_tokens
+        |  FROM c),
+        |per_bin AS (
+        |  SELECT shard, bin, count(*) AS n_docs,
+        |    sum(n_tokens) AS bin_tokens
+        |  FROM b GROUP BY 1, 2)
+        |SELECT shard, count(*) AS n_bins,
+        |  CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs
+        |FROM per_bin GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -113,6 +113,36 @@ object Sampling {
       .select(keys.map(col) :+ col("__e.id").as(idCol): _*)
   }
 
+  /** Deterministic sequence packing: assign rows to token-budget bins —
+    * the pretraining batch-packing step. Rows are ordered by their
+    * stable hash within a hash shard; a running weight sum assigns each
+    * row to bin `floor(cum_before / budget)` (append-style packing: a
+    * row may straddle its bin's boundary, the convention streaming
+    * packers use — no bin ever waits for a better-fitting row, so the
+    * assignment is a pure function of (id, weight) sets).
+    *
+    * Parallelism note: the running sum is a per-shard window, so
+    * `nShards` bounds the parallelism of this stage — size it to the
+    * cluster (thousands at 100 TB), not to the default 8. Packing is
+    * inherently sequential WITHIN a bin sequence; sharding first is
+    * what makes it distributable, at the cost of `nShards` partially
+    * filled trailing bins.
+    */
+  def packBins(
+      df: DataFrame, idCol: String, weightCol: String, budget: Double,
+      nShards: Int, salt: String = ""): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard")
+      .orderBy(hashUnit(col(idCol), salt), col(idCol))
+      .rowsBetween(Long.MinValue, -1L)
+    shardAssign(df, idCol, nShards, salt)
+      .withColumn("__cum",
+        coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      .withColumn("bin", floor(col("__cum") / budget))
+      .drop("__cum")
+  }
+
   /** Weighted corpus mixing: keep a row iff its hash unit is below the
     * keep-fraction of its `sourceCol` value (`default` for unlisted
     * sources). The standard "mix N corpora at chosen rates into one

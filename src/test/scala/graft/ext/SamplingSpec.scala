@@ -95,6 +95,32 @@ class SamplingSpec extends SparkSpec {
     assert(!anyWindow(kept.queryExecution.executedPlan))
   }
 
+  test("packBins: complete, deterministic, append-style fill") {
+    val docs = (0L until 300L).map(i => (i, 10L + i % 7))
+      .toDF("id", "w")
+    val packed = Sampling.packBins(docs, "id", "w", budget = 100.0,
+      nShards = 4, salt = "pk")
+    assert(packed.count() == 300) // every row assigned
+    val rows = packed.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // layout-independent
+    val again = Sampling.packBins(docs.repartition(11), "id", "w",
+        budget = 100.0, nShards = 4, salt = "pk").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.toSet == again.toSet)
+    // append-style: a non-trailing bin closes only once the running
+    // sum crosses the budget, but its own start can sit past its
+    // boundary by the previous row's straddle — so each non-trailing
+    // bin holds at least budget - max_weight tokens (max w here is 16)
+    val fills = packed.groupBy("shard", "bin").agg(sum("w").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    fills.foreach { case (_, bins) =>
+      val sorted = bins.sortBy(_._2)
+      sorted.init.foreach { case (_, _, t) => assert(t >= 84L) }
+    }
+  }
+
   test("weightedMix applies per-source rates with default for unlisted") {
     val docs = (0L until 3000L)
       .map(i => (i, s"src${(i % 3).toInt}")).toDF("id", "source")
