@@ -779,12 +779,14 @@ object SparkEntry {
   /** Exact interpolated quantiles over bounded-cardinality lineitem
     * measures — the documented use of exact mode (value→count map
     * partials stay small). The approx sketch path is the default in the
-    * library; its accuracy vs exact is asserted in ExtSpec.
+    * library; its accuracy vs exact is asserted in ExtSpec. Long form
+    * (one scalar row per column × probability) so every output cell is
+    * a hashable scalar.
     */
   private def xProfileQuantiles(s: SparkSession, dir: String): DataFrame =
-    graft.ext.Profile.numericProfile(t(s, dir, "lineitem"),
+    graft.ext.Profile.numericProfileLong(t(s, dir, "lineitem"),
       Seq("l_quantity", "l_discount", "l_linenumber"), exact = true)
-      .orderBy("column_name")
+      .orderBy("column_name", "prob_idx")
 
   /** HLL++ duplicate quick-screen (Checks.uniqueQuickScreen): one scan,
     * no key shuffle. The approx estimate is engine-specific, so the
@@ -1450,20 +1452,19 @@ object SparkEntry {
         |            UNION ALL
         |            SELECT event_id, user_id, event_type, ts FROM events))
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "x_profile_quantiles" ->
-      """SELECT * FROM (
-        |  SELECT 'l_quantity' AS column_name,
-        |    quantile_cont(CAST(l_quantity AS DOUBLE), [0.25, 0.5, 0.75])
-        |      AS quantiles FROM lineitem
-        |  UNION ALL
-        |  SELECT 'l_discount',
-        |    quantile_cont(CAST(l_discount AS DOUBLE), [0.25, 0.5, 0.75])
-        |    FROM lineitem
-        |  UNION ALL
-        |  SELECT 'l_linenumber',
-        |    quantile_cont(CAST(l_linenumber AS DOUBLE), [0.25, 0.5, 0.75])
-        |    FROM lineitem)
-        |ORDER BY column_name""".stripMargin,
+    // quantile_cont demands CONSTANT probabilities in DuckDB, so the
+    // long form is one generated block per (column, probability)
+    "x_profile_quantiles" -> {
+      val blocks = for {
+        c <- Seq("l_quantity", "l_discount", "l_linenumber")
+        (p, i) <- Seq(0.25, 0.5, 0.75).zipWithIndex
+      } yield
+        s"  SELECT '$c' AS column_name, CAST($i AS INTEGER) AS prob_idx," +
+          s"\n    quantile_cont(CAST($c AS DOUBLE), $p) AS quantile" +
+          s"\n  FROM lineitem"
+      blocks.mkString("SELECT * FROM (\n", "\n  UNION ALL\n",
+        ")\nORDER BY column_name, prob_idx")
+    },
     "x_sample_mix" ->
       s"""SELECT source, count(*) AS n_kept
         |FROM (SELECT source,
@@ -2143,10 +2144,11 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
-    // x_sim_ivf_kmeans: intentionally no oracle — the centroid fit is a
-    // driver-side bounded-sample Lloyd iteration (not SQL-expressible);
-    // the driver records the rows-only check and ExtSpec asserts recall
-    // + list balance.
+    // x_sim_ivf_kmeans: oracle generated per-dataset by
+    // dynamicOracleSql (the centroid FIT is driver-side Lloyd, not
+    // SQL-expressible, but the fitted centroids are deterministic
+    // constants — embedded as literals, the assignment + probe + rank
+    // pipeline is plain SQL). Verify merges it into oracle_sql.json.
     "x_profile_approx" ->
       """SELECT * FROM (
         |  SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
@@ -2534,4 +2536,67 @@ object SparkEntry {
         |  CAST(sum(n_docs) AS BIGINT) AS n_docs
         |FROM per_bin GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** Oracle SQL that depends on the DATA, not just the query — rendered
+    * per sfDir by Verify at dump time and merged into oracle_sql.json.
+    *
+    * x_sim_ivf_kmeans: the k-means centroid FIT is a driver-side Lloyd
+    * iteration over a deterministic bounded sample (not
+    * SQL-expressible), but the fitted centroids are plain constants —
+    * re-fit them here (same deterministic path the query itself takes)
+    * and embed them as list literals; the assignment + probe + rank
+    * pipeline is then the same SQL as the x_sim_ivf_topk oracle.
+    * Double.toString round-trips, so both engines compute dots over
+    * bit-identical centroid values.
+    */
+  def dynamicOracleSql(
+      spark: SparkSession, sfDir: String): Map[String, String] = {
+    val cents = graft.ext.Similarity
+      .kmeansCentroids(t(spark, sfDir, "embeddings"), nLists = 16)
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => s"(${r.getLong(0)}, " +
+        r.getSeq[Double](1).map(_.toString).mkString("[", ",", "]") + ")")
+      .mkString(",\n        ")
+    Map("x_sim_ivf_kmeans" ->
+      s"""WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
+        |cents AS (SELECT CAST(list_id AS BIGINT) AS list_id,
+        |            list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec
+        |          FROM (VALUES
+        |        $cents) AS lit(list_id, cvec)),
+        |assigned AS (
+        |  SELECT id, nvec, list_id FROM (
+        |    SELECT vv.id, vv.nvec, c.list_id,
+        |      row_number() OVER (PARTITION BY vv.id ORDER BY
+        |        list_sum(list_transform(range(1, len(vv.nvec) + 1),
+        |          i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
+        |    FROM v vv, cents c) WHERE rn = 1),
+        |q AS (SELECT id AS query_id, nvec AS qvec FROM v WHERE id < 5),
+        |probes AS (
+        |  SELECT query_id, qvec, list_id FROM (
+        |    SELECT qq.query_id, qq.qvec, c.list_id,
+        |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
+        |        list_sum(list_transform(range(1, len(qq.qvec) + 1),
+        |          i -> qq.qvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
+        |    FROM q qq, cents c) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(p.qvec) + 1),
+        |      i -> p.qvec[i] * a.nvec[i])) AS sim
+        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+        |  WHERE p.query_id <> a.id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+  }
 }

@@ -515,14 +515,18 @@ object Dedup {
   /** Apply a [[duplicateClusters]] mapping to the corpus: drop every row
     * whose id maps to a different canonical (keep cluster survivors and
     * all singletons — ids never appearing in a pair). One LEFT ANTI join
-    * against the non-canonical member ids; that set is exactly the
-    * duplicate count (small next to the corpus), so Spark broadcasts it
-    * and the pass stays map-side.
+    * against the non-canonical member ids. NO broadcast hint: the dup-id
+    * set scales with the corpus duplicate RATE (30–50% on web crawls),
+    * not a constant, so forcing a broadcast would collect an
+    * O(corpus)-sized set onto the driver at 100 TB. The un-hinted anti
+    * join is the scale-safe shape — AQE still picks a broadcast at
+    * runtime whenever the set is actually under the threshold, and
+    * falls back to a shuffled anti join when it isn't.
     */
   def dropDuplicateMembers(
       df: DataFrame, clusters: DataFrame, idCol: String): DataFrame = {
     val dupIds = clusters.filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
-    df.join(broadcast(dupIds), Seq(idCol), "left_anti")
+    df.join(dupIds, Seq(idCol), "left_anti")
   }
 }

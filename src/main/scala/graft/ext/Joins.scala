@@ -55,6 +55,14 @@ object Joins {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     require(!payload.exists(leftCols.contains),
       s"payload ${payload.mkString(",")} collides with left columns")
+    // the union-window uses internal working columns; an input column
+    // with one of these names would silently duplicate (union shape) or
+    // be overwritten (withColumn) instead of erroring
+    val reserved = Set("__k", "__t", "__tb", "__p", "__tag", "__m")
+    val clash = (leftCols ++ payload).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} are reserved by asOfJoin " +
+        s"(reserved: ${reserved.toSeq.sorted.mkString(", ")})")
 
     // Right side reduced to (key, time, tiebreak, payload-struct); left
     // side keeps its full row with a null payload slot. The union is by
@@ -137,11 +145,17 @@ object Joins {
     val p = points.withColumn("__bin",
       floor(unix_micros(col(pointTime)) / binUs))
     // end is exclusive: a point at exactly `end` never matches, so the
-    // last covered bin is the one containing end - 1 microsecond.
+    // last covered bin is the one containing end - 1 microsecond. An
+    // empty or inverted interval (end <= start) covers no bins at all —
+    // without the guard, sequence(startBin, endBin) with endBin <
+    // startBin generates a DESCENDING list and each degenerate interval
+    // fans out spurious candidates for the residual filter to discard
+    // (unbounded when end << start)
+    val startBin = floor(unix_micros(col(startCol)) / binUs)
+    val endBin = floor((unix_micros(col(endCol)) - lit(1)) / binUs)
     val iv = intervals.withColumn("__bin",
-      explode(sequence(
-        floor(unix_micros(col(startCol)) / binUs),
-        floor((unix_micros(col(endCol)) - lit(1)) / binUs))))
+      explode(when(col(endCol) > col(startCol), sequence(startBin, endBin))
+        .otherwise(array().cast("array<bigint>"))))
     p.join(iv, Seq("__bin"))
       .where(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
       .drop("__bin")

@@ -103,6 +103,22 @@ object Profile {
       s"stack(${cols.size}, $stackArgs) AS (column_name, quantiles)")
   }
 
+  /** [[numericProfile]] in long form: one scalar row per
+    * (column, probability) instead of an array column —
+    * (column_name, prob_idx, quantile) with `prob_idx` the 0-based
+    * position in `probabilities`. Same single-scan aggregation; the
+    * array is exploded after the agg, so the explode touches
+    * |cols| rows, not the input. Scalar rows are the
+    * interchange-friendly shape (array cells don't hash/sort portably
+    * across engines and dataframe libraries).
+    */
+  def numericProfileLong(df: DataFrame, cols: Seq[String],
+      probabilities: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame =
+    numericProfile(df, cols, probabilities, exact, accuracy)
+      .select(col("column_name"),
+        posexplode(col("quantiles")).as(Seq("prob_idx", "quantile")))
+
   /** Fixed-width histogram of a numeric column over [lo, hi): one
     * hash-agg on the bin index (integer arithmetic — no windows, no
     * sort), rows outside the range are dropped (a profiling histogram

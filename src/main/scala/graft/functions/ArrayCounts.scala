@@ -14,10 +14,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * `array_max(transform(array_distinct(ws), w -> size(filter(ws, ...))))`
   * is O(n·d) lambda dispatches per row, and `array_distinct` on
   * non-primitive element types is itself a linear scan per element.
-  * Both of these are O(n) hash passes in a tight loop. Null elements
-  * count as a value (matching the HOF/SQL semantics of `=`-based
-  * counting only for non-null tokens — tokenizers here never produce
-  * nulls; null ARRAY input → null output).
+  * Both of these are O(n) hash passes in a tight loop. Null handling
+  * mirrors each HOF spec: [[topCount]] IGNORES null elements (the
+  * spec's `x === w` comparison never matches null, so null
+  * multiplicity must not win the max); [[distinctCount]] counts at
+  * most ONE null member (`array_distinct` keeps a single null). The
+  * tokenizers here never produce null elements, so the distinction is
+  * defensive. Null ARRAY input → null output for both.
   */
 object ArrayCounts {
 

@@ -34,8 +34,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
-  /** Imperative registration on an existing session (tests, harness). */
+  /** Imperative registration on an existing session (tests, harness).
+    * Registers the native functions AND activates
+    * [[LowerQuadraticArrayOps]]: `sessionState.optimizer` is frozen
+    * once built, but `experimental.extraOptimizations` is the supported
+    * post-hoc hook and runs in the optimizer's user-rules batch — so
+    * both registration paths (this and the `spark.sql.extensions`
+    * conf) yield the same session behavior. The rule self-gates on
+    * `spark.graft.lowerArrayOps` (see its scaladoc) for parity/debug
+    * sessions that need the un-lowered HOF plan.
+    */
   def register(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations
+        .contains(LowerQuadraticArrayOps)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ LowerQuadraticArrayOps
+    }
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bounded_distinct"), BoundedDistinct.info,
       BoundedDistinct.builder)

@@ -24,8 +24,19 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   * `Size(null)` is null in both modes only when `legacySizeOfNull` is
   * false, so the rule keeps the legacy flag's semantics by matching
   * only non-legacy Size (DistinctCount is null-on-null).
+  *
+  * The rule is active in any session that went through
+  * `GraftFunctions.register` (via `experimental.extraOptimizations`) or
+  * the `spark.sql.extensions=graft.functions.GraftExtensions` conf.
+  * Gate: set `spark.graft.lowerArrayOps=false` to disable per-session —
+  * REQUIRED when comparing a `size(array_distinct(...))` "executable
+  * spec" formulation (e.g. [[graft.ext.TextAnalysis.dupNgramFracHof]])
+  * against the native expression: with the rule active both sides lower
+  * to [[DistinctCount]] and the parity check is vacuous.
   */
 object LowerQuadraticArrayOps extends Rule[LogicalPlan] {
+
+  val EnabledConf = "spark.graft.lowerArrayOps"
 
   private def isStringArray(dt: org.apache.spark.sql.types.DataType) =
     dt match {
@@ -34,7 +45,8 @@ object LowerQuadraticArrayOps extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
+    if (conf.getConfString(EnabledConf, "true") != "true") plan
+    else plan.transformAllExpressions {
       case s @ Size(ArrayDistinct(child), false)
         if isStringArray(child.dataType) =>
         // Size is IntegerType; DistinctCount is LongType — cast back so

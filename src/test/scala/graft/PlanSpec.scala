@@ -188,4 +188,36 @@ class PlanSpec extends SparkSpec {
     assert(exactScans.forall(_.requiredSchema.fieldNames.length == 1),
       "each exact-profile scan must be pruned to its single column")
   }
+
+  test("dropDuplicateMembers does not force-broadcast the dup-id set") {
+    // The dup-id set scales with the corpus duplicate rate, so the anti
+    // join must be left to AQE's size gate. Disabling the broadcast
+    // thresholds models "dup-id side too large": a forced broadcast()
+    // hint would STILL plan a BroadcastExchange here — the un-hinted
+    // join must degrade to a shuffled anti join instead.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      val docs = Tables.load(spark, dir, "documents")
+      val clusters = docs.select(col("doc_id").as("id"),
+        (col("doc_id") - col("doc_id") % 2).as("cluster_id"))
+      val kept = graft.ext.Dedup.dropDuplicateMembers(
+        docs, clusters, "doc_id")
+      import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+      val all = nodes(kept)
+      assert(!all.exists(_.isInstanceOf[BroadcastExchangeLike]),
+        "a too-large dup-id side must NOT be broadcast; nodes: " +
+          all.map(_.getClass.getSimpleName).mkString(", "))
+      assert(all.exists(n =>
+        n.getClass.getSimpleName.contains("SortMergeJoin") ||
+          n.getClass.getSimpleName.contains("ShuffledHashJoin")),
+        "expected a shuffled LEFT ANTI when broadcast is unavailable")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }

@@ -82,19 +82,28 @@ class ExtSpec extends SparkSpec {
   }
 
   test("native repetition counts match the HOF formulations") {
-    val r = docs.union(Seq((9L, ""), (10L, "solo"),
-        (11L, "x x x y y z")).toDF("doc_id", "text"))
-      .select(col("doc_id"),
-        TextAnalysis.topWordFrac(col("text")).as("n1"),
-        TextAnalysis.topWordFracHof(col("text")).as("h1"),
-        TextAnalysis.dupNgramFrac(col("text"), 2).as("n2"),
-        TextAnalysis.dupNgramFracHof(col("text"), 2).as("h2"))
-      .collect()
-    r.foreach { x =>
-      assert(x.getDouble(1) == x.getDouble(2), s"topWordFrac @ ${x.get(0)}")
-      assert(x.getDouble(3) == x.getDouble(4), s"dupNgramFrac @ ${x.get(0)}")
-    }
-    assert(r.length == 7)
+    // disable the size(array_distinct) lowering for the comparison:
+    // the shared session may have GraftFunctions.register'd the rule,
+    // which would silently turn the HOF side of dupNgramFracHof into
+    // the native expression and make this parity check vacuous
+    spark.conf.set(
+      graft.functions.LowerQuadraticArrayOps.EnabledConf, "false")
+    try {
+      val r = docs.union(Seq((9L, ""), (10L, "solo"),
+          (11L, "x x x y y z")).toDF("doc_id", "text"))
+        .select(col("doc_id"),
+          TextAnalysis.topWordFrac(col("text")).as("n1"),
+          TextAnalysis.topWordFracHof(col("text")).as("h1"),
+          TextAnalysis.dupNgramFrac(col("text"), 2).as("n2"),
+          TextAnalysis.dupNgramFracHof(col("text"), 2).as("h2"))
+        .collect()
+      r.foreach { x =>
+        assert(x.getDouble(1) == x.getDouble(2), s"topWordFrac @ ${x.get(0)}")
+        assert(x.getDouble(3) == x.getDouble(4), s"dupNgramFrac @ ${x.get(0)}")
+      }
+      assert(r.length == 7)
+    } finally spark.conf.unset(
+      graft.functions.LowerQuadraticArrayOps.EnabledConf)
   }
 
   test("corpus sketch similarity: self = 1, disjoint ~ 0, merge = union") {

@@ -155,4 +155,31 @@ class JoinsSpec extends SparkSpec {
     assert(!nodes(got).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
       "binned range join must plan as an equi-join on the bin")
   }
+
+  test("asOfJoin rejects input columns named like its internal columns") {
+    val badLeft = trades.withColumnRenamed("t", "__t")
+    val e = intercept[IllegalArgumentException] {
+      Joins.asOfJoin(badLeft, quotes, "sym", "__t", "q_sym", "q_t",
+        "quote_id", Seq("quote_id", "px"))
+    }
+    assert(e.getMessage.contains("reserved"))
+    val badPayload = quotes.withColumnRenamed("px", "__m")
+    assert(intercept[IllegalArgumentException] {
+      Joins.asOfJoin(trades, badPayload, "sym", "t", "q_sym", "q_t",
+        "quote_id", Seq("quote_id", "__m"))
+    }.getMessage.contains("reserved"))
+  }
+
+  test("rangeJoinBinned: inverted interval emits no bins (no fan-out)") {
+    val points = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("pid", "pt")
+    // end TEN YEARS before start with 1-second bins: the unguarded
+    // sequence(startBin, endBin) would generate a ~315M-element
+    // DESCENDING bin list per interval row (OOM-scale fan-out); the
+    // guard must emit zero bins instead
+    val iv = Seq(("bad", ts("2034-01-01 00:00:00"), ts("2024-01-01 00:00:00")),
+      ("ok", ts("2023-12-31 23:00:00"), ts("2024-01-01 01:00:00")))
+      .toDF("w", "ws", "we")
+    val got = Joins.rangeJoinBinned(points, "pt", iv, "ws", "we", 1L)
+    assert(got.select("w").collect().map(_.getString(0)).toSeq == Seq("ok"))
+  }
 }

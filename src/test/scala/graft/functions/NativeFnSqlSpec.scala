@@ -72,15 +72,27 @@ class NativeFnSqlSpec extends SparkSpec {
     val lowered = rewritten.expressions
       .filter(_.exists(_.isInstanceOf[DistinctCount]))
     assert(lowered.size == 1, "exactly the string-array Size lowers")
-    // end to end: same answers with the rule active in the optimizer
-    val prior = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = prior :+ LowerQuadraticArrayOps
+    // end to end: the imperative registration path (what the harness
+    // and Validate call) must activate the rule, same as the
+    // spark.sql.extensions conf path
+    GraftFunctions.register(spark)
+    assert(spark.experimental.extraOptimizations
+      .contains(LowerQuadraticArrayOps),
+      "register() must install the optimizer rule")
+    val r = df.orderBy("n").collect()(0)
+    assert(r.getInt(0) == 3 && r.getInt(1) == 1)
+    assert(df.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[DistinctCount])))
+    // the session gate turns the rewrite off without touching the rule
+    spark.conf.set(LowerQuadraticArrayOps.EnabledConf, "false")
     try {
-      val r = df.orderBy("n").collect()(0)
-      assert(r.getInt(0) == 3 && r.getInt(1) == 1)
-      assert(df.queryExecution.optimizedPlan.expressions
-        .exists(_.exists(_.isInstanceOf[DistinctCount])))
-    } finally spark.experimental.extraOptimizations = prior
+      val df2 = spark.range(2).select(size(array_distinct(
+        split(concat(lit("a,b,a"), col("id")), ","))).as("n"))
+      assert(!df2.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[DistinctCount])),
+        "gate=false must leave the HOF formulation un-lowered")
+      assert(df2.orderBy("n").collect()(0).getInt(0) == 3)
+    } finally spark.conf.unset(LowerQuadraticArrayOps.EnabledConf)
   }
 
   test("minhash_sigs rejects a non-literal k at analysis time") {
