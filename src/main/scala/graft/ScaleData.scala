@@ -67,8 +67,14 @@ object ScaleData {
       shift(d, r, "l_orderkey", "l_partkey", "l_suppkey"))
     rep("events") { (d, r) =>
       val keyed = shift(d, r, "event_id", "user_id")
+      // write ts as a µs TIMESTAMP (not raw nanos long): the replica is
+      // read by BOTH engines for oracle compares, and DuckDB sees a
+      // bare BIGINT column as numbers — no interval arithmetic. The
+      // µs truncation is exactly what both engines apply to the
+      // original TIMESTAMP(NANOS) source anyway.
       if (keyed.schema("ts").dataType == LongType)
-        keyed.withColumn("ts", col("ts") + lit(r * 86400L * 1000000000L))
+        keyed.withColumn("ts", timestamp_micros(
+          expr("ts div 1000") + lit(r * 86400L * 1000000L)))
       else keyed.withColumn("ts",
         col("ts") + expr(s"INTERVAL $r DAYS"))
     }

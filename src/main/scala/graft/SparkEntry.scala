@@ -575,6 +575,75 @@ object SparkEntry {
       numHashes = 32, k = 3)
   }
 
+  /** All source-pair overlap estimates in one pass (the "which crawl
+    * snapshots duplicate each other" matrix): per-source corpus
+    * sketches from one groupBy, then the matching-slots estimator on
+    * sketch rows only — |sources|² output, corpus scanned once.
+    */
+  private def xDedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("source"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    Dedup.corpusSimilarityMatrix(base, "source", numHashes = 32, k = 3)
+      .orderBy("grp_a", "grp_b")
+  }
+
+  /** Twin-id offset for the incremental query: above every doc_id at
+    * every scale factor INCLUDING ScaleData replicas (whose ids shift
+    * by r·10^8), so the oracle's new-vs-corpus discriminator stays
+    * valid on scaled data too.
+    */
+  private val IncrementalTwinOffset = 1000000000000L
+
+  /** Incremental near-dup: the prefix twins replayed as a NEW ingest
+    * batch against the original documents as the standing corpus —
+    * verified (new, corpus) pairs only, never corpus × corpus. Same
+    * shingle/minhash/banding constants as x_dedup_minhash.
+    */
+  private def xDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val twins = base.select((col("id") + IncrementalTwinOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    Dedup.nearDuplicatesAgainstFromTokens(twins, base,
+        threshold = 0.5, k = 5)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** Exactly-100 deterministic document sample (eval-set carving):
+    * the 100 smallest (hash, id) keys — TakeOrdered, no global sort
+    * (asserted in PlanSpec), same rows on any partitioning.
+    */
+  private def xSampleExactN(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.exactN(
+      t(s, dir, "documents").select("doc_id", "source"),
+      "doc_id", 100, salt = "ev1")
+      .orderBy("doc_id")
+
+  /** Stream-stream interval join (view→click attribution within 10
+    * minutes per user), aggregated per user with exact integer-µs lag
+    * bounds. Runs here in batch; StreamingSpec drives the same operator
+    * through two real file streams and asserts identical results.
+    */
+  private def xStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    StreamingValidate.joinWithin(views, clicks, "v_user", "c_user",
+        "view_ts", "click_ts", within = "10 minutes")
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("min_lag_us"),
+        max(unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("max_lag_us"))
+      .orderBy("user_id")
+  }
+
   /** Benchmark decontamination: the eval set is 80%-token-prefix
     * excerpts of every 50th document (ids + 2000000); the scan must
     * recover exactly those source documents as contaminated, with the
@@ -1271,7 +1340,11 @@ object SparkEntry {
     "x_dedup_corpus_sim" -> (xDedupCorpusSim _),
     "x_text_classifier" -> (xTextClassifier _),
     "x_stream_anomaly_trailing" -> (xStreamAnomalyTrailing _),
-    "x_sample_pack" -> (xSamplePack _)
+    "x_sample_pack" -> (xSamplePack _),
+    "x_dedup_source_matrix" -> (xDedupSourceMatrix _),
+    "x_dedup_incremental" -> (xDedupIncremental _),
+    "x_sample_exact_n" -> (xSampleExactN _),
+    "x_stream_join" -> (xStreamJoin _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -1316,12 +1389,12 @@ object SparkEntry {
        |      ELSE [array_to_string($toks, ' ')] END),
        |    s -> ${duckHash48("s")})""".stripMargin
 
-  /** Shared DuckDB CTE chain rendering the x_dedup_minhash pipeline
+  /** Shared DuckDB CTE chain rendering the MinHash pipeline base
     * (documents + prefix twins → hashed shingles → MinHash signatures →
-    * LSH band buckets → verified Jaccard pairs in `j`) — reused by the
-    * pair query and the transitive-cluster closure on top of it.
+    * LSH band buckets) — the pair variants below build on it.
+    * `twinOffset` is the id shift of the synthetic prefix twins.
     */
-  private def duckMinhashPairCtes: String =
+  private def duckMinhashBaseCtes(twinOffset: Long = 1000000L): String =
     s"""tok AS (
       |  SELECT doc_id,
       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
@@ -1330,7 +1403,7 @@ object SparkEntry {
       |bothd AS (
       |  SELECT doc_id AS id, toks FROM tok
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS id,
+      |  SELECT doc_id + $twinOffset AS id,
       |    list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INTEGER))
       |      AS toks
       |  FROM tok),
@@ -1351,7 +1424,14 @@ object SparkEntry {
       |  SELECT id, bb.b AS band,
       |    array_to_string(list_slice(sig, bb.b * 2 + 1, bb.b * 2 + 2), '_')
       |      AS bucket
-      |  FROM sigd, (SELECT unnest(range(0, 16)) AS b) bb),
+      |  FROM sigd, (SELECT unnest(range(0, 16)) AS b) bb)""".stripMargin
+
+  /** [[duckMinhashBaseCtes]] + all-pairs candidates and verified
+    * Jaccard pairs in `j` — the x_dedup_minhash shape, reused by the
+    * transitive-cluster closure.
+    */
+  private def duckMinhashPairCtes: String =
+    s"""${duckMinhashBaseCtes()},
       |cand AS (
       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
       |  FROM banded a JOIN banded b
@@ -1365,6 +1445,30 @@ object SparkEntry {
       |  FROM cand c
       |  JOIN shd sa ON c.id_a = sa.id
       |  JOIN shd sb ON c.id_b = sb.id)""".stripMargin
+
+  /** [[duckMinhashBaseCtes]] + new-batch (twin ids >= the offset) vs
+    * corpus (original ids) candidates only — the incremental-ingestion
+    * shape of x_dedup_incremental. The offset sits above every doc_id
+    * at every scale factor including ScaleData replicas, keeping the
+    * set discriminator valid on scaled data.
+    */
+  private def duckMinhashIncrementalCtes: String =
+    s"""${duckMinhashBaseCtes(IncrementalTwinOffset)},
+      |cand AS (
+      |  SELECT DISTINCT b.id AS new_id, a.id AS corpus_id
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bucket = b.bucket
+      |  WHERE a.id < $IncrementalTwinOffset
+      |    AND b.id >= $IncrementalTwinOffset),
+      |j AS (
+      |  SELECT c.new_id, c.corpus_id,
+      |    CASE WHEN len(list_distinct(list_concat(sn.sh, sc.sh))) > 0
+      |      THEN CAST(len(list_intersect(sn.sh, sc.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(sn.sh, sc.sh)))
+      |      ELSE 0.0 END AS jaccard
+      |  FROM cand c
+      |  JOIN shd sn ON c.new_id = sn.id
+      |  JOIN shd sc ON c.corpus_id = sc.id)""".stripMargin
 
   /** DuckDB twins of `queries` — identical column names and ordering. */
   def oracleSql: Map[String, String] = Map(
@@ -2534,7 +2638,61 @@ object SparkEntry {
         |SELECT shard, count(*) AS n_bins,
         |  CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
         |  CAST(sum(n_docs) AS BIGINT) AS n_docs
-        |FROM per_bin GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM per_bin GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_dedup_source_matrix" ->
+      s"""WITH tok AS (
+        |  SELECT source,
+        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |shd AS (
+        |  SELECT source, list_transform(
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+        |      ELSE [array_to_string(toks, ' ')] END),
+        |    s -> ${duckHash48("s")}) AS sh
+        |  FROM tok),
+        |flat AS (SELECT source, unnest(sh) AS h FROM shd),
+        |sig AS (
+        |  SELECT source, sl.slot AS slot,
+        |    min(${duckPerm("h", "sl.slot")}) AS min_h
+        |  FROM flat, (SELECT unnest(range(0, 32)) AS slot) sl
+        |  GROUP BY source, sl.slot),
+        |pairs AS (
+        |  SELECT a.source AS grp_a, b.source AS grp_b,
+        |    CASE WHEN a.min_h = b.min_h THEN 1 ELSE 0 END AS eq
+        |  FROM sig a JOIN sig b
+        |    ON a.slot = b.slot AND a.source < b.source)
+        |SELECT grp_a, grp_b, count(*) AS n_slots,
+        |  CAST(sum(eq) AS BIGINT) AS n_equal,
+        |  CAST(sum(eq) AS DOUBLE) / count(*) AS est_jaccard
+        |FROM pairs GROUP BY grp_a, grp_b
+        |ORDER BY grp_a, grp_b""".stripMargin,
+    "x_dedup_incremental" ->
+      s"""WITH $duckMinhashIncrementalCtes
+        |SELECT new_id, corpus_id, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY new_id, corpus_id""".stripMargin,
+    "x_sample_exact_n" ->
+      s"""SELECT doc_id, source FROM (
+        |  SELECT doc_id, source FROM documents
+        |  ORDER BY ${duckHash48("('ev1' || CAST(doc_id AS VARCHAR))")},
+        |    doc_id
+        |  LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+    "x_stream_join" ->
+      """SELECT user_id, count(*) AS n_pairs,
+        |  min(epoch_us(c_ts) - epoch_us(v_ts)) AS min_lag_us,
+        |  max(epoch_us(c_ts) - epoch_us(v_ts)) AS max_lag_us
+        |FROM (
+        |  SELECT v.user_id AS user_id, v.ts AS v_ts, c.ts AS c_ts
+        |  FROM (SELECT user_id, ts FROM events
+        |        WHERE event_type = 'view') v
+        |  JOIN (SELECT user_id, ts FROM events
+        |        WHERE event_type = 'click') c
+        |    ON v.user_id = c.user_id
+        |   AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '10 minutes')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 
   /** Oracle SQL that depends on the DATA, not just the query — rendered

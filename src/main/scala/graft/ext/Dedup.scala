@@ -375,6 +375,38 @@ object Dedup {
           .as("est_jaccard"))
   }
 
+  /** Pairwise overlap matrix between every pair of corpus GROUPS
+    * (sources, snapshots, shards) in one pass: per-group MinHash corpus
+    * sketches — built by one groupBy((grp, slot), min) over the
+    * exploded per-doc signatures, map-side combinable — then the
+    * standard matching-slots estimator on the |groups| × numHashes
+    * sketch frame. The pair join touches ONLY sketch rows: estimating
+    * all source-pair overlaps of a 100 TB corpus costs one corpus scan
+    * plus a join of a few thousand rows. Input is a pre-tokenized
+    * (groupCol, toks) frame; output (grp_a, grp_b, n_slots, n_equal,
+    * est_jaccard) for grp_a < grp_b.
+    */
+  def corpusSimilarityMatrix(df: DataFrame, groupCol: String,
+      numHashes: Int = 32, k: Int = 3): DataFrame = {
+    val sigs = df.select(col(groupCol).as("grp"),
+        posexplode(
+          minhashFromHashes(shingleHashesFromTokens(col("toks"), k),
+            numHashes)).as(Seq("slot", "h")))
+      .groupBy("grp", "slot").agg(min("h").as("min_h"))
+    val a = sigs.select(col("grp").as("grp_a"), col("slot"),
+      col("min_h").as("h_a"))
+    val b = sigs.select(col("grp").as("grp_b"), col("slot").as("slot_b"),
+      col("min_h").as("h_b"))
+    a.join(b, col("slot") === col("slot_b") && col("grp_a") < col("grp_b"))
+      .groupBy("grp_a", "grp_b")
+      .agg(count(lit(1)).as("n_slots"),
+        sum(when(col("h_a") === col("h_b"), 1L).otherwise(0L))
+          .as("n_equal"))
+      .select(col("grp_a"), col("grp_b"), col("n_slots"), col("n_equal"),
+        (col("n_equal").cast("double") / col("n_slots"))
+          .as("est_jaccard"))
+  }
+
   // --------------------------------------------------------------- SimHash
   /** SimHash-48 stage 1: per-bit set counts over distinct-token 48-bit
     * hashes + token count, as a struct. One pass over the token array
@@ -446,6 +478,73 @@ object Dedup {
       df.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("toks")),
       threshold, numHashes, bands, k)
+
+  /** Incremental near-dup: verified pairs between a NEW batch and an
+    * existing CORPUS, never corpus × corpus — the production ingestion
+    * shape ("is anything in today's crawl a near-dup of what we already
+    * hold?"). Both inputs are pre-tokenized (id, toks) frames.
+    *
+    * Candidates come from a banded equi-join of the new batch's LSH
+    * band assignments against the corpus's, so the shuffle key is
+    * (band, bucket) and candidate count scales with |new| × bucket hit
+    * rate — independent of |corpus|² . At 100 TB the corpus side's
+    * (id, band, bucket) and (id, sh) frames are write-once index
+    * artifacts re-read per batch (recomputed here to keep the operator
+    * self-contained; persist them with [[graft.sources.Bucketing]]
+    * bucketed by `bucket` to make the per-batch join exchange-free).
+    * `maxBucketSize` prunes oversized CORPUS buckets (boilerplate
+    * clusters — the [[hotBuckets]] report): one aggregation on the
+    * join's own exchange key.
+    *
+    * Output: (new_id, corpus_id, jaccard) with jaccard >= `threshold`.
+    */
+  def nearDuplicatesAgainstFromTokens(
+      newDf: DataFrame, corpusDf: DataFrame,
+      threshold: Double = 0.7, numHashes: Int = 32, bands: Int = 16,
+      k: Int = 3, maxBucketSize: Int = 0): DataFrame =
+    CacheScope.withCached(
+      newDf.select(col("id"),
+        shingleHashesFromTokens(col("toks"), k).as("sh"))) { nb =>
+      CacheScope.withCached(
+        corpusDf.select(col("id"),
+          shingleHashesFromTokens(col("toks"), k).as("sh"))) { cb =>
+        val nBanded = bandedAssignments(
+          nb.select(col("id"),
+            minhashFromHashes(col("sh"), numHashes).as("sig")),
+          numHashes, bands)
+          .select(col("id").as("new_id"), col("band"), col("bucket"))
+        val cAssigned = bandedAssignments(
+          cb.select(col("id"),
+            minhashFromHashes(col("sh"), numHashes).as("sig")),
+          numHashes, bands)
+        val cBanded0 =
+          if (maxBucketSize <= 0) cAssigned
+          else {
+            val small = cAssigned.groupBy("band", "bucket")
+              .agg(count(lit(1)).as("bcnt"))
+              .filter(col("bcnt") <= maxBucketSize)
+              .select(col("band").as("band_s"), col("bucket").as("bucket_s"))
+            cAssigned.join(small,
+              col("band") === col("band_s") &&
+                col("bucket") === col("bucket_s"), "left_semi")
+          }
+        val cBanded = cBanded0.select(col("id").as("corpus_id"),
+          col("band").as("band_c"), col("bucket").as("bucket_c"))
+        val cands = nBanded.join(cBanded,
+            col("band") === col("band_c") &&
+              col("bucket") === col("bucket_c"))
+          .select(col("new_id"), col("corpus_id"))
+          .distinct()
+        cands
+          .join(nb.select(col("id").as("new_id"), col("sh").as("sh_n")),
+            "new_id")
+          .join(cb.select(col("id").as("corpus_id"), col("sh").as("sh_c")),
+            "corpus_id")
+          .select(col("new_id"), col("corpus_id"),
+            jaccardHashes(col("sh_n"), col("sh_c")).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+      }
+    }
 
   // ------------------------------------------------- duplicate clustering
   /** Transitive duplicate clusters over a verified-pair edge list: every

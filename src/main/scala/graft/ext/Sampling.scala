@@ -43,6 +43,25 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(hashUnit(col(idCol), salt) < fraction)
 
+  /** Exactly-n deterministic sample: the n rows with the smallest
+    * (hash-unit, id) — a total order, so the sample is reproducible,
+    * order-independent, and EXACTLY n rows (a Bernoulli sample's size
+    * is binomial; eval-set carving usually needs a count, not a rate).
+    * Plans as TakeOrderedAndProject: an O(n) bounded heap per
+    * partition, then an O(n · partitions) driver-side merge — no global
+    * sort, no shuffle of the corpus (asserted in PlanSpec). Driver
+    * memory is n rows — size n accordingly (thousands, not billions;
+    * for rate-sized samples use [[sampleByHash]]).
+    */
+  def exactN(df: DataFrame, idCol: String, n: Int,
+      salt: String = ""): DataFrame = {
+    require(n > 0, "exactN needs n > 0")
+    df.withColumn("__u", hashUnit(col(idCol), salt))
+      .orderBy(col("__u"), col(idCol))
+      .limit(n)
+      .drop("__u")
+  }
+
   /** Cumulative split thresholds for `weights` normalized to sum 1:
     * the first n-1 upper bounds (the last split takes the remainder).
     * Exposed so oracle SQL can embed the SAME doubles the engine

@@ -252,6 +252,39 @@ object StreamingValidate {
         col("n_events"))
   }
 
+  /** Stream-stream interval join (attribution shape): every left event
+    * paired with the right events of the same key whose time falls in
+    * [leftTime, leftTime + within] — "clicks within 10 minutes of the
+    * view". On streaming inputs both sides get a watermark and the
+    * interval condition bounds event-time in BOTH directions, which is
+    * exactly what Structured Streaming requires to size and expire the
+    * join state (state held ≈ watermark + within per side, independent
+    * of stream length). On batch inputs `withWatermark` is a no-op and
+    * the same plan is an ordinary range-predicate equi-join — the
+    * batch/stream parity every operator here keeps (asserted in
+    * StreamingSpec).
+    *
+    * Column names must be disjoint across the two inputs (rename before
+    * joining two slices of the same source — self-joins with shared
+    * names resolve ambiguously).
+    */
+  def joinWithin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      within: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"joinWithin inputs share column name(s): ${shared.mkString(", ")}")
+    val l = left.withWatermark(leftTime, watermark)
+    val r = right.withWatermark(rightTime, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTime) >= col(leftTime) &&
+        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $within"))
+  }
+
   /** Stateful exact dedup within the watermark horizon: Structured
     * Streaming keeps the seen-key state and drops late duplicates.
     */

@@ -189,6 +189,21 @@ class PlanSpec extends SparkSpec {
       "each exact-profile scan must be pruned to its single column")
   }
 
+  test("exactN sample plans as TakeOrdered — no global sort, no shuffle") {
+    import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val d = Tables.load(spark, dir, "documents").select("doc_id", "source")
+    val s = graft.ext.Sampling.exactN(d, "doc_id", 10, salt = "t")
+    val all = nodes(s)
+    assert(all.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "exactN must compile to per-partition top-k + driver k-merge")
+    assert(!all.exists(_.isInstanceOf[SortExec]),
+      "a full Sort under exactN means the limit wasn't pushed into the " +
+        "ordering")
+    assert(!all.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "exactN must not shuffle the corpus")
+  }
+
   test("dropDuplicateMembers does not force-broadcast the dup-id set") {
     // The dup-id set scales with the corpus duplicate rate, so the anti
     // join must be left to AQE's size gate. Disabling the broadcast

@@ -19,6 +19,71 @@ class ExtSpec extends SparkSpec {
     assert(groups.length == 1 && groups(0).getLong(1) == 2)
   }
 
+  test("exactN sample: exact size, deterministic, partition-invariant") {
+    val ids = spark.range(0, 500).select(col("id"))
+    val s1 = Sampling.exactN(ids, "id", 20, salt = "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.size == 20)
+    // same rows whatever the physical partitioning
+    val s2 = Sampling.exactN(ids.repartition(7), "id", 20, salt = "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(s2 == s1)
+    // and they are exactly the 20 smallest (hash, id) keys
+    val want = ids.select(col("id"),
+        Sampling.hashUnit(col("id"), "t").as("u"))
+      .collect().map(r => (r.getDouble(1), r.getLong(0)))
+      .sorted.take(20).map(_._2).toSet
+    assert(s1 == want)
+    // different salt = a different (deterministic) sample
+    val s3 = Sampling.exactN(ids, "id", 20, salt = "u")
+      .collect().map(_.getLong(0)).toSet
+    assert(s3 != s1)
+  }
+
+  test("corpus similarity matrix: identical groups 1.0, disjoint ~ 0") {
+    val grouped = Seq(
+      ("A", "the quick brown fox jumps over the lazy dog tonight"),
+      ("A", "an unrelated second document padding the group corpus"),
+      ("B", "the quick brown fox jumps over the lazy dog tonight"),
+      ("B", "an unrelated second document padding the group corpus"),
+      ("C", "zq wv xu yt rs completely disjoint vocabulary here now")
+    ).toDF("src", "text")
+      .select(col("src"), TextAnalysis.tokens(col("text")).as("toks"))
+    val m = Dedup.corpusSimilarityMatrix(grouped, "src", numHashes = 32,
+        k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(m.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    // A and B hold the same shingle union: every slot matches
+    assert(m(("A", "B")) == ((32L, 32L, 1.0)))
+    // C shares no shingles with either: estimator reads (near) zero
+    assert(m(("A", "C"))._3 < 0.2 && m(("B", "C"))._3 < 0.2)
+  }
+
+  test("incremental near-dup: finds new-vs-corpus, never corpus-vs-corpus") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog at dawn today"),
+      // 2 is an exact dup of 1 INSIDE the corpus — the incremental
+      // operator must not report it (only new-vs-corpus pairs)
+      (2L, "the quick brown fox jumps over the lazy dog at dawn today"),
+      (3L, "completely different corpus text with its own words here")
+    ).toDF("id", "text")
+      .select(col("id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val fresh = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog at dawn"),
+      (101L, "brand new content matching nothing in the standing corpus")
+    ).toDF("id", "text")
+      .select(col("id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val pairs = Dedup.nearDuplicatesAgainstFromTokens(fresh, corpus,
+        threshold = 0.5, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 100 is a near-dup of both corpus copies; 101 matches nothing,
+    // and the corpus-internal (1,2) dup never appears
+    assert(pairs == Set((100L, 1L), (100L, 2L)))
+  }
+
   test("jaccard: near-dups high, unrelated low, self = 1") {
     val j = docs.as("a").crossJoin(docs.as("b"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),

@@ -308,6 +308,47 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(StreamingValidate.sessionizeNative(tie, 30)).size == 1)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    import org.apache.spark.sql.DataFrame
+    def views(df: DataFrame) = df.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+    def clicks(df: DataFrame) = df.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    // two INDEPENDENT file streams over the same staged directory —
+    // a genuine stream-stream join, not a stream-static one
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src() = spark.readStream.schema(rawSchema).parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = StreamingValidate.joinWithin(views(src()), clicks(src()),
+        "v_user", "c_user", "view_ts", "click_ts",
+        within = "10 minutes", watermark = "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssjoin")
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = StreamingValidate.joinWithin(
+        views(batchEvents), clicks(batchEvents),
+        "v_user", "c_user", "view_ts", "click_ts",
+        within = "10 minutes")
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty, "expected at least one view→click pair")
+    assert(streamed == batch)
+  }
+
+  test("joinWithin rejects inputs sharing a column name") {
+    val e = intercept[IllegalArgumentException] {
+      StreamingValidate.joinWithin(batchEvents, batchEvents,
+        "user_id", "user_id", "ts", "ts")
+    }
+    assert(e.getMessage.contains("share column name"))
+  }
+
   test("violation flags are streaming-safe (stateless projection)") {
     val schema = TableSchema(Seq(
       Field("event_type", constraints = Constraints(
