@@ -96,8 +96,22 @@ object Dedup {
     * and intersect; collisions negligible at 48 bits for corpus-scale
     * shingle counts).
     */
-  def shingleHashesFromTokens(toks: Column, k: Int): Column =
-    transform(shinglesFromTokens(toks, k), s => hash48(s))
+  /** Fast non-portable twin of [[hash48]]: xxhash64 folded into the
+    * same 48-bit range. One codegen'd integer-mix pass per shingle vs a
+    * full message digest — the md5 "portable-hash tax" is most of the
+    * near-dup pipeline's per-doc cost (see PLANS.md). Collision and
+    * distribution properties are equivalent for shingle/minhash use;
+    * what is LOST is cross-engine portability (the DuckDB oracle has no
+    * xxhash64), so the hash is only stable within Spark. Harness
+    * queries keep md5; production jobs that never leave Spark should
+    * pass `fast = true` to the near-dup entry points.
+    */
+  def hash48Fast(c: Column): Column = pmod(xxhash64(c), lit(1L << 48))
+
+  def shingleHashesFromTokens(toks: Column, k: Int,
+      fast: Boolean = false): Column =
+    transform(shinglesFromTokens(toks, k),
+      s => if (fast) hash48Fast(s) else hash48(s))
 
   def shingleHashes(c: Column, k: Int = 3): Column =
     transform(shingles(c, k), s => hash48(s))
@@ -455,10 +469,11 @@ object Dedup {
   def nearDuplicatesFromTokens(
       df: DataFrame,
       threshold: Double = 0.7, numHashes: Int = 32, bands: Int = 16,
-      k: Int = 3, maxBucketSize: Int = 0): DataFrame =
+      k: Int = 3, maxBucketSize: Int = 0,
+      fast: Boolean = false): DataFrame =
     CacheScope.withCached(
       df.select(col("id"),
-        shingleHashesFromTokens(col("toks"), k).as("sh"))) { base =>
+        shingleHashesFromTokens(col("toks"), k, fast).as("sh"))) { base =>
       val sigs = base.select(col("id"),
         minhashFromHashes(col("sh"), numHashes).as("sig"))
       val cands = candidatesFromSigs(sigs, numHashes, bands, maxBucketSize)

@@ -61,6 +61,29 @@ class ExtSpec extends SparkSpec {
     assert(m(("A", "C"))._3 < 0.2 && m(("B", "C"))._3 < 0.2)
   }
 
+  test("fast-hash near-dup finds the same verified pairs as md5") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog at dawn today"),
+      (2L, "the quick brown fox jumps over the lazy dog at dawn"),
+      (3L, "completely different text with its own vocabulary here now"),
+      (4L, "the quick brown fox jumps over the lazy dog at dawn today")
+    ).toDF("id", "text")
+      .select(col("id"), TextAnalysis.tokens(col("text")).as("toks"))
+    def pairs(fast: Boolean) =
+      Dedup.nearDuplicatesFromTokens(corpus, threshold = 0.5, k = 3,
+          fast = fast)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val md5Pairs = pairs(fast = false)
+    val fastPairs = pairs(fast = true)
+    // both hashes are injective on this shingle set, so verified
+    // Jaccard values — set-overlap ratios — are identical, not just
+    // the pair membership
+    assert(fastPairs == md5Pairs)
+    assert(md5Pairs.keySet.contains((1L, 4L)) &&
+      md5Pairs((1L, 4L)) == 1.0)
+  }
+
   test("incremental near-dup: finds new-vs-corpus, never corpus-vs-corpus") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog at dawn today"),
