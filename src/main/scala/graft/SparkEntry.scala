@@ -475,6 +475,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Containment (|sub ∩ sup| / |sub| over word-3-gram sets): each
+    * doc's 50%-token-prefix twin vs the full doc. The prefix's shingles
+    * are a subset of the doc's, so containment reads ≈1 while Jaccard
+    * (reported alongside) sits near 0.5 — the asymmetric quote/excerpt
+    * detector that symmetric thresholds miss. Integer-count division,
+    * engine-exact.
+    */
+  private def xDedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = TextAnalysis.tokens(col("text"))
+    val twin = concat_ws(" ",
+      slice(toks, lit(1), floor(size(toks) * 0.5).cast("int")))
+    d.select(col("doc_id"), col("text"), twin.as("twin"))
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 10)
+      .select(col("doc_id"),
+        Dedup.containment(col("twin"), col("text"), 3).as("containment"),
+        Dedup.jaccard(col("twin"), col("text"), 3).as("jaccard"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard ≥ 0.5 over
     * documents + 80%-prefix twins. Portable hashing (md5-prefix +
     * universal-hash permutations) — fully oracle-checked in DuckDB.
@@ -856,6 +876,16 @@ object SparkEntry {
     graft.ext.Profile.numericProfileLong(t(s, dir, "lineitem"),
       Seq("l_quantity", "l_discount", "l_linenumber"), exact = true)
       .orderBy("column_name", "prob_idx")
+
+  /** Per-group exact quantiles (Profile.numericProfileByGroup): the
+    * distribution-drift monitor shape — lineitem measures per return
+    * flag, one scalar row per (group, column, probability). Still one
+    * scan + one hash agg keyed by the group column.
+    */
+  private def xProfileGroupQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.numericProfileByGroup(t(s, dir, "lineitem"),
+      "l_returnflag", Seq("l_quantity", "l_discount"), exact = true)
+      .orderBy("l_returnflag", "column_name", "prob_idx")
 
   /** HLL++ duplicate quick-screen (Checks.uniqueQuickScreen): one scan,
     * no key shuffle. The approx estimate is engine-specific, so the
@@ -1344,7 +1374,9 @@ object SparkEntry {
     "x_dedup_source_matrix" -> (xDedupSourceMatrix _),
     "x_dedup_incremental" -> (xDedupIncremental _),
     "x_sample_exact_n" -> (xSampleExactN _),
-    "x_stream_join" -> (xStreamJoin _)
+    "x_stream_join" -> (xStreamJoin _),
+    "x_dedup_containment" -> (xDedupContainment _),
+    "x_profile_group_quantiles" -> (xProfileGroupQuantiles _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -2692,7 +2724,49 @@ object SparkEntry {
         |        WHERE event_type = 'click') c
         |    ON v.user_id = c.user_id
         |   AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '10 minutes')
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "x_dedup_containment" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, toks,
+        |    list_slice(toks, 1, CAST(floor(len(toks) * 0.5) AS INTEGER))
+        |      AS ttoks
+        |  FROM tok WHERE len(toks) >= 10),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |      AS sa,
+        |    CASE WHEN len(ttoks) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(ttoks) - 1),
+        |        i -> array_to_string(list_slice(ttoks, i, i + 2), ' ')))
+        |      ELSE [array_to_string(ttoks, ' ')] END AS sb
+        |  FROM base)
+        |SELECT doc_id,
+        |  CASE WHEN len(sb) > 0
+        |    THEN CAST(len(list_intersect(sb, sa)) AS DOUBLE) / len(sb)
+        |    ELSE 0.0 END AS containment,
+        |  CASE WHEN len(list_distinct(list_concat(sa, sb))) > 0
+        |    THEN CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(sa, sb)))
+        |    ELSE 0.0 END AS jaccard
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "x_profile_group_quantiles" -> {
+      val blocks = for {
+        c <- Seq("l_quantity", "l_discount")
+        (p, i) <- Seq(0.25, 0.5, 0.75).zipWithIndex
+      } yield
+        s"  SELECT l_returnflag, '$c' AS column_name," +
+          s" CAST($i AS INTEGER) AS prob_idx," +
+          s"\n    quantile_cont(CAST($c AS DOUBLE), $p) AS quantile" +
+          s"\n  FROM lineitem GROUP BY l_returnflag"
+      blocks.mkString("SELECT * FROM (\n", "\n  UNION ALL\n",
+        ")\nORDER BY l_returnflag, column_name, prob_idx")
+    }
   )
 
   /** Oracle SQL that depends on the DATA, not just the query — rendered

@@ -91,11 +91,6 @@ object Dedup {
   def shingles(c: Column, k: Int = 3): Column =
     shinglesFromTokens(TextAnalysis.tokens(c), k)
 
-  /** Shingle set hashed to 48-bit longs — all downstream MinHash/Jaccard
-    * work runs on 8-byte hashes instead of strings (cheaper to shuffle
-    * and intersect; collisions negligible at 48 bits for corpus-scale
-    * shingle counts).
-    */
   /** Fast non-portable twin of [[hash48]]: xxhash64 folded into the
     * same 48-bit range. One codegen'd integer-mix pass per shingle vs a
     * full message digest — the md5 "portable-hash tax" is most of the
@@ -108,6 +103,11 @@ object Dedup {
     */
   def hash48Fast(c: Column): Column = pmod(xxhash64(c), lit(1L << 48))
 
+  /** Shingle set hashed to 48-bit longs — all downstream MinHash/Jaccard
+    * work runs on 8-byte hashes instead of strings (cheaper to shuffle
+    * and intersect; collisions negligible at 48 bits for corpus-scale
+    * shingle counts).
+    */
   def shingleHashesFromTokens(toks: Column, k: Int,
       fast: Boolean = false): Column =
     transform(shinglesFromTokens(toks, k),
@@ -339,6 +339,22 @@ object Dedup {
     when(union > 0, inter.cast("double") / union).otherwise(lit(0.0))
   }
 
+  /** Containment of `sub`'s shingle set in `sup`'s: |sub ∩ sup| / |sub|
+    * over distinct word k-grams (0.0 when `sub` has none). The
+    * ASYMMETRIC near-dup measure: a short document pasted inside a long
+    * one has low Jaccard (the union is dominated by the long side) but
+    * containment ≈ 1 — the quote/excerpt/subset-copy detector that
+    * Jaccard thresholds miss. Integer-count division, deterministic
+    * across engines.
+    */
+  def containment(sub: Column, sup: Column, k: Int = 3): Column = {
+    val ssub = array_distinct(shingles(sub, k))
+    val ssup = shingles(sup, k)
+    when(size(ssub) > 0,
+      size(array_intersect(ssub, ssup)).cast("double") / size(ssub))
+      .otherwise(lit(0.0))
+  }
+
   /** Jaccard over pre-hashed shingle arrays — the native primitive-set
     * expression (one hash pass per array, no intermediate arrays).
     */
@@ -350,6 +366,20 @@ object Dedup {
     val inter = size(array_intersect(a, b))
     val union = size(array_union(a, b))
     when(union > 0, inter.cast("double") / union).otherwise(lit(0.0))
+  }
+
+  /** Containment of shingle set `sub` in `sup`: |sub ∩ sup| / |sub|
+    * (0.0 when `sub` is empty). The ASYMMETRIC near-dup measure:
+    * a short document pasted inside a long one has low Jaccard (the
+    * union is dominated by the long side) but containment ≈ 1 — the
+    * quote/excerpt/subset-copy detector Jaccard thresholds miss.
+    * Integer-count division, deterministic across engines.
+    */
+  def containmentHashes(sub: Column, sup: Column): Column = {
+    val s = size(array_distinct(sub))
+    when(s > 0,
+      size(array_intersect(sub, sup)).cast("double") / s)
+      .otherwise(lit(0.0))
   }
 
   // ------------------------------------------------- corpus-level sketches

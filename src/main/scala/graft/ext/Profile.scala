@@ -119,6 +119,32 @@ object Profile {
       .select(col("column_name"),
         posexplode(col("quantiles")).as(Seq("prob_idx", "quantile")))
 
+  /** [[numericProfileLong]] per GROUP: one row per (group, column,
+    * probability) — the per-source / per-language distribution drift
+    * monitor ("did src7's length distribution shift this snapshot?").
+    * Still ONE scan and one hash aggregation keyed by the group column;
+    * output is |groups| × |cols| × |probabilities| rows, bounded by the
+    * group cardinality, not the data. Same exact-mode caveat as
+    * [[numericProfile]]: the value→count partial state needs bounded
+    * column cardinality; the sketch default survives anything.
+    */
+  def numericProfileByGroup(df: DataFrame, groupCol: String,
+      cols: Seq[String],
+      probabilities: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    val probs = array(probabilities.map(lit): _*)
+    def qAgg(c: Column): Column =
+      if (exact) percentile(c.cast("double"), probs)
+      else percentile_approx(c.cast("double"), probs, lit(accuracy))
+    val aggs = cols.map(c => qAgg(col(c)).as(s"${c}__q"))
+    val wide = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', `${c}__q`").mkString(", ")
+    wide.selectExpr(s"`$groupCol`",
+        s"stack(${cols.size}, $stackArgs) AS (column_name, quantiles)")
+      .select(col(groupCol), col("column_name"),
+        posexplode(col("quantiles")).as(Seq("prob_idx", "quantile")))
+  }
+
   /** Fixed-width histogram of a numeric column over [lo, hi): one
     * hash-agg on the bin index (integer arithmetic — no windows, no
     * sort), rows outside the range are dropped (a profiling histogram

@@ -118,6 +118,29 @@ class ExtSpec extends SparkSpec {
     assert(j((1L, 3L)) == 0.0)
   }
 
+  test("containment: subset reads 1.0 where symmetric jaccard stays low") {
+    val rows = Seq(
+      ("the quick brown fox", "the quick brown fox jumps over the lazy dog"),
+      ("completely different words here", "the quick brown fox jumps"),
+      ("", "the quick brown fox"))
+      .toDF("sub", "sup")
+      .select(Dedup.containment(col("sub"), col("sup")).as("c"),
+        Dedup.containment(col("sup"), col("sub")).as("crev"),
+        Dedup.jaccard(col("sub"), col("sup")).as("j"),
+        Dedup.containmentHashes(Dedup.shingleHashes(col("sub")),
+          Dedup.shingleHashes(col("sup"))).as("ch"))
+      .collect()
+    // the 4-token prefix: both its 3-gram shingles sit inside the full
+    // doc's 7 — containment 1.0, jaccard only 2/7, reverse partial
+    assert(rows(0).getDouble(0) == 1.0)
+    assert(rows(0).getDouble(1) == 2.0 / 7.0)
+    assert(rows(0).getDouble(2) == 2.0 / 7.0)
+    assert(rows(1).getDouble(0) == 0.0) // disjoint
+    assert(rows(2).getDouble(0) == 0.0) // empty sub: 0.0, never NaN
+    // hashed-shingle formulation is value-identical
+    rows.foreach(r => assert(r.getDouble(3) == r.getDouble(0)))
+  }
+
   test("repetition metrics: uniform text low, repeated text high") {
     val r = Seq(
       (1L, "a b c d e f g h"),           // all distinct
@@ -312,6 +335,22 @@ class ExtSpec extends SparkSpec {
     ex.zip(ap).foreach { case (e, a) =>
       assert(math.abs(e - a) / e < 0.01, s"approx $a vs exact $e")
     }
+  }
+
+  test("numericProfileByGroup: per-group exact quantiles in long form") {
+    val df = Seq(("a", 1.0, 10.0), ("a", 2.0, 20.0), ("a", 3.0, 30.0),
+      ("b", 10.0, 1.0), ("b", 20.0, 2.0)).toDF("g", "x", "y")
+    val got = Profile
+      .numericProfileByGroup(df, "g", Seq("x", "y"), exact = true)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))
+        -> r.getDouble(3))
+      .toMap
+    assert(got.size == 2 * 2 * 3) // groups × cols × probabilities
+    assert(got(("a", "x", 0)) == 1.5)  // p25 of 1,2,3 interpolated
+    assert(got(("a", "x", 1)) == 2.0)  // median of 1,2,3
+    assert(got(("b", "y", 1)) == 1.5)  // median of 1,2
+    assert(got(("b", "x", 2)) == 17.5) // p75 of 10,20
   }
 
   test("duplicateClusters: transitive closure to component-min labels") {
