@@ -753,6 +753,39 @@ object SparkEntry {
       .orderBy("doc_id", "rank")
   }
 
+  /** Corpus-unigram log-probability per document
+    * (TextAnalysis.unigramLogProb): the perplexity-proxy quality score —
+    * docs of corpus-common words score near the ceiling, rare-token docs
+    * very negative. avg rounded to 6dp (float sum order).
+    */
+  private def xTextLogprob(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        round(col("avg_logprob"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+
+  /** Span-level (CCNet-style) corpus dedup (Dedup.dedupSpans): every doc
+    * carries two injected boilerplate lines plus its body, and 30 docs
+    * reappear as body-only copies under higher ids. After dedup the
+    * lowest doc keeps all three spans, every other original keeps just
+    * its body, and the copies vanish entirely — reported as (doc_id,
+    * n_kept, text_len) so the reassembled text is hash-checked without
+    * dumping it.
+    */
+  private def xDedupSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val base = d.filter(col("doc_id") < 500).select(col("doc_id"),
+      concat(col("text"),
+        lit("\nall rights reserved contact us for more information"),
+        lit("\nsubscribe to our newsletter for weekly updates")).as("text"))
+    val copies = d.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    Dedup.dedupSpans(base.unionByName(copies), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_kept"),
+        length(col("text")).cast(LongType).as("text_len"))
+      .orderBy("doc_id")
+  }
+
   /** Fixed-width histogram profile of l_quantity over [1, 51) in 10
     * bins — one hash-agg on the integer bin index, bounded output.
     */
@@ -939,6 +972,19 @@ object SparkEntry {
   private def xSimTopk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, 10)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Int8-quantized cosine top-k (Similarity.quantizedTopK): the same
+    * five queries as x_sim_topk against the quantized corpus — exact
+    * integer dots times the two scales, so the ranking is engine-stable
+    * and fully oracle-checked. Recall vs the float path is asserted in
+    * ExtSpec.
+    */
+  private def xSimQuantized(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.quantizedTopK(e.filter(col("vec_id") < 5), e, 10)
       .withColumn("rank", col("rank").cast(LongType))
       .orderBy("query_id", "rank")
   }
@@ -1376,7 +1422,10 @@ object SparkEntry {
     "x_sample_exact_n" -> (xSampleExactN _),
     "x_stream_join" -> (xStreamJoin _),
     "x_dedup_containment" -> (xDedupContainment _),
-    "x_profile_group_quantiles" -> (xProfileGroupQuantiles _)
+    "x_profile_group_quantiles" -> (xProfileGroupQuantiles _),
+    "x_dedup_spans" -> (xDedupSpans _),
+    "x_text_logprob" -> (xTextLogprob _),
+    "x_sim_quantized" -> (xSimQuantized _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -2766,7 +2815,88 @@ object SparkEntry {
           s"\n  FROM lineitem GROUP BY l_returnflag"
       blocks.mkString("SELECT * FROM (\n", "\n  UNION ALL\n",
         ")\nORDER BY l_returnflag, column_name, prob_idx")
-    }
+    },
+    "x_dedup_spans" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |    text || chr(10)
+        |      || 'all rights reserved contact us for more information'
+        |      || chr(10)
+        |      || 'subscribe to our newsletter for weekly updates' AS text
+        |  FROM documents WHERE doc_id < 500
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id < 30),
+        |sp AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+        |    unnest(string_split(text, chr(10))) AS span
+        |  FROM docs2),
+        |ranked AS (
+        |  SELECT doc_id, pos, span,
+        |    row_number() OVER (PARTITION BY md5(span)
+        |                       ORDER BY doc_id, pos) AS rn
+        |  FROM sp)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(length(string_agg(span, chr(10) ORDER BY pos)) AS BIGINT)
+        |    AS text_len
+        |FROM ranked WHERE rn = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_text_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |vocab AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM vocab)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(sum(tf * ln(CAST(cnt AS DOUBLE) / total)) / sum(tf), 6)
+        |    AS avg_logprob
+        |FROM tf JOIN vocab USING (term), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_sim_quantized" ->
+      """WITH nq AS (
+        |  SELECT vec_id AS query_id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings WHERE vec_id < 5),
+        |q0 AS (SELECT query_id,
+        |         list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS qv
+        |       FROM nq WHERE nrm > 0),
+        |q1 AS (SELECT query_id, qv,
+        |         list_max(list_transform(qv, x -> abs(x))) / 127.0 AS qs
+        |       FROM q0),
+        |q AS (SELECT query_id, qs,
+        |        list_transform(qv, x -> floor(x / qs + 0.5)) AS qa
+        |      FROM q1),
+        |nc AS (
+        |  SELECT vec_id AS neighbor_id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |c0 AS (SELECT neighbor_id,
+        |         list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS cv
+        |       FROM nc WHERE nrm > 0),
+        |c1 AS (SELECT neighbor_id, cv,
+        |         list_max(list_transform(cv, x -> abs(x))) / 127.0 AS cs
+        |       FROM c0),
+        |c AS (SELECT neighbor_id, cs,
+        |        list_transform(cv, x -> floor(x / cs + 0.5)) AS ca
+        |      FROM c1),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(range(1, len(qa) + 1),
+        |      i -> qa[i] * ca[i])) * qs * cs AS sim
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   )
 
   /** Oracle SQL that depends on the DATA, not just the query — rendered

@@ -148,6 +148,43 @@ object Dedup {
       .agg(min(col(orderCol)).as(s"first_$orderCol"),
         count(lit(1)).as("n_dups"))
 
+  // --------------------------------------------------------- span-level dedup
+  /** CCNet-style span (line/paragraph) deduplication: split every
+    * document on `delim`, keep only the FIRST occurrence of each
+    * distinct span content corpus-wide (first = smallest (id, position)
+    * — a total order, independent of partitioning), drop the rest, and
+    * reassemble each document's surviving spans in original order.
+    * Documents left with zero spans disappear (the CCNet convention:
+    * a document that was all boilerplate is dropped, not kept empty).
+    * Output: (id, text, n_kept).
+    *
+    * Scale shape: spans travel on their 16-byte md5 content key, never
+    * re-shuffling the span text, through one map-side-combinable
+    * min-(id,pos) aggregate; survivors are marked with an equi-join on
+    * that key (a boilerplate span repeated 10^8 times collapses to one
+    * row per partition in the agg's combiners, and AQE skew-splits the
+    * join side), and reassembly is one groupBy on the doc id whose
+    * state is the document's own span list. No windows over the corpus
+    * anywhere.
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n"): DataFrame = {
+    val spans = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(delim))).as(Seq("pos", "span")))
+      .withColumn("h", md5(col("span")))
+    val first = spans.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    spans.join(first, "h")
+      .filter(struct(col("id"), col("pos")) === col("first"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(delim, transform(
+          array_sort(collect_list(struct(col("pos"), col("span")))),
+          s => s.getField("span"))).as("text"))
+      .select(col("id"), col("text"), col("n_kept"))
+  }
+
   /** Embedding-cosine near-dup canonicalization: LSH-bucketed cosine
     * pairs at `threshold`, then each duplicate id maps to its smallest
     * near-duplicate id (the canonical survivor). Pair search shuffles on

@@ -107,6 +107,53 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  // ------------------------------------------------------------ quantization
+  /** Symmetric per-vector int8 scalar quantization of a pre-normalized
+    * double array: scale = max|x|/127, q_i = floor(x_i/scale + 0.5)
+    * (floor(+0.5), not round() — identical half-up semantics in every
+    * engine). Returns struct(scale double, q array<double>) with q's
+    * values integral in [-127, 127]; a production sink packs q to one
+    * byte per dim (4× smaller than float32, 8× than double — at 100 TB
+    * the difference between an index that fits executor memory and one
+    * that spills). The quantized dot is a sum of exact small-integer
+    * products — bit-deterministic under any partitioning or fold order.
+    * Requires max|x| > 0 (normalized vectors satisfy this).
+    *
+    * The scale divisor rides in an `array_repeat` column rather than a
+    * lambda-body reference — CollapseProject substitutes aliases into
+    * lambda bodies, and a per-ELEMENT re-evaluation would turn the O(d)
+    * max into O(d²) per row (same trap as [[normalized]]).
+    */
+  def quantizeInt8(nvec: Column): Column = {
+    val scale = array_max(transform(nvec, x => abs(x))) / lit(127.0)
+    struct(scale.as("scale"),
+      zip_with(nvec, array_repeat(scale, size(nvec)),
+        (x, s) => floor(x / s + lit(0.5)).cast("double")).as("q"))
+  }
+
+  /** Exact top-k neighbors over the int8-quantized corpus — the recall
+    * twin of [[bruteForceTopK]] for measuring what quantization costs.
+    * sim = (Σ q_a·q_b)·scale_a·scale_b ≈ cosine; the integer dot reuses
+    * the native codegen'd double loop (every partial sum is an exact
+    * integer ≤ 127²·d, representable in a double), so ranking ties are
+    * engine-stable and the whole query is oracle-checkable.
+    */
+  def quantizedTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def quant(df: DataFrame, as: String, qc: String, sc: String) =
+      normalized(df, idCol, vecCol)
+        .select(col("id").as(as), quantizeInt8(col("nvec")).as("qz"))
+        .select(col(as), col("qz.q").as(qc), col("qz.scale").as(sc))
+    val q = quant(queries, "query_id", "qq", "qs")
+    val c = quant(corpus, "neighbor_id", "cq", "cs")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotN(col("qq"), col("cq")) * col("qs") * col("cs")).as("sim"))
+    rankTopK(scored, k)
+  }
+
   /** Deterministic pseudo-random hyperplane components: portable hash of
     * (plane index, dimension index) mapped into [-0.5, 0.5), derived
     * from [[Dedup.hash48Value]] ONCE at plan-build time and embedded as

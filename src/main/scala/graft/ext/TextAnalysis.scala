@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -203,5 +203,36 @@ object TextAnalysis {
     val sh = Dedup.shingles(c, k)
     when(size(sh) > 0, array_min(transform(sh, s => xxhash64(s))))
       .otherwise(lit(null).cast("long"))
+  }
+
+  /** Corpus-unigram log-probability per document — the CCNet-style
+    * perplexity-proxy quality signal (docs of rare gibberish score very
+    * negative; docs of common words score near the corpus ceiling).
+    * avg_logprob = Σ_t tf(t)·ln(cnt(t)/total) / Σ_t tf(t), where cnt is
+    * the corpus unigram count. Output: (id, n_tokens, avg_logprob).
+    *
+    * Scale shape: one explode feeds BOTH the per-doc tf aggregate and
+    * the corpus vocabulary; the score join runs on the DISTINCT
+    * (doc, term) pairs (tf), not raw token occurrences, shuffled on the
+    * term key — Zipf skew on hot terms is combiner-absorbed in the
+    * vocab agg and AQE-split in the join. The corpus total is a single
+    * broadcast scalar. Per-doc state is bounded by the doc's distinct
+    * terms.
+    */
+  def unigramLogProb(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val vocab = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    tf.join(vocab, "term")
+      .crossJoin(broadcast(total))
+      .select(col("id"), col("tf"),
+        (col("tf") * log(col("cnt").cast("double") / col("total")))
+          .as("lp"))
+      .groupBy("id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        (sum(col("lp")) / sum(col("tf"))).as("avg_logprob"))
   }
 }

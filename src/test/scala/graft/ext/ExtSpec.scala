@@ -337,6 +337,71 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("dedupSpans: first occurrence survives, empty docs vanish") {
+    val corpus = Seq(
+      (1L, "alpha\nboiler\nbeta"),   // first sees boiler
+      (2L, "gamma\nboiler"),         // loses boiler, keeps gamma
+      (3L, "boiler"),                // all spans seen → doc dropped
+      (4L, "alpha\nalpha2")          // alpha seen in doc 1 → keeps alpha2
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ("alpha\nboiler\nbeta", 3L),
+      2L -> ("gamma", 1L),
+      4L -> ("alpha2", 1L)))
+    // partition-invariant: same survivors under any physical layout
+    val got2 = Dedup.dedupSpans(corpus.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got2 == got)
+  }
+
+  test("unigramLogProb: common-word docs beat rare-word docs") {
+    val corpus = Seq(
+      (1L, "the the the the"),       // hot token
+      (2L, "the the rare1"),         // mixed
+      (3L, "rare2 rare3")            // singletons
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(corpus, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val n = 9.0 // total tokens
+    def lp(c: Double) = math.log(c / n)
+    assert(got(1L)._1 == 4L && math.abs(got(1L)._2 - lp(6)) < 1e-12)
+    assert(math.abs(got(2L)._2 - (2 * lp(6) + lp(1)) / 3) < 1e-12)
+    assert(math.abs(got(3L)._2 - lp(1)) < 1e-12)
+    assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(3L)._2)
+  }
+
+  test("quantizeInt8: integral codes in [-127,127], high top-k recall") {
+    val e = Seq(
+      (1L, Array(0.6f, 0.8f, 0.0f)),
+      (2L, Array(-0.3f, 0.4f, 0.5f))).toDF("vec_id", "embedding")
+    val qz = Similarity.normalized(e, "vec_id", "embedding")
+      .select(col("id"), Similarity.quantizeInt8(col("nvec")).as("z"))
+      .select(col("id"), col("z.scale"), col("z.q")).collect()
+    qz.foreach { r =>
+      val q = r.getSeq[Double](2)
+      assert(q.forall(v => v == math.rint(v) || v == math.floor(v)))
+      assert(q.map(math.abs).max == 127.0) // max-component hits full range
+      assert(r.getDouble(1) > 0)
+    }
+    // recall vs the float path on a real-ish spread of vectors
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (math.sin(i * 0.7 + d) + 0.1 * d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") < 3), vecs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(
+        vecs.filter(col("vec_id") < 3), vecs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall $recall")
+  }
+
   test("numericProfileByGroup: per-group exact quantiles in long form") {
     val df = Seq(("a", 1.0, 10.0), ("a", 2.0, 20.0), ("a", 3.0, 30.0),
       ("b", 10.0, 1.0), ("b", 20.0, 2.0)).toDF("g", "x", "y")
