@@ -99,6 +99,27 @@ class PlanSpec extends SparkSpec {
       "ivfTopK probe routing + ranking must be window-free too")
   }
 
+  test("span dedup / quantized top-k / logprob plan with no corpus windows") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), concat(col("text"), lit("\nfooter")).as("text"))
+    val spans = nodes(graft.ext.Dedup.dedupSpans(docs, "doc_id", "text"))
+    assert(!spans.exists(_.isInstanceOf[WindowExec]),
+      "first-occurrence selection must be a min-(id,pos) hash agg, " +
+        "never a row_number window over the span hash")
+    assert(!spans.exists(_.isInstanceOf[CartesianProductExec]))
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = Similarity.quantizedTopK(e.filter(col("vec_id") < 3), e, 5)
+    assert(!nodes(q).exists(_.isInstanceOf[WindowExec]),
+      "quantized ranking must reuse the bounded_top_k aggregate")
+    val lp = graft.ext.TextAnalysis.unigramLogProb(
+      Tables.load(spark, dir, "documents"), "doc_id", "text")
+    val lpn = nodes(lp)
+    assert(!lpn.exists(_.isInstanceOf[WindowExec]))
+    assert(!lpn.exists(_.isInstanceOf[CartesianProductExec]),
+      "the corpus-total scalar must ride a broadcast, not a cartesian")
+  }
+
   test("semantic dedup: no nested loop, shuffles bounded to list/pair keys") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     val e = Tables.load(spark, dir, "embeddings")
