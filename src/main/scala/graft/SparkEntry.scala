@@ -764,6 +764,23 @@ object SparkEntry {
         round(col("avg_logprob"), 6).as("avg_logprob"))
       .orderBy("doc_id")
 
+  /** Bigram conditional log-probability (TextAnalysis.bigramLogProb):
+    * the fluency signal one rung above unigrams — word-salad docs score
+    * low even when every word is individually common.
+    */
+  private def xTextBigramLp(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"),
+        round(col("avg_logprob"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+
+  /** Hot-key skew report (Profile.keySkew): the 20 heaviest user_ids in
+    * events with corpus share — the diagnostic that decides which keys
+    * need salting before a skewed join.
+    */
+  private def xProfileKeyskew(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.keySkew(t(s, dir, "events"), Seq("user_id"), 20)
+
   /** Span-level (CCNet-style) corpus dedup (Dedup.dedupSpans): every doc
     * carries two injected boilerplate lines plus its body, and 30 docs
     * reappear as body-only copies under higher ids. After dedup the
@@ -1425,7 +1442,9 @@ object SparkEntry {
     "x_profile_group_quantiles" -> (xProfileGroupQuantiles _),
     "x_dedup_spans" -> (xDedupSpans _),
     "x_text_logprob" -> (xTextLogprob _),
-    "x_sim_quantized" -> (xSimQuantized _)
+    "x_sim_quantized" -> (xSimQuantized _),
+    "x_text_bigram_lp" -> (xTextBigramLp _),
+    "x_profile_keyskew" -> (xProfileKeyskew _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -2896,7 +2915,32 @@ object SparkEntry {
         |                       ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM s)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x_text_bigram_lp" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+        |    unnest(list_slice(toks, 2, len(toks))) AS w2
+        |  FROM tok WHERE len(toks) >= 2),
+        |tf AS (SELECT doc_id, w1, w2, count(*) AS tf
+        |       FROM bg GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, count(*) AS cnt2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(cnt2) AS cnt1 FROM c2 GROUP BY 1)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(sum(tf * ln(CAST(cnt2 AS DOUBLE) / cnt1)) / sum(tf), 6)
+        |    AS avg_logprob
+        |FROM tf JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_profile_keyskew" ->
+      """SELECT user_id, cnt, CAST(cnt AS DOUBLE) / total AS share
+        |FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |     (SELECT count(*) AS total FROM events)
+        |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin
   )
 
   /** Oracle SQL that depends on the DATA, not just the query — rendered

@@ -167,6 +167,27 @@ object Profile {
         max(v).as("bin_max"))
   }
 
+  /** Hot-key diagnostic: the `n` heaviest values of `keyCols` with
+    * their counts and corpus share — the "which keys do I salt?" scan
+    * that precedes every skewed join fix. One map-side-combinable count
+    * aggregate (a key with 10^8 rows costs one combiner cell per
+    * partition, not a hot reducer), then a TakeOrdered n — never a
+    * global sort; the denominator is summed from the count frame itself
+    * (rows = distinct keys, already reduced) and broadcast. Output is
+    * `n` rows at any scale. Ties broken by key value so the report is
+    * deterministic.
+    */
+  def keySkew(df: DataFrame, keyCols: Seq[String], n: Int = 20): DataFrame = {
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", col("cnt").cast("double") / col("total"))
+      .drop("total")
+      .orderBy(col("cnt").desc +: keyCols.map(col): _*)
+      .limit(n)
+  }
+
   /** Trailing-baseline variant of [[rateAnomalies]]: each row is
     * z-scored against the mean/variance of the PREVIOUS `trailing`
     * rows of its group (ordered by `orderCol`) — the drifting-baseline

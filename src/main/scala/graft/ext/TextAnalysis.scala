@@ -235,4 +235,47 @@ object TextAnalysis {
       .agg(sum(col("tf")).as("n_tokens"),
         (sum(col("lp")) / sum(col("tf"))).as("avg_logprob"))
   }
+
+  /** Sliding word bigram multiset (NOT distinct — LM counting needs
+    * every occurrence). Docs under 2 tokens yield an empty array.
+    */
+  def bigrams(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => struct(element_at(toks, i + 1).as("w1"),
+          element_at(toks, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  }
+
+  /** Bigram conditional log-probability per document — one rung up the
+    * LM ladder from [[unigramLogProb]]: avg over the doc's bigrams of
+    * ln(c(w1,w2) / c1(w1)), where c counts corpus bigram occurrences
+    * and c1(w1) = Σ_w2 c(w1,w2) (so each context's conditionals sum to
+    * 1). Word-salad docs score low even when every individual word is
+    * common — the fluency signal unigrams can't see. Docs with no
+    * bigrams drop out. Output: (id, n_bigrams, avg_logprob).
+    *
+    * Same scale shape as the unigram scorer: the score join runs on
+    * distinct (doc, bigram) pairs against the corpus bigram counts,
+    * shuffled on the bigram key; the context totals reduce from the
+    * bigram count frame (already distinct-key-sized), never a second
+    * corpus pass.
+    */
+  def bigramLogProb(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df.select(col(idCol).as("id"),
+        explode(bigrams(col(textCol))).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tf = bg.groupBy("id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("cnt2")).as("cnt1"))
+    tf.join(c2, Seq("w1", "w2")).join(c1, "w1")
+      .select(col("id"), col("tf"),
+        (col("tf") * log(col("cnt2").cast("double") / col("cnt1")))
+          .as("lp"))
+      .groupBy("id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        (sum(col("lp")) / sum(col("tf"))).as("avg_logprob"))
+  }
 }

@@ -374,6 +374,36 @@ class ExtSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(3L)._2)
   }
 
+  test("bigramLogProb: fluent word order beats word salad") {
+    val corpus = Seq(
+      (1L, "a b c a b c a b c"),  // the common phrase
+      (2L, "a b c"),              // same fluent order
+      (3L, "c b a"),              // same words, unseen order
+      (4L, "x")                   // no bigrams → dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(corpus, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!got.contains(4L))
+    assert(got(2L)._1 == 2L)
+    // corpus: c2(ab)=4, c2(bc)=4, c2(ca)=2, c2(cb)=1, c2(ba)=1
+    //         c1(a)=4, c1(b)=5, c1(c)=3
+    val exp2 = (math.log(4.0 / 4.0) + math.log(4.0 / 5.0)) / 2
+    assert(math.abs(got(2L)._2 - exp2) < 1e-12)
+    val exp3 = (math.log(1.0 / 3.0) + math.log(1.0 / 5.0)) / 2
+    assert(math.abs(got(3L)._2 - exp3) < 1e-12)
+    // fluent order beats word salad built from the same vocabulary
+    assert(got(3L)._2 < got(1L)._2 && got(1L)._2 < got(2L)._2)
+  }
+
+  test("keySkew: heaviest keys first with exact shares, bounded output") {
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "i")
+    val got = Profile.keySkew(df, Seq("k"), 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("hot", 6L, 0.6), ("warm", 3L, 0.3)))
+  }
+
   test("quantizeInt8: integral codes in [-127,127], high top-k recall") {
     val e = Seq(
       (1L, Array(0.6f, 0.8f, 0.0f)),
