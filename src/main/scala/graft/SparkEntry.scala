@@ -764,6 +764,32 @@ object SparkEntry {
         round(col("avg_logprob"), 6).as("avg_logprob"))
       .orderBy("doc_id")
 
+  /** Weighted exact-n sample (Sampling.weightedExactN): 100 documents
+    * drawn with probability ∝ n_chars, without replacement — longer
+    * docs proportionally more likely, deterministic A-ES keys.
+    */
+  private def xSampleWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.weightedExactN(
+      t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+      "doc_id", "n_chars", 100, salt = "wx1")
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  /** Packed-sequence materialization (Sampling.packSequences): the
+    * x_sample_pack bins reassembled into one training sequence each —
+    * compared by md5 so the full concatenation is hash-checked without
+    * dumping it.
+    */
+  private def xSamplePackSeq(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
+      TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+    graft.ext.Sampling.packSequences(docs, "doc_id", "n_tokens", "text",
+        budget = 2000.0, nShards = 8, salt = "pack1")
+      .select(col("shard"), col("bin"), md5(col("text")).as("content_hash"),
+        col("n_docs"), col("total_weight"))
+      .orderBy("shard", "bin")
+  }
+
   /** Bigram conditional log-probability (TextAnalysis.bigramLogProb):
     * the fluency signal one rung above unigrams — word-salad docs score
     * low even when every word is individually common.
@@ -1444,7 +1470,9 @@ object SparkEntry {
     "x_text_logprob" -> (xTextLogprob _),
     "x_sim_quantized" -> (xSimQuantized _),
     "x_text_bigram_lp" -> (xTextBigramLp _),
-    "x_profile_keyskew" -> (xProfileKeyskew _)
+    "x_profile_keyskew" -> (xProfileKeyskew _),
+    "x_sample_weighted" -> (xSampleWeighted _),
+    "x_sample_pack_seq" -> (xSamplePackSeq _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -2940,7 +2968,39 @@ object SparkEntry {
       """SELECT user_id, cnt, CAST(cnt AS DOUBLE) / total AS share
         |FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
         |     (SELECT count(*) AS total FROM events)
-        |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin
+        |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
+    "x_sample_weighted" ->
+      s"""SELECT doc_id, source FROM (
+        |  SELECT doc_id, source
+        |  FROM (SELECT doc_id, source,
+        |      ln((${duckHash48("('wx1' || CAST(doc_id AS VARCHAR))")}
+        |          + 0.5) / 281474976710656.0) / n_chars AS k
+        |    FROM documents WHERE n_chars > 0)
+        |  ORDER BY k DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+    "x_sample_pack_seq" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    ${duckHash48("('pack1' || CAST(doc_id AS VARCHAR))")} % 8
+        |      AS shard,
+        |    ${duckHash48("('pack1' || CAST(doc_id AS VARCHAR))")}
+        |      / 281474976710656.0 AS u
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, doc_id, text, n_tokens, u,
+        |    COALESCE(sum(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY u, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum
+        |  FROM tk)
+        |SELECT shard, CAST(floor(cum / 2000.0) AS BIGINT) AS bin,
+        |  md5(string_agg(text, chr(10) ORDER BY u, doc_id))
+        |    AS content_hash,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_weight
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** Oracle SQL that depends on the DATA, not just the query — rendered

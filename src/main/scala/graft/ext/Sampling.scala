@@ -62,6 +62,36 @@ object Sampling {
       .drop("__u")
   }
 
+  /** Weighted sample without replacement, exactly n rows — the
+    * Efraimidis–Spirakis A-ES scheme on deterministic randomness: each
+    * row draws its reproducible uniform u and competes on
+    * key = ln(u)/w (the monotone twin of the classic u^(1/w)); the n
+    * largest keys win, so a row's inclusion probability is
+    * proportional to its weight, without replacement, in ONE pass.
+    * Non-positive weights are excluded. u is offset to (hash+0.5)/2^48
+    * — strictly inside (0,1), still exact in doubles, so ln never sees
+    * zero.
+    *
+    * Same plan contract as [[exactN]]: TakeOrderedAndProject — an O(n)
+    * heap per partition + driver k-merge, no shuffle, no global sort;
+    * and the same determinism: the winners are a pure function of
+    * (id, weight) sets, independent of layout or rerun. The standard
+    * quality-weighted corpus subset draw ("sample 1M docs ∝ quality
+    * score") at any scale.
+    */
+  def weightedExactN(
+      df: DataFrame, idCol: String, weightCol: String, n: Int,
+      salt: String = ""): DataFrame = {
+    require(n > 0, "weightedExactN needs n > 0")
+    val u = (Dedup.hash48(concat(lit(salt), col(idCol).cast("string")))
+      + lit(0.5)) / lit(HashSpan)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__k", log(u) / col(weightCol))
+      .orderBy(col("__k").desc, col(idCol))
+      .limit(n)
+      .drop("__k")
+  }
+
   /** Cumulative split thresholds for `weights` normalized to sum 1:
     * the first n-1 upper bounds (the last split takes the remainder).
     * Exposed so oracle SQL can embed the SAME doubles the engine
@@ -161,6 +191,35 @@ object Sampling {
       .withColumn("bin", floor(col("__cum") / budget))
       .drop("__cum")
   }
+
+  /** Materialize packed training sequences: concatenate each
+    * [[packBins]] bin's documents — in the same stable hash order the
+    * packer assigned them — into one text per bin, with doc and weight
+    * totals. Output: (shard, bin, text, n_docs, total_weight).
+    *
+    * The reassembly is one hash aggregation on (shard, bin) whose state
+    * is a single bin's documents — bounded by the token budget plus the
+    * one straddling doc, NEVER by corpus size — so a 100 TB corpus
+    * packs with per-task memory set by `budget`, and `nShards` remains
+    * the parallelism knob. The in-bin sort is per-row-group
+    * `array_sort`, not a window or global sort.
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, weightCol: String, textCol: String,
+      budget: Double, nShards: Int, salt: String = "",
+      sep: String = "\n"): DataFrame =
+    packBins(df, idCol, weightCol, budget, nShards, salt)
+      .withColumn("__u", hashUnit(col(idCol), salt))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol)).as("total_weight"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("__u"),
+            col(idCol).cast("long").as("__id"),
+            col(textCol).as("__t")))),
+          s => s.getField("__t"))).as("text"))
+      .select(col("shard"), col("bin"), col("text"), col("n_docs"),
+        col("total_weight"))
 
   /** Weighted corpus mixing: keep a row iff its hash unit is below the
     * keep-fraction of its `sourceCol` value (`default` for unlisted

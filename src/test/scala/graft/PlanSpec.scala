@@ -223,6 +223,14 @@ class PlanSpec extends SparkSpec {
         "ordering")
     assert(!all.exists(_.isInstanceOf[ShuffleExchangeExec]),
       "exactN must not shuffle the corpus")
+    val wdf = Tables.load(spark, dir, "documents")
+      .select("doc_id", "n_chars")
+    val w = graft.ext.Sampling.weightedExactN(wdf, "doc_id", "n_chars", 10,
+      salt = "t")
+    val wall = nodes(w)
+    assert(wall.exists(_.isInstanceOf[TakeOrderedAndProjectExec]) &&
+      !wall.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "weightedExactN must keep exactN's TakeOrdered no-shuffle contract")
   }
 
   test("dropDuplicateMembers does not force-broadcast the dup-id set") {

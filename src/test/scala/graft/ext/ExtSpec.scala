@@ -107,6 +107,47 @@ class ExtSpec extends SparkSpec {
     assert(pairs == Set((100L, 1L), (100L, 2L)))
   }
 
+  test("weightedExactN: inclusion tracks weight, deterministic, exact n") {
+    val df = (1 to 1000).map(i => (i.toLong, if (i % 10 == 0) 100L else 1L))
+      .toDF("id", "w")
+    val s1 = Sampling.weightedExactN(df, "id", "w", 50, salt = "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.size == 50)
+    val s2 = Sampling.weightedExactN(df.repartition(7), "id", "w", 50,
+      salt = "t").collect().map(_.getLong(0)).toSet
+    assert(s2 == s1) // layout-invariant
+    // heavy ids carry ~92% of total weight → should dominate the draw
+    val heavy = s1.count(_ % 10 == 0)
+    assert(heavy > 30, s"heavy=$heavy of 50")
+    // non-positive weights are never drawn
+    val withZero = df.withColumn("w",
+      when(col("id") <= 900, lit(0L)).otherwise(col("w")))
+    val s3 = Sampling.weightedExactN(withZero, "id", "w", 50, salt = "t")
+      .collect().map(_.getLong(0))
+    assert(s3.length == 50 && s3.forall(_ > 900))
+  }
+
+  test("packSequences: bins reassemble in pack order, totals bounded") {
+    val df = (1 to 40).map(i => (i.toLong, s"d$i", 10L))
+      .toDF("id", "text", "w")
+    val rows = Sampling.packSequences(df, "id", "w", "text",
+      budget = 50.0, nShards = 2, salt = "p").collect()
+    // every doc appears exactly once across all sequences
+    val all = rows.flatMap(_.getString(2).split("\n"))
+    assert(all.sorted.toSeq == (1 to 40).map(i => s"d$i").sorted.toSeq)
+    rows.foreach { r =>
+      assert(r.getString(2).split("\n").length.toLong == r.getLong(3))
+      assert(r.getLong(4) == r.getLong(3) * 10L) // weight total matches
+    }
+    // append-style: every non-trailing bin in a shard is filled to the
+    // budget exactly (uniform weights 10 into budget 50 → 5 docs/bin)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val maxBin = rs.map(_.getLong(1)).max
+      rs.filter(_.getLong(1) < maxBin)
+        .foreach(r => assert(r.getLong(3) == 5L))
+    }
+  }
+
   test("jaccard: near-dups high, unrelated low, self = 1") {
     val j = docs.as("a").crossJoin(docs.as("b"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
