@@ -1273,6 +1273,34 @@ object SparkEntry {
       .orderBy("window_start", "event_type")
   }
 
+  /** Robust (median/MAD) anomaly scan (Profile.rateAnomaliesRobust):
+    * the mean/stddev twin of x_stream_anomaly with a baseline the
+    * anomalies can't inflate.
+    */
+  private def xStreamAnomalyRobust(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("cnt"))
+    graft.ext.Profile.rateAnomaliesRobust(hourly, Seq("event_type"),
+        "cnt", threshold = 3.0)
+      .select(col("window_start"), col("event_type"), col("cnt"),
+        round(col("z_mad"), 6).as("z_mad"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Embedding-column QA profile (Profile.vectorProfile): per-dimension
+    * stats over the corpus — collapsed/dead dims and NaN leaks in one
+    * scan, output bounded by dimensionality.
+    */
+  private def xProfileVectors(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.vectorProfile(t(s, dir, "embeddings"), "embedding")
+      .select(col("dim"), col("n"), col("n_bad"),
+        round(col("mean"), 6).as("mean"),
+        col("min_value"), col("max_value"))
+      .orderBy("dim")
+
   /** Native session_window sessionization — same sessions via the
     * built-in windowed aggregation (gap-tie boundary uses >=; see
     * StreamingValidate.sessionizeNative scaladoc).
@@ -1472,7 +1500,9 @@ object SparkEntry {
     "x_text_bigram_lp" -> (xTextBigramLp _),
     "x_profile_keyskew" -> (xProfileKeyskew _),
     "x_sample_weighted" -> (xSampleWeighted _),
-    "x_sample_pack_seq" -> (xSamplePackSeq _)
+    "x_sample_pack_seq" -> (xSamplePackSeq _),
+    "x_stream_anomaly_robust" -> (xStreamAnomalyRobust _),
+    "x_profile_vectors" -> (xProfileVectors _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -3000,7 +3030,39 @@ object SparkEntry {
         |    AS content_hash,
         |  count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS total_weight
-        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x_stream_anomaly_robust" ->
+      """WITH hourly AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |    event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type,
+        |    quantile_cont(CAST(cnt AS DOUBLE), 0.5) AS med
+        |  FROM hourly GROUP BY 1),
+        |dev AS (
+        |  SELECT h.window_start, h.event_type, h.cnt,
+        |    CAST(h.cnt AS DOUBLE) - m.med AS d
+        |  FROM hourly h JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(abs(d), 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT window_start, event_type, cnt, round(d / mad, 6) AS z_mad
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE mad > 0 AND abs(d) >= 3.0 * mad
+        |ORDER BY window_start, event_type""".stripMargin,
+    "x_profile_vectors" ->
+      """WITH v AS (
+        |  SELECT unnest(range(1, len(embedding) + 1)) AS i,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+        |      AS v
+        |  FROM embeddings)
+        |SELECT CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
+        |  CAST(sum(CASE WHEN isnan(v) OR v IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_bad,
+        |  round(avg(v), 6) AS mean,
+        |  min(v) AS min_value, max(v) AS max_value
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Oracle SQL that depends on the DATA, not just the query — rendered

@@ -188,6 +188,53 @@ object Profile {
       .limit(n)
   }
 
+  /** Embedding-column QA: per-dimension count / non-finite tally /
+    * mean / min / max over the corpus — collapsed dimensions
+    * (max ≈ min), dead dimensions, and NaN leaks from a broken encoder
+    * surface in one scan. posexplode to (dim, v), then one d-row hash
+    * aggregation: |corpus|·d narrow intermediate rows, map-side
+    * combined, no joins, output bounded by the dimensionality.
+    */
+  def vectorProfile(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(when(isnan(col("v")) || col("v").isNull, 1L).otherwise(0L))
+          .as("n_bad"),
+        avg(col("v")).as("mean"),
+        min(col("v")).as("min_value"), max(col("v")).as("max_value"))
+
+  /** Median/MAD variant of [[rateAnomalies]] — robust to the anomalies
+    * themselves: one corrupted bucket inflates a mean/stddev baseline
+    * enough to mask its neighbors, but barely moves the median. Flags
+    * rows with |v − median| ≥ threshold · MAD (median absolute
+    * deviation), reporting z_mad = (v − median)/MAD. Exact interpolated
+    * percentiles over the counted series — bounded per group by
+    * construction, the same aggregate-first contract as
+    * [[rateAnomalies]]; groups with MAD = 0 (over half the buckets
+    * identical) are skipped, the classic MAD degeneracy. All arithmetic
+    * is the identical expression tree on both engines: medians of
+    * integers land on halves (exact in doubles), so the comparison and
+    * the z are deterministic.
+    */
+  def rateAnomaliesRobust(
+      counts: DataFrame, groupCols: Seq[String], valueCol: String,
+      threshold: Double = 3.5): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val gc = groupCols.map(col)
+    val med = counts.groupBy(gc: _*)
+      .agg(percentile(v, lit(0.5)).as("__med"))
+    val withMed = counts.join(med, groupCols)
+    val mad = withMed.groupBy(gc: _*)
+      .agg(percentile(abs(v - col("__med")), lit(0.5)).as("__mad"))
+    withMed.join(mad, groupCols)
+      .filter(col("__mad") > 0 &&
+        abs(v - col("__med")) >= lit(threshold) * col("__mad"))
+      .withColumn("z_mad", (v - col("__med")) / col("__mad"))
+      .drop("__med", "__mad")
+  }
+
   /** Trailing-baseline variant of [[rateAnomalies]]: each row is
     * z-scored against the mean/variance of the PREVIOUS `trailing`
     * rows of its group (ordered by `orderCol`) — the drifting-baseline

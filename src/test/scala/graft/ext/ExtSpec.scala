@@ -200,6 +200,32 @@ class ExtSpec extends SparkSpec {
     assert(r(4L) == (0.0, 0.0) && r(5L) == (1.0, 0.0))
   }
 
+  test("vectorProfile: per-dim stats, NaN tally, collapsed dims visible") {
+    val e = Seq(
+      (1L, Array(1.0f, 5.0f, Float.NaN)),
+      (2L, Array(3.0f, 5.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Profile.vectorProfile(e, "embedding").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got(0) == ((2L, 0L, 2.0, 1.0, 3.0)))
+    assert(got(1)._4 == 5.0 && got(1)._5 == 5.0) // collapsed: min == max
+    assert(got(2)._2 == 1L)                      // NaN tallied
+  }
+
+  test("rateAnomaliesRobust: spike flagged, spike can't mask itself") {
+    // g: 9/10/11 baseline + one 100-spike → median 10, MAD 1, z=90;
+    // h: constant baseline + spike → MAD 0 → degenerate group skipped
+    val rows = ((1 to 20).map(i => ("g", i.toLong, (9 + i % 3).toLong))
+      ++ Seq(("g", 21L, 100L))
+      ++ (1 to 10).map(i => ("h", i.toLong, 5L)) :+ ("h", 11L, 50L))
+      .toDF("g", "t", "cnt")
+    val got = Profile.rateAnomaliesRobust(rows, Seq("g"), "cnt", 3.0)
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getString(0) == "g" && got(0).getLong(1) == 21L)
+    assert(got(0).getDouble(3) == 90.0)
+  }
+
   test("rate anomalies: zero-variance baselines skipped, spikes flagged") {
     // group g: constant baseline then a spike — trailing variance is 0
     // for every row after the constant run, so nothing NaN/Inf leaks;
