@@ -169,6 +169,8 @@ object Dedup {
     */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
       delim: String = "\n"): DataFrame = {
+    require(!Seq("pos", "span", "h", "first").contains(idCol),
+      s"idCol '$idCol' collides with a dedupSpans working column")
     val spans = df.select(col(idCol).as("id"),
         posexplode(split(col(textCol),
           java.util.regex.Pattern.quote(delim))).as(Seq("pos", "span")))

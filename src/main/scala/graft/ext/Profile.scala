@@ -178,6 +178,9 @@ object Profile {
     * deterministic.
     */
   def keySkew(df: DataFrame, keyCols: Seq[String], n: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty && n > 0, "need keys and a positive n")
+    require(!keyCols.exists(Seq("cnt", "share", "total").contains),
+      "key columns collide with keySkew output columns (cnt/share/total)")
     val counts = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
