@@ -412,9 +412,15 @@ object Dedup {
     * a short document pasted inside a long one has low Jaccard (the
     * union is dominated by the long side) but containment ≈ 1 — the
     * quote/excerpt/subset-copy detector Jaccard thresholds miss.
-    * Integer-count division, deterministic across engines.
+    * Integer-count division, deterministic across engines. Native
+    * primitive-set expression (one hash pass per array — same inner-
+    * loop rationale as [[jaccardHashes]]).
     */
-  def containmentHashes(sub: Column, sup: Column): Column = {
+  def containmentHashes(sub: Column, sup: Column): Column =
+    graft.functions.ContainmentLong.containment(sub, sup)
+
+  /** Built-in formulation of [[containmentHashes]] (parity spec). */
+  def containmentHashesHof(sub: Column, sup: Column): Column = {
     val s = size(array_distinct(sub))
     when(s > 0,
       size(array_intersect(sub, sup)).cast("double") / s)

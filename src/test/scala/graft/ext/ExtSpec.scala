@@ -305,6 +305,24 @@ class ExtSpec extends SparkSpec {
     assert(merged == sa.map { case (s, v) => s -> math.min(v, sb(s)) })
   }
 
+  test("native containment_long matches the array_intersect formulation") {
+    val pairs = docs.as("a").crossJoin(docs.as("b"))
+      .select(
+        Dedup.shingleHashes(col("a.text"), 3).as("sa"),
+        Dedup.shingleHashes(col("b.text"), 3).as("sb"))
+      // degenerate rows: empty sub, empty sup, duplicate elements
+      .union(Seq((Seq.empty[Long], Seq.empty[Long]),
+        (Seq.empty[Long], Seq(1L, 2L)), (Seq(3L, 3L, 4L), Seq(3L)),
+        (Seq(5L), Seq.empty[Long]))
+        .toDF("sa", "sb"))
+      .select(
+        Dedup.containmentHashes(col("sa"), col("sb")).as("native"),
+        Dedup.containmentHashesHof(col("sa"), col("sb")).as("hof"))
+      .collect()
+    pairs.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(pairs.length == 20)
+  }
+
   test("native jaccard_long matches the array_intersect formulation") {
     val pairs = docs.as("a").crossJoin(docs.as("b"))
       .select(
