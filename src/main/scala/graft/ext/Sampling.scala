@@ -83,6 +83,8 @@ object Sampling {
       df: DataFrame, idCol: String, weightCol: String, n: Int,
       salt: String = ""): DataFrame = {
     require(n > 0, "weightedExactN needs n > 0")
+    require(!df.columns.contains("__k"),
+      "input column '__k' collides with weightedExactN's working column")
     val u = (Dedup.hash48(concat(lit(salt), col(idCol).cast("string")))
       + lit(0.5)) / lit(HashSpan)
     df.filter(col(weightCol) > 0)
@@ -181,6 +183,8 @@ object Sampling {
       df: DataFrame, idCol: String, weightCol: String, budget: Double,
       nShards: Int, salt: String = ""): DataFrame = {
     require(budget > 0, "budget must be positive")
+    require(!df.columns.exists(Seq("__cum", "__u").contains),
+      "input columns collide with packing working columns (__cum/__u)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard")
       .orderBy(hashUnit(col(idCol), salt), col(idCol))

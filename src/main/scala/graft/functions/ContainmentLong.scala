@@ -71,4 +71,22 @@ object ContainmentLong {
     GraftSqlShim.column(ContainmentLong(
       GraftSqlShim.expression(sub.cast("array<long>")),
       GraftSqlShim.expression(sup.cast("array<long>"))))
+
+  val info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[ContainmentLong].getName, "containment_long")
+
+  /** SQL builder — same array<long> casts as the Column path (see
+    * DotProduct.builder for why the casts matter).
+    */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) =>
+      ContainmentLong(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          a, ArrayType(LongType)),
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          b, ArrayType(LongType)))
+    case other => throw new IllegalArgumentException(
+      s"containment_long expects 2 arguments, got ${other.size}")
+  }
 }

@@ -29,6 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("array_distinct_count"),
         ArrayCounts.distinctInfo, ArrayCounts.distinctBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier("jaccard_long"), JaccardLong.info,
+        JaccardLong.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("containment_long"), ContainmentLong.info,
+        ContainmentLong.builder))
     ext.injectOptimizerRule(_ => LowerQuadraticArrayOps)
   }
 }
@@ -68,5 +74,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("array_distinct_count"), ArrayCounts.distinctInfo,
       ArrayCounts.distinctBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("jaccard_long"), JaccardLong.info,
+      JaccardLong.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("containment_long"), ContainmentLong.info,
+      ContainmentLong.builder)
   }
 }

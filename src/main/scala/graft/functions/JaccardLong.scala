@@ -73,4 +73,22 @@ object JaccardLong {
     GraftSqlShim.column(JaccardLong(
       GraftSqlShim.expression(a.cast("array<long>")),
       GraftSqlShim.expression(b.cast("array<long>"))))
+
+  val info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[JaccardLong].getName, "jaccard_long")
+
+  /** SQL builder — same array<long> casts as the Column path (see
+    * DotProduct.builder for why the casts matter).
+    */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) =>
+      JaccardLong(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          a, ArrayType(LongType)),
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          b, ArrayType(LongType)))
+    case other => throw new IllegalArgumentException(
+      s"jaccard_long expects 2 arguments, got ${other.size}")
+  }
 }

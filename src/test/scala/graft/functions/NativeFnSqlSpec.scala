@@ -30,6 +30,25 @@ class NativeFnSqlSpec extends SparkSpec {
     assert(viaSql.toSeq == viaHof.toSeq)
   }
 
+  test("jaccard_long / containment_long in SQL, with input casts") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT jaccard_long(array(1, 2, 3), array(2, 3, 4)) AS j,
+        |  containment_long(array(2, 3), array(1, 2, 3, 9)) AS c,
+        |  containment_long(array(), array(1)) AS c_empty,
+        |  jaccard_long(array(5, 5), array(5)) AS j_dup
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 0.5)  // |{2,3}| / |{1,2,3,4}|
+    assert(r.getDouble(1) == 1.0)  // both sub members present
+    assert(r.getDouble(2) == 0.0)  // empty sub guard
+    assert(r.getDouble(3) == 1.0)  // set semantics on duplicates
+    // int literals cast to array<long> by the builder — same value as
+    // the Column API on the same input
+    val viaCol = Seq((Seq(1L, 2L, 3L), Seq(2L, 3L, 4L))).toDF("a", "b")
+      .select(Dedup.jaccardHashes(col("a"), col("b"))).collect()(0)
+    assert(viaCol.getDouble(0) == 0.5)
+  }
+
   test("array_top_count / array_distinct_count in SQL, with input casts") {
     GraftFunctions.register(spark)
     val r = spark.sql(
