@@ -1019,6 +1019,15 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** LSH kNN-graph (Similarity.knnJoinLsh): every vector's top-3
+    * neighbors among its bucket-mates — the ANN-graph construction
+    * primitive, candidates bounded per bucket, window-free ranking.
+    */
+  private def xSimKnnGraph(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnJoinLsh(t(s, dir, "embeddings"), 3, nPlanes = 8)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+
   /** Int8-quantized cosine top-k (Similarity.quantizedTopK): the same
     * five queries as x_sim_topk against the quantized corpus — exact
     * integer dots times the two scales, so the ranking is engine-stable
@@ -1502,7 +1511,8 @@ object SparkEntry {
     "x_sample_weighted" -> (xSampleWeighted _),
     "x_sample_pack_seq" -> (xSamplePackSeq _),
     "x_stream_anomaly_robust" -> (xStreamAnomalyRobust _),
-    "x_profile_vectors" -> (xProfileVectors _)
+    "x_profile_vectors" -> (xProfileVectors _),
+    "x_sim_knn_graph" -> (xSimKnnGraph _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -3062,7 +3072,39 @@ object SparkEntry {
         |    AS BIGINT) AS n_bad,
         |  round(avg(v), 6) AS mean,
         |  min(v) AS min_value, max(v) AS max_value
-        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_sim_knn_graph" ->
+      s"""WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
+        |planesd AS (SELECT ${duckPlanes(8, 64)} AS m),
+        |bkt AS (
+        |  SELECT id, nvec,
+        |    CAST(list_sum(list_transform(range(0, 8), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(nvec) + 1),
+        |          d -> nvec[d] * m[CAST(p + 1 AS INTEGER)][CAST(d AS INTEGER)]))
+        |          > 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+        |        ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM v, planesd),
+        |s AS (
+        |  SELECT a.id AS query_id, b.id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(a.nvec) + 1),
+        |      i -> a.nvec[i] * b.nvec[i])) AS sim
+        |  FROM bkt a JOIN bkt b
+        |    ON a.bucket = b.bucket AND a.id <> b.id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   )
 
   /** Oracle SQL that depends on the DATA, not just the query — rendered

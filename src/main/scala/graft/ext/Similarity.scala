@@ -220,6 +220,33 @@ object Similarity {
         .filter(col("sim") >= threshold)
     }
 
+  /** kNN-graph construction at scale: every vector's top-k cosine
+    * neighbors among its LSH bucket-mates — the ANN-graph primitive
+    * behind dedup canonicalization, graph clustering, and
+    * nearest-neighbor features. Cost is Σ per-bucket n² candidate
+    * scores (never |corpus|²), shuffled on the bucket id only; ranking
+    * is the bounded top-k aggregate (O(k) state per query, no windows).
+    * Vectors alone in their bucket produce no rows — the standard LSH
+    * recall tradeoff; raise recall with fewer planes (bigger buckets)
+    * or a second salted plane set unioned in.
+    * Output: (query_id, neighbor_id, rank).
+    */
+  def knnJoinLsh(df: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", nPlanes: Int = 8): DataFrame =
+    CacheScope.withCached(
+      normalized(df, idCol, vecCol)
+        .withColumn("bucket", lshBucket(col("nvec"), nPlanes))) { b =>
+      val left = b.select(col("id").as("query_id"),
+        col("nvec").as("nvec_a"), col("bucket"))
+      val right = b.select(col("id").as("neighbor_id"),
+        col("nvec").as("nvec_b"), col("bucket").as("bucket_b"))
+      val scored = left.join(right, col("bucket") === col("bucket_b") &&
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          dotN(col("nvec_a"), col("nvec_b")).as("sim"))
+      rankTopK(scored, k)
+    }
+
   // ------------------------------------------------------------------ IVF
   /** Deterministic trivial quantizer: the `nLists` corpus vectors with
     * the smallest ids as centroids — the fully oracle-checkable path

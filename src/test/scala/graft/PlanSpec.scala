@@ -97,6 +97,9 @@ class PlanSpec extends SparkSpec {
       10, nProbe = 4, nLists = 8)
     assert(!nodes(ivf).exists(_.isInstanceOf[WindowExec]),
       "ivfTopK probe routing + ranking must be window-free too")
+    val knn = Similarity.knnJoinLsh(e, 3, nPlanes = 8)
+    assert(!nodes(knn).exists(_.isInstanceOf[WindowExec]),
+      "knnJoinLsh per-vector ranking must be window-free too")
   }
 
   test("span dedup / quantized top-k / logprob plan with no corpus windows") {

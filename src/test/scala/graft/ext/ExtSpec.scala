@@ -742,6 +742,26 @@ class ExtSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("knnJoinLsh: neighbors are bucket-mates ranked by exact cosine") {
+    // two tight clusters far apart: in-bucket neighbors are in-cluster
+    val vecs = (0 until 20).map { i =>
+      val base = if (i < 10) Array(1.0f, 0.05f * i, 0.0f)
+                 else Array(-1.0f, 0.0f, 0.05f * (i - 10))
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val knn = Similarity.knnJoinLsh(vecs, 3, nPlanes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(knn.nonEmpty)
+    // neighbors never cross the cluster boundary (opposite sign dim 0
+    // → different sign bit on virtually every hyperplane)
+    knn.foreach { case (q, n, _) =>
+      assert((q < 10) == (n < 10), s"cross-cluster pair ($q,$n)") }
+    // ranks are 1..k dense per query and ordered by descending cosine
+    knn.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.size).toSeq)
+    }
+  }
+
   test("IVF top-k: probe-restricted search has decent recall") {
     val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = e.filter(col("vec_id") < 10)
