@@ -775,6 +775,20 @@ object SparkEntry {
       .select("doc_id", "source")
       .orderBy("doc_id")
 
+  /** Token-budget mixture (Sampling.takeTokenBudget): a stable-hash
+    * prefix of each source up to an absolute char budget — src3/src4
+    * have no budget and are dropped; output size is set by the budgets,
+    * not the corpus.
+    */
+  private def xSampleBudget(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.takeTokenBudget(
+      t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+      "doc_id", "n_chars", "source",
+      Map("src0" -> 3000.0, "src1" -> 1500.0, "src2" -> 800.0),
+      salt = "tb1")
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
   /** Packed-sequence materialization (Sampling.packSequences): the
     * x_sample_pack bins reassembled into one training sequence each —
     * compared by md5 so the full concatenation is hash-checked without
@@ -1512,7 +1526,8 @@ object SparkEntry {
     "x_sample_pack_seq" -> (xSamplePackSeq _),
     "x_stream_anomaly_robust" -> (xStreamAnomalyRobust _),
     "x_profile_vectors" -> (xProfileVectors _),
-    "x_sim_knn_graph" -> (xSimKnnGraph _)
+    "x_sim_knn_graph" -> (xSimKnnGraph _),
+    "x_sample_budget" -> (xSampleBudget _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -3104,7 +3119,19 @@ object SparkEntry {
         |                       ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM s)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "x_sample_budget" ->
+      s"""SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    COALESCE(CAST(sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY ${duckHash48("('tb1' || CAST(doc_id AS VARCHAR))")}
+        |        / 281474976710656.0, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS DOUBLE), 0.0) AS cum
+        |  FROM documents)
+        |WHERE cum < CASE source WHEN 'src0' THEN 3000.0
+        |  WHEN 'src1' THEN 1500.0 WHEN 'src2' THEN 800.0 END
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Oracle SQL that depends on the DATA, not just the query — rendered

@@ -225,6 +225,42 @@ object Sampling {
       .select(col("shard"), col("bin"), col("text"), col("n_docs"),
         col("total_weight"))
 
+  /** Token-budget corpus mixing: from each source keep documents — in
+    * stable hash order — until that source's budget of `weightCol`
+    * (tokens, chars, bytes) is exhausted; the straddling document is
+    * kept (append-style, same convention as [[packBins]]). THE
+    * mixture-construction operator — "30 B tokens of web, 5 B of code"
+    * is an absolute-budget ask that rate-based [[weightedMix]] can't
+    * express exactly. Deterministic: the kept set is a pure function of
+    * (id, weight, source) — rerun/layout/engine-stable. Sources absent
+    * from `budgets` are dropped.
+    *
+    * The running sum is a per-source window over the weight column —
+    * parallelism = |sources| (the same sequential-within-group contract
+    * as packBins); a single source needing more parallelism can be
+    * pre-sharded and its budget split across shards.
+    */
+  def takeTokenBudget(
+      df: DataFrame, idCol: String, weightCol: String, sourceCol: String,
+      budgets: Map[String, Double], salt: String = ""): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ > 0),
+      "need at least one positive budget")
+    require(!df.columns.contains("__cum"),
+      "input column '__cum' collides with takeTokenBudget's working column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(hashUnit(col(idCol), salt), col(idCol))
+      .rowsBetween(Long.MinValue, -1L)
+    val budget = budgets.toSeq.sortBy(_._1)
+      .foldRight(lit(null).cast("double"): Column) { case ((s, b), acc) =>
+        when(col(sourceCol) === s, lit(b)).otherwise(acc)
+      }
+    df.withColumn("__cum",
+        coalesce(sum(col(weightCol)).over(w).cast("double"), lit(0.0)))
+      .filter(col("__cum") < budget)
+      .drop("__cum")
+  }
+
   /** Weighted corpus mixing: keep a row iff its hash unit is below the
     * keep-fraction of its `sourceCol` value (`default` for unlisted
     * sources). The standard "mix N corpora at chosen rates into one

@@ -127,6 +127,26 @@ class ExtSpec extends SparkSpec {
     assert(s3.length == 50 && s3.forall(_ > 900))
   }
 
+  test("takeTokenBudget: stable-order prefix per source, straddler kept") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L), ("a", 4L, 10L),
+      ("b", 11L, 10L), ("b", 12L, 10L),
+      ("c", 21L, 10L) // no budget for c → dropped
+    ).toDF("src", "id", "w")
+    val kept = Sampling.takeTokenBudget(df, "id", "w", "src",
+      Map("a" -> 25.0, "b" -> 10.0), salt = "t").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // a: cum-before 0/10/20 < 25 → 3 docs (third straddles the budget);
+    // b: only the first-hash doc (cum-before 0 < 10)
+    assert(kept.count(_._1 == "a") == 3)
+    assert(kept.count(_._1 == "b") == 1)
+    assert(!kept.exists(_._1 == "c"))
+    val kept2 = Sampling.takeTokenBudget(df.repartition(5), "id", "w",
+      "src", Map("a" -> 25.0, "b" -> 10.0), salt = "t").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept2 == kept) // layout-invariant
+  }
+
   test("packSequences: bins reassemble in pack order, totals bounded") {
     val df = (1 to 40).map(i => (i.toLong, s"d$i", 10L))
       .toDF("id", "text", "w")
