@@ -753,6 +753,17 @@ object SparkEntry {
       .orderBy("doc_id", "rank")
   }
 
+  /** Sliding-window chunking (TextAnalysis.chunkTokens): 30-token
+    * windows with 10-token overlap — the embedding-prep shape, chunk
+    * text hash-checked cell-for-cell.
+    */
+  private def xTextChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 30, overlap = 10)
+      .select(col("id").as("doc_id"), col("chunk_idx"),
+        md5(col("chunk_text")).as("chunk_hash"), col("n_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Corpus-unigram log-probability per document
     * (TextAnalysis.unigramLogProb): the perplexity-proxy quality score —
     * docs of corpus-common words score near the ceiling, rare-token docs
@@ -1527,7 +1538,8 @@ object SparkEntry {
     "x_stream_anomaly_robust" -> (xStreamAnomalyRobust _),
     "x_profile_vectors" -> (xProfileVectors _),
     "x_sim_knn_graph" -> (xSimKnnGraph _),
-    "x_sample_budget" -> (xSampleBudget _)
+    "x_sample_budget" -> (xSampleBudget _),
+    "x_text_chunks" -> (xTextChunks _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -3131,7 +3143,23 @@ object SparkEntry {
         |  FROM documents)
         |WHERE cum < CASE source WHEN 'src0' THEN 3000.0
         |  WHEN 'src1' THEN 1500.0 WHEN 'src2' THEN 800.0 END
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "x_text_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(1, len(toks) + 1, 20)) AS s
+        |  FROM tok WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |  CAST(floor((s - 1) / 20.0) AS INTEGER) AS chunk_idx,
+        |  md5(array_to_string(list_slice(toks, s, s + 29), ' '))
+        |    AS chunk_hash,
+        |  CAST(len(list_slice(toks, s, s + 29)) AS BIGINT) AS n_tokens
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
   )
 
   /** Oracle SQL that depends on the DATA, not just the query — rendered

@@ -242,6 +242,39 @@ object TextAnalysis {
     }
   }
 
+  /** Sliding token-window chunking — the embedding/RAG preprocessing
+    * step: each document's token stream becomes windows of `chunkSize`
+    * tokens advancing by `chunkSize - overlap`, reassembled as text.
+    * Output: (id, chunk_idx, chunk_text, n_tokens); empty docs yield no
+    * chunks, a trailing partial window is kept.
+    *
+    * Shape: tokenize once into a REAL column, posexplode the start
+    * offsets, then slice per chunk row — the start-offset generator
+    * runs per row and the slice runs per chunk against a materialized
+    * attribute. (A `transform(starts, st => slice(toks, ...))`
+    * formulation would reference the tokenizer alias inside a lambda
+    * body — the CollapseProject per-element re-evaluation trap, third
+    * sighting; see [[bigrams]].) Zero shuffle, linear in corpus bytes.
+    */
+  def chunkTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need chunkSize > 0 and 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("id"), col("__toks"),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(step)))
+          .as(Seq("chunk_idx", "__st")))
+      .select(col("id"), col("chunk_idx"),
+        concat_ws(" ",
+          slice(col("__toks"), col("__st") + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        least(lit(chunkSize), size(col("__toks")) - col("__st"))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Sliding word bigram multiset (NOT distinct — LM counting needs
     * every occurrence). Docs under 2 tokens yield an empty array.
     *

@@ -479,6 +479,24 @@ class ExtSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(3L)._2)
   }
 
+  test("chunkTokens: sliding windows with overlap, trailing partial kept") {
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"), // 7 tokens
+      (2L, "a"), (3L, "")           // single token; empty → no chunks
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokens(df, "doc_id", "text",
+        chunkSize = 4, overlap = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    // starts 0,2,4,6 → windows of 4 advancing by 2, trailing partials
+    assert(got((1L, 0)) == (("t1 t2 t3 t4", 4L)))
+    assert(got((1L, 1)) == (("t3 t4 t5 t6", 4L)))
+    assert(got((1L, 2)) == (("t5 t6 t7", 3L)))
+    assert(got((1L, 3)) == (("t7", 1L)))
+    assert(got((2L, 0)) == (("a", 1L)))
+    assert(!got.keys.exists(_._1 == 3L))
+  }
+
   test("bigramLogProb: fluent word order beats word salad") {
     val corpus = Seq(
       (1L, "a b c a b c a b c"),  // the common phrase
