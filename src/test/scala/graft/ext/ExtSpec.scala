@@ -725,6 +725,9 @@ class ExtSpec extends SparkSpec {
       .filter(col("vec_id") < 50)
     Similarity.lshCandidatePairs(e, nPlanes = 6, threshold = 0.3).count()
     Similarity.ivfIndex(e, nLists = 4).count()
+    Similarity.knnJoinLsh(e, 3, nPlanes = 6).count()
+    TextAnalysis.unigramLogProb(docs, "doc_id", "text").count()
+    TextAnalysis.bigramLogProb(docs, "doc_id", "text").count()
     assert(org.apache.spark.sql.GraftSqlShim.cacheIsEmpty(spark),
       "an operator left an InMemoryRelation cached after returning")
   }
