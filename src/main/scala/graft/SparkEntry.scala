@@ -1053,6 +1053,16 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast(LongType))
       .orderBy("query_id", "rank")
 
+  /** Two-table LSH kNN-graph (Similarity.knnJoinLshMulti): union of
+    * bucket-mates from two independent plane sets — the recall lever;
+    * candidate count stays Σ per-bucket n² per table.
+    */
+  private def xSimKnnMulti(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnJoinLshMulti(t(s, dir, "embeddings"), 3,
+        nPlanes = 8, nTables = 2)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+
   /** Int8-quantized cosine top-k (Similarity.quantizedTopK): the same
     * five queries as x_sim_topk against the quantized corpus — exact
     * integer dots times the two scales, so the ranking is engine-stable
@@ -1539,7 +1549,8 @@ object SparkEntry {
     "x_profile_vectors" -> (xProfileVectors _),
     "x_sim_knn_graph" -> (xSimKnnGraph _),
     "x_sample_budget" -> (xSampleBudget _),
-    "x_text_chunks" -> (xTextChunks _)
+    "x_text_chunks" -> (xTextChunks _),
+    "x_sim_knn_multi" -> (xSimKnnMulti _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -1568,8 +1579,8 @@ object SparkEntry {
     * hashing in the oracle either. Double.toString round-trips, so both
     * engines parse to bit-identical doubles.
     */
-  private def duckPlanes(nPlanes: Int, dims: Int): String =
-    (0 until nPlanes).map(p =>
+  private def duckPlanes(nPlanes: Int, dims: Int, offset: Int = 0): String =
+    (offset until offset + nPlanes).map(p =>
       Similarity.planeMatrix(p).take(dims).mkString("[", ",", "]"))
       .mkString("[", ",", "]")
 
@@ -3144,6 +3155,49 @@ object SparkEntry {
         |WHERE cum < CASE source WHEN 'src0' THEN 3000.0
         |  WHEN 'src1' THEN 1500.0 WHEN 'src2' THEN 800.0 END
         |ORDER BY doc_id""".stripMargin,
+    "x_sim_knn_multi" ->
+      s"""WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
+        |p0 AS (SELECT ${duckPlanes(8, 64)} AS m),
+        |p1 AS (SELECT ${duckPlanes(8, 64, 8)} AS m),
+        |b0 AS (
+        |  SELECT id, nvec, 0 AS tbl,
+        |    CAST(list_sum(list_transform(range(0, 8), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(nvec) + 1),
+        |          d -> nvec[d] * m[CAST(p + 1 AS INTEGER)][CAST(d AS INTEGER)]))
+        |          > 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+        |        ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM v, p0),
+        |b1 AS (
+        |  SELECT id, nvec, 1 AS tbl,
+        |    CAST(list_sum(list_transform(range(0, 8), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(nvec) + 1),
+        |          d -> nvec[d] * m[CAST(p + 1 AS INTEGER)][CAST(d AS INTEGER)]))
+        |          > 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+        |        ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM v, p1),
+        |bkt AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1),
+        |s AS (
+        |  SELECT DISTINCT a.id AS query_id, b.id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(a.nvec) + 1),
+        |      i -> a.nvec[i] * b.nvec[i])) AS sim
+        |  FROM bkt a JOIN bkt b
+        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id <> b.id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "x_text_chunks" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -182,10 +182,18 @@ object Similarity {
     * replaced (same bucket ids), but a codegen-able primitive loop
     * instead of an interpreted per-element lambda chain.
     */
-  def lshBucket(vec: Column, nPlanes: Int = 12): Column = {
-    require(nPlanes <= MaxPlanes, s"nPlanes $nPlanes > $MaxPlanes")
+  def lshBucket(vec: Column, nPlanes: Int = 12): Column =
+    lshBucketAt(vec, nPlanes, 0)
+
+  /** [[lshBucket]] over the plane rows [offset, offset + nPlanes) —
+    * disjoint offsets give INDEPENDENT hash tables from the same
+    * constant-folded matrix (the multi-table recall lever).
+    */
+  def lshBucketAt(vec: Column, nPlanes: Int, offset: Int): Column = {
+    require(nPlanes > 0 && offset >= 0 && offset + nPlanes <= MaxPlanes,
+      s"plane range [$offset, ${offset + nPlanes}) outside 0..$MaxPlanes")
     (0 until nPlanes).map { p =>
-      val d = dotN(vec, planeLit(p))
+      val d = dotN(vec, planeLit(offset + p))
       when(d > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -246,6 +254,43 @@ object Similarity {
           dotN(col("nvec_a"), col("nvec_b")).as("sim"))
       rankTopK(scored, k)
     }
+
+  /** Multi-table [[knnJoinLsh]]: `nTables` independent sign-bit plane
+    * sets over the same normalized scan; candidates are the UNION of
+    * per-table bucket-mates, deduplicated before ranking. The standard
+    * LSH recall lever — a true neighbor is missed only if EVERY table
+    * splits the pair, so miss probability decays exponentially in
+    * `nTables` while cost grows linearly (one (table, bucket) equi-join
+    * key per table, still never corpus²). Pairs found by several tables
+    * are scored per table (an O(d) dot each) and collapsed by
+    * `distinct` on the scored triple — cheaper at scale than
+    * deduplicating on the carried vector arrays before scoring.
+    */
+  def knnJoinLshMulti(df: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", nPlanes: Int = 8,
+      nTables: Int = 2): DataFrame = {
+    require(nTables >= 1 && nTables * nPlanes <= MaxPlanes,
+      s"$nTables tables × $nPlanes planes exceeds $MaxPlanes")
+    CacheScope.withCached(normalized(df, idCol, vecCol)) { nv =>
+      val assigned = (0 until nTables).map { t =>
+        nv.select(col("id"), col("nvec"), lit(t).as("tbl"),
+          lshBucketAt(col("nvec"), nPlanes, t * nPlanes).as("bucket"))
+      }.reduce(_ unionByName _)
+      val left = assigned.select(col("id").as("query_id"),
+        col("nvec").as("nvec_a"), col("tbl"), col("bucket"))
+      val right = assigned.select(col("id").as("neighbor_id"),
+        col("nvec").as("nvec_b"), col("tbl").as("tbl_b"),
+        col("bucket").as("bucket_b"))
+      val scored = left.join(right,
+          col("tbl") === col("tbl_b") &&
+            col("bucket") === col("bucket_b") &&
+            col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          dotN(col("nvec_a"), col("nvec_b")).as("sim"))
+        .distinct()
+      rankTopK(scored, k)
+    }
+  }
 
   // ------------------------------------------------------------------ IVF
   /** Deterministic trivial quantizer: the `nLists` corpus vectors with

@@ -803,6 +803,27 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("knnJoinLshMulti: recall never below single-table, no dup pairs") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (math.sin(i * 0.9 + d * 1.3) + 0.05 * d).toFloat))
+    }.toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = pairs(Similarity.bruteForceTopK(vecs, vecs, 3)).toSet
+    val single = pairs(Similarity.knnJoinLsh(vecs, 3, nPlanes = 8))
+    val multi = pairs(Similarity.knnJoinLshMulti(vecs, 3,
+      nPlanes = 8, nTables = 2))
+    // union of tables can only widen the candidate set
+    assert((multi.toSet & exact).size >= (single.toSet & exact).size)
+    // distinct() collapsed pairs found by both tables
+    assert(multi.size == multi.toSet.size)
+    // every query's ranks stay dense 1..n
+    multi.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.size <= 3)
+    }
+  }
+
   test("IVF top-k: probe-restricted search has decent recall") {
     val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = e.filter(col("vec_id") < 10)
