@@ -240,19 +240,40 @@ object Similarity {
     * Output: (query_id, neighbor_id, rank).
     */
   def knnJoinLsh(df: DataFrame, k: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding", nPlanes: Int = 8): DataFrame =
+      vecCol: String = "embedding", nPlanes: Int = 8,
+      maxBucketSize: Int = 0): DataFrame =
     CacheScope.withCached(
       normalized(df, idCol, vecCol)
         .withColumn("bucket", lshBucket(col("nvec"), nPlanes))) { b =>
-      val left = b.select(col("id").as("query_id"),
+      val pruned = capBuckets(b, Seq("bucket"), maxBucketSize)
+      val left = pruned.select(col("id").as("query_id"),
         col("nvec").as("nvec_a"), col("bucket"))
-      val right = b.select(col("id").as("neighbor_id"),
+      val right = pruned.select(col("id").as("neighbor_id"),
         col("nvec").as("nvec_b"), col("bucket").as("bucket_b"))
       val scored = left.join(right, col("bucket") === col("bucket_b") &&
           col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
           dotN(col("nvec_a"), col("nvec_b")).as("sim"))
       rankTopK(scored, k)
+    }
+
+  /** Drop rows of buckets larger than `cap` (0 = off) — the degenerate-
+    * hub safety valve for Σ per-bucket n² stages: one dense bucket
+    * (near-identical boilerplate embeddings, an all-zeros-ish corner)
+    * otherwise quadratically dominates the join. Same convention as the
+    * MinHash banding cap; report pruned hubs separately if needed
+    * (compare against an uncapped bucket count).
+    */
+  private def capBuckets(
+      b: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    if (cap <= 0) b
+    else {
+      val kc = keys.map(col)
+      val small = b.groupBy(kc: _*)
+        .agg(count(lit(1)).as("__bcnt"))
+        .filter(col("__bcnt") <= cap)
+        .drop("__bcnt")
+      b.join(small, keys, "left_semi")
     }
 
   /** Multi-table [[knnJoinLsh]]: `nTables` independent sign-bit plane
@@ -268,14 +289,16 @@ object Similarity {
     */
   def knnJoinLshMulti(df: DataFrame, k: Int, idCol: String = "vec_id",
       vecCol: String = "embedding", nPlanes: Int = 8,
-      nTables: Int = 2): DataFrame = {
+      nTables: Int = 2, maxBucketSize: Int = 0): DataFrame = {
     require(nTables >= 1 && nTables * nPlanes <= MaxPlanes,
       s"$nTables tables × $nPlanes planes exceeds $MaxPlanes")
     CacheScope.withCached(normalized(df, idCol, vecCol)) { nv =>
-      val assigned = (0 until nTables).map { t =>
-        nv.select(col("id"), col("nvec"), lit(t).as("tbl"),
-          lshBucketAt(col("nvec"), nPlanes, t * nPlanes).as("bucket"))
-      }.reduce(_ unionByName _)
+      val assigned = capBuckets(
+        (0 until nTables).map { t =>
+          nv.select(col("id"), col("nvec"), lit(t).as("tbl"),
+            lshBucketAt(col("nvec"), nPlanes, t * nPlanes).as("bucket"))
+        }.reduce(_ unionByName _),
+        Seq("tbl", "bucket"), maxBucketSize)
       val left = assigned.select(col("id").as("query_id"),
         col("nvec").as("nvec_a"), col("tbl"), col("bucket"))
       val right = assigned.select(col("id").as("neighbor_id"),

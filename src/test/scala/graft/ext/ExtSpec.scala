@@ -803,6 +803,28 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("knnJoinLsh bucket cap prunes a degenerate hub, others untouched") {
+    // 30 identical vectors form one hub bucket; 6 spread vectors stay
+    val hub = (0 until 30).map(i =>
+      (i.toLong, Array(1.0f, 1.0f, 1.0f)))
+    val rest = (100 until 106).map { i =>
+      (i.toLong, Array.tabulate(3)(d =>
+        (math.sin(i * 1.7 + d) - 0.4).toFloat))
+    }
+    val vecs = (hub ++ rest).toDF("vec_id", "embedding")
+    val capped = Similarity.knnJoinLsh(vecs, 3, nPlanes = 4,
+        maxBucketSize = 10)
+      .collect().map(_.getLong(0)).toSet
+    // hub ids (bucket of 30 > cap 10) produce no rows
+    assert(capped.forall(_ >= 100L))
+    val uncapped = Similarity.knnJoinLsh(vecs, 3, nPlanes = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert((0 until 30).map(_.toLong).toSet.subsetOf(uncapped))
+    // the surviving queries rank identically with and without the cap
+    // (their buckets were never pruned)
+    assert(capped.subsetOf(uncapped))
+  }
+
   test("knnJoinLshMulti: recall never below single-table, no dup pairs") {
     val vecs = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(8)(d =>
