@@ -52,8 +52,13 @@ object Verify {
     // merge data-dependent oracles (fitted-constant SQL rendered for
     // THIS sfDir); a generation failure degrades that one query back to
     // the rows-only check instead of zeroing the whole dump
+    // skip the generation work entirely (an embeddings scan + driver
+    // k-means fit) when a name filter excludes every dynamic query
+    val dynamicNeeded =
+      only.isEmpty || only("x_sim_ivf_kmeans")
     val dynamic =
-      try SparkEntry.dynamicOracleSql(spark, sfDir)
+      if (!dynamicNeeded) Map.empty[String, String]
+      else try SparkEntry.dynamicOracleSql(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[verify] dynamic oracle generation failed: $e")
         Map.empty[String, String]

@@ -26,4 +26,22 @@ private[graft] object CacheScope {
     try body(cached).localCheckpoint(eager = true)
     finally cached.unpersist(blocking = false)
   }
+
+  /** Two-frame variant: caches both inputs, checkpoints the result
+    * ONCE. Nesting two [[withCached]] calls instead would run the
+    * inner scope's `localCheckpoint` and then the outer's again on the
+    * already-materialized frame — a second persisted copy of the
+    * result that clearCache cannot release (it sits until the weak-ref
+    * cleaner runs).
+    */
+  def withCached2(f1: DataFrame, f2: DataFrame)(
+      body: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val c1 = f1.cache()
+    val c2 = f2.cache()
+    try body(c1, c2).localCheckpoint(eager = true)
+    finally {
+      c1.unpersist(blocking = false)
+      c2.unpersist(blocking = false)
+    }
+  }
 }

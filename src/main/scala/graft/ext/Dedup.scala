@@ -314,21 +314,28 @@ object Dedup {
     * (band, bucket) shuffle key, so it costs one aggregation on the
     * exchange that the join needs anyway.
     */
+  /** Drop rows of buckets larger than `cap` (0 = off) — the shared
+    * degenerate-hub guard for every Σ per-bucket n² stage (MinHash
+    * banding, incremental ingest, LSH kNN): one boilerplate bucket
+    * otherwise quadratically dominates its join. One aggregation on
+    * the join's own exchange key + a left-semi prune.
+    */
+  private[ext] def capBuckets(
+      b: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    if (cap <= 0) b
+    else {
+      val small = b.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__bcnt"))
+        .filter(col("__bcnt") <= cap)
+        .drop("__bcnt")
+      b.join(small, keys, "left_semi")
+    }
+
   private def candidatesFromSigs(
       sigs: DataFrame, numHashes: Int, bands: Int,
       maxBucketSize: Int = 0): DataFrame = {
-    val assigned = bandedAssignments(sigs, numHashes, bands)
-    val banded =
-      if (maxBucketSize <= 0) assigned
-      else {
-        val small = assigned.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("bcnt"))
-          .filter(col("bcnt") <= maxBucketSize)
-          .select(col("band").as("band_s"), col("bucket").as("bucket_s"))
-        assigned.join(small,
-          col("band") === col("band_s") &&
-            col("bucket") === col("bucket_s"), "left_semi")
-      }
+    val banded = capBuckets(bandedAssignments(sigs, numHashes, bands),
+      Seq("band", "bucket"), maxBucketSize)
     // disjoint column names on the two sides: a self-join through `.as`
     // aliases on the same exploded plan defeats equi-key extraction and
     // Catalyst falls back to a nested-loop join (measured 224 s vs 2 s
@@ -592,48 +599,39 @@ object Dedup {
       newDf: DataFrame, corpusDf: DataFrame,
       threshold: Double = 0.7, numHashes: Int = 32, bands: Int = 16,
       k: Int = 3, maxBucketSize: Int = 0): DataFrame =
-    CacheScope.withCached(
+    // one scope for both hash frames: nesting two withCached calls
+    // would localCheckpoint the pair result twice (see withCached2)
+    CacheScope.withCached2(
       newDf.select(col("id"),
-        shingleHashesFromTokens(col("toks"), k).as("sh"))) { nb =>
-      CacheScope.withCached(
-        corpusDf.select(col("id"),
-          shingleHashesFromTokens(col("toks"), k).as("sh"))) { cb =>
-        val nBanded = bandedAssignments(
-          nb.select(col("id"),
-            minhashFromHashes(col("sh"), numHashes).as("sig")),
-          numHashes, bands)
-          .select(col("id").as("new_id"), col("band"), col("bucket"))
-        val cAssigned = bandedAssignments(
+        shingleHashesFromTokens(col("toks"), k).as("sh")),
+      corpusDf.select(col("id"),
+        shingleHashesFromTokens(col("toks"), k).as("sh"))) { (nb, cb) =>
+      val nBanded = bandedAssignments(
+        nb.select(col("id"),
+          minhashFromHashes(col("sh"), numHashes).as("sig")),
+        numHashes, bands)
+        .select(col("id").as("new_id"), col("band"), col("bucket"))
+      val cBanded = capBuckets(
+        bandedAssignments(
           cb.select(col("id"),
             minhashFromHashes(col("sh"), numHashes).as("sig")),
-          numHashes, bands)
-        val cBanded0 =
-          if (maxBucketSize <= 0) cAssigned
-          else {
-            val small = cAssigned.groupBy("band", "bucket")
-              .agg(count(lit(1)).as("bcnt"))
-              .filter(col("bcnt") <= maxBucketSize)
-              .select(col("band").as("band_s"), col("bucket").as("bucket_s"))
-            cAssigned.join(small,
-              col("band") === col("band_s") &&
-                col("bucket") === col("bucket_s"), "left_semi")
-          }
-        val cBanded = cBanded0.select(col("id").as("corpus_id"),
+          numHashes, bands),
+        Seq("band", "bucket"), maxBucketSize)
+        .select(col("id").as("corpus_id"),
           col("band").as("band_c"), col("bucket").as("bucket_c"))
-        val cands = nBanded.join(cBanded,
-            col("band") === col("band_c") &&
-              col("bucket") === col("bucket_c"))
-          .select(col("new_id"), col("corpus_id"))
-          .distinct()
-        cands
-          .join(nb.select(col("id").as("new_id"), col("sh").as("sh_n")),
-            "new_id")
-          .join(cb.select(col("id").as("corpus_id"), col("sh").as("sh_c")),
-            "corpus_id")
-          .select(col("new_id"), col("corpus_id"),
-            jaccardHashes(col("sh_n"), col("sh_c")).as("jaccard"))
-          .filter(col("jaccard") >= threshold)
-      }
+      val cands = nBanded.join(cBanded,
+          col("band") === col("band_c") &&
+            col("bucket") === col("bucket_c"))
+        .select(col("new_id"), col("corpus_id"))
+        .distinct()
+      cands
+        .join(nb.select(col("id").as("new_id"), col("sh").as("sh_n")),
+          "new_id")
+        .join(cb.select(col("id").as("corpus_id"), col("sh").as("sh_c")),
+          "corpus_id")
+        .select(col("new_id"), col("corpus_id"),
+          jaccardHashes(col("sh_n"), col("sh_c")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
     }
 
   // ------------------------------------------------- duplicate clustering

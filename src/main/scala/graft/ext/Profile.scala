@@ -181,14 +181,19 @@ object Profile {
     require(keyCols.nonEmpty && n > 0, "need keys and a positive n")
     require(!keyCols.exists(Seq("cnt", "share", "total").contains),
       "key columns collide with keySkew output columns (cnt/share/total)")
-    val counts = df.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt")).as("total"))
-    counts.crossJoin(broadcast(total))
-      .withColumn("share", col("cnt").cast("double") / col("total"))
-      .drop("total")
-      .orderBy(col("cnt").desc +: keyCols.map(col): _*)
-      .limit(n)
+    // the count frame feeds BOTH the total and the ranking — scope-cache
+    // it or the corpus groupBy-count subtree runs twice (the two
+    // branches prune differently, which defeats exchange reuse)
+    CacheScope.withCached(
+      df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("cnt"))) { counts =>
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("share", col("cnt").cast("double") / col("total"))
+        .drop("total")
+        .orderBy(col("cnt").desc +: keyCols.map(col): _*)
+        .limit(n)
+    }
   }
 
   /** Embedding-column QA: per-dimension count / non-finite tally /

@@ -56,6 +56,8 @@ object Sampling {
   def exactN(df: DataFrame, idCol: String, n: Int,
       salt: String = ""): DataFrame = {
     require(n > 0, "exactN needs n > 0")
+    require(!df.columns.contains("__u"),
+      "input column '__u' collides with exactN's working column")
     df.withColumn("__u", hashUnit(col(idCol), salt))
       .orderBy(col("__u"), col(idCol))
       .limit(n)
@@ -217,9 +219,11 @@ object Sampling {
       .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(weightCol)).as("total_weight"),
+        // tie-break on the id AS-IS: a cast("long") here would be null
+        // for string ids and silently fall through to text ordering
         concat_ws(sep, transform(
           array_sort(collect_list(struct(col("__u"),
-            col(idCol).cast("long").as("__id"),
+            col(idCol).as("__id"),
             col(textCol).as("__t")))),
           s => s.getField("__t"))).as("text"))
       .select(col("shard"), col("bin"), col("text"), col("n_docs"),

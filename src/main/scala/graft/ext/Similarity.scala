@@ -245,7 +245,7 @@ object Similarity {
     CacheScope.withCached(
       normalized(df, idCol, vecCol)
         .withColumn("bucket", lshBucket(col("nvec"), nPlanes))) { b =>
-      val pruned = capBuckets(b, Seq("bucket"), maxBucketSize)
+      val pruned = Dedup.capBuckets(b, Seq("bucket"), maxBucketSize)
       val left = pruned.select(col("id").as("query_id"),
         col("nvec").as("nvec_a"), col("bucket"))
       val right = pruned.select(col("id").as("neighbor_id"),
@@ -257,24 +257,6 @@ object Similarity {
       rankTopK(scored, k)
     }
 
-  /** Drop rows of buckets larger than `cap` (0 = off) — the degenerate-
-    * hub safety valve for Σ per-bucket n² stages: one dense bucket
-    * (near-identical boilerplate embeddings, an all-zeros-ish corner)
-    * otherwise quadratically dominates the join. Same convention as the
-    * MinHash banding cap; report pruned hubs separately if needed
-    * (compare against an uncapped bucket count).
-    */
-  private def capBuckets(
-      b: DataFrame, keys: Seq[String], cap: Int): DataFrame =
-    if (cap <= 0) b
-    else {
-      val kc = keys.map(col)
-      val small = b.groupBy(kc: _*)
-        .agg(count(lit(1)).as("__bcnt"))
-        .filter(col("__bcnt") <= cap)
-        .drop("__bcnt")
-      b.join(small, keys, "left_semi")
-    }
 
   /** Multi-table [[knnJoinLsh]]: `nTables` independent sign-bit plane
     * sets over the same normalized scan; candidates are the UNION of
@@ -293,7 +275,7 @@ object Similarity {
     require(nTables >= 1 && nTables * nPlanes <= MaxPlanes,
       s"$nTables tables × $nPlanes planes exceeds $MaxPlanes")
     CacheScope.withCached(normalized(df, idCol, vecCol)) { nv =>
-      val assigned = capBuckets(
+      val assigned = Dedup.capBuckets(
         (0 until nTables).map { t =>
           nv.select(col("id"), col("nvec"), lit(t).as("tbl"),
             lshBucketAt(col("nvec"), nPlanes, t * nPlanes).as("bucket"))

@@ -18,9 +18,12 @@ import org.apache.spark.sql.types._
   * hash-set pass per array, no intermediates.
   *
   * Set semantics match the built-ins on inputs with duplicates (both
-  * cardinalities are over distinct values); null elements are ignored
-  * (never present in shingle-hash arrays — the guard only keeps parity
-  * exact). Empty `sub` → 0.0, matching the `when(size > 0, ...)` guard
+  * cardinalities are over distinct values). Null elements are IGNORED —
+  * this intentionally diverges from the `size(array_distinct(sub))`
+  * formulation, which counts a null member into the denominator; null
+  * elements never occur in shingle-hash arrays, so the parity spec
+  * ([[graft.ext.Dedup.containmentHashesHof]]) agrees on every real
+  * input. Empty `sub` → 0.0, matching the `when(size > 0, ...)` guard
   * this replaces.
   */
 case class ContainmentLong(left: Expression, right: Expression)
