@@ -450,6 +450,25 @@ object SparkEntry {
       .withColumn("doc_id", col("doc_id") + 1000000))
   }
 
+  /** Normalized dedup (TextAnalysis.normalizedHash): documents plus
+    * case/punctuation-mangled copies (upper-cased, " !!" appended) of
+    * the first 50 — byte-exact hashing can NOT group these; the
+    * canonicalized key recovers exactly the 50 mangled pairs at
+    * exact-dedup cost (one hash-agg on the 48-bit key).
+    */
+  private def xTextNormalize(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val mangled = d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 3000000).as("doc_id"),
+        concat(upper(col("text")), lit(" !!")).as("text"))
+    d.select(col("doc_id"), col("text")).unionByName(mangled)
+      .groupBy(TextAnalysis.normalizedHash(col("text")).as("norm_hash"))
+      .agg(count(lit(1)).as("n_members"), min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+      .filter(col("n_members") > 1)
+      .orderBy("norm_hash")
+  }
+
   /** Exact dedup: full-content-hash groups over documents + copies. */
   private def xDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactDupGroups(docsWithCopies(s, dir), "text")
@@ -681,6 +700,21 @@ object SparkEntry {
       .orderBy("train_id", "eval_id")
   }
 
+  /** Semantic decontamination (Decontaminate.semanticContamination):
+    * train vectors (vec_id >= 50) whose cosine against any eval vector
+    * (vec_id < 50) reaches 0.4 — paraphrase-level leakage the shingle
+    * pass can't see. Broadcast eval, streaming train, bounded-top-k
+    * argmax; the sim doubles hash-compare because both engines fold the
+    * dot left-to-right over identically normalized vectors.
+    */
+  private def xDecontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.ext.Decontaminate.semanticContamination(
+        e.filter(col("vec_id") >= 50), e.filter(col("vec_id") < 50),
+        threshold = 0.4)
+      .orderBy("train_id")
+  }
+
   /** End-to-end dedup application: near-dup pairs → transitive clusters
     * → corpus minus non-canonical members. The surviving id set is the
     * deduplicated corpus (canonicals + singletons).
@@ -873,6 +907,31 @@ object SparkEntry {
         max(col("doc_id")).as("max_id"))
       .orderBy("shard")
 
+  /** Deterministic global shuffle (Sampling.deterministicShuffle): the
+    * whole corpus numbered 0..n-1 in stable-hash order — reproducible
+    * training-order randomization. The numbering is the two-phase
+    * bucketed form (bucket counts → driver prefix sum → per-bucket
+    * window), never a single-partition global window; the oracle is the
+    * single-window formulation it must exactly equal.
+    */
+  private def xSampleShuffle(s: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicShuffle(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id",
+        nBuckets = 64, salt = "shuf1")
+      .select(col("doc_id"), col("idx"))
+      .orderBy("doc_id")
+
+  /** Curriculum sharding (Sampling.curriculumShards): corpus ordered by
+    * length (n_chars ascending — the standard easy-to-hard proxy), cut
+    * into 4 contiguous shards via the bucketed global index.
+    */
+  private def xSampleCurriculum(s: SparkSession, dir: String): DataFrame =
+    Sampling.curriculumShards(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", col("n_chars"), floor(col("n_chars") / 64), nShards = 4)
+      .select(col("doc_id"), col("idx"), col("shard"))
+      .orderBy("doc_id")
+
   /** End-to-end cleaning funnel over documents + injected exact copies:
     * quality filter → repetition filter (top-word fraction: the
     * keyword-stuffing gate — every doc here is Latin script, so a
@@ -1032,6 +1091,33 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast(LongType))
       .orderBy("query_id", "rank")
   }
+
+  /** Full-corpus distributed k-means (Similarity.kmeansFitFull): the
+    * sample fit seeds a Lloyd loop whose assignment and decimal-exact
+    * per-dimension sums run over ALL vectors — the quantizer path that
+    * still works when the corpus no longer fits a driver-side sample.
+    * Output is the final assignment; the oracle re-fits the same
+    * deterministic path and embeds the centroids as literals
+    * (dynamicOracleSql), so the whole fit is hash-checked end to end.
+    */
+  private def xSimKmeansFull(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.kmeansFitFull(e, nLists = 8, iters = 2)
+    Similarity.ivfIndexWith(e, cents)
+      .select(col("id"), col("list_id"))
+      .orderBy("id")
+  }
+
+  /** Deterministic random projection (Similarity.randomProjection):
+    * 64-dim embeddings → 8 dims via hash-parity ±1/√8 sign rows —
+    * matrix-free JL compression as a narrow per-row map. Scalar-row
+    * output (id, dim, proj); the oracle embeds the same sign constants.
+    */
+  private def xSimRproj(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(t(s, dir, "embeddings"), "vec_id",
+        "embedding", inDims = 64, outDims = 8)
+      .select(col("id"), posexplode(col("pvec")).as(Seq("dim", "proj")))
+      .orderBy("id", "dim")
 
   /** Brute-force cosine top-k: 5 query vectors vs the full corpus; rank
     * output only (cosine computed in doubles on both engines, but kept
@@ -1550,7 +1636,13 @@ object SparkEntry {
     "x_sim_knn_graph" -> (xSimKnnGraph _),
     "x_sample_budget" -> (xSampleBudget _),
     "x_text_chunks" -> (xTextChunks _),
-    "x_sim_knn_multi" -> (xSimKnnMulti _)
+    "x_sim_knn_multi" -> (xSimKnnMulti _),
+    "x_sim_kmeans_full" -> (xSimKmeansFull _),
+    "x_decontaminate_semantic" -> (xDecontaminateSemantic _),
+    "x_sample_shuffle" -> (xSampleShuffle _),
+    "x_sample_curriculum" -> (xSampleCurriculum _),
+    "x_sim_rproj" -> (xSimRproj _),
+    "x_text_normalize" -> (xTextNormalize _)
   )
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
@@ -1721,6 +1813,76 @@ object SparkEntry {
         |WHERE b.id NOT IN
         |  (SELECT id FROM clusters WHERE id <> cluster_id)
         |ORDER BY b.id""".stripMargin,
+    "x_text_normalize" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, upper(text) || ' !!' AS text
+        |  FROM documents WHERE doc_id < 50),
+        |n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+        |  FROM base)
+        |SELECT ${duckHash48("norm")} AS norm_hash,
+        |  count(*) AS n_members, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id
+        |FROM n GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY norm_hash""".stripMargin,
+    "x_sim_rproj" -> {
+      val scale = 1.0 / math.sqrt(8.0)
+      val rows = (0 until 8).map { j =>
+        s"($j, " + Similarity.projectionSigns(64, j, scale)
+          .map(_.toString).mkString("[", ",", "]") + ")"
+      }.mkString(",\n        ")
+      s"""WITH s AS (SELECT CAST(j AS INTEGER) AS dim,
+        |    list_transform(sv, x -> CAST(x AS DOUBLE)) AS sv
+        |  FROM (VALUES
+        |        $rows) AS t(j, sv)),
+        |v AS (SELECT vec_id AS id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |      FROM embeddings WHERE len(embedding) = 64)
+        |SELECT id, dim,
+        |  list_sum(list_transform(range(1, 65), i -> vec[i] * sv[i]))
+        |    AS proj
+        |FROM v, s ORDER BY id, dim""".stripMargin
+    },
+    "x_sample_shuffle" ->
+      s"""SELECT doc_id,
+        |  row_number() OVER (ORDER BY h, doc_id) - 1 AS idx
+        |FROM (SELECT doc_id,
+        |  ${duckHash48("('shuf1' || CAST(doc_id AS VARCHAR))")} AS h
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "x_sample_curriculum" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS idx
+        |  FROM documents)
+        |SELECT doc_id, idx,
+        |  CAST(floor(idx * 4 / (SELECT count(*) FROM r)) AS INTEGER)
+        |    AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "x_decontaminate_semantic" ->
+      """WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
+        |tr AS (SELECT id AS train_id, nvec AS tvec FROM v WHERE id >= 50),
+        |ev AS (SELECT id AS eval_id, nvec AS evec FROM v WHERE id < 50),
+        |s AS (SELECT train_id, eval_id,
+        |        list_sum(list_transform(range(1, len(tvec) + 1),
+        |          i -> tvec[i] * evec[i])) AS sim
+        |      FROM tr, ev),
+        |f AS (SELECT train_id, eval_id, sim,
+        |        row_number() OVER (PARTITION BY train_id
+        |          ORDER BY sim DESC, eval_id) AS rn
+        |      FROM s WHERE sim >= 0.4)
+        |SELECT train_id, eval_id, sim FROM f WHERE rn = 1
+        |ORDER BY train_id""".stripMargin,
     "x_sample_split" -> {
       val Seq(cTrain, cValid) = Sampling.cumThresholds(SplitWeights)
       s"""SELECT doc_id,
@@ -3228,16 +3390,48 @@ object SparkEntry {
     * Double.toString round-trips, so both engines compute dots over
     * bit-identical centroid values.
     */
+  /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
+    * Verify skip the generation work when a name filter excludes them.
+    */
+  val dynamicQueryNames: Set[String] =
+    Set("x_sim_ivf_kmeans", "x_sim_kmeans_full")
+
   def dynamicOracleSql(
       spark: SparkSession, sfDir: String): Map[String, String] = {
-    val cents = graft.ext.Similarity
-      .kmeansCentroids(t(spark, sfDir, "embeddings"), nLists = 16)
-      .collect()
+    def centLits(df: DataFrame): String = df.collect()
       .sortBy(_.getLong(0))
       .map(r => s"(${r.getLong(0)}, " +
         r.getSeq[Double](1).map(_.toString).mkString("[", ",", "]") + ")")
       .mkString(",\n        ")
-    Map("x_sim_ivf_kmeans" ->
+    val cents = centLits(graft.ext.Similarity
+      .kmeansCentroids(t(spark, sfDir, "embeddings"), nLists = 16))
+    // x_sim_kmeans_full: identical re-fit (decimal-exact distributed
+    // sums make the two fits bitwise equal), centroids as literals, and
+    // the assignment argmax becomes a plain row_number pick.
+    val fullCents = centLits(graft.ext.Similarity
+      .kmeansFitFull(t(spark, sfDir, "embeddings"), nLists = 8, iters = 2))
+    Map(
+      "x_sim_kmeans_full" ->
+      s"""WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
+        |cents AS (SELECT CAST(list_id AS BIGINT) AS list_id,
+        |            list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec
+        |          FROM (VALUES
+        |        $fullCents) AS lit(list_id, cvec))
+        |SELECT id, list_id FROM (
+        |  SELECT vv.id, c.list_id,
+        |    row_number() OVER (PARTITION BY vv.id ORDER BY
+        |      list_sum(list_transform(range(1, len(vv.nvec) + 1),
+        |        i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
+        |  FROM v vv, cents c) WHERE rn = 1
+        |ORDER BY id""".stripMargin,
+      "x_sim_ivf_kmeans" ->
       s"""WITH v0 AS (
         |  SELECT vec_id AS id, embedding AS vec,
         |    sqrt(list_sum(list_transform(embedding,

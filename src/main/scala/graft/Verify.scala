@@ -55,7 +55,7 @@ object Verify {
     // skip the generation work entirely (an embeddings scan + driver
     // k-means fit) when a name filter excludes every dynamic query
     val dynamicNeeded =
-      only.isEmpty || only("x_sim_ivf_kmeans")
+      only.isEmpty || only.exists(SparkEntry.dynamicQueryNames)
     val dynamic =
       if (!dynamicNeeded) Map.empty[String, String]
       else try SparkEntry.dynamicOracleSql(spark, sfDir)

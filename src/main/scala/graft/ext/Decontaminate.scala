@@ -51,6 +51,41 @@ object Decontaminate {
           .as("eval_coverage"))
   }
 
+  /** Embedding-space (semantic) decontamination: training vectors whose
+    * cosine against ANY eval vector reaches `threshold`, each with its
+    * best-matching eval id — catches paraphrased/reformatted benchmark
+    * leakage that k-gram shingle overlap misses.
+    *
+    * Same scale shape as the shingle pass: the eval side is broadcast
+    * (a benchmark suite is tiny next to the corpus), the train side
+    * STREAMS through the nested-loop join — zero corpus shuffle — and
+    * the per-train argmax is the bounded-top-k hash aggregate (k=1,
+    * map-side partials), not a window sort. Sub-threshold pairs are
+    * filtered before the aggregate, so the shuffle carries only actual
+    * contamination candidates. Cosines are left-to-right double folds
+    * over pre-normalized vectors ([[Similarity.normalized]] /
+    * [[Similarity.dotN]]) — deterministic and oracle-portable. Ties on
+    * the max go to the smaller eval id.
+    */
+  def semanticContamination(train: DataFrame, evalSet: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.8): DataFrame = {
+    val tr = Similarity.normalized(train, idCol, vecCol)
+      .select(col("id").as("train_id"), col("nvec").as("tvec"))
+    val ev = Similarity.normalized(evalSet, idCol, vecCol)
+      .select(col("id").as("eval_id"), col("nvec").as("evec"))
+    tr.crossJoin(broadcast(ev))
+      .select(col("train_id"), col("eval_id"),
+        Similarity.dotN(col("tvec"), col("evec")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("train_id"))
+      .agg(graft.functions.BoundedTopK.topk(
+        col("sim"), col("eval_id"), 1).as("best"))
+      .select(col("train_id"),
+        element_at(col("best"), 1).getField("id").as("eval_id"),
+        element_at(col("best"), 1).getField("score").as("sim"))
+  }
+
   /** Text-column convenience: tokenize both corpora, then
     * [[contaminationFromTokens]].
     */

@@ -265,6 +265,96 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Scalable deterministic GLOBAL row numbering by (`orderKey`, id)
+    * ascending: returns (id..., idx) with idx = 0-based global rank.
+    * The naive formulation — `row_number` over a global ORDER BY — is a
+    * single-partition window: every row of a 100 TB corpus through one
+    * reducer. This is the classic two-phase replacement:
+    *
+    *   1. `bucket` (caller-supplied, a MONOTONE coarsening of orderKey
+    *      with bounded cardinality — all rows of a lower bucket order
+    *      before all rows of a higher one) partitions the order;
+    *   2. per-bucket counts (one map-side-combinable agg, output =
+    *      #buckets rows) are prefix-summed on the driver into bucket
+    *      offsets — bounded state, independent of corpus size;
+    *   3. within-bucket `row_number` (a Window PARTITIONED on bucket —
+    *      each partition holds ≈ n/#buckets rows, the knob the caller
+    *      sizes to executor memory) + broadcast offset = global index.
+    *
+    * Ties in orderKey land in the same bucket (bucket is a function of
+    * the key), so the global order is exactly (orderKey, id) — identical
+    * to the single-window formulation, hash-checkable against a plain
+    * `row_number() OVER (ORDER BY key, id) - 1` oracle.
+    */
+  def globalIndex(df: DataFrame, idCol: String, orderKey: Column,
+      bucket: Column): DataFrame = {
+    require(
+      !df.columns.exists(Seq("__ok", "__b", "__off", "__rn", "idx").contains),
+      "input columns collide with globalIndex working/output columns " +
+        "(__ok/__b/__off/__rn/idx)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    CacheScope.withCached(
+      df.withColumn("__ok", orderKey)
+        .withColumn("__b", bucket.cast("long"))) { base =>
+      val counts = base.groupBy(col("__b")).count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val offsets = counts.map(_._1)
+        .zip(counts.scanLeft(0L)(_ + _._2).init)
+      indexWithOffsets(base, idCol, offsets.toSeq)
+    }
+  }
+
+  /** Phase 3 of [[globalIndex]] — bucketed numbering against collected
+    * bucket offsets. Package-private so PlanSpec can assert the Window
+    * is PARTITIONED (on __b), never a single-partition global sort.
+    */
+  private[graft] def indexWithOffsets(base: DataFrame, idCol: String,
+      offsets: Seq[(Long, Long)]): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__b", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__ok"), col(idCol))
+    base.join(broadcast(offDf), "__b")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("idx", col("__off") + col("__rn") - 1)
+      .drop("__ok", "__b", "__off", "__rn")
+  }
+
+  /** Deterministic global shuffle with a materialized order index: rows
+    * numbered by their stable hash — the "randomize training order,
+    * reproducibly" operator. `nBuckets` (≤ 16384) is the parallelism /
+    * partition-size knob for the bucketed numbering; bucket = the hash's
+    * top bits, monotone by construction. Output: input columns + idx.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      nBuckets: Int = 1024, salt: String = ""): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= 16384,
+      "nBuckets must be in (0, 16384]")
+    val h = Dedup.hash48(concat(lit(salt), col(idCol).cast("string")))
+    // (h * nBuckets) stays < 2^62 for nBuckets ≤ 2^14: exact long math
+    globalIndex(df, idCol, h, (h * nBuckets) / lit(HashSpan.toLong))
+  }
+
+  /** Curriculum sharding: order the corpus by a difficulty/quality
+    * score (ascending, id tie-break) and cut it into `nShards` equal
+    * contiguous shards — shard 0 = easiest fraction, the
+    * curriculum-learning data layout. `bucket` coarsens the score
+    * monotonically (e.g. `floor(score / w)`); clamping keeps any
+    * outlier monotone. Output: input columns + idx + shard.
+    */
+  def curriculumShards(df: DataFrame, idCol: String, scoreCol: Column,
+      bucket: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    require(!df.columns.contains("shard"),
+      "input column 'shard' collides with curriculumShards's output")
+    val idx = globalIndex(df, idCol, scoreCol, bucket)
+    val total = idx.count()
+    idx.withColumn("shard",
+      floor(col("idx") * nShards / lit(total)).cast("int"))
+  }
+
   /** Weighted corpus mixing: keep a row iff its hash unit is below the
     * keep-fraction of its `sourceCol` value (`default` for unlisted
     * sources). The standard "mix N corpora at chosen rates into one

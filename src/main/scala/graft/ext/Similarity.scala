@@ -297,6 +297,43 @@ object Similarity {
     }
   }
 
+  // ------------------------------------------------------- dim reduction
+  /** Sign row j of the projection matrix: ±1/√outDims by the parity of
+    * the portable hash of (salt, j, i). Exposed so oracle SQL embeds the
+    * SAME doubles the engine multiplies by.
+    */
+  def projectionSigns(inDims: Int, j: Int, scale: Double,
+      salt: String = "rp"): Seq[Double] =
+    (0 until inDims).map(i =>
+      if (Dedup.hash48Value(s"${salt}_${j}_${i}") % 2 == 0) scale else -scale)
+
+  /** Deterministic random projection (the dense ±1 Achlioptas/JL
+    * family): out_j = Σ_i vec_i · s_ij with s_ij = ±1/√outDims chosen by
+    * hash parity — no driver-side randomness, no fitted model, no
+    * shuffle. Each output dim is one native O(d) dot against a LITERAL
+    * sign array (constant-folded, codegen'd), so the whole projection is
+    * a narrow per-row map: the embedding-compression pass for a 100 TB
+    * vector column runs at scan speed and reruns bit-identically on any
+    * engine (the sign constants are [[projectionSigns]], embeddable in
+    * SQL). Rows whose vector length differs from `inDims` are dropped
+    * (a projection against a mismatched sign row would be silently
+    * wrong). JL distance preservation holds for outDims = O(log n / ε²).
+    *
+    * Output: (id, pvec array<double> of outDims).
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      inDims: Int, outDims: Int, salt: String = "rp"): DataFrame = {
+    require(inDims > 0 && outDims > 0, "dims must be positive")
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val projCols = (0 until outDims).map { j =>
+      dotN(col("vec"), typedLit(projectionSigns(inDims, j, scale, salt)))
+    }
+    df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .filter(size(col("vec")) === inDims)
+      .select(col("id"), array(projCols: _*).as("pvec"))
+  }
+
   // ------------------------------------------------------------------ IVF
   /** Deterministic trivial quantizer: the `nLists` corpus vectors with
     * the smallest ids as centroids — the fully oracle-checkable path
@@ -369,6 +406,80 @@ object Similarity {
     cents.zipWithIndex
       .map { case (c, j) => (j.toLong, c.toSeq) }.toSeq
       .toDF("list_id", "cvec")
+  }
+
+  /** Full-corpus distributed Lloyd iteration — the 100 TB refinement of
+    * [[kmeansCentroids]]. The sample fit bootstraps (its centroids seed
+    * the loop), then each iteration runs over ALL data:
+    *
+    *   - assignment: broadcast the current `nLists` centroids and argmax
+    *     the dot per vector ([[assignToLists]] — a map-side-combinable
+    *     hash aggregate, no window sort);
+    *   - update: `posexplode` the assigned vectors and sum per
+    *     (list_id, dim). The shuffle after map-side partials carries at
+    *     most nLists·dims rows per task — independent of corpus size —
+    *     and the collected update is nLists·dims cells (bounded driver
+    *     state, e.g. 4096 lists × 1024 dims ≈ 32 MB).
+    *
+    * Determinism is load-bearing (the harness oracle re-fits and embeds
+    * the centroids as SQL literals, so two fits must agree bitwise):
+    * double summation is NOT associative, and a distributed `sum(double)`
+    * varies with partial-aggregation order. The per-dimension sums are
+    * therefore accumulated as decimal(30,18) — exact, order-independent
+    * arithmetic (the same trick as the dedup cluster propagation's
+    * label-sum convergence check) — and only divided/normalized on the
+    * driver in a fixed dimension order. Empty lists keep their previous
+    * centroid; argmax ties go to the smaller list id.
+    *
+    * Returns (list_id, cvec) with unit-norm double centroids, suitable
+    * for [[ivfIndexWith]] / [[ivfTopKWith]].
+    */
+  def kmeansFitFull(corpus: DataFrame, nLists: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      iters: Int = 3, sampleN: Int = 256, sampleIters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: Array[Array[Double]] =
+      kmeansCentroids(corpus, nLists, idCol, vecCol, sampleN, sampleIters)
+        .collect().sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray)
+    val dims = cents.head.length
+    CacheScope.withCached(normalized(corpus, idCol, vecCol)) { v =>
+      var it = 0
+      while (it < iters) {
+        val centsDf = cents.zipWithIndex
+          .map { case (c, j) => (j.toLong, c.toSeq) }.toSeq
+          .toDF("list_id", "cvec")
+        val update = assignToLists(v, centsDf)
+          .select(col("list_id"),
+            posexplode(col("nvec")).as(Seq("pos", "x")))
+          .groupBy(col("list_id"), col("pos"))
+          .agg(sum(col("x").cast("decimal(30,18)")).as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+        val sums = Array.fill(nLists)(new Array[java.math.BigDecimal](dims))
+        val counts = new Array[Long](nLists)
+        update.foreach { r =>
+          val j = r.getLong(0).toInt
+          sums(j)(r.getInt(1)) = r.getDecimal(2)
+          counts(j) = r.getLong(3)
+        }
+        cents = cents.zipWithIndex.map { case (old, j) =>
+          if (counts(j) == 0L) old
+          else {
+            val n = new java.math.BigDecimal(counts(j))
+            val m = sums(j).map(s =>
+              s.divide(n, java.math.MathContext.DECIMAL128).doubleValue())
+            val nrm = math.sqrt(m.map(x => x * x).sum)
+            if (nrm > 0) m.map(_ / nrm) else old
+          }
+        }
+        it += 1
+      }
+      cents.zipWithIndex
+        .map { case (c, j) => (j.toLong, c.toSeq) }.toSeq
+        .toDF("list_id", "cvec")
+    }
   }
 
   /** Nearest-centroid assignment: argmax centroid dot per vector, via

@@ -47,6 +47,25 @@ object TextAnalysis {
         / length(c))
       .otherwise(lit(0.0))
 
+  /** Canonical text normalization for dedup keys: lowercase, strip
+    * every non-alphanumeric to a space, collapse whitespace runs, trim.
+    * The standard pre-hash canonicalization (case/punctuation/spacing
+    * variants of the same content normalize to one string) — a pure
+    * per-row projection, zero shuffle, engine-portable (ASCII-safe
+    * regexes, identical in RE2 and Java). Unicode-aware folding would
+    * bolt on in front as another `regexp_replace`/`translate` layer.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** 48-bit portable hash of the normalized text — the near-exact dedup
+    * key: join/groupBy on this collapses formatting twins that byte
+    * hashing misses, at exact-dedup cost (one hash-agg on a bounded
+    * key).
+    */
+  def normalizedHash(c: Column): Column = Dedup.hash48(normalizeText(c))
+
   /** Occurrences of a literal substring — replace-based so the same
     * arithmetic is expressible in any SQL dialect (oracle parity).
     */

@@ -236,6 +236,24 @@ class PlanSpec extends SparkSpec {
       "weightedExactN must keep exactN's TakeOrdered no-shuffle contract")
   }
 
+  test("globalIndex numbers via a PARTITIONED window, offsets broadcast") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"))
+      .withColumn("__ok", col("doc_id") * 7)
+      .withColumn("__b", (col("doc_id") % 16).cast("long"))
+    val idx = graft.ext.Sampling.indexWithOffsets(base, "doc_id",
+      (0L until 16L).map(b => (b, b * 100L)))
+    val all = nodes(idx)
+    val wins = all.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the per-bucket numbering window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "an UNPARTITIONED window here is the single-reducer global sort " +
+        "the two-phase numbering exists to avoid")
+    assert(all.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "the bucket-offset table must ride a broadcast, not a shuffle")
+  }
+
   test("dropDuplicateMembers does not force-broadcast the dup-id set") {
     // The dup-id set scales with the corpus duplicate rate, so the anti
     // join must be left to AQE's size gate. Disabling the broadcast

@@ -717,6 +717,86 @@ class ExtSpec extends SparkSpec {
     assert(recall > 0.4, s"recall $recall")
   }
 
+  test("kmeansFitFull: deterministic across runs, unit norms, assigns all") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val fit1 = Similarity.kmeansFitFull(e, nLists = 4, iters = 2)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val fit2 = Similarity.kmeansFitFull(e, nLists = 4, iters = 2)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // bitwise equality: distributed sums are decimal-exact, driver math
+    // is fixed-order — the oracle's literal-centroid re-fit depends on it
+    assert(fit1.toSeq == fit2.toSeq)
+    assert(fit1.length == 4)
+    fit1.foreach { case (_, c) =>
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-9, s"centroid norm $nrm")
+    }
+    val cents = Similarity.kmeansFitFull(e, nLists = 4, iters = 2)
+    val index = Similarity.ivfIndexWith(e, cents)
+    assert(index.count() == Similarity.normalized(e, "vec_id", "embedding")
+      .count())
+    // full-data refinement should not be WORSE balanced than the plain
+    // sample fit's documented bound
+    val sizes = index.groupBy("list_id").count().collect().map(_.getLong(1))
+    assert(sizes.length == 4 && sizes.max <= 3 * sizes.sum / 4,
+      s"unbalanced: ${sizes.mkString(",")}")
+  }
+
+  test("semanticContamination flags planted eval near-copies only") {
+    val dim = 8
+    def basis(i: Int): Seq[Float] =
+      Seq.tabulate(dim)(j => if (j == i) 1.0f else 0.0f)
+    val evalSet = (0 until 4).map(i => (i.toLong, basis(i)))
+      .toDF("vec_id", "embedding")
+    // train: ids 100+i are near-copies (tiny second component), ids
+    // 200+i are orthogonal basis vectors
+    val train = ((0 until 4).map(i => (100L + i,
+        basis(i).updated((i + 4) % dim, 0.01f))) ++
+      (0 until 4).map(i => (200L + i, basis(i + 4))))
+      .toDF("vec_id", "embedding")
+    val got = graft.ext.Decontaminate.semanticContamination(
+        train, evalSet, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0 until 4).map(i => (100L + i, i.toLong)).toSet)
+  }
+
+  test("randomProjection: basis vectors recover the sign rows") {
+    val dim = 16
+    val df = (0 until dim).map(i =>
+        (i.toLong, Seq.tabulate(dim)(j => if (j == i) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val k = 4
+    val got = Similarity.randomProjection(df, "vec_id", "embedding",
+        inDims = dim, outDims = k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    (0 until dim).foreach { i =>
+      val want = (0 until k).map(j =>
+        Similarity.projectionSigns(dim, j, scale)(i))
+      assert(got(i.toLong) == want, s"dim $i")
+    }
+    // mismatched vector lengths are dropped, not silently mis-projected
+    val short = Seq((99L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.randomProjection(short, "vec_id", "embedding",
+      inDims = dim, outDims = k).count() == 0)
+  }
+
+  test("normalizeText canonicalizes case/punct/whitespace variants") {
+    val df = Seq(
+      (1L, "  Hello,   WORLD!! 42 "),
+      (2L, "hello world 42"),
+      (3L, "different text")).toDF("id", "text")
+    val r = df.select(col("id"),
+        TextAnalysis.normalizeText(col("text")).as("n"),
+        TextAnalysis.normalizedHash(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(r.find(_._1 == 1L).get._2 == "hello world 42")
+    assert(r.find(_._1 == 1L).get._3 == r.find(_._1 == 2L).get._3)
+    assert(r.find(_._1 == 3L).get._3 != r.find(_._1 == 2L).get._3)
+  }
+
   test("dedup/similarity release their caches before returning") {
     spark.catalog.clearCache()
     Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5).count()

@@ -121,6 +121,47 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("globalIndex equals the single-window formulation, any layout") {
+    val df = (0L until 5000L).toDF("id").repartition(13)
+    val h = Dedup.hash48(concat(lit("gi"), col("id").cast("string")))
+    val got = Sampling.globalIndex(df, "id", h,
+        (h * 64) / lit(Sampling.HashSpan.toLong))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy(h, col("id"))
+    val want = df.withColumn("idx",
+        row_number().over(w).cast("long") - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+    // a permutation: every index 0..n-1 exactly once
+    assert(got.values.toSeq.sorted == (0L until 5000L))
+  }
+
+  test("deterministicShuffle + curriculumShards: stable, contiguous") {
+    val docs = (0L until 2000L).map(i => (i, (i * 37) % 501))
+      .toDF("id", "len")
+    val s1 = Sampling.deterministicShuffle(docs, "id", nBuckets = 32,
+      salt = "x").collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val s2 = Sampling.deterministicShuffle(docs.repartition(7), "id",
+      nBuckets = 32, salt = "x").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(s1 == s2) // layout-independent
+    val sh = Sampling.curriculumShards(docs, "id", col("len"),
+      floor(col("len") / 50), nShards = 4)
+    val rows = sh.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.map(_._4).distinct.sorted.toSeq == Seq(0, 1, 2, 3))
+    // shards are contiguous in the global order and equal-sized
+    val byShard = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+    assert(byShard.values.map(_.length).toSet == Set(500))
+    (0 to 2).foreach { s =>
+      assert(byShard(s).max < byShard(s + 1).min)
+    }
+    // ordering respects the score: easiest shard tops out below the
+    // hardest shard's floor
+    val lens = rows.groupBy(_._4).view.mapValues(_.map(_._2)).toMap
+    assert(lens(0).max <= lens(3).min)
+  }
+
   test("weightedMix applies per-source rates with default for unlisted") {
     val docs = (0L until 3000L)
       .map(i => (i, s"src${(i % 3).toInt}")).toDF("id", "source")
