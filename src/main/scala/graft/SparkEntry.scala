@@ -700,6 +700,25 @@ object SparkEntry {
       .orderBy("train_id", "eval_id")
   }
 
+  /** Bloom-screened decontamination (Decontaminate.contaminationBloom):
+    * same corpus and planted eval excerpts as x_decontaminate, but the
+    * train shingles are prefiltered map-side against a constant-size
+    * bloom of the eval shingles before the exact verification join.
+    * The oracle is x_decontaminate's EXACT SQL — a green row proves the
+    * screen is lossless.
+    */
+  private def xDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val evalSet = base.filter(col("id") % 50 === 0)
+      .select((col("id") + 2000000).as("id"),
+        slice(col("toks"), lit(1),
+          floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    graft.ext.Decontaminate.contaminationBloom(base, evalSet,
+        k = 5, minShared = 2)
+      .orderBy("train_id", "eval_id")
+  }
+
   /** Semantic decontamination (Decontaminate.semanticContamination):
     * train vectors (vec_id >= 50) whose cosine against any eval vector
     * (vec_id < 50) reaches 0.4 — paraphrase-level leakage the shingle
@@ -906,6 +925,27 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
         max(col("doc_id")).as("max_id"))
       .orderBy("shard")
+
+  /** Z-order layout audit (Layout.zValue): lineitem keys mapped into
+    * fixed 8-bit lanes (mod 256 — the documented "map keys into
+    * [0,2^bits)" contract, scale-independent) and interleaved into a
+    * 16-bit Morton value; output = per-z-bucket row counts and min/max
+    * of BOTH lanes. Every bucket is a 32×32 tile — narrow ranges in
+    * every dimension are what make parquet min/max pruning fire
+    * multi-dimensionally after a z-order rewrite. Pure integer bit
+    * arithmetic, 64 output rows at any scale factor.
+    */
+  private def xLayoutZorder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select((col("l_partkey") % 256).as("pk"),
+        (col("l_suppkey") % 256).as("sk"))
+      .select(graft.ext.Layout.zValue(Seq(col("pk"), col("sk")), 8)
+          .as("zval"), col("pk"), col("sk"))
+      .groupBy(shiftright(col("zval"), 10).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min("pk").as("min_part"), max("pk").as("max_part"),
+        min("sk").as("min_supp"), max("sk").as("max_supp"))
+      .orderBy("zbucket")
 
   /** Deterministic global shuffle (Sampling.deterministicShuffle): the
     * whole corpus numbered 0..n-1 in stable-hash order — reproducible
@@ -1118,6 +1158,21 @@ object SparkEntry {
         "embedding", inDims = 64, outDims = 8)
       .select(col("id"), posexplode(col("pvec")).as(Seq("dim", "proj")))
       .orderBy("id", "dim")
+
+  /** Product-quantization ANN (Similarity.pqFit/pqEncode/pqTopK): the
+    * corpus compressed to 16 codes/vector (16 subspaces × 16 centroids),
+    * queries scored by ADC table lookups. The oracle re-fits the same
+    * deterministic codebooks and re-derives codes, tables, and the
+    * subspace-ordered score fold from the embedded literals
+    * (dynamicOracleSql) — the whole compressed pipeline hash-checks.
+    */
+  private def xSimPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = Similarity.pqFit(e, m = 16, ks = 16)
+    Similarity.pqTopK(e.filter(col("vec_id") < 5), e, 10, model)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
 
   /** Brute-force cosine top-k: 5 query vectors vs the full corpus; rank
     * output only (cosine computed in doubles on both engines, but kept
@@ -1642,8 +1697,41 @@ object SparkEntry {
     "x_sample_shuffle" -> (xSampleShuffle _),
     "x_sample_curriculum" -> (xSampleCurriculum _),
     "x_sim_rproj" -> (xSimRproj _),
-    "x_text_normalize" -> (xTextNormalize _)
+    "x_text_normalize" -> (xTextNormalize _),
+    "x_decontaminate_bloom" -> (xDecontaminateBloom _),
+    "x_sim_pq" -> (xSimPq _),
+    "x_layout_zorder" -> (xLayoutZorder _)
   )
+
+  /** Exact-decontamination oracle, shared by `x_decontaminate` and
+    * `x_decontaminate_bloom` — the bloom screen composes with the exact
+    * verification join into a result IDENTICAL to the exact pass, and
+    * sharing the SQL is how the harness proves it.
+    */
+  private lazy val decontaminateOracle: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+      |      AS toks
+      |  FROM documents),
+      |tr AS (
+      |  SELECT doc_id AS train_id, ${duckShingleHashes5("toks")} AS sh
+      |  FROM tok),
+      |evtok AS (
+      |  SELECT doc_id + 2000000 AS eval_id,
+      |    list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INTEGER))
+      |      AS toks
+      |  FROM tok WHERE doc_id % 50 = 0),
+      |ev AS (
+      |  SELECT eval_id, ${duckShingleHashes5("toks")} AS sh FROM evtok)
+      |SELECT train_id, eval_id, n_shared,
+      |  CAST(n_shared AS DOUBLE) / n_eval AS eval_coverage
+      |FROM (SELECT t.train_id, e.eval_id,
+      |        len(list_intersect(t.sh, e.sh)) AS n_shared,
+      |        len(e.sh) AS n_eval
+      |      FROM tr t, ev e)
+      |WHERE n_shared >= 2
+      |ORDER BY train_id, eval_id""".stripMargin
 
   /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
     * hex chars of md5(e) — parsed digit-by-digit (DuckDB 1.0 has no
@@ -1774,30 +1862,9 @@ object SparkEntry {
       s"""WITH $duckMinhashPairCtes
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
-    "x_decontaminate" ->
-      s"""WITH tok AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
-        |      AS toks
-        |  FROM documents),
-        |tr AS (
-        |  SELECT doc_id AS train_id, ${duckShingleHashes5("toks")} AS sh
-        |  FROM tok),
-        |evtok AS (
-        |  SELECT doc_id + 2000000 AS eval_id,
-        |    list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INTEGER))
-        |      AS toks
-        |  FROM tok WHERE doc_id % 50 = 0),
-        |ev AS (
-        |  SELECT eval_id, ${duckShingleHashes5("toks")} AS sh FROM evtok)
-        |SELECT train_id, eval_id, n_shared,
-        |  CAST(n_shared AS DOUBLE) / n_eval AS eval_coverage
-        |FROM (SELECT t.train_id, e.eval_id,
-        |        len(list_intersect(t.sh, e.sh)) AS n_shared,
-        |        len(e.sh) AS n_eval
-        |      FROM tr t, ev e)
-        |WHERE n_shared >= 2
-        |ORDER BY train_id, eval_id""".stripMargin,
+    "x_decontaminate" -> decontaminateOracle,
+    // same SQL on purpose: the bloom variant must be lossless
+    "x_decontaminate_bloom" -> decontaminateOracle,
     "x_dedup_apply" ->
       s"""WITH RECURSIVE $duckMinhashPairCtes,
         |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
@@ -1846,6 +1913,20 @@ object SparkEntry {
         |    AS proj
         |FROM v, s ORDER BY id, dim""".stripMargin
     },
+    "x_layout_zorder" ->
+      """WITH m AS (
+        |  SELECT l_partkey % 256 AS pk, l_suppkey % 256 AS sk
+        |  FROM lineitem),
+        |z AS (
+        |  SELECT pk, sk,
+        |    CAST(list_sum(list_transform(range(0, 8), b ->
+        |      (((pk >> b) & 1) << (2 * b)) +
+        |      (((sk >> b) & 1) << (2 * b + 1)))) AS BIGINT) AS zval
+        |  FROM m)
+        |SELECT zval >> 10 AS zbucket, count(*) AS n,
+        |  min(pk) AS min_part, max(pk) AS max_part,
+        |  min(sk) AS min_supp, max(sk) AS max_supp
+        |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin,
     "x_sample_shuffle" ->
       s"""SELECT doc_id,
         |  row_number() OVER (ORDER BY h, doc_id) - 1 AS idx
@@ -3394,7 +3475,7 @@ object SparkEntry {
     * Verify skip the generation work when a name filter excludes them.
     */
   val dynamicQueryNames: Set[String] =
-    Set("x_sim_ivf_kmeans", "x_sim_kmeans_full")
+    Set("x_sim_ivf_kmeans", "x_sim_kmeans_full", "x_sim_pq")
 
   def dynamicOracleSql(
       spark: SparkSession, sfDir: String): Map[String, String] = {
@@ -3410,7 +3491,57 @@ object SparkEntry {
     // the assignment argmax becomes a plain row_number pick.
     val fullCents = centLits(graft.ext.Similarity
       .kmeansFitFull(t(spark, sfDir, "embeddings"), nLists = 8, iters = 2))
+    // x_sim_pq: re-fit the deterministic codebooks, embed (j, code,
+    // centroid, bias) literals; codes/tables/score fold re-derive in SQL
+    // with the same subspace-ordered arithmetic.
+    val pq = graft.ext.Similarity
+      .pqFit(t(spark, sfDir, "embeddings"), m = 16, ks = 16)
+    val pqRows = (for (j <- 0 until pq.m; c <- 0 until pq.ks) yield
+      s"($j, $c, " +
+        pq.codebooks(j)(c).map(_.toString).mkString("[", ",", "]") +
+        s", ${pq.biases(j)(c)})")
+      .mkString(",\n        ")
     Map(
+      "x_sim_pq" ->
+      s"""WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
+        |cb AS (SELECT CAST(j AS INTEGER) AS j, CAST(code AS INTEGER)
+        |         AS code,
+        |         list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec,
+        |         CAST(bias AS DOUBLE) AS bias
+        |       FROM (VALUES
+        |        $pqRows) AS t(j, code, cvec, bias)),
+        |sc AS (SELECT vv.id, c.j, c.code,
+        |    list_sum(list_transform(range(1, ${pq.ds + 1}),
+        |      i -> vv.nvec[c.j * ${pq.ds} + i] * c.cvec[i])) + c.bias AS s
+        |  FROM v vv, cb c),
+        |enc0 AS (SELECT id, j, code FROM (
+        |    SELECT id, j, code,
+        |      row_number() OVER (PARTITION BY id, j
+        |                         ORDER BY s DESC, code) AS rn
+        |    FROM sc) WHERE rn = 1),
+        |ec AS (SELECT id, list(code ORDER BY j) AS codes
+        |       FROM enc0 GROUP BY id),
+        |qt AS (SELECT id AS query_id, j, list(s ORDER BY code) AS tl
+        |       FROM sc WHERE id < 5 GROUP BY id, j),
+        |qm AS (SELECT query_id, list(tl ORDER BY j) AS tls
+        |       FROM qt GROUP BY query_id),
+        |scored AS (SELECT qm.query_id, ec.id AS neighbor_id,
+        |    list_sum(list_transform(range(1, ${pq.m + 1}),
+        |      j -> qm.tls[j][ec.codes[j] + 1])) AS sim
+        |  FROM qm, ec WHERE qm.query_id <> ec.id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
       "x_sim_kmeans_full" ->
       s"""WITH v0 AS (
         |  SELECT vec_id AS id, embedding AS vec,

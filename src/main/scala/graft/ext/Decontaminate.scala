@@ -51,6 +51,47 @@ object Decontaminate {
           .as("eval_coverage"))
   }
 
+  /** [[contaminationFromTokens]] with a bloom prefilter on the train
+    * side — the shape for when the eval suite itself is too large to
+    * broadcast as an exploded shingle table. The eval shingle hashes
+    * aggregate into a CONSTANT-size bloom ([[graft.functions.Bloom]]:
+    * numBits bits however many shingles eval has); train shingles are
+    * screened map-side with `might_contain` BEFORE any join, so only
+    * candidate collisions (true hits + the configured false-positive
+    * rate) ever shuffle. The exact join then removes false positives:
+    * the RESULT is identical to the exact pass — bloom screens have no
+    * false negatives — which is what the shared oracle checks. The
+    * verification join is deliberately un-hinted: the screened side is
+    * candidate-only and AQE size-gates the strategy.
+    */
+  def contaminationBloom(
+      train: DataFrame, evalSet: DataFrame,
+      k: Int = 5, minShared: Int = 2,
+      estimatedEvalShingles: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    val trainSh = train.select(col("id").as("train_id"),
+      explode(Dedup.shingleHashesFromTokens(col("toks"), k)).as("h"))
+    val evalSh = CacheScope.withCached(
+      evalSet.select(col("id").as("eval_id"),
+        Dedup.shingleHashesFromTokens(col("toks"), k).as("sh"))) { base =>
+      base.select(col("eval_id"), size(col("sh")).as("n_eval"),
+        explode(col("sh")).as("h"))
+    }
+    val filter = evalSh
+      .agg(graft.functions.Bloom.agg(col("h"), estimatedEvalShingles,
+        numBits).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    trainSh
+      .filter(graft.functions.Bloom.mightContain(filter, col("h")))
+      .join(evalSh, "h")
+      .groupBy("train_id", "eval_id", "n_eval")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("train_id"), col("eval_id"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_eval"))
+          .as("eval_coverage"))
+  }
+
   /** Embedding-space (semantic) decontamination: training vectors whose
     * cosine against ANY eval vector reaches `threshold`, each with its
     * best-matching eval id — catches paraphrased/reformatted benchmark

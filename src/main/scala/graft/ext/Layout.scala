@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: Z-order (Morton) clustering for multi-column
+  * data skipping.
+  *
+  * Why it matters at 100 TB: parquet row-group pruning works off
+  * per-file min/max ranges. A corpus sorted by ONE key prunes scans on
+  * that key only; filters on a second key read everything. Interleaving
+  * the bits of k keys into one Morton value and range-sorting by it
+  * gives every file a narrow range in EVERY interleaved dimension, so
+  * min/max pruning works for all of them at once — the standard
+  * lakehouse `OPTIMIZE ZORDER BY` layout, here as a plain deterministic
+  * expression + range repartition.
+  *
+  * The z-value is pure integer bit arithmetic (shifts/masks/adds —
+  * exact, order-free, engine-portable), so layouts are reproducible and
+  * oracle-checkable cell-for-cell.
+  */
+object Layout {
+
+  /** Morton (Z-curve) value: interleave the low `bits` bits of each
+    * column, column 0 in the lowest lane. Inputs are masked to `bits`
+    * (callers with signed/wider keys map them into [0, 2^bits) first —
+    * rank or hash them; interleaving raw values preserves locality only
+    * for non-negative keys). k·bits must fit a long (≤ 62).
+    */
+  def zValue(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.length
+    require(k >= 2, "z-ordering needs at least two columns")
+    require(bits > 0 && k * bits <= 62, s"$k columns × $bits bits > 62")
+    val terms = for {
+      (c, lane) <- cols.zipWithIndex
+      b <- 0 until bits
+    } yield shiftleft(
+      shiftright(c.cast("long"), b).bitwiseAND(lit(1L)),
+      b * k + lane)
+    terms.reduce(_ + _)
+  }
+
+  /** Rewrite the frame in Z-order: range-repartition by the z-value
+    * (sampled range boundaries — balanced output files without a global
+    * sort) and sort within each partition. `numFiles` is the output
+    * file-count knob; each written file then spans a contiguous z-range
+    * = a small hyper-rectangle of the key space, which is what makes
+    * min/max pruning fire on every z-dimension. The z column is kept
+    * (`zCol`) so writers can also partition or name by it.
+    */
+  def zOrdered(df: DataFrame, keys: Seq[String], bits: Int,
+      numFiles: Int, zCol: String = "zval"): DataFrame = {
+    require(!df.columns.contains(zCol),
+      s"input column '$zCol' collides with the z-value output")
+    df.withColumn(zCol, zValue(keys.map(col), bits))
+      .repartitionByRange(numFiles, col(zCol))
+      .sortWithinPartitions(col(zCol))
+  }
+}

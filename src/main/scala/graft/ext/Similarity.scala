@@ -334,6 +334,140 @@ object Similarity {
       .select(col("id"), array(projCols: _*).as("pvec"))
   }
 
+  // ------------------------------------------------- product quantization
+  /** Driver-side PQ model: per-subspace codebooks fitted on the same
+    * deterministic md5-ordered sample as [[kmeansCentroids]].
+    * `codebooks(j)(c)` is the ds-dim centroid of code c in subspace j;
+    * `biases(j)(c) = -||c||²/2`, so nearest-by-L2 assignment and ADC
+    * scoring both reduce to argmax of (x_j · c + bias) — dot folds
+    * against literals, the only arithmetic the engine (and the oracle)
+    * ever runs.
+    */
+  final case class PqModel(
+      m: Int, ks: Int, ds: Int,
+      codebooks: Array[Array[Array[Double]]],
+      biases: Array[Array[Double]])
+
+  /** Fit PQ codebooks: Lloyd per subspace over the bounded deterministic
+    * sample (collected once — sampleN·dims doubles of driver state).
+    * Deterministic end to end: md5-ordered sample, fixed iterations,
+    * argmin ties to the smaller code, empty cells keep their previous
+    * centroid — two fits are bitwise identical, so oracle SQL can embed
+    * the codebooks as literals.
+    */
+  def pqFit(corpus: DataFrame, m: Int = 8, ks: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleN: Int = 256, iters: Int = 5): PqModel = {
+    val sample: Array[Array[Double]] =
+      normalized(corpus, idCol, vecCol)
+        .orderBy(md5(col("id").cast("string")), col("id"))
+        .limit(sampleN)
+        .select(col("nvec")).collect()
+        .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= ks, s"need at least $ks sample vectors")
+    val dims = sample.head.length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m subspaces")
+    val ds = dims / m
+    val codebooks = Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * ds,
+        (j + 1) * ds))
+      var cents: Array[Array[Double]] = sub.take(ks).map(_.clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ks)(new Array[Double](ds))
+        val counts = new Array[Int](ks)
+        sub.foreach { s =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ks) {
+            var d2 = 0.0; var i = 0
+            while (i < ds) {
+              val diff = s(i) - cents(c)(i); d2 += diff * diff; i += 1
+            }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < ds) { sums(best)(i) += s(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+        }
+        it += 1
+      }
+      cents
+    }
+    val biases = codebooks.map(_.map(c => -c.map(x => x * x).sum / 2.0))
+    PqModel(m, ks, ds, codebooks, biases)
+  }
+
+  /** PQ-encode the corpus: each vector → `m` small codes (argmax of the
+    * per-subspace centroid score — min-L2 via the bias trick, ties to
+    * the smaller code). ONE narrow projection over the scan: m·ks
+    * native dots against literal centroids per row, no shuffle, no
+    * fitted state on executors beyond plan literals. Output
+    * (id, codes array<int>) — m bytes-ish per vector instead of 4·dims:
+    * at 100 TB of float32 embeddings this is the difference between an
+    * index that fits executor memory and one that spills (ks=256 packs
+    * to exactly m bytes; ks=16 to m/2).
+    */
+  def pqEncode(df: DataFrame, model: PqModel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codeCols = (0 until model.m).map { j =>
+      val sub = slice(col("nvec"), j * model.ds + 1, model.ds)
+      val scores = array((0 until model.ks).map { c =>
+        dotN(sub, typedLit(model.codebooks(j)(c).toSeq)) +
+          lit(model.biases(j)(c))
+      }: _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+    normalized(df, idCol, vecCol)
+      .select(col("id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    * full-precision, per-subspace lookup tables are computed ONCE per
+    * query on the driver (m·ks doubles — queries are small by the same
+    * contract as [[bruteForceTopK]]), and each corpus row scores as m
+    * table lookups summed in subspace order — no floating work against
+    * the corpus beyond the fold. The scored stream ranks through the
+    * bounded-top-k aggregate (no window). Compression error makes this
+    * approximate; recall is asserted in tests, exactness by the oracle
+    * re-deriving the same tables from the same literal codebooks.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      model: PqModel, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val enc = pqEncode(corpus, model, idCol, vecCol)
+    val qTables: Seq[(Long, Seq[Seq[Double]])] =
+      normalized(queries, idCol, vecCol).collect().toSeq.map { r =>
+        val id = r.getLong(0)
+        val q = r.getSeq[Double](1).toArray
+        val tables = (0 until model.m).map { j =>
+          (0 until model.ks).map { c =>
+            var s = 0.0; var i = 0
+            while (i < model.ds) {
+              s += q(j * model.ds + i) * model.codebooks(j)(c)(i); i += 1
+            }
+            s + model.biases(j)(c)
+          }
+        }
+        (id, tables)
+      }
+    val qDf = qTables.toDF("query_id", "tables")
+    val scored = enc.crossJoin(broadcast(qDf))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        aggregate(
+          zip_with(col("codes"), col("tables"),
+            (c, t) => element_at(t, c + 1)),
+          lit(0.0), (acc, v) => acc + v).as("sim"))
+    rankTopK(scored, k)
+  }
+
   // ------------------------------------------------------------------ IVF
   /** Deterministic trivial quantizer: the `nLists` corpus vectors with
     * the smallest ids as centroids — the fully oracle-checkable path

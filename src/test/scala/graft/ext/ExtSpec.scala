@@ -744,6 +744,32 @@ class ExtSpec extends SparkSpec {
       s"unbalanced: ${sizes.mkString(",")}")
   }
 
+  test("contaminationBloom is lossless vs the exact pass; empty eval → 0") {
+    val corpus = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val base = corpus.select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val evalSet = base.filter(col("id") % 20 === 0)
+      .select((col("id") + 9000000).as("id"), col("toks"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val exact = graft.ext.Decontaminate
+      .contaminationFromTokens(base, evalSet, k = 5, minShared = 2)
+      .collect().map(key).toSet
+    val bloom = graft.ext.Decontaminate
+      .contaminationBloom(base, evalSet, k = 5, minShared = 2)
+      .collect().map(key).toSet
+    assert(exact.nonEmpty && bloom == exact)
+    // an undersized filter raises false positives, never losses
+    val tiny = graft.ext.Decontaminate.contaminationBloom(base, evalSet,
+        k = 5, minShared = 2, estimatedEvalShingles = 16, numBits = 64)
+      .collect().map(key).toSet
+    assert(tiny == exact)
+    val none = graft.ext.Decontaminate.contaminationBloom(base,
+      evalSet.filter(col("id") < 0), k = 5, minShared = 2)
+    assert(none.count() == 0)
+  }
+
   test("semanticContamination flags planted eval near-copies only") {
     val dim = 8
     def basis(i: Int): Seq[Float] =
@@ -795,6 +821,70 @@ class ExtSpec extends SparkSpec {
     assert(r.find(_._1 == 1L).get._2 == "hello world 42")
     assert(r.find(_._1 == 1L).get._3 == r.find(_._1 == 2L).get._3)
     assert(r.find(_._1 == 3L).get._3 != r.find(_._1 == 2L).get._3)
+  }
+
+  test("zValue matches reference interleave; buckets are square tiles") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(b =>
+        (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1)))
+        .sum
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val rows = grid.select(col("x"), col("y"),
+        Layout.zValue(Seq(col("x"), col("y")), 6).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (x, y, z) =>
+      assert(z == ref(x, y, 6), s"($x,$y)")
+    }
+    // z >> 8 buckets the 64×64 grid into contiguous 16×16 tiles: every
+    // bucket spans ≤ 15 in BOTH dimensions — the multi-dim pruning win
+    rows.groupBy(_._3 >> 8).foreach { case (_, tile) =>
+      val xs = tile.map(_._1); val ys = tile.map(_._2)
+      assert(tile.length == 256)
+      assert(xs.max - xs.min == 15 && ys.max - ys.min == 15)
+    }
+  }
+
+  test("zOrdered range-partitions and locally sorts by the z-value") {
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y").repartition(9)
+    val z = Layout.zOrdered(grid, Seq("x", "y"), bits = 5, numFiles = 4)
+    // per-partition z sequences are sorted and partition ranges disjoint
+    val parts = z.select(spark_partition_id().as("p"), col("zval"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    parts.values.foreach(zs => assert(zs == zs.sorted))
+    val ranges = parts.toSeq.sortBy(_._1)
+      .map { case (_, zs) => (zs.min, zs.max) }
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ =>
+    }
+    // nothing lost, z computed over all rows
+    assert(z.count() == 32L * 32L)
+  }
+
+  test("PQ: deterministic fit, valid codes, decent ADC recall") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val m1 = Similarity.pqFit(e, m = 16, ks = 16)
+    val m2 = Similarity.pqFit(e, m = 16, ks = 16)
+    // bitwise-equal fits: the oracle embeds a re-fit's codebooks
+    assert(m1.codebooks.flatten.flatten.toSeq ==
+      m2.codebooks.flatten.flatten.toSeq)
+    assert(m1.biases.flatten.toSeq == m2.biases.flatten.toSeq)
+    val enc = Similarity.pqEncode(e, m1)
+    assert(enc.count() ==
+      Similarity.normalized(e, "vec_id", "embedding").count())
+    val codes = enc.select(explode(col("codes")).as("c"))
+      .collect().map(_.getInt(0))
+    assert(codes.forall(c => c >= 0 && c < 16))
+    val queries = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, e, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(queries, e, 10, m1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"ADC recall $recall")
   }
 
   test("dedup/similarity release their caches before returning") {
