@@ -450,6 +450,40 @@ object SparkEntry {
       .withColumn("doc_id", col("doc_id") + 1000000))
   }
 
+  /** Rolling per-user features (Features.trailing): every event
+    * annotated with its user's trailing-1-hour event count and exact
+    * cent-sum. Key-partitioned value-range window — per-key history
+    * partitions, integer-exact frame sums.
+    */
+  private def xFeatureRolling(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Features.trailing(
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("value")),
+        "user_id", unix_micros(col("ts")),
+        floor(col("value") * 100).cast("long"), 3600L * 1000000L)
+      .select(col("event_id"), col("user_id"), col("n_trail"),
+        col("sum_trail"))
+      .orderBy("event_id")
+
+  /** Char-bigram entropy (TextAnalysis.charBigramEntropy): per-doc
+    * Shannon entropy in nats via the native one-pass `array_entropy` —
+    * documents plus one planted low-entropy spam row ("ha ha ha …"),
+    * which must score far below the prose. Deterministic double fold
+    * (sorted key order) keeps the raw doubles hash-comparable.
+    */
+  private def xTextEntropy(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val spam = d.sparkSession.range(1).select(
+      lit(4000000L).as("doc_id"),
+      lit(("ha " * 40).trim).as("text"))
+    d.select(col("doc_id"), col("text")).unionByName(spam)
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"),
+        TextAnalysis.charBigramEntropy(col("text")).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Normalized dedup (TextAnalysis.normalizedHash): documents plus
     * case/punctuation-mangled copies (upper-cased, " !!" appended) of
     * the first 50 — byte-exact hashing can NOT group these; the
@@ -1194,6 +1228,16 @@ object SparkEntry {
       .withColumn("rank", col("rank").cast(LongType))
       .orderBy("query_id", "rank")
 
+  /** Multi-probe LSH kNN (Similarity.knnJoinLshMultiProbe): every query
+    * probes its bucket plus the 8 Hamming-1 flips — recall without
+    * extra tables; probe-side fan-out only.
+    */
+  private def xSimLshProbe(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnJoinLshMultiProbe(t(s, dir, "embeddings"), 3,
+        nPlanes = 8)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+
   /** Two-table LSH kNN-graph (Similarity.knnJoinLshMulti): union of
     * bucket-mates from two independent plane sets — the recall lever;
     * candidate count stays Σ per-bucket n² per table.
@@ -1700,7 +1744,10 @@ object SparkEntry {
     "x_text_normalize" -> (xTextNormalize _),
     "x_decontaminate_bloom" -> (xDecontaminateBloom _),
     "x_sim_pq" -> (xSimPq _),
-    "x_layout_zorder" -> (xLayoutZorder _)
+    "x_layout_zorder" -> (xLayoutZorder _),
+    "x_sim_lsh_probe" -> (xSimLshProbe _),
+    "x_text_entropy" -> (xTextEntropy _),
+    "x_feature_rolling" -> (xFeatureRolling _)
   )
 
   /** Exact-decontamination oracle, shared by `x_decontaminate` and
@@ -1880,6 +1927,37 @@ object SparkEntry {
         |WHERE b.id NOT IN
         |  (SELECT id FROM clusters WHERE id <> cluster_id)
         |ORDER BY b.id""".stripMargin,
+    "x_feature_rolling" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_trail,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS sum_trail
+        |FROM (SELECT event_id, user_id,
+        |        CAST(floor(value * 100) AS BIGINT) AS cents,
+        |        epoch_us(ts) AS tus
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "x_text_entropy" -> {
+      val spamText = ("ha " * 40).trim
+      s"""WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 4000000 AS doc_id, '$spamText' AS text),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, length(text)),
+        |      i -> substr(text, CAST(i AS INTEGER), 2))) AS b
+        |  FROM base WHERE length(text) >= 2),
+        |c AS (SELECT doc_id, b, count(*) AS cnt FROM bg
+        |      GROUP BY doc_id, b),
+        |l AS (SELECT doc_id, list(cnt ORDER BY b) AS cnts,
+        |        CAST(sum(cnt) AS DOUBLE) AS n
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id,
+        |  ln(n) - list_sum(list_transform(cnts, c -> c * ln(c))) / n
+        |    AS entropy
+        |FROM l ORDER BY doc_id""".stripMargin
+    },
     "x_text_normalize" ->
       s"""WITH base AS (
         |  SELECT doc_id, text FROM documents
@@ -3379,6 +3457,45 @@ object SparkEntry {
         |      i -> a.nvec[i] * b.nvec[i])) AS sim
         |  FROM bkt a JOIN bkt b
         |    ON a.bucket = b.bucket AND a.id <> b.id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "x_sim_lsh_probe" ->
+      s"""WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
+        |planesd AS (SELECT ${duckPlanes(8, 64)} AS m),
+        |bkt AS (
+        |  SELECT id, nvec,
+        |    CAST(list_sum(list_transform(range(0, 8), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(nvec) + 1),
+        |          d -> nvec[d] * m[CAST(p + 1 AS INTEGER)][CAST(d AS INTEGER)]))
+        |          > 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+        |        ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM v, planesd),
+        |pr AS (
+        |  SELECT id AS query_id, nvec AS nvec_a,
+        |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+        |      xor(bucket, 4), xor(bucket, 8), xor(bucket, 16),
+        |      xor(bucket, 32), xor(bucket, 64), xor(bucket, 128)])
+        |      AS probe
+        |  FROM bkt),
+        |s AS (
+        |  SELECT pr.query_id, b.id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(pr.nvec_a) + 1),
+        |      i -> pr.nvec_a[i] * b.nvec[i])) AS sim
+        |  FROM pr JOIN bkt b
+        |    ON pr.probe = b.bucket AND pr.query_id <> b.id),
         |r AS (
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id

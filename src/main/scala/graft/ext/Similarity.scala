@@ -297,6 +297,40 @@ object Similarity {
     }
   }
 
+  /** Multi-probe [[knnJoinLsh]]: each query probes its own bucket PLUS
+    * the `nPlanes` buckets at Hamming distance 1 (each sign bit
+    * flipped) — recovering near-miss neighbors that one hyperplane
+    * split separated, WITHOUT building more hash tables. The fan-out
+    * multiplies only the probe-side keys ((nPlanes+1) rows per query);
+    * the index side stays one row per vector — versus multi-table's T
+    * full index copies, the classic probe-vs-memory tradeoff. Each
+    * neighbor lives in exactly one bucket and probe buckets are
+    * distinct, so a candidate pair arises at most once — no dedup
+    * stage. Shuffle keys are still (probe, bucket) only.
+    */
+  def knnJoinLshMultiProbe(df: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nPlanes: Int = 8, maxBucketSize: Int = 0): DataFrame =
+    CacheScope.withCached(
+      normalized(df, idCol, vecCol)
+        .withColumn("bucket", lshBucket(col("nvec"), nPlanes))) { b =>
+      val pruned = Dedup.capBuckets(b, Seq("bucket"), maxBucketSize)
+      val probes = pruned.select(col("id").as("query_id"),
+        col("nvec").as("nvec_a"),
+        explode(array((0 to nPlanes).map { i =>
+          if (i == 0) col("bucket")
+          else col("bucket").bitwiseXOR(lit(1L << (i - 1)))
+        }: _*)).as("probe"))
+      val right = pruned.select(col("id").as("neighbor_id"),
+        col("nvec").as("nvec_b"), col("bucket").as("bucket_b"))
+      val scored = probes.join(right,
+          col("probe") === col("bucket_b") &&
+            col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          dotN(col("nvec_a"), col("nvec_b")).as("sim"))
+      rankTopK(scored, k)
+    }
+
   // ------------------------------------------------------- dim reduction
   /** Sign row j of the projection matrix: ±1/√outDims by the parity of
     * the portable hash of (salt, j, i). Exposed so oracle SQL embeds the

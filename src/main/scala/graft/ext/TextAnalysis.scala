@@ -66,6 +66,25 @@ object TextAnalysis {
     */
   def normalizedHash(c: Column): Column = Dedup.hash48(normalizeText(c))
 
+  /** Overlapping character bigrams of the text: positions 1..len-1,
+    * each a 2-char substring. The lambda touches only its own index
+    * variable plus the SOURCE column (cheap — no expensive-alias
+    * re-evaluation trap).
+    */
+  def charBigrams(c: Column): Column =
+    transform(sequence(lit(1), length(c) - 1), i => c.substr(i, lit(2)))
+
+  /** Shannon entropy (nats) of the char-bigram distribution — the
+    * classic gibberish/keyboard-mash/compressibility quality signal:
+    * natural prose sits well above repeated-run spam, without any
+    * compression UDF. Computed by the native `array_entropy` expression:
+    * ONE hash-count pass per row inside codegen, summed in binary key
+    * order so the double fold is deterministic and oracle-matchable.
+    * Zero shuffle — a narrow projection like the other quality scores.
+    */
+  def charBigramEntropy(c: Column): Column =
+    graft.functions.ArrayCounts.entropyOf(charBigrams(c))
+
   /** Occurrences of a literal substring — replace-based so the same
     * arithmetic is expressible in any SQL dialect (oracle parity).
     */

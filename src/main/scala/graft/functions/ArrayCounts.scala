@@ -58,9 +58,39 @@ object ArrayCounts {
     m.size.toLong + (if (sawNull) 1L else 0L)
   }
 
+  private def entropyNats(arr: ArrayData): Double = {
+    // TreeMap: the c·ln(c) fold must run in a DETERMINISTIC element
+    // order (double addition is order-sensitive) — binary UTF8 order
+    // here, matching SQL engines' default binary collation so an
+    // oracle's `list(cnt ORDER BY key)` folds the same sequence
+    val m = new java.util.TreeMap[UTF8String, Long]()
+    var n = 0L
+    var i = 0
+    val sz = arr.numElements()
+    while (i < sz) {
+      if (!arr.isNullAt(i)) {
+        m.merge(arr.getUTF8String(i), 1L, (a, b) => a + b)
+        n += 1L
+      }
+      i += 1
+    }
+    if (n == 0L) 0.0
+    else {
+      // H = ln(n) - (Σ c·ln c)/n — one division, no per-element p=c/n
+      var s = 0.0
+      val it = m.values().iterator()
+      while (it.hasNext) {
+        val c = it.next().toDouble
+        s += c * math.log(c)
+      }
+      math.log(n.toDouble) - s / n
+    }
+  }
+
   /** Public entry points referenced from generated code. */
   def computeTop(arr: ArrayData): Long = countsMax(arr)
   def computeDistinct(arr: ArrayData): Long = distinct(arr)
+  def computeEntropy(arr: ArrayData): Double = entropyNats(arr)
 
   def topCount(a: Column): Column =
     GraftSqlShim.column(TopCount(
@@ -68,6 +98,10 @@ object ArrayCounts {
 
   def distinctCount(a: Column): Column =
     GraftSqlShim.column(DistinctCount(
+      GraftSqlShim.expression(a.cast("array<string>"))))
+
+  def entropyOf(a: Column): Column =
+    GraftSqlShim.column(ArrayEntropy(
       GraftSqlShim.expression(a.cast("array<string>"))))
 
   import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
@@ -87,6 +121,14 @@ object ArrayCounts {
     case other => throw new IllegalArgumentException(
       s"array_distinct_count expects 1 argument, got ${other.size}")
   }
+
+  val entropyInfo = new ExpressionInfo(classOf[ArrayEntropy].getName,
+    "array_entropy")
+  val entropyBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => ArrayEntropy(Cast(a, ArrayType(StringType)))
+    case other => throw new IllegalArgumentException(
+      s"array_entropy expects 1 argument, got ${other.size}")
+  }
 }
 
 /** `array_top_count(arr)` — the multiplicity of the most frequent
@@ -103,6 +145,24 @@ case class TopCount(child: Expression) extends UnaryExpression {
       s"graft.functions.ArrayCounts$$.MODULE$$.computeTop($c)")
   override protected def withNewChildInternal(
       newChild: Expression): TopCount = copy(child = newChild)
+}
+
+/** `array_entropy(arr)` — Shannon entropy (nats) of the element
+  * multiplicity distribution; 0 for an empty array, nulls ignored.
+  * One hash-count pass per row plus a sorted fold (determinism note in
+  * [[ArrayCounts]]).
+  */
+case class ArrayEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_entropy"
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayCounts.computeEntropy(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ArrayCounts$$.MODULE$$.computeEntropy($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): ArrayEntropy = copy(child = newChild)
 }
 
 /** `array_distinct_count(arr)` — the number of distinct elements. */

@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("array_distinct_count"),
         ArrayCounts.distinctInfo, ArrayCounts.distinctBuilder))
     ext.injectFunction(
+      (FunctionIdentifier("array_entropy"), ArrayCounts.entropyInfo,
+        ArrayCounts.entropyBuilder))
+    ext.injectFunction(
       (FunctionIdentifier("jaccard_long"), JaccardLong.info,
         JaccardLong.builder))
     ext.injectFunction(
@@ -74,6 +77,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("array_distinct_count"), ArrayCounts.distinctInfo,
       ArrayCounts.distinctBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("array_entropy"), ArrayCounts.entropyInfo,
+      ArrayCounts.entropyBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("jaccard_long"), JaccardLong.info,
       JaccardLong.builder)

@@ -823,6 +823,76 @@ class ExtSpec extends SparkSpec {
     assert(r.find(_._1 == 3L).get._3 != r.find(_._1 == 2L).get._3)
   }
 
+  test("multi-probe LSH: candidate superset of single-probe, same plan k") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val single = Similarity.knnJoinLsh(e, 3, nPlanes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.knnJoinLshMultiProbe(e, 3, nPlanes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every query keeps at least its single-probe neighbor count, and
+    // the probe expansion must recover additional Hamming-1 neighbors
+    // somewhere in the corpus
+    val exact = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 20), e, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(ann: Set[(Long, Long)]) =
+      (exact & ann).size.toDouble / exact.size
+    assert(recall(multi) >= recall(single),
+      s"multi ${recall(multi)} < single ${recall(single)}")
+    assert(multi.size > single.size, "probing added no candidates")
+  }
+
+  test("charBigramEntropy: zero for runs, matches reference, spam low") {
+    def ref(s: String): Double = {
+      val bgs = (0 until s.length - 1).map(i => s.substring(i, i + 2))
+      val counts = scala.collection.immutable.TreeMap(
+        bgs.groupBy(identity).view.mapValues(_.size.toLong).toSeq: _*)
+      val n = bgs.size.toDouble
+      var acc = 0.0
+      counts.values.foreach(c => acc += c.toDouble * math.log(c.toDouble))
+      math.log(n) - acc / n
+    }
+    val texts = Seq((1L, "aaaaaaaa"), (2L, "the quick brown fox jumps"),
+      (3L, "ha ha ha ha ha ha"))
+    val got = texts.toDF("id", "text")
+      .select(col("id"),
+        TextAnalysis.charBigramEntropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    texts.foreach { case (id, s) => assert(got(id) == ref(s), s"id $id") }
+    assert(got(1L) == 0.0)
+    assert(got(3L) < got(2L), "spam must score below prose")
+  }
+
+  test("Features.trailing matches brute force, layout-invariant") {
+    val ev = Seq(
+      // user 1: events at 0s, 30m, 65m, 70m (1h window in micros)
+      (1L, 1L, 0L, 150L), (2L, 1L, 1800L * 1000000, 250L),
+      (3L, 1L, 3900L * 1000000, 100L), (4L, 1L, 4200L * 1000000, 300L),
+      // user 2: single event; user 3: two ties at the same timestamp
+      (5L, 2L, 1000L * 1000000, 500L),
+      (6L, 3L, 2000L * 1000000, 10L), (7L, 3L, 2000L * 1000000, 20L)
+    ).toDF("event_id", "user_id", "tus", "cents")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Features.trailing(df, "user_id", col("tus"), col("cents"),
+          3600L * 1000000L)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    val got = run(ev)
+    val rows = Seq((1L, 1L, 0L, 150L), (2L, 1L, 1800L * 1000000, 250L),
+      (3L, 1L, 3900L * 1000000, 100L), (4L, 1L, 4200L * 1000000, 300L),
+      (5L, 2L, 1000L * 1000000, 500L),
+      (6L, 3L, 2000L * 1000000, 10L), (7L, 3L, 2000L * 1000000, 20L))
+    rows.foreach { case (id, u, t, _) =>
+      val frame = rows.filter { case (_, u2, t2, _) =>
+        u2 == u && t2 <= t && t2 >= t - 3600L * 1000000L }
+      assert(got(id) == ((frame.size.toLong, frame.map(_._4).sum)),
+        s"event $id")
+    }
+    // ties share identical frames (value-based RANGE, not row-based)
+    assert(got(6L) == got(7L))
+    assert(run(ev.repartition(5)) == got)
+  }
+
   test("zValue matches reference interleave; buckets are square tiles") {
     def ref(x: Long, y: Long, bits: Int): Long =
       (0 until bits).map(b =>

@@ -63,6 +63,20 @@ class NativeFnSqlSpec extends SparkSpec {
     assert(r.getLong(3) == 2L) // int array casts to array<string>
   }
 
+  test("array_entropy in SQL: uniform ln(n), runs 0, nulls ignored") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT array_entropy(array('a','b','c','d')) AS uniform,
+        |  array_entropy(array('x','x','x')) AS run,
+        |  array_entropy(array()) AS empty,
+        |  array_entropy(array('a', NULL, 'b')) AS withnull
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == math.log(4.0))
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == math.log(2.0)) // null skipped, 2 of 2
+  }
+
   test("null array elements: skipped like the HOF formulations") {
     GraftFunctions.register(spark)
     val r = spark.sql(
