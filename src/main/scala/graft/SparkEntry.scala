@@ -1445,6 +1445,15 @@ object SparkEntry {
     * in every column. Streaming-mode state behavior is asserted in
     * StreamingSpec.
     */
+  /** Streaming distinct users per hour window
+    * (StreamingValidate.windowedDistinct): dropDuplicates-then-count,
+    * the watermark-bounded streaming replacement for countDistinct.
+    */
+  private def xStreamDistinct(s: SparkSession, dir: String): DataFrame =
+    StreamingValidate.windowedDistinct(
+        t(s, dir, "events").select(col("ts"), col("user_id")), "user_id")
+      .orderBy("window_start")
+
   private def xStreamDedup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -1747,7 +1756,8 @@ object SparkEntry {
     "x_layout_zorder" -> (xLayoutZorder _),
     "x_sim_lsh_probe" -> (xSimLshProbe _),
     "x_text_entropy" -> (xTextEntropy _),
-    "x_feature_rolling" -> (xFeatureRolling _)
+    "x_feature_rolling" -> (xFeatureRolling _),
+    "x_stream_distinct" -> (xStreamDistinct _)
   )
 
   /** Exact-decontamination oracle, shared by `x_decontaminate` and
@@ -1927,6 +1937,10 @@ object SparkEntry {
         |WHERE b.id NOT IN
         |  (SELECT id FROM clusters WHERE id <> cluster_id)
         |ORDER BY b.id""".stripMargin,
+    "x_stream_distinct" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
     "x_feature_rolling" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS n_trail,

@@ -77,6 +77,28 @@ object StreamingValidate {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Per-window distinct-entity counts (unique visitors / active users):
+    * a two-level streaming-safe shape — `dropDuplicates` over
+    * (window, key) bounds its state by the watermark, then a plain
+    * windowed count aggregates the survivors. The single-level
+    * `countDistinct` alternative is NOT supported in streaming
+    * aggregations (distinct state is unbounded per group); this form
+    * runs the SAME logical plan batch or streamed, shuffles once on
+    * (window, key) and once on the window, and its second shuffle
+    * carries one row per distinct key — never raw events.
+    */
+  def windowedDistinct(
+      events: DataFrame, keyCol: String,
+      windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), windowLen).as("window"), col(keyCol))
+      .dropDuplicates("window", keyCol)
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("n_distinct"))
+      .select(col("window.start").as("window_start"), col("n_distinct"))
+
   /** Sliding-window variant (windowLen every slide). */
   def slidingCounts(
       events: DataFrame,

@@ -236,6 +236,33 @@ class PlanSpec extends SparkSpec {
       "weightedExactN must keep exactN's TakeOrdered no-shuffle contract")
   }
 
+  test("PQ / multi-probe plans: no windows, no cartesian, bloom prefilters") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val e = Tables.load(spark, dir, "embeddings")
+    val model = graft.ext.Similarity.pqFit(e, m = 16, ks = 16)
+    val pq = graft.ext.Similarity.pqTopK(e.filter(col("vec_id") < 3), e,
+      5, model)
+    val pqn = nodes(pq)
+    assert(!pqn.exists(_.isInstanceOf[WindowExec]),
+      "ADC ranking must reuse the bounded_top_k aggregate")
+    assert(pqn.exists(_.isInstanceOf[ObjectHashAggregateExec]))
+    val mp = graft.ext.Similarity.knnJoinLshMultiProbe(e, 3, nPlanes = 8)
+    val mpn = nodes(mp)
+    assert(!mpn.exists(_.isInstanceOf[CartesianProductExec]),
+      "probe join must extract the (probe = bucket) equi key")
+    assert(!mpn.exists(_.isInstanceOf[WindowExec]))
+    // bloom screen: the might_contain filter must sit in the plan
+    // (map-side, before the verification join)
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    val evalSet = base.filter(col("id") % 50 === 0)
+    val bl = graft.ext.Decontaminate.contaminationBloom(base, evalSet)
+    assert(bl.queryExecution.executedPlan.toString
+      .contains("might_contain"),
+      "expected the bloom prefilter in the physical plan")
+  }
+
   test("globalIndex numbers via a PARTITIONED window, offsets broadcast") {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
     val base = Tables.load(spark, dir, "documents")

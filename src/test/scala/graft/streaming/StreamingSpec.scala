@@ -72,6 +72,21 @@ class StreamingSpec extends SparkSpec {
     assert(s.subsetOf(b))
   }
 
+  test("windowed distinct: streaming equals batch count(DISTINCT)") {
+    val streamed = runStream("win_distinct",
+      df => StreamingValidate.windowedDistinct(
+        df.select(col("ts"), col("user_id")), "user_id"),
+      mode = "append")
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct(col("user_id")).as("n_distinct"))
+      .select(col("window.start").as("window_start"), col("n_distinct"))
+    val b = batch.collect().map(_.toSeq).toSet
+    val s = streamed.collect().map(_.toSeq).toSet
+    assert(s.nonEmpty, "stream emitted no closed windows")
+    assert(s.subsetOf(b))
+  }
+
   test("violation rate over stream") {
     val out = runStream("viol_rate",
       df => StreamingValidate.violationRate(df,
