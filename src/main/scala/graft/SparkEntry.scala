@@ -1438,13 +1438,6 @@ object SparkEntry {
     StreamingValidate.sessionize(t(s, dir, "events"), 30)
       .orderBy("user_id", "session_start")
 
-  /** Batch formulation of StreamingValidate.dedupWithinWatermark under
-    * simulated at-least-once redelivery (events unioned with
-    * themselves): dedup on (event_id, ts) recovers exactly the original
-    * stream — event_id is unique, so the survivor rows are well-defined
-    * in every column. Streaming-mode state behavior is asserted in
-    * StreamingSpec.
-    */
   /** Streaming distinct users per hour window
     * (StreamingValidate.windowedDistinct): dropDuplicates-then-count,
     * the watermark-bounded streaming replacement for countDistinct.
@@ -1454,6 +1447,13 @@ object SparkEntry {
         t(s, dir, "events").select(col("ts"), col("user_id")), "user_id")
       .orderBy("window_start")
 
+  /** Batch formulation of StreamingValidate.dedupWithinWatermark under
+    * simulated at-least-once redelivery (events unioned with
+    * themselves): dedup on (event_id, ts) recovers exactly the original
+    * stream — event_id is unique, so the survivor rows are well-defined
+    * in every column. Streaming-mode state behavior is asserted in
+    * StreamingSpec.
+    */
   private def xStreamDedup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -3609,31 +3609,29 @@ object SparkEntry {
     Set("x_sim_ivf_kmeans", "x_sim_kmeans_full", "x_sim_pq")
 
   def dynamicOracleSql(
-      spark: SparkSession, sfDir: String): Map[String, String] = {
+      spark: SparkSession, sfDir: String,
+      only: Set[String] = Set.empty): Map[String, String] = {
+    // each entry's FIT is expensive (sample collects, distributed Lloyd
+    // iterations) — build only the requested ones under a name filter
+    def want(n: String): Boolean = only.isEmpty || only(n)
     def centLits(df: DataFrame): String = df.collect()
       .sortBy(_.getLong(0))
       .map(r => s"(${r.getLong(0)}, " +
         r.getSeq[Double](1).map(_.toString).mkString("[", ",", "]") + ")")
       .mkString(",\n        ")
-    val cents = centLits(graft.ext.Similarity
-      .kmeansCentroids(t(spark, sfDir, "embeddings"), nLists = 16))
-    // x_sim_kmeans_full: identical re-fit (decimal-exact distributed
-    // sums make the two fits bitwise equal), centroids as literals, and
-    // the assignment argmax becomes a plain row_number pick.
-    val fullCents = centLits(graft.ext.Similarity
-      .kmeansFitFull(t(spark, sfDir, "embeddings"), nLists = 8, iters = 2))
+    val b = Map.newBuilder[String, String]
     // x_sim_pq: re-fit the deterministic codebooks, embed (j, code,
     // centroid, bias) literals; codes/tables/score fold re-derive in SQL
     // with the same subspace-ordered arithmetic.
-    val pq = graft.ext.Similarity
-      .pqFit(t(spark, sfDir, "embeddings"), m = 16, ks = 16)
-    val pqRows = (for (j <- 0 until pq.m; c <- 0 until pq.ks) yield
-      s"($j, $c, " +
-        pq.codebooks(j)(c).map(_.toString).mkString("[", ",", "]") +
-        s", ${pq.biases(j)(c)})")
-      .mkString(",\n        ")
-    Map(
-      "x_sim_pq" ->
+    if (want("x_sim_pq")) {
+      val pq = graft.ext.Similarity
+        .pqFit(t(spark, sfDir, "embeddings"), m = 16, ks = 16)
+      val pqRows = (for (j <- 0 until pq.m; c <- 0 until pq.ks) yield
+        s"($j, $c, " +
+          pq.codebooks(j)(c).map(_.toString).mkString("[", ",", "]") +
+          s", ${pq.biases(j)(c)})")
+        .mkString(",\n        ")
+      b += ("x_sim_pq" ->
       s"""WITH v0 AS (
         |  SELECT vec_id AS id, embedding AS vec,
         |    sqrt(list_sum(list_transform(embedding,
@@ -3672,8 +3670,16 @@ object SparkEntry {
         |                           ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM scored)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-      "x_sim_kmeans_full" ->
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+    }
+    // x_sim_kmeans_full: identical re-fit (decimal-exact distributed
+    // sums make the two fits bitwise equal), centroids as literals, and
+    // the assignment argmax becomes a plain row_number pick.
+    if (want("x_sim_kmeans_full")) {
+      val fullCents = centLits(graft.ext.Similarity
+        .kmeansFitFull(t(spark, sfDir, "embeddings"), nLists = 8,
+          iters = 2))
+      b += ("x_sim_kmeans_full" ->
       s"""WITH v0 AS (
         |  SELECT vec_id AS id, embedding AS vec,
         |    sqrt(list_sum(list_transform(embedding,
@@ -3692,8 +3698,12 @@ object SparkEntry {
         |      list_sum(list_transform(range(1, len(vv.nvec) + 1),
         |        i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
         |  FROM v vv, cents c) WHERE rn = 1
-        |ORDER BY id""".stripMargin,
-      "x_sim_ivf_kmeans" ->
+        |ORDER BY id""".stripMargin)
+    }
+    if (want("x_sim_ivf_kmeans")) {
+      val cents = centLits(graft.ext.Similarity
+        .kmeansCentroids(t(spark, sfDir, "embeddings"), nLists = 16))
+      b += ("x_sim_ivf_kmeans" ->
       s"""WITH v0 AS (
         |  SELECT vec_id AS id, embedding AS vec,
         |    sqrt(list_sum(list_transform(embedding,
@@ -3733,5 +3743,7 @@ object SparkEntry {
         |      FROM scored)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+    }
+    b.result()
   }
 }

@@ -58,7 +58,7 @@ object Verify {
       only.isEmpty || only.exists(SparkEntry.dynamicQueryNames)
     val dynamic =
       if (!dynamicNeeded) Map.empty[String, String]
-      else try SparkEntry.dynamicOracleSql(spark, sfDir)
+      else try SparkEntry.dynamicOracleSql(spark, sfDir, only)
       catch { case e: Throwable =>
         System.err.println(s"[verify] dynamic oracle generation failed: $e")
         Map.empty[String, String]

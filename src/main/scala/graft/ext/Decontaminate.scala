@@ -28,27 +28,43 @@ object Decontaminate {
     * join hits equals the distinct-shared-shingle count — no
     * count_distinct shuffle-side expansion needed.
     */
-  def contaminationFromTokens(
-      train: DataFrame, evalSet: DataFrame,
-      k: Int = 5, minShared: Int = 2): DataFrame = {
-    val trainSh = train.select(col("id").as("train_id"),
+  /** Train shingles exploded to (train_id, h). */
+  private def trainShingles(train: DataFrame, k: Int): DataFrame =
+    train.select(col("train_id"),
       explode(Dedup.shingleHashesFromTokens(col("toks"), k)).as("h"))
-    // scoped cache = materialization barrier: size() and explode() both
-    // consume the shingle HOF; without it CollapseProject re-evaluates
-    // the shingling per consumer (interpreted HOFs have no CSE)
-    val evalSh = CacheScope.withCached(
+
+  /** Eval shingles exploded to (eval_id, n_eval, h). The scoped cache
+    * is a materialization barrier: size() and explode() both consume
+    * the shingle HOF; without it CollapseProject re-evaluates the
+    * shingling per consumer (interpreted HOFs have no CSE).
+    */
+  private def evalShingles(evalSet: DataFrame, k: Int): DataFrame =
+    CacheScope.withCached(
       evalSet.select(col("id").as("eval_id"),
         Dedup.shingleHashesFromTokens(col("toks"), k).as("sh"))) { base =>
       base.select(col("eval_id"), size(col("sh")).as("n_eval"),
         explode(col("sh")).as("h"))
     }
-    trainSh.join(broadcast(evalSh), "h")
+
+  /** Shared tail: count distinct shared shingles per (train, eval) pair
+    * and keep pairs at/over `minShared`, with the eval-coverage share.
+    */
+  private def overlapReport(joined: DataFrame, minShared: Int): DataFrame =
+    joined
       .groupBy("train_id", "eval_id", "n_eval")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col("train_id"), col("eval_id"), col("n_shared"),
         (col("n_shared").cast("double") / col("n_eval"))
           .as("eval_coverage"))
+
+  def contaminationFromTokens(
+      train: DataFrame, evalSet: DataFrame,
+      k: Int = 5, minShared: Int = 2): DataFrame = {
+    val trainSh = trainShingles(
+      train.select(col("id").as("train_id"), col("toks")), k)
+    val evalSh = evalShingles(evalSet, k)
+    overlapReport(trainSh.join(broadcast(evalSh), "h"), minShared)
   }
 
   /** [[contaminationFromTokens]] with a bloom prefilter on the train
@@ -69,27 +85,18 @@ object Decontaminate {
       k: Int = 5, minShared: Int = 2,
       estimatedEvalShingles: Long = 1L << 20,
       numBits: Long = 1L << 23): DataFrame = {
-    val trainSh = train.select(col("id").as("train_id"),
-      explode(Dedup.shingleHashesFromTokens(col("toks"), k)).as("h"))
-    val evalSh = CacheScope.withCached(
-      evalSet.select(col("id").as("eval_id"),
-        Dedup.shingleHashesFromTokens(col("toks"), k).as("sh"))) { base =>
-      base.select(col("eval_id"), size(col("sh")).as("n_eval"),
-        explode(col("sh")).as("h"))
-    }
+    val trainSh = trainShingles(
+      train.select(col("id").as("train_id"), col("toks")), k)
+    val evalSh = evalShingles(evalSet, k)
     val filter = evalSh
       .agg(graft.functions.Bloom.agg(col("h"), estimatedEvalShingles,
         numBits).as("bf"))
       .head.getAs[Array[Byte]](0)
-    trainSh
-      .filter(graft.functions.Bloom.mightContain(filter, col("h")))
-      .join(evalSh, "h")
-      .groupBy("train_id", "eval_id", "n_eval")
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-      .select(col("train_id"), col("eval_id"), col("n_shared"),
-        (col("n_shared").cast("double") / col("n_eval"))
-          .as("eval_coverage"))
+    overlapReport(
+      trainSh
+        .filter(graft.functions.Bloom.mightContain(filter, col("h")))
+        .join(evalSh, "h"),
+      minShared)
   }
 
   /** Embedding-space (semantic) decontamination: training vectors whose

@@ -30,8 +30,10 @@ object Features {
   def trailing(df: DataFrame, keyCol: String, tsMicros: Column,
       intValue: Column, windowMicros: Long): DataFrame = {
     require(windowMicros > 0, "windowMicros must be positive")
-    require(!df.columns.exists(Seq("__ts", "__c").contains),
-      "input columns collide with trailing's working columns (__ts/__c)")
+    require(!df.columns.exists(
+      Seq("__ts", "__c", "n_trail", "sum_trail").contains),
+      "input columns collide with trailing's working/output columns " +
+        "(__ts/__c/n_trail/sum_trail)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col("__ts"))
       .rangeBetween(-windowMicros, 0)

@@ -287,22 +287,31 @@ object Sampling {
     * `row_number() OVER (ORDER BY key, id) - 1` oracle.
     */
   def globalIndex(df: DataFrame, idCol: String, orderKey: Column,
-      bucket: Column): DataFrame = {
+      bucket: Column): DataFrame =
+    globalIndexWithTotal(df, idCol, orderKey, bucket)._1
+
+  /** [[globalIndex]] plus the total row count — the count falls out of
+    * the collected bucket counts, so callers needing it (e.g.
+    * [[curriculumShards]]'s shard cut) avoid re-scanning the index.
+    */
+  def globalIndexWithTotal(df: DataFrame, idCol: String, orderKey: Column,
+      bucket: Column): (DataFrame, Long) = {
     require(
       !df.columns.exists(Seq("__ok", "__b", "__off", "__rn", "idx").contains),
       "input columns collide with globalIndex working/output columns " +
         "(__ok/__b/__off/__rn/idx)")
-    val spark = df.sparkSession
-    import spark.implicits._
-    CacheScope.withCached(
+    var total = 0L
+    val indexed = CacheScope.withCached(
       df.withColumn("__ok", orderKey)
         .withColumn("__b", bucket.cast("long"))) { base =>
       val counts = base.groupBy(col("__b")).count().collect()
         .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      total = counts.map(_._2).sum
       val offsets = counts.map(_._1)
         .zip(counts.scanLeft(0L)(_ + _._2).init)
       indexWithOffsets(base, idCol, offsets.toSeq)
     }
+    (indexed, total)
   }
 
   /** Phase 3 of [[globalIndex]] — bucketed numbering against collected
@@ -349,8 +358,7 @@ object Sampling {
     require(nShards > 0, "nShards must be positive")
     require(!df.columns.contains("shard"),
       "input column 'shard' collides with curriculumShards's output")
-    val idx = globalIndex(df, idCol, scoreCol, bucket)
-    val total = idx.count()
+    val (idx, total) = globalIndexWithTotal(df, idCol, scoreCol, bucket)
     idx.withColumn("shard",
       floor(col("idx") * nShards / lit(total)).cast("int"))
   }

@@ -69,10 +69,14 @@ object TextAnalysis {
   /** Overlapping character bigrams of the text: positions 1..len-1,
     * each a 2-char substring. The lambda touches only its own index
     * variable plus the SOURCE column (cheap — no expensive-alias
-    * re-evaluation trap).
+    * re-evaluation trap). Texts shorter than 2 chars yield an EMPTY
+    * array — without the guard, `sequence(1, len-1)` counts DOWN for
+    * len < 2 (Spark defaults the step to -1) and fabricates bigrams.
     */
   def charBigrams(c: Column): Column =
-    transform(sequence(lit(1), length(c) - 1), i => c.substr(i, lit(2)))
+    when(length(c) >= 2,
+      transform(sequence(lit(1), length(c) - 1), i => c.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
 
   /** Shannon entropy (nats) of the char-bigram distribution — the
     * classic gibberish/keyboard-mash/compressibility quality signal:
