@@ -1208,6 +1208,22 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ ANN (Similarity.ivfPqTopK): inverted lists + PQ codes built
+    * in one pass, probe-restricted ADC search — the composed
+    * memory-and-probe-bounded architecture. Oracle re-derives BOTH
+    * literal sets (k-means centroids, PQ codebooks) and the probe, code
+    * and score pipeline in SQL (dynamicOracleSql).
+    */
+  private def xSimIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = Similarity.pqFit(e, m = 16, ks = 16)
+    val cents = Similarity.kmeansCentroids(e, nLists = 16)
+    Similarity.ivfPqTopK(e.filter(col("vec_id") < 5), e, 10, model,
+        cents, nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
   /** Brute-force cosine top-k: 5 query vectors vs the full corpus; rank
     * output only (cosine computed in doubles on both engines, but kept
     * out of the compared columns).
@@ -1757,7 +1773,8 @@ object SparkEntry {
     "x_sim_lsh_probe" -> (xSimLshProbe _),
     "x_text_entropy" -> (xTextEntropy _),
     "x_feature_rolling" -> (xFeatureRolling _),
-    "x_stream_distinct" -> (xStreamDistinct _)
+    "x_stream_distinct" -> (xStreamDistinct _),
+    "x_sim_ivf_pq" -> (xSimIvfPq _)
   )
 
   /** Exact-decontamination oracle, shared by `x_decontaminate` and
@@ -3606,7 +3623,8 @@ object SparkEntry {
     * Verify skip the generation work when a name filter excludes them.
     */
   val dynamicQueryNames: Set[String] =
-    Set("x_sim_ivf_kmeans", "x_sim_kmeans_full", "x_sim_pq")
+    Set("x_sim_ivf_kmeans", "x_sim_kmeans_full", "x_sim_pq",
+      "x_sim_ivf_pq")
 
   def dynamicOracleSql(
       spark: SparkSession, sfDir: String,
@@ -3665,6 +3683,81 @@ object SparkEntry {
         |    list_sum(list_transform(range(1, ${pq.m + 1}),
         |      j -> qm.tls[j][ec.codes[j] + 1])) AS sim
         |  FROM qm, ec WHERE qm.query_id <> ec.id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+    }
+    // x_sim_ivf_pq: both literal sets (16 k-means centroids, 16×16 PQ
+    // codebooks) re-fit deterministically; list assignment, probe
+    // routing, codes, tables and the subspace-ordered ADC fold all
+    // re-derive in SQL.
+    if (want("x_sim_ivf_pq")) {
+      val cents = centLits(graft.ext.Similarity
+        .kmeansCentroids(t(spark, sfDir, "embeddings"), nLists = 16))
+      val pq = graft.ext.Similarity
+        .pqFit(t(spark, sfDir, "embeddings"), m = 16, ks = 16)
+      val pqRows = (for (j <- 0 until pq.m; c <- 0 until pq.ks) yield
+        s"($j, $c, " +
+          pq.codebooks(j)(c).map(_.toString).mkString("[", ",", "]") +
+          s", ${pq.biases(j)(c)})")
+        .mkString(",\n        ")
+      b += ("x_sim_ivf_pq" ->
+      s"""WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
+        |cents AS (SELECT CAST(list_id AS BIGINT) AS list_id,
+        |            list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec
+        |          FROM (VALUES
+        |        $cents) AS lit(list_id, cvec)),
+        |cb AS (SELECT CAST(j AS INTEGER) AS j, CAST(code AS INTEGER)
+        |         AS code,
+        |         list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec,
+        |         CAST(bias AS DOUBLE) AS bias
+        |       FROM (VALUES
+        |        $pqRows) AS t(j, code, cvec, bias)),
+        |assigned AS (SELECT id, list_id FROM (
+        |    SELECT vv.id, c.list_id,
+        |      row_number() OVER (PARTITION BY vv.id ORDER BY
+        |        list_sum(list_transform(range(1, len(vv.nvec) + 1),
+        |          i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
+        |    FROM v vv, cents c) WHERE rn = 1),
+        |sc AS (SELECT vv.id, c.j, c.code,
+        |    list_sum(list_transform(range(1, ${pq.ds + 1}),
+        |      i -> vv.nvec[c.j * ${pq.ds} + i] * c.cvec[i])) + c.bias AS s
+        |  FROM v vv, cb c),
+        |enc0 AS (SELECT id, j, code FROM (
+        |    SELECT id, j, code,
+        |      row_number() OVER (PARTITION BY id, j
+        |                         ORDER BY s DESC, code) AS rn
+        |    FROM sc) WHERE rn = 1),
+        |ec AS (SELECT id, list(code ORDER BY j) AS codes
+        |       FROM enc0 GROUP BY id),
+        |probes AS (SELECT query_id, list_id FROM (
+        |    SELECT vv.id AS query_id, c.list_id,
+        |      row_number() OVER (PARTITION BY vv.id ORDER BY
+        |        list_sum(list_transform(range(1, len(vv.nvec) + 1),
+        |          i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
+        |    FROM v vv, cents c WHERE vv.id < 5) WHERE rn <= 4),
+        |qt AS (SELECT id AS query_id, j, list(s ORDER BY code) AS tl
+        |       FROM sc WHERE id < 5 GROUP BY id, j),
+        |qm AS (SELECT query_id, list(tl ORDER BY j) AS tls
+        |       FROM qt GROUP BY query_id),
+        |scored AS (SELECT p.query_id, a.id AS neighbor_id,
+        |    list_sum(list_transform(range(1, ${pq.m + 1}),
+        |      j -> qm.tls[j][ec.codes[j] + 1])) AS sim
+        |  FROM probes p
+        |  JOIN assigned a ON p.list_id = a.list_id
+        |  JOIN ec ON ec.id = a.id
+        |  JOIN qm ON qm.query_id = p.query_id
+        |  WHERE p.query_id <> a.id),
         |r AS (SELECT query_id, neighbor_id,
         |        row_number() OVER (PARTITION BY query_id
         |                           ORDER BY sim DESC, neighbor_id) AS rank

@@ -446,19 +446,24 @@ object Similarity {
     * index that fits executor memory and one that spills (ks=256 packs
     * to exactly m bytes; ks=16 to m/2).
     */
-  def pqEncode(df: DataFrame, model: PqModel,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val codeCols = (0 until model.m).map { j =>
+  /** The m-code PQ encoding of an `nvec` column — factored so encode
+    * passes can ride along other projections (e.g. the IVF assignment)
+    * without a second normalize/scan.
+    */
+  private def pqCodes(model: PqModel): Column =
+    array((0 until model.m).map { j =>
       val sub = slice(col("nvec"), j * model.ds + 1, model.ds)
       val scores = array((0 until model.ks).map { c =>
         dotN(sub, typedLit(model.codebooks(j)(c).toSeq)) +
           lit(model.biases(j)(c))
       }: _*)
       (array_position(scores, array_max(scores)) - 1).cast("int")
-    }
+    }: _*)
+
+  def pqEncode(df: DataFrame, model: PqModel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     normalized(df, idCol, vecCol)
-      .select(col("id"), array(codeCols: _*).as("codes"))
-  }
+      .select(col("id"), pqCodes(model).as("codes"))
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
     * full-precision, per-subspace lookup tables are computed ONCE per
@@ -470,35 +475,88 @@ object Similarity {
     * approximate; recall is asserted in tests, exactness by the oracle
     * re-deriving the same tables from the same literal codebooks.
     */
+  /** Driver-computed per-query ADC lookup tables: (query_id, tables)
+    * with tables(j)(c) = q_j · codebook(j)(c) + bias — m·ks doubles per
+    * query, folded in the same left-to-right order the oracle's SQL
+    * uses. Queries are small by the [[bruteForceTopK]] contract.
+    */
+  private def adcTables(queries: DataFrame, model: PqModel,
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    normalized(queries, idCol, vecCol).collect().toSeq.map { r =>
+      val id = r.getLong(0)
+      val q = r.getSeq[Double](1).toArray
+      val tables = (0 until model.m).map { j =>
+        (0 until model.ks).map { c =>
+          var s = 0.0; var i = 0
+          while (i < model.ds) {
+            s += q(j * model.ds + i) * model.codebooks(j)(c)(i); i += 1
+          }
+          s + model.biases(j)(c)
+        }
+      }
+      (id, tables)
+    }.toDF("query_id", "tables")
+  }
+
+  /** ADC score of a `codes` row against a `tables` row: m lookups
+    * summed in subspace order (zip_with preserves it; aggregate folds
+    * left-to-right).
+    */
+  private def adcSim: Column =
+    aggregate(
+      zip_with(col("codes"), col("tables"),
+        (c, t) => element_at(t, c + 1)),
+      lit(0.0), (acc, v) => acc + v)
+
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       model: PqModel, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val enc = pqEncode(corpus, model, idCol, vecCol)
-    val qTables: Seq[(Long, Seq[Seq[Double]])] =
-      normalized(queries, idCol, vecCol).collect().toSeq.map { r =>
-        val id = r.getLong(0)
-        val q = r.getSeq[Double](1).toArray
-        val tables = (0 until model.m).map { j =>
-          (0 until model.ks).map { c =>
-            var s = 0.0; var i = 0
-            while (i < model.ds) {
-              s += q(j * model.ds + i) * model.codebooks(j)(c)(i); i += 1
-            }
-            s + model.biases(j)(c)
-          }
-        }
-        (id, tables)
-      }
-    val qDf = qTables.toDF("query_id", "tables")
+    val qDf = adcTables(queries, model, idCol, vecCol)
     val scored = enc.crossJoin(broadcast(qDf))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
-        aggregate(
-          zip_with(col("codes"), col("tables"),
-            (c, t) => element_at(t, c + 1)),
-          lit(0.0), (acc, v) => acc + v).as("sim"))
+        adcSim.as("sim"))
+    rankTopK(scored, k)
+  }
+
+  /** IVF-PQ — the composed 100 TB ANN architecture: the corpus is
+    * routed into `centroids`' inverted lists AND PQ-encoded in ONE pass
+    * over the normalized scan (index state per vector: a list id plus m
+    * codes — the index that stays in executor memory when float vectors
+    * cannot); queries probe their top-`nProbe` lists (bounded-top-k
+    * argmax, no window) and ADC-score ONLY those lists' codes via an
+    * equi join on the list id. Work per query is
+    * (nProbe/nLists)·|corpus| table lookups; nothing ever scans the
+    * full corpus per query. Codes are quantized from the raw normalized
+    * vectors (not residuals — a documented simplification that keeps
+    * ADC scores identical to [[pqTopK]]'s, probe restriction being the
+    * only difference).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      model: PqModel, centroids: DataFrame, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val enc = CacheScope.withCached(normalized(corpus, idCol, vecCol)) { v =>
+      assignToLists(v, centroids)
+        .select(col("id"), col("list_id"), pqCodes(model).as("codes"))
+    }
+    val probes = normalized(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("nvec").as("qvec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("list_id"),
+        dotN(col("qvec"), col("cvec")).as("cd"))
+      .groupBy(col("query_id"))
+      .agg(BoundedTopK.topk(col("cd"), col("list_id"), nProbe).as("pl"))
+      .select(col("query_id"), explode(col("pl")).as("p"))
+      .select(col("query_id"), col("p.id").as("list_id"))
+    val qDf = adcTables(queries, model, idCol, vecCol)
+    val scored = enc
+      .join(broadcast(probes.join(qDf, "query_id")), Seq("list_id"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        adcSim.as("sim"))
     rankTopK(scored, k)
   }
 

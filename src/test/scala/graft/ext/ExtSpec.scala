@@ -957,6 +957,28 @@ class ExtSpec extends SparkSpec {
     assert(recall > 0.3, s"ADC recall $recall")
   }
 
+  test("IVF-PQ: probe-restricted ADC subset of full-scan ADC, recall ok") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val model = Similarity.pqFit(e, m = 16, ks = 16)
+    val cents = Similarity.kmeansCentroids(e, nLists = 8)
+    val queries = e.filter(col("vec_id") < 10)
+    val ivfpq = Similarity.ivfPqTopK(queries, e, 10, model, cents,
+        nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same ADC scores as the full-scan PQ search — probe restriction
+    // can only REMOVE candidates, so sets relate by recall, and both
+    // must overlap the exact answer reasonably
+    val full = Similarity.pqTopK(queries, e, 10, model).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(queries, e, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallVsFull = (ivfpq & full).size.toDouble / full.size
+    val recallVsExact = (ivfpq & exact).size.toDouble / exact.size
+    assert(recallVsFull > 0.5, s"vs full-ADC $recallVsFull")
+    assert(recallVsExact > 0.25, s"vs exact $recallVsExact")
+    assert(ivfpq.size == full.size, "both return k per query")
+  }
+
   test("dedup/similarity release their caches before returning") {
     spark.catalog.clearCache()
     Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5).count()
