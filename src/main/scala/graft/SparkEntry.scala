@@ -1121,6 +1121,52 @@ object SparkEntry {
       "l_returnflag", Seq("l_quantity", "l_discount"), exact = true)
       .orderBy("l_returnflag", "column_name", "prob_idx")
 
+  /** Windowed percentiles (the latency-profile shape): exact p50/p95 of
+    * event values per hour window — grouped quantiles over the time
+    * dimension, one output row per window (bounded at any scale).
+    */
+  private def xProfileWindowQuantiles(
+      s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("value").cast("double"), lit(0.5)).as("p50"),
+        percentile(col("value").cast("double"), lit(0.95)).as("p95"))
+      .select(col("window.start").as("window_start"), col("n"),
+        col("p50"), col("p95"))
+      .orderBy("window_start")
+
+  /** Per-source vocabulary top-3: token counts per (source, token),
+    * ranked within source. The ranking window partitions on the SOURCE
+    * and each partition holds one source's VOCABULARY — bounded by
+    * distinct tokens, never corpus rows — which is what makes a plain
+    * row_number acceptable here (the global variant uses TakeOrdered).
+    */
+  private def xTextVocabBySource(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("cnt").desc, col("tok"))
+    counts.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .orderBy("source", "rank")
+  }
+
+  /** kNN-graph in-degree (hubness) distribution: how many vectors are
+    * someone's top-3 neighbor N times — the standard ANN-graph
+    * diagnostic (hub-dominated graphs degrade recall and skew
+    * downstream clustering). Two bounded hash aggs over the edge list.
+    */
+  private def xSimGraphDegree(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnJoinLsh(t(s, dir, "embeddings"), 3, nPlanes = 8)
+      .groupBy(col("neighbor_id"))
+      .agg(count(lit(1)).as("in_degree"))
+      .groupBy(col("in_degree"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("in_degree")
+
   /** HLL++ duplicate quick-screen (Checks.uniqueQuickScreen): one scan,
     * no key shuffle. The approx estimate is engine-specific, so the
     * compared columns are `n_rows` and the screening verdict only —
@@ -1774,8 +1820,48 @@ object SparkEntry {
     "x_text_entropy" -> (xTextEntropy _),
     "x_feature_rolling" -> (xFeatureRolling _),
     "x_stream_distinct" -> (xStreamDistinct _),
-    "x_sim_ivf_pq" -> (xSimIvfPq _)
+    "x_sim_ivf_pq" -> (xSimIvfPq _),
+    "x_profile_window_quantiles" -> (xProfileWindowQuantiles _),
+    "x_text_vocab_by_source" -> (xTextVocabBySource _),
+    "x_sim_graph_degree" -> (xSimGraphDegree _)
   )
+
+  /** LSH kNN-graph CTE chain (normalize → bucket → within-bucket score
+    * → per-query rank), shared by `x_sim_knn_graph` (the edge list) and
+    * `x_sim_graph_degree` (the in-degree/hubness distribution over the
+    * same edges). Ends after the `r` CTE — append the final SELECT (or
+    * further CTEs after a comma).
+    */
+  private lazy val duckKnnGraphCore: String =
+    s"""WITH v0 AS (
+      |  SELECT vec_id AS id, embedding AS vec,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM embeddings),
+      |v AS (SELECT id,
+      |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+      |      FROM v0 WHERE nrm > 0),
+      |planesd AS (SELECT ${duckPlanes(8, 64)} AS m),
+      |bkt AS (
+      |  SELECT id, nvec,
+      |    CAST(list_sum(list_transform(range(0, 8), p ->
+      |      CASE WHEN list_sum(list_transform(range(1, len(nvec) + 1),
+      |          d -> nvec[d] * m[CAST(p + 1 AS INTEGER)][CAST(d AS INTEGER)]))
+      |          > 0
+      |        THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+      |        ELSE 0 END)) AS BIGINT) AS bucket
+      |  FROM v, planesd),
+      |s AS (
+      |  SELECT a.id AS query_id, b.id AS neighbor_id,
+      |    list_sum(list_transform(range(1, len(a.nvec) + 1),
+      |      i -> a.nvec[i] * b.nvec[i])) AS sim
+      |  FROM bkt a JOIN bkt b
+      |    ON a.bucket = b.bucket AND a.id <> b.id),
+      |r AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM s)""".stripMargin
 
   /** Exact-decontamination oracle, shared by `x_decontaminate` and
     * `x_decontaminate_bloom` — the bloom screen composes with the exact
@@ -1954,6 +2040,26 @@ object SparkEntry {
         |WHERE b.id NOT IN
         |  (SELECT id FROM clusters WHERE id <> cluster_id)
         |ORDER BY b.id""".stripMargin,
+    "x_profile_window_quantiles" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  count(*) AS n,
+        |  quantile_cont(CAST(value AS DOUBLE), 0.5) AS p50,
+        |  quantile_cont(CAST(value AS DOUBLE), 0.95) AS p95
+        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "x_text_vocab_by_source" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, count(*) AS cnt FROM tok
+        |      GROUP BY source, tok)
+        |SELECT source, tok, cnt, rank FROM (
+        |  SELECT source, tok, cnt,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY cnt DESC, tok) AS rank
+        |  FROM c)
+        |WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
     "x_stream_distinct" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
         |  count(DISTINCT user_id) AS n_distinct
@@ -3464,37 +3570,15 @@ object SparkEntry {
         |  min(v) AS min_value, max(v) AS max_value
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_sim_knn_graph" ->
-      s"""WITH v0 AS (
-        |  SELECT vec_id AS id, embedding AS vec,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-        |  FROM embeddings),
-        |v AS (SELECT id,
-        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
-        |      FROM v0 WHERE nrm > 0),
-        |planesd AS (SELECT ${duckPlanes(8, 64)} AS m),
-        |bkt AS (
-        |  SELECT id, nvec,
-        |    CAST(list_sum(list_transform(range(0, 8), p ->
-        |      CASE WHEN list_sum(list_transform(range(1, len(nvec) + 1),
-        |          d -> nvec[d] * m[CAST(p + 1 AS INTEGER)][CAST(d AS INTEGER)]))
-        |          > 0
-        |        THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
-        |        ELSE 0 END)) AS BIGINT) AS bucket
-        |  FROM v, planesd),
-        |s AS (
-        |  SELECT a.id AS query_id, b.id AS neighbor_id,
-        |    list_sum(list_transform(range(1, len(a.nvec) + 1),
-        |      i -> a.nvec[i] * b.nvec[i])) AS sim
-        |  FROM bkt a JOIN bkt b
-        |    ON a.bucket = b.bucket AND a.id <> b.id),
-        |r AS (
-        |  SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM s)
+      s"""$duckKnnGraphCore
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "x_sim_graph_degree" ->
+      s"""$duckKnnGraphCore,
+        |deg AS (SELECT neighbor_id, count(*) AS in_degree
+        |        FROM r WHERE rank <= 3 GROUP BY neighbor_id)
+        |SELECT in_degree, count(*) AS n_vectors
+        |FROM deg GROUP BY 1 ORDER BY in_degree""".stripMargin,
     "x_sim_lsh_probe" ->
       s"""WITH v0 AS (
         |  SELECT vec_id AS id, embedding AS vec,
