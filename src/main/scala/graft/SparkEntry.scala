@@ -1006,6 +1006,31 @@ object SparkEntry {
       .select(col("doc_id"), col("idx"), col("shard"))
       .orderBy("doc_id")
 
+  /** Skewed source mix shared by the temperature query and its oracle:
+    * three sources kept whole, the rest thirded — unequal sizes are
+    * what temperature scaling acts on. (The modulus must be coprime
+    * with the source count: `source` is doc_id-aligned mod 20, so an
+    * even modulus degenerately selects whole sources.)
+    */
+  private def skewedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter((col("doc_id") % 3 === 0) ||
+        col("source").isin("src0", "src1", "src2"))
+
+  /** Temperature-scaled corpus mixing (Sampling.temperatureMix):
+    * rate_s ∝ n_s^(α-1) with the largest source pinned at maxRate —
+    * small sources upsampled toward balance (mT5-style multinomial
+    * sampling). The fitted rates are a deterministic function of the
+    * bounded per-source counts; the oracle embeds them as literals
+    * (dynamicOracleSql) and replays the same hash-unit filter.
+    */
+  private def xSampleTemperature(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(skewedDocs(s, dir), "doc_id", "source",
+        alpha = 0.5, maxRate = 0.8, salt = "tm1")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), min("doc_id").as("min_id"))
+      .orderBy("source")
+
   /** End-to-end cleaning funnel over documents + injected exact copies:
     * quality filter → repetition filter (top-word fraction: the
     * keyword-stuffing gate — every doc here is Latin script, so a
@@ -1823,7 +1848,8 @@ object SparkEntry {
     "x_sim_ivf_pq" -> (xSimIvfPq _),
     "x_profile_window_quantiles" -> (xProfileWindowQuantiles _),
     "x_text_vocab_by_source" -> (xTextVocabBySource _),
-    "x_sim_graph_degree" -> (xSimGraphDegree _)
+    "x_sim_graph_degree" -> (xSimGraphDegree _),
+    "x_sample_temperature" -> (xSampleTemperature _)
   )
 
   /** LSH kNN-graph CTE chain (normalize → bucket → within-bucket score
@@ -3708,7 +3734,7 @@ object SparkEntry {
     */
   val dynamicQueryNames: Set[String] =
     Set("x_sim_ivf_kmeans", "x_sim_kmeans_full", "x_sim_pq",
-      "x_sim_ivf_pq")
+      "x_sim_ivf_pq", "x_sample_temperature")
 
   def dynamicOracleSql(
       spark: SparkSession, sfDir: String,
@@ -3773,6 +3799,29 @@ object SparkEntry {
         |      FROM scored)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+    }
+    // x_sample_temperature: the per-source rates are a deterministic
+    // function of the bounded source counts — re-fit and embed them,
+    // then replay the same hash-unit filter.
+    if (want("x_sample_temperature")) {
+      val rates = graft.ext.Sampling
+        .temperatureRates(skewedDocs(spark, sfDir), "source",
+          alpha = 0.5, maxRate = 0.8)
+        .map { case (s, r) => s"('$s', $r)" }
+        .mkString(",\n        ")
+      b += ("x_sample_temperature" ->
+      s"""WITH sk AS (
+        |  SELECT doc_id, source FROM documents
+        |  WHERE doc_id % 3 = 0 OR source IN ('src0', 'src1', 'src2')),
+        |rt AS (SELECT source, CAST(rate AS DOUBLE) AS rate
+        |       FROM (VALUES
+        |        $rates) AS t(source, rate)),
+        |k AS (SELECT sk.doc_id, sk.source
+        |      FROM sk JOIN rt ON sk.source = rt.source
+        |      WHERE ${duckHash48("('tm1' || CAST(doc_id AS VARCHAR))")}
+        |        / 281474976710656.0 < rt.rate)
+        |SELECT source, count(*) AS n_kept, min(doc_id) AS min_id
+        |FROM k GROUP BY source ORDER BY source""".stripMargin)
     }
     // x_sim_ivf_pq: both literal sets (16 k-means centroids, 16×16 PQ
     // codebooks) re-fit deterministically; list assignment, probe

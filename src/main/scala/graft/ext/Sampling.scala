@@ -363,6 +363,44 @@ object Sampling {
       floor(col("idx") * nShards / lit(total)).cast("int"))
   }
 
+  /** Temperature-scaled per-source keep rates from observed source
+    * sizes: rate_s ∝ n_s^(α-1), scaled so the LARGEST source keeps
+    * `maxRate` of its rows — the multinomial temperature-sampling rule
+    * (mT5/XLM-R style) that upsamples small sources relative to large
+    * ones (α = 1 keeps every source at `maxRate`; α → 0 equalizes
+    * EXPECTED draws across sources). Returns (source → rate), rates
+    * clamped to 1.0. Driver state = one row per source (bounded); the
+    * fit is deterministic — a pure function of the counts in sorted
+    * source order — so the rates can be embedded as literals in
+    * engine query and oracle alike.
+    */
+  def temperatureRates(df: DataFrame, sourceCol: String, alpha: Double,
+      maxRate: Double = 1.0): Seq[(String, Double)] = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(maxRate > 0 && maxRate <= 1, "maxRate must be in (0, 1]")
+    val counts = df.groupBy(col(sourceCol)).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(counts.nonEmpty, "no sources to rate")
+    // rate_s = maxRate · (n_s / n_max)^(α-1), clamped at 1: the
+    // largest source keeps maxRate, smaller sources keep MORE
+    // (upsampled toward balance as α decreases)
+    val nMax = counts.map(_._2).max.toDouble
+    counts.map { case (s, n) =>
+      s -> math.min(1.0, maxRate * math.pow(n / nMax, alpha - 1.0))
+    }.toSeq
+  }
+
+  /** [[weightedMix]] under [[temperatureRates]] — the one-call
+    * temperature-mixing operator. Still a single narrow filter per row;
+    * the only non-projection work is the bounded per-source count.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+      alpha: Double, maxRate: Double = 1.0,
+      salt: String = ""): DataFrame =
+    weightedMix(df, idCol, sourceCol,
+      temperatureRates(df, sourceCol, alpha, maxRate).toMap,
+      default = 0.0, salt = salt)
+
   /** Weighted corpus mixing: keep a row iff its hash unit is below the
     * keep-fraction of its `sourceCol` value (`default` for unlisted
     * sources). The standard "mix N corpora at chosen rates into one

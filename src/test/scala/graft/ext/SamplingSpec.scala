@@ -162,6 +162,36 @@ class SamplingSpec extends SparkSpec {
     assert(lens(0).max <= lens(3).min)
   }
 
+  test("temperatureRates upsample small sources; α=1 is flat maxRate") {
+    // src0: 1000 rows, src1: 400, src2: 100
+    val docs = ((0L until 1000L).map(i => (i, "src0")) ++
+      (1000L until 1400L).map(i => (i, "src1")) ++
+      (1400L until 1500L).map(i => (i, "src2")))
+      .toDF("id", "source")
+    val flat = Sampling.temperatureRates(docs, "source", alpha = 1.0,
+      maxRate = 0.5).toMap
+    assert(flat.values.toSet == Set(0.5))
+    val r = Sampling.temperatureRates(docs, "source", alpha = 0.5,
+      maxRate = 0.5).toMap
+    // biggest source pinned at maxRate; smaller sources keep more,
+    // clamped at 1 (src2's raw rate 0.5·sqrt(10) ≈ 1.58 → 1.0)
+    assert(r("src0") == 0.5)
+    assert(r("src0") < r("src1") && r("src1") < r("src2"))
+    assert(r("src2") == 1.0)
+    // α=0.5 math: rate_s = maxRate·(n_s/nMax)^(α-1), clamped — same
+    // pow formulation as the implementation (sqrt differs by 1 ulp)
+    assert(r("src1") ==
+      math.min(1.0, 0.5 * math.pow(400.0 / 1000.0, -0.5)))
+    // kept fractions track the rates
+    val kept = Sampling.temperatureMix(docs, "id", "source", alpha = 0.5,
+        maxRate = 0.5, salt = "t")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(math.abs(kept("src0") / 1000.0 - 0.5) < 0.06)
+    assert(math.abs(kept("src1") / 400.0 - r("src1")) < 0.1)
+    assert(kept("src2") == 100L) // clamped rate 1.0 keeps everything
+  }
+
   test("weightedMix applies per-source rates with default for unlisted") {
     val docs = (0L until 3000L)
       .map(i => (i, s"src${(i % 3).toInt}")).toDF("id", "source")
