@@ -1146,6 +1146,19 @@ object SparkEntry {
       "l_returnflag", Seq("l_quantity", "l_discount"), exact = true)
       .orderBy("l_returnflag", "column_name", "prob_idx")
 
+  /** Join-size prediction (Profile.joinSizeEstimate): exact lineitem ⋈
+    * orders cardinality and skew hotspot from per-key histograms — at
+    * histogram cost, never running the join. The query ALSO runs the
+    * real join (affordable at harness scale) so the output certifies
+    * predicted_rows == actual_rows cell-for-cell.
+    */
+  private def xProfileJoinSize(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+    val o = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+    val actual = li.join(o, "k").agg(count(lit(1)).as("actual_rows"))
+    graft.ext.Profile.joinSizeEstimate(li, o, "k").crossJoin(actual)
+  }
+
   /** Windowed percentiles (the latency-profile shape): exact p50/p95 of
     * event values per hour window — grouped quantiles over the time
     * dimension, one output row per window (bounded at any scale).
@@ -1849,7 +1862,8 @@ object SparkEntry {
     "x_profile_window_quantiles" -> (xProfileWindowQuantiles _),
     "x_text_vocab_by_source" -> (xTextVocabBySource _),
     "x_sim_graph_degree" -> (xSimGraphDegree _),
-    "x_sample_temperature" -> (xSampleTemperature _)
+    "x_sample_temperature" -> (xSampleTemperature _),
+    "x_profile_join_size" -> (xProfileJoinSize _)
   )
 
   /** LSH kNN-graph CTE chain (normalize → bucket → within-bucket score
@@ -2066,6 +2080,18 @@ object SparkEntry {
         |WHERE b.id NOT IN
         |  (SELECT id FROM clusters WHERE id <> cluster_id)
         |ORDER BY b.id""".stripMargin,
+    "x_profile_join_size" ->
+      """WITH l AS (SELECT l_orderkey AS k, count(*) AS ln
+        |           FROM lineitem GROUP BY 1),
+        |r AS (SELECT o_orderkey AS k, count(*) AS rn
+        |      FROM orders GROUP BY 1),
+        |j AS (SELECT l.k, ln * rn AS p FROM l JOIN r ON l.k = r.k),
+        |hot AS (SELECT k, p FROM j ORDER BY p DESC, k LIMIT 1)
+        |SELECT (SELECT CAST(sum(p) AS BIGINT) FROM j) AS predicted_rows,
+        |  (SELECT k FROM hot) AS hottest_key,
+        |  (SELECT CAST(p AS BIGINT) FROM hot) AS hottest_rows,
+        |  (SELECT count(*) FROM lineitem
+        |   JOIN orders ON l_orderkey = o_orderkey) AS actual_rows""".stripMargin,
     "x_profile_window_quantiles" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
         |  count(*) AS n,

@@ -316,4 +316,31 @@ object Profile {
       .filter(abs(col("z")) >= zThreshold)
       .drop("__n", "__s1", "__s2")
   }
+
+  /** EXACT equi-join cardinality + skew-hotspot prediction WITHOUT
+    * running the join: |A ⋈ B| = Σ_k cntA(k)·cntB(k), and the hottest
+    * key's product is the largest single-reducer workload a shuffle
+    * join would see. Cost is two per-key counts (map-side partials
+    * bound the exchanges by DISTINCT-key counts, not rows) plus a join
+    * of the two count frames — the 100 TB "will this join explode, and
+    * where" question answered at histogram cost instead of join cost.
+    * Output (one row): predicted_rows, hottest_key, hottest_rows.
+    * Integer arithmetic throughout — exact, engine-portable; key ties
+    * on the hotspot go to the smaller key (bounded-top-k order). Keys
+    * must be integral (pre-hash other types).
+    */
+  def joinSizeEstimate(left: DataFrame, right: DataFrame,
+      keyCol: String): DataFrame = {
+    val l = left.groupBy(col(keyCol)).agg(count(lit(1)).as("__ln"))
+    val r = right.groupBy(col(keyCol)).agg(count(lit(1)).as("__rn"))
+    l.join(r, keyCol)
+      .select(col(keyCol), (col("__ln") * col("__rn")).as("__p"))
+      .agg(sum(col("__p")).as("predicted_rows"),
+        graft.functions.BoundedTopK.topk(col("__p").cast("double"),
+          col(keyCol).cast("long"), 1).as("__hot"))
+      .select(col("predicted_rows"),
+        element_at(col("__hot"), 1).getField("id").as("hottest_key"),
+        element_at(col("__hot"), 1).getField("score").cast("long")
+          .as("hottest_rows"))
+  }
 }

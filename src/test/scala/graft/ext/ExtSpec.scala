@@ -957,6 +957,23 @@ class ExtSpec extends SparkSpec {
     assert(recall > 0.3, s"ADC recall $recall")
   }
 
+  test("joinSizeEstimate predicts the exact join size and the hot key") {
+    // key 7 is hot on both sides: 20×30 = 600 rows from one key
+    val l = ((1L to 100L).map(k => (k, k)) ++
+      (1L to 19L).map(i => (1000L + i, 7L))).toDF("row_id", "k")
+    val r = ((1L to 100L).map(k => (k, k)) ++
+      (1L to 29L).map(i => (2000L + i, 7L))).toDF("row_id", "k")
+    val est = graft.ext.Profile.joinSizeEstimate(l, r, "k").collect()(0)
+    val actual = l.join(r, "k").count()
+    assert(est.getLong(0) == actual)
+    assert(est.getLong(1) == 7L)
+    assert(est.getLong(2) == 20L * 30L)
+    // disjoint extra keys on one side contribute nothing
+    val l2 = l.unionByName(Seq((9999L, 9999L)).toDF("row_id", "k"))
+    assert(graft.ext.Profile.joinSizeEstimate(l2, r, "k")
+      .collect()(0).getLong(0) == actual)
+  }
+
   test("IVF-PQ: probe-restricted ADC subset of full-scan ADC, recall ok") {
     val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val model = Similarity.pqFit(e, m = 16, ks = 16)
