@@ -466,6 +466,33 @@ object SparkEntry {
         col("sum_trail"))
       .orderBy("event_id")
 
+  /** The planted mixed-language row for x_text_langmix: an English
+    * first half glued to a Spanish second half (21 tokens → halves of
+    * 10/11) — the scrape-concatenation artifact the operator exists to
+    * flag. Shared with the oracle.
+    */
+  private val LangmixPlanted: String =
+    "the cat and the dog of a to the house " +
+      "el perro y la casa de que el gato y la luna"
+
+  /** Mixed-language detection (TextAnalysis.langHalves): per-doc
+    * language ID of each token-stream half plus the agreement flag;
+    * documents plus one planted EN+ES concatenation that must come out
+    * inconsistent.
+    */
+  private def xTextLangmix(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val planted = d.sparkSession.range(1).select(
+      lit(5000000L).as("doc_id"), lit(LangmixPlanted).as("text"))
+    d.select(col("doc_id"), col("text")).unionByName(planted)
+      .select(col("doc_id"),
+        TextAnalysis.langHalves(col("text")).as("lh"))
+      .select(col("doc_id"),
+        col("lh.lang_a").as("lang_a"), col("lh.lang_b").as("lang_b"),
+        (col("lh.lang_a") === col("lh.lang_b")).as("consistent"))
+      .orderBy("doc_id")
+  }
+
   /** Char-bigram entropy (TextAnalysis.charBigramEntropy): per-doc
     * Shannon entropy in nats via the native one-pass `array_entropy` —
     * documents plus one planted low-entropy spam row ("ha ha ha …"),
@@ -1863,7 +1890,8 @@ object SparkEntry {
     "x_text_vocab_by_source" -> (xTextVocabBySource _),
     "x_sim_graph_degree" -> (xSimGraphDegree _),
     "x_sample_temperature" -> (xSampleTemperature _),
-    "x_profile_join_size" -> (xProfileJoinSize _)
+    "x_profile_join_size" -> (xProfileJoinSize _),
+    "x_text_langmix" -> (xTextLangmix _)
   )
 
   /** LSH kNN-graph CTE chain (normalize → bucket → within-bucket score
@@ -2080,6 +2108,60 @@ object SparkEntry {
         |WHERE b.id NOT IN
         |  (SELECT id FROM clusters WHERE id <> cluster_id)
         |ORDER BY b.id""".stripMargin,
+    "x_text_langmix" -> {
+      // same stopword lists, weights (|w|+2 for the pads), summation
+      // order, and tie-break CASE as TextAnalysis.langId, rendered per
+      // half
+      def scores(sfx: String): String = Seq(
+        "en" -> TextAnalysis.StopwordsEn,
+        "es" -> TextAnalysis.StopwordsEs,
+        "fr" -> TextAnalysis.StopwordsFr,
+        "de" -> TextAnalysis.StopwordsDe)
+        .map { case (l, ws) =>
+          ws.map(w => s"(length(p$sfx)-length(replace(p$sfx," +
+            s"' $w ','')))/${w.length + 2}")
+            .mkString("    ", "\n      + ", s" AS s_${l}_$sfx")
+        }.mkString(",\n")
+      def langCase(sfx: String): String =
+        s"""CASE WHEN regexp_matches(p$sfx, '[\\x{4E00}-\\x{9FFF}]')
+           |         THEN 'zh'
+           |       WHEN regexp_matches(p$sfx, '[\\x{0400}-\\x{04FF}]')
+           |         THEN 'ru'
+           |       WHEN s_en_$sfx >= s_es_$sfx AND s_en_$sfx >= s_fr_$sfx
+           |         AND s_en_$sfx >= s_de_$sfx THEN 'en'
+           |       WHEN s_es_$sfx >= s_fr_$sfx AND s_es_$sfx >= s_de_$sfx
+           |         THEN 'es'
+           |       WHEN s_fr_$sfx >= s_de_$sfx THEN 'fr'
+           |       ELSE 'de' END""".stripMargin
+      s"""WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT 5000000 AS doc_id, '$LangmixPlanted' AS text),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM base),
+        |hv AS (
+        |  SELECT doc_id,
+        |    ' ' || array_to_string(list_slice(toks, 1,
+        |      CAST(len(toks) // 2 AS INTEGER)), ' ') || ' ' AS pa,
+        |    ' ' || array_to_string(list_slice(toks,
+        |      CAST(len(toks) // 2 + 1 AS INTEGER), len(toks)), ' ')
+        |      || ' ' AS pb
+        |  FROM tok),
+        |sc AS (
+        |  SELECT doc_id, pa, pb,
+        |${scores("a")},
+        |${scores("b")}
+        |  FROM hv),
+        |langs AS (
+        |  SELECT doc_id,
+        |    ${langCase("a")} AS lang_a,
+        |    ${langCase("b")} AS lang_b
+        |  FROM sc)
+        |SELECT doc_id, lang_a, lang_b, lang_a = lang_b AS consistent
+        |FROM langs ORDER BY doc_id""".stripMargin
+    },
     "x_profile_join_size" ->
       """WITH l AS (SELECT l_orderkey AS k, count(*) AS ln
         |           FROM lineitem GROUP BY 1),

@@ -124,6 +124,24 @@ object TextAnalysis {
       .otherwise(lit("de"))
   }
 
+  /** Mixed-language detection: language-ID the first and second halves
+    * of the token stream SEPARATELY — concatenated scrape artifacts and
+    * template/content language splits disagree across halves, which a
+    * whole-document vote hides. Returns struct(lang_a, lang_b); a doc
+    * is suspect when they differ. Still a pure per-row projection,
+    * zero shuffle. (Halves, not N chunks: two fixed evaluations keep
+    * the cost flat; per-chunk IDs compose from [[chunkTokens]] +
+    * [[langId]] when granularity matters.)
+    */
+  def langHalves(c: Column): Column = {
+    val toks = tokens(c)
+    // Column./ is double division — truncate back to the int slice arg
+    val h = (size(toks) / 2).cast("int")
+    val a = concat_ws(" ", slice(toks, lit(1), h))
+    val b = concat_ws(" ", slice(toks, h + 1, size(toks) - h))
+    struct(langId(a).as("lang_a"), langId(b).as("lang_b"))
+  }
+
   /** Composite quality score in [0,1]: length sweet-spot, alpha share,
     * bounded punctuation — the usual heuristic pre-filter before
     * expensive pipeline stages.

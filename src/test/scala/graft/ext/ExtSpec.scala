@@ -957,6 +957,21 @@ class ExtSpec extends SparkSpec {
     assert(recall > 0.3, s"ADC recall $recall")
   }
 
+  test("langHalves flags mixed-language concatenations only") {
+    val df = Seq(
+      (1L, "the cat and the dog of a to the house " +
+        "el perro y la casa de que el gato y la luna"),
+      (2L, "the cat and the dog of a to the house and the tree of a"))
+      .toDF("id", "text")
+    val r = df.select(col("id"),
+        TextAnalysis.langHalves(col("text")).as("lh"))
+      .select(col("id"), col("lh.lang_a"), col("lh.lang_b"))
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getString(2)))
+      .toMap
+    assert(r(1L) == (("en", "es")))
+    assert(r(2L)._1 == r(2L)._2)
+  }
+
   test("joinSizeEstimate predicts the exact join size and the hot key") {
     // key 7 is hot on both sides: 20×30 = 600 rows from one key
     val l = ((1L to 100L).map(k => (k, k)) ++
