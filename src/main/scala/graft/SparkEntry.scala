@@ -467,9 +467,11 @@ object SparkEntry {
       .orderBy("event_id")
 
   /** The planted mixed-language row for x_text_langmix: an English
-    * first half glued to a Spanish second half (21 tokens → halves of
-    * 10/11) — the scrape-concatenation artifact the operator exists to
-    * flag. Shared with the oracle.
+    * stretch glued to a Spanish one — 22 tokens, split 11/11, so the
+    * first half actually ends with the Spanish token "el"; the English
+    * stopword score (7 hits) still dominates it. The scrape-
+    * concatenation artifact the operator exists to flag; shared with
+    * the oracle.
     */
   private val LangmixPlanted: String =
     "the cat and the dog of a to the house " +
@@ -3856,17 +3858,22 @@ object SparkEntry {
         r.getSeq[Double](1).map(_.toString).mkString("[", ",", "]") + ")")
       .mkString(",\n        ")
     val b = Map.newBuilder[String, String]
+    // fits shared across branches, run AT MOST ONCE per dump (lazy):
+    // the PQ codebooks feed x_sim_pq AND x_sim_ivf_pq; the 16-list
+    // k-means centroids feed x_sim_ivf_pq AND x_sim_ivf_kmeans
+    lazy val pq = graft.ext.Similarity
+      .pqFit(t(spark, sfDir, "embeddings"), m = 16, ks = 16)
+    lazy val pqRows = (for (j <- 0 until pq.m; c <- 0 until pq.ks) yield
+      s"($j, $c, " +
+        pq.codebooks(j)(c).map(_.toString).mkString("[", ",", "]") +
+        s", ${pq.biases(j)(c)})")
+      .mkString(",\n        ")
+    lazy val cents16 = centLits(graft.ext.Similarity
+      .kmeansCentroids(t(spark, sfDir, "embeddings"), nLists = 16))
     // x_sim_pq: re-fit the deterministic codebooks, embed (j, code,
     // centroid, bias) literals; codes/tables/score fold re-derive in SQL
     // with the same subspace-ordered arithmetic.
     if (want("x_sim_pq")) {
-      val pq = graft.ext.Similarity
-        .pqFit(t(spark, sfDir, "embeddings"), m = 16, ks = 16)
-      val pqRows = (for (j <- 0 until pq.m; c <- 0 until pq.ks) yield
-        s"($j, $c, " +
-          pq.codebooks(j)(c).map(_.toString).mkString("[", ",", "]") +
-          s", ${pq.biases(j)(c)})")
-        .mkString(",\n        ")
       b += ("x_sim_pq" ->
       s"""WITH v0 AS (
         |  SELECT vec_id AS id, embedding AS vec,
@@ -3936,15 +3943,7 @@ object SparkEntry {
     // routing, codes, tables and the subspace-ordered ADC fold all
     // re-derive in SQL.
     if (want("x_sim_ivf_pq")) {
-      val cents = centLits(graft.ext.Similarity
-        .kmeansCentroids(t(spark, sfDir, "embeddings"), nLists = 16))
-      val pq = graft.ext.Similarity
-        .pqFit(t(spark, sfDir, "embeddings"), m = 16, ks = 16)
-      val pqRows = (for (j <- 0 until pq.m; c <- 0 until pq.ks) yield
-        s"($j, $c, " +
-          pq.codebooks(j)(c).map(_.toString).mkString("[", ",", "]") +
-          s", ${pq.biases(j)(c)})")
-        .mkString(",\n        ")
+      val cents = cents16
       b += ("x_sim_ivf_pq" ->
       s"""WITH v0 AS (
         |  SELECT vec_id AS id, embedding AS vec,
@@ -4035,8 +4034,7 @@ object SparkEntry {
         |ORDER BY id""".stripMargin)
     }
     if (want("x_sim_ivf_kmeans")) {
-      val cents = centLits(graft.ext.Similarity
-        .kmeansCentroids(t(spark, sfDir, "embeddings"), nLists = 16))
+      val cents = cents16
       b += ("x_sim_ivf_kmeans" ->
       s"""WITH v0 AS (
         |  SELECT vec_id AS id, embedding AS vec,

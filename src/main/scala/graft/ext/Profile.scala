@@ -325,22 +325,29 @@ object Profile {
     * of the two count frames — the 100 TB "will this join explode, and
     * where" question answered at histogram cost instead of join cost.
     * Output (one row): predicted_rows, hottest_key, hottest_rows.
-    * Integer arithmetic throughout — exact, engine-portable; key ties
-    * on the hotspot go to the smaller key (bounded-top-k order). Keys
-    * must be integral (pre-hash other types).
+    * Per-key products and their sum are computed in decimal(38,0) —
+    * exact even where long multiplication would wrap (two 4e9-row hot
+    * sides) — and only the FINAL values cast to long, so the outputs
+    * are exact whenever they fit 2^63. The hotspot is a struct-max
+    * aggregate (one map-side-combinable pass, ties to the smaller
+    * key); disjoint key sets yield (0, NULL, NULL). Keys must be
+    * integral (pre-hash other types).
     */
   def joinSizeEstimate(left: DataFrame, right: DataFrame,
       keyCol: String): DataFrame = {
     val l = left.groupBy(col(keyCol)).agg(count(lit(1)).as("__ln"))
     val r = right.groupBy(col(keyCol)).agg(count(lit(1)).as("__rn"))
     l.join(r, keyCol)
-      .select(col(keyCol), (col("__ln") * col("__rn")).as("__p"))
-      .agg(sum(col("__p")).as("predicted_rows"),
-        graft.functions.BoundedTopK.topk(col("__p").cast("double"),
-          col(keyCol).cast("long"), 1).as("__hot"))
-      .select(col("predicted_rows"),
-        element_at(col("__hot"), 1).getField("id").as("hottest_key"),
-        element_at(col("__hot"), 1).getField("score").cast("long")
-          .as("hottest_rows"))
+      .select(col(keyCol).cast("long").as("__k"),
+        (col("__ln").cast("decimal(38,0)") * col("__rn")).as("__p"))
+      // max of (product, -key) structs = largest product, smallest key
+      // on ties — same order as a (p DESC, k ASC) top-1, no sort
+      .agg(coalesce(sum(col("__p")), lit(0).cast("decimal(38,0)"))
+          .as("__sum"),
+        max(struct(col("__p").as("p"), (-col("__k")).as("nk")))
+          .as("__hot"))
+      .select(col("__sum").cast("long").as("predicted_rows"),
+        (-col("__hot").getField("nk")).cast("long").as("hottest_key"),
+        col("__hot").getField("p").cast("long").as("hottest_rows"))
   }
 }

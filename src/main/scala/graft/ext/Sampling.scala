@@ -378,7 +378,11 @@ object Sampling {
       maxRate: Double = 1.0): Seq[(String, Double)] = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     require(maxRate > 0 && maxRate <= 1, "maxRate must be in (0, 1]")
-    val counts = df.groupBy(col(sourceCol)).count().collect()
+    // null sources get no rate (weightedMix's default drops them) —
+    // a null key would otherwise NPE the sort and render an invalid
+    // SQL literal in generated oracles
+    val counts = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).count().collect()
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     require(counts.nonEmpty, "no sources to rate")
     // rate_s = maxRate · (n_s / n_max)^(α-1), clamped at 1: the

@@ -137,8 +137,15 @@ object TextAnalysis {
     val toks = tokens(c)
     // Column./ is double division — truncate back to the int slice arg
     val h = (size(toks) / 2).cast("int")
-    val a = concat_ws(" ", slice(toks, lit(1), h))
-    val b = concat_ws(" ", slice(toks, h + 1, size(toks) - h))
+    // concat_ws never returns NULL, so NULL text must be re-nulled
+    // explicitly: langId(NULL) is 'de' (every CASE arm null-skips) and
+    // both the whole-doc langId and the SQL oracle agree on that —
+    // without the guard a null doc would read as consistent ('en','en')
+    // here and 'de' everywhere else
+    def half(x: Column): Column =
+      when(c.isNull, lit(null).cast("string")).otherwise(x)
+    val a = half(concat_ws(" ", slice(toks, lit(1), h)))
+    val b = half(concat_ws(" ", slice(toks, h + 1, size(toks) - h)))
     struct(langId(a).as("lang_a"), langId(b).as("lang_b"))
   }
 

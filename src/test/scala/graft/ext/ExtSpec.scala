@@ -970,6 +970,13 @@ class ExtSpec extends SparkSpec {
       .toMap
     assert(r(1L) == (("en", "es")))
     assert(r(2L)._1 == r(2L)._2)
+    // null text: both halves 'de', matching langId(NULL) and the oracle
+    val n = Seq((3L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(TextAnalysis.langHalves(col("text")).as("lh"),
+        TextAnalysis.langId(col("text")).as("whole"))
+      .collect()(0)
+    assert(n.getStruct(0).getString(0) == "de" &&
+      n.getStruct(0).getString(1) == "de" && n.getString(1) == "de")
   }
 
   test("joinSizeEstimate predicts the exact join size and the hot key") {
@@ -987,6 +994,11 @@ class ExtSpec extends SparkSpec {
     val l2 = l.unionByName(Seq((9999L, 9999L)).toDF("row_id", "k"))
     assert(graft.ext.Profile.joinSizeEstimate(l2, r, "k")
       .collect()(0).getLong(0) == actual)
+    // fully disjoint key sets: (0, NULL, NULL), never a NULL count or
+    // an ANSI element_at error
+    val d = graft.ext.Profile.joinSizeEstimate(
+      l.withColumn("k", col("k") + 100000L), r, "k").collect()(0)
+    assert(d.getLong(0) == 0L && d.isNullAt(1) && d.isNullAt(2))
   }
 
   test("IVF-PQ: probe-restricted ADC subset of full-scan ADC, recall ok") {
