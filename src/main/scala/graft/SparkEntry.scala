@@ -3702,8 +3702,9 @@ object SparkEntry {
         |SELECT CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
         |  CAST(sum(CASE WHEN isnan(v) OR v IS NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_bad,
-        |  round(avg(v), 6) AS mean,
-        |  min(v) AS min_value, max(v) AS max_value
+        |  round(avg(v) FILTER (WHERE NOT isnan(v)), 6) AS mean,
+        |  min(v) FILTER (WHERE NOT isnan(v)) AS min_value,
+        |  max(v) FILTER (WHERE NOT isnan(v)) AS max_value
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_sim_knn_graph" ->
       s"""$duckKnnGraphCore

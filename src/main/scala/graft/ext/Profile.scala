@@ -203,15 +203,22 @@ object Profile {
     * aggregation: |corpus|·d narrow intermediate rows, map-side
     * combined, no joins, output bounded by the dimensionality.
     */
-  def vectorProfile(df: DataFrame, vecCol: String): DataFrame =
+  def vectorProfile(df: DataFrame, vecCol: String): DataFrame = {
+    // mean/min/max are computed over the FINITE values only: one NaN
+    // would otherwise poison the dimension's mean (and max — Spark
+    // orders NaN greatest), masking the collapsed-dim (max ≈ min)
+    // check this profile exists to surface. The bad values are still
+    // fully accounted for in n_bad (n counts every element).
+    val good = when(!isnan(col("v")), col("v")) // null v → null → skipped
     df.select(posexplode(col(vecCol).cast("array<double>"))
         .as(Seq("dim", "v")))
       .groupBy("dim")
       .agg(count(lit(1)).as("n"),
         sum(when(isnan(col("v")) || col("v").isNull, 1L).otherwise(0L))
           .as("n_bad"),
-        avg(col("v")).as("mean"),
-        min(col("v")).as("min_value"), max(col("v")).as("max_value"))
+        avg(good).as("mean"),
+        min(good).as("min_value"), max(good).as("max_value"))
+  }
 
   /** Median/MAD variant of [[rateAnomalies]] — robust to the anomalies
     * themselves: one corrupted bucket inflates a mean/stddev baseline
@@ -340,14 +347,19 @@ object Profile {
     l.join(r, keyCol)
       .select(col(keyCol).cast("long").as("__k"),
         (col("__ln").cast("decimal(38,0)") * col("__rn")).as("__p"))
-      // max of (product, -key) structs = largest product, smallest key
-      // on ties — same order as a (p DESC, k ASC) top-1, no sort
+      // max of (product, ~key) structs = largest product, smallest key
+      // on ties — same order as a (p DESC, k ASC) top-1, no sort.
+      // bitwise NOT (not negation) is the descending key encoding:
+      // ~k = -k-1 is strictly decreasing over ALL longs with no
+      // overflow (−Long.MinValue would silently wrap), and ~~k = k
+      // recovers the key exactly.
       .agg(coalesce(sum(col("__p")), lit(0).cast("decimal(38,0)"))
           .as("__sum"),
-        max(struct(col("__p").as("p"), (-col("__k")).as("nk")))
+        max(struct(col("__p").as("p"), bitwise_not(col("__k")).as("nk")))
           .as("__hot"))
       .select(col("__sum").cast("long").as("predicted_rows"),
-        (-col("__hot").getField("nk")).cast("long").as("hottest_key"),
+        bitwise_not(col("__hot").getField("nk")).cast("long")
+          .as("hottest_key"),
         col("__hot").getField("p").cast("long").as("hottest_rows"))
   }
 }

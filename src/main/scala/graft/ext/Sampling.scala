@@ -29,6 +29,11 @@ object Sampling {
   /** 2^48 — the exclusive upper bound of [[Dedup.hash48]] values. */
   val HashSpan: Double = 281474976710656.0
 
+  /** Ceiling on distinct buckets [[globalIndex]] will collect counts
+    * for (2^20) — the documented bound on its one driver-side collect.
+    */
+  val MaxBuckets: Int = 1 << 20
+
   /** Deterministic uniform [0,1): md5-prefix hash of (salt ++ id),
     * scaled by 2^-48. Exact in double arithmetic end-to-end.
     */
@@ -80,6 +85,16 @@ object Sampling {
     * (id, weight) sets, independent of layout or rerun. The standard
     * quality-weighted corpus subset draw ("sample 1M docs ∝ quality
     * score") at any scale.
+    *
+    * Oracle-parity caveat (platform libm): the key uses `ln`, and
+    * neither the JVM's `Math.log` nor DuckDB's `ln` is guaranteed
+    * correctly rounded, so a 1-ulp divergence between the two libms
+    * could in principle flip which row sits exactly at the top-n
+    * boundary. u and w are engine-exact (48-bit hash, user doubles);
+    * only the log itself carries this assumption. On this harness's
+    * platform the two agree (the cell-for-cell compare is green); a
+    * cross-platform deployment should treat boundary rows as tolerant
+    * rather than bit-pinned.
     */
   def weightedExactN(
       df: DataFrame, idCol: String, weightCol: String, n: Int,
@@ -304,7 +319,19 @@ object Sampling {
     val indexed = CacheScope.withCached(
       df.withColumn("__ok", orderKey)
         .withColumn("__b", bucket.cast("long"))) { base =>
-      val counts = base.groupBy(col("__b")).count().collect()
+      // The per-bucket count collect is the ONLY driver-side state this
+      // operator holds; cap its cardinality so a caller passing a
+      // high-cardinality bucket expression (e.g. the raw hash) fails
+      // fast instead of OOMing the driver. limit(MaxBuckets+1) bounds
+      // the collect itself — at most MaxBuckets+1 rows ever reach the
+      // driver, even when the bucket column has billions of values.
+      val probe = base.groupBy(col("__b")).count()
+        .limit(MaxBuckets + 1).collect()
+      require(probe.length <= MaxBuckets,
+        s"globalIndex bucket expression produced more than $MaxBuckets " +
+          "distinct buckets; coarsen it (bucket must be a bounded, " +
+          "monotone function of the order key)")
+      val counts = probe
         .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       total = counts.map(_._2).sum
       val offsets = counts.map(_._1)
@@ -342,8 +369,11 @@ object Sampling {
     require(nBuckets > 0 && nBuckets <= 16384,
       "nBuckets must be in (0, 16384]")
     val h = Dedup.hash48(concat(lit(salt), col(idCol).cast("string")))
-    // (h * nBuckets) stays < 2^62 for nBuckets ≤ 2^14: exact long math
-    globalIndex(df, idCol, h, (h * nBuckets) / lit(HashSpan.toLong))
+    // bucket = top bits of h: (h * nBuckets) stays < 2^62 for
+    // nBuckets ≤ 2^14, and shiftright by 48 is exact long division by
+    // 2^48 — genuinely integer end-to-end (a double `/` here would
+    // round above 2^53, still monotone but not the exact math claimed)
+    globalIndex(df, idCol, h, shiftright(h * nBuckets, 48))
   }
 
   /** Curriculum sharding: order the corpus by a difficulty/quality

@@ -230,6 +230,9 @@ class ExtSpec extends SparkSpec {
     assert(got(0) == ((2L, 0L, 2.0, 1.0, 3.0)))
     assert(got(1)._4 == 5.0 && got(1)._5 == 5.0) // collapsed: min == max
     assert(got(2)._2 == 1L)                      // NaN tallied
+    // NaN excluded from the stats (it would otherwise poison mean and
+    // max, hiding exactly the degeneracies this profile looks for):
+    assert(got(2)._3 == 0.0 && got(2)._4 == 0.0 && got(2)._5 == 0.0)
   }
 
   test("rateAnomaliesRobust: spike flagged, spike can't mask itself") {

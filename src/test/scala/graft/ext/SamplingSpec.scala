@@ -136,6 +136,25 @@ class SamplingSpec extends SparkSpec {
     assert(got.values.toSeq.sorted == (0L until 5000L))
   }
 
+  test("globalIndex rejects bucket cardinality above MaxBuckets") {
+    assert(Sampling.MaxBuckets == (1 << 20))
+    // A pathological caller passing a per-row bucket (here: the id
+    // itself over 2^20 + 1 rows) must fail fast — and the probe is a
+    // limit()ed collect, so the driver materializes at most
+    // MaxBuckets+1 count rows even when the bucket column has billions
+    // of distinct values.
+    val big = spark.range(Sampling.MaxBuckets + 1L).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.globalIndex(big, "id", col("id"), col("id"))
+    }
+    assert(e.getMessage.contains("distinct buckets"))
+    // ...while a bounded bucket expression over the same rows is fine
+    val ok = Sampling.globalIndex(
+      (0L until 100L).toDF("id"),
+      "id", col("id"), col("id") % 10).collect()
+    assert(ok.length == 100)
+  }
+
   test("deterministicShuffle + curriculumShards: stable, contiguous") {
     val docs = (0L until 2000L).map(i => (i, (i * 37) % 501))
       .toDF("id", "len")
