@@ -1524,11 +1524,38 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** Multimodal: stubbed batched decode. The decode seam is a stub but
-    * its fake features are md5-derived, so the whole plumbing —
-    * binary cast, batching, typed output — is oracle-checked end to end.
+  /** Multimodal: REAL image decode. Synthesizes a genuine 24-bit BMP
+    * per document (dimensions and pixel content are pure functions of
+    * doc_id), then `javax.imageio` parses the bytes back — decoded
+    * width/height/channels, exact per-channel pixel sums, AND the
+    * uncompressed byte length are all recomputed arithmetically by the
+    * oracle, so the decoder's output is verified cell-for-cell.
     */
   private def xMmDecode(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Multimodal.decode(Multimodal.synthesizeImages(d, "doc_id", "bmp"))
+      .toDF()
+      .orderBy("id")
+  }
+
+  /** Multimodal: real PNG round-trip — encode via the JDK PNG codec,
+    * decode via `ImageIO.read`. Lossless, so the oracle's pixel-sum
+    * arithmetic still holds; the compressed byte length is
+    * codec-dependent and excluded from the compared columns.
+    */
+  private def xMmDecodePng(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Multimodal.decode(Multimodal.synthesizeImages(d, "doc_id", "png"))
+      .toDF()
+      .drop("n_bytes")
+      .orderBy("id")
+  }
+
+  /** Multimodal: corrupt-blob posture — text bytes are not images, so
+    * every row must degrade to the typed `unknown` row (correct byte
+    * count, zero dims/sums) rather than erroring the scan.
+    */
+  private def xMmDecodeInvalid(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     Multimodal.decode(Multimodal.withBinary(d, "doc_id", "text"))
       .toDF()
@@ -1815,6 +1842,8 @@ object SparkEntry {
     "x_mm_json" -> (xMmJson _),
     "x_mm_binary_meta" -> (xMmBinaryMeta _),
     "x_mm_decode" -> (xMmDecode _),
+    "x_mm_decode_png" -> (xMmDecodePng _),
+    "x_mm_decode_invalid" -> (xMmDecodeInvalid _),
     "x_stream_window" -> (xStreamWindow _),
     "r1_error_sample" -> (r1ErrorSample _),
     "k2_uniquekeys" -> (k2UniqueKeys _),
@@ -2578,18 +2607,47 @@ object SparkEntry {
         |SELECT doc_id, "offset", frame_head FROM f WHERE "offset" < n
         |ORDER BY doc_id, "offset" """.stripMargin,
     "x_mm_decode" ->
-      s"""SELECT CAST(doc_id AS BIGINT) AS id,
-        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-        |  CASE WHEN octet_length(encode(text)) % 2 = 0
-        |       THEN 'png' ELSE 'jpeg' END AS format,
-        |  CAST(h % 640 + 1 AS INTEGER) AS width,
-        |  CAST(h // 640 % 480 + 1 AS INTEGER) AS height,
-        |  CAST(1 AS INTEGER) AS n_frames
-        |FROM (SELECT doc_id, text,
-        |        CASE WHEN octet_length(encode(text)) = 0 THEN 0
-        |             ELSE ${duckHash48("text")} END AS h
-        |      FROM documents)
-        |ORDER BY id""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |    doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h
+        |  FROM documents)
+        |SELECT id,
+        |  CAST(54 + ((24 * w + 31) // 32) * 4 * h AS INTEGER)
+        |    AS n_bytes,
+        |  'bmp' AS format,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels, CAST(1 AS INTEGER) AS n_frames,
+        |  CAST(h * list_sum(list_transform(range(0, w),
+        |    x -> (id + x) % 256)) AS BIGINT) AS sum_red,
+        |  CAST(w * h * (id % 256) AS BIGINT) AS sum_green,
+        |  CAST(w * list_sum(list_transform(range(0, h),
+        |    y -> (id * 3 + y) % 256)) AS BIGINT) AS sum_blue
+        |FROM d ORDER BY id""".stripMargin,
+    "x_mm_decode_png" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |    doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h
+        |  FROM documents)
+        |SELECT id,
+        |  'png' AS format,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels, CAST(1 AS INTEGER) AS n_frames,
+        |  CAST(h * list_sum(list_transform(range(0, w),
+        |    x -> (id + x) % 256)) AS BIGINT) AS sum_red,
+        |  CAST(w * h * (id % 256) AS BIGINT) AS sum_green,
+        |  CAST(w * list_sum(list_transform(range(0, h),
+        |    y -> (id * 3 + y) % 256)) AS BIGINT) AS sum_blue
+        |FROM d ORDER BY id""".stripMargin,
+    "x_mm_decode_invalid" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+        |  CAST(coalesce(octet_length(encode(text)), 0) AS INTEGER)
+        |    AS n_bytes,
+        |  'unknown' AS format,
+        |  CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+        |  CAST(0 AS INTEGER) AS channels, CAST(0 AS INTEGER) AS n_frames,
+        |  CAST(0 AS BIGINT) AS sum_red, CAST(0 AS BIGINT) AS sum_green,
+        |  CAST(0 AS BIGINT) AS sum_blue
+        |FROM documents ORDER BY id""".stripMargin,
     "k1_pk_lineitem" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |count(*) AS cnt FROM lineitem

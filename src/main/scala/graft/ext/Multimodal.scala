@@ -1,29 +1,50 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing (SURVEY.md §7.6): image/audio/video as
-  * opaque `binary` columns with typed metadata, decoded/feature-extracted
-  * in per-partition batches.
+/** Multimodal-column support (SURVEY.md §7.6): image/audio/video as
+  * opaque `binary` columns with typed metadata, decoded and
+  * feature-extracted in per-partition batches.
   *
-  * The Spark-side plumbing — schema, batching, partitioning, typed
-  * output — is real and tested. The actual codec call is STUBBED (no
-  * image/audio libraries in this container): `decodeStub` derives
-  * deterministic fake features from the bytes, and is the single seam to
-  * replace with a real decoder (e.g. JNI/FFI codec invoked per batch).
+  * The decoder is REAL: `javax.imageio` (pure JVM, no external
+  * dependency) parses PNG / BMP / GIF / JPEG blobs into dimensions,
+  * channel count, and exact per-channel pixel sums. Undecodable bytes
+  * degrade to a typed `unknown` row rather than failing the job — the
+  * posture a 100 TB media crawl needs, where some fraction of blobs is
+  * always corrupt.
+  *
+  * Scale shape: decode runs inside `mapPartitions` — codec configured
+  * once per partition (`ImageIO.setUseCache(false)` keeps it off the
+  * executor's disk), one iterator pass, no per-row task overhead, typed
+  * Dataset out. Embarrassingly parallel; partition count is the only
+  * knob.
   */
 object Multimodal {
 
-  /** Media row after decode: typed metadata per blob. */
+  /** Media row after decode: typed metadata + exact pixel statistics
+    * per blob. Undecodable blobs: format="unknown", zero dims/sums.
+    * Pixel sums are integer-exact (no float drift), so they are
+    * oracle-checkable cell-for-cell when the image content is known.
+    */
   final case class MediaMeta(
       id: Long,
       n_bytes: Int,
       format: String,
       width: Int,
       height: Int,
-      n_frames: Int)
+      channels: Int,
+      n_frames: Int,
+      sum_red: Long,
+      sum_green: Long,
+      sum_blue: Long)
 
   /** Attach a binary payload + basic metadata to an id/text pair —
     * stands in for reading real media blobs alongside scalar columns.
@@ -33,37 +54,195 @@ object Multimodal {
       col(payloadCol).cast(BinaryType).as("blob"))
       .withColumn("n_bytes", octet_length(col("blob")))
 
-  // ---------------------------------------------------------------- STUB
-  /** ??? REAL DECODER GOES HERE ???
-    * Deterministic fake decode: derives "image" dimensions from a
-    * portable 48-bit hash of the blob bytes (md5 prefix — the same value
-    * `Dedup.hash48` computes SQL-side, so the stub is oracle-checkable).
-    * Replace the body with the real codec; the signature — bytes in,
-    * typed features out, called once per row inside a partition batch —
-    * is the production shape.
+  // ------------------------------------------------------------ encoders
+  // Deterministic synthetic images, used to exercise the real decoder
+  // with content whose decoded statistics an external oracle can
+  // recompute arithmetically. Dimensions and pixels are pure functions
+  // of the row id:
+  //   width  = id % 13 + 1, height = id % 7 + 1
+  //   red(x,y) = (id + x) % 256       — varies along x
+  //   green    = id % 256             — constant
+  //   blue(x,y) = (id * 3 + y) % 256  — varies along y
+  // so sum_red = h · Σ_x (id+x)%256, sum_green = w·h·(id%256),
+  // sum_blue = w · Σ_y (id·3+y)%256 — all exact integer arithmetic.
+
+  /** Synthetic image dimensions for an id (small on purpose — the
+    * point is decoding correctness, not pixel volume).
     */
-  def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
-    val n = if (bytes == null) 0 else bytes.length
-    val h: Long =
-      if (n == 0) 0L
-      else {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(bytes).take(6).map("%02x".format(_)).mkString
-        java.lang.Long.parseLong(hex, 16)
+  def synthDims(id: Long): (Int, Int) =
+    ((id % 13 + 1).toInt, (id % 7 + 1).toInt)
+
+  private def synthPixel(id: Long, x: Int, y: Int): (Int, Int, Int) =
+    (((id + x) % 256).toInt, (id % 256).toInt, ((id * 3 + y) % 256).toInt)
+
+  /** Hand-written 24-bit BMP encoder (BITMAPINFOHEADER, bottom-up rows,
+    * 4-byte row padding). BMP is uncompressed, so its exact byte length
+    * — 54 + rowSize·height, rowSize = ((24·w + 31)/32)·4 — is itself a
+    * decoder-verifiable quantity.
+    */
+  def encodeBmp(id: Long): Array[Byte] = {
+    val (w, h) = synthDims(id)
+    val rowSize = ((24 * w + 31) / 32) * 4
+    val dataSize = rowSize * h
+    val fileSize = 54 + dataSize
+    val buf = ByteBuffer.allocate(fileSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(fileSize).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h)
+    buf.putShort(1).putShort(24)
+    buf.putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+    buf.putInt(0).putInt(0)
+    var y = h - 1 // bottom-up scan order
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = synthPixel(id, x, y)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte) // BGR on disk
+        x += 1
       }
-    MediaMeta(
-      id = id,
-      n_bytes = n,
-      format = if (n % 2 == 0) "png" else "jpeg",
-      width = (h % 640 + 1).toInt,
-      height = (h / 640 % 480 + 1).toInt,
-      n_frames = 1)
+      var p = rowSize - w * 3
+      while (p > 0) { buf.put(0.toByte); p -= 1 }
+      y -= 1
+    }
+    buf.array()
   }
 
-  /** Batched decode over partitions: the executor-side pattern for codec
-    * work — one iterator pass per partition, no per-row task overhead,
-    * output is a typed Dataset. (Scala analogue of `mapInPandas`:
-    * arbitrary per-batch native work between two typed schemas.)
+  /** PNG encoder via `ImageIO.write` — the JDK's real PNG codec, so
+    * the decode path below round-trips through genuine compressed
+    * image bytes (lossless: pixel sums survive exactly).
+    */
+  def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = synthDims(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = synthPixel(id, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** id column → (id, blob) of synthetic images in `format` ("bmp" or
+    * "png"), one per row, generated executor-side in partition batches.
+    */
+  def synthesizeImages(df: DataFrame, idCol: String,
+      format: String): DataFrame = {
+    require(format == "bmp" || format == "png",
+      s"unsupported synthetic format: $format")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ids = df.select(col(idCol).cast(LongType)).as[Long]
+    val isBmp = format == "bmp"
+    ids.mapPartitions { it =>
+      ImageIO.setUseCache(false) // once per partition: no disk cache
+      it.map(id => (id, if (isBmp) encodeBmp(id) else encodePng(id)))
+    }.toDF("id", "blob")
+      .withColumn("n_bytes", octet_length(col("blob")))
+  }
+
+  // ------------------------------------------------------------- decoder
+
+  /** Magic-byte format sniff — cheap, no codec involvement. */
+  def sniffFormat(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length < 4) return "unknown"
+    val b = bytes
+    if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      "png"
+    else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+      "gif"
+    else "unknown"
+  }
+
+  /** Ceiling on either decoded dimension — caps the raster a single
+    * blob may allocate (≤ 2^14 · 2^14 · 4 B ≈ 1 GiB worst case, and
+    * only for a blob whose header already passed the format sniff).
+    */
+  val MaxDim: Int = 1 << 14
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    le16(b, i) | (le16(b, i + 2) << 16)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  /** Header dims pre-check BEFORE handing bytes to the codec: a blob
+    * whose magic bytes sniff as an image but whose header claims
+    * absurd dimensions (garbage that happens to start with "BM"…)
+    * would otherwise make the codec allocate its raster up front —
+    * this guard is how a corrupt blob becomes an `unknown` row
+    * instead of an executor OOM. Negative BMP height (legal
+    * top-down BMP) is treated as implausible here: the synthetic
+    * corpus is bottom-up, and rejecting it only widens `unknown`.
+    */
+  private def plausibleDims(fmt: String, b: Array[Byte]): Boolean =
+    fmt match {
+      case "bmp" if b.length >= 26 =>
+        val w = le32(b, 18); val h = le32(b, 22)
+        w > 0 && h > 0 && w <= MaxDim && h <= MaxDim
+      case "png" if b.length >= 24 =>
+        val w = be32(b, 16); val h = be32(b, 20)
+        w > 0 && h > 0 && w <= MaxDim && h <= MaxDim
+      case "gif" if b.length >= 10 =>
+        val w = le16(b, 6); val h = le16(b, 8)
+        w > 0 && h > 0 && w <= MaxDim && h <= MaxDim
+      case "jpeg" => true // dims live in SOF frames; ImageIO-bounded
+      case _ => false
+    }
+
+  /** Real image decode: `ImageIO.read` parses the blob; dimensions,
+    * channel count, and exact per-channel pixel sums come from the
+    * decoded raster. Any failure (corrupt bytes, unsupported format,
+    * implausible header) degrades to the typed `unknown` row — never
+    * an exception, so one bad blob can't fail a 100 TB scan.
+    */
+  def decodeImage(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = if (bytes == null) 0 else bytes.length
+    val unknown =
+      MediaMeta(id, n, "unknown", 0, 0, 0, 0, 0L, 0L, 0L)
+    if (n == 0) return unknown
+    val fmt = sniffFormat(bytes)
+    if (fmt == "unknown" || !plausibleDims(fmt, bytes)) return unknown
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) return unknown
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff
+          sg += (rgb >> 8) & 0xff
+          sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      MediaMeta(id, n, fmt, w, h,
+        img.getColorModel.getNumComponents, 1, sr, sg, sb)
+    } catch {
+      case scala.util.control.NonFatal(_) => unknown
+    }
+  }
+
+  /** Batched decode over partitions: the executor-side pattern for
+    * codec work — configure the codec once per partition, one iterator
+    * pass, no per-row task overhead, typed Dataset out. (Scala analogue
+    * of `mapInPandas`: arbitrary per-batch native work between two
+    * typed schemas.)
     */
   def decode(df: DataFrame): Dataset[MediaMeta] = {
     val spark = df.sparkSession
@@ -71,9 +250,8 @@ object Multimodal {
     df.select(col("id"), col("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // batch boundary: a real implementation would init the codec
-        // once here and feed it the whole partition
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
+        ImageIO.setUseCache(false) // per-partition codec config
+        it.map { case (id, bytes) => decodeImage(id, bytes) }
       }
   }
 

@@ -1190,19 +1190,54 @@ class ExtSpec extends SparkSpec {
     assert(zh == "zh")
   }
 
-  test("multimodal: binary plumbing + stub decode is deterministic") {
-    val d = Seq((1L, "hello"), (2L, "world!")).toDF("doc_id", "text")
+  test("multimodal: real BMP/PNG decode recovers encoded pixels") {
+    val ids = Seq(0L, 1L, 7L, 12L, 90L, 255L, 256L).toDF("doc_id")
+    // expected stats straight from the synthetic-content formulas
+    def expect(id: Long): (Int, Int, Long, Long, Long) = {
+      val (w, h) = Multimodal.synthDims(id)
+      val sr = (0 until w).map(x => (id + x) % 256).sum * h
+      val sg = (id % 256) * w * h
+      val sb = (0 until h).map(y => (id * 3 + y) % 256).sum * w
+      (w, h, sr, sg, sb)
+    }
+    for (fmt <- Seq("bmp", "png")) {
+      val meta = Multimodal.decode(
+          Multimodal.synthesizeImages(ids, "doc_id", fmt))
+        .collect().map(m => m.id -> m).toMap
+      assert(meta.size == 7)
+      meta.foreach { case (id, m) =>
+        val (w, h, sr, sg, sb) = expect(id)
+        assert(m.format == fmt && m.width == w && m.height == h)
+        assert(m.channels == 3 && m.n_frames == 1)
+        assert((m.sum_red, m.sum_green, m.sum_blue) == ((sr, sg, sb)),
+          s"pixel sums for id=$id fmt=$fmt")
+        if (fmt == "bmp") // uncompressed: exact byte length
+          assert(m.n_bytes == 54 + ((24 * w + 31) / 32) * 4 * h)
+        else assert(m.n_bytes > 8) // compressed: just non-trivial
+      }
+    }
+  }
+
+  test("multimodal: corrupt blobs degrade to typed unknown rows") {
+    val d = Seq((1L, "hello"), (2L, "BM garbage that is not a bitmap"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val withBin = Multimodal.withBinary(d, "doc_id", "text")
     val meta = Multimodal.decode(withBin).collect()
       .map(m => m.id -> m).toMap
-    assert(meta(1L).n_bytes == 5 && meta(2L).n_bytes == 6)
-    assert(meta(1L).width >= 1 && meta(1L).width <= 640)
-    // determinism: same input → same features
+    // plain text, text that passes the magic sniff but fails the
+    // header guard / codec, and a null blob: all typed unknown
+    Seq(1L, 2L, 3L).foreach { id =>
+      val m = meta(id)
+      assert(m.format == "unknown" && m.width == 0 && m.height == 0)
+      assert(m.sum_red == 0L && m.channels == 0)
+    }
+    assert(meta(1L).n_bytes == 5 && meta(3L).n_bytes == 0)
+    // determinism: same input → same output
     val again = Multimodal.decode(withBin).collect()
       .map(m => m.id -> m).toMap
-    assert(again(1L) == meta(1L))
+    assert(again == meta)
     val frames = Multimodal.sampleFrames(withBin, 3).collect()
     assert(frames.nonEmpty &&
-      frames.forall(_.getAs[Int]("offset") < 6))
+      frames.forall(_.getAs[Int]("offset") < 31))
   }
 }
