@@ -312,4 +312,115 @@ class PlanSpec extends SparkSpec {
       case (k, None)    => conf.unset(k)
     }
   }
+
+  // ---------------------------------------------------------------------
+  // Round-4 operator contracts. Each pairs the positive assertion with a
+  // deliberately de-optimized probe, so the detector itself is proven
+  // non-vacuous: the probe MUST trip the same predicate the contract
+  // relies on.
+
+  private def shuffles(df: DataFrame) = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    nodes(df).collect { case s: ShuffleExchangeExec => s }
+  }
+
+  private def joinsOf(df: DataFrame) = nodes(df).filter(n =>
+    n.getClass.getSimpleName.contains("Join") ||
+      n.getClass.getSimpleName.contains("CartesianProduct"))
+
+  test("temperatureMix applies fitted rates as ONE narrow filter") {
+    import graft.ext.Sampling
+    val docs = Tables.load(spark, dir, "documents")
+    // the rate FIT is a bounded per-source count (collected before this
+    // plan exists); the APPLY below must be scan + filter — no join, no
+    // shuffle, no aggregate carries the rates to the rows
+    val mixed = Sampling.temperatureMix(docs, "doc_id", "source", 0.7)
+    assert(shuffles(mixed).isEmpty,
+      "temperatureMix apply must not shuffle")
+    assert(joinsOf(mixed).isEmpty,
+      "rates must be a constant-folded CASE chain, not a join")
+    assert(scans(mixed).size == 1)
+    // de-optimized probe: joining the rates in as a table is exactly
+    // the shape the contract forbids — confirm the detector sees it
+    import spark.implicits._
+    val rates = Sampling.temperatureRates(docs, "source", 0.7, 1.0)
+      .toSeq.toDF("source", "rate")
+    val joined = docs.join(rates, "source")
+      .filter(Sampling.hashUnit(col("doc_id")) < col("rate"))
+    assert(joinsOf(joined).nonEmpty, "probe must register as a join")
+  }
+
+  test("joinSizeEstimate is hash aggs + one join — no sort, no window") {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"))
+    val est = Profile.joinSizeEstimate(li, ord, "l_orderkey")
+    // sf-independent contract: per-side key-count aggs meet in ONE
+    // equi-join on the key, folded by one final aggregate — histogram
+    // cost. A sort anywhere means someone planned the top-1 as an
+    // order-by instead of the struct-max.
+    import org.apache.spark.sql.execution.SortExec
+    val all = nodes(est)
+    assert(!all.exists(_.isInstanceOf[SortExec]),
+      "hottest-key top-1 must be a struct-max aggregate, not a sort")
+    assert(!all.exists(_.isInstanceOf[WindowExec]))
+    assert(joinsOf(est).size == 1,
+      "exactly one join of the two per-side key-count aggs; got: " +
+        joinsOf(est).map(_.getClass.getSimpleName).mkString(", "))
+    // de-optimized probe: orderBy(desc).limit(1) for the hottest key
+    // plans a sort — the exact node the contract rejects
+    val l = li.groupBy("l_orderkey").count()
+    val probe = l.orderBy(col("count").desc).limit(1)
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val pn = nodes(probe)
+    assert(pn.exists(n => n.isInstanceOf[SortExec] ||
+      n.isInstanceOf[TakeOrderedAndProjectExec]),
+      "probe must plan an ordering operator")
+  }
+
+  test("zOrdered plans as RangePartitioning(zval) + in-partition sort") {
+    import graft.ext.Layout
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.SortExec
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val z = Layout.zOrdered(li, Seq("l_partkey", "l_suppkey"), 10, 8)
+    val sh = shuffles(z)
+    assert(sh.size == 1, s"one range exchange expected, got ${sh.size}")
+    sh.head.outputPartitioning match {
+      case rp: RangePartitioning =>
+        assert(rp.ordering.map(_.child.references.map(_.name).mkString)
+          .mkString.contains("zval"),
+          s"range partitioning must be on zval: ${rp.ordering}")
+      case other => fail(s"expected RangePartitioning, got $other")
+    }
+    // every sort is within-partition: a global sort would serialize the
+    // write through a total order the layout doesn't need
+    val sorts = nodes(z).collect { case s: SortExec => s }
+    assert(sorts.nonEmpty && sorts.forall(!_.global),
+      "zOrdered sorts must be sortWithinPartitions")
+    // de-optimized probe: a global orderBy(zval) — same range exchange,
+    // but the sort is global, which the contract rejects
+    val probe = li.withColumn("zval",
+        Layout.zValue(Seq(col("l_partkey"), col("l_suppkey")), 10))
+      .orderBy("zval")
+    val psorts = nodes(probe).collect { case s: SortExec => s }
+    assert(psorts.exists(_.global), "probe must plan a global sort")
+  }
+
+  test("windowedDistinct batch plan shuffles exactly twice") {
+    import graft.streaming.StreamingValidate
+    val ev = Tables.load(spark, dir, "events")
+    val wd = StreamingValidate.windowedDistinct(ev, "user_id")
+    // shuffle 1 keys (window, user) for the dedup; shuffle 2 keys the
+    // window and carries ONE ROW PER DISTINCT KEY — never raw events.
+    val sh = shuffles(wd)
+    assert(sh.size == 2,
+      s"windowedDistinct must shuffle exactly twice, got ${sh.size}: " +
+        sh.map(_.outputPartitioning).mkString(" | "))
+    // de-optimized probe: appending a global orderBy adds a third
+    // (range) exchange — the creep this contract pins against
+    assert(shuffles(wd.orderBy("window_start")).size == 3,
+      "probe must add a third exchange")
+  }
 }
