@@ -198,6 +198,23 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Default per-(table,)bucket size cap for the kNN-graph joins —
+    * ON by default (round-4 PLANS recorded a degenerate hub bucket's
+    * n² dominating sf1 wall time; an uncapped default is a scale
+    * hazard). Cost bound: every bucket contributes ≤ cap² candidate
+    * scores. Recall bound: pruning only fires on a bucket holding
+    * > cap vectors that agree on EVERY sign bit — i.e. a pathological
+    * near-identical hub, which is near-duplicate territory (dedup's
+    * job, not ANN's); all other buckets are untouched, so their
+    * queries rank identically to the uncapped run. Multi-table runs
+    * can still recover hub members through their other tables'
+    * buckets. The in-degree/hubness report is the companion
+    * diagnostic: capped-away hubs surface there as vectors with zero
+    * in-degree (asserted in ExtSpec). Pass `maxBucketSize = 0`
+    * explicitly for the uncapped behavior.
+    */
+  val DefaultBucketCap: Int = 4096
+
   /** Corpus bucketed by LSH signature — the index build. */
   def lshBuckets(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", nPlanes: Int = 12): DataFrame =
@@ -241,7 +258,7 @@ object Similarity {
     */
   def knnJoinLsh(df: DataFrame, k: Int, idCol: String = "vec_id",
       vecCol: String = "embedding", nPlanes: Int = 8,
-      maxBucketSize: Int = 0): DataFrame =
+      maxBucketSize: Int = DefaultBucketCap): DataFrame =
     CacheScope.withCached(
       normalized(df, idCol, vecCol)
         .withColumn("bucket", lshBucket(col("nvec"), nPlanes))) { b =>
@@ -271,7 +288,8 @@ object Similarity {
     */
   def knnJoinLshMulti(df: DataFrame, k: Int, idCol: String = "vec_id",
       vecCol: String = "embedding", nPlanes: Int = 8,
-      nTables: Int = 2, maxBucketSize: Int = 0): DataFrame = {
+      nTables: Int = 2,
+      maxBucketSize: Int = DefaultBucketCap): DataFrame = {
     require(nTables >= 1 && nTables * nPlanes <= MaxPlanes,
       s"$nTables tables × $nPlanes planes exceeds $MaxPlanes")
     CacheScope.withCached(normalized(df, idCol, vecCol)) { nv =>
@@ -310,7 +328,8 @@ object Similarity {
     */
   def knnJoinLshMultiProbe(df: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nPlanes: Int = 8, maxBucketSize: Int = 0): DataFrame =
+      nPlanes: Int = 8,
+      maxBucketSize: Int = DefaultBucketCap): DataFrame =
     CacheScope.withCached(
       normalized(df, idCol, vecCol)
         .withColumn("bucket", lshBucket(col("nvec"), nPlanes))) { b =>

@@ -1121,17 +1121,32 @@ class ExtSpec extends SparkSpec {
         (math.sin(i * 1.7 + d) - 0.4).toFloat))
     }
     val vecs = (hub ++ rest).toDF("vec_id", "embedding")
-    val capped = Similarity.knnJoinLsh(vecs, 3, nPlanes = 4,
-        maxBucketSize = 10)
-      .collect().map(_.getLong(0)).toSet
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val capped = edges(Similarity.knnJoinLsh(vecs, 3, nPlanes = 4,
+      maxBucketSize = 10))
     // hub ids (bucket of 30 > cap 10) produce no rows
-    assert(capped.forall(_ >= 100L))
-    val uncapped = Similarity.knnJoinLsh(vecs, 3, nPlanes = 4)
-      .collect().map(_.getLong(0)).toSet
-    assert((0 until 30).map(_.toLong).toSet.subsetOf(uncapped))
-    // the surviving queries rank identically with and without the cap
-    // (their buckets were never pruned)
-    assert(capped.subsetOf(uncapped))
+    assert(capped.forall(_._1 >= 100L))
+    // maxBucketSize = 0 is the explicit uncapped escape hatch (the
+    // DEFAULT is now DefaultBucketCap — on, per the round-4 directive)
+    val uncapped = edges(Similarity.knnJoinLsh(vecs, 3, nPlanes = 4,
+      maxBucketSize = 0))
+    assert((0 until 30).map(_.toLong).toSet
+      .subsetOf(uncapped.map(_._1).toSet))
+    // recall bound made concrete: non-hub queries keep their EXACT
+    // uncapped edge set — pruning touched only the oversized bucket
+    assert(capped.toSet == uncapped.filter(_._1 >= 100L).toSet)
+    // hubness-report cross-check: capped-away hub members show zero
+    // in-degree, exactly what the in-degree diagnostic would surface.
+    // (Uncapped, the hub's smallest ids dominate in-degree — 29 ties at
+    // sim 1.0 rank by id — so only SOME hub ids appear as neighbors.)
+    val hubIds = (0 until 30).map(_.toLong).toSet
+    assert(hubIds.intersect(capped.map(_._2).toSet).isEmpty)
+    assert(hubIds.intersect(uncapped.map(_._2).toSet).nonEmpty)
+    // the default cap (4096) never binds at this size: identical to
+    // the uncapped run
+    assert(edges(Similarity.knnJoinLsh(vecs, 3, nPlanes = 4)).toSet ==
+      uncapped.toSet)
   }
 
   test("knnJoinLshMulti: recall never below single-table, no dup pairs") {
