@@ -1,0 +1,422 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.check.Checks
+import graft.oracle.Fixtures.t
+import graft.parse.Parsers
+import graft.schema.{Constraints, Field}
+
+/** The SURVEY §2 core query implementations — keys (K1–K3), constraints
+  * (C1–C8), parsers (P1–P14), and the report sample (R1) — registered
+  * in [[SparkEntry.queries]]. Split out of SparkEntry in round 5 purely
+  * for file size; behavior and registry names are unchanged.
+  */
+private[graft] object CoreQueries {
+
+  // ------------------------------------------------------------------ keys
+  /** K1: primary-key uniqueness on lineitem (l_orderkey, l_linenumber) —
+    * the synthetic lineitem genuinely contains duplicate key tuples
+    * (~1.4k at sf0.001, ~11.8k rows reported at sf0.01), so a NON-empty
+    * result is expected and oracle-verified; do not "fix" it to empty.
+    */
+  private[graft] def k1PkLineitem(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val v = Checks.unique(li, Seq("l_orderkey", "l_linenumber"))
+    v.select(col("l_orderkey"), col("l_linenumber").cast(LongType)
+      .as("l_linenumber"), col("cnt"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** K1 degraded: collapse the line number to its parity so duplicate key
+    * tuples actually exist — exercises the duplicate-detection path.
+    */
+  private[graft] def k1PkDegraded(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .withColumn("l_parity", (col("l_linenumber") % 2).cast(LongType))
+    Checks.unique(li, Seq("l_orderkey", "l_parity"))
+      .orderBy("l_orderkey", "l_parity")
+  }
+
+  /** C2/K2: `unique` on orders.o_custkey — customers order repeatedly, so
+    * duplicates exist; distinct duplicated values + counts.
+    */
+  private[graft] def c2UniqueCustkey(s: SparkSession, dir: String): DataFrame =
+    Checks.unique(t(s, dir, "orders"), Seq("o_custkey"))
+      .orderBy("o_custkey")
+
+  /** K3: foreign key orders.o_custkey → customer.c_custkey against a
+    * degraded parent (every 10th customer dropped) — orphan keys + counts.
+    * The parent side is distinct-projected and broadcast (dimension).
+    */
+  private[graft] def k3FkOrdersCustomer(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val parent = t(s, dir, "customer").filter(col("c_custkey") % 10 =!= 0)
+    Checks.foreignKey(orders, Seq("o_custkey"), broadcast(parent),
+      Seq("c_custkey")).orderBy("o_custkey")
+  }
+
+  /** K3 salted variant on the same degraded-parent scenario — identical
+    * result set (the salt never changes membership), exercised against
+    * the SAME oracle; the skew path for fact→fact fks.
+    */
+  private[graft] def k3FkSalted(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val parent = t(s, dir, "customer").filter(col("c_custkey") % 10 =!= 0)
+    Checks.foreignKeySalted(orders, Seq("o_custkey"), parent,
+      Seq("c_custkey"), saltBuckets = 8).orderBy("o_custkey")
+  }
+
+  /** K3 composite+clean: lineitem (l_orderkey) ⊆ orders — empty result. */
+  private[graft] def k3FkLineitemOrders(s: SparkSession, dir: String): DataFrame =
+    Checks.foreignKey(t(s, dir, "lineitem"), Seq("l_orderkey"),
+      t(s, dir, "orders"), Seq("o_orderkey")).orderBy("l_orderkey")
+
+  // ------------------------------------------------------------ constraints
+  /** C1 required, degraded: treat '4-NOT SPECIFIED' as a missing token on
+    * o_orderpriority, then count nulls (missing-token substitution + C1).
+    */
+  private[graft] def c1Required(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val cleaned = o.withColumn("o_orderpriority",
+      Parsers.applyMissing(col("o_orderpriority"), Seq("4-NOT SPECIFIED")))
+    Checks.required(cleaned, "o_orderpriority")
+  }
+
+  /** C3/C4 length bounds on part.p_name (7..12 chars in the data). */
+  private[graft] def c3MinLength(s: SparkSession, dir: String): DataFrame =
+    Checks.minLength(t(s, dir, "part"), "p_name", 9).orderBy("p_name")
+
+  private[graft] def c4MaxLength(s: SparkSession, dir: String): DataFrame =
+    Checks.maxLength(t(s, dir, "part"), "p_name", 10).orderBy("p_name")
+
+  /** C5 minimum on l_quantity (typed compare): violations of minimum=10. */
+  private[graft] def c5Minimum(s: SparkSession, dir: String): DataFrame =
+    Checks.minimum(t(s, dir, "lineitem"), "l_quantity", lit(10.0))
+      .orderBy("l_quantity")
+
+  /** C6 maximum on l_discount: violations of maximum=0.05. */
+  private[graft] def c6Maximum(s: SparkSession, dir: String): DataFrame =
+    Checks.maximum(t(s, dir, "lineitem"), "l_discount", lit(0.05))
+      .orderBy("l_discount")
+
+  /** C7 pattern (anchored full-match): '4-NOT SPECIFIED' fails
+    * `[1-5]-[A-Z]+` because of the space — anchoring + dialect per
+    * SURVEY.md §7.5.
+    */
+  private[graft] def c7Pattern(s: SparkSession, dir: String): DataFrame =
+    Checks.patternCheck(t(s, dir, "orders"), "o_orderpriority",
+      "[1-5]-[A-Z]+").orderBy("o_orderpriority")
+
+  /** C8 enum: l_returnflag ∈ {A, N} — 'R' rows are the violations. */
+  private[graft] def c8Enum(s: SparkSession, dir: String): DataFrame =
+    Checks.enumCheck(t(s, dir, "lineitem"), "l_returnflag", Seq("A", "N"))
+      .orderBy("l_returnflag")
+
+  // ------------------------------------------------------------------ parse
+  /** P3 integer: strict regex gate (rejects '1e3', 'x12') then cast. */
+  private[graft] def p3Integer(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val raw = when(col("l_linenumber") % 3 === 0,
+      (col("l_orderkey") % 10000).cast(StringType))
+      .when(col("l_linenumber") % 3 === 1, lit("1e3"))
+      .otherwise(lit("x12"))
+    val f = Field("raw", "integer")
+    li.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct()
+      .orderBy("raw")
+  }
+
+  /** P4 boolean with custom true/falseValues over o_orderstatus
+    * (trueValues=[O], falseValues=[F]; 'P' is invalid → null).
+    */
+  private[graft] def p4Boolean(s: SparkSession, dir: String): DataFrame = {
+    val f = Field("o_orderstatus", "boolean",
+      trueValues = Seq("O"), falseValues = Seq("F"))
+    val o = t(s, dir, "orders")
+    o.select(col("o_orderstatus").as("raw"),
+        Parsers.parseExpr(f, col("o_orderstatus")).as("parsed"),
+        Parsers.invalidExpr(f, col("o_orderstatus")).as("invalid"))
+      .groupBy("raw", "parsed", "invalid")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("raw")
+  }
+
+  /** P1 string passthrough: parse_string(default) is the identity. */
+  private[graft] def p1String(s: SparkSession, dir: String): DataFrame = {
+    val f = Field("source", "string")
+    t(s, dir, "documents")
+      .select(col("source").as("raw"),
+        Parsers.parseExpr(f, col("source")).as("parsed"))
+      .groupBy("raw", "parsed").agg(count(lit(1)).as("cnt"))
+      .orderBy("raw")
+  }
+
+  /** P1a string format=email: regex validation; value unchanged. */
+  private[graft] def p1aEmail(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val raw = when(col("c_custkey") % 7 === 0,
+      concat(lit("bad mail "), (col("c_custkey") % 100).cast(StringType)))
+      .otherwise(concat(lit("u"), (col("c_custkey") % 10000)
+        .cast(StringType), lit("@ex.com")))
+    val f = Field("raw", "string", format = "email")
+    c.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P1b string format=uri. */
+  private[graft] def p1bUri(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val raw = when(col("p_partkey") % 5 === 0, col("p_name")) // has a space
+      .otherwise(concat(lit("https://ex.org/p/"),
+        col("p_partkey").cast(StringType)))
+    val f = Field("raw", "string", format = "uri")
+    p.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P1c string format=uuid (synthesized from key hex; some truncated). */
+  private[graft] def p1cUuid(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val full = lower(concat(
+      lpad(hex(col("c_custkey") % 4096), 8, "0"),
+      lit("-0000-4000-8000-"),
+      lpad(hex(col("c_nationkey")), 12, "0")))
+    val raw = when(col("c_custkey") % 5 === 0, substring(full, 1, 8))
+      .otherwise(full)
+    val f = Field("raw", "string", format = "uuid")
+    c.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P1d string format=binary (base64). */
+  private[graft] def p1dBinary(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val raw = when(col("doc_id") % 4 === 0, lit("a!!!"))
+      .otherwise(base64(col("source").cast(BinaryType)))
+    val f = Field("raw", "string", format = "binary")
+    d.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P2 number (default '.', specials, strict — no lax cast forms). */
+  private[graft] def p2Number(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val raw = when(col("l_linenumber") % 7 === 0, lit("NaN"))
+      .when(col("l_linenumber") % 7 === 1, lit("INF"))
+      .when(col("l_linenumber") % 7 === 2, lit("-INF"))
+      .when(col("l_linenumber") % 7 === 3, lit("abc"))
+      .otherwise(concat((col("l_orderkey") % 1000).cast(StringType),
+        lit("."), (col("l_partkey") % 100).cast(StringType)))
+    val f = Field("raw", "number")
+    li.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P2 number with groupChar='.' decimalChar=',' (EU formatting). */
+  private[graft] def p2NumberEu(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val raw = concat(
+      (col("l_suppkey") % 10).cast(StringType), lit("."),
+      lpad((col("l_partkey") % 100).cast(StringType), 3, "0"), lit(","),
+      lpad((col("l_orderkey") % 100).cast(StringType), 2, "0"))
+    val f = Field("raw", "number", decimalChar = ",", groupChar = ".")
+    li.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P2 number bareNumber=false: strip currency/percent affixes. */
+  private[graft] def p2NumberAffix(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val raw = when(col("l_suppkey") % 2 === 0,
+      concat(lit("$"), col("l_suppkey").cast(StringType)))
+      .otherwise(concat(col("l_suppkey").cast(StringType), lit("%")))
+    val f = Field("raw", "number", bareNumber = false)
+    li.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P5 date default (%Y-%m-%d), with unparseable month-13 variants. */
+  private[graft] def p5Date(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val raw = when(col("l_linenumber") % 5 === 0, lit("2026-13-01"))
+      .otherwise(date_format(col("l_shipdate"), "yyyy-MM-dd"))
+    val f = Field("raw", "date")
+    li.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P5 date with strptime pattern %d/%m/%Y (exercises Patterns). */
+  private[graft] def p5DateFmt(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val raw = when(col("l_linenumber") % 5 === 0,
+      date_format(col("l_shipdate"), "yyyy-MM-dd")) // wrong shape → null
+      .otherwise(date_format(col("l_shipdate"), "dd/MM/yyyy"))
+    val f = Field("raw", "date", format = "%d/%m/%Y")
+    li.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P6 datetime default ISO 8601 (strict: space separator rejected). */
+  private[graft] def p6Datetime(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val iso = date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss")
+    val raw = when(col("o_orderkey") % 5 === 0,
+      regexp_replace(iso, "T", " ")).otherwise(iso)
+    val f = Field("raw", "datetime")
+    o.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P7 time default %H:%M:%S (canonical string; range-validated). */
+  private[graft] def p7Time(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val raw = when(col("event_id") % 5 === 0, lit("25:61:00"))
+      .otherwise(date_format(col("ts"), "HH:mm:ss"))
+    val f = Field("raw", "time")
+    e.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P8 year: 4-digit gate then cast. */
+  private[graft] def p8Year(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val raw = when(col("l_linenumber") % 6 === 0, lit("26"))
+      .when(col("l_linenumber") % 6 === 1, lit("20260"))
+      .otherwise(year(col("l_shipdate")).cast(StringType))
+    val f = Field("raw", "year")
+    li.select(raw.as("raw"))
+      .select(col("raw"),
+        Parsers.parseExpr(f, col("raw")).cast(LongType).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P9 geopoint default "lon, lat": split + cast + ±180/±90 range. */
+  private[graft] def p9Geopoint(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val lon = col("p_partkey") % 361 - 180
+    val lat = col("p_size") % 181 - 90
+    val raw = when(col("p_partkey") % 11 === 0, lit("200, 100"))
+      .when(col("p_partkey") % 13 === 0, lit("x,y"))
+      .otherwise(concat(lon.cast(StringType), lit(", "),
+        lat.cast(StringType)))
+    val f = Field("raw", "geopoint")
+    val parsed = Parsers.parseExpr(f, col("raw"))
+    p.select(raw.as("raw"))
+      .select(col("raw"), parsed.getField("lon").as("lon"),
+        parsed.getField("lat").as("lat"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P10 yearmonth: `YYYY-MM` gate → DateType at day 1 (month 13 and
+    * un-dashed forms rejected).
+    */
+  private[graft] def p10Yearmonth(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val raw = when(col("l_linenumber") % 4 === 0, lit("2026-13"))
+      .when(col("l_linenumber") % 4 === 1, lit("202605"))
+      .otherwise(date_format(col("l_shipdate"), "yyyy-MM"))
+    val f = Field("raw", "yearmonth")
+    li.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P11 object: JSON-object validity over events.props with truncated
+    * and wrong-container corruptions; parsed value = the JSON string.
+    */
+  private[graft] def p11Object(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val raw = when(col("event_id") % 5 === 0, substring(col("props"), 1, 8))
+      .when(col("event_id") % 5 === 1, lit("[1,2,3]"))
+      .otherwise(col("props"))
+    val f = Field("raw", "object")
+    e.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P12 array: JSON-array validity (objects and truncations rejected). */
+  private[graft] def p12Array(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val k = col("event_id") % 100
+    val raw = when(col("event_id") % 4 === 0, col("props")) // object → invalid
+      .when(col("event_id") % 4 === 1,
+        concat(lit("["), k.cast(StringType), lit(","))) // truncated
+      .otherwise(concat(lit("["), k.cast(StringType), lit(","),
+        (k + 1).cast(StringType), lit("]")))
+    val f = Field("raw", "array")
+    e.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P13 duration: ISO 8601 durations (lookahead-free regex — portable
+    * to RE2 engines); canonical string on success.
+    */
+  private[graft] def p13Duration(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val raw = when(col("l_linenumber") % 5 === 0, lit("P"))
+      .when(col("l_linenumber") % 5 === 1, lit("1D"))
+      .when(col("l_linenumber") % 5 === 2, lit("PT"))
+      .when(col("l_linenumber") % 5 === 3,
+        concat(lit("PT"), (col("l_suppkey") % 24).cast(StringType),
+          lit("H")))
+      .otherwise(concat(lit("P"), col("l_linenumber").cast(StringType),
+        lit("DT"), (col("l_suppkey") % 24).cast(StringType), lit("H")))
+    val f = Field("raw", "duration")
+    li.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P14 geojson: type-tagged JSON geometry objects. */
+  private[graft] def p14Geojson(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val lon = (col("p_partkey") % 361 - 180).cast(StringType)
+    val lat = (col("p_size") % 181 - 90).cast(StringType)
+    val point = concat(lit("{\"type\": \"Point\", \"coordinates\": ["),
+      lon, lit(", "), lat, lit("]}"))
+    val raw = when(col("p_partkey") % 7 === 0,
+        lit("{\"coordinates\": [1, 2]}"))
+      .when(col("p_partkey") % 7 === 1, lit("{\"type\": \"Circle\"}"))
+      .when(col("p_partkey") % 7 === 2, lit("not json"))
+      .otherwise(point)
+    val f = Field("raw", "geojson")
+    p.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** K2 uniqueKeys: composite (l_partkey, l_suppkey) — the same part
+    * from the same supplier appears on many orders, so duplicates exist.
+    */
+  private[graft] def k2UniqueKeys(s: SparkSession, dir: String): DataFrame =
+    Checks.unique(t(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"))
+      .orderBy("l_partkey", "l_suppkey")
+
+  /** R1 error-value sampling via the native bounded_distinct aggregate
+    * (k smallest distinct values — deterministic, O(k) memory; the
+    * custom TypedImperativeAggregate registered by GraftExtensions).
+    */
+  private[graft] def r1ErrorSample(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "orders")
+      .agg(call_function("bounded_distinct", col("o_orderpriority"),
+        lit(3)).as("sample_values"))
+  }
+}

@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.check.Checks
+import graft.CoreQueries._
+import graft.oracle.Fixtures.{t, docsWithCopies, docsWithTwins, skewedDocs,
+  LangmixPlanted, IncrementalTwinOffset, SplitWeights, MixFractions}
 import graft.ext.{Dedup, Joins, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.parse.Parsers
 import graft.schema.{Constraints, Field}
@@ -22,8 +25,6 @@ import graft.streaming.StreamingValidate
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the full E1 validation of the star-schema package — one row per
@@ -36,420 +37,7 @@ object SparkEntry {
     Validate.reportDF(spark, report)
   }
 
-  // ------------------------------------------------------------------ keys
-  /** K1: primary-key uniqueness on lineitem (l_orderkey, l_linenumber) —
-    * the synthetic lineitem genuinely contains duplicate key tuples
-    * (~1.4k at sf0.001, ~11.8k rows reported at sf0.01), so a NON-empty
-    * result is expected and oracle-verified; do not "fix" it to empty.
-    */
-  private def k1PkLineitem(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val v = Checks.unique(li, Seq("l_orderkey", "l_linenumber"))
-    v.select(col("l_orderkey"), col("l_linenumber").cast(LongType)
-      .as("l_linenumber"), col("cnt"))
-      .orderBy("l_orderkey", "l_linenumber")
-  }
-
-  /** K1 degraded: collapse the line number to its parity so duplicate key
-    * tuples actually exist — exercises the duplicate-detection path.
-    */
-  private def k1PkDegraded(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .withColumn("l_parity", (col("l_linenumber") % 2).cast(LongType))
-    Checks.unique(li, Seq("l_orderkey", "l_parity"))
-      .orderBy("l_orderkey", "l_parity")
-  }
-
-  /** C2/K2: `unique` on orders.o_custkey — customers order repeatedly, so
-    * duplicates exist; distinct duplicated values + counts.
-    */
-  private def c2UniqueCustkey(s: SparkSession, dir: String): DataFrame =
-    Checks.unique(t(s, dir, "orders"), Seq("o_custkey"))
-      .orderBy("o_custkey")
-
-  /** K3: foreign key orders.o_custkey → customer.c_custkey against a
-    * degraded parent (every 10th customer dropped) — orphan keys + counts.
-    * The parent side is distinct-projected and broadcast (dimension).
-    */
-  private def k3FkOrdersCustomer(s: SparkSession, dir: String): DataFrame = {
-    val orders = t(s, dir, "orders")
-    val parent = t(s, dir, "customer").filter(col("c_custkey") % 10 =!= 0)
-    Checks.foreignKey(orders, Seq("o_custkey"), broadcast(parent),
-      Seq("c_custkey")).orderBy("o_custkey")
-  }
-
-  /** K3 salted variant on the same degraded-parent scenario — identical
-    * result set (the salt never changes membership), exercised against
-    * the SAME oracle; the skew path for fact→fact fks.
-    */
-  private def k3FkSalted(s: SparkSession, dir: String): DataFrame = {
-    val orders = t(s, dir, "orders")
-    val parent = t(s, dir, "customer").filter(col("c_custkey") % 10 =!= 0)
-    Checks.foreignKeySalted(orders, Seq("o_custkey"), parent,
-      Seq("c_custkey"), saltBuckets = 8).orderBy("o_custkey")
-  }
-
-  /** K3 composite+clean: lineitem (l_orderkey) ⊆ orders — empty result. */
-  private def k3FkLineitemOrders(s: SparkSession, dir: String): DataFrame =
-    Checks.foreignKey(t(s, dir, "lineitem"), Seq("l_orderkey"),
-      t(s, dir, "orders"), Seq("o_orderkey")).orderBy("l_orderkey")
-
-  // ------------------------------------------------------------ constraints
-  /** C1 required, degraded: treat '4-NOT SPECIFIED' as a missing token on
-    * o_orderpriority, then count nulls (missing-token substitution + C1).
-    */
-  private def c1Required(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-    val cleaned = o.withColumn("o_orderpriority",
-      Parsers.applyMissing(col("o_orderpriority"), Seq("4-NOT SPECIFIED")))
-    Checks.required(cleaned, "o_orderpriority")
-  }
-
-  /** C3/C4 length bounds on part.p_name (7..12 chars in the data). */
-  private def c3MinLength(s: SparkSession, dir: String): DataFrame =
-    Checks.minLength(t(s, dir, "part"), "p_name", 9).orderBy("p_name")
-
-  private def c4MaxLength(s: SparkSession, dir: String): DataFrame =
-    Checks.maxLength(t(s, dir, "part"), "p_name", 10).orderBy("p_name")
-
-  /** C5 minimum on l_quantity (typed compare): violations of minimum=10. */
-  private def c5Minimum(s: SparkSession, dir: String): DataFrame =
-    Checks.minimum(t(s, dir, "lineitem"), "l_quantity", lit(10.0))
-      .orderBy("l_quantity")
-
-  /** C6 maximum on l_discount: violations of maximum=0.05. */
-  private def c6Maximum(s: SparkSession, dir: String): DataFrame =
-    Checks.maximum(t(s, dir, "lineitem"), "l_discount", lit(0.05))
-      .orderBy("l_discount")
-
-  /** C7 pattern (anchored full-match): '4-NOT SPECIFIED' fails
-    * `[1-5]-[A-Z]+` because of the space — anchoring + dialect per
-    * SURVEY.md §7.5.
-    */
-  private def c7Pattern(s: SparkSession, dir: String): DataFrame =
-    Checks.patternCheck(t(s, dir, "orders"), "o_orderpriority",
-      "[1-5]-[A-Z]+").orderBy("o_orderpriority")
-
-  /** C8 enum: l_returnflag ∈ {A, N} — 'R' rows are the violations. */
-  private def c8Enum(s: SparkSession, dir: String): DataFrame =
-    Checks.enumCheck(t(s, dir, "lineitem"), "l_returnflag", Seq("A", "N"))
-      .orderBy("l_returnflag")
-
-  // ------------------------------------------------------------------ parse
-  /** P3 integer: strict regex gate (rejects '1e3', 'x12') then cast. */
-  private def p3Integer(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val raw = when(col("l_linenumber") % 3 === 0,
-      (col("l_orderkey") % 10000).cast(StringType))
-      .when(col("l_linenumber") % 3 === 1, lit("1e3"))
-      .otherwise(lit("x12"))
-    val f = Field("raw", "integer")
-    li.select(raw.as("raw"))
-      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
-      .distinct()
-      .orderBy("raw")
-  }
-
-  /** P4 boolean with custom true/falseValues over o_orderstatus
-    * (trueValues=[O], falseValues=[F]; 'P' is invalid → null).
-    */
-  private def p4Boolean(s: SparkSession, dir: String): DataFrame = {
-    val f = Field("o_orderstatus", "boolean",
-      trueValues = Seq("O"), falseValues = Seq("F"))
-    val o = t(s, dir, "orders")
-    o.select(col("o_orderstatus").as("raw"),
-        Parsers.parseExpr(f, col("o_orderstatus")).as("parsed"),
-        Parsers.invalidExpr(f, col("o_orderstatus")).as("invalid"))
-      .groupBy("raw", "parsed", "invalid")
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy("raw")
-  }
-
-  /** P1 string passthrough: parse_string(default) is the identity. */
-  private def p1String(s: SparkSession, dir: String): DataFrame = {
-    val f = Field("source", "string")
-    t(s, dir, "documents")
-      .select(col("source").as("raw"),
-        Parsers.parseExpr(f, col("source")).as("parsed"))
-      .groupBy("raw", "parsed").agg(count(lit(1)).as("cnt"))
-      .orderBy("raw")
-  }
-
-  /** P1a string format=email: regex validation; value unchanged. */
-  private def p1aEmail(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer")
-    val raw = when(col("c_custkey") % 7 === 0,
-      concat(lit("bad mail "), (col("c_custkey") % 100).cast(StringType)))
-      .otherwise(concat(lit("u"), (col("c_custkey") % 10000)
-        .cast(StringType), lit("@ex.com")))
-    val f = Field("raw", "string", format = "email")
-    c.select(raw.as("raw"))
-      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
-      .distinct().orderBy("raw")
-  }
-
-  /** P1b string format=uri. */
-  private def p1bUri(s: SparkSession, dir: String): DataFrame = {
-    val p = t(s, dir, "part")
-    val raw = when(col("p_partkey") % 5 === 0, col("p_name")) // has a space
-      .otherwise(concat(lit("https://ex.org/p/"),
-        col("p_partkey").cast(StringType)))
-    val f = Field("raw", "string", format = "uri")
-    p.select(raw.as("raw"))
-      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
-      .distinct().orderBy("raw")
-  }
-
-  /** P1c string format=uuid (synthesized from key hex; some truncated). */
-  private def p1cUuid(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer")
-    val full = lower(concat(
-      lpad(hex(col("c_custkey") % 4096), 8, "0"),
-      lit("-0000-4000-8000-"),
-      lpad(hex(col("c_nationkey")), 12, "0")))
-    val raw = when(col("c_custkey") % 5 === 0, substring(full, 1, 8))
-      .otherwise(full)
-    val f = Field("raw", "string", format = "uuid")
-    c.select(raw.as("raw"))
-      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
-      .distinct().orderBy("raw")
-  }
-
-  /** P1d string format=binary (base64). */
-  private def p1dBinary(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    val raw = when(col("doc_id") % 4 === 0, lit("a!!!"))
-      .otherwise(base64(col("source").cast(BinaryType)))
-    val f = Field("raw", "string", format = "binary")
-    d.select(raw.as("raw"))
-      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
-      .distinct().orderBy("raw")
-  }
-
-  /** P2 number (default '.', specials, strict — no lax cast forms). */
-  private def p2Number(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val raw = when(col("l_linenumber") % 7 === 0, lit("NaN"))
-      .when(col("l_linenumber") % 7 === 1, lit("INF"))
-      .when(col("l_linenumber") % 7 === 2, lit("-INF"))
-      .when(col("l_linenumber") % 7 === 3, lit("abc"))
-      .otherwise(concat((col("l_orderkey") % 1000).cast(StringType),
-        lit("."), (col("l_partkey") % 100).cast(StringType)))
-    val f = Field("raw", "number")
-    li.select(raw.as("raw"))
-      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
-      .distinct().orderBy("raw")
-  }
-
-  /** P2 number with groupChar='.' decimalChar=',' (EU formatting). */
-  private def p2NumberEu(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val raw = concat(
-      (col("l_suppkey") % 10).cast(StringType), lit("."),
-      lpad((col("l_partkey") % 100).cast(StringType), 3, "0"), lit(","),
-      lpad((col("l_orderkey") % 100).cast(StringType), 2, "0"))
-    val f = Field("raw", "number", decimalChar = ",", groupChar = ".")
-    li.select(raw.as("raw"))
-      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
-      .distinct().orderBy("raw")
-  }
-
-  /** P2 number bareNumber=false: strip currency/percent affixes. */
-  private def p2NumberAffix(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val raw = when(col("l_suppkey") % 2 === 0,
-      concat(lit("$"), col("l_suppkey").cast(StringType)))
-      .otherwise(concat(col("l_suppkey").cast(StringType), lit("%")))
-    val f = Field("raw", "number", bareNumber = false)
-    li.select(raw.as("raw"))
-      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
-      .distinct().orderBy("raw")
-  }
-
-  /** P5 date default (%Y-%m-%d), with unparseable month-13 variants. */
-  private def p5Date(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val raw = when(col("l_linenumber") % 5 === 0, lit("2026-13-01"))
-      .otherwise(date_format(col("l_shipdate"), "yyyy-MM-dd"))
-    val f = Field("raw", "date")
-    li.select(raw.as("raw"))
-      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
-      .distinct().orderBy("raw")
-  }
-
-  /** P5 date with strptime pattern %d/%m/%Y (exercises Patterns). */
-  private def p5DateFmt(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val raw = when(col("l_linenumber") % 5 === 0,
-      date_format(col("l_shipdate"), "yyyy-MM-dd")) // wrong shape → null
-      .otherwise(date_format(col("l_shipdate"), "dd/MM/yyyy"))
-    val f = Field("raw", "date", format = "%d/%m/%Y")
-    li.select(raw.as("raw"))
-      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
-      .distinct().orderBy("raw")
-  }
-
-  /** P6 datetime default ISO 8601 (strict: space separator rejected). */
-  private def p6Datetime(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-    val iso = date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss")
-    val raw = when(col("o_orderkey") % 5 === 0,
-      regexp_replace(iso, "T", " ")).otherwise(iso)
-    val f = Field("raw", "datetime")
-    o.select(raw.as("raw"))
-      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
-      .distinct().orderBy("raw")
-  }
-
-  /** P7 time default %H:%M:%S (canonical string; range-validated). */
-  private def p7Time(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-    val raw = when(col("event_id") % 5 === 0, lit("25:61:00"))
-      .otherwise(date_format(col("ts"), "HH:mm:ss"))
-    val f = Field("raw", "time")
-    e.select(raw.as("raw"))
-      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
-      .distinct().orderBy("raw")
-  }
-
-  /** P8 year: 4-digit gate then cast. */
-  private def p8Year(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val raw = when(col("l_linenumber") % 6 === 0, lit("26"))
-      .when(col("l_linenumber") % 6 === 1, lit("20260"))
-      .otherwise(year(col("l_shipdate")).cast(StringType))
-    val f = Field("raw", "year")
-    li.select(raw.as("raw"))
-      .select(col("raw"),
-        Parsers.parseExpr(f, col("raw")).cast(LongType).as("parsed"))
-      .distinct().orderBy("raw")
-  }
-
-  /** P9 geopoint default "lon, lat": split + cast + ±180/±90 range. */
-  private def p9Geopoint(s: SparkSession, dir: String): DataFrame = {
-    val p = t(s, dir, "part")
-    val lon = col("p_partkey") % 361 - 180
-    val lat = col("p_size") % 181 - 90
-    val raw = when(col("p_partkey") % 11 === 0, lit("200, 100"))
-      .when(col("p_partkey") % 13 === 0, lit("x,y"))
-      .otherwise(concat(lon.cast(StringType), lit(", "),
-        lat.cast(StringType)))
-    val f = Field("raw", "geopoint")
-    val parsed = Parsers.parseExpr(f, col("raw"))
-    p.select(raw.as("raw"))
-      .select(col("raw"), parsed.getField("lon").as("lon"),
-        parsed.getField("lat").as("lat"))
-      .distinct().orderBy("raw")
-  }
-
-  /** P10 yearmonth: `YYYY-MM` gate → DateType at day 1 (month 13 and
-    * un-dashed forms rejected).
-    */
-  private def p10Yearmonth(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val raw = when(col("l_linenumber") % 4 === 0, lit("2026-13"))
-      .when(col("l_linenumber") % 4 === 1, lit("202605"))
-      .otherwise(date_format(col("l_shipdate"), "yyyy-MM"))
-    val f = Field("raw", "yearmonth")
-    li.select(raw.as("raw"))
-      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
-      .distinct().orderBy("raw")
-  }
-
-  /** P11 object: JSON-object validity over events.props with truncated
-    * and wrong-container corruptions; parsed value = the JSON string.
-    */
-  private def p11Object(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-    val raw = when(col("event_id") % 5 === 0, substring(col("props"), 1, 8))
-      .when(col("event_id") % 5 === 1, lit("[1,2,3]"))
-      .otherwise(col("props"))
-    val f = Field("raw", "object")
-    e.select(raw.as("raw"))
-      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
-      .distinct().orderBy("raw")
-  }
-
-  /** P12 array: JSON-array validity (objects and truncations rejected). */
-  private def p12Array(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-    val k = col("event_id") % 100
-    val raw = when(col("event_id") % 4 === 0, col("props")) // object → invalid
-      .when(col("event_id") % 4 === 1,
-        concat(lit("["), k.cast(StringType), lit(","))) // truncated
-      .otherwise(concat(lit("["), k.cast(StringType), lit(","),
-        (k + 1).cast(StringType), lit("]")))
-    val f = Field("raw", "array")
-    e.select(raw.as("raw"))
-      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
-      .distinct().orderBy("raw")
-  }
-
-  /** P13 duration: ISO 8601 durations (lookahead-free regex — portable
-    * to RE2 engines); canonical string on success.
-    */
-  private def p13Duration(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val raw = when(col("l_linenumber") % 5 === 0, lit("P"))
-      .when(col("l_linenumber") % 5 === 1, lit("1D"))
-      .when(col("l_linenumber") % 5 === 2, lit("PT"))
-      .when(col("l_linenumber") % 5 === 3,
-        concat(lit("PT"), (col("l_suppkey") % 24).cast(StringType),
-          lit("H")))
-      .otherwise(concat(lit("P"), col("l_linenumber").cast(StringType),
-        lit("DT"), (col("l_suppkey") % 24).cast(StringType), lit("H")))
-    val f = Field("raw", "duration")
-    li.select(raw.as("raw"))
-      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
-      .distinct().orderBy("raw")
-  }
-
-  /** P14 geojson: type-tagged JSON geometry objects. */
-  private def p14Geojson(s: SparkSession, dir: String): DataFrame = {
-    val p = t(s, dir, "part")
-    val lon = (col("p_partkey") % 361 - 180).cast(StringType)
-    val lat = (col("p_size") % 181 - 90).cast(StringType)
-    val point = concat(lit("{\"type\": \"Point\", \"coordinates\": ["),
-      lon, lit(", "), lat, lit("]}"))
-    val raw = when(col("p_partkey") % 7 === 0,
-        lit("{\"coordinates\": [1, 2]}"))
-      .when(col("p_partkey") % 7 === 1, lit("{\"type\": \"Circle\"}"))
-      .when(col("p_partkey") % 7 === 2, lit("not json"))
-      .otherwise(point)
-    val f = Field("raw", "geojson")
-    p.select(raw.as("raw"))
-      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
-      .distinct().orderBy("raw")
-  }
-
-  /** K2 uniqueKeys: composite (l_partkey, l_suppkey) — the same part
-    * from the same supplier appears on many orders, so duplicates exist.
-    */
-  private def k2UniqueKeys(s: SparkSession, dir: String): DataFrame =
-    Checks.unique(t(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"))
-      .orderBy("l_partkey", "l_suppkey")
-
-  /** R1 error-value sampling via the native bounded_distinct aggregate
-    * (k smallest distinct values — deterministic, O(k) memory; the
-    * custom TypedImperativeAggregate registered by GraftExtensions).
-    */
-  private def r1ErrorSample(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    t(s, dir, "orders")
-      .agg(call_function("bounded_distinct", col("o_orderpriority"),
-        lit(3)).as("sample_values"))
-  }
-
   // ------------------------------------------------------- §7.6 extensions
-  /** Documents plus exact copies of the first 50 (distinct ids) — the
-    * degraded input for exact-dedup demonstrations.
-    */
-  private def docsWithCopies(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    d.unionByName(d.filter(col("doc_id") < 50)
-      .withColumn("doc_id", col("doc_id") + 1000000))
-  }
-
   /** Rolling per-user features (Features.trailing): every event
     * annotated with its user's trailing-1-hour event count and exact
     * cent-sum. Key-partitioned value-range window — per-key history
@@ -465,17 +53,6 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("n_trail"),
         col("sum_trail"))
       .orderBy("event_id")
-
-  /** The planted mixed-language row for x_text_langmix: an English
-    * stretch glued to a Spanish one — 22 tokens, split 11/11, so the
-    * first half actually ends with the Spanish token "el"; the English
-    * stopword score (7 hits) still dominates it. The scrape-
-    * concatenation artifact the operator exists to flag; shared with
-    * the oracle.
-    */
-  private val LangmixPlanted: String =
-    "the cat and the dog of a to the house " +
-      "el perro y la casa de que el gato y la luna"
 
   /** Mixed-language detection (TextAnalysis.langHalves): per-doc
     * language ID of each token-stream half plus the agreement flag;
@@ -582,18 +159,6 @@ object SparkEntry {
     * universal-hash permutations) — fully oracle-checked in DuckDB.
     * Tokenizes each document ONCE; twins are token-array slices.
     */
-  /** Documents + 80%-token-prefix twins as a tokenized (id, toks) frame
-    * — the shared near-dup input for x_dedup_minhash / x_dedup_clusters.
-    */
-  private def docsWithTwins(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
-      TextAnalysis.tokens(col("text")).as("toks"))
-    val twins = base.select((col("id") + 1000000).as("id"),
-      slice(col("toks"), lit(1),
-        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
-    base.unionByName(twins)
-  }
-
   private def xDedupMinhash(s: SparkSession, dir: String): DataFrame =
     // k=5 shingles: with a small vocabulary, 3-grams collide across
     // unrelated docs (quadratic candidate blowup); 5-grams keep the
@@ -688,13 +253,6 @@ object SparkEntry {
     Dedup.corpusSimilarityMatrix(base, "source", numHashes = 32, k = 3)
       .orderBy("grp_a", "grp_b")
   }
-
-  /** Twin-id offset for the incremental query: above every doc_id at
-    * every scale factor INCLUDING ScaleData replicas (whose ids shift
-    * by r·10^8), so the oracle's new-vs-corpus discriminator stays
-    * valid on scaled data too.
-    */
-  private val IncrementalTwinOffset = 1000000000000L
 
   /** Incremental near-dup: the prefix twins replayed as a NEW ingest
     * batch against the original documents as the standing corpus —
@@ -809,14 +367,6 @@ object SparkEntry {
     Dedup.dropDuplicateMembers(corpus, clusters, "id").orderBy("id")
   }
 
-  /** Train/valid/test assignment weights for x_sample_split — cumulative
-    * thresholds are computed ONCE (Sampling.cumThresholds) and embedded
-    * verbatim in the oracle SQL so both engines compare against
-    * bit-identical doubles.
-    */
-  private val SplitWeights = Seq("train" -> 0.8, "valid" -> 0.1,
-    "test" -> 0.1)
-
   /** Deterministic train/valid/test split of documents by id hash:
     * reproducible across runs/engines/partitionings (unlike df.sample),
     * zero-shuffle, oracle-checked cell-for-cell.
@@ -826,12 +376,6 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id")),
         "doc_id", SplitWeights, salt = "split1")
       .orderBy("doc_id")
-
-  /** Per-source keep-fractions for x_sample_mix (default 0.1 for the
-    * unlisted sources).
-    */
-  private val MixFractions = Map("src0" -> 0.9, "src1" -> 0.5,
-    "src2" -> 0.25)
 
   /** Weighted corpus mixing: per-source deterministic downsampling of
     * documents, reported as kept-count per source.
@@ -1034,17 +578,6 @@ object SparkEntry {
         "doc_id", col("n_chars"), floor(col("n_chars") / 64), nShards = 4)
       .select(col("doc_id"), col("idx"), col("shard"))
       .orderBy("doc_id")
-
-  /** Skewed source mix shared by the temperature query and its oracle:
-    * three sources kept whole, the rest thirded — unequal sizes are
-    * what temperature scaling acts on. (The modulus must be coprime
-    * with the source count: `source` is doc_id-aligned mod 20, so an
-    * even modulus degenerately selects whole sources.)
-    */
-  private def skewedDocs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .filter((col("doc_id") % 3 === 0) ||
-        col("source").isin("src0", "src1", "src2"))
 
   /** Temperature-scaled corpus mixing (Sampling.temperatureMix):
     * rate_s ∝ n_s^(α-1) with the largest source pinned at maxRate —
@@ -1925,2216 +1458,26 @@ object SparkEntry {
     "x_text_langmix" -> (xTextLangmix _)
   )
 
-  /** LSH kNN-graph CTE chain (normalize → bucket → within-bucket score
-    * → per-query rank), shared by `x_sim_knn_graph` (the edge list) and
-    * `x_sim_graph_degree` (the in-degree/hubness distribution over the
-    * same edges). Ends after the `r` CTE — append the final SELECT (or
-    * further CTEs after a comma).
-    */
-  private lazy val duckKnnGraphCore: String =
-    s"""WITH v0 AS (
-      |  SELECT vec_id AS id, embedding AS vec,
-      |    sqrt(list_sum(list_transform(embedding,
-      |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-      |  FROM embeddings),
-      |v AS (SELECT id,
-      |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
-      |      FROM v0 WHERE nrm > 0),
-      |planesd AS (SELECT ${duckPlanes(8, 64)} AS m),
-      |bkt AS (
-      |  SELECT id, nvec,
-      |    CAST(list_sum(list_transform(range(0, 8), p ->
-      |      CASE WHEN list_sum(list_transform(range(1, len(nvec) + 1),
-      |          d -> nvec[d] * m[CAST(p + 1 AS INTEGER)][CAST(d AS INTEGER)]))
-      |          > 0
-      |        THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
-      |        ELSE 0 END)) AS BIGINT) AS bucket
-      |  FROM v, planesd),
-      |s AS (
-      |  SELECT a.id AS query_id, b.id AS neighbor_id,
-      |    list_sum(list_transform(range(1, len(a.nvec) + 1),
-      |      i -> a.nvec[i] * b.nvec[i])) AS sim
-      |  FROM bkt a JOIN bkt b
-      |    ON a.bucket = b.bucket AND a.id <> b.id),
-      |r AS (
-      |  SELECT query_id, neighbor_id,
-      |    row_number() OVER (PARTITION BY query_id
-      |                       ORDER BY sim DESC, neighbor_id) AS rank
-      |  FROM s)""".stripMargin
-
-  /** Exact-decontamination oracle, shared by `x_decontaminate` and
-    * `x_decontaminate_bloom` — the bloom screen composes with the exact
-    * verification join into a result IDENTICAL to the exact pass, and
-    * sharing the SQL is how the harness proves it.
-    */
-  private lazy val decontaminateOracle: String =
-    s"""WITH tok AS (
-      |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
-      |      AS toks
-      |  FROM documents),
-      |tr AS (
-      |  SELECT doc_id AS train_id, ${duckShingleHashes5("toks")} AS sh
-      |  FROM tok),
-      |evtok AS (
-      |  SELECT doc_id + 2000000 AS eval_id,
-      |    list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INTEGER))
-      |      AS toks
-      |  FROM tok WHERE doc_id % 50 = 0),
-      |ev AS (
-      |  SELECT eval_id, ${duckShingleHashes5("toks")} AS sh FROM evtok)
-      |SELECT train_id, eval_id, n_shared,
-      |  CAST(n_shared AS DOUBLE) / n_eval AS eval_coverage
-      |FROM (SELECT t.train_id, e.eval_id,
-      |        len(list_intersect(t.sh, e.sh)) AS n_shared,
-      |        len(e.sh) AS n_eval
-      |      FROM tr t, ev e)
-      |WHERE n_shared >= 2
-      |ORDER BY train_id, eval_id""".stripMargin
-
-  /** DuckDB rendering of [[Dedup.hash48]]: integer value of the first 12
-    * hex chars of md5(e) — parsed digit-by-digit (DuckDB 1.0 has no
-    * hex-to-int builtin). `hp` is reserved as the digit-index lambda var.
-    */
-  private def duckHash48(e: String): String =
-    s"""CAST(list_sum(list_transform(range(1, 13),
-       |  hp -> CAST(strpos('0123456789abcdef',
-       |    substr(md5($e), CAST(hp AS INTEGER), 1)) - 1 AS BIGINT)
-       |    * (CAST(1 AS BIGINT) << CAST(4 * (12 - hp) AS INTEGER))))
-       |  AS BIGINT)""".stripMargin
-
-  /** DuckDB rendering of the MinHash permutation (Dedup.permHash): the
-    * same md5-derived coefficient constants, embedded as array literals.
-    */
-  private def duckPerm(h: String, i: String): String = {
-    val as = Dedup.minhashA.take(32).mkString("[", ",", "]")
-    val bs = Dedup.minhashB.take(32).mkString("[", ",", "]")
-    s"""($as[CAST($i + 1 AS INTEGER)] * ($h % ${Dedup.P31})
-       |  + $bs[CAST($i + 1 AS INTEGER)]) % ${Dedup.P31}""".stripMargin
-  }
-
-  /** DuckDB literal of Similarity.planeMatrix (nPlanes × dims): the
-    * exact same plan-time constants, as a nested list literal — no
-    * hashing in the oracle either. Double.toString round-trips, so both
-    * engines parse to bit-identical doubles.
-    */
-  private def duckPlanes(nPlanes: Int, dims: Int, offset: Int = 0): String =
-    (offset until offset + nPlanes).map(p =>
-      Similarity.planeMatrix(p).take(dims).mkString("[", ",", "]"))
-      .mkString("[", ",", "]")
-
-  /** DuckDB rendering of Dedup.shingleHashesFromTokens at k=5 over a
-    * token-list expression.
-    */
-  private def duckShingleHashes5(toks: String): String =
-    s"""list_transform(
-       |    list_distinct(CASE WHEN len($toks) >= 5
-       |      THEN list_transform(range(1, len($toks) - 3),
-       |        i -> array_to_string(list_slice($toks, i, i + 4), ' '))
-       |      ELSE [array_to_string($toks, ' ')] END),
-       |    s -> ${duckHash48("s")})""".stripMargin
-
-  /** Shared DuckDB CTE chain rendering the MinHash pipeline base
-    * (documents + prefix twins → hashed shingles → MinHash signatures →
-    * LSH band buckets) — the pair variants below build on it.
-    * `twinOffset` is the id shift of the synthetic prefix twins.
-    */
-  private def duckMinhashBaseCtes(twinOffset: Long = 1000000L): String =
-    s"""tok AS (
-      |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
-      |      AS toks
-      |  FROM documents),
-      |bothd AS (
-      |  SELECT doc_id AS id, toks FROM tok
-      |  UNION ALL
-      |  SELECT doc_id + $twinOffset AS id,
-      |    list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INTEGER))
-      |      AS toks
-      |  FROM tok),
-      |shd AS (
-      |  SELECT id, list_transform(
-      |    list_distinct(CASE WHEN len(toks) >= 5
-      |      THEN list_transform(range(1, len(toks) - 3),
-      |        i -> array_to_string(list_slice(toks, i, i + 4), ' '))
-      |      ELSE [array_to_string(toks, ' ')] END),
-      |    s -> ${duckHash48("s")}) AS sh
-      |  FROM bothd),
-      |sigd AS (
-      |  SELECT id, list_transform(range(0, 32),
-      |    i -> list_min(list_transform(sh, h -> ${duckPerm("h", "i")})))
-      |    AS sig
-      |  FROM shd),
-      |banded AS (
-      |  SELECT id, bb.b AS band,
-      |    array_to_string(list_slice(sig, bb.b * 2 + 1, bb.b * 2 + 2), '_')
-      |      AS bucket
-      |  FROM sigd, (SELECT unnest(range(0, 16)) AS b) bb)""".stripMargin
-
-  /** [[duckMinhashBaseCtes]] + all-pairs candidates and verified
-    * Jaccard pairs in `j` — the x_dedup_minhash shape, reused by the
-    * transitive-cluster closure.
-    */
-  private def duckMinhashPairCtes: String =
-    s"""${duckMinhashBaseCtes()},
-      |cand AS (
-      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      |  FROM banded a JOIN banded b
-      |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-      |j AS (
-      |  SELECT c.id_a, c.id_b,
-      |    CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
-      |      THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-      |        / len(list_distinct(list_concat(sa.sh, sb.sh)))
-      |      ELSE 0.0 END AS jaccard
-      |  FROM cand c
-      |  JOIN shd sa ON c.id_a = sa.id
-      |  JOIN shd sb ON c.id_b = sb.id)""".stripMargin
-
-  /** [[duckMinhashBaseCtes]] + new-batch (twin ids >= the offset) vs
-    * corpus (original ids) candidates only — the incremental-ingestion
-    * shape of x_dedup_incremental. The offset sits above every doc_id
-    * at every scale factor including ScaleData replicas, keeping the
-    * set discriminator valid on scaled data.
-    */
-  private def duckMinhashIncrementalCtes: String =
-    s"""${duckMinhashBaseCtes(IncrementalTwinOffset)},
-      |cand AS (
-      |  SELECT DISTINCT b.id AS new_id, a.id AS corpus_id
-      |  FROM banded a JOIN banded b
-      |    ON a.band = b.band AND a.bucket = b.bucket
-      |  WHERE a.id < $IncrementalTwinOffset
-      |    AND b.id >= $IncrementalTwinOffset),
-      |j AS (
-      |  SELECT c.new_id, c.corpus_id,
-      |    CASE WHEN len(list_distinct(list_concat(sn.sh, sc.sh))) > 0
-      |      THEN CAST(len(list_intersect(sn.sh, sc.sh)) AS DOUBLE)
-      |        / len(list_distinct(list_concat(sn.sh, sc.sh)))
-      |      ELSE 0.0 END AS jaccard
-      |  FROM cand c
-      |  JOIN shd sn ON c.new_id = sn.id
-      |  JOIN shd sc ON c.corpus_id = sc.id)""".stripMargin
+  // ------------------------------------------------------------- oracles
+  // The DuckDB oracle maps live in graft.oracle (round-5 split): shared
+  // fixtures in Fixtures, SQL fragment builders in DuckSql, the static
+  // map in StaticOracles, fitted-literal oracles in DynamicOracles.
+  // These delegations keep the driver contract (SparkEntry.oracleSql)
+  // and Verify's call sites unchanged.
 
   /** DuckDB twins of `queries` — identical column names and ordering. */
-  def oracleSql: Map[String, String] = Map(
-    "x_dedup_minhash" ->
-      s"""WITH $duckMinhashPairCtes
-        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
-    "x_decontaminate" -> decontaminateOracle,
-    // same SQL on purpose: the bloom variant must be lossless
-    "x_decontaminate_bloom" -> decontaminateOracle,
-    "x_dedup_apply" ->
-      s"""WITH RECURSIVE $duckMinhashPairCtes,
-        |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
-        |nodes AS (SELECT id_a AS id FROM p UNION SELECT id_b FROM p),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM p
-        |      UNION ALL SELECT id_b, id_a FROM p),
-        |reach AS (
-        |  SELECT id, id AS r FROM nodes
-        |  UNION
-        |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id),
-        |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-        |SELECT b.id FROM bothd b
-        |WHERE b.id NOT IN
-        |  (SELECT id FROM clusters WHERE id <> cluster_id)
-        |ORDER BY b.id""".stripMargin,
-    "x_text_langmix" -> {
-      // same stopword lists, weights (|w|+2 for the pads), summation
-      // order, and tie-break CASE as TextAnalysis.langId, rendered per
-      // half
-      def scores(sfx: String): String = Seq(
-        "en" -> TextAnalysis.StopwordsEn,
-        "es" -> TextAnalysis.StopwordsEs,
-        "fr" -> TextAnalysis.StopwordsFr,
-        "de" -> TextAnalysis.StopwordsDe)
-        .map { case (l, ws) =>
-          ws.map(w => s"(length(p$sfx)-length(replace(p$sfx," +
-            s"' $w ','')))/${w.length + 2}")
-            .mkString("    ", "\n      + ", s" AS s_${l}_$sfx")
-        }.mkString(",\n")
-      def langCase(sfx: String): String =
-        s"""CASE WHEN regexp_matches(p$sfx, '[\\x{4E00}-\\x{9FFF}]')
-           |         THEN 'zh'
-           |       WHEN regexp_matches(p$sfx, '[\\x{0400}-\\x{04FF}]')
-           |         THEN 'ru'
-           |       WHEN s_en_$sfx >= s_es_$sfx AND s_en_$sfx >= s_fr_$sfx
-           |         AND s_en_$sfx >= s_de_$sfx THEN 'en'
-           |       WHEN s_es_$sfx >= s_fr_$sfx AND s_es_$sfx >= s_de_$sfx
-           |         THEN 'es'
-           |       WHEN s_fr_$sfx >= s_de_$sfx THEN 'fr'
-           |       ELSE 'de' END""".stripMargin
-      s"""WITH base AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT 5000000 AS doc_id, '$LangmixPlanted' AS text),
-        |tok AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
-        |      AS toks
-        |  FROM base),
-        |hv AS (
-        |  SELECT doc_id,
-        |    ' ' || array_to_string(list_slice(toks, 1,
-        |      CAST(len(toks) // 2 AS INTEGER)), ' ') || ' ' AS pa,
-        |    ' ' || array_to_string(list_slice(toks,
-        |      CAST(len(toks) // 2 + 1 AS INTEGER), len(toks)), ' ')
-        |      || ' ' AS pb
-        |  FROM tok),
-        |sc AS (
-        |  SELECT doc_id, pa, pb,
-        |${scores("a")},
-        |${scores("b")}
-        |  FROM hv),
-        |langs AS (
-        |  SELECT doc_id,
-        |    ${langCase("a")} AS lang_a,
-        |    ${langCase("b")} AS lang_b
-        |  FROM sc)
-        |SELECT doc_id, lang_a, lang_b, lang_a = lang_b AS consistent
-        |FROM langs ORDER BY doc_id""".stripMargin
-    },
-    "x_profile_join_size" ->
-      """WITH l AS (SELECT l_orderkey AS k, count(*) AS ln
-        |           FROM lineitem GROUP BY 1),
-        |r AS (SELECT o_orderkey AS k, count(*) AS rn
-        |      FROM orders GROUP BY 1),
-        |j AS (SELECT l.k, ln * rn AS p FROM l JOIN r ON l.k = r.k),
-        |hot AS (SELECT k, p FROM j ORDER BY p DESC, k LIMIT 1)
-        |SELECT (SELECT CAST(sum(p) AS BIGINT) FROM j) AS predicted_rows,
-        |  (SELECT k FROM hot) AS hottest_key,
-        |  (SELECT CAST(p AS BIGINT) FROM hot) AS hottest_rows,
-        |  (SELECT count(*) FROM lineitem
-        |   JOIN orders ON l_orderkey = o_orderkey) AS actual_rows""".stripMargin,
-    "x_profile_window_quantiles" ->
-      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-        |  count(*) AS n,
-        |  quantile_cont(CAST(value AS DOUBLE), 0.5) AS p50,
-        |  quantile_cont(CAST(value AS DOUBLE), 0.95) AS p95
-        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
-    "x_text_vocab_by_source" ->
-      """WITH tok AS (
-        |  SELECT source,
-        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
-        |      x -> x <> '')) AS tok
-        |  FROM documents),
-        |c AS (SELECT source, tok, count(*) AS cnt FROM tok
-        |      GROUP BY source, tok)
-        |SELECT source, tok, cnt, rank FROM (
-        |  SELECT source, tok, cnt,
-        |    row_number() OVER (PARTITION BY source
-        |                       ORDER BY cnt DESC, tok) AS rank
-        |  FROM c)
-        |WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
-    "x_stream_distinct" ->
-      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-        |  count(DISTINCT user_id) AS n_distinct
-        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
-    "x_feature_rolling" ->
-      """SELECT event_id, user_id,
-        |  count(*) OVER w AS n_trail,
-        |  CAST(sum(cents) OVER w AS BIGINT) AS sum_trail
-        |FROM (SELECT event_id, user_id,
-        |        CAST(floor(value * 100) AS BIGINT) AS cents,
-        |        epoch_us(ts) AS tus
-        |      FROM events)
-        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
-        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin,
-    "x_text_entropy" -> {
-      val spamText = ("ha " * 40).trim
-      s"""WITH base AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT 4000000 AS doc_id, '$spamText' AS text),
-        |bg AS (SELECT doc_id,
-        |    unnest(list_transform(range(1, length(text)),
-        |      i -> substr(text, CAST(i AS INTEGER), 2))) AS b
-        |  FROM base WHERE length(text) >= 2),
-        |c AS (SELECT doc_id, b, count(*) AS cnt FROM bg
-        |      GROUP BY doc_id, b),
-        |l AS (SELECT doc_id, list(cnt ORDER BY b) AS cnts,
-        |        CAST(sum(cnt) AS DOUBLE) AS n
-        |      FROM c GROUP BY doc_id)
-        |SELECT doc_id,
-        |  ln(n) - list_sum(list_transform(cnts, c -> c * ln(c))) / n
-        |    AS entropy
-        |FROM l ORDER BY doc_id""".stripMargin
-    },
-    "x_text_normalize" ->
-      s"""WITH base AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 3000000 AS doc_id, upper(text) || ' !!' AS text
-        |  FROM documents WHERE doc_id < 50),
-        |n AS (SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text),
-        |      '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
-        |  FROM base)
-        |SELECT ${duckHash48("norm")} AS norm_hash,
-        |  count(*) AS n_members, min(doc_id) AS min_id,
-        |  max(doc_id) AS max_id
-        |FROM n GROUP BY 1 HAVING count(*) > 1
-        |ORDER BY norm_hash""".stripMargin,
-    "x_sim_rproj" -> {
-      val scale = 1.0 / math.sqrt(8.0)
-      val rows = (0 until 8).map { j =>
-        s"($j, " + Similarity.projectionSigns(64, j, scale)
-          .map(_.toString).mkString("[", ",", "]") + ")"
-      }.mkString(",\n        ")
-      s"""WITH s AS (SELECT CAST(j AS INTEGER) AS dim,
-        |    list_transform(sv, x -> CAST(x AS DOUBLE)) AS sv
-        |  FROM (VALUES
-        |        $rows) AS t(j, sv)),
-        |v AS (SELECT vec_id AS id,
-        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-        |      FROM embeddings WHERE len(embedding) = 64)
-        |SELECT id, dim,
-        |  list_sum(list_transform(range(1, 65), i -> vec[i] * sv[i]))
-        |    AS proj
-        |FROM v, s ORDER BY id, dim""".stripMargin
-    },
-    "x_layout_zorder" ->
-      """WITH m AS (
-        |  SELECT l_partkey % 256 AS pk, l_suppkey % 256 AS sk
-        |  FROM lineitem),
-        |z AS (
-        |  SELECT pk, sk,
-        |    CAST(list_sum(list_transform(range(0, 8), b ->
-        |      (((pk >> b) & 1) << (2 * b)) +
-        |      (((sk >> b) & 1) << (2 * b + 1)))) AS BIGINT) AS zval
-        |  FROM m)
-        |SELECT zval >> 10 AS zbucket, count(*) AS n,
-        |  min(pk) AS min_part, max(pk) AS max_part,
-        |  min(sk) AS min_supp, max(sk) AS max_supp
-        |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin,
-    "x_sample_shuffle" ->
-      s"""SELECT doc_id,
-        |  row_number() OVER (ORDER BY h, doc_id) - 1 AS idx
-        |FROM (SELECT doc_id,
-        |  ${duckHash48("('shuf1' || CAST(doc_id AS VARCHAR))")} AS h
-        |  FROM documents)
-        |ORDER BY doc_id""".stripMargin,
-    "x_sample_curriculum" ->
-      """WITH r AS (
-        |  SELECT doc_id,
-        |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS idx
-        |  FROM documents)
-        |SELECT doc_id, idx,
-        |  CAST(floor(idx * 4 / (SELECT count(*) FROM r)) AS INTEGER)
-        |    AS shard
-        |FROM r ORDER BY doc_id""".stripMargin,
-    "x_decontaminate_semantic" ->
-      """WITH v0 AS (
-        |  SELECT vec_id AS id, embedding AS vec,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-        |  FROM embeddings),
-        |v AS (SELECT id,
-        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
-        |      FROM v0 WHERE nrm > 0),
-        |tr AS (SELECT id AS train_id, nvec AS tvec FROM v WHERE id >= 50),
-        |ev AS (SELECT id AS eval_id, nvec AS evec FROM v WHERE id < 50),
-        |s AS (SELECT train_id, eval_id,
-        |        list_sum(list_transform(range(1, len(tvec) + 1),
-        |          i -> tvec[i] * evec[i])) AS sim
-        |      FROM tr, ev),
-        |f AS (SELECT train_id, eval_id, sim,
-        |        row_number() OVER (PARTITION BY train_id
-        |          ORDER BY sim DESC, eval_id) AS rn
-        |      FROM s WHERE sim >= 0.4)
-        |SELECT train_id, eval_id, sim FROM f WHERE rn = 1
-        |ORDER BY train_id""".stripMargin,
-    "x_sample_split" -> {
-      val Seq(cTrain, cValid) = Sampling.cumThresholds(SplitWeights)
-      s"""SELECT doc_id,
-        |  CASE WHEN u < $cTrain THEN 'train'
-        |       WHEN u < $cValid THEN 'valid'
-        |       ELSE 'test' END AS split
-        |FROM (SELECT doc_id,
-        |  ${duckHash48("('split1' || CAST(doc_id AS VARCHAR))")}
-        |    / 281474976710656.0 AS u
-        |  FROM documents)
-        |ORDER BY doc_id""".stripMargin
-    },
-    "x_text_pii" ->
-      s"""SELECT doc_id,
-        |  len(regexp_extract_all(raw, '${TextAnalysis.EmailRe}'))
-        |    AS n_email,
-        |  len(regexp_extract_all(raw, '${TextAnalysis.PhoneRe}'))
-        |    AS n_phone,
-        |  len(regexp_extract_all(raw, '${TextAnalysis.Ipv4Re}'))
-        |    AS n_ipv4
-        |FROM (SELECT doc_id, CASE
-        |    WHEN doc_id % 5 = 0
-        |      THEN text || ' reach me at alice.smith@example.com'
-        |    WHEN doc_id % 5 = 1 THEN text || ' or call 555-867-5309 today'
-        |    WHEN doc_id % 5 = 2
-        |      THEN text || ' server at 192.168.10.42 responded'
-        |    ELSE text END AS raw FROM documents)
-        |ORDER BY doc_id""".stripMargin,
-    "x_text_corpus_stats" ->
-      """SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
-        |    x -> x <> ''))) AS BIGINT) AS total_tokens,
-        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-    "x_stream_dedup" ->
-      """SELECT event_type, count(*) AS n_unique
-        |FROM (SELECT DISTINCT event_id, user_id, event_type, ts
-        |      FROM (SELECT event_id, user_id, event_type, ts FROM events
-        |            UNION ALL
-        |            SELECT event_id, user_id, event_type, ts FROM events))
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // quantile_cont demands CONSTANT probabilities in DuckDB, so the
-    // long form is one generated block per (column, probability)
-    "x_profile_quantiles" -> {
-      val blocks = for {
-        c <- Seq("l_quantity", "l_discount", "l_linenumber")
-        (p, i) <- Seq(0.25, 0.5, 0.75).zipWithIndex
-      } yield
-        s"  SELECT '$c' AS column_name, CAST($i AS INTEGER) AS prob_idx," +
-          s"\n    quantile_cont(CAST($c AS DOUBLE), $p) AS quantile" +
-          s"\n  FROM lineitem"
-      blocks.mkString("SELECT * FROM (\n", "\n  UNION ALL\n",
-        ")\nORDER BY column_name, prob_idx")
-    },
-    "x_sample_mix" ->
-      s"""SELECT source, count(*) AS n_kept
-        |FROM (SELECT source,
-        |  ${duckHash48("('mix1' || CAST(doc_id AS VARCHAR))")}
-        |    / 281474976710656.0 AS u
-        |  FROM documents)
-        |WHERE u < CASE source WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.5
-        |  WHEN 'src2' THEN 0.25 ELSE 0.1 END
-        |GROUP BY source ORDER BY source""".stripMargin,
-    "x_dedup_clusters" ->
-      s"""WITH RECURSIVE $duckMinhashPairCtes,
-        |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
-        |nodes AS (SELECT id_a AS id FROM p UNION SELECT id_b FROM p),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM p
-        |      UNION ALL SELECT id_b, id_a FROM p),
-        |reach AS (
-        |  SELECT id, id AS r FROM nodes
-        |  UNION
-        |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id)
-        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
-        |ORDER BY id""".stripMargin,
-    "x_dedup_simhash" ->
-      s"""WITH tokh AS (
-        |  SELECT doc_id, list_transform(
-        |    list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
-        |      x -> x <> '')),
-        |    t -> ${duckHash48("t")}) AS hs
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(coalesce(list_sum(list_transform(range(0, 48), b ->
-        |    CASE WHEN 2 * coalesce(list_sum(list_transform(hs,
-        |             x -> (x >> b) & 1)), 0) > len(hs)
-        |         THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
-        |         ELSE 0 END)), 0) AS BIGINT) AS simhash
-        |FROM tokh ORDER BY doc_id""".stripMargin,
-    "x_sim_lsh_pairs" ->
-      s"""WITH v0 AS (
-        |  SELECT vec_id AS id, embedding AS vec,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-        |  FROM embeddings),
-        |v AS (SELECT id,
-        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
-        |      FROM v0 WHERE nrm > 0),
-        |planesd AS (SELECT ${duckPlanes(8, 64)} AS m),
-        |bkt AS (
-        |  SELECT id, nvec,
-        |    CAST(list_sum(list_transform(range(0, 8), p ->
-        |      CASE WHEN list_sum(list_transform(range(1, len(nvec) + 1),
-        |          d -> nvec[d] * m[CAST(p + 1 AS INTEGER)][CAST(d AS INTEGER)]))
-        |          > 0
-        |        THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
-        |        ELSE 0 END)) AS BIGINT) AS bucket
-        |  FROM v, planesd),
-        |s AS (
-        |  SELECT a.id AS id_a, b.id AS id_b,
-        |    list_sum(list_transform(range(1, len(a.nvec) + 1),
-        |      i -> a.nvec[i] * b.nvec[i])) AS sim
-        |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.id < b.id)
-        |SELECT id_a, id_b FROM s WHERE sim >= 0.3
-        |ORDER BY id_a, id_b""".stripMargin,
-    "x_sim_ivf_topk" ->
-      """WITH v0 AS (
-        |  SELECT vec_id AS id, embedding AS vec,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-        |  FROM embeddings),
-        |v AS (SELECT id,
-        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
-        |      FROM v0 WHERE nrm > 0),
-        |cents AS (SELECT id AS list_id, nvec AS cvec FROM v
-        |          ORDER BY id LIMIT 16),
-        |assigned AS (
-        |  SELECT id, nvec, list_id FROM (
-        |    SELECT vv.id, vv.nvec, c.list_id,
-        |      row_number() OVER (PARTITION BY vv.id ORDER BY
-        |        list_sum(list_transform(range(1, len(vv.nvec) + 1),
-        |          i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
-        |    FROM v vv, cents c) WHERE rn = 1),
-        |q AS (SELECT id AS query_id, nvec AS qvec FROM v WHERE id < 5),
-        |probes AS (
-        |  SELECT query_id, qvec, list_id FROM (
-        |    SELECT qq.query_id, qq.qvec, c.list_id,
-        |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
-        |        list_sum(list_transform(range(1, len(qq.qvec) + 1),
-        |          i -> qq.qvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
-        |    FROM q qq, cents c) WHERE rn <= 4),
-        |scored AS (
-        |  SELECT p.query_id, a.id AS neighbor_id,
-        |    list_sum(list_transform(range(1, len(p.qvec) + 1),
-        |      i -> p.qvec[i] * a.nvec[i])) AS sim
-        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
-        |  WHERE p.query_id <> a.id),
-        |r AS (SELECT query_id, neighbor_id,
-        |        row_number() OVER (PARTITION BY query_id
-        |                           ORDER BY sim DESC, neighbor_id) AS rank
-        |      FROM scored)
-        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    "p10_yearmonth" ->
-      """SELECT DISTINCT raw,
-        |  CASE WHEN regexp_full_match(raw, '[0-9]{4}-(0[1-9]|1[0-2])')
-        |       THEN CAST(strptime(raw || '-01', '%Y-%m-%d') AS DATE)
-        |  END AS parsed
-        |FROM (SELECT CASE WHEN l_linenumber % 4 = 0 THEN '2026-13'
-        |        WHEN l_linenumber % 4 = 1 THEN '202605'
-        |        ELSE strftime(l_shipdate, '%Y-%m') END AS raw
-        |      FROM lineitem)
-        |ORDER BY raw""".stripMargin,
-    "p11_object" ->
-      """SELECT DISTINCT raw,
-        |  CASE WHEN regexp_matches(raw, '^\s*\{') AND json_valid(raw)
-        |       THEN raw END AS parsed
-        |FROM (SELECT CASE WHEN event_id % 5 = 0 THEN substr(props, 1, 8)
-        |        WHEN event_id % 5 = 1 THEN '[1,2,3]'
-        |        ELSE props END AS raw FROM events)
-        |ORDER BY raw""".stripMargin,
-    "p12_array" ->
-      """SELECT DISTINCT raw,
-        |  CASE WHEN regexp_matches(raw, '^\s*\[') AND json_valid(raw)
-        |       THEN raw END AS parsed
-        |FROM (SELECT CASE WHEN event_id % 4 = 0 THEN props
-        |        WHEN event_id % 4 = 1
-        |          THEN '[' || CAST(event_id % 100 AS VARCHAR) || ','
-        |        ELSE '[' || CAST(event_id % 100 AS VARCHAR) || ','
-        |          || CAST(event_id % 100 + 1 AS VARCHAR) || ']'
-        |        END AS raw FROM events)
-        |ORDER BY raw""".stripMargin,
-    "p13_duration" ->
-      s"""SELECT DISTINCT raw,
-        |  CASE WHEN regexp_full_match(raw, '${Parsers.DurationRe}')
-        |       THEN raw END AS parsed
-        |FROM (SELECT CASE
-        |        WHEN l_linenumber % 5 = 0 THEN 'P'
-        |        WHEN l_linenumber % 5 = 1 THEN '1D'
-        |        WHEN l_linenumber % 5 = 2 THEN 'PT'
-        |        WHEN l_linenumber % 5 = 3
-        |          THEN 'PT' || CAST(l_suppkey % 24 AS VARCHAR) || 'H'
-        |        ELSE 'P' || CAST(l_linenumber AS VARCHAR) || 'DT'
-        |          || CAST(l_suppkey % 24 AS VARCHAR) || 'H'
-        |        END AS raw FROM lineitem)
-        |ORDER BY raw""".stripMargin,
-    "p14_geojson" ->
-      s"""SELECT DISTINCT raw,
-        |  CASE WHEN regexp_matches(raw, '^\\s*\\{')
-        |    AND json_extract_string(TRY_CAST(raw AS JSON), '$$.type') IN
-        |      (${Parsers.GeoJsonTypes.map(t => s"'$t'").mkString(", ")})
-        |    THEN raw
-        |  END AS parsed
-        |FROM (SELECT CASE
-        |    WHEN p_partkey % 7 = 0 THEN '{"coordinates": [1, 2]}'
-        |    WHEN p_partkey % 7 = 1 THEN '{"type": "Circle"}'
-        |    WHEN p_partkey % 7 = 2 THEN 'not json'
-        |    ELSE '{"type": "Point", "coordinates": ['
-        |      || CAST(p_partkey % 361 - 180 AS VARCHAR) || ', '
-        |      || CAST(p_size % 181 - 90 AS VARCHAR) || ']}'
-        |    END AS raw FROM part)
-        |ORDER BY raw""".stripMargin,
-    "x_dedup_keep_first" ->
-      """SELECT user_id, event_type, min(ts) AS first_ts,
-        |  count(*) AS n_dups
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
-    "x_dedup_embed" ->
-      s"""WITH v0 AS (
-        |  SELECT vec_id AS id, embedding AS vec,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-        |  FROM embeddings),
-        |v AS (SELECT id,
-        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
-        |      FROM v0 WHERE nrm > 0),
-        |planesd AS (SELECT ${duckPlanes(8, 64)} AS m),
-        |bkt AS (
-        |  SELECT id, nvec,
-        |    CAST(list_sum(list_transform(range(0, 8), p ->
-        |      CASE WHEN list_sum(list_transform(range(1, len(nvec) + 1),
-        |          d -> nvec[d] * m[CAST(p + 1 AS INTEGER)][CAST(d AS INTEGER)]))
-        |          > 0
-        |        THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
-        |        ELSE 0 END)) AS BIGINT) AS bucket
-        |  FROM v, planesd),
-        |s AS (
-        |  SELECT a.id AS id_a, b.id AS id_b,
-        |    list_sum(list_transform(range(1, len(a.nvec) + 1),
-        |      i -> a.nvec[i] * b.nvec[i])) AS sim
-        |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.id < b.id)
-        |SELECT id_b AS dup_id, min(id_a) AS canonical_id
-        |FROM s WHERE sim >= 0.3 GROUP BY 1 ORDER BY 1""".stripMargin,
-    "x_stream_sliding" ->
-      """WITH w AS (
-        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
-        |    event_type FROM events
-        |  UNION ALL
-        |  SELECT time_bucket(INTERVAL '30 minutes', ts)
-        |    - INTERVAL '30 minutes', event_type FROM events)
-        |SELECT window_start, event_type, count(*) AS cnt
-        |FROM w GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
-    "x_mm_frames" ->
-      """WITH b AS (
-        |  SELECT doc_id, octet_length(encode(text)) AS n,
-        |    to_base64(encode(text)) AS b64 FROM documents),
-        |f AS (
-        |  SELECT doc_id,
-        |    CAST(ii.i * greatest(n // 3, 1) AS BIGINT) AS "offset",
-        |    substr(b64, 1, 16) AS frame_head, n
-        |  FROM b, (SELECT unnest(range(0, 3)) AS i) ii)
-        |SELECT doc_id, "offset", frame_head FROM f WHERE "offset" < n
-        |ORDER BY doc_id, "offset" """.stripMargin,
-    "x_mm_decode" ->
-      """WITH d AS (
-        |  SELECT doc_id AS id,
-        |    doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h
-        |  FROM documents)
-        |SELECT id,
-        |  CAST(54 + ((24 * w + 31) // 32) * 4 * h AS INTEGER)
-        |    AS n_bytes,
-        |  'bmp' AS format,
-        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-        |  CAST(3 AS INTEGER) AS channels, CAST(1 AS INTEGER) AS n_frames,
-        |  CAST(h * list_sum(list_transform(range(0, w),
-        |    x -> (id + x) % 256)) AS BIGINT) AS sum_red,
-        |  CAST(w * h * (id % 256) AS BIGINT) AS sum_green,
-        |  CAST(w * list_sum(list_transform(range(0, h),
-        |    y -> (id * 3 + y) % 256)) AS BIGINT) AS sum_blue
-        |FROM d ORDER BY id""".stripMargin,
-    "x_mm_decode_png" ->
-      """WITH d AS (
-        |  SELECT doc_id AS id,
-        |    doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h
-        |  FROM documents)
-        |SELECT id,
-        |  'png' AS format,
-        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-        |  CAST(3 AS INTEGER) AS channels, CAST(1 AS INTEGER) AS n_frames,
-        |  CAST(h * list_sum(list_transform(range(0, w),
-        |    x -> (id + x) % 256)) AS BIGINT) AS sum_red,
-        |  CAST(w * h * (id % 256) AS BIGINT) AS sum_green,
-        |  CAST(w * list_sum(list_transform(range(0, h),
-        |    y -> (id * 3 + y) % 256)) AS BIGINT) AS sum_blue
-        |FROM d ORDER BY id""".stripMargin,
-    "x_mm_decode_invalid" ->
-      """SELECT CAST(doc_id AS BIGINT) AS id,
-        |  CAST(coalesce(octet_length(encode(text)), 0) AS INTEGER)
-        |    AS n_bytes,
-        |  'unknown' AS format,
-        |  CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
-        |  CAST(0 AS INTEGER) AS channels, CAST(0 AS INTEGER) AS n_frames,
-        |  CAST(0 AS BIGINT) AS sum_red, CAST(0 AS BIGINT) AS sum_green,
-        |  CAST(0 AS BIGINT) AS sum_blue
-        |FROM documents ORDER BY id""".stripMargin,
-    "k1_pk_lineitem" ->
-      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-        |count(*) AS cnt FROM lineitem
-        |GROUP BY 1,2 HAVING count(*) > 1 ORDER BY 1,2""".stripMargin,
-    "k1_pk_degraded" ->
-      """SELECT l_orderkey, CAST(l_linenumber % 2 AS BIGINT) AS l_parity,
-        |count(*) AS cnt FROM lineitem
-        |GROUP BY 1,2 HAVING count(*) > 1 ORDER BY 1,2""".stripMargin,
-    "c2_unique_custkey" ->
-      """SELECT o_custkey, count(*) AS cnt FROM orders
-        |WHERE o_custkey IS NOT NULL
-        |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
-    "k3_fk_orders_customer" ->
-      """SELECT o.o_custkey, count(*) AS cnt FROM orders o
-        |LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
-        |           WHERE c_custkey % 10 <> 0) c
-        |ON o.o_custkey = c.c_custkey
-        |WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "k3_fk_lineitem_orders" ->
-      """SELECT l.l_orderkey, count(*) AS cnt FROM lineitem l
-        |LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
-        |ON l.l_orderkey = o.o_orderkey
-        |WHERE o.o_orderkey IS NULL AND l.l_orderkey IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "c1_required" ->
-      """SELECT count(*) AS violations FROM orders
-        |WHERE o_orderpriority = '4-NOT SPECIFIED'""".stripMargin,
-    "c3_minlength" ->
-      """SELECT p_name, count(*) AS cnt FROM part
-        |WHERE p_name IS NOT NULL AND length(p_name) < 9
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "c4_maxlength" ->
-      """SELECT p_name, count(*) AS cnt FROM part
-        |WHERE p_name IS NOT NULL AND length(p_name) > 10
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "c5_minimum" ->
-      """SELECT l_quantity, count(*) AS cnt FROM lineitem
-        |WHERE l_quantity IS NOT NULL AND l_quantity < 10.0
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "c6_maximum" ->
-      """SELECT l_discount, count(*) AS cnt FROM lineitem
-        |WHERE l_discount IS NOT NULL AND l_discount > 0.05
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "c7_pattern" ->
-      """SELECT o_orderpriority, count(*) AS cnt FROM orders
-        |WHERE o_orderpriority IS NOT NULL
-        |  AND NOT regexp_full_match(o_orderpriority, '[1-5]-[A-Z]+')
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "c8_enum" ->
-      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
-        |WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N')
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "p3_integer" ->
-      """SELECT DISTINCT raw,
-        |  CASE WHEN regexp_full_match(raw, '[+-]?[0-9]+')
-        |       THEN CAST(raw AS BIGINT) END AS parsed
-        |FROM (SELECT CASE
-        |        WHEN l_linenumber % 3 = 0
-        |          THEN CAST(l_orderkey % 10000 AS VARCHAR)
-        |        WHEN l_linenumber % 3 = 1 THEN '1e3'
-        |        ELSE 'x12' END AS raw FROM lineitem)
-        |ORDER BY raw""".stripMargin,
-    "p4_boolean" ->
-      """SELECT o_orderstatus AS raw,
-        |  CASE WHEN o_orderstatus = 'O' THEN true
-        |       WHEN o_orderstatus = 'F' THEN false END AS parsed,
-        |  o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')
-        |    AS invalid,
-        |  count(*) AS cnt
-        |FROM orders GROUP BY 1,2,3 ORDER BY raw""".stripMargin,
-    "p1_string" ->
-      """SELECT source AS raw, source AS parsed, count(*) AS cnt
-        |FROM documents GROUP BY 1,2 ORDER BY raw""".stripMargin,
-    "p1a_email" ->
-      """SELECT DISTINCT raw,
-        |  CASE WHEN regexp_full_match(raw, '[^@\s]+@[^@\s]+\.[^@\s]+')
-        |       THEN raw END AS parsed
-        |FROM (SELECT CASE WHEN c_custkey % 7 = 0
-        |          THEN 'bad mail ' || CAST(c_custkey % 100 AS VARCHAR)
-        |        ELSE 'u' || CAST(c_custkey % 10000 AS VARCHAR)
-        |          || '@ex.com' END AS raw FROM customer)
-        |ORDER BY raw""".stripMargin,
-    "p1b_uri" ->
-      """SELECT DISTINCT raw,
-        |  CASE WHEN regexp_full_match(raw, '[A-Za-z][A-Za-z0-9+.-]*:\S+')
-        |       THEN raw END AS parsed
-        |FROM (SELECT CASE WHEN p_partkey % 5 = 0 THEN p_name
-        |        ELSE 'https://ex.org/p/' || CAST(p_partkey AS VARCHAR) END
-        |        AS raw FROM part)
-        |ORDER BY raw""".stripMargin,
-    "p1c_uuid" ->
-      """SELECT DISTINCT raw,
-        |  CASE WHEN regexp_full_match(raw,
-        |    '(?i)[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}')
-        |       THEN raw END AS parsed
-        |FROM (
-        |  SELECT CASE WHEN c_custkey % 5 = 0 THEN substr(fulluuid, 1, 8)
-        |              ELSE fulluuid END AS raw
-        |  FROM (SELECT lower(lpad(hex(c_custkey % 4096), 8, '0')
-        |          || '-0000-4000-8000-'
-        |          || lpad(hex(c_nationkey), 12, '0')) AS fulluuid,
-        |          c_custkey FROM customer))
-        |ORDER BY raw""".stripMargin,
-    "p1d_binary" ->
-      """SELECT DISTINCT raw,
-        |  CASE WHEN regexp_full_match(raw,
-        |    '(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=|[A-Za-z0-9+/]{4})')
-        |       THEN raw END AS parsed
-        |FROM (SELECT CASE WHEN doc_id % 4 = 0 THEN 'a!!!'
-        |        ELSE to_base64(encode(source)) END AS raw FROM documents)
-        |ORDER BY raw""".stripMargin,
-    "p2_number" ->
-      """SELECT DISTINCT raw,
-        |  CASE WHEN upper(raw) = 'NAN' THEN CAST('NaN' AS DOUBLE)
-        |       WHEN upper(raw) IN ('INF','INFINITY','+INF','+INFINITY')
-        |         THEN CAST('Infinity' AS DOUBLE)
-        |       WHEN upper(raw) IN ('-INF','-INFINITY')
-        |         THEN CAST('-Infinity' AS DOUBLE)
-        |       WHEN regexp_full_match(raw,
-        |         '[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?')
-        |         THEN TRY_CAST(raw AS DOUBLE) END AS parsed
-        |FROM (SELECT CASE
-        |        WHEN l_linenumber % 7 = 0 THEN 'NaN'
-        |        WHEN l_linenumber % 7 = 1 THEN 'INF'
-        |        WHEN l_linenumber % 7 = 2 THEN '-INF'
-        |        WHEN l_linenumber % 7 = 3 THEN 'abc'
-        |        ELSE CAST(l_orderkey % 1000 AS VARCHAR) || '.'
-        |          || CAST(l_partkey % 100 AS VARCHAR) END AS raw
-        |      FROM lineitem)
-        |ORDER BY raw""".stripMargin,
-    "p2_number_eu" ->
-      """SELECT DISTINCT raw,
-        |  TRY_CAST(replace(replace(raw, '.', ''), ',', '.') AS DOUBLE)
-        |    AS parsed
-        |FROM (SELECT CAST(l_suppkey % 10 AS VARCHAR) || '.'
-        |        || lpad(CAST(l_partkey % 100 AS VARCHAR), 3, '0') || ','
-        |        || lpad(CAST(l_orderkey % 100 AS VARCHAR), 2, '0') AS raw
-        |      FROM lineitem)
-        |ORDER BY raw""".stripMargin,
-    "p2_number_affix" ->
-      """SELECT DISTINCT raw,
-        |  TRY_CAST(regexp_extract(raw, '[0-9]+', 0) AS DOUBLE) AS parsed
-        |FROM (SELECT CASE WHEN l_suppkey % 2 = 0
-        |          THEN '$' || CAST(l_suppkey AS VARCHAR)
-        |          ELSE CAST(l_suppkey AS VARCHAR) || '%' END AS raw
-        |      FROM lineitem)
-        |ORDER BY raw""".stripMargin,
-    "p5_date" ->
-      """SELECT DISTINCT raw,
-        |  CAST(try_strptime(raw, '%Y-%m-%d') AS DATE) AS parsed
-        |FROM (SELECT CASE WHEN l_linenumber % 5 = 0 THEN '2026-13-01'
-        |        ELSE strftime(l_shipdate, '%Y-%m-%d') END AS raw
-        |      FROM lineitem)
-        |ORDER BY raw""".stripMargin,
-    "p5_date_fmt" ->
-      """SELECT DISTINCT raw,
-        |  CAST(try_strptime(raw, '%d/%m/%Y') AS DATE) AS parsed
-        |FROM (SELECT CASE WHEN l_linenumber % 5 = 0
-        |          THEN strftime(l_shipdate, '%Y-%m-%d')
-        |          ELSE strftime(l_shipdate, '%d/%m/%Y') END AS raw
-        |      FROM lineitem)
-        |ORDER BY raw""".stripMargin,
-    "p6_datetime" ->
-      """SELECT DISTINCT raw,
-        |  try_strptime(raw, '%Y-%m-%dT%H:%M:%S') AS parsed
-        |FROM (SELECT CASE WHEN o_orderkey % 5 = 0
-        |          THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
-        |          ELSE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') END AS raw
-        |      FROM orders)
-        |ORDER BY raw""".stripMargin,
-    "p7_time" ->
-      """SELECT DISTINCT raw,
-        |  CASE WHEN regexp_full_match(raw,
-        |    '([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9]') THEN raw END
-        |    AS parsed
-        |FROM (SELECT CASE WHEN event_id % 5 = 0 THEN '25:61:00'
-        |        ELSE strftime(ts, '%H:%M:%S') END AS raw FROM events)
-        |ORDER BY raw""".stripMargin,
-    "p8_year" ->
-      """SELECT DISTINCT raw,
-        |  CASE WHEN regexp_full_match(raw, '-?[0-9]{4}')
-        |       THEN CAST(raw AS BIGINT) END AS parsed
-        |FROM (SELECT CASE WHEN l_linenumber % 6 = 0 THEN '26'
-        |        WHEN l_linenumber % 6 = 1 THEN '20260'
-        |        ELSE CAST(year(l_shipdate) AS VARCHAR) END AS raw
-        |      FROM lineitem)
-        |ORDER BY raw""".stripMargin,
-    "p9_geopoint" ->
-      """SELECT DISTINCT raw,
-        |  CASE WHEN ok AND abs(lon0) <= 180 AND abs(lat0) <= 90
-        |       THEN lon0 END AS lon,
-        |  CASE WHEN ok AND abs(lon0) <= 180 AND abs(lat0) <= 90
-        |       THEN lat0 END AS lat
-        |FROM (
-        |  SELECT raw,
-        |    regexp_full_match(raw,
-        |      '\s*[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)\s*,\s*[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)\s*')
-        |      AS ok,
-        |    TRY_CAST(trim(split_part(raw, ',', 1)) AS DOUBLE) AS lon0,
-        |    TRY_CAST(trim(split_part(raw, ',', 2)) AS DOUBLE) AS lat0
-        |  FROM (SELECT CASE WHEN p_partkey % 11 = 0 THEN '200, 100'
-        |          WHEN p_partkey % 13 = 0 THEN 'x,y'
-        |          ELSE CAST(p_partkey % 361 - 180 AS VARCHAR) || ', '
-        |            || CAST(p_size % 181 - 90 AS VARCHAR) END AS raw
-        |        FROM part))
-        |ORDER BY raw""".stripMargin,
-    "x_dedup_exact" ->
-      """SELECT md5(text) AS content_hash, count(*) AS cnt
-        |FROM (SELECT text FROM documents UNION ALL
-        |      SELECT text FROM documents WHERE doc_id < 50)
-        |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
-    "x_dedup_prefix" ->
-      """SELECT array_to_string(list_slice(
-        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
-        |    1, 3), ' ') AS prefix_key, count(*) AS cnt
-        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
-    "x_dedup_jaccard" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
-        |      AS toks
-        |  FROM documents),
-        |base AS (
-        |  SELECT doc_id, toks,
-        |    list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INTEGER))
-        |      AS ttoks
-        |  FROM tok WHERE len(toks) >= 10),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(toks) - 1),
-        |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
-        |      AS sa,
-        |    CASE WHEN len(ttoks) >= 3
-        |      THEN list_distinct(list_transform(range(1, len(ttoks) - 1),
-        |        i -> array_to_string(list_slice(ttoks, i, i + 2), ' ')))
-        |      ELSE [array_to_string(ttoks, ' ')] END AS sb
-        |  FROM base)
-        |SELECT doc_id,
-        |  CASE WHEN len(list_distinct(list_concat(sa, sb))) > 0
-        |    THEN CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(sa, sb)))
-        |    ELSE 0.0 END AS jaccard
-        |FROM sh ORDER BY doc_id""".stripMargin,
-    "x_sim_topk" ->
-      """WITH nq AS (
-        |  SELECT vec_id AS query_id, embedding AS vec,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-        |  FROM embeddings WHERE vec_id < 5),
-        |q AS (SELECT query_id,
-        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS qv
-        |      FROM nq WHERE nrm > 0),
-        |nc AS (
-        |  SELECT vec_id AS neighbor_id, embedding AS vec,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-        |  FROM embeddings),
-        |c AS (SELECT neighbor_id,
-        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS cv
-        |      FROM nc WHERE nrm > 0),
-        |s AS (
-        |  SELECT query_id, neighbor_id,
-        |    list_sum(list_transform(range(1, len(qv) + 1),
-        |      i -> qv[i] * cv[i])) AS sim
-        |  FROM q, c WHERE query_id <> neighbor_id),
-        |r AS (
-        |  SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM s)
-        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    "x_sim_pairs" ->
-      """WITH v0 AS (
-        |  SELECT vec_id AS id, embedding AS vec,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-        |  FROM embeddings WHERE vec_id < 300),
-        |v AS (SELECT id,
-        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
-        |      FROM v0 WHERE nrm > 0),
-        |s AS (
-        |  SELECT a.id AS id_a, b.id AS id_b,
-        |    list_sum(list_transform(range(1, len(a.nvec) + 1),
-        |      i -> a.nvec[i] * b.nvec[i])) AS sim
-        |  FROM v a, v b WHERE a.id < b.id)
-        |SELECT id_a, id_b FROM s WHERE sim >= 0.3
-        |ORDER BY id_a, id_b""".stripMargin,
-    "x_text_tokens" ->
-      """SELECT doc_id,
-        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
-        |    x -> x <> '')) AS BIGINT) AS n_tokens,
-        |  CAST(len(regexp_extract_all(text,
-        |    '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS BIGINT) AS n_word_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "x_text_quality" ->
-      """WITH t AS (
-        |  SELECT doc_id, text, n_chars,
-        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
-        |      AS toks,
-        |    CASE WHEN length(text) > 0
-        |      THEN CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g'))
-        |        AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
-        |    CASE WHEN length(text) > 0
-        |      THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
-        |        AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(length(text) AS BIGINT) = n_chars AS n_chars_ok,
-        |  alpha_ratio,
-        |  CASE WHEN len(toks) > 0
-        |    THEN CAST(list_sum(list_transform(toks, x -> length(x)))
-        |      AS DOUBLE) / len(toks) ELSE 0.0 END AS avg_token_len,
-        |  round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-        |    + alpha_ratio
-        |    + greatest(0.0, 1.0 - punct_ratio * 10.0)) / 3.0, 6)
-        |    AS quality
-        |FROM t ORDER BY doc_id""".stripMargin,
-    "x_text_langid" ->
-      """WITH sc AS (
-        |  SELECT doc_id, text,
-        |    (length(p)-length(replace(p,' the ','')))/5
-        |      + (length(p)-length(replace(p,' and ','')))/5
-        |      + (length(p)-length(replace(p,' of ','')))/4
-        |      + (length(p)-length(replace(p,' to ','')))/4
-        |      + (length(p)-length(replace(p,' a ','')))/3 AS s_en,
-        |    (length(p)-length(replace(p,' el ','')))/4
-        |      + (length(p)-length(replace(p,' la ','')))/4
-        |      + (length(p)-length(replace(p,' de ','')))/4
-        |      + (length(p)-length(replace(p,' que ','')))/5
-        |      + (length(p)-length(replace(p,' y ','')))/3 AS s_es,
-        |    (length(p)-length(replace(p,' le ','')))/4
-        |      + (length(p)-length(replace(p,' et ','')))/4
-        |      + (length(p)-length(replace(p,' les ','')))/5
-        |      + (length(p)-length(replace(p,' des ','')))/5
-        |      + (length(p)-length(replace(p,' un ','')))/4 AS s_fr,
-        |    (length(p)-length(replace(p,' der ','')))/5
-        |      + (length(p)-length(replace(p,' und ','')))/5
-        |      + (length(p)-length(replace(p,' die ','')))/5
-        |      + (length(p)-length(replace(p,' das ','')))/5
-        |      + (length(p)-length(replace(p,' ist ','')))/5 AS s_de
-        |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS p
-        |        FROM documents))
-        |SELECT doc_id,
-        |  CASE WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
-        |       WHEN regexp_matches(text, '[\x{0400}-\x{04FF}]') THEN 'ru'
-        |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de
-        |         THEN 'en'
-        |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
-        |       WHEN s_fr >= s_de THEN 'fr'
-        |       ELSE 'de' END AS lang_pred
-        |FROM sc ORDER BY doc_id""".stripMargin,
-    "x_text_stopwords" ->
-      """WITH sc AS (
-        |  SELECT doc_id,
-        |    (length(p)-length(replace(p,' the ','')))/5
-        |      + (length(p)-length(replace(p,' and ','')))/5
-        |      + (length(p)-length(replace(p,' of ','')))/4
-        |      + (length(p)-length(replace(p,' to ','')))/4
-        |      + (length(p)-length(replace(p,' a ','')))/3 AS hits,
-        |    len(list_filter(regexp_split_to_array(text, '\s+'),
-        |      x -> x <> '')) AS toks
-        |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS p
-        |        FROM documents))
-        |SELECT doc_id, CAST(hits AS BIGINT) AS en_hits,
-        |  round(hits / greatest(toks, 1), 6) AS stopword_ratio
-        |FROM sc ORDER BY doc_id""".stripMargin,
-    "x_text_fingerprint" ->
-      """SELECT doc_id,
-        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "x_mm_json" ->
-      """SELECT event_id,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |FROM events ORDER BY event_id""".stripMargin,
-    "x_mm_binary_meta" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "x_stream_window" ->
-      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-        |  event_type, count(*) AS cnt, round(sum(value), 6) AS sum_value
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
-    "r1_error_sample" ->
-      """SELECT list_slice(list_sort(list(DISTINCT o_orderpriority)),
-        |  1, 3) AS sample_values FROM orders""".stripMargin,
-    "k2_uniquekeys" ->
-      """SELECT l_partkey, l_suppkey, count(*) AS cnt FROM lineitem
-        |WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
-        |GROUP BY 1,2 HAVING count(*) > 1 ORDER BY 1,2""".stripMargin,
-    "x_profile" ->
-      """SELECT * FROM (
-        |  SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
-        |    count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_nulls,
-        |    count(DISTINCT l_orderkey) AS n_distinct,
-        |    CAST(min(l_orderkey) AS VARCHAR) AS min_value,
-        |    CAST(max(l_orderkey) AS VARCHAR) AS max_value FROM lineitem
-        |  UNION ALL
-        |  SELECT 'l_quantity', count(*),
-        |    count(CASE WHEN l_quantity IS NULL THEN 1 END),
-        |    count(DISTINCT l_quantity),
-        |    CAST(min(l_quantity) AS VARCHAR),
-        |    CAST(max(l_quantity) AS VARCHAR) FROM lineitem
-        |  UNION ALL
-        |  SELECT 'l_returnflag', count(*),
-        |    count(CASE WHEN l_returnflag IS NULL THEN 1 END),
-        |    count(DISTINCT l_returnflag),
-        |    CAST(min(l_returnflag) AS VARCHAR),
-        |    CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
-        |  UNION ALL
-        |  SELECT 'l_shipdate', count(*),
-        |    count(CASE WHEN l_shipdate IS NULL THEN 1 END),
-        |    count(DISTINCT l_shipdate),
-        |    CAST(min(l_shipdate) AS VARCHAR),
-        |    CAST(max(l_shipdate) AS VARCHAR) FROM lineitem)
-        |ORDER BY column_name""".stripMargin,
-    "k3_fk_salted" ->
-      """SELECT o.o_custkey, count(*) AS cnt FROM orders o
-        |LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
-        |           WHERE c_custkey % 10 <> 0) c
-        |ON o.o_custkey = c.c_custkey
-        |WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "x_stream_sessionize_native" ->
-      """WITH d AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
-        |         THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (
-        |  SELECT user_id, ts,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |                     ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM d)
-        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events
-        |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
-    "x_stream_sessionize" ->
-      """WITH d AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
-        |         THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (
-        |  SELECT user_id, ts,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |                     ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM d)
-        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events
-        |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
-    // x_sim_ivf_kmeans: oracle generated per-dataset by
-    // dynamicOracleSql (the centroid FIT is driver-side Lloyd, not
-    // SQL-expressible, but the fitted centroids are deterministic
-    // constants — embedded as literals, the assignment + probe + rank
-    // pipeline is plain SQL). Verify merges it into oracle_sql.json.
-    "x_profile_approx" ->
-      """SELECT * FROM (
-        |  SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
-        |    count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_nulls,
-        |    CAST(min(l_orderkey) AS VARCHAR) AS min_value,
-        |    CAST(max(l_orderkey) AS VARCHAR) AS max_value,
-        |    TRUE AS distinct_sane FROM lineitem
-        |  UNION ALL
-        |  SELECT 'l_quantity', count(*),
-        |    count(CASE WHEN l_quantity IS NULL THEN 1 END),
-        |    CAST(min(l_quantity) AS VARCHAR),
-        |    CAST(max(l_quantity) AS VARCHAR), TRUE FROM lineitem
-        |  UNION ALL
-        |  SELECT 'l_returnflag', count(*),
-        |    count(CASE WHEN l_returnflag IS NULL THEN 1 END),
-        |    CAST(min(l_returnflag) AS VARCHAR),
-        |    CAST(max(l_returnflag) AS VARCHAR), TRUE FROM lineitem
-        |  UNION ALL
-        |  SELECT 'l_shipdate', count(*),
-        |    count(CASE WHEN l_shipdate IS NULL THEN 1 END),
-        |    CAST(min(l_shipdate) AS VARCHAR),
-        |    CAST(max(l_shipdate) AS VARCHAR), TRUE FROM lineitem)
-        |ORDER BY column_name""".stripMargin,
-    "x_unique_screen" ->
-      """SELECT * FROM (
-        |  SELECT 'lineitem_pk' AS key_set, count(*) AS n_rows,
-        |    TRUE AS definitely_has_duplicates
-        |  FROM lineitem
-        |  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
-        |  UNION ALL
-        |  SELECT 'nation_pk', count(*), FALSE
-        |  FROM nation WHERE n_nationkey IS NOT NULL)
-        |ORDER BY key_set""".stripMargin,
-    "x_hot_buckets" ->
-      s"""WITH tok AS (
-        |  SELECT doc_id AS id,
-        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
-        |      AS toks
-        |  FROM documents),
-        |shd AS (
-        |  SELECT id, list_transform(
-        |    list_distinct(CASE WHEN len(toks) >= 5
-        |      THEN list_transform(range(1, len(toks) - 3),
-        |        i -> array_to_string(list_slice(toks, i, i + 4), ' '))
-        |      ELSE [array_to_string(toks, ' ')] END),
-        |    s -> ${duckHash48("s")}) AS sh
-        |  FROM tok),
-        |sigd AS (
-        |  SELECT id, list_transform(range(0, 32),
-        |    i -> list_min(list_transform(sh, h -> ${duckPerm("h", "i")})))
-        |    AS sig
-        |  FROM shd),
-        |banded AS (
-        |  SELECT id, bb.b AS band,
-        |    array_to_string(list_slice(sig, bb.b * 2 + 1, bb.b * 2 + 2), '_')
-        |      AS bucket
-        |  FROM sigd, (SELECT unnest(range(0, 16)) AS b) bb)
-        |SELECT band, bucket, count(*) AS bcnt FROM banded
-        |GROUP BY band, bucket HAVING count(*) > 2
-        |ORDER BY band, bucket""".stripMargin,
-    "x_asof_join" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events
-        |           WHERE event_type = 'purchase'),
-        |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
-        |      FROM events WHERE event_type = 'click')
-        |SELECT event_id, user_id, ts, click_id, click_ts FROM (
-        |  SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts,
-        |    row_number() OVER (PARTITION BY p.event_id
-        |      ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
-        |  FROM p LEFT JOIN c
-        |    ON c.user_id = p.user_id AND c.click_ts <= p.ts) t
-        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
-    "x_range_join" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events
-        |           WHERE event_type = 'purchase'),
-        |c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
-        |      FROM events WHERE event_type = 'click')
-        |SELECT p.event_id, p.user_id, p.ts, count(c.c_id) AS n_clicks
-        |FROM p LEFT JOIN c ON c.c_user = p.user_id
-        |  AND c.c_ts >= p.ts AND c.c_ts < p.ts + INTERVAL 6 HOUR
-        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
-    "x_range_join_binned" ->
-      """WITH w(w_name, w_start, w_end) AS (VALUES
-        |  ('w1', TIMESTAMP '2024-01-03 00:00:00',
-        |         TIMESTAMP '2024-01-04 12:00:00'),
-        |  ('w2', TIMESTAMP '2024-01-08 06:00:00',
-        |         TIMESTAMP '2024-01-09 00:00:00'),
-        |  ('w3', TIMESTAMP '2024-01-15 00:00:00',
-        |         TIMESTAMP '2024-01-18 00:00:00'),
-        |  ('w4', TIMESTAMP '2024-01-22 18:00:00',
-        |         TIMESTAMP '2024-01-23 06:00:00'),
-        |  ('w5', TIMESTAMP '2024-01-29 00:00:00',
-        |         TIMESTAMP '2024-01-31 00:00:00'))
-        |SELECT w_name, count(*) AS n_events,
-        |  count(DISTINCT user_id) AS n_users
-        |FROM w JOIN events e ON e.ts >= w_start AND e.ts < w_end
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "x_text_repetition" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
-        |      AS ws
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, len(ws) AS n_words,
-        |    CASE WHEN len(ws) > 0 THEN
-        |      CAST(list_max(list_transform(list_distinct(ws),
-        |        w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws)
-        |      ELSE 0.0 END AS twf,
-        |    CASE WHEN len(ws) >= 2 THEN
-        |      list_transform(range(1, len(ws)),
-        |        i -> ws[CAST(i AS INTEGER)] || ' ' ||
-        |             ws[CAST(i + 1 AS INTEGER)])
-        |      ELSE [] END AS bg,
-        |    CASE WHEN len(ws) >= 3 THEN
-        |      list_transform(range(1, len(ws) - 1),
-        |        i -> ws[CAST(i AS INTEGER)] || ' ' ||
-        |             ws[CAST(i + 1 AS INTEGER)] || ' ' ||
-        |             ws[CAST(i + 2 AS INTEGER)])
-        |      ELSE [] END AS tg
-        |  FROM tok)
-        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-        |  round(twf, 6) AS top_word_frac,
-        |  round(CASE WHEN len(bg) > 0 THEN
-        |    1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
-        |    ELSE 0.0 END, 6) AS dup_bigram_frac,
-        |  round(CASE WHEN len(tg) > 0 THEN
-        |    1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
-        |    ELSE 0.0 END, 6) AS dup_trigram_frac
-        |FROM m ORDER BY doc_id""".stripMargin,
-    "x_text_vocab" ->
-      """SELECT token, count(*) AS cnt FROM (
-        |  SELECT unnest(list_filter(
-        |    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
-        |  FROM documents)
-        |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
-    "x_dedup_semantic" ->
-      """WITH v0 AS (
-        |  SELECT vec_id AS id, embedding AS vec,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-        |  FROM embeddings),
-        |v AS (SELECT id,
-        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
-        |      FROM v0 WHERE nrm > 0),
-        |cents AS (SELECT id AS list_id, nvec AS cvec FROM v
-        |          ORDER BY id LIMIT 16),
-        |assigned AS (
-        |  SELECT id, nvec, list_id FROM (
-        |    SELECT vv.id, vv.nvec, c.list_id,
-        |      row_number() OVER (PARTITION BY vv.id ORDER BY
-        |        list_sum(list_transform(range(1, len(vv.nvec) + 1),
-        |          i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
-        |    FROM v vv, cents c) WHERE rn = 1),
-        |pairs AS (
-        |  SELECT a.id AS id_a, b.id AS id_b,
-        |    list_sum(list_transform(range(1, len(a.nvec) + 1),
-        |      i -> a.nvec[i] * b.nvec[i])) AS sim
-        |  FROM assigned a JOIN assigned b
-        |    ON a.list_id = b.list_id AND a.id < b.id)
-        |SELECT id_b AS dup_id, min(id_a) AS canonical_id
-        |FROM pairs WHERE sim >= 0.35
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "x_sample_shards" ->
-      s"""SELECT ${duckHash48("('shard1' || CAST(doc_id AS VARCHAR))")} % 8
-        |    AS shard,
-        |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-    "x_sample_cap" ->
-      s"""SELECT event_type, count(*) AS n_kept,
-        |  CAST(sum(event_id) AS BIGINT) AS sum_kept_ids FROM (
-        |  SELECT event_type, event_id,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY
-        |      ${duckHash48("('cap1' || CAST(event_id AS VARCHAR))")} ASC,
-        |      event_id ASC) AS rn
-        |  FROM events) t WHERE rn <= 500
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "x_pipeline_clean" ->
-      s"""WITH base AS (
-        |  SELECT doc_id, text, source FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text, source FROM documents
-        |  WHERE doc_id < 50),
-        |q AS (
-        |  SELECT * FROM base
-        |  WHERE round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-        |    + CASE WHEN length(text) > 0
-        |        THEN CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
-        |          AS DOUBLE) / length(text) ELSE 0.0 END
-        |    + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
-        |        THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '',
-        |          'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 10.0))
-        |    / 3.0, 6) >= 0.9),
-        |l AS (
-        |  SELECT doc_id, text, source FROM (
-        |    SELECT doc_id, text, source,
-        |      list_filter(regexp_split_to_array(text, '\\s+'),
-        |        x -> x <> '') AS ws
-        |    FROM q)
-        |  WHERE CASE WHEN len(ws) > 0
-        |    THEN CAST(list_max(list_transform(list_distinct(ws),
-        |      w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws)
-        |    ELSE 0.0 END <= 0.12),
-        |surv AS (
-        |  SELECT doc_id, source FROM (
-        |    SELECT doc_id, source,
-        |      row_number() OVER (PARTITION BY md5(text)
-        |        ORDER BY doc_id) AS drn
-        |    FROM l) WHERE drn = 1),
-        |cap AS (
-        |  SELECT source, doc_id FROM (
-        |    SELECT source, doc_id,
-        |      row_number() OVER (PARTITION BY source ORDER BY
-        |        ${duckHash48("('fcap' || CAST(doc_id AS VARCHAR))")} ASC,
-        |        doc_id ASC) AS crn
-        |    FROM surv) WHERE crn <= 10)
-        |SELECT * FROM (
-        |  SELECT 0 AS stage_idx, 's0_raw' AS stage, count(*) AS n_rows
-        |  FROM base
-        |  UNION ALL SELECT 1, 's1_quality', count(*) FROM q
-        |  UNION ALL SELECT 2, 's2_repetition', count(*) FROM l
-        |  UNION ALL SELECT 3, 's3_exact_dedup', count(*) FROM surv
-        |  UNION ALL SELECT 4, 's4_cap_per_source', count(*) FROM cap)
-        |ORDER BY stage_idx""".stripMargin,
-    "x_stream_enrich" ->
-      """SELECT time_bucket(INTERVAL '1 day', e.ts) AS window_start,
-        |  c.c_mktsegment, count(*) AS cnt
-        |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "x_stream_anomaly" ->
-      """WITH hourly AS (
-        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-        |    event_type, count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |stats AS (
-        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(sum(cnt) AS DOUBLE) AS s1,
-        |    CAST(sum(cnt * cnt) AS DOUBLE) AS s2
-        |  FROM hourly GROUP BY 1 HAVING count(*) > 1)
-        |SELECT window_start, event_type, cnt, round(z, 6) AS z FROM (
-        |  SELECT h.window_start, h.event_type, h.cnt,
-        |    (h.cnt - s.s1 / s.n) /
-        |      sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS z
-        |  FROM hourly h JOIN stats s ON h.event_type = s.event_type)
-        |WHERE abs(z) >= 2.0 ORDER BY window_start, event_type""".stripMargin,
-    "x_text_tfidf" ->
-      """WITH terms AS (
-        |  SELECT doc_id, unnest(list_filter(
-        |    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf
-        |       FROM terms GROUP BY 1, 2),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |scored AS (
-        |  SELECT tf.doc_id, tf.term,
-        |    CAST(tf.tf AS DOUBLE) / d.df AS score
-        |  FROM tf JOIN dfreq d ON tf.term = d.term)
-        |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term,
-        |  round(score, 6) AS score
-        |FROM (
-        |  SELECT doc_id, term, score,
-        |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY score DESC, term DESC) AS rn
-        |  FROM scored) t
-        |WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
-    "x_profile_histogram" ->
-      """SELECT CAST(floor((CAST(l_quantity AS DOUBLE) - 1.0) / 5.0)
-        |    AS BIGINT) AS bin,
-        |  count(*) AS cnt,
-        |  min(CAST(l_quantity AS DOUBLE)) AS bin_min,
-        |  max(CAST(l_quantity AS DOUBLE)) AS bin_max
-        |FROM lineitem
-        |WHERE CAST(l_quantity AS DOUBLE) >= 1.0
-        |  AND CAST(l_quantity AS DOUBLE) < 51.0
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "x_dedup_corpus_sim" ->
-      s"""WITH tok AS (
-        |  SELECT doc_id AS id,
-        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
-        |      AS toks
-        |  FROM documents),
-        |shd AS (
-        |  SELECT id, list_transform(
-        |    list_distinct(CASE WHEN len(toks) >= 3
-        |      THEN list_transform(range(1, len(toks) - 1),
-        |        i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-        |      ELSE [array_to_string(toks, ' ')] END),
-        |    s -> ${duckHash48("s")}) AS sh
-        |  FROM tok),
-        |sigd AS (
-        |  SELECT id, list_transform(range(0, 32),
-        |    i -> list_min(list_transform(sh, h -> ${duckPerm("h", "i")})))
-        |    AS sig
-        |  FROM shd),
-        |slots AS (
-        |  SELECT id, ss.i AS slot, sig[CAST(ss.i + 1 AS INTEGER)] AS h
-        |  FROM sigd, (SELECT unnest(range(0, 32)) AS i) ss),
-        |ca AS (SELECT slot, min(h) AS min_h FROM slots
-        |       WHERE id % 2 = 0 GROUP BY 1),
-        |cb AS (SELECT slot, min(h) AS min_h_b FROM slots
-        |       WHERE id % 2 = 1 GROUP BY 1)
-        |SELECT count(*) AS n_slots,
-        |  CAST(sum(CASE WHEN min_h = min_h_b THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_equal,
-        |  CAST(sum(CASE WHEN min_h = min_h_b THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / count(*) AS est_jaccard
-        |FROM ca JOIN cb USING (slot)""".stripMargin,
-    "x_text_classifier" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    CAST(len(ws) AS DOUBLE) AS toks,
-        |    (length(p)-length(replace(p,' the ','')))/5
-        |      + (length(p)-length(replace(p,' and ','')))/5
-        |      + (length(p)-length(replace(p,' of ','')))/4
-        |      + (length(p)-length(replace(p,' to ','')))/4
-        |      + (length(p)-length(replace(p,' a ','')))/3 AS hits,
-        |    CASE WHEN length(text) > 0
-        |      THEN CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g'))
-        |        AS DOUBLE) / length(text) ELSE 0.0 END AS alpha,
-        |    CASE WHEN length(text) > 0
-        |      THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '',
-        |        'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct,
-        |    CASE WHEN len(ws) > 0
-        |      THEN CAST(list_max(list_transform(list_distinct(ws),
-        |        w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)
-        |        / len(ws) ELSE 0.0 END AS twf
-        |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS p,
-        |          list_filter(regexp_split_to_array(text, '\s+'),
-        |            x -> x <> '') AS ws
-        |        FROM documents)),
-        |s AS (
-        |  SELECT doc_id,
-        |    -1.0 + least(toks / 100.0, 1.0) * 1.5 + alpha * 1.0
-        |      + (hits / greatest(toks, 1.0)) * 4.0
-        |      - twf * 3.0 - punct * 2.0 AS score
-        |  FROM f)
-        |SELECT doc_id, round(score, 6) AS score, score >= 0.9 AS label
-        |FROM s ORDER BY doc_id""".stripMargin,
-    "x_stream_anomaly_trailing" ->
-      """WITH hourly AS (
-        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-        |    event_type, count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |t AS (
-        |  SELECT window_start, event_type, cnt,
-        |    CAST(count(cnt) OVER w AS DOUBLE) AS n,
-        |    CAST(sum(cnt) OVER w AS DOUBLE) AS s1,
-        |    CAST(sum(cnt * cnt) OVER w AS DOUBLE) AS s2
-        |  FROM hourly
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY window_start
-        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
-        |SELECT window_start, event_type, cnt, round(z, 6) AS z FROM (
-        |  SELECT window_start, event_type, cnt,
-        |    (cnt - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
-        |  FROM t WHERE n > 1 AND s2 - s1 * s1 / n > 0)
-        |WHERE abs(z) >= 2.5
-        |ORDER BY window_start, event_type""".stripMargin,
-    "x_sample_pack" ->
-      s"""WITH tk AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
-        |      x -> x <> '')) AS BIGINT) AS n_tokens,
-        |    ${duckHash48("('pack1' || CAST(doc_id AS VARCHAR))")} % 8
-        |      AS shard,
-        |    ${duckHash48("('pack1' || CAST(doc_id AS VARCHAR))")}
-        |      / 281474976710656.0 AS u
-        |  FROM documents),
-        |c AS (
-        |  SELECT shard, doc_id, n_tokens,
-        |    COALESCE(sum(n_tokens) OVER (PARTITION BY shard
-        |      ORDER BY u, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS cum
-        |  FROM tk),
-        |b AS (
-        |  SELECT shard, CAST(floor(cum / 2000.0) AS BIGINT) AS bin,
-        |    doc_id, n_tokens
-        |  FROM c),
-        |per_bin AS (
-        |  SELECT shard, bin, count(*) AS n_docs,
-        |    sum(n_tokens) AS bin_tokens
-        |  FROM b GROUP BY 1, 2)
-        |SELECT shard, count(*) AS n_bins,
-        |  CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
-        |  CAST(sum(n_docs) AS BIGINT) AS n_docs
-        |FROM per_bin GROUP BY 1 ORDER BY 1""".stripMargin,
-    "x_dedup_source_matrix" ->
-      s"""WITH tok AS (
-        |  SELECT source,
-        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
-        |      AS toks
-        |  FROM documents),
-        |shd AS (
-        |  SELECT source, list_transform(
-        |    list_distinct(CASE WHEN len(toks) >= 3
-        |      THEN list_transform(range(1, len(toks) - 1),
-        |        i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-        |      ELSE [array_to_string(toks, ' ')] END),
-        |    s -> ${duckHash48("s")}) AS sh
-        |  FROM tok),
-        |flat AS (SELECT source, unnest(sh) AS h FROM shd),
-        |sig AS (
-        |  SELECT source, sl.slot AS slot,
-        |    min(${duckPerm("h", "sl.slot")}) AS min_h
-        |  FROM flat, (SELECT unnest(range(0, 32)) AS slot) sl
-        |  GROUP BY source, sl.slot),
-        |pairs AS (
-        |  SELECT a.source AS grp_a, b.source AS grp_b,
-        |    CASE WHEN a.min_h = b.min_h THEN 1 ELSE 0 END AS eq
-        |  FROM sig a JOIN sig b
-        |    ON a.slot = b.slot AND a.source < b.source)
-        |SELECT grp_a, grp_b, count(*) AS n_slots,
-        |  CAST(sum(eq) AS BIGINT) AS n_equal,
-        |  CAST(sum(eq) AS DOUBLE) / count(*) AS est_jaccard
-        |FROM pairs GROUP BY grp_a, grp_b
-        |ORDER BY grp_a, grp_b""".stripMargin,
-    "x_dedup_incremental" ->
-      s"""WITH $duckMinhashIncrementalCtes
-        |SELECT new_id, corpus_id, jaccard FROM j WHERE jaccard >= 0.5
-        |ORDER BY new_id, corpus_id""".stripMargin,
-    "x_sample_exact_n" ->
-      s"""SELECT doc_id, source FROM (
-        |  SELECT doc_id, source FROM documents
-        |  ORDER BY ${duckHash48("('ev1' || CAST(doc_id AS VARCHAR))")},
-        |    doc_id
-        |  LIMIT 100)
-        |ORDER BY doc_id""".stripMargin,
-    "x_stream_join" ->
-      """SELECT user_id, count(*) AS n_pairs,
-        |  min(epoch_us(c_ts) - epoch_us(v_ts)) AS min_lag_us,
-        |  max(epoch_us(c_ts) - epoch_us(v_ts)) AS max_lag_us
-        |FROM (
-        |  SELECT v.user_id AS user_id, v.ts AS v_ts, c.ts AS c_ts
-        |  FROM (SELECT user_id, ts FROM events
-        |        WHERE event_type = 'view') v
-        |  JOIN (SELECT user_id, ts FROM events
-        |        WHERE event_type = 'click') c
-        |    ON v.user_id = c.user_id
-        |   AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '10 minutes')
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
-    "x_dedup_containment" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
-        |      AS toks
-        |  FROM documents),
-        |base AS (
-        |  SELECT doc_id, toks,
-        |    list_slice(toks, 1, CAST(floor(len(toks) * 0.5) AS INTEGER))
-        |      AS ttoks
-        |  FROM tok WHERE len(toks) >= 10),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(toks) - 1),
-        |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
-        |      AS sa,
-        |    CASE WHEN len(ttoks) >= 3
-        |      THEN list_distinct(list_transform(range(1, len(ttoks) - 1),
-        |        i -> array_to_string(list_slice(ttoks, i, i + 2), ' ')))
-        |      ELSE [array_to_string(ttoks, ' ')] END AS sb
-        |  FROM base)
-        |SELECT doc_id,
-        |  CASE WHEN len(sb) > 0
-        |    THEN CAST(len(list_intersect(sb, sa)) AS DOUBLE) / len(sb)
-        |    ELSE 0.0 END AS containment,
-        |  CASE WHEN len(list_distinct(list_concat(sa, sb))) > 0
-        |    THEN CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(sa, sb)))
-        |    ELSE 0.0 END AS jaccard
-        |FROM sh ORDER BY doc_id""".stripMargin,
-    "x_profile_group_quantiles" -> {
-      val blocks = for {
-        c <- Seq("l_quantity", "l_discount")
-        (p, i) <- Seq(0.25, 0.5, 0.75).zipWithIndex
-      } yield
-        s"  SELECT l_returnflag, '$c' AS column_name," +
-          s" CAST($i AS INTEGER) AS prob_idx," +
-          s"\n    quantile_cont(CAST($c AS DOUBLE), $p) AS quantile" +
-          s"\n  FROM lineitem GROUP BY l_returnflag"
-      blocks.mkString("SELECT * FROM (\n", "\n  UNION ALL\n",
-        ")\nORDER BY l_returnflag, column_name, prob_idx")
-    },
-    "x_dedup_spans" ->
-      """WITH docs2 AS (
-        |  SELECT doc_id,
-        |    text || chr(10)
-        |      || 'all rights reserved contact us for more information'
-        |      || chr(10)
-        |      || 'subscribe to our newsletter for weekly updates' AS text
-        |  FROM documents WHERE doc_id < 500
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
-        |  WHERE doc_id < 30),
-        |sp AS (
-        |  SELECT doc_id,
-        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
-        |    unnest(string_split(text, chr(10))) AS span
-        |  FROM docs2),
-        |ranked AS (
-        |  SELECT doc_id, pos, span,
-        |    row_number() OVER (PARTITION BY md5(span)
-        |                       ORDER BY doc_id, pos) AS rn
-        |  FROM sp)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-        |  CAST(length(string_agg(span, chr(10) ORDER BY pos)) AS BIGINT)
-        |    AS text_len
-        |FROM ranked WHERE rn = 1
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "x_text_logprob" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
-        |      x -> x <> '')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |vocab AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
-        |tot AS (SELECT sum(cnt) AS total FROM vocab)
-        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-        |  round(sum(tf * ln(CAST(cnt AS DOUBLE) / total)) / sum(tf), 6)
-        |    AS avg_logprob
-        |FROM tf JOIN vocab USING (term), tot
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "x_sim_quantized" ->
-      """WITH nq AS (
-        |  SELECT vec_id AS query_id, embedding AS vec,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-        |  FROM embeddings WHERE vec_id < 5),
-        |q0 AS (SELECT query_id,
-        |         list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS qv
-        |       FROM nq WHERE nrm > 0),
-        |q1 AS (SELECT query_id, qv,
-        |         list_max(list_transform(qv, x -> abs(x))) / 127.0 AS qs
-        |       FROM q0),
-        |q AS (SELECT query_id, qs,
-        |        list_transform(qv, x -> floor(x / qs + 0.5)) AS qa
-        |      FROM q1),
-        |nc AS (
-        |  SELECT vec_id AS neighbor_id, embedding AS vec,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-        |  FROM embeddings),
-        |c0 AS (SELECT neighbor_id,
-        |         list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS cv
-        |       FROM nc WHERE nrm > 0),
-        |c1 AS (SELECT neighbor_id, cv,
-        |         list_max(list_transform(cv, x -> abs(x))) / 127.0 AS cs
-        |       FROM c0),
-        |c AS (SELECT neighbor_id, cs,
-        |        list_transform(cv, x -> floor(x / cs + 0.5)) AS ca
-        |      FROM c1),
-        |s AS (
-        |  SELECT query_id, neighbor_id,
-        |    list_sum(list_transform(range(1, len(qa) + 1),
-        |      i -> qa[i] * ca[i])) * qs * cs AS sim
-        |  FROM q, c WHERE query_id <> neighbor_id),
-        |r AS (
-        |  SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM s)
-        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    "x_text_bigram_lp" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
-        |      AS toks
-        |  FROM documents),
-        |bg AS (
-        |  SELECT doc_id,
-        |    unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
-        |    unnest(list_slice(toks, 2, len(toks))) AS w2
-        |  FROM tok WHERE len(toks) >= 2),
-        |tf AS (SELECT doc_id, w1, w2, count(*) AS tf
-        |       FROM bg GROUP BY 1, 2, 3),
-        |c2 AS (SELECT w1, w2, count(*) AS cnt2 FROM bg GROUP BY 1, 2),
-        |c1 AS (SELECT w1, sum(cnt2) AS cnt1 FROM c2 GROUP BY 1)
-        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
-        |  round(sum(tf * ln(CAST(cnt2 AS DOUBLE) / cnt1)) / sum(tf), 6)
-        |    AS avg_logprob
-        |FROM tf JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "x_profile_keyskew" ->
-      """SELECT user_id, cnt, CAST(cnt AS DOUBLE) / total AS share
-        |FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
-        |     (SELECT count(*) AS total FROM events)
-        |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
-    "x_sample_weighted" ->
-      s"""SELECT doc_id, source FROM (
-        |  SELECT doc_id, source
-        |  FROM (SELECT doc_id, source,
-        |      ln((${duckHash48("('wx1' || CAST(doc_id AS VARCHAR))")}
-        |          + 0.5) / 281474976710656.0) / n_chars AS k
-        |    FROM documents WHERE n_chars > 0)
-        |  ORDER BY k DESC, doc_id LIMIT 100)
-        |ORDER BY doc_id""".stripMargin,
-    "x_sample_pack_seq" ->
-      s"""WITH tk AS (
-        |  SELECT doc_id, text,
-        |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
-        |      x -> x <> '')) AS BIGINT) AS n_tokens,
-        |    ${duckHash48("('pack1' || CAST(doc_id AS VARCHAR))")} % 8
-        |      AS shard,
-        |    ${duckHash48("('pack1' || CAST(doc_id AS VARCHAR))")}
-        |      / 281474976710656.0 AS u
-        |  FROM documents),
-        |c AS (
-        |  SELECT shard, doc_id, text, n_tokens, u,
-        |    COALESCE(sum(n_tokens) OVER (PARTITION BY shard
-        |      ORDER BY u, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS cum
-        |  FROM tk)
-        |SELECT shard, CAST(floor(cum / 2000.0) AS BIGINT) AS bin,
-        |  md5(string_agg(text, chr(10) ORDER BY u, doc_id))
-        |    AS content_hash,
-        |  count(*) AS n_docs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS total_weight
-        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "x_stream_anomaly_robust" ->
-      """WITH hourly AS (
-        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-        |    event_type, count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |med AS (
-        |  SELECT event_type,
-        |    quantile_cont(CAST(cnt AS DOUBLE), 0.5) AS med
-        |  FROM hourly GROUP BY 1),
-        |dev AS (
-        |  SELECT h.window_start, h.event_type, h.cnt,
-        |    CAST(h.cnt AS DOUBLE) - m.med AS d
-        |  FROM hourly h JOIN med m USING (event_type)),
-        |mad AS (
-        |  SELECT event_type, quantile_cont(abs(d), 0.5) AS mad
-        |  FROM dev GROUP BY 1)
-        |SELECT window_start, event_type, cnt, round(d / mad, 6) AS z_mad
-        |FROM dev JOIN mad USING (event_type)
-        |WHERE mad > 0 AND abs(d) >= 3.0 * mad
-        |ORDER BY window_start, event_type""".stripMargin,
-    "x_profile_vectors" ->
-      """WITH v AS (
-        |  SELECT unnest(range(1, len(embedding) + 1)) AS i,
-        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-        |      AS v
-        |  FROM embeddings)
-        |SELECT CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
-        |  CAST(sum(CASE WHEN isnan(v) OR v IS NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_bad,
-        |  round(avg(v) FILTER (WHERE NOT isnan(v)), 6) AS mean,
-        |  min(v) FILTER (WHERE NOT isnan(v)) AS min_value,
-        |  max(v) FILTER (WHERE NOT isnan(v)) AS max_value
-        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
-    "x_sim_knn_graph" ->
-      s"""$duckKnnGraphCore
-        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
-    "x_sim_graph_degree" ->
-      s"""$duckKnnGraphCore,
-        |deg AS (SELECT neighbor_id, count(*) AS in_degree
-        |        FROM r WHERE rank <= 3 GROUP BY neighbor_id)
-        |SELECT in_degree, count(*) AS n_vectors
-        |FROM deg GROUP BY 1 ORDER BY in_degree""".stripMargin,
-    "x_sim_lsh_probe" ->
-      s"""WITH v0 AS (
-        |  SELECT vec_id AS id, embedding AS vec,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-        |  FROM embeddings),
-        |v AS (SELECT id,
-        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
-        |      FROM v0 WHERE nrm > 0),
-        |planesd AS (SELECT ${duckPlanes(8, 64)} AS m),
-        |bkt AS (
-        |  SELECT id, nvec,
-        |    CAST(list_sum(list_transform(range(0, 8), p ->
-        |      CASE WHEN list_sum(list_transform(range(1, len(nvec) + 1),
-        |          d -> nvec[d] * m[CAST(p + 1 AS INTEGER)][CAST(d AS INTEGER)]))
-        |          > 0
-        |        THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
-        |        ELSE 0 END)) AS BIGINT) AS bucket
-        |  FROM v, planesd),
-        |pr AS (
-        |  SELECT id AS query_id, nvec AS nvec_a,
-        |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
-        |      xor(bucket, 4), xor(bucket, 8), xor(bucket, 16),
-        |      xor(bucket, 32), xor(bucket, 64), xor(bucket, 128)])
-        |      AS probe
-        |  FROM bkt),
-        |s AS (
-        |  SELECT pr.query_id, b.id AS neighbor_id,
-        |    list_sum(list_transform(range(1, len(pr.nvec_a) + 1),
-        |      i -> pr.nvec_a[i] * b.nvec[i])) AS sim
-        |  FROM pr JOIN bkt b
-        |    ON pr.probe = b.bucket AND pr.query_id <> b.id),
-        |r AS (
-        |  SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM s)
-        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
-    "x_sample_budget" ->
-      s"""SELECT doc_id, source FROM (
-        |  SELECT doc_id, source,
-        |    COALESCE(CAST(sum(n_chars) OVER (PARTITION BY source
-        |      ORDER BY ${duckHash48("('tb1' || CAST(doc_id AS VARCHAR))")}
-        |        / 281474976710656.0, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |      AS DOUBLE), 0.0) AS cum
-        |  FROM documents)
-        |WHERE cum < CASE source WHEN 'src0' THEN 3000.0
-        |  WHEN 'src1' THEN 1500.0 WHEN 'src2' THEN 800.0 END
-        |ORDER BY doc_id""".stripMargin,
-    "x_sim_knn_multi" ->
-      s"""WITH v0 AS (
-        |  SELECT vec_id AS id, embedding AS vec,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-        |  FROM embeddings),
-        |v AS (SELECT id,
-        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
-        |      FROM v0 WHERE nrm > 0),
-        |p0 AS (SELECT ${duckPlanes(8, 64)} AS m),
-        |p1 AS (SELECT ${duckPlanes(8, 64, 8)} AS m),
-        |b0 AS (
-        |  SELECT id, nvec, 0 AS tbl,
-        |    CAST(list_sum(list_transform(range(0, 8), p ->
-        |      CASE WHEN list_sum(list_transform(range(1, len(nvec) + 1),
-        |          d -> nvec[d] * m[CAST(p + 1 AS INTEGER)][CAST(d AS INTEGER)]))
-        |          > 0
-        |        THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
-        |        ELSE 0 END)) AS BIGINT) AS bucket
-        |  FROM v, p0),
-        |b1 AS (
-        |  SELECT id, nvec, 1 AS tbl,
-        |    CAST(list_sum(list_transform(range(0, 8), p ->
-        |      CASE WHEN list_sum(list_transform(range(1, len(nvec) + 1),
-        |          d -> nvec[d] * m[CAST(p + 1 AS INTEGER)][CAST(d AS INTEGER)]))
-        |          > 0
-        |        THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
-        |        ELSE 0 END)) AS BIGINT) AS bucket
-        |  FROM v, p1),
-        |bkt AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1),
-        |s AS (
-        |  SELECT DISTINCT a.id AS query_id, b.id AS neighbor_id,
-        |    list_sum(list_transform(range(1, len(a.nvec) + 1),
-        |      i -> a.nvec[i] * b.nvec[i])) AS sim
-        |  FROM bkt a JOIN bkt b
-        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id <> b.id),
-        |r AS (
-        |  SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM s)
-        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
-    "x_text_chunks" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
-        |      AS toks
-        |  FROM documents),
-        |st AS (
-        |  SELECT doc_id, toks,
-        |    unnest(range(1, len(toks) + 1, 20)) AS s
-        |  FROM tok WHERE len(toks) > 0)
-        |SELECT doc_id,
-        |  CAST(floor((s - 1) / 20.0) AS INTEGER) AS chunk_idx,
-        |  md5(array_to_string(list_slice(toks, s, s + 29), ' '))
-        |    AS chunk_hash,
-        |  CAST(len(list_slice(toks, s, s + 29)) AS BIGINT) AS n_tokens
-        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
-  )
+  def oracleSql: Map[String, String] = graft.oracle.StaticOracles.sql
 
-  /** Oracle SQL that depends on the DATA, not just the query — rendered
-    * per sfDir by Verify at dump time and merged into oracle_sql.json.
-    *
-    * x_sim_ivf_kmeans: the k-means centroid FIT is a driver-side Lloyd
-    * iteration over a deterministic bounded sample (not
-    * SQL-expressible), but the fitted centroids are plain constants —
-    * re-fit them here (same deterministic path the query itself takes)
-    * and embed them as list literals; the assignment + probe + rank
-    * pipeline is then the same SQL as the x_sim_ivf_topk oracle.
-    * Double.toString round-trips, so both engines compute dots over
-    * bit-identical centroid values.
-    */
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
     * Verify skip the generation work when a name filter excludes them.
     */
-  val dynamicQueryNames: Set[String] =
-    Set("x_sim_ivf_kmeans", "x_sim_kmeans_full", "x_sim_pq",
-      "x_sim_ivf_pq", "x_sample_temperature")
+  val dynamicQueryNames: Set[String] = graft.oracle.DynamicOracles.names
 
+  /** Oracle SQL that depends on the DATA, not just the query — rendered
+    * per sfDir by Verify at dump time and merged into oracle_sql.json.
+    */
   def dynamicOracleSql(
       spark: SparkSession, sfDir: String,
-      only: Set[String] = Set.empty): Map[String, String] = {
-    // each entry's FIT is expensive (sample collects, distributed Lloyd
-    // iterations) — build only the requested ones under a name filter
-    def want(n: String): Boolean = only.isEmpty || only(n)
-    def centLits(df: DataFrame): String = df.collect()
-      .sortBy(_.getLong(0))
-      .map(r => s"(${r.getLong(0)}, " +
-        r.getSeq[Double](1).map(_.toString).mkString("[", ",", "]") + ")")
-      .mkString(",\n        ")
-    val b = Map.newBuilder[String, String]
-    // fits shared across branches, run AT MOST ONCE per dump (lazy):
-    // the PQ codebooks feed x_sim_pq AND x_sim_ivf_pq; the 16-list
-    // k-means centroids feed x_sim_ivf_pq AND x_sim_ivf_kmeans
-    lazy val pq = graft.ext.Similarity
-      .pqFit(t(spark, sfDir, "embeddings"), m = 16, ks = 16)
-    lazy val pqRows = (for (j <- 0 until pq.m; c <- 0 until pq.ks) yield
-      s"($j, $c, " +
-        pq.codebooks(j)(c).map(_.toString).mkString("[", ",", "]") +
-        s", ${pq.biases(j)(c)})")
-      .mkString(",\n        ")
-    lazy val cents16 = centLits(graft.ext.Similarity
-      .kmeansCentroids(t(spark, sfDir, "embeddings"), nLists = 16))
-    // x_sim_pq: re-fit the deterministic codebooks, embed (j, code,
-    // centroid, bias) literals; codes/tables/score fold re-derive in SQL
-    // with the same subspace-ordered arithmetic.
-    if (want("x_sim_pq")) {
-      b += ("x_sim_pq" ->
-      s"""WITH v0 AS (
-        |  SELECT vec_id AS id, embedding AS vec,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-        |  FROM embeddings),
-        |v AS (SELECT id,
-        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
-        |      FROM v0 WHERE nrm > 0),
-        |cb AS (SELECT CAST(j AS INTEGER) AS j, CAST(code AS INTEGER)
-        |         AS code,
-        |         list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec,
-        |         CAST(bias AS DOUBLE) AS bias
-        |       FROM (VALUES
-        |        $pqRows) AS t(j, code, cvec, bias)),
-        |sc AS (SELECT vv.id, c.j, c.code,
-        |    list_sum(list_transform(range(1, ${pq.ds + 1}),
-        |      i -> vv.nvec[c.j * ${pq.ds} + i] * c.cvec[i])) + c.bias AS s
-        |  FROM v vv, cb c),
-        |enc0 AS (SELECT id, j, code FROM (
-        |    SELECT id, j, code,
-        |      row_number() OVER (PARTITION BY id, j
-        |                         ORDER BY s DESC, code) AS rn
-        |    FROM sc) WHERE rn = 1),
-        |ec AS (SELECT id, list(code ORDER BY j) AS codes
-        |       FROM enc0 GROUP BY id),
-        |qt AS (SELECT id AS query_id, j, list(s ORDER BY code) AS tl
-        |       FROM sc WHERE id < 5 GROUP BY id, j),
-        |qm AS (SELECT query_id, list(tl ORDER BY j) AS tls
-        |       FROM qt GROUP BY query_id),
-        |scored AS (SELECT qm.query_id, ec.id AS neighbor_id,
-        |    list_sum(list_transform(range(1, ${pq.m + 1}),
-        |      j -> qm.tls[j][ec.codes[j] + 1])) AS sim
-        |  FROM qm, ec WHERE qm.query_id <> ec.id),
-        |r AS (SELECT query_id, neighbor_id,
-        |        row_number() OVER (PARTITION BY query_id
-        |                           ORDER BY sim DESC, neighbor_id) AS rank
-        |      FROM scored)
-        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
-    }
-    // x_sample_temperature: the per-source rates are a deterministic
-    // function of the bounded source counts — re-fit and embed them,
-    // then replay the same hash-unit filter.
-    if (want("x_sample_temperature")) {
-      val rates = graft.ext.Sampling
-        .temperatureRates(skewedDocs(spark, sfDir), "source",
-          alpha = 0.5, maxRate = 0.8)
-        .map { case (s, r) => s"('$s', $r)" }
-        .mkString(",\n        ")
-      b += ("x_sample_temperature" ->
-      s"""WITH sk AS (
-        |  SELECT doc_id, source FROM documents
-        |  WHERE doc_id % 3 = 0 OR source IN ('src0', 'src1', 'src2')),
-        |rt AS (SELECT source, CAST(rate AS DOUBLE) AS rate
-        |       FROM (VALUES
-        |        $rates) AS t(source, rate)),
-        |k AS (SELECT sk.doc_id, sk.source
-        |      FROM sk JOIN rt ON sk.source = rt.source
-        |      WHERE ${duckHash48("('tm1' || CAST(doc_id AS VARCHAR))")}
-        |        / 281474976710656.0 < rt.rate)
-        |SELECT source, count(*) AS n_kept, min(doc_id) AS min_id
-        |FROM k GROUP BY source ORDER BY source""".stripMargin)
-    }
-    // x_sim_ivf_pq: both literal sets (16 k-means centroids, 16×16 PQ
-    // codebooks) re-fit deterministically; list assignment, probe
-    // routing, codes, tables and the subspace-ordered ADC fold all
-    // re-derive in SQL.
-    if (want("x_sim_ivf_pq")) {
-      val cents = cents16
-      b += ("x_sim_ivf_pq" ->
-      s"""WITH v0 AS (
-        |  SELECT vec_id AS id, embedding AS vec,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-        |  FROM embeddings),
-        |v AS (SELECT id,
-        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
-        |      FROM v0 WHERE nrm > 0),
-        |cents AS (SELECT CAST(list_id AS BIGINT) AS list_id,
-        |            list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec
-        |          FROM (VALUES
-        |        $cents) AS lit(list_id, cvec)),
-        |cb AS (SELECT CAST(j AS INTEGER) AS j, CAST(code AS INTEGER)
-        |         AS code,
-        |         list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec,
-        |         CAST(bias AS DOUBLE) AS bias
-        |       FROM (VALUES
-        |        $pqRows) AS t(j, code, cvec, bias)),
-        |assigned AS (SELECT id, list_id FROM (
-        |    SELECT vv.id, c.list_id,
-        |      row_number() OVER (PARTITION BY vv.id ORDER BY
-        |        list_sum(list_transform(range(1, len(vv.nvec) + 1),
-        |          i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
-        |    FROM v vv, cents c) WHERE rn = 1),
-        |sc AS (SELECT vv.id, c.j, c.code,
-        |    list_sum(list_transform(range(1, ${pq.ds + 1}),
-        |      i -> vv.nvec[c.j * ${pq.ds} + i] * c.cvec[i])) + c.bias AS s
-        |  FROM v vv, cb c),
-        |enc0 AS (SELECT id, j, code FROM (
-        |    SELECT id, j, code,
-        |      row_number() OVER (PARTITION BY id, j
-        |                         ORDER BY s DESC, code) AS rn
-        |    FROM sc) WHERE rn = 1),
-        |ec AS (SELECT id, list(code ORDER BY j) AS codes
-        |       FROM enc0 GROUP BY id),
-        |probes AS (SELECT query_id, list_id FROM (
-        |    SELECT vv.id AS query_id, c.list_id,
-        |      row_number() OVER (PARTITION BY vv.id ORDER BY
-        |        list_sum(list_transform(range(1, len(vv.nvec) + 1),
-        |          i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
-        |    FROM v vv, cents c WHERE vv.id < 5) WHERE rn <= 4),
-        |qt AS (SELECT id AS query_id, j, list(s ORDER BY code) AS tl
-        |       FROM sc WHERE id < 5 GROUP BY id, j),
-        |qm AS (SELECT query_id, list(tl ORDER BY j) AS tls
-        |       FROM qt GROUP BY query_id),
-        |scored AS (SELECT p.query_id, a.id AS neighbor_id,
-        |    list_sum(list_transform(range(1, ${pq.m + 1}),
-        |      j -> qm.tls[j][ec.codes[j] + 1])) AS sim
-        |  FROM probes p
-        |  JOIN assigned a ON p.list_id = a.list_id
-        |  JOIN ec ON ec.id = a.id
-        |  JOIN qm ON qm.query_id = p.query_id
-        |  WHERE p.query_id <> a.id),
-        |r AS (SELECT query_id, neighbor_id,
-        |        row_number() OVER (PARTITION BY query_id
-        |                           ORDER BY sim DESC, neighbor_id) AS rank
-        |      FROM scored)
-        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
-    }
-    // x_sim_kmeans_full: identical re-fit (decimal-exact distributed
-    // sums make the two fits bitwise equal), centroids as literals, and
-    // the assignment argmax becomes a plain row_number pick.
-    if (want("x_sim_kmeans_full")) {
-      val fullCents = centLits(graft.ext.Similarity
-        .kmeansFitFull(t(spark, sfDir, "embeddings"), nLists = 8,
-          iters = 2))
-      b += ("x_sim_kmeans_full" ->
-      s"""WITH v0 AS (
-        |  SELECT vec_id AS id, embedding AS vec,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-        |  FROM embeddings),
-        |v AS (SELECT id,
-        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
-        |      FROM v0 WHERE nrm > 0),
-        |cents AS (SELECT CAST(list_id AS BIGINT) AS list_id,
-        |            list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec
-        |          FROM (VALUES
-        |        $fullCents) AS lit(list_id, cvec))
-        |SELECT id, list_id FROM (
-        |  SELECT vv.id, c.list_id,
-        |    row_number() OVER (PARTITION BY vv.id ORDER BY
-        |      list_sum(list_transform(range(1, len(vv.nvec) + 1),
-        |        i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
-        |  FROM v vv, cents c) WHERE rn = 1
-        |ORDER BY id""".stripMargin)
-    }
-    if (want("x_sim_ivf_kmeans")) {
-      val cents = cents16
-      b += ("x_sim_ivf_kmeans" ->
-      s"""WITH v0 AS (
-        |  SELECT vec_id AS id, embedding AS vec,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-        |  FROM embeddings),
-        |v AS (SELECT id,
-        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
-        |      FROM v0 WHERE nrm > 0),
-        |cents AS (SELECT CAST(list_id AS BIGINT) AS list_id,
-        |            list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec
-        |          FROM (VALUES
-        |        $cents) AS lit(list_id, cvec)),
-        |assigned AS (
-        |  SELECT id, nvec, list_id FROM (
-        |    SELECT vv.id, vv.nvec, c.list_id,
-        |      row_number() OVER (PARTITION BY vv.id ORDER BY
-        |        list_sum(list_transform(range(1, len(vv.nvec) + 1),
-        |          i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
-        |    FROM v vv, cents c) WHERE rn = 1),
-        |q AS (SELECT id AS query_id, nvec AS qvec FROM v WHERE id < 5),
-        |probes AS (
-        |  SELECT query_id, qvec, list_id FROM (
-        |    SELECT qq.query_id, qq.qvec, c.list_id,
-        |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
-        |        list_sum(list_transform(range(1, len(qq.qvec) + 1),
-        |          i -> qq.qvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
-        |    FROM q qq, cents c) WHERE rn <= 4),
-        |scored AS (
-        |  SELECT p.query_id, a.id AS neighbor_id,
-        |    list_sum(list_transform(range(1, len(p.qvec) + 1),
-        |      i -> p.qvec[i] * a.nvec[i])) AS sim
-        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
-        |  WHERE p.query_id <> a.id),
-        |r AS (SELECT query_id, neighbor_id,
-        |        row_number() OVER (PARTITION BY query_id
-        |                           ORDER BY sim DESC, neighbor_id) AS rank
-        |      FROM scored)
-        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
-    }
-    b.result()
-  }
+      only: Set[String] = Set.empty): Map[String, String] =
+    graft.oracle.DynamicOracles.sql(spark, sfDir, only)
 }

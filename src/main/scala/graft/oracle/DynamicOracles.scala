@@ -1,0 +1,268 @@
+package graft.oracle
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ext.Similarity
+
+import DuckSql.duckHash48
+import Fixtures.{skewedDocs, t}
+
+/** Data-dependent oracles: SQL whose literals come from deterministic
+  * model fits (k-means centroids, PQ codebooks, temperature rates) —
+  * re-fitted at dump time on the same path the queries take, embedded
+  * as literals. Extracted verbatim from SparkEntry (round-5 split).
+  */
+private[graft] object DynamicOracles {
+
+  /** Oracle SQL that depends on the DATA, not just the query — rendered
+    * per sfDir by Verify at dump time and merged into oracle_sql.json.
+    *
+    * x_sim_ivf_kmeans: the k-means centroid FIT is a driver-side Lloyd
+    * iteration over a deterministic bounded sample (not
+    * SQL-expressible), but the fitted centroids are plain constants —
+    * re-fit them here (same deterministic path the query itself takes)
+    * and embed them as list literals; the assignment + probe + rank
+    * pipeline is then the same SQL as the x_sim_ivf_topk oracle.
+    * Double.toString round-trips, so both engines compute dots over
+    * bit-identical centroid values.
+    */
+  /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
+    * Verify skip the generation work when a name filter excludes them.
+    */
+  val names: Set[String] =
+    Set("x_sim_ivf_kmeans", "x_sim_kmeans_full", "x_sim_pq",
+      "x_sim_ivf_pq", "x_sample_temperature")
+
+  def sql(
+      spark: SparkSession, sfDir: String,
+      only: Set[String] = Set.empty): Map[String, String] = {
+    // each entry's FIT is expensive (sample collects, distributed Lloyd
+    // iterations) — build only the requested ones under a name filter
+    def want(n: String): Boolean = only.isEmpty || only(n)
+    def centLits(df: DataFrame): String = df.collect()
+      .sortBy(_.getLong(0))
+      .map(r => s"(${r.getLong(0)}, " +
+        r.getSeq[Double](1).map(_.toString).mkString("[", ",", "]") + ")")
+      .mkString(",\n        ")
+    val b = Map.newBuilder[String, String]
+    // fits shared across branches, run AT MOST ONCE per dump (lazy):
+    // the PQ codebooks feed x_sim_pq AND x_sim_ivf_pq; the 16-list
+    // k-means centroids feed x_sim_ivf_pq AND x_sim_ivf_kmeans
+    lazy val pq = graft.ext.Similarity
+      .pqFit(t(spark, sfDir, "embeddings"), m = 16, ks = 16)
+    lazy val pqRows = (for (j <- 0 until pq.m; c <- 0 until pq.ks) yield
+      s"($j, $c, " +
+        pq.codebooks(j)(c).map(_.toString).mkString("[", ",", "]") +
+        s", ${pq.biases(j)(c)})")
+      .mkString(",\n        ")
+    lazy val cents16 = centLits(graft.ext.Similarity
+      .kmeansCentroids(t(spark, sfDir, "embeddings"), nLists = 16))
+    // x_sim_pq: re-fit the deterministic codebooks, embed (j, code,
+    // centroid, bias) literals; codes/tables/score fold re-derive in SQL
+    // with the same subspace-ordered arithmetic.
+    if (want("x_sim_pq")) {
+      b += ("x_sim_pq" ->
+      s"""WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
+        |cb AS (SELECT CAST(j AS INTEGER) AS j, CAST(code AS INTEGER)
+        |         AS code,
+        |         list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec,
+        |         CAST(bias AS DOUBLE) AS bias
+        |       FROM (VALUES
+        |        $pqRows) AS t(j, code, cvec, bias)),
+        |sc AS (SELECT vv.id, c.j, c.code,
+        |    list_sum(list_transform(range(1, ${pq.ds + 1}),
+        |      i -> vv.nvec[c.j * ${pq.ds} + i] * c.cvec[i])) + c.bias AS s
+        |  FROM v vv, cb c),
+        |enc0 AS (SELECT id, j, code FROM (
+        |    SELECT id, j, code,
+        |      row_number() OVER (PARTITION BY id, j
+        |                         ORDER BY s DESC, code) AS rn
+        |    FROM sc) WHERE rn = 1),
+        |ec AS (SELECT id, list(code ORDER BY j) AS codes
+        |       FROM enc0 GROUP BY id),
+        |qt AS (SELECT id AS query_id, j, list(s ORDER BY code) AS tl
+        |       FROM sc WHERE id < 5 GROUP BY id, j),
+        |qm AS (SELECT query_id, list(tl ORDER BY j) AS tls
+        |       FROM qt GROUP BY query_id),
+        |scored AS (SELECT qm.query_id, ec.id AS neighbor_id,
+        |    list_sum(list_transform(range(1, ${pq.m + 1}),
+        |      j -> qm.tls[j][ec.codes[j] + 1])) AS sim
+        |  FROM qm, ec WHERE qm.query_id <> ec.id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+    }
+    // x_sample_temperature: the per-source rates are a deterministic
+    // function of the bounded source counts — re-fit and embed them,
+    // then replay the same hash-unit filter.
+    if (want("x_sample_temperature")) {
+      val rates = graft.ext.Sampling
+        .temperatureRates(skewedDocs(spark, sfDir), "source",
+          alpha = 0.5, maxRate = 0.8)
+        .map { case (s, r) => s"('$s', $r)" }
+        .mkString(",\n        ")
+      b += ("x_sample_temperature" ->
+      s"""WITH sk AS (
+        |  SELECT doc_id, source FROM documents
+        |  WHERE doc_id % 3 = 0 OR source IN ('src0', 'src1', 'src2')),
+        |rt AS (SELECT source, CAST(rate AS DOUBLE) AS rate
+        |       FROM (VALUES
+        |        $rates) AS t(source, rate)),
+        |k AS (SELECT sk.doc_id, sk.source
+        |      FROM sk JOIN rt ON sk.source = rt.source
+        |      WHERE ${duckHash48("('tm1' || CAST(doc_id AS VARCHAR))")}
+        |        / 281474976710656.0 < rt.rate)
+        |SELECT source, count(*) AS n_kept, min(doc_id) AS min_id
+        |FROM k GROUP BY source ORDER BY source""".stripMargin)
+    }
+    // x_sim_ivf_pq: both literal sets (16 k-means centroids, 16×16 PQ
+    // codebooks) re-fit deterministically; list assignment, probe
+    // routing, codes, tables and the subspace-ordered ADC fold all
+    // re-derive in SQL.
+    if (want("x_sim_ivf_pq")) {
+      val cents = cents16
+      b += ("x_sim_ivf_pq" ->
+      s"""WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
+        |cents AS (SELECT CAST(list_id AS BIGINT) AS list_id,
+        |            list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec
+        |          FROM (VALUES
+        |        $cents) AS lit(list_id, cvec)),
+        |cb AS (SELECT CAST(j AS INTEGER) AS j, CAST(code AS INTEGER)
+        |         AS code,
+        |         list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec,
+        |         CAST(bias AS DOUBLE) AS bias
+        |       FROM (VALUES
+        |        $pqRows) AS t(j, code, cvec, bias)),
+        |assigned AS (SELECT id, list_id FROM (
+        |    SELECT vv.id, c.list_id,
+        |      row_number() OVER (PARTITION BY vv.id ORDER BY
+        |        list_sum(list_transform(range(1, len(vv.nvec) + 1),
+        |          i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
+        |    FROM v vv, cents c) WHERE rn = 1),
+        |sc AS (SELECT vv.id, c.j, c.code,
+        |    list_sum(list_transform(range(1, ${pq.ds + 1}),
+        |      i -> vv.nvec[c.j * ${pq.ds} + i] * c.cvec[i])) + c.bias AS s
+        |  FROM v vv, cb c),
+        |enc0 AS (SELECT id, j, code FROM (
+        |    SELECT id, j, code,
+        |      row_number() OVER (PARTITION BY id, j
+        |                         ORDER BY s DESC, code) AS rn
+        |    FROM sc) WHERE rn = 1),
+        |ec AS (SELECT id, list(code ORDER BY j) AS codes
+        |       FROM enc0 GROUP BY id),
+        |probes AS (SELECT query_id, list_id FROM (
+        |    SELECT vv.id AS query_id, c.list_id,
+        |      row_number() OVER (PARTITION BY vv.id ORDER BY
+        |        list_sum(list_transform(range(1, len(vv.nvec) + 1),
+        |          i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
+        |    FROM v vv, cents c WHERE vv.id < 5) WHERE rn <= 4),
+        |qt AS (SELECT id AS query_id, j, list(s ORDER BY code) AS tl
+        |       FROM sc WHERE id < 5 GROUP BY id, j),
+        |qm AS (SELECT query_id, list(tl ORDER BY j) AS tls
+        |       FROM qt GROUP BY query_id),
+        |scored AS (SELECT p.query_id, a.id AS neighbor_id,
+        |    list_sum(list_transform(range(1, ${pq.m + 1}),
+        |      j -> qm.tls[j][ec.codes[j] + 1])) AS sim
+        |  FROM probes p
+        |  JOIN assigned a ON p.list_id = a.list_id
+        |  JOIN ec ON ec.id = a.id
+        |  JOIN qm ON qm.query_id = p.query_id
+        |  WHERE p.query_id <> a.id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+    }
+    // x_sim_kmeans_full: identical re-fit (decimal-exact distributed
+    // sums make the two fits bitwise equal), centroids as literals, and
+    // the assignment argmax becomes a plain row_number pick.
+    if (want("x_sim_kmeans_full")) {
+      val fullCents = centLits(graft.ext.Similarity
+        .kmeansFitFull(t(spark, sfDir, "embeddings"), nLists = 8,
+          iters = 2))
+      b += ("x_sim_kmeans_full" ->
+      s"""WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
+        |cents AS (SELECT CAST(list_id AS BIGINT) AS list_id,
+        |            list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec
+        |          FROM (VALUES
+        |        $fullCents) AS lit(list_id, cvec))
+        |SELECT id, list_id FROM (
+        |  SELECT vv.id, c.list_id,
+        |    row_number() OVER (PARTITION BY vv.id ORDER BY
+        |      list_sum(list_transform(range(1, len(vv.nvec) + 1),
+        |        i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
+        |  FROM v vv, cents c) WHERE rn = 1
+        |ORDER BY id""".stripMargin)
+    }
+    if (want("x_sim_ivf_kmeans")) {
+      val cents = cents16
+      b += ("x_sim_ivf_kmeans" ->
+      s"""WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
+        |cents AS (SELECT CAST(list_id AS BIGINT) AS list_id,
+        |            list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec
+        |          FROM (VALUES
+        |        $cents) AS lit(list_id, cvec)),
+        |assigned AS (
+        |  SELECT id, nvec, list_id FROM (
+        |    SELECT vv.id, vv.nvec, c.list_id,
+        |      row_number() OVER (PARTITION BY vv.id ORDER BY
+        |        list_sum(list_transform(range(1, len(vv.nvec) + 1),
+        |          i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
+        |    FROM v vv, cents c) WHERE rn = 1),
+        |q AS (SELECT id AS query_id, nvec AS qvec FROM v WHERE id < 5),
+        |probes AS (
+        |  SELECT query_id, qvec, list_id FROM (
+        |    SELECT qq.query_id, qq.qvec, c.list_id,
+        |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
+        |        list_sum(list_transform(range(1, len(qq.qvec) + 1),
+        |          i -> qq.qvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
+        |    FROM q qq, cents c) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(p.qvec) + 1),
+        |      i -> p.qvec[i] * a.nvec[i])) AS sim
+        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+        |  WHERE p.query_id <> a.id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+    }
+    b.result()
+  }
+}

@@ -1,0 +1,83 @@
+package graft.oracle
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.TextAnalysis
+
+/** Fixture frames and constants shared between the harness queries
+  * (SparkEntry) and their DuckDB oracles (StaticOracles /
+  * DynamicOracles) — extracted so each side references the SAME
+  * degraded inputs, planted rows, and split weights, and neither can
+  * drift from the other.
+  */
+private[graft] object Fixtures {
+
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Documents plus exact copies of the first 50 (distinct ids) — the
+    * degraded input for exact-dedup demonstrations.
+    */
+  private[graft] def docsWithCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.unionByName(d.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 1000000))
+  }
+
+  /** The planted mixed-language row for x_text_langmix: an English
+    * stretch glued to a Spanish one — 22 tokens, split 11/11, so the
+    * first half actually ends with the Spanish token "el"; the English
+    * stopword score (7 hits) still dominates it. The scrape-
+    * concatenation artifact the operator exists to flag; shared with
+    * the oracle.
+    */
+  private[graft] val LangmixPlanted: String =
+    "the cat and the dog of a to the house " +
+      "el perro y la casa de que el gato y la luna"
+
+  /** Documents + 80%-token-prefix twins as a tokenized (id, toks) frame
+    * — the shared near-dup input for x_dedup_minhash / x_dedup_clusters.
+    */
+  private[graft] def docsWithTwins(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val twins = base.select((col("id") + 1000000).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    base.unionByName(twins)
+  }
+
+  /** Twin-id offset for the incremental query: above every doc_id at
+    * every scale factor INCLUDING ScaleData replicas (whose ids shift
+    * by r·10^8), so the oracle's new-vs-corpus discriminator stays
+    * valid on scaled data too.
+    */
+  private[graft] val IncrementalTwinOffset = 1000000000000L
+
+  /** Train/valid/test assignment weights for x_sample_split — cumulative
+    * thresholds are computed ONCE (Sampling.cumThresholds) and embedded
+    * verbatim in the oracle SQL so both engines compare against
+    * bit-identical doubles.
+    */
+  private[graft] val SplitWeights = Seq("train" -> 0.8, "valid" -> 0.1,
+    "test" -> 0.1)
+
+  /** Per-source keep-fractions for x_sample_mix (default 0.1 for the
+    * unlisted sources).
+    */
+  private[graft] val MixFractions = Map("src0" -> 0.9, "src1" -> 0.5,
+    "src2" -> 0.25)
+
+  /** Skewed source mix shared by the temperature query and its oracle:
+    * three sources kept whole, the rest thirded — unequal sizes are
+    * what temperature scaling acts on. (The modulus must be coprime
+    * with the source count: `source` is doc_id-aligned mod 20, so an
+    * even modulus degenerately selects whole sources.)
+    */
+  private[graft] def skewedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter((col("doc_id") % 3 === 0) ||
+        col("source").isin("src0", "src1", "src2"))
+}
