@@ -8,7 +8,8 @@ import graft.check.Checks
 import graft.CoreQueries._
 import graft.oracle.Fixtures.{t, docsWithCopies, docsWithTwins, skewedDocs,
   LangmixPlanted, IncrementalTwinOffset, SplitWeights, MixFractions}
-import graft.ext.{Dedup, Joins, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Joins, Multimodal, Sampling, Similarity, Sketches,
+  TextAnalysis}
 import graft.parse.Parsers
 import graft.schema.{Constraints, Field}
 import graft.streaming.StreamingValidate
@@ -1322,6 +1323,34 @@ object SparkEntry {
       .orderBy("w_name")
   }
 
+  /** Per-source vocabulary-cardinality KMV sketch (Sketches.kmvSketch):
+    * the k = 64 smallest distinct token hashes per source, the exact
+    * distinct-hash count, and the standard (k-1)·2^48/h_(k) estimate.
+    * Two map-side-combinable hash aggregates, O(k) state per group.
+    */
+  private def xSketchKmv(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    Sketches.kmvSketch(toks, col("tok"), Seq("source"), 64)
+      .select(col("source"), col("n_distinct"), col("k_small"),
+        Sketches.kmvEstimate(col("n_distinct"), col("k_small"), 64)
+          .as("est_distinct"))
+      .orderBy("source")
+  }
+
+  /** Pairwise source-vocabulary overlap from merged KMV sketches
+    * (Sketches.kmvPairwise): Jaccard / union / intersection estimates
+    * for every source pair, computed over s·k sketch rows — the corpus
+    * is never rescanned for the set algebra.
+    */
+  private def xSketchKmvSetops(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val sk = Sketches.kmvSketch(toks, col("tok"), Seq("source"), 64)
+    Sketches.kmvPairwise(sk, "source", 64)
+      .orderBy("src_a", "src_b")
+  }
+
   // -------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_pk_lineitem" -> (k1PkLineitem _),
@@ -1455,7 +1484,9 @@ object SparkEntry {
     "x_sim_graph_degree" -> (xSimGraphDegree _),
     "x_sample_temperature" -> (xSampleTemperature _),
     "x_profile_join_size" -> (xProfileJoinSize _),
-    "x_text_langmix" -> (xTextLangmix _)
+    "x_text_langmix" -> (xTextLangmix _),
+    "x_sketch_kmv" -> (xSketchKmv _),
+    "x_sketch_kmv_setops" -> (xSketchKmvSetops _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -1781,6 +1781,71 @@ private[graft] object StaticOracles {
         |  md5(array_to_string(list_slice(toks, s, s + 29), ' '))
         |    AS chunk_hash,
         |  CAST(len(list_slice(toks, s, s + 29)) AS BIGINT) AS n_tokens
-        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    // KMV: (k-1)·2^48 for k = 64 is 63·281474976710656 =
+    // 17732923532771328 — 6 significant bits, exactly representable as
+    // DOUBLE on both engines; one division per estimate, operand order
+    // mirrored in the Spark expressions (Sketches.kmvEstimate).
+    "x_sketch_kmv" ->
+      s"""WITH tok AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |hd AS (SELECT DISTINCT source, ${duckHash48("tok")} AS h FROM tok),
+        |r AS (
+        |  SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM hd),
+        |agg AS (
+        |  SELECT source, count(*) AS n_distinct,
+        |    max(CASE WHEN rn = 64 THEN h END) AS k64
+        |  FROM r GROUP BY source)
+        |SELECT source, n_distinct,
+        |  CASE WHEN n_distinct >= 64 THEN k64 END AS k_small,
+        |  CASE WHEN n_distinct >= 64
+        |    THEN CAST(17732923532771328 AS DOUBLE) / CAST(k64 AS DOUBLE)
+        |    ELSE CAST(n_distinct AS DOUBLE) END AS est_distinct
+        |FROM agg ORDER BY source""".stripMargin,
+    "x_sketch_kmv_setops" ->
+      s"""WITH tok AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |hd AS (SELECT DISTINCT source, ${duckHash48("tok")} AS h FROM tok),
+        |r AS (
+        |  SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM hd),
+        |sk AS (SELECT source, h FROM r WHERE rn <= 64),
+        |srcs AS (SELECT DISTINCT source FROM sk),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b
+        |  FROM srcs a, srcs b WHERE a.source < b.source),
+        |u AS (
+        |  SELECT src_a, src_b, h,
+        |    max(CASE WHEN sk.source = src_a THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN sk.source = src_b THEN 1 ELSE 0 END) AS in_b
+        |  FROM pairs JOIN sk
+        |    ON sk.source = src_a OR sk.source = src_b
+        |  GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+        |                               ORDER BY h) AS rn
+        |  FROM u),
+        |agg AS (
+        |  SELECT src_a, src_b, count(*) AS n_merged,
+        |    CAST(sum(in_a * in_b) AS BIGINT) AS n_common,
+        |    max(h) AS max_merged
+        |  FROM m WHERE rn <= 64 GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common,
+        |  CAST(n_common AS DOUBLE) / CAST(n_merged AS DOUBLE)
+        |    AS jaccard_est,
+        |  CASE WHEN n_merged < 64 THEN CAST(n_merged AS DOUBLE)
+        |    ELSE CAST(17732923532771328 AS DOUBLE)
+        |      / CAST(max_merged AS DOUBLE) END AS union_est,
+        |  jaccard_est * union_est AS inter_est
+        |FROM agg ORDER BY src_a, src_b""".stripMargin
   )
 }

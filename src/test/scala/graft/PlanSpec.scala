@@ -423,4 +423,23 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(wd.orderBy("window_start")).size == 3,
       "probe must add a third exchange")
   }
+
+  test("kmvSketch is two hash aggregates — no window, no sort, no collect") {
+    import graft.ext.Sketches
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("source"),
+      explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+    val sk = Sketches.kmvSketch(toks, col("tok"), Seq("source"), 64)
+    val all = nodes(sk)
+    assert(!all.exists(_.isInstanceOf[WindowExec]),
+      "KMV must rank inside the bounded aggregate, not a window")
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "KMV plan must not sort")
+    // dedup agg + sketch agg: exactly two exchanges, each on the hash
+    // agg keys — the shape whose per-group state is O(k) at any scale
+    val sh = shuffles(sk)
+    assert(sh.size == 2,
+      s"kmvSketch must shuffle exactly twice, got ${sh.size}: " +
+        sh.map(_.outputPartitioning).mkString(" | "))
+  }
 }
