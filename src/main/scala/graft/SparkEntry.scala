@@ -6,10 +6,11 @@ import org.apache.spark.sql.types._
 
 import graft.check.Checks
 import graft.CoreQueries._
-import graft.oracle.Fixtures.{t, docsWithCopies, docsWithTwins, skewedDocs,
-  LangmixPlanted, IncrementalTwinOffset, SplitWeights, MixFractions}
-import graft.ext.{Dedup, Joins, Multimodal, Sampling, Similarity, Sketches,
-  TextAnalysis}
+import graft.oracle.Fixtures.{t, docsWithCopies, docsWithTwins, docsV2,
+  skewedDocs, LangmixPlanted, IncrementalTwinOffset, SplitWeights,
+  MixFractions}
+import graft.ext.{Dedup, Joins, Multimodal, Reconcile, Sampling, Similarity,
+  Sketches, TextAnalysis}
 import graft.parse.Parsers
 import graft.schema.{Constraints, Field}
 import graft.streaming.StreamingValidate
@@ -1351,6 +1352,25 @@ object SparkEntry {
       .orderBy("src_a", "src_b")
   }
 
+  private val ReconcileCompareCols = Seq("text", "lang", "source", "n_chars")
+
+  /** Version reconciliation counts (Reconcile.diffCounts): documents vs
+    * its v2 twin — added/removed/changed/unchanged cardinalities off a
+    * narrow (pk, row-hash) full outer join.
+    */
+  private def xReconcileCounts(s: SparkSession, dir: String): DataFrame =
+    Reconcile.diffCounts(t(s, dir, "documents"), docsV2(s, dir),
+        Seq("doc_id"), ReconcileCompareCols)
+      .orderBy("status")
+
+  /** Per-column drift (Reconcile.columnDrift): which columns changed,
+    * counted only over rows the row hash already marked changed.
+    */
+  private def xReconcileDrift(s: SparkSession, dir: String): DataFrame =
+    Reconcile.columnDrift(t(s, dir, "documents"), docsV2(s, dir),
+        Seq("doc_id"), ReconcileCompareCols)
+      .orderBy("column_name")
+
   // -------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_pk_lineitem" -> (k1PkLineitem _),
@@ -1486,7 +1506,9 @@ object SparkEntry {
     "x_profile_join_size" -> (xProfileJoinSize _),
     "x_text_langmix" -> (xTextLangmix _),
     "x_sketch_kmv" -> (xSketchKmv _),
-    "x_sketch_kmv_setops" -> (xSketchKmvSetops _)
+    "x_sketch_kmv_setops" -> (xSketchKmvSetops _),
+    "x_reconcile_counts" -> (xReconcileCounts _),
+    "x_reconcile_drift" -> (xReconcileDrift _)
   )
 
   // ------------------------------------------------------------- oracles

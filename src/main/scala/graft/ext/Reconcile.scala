@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table reconciliation — "what changed between two versions of a
+  * table": row-level added/removed/changed/unchanged status off a
+  * primary key, and per-column drift counts. The audit step a pipeline
+  * runs after re-ingesting a source, before re-training on it.
+  *
+  * Scale design (100 TB lens):
+  *  - the STATUS pass joins (pk, row_hash) ONLY — two narrow columns
+  *    per side regardless of table width; the md5 row hash
+  *    short-circuits the wide compare, so "mostly unchanged" (the
+  *    common case) costs one narrow co-partitioned join + one bounded
+  *    agg (≤4 output rows);
+  *  - the COLUMN-DRIFT pass carries values but aggregates only rows
+  *    whose hashes differ (the changed set, typically a tiny fraction)
+  *    — a single hash-agg of boolean sums, one output row per column,
+  *    unpivoted with `stack` (no shuffle beyond the join's);
+  *  - both joins are plain pk equi-joins: they co-locate under
+  *    bucketing ([[graft.sources.Bucketing]]) and AQE handles the
+  *    small-side broadcast when one version is a delta.
+  *
+  * Hashing is engine-portable: md5 over U+0001-joined string casts with
+  * a U+0002 null sentinel, so a DuckDB oracle derives identical
+  * statuses (and the oracle's IS DISTINCT FROM formulation agrees with
+  * the hash short-circuit up to md5 collisions).
+  */
+object Reconcile {
+
+  /** Portable row digest over `cols`: null-safe, order-sensitive. */
+  def rowHash(cols: Seq[Column]): Column =
+    md5(concat_ws("\u0001",
+      cols.map(c => coalesce(c.cast("string"), lit("\u0002"))): _*))
+
+  /** Row-level diff status. Output: pk cols ++ (status: string in
+    * added | removed | changed | unchanged). Only (pk, hash) cross the
+    * join — call sites wanting values join back by pk on the (small)
+    * non-unchanged slice.
+    */
+  def tableDiff(
+      oldDf: DataFrame, newDf: DataFrame,
+      pk: Seq[String], compare: Seq[String]): DataFrame = {
+    val o = oldDf.select(pk.map(col) :+
+      rowHash(compare.map(col)).as("__oh"): _*)
+    val n = newDf.select(pk.map(c => col(c).as(s"__n_$c")) :+
+      rowHash(compare.map(col)).as("__nh"): _*)
+    val cond = pk.map(c => col(c) === col(s"__n_$c")).reduce(_ && _)
+    o.join(n, cond, "full_outer")
+      .select(
+        pk.map(c => coalesce(col(c), col(s"__n_$c")).as(c)) :+
+          when(col("__nh").isNull, lit("removed"))
+            .when(col("__oh").isNull, lit("added"))
+            .when(col("__oh") =!= col("__nh"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"): _*)
+  }
+
+  /** Status cardinalities — the one-line reconciliation report. */
+  def diffCounts(
+      oldDf: DataFrame, newDf: DataFrame,
+      pk: Seq[String], compare: Seq[String]): DataFrame =
+    tableDiff(oldDf, newDf, pk, compare)
+      .groupBy(col("status")).agg(count(lit(1)).as("n_rows"))
+
+  /** Per-column drift: for each compared column, how many pk-matched
+    * rows changed IN THAT COLUMN. The wide value compare runs only on
+    * rows the hash already marked changed. Output: (column_name,
+    * n_changed), one row per compared column.
+    */
+  def columnDrift(
+      oldDf: DataFrame, newDf: DataFrame,
+      pk: Seq[String], compare: Seq[String]): DataFrame = {
+    val o = oldDf.select(pk.map(col) ++ compare.map(c =>
+      col(c).as(s"__o_$c")) :+
+      rowHash(compare.map(col)).as("__oh"): _*)
+    val n = newDf.select(pk.map(c => col(c).as(s"__n_$c")) ++
+      compare.map(c => col(c).as(s"__n_v_$c")) :+
+      rowHash(compare.map(col)).as("__nh"): _*)
+    val cond = pk.map(c => col(c) === col(s"__n_$c")).reduce(_ && _)
+    val changed = o.join(n, cond, "inner")
+      .filter(col("__oh") =!= col("__nh"))
+    val sums = changed.agg(
+      count(lit(1)).as("__n"),
+      compare.map(c => sum((!(col(s"__o_$c") <=> col(s"__n_v_$c")))
+        .cast("long")).as(s"__d_$c")): _*)
+    // unpivot the single agg row to (column_name, n_changed); stack is
+    // a pure projection — no extra shuffle, and coalesce(0) covers the
+    // zero-changed-rows case where the sums come back null
+    val stackExpr = compare.map(c =>
+      s"'$c', coalesce(__d_$c, 0L)").mkString(", ")
+    sums.selectExpr(
+      s"stack(${compare.size}, $stackExpr) AS (column_name, n_changed)")
+  }
+}

@@ -201,4 +201,31 @@ private[graft] object DuckSql {
       |  FROM cand c
       |  JOIN shd sn ON c.new_id = sn.id
       |  JOIN shd sc ON c.corpus_id = sc.id)""".stripMargin
+
+  /** "Version 2" of documents for the reconciliation queries — the SQL
+    * twin of [[Fixtures.docsV2]] (removed % 17, revised % 13, bumped
+    * % 11, re-added % 19 under shifted ids).
+    */
+  private[graft] lazy val duckDocsV2: String =
+    """v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0 THEN text || ' (rev2)'
+      |      ELSE text END AS text,
+      |    lang, source,
+      |    CASE WHEN doc_id % 11 = 0 THEN n_chars + 7
+      |      ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 5000000, 'new ' || text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 19 = 0)""".stripMargin
+
+  /** The four-column any-difference predicate shared by both
+    * reconciliation oracles (the IS DISTINCT FROM formulation of the
+    * engine's row-hash short-circuit).
+    */
+  private[graft] lazy val duckDocsChangedPred: String =
+    """(o.text IS DISTINCT FROM n.text)
+      |    OR (o.lang IS DISTINCT FROM n.lang)
+      |    OR (o.source IS DISTINCT FROM n.source)
+      |    OR (o.n_chars IS DISTINCT FROM n.n_chars)""".stripMargin
 }

@@ -80,4 +80,25 @@ private[graft] object Fixtures {
     t(s, dir, "documents")
       .filter((col("doc_id") % 3 === 0) ||
         col("source").isin("src0", "src1", "src2"))
+
+  /** "Version 2" of documents for the reconciliation queries: every
+    * doc_id % 17 == 0 row removed, text revised on % 13 == 0, n_chars
+    * bumped on % 11 == 0, and a % 19 == 0 slice re-added under shifted
+    * ids. Mirrored verbatim by [[DuckSql.duckDocsV2]].
+    */
+  private[graft] def docsV2(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val base = d.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" (rev2)")))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source"),
+        when(col("doc_id") % 11 === 0, col("n_chars") + 7)
+          .otherwise(col("n_chars")).as("n_chars"))
+    val added = d.filter(col("doc_id") % 19 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(lit("new "), col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    base.unionByName(added)
+  }
 }

@@ -1846,6 +1846,41 @@ private[graft] object StaticOracles {
         |    ELSE CAST(17732923532771328 AS DOUBLE)
         |      / CAST(max_merged AS DOUBLE) END AS union_est,
         |  jaccard_est * union_est AS inter_est
-        |FROM agg ORDER BY src_a, src_b""".stripMargin
+        |FROM agg ORDER BY src_a, src_b""".stripMargin,
+    "x_reconcile_counts" ->
+      s"""WITH $duckDocsV2,
+        |d AS (
+        |  SELECT CASE WHEN n.doc_id IS NULL THEN 'removed'
+        |    WHEN o.doc_id IS NULL THEN 'added'
+        |    WHEN $duckDocsChangedPred
+        |    THEN 'changed' ELSE 'unchanged' END AS status
+        |  FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id)
+        |SELECT status, count(*) AS n_rows
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
+    "x_reconcile_drift" ->
+      s"""WITH $duckDocsV2,
+        |ch AS (
+        |  SELECT o.text AS ot, n.text AS nt, o.lang AS ol, n.lang AS nl,
+        |    o.source AS os, n.source AS ns,
+        |    o.n_chars AS oc, n.n_chars AS nc
+        |  FROM documents o JOIN v2 n ON o.doc_id = n.doc_id
+        |  WHERE $duckDocsChangedPred)
+        |SELECT column_name, n_changed FROM (
+        |  SELECT 'text' AS column_name, CAST(coalesce(sum(
+        |    CASE WHEN ot IS DISTINCT FROM nt THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_changed FROM ch
+        |  UNION ALL
+        |  SELECT 'lang', CAST(coalesce(sum(
+        |    CASE WHEN ol IS DISTINCT FROM nl THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) FROM ch
+        |  UNION ALL
+        |  SELECT 'source', CAST(coalesce(sum(
+        |    CASE WHEN os IS DISTINCT FROM ns THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) FROM ch
+        |  UNION ALL
+        |  SELECT 'n_chars', CAST(coalesce(sum(
+        |    CASE WHEN oc IS DISTINCT FROM nc THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) FROM ch)
+        |ORDER BY column_name""".stripMargin
   )
 }

@@ -442,4 +442,24 @@ class PlanSpec extends SparkSpec {
       s"kmvSketch must shuffle exactly twice, got ${sh.size}: " +
         sh.map(_.outputPartitioning).mkString(" | "))
   }
+
+  test("tableDiff status join carries only (pk, hash) — never the values") {
+    import graft.ext.Reconcile
+    val docs = Tables.load(spark, dir, "documents")
+    val v2 = docs.withColumn("text",
+      when(col("doc_id") % 7 === 0, concat(col("text"), lit("!")))
+        .otherwise(col("text")))
+    val cmp = Seq("text", "lang", "source", "n_chars")
+    val diff = Reconcile.diffCounts(docs, v2, Seq("doc_id"), cmp)
+    val js = joinsOf(diff)
+    assert(js.size == 1, s"expected one join, got ${js.size}")
+    // each join input is exactly (pk, md5-hash): 2 attributes per side —
+    // the wide columns were folded into the hash before the exchange,
+    // which is what keeps the shuffle narrow when the table is wide
+    js.head.children.foreach { side =>
+      assert(side.output.size == 2,
+        s"join side must carry 2 cols (pk, hash), got ${side.output}")
+    }
+    assert(!nodes(diff).exists(_.isInstanceOf[WindowExec]))
+  }
 }
