@@ -9,8 +9,8 @@ import graft.CoreQueries._
 import graft.oracle.Fixtures.{t, docsWithCopies, docsWithTwins, docsV2,
   skewedDocs, LangmixPlanted, IncrementalTwinOffset, SplitWeights,
   MixFractions}
-import graft.ext.{Dedup, Joins, Multimodal, Reconcile, Sampling, Similarity,
-  Sketches, TextAnalysis}
+import graft.ext.{Dedup, Joins, Multimodal, Privacy, Reconcile, Sampling,
+  Similarity, Sketches, TextAnalysis}
 import graft.parse.Parsers
 import graft.schema.{Constraints, Field}
 import graft.streaming.StreamingValidate
@@ -1371,6 +1371,28 @@ object SparkEntry {
         Seq("doc_id"), ReconcileCompareCols)
       .orderBy("column_name")
 
+  private val QuasiIdCols = Seq("c_nationkey", "c_mktsegment")
+
+  /** k-anonymity scan (Privacy.kAnonymityViolations): customer groups
+    * whose (nation, segment) quasi-identifier re-identifies below k=7.
+    */
+  private def xPrivacyKanon(s: SparkSession, dir: String): DataFrame =
+    Privacy.kAnonymityViolations(t(s, dir, "customer"), QuasiIdCols, 7)
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** One-row k-anonymity release report (Privacy.kAnonymityStats). */
+  private def xPrivacyKanonStats(s: SparkSession, dir: String): DataFrame =
+    Privacy.kAnonymityStats(t(s, dir, "customer"), QuasiIdCols, 7)
+
+  /** l-diversity scan (Privacy.lDiversityViolations): quasi groups
+    * whose thousand-bucketed balance takes < 5 distinct values — the
+    * leak k-anonymity alone misses.
+    */
+  private def xPrivacyLdiv(s: SparkSession, dir: String): DataFrame =
+    Privacy.lDiversityViolations(t(s, dir, "customer"), QuasiIdCols,
+        floor(col("c_acctbal") / 1000.0), 5)
+      .orderBy("c_nationkey", "c_mktsegment")
+
   // -------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_pk_lineitem" -> (k1PkLineitem _),
@@ -1508,7 +1530,10 @@ object SparkEntry {
     "x_sketch_kmv" -> (xSketchKmv _),
     "x_sketch_kmv_setops" -> (xSketchKmvSetops _),
     "x_reconcile_counts" -> (xReconcileCounts _),
-    "x_reconcile_drift" -> (xReconcileDrift _)
+    "x_reconcile_drift" -> (xReconcileDrift _),
+    "x_privacy_kanon" -> (xPrivacyKanon _),
+    "x_privacy_kanon_stats" -> (xPrivacyKanonStats _),
+    "x_privacy_ldiv" -> (xPrivacyLdiv _)
   )
 
   // ------------------------------------------------------------- oracles

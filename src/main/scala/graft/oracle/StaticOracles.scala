@@ -1881,6 +1881,32 @@ private[graft] object StaticOracles {
         |  SELECT 'n_chars', CAST(coalesce(sum(
         |    CASE WHEN oc IS DISTINCT FROM nc THEN 1 ELSE 0 END), 0)
         |    AS BIGINT) FROM ch)
-        |ORDER BY column_name""".stripMargin
+        |ORDER BY column_name""".stripMargin,
+    "x_privacy_kanon" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+        |FROM customer GROUP BY 1, 2 HAVING count(*) < 7
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "x_privacy_kanon_stats" ->
+      """WITH g AS (
+        |  SELECT count(*) AS n FROM customer
+        |  GROUP BY c_nationkey, c_mktsegment)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(coalesce(sum(CASE WHEN n < 7 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_violating,
+        |  CAST(coalesce(sum(CASE WHEN n < 7 THEN n ELSE 0 END), 0)
+        |    AS BIGINT) AS n_rows_at_risk,
+        |  CAST(coalesce(sum(CASE WHEN n < 7 THEN n ELSE 0 END), 0)
+        |      AS DOUBLE)
+        |    / CAST(coalesce(sum(n), 0) AS DOUBLE) AS at_risk_rate
+        |FROM g""".stripMargin,
+    "x_privacy_ldiv" ->
+      """WITH d AS (
+        |  SELECT DISTINCT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS s
+        |  FROM customer)
+        |SELECT c_nationkey, c_mktsegment,
+        |  count(*) AS n_distinct_sensitive
+        |FROM d GROUP BY 1, 2 HAVING count(*) < 5
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
   )
 }
