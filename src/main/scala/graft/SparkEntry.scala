@@ -9,8 +9,8 @@ import graft.CoreQueries._
 import graft.oracle.Fixtures.{t, docsWithCopies, docsWithTwins, docsV2,
   skewedDocs, LangmixPlanted, IncrementalTwinOffset, SplitWeights,
   MixFractions}
-import graft.ext.{Dedup, Joins, Multimodal, Privacy, Reconcile, Sampling,
-  Similarity, Sketches, TextAnalysis}
+import graft.ext.{Dedup, Joins, Linkage, Multimodal, Privacy, Reconcile,
+  Sampling, Similarity, Sketches, TextAnalysis}
 import graft.parse.Parsers
 import graft.schema.{Constraints, Field}
 import graft.streaming.StreamingValidate
@@ -1393,6 +1393,36 @@ object SparkEntry {
         floor(col("c_acctbal") / 1000.0), 5)
       .orderBy("c_nationkey", "c_mktsegment")
 
+  /** Mangled part-name twins for the linkage queries: every 5th part
+    * re-enters under a shifted id with its name's last character
+    * dropped — edit distance 1 from its original, first token (the
+    * block key) preserved. Mirrored in the oracle CTE.
+    */
+  private def mangledParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").filter(col("p_partkey") % 5 === 0)
+      .select((col("p_partkey") + 9000000L).as("m_id"),
+        expr("substring(p_name, 1, length(p_name) - 1)").as("m_name"))
+
+  /** Blocked fuzzy join (Linkage.fuzzyJoinBlocked): mangled twins vs
+    * parts, first-token blocking, levenshtein ≤ 2 — candidates from an
+    * equi-join on the block key, never the cross product.
+    */
+  private def xLinkageFuzzy(s: SparkSession, dir: String): DataFrame =
+    Linkage.fuzzyJoinBlocked(mangledParts(s, dir),
+        t(s, dir, "part"), "m_id", "m_name", "p_partkey", "p_name",
+        Linkage.firstTokenKey, maxDist = 2)
+      .orderBy("left_id", "right_id")
+
+  /** Best-match assignment (Linkage.bestMatchBlocked): smallest
+    * distance per mangled row, id ascending on ties, ranked inside the
+    * bounded aggregate (no window).
+    */
+  private def xLinkageBest(s: SparkSession, dir: String): DataFrame =
+    Linkage.bestMatchBlocked(mangledParts(s, dir),
+        t(s, dir, "part"), "m_id", "m_name", "p_partkey", "p_name",
+        Linkage.firstTokenKey, maxDist = 2)
+      .orderBy("left_id")
+
   // -------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_pk_lineitem" -> (k1PkLineitem _),
@@ -1533,7 +1563,9 @@ object SparkEntry {
     "x_reconcile_drift" -> (xReconcileDrift _),
     "x_privacy_kanon" -> (xPrivacyKanon _),
     "x_privacy_kanon_stats" -> (xPrivacyKanonStats _),
-    "x_privacy_ldiv" -> (xPrivacyLdiv _)
+    "x_privacy_ldiv" -> (xPrivacyLdiv _),
+    "x_linkage_fuzzy" -> (xLinkageFuzzy _),
+    "x_linkage_best" -> (xLinkageBest _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -1899,6 +1899,41 @@ private[graft] object StaticOracles {
         |      AS DOUBLE)
         |    / CAST(coalesce(sum(n), 0) AS DOUBLE) AS at_risk_rate
         |FROM g""".stripMargin,
+    "x_linkage_fuzzy" ->
+      """WITH m AS (
+        |  SELECT p_partkey + 9000000 AS m_id,
+        |    substr(p_name, 1, length(p_name) - 1) AS m_name
+        |  FROM part WHERE p_partkey % 5 = 0),
+        |lb AS (SELECT m_id, m_name,
+        |         split_part(m_name, ' ', 1) AS bk FROM m),
+        |rb AS (SELECT p_partkey, p_name,
+        |         split_part(p_name, ' ', 1) AS bk FROM part)
+        |SELECT lb.m_id AS left_id, rb.p_partkey AS right_id,
+        |  CAST(levenshtein(lb.m_name, rb.p_name) AS INTEGER) AS dist
+        |FROM lb JOIN rb USING (bk)
+        |WHERE levenshtein(lb.m_name, rb.p_name) <= 2
+        |ORDER BY left_id, right_id""".stripMargin,
+    "x_linkage_best" ->
+      """WITH m AS (
+        |  SELECT p_partkey + 9000000 AS m_id,
+        |    substr(p_name, 1, length(p_name) - 1) AS m_name
+        |  FROM part WHERE p_partkey % 5 = 0),
+        |lb AS (SELECT m_id, m_name,
+        |         split_part(m_name, ' ', 1) AS bk FROM m),
+        |rb AS (SELECT p_partkey, p_name,
+        |         split_part(p_name, ' ', 1) AS bk FROM part),
+        |pairs AS (
+        |  SELECT lb.m_id AS left_id, rb.p_partkey AS right_id,
+        |    levenshtein(lb.m_name, rb.p_name) AS d
+        |  FROM lb JOIN rb USING (bk)
+        |  WHERE levenshtein(lb.m_name, rb.p_name) <= 2),
+        |r AS (
+        |  SELECT left_id, right_id, d,
+        |    row_number() OVER (PARTITION BY left_id
+        |                       ORDER BY d, right_id) AS rn
+        |  FROM pairs)
+        |SELECT left_id, right_id, CAST(d AS INTEGER) AS dist
+        |FROM r WHERE rn = 1 ORDER BY left_id""".stripMargin,
     "x_privacy_ldiv" ->
       """WITH d AS (
         |  SELECT DISTINCT c_nationkey, c_mktsegment,
