@@ -1423,6 +1423,31 @@ object SparkEntry {
         Linkage.firstTokenKey, maxDist = 2)
       .orderBy("left_id")
 
+  /** PII redaction (TextAnalysis.redactPii) over the same planted rows
+    * as x_text_pii: docs that contained PII, with the scrubbed text
+    * (digested — the full redacted body is verified through the md5)
+    * and how many placeholders were inserted.
+    */
+  private def xTextRedact(s: SparkSession, dir: String): DataFrame = {
+    val raw = when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" reach me at alice.smith@example.com")))
+      .when(col("doc_id") % 5 === 1,
+        concat(col("text"), lit(" or call 555-867-5309 today")))
+      .when(col("doc_id") % 5 === 2,
+        concat(col("text"), lit(" server at 192.168.10.42 responded")))
+      .otherwise(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        (TextAnalysis.piiEmailCount(col("raw"))
+          + TextAnalysis.piiPhoneCount(col("raw"))
+          + TextAnalysis.piiIpv4Count(col("raw"))).cast(LongType)
+          .as("n_redacted"),
+        md5(TextAnalysis.redactPii(col("raw"))).as("red_hash"))
+      .filter(col("n_redacted") > 0)
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_pk_lineitem" -> (k1PkLineitem _),
@@ -1565,7 +1590,8 @@ object SparkEntry {
     "x_privacy_kanon_stats" -> (xPrivacyKanonStats _),
     "x_privacy_ldiv" -> (xPrivacyLdiv _),
     "x_linkage_fuzzy" -> (xLinkageFuzzy _),
-    "x_linkage_best" -> (xLinkageBest _)
+    "x_linkage_best" -> (xLinkageBest _),
+    "x_text_redact" -> (xTextRedact _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -177,6 +177,22 @@ object TextAnalysis {
   def piiPhoneCount(c: Column): Column = regexp_count(c, lit(PhoneRe))
   def piiIpv4Count(c: Column): Column = regexp_count(c, lit(Ipv4Re))
 
+  /** PII redaction — every email/phone/IPv4 occurrence replaced by a
+    * typed placeholder. Three nested regexp_replace calls (email
+    * first: its local part can contain digit runs the other patterns
+    * would otherwise bite into), all-occurrence semantics on both
+    * engines (Spark default; DuckDB oracles must pass the 'g' flag).
+    * Pure codegen'd projection — zero shuffle, linear in bytes; the
+    * scrub step a corpus passes between the [[piiEmailCount]] audit
+    * and export.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")),
+      lit(Ipv4Re), lit("<IP>"))
+
   /** Word n-grams WITH duplicates — unlike [[Dedup.shingles]], which
     * distincts (set semantics for MinHash). Repetition measures need the
     * multiset: the duplicates ARE the signal.

@@ -1899,6 +1899,31 @@ private[graft] object StaticOracles {
         |      AS DOUBLE)
         |    / CAST(coalesce(sum(n), 0) AS DOUBLE) AS at_risk_rate
         |FROM g""".stripMargin,
+    "x_text_redact" -> {
+      import graft.ext.TextAnalysis.{EmailRe, PhoneRe, Ipv4Re}
+      s"""WITH raw AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 5 = 0
+        |      THEN text || ' reach me at alice.smith@example.com'
+        |    WHEN doc_id % 5 = 1 THEN text || ' or call 555-867-5309 today'
+        |    WHEN doc_id % 5 = 2
+        |      THEN text || ' server at 192.168.10.42 responded'
+        |    ELSE text END AS raw FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '$EmailRe'))
+        |    + len(regexp_extract_all(raw, '$PhoneRe'))
+        |    + len(regexp_extract_all(raw, '$Ipv4Re')) AS BIGINT)
+        |    AS n_redacted,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '$EmailRe', '<EMAIL>', 'g'),
+        |    '$PhoneRe', '<PHONE>', 'g'),
+        |    '$Ipv4Re', '<IP>', 'g')) AS red_hash
+        |FROM raw
+        |WHERE len(regexp_extract_all(raw, '$EmailRe'))
+        |    + len(regexp_extract_all(raw, '$PhoneRe'))
+        |    + len(regexp_extract_all(raw, '$Ipv4Re')) > 0
+        |ORDER BY doc_id""".stripMargin
+    },
     "x_linkage_fuzzy" ->
       """WITH m AS (
         |  SELECT p_partkey + 9000000 AS m_id,

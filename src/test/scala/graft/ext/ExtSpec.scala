@@ -1255,4 +1255,22 @@ class ExtSpec extends SparkSpec {
     assert(frames.nonEmpty &&
       frames.forall(_.getAs[Int]("offset") < 31))
   }
+
+  test("redactPii scrubs every occurrence of every pattern type") {
+    import spark.implicits._
+    val out = Seq(
+      "mail a@b.co then c.d@e.org end",
+      "call 555-867-5309 or 555 123 4567",
+      "hosts 10.0.0.1 and 192.168.10.42",
+      "clean text stays clean",
+      "mixed a@b.co at 10.0.0.1 call 555-867-5309")
+      .toDF("t")
+      .select(TextAnalysis.redactPii(col("t")).as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) === "mail <EMAIL> then <EMAIL> end")
+    assert(out(1) === "call <PHONE> or <PHONE>")
+    assert(out(2) === "hosts <IP> and <IP>")
+    assert(out(3) === "clean text stays clean")
+    assert(out(4) === "mixed <EMAIL> at <IP> call <PHONE>")
+  }
 }
