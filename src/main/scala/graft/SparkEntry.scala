@@ -1108,6 +1108,29 @@ object SparkEntry {
       .orderBy("doc_id", "offset")
   }
 
+  /** Multimodal: perceptual dHash over REAL decoded rasters. Each doc
+    * is encoded twice (uncompressed BMP and JDK-codec PNG), both are
+    * decoded and dHashed; the output carries the hash AND the Hamming
+    * distance between the two container formats — pinned to 0, the
+    * content-level invariance byte-level dedup can't see. The hash
+    * itself is nearest-neighbor integer arithmetic over pixels that
+    * are pure functions of doc_id, so the oracle recomputes all 56
+    * bits cell-for-cell without any image library.
+    */
+  private def xMmPhash(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val bmp = Multimodal.perceptualHash(
+      Multimodal.synthesizeImages(d, "doc_id", "bmp"))
+    val png = Multimodal.perceptualHash(
+      Multimodal.synthesizeImages(d, "doc_id", "png"))
+      .select(col("id"), col("dhash").as("dhash_png"))
+    bmp.join(png, "id")
+      .select(col("id"), col("width"), col("height"), col("dhash"),
+        Multimodal.hammingDist(col("dhash"), col("dhash_png"))
+          .cast(IntegerType).as("hamming_bmp_png"))
+      .orderBy("id")
+  }
+
   /** Streaming-shaped tumbling-window aggregation (batch-equivalent
     * plan of StreamingValidate.windowedCounts, minus the watermark —
     * identical grouping).
@@ -1503,6 +1526,7 @@ object SparkEntry {
     "x_mm_decode" -> (xMmDecode _),
     "x_mm_decode_png" -> (xMmDecodePng _),
     "x_mm_decode_invalid" -> (xMmDecodeInvalid _),
+    "x_mm_phash" -> (xMmPhash _),
     "x_stream_window" -> (xStreamWindow _),
     "r1_error_sample" -> (r1ErrorSample _),
     "k2_uniquekeys" -> (k2UniqueKeys _),

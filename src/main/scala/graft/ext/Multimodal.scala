@@ -255,6 +255,83 @@ object Multimodal {
       }
   }
 
+  /** 56-bit difference hash (dHash) of a decoded raster: 8×8
+    * nearest-neighbor luma samples (sx = x·w/8, sy = y·h/8 — integer
+    * floor, no interpolation, so the hash is pure integer arithmetic
+    * over decoded pixels and an external oracle can recompute it from
+    * known content), 7 horizontal gradient bits per row. 56 bits keeps
+    * the hash in a non-negative BIGINT on every engine.
+    *
+    * Properties the spec pins: invariant to uniform brightness shifts
+    * (gradients unchanged) and to the CONTAINER format (same pixels →
+    * same hash whether they arrived as PNG or BMP — the content-level
+    * match that byte-level dedup misses); near-dups compare by Hamming
+    * distance ([[hammingDist]]).
+    */
+  def dHash56(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val g = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val rgb = img.getRGB(x * w / 8, y * h / 8)
+        val r = (rgb >> 16) & 0xff
+        val gg = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        g(y * 8 + x) = (r * 299 + gg * 587 + b * 114) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var bit = 0
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        if (g(y * 8 + x + 1) > g(y * 8 + x)) hash |= 1L << bit
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Per-blob perceptual hash over an (id, blob) frame — same batched
+    * mapPartitions seam as [[decode]]; undecodable blobs degrade to a
+    * typed unknown row with hash 0. Output: (id, format, width,
+    * height, dhash).
+    */
+  def perceptualHash(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val fmt = sniffFormat(bytes)
+          val img =
+            if (fmt == "unknown" || !plausibleDims(fmt, bytes)) null
+            else
+              try ImageIO.read(new ByteArrayInputStream(bytes))
+              catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) (id, "unknown", 0, 0, 0L)
+          else (id, fmt, img.getWidth, img.getHeight, dHash56(img))
+        }
+      }.toDF("id", "format", "width", "height", "dhash")
+  }
+
+  /** Hamming distance between two hash columns — the dHash near-dup
+    * metric, codegen'd (xor + bit_count).
+    */
+  def hammingDist(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bit_count(a.bitwiseXOR(b))
+
   /** "Frame sampling" plumbing for video-like blobs: emit k byte-range
     * slices per blob with offsets — the schema/batch shape of real frame
     * extraction (each slice row would be a decoded frame tensor).

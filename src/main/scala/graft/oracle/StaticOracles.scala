@@ -536,6 +536,35 @@ private[graft] object StaticOracles {
         |  CAST(w * list_sum(list_transform(range(0, h),
         |    y -> (id * 3 + y) % 256)) AS BIGINT) AS sum_blue
         |FROM d ORDER BY id""".stripMargin,
+    // dHash re-derivation: the synthetic pixel at (x,y) of doc id is
+    // r=(id+x)%256, g=id%256, b=(id*3+y)%256; the hash samples the
+    // 8x8 grid at (sx,sy)=(x*w/8, y*h/8) (integer floor), takes luma
+    // (299r+587g+114b)//1000, and sets bit y*7+x iff the right
+    // neighbor's luma exceeds the left's. Pure integer arithmetic, so
+    // DuckDB reproduces every bit; hamming_bmp_png is pinned 0 (the
+    // decoded pixels are identical across containers).
+    "x_mm_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |    doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT id, w, h,
+        |    list_transform(range(0, 64), i ->
+        |      (((id + ((i % 8) * w // 8)) % 256) * 299
+        |        + (id % 256) * 587
+        |        + (((id * 3 + ((i // 8) * h // 8)) % 256) * 114))
+        |        // 1000) AS luma
+        |  FROM d)
+        |SELECT id,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(list_sum(list_transform(range(0, 56), b ->
+        |    CASE WHEN luma[(b // 7) * 8 + (b % 7) + 2]
+        |           > luma[(b // 7) * 8 + (b % 7) + 1]
+        |      THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END))
+        |    AS BIGINT) AS dhash,
+        |  CAST(0 AS INTEGER) AS hamming_bmp_png
+        |FROM g ORDER BY id""".stripMargin,
     "x_mm_decode_invalid" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
         |  CAST(coalesce(octet_length(encode(text)), 0) AS INTEGER)

@@ -1256,6 +1256,59 @@ class ExtSpec extends SparkSpec {
       frames.forall(_.getAs[Int]("offset") < 31))
   }
 
+  test("multimodal: perceptual dHash matches analytic bits, survives " +
+      "container change and brightness shift") {
+    // independent re-derivation of the 56 bits from the synthetic
+    // pixel formulas (no image codec involved)
+    def expectHash(id: Long): Long = {
+      val w = (id % 13 + 1).toInt; val h = (id % 7 + 1).toInt
+      def luma(x: Int, y: Int): Int = {
+        val sx = x * w / 8; val sy = y * h / 8
+        val r = ((id + sx) % 256).toInt
+        val g = (id % 256).toInt
+        val b = ((id * 3 + sy) % 256).toInt
+        (r * 299 + g * 587 + b * 114) / 1000
+      }
+      var hash = 0L; var bit = 0
+      for (y <- 0 until 8; x <- 0 until 7) {
+        if (luma(x + 1, y) > luma(x, y)) hash |= 1L << bit
+        bit += 1
+      }
+      hash
+    }
+    val ids = Seq(0L, 1L, 7L, 12L, 90L, 255L, 256L).toDF("doc_id")
+    val bmp = Multimodal.perceptualHash(
+        Multimodal.synthesizeImages(ids, "doc_id", "bmp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val png = Multimodal.perceptualHash(
+        Multimodal.synthesizeImages(ids, "doc_id", "png"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    Seq(0L, 1L, 7L, 12L, 90L, 255L, 256L).foreach { id =>
+      assert(bmp(id) == expectHash(id), s"analytic dHash for id=$id")
+      assert(bmp(id) == png(id), s"container invariance for id=$id")
+      assert(bmp(id) >= 0L) // 56 bits: never sign-negative
+    }
+    // uniform brightness shift leaves every gradient bit unchanged
+    import java.awt.image.BufferedImage
+    def img(shift: Int): BufferedImage = {
+      val im = new BufferedImage(9, 9, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 9; x <- 0 until 9) {
+        val v = math.min(255, (x * 17 + y * 5) % 200 + shift)
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    assert(Multimodal.dHash56(img(0)) == Multimodal.dHash56(img(40)))
+    // corrupt blobs degrade to the typed unknown row with hash 0
+    val bad = Multimodal.perceptualHash(
+        Multimodal.withBinary(
+          Seq((1L, "not an image")).toDF("doc_id", "text"),
+          "doc_id", "text"))
+      .collect()
+    assert(bad.length == 1 && bad(0).getString(1) == "unknown" &&
+      bad(0).getLong(4) == 0L)
+  }
+
   test("redactPii scrubs every occurrence of every pattern type") {
     import spark.implicits._
     val out = Seq(
