@@ -10,7 +10,7 @@ import graft.oracle.Fixtures.{t, docsWithCopies, docsWithTwins, docsV2,
   skewedDocs, LangmixPlanted, IncrementalTwinOffset, SplitWeights,
   MixFractions}
 import graft.ext.{Dedup, Joins, Linkage, Multimodal, Privacy, Reconcile,
-  Sampling, Similarity, Sketches, TextAnalysis}
+  Sampling, Sessions, Similarity, Sketches, TextAnalysis}
 import graft.parse.Parsers
 import graft.schema.{Constraints, Field}
 import graft.streaming.StreamingValidate
@@ -1471,6 +1471,83 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Session gap for the batch sessionization queries: 6 hours in
+    * microseconds — between the sf0.01 inter-arrival p10 (~1.1 h) and
+    * median (~7.3 h), so sessions both merge and split. Shared with the
+    * oracle.
+    */
+  private val SessionGapUs = 6L * 3600L * 1000000L
+
+  /** Batch sessionization (Sessions.assign): every event tagged with
+    * its user's 1-based session index under a 6-hour gap — one per-user
+    * window, integer-microsecond arithmetic, engine-exact.
+    */
+  private def xSessionAssign(s: SparkSession, dir: String): DataFrame =
+    Sessions.assign(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts")),
+        "user_id", unix_micros(col("ts")), col("event_id"), SessionGapUs)
+      .select(col("event_id"), col("user_id"), col("session_idx"))
+      .orderBy("event_id")
+
+  /** Per-session rollup (Sessions.stats): (user, session) → event
+    * count, start/end micros, duration — the same shuffle as the
+    * assignment (groupBy keys extend the window partition key).
+    */
+  private def xSessionStats(s: SparkSession, dir: String): DataFrame =
+    Sessions.stats(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts")),
+        "user_id", unix_micros(col("ts")), col("event_id"), SessionGapUs)
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_us"), col("end_us"), col("duration_us"))
+      .orderBy("user_id", "session_idx")
+
+  /** CMS shape for x_sketch_cms: 150 distinct users into w=64 buckets
+    * forces collisions (the overestimate is visible), d=4 rows bound
+    * them. Shared with the oracle.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 64
+
+  /** Count-min sketch (Sketches.cmsBuild/cmsEstimate): per-user event
+    * frequency estimated from a 4×64-cell mergeable sketch, next to the
+    * exact count — est ≥ exact always (collisions only add), equality
+    * wherever no collision landed. Constant-size state, portable md5
+    * bucketing, integer-exact.
+    */
+  private def xSketchCms(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"))
+    val sk = Sketches.cmsBuild(ev, col("user_id"), CmsDepth, CmsWidth)
+    Sketches.cmsEstimate(sk, ev, "user_id", CmsDepth, CmsWidth)
+      .join(ev.groupBy("user_id").agg(count(lit(1)).as("n_exact")),
+        "user_id")
+      .select(col("user_id"), col("cms_est"), col("n_exact"))
+      .orderBy("user_id")
+  }
+
+  /** Fixed-point PageRank (Graph.pageRank): 3 damped iterations over
+    * the customer→supplier purchase graph (orders ⋈ lineitem), integer
+    * rank units of 10⁻¹² — bitwise-deterministic, so the top-20 ranking
+    * is oracle-checkable cell-for-cell. Node ids namespace the
+    * bipartite sides (cust·2 even, supp·2+1 odd).
+    */
+  private def xGraphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey")), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    graft.ext.Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .select(col("id").as("node_id"),
+        when(col("id") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        col("rank_scaled"))
+      .orderBy(desc("rank_scaled"), asc("node_id"))
+      .limit(20)
+  }
+
   // -------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_pk_lineitem" -> (k1PkLineitem _),
@@ -1615,6 +1692,10 @@ object SparkEntry {
     "x_privacy_ldiv" -> (xPrivacyLdiv _),
     "x_linkage_fuzzy" -> (xLinkageFuzzy _),
     "x_linkage_best" -> (xLinkageBest _),
+    "x_session_assign" -> (xSessionAssign _),
+    "x_session_stats" -> (xSessionStats _),
+    "x_sketch_cms" -> (xSketchCms _),
+    "x_graph_pagerank" -> (xGraphPagerank _),
     "x_text_redact" -> (xTextRedact _)
   )
 

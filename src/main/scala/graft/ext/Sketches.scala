@@ -149,4 +149,74 @@ object Sketches {
       // order the oracle uses, so the doubles match bit-for-bit
       .withColumn("inter_est", col("jaccard_est") * col("union_est"))
   }
+
+  // -------------------------------------------------- count-min sketch
+  // Frequency estimation in CONSTANT space (Cormode & Muthukrishnan,
+  // "An improved data stream summary: the count-min sketch and its
+  // applications", J. Algorithms 2005): d hash rows × w buckets of
+  // counts; est(key) = min over rows of its bucket's count. Always an
+  // OVERestimate (collisions only add), within εN (ε = e/w) with
+  // probability 1 − e^−d. The 100 TB role: per-shard sketches are d·w
+  // longs, merged by cell-wise SUM — frequency screens (stopword
+  // discovery, hot-key detection, spam-token flagging) over a corpus
+  // too large to groupBy become one constant-size mergeable aggregate.
+  // Hashing is the portable md5 prefix, so a DuckDB oracle rebuilds the
+  // IDENTICAL sketch and the integer estimates hash-match exactly.
+
+  val CmsMaxDepth = 8
+  val CmsMaxWidth = 1 << 20
+  private val CmsSep = "\u0001"
+
+  /** The d (row, bucket) cells a key charges: row r uses bucket
+    * hash48("cms_r" ⊕ key) mod w — independent rows from one md5 by
+    * domain-separating the salt prefix. hash48 ≥ 0, so `%` is the
+    * mathematical mod in Spark and DuckDB alike.
+    */
+  private def cmsCells(key: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map { r =>
+      struct(lit(r).as("r"),
+        (Dedup.hash48(concat_ws(CmsSep, lit(s"cms_$r"),
+          key.cast("string"))) % width).as("bucket"))
+    }: _*)
+
+  /** Build a CMS over `key` occurrences (one count per row; nulls
+    * skipped). Output: (r, bucket, cnt) — the SPARSE sketch (absent
+    * cell = 0), at most d·w rows regardless of input size. One
+    * hash aggregate over the d-fold exploded keys, map-side combinable;
+    * shards merge by `unionByName` + re-[[cmsMerge]].
+    */
+  def cmsBuild(df: DataFrame, key: Column, depth: Int, width: Int)
+      : DataFrame = {
+    require(depth >= 1 && depth <= CmsMaxDepth,
+      s"cms depth must be in [1, $CmsMaxDepth], got $depth")
+    require(width >= 1 && width <= CmsMaxWidth,
+      s"cms width must be in [1, $CmsMaxWidth], got $width")
+    df.select(key.as("__k")).filter(col("__k").isNotNull)
+      .select(explode(cmsCells(col("__k"), depth, width)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketches built with the same (d, w): cell-wise sum. */
+  def cmsMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point estimates for every distinct key of `keys`: min over the d
+    * rows of the key's bucket count (0 when a cell is absent — only
+    * possible for keys the sketch never saw). The sketch is ≤ d·w rows
+    * and explicitly broadcast: estimation is a narrow map-side join no
+    * matter how many keys are probed.
+    */
+  def cmsEstimate(
+      sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame =
+    keys.select(col(keyCol)).distinct()
+      .select(col(keyCol),
+        explode(cmsCells(col(keyCol), depth, width)).as("rc"))
+      .select(col(keyCol), col("rc.r").as("r"),
+        col("rc.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 }

@@ -1996,6 +1996,106 @@ private[graft] object StaticOracles {
         |SELECT c_nationkey, c_mktsegment,
         |  count(*) AS n_distinct_sensitive
         |FROM d GROUP BY 1, 2 HAVING count(*) < 5
-        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // 6-hour gap = 21 600 000 000 µs (SparkEntry.SessionGapUs); the
+    // strictly-greater compare matches Sessions.assign — gap-equal
+    // arrivals extend the session
+    "x_session_assign" ->
+      s"""WITH f AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |a AS (
+        |  SELECT event_id, user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > $duckSessionGapUs
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT event_id, user_id,
+        |  CAST(sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS session_idx
+        |FROM a ORDER BY event_id""".stripMargin,
+    "x_session_stats" ->
+      s"""WITH f AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |a AS (
+        |  SELECT event_id, user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > $duckSessionGapUs
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS session_idx
+        |  FROM a)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  max(ts_us) - min(ts_us) AS duration_us
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    // CMS cells mirror Sketches.cmsCells: bucket_r(key) =
+    // hash48('cms_r' || chr(1) || key) % 64, d=4 (SparkEntry.CmsDepth/
+    // CmsWidth)
+    "x_sketch_cms" -> {
+      val h = duckHash48(
+        "'cms_' || CAST(r AS VARCHAR) || chr(1) || CAST(user_id AS VARCHAR)")
+      s"""WITH ds AS (SELECT r FROM range(0, 4) t(r)),
+        |ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+        |cells AS (
+        |  SELECT r, $h % 64 AS bucket, count(*) AS cnt
+        |  FROM ev CROSS JOIN ds GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT DISTINCT user_id, r, $h % 64 AS bucket
+        |  FROM ev CROSS JOIN ds),
+        |est AS (
+        |  SELECT p.user_id, min(coalesce(c.cnt, 0)) AS cms_est
+        |  FROM probes p
+        |  LEFT JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+        |  GROUP BY 1),
+        |exact AS (SELECT user_id, count(*) AS n_exact FROM ev GROUP BY 1)
+        |SELECT user_id, CAST(cms_est AS BIGINT) AS cms_est, n_exact
+        |FROM est JOIN exact USING (user_id)
+        |ORDER BY user_id""".stripMargin
+    },
+    // mirrors Graph.pageRank's fixed-point update exactly: init =
+    // 10^12 // N, base = (15·init) // 100, r' = base +
+    // (85·Σ(r // deg)) // 100, dangling mass leaked, 3 iterations
+    "x_graph_pagerank" -> {
+      def iterCte(prev: String, cur: String): String =
+        s"""$cur AS (
+          |  SELECT n.id,
+          |    (SELECT base FROM cst)
+          |      + (85 * coalesce(s.sc, 0)) // 100 AS r
+          |  FROM nodes n LEFT JOIN (
+          |    SELECT e.dst AS id, sum(r.r // e.deg) AS sc
+          |    FROM ed e JOIN $prev r ON r.id = e.src
+          |    GROUP BY 1) s ON n.id = s.id)""".stripMargin
+      s"""WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+        |cst AS (SELECT 1000000000000 // count(*) AS init,
+        |    (15 * (1000000000000 // count(*))) // 100 AS base
+        |  FROM nodes),
+        |deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+        |ed AS (SELECT e.src, e.dst, d.deg FROM e0 e JOIN deg d USING (src)),
+        |r0 AS (SELECT id, (SELECT init FROM cst) AS r FROM nodes),
+        |${iterCte("r0", "r1")},
+        |${iterCte("r1", "r2")},
+        |${iterCte("r2", "r3")}
+        |SELECT id AS node_id,
+        |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |    AS node_type,
+        |  CAST(r AS BIGINT) AS rank_scaled
+        |FROM r3 ORDER BY rank_scaled DESC, node_id LIMIT 20""".stripMargin
+    }
   )
+
+  /** Mirrors SparkEntry.SessionGapUs. A `def`: `sql` above interpolates
+    * it during object init, and a forward-referenced `val` would still
+    * be 0 at that point.
+    */
+  private def duckSessionGapUs: Long = 6L * 3600L * 1000000L
 }

@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference of the fixed-point update, for tiny graphs. */
+  private def refPageRank(
+      edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val init = Graph.Scale / nodes.size
+    val base = 15L * init / 100L
+    var r = nodes.map(_ -> init).toMap
+    for (_ <- 1 to iters) {
+      val sums = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / deg(s) }.sum
+      }
+      r = nodes.map(n => n -> (base + 85L * sums.getOrElse(n, 0L) / 100L))
+        .toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("s", "d"), "s", "d", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRank matches the driver-side reference on a small graph") {
+    // 1 and 2 both point at 3; 3 points back at 1; 4 → 3 dangling-ish
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (4L, 1L))
+    assert(run(edges, 3) === refPageRank(edges, 3))
+    assert(run(edges, 5) === refPageRank(edges, 5))
+  }
+
+  test("pageRank ranks the hub of a star highest") {
+    val edges = (1L to 20L).map(i => (i, 100L))
+    val r = run(edges, 3)
+    val hub = r(100L)
+    assert((1L to 20L).forall(i => r(i) < hub))
+  }
+
+  test("pageRank is invariant to input partitioning and duplicates") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val base = run(edges, 4)
+    val dupDf = (edges ++ edges ++ edges).toDF("s", "d").repartition(7)
+    val shuffled = Graph.pageRank(dupDf, "s", "d", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base === shuffled)
+  }
+
+  test("pageRank symmetric cycle gives equal ranks") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val r = run(edges, 6)
+    assert(r.values.toSet.size === 1)
+  }
+}

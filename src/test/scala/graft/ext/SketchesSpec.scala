@@ -108,4 +108,53 @@ class SketchesSpec extends SparkSpec {
     assert(row.getAs[Double]("union_est") === 30.0)
     assert(row.getAs[Double]("jaccard_est") === 10.0 / 30.0)
   }
+
+  // ------------------------------------------------------ count-min
+  private def freqDf = (1 to 40).flatMap(i =>
+    Seq.fill(i % 5 + 1)(s"k_$i")).toDF("key")
+
+  test("cms estimates are never below the true frequency") {
+    val d = freqDf
+    val sk = Sketches.cmsBuild(d, col("key"), 3, 16)
+    val joined = Sketches.cmsEstimate(sk, d, "key", 3, 16)
+      .join(d.groupBy("key").count(), "key")
+      .collect()
+    assert(joined.length === 40)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("count"),
+        s"underestimate at ${r.getAs[String]("key")}")
+    }
+  }
+
+  test("cms is exact when the width kills collisions") {
+    val d = freqDf
+    val sk = Sketches.cmsBuild(d, col("key"), 4, 1 << 16)
+    Sketches.cmsEstimate(sk, d, "key", 4, 1 << 16)
+      .join(d.groupBy("key").count(), "key")
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("cms_est") === r.getAs[Long]("count"))
+      }
+  }
+
+  test("cms shard merge equals the single build") {
+    val d = freqDf
+    val half1 = d.filter(col("key") < "k_3")
+    val half2 = d.filter(col("key") >= "k_3")
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsBuild(half1, col("key"), 3, 16),
+      Sketches.cmsBuild(half2, col("key"), 3, 16))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val full = Sketches.cmsBuild(d, col("key"), 3, 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(merged === full)
+  }
+
+  test("cms never-seen key estimates zero (absent cells coalesce)") {
+    val sk = Sketches.cmsBuild(freqDf, col("key"), 3, 1 << 16)
+    val probe = Seq("never_seen_a", "never_seen_b").toDF("key")
+    Sketches.cmsEstimate(sk, probe, "key", 3, 1 << 16)
+      .collect().foreach(r => assert(r.getAs[Long]("cms_est") === 0L))
+  }
 }
