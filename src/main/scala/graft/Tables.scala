@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.schema._
 
@@ -15,17 +15,27 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.ts is TIMESTAMP(NANOS), which Spark's parquet reader rejects;
-    * sessions set `spark.sql.legacy.parquet.nanosAsLong=true` (see
-    * [[configure]]) so it arrives as nanos-since-epoch, converted here to
-    * a microsecond timestamp with truncating division — the same value
-    * DuckDB produces when it narrows nanos to its µs TIMESTAMP.
+  /** events.ts has shipped as TIMESTAMP(NANOS) (older testdata drops —
+    * Spark's parquet reader rejects it, so sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, see [[configure]], and
+    * the nanos arrive as a long narrowed here with truncating division —
+    * the same value DuckDB produces for its µs TIMESTAMP) and as
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (newer drops — Spark
+    * infers TIMESTAMP_NTZ, which `unix_micros`/binary ops reject).
+    * Both are normalized to a plain µs TIMESTAMP at load so every
+    * downstream operator and the DuckDB oracle see one type; the
+    * NTZ→LTZ cast reinterprets the naive value in the session zone
+    * (UTC in every graft session), leaving the stored micros unchanged.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    } else df
   }
 
   /** Session configs every graft session needs (nanos parquet reads). */

@@ -25,6 +25,24 @@ class StreamingSpec extends SparkSpec {
     d.toString
   }
 
+  /** Raw footer schema of the staged events parquet. */
+  private lazy val rawSchema =
+    spark.read.parquet(s"$dir/events.parquet").schema
+
+  /** Same ts normalization as Tables.load, applied to a raw stream:
+    * nanos-long (old testdata) or TIMESTAMP_NTZ (new testdata) → plain
+    * µs TIMESTAMP.
+    */
+  private def normalizeTs(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   /** Stream the events table through a transform and collect via the
     * memory sink (processAllAvailable drains the file source).
     */
@@ -32,13 +50,11 @@ class StreamingSpec extends SparkSpec {
       name: String,
       f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       mode: String = "append"): org.apache.spark.sql.DataFrame = {
-    // schema of the *raw* parquet (ts = nanos long via nanosAsLong);
-    // the stream then applies the same µs conversion Tables.load does
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream
+    // schema of the *raw* parquet; the stream then applies the same ts
+    // normalization Tables.load does (nanos-long or NTZ → µs TIMESTAMP)
+    val stream = normalizeTs(spark.readStream
       .schema(rawSchema)
-      .parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(streamDir))
     val q = f(stream).writeStream
       .outputMode(mode)
       .format("memory")
@@ -333,9 +349,8 @@ class StreamingSpec extends SparkSpec {
         col("ts").as("click_ts"))
     // two INDEPENDENT file streams over the same staged directory —
     // a genuine stream-stream join, not a stream-static one
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    def src() = spark.readStream.schema(rawSchema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src() = normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(streamDir))
     val q = StreamingValidate.joinWithin(views(src()), clicks(src()),
         "v_user", "c_user", "view_ts", "click_ts",
         within = "10 minutes", watermark = "30 minutes")
