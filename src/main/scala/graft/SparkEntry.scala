@@ -7,10 +7,11 @@ import org.apache.spark.sql.types._
 import graft.check.Checks
 import graft.CoreQueries._
 import graft.oracle.Fixtures.{t, docsWithCopies, docsWithTwins, docsV2,
-  skewedDocs, LangmixPlanted, IncrementalTwinOffset, SplitWeights,
-  MixFractions}
-import graft.ext.{Dedup, Joins, Linkage, Multimodal, Privacy, Reconcile,
-  Sampling, Sessions, Similarity, Sketches, TextAnalysis}
+  skewedDocs, FunnelSteps, LangmixPlanted, IncrementalTwinOffset,
+  SplitWeights, MixFractions}
+import graft.ext.{Behavior, Cdc, Dedup, Joins, Linkage, Multimodal,
+  Privacy, Reconcile, Sampling, Sessions, Similarity, Sketches,
+  TextAnalysis}
 import graft.parse.Parsers
 import graft.schema.{Constraints, Field}
 import graft.streaming.StreamingValidate
@@ -1548,6 +1549,70 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** CDC last-writer-wins compaction (Cdc.lastWriterWins): events as a
+    * change log keyed by user — the latest change in (ts, event_id)
+    * order wins, 'error' rows act as tombstones. ONE map-side-combinable
+    * hash agg (native latest_by argmax); the oracle runs the
+    * row_number-window formulation of the same semantics.
+    */
+  private def xCdcMerge(s: SparkSession, dir: String): DataFrame =
+    Cdc.lastWriterWins(t(s, dir, "events"),
+        Seq("user_id"), Seq(unix_micros(col("ts")), col("event_id")),
+        Seq("event_id", "event_type", "value"),
+        col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .orderBy("user_id")
+
+  /** SCD-type-2 history (Cdc.scd2): every change carries its validity
+    * interval [own ts, next change's ts) per user, open (null) for the
+    * current version. Per-key lead window — the bounded-partition
+    * exception documented on the operator.
+    */
+  private def xCdcScd2(s: SparkSession, dir: String): DataFrame =
+    Cdc.scd2(
+        t(s, dir, "events").select(col("user_id"), col("event_id"),
+          col("event_type"), col("ts")),
+        Seq("user_id"), col("ts"), col("event_id"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("user_id", "event_id")
+
+  /** Ordered-step funnel (Behavior.funnel): users reaching each step
+    * strictly after their earliest arrival at the previous one —
+    * (#steps − 1) user-keyed joins + min aggs, no window.
+    */
+  private def xFunnel(s: SparkSession, dir: String): DataFrame =
+    Behavior.funnel(t(s, dir, "events"), "user_id", col("ts"),
+        col("event_type"), FunnelSteps)
+      .orderBy("step_idx")
+
+  /** Weekly cohort retention (Behavior.cohortRetention): distinct users
+    * per (first-event week, week offset) cell, week = exact long
+    * epoch-µs bucket arithmetic mirrored by the oracle's integer `//`.
+    */
+  private def xCohort(s: SparkSession, dir: String): DataFrame =
+    Behavior.cohortRetention(t(s, dir, "events"), "user_id",
+        unix_micros(col("ts")))
+      .orderBy("cohort_week", "week_offset")
+
+  /** Event-type co-occurrence lift (Behavior.pairLift): market-basket
+    * pairs over distinct (user, event_type) with exact integer counts
+    * and a single final IEEE division for lift.
+    */
+  private def xBasketLift(s: SparkSession, dir: String): DataFrame =
+    Behavior.pairLift(t(s, dir, "events"), "user_id", "event_type")
+      .orderBy("item_a", "item_b")
+
+  /** Winsorization clip-bounds report (Profile.winsorizeSummary): exact
+    * interpolated p1/p99 of l_extendedprice plus the tail row counts
+    * each bound would clip — percentile parity with quantile_cont as in
+    * x_profile_quantiles.
+    */
+  private def xProfileWinsorize(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.winsorizeSummary(t(s, dir, "lineitem"),
+      "l_extendedprice", 0.01, 0.99)
+
   // -------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_pk_lineitem" -> (k1PkLineitem _),
@@ -1696,7 +1761,13 @@ object SparkEntry {
     "x_session_stats" -> (xSessionStats _),
     "x_sketch_cms" -> (xSketchCms _),
     "x_graph_pagerank" -> (xGraphPagerank _),
-    "x_text_redact" -> (xTextRedact _)
+    "x_text_redact" -> (xTextRedact _),
+    "x_cdc_merge" -> (xCdcMerge _),
+    "x_cdc_scd2" -> (xCdcScd2 _),
+    "x_funnel" -> (xFunnel _),
+    "x_cohort" -> (xCohort _),
+    "x_basket_lift" -> (xBasketLift _),
+    "x_profile_winsorize" -> (xProfileWinsorize _)
   )
 
   // ------------------------------------------------------------- oracles

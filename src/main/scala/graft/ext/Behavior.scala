@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over event logs — funnel conversion, cohort
+  * retention, and item co-occurrence lift. The three classic "how do
+  * users move through the product" OLAP queries, shaped so every stage
+  * is a keyed hash aggregate or a key-equi join (never a per-user
+  * ordered scan, never a cross product).
+  *
+  * Scale design (100 TB lens):
+  *  - [[funnel]] is (#steps − 1) equi-joins on the user key, each
+  *    followed by a map-side-combinable `min` aggregate. Each stage's
+  *    input is FILTERED to one step's events before the join, so the
+  *    join sides shrink monotonically down the funnel; all stages
+  *    shuffle on the same key, so AQE/exchange reuse keeps one
+  *    partitioning alive across the chain. The per-step count branches
+  *    re-state their prefix chains in the plan, but each repeated
+  *    exchange is identical and dedups to one execution via Spark's
+  *    ReusedExchange. No window: the "first time user reached step k
+  *    after step k−1" is a min-agg, not a sort;
+  *  - [[cohortRetention]] is two hash aggregates and one self-join on
+  *    the user key (first-week fit, join back, count-distinct per
+  *    cell). The output is bounded by #weeks² cells regardless of
+  *    corpus size;
+  *  - [[pairLift]] joins the DISTINCT (user, item) set with itself on
+  *    user — at most (items per user)² candidate rows per user, the
+  *    standard market-basket bound — then broadcasts the per-item
+  *    counts (≤ #distinct items rows) back onto the pair counts. Lift
+  *    arithmetic is integer-exact until the final single division;
+  *  - week bucketing is exact long arithmetic: `ts − (ts mod 7d)` is
+  *    divisible by 7d, and both operands of the final division are
+  *    < 2⁵³, so the double division is exact and engine-portable.
+  */
+object Behavior {
+
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  /** Absolute 7-day bucket index of a microsecond timestamp (epoch
+    * anchored). Exact: the subtraction makes the dividend an exact
+    * multiple of `WeekUs`, so the double division has a representable
+    * integer result (both inputs < 2⁵³) and rounds to it exactly.
+    */
+  def weekIndex(tsMicros: Column): Column =
+    ((tsMicros - pmod(tsMicros, lit(WeekUs))) / lit(WeekUs)).cast("long")
+
+  /** Ordered-step funnel: row k reports how many users performed
+    * `steps(k)` strictly AFTER their earliest qualifying time for
+    * `steps(k-1)` (earliest-transition semantics — each user's clock
+    * for step k starts at their first step-(k−1) arrival). Returns one
+    * row per step: (step_idx, step, users).
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: Column,
+      typeCol: Column,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var reached = events.where(typeCol === steps.head)
+      .groupBy(userCol).agg(min(tsCol).as("__graft_t"))
+    val perStep = scala.collection.mutable.ArrayBuffer(
+      (0, steps.head, reached))
+    for (i <- 1 until steps.length) {
+      reached = events.where(typeCol === steps(i))
+        .join(reached, userCol)
+        .where(tsCol > col("__graft_t"))
+        .groupBy(userCol).agg(min(tsCol).as("__graft_t"))
+      perStep += ((i, steps(i), reached))
+    }
+    perStep.map { case (i, s, df) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i).as("step_idx"), lit(s).as("step"), col("users"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the week of their
+    * FIRST event; each (cohort_week, week_offset) cell counts the
+    * distinct cohort members active that many weeks later (offset 0 =
+    * the cohort's own size).
+    */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String,
+      tsMicros: Column): DataFrame = {
+    val wk = events
+      .select(col(userCol).as("__graft_u"), weekIndex(tsMicros).as("__graft_w"))
+    val first = wk.groupBy("__graft_u").agg(min("__graft_w").as("__graft_cw"))
+    wk.join(first, "__graft_u")
+      .groupBy(col("__graft_cw").as("cohort_week"),
+        (col("__graft_w") - col("__graft_cw")).as("week_offset"))
+      .agg(countDistinct(col("__graft_u")).as("users"))
+  }
+
+  /** Pairwise co-occurrence lift over (id, item) observations: for
+    * every unordered item pair {a < b}, the number of ids that saw
+    * both, each item's own id count, and
+    * lift = (n_ab · N) / (n_a · n_b) where N = total distinct ids.
+    * Lift > 1 means the pair co-occurs more than independence predicts.
+    * All counts are exact longs; the single final division is the only
+    * float op (both operands exact, IEEE division — engine-portable).
+    */
+  def pairLift(df: DataFrame, idCol: String, itemCol: String): DataFrame = {
+    val d = df.select(col(idCol).as("__graft_u"), col(itemCol).as("__graft_i"))
+      .where(col("__graft_i").isNotNull).distinct()
+    val perItem = d.groupBy(col("__graft_i")).agg(count(lit(1)).as("n"))
+    val total = d.select(countDistinct(col("__graft_u")).as("__graft_n_total"))
+    val pairs = d.toDF("__graft_u", "item_a")
+      .join(d.toDF("__graft_u", "item_b"), "__graft_u")
+      .where(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(perItem.toDF("item_a", "n_a")), "item_a")
+      .join(broadcast(perItem.toDF("item_b", "n_b")), "item_b")
+      .crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        ((col("n_ab") * col("__graft_n_total")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+}

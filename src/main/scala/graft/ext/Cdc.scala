@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture compaction — turn an append-only change log
+  * (upserts + tombstones) into a current snapshot (last-writer-wins)
+  * or a full SCD-type-2 history table (validity intervals). These are
+  * the two standard materializations of a CDC feed; every warehouse
+  * ingestion pipeline runs one of them over its largest tables, so the
+  * plan shape matters more here than almost anywhere else.
+  *
+  * Scale design (100 TB lens):
+  *  - [[lastWriterWins]] is ONE hash aggregate — the native
+  *    [[graft.functions.LatestBy]] argmax, because Spark's own `max_by`
+  *    carries a struct buffer that HashAggregate can't hold and the
+  *    plan silently degrades to SortAggregate (a per-partition sort of
+  *    the whole change log by key). With LatestBy the winner stays in
+  *    ObjectHashAggregate: partial aggregation absorbs hot keys
+  *    map-side — a key with 10⁸ churn events combines to one row per
+  *    map partition before the shuffle, so the shuffle carries
+  *    ≤ (#keys × #partitions) rows regardless of churn. This is the
+  *    shape that survives a 100 TB change log; the row_number window
+  *    formulation (what the DuckDB oracle runs) would sort every key's
+  *    full history;
+  *  - [[scd2]] is inherently a per-key ordered walk (each version needs
+  *    its successor), so it pays the window's one shuffle + in-partition
+  *    sort. A partition holds ONE KEY's versions, never the corpus —
+  *    the same bounded-partition exception as [[Sessions]] /
+  *    [[Features.trailing]], with [[Profile.keySkew]] as the pre-flight
+  *    check for pathological keys;
+  *  - both pass payload columns through untouched (no arithmetic), so
+  *    results are engine-exact for any column type.
+  */
+object Cdc {
+
+  /** Current-snapshot view of a change log: for each key keep the
+    * payload of the LAST change in `ordCols` order (lexicographic —
+    * supply a tie-breaker, e.g. a change id, to make the winner
+    * unique), then drop keys whose last change is a tombstone
+    * (`isDelete` evaluated on the winning row).
+    *
+    * `ordCols` must be LONG-valued (convert timestamps with
+    * `unix_micros` — a plain long cast truncates to seconds) and must
+    * totally order each key's changes: with ties the winner is
+    * first-seen, which is partitioning-dependent.
+    */
+  def lastWriterWins(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      ordCols: Seq[Column],
+      payloadCols: Seq[String],
+      isDelete: Column): DataFrame = {
+    val payload = struct(
+      (payloadCols.map(col) :+ isDelete.as("__graft_del")): _*)
+    changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.LatestBy.latest(payload, ordCols)
+        .as("__graft_last"))
+      .where(!col("__graft_last.__graft_del"))
+      .select(keyCols.map(col) ++
+        payloadCols.map(c => col(s"__graft_last.$c").as(c)): _*)
+  }
+
+  /** SCD-type-2 history: every change becomes a row whose validity
+    * interval is [its own `ordCol`, the key's NEXT change's `ordCol`),
+    * with `valid_to` null (and `is_current` true) for the latest
+    * version. `tieCol` breaks `ordCol` ties so intervals are
+    * well-defined under simultaneous changes.
+    */
+  def scd2(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      ordCol: Column,
+      tieCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(ordCol, tieCol)
+    changes
+      .withColumn("valid_from", ordCol)
+      .withColumn("valid_to", lead(ordCol, 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

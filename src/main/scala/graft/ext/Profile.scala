@@ -145,6 +145,54 @@ object Profile {
         posexplode(col("quantiles")).as(Seq("prob_idx", "quantile")))
   }
 
+  /** Exact interpolated clip bounds for [[winsorize]] /
+    * [[winsorizeSummary]]: a 1-row frame (__graft_lo, __graft_hi) from
+    * Spark's exact percentile (the `quantile_cont` convention — same
+    * parity basis as [[numericProfile]] exact mode, with its same
+    * bounded-cardinality caveat; tail clipping targets measure columns
+    * whose value domain is bounded even when row counts are not).
+    */
+  private def clipBounds(df: DataFrame, c: String, pLo: Double,
+      pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi, "need 0 <= pLo <= pHi <= 1")
+    df.agg(
+      percentile(col(c).cast("double"), lit(pLo)).as("__graft_lo"),
+      percentile(col(c).cast("double"), lit(pHi)).as("__graft_hi"))
+  }
+
+  /** Winsorization: clip `c` (as double) into its own [pLo, pHi]
+    * interpolated-percentile interval — the standard outlier-robust
+    * pre-normalization for reward/score columns before training-mix
+    * arithmetic. Two scans (bounds fit, then a NARROW clip — the 1-row
+    * bounds frame rides a broadcast, so the transform itself never
+    * shuffles); nulls pass through (least/greatest propagate null).
+    */
+  def winsorize(df: DataFrame, c: String, pLo: Double,
+      pHi: Double): DataFrame =
+    df.crossJoin(broadcast(clipBounds(df, c, pLo, pHi)))
+      .withColumn(c,
+        least(greatest(col(c).cast("double"), col("__graft_lo")),
+          col("__graft_hi")))
+      .drop("__graft_lo", "__graft_hi")
+
+  /** Clip-bounds report for [[winsorize]]: the fitted (p_lo, p_hi) plus
+    * how many rows each tail would clip — one output row, computed as
+    * one full-scan conditional aggregate against the broadcast bounds.
+    */
+  def winsorizeSummary(df: DataFrame, c: String, pLo: Double,
+      pHi: Double): DataFrame = {
+    val v = col(c).cast("double")
+    df.crossJoin(broadcast(clipBounds(df, c, pLo, pHi)))
+      .agg(
+        min(col("__graft_lo")).as("p_lo"),
+        min(col("__graft_hi")).as("p_hi"),
+        count(when(v < col("__graft_lo"), 1)).as("n_below"),
+        count(when(v > col("__graft_hi"), 1)).as("n_above"),
+        count(lit(1)).as("n_total"))
+      .select(lit(c).as("column_name"), col("p_lo"), col("p_hi"),
+        col("n_below"), col("n_above"), col("n_total"))
+  }
+
   /** Fixed-width histogram of a numeric column over [lo, hi): one
     * hash-agg on the bin index (integer arithmetic — no windows, no
     * sort), rows outside the range are dropped (a profiling histogram

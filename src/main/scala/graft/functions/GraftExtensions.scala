@@ -38,6 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("containment_long"), ContainmentLong.info,
         ContainmentLong.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("latest_by"), LatestBy.info, LatestBy.builder))
     ext.injectOptimizerRule(_ => LowerQuadraticArrayOps)
   }
 }
@@ -86,5 +88,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("containment_long"), ContainmentLong.info,
       ContainmentLong.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("latest_by"), LatestBy.info, LatestBy.builder)
   }
 }

@@ -101,4 +101,11 @@ private[graft] object Fixtures {
         col("lang"), col("source"), col("n_chars"))
     base.unionByName(added)
   }
+
+  /** Funnel step sequence for x_funnel — earliest-transition semantics
+    * down signup → view → click → purchase; shared so the Spark query
+    * and the oracle's chained CTEs can never disagree on the steps.
+    */
+  private[graft] val FunnelSteps =
+    Seq("signup", "view", "click", "purchase")
 }

@@ -2090,7 +2090,90 @@ private[graft] object StaticOracles {
         |    AS node_type,
         |  CAST(r AS BIGINT) AS rank_scaled
         |FROM r3 ORDER BY rank_scaled DESC, node_id LIMIT 20""".stripMargin
-    }
+    },
+    // LWW semantics, window formulation: the Spark side is one max_by
+    // hash agg; rn = 1 over (ts DESC, event_id DESC) is the same winner
+    "x_cdc_merge" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_type, value AS last_value
+        |FROM last WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+    "x_cdc_scd2" ->
+      """SELECT user_id, event_id, event_type,
+        |  ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to,
+        |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    IS NULL) AS is_current
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "x_funnel" -> {
+      // chained CTEs mirror Behavior.funnel's earliest-transition
+      // joins step by step, over the shared Fixtures.FunnelSteps
+      val steps = Fixtures.FunnelSteps
+      val ctes = steps.indices.map { i =>
+        if (i == 0)
+          s"""s0 AS (SELECT user_id, min(ts) AS t FROM events
+             |  WHERE event_type = '${steps(0)}' GROUP BY user_id)"""
+            .stripMargin
+        else
+          s"""s$i AS (SELECT e.user_id, min(e.ts) AS t
+             |  FROM events e JOIN s${i - 1} p ON e.user_id = p.user_id
+             |  WHERE e.event_type = '${steps(i)}' AND e.ts > p.t
+             |  GROUP BY e.user_id)""".stripMargin
+      }.mkString(",\n")
+      val rows = steps.indices.map { i =>
+        val head = if (i == 0)
+          s"SELECT $i AS step_idx, '${steps(i)}' AS step, " +
+            s"(SELECT count(*) FROM s$i) AS users"
+        else
+          s"SELECT $i, '${steps(i)}', (SELECT count(*) FROM s$i)"
+        head
+      }.mkString("\nUNION ALL ")
+      s"WITH $ctes\n$rows\nORDER BY step_idx"
+    },
+    // week bucket = epoch-µs integer division — the exact arithmetic
+    // Behavior.weekIndex performs (subtract-mod form, provably equal)
+    "x_cohort" ->
+      """WITH wk AS (
+        |  SELECT user_id AS u, epoch_us(ts) // 604800000000 AS w
+        |  FROM events),
+        |f AS (SELECT u, min(w) AS cw FROM wk GROUP BY u)
+        |SELECT f.cw AS cohort_week, wk.w - f.cw AS week_offset,
+        |  count(DISTINCT wk.u) AS users
+        |FROM wk JOIN f ON wk.u = f.u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x_basket_lift" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id AS u, event_type AS i FROM events
+        |  WHERE event_type IS NOT NULL),
+        |n AS (SELECT i, count(*) AS n FROM d GROUP BY i),
+        |tot AS (SELECT count(DISTINCT u) AS nt FROM d),
+        |p AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab
+        |  FROM d a JOIN d b ON a.u = b.u AND a.i < b.i GROUP BY 1, 2)
+        |SELECT p.item_a, p.item_b, p.n_ab, na.n AS n_a, nb.n AS n_b,
+        |  CAST(p.n_ab * tot.nt AS DOUBLE) / CAST(na.n * nb.n AS DOUBLE)
+        |    AS lift
+        |FROM p
+        |JOIN n na ON na.i = p.item_a
+        |JOIN n nb ON nb.i = p.item_b
+        |CROSS JOIN tot
+        |ORDER BY item_a, item_b""".stripMargin,
+    "x_profile_winsorize" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(l_extendedprice, 0.01) AS p_lo,
+        |         quantile_cont(l_extendedprice, 0.99) AS p_hi
+        |  FROM lineitem)
+        |SELECT 'l_extendedprice' AS column_name, b.p_lo, b.p_hi,
+        |  count(*) FILTER (WHERE l_extendedprice < b.p_lo) AS n_below,
+        |  count(*) FILTER (WHERE l_extendedprice > b.p_hi) AS n_above,
+        |  count(*) AS n_total
+        |FROM lineitem CROSS JOIN b
+        |GROUP BY b.p_lo, b.p_hi""".stripMargin
   )
 
   /** Mirrors SparkEntry.SessionGapUs. A `def`: `sql` above interpolates

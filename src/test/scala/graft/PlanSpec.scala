@@ -443,6 +443,88 @@ class PlanSpec extends SparkSpec {
         sh.map(_.outputPartitioning).mkString(" | "))
   }
 
+  test("lastWriterWins is ONE hash aggregate — no window, no sort") {
+    import graft.ext.Cdc
+    val ev = Tables.load(spark, dir, "events")
+    val lww = Cdc.lastWriterWins(ev, Seq("user_id"),
+      Seq(unix_micros(col("ts")), col("event_id")),
+      Seq("event_id", "event_type", "value"),
+      col("event_type") === "error")
+    val all = nodes(lww)
+    assert(!all.exists(_.isInstanceOf[WindowExec]),
+      "LWW winner must be a max_by aggregate, not a row_number window")
+    assert(!all.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "LWW must not sort any key's history")
+    assert(shuffles(lww).size == 1,
+      "one exchange (the agg) — partial agg absorbs churn map-side")
+    // de-optimized probe: the oracle's row_number formulation — the
+    // per-key sort+window shape the contract rejects
+    import org.apache.spark.sql.expressions.Window
+    val probe = ev.withColumn("rn", row_number().over(
+        Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .where(col("rn") === 1 && col("event_type") =!= "error")
+    assert(nodes(probe).exists(_.isInstanceOf[WindowExec]),
+      "probe must plan a window")
+  }
+
+  test("funnel is per-step key joins + min aggs — no window, no cross") {
+    import graft.ext.Behavior
+    val ev = Tables.load(spark, dir, "events")
+    val f = Behavior.funnel(ev, "user_id", col("ts"), col("event_type"),
+      Seq("signup", "view", "click", "purchase"))
+    val all = nodes(f)
+    assert(!all.exists(_.isInstanceOf[WindowExec]),
+      "step transitions must be min-aggs, not ordered windows")
+    assert(!all.exists(n =>
+      n.getClass.getSimpleName.contains("CartesianProduct")),
+      "no unkeyed join anywhere in the funnel chain")
+    // each union branch re-states its prefix chain (the per-branch
+    // exchanges dedup via ReusedExchange at runtime), so the node count
+    // is Σ prefix joins — what must hold is: every join is keyed, none
+    // is a nested loop
+    assert(joinsOf(f).size >= 3,
+      s"expected the step joins to be present, got ${joinsOf(f).size}")
+    assert(joinsOf(f).forall(!_.getClass.getSimpleName
+      .contains("NestedLoop")), "every funnel join must be key-equi")
+  }
+
+  test("cohortRetention and pairLift stay window-free and key-joined") {
+    import graft.ext.Behavior
+    val ev = Tables.load(spark, dir, "events")
+    val cr = Behavior.cohortRetention(ev, "user_id",
+      unix_micros(col("ts")))
+    assert(!nodes(cr).exists(_.isInstanceOf[WindowExec]))
+    assert(!nodes(cr).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.SortExec]))
+    val pl = Behavior.pairLift(ev, "user_id", "event_type")
+    val pn = nodes(pl)
+    assert(!pn.exists(n =>
+      n.getClass.getSimpleName.contains("CartesianProduct")),
+      "pair generation must ride the user-key equi-join")
+    // the only nested-loop is the broadcast of the 1-row total
+    val bnlj = pn.filter(_.getClass.getSimpleName
+      .contains("BroadcastNestedLoopJoin"))
+    assert(bnlj.size <= 1,
+      s"only the 1-row total may broadcast-nest, got ${bnlj.size}")
+  }
+
+  test("winsorize transform is a narrow plan over broadcast bounds") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    val w = Profile.winsorize(li, "l_extendedprice", 0.01, 0.99)
+    // the only exchange allowed is the bounds fit's SinglePartition
+    // gather (one row per map partition); the data path itself is
+    // scan → broadcast-nest(1 row) → project — never re-partitioned
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val sh = shuffles(w)
+    assert(sh.forall(_.outputPartitioning == SinglePartition),
+      s"only the bounds-agg gather may shuffle: " +
+        sh.map(_.outputPartitioning).mkString(" | "))
+    assert(!nodes(w).exists(_.isInstanceOf[WindowExec]))
+  }
+
   test("tableDiff status join carries only (pk, hash) — never the values") {
     import graft.ext.Reconcile
     val docs = Tables.load(spark, dir, "documents")

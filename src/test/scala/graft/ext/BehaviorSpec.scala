@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  // user 1: full path a→b→c in order
+  // user 2: a then b, no c
+  // user 3: b BEFORE a — reaches a, not b (strictly-after semantics)
+  // user 4: a and b at the SAME ts — b not counted (strict >)
+  private def events = Seq(
+    (1L, "a", 100L), (1L, "b", 200L), (1L, "c", 300L),
+    (2L, "a", 100L), (2L, "b", 150L),
+    (3L, "b", 50L), (3L, "a", 100L),
+    (4L, "a", 100L), (4L, "b", 100L)
+  ).toDF("user_id", "etype", "ts")
+
+  test("funnel counts strictly-after transitions") {
+    val out = Behavior.funnel(events, "user_id", col("ts"), col("etype"),
+        Seq("a", "b", "c"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq((0, "a", 4L), (1, "b", 2L), (2, "c", 1L)))
+  }
+
+  test("weekIndex is exact long bucket arithmetic") {
+    val wk = 7L * 86400L * 1000000L
+    val out = Seq(0L, wk - 1, wk, wk + 1, 53L * wk)
+      .toDF("us")
+      .select(Behavior.weekIndex(col("us")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(0L, 0L, 1L, 1L, 53L))
+  }
+
+  test("cohortRetention cells count distinct cohort members") {
+    val wk = 7L * 86400L * 1000000L
+    // users 1,2 start week 0 (1 returns week 1, twice — still one user);
+    // user 3 starts week 1
+    val ev = Seq(
+      (1L, 10L), (1L, wk + 5L), (1L, wk + 6L),
+      (2L, 20L),
+      (3L, wk + 30L)
+    ).toDF("user_id", "us")
+    val out = Behavior.cohortRetention(ev, "user_id", col("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(out === Set((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L)))
+  }
+
+  test("pairLift computes exact counts and independence lift") {
+    // 4 ids: {x,y} ×2, {x} ×1, {y} ×1 → n_x=3, n_y=3, n_xy=2, N=4
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (4L, "y"), (1L, "x") // duplicate observation ignored
+    ).toDF("id", "item")
+    val out = Behavior.pairLift(df, "id", "item").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) === (("x", "y")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((2L, 3L, 3L)))
+    assert(r.getDouble(5) === 2.0 * 4.0 / 9.0)
+  }
+
+  test("winsorize clips into fitted bounds, summary counts the tails") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val sum = Profile.winsorizeSummary(df, "v", 0.05, 0.95).collect().head
+    // quantile_cont on 1..100: p05 = 5.95, p95 = 95.05
+    assert(sum.getString(0) === "v")
+    assert(math.abs(sum.getDouble(1) - 5.95) < 1e-9)
+    assert(math.abs(sum.getDouble(2) - 95.05) < 1e-9)
+    assert((sum.getLong(3), sum.getLong(4), sum.getLong(5)) ===
+      ((5L, 5L, 100L)))
+    val clipped = Profile.winsorize(df, "v", 0.05, 0.95)
+      .agg(min("v"), max("v")).collect().head
+    assert(math.abs(clipped.getDouble(0) - 5.95) < 1e-9)
+    assert(math.abs(clipped.getDouble(1) - 95.05) < 1e-9)
+  }
+}

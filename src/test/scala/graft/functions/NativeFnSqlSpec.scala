@@ -128,6 +128,32 @@ class NativeFnSqlSpec extends SparkSpec {
     } finally spark.conf.unset(LowerQuadraticArrayOps.EnabledConf)
   }
 
+  test("latest_by in SQL: lexicographic versions, tombstones, null versions") {
+    GraftFunctions.register(spark)
+    Seq(
+      (1L, 100L, 1L, "old"), (1L, 200L, 2L, "new"),
+      (2L, 300L, 1L, "tie-lo"), (2L, 300L, 2L, "tie-hi"),
+      (3L, 400L, 1L, "only")
+    ).toDF("k", "ts", "cid", "payload").createOrReplaceTempView("lb_t")
+    val out = spark.sql(
+      """SELECT k, latest_by(payload, array(ts, cid)) AS p
+        |FROM lb_t GROUP BY k ORDER BY k""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "new", 2L -> "tie-hi", 3L -> "only"))
+    // struct payloads survive the serialize/deserialize round-trip
+    val s = spark.sql(
+      """SELECT latest_by(struct(payload, cid), array(ts, cid)) AS p
+        |FROM lb_t WHERE k = 1""".stripMargin).collect()(0)
+      .getStruct(0)
+    assert(s.getString(0) === "new" && s.getLong(1) === 2L)
+    // null version rows are ignored entirely
+    val n = spark.sql(
+      """SELECT latest_by(payload, CASE WHEN cid = 2 THEN NULL
+        |  ELSE array(ts, cid) END) AS p
+        |FROM lb_t WHERE k = 1""".stripMargin).collect()(0)
+    assert(n.getString(0) === "old")
+  }
+
   test("minhash_sigs rejects a non-literal k at analysis time") {
     GraftFunctions.register(spark)
     Seq(Seq(1L, 2L)).toDF("sh").createOrReplaceTempView("mh_k")
