@@ -1613,6 +1613,78 @@ object SparkEntry {
     graft.ext.Profile.winsorizeSummary(t(s, dir, "lineitem"),
       "l_extendedprice", 0.01, 0.99)
 
+  /** Incremental MERGE-INTO (Cdc.applyChanges): snapshot of the first
+    * 19 days + the remaining days as a delta batch — the result must
+    * equal batch LWW over the whole log, so the oracle is x_cdc_merge's
+    * SQL verbatim (incremental ≡ batch invariant).
+    */
+  private def xCdcUpsert(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cut = to_timestamp(lit("2024-01-20 00:00:00"))
+    val ord = Seq(unix_micros(col("ts")), col("event_id"))
+    val pay = Seq("event_id", "event_type", "value")
+    val del = col("event_type") === "error"
+    val base = Cdc.lastWriterWins(ev.where(col("ts") < cut),
+      Seq("user_id"), ord, pay, del)
+    Cdc.applyChanges(base, ev.where(col("ts") >= cut),
+        Seq("user_id"), ord, pay, del)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  /** Point-in-time SCD2 lookup (Cdc.pointInTime): each purchase joined
+    * to the user-state version (non-purchase event history) valid at
+    * purchase time — key-equi hash join with the interval residual.
+    */
+  private def xCdcPit(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val hist = Cdc.scd2(
+        ev.where(col("event_type") =!= "purchase")
+          .select(col("user_id").as("h_user"),
+            col("event_id").as("state_event_id"),
+            col("event_type").as("state_type"), col("ts")),
+        Seq("h_user"), col("ts"), col("state_event_id"))
+      .select("h_user", "state_event_id", "state_type", "valid_from",
+        "valid_to")
+    val facts = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    Cdc.pointInTime(facts, hist, "user_id", "h_user", col("p_ts"))
+      .select(col("purchase_id"), col("user_id"),
+        col("state_event_id"), col("state_type"))
+      .orderBy("purchase_id")
+  }
+
+  /** Funnel step latencies (Behavior.funnelTimes): per transition the
+    * converting-user count, exact µs latency sum, and mean.
+    */
+  private def xFunnelTimes(s: SparkSession, dir: String): DataFrame =
+    Behavior.funnelTimes(t(s, dir, "events"), "user_id",
+        unix_micros(col("ts")), col("event_type"), FunnelSteps)
+      .orderBy("step_idx")
+
+  /** Quantile binning (Profile.quantileBuckets): l_extendedprice into
+    * quartile buckets off exact interpolated bounds.
+    */
+  private def xBinQuantile(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.quantileBuckets(t(s, dir, "lineitem"),
+        "l_extendedprice", Seq(0.25, 0.5, 0.75))
+      .orderBy("bucket")
+
+  /** Distribution drift (Reconcile.psi): PSI of l_extendedprice between
+    * the F and O linestatus populations over 10 fixed-width bins
+    * (900–105000, integer-exact width).
+    */
+  private def xDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    Reconcile.psi(
+        li.where(col("l_linestatus") === "F"),
+        li.where(col("l_linestatus") === "O"),
+        "l_extendedprice", 900.0, 105000.0, 10)
+      .orderBy("bin")
+  }
+
   // -------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_pk_lineitem" -> (k1PkLineitem _),
@@ -1767,7 +1839,12 @@ object SparkEntry {
     "x_funnel" -> (xFunnel _),
     "x_cohort" -> (xCohort _),
     "x_basket_lift" -> (xBasketLift _),
-    "x_profile_winsorize" -> (xProfileWinsorize _)
+    "x_profile_winsorize" -> (xProfileWinsorize _),
+    "x_cdc_upsert" -> (xCdcUpsert _),
+    "x_cdc_pit" -> (xCdcPit _),
+    "x_funnel_times" -> (xFunnelTimes _),
+    "x_bin_quantile" -> (xBinQuantile _),
+    "x_drift_psi" -> (xDriftPsi _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -75,6 +75,51 @@ object Behavior {
     }.reduce(_.unionAll(_))
   }
 
+  /** [[funnel]] with step LATENCIES: for every transition k−1 → k
+    * (step_idx ≥ 1) the number of converting users, the exact long sum
+    * of their per-user transition times (µs), and the mean. `tsMicros`
+    * must be a LONG microsecond column (unlike [[funnel]], arithmetic
+    * happens on it). Same join/min-agg chain — the previous step's
+    * arrival time rides along as a constant-per-group max, so the
+    * delta is computed without any extra join or window. The mean is
+    * the ONLY float op (one IEEE division of exact integers); empty
+    * steps report (0, 0, null).
+    */
+  def funnelTimes(
+      events: DataFrame,
+      userCol: String,
+      tsMicros: Column,
+      typeCol: Column,
+      steps: Seq[String]): DataFrame = {
+    require(steps.length >= 2, "funnelTimes needs at least two steps")
+    var reached = events.where(typeCol === steps.head)
+      .groupBy(userCol).agg(min(tsMicros).as("__graft_t"))
+    val perStep =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, DataFrame)]
+    for (i <- 1 until steps.length) {
+      val prev = reached.select(col(userCol),
+        col("__graft_t").as("__graft_tp"))
+      reached = events.where(typeCol === steps(i))
+        .join(prev, userCol)
+        .where(tsMicros > col("__graft_tp"))
+        .groupBy(userCol)
+        .agg(min(tsMicros).as("__graft_t"),
+          max("__graft_tp").as("__graft_tp")) // constant per group
+      perStep += ((i, steps(i), reached))
+    }
+    perStep.map { case (i, s, df) =>
+      df.agg(
+          count(lit(1)).as("users"),
+          coalesce(sum(col("__graft_t") - col("__graft_tp")), lit(0L))
+            .as("sum_us"))
+        .select(lit(i).as("step_idx"), lit(s).as("step"), col("users"),
+          col("sum_us"),
+          when(col("users") > 0,
+            col("sum_us").cast("double") / col("users").cast("double"))
+            .as("avg_us"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Weekly cohort retention: users are cohorted by the week of their
     * FIRST event; each (cohort_week, week_offset) cell counts the
     * distinct cohort members active that many weeks later (offset 0 =

@@ -51,17 +51,79 @@ object Cdc {
       keyCols: Seq[String],
       ordCols: Seq[Column],
       payloadCols: Seq[String],
+      isDelete: Column): DataFrame =
+    compactLatest(
+      changes.select(keyCols.map(col) ++ payloadCols.map(col) :+
+        isDelete.as("__graft_del") :+
+        array(ordCols: _*).as("__graft_v"): _*),
+      keyCols, payloadCols)
+
+  /** MERGE-INTO: apply a delta batch of changes onto a base snapshot —
+    * upserts replace (or insert) the key's row, tombstones remove it.
+    * Base rows compete with the MINIMAL version vector, so ANY change
+    * for the key wins over the snapshot (a delta batch is by definition
+    * newer than the snapshot it applies to); among multiple changes the
+    * usual last-writer order decides. Incremental invariant (asserted
+    * in CdcSpec and by the harness oracle): applyChanges(snapshot(log ≤
+    * t), changes(log > t)) == lastWriterWins(log) whenever the cut is
+    * clean. Same single-hash-agg shape as [[lastWriterWins]] over
+    * base ∪ changes.
+    */
+  def applyChanges(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      ordCols: Seq[Column],
+      payloadCols: Seq[String],
       isDelete: Column): DataFrame = {
+    val b = base.select(keyCols.map(col) ++ payloadCols.map(col) :+
+      lit(false).as("__graft_del") :+
+      array(Seq.fill(ordCols.length)(lit(Long.MinValue)): _*)
+        .as("__graft_v"): _*)
+    val c = changes.select(keyCols.map(col) ++ payloadCols.map(col) :+
+      isDelete.as("__graft_del") :+
+      array(ordCols: _*).as("__graft_v"): _*)
+    compactLatest(b.unionByName(c), keyCols, payloadCols)
+  }
+
+  /** Shared LWW core: rows carry (__graft_del, __graft_v) — one
+    * latest_by hash aggregate, tombstoned winners dropped.
+    */
+  private def compactLatest(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame = {
     val payload = struct(
-      (payloadCols.map(col) :+ isDelete.as("__graft_del")): _*)
-    changes
+      (payloadCols.map(col) :+ col("__graft_del")): _*)
+    rows
       .groupBy(keyCols.map(col): _*)
-      .agg(graft.functions.LatestBy.latest(payload, ordCols)
-        .as("__graft_last"))
+      .agg(graft.functions.LatestBy
+        .latestVector(payload, col("__graft_v")).as("__graft_last"))
       .where(!col("__graft_last.__graft_del"))
       .select(keyCols.map(col) ++
         payloadCols.map(c => col(s"__graft_last.$c").as(c)): _*)
   }
+
+  /** Point-in-time lookup: each fact row joined to the `history`
+    * version row (an [[scd2]] output: valid_from / valid_to columns,
+    * open interval = null valid_to) that was valid at the fact's
+    * timestamp. Equi-join on the key with the interval as a RESIDUAL
+    * predicate — a hash join, never a nested loop; SCD2 intervals are
+    * disjoint half-open per key, so at most one history row matches.
+    * Left-outer: facts before the key's first version survive with
+    * null state. Callers rename overlapping columns beforehand.
+    */
+  def pointInTime(
+      facts: DataFrame,
+      history: DataFrame,
+      factKey: String,
+      histKey: String,
+      factTs: Column): DataFrame =
+    facts.join(history,
+      facts(factKey) === history(histKey) &&
+        history("valid_from") <= factTs &&
+        (history("valid_to").isNull || factTs < history("valid_to")),
+      "left_outer")
 
   /** SCD-type-2 history: every change becomes a row whose validity
     * interval is [its own `ordCol`, the key's NEXT change's `ordCol`),

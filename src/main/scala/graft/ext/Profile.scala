@@ -193,6 +193,36 @@ object Profile {
         col("n_below"), col("n_above"), col("n_total"))
   }
 
+  /** Quantile (equal-frequency) binning report: fit interpolated
+    * percentile bounds at `probabilities`, then bucket every non-null
+    * value by how many bounds it reaches (bucket k = between the k-th
+    * and (k+1)-th bound; |probabilities|+1 buckets). The
+    * feature-discretization twin of [[histogram]]'s fixed-width bins:
+    * same broadcast-bounds + one-hash-agg shape (the bucket id is a sum
+    * of comparisons against the broadcast 1-row bounds — narrow until
+    * the bins-bounded aggregate), same exact-percentile parity basis as
+    * [[winsorizeSummary]]. Output: (bucket, cnt, bin_min, bin_max),
+    * ≤ |probabilities|+1 rows at any scale.
+    */
+  def quantileBuckets(df: DataFrame, c: String,
+      probabilities: Seq[Double]): DataFrame = {
+    require(probabilities.nonEmpty &&
+      probabilities.forall(p => p > 0 && p < 1) &&
+      probabilities == probabilities.sorted,
+      "probabilities must be sorted and strictly inside (0, 1)")
+    val v = col(c).cast("double")
+    val bounds = df.agg(
+      percentile(v, array(probabilities.map(lit): _*)).as("__graft_b"))
+    val bucket = probabilities.indices
+      .map(i => (v >= element_at(col("__graft_b"), i + 1)).cast("int"))
+      .reduce(_ + _)
+    df.where(v.isNotNull)
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucket.cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"), min(v).as("bin_min"),
+        max(v).as("bin_max"))
+  }
+
   /** Fixed-width histogram of a numeric column over [lo, hi): one
     * hash-agg on the bin index (integer arithmetic — no windows, no
     * sort), rows outside the range are dropped (a profiling histogram

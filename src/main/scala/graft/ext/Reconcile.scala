@@ -92,4 +92,45 @@ object Reconcile {
     sums.selectExpr(
       s"stack(${compare.size}, $stackExpr) AS (column_name, n_changed)")
   }
+
+  /** Population stability index between two snapshots of a numeric
+    * column, over the same fixed-width bins as [[Profile.histogram]]:
+    * per bin, both counts and the PSI term (p−q)·ln(p/q) with shares
+    * floored at `eps` so empty bins contribute a finite penalty (the
+    * standard smoothing). Σ terms ≥ 0.2 is the conventional "shifted"
+    * alarm. Two histogram aggregates (bins-bounded), a full-outer join
+    * of two ≤`bins`-row frames, totals folded from the joined frame
+    * under a scoped cache — input scanned ONCE per side at any scale.
+    * Float ops (shares, ln) run on exact integer inputs, so terms are
+    * engine-portable under the same platform-libm caveat as the
+    * entropy scores.
+    */
+  def psi(oldDf: DataFrame, newDf: DataFrame, c: String,
+      lo: Double, hi: Double, bins: Int,
+      eps: Double = 1e-6): DataFrame = {
+    val ho = graft.ext.Profile.histogram(oldDf, c, lo, hi, bins)
+      .select(col("bin"), col("cnt").as("n_old"))
+    val hn = graft.ext.Profile.histogram(newDf, c, lo, hi, bins)
+      .select(col("bin").as("__graft_bin_n"), col("cnt").as("n_new"))
+    val joined = ho.join(hn, col("bin") === col("__graft_bin_n"),
+        "full_outer")
+      .select(
+        coalesce(col("bin"), col("__graft_bin_n")).as("bin"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    graft.ext.CacheScope.withCached(joined) { j =>
+      val totals = broadcast(j.agg(
+        sum(col("n_old")).as("__graft_to"),
+        sum(col("n_new")).as("__graft_tn")))
+      val p = greatest(
+        col("n_old").cast("double") / col("__graft_to").cast("double"),
+        lit(eps))
+      val q = greatest(
+        col("n_new").cast("double") / col("__graft_tn").cast("double"),
+        lit(eps))
+      j.crossJoin(totals)
+        .select(col("bin"), col("n_old"), col("n_new"),
+          ((p - q) * log(p / q)).as("psi_term"))
+    }
+  }
 }

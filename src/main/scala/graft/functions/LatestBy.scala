@@ -170,9 +170,15 @@ object LatestBy {
     * SECONDS; the array<long> cast below only widens integrals.
     */
   def latest(payload: Column, versions: Seq[Column]): Column =
+    latestVector(payload,
+      org.apache.spark.sql.functions.array(versions: _*))
+
+  /** Variant taking an already-assembled `array<long>` version column
+    * (e.g. a stored version vector). Same integral-only contract.
+    */
+  def latestVector(payload: Column, versionArray: Column): Column =
     GraftSqlShim.column(LatestBy(
       GraftSqlShim.expression(payload),
-      Cast(GraftSqlShim.expression(
-          org.apache.spark.sql.functions.array(versions: _*)),
+      Cast(GraftSqlShim.expression(versionArray),
         ArrayType(LongType, containsNull = true))).toAggregateExpression())
 }

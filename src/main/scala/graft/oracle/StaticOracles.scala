@@ -2091,18 +2091,100 @@ private[graft] object StaticOracles {
         |  CAST(r AS BIGINT) AS rank_scaled
         |FROM r3 ORDER BY rank_scaled DESC, node_id LIMIT 20""".stripMargin
     },
-    // LWW semantics, window formulation: the Spark side is one max_by
+    // LWW semantics, window formulation: the Spark side is one latest_by
     // hash agg; rn = 1 over (ts DESC, event_id DESC) is the same winner
-    "x_cdc_merge" ->
-      """WITH last AS (
-        |  SELECT user_id, event_id, event_type, value,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events)
-        |SELECT user_id, event_id AS last_event_id,
-        |  event_type AS last_type, value AS last_value
-        |FROM last WHERE rn = 1 AND event_type <> 'error'
-        |ORDER BY user_id""".stripMargin,
+    "x_cdc_merge" -> cdcMergeOracle,
+    // SAME SQL on purpose: applyChanges(snapshot(≤cut), delta(>cut))
+    // must equal batch LWW over the whole log — the incremental ≡ batch
+    // invariant IS the oracle
+    "x_cdc_upsert" -> cdcMergeOracle,
+    "x_cdc_pit" ->
+      """WITH hist AS (
+        |  SELECT user_id, event_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to
+        |  FROM events WHERE event_type <> 'purchase'),
+        |f AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT f.event_id AS purchase_id, f.user_id,
+        |  h.event_id AS state_event_id, h.event_type AS state_type
+        |FROM f LEFT JOIN hist h ON h.user_id = f.user_id
+        |  AND h.valid_from <= f.ts
+        |  AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+        |ORDER BY purchase_id""".stripMargin,
+    "x_funnel_times" -> {
+      val steps = Fixtures.FunnelSteps
+      val ctes = steps.indices.map { i =>
+        if (i == 0)
+          s"""s0 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+             |  WHERE event_type = '${steps(0)}' GROUP BY user_id)"""
+            .stripMargin
+        else
+          s"""s$i AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t,
+             |    max(p.t) AS tp
+             |  FROM events e JOIN s${i - 1} p ON e.user_id = p.user_id
+             |  WHERE e.event_type = '${steps(i)}'
+             |    AND epoch_us(e.ts) > p.t
+             |  GROUP BY e.user_id)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 until steps.length).map { i =>
+        val alias = (c: String) => if (i == 1) s" AS $c" else ""
+        s"""SELECT $i${alias("step_idx")}, '${steps(i)}'${alias("step")},
+           |  (SELECT count(*) FROM s$i)${alias("users")},
+           |  (SELECT CAST(coalesce(sum(t - tp), 0) AS BIGINT) FROM s$i)${alias("sum_us")},
+           |  (SELECT CASE WHEN count(*) > 0
+           |     THEN CAST(sum(t - tp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           |   END FROM s$i)${alias("avg_us")}""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"WITH $ctes\n$rows\nORDER BY step_idx"
+    },
+    "x_bin_quantile" ->
+      """WITH b AS (
+        |  SELECT
+        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS b1,
+        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS b2,
+        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS b3
+        |  FROM lineitem)
+        |SELECT CAST(
+        |    (CASE WHEN v >= b1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v >= b2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v >= b3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket,
+        |  count(*) AS cnt, min(v) AS bin_min, max(v) AS bin_max
+        |FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL) CROSS JOIN b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // bin width (105000-900)/10 = 10410 is integer-exact, so the
+    // histogram's least() clamp never fires and the SQL can omit it
+    "x_drift_psi" ->
+      """WITH ho AS (
+        |  SELECT CAST(floor((CAST(l_extendedprice AS DOUBLE) - 900.0)
+        |      / 10410.0) AS BIGINT) AS bin, count(*) AS n_old
+        |  FROM lineitem
+        |  WHERE l_linestatus = 'F'
+        |    AND CAST(l_extendedprice AS DOUBLE) >= 900.0
+        |    AND CAST(l_extendedprice AS DOUBLE) < 105000.0
+        |  GROUP BY 1),
+        |hn AS (
+        |  SELECT CAST(floor((CAST(l_extendedprice AS DOUBLE) - 900.0)
+        |      / 10410.0) AS BIGINT) AS bin, count(*) AS n_new
+        |  FROM lineitem
+        |  WHERE l_linestatus = 'O'
+        |    AND CAST(l_extendedprice AS DOUBLE) >= 900.0
+        |    AND CAST(l_extendedprice AS DOUBLE) < 105000.0
+        |  GROUP BY 1),
+        |j AS (SELECT coalesce(ho.bin, hn.bin) AS bin,
+        |    CAST(coalesce(ho.n_old, 0) AS BIGINT) AS n_old,
+        |    CAST(coalesce(hn.n_new, 0) AS BIGINT) AS n_new
+        |  FROM ho FULL OUTER JOIN hn ON ho.bin = hn.bin),
+        |tt AS (SELECT CAST(sum(n_old) AS DOUBLE) AS t_old,
+        |    CAST(sum(n_new) AS DOUBLE) AS t_new FROM j)
+        |SELECT bin, n_old, n_new,
+        |  (greatest(CAST(n_old AS DOUBLE) / t_old, 0.000001)
+        |     - greatest(CAST(n_new AS DOUBLE) / t_new, 0.000001))
+        |  * ln(greatest(CAST(n_old AS DOUBLE) / t_old, 0.000001)
+        |     / greatest(CAST(n_new AS DOUBLE) / t_new, 0.000001))
+        |    AS psi_term
+        |FROM j CROSS JOIN tt ORDER BY bin""".stripMargin,
     "x_cdc_scd2" ->
       """SELECT user_id, event_id, event_type,
         |  ts AS valid_from,
@@ -2181,4 +2263,19 @@ private[graft] object StaticOracles {
     * be 0 at that point.
     */
   private def duckSessionGapUs: Long = 6L * 3600L * 1000000L
+
+  /** Shared by x_cdc_merge and x_cdc_upsert (a `def` for the same
+    * object-init reason as [[duckSessionGapUs]]): the window
+    * formulation of events-as-change-log LWW with 'error' tombstones.
+    */
+  private def cdcMergeOracle: String =
+    """WITH last AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_id AS last_event_id,
+      |  event_type AS last_type, value AS last_value
+      |FROM last WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
 }

@@ -525,6 +525,54 @@ class PlanSpec extends SparkSpec {
     assert(!nodes(w).exists(_.isInstanceOf[WindowExec]))
   }
 
+  test("applyChanges keeps the merge in one hash agg; pointInTime hash-joins") {
+    import graft.ext.Cdc
+    val ev = Tables.load(spark, dir, "events")
+    val ord = Seq(unix_micros(col("ts")), col("event_id"))
+    val pay = Seq("event_id", "event_type", "value")
+    val del = col("event_type") === "error"
+    val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+    val base = Cdc.lastWriterWins(ev.where(col("ts") < cut),
+      Seq("user_id"), ord, pay, del)
+    val merged = Cdc.applyChanges(base, ev.where(col("ts") >= cut),
+      Seq("user_id"), ord, pay, del)
+    val all = nodes(merged)
+    assert(!all.exists(_.isInstanceOf[WindowExec]))
+    assert(!all.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "merge must stay in (Object)HashAggregate — no SortAggregate")
+    // interval lookup: equi hash join with the interval as residual —
+    // a nested loop would rescan history per fact
+    val hist = Cdc.scd2(ev.select(col("user_id").as("hk"),
+        col("event_id").as("scid"), col("ts")),
+      Seq("hk"), col("ts"), col("scid"))
+      .select("hk", "scid", "valid_from", "valid_to")
+    val facts = ev.select(col("event_id").as("fid"), col("user_id"),
+      col("ts").as("fts"))
+    val pit = Cdc.pointInTime(facts, hist, "user_id", "hk", col("fts"))
+    assert(joinsOf(pit).nonEmpty && joinsOf(pit).forall(
+      !_.getClass.getSimpleName.contains("NestedLoop")),
+      "point-in-time lookup must plan as a key-equi hash join")
+  }
+
+  test("quantileBuckets and funnelTimes stay sort- and window-free") {
+    import graft.ext.Behavior
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    val qb = Profile.quantileBuckets(li, "l_extendedprice",
+      Seq(0.25, 0.5, 0.75))
+    val qn = nodes(qb)
+    assert(!qn.exists(_.isInstanceOf[WindowExec]))
+    assert(!qn.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "bucket assignment must be comparisons against broadcast bounds")
+    val ev = Tables.load(spark, dir, "events")
+    val ft = Behavior.funnelTimes(ev, "user_id", unix_micros(col("ts")),
+      col("event_type"), Seq("signup", "view", "click"))
+    assert(!nodes(ft).exists(_.isInstanceOf[WindowExec]),
+      "step latencies must ride the min-agg chain, not a window")
+  }
+
   test("tableDiff status join carries only (pk, hash) — never the values") {
     import graft.ext.Reconcile
     val docs = Tables.load(spark, dir, "documents")

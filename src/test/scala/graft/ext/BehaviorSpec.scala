@@ -26,6 +26,39 @@ class BehaviorSpec extends SparkSpec {
     assert(out.toSeq === Seq((0, "a", 4L), (1, "b", 2L), (2, "c", 1L)))
   }
 
+  test("funnelTimes reports exact transition latency sums") {
+    val out = Behavior.funnelTimes(events, "user_id", col("ts"),
+        col("etype"), Seq("a", "b", "c"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
+      .sortBy(_._1)
+    // a→b: users 1 (delta 100) and 2 (delta 50) → sum 150, avg 75
+    // b→c: user 1 (delta 100)
+    assert(out.toSeq === Seq(
+      (1, "b", 2L, 150L, 75.0), (2, "c", 1L, 100L, 100.0)))
+  }
+
+  test("funnelTimes reports (0, 0, null) for an unreached step") {
+    val out = Behavior.funnelTimes(events, "user_id", col("ts"),
+        col("etype"), Seq("a", "c", "b"))
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
+        r.isNullAt(4)))
+      .sortBy(_._1)
+    // a→c reached by user 1 only (delta 200); c→b never
+    assert(out.toSeq === Seq((1, 1L, 200L, false), (2, 0L, 0L, true)))
+  }
+
+  test("quantileBuckets assigns by fitted bounds with exact edges") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Profile.quantileBuckets(df, "v", Seq(0.25, 0.5, 0.75))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+      .sortBy(_._1)
+    // bounds: 25.75, 50.5, 75.25 → bucket sizes 25, 25, 25, 25
+    assert(out.map(_._2).toSeq === Seq(25L, 25L, 25L, 25L))
+    assert(out(1)._3 === 26.0 && out(1)._4 === 50.0)
+  }
+
   test("weekIndex is exact long bucket arithmetic") {
     val wk = 7L * 86400L * 1000000L
     val out = Seq(0L, wk - 1, wk, wk + 1, 53L * wk)

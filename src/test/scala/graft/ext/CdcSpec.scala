@@ -30,6 +30,58 @@ class CdcSpec extends SparkSpec {
     assert(out === Set((1L, 11L, "b"), (3L, 31L, "d"), (4L, 41L, "f")))
   }
 
+  test("applyChanges: upsert replaces, tombstone removes, insert adds") {
+    val base = Seq(
+      (1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")
+    ).toDF("k", "cid", "payload")
+    val delta = Seq(
+      (1L, 11L, 500L, "a2", false),  // upsert existing
+      (2L, 21L, 500L, "x", true),    // delete existing
+      (4L, 40L, 500L, "d", false)    // insert new key
+    ).toDF("k", "cid", "ts", "payload", "del")
+    val out = Cdc.applyChanges(base, delta, Seq("k"),
+        Seq(col("ts"), col("cid")), Seq("cid", "payload"), col("del"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(out === Set((1L, 11L, "a2"), (3L, 30L, "c"), (4L, 40L, "d")))
+  }
+
+  test("applyChanges incremental == batch lastWriterWins on a clean cut") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val ord = Seq(unix_micros(col("ts")), col("event_id"))
+    val pay = Seq("event_id", "event_type", "value")
+    val del = col("event_type") === "error"
+    val cut = to_timestamp(lit("2024-01-20 00:00:00"))
+    val batch = Cdc.lastWriterWins(ev, Seq("user_id"), ord, pay, del)
+      .collect().map(_.toSeq).toSet
+    val base = Cdc.lastWriterWins(ev.where(col("ts") < cut),
+      Seq("user_id"), ord, pay, del)
+    val inc = Cdc.applyChanges(base, ev.where(col("ts") >= cut),
+        Seq("user_id"), ord, pay, del)
+      .collect().map(_.toSeq).toSet
+    assert(inc === batch)
+  }
+
+  test("pointInTime resolves each fact to the one valid interval") {
+    val hist = Cdc.scd2(changes.select(col("k").as("hk"),
+          col("cid").as("state_cid"), col("ts")),
+        Seq("hk"), col("ts"), col("state_cid"))
+      .select("hk", "state_cid", "valid_from", "valid_to")
+    // facts: before first version (null state), mid-interval, at a
+    // boundary (second interval wins — half-open), after last version
+    val facts = Seq(
+      (100L, 1L, 50L), (101L, 1L, 150L), (102L, 1L, 200L),
+      (103L, 1L, 999L)
+    ).toDF("fid", "k", "fts")
+    val out = Cdc.pointInTime(facts, hist, "k", "hk", col("fts"))
+      .select(col("fid"), col("state_cid"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out === Map(100L -> -1L, 101L -> 10L, 102L -> 11L,
+      103L -> 11L))
+  }
+
   test("scd2 builds half-open intervals with one current row per key") {
     val out = Cdc.scd2(changes, Seq("k"), col("ts"), col("cid"))
       .select(col("cid"), col("valid_from"), col("valid_to"),

@@ -58,6 +58,24 @@ class ReconcileSpec extends SparkSpec {
     assert(hs.distinct.length === 3)
   }
 
+  test("psi: identical distributions score zero, a shifted bin is penalized") {
+    val a = ((1 to 40).map(_ => 1.0) ++ (1 to 60).map(_ => 3.0)).toDF("v")
+    val same = Reconcile.psi(a, a, "v", 0.0, 4.0, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(same.map(_._1).toSeq === Seq(1L, 3L))
+    assert(same.forall(_._4 === 0.0)) // p == q → (p-q)·ln(p/q) = 0
+    // all mass moves from bin 1 to bin 3: both terms positive
+    val b = (1 to 100).map(_ => 3.0).toDF("v")
+    val moved = Reconcile.psi(a, b, "v", 0.0, 4.0, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(moved.map(t => (t._1, t._2, t._3)).toSeq ===
+      Seq((1L, 40L, 0L), (3L, 60L, 100L)))
+    assert(moved.forall(_._4 > 0.0))
+    assert(moved.map(_._4).sum > 0.2) // the conventional alarm level
+  }
+
   test("composite primary keys work") {
     val a = Seq((1L, "x", "v1"), (1L, "y", "v2")).toDF("k1", "k2", "v")
     val b = Seq((1L, "x", "v1"), (1L, "y", "v9")).toDF("k1", "k2", "v")
