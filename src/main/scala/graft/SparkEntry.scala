@@ -1664,12 +1664,16 @@ object SparkEntry {
         unix_micros(col("ts")), col("event_type"), FunnelSteps)
       .orderBy("step_idx")
 
-  /** Quantile binning (Profile.quantileBuckets): l_extendedprice into
-    * quartile buckets off exact interpolated bounds.
+  /** Quantile binning (Profile.quantileBuckets): l_quantity into
+    * quartile buckets off exact interpolated bounds. Exact mode is the
+    * oracle-parity opt-in and is priced for bounded-cardinality
+    * columns like this one (50 distinct values); the library default
+    * (percentile_approx sketch) is what a near-unique measure column
+    * gets, plan-asserted in PlanSpec.
     */
   private def xBinQuantile(s: SparkSession, dir: String): DataFrame =
     graft.ext.Profile.quantileBuckets(t(s, dir, "lineitem"),
-        "l_extendedprice", Seq(0.25, 0.5, 0.75))
+        "l_quantity", Seq(0.25, 0.5, 0.75), exact = true)
       .orderBy("bucket")
 
   /** Distribution drift (Reconcile.psi): PSI of l_extendedprice between

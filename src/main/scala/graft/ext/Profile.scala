@@ -203,16 +203,26 @@ object Profile {
     * the bins-bounded aggregate), same exact-percentile parity basis as
     * [[winsorizeSummary]]. Output: (bucket, cnt, bin_min, bin_max),
     * ≤ |probabilities|+1 rows at any scale.
+    *
+    * Same default as [[numericProfile]]: the bounds fit uses the
+    * bounded-state `percentile_approx` sketch (the only shape that
+    * survives a near-unique measure column at 100 TB — the exact
+    * percentile's value→count partial is as big as the column's
+    * cardinality); `exact = true` opts into exact interpolated bounds
+    * (the oracle-parity mode the harness runs).
     */
   def quantileBuckets(df: DataFrame, c: String,
-      probabilities: Seq[Double]): DataFrame = {
+      probabilities: Seq[Double],
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(probabilities.nonEmpty &&
       probabilities.forall(p => p > 0 && p < 1) &&
       probabilities == probabilities.sorted,
       "probabilities must be sorted and strictly inside (0, 1)")
     val v = col(c).cast("double")
+    val probs = array(probabilities.map(lit): _*)
     val bounds = df.agg(
-      percentile(v, array(probabilities.map(lit): _*)).as("__graft_b"))
+      (if (exact) percentile(v, probs)
+       else percentile_approx(v, probs, lit(accuracy))).as("__graft_b"))
     val bucket = probabilities.indices
       .map(i => (v >= element_at(col("__graft_b"), i + 1)).cast("int"))
       .reduce(_ + _)

@@ -2141,17 +2141,17 @@ private[graft] object StaticOracles {
     "x_bin_quantile" ->
       """WITH b AS (
         |  SELECT
-        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS b1,
-        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS b2,
-        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS b3
+        |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS b1,
+        |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS b2,
+        |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS b3
         |  FROM lineitem)
         |SELECT CAST(
         |    (CASE WHEN v >= b1 THEN 1 ELSE 0 END)
         |    + (CASE WHEN v >= b2 THEN 1 ELSE 0 END)
         |    + (CASE WHEN v >= b3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket,
         |  count(*) AS cnt, min(v) AS bin_min, max(v) AS bin_max
-        |FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
-        |  WHERE l_extendedprice IS NOT NULL) CROSS JOIN b
+        |FROM (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_quantity IS NOT NULL) CROSS JOIN b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // bin width (105000-900)/10 = 10410 is integer-exact, so the
     // histogram's least() clamp never fires and the SQL can omit it

@@ -560,7 +560,7 @@ class PlanSpec extends SparkSpec {
     val li = Tables.load(spark, dir, "lineitem")
       .select("l_orderkey", "l_extendedprice")
     val qb = Profile.quantileBuckets(li, "l_extendedprice",
-      Seq(0.25, 0.5, 0.75))
+      Seq(0.25, 0.5, 0.75))  // library default: sketch bounds
     val qn = nodes(qb)
     assert(!qn.exists(_.isInstanceOf[WindowExec]))
     assert(!qn.exists(

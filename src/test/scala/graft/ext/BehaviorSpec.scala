@@ -50,7 +50,7 @@ class BehaviorSpec extends SparkSpec {
 
   test("quantileBuckets assigns by fitted bounds with exact edges") {
     val df = (1 to 100).map(_.toDouble).toDF("v")
-    val out = Profile.quantileBuckets(df, "v", Seq(0.25, 0.5, 0.75))
+    val out = Profile.quantileBuckets(df, "v", Seq(0.25, 0.5, 0.75), exact = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getDouble(3)))
       .sortBy(_._1)
