@@ -1689,6 +1689,16 @@ object SparkEntry {
       .orderBy("bin")
   }
 
+  /** Gap-filled resampling (TimeSeries.resampleCounts): events onto a
+    * 5-minute grid with empty buckets as explicit zero rows — the grid
+    * from a sequence off the bounds agg, mirrored by the oracle's
+    * generate_series.
+    */
+  private def xTsResample(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.resampleCounts(t(s, dir, "events"),
+        unix_micros(col("ts")), 300L * 1000000L)
+      .orderBy("bucket")
+
   // -------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_pk_lineitem" -> (k1PkLineitem _),
@@ -1848,7 +1858,8 @@ object SparkEntry {
     "x_cdc_pit" -> (xCdcPit _),
     "x_funnel_times" -> (xFunnelTimes _),
     "x_bin_quantile" -> (xBinQuantile _),
-    "x_drift_psi" -> (xDriftPsi _)
+    "x_drift_psi" -> (xDriftPsi _),
+    "x_ts_resample" -> (xTsResample _)
   )
 
   // ------------------------------------------------------------- oracles

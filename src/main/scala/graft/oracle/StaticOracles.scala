@@ -2153,6 +2153,19 @@ private[graft] object StaticOracles {
         |FROM (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
         |  WHERE l_quantity IS NOT NULL) CROSS JOIN b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // unnest(generate_series(lo, hi)) — the scalar-list form takes
+    // column args; the table function would demand constants
+    "x_ts_resample" ->
+      """WITH b AS (SELECT epoch_us(ts) // 300000000 AS bk FROM events),
+        |agg AS (SELECT bk, count(*) AS n FROM b GROUP BY bk),
+        |bounds AS (SELECT min(bk) AS lo, max(bk) AS hi FROM b),
+        |rng AS (SELECT unnest(generate_series(lo, hi)) AS bucket
+        |  FROM bounds)
+        |SELECT r.bucket,
+        |  make_timestamp(r.bucket * 300000000) AS bucket_start,
+        |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_events
+        |FROM rng r LEFT JOIN agg a ON a.bk = r.bucket
+        |ORDER BY r.bucket""".stripMargin,
     // bin width (105000-900)/10 = 10410 is integer-exact, so the
     // histogram's least() clamp never fires and the SQL can omit it
     "x_drift_psi" ->

@@ -379,6 +379,37 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("share column name"))
   }
 
+  test("latest_by streaming aggregation equals batch lastWriterWins") {
+    import graft.functions.LatestBy
+    import graft.ext.Cdc
+    // the CDC current-state view as a LIVE streaming aggregation: the
+    // same native latest_by argmax runs inside the streaming state
+    // store (complete mode) — per-key state is O(1), exactly like the
+    // batch plan's ObjectHashAggregate buffer
+    def lww(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("user_id")
+      .agg(LatestBy.latest(
+          struct(col("event_id"), col("event_type")),
+          Seq(unix_micros(col("ts")), col("event_id"))).as("last"))
+      .select(col("user_id"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"))
+    val streamed = runStream("lww", lww, mode = "complete")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val batch = lww(batchEvents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(streamed === batch)
+    // and both agree with the Cdc operator (no tombstones configured)
+    val viaCdc = Cdc.lastWriterWins(batchEvents, Seq("user_id"),
+        Seq(unix_micros(col("ts")), col("event_id")),
+        Seq("event_id", "event_type"), lit(false))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(viaCdc === batch)
+  }
+
   test("violation flags are streaming-safe (stateless projection)") {
     val schema = TableSchema(Seq(
       Field("event_type", constraints = Constraints(
