@@ -1699,6 +1699,15 @@ object SparkEntry {
         unix_micros(col("ts")), 300L * 1000000L)
       .orderBy("bucket")
 
+  /** Benford scan (Profile.benford): leading-digit distribution of
+    * l_extendedprice vs log10(1+1/d). The synthetic uniform prices
+    * should NOT follow Benford — the scan's job is to report that
+    * faithfully, and the oracle pins every digit share.
+    */
+  private def xProfileBenford(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.benford(t(s, dir, "lineitem"), "l_extendedprice")
+      .orderBy("digit")
+
   // -------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_pk_lineitem" -> (k1PkLineitem _),
@@ -1859,7 +1868,8 @@ object SparkEntry {
     "x_funnel_times" -> (xFunnelTimes _),
     "x_bin_quantile" -> (xBinQuantile _),
     "x_drift_psi" -> (xDriftPsi _),
-    "x_ts_resample" -> (xTsResample _)
+    "x_ts_resample" -> (xTsResample _),
+    "x_profile_benford" -> (xProfileBenford _)
   )
 
   // ------------------------------------------------------------- oracles

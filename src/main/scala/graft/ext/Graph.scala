@@ -100,4 +100,19 @@ object Graph {
       }
     } finally e.unpersist(blocking = false)
   }
+
+  /** Weakly-connected components over an undirected edge list:
+    * (id, component_id) with the component labeled by its minimum
+    * member id. Delegates to the min-label propagation core shared
+    * with [[Dedup.duplicateClusters]] (one shuffle per round against a
+    * cached pre-partitioned edge list, map-side partial min, decimal
+    * convergence check, per-round localCheckpoint lineage truncation) —
+    * the same operator, named for general graph use rather than its
+    * dedup-clustering application.
+    */
+  def connectedComponents(
+      edges: DataFrame, src: String = "src", dst: String = "dst",
+      maxIters: Int = 20): DataFrame =
+    Dedup.duplicateClusters(edges, src, dst, maxIters)
+      .withColumnRenamed("cluster_id", "component_id")
 }

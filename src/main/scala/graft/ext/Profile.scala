@@ -193,6 +193,35 @@ object Profile {
         col("n_below"), col("n_above"), col("n_total"))
   }
 
+  /** Benford first-significant-digit scan: the observed share of each
+    * leading digit 1–9 of |c| next to Benford's expected log₁₀(1+1/d) —
+    * the classic fabricated-figures screen for naturally-spanning
+    * measure columns (amounts, populations). One hash agg on the digit
+    * (9 groups) + a broadcast total; zero/null values are excluded (no
+    * leading digit). Digit extraction is v / 10^⌊log₁₀ v⌋ — counts and
+    * digits are engine-exact except for inputs whose log₁₀ lands
+    * within 1 ulp of an integer (exact powers of 10 round correctly on
+    * every libm we target; the shares carry the usual platform-libm
+    * caveat).
+    */
+  def benford(df: DataFrame, c: String): DataFrame = {
+    val v = abs(col(c).cast("double"))
+    val digit = floor(v / pow(lit(10.0), floor(log10(v)))).cast("long")
+    val counts = df.where(v > 0.0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    // scoped cache: the 9-row count frame feeds both the total and the
+    // report — without it the corpus aggregation subtree runs twice
+    CacheScope.withCached(counts) { cn =>
+      val tot = broadcast(cn.agg(
+        sum(col("n")).cast("double").as("__graft_tot")))
+      cn.crossJoin(tot)
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("__graft_tot")).as("share"),
+          log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+            .as("expected"))
+    }
+  }
+
   /** Quantile (equal-frequency) binning report: fit interpolated
     * percentile bounds at `probabilities`, then bucket every non-null
     * value by how many bounds it reaches (bucket k = between the k-th

@@ -2153,6 +2153,17 @@ private[graft] object StaticOracles {
         |FROM (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
         |  WHERE l_quantity IS NOT NULL) CROSS JOIN b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_profile_benford" ->
+      """WITH v AS (SELECT abs(CAST(l_extendedprice AS DOUBLE)) AS v
+        |  FROM lineitem
+        |  WHERE abs(CAST(l_extendedprice AS DOUBLE)) > 0.0),
+        |d AS (SELECT CAST(floor(v / power(10.0, floor(log10(v))))
+        |    AS BIGINT) AS digit FROM v),
+        |n AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM n)
+        |SELECT digit, n, CAST(n AS DOUBLE) / tot AS share,
+        |  log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS expected
+        |FROM n CROSS JOIN t ORDER BY digit""".stripMargin,
     // unnest(generate_series(lo, hi)) — the scalar-list form takes
     // column args; the table function would demand constants
     "x_ts_resample" ->

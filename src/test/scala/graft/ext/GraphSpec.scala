@@ -58,4 +58,15 @@ class GraphSpec extends SparkSpec {
     val r = run(edges, 6)
     assert(r.values.toSet.size === 1)
   }
+
+  test("connectedComponents labels each component by its min member") {
+    import spark.implicits._
+    // two chains {1,2,3}, {10,11} and an isolated self-loop {20}
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("src", "dst")
+    val out = Graph.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
 }
