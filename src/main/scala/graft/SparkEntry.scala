@@ -1428,8 +1428,11 @@ object SparkEntry {
         expr("substring(p_name, 1, length(p_name) - 1)").as("m_name"))
 
   /** Blocked fuzzy join (Linkage.fuzzyJoinBlocked): mangled twins vs
-    * parts, first-token blocking, levenshtein ≤ 2 — candidates from an
-    * equi-join on the block key, never the cross product.
+    * parts, first-token blocking, levenshtein ≤ 2 — candidates from
+    * an equi-join on the block key over DISTINCT name values (the
+    * harness part names are 64 distinct strings over 20k rows — the
+    * value-dedup rewrite scores 64² value pairs instead of 50M id
+    * pairs), never the cross product.
     */
   private def xLinkageFuzzy(s: SparkSession, dir: String): DataFrame =
     Linkage.fuzzyJoinBlocked(mangledParts(s, dir),

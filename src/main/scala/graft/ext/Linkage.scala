@@ -28,6 +28,18 @@ object Linkage {
 
   /** All cross-table pairs within `maxDist` edits, candidate-generated
     * by block-key equality. Output: (left_id, right_id, dist).
+    *
+    * The scoring runs on DISTINCT text values, not id rows: each side
+    * dedups to its value set, the block-equi join + levenshtein score
+    * only distinct value pairs, and two id-fan-out equi-joins restore
+    * (left_id, right_id) at the end. On duplicated text (entity names,
+    * catalog titles — low-cardinality in practice) this collapses the
+    * candidate volume from Σ|L_b|·|R_b| ID pairs to Σ of DISTINCT-value
+    * pairs; on unique text it degrades to the same pair count plus two
+    * output-sized equi-joins. The levenshtein itself is the THRESHOLD
+    * form — banded O(len·maxDist) with early exit, not the full
+    * O(len²) matrix. `maxBlockSize` caps blocks of distinct VALUES
+    * (the hot-block recall dial, measured in values since dedup).
     */
   def fuzzyJoinBlocked(
       left: DataFrame, right: DataFrame,
@@ -36,16 +48,21 @@ object Linkage {
       blockKey: Column => Column, maxDist: Int,
       maxBlockSize: Int = 0): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val lb = cap(left.select(col(leftId).as("left_id"),
-      col(leftText).as("__lt"),
-      blockKey(col(leftText)).as("__bk")), maxBlockSize)
-    val rb = cap(right.select(col(rightId).as("right_id"),
-      col(rightText).as("__rt"),
-      blockKey(col(rightText)).as("__bk")), maxBlockSize)
-    lb.join(rb, "__bk")
-      .select(col("left_id"), col("right_id"),
-        levenshtein(col("__lt"), col("__rt")).as("dist"))
-      .filter(col("dist") <= maxDist)
+    val l = left.select(col(leftId).as("left_id"),
+      col(leftText).as("__lt"))
+    val r = right.select(col(rightId).as("right_id"),
+      col(rightText).as("__rt"))
+    val ld = cap(l.select("__lt").where(col("__lt").isNotNull).distinct()
+      .withColumn("__bk", blockKey(col("__lt"))), maxBlockSize)
+    val rd = cap(r.select("__rt").where(col("__rt").isNotNull).distinct()
+      .withColumn("__bk", blockKey(col("__rt"))), maxBlockSize)
+    val valuePairs = ld.join(rd, "__bk")
+      .select(col("__lt"), col("__rt"),
+        levenshtein(col("__lt"), col("__rt"), maxDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+    l.join(valuePairs, "__lt")
+      .join(r, "__rt")
+      .select(col("left_id"), col("right_id"), col("dist"))
   }
 
   /** The single best match (smallest distance, id ascending on ties)
@@ -84,4 +101,14 @@ object Linkage {
     * columns.
     */
   def firstTokenKey(c: Column): Column = split(c, "\\s+").getItem(0)
+
+  /** First `n` whitespace tokens joined by one space — a finer block
+    * key when single tokens come from a small vocabulary (Σ|L_b|·|R_b|
+    * shrinks roughly with the block-count increase). Recall contract:
+    * pairs whose edits fall INSIDE the first `n` tokens are not
+    * candidates — pick `n` from where the noise lives, exactly like
+    * choosing LSH bands.
+    */
+  def firstTokensKey(c: Column, n: Int): Column =
+    concat_ws(" ", slice(split(c, "\\s+"), 1, n))
 }
