@@ -1711,6 +1711,15 @@ object SparkEntry {
     graft.ext.Profile.benford(t(s, dir, "lineitem"), "l_extendedprice")
       .orderBy("digit")
 
+  /** Schema inference (Infer.inferReport): the frictionless
+    * `describe`/`infer` workflow over orders — per-column type mapping,
+    * null/distinct facts, required/unique verdicts, enum candidates,
+    * numeric bounds. One melted scan + one numeric-bounds scan.
+    */
+  private def xInferSchema(s: SparkSession, dir: String): DataFrame =
+    graft.schema.Infer.inferReport(t(s, dir, "orders"))
+      .orderBy("field")
+
   // -------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_pk_lineitem" -> (k1PkLineitem _),
@@ -1872,7 +1881,8 @@ object SparkEntry {
     "x_bin_quantile" -> (xBinQuantile _),
     "x_drift_psi" -> (xDriftPsi _),
     "x_ts_resample" -> (xTsResample _),
-    "x_profile_benford" -> (xProfileBenford _)
+    "x_profile_benford" -> (xProfileBenford _),
+    "x_infer_schema" -> (xInferSchema _)
   )
 
   // ------------------------------------------------------------- oracles

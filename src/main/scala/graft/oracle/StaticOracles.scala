@@ -2153,6 +2153,37 @@ private[graft] object StaticOracles {
         |FROM (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
         |  WHERE l_quantity IS NOT NULL) CROSS JOIN b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_infer_schema" -> {
+      // one UNION ALL branch per orders column, generated so the
+      // column list and type mapping can't drift from the Spark side's
+      // parquet-schema-derived facts
+      val cols = Seq(
+        ("o_orderkey", "integer", true),
+        ("o_custkey", "integer", true),
+        ("o_orderstatus", "string", false),
+        ("o_totalprice", "number", true),
+        ("o_orderdate", "datetime", false),
+        ("o_orderpriority", "string", false))
+      val branches = cols.map { case (c, t, num) =>
+        val alias0 = cols.head._1 == c
+        def a(n: String) = if (alias0) s" AS $n" else ""
+        val mn = if (num) s"CAST(min($c) AS DOUBLE)" else "NULL"
+        val mx = if (num) s"CAST(max($c) AS DOUBLE)" else "NULL"
+        s"""SELECT '$c'${a("field")}, '$t'${a("ftype")},
+           |  count(*)${a("n_rows")},
+           |  count(*) FILTER (WHERE $c IS NULL)${a("n_nulls")},
+           |  count(DISTINCT $c)${a("n_distinct")},
+           |  count(*) FILTER (WHERE $c IS NULL) = 0${a("required")},
+           |  (count(*) FILTER (WHERE $c IS NULL) = 0
+           |    AND count(DISTINCT $c) = count(*))${a("unique")},
+           |  CASE WHEN count(DISTINCT $c) <= 8 THEN
+           |    string_agg(DISTINCT CAST($c AS VARCHAR), ','
+           |      ORDER BY CAST($c AS VARCHAR)) END${a("enum_csv")},
+           |  $mn${a("min_value")}, $mx${a("max_value")}
+           |FROM orders""".stripMargin
+      }
+      branches.mkString("\nUNION ALL ") + "\nORDER BY field"
+    },
     "x_profile_benford" ->
       """WITH v AS (SELECT abs(CAST(l_extendedprice AS DOUBLE)) AS v
         |  FROM lineitem
