@@ -137,4 +137,83 @@ object Infer {
     }
     TableSchema(fields = fields)
   }
+
+  /** One evolution finding between two schema descriptors. `breaking`
+    * means data valid under `before` can be INVALID (or differently
+    * typed) under `after`: removals, type changes, and every
+    * constraint TIGHTENING; additions of optional fields and
+    * loosenings are compatible.
+    */
+  final case class SchemaChange(
+      field: String, change: String, before: Option[String],
+      after: Option[String], breaking: Boolean)
+
+  /** Descriptor diff — the schema-evolution review that gates a
+    * producer's new drop before data ever moves (driver-side: pure
+    * descriptor comparison, no Spark job — same tier as S1/H1).
+    */
+  def schemaDiff(before: TableSchema, after: TableSchema): Seq[SchemaChange] = {
+    val b = before.fields.map(f => f.name -> f).toMap
+    val a = after.fields.map(f => f.name -> f).toMap
+    val removed = before.fields.filterNot(f => a.contains(f.name)).map(f =>
+      SchemaChange(f.name, "field-removed", Some(f.ftype), None,
+        breaking = true))
+    val added = after.fields.filterNot(f => b.contains(f.name)).map { f =>
+      val req = f.constraints.required.contains(true)
+      SchemaChange(f.name, "field-added", None, Some(f.ftype),
+        // a new REQUIRED field rejects every existing row
+        breaking = req)
+    }
+    val common = before.fields.map(_.name).filter(a.contains)
+    val changed = common.flatMap { n =>
+      val (fb, fa) = (b(n), a(n))
+      val typeCh =
+        if (fb.ftype != fa.ftype)
+          Seq(SchemaChange(n, "type-changed", Some(fb.ftype),
+            Some(fa.ftype), breaking = true))
+        else Nil
+      val (cb, ca) = (fb.constraints, fa.constraints)
+      def flag(name: String, bv: Option[String], av: Option[String],
+          tightened: Boolean): Option[SchemaChange] =
+        if (bv == av) None
+        else Some(SchemaChange(n, name, bv, av, breaking = tightened))
+      val boolTight = (bv: Option[Boolean], av: Option[Boolean]) =>
+        av.contains(true) && !bv.contains(true)
+      typeCh ++ Seq(
+        flag("required-changed", cb.required.map(_.toString),
+          ca.required.map(_.toString), boolTight(cb.required, ca.required)),
+        flag("unique-changed", cb.unique.map(_.toString),
+          ca.unique.map(_.toString), boolTight(cb.unique, ca.unique)),
+        // bound changes: tightening = a new bound appears or narrows;
+        // numeric compare when both parse, else any change is breaking
+        flag("minimum-changed", cb.minimum, ca.minimum,
+          tighterBound(cb.minimum, ca.minimum, raising = true)),
+        flag("maximum-changed", cb.maximum, ca.maximum,
+          tighterBound(cb.maximum, ca.maximum, raising = false)),
+        flag("enum-changed", cb.enum.map(_.mkString(",")),
+          ca.enum.map(_.mkString(",")),
+          // breaking unless the new enum is absent or a superset
+          ca.enum.isDefined && !cb.enum.forall(old =>
+            ca.enum.exists(nw => old.toSet.subsetOf(nw.toSet)))),
+        flag("pattern-changed", cb.pattern, ca.pattern,
+          ca.pattern.isDefined)
+      ).flatten
+    }
+    removed ++ added ++ changed
+  }
+
+  /** Is `after` a tighter bound than `before`? (`raising`: minimums
+    * tighten upward, maximums downward.) Unparseable bounds are
+    * conservatively breaking on any change.
+    */
+  private def tighterBound(before: Option[String], after: Option[String],
+      raising: Boolean): Boolean = (before, after) match {
+    case (_, None) => false // bound dropped = loosened
+    case (None, Some(_)) => true // bound introduced = tightened
+    case (Some(bs), Some(as_)) =>
+      (bs.toDoubleOption, as_.toDoubleOption) match {
+        case (Some(bd), Some(ad)) => if (raising) ad > bd else ad < bd
+        case _ => true
+      }
+  }
 }

@@ -46,6 +46,43 @@ class InferSpec extends SparkSpec {
     assert(at.constraints.minimum.isEmpty) // bounds are numeric-only
   }
 
+  test("schemaDiff classifies breaking vs compatible evolution") {
+    import Infer.{schemaDiff, SchemaChange}
+    val v1 = TableSchema(Seq(
+      Field("id", "integer",
+        constraints = Constraints(minimum = Some("0"))),
+      Field("name", "string",
+        constraints = Constraints(enum = Some(Seq("a", "b")))),
+      Field("legacy", "string")))
+    val v2 = TableSchema(Seq(
+      Field("id", "integer",
+        constraints = Constraints(minimum = Some("1"))), // raised = tighter
+      Field("name", "string",
+        constraints = Constraints(enum = Some(Seq("a", "b", "c")))),
+      Field("note", "string"), // optional add = compatible
+      Field("score", "number",
+        constraints = Constraints(required = Some(true))))) // required add
+    val d = schemaDiff(v1, v2).map(c => (c.field, c.change) -> c).toMap
+    assert(d(("legacy", "field-removed")).breaking)
+    assert(!d(("note", "field-added")).breaking)
+    assert(d(("score", "field-added")).breaking)
+    assert(d(("id", "minimum-changed")).breaking)
+    assert(!d(("name", "enum-changed")).breaking) // superset = compatible
+    // loosening back is compatible; identical schemas diff to nothing
+    assert(schemaDiff(v2, v2).isEmpty)
+    val loosened = schemaDiff(
+      TableSchema(Seq(Field("id", "integer",
+        constraints = Constraints(minimum = Some("5"))))),
+      TableSchema(Seq(Field("id", "integer"))))
+    assert(loosened === Seq(SchemaChange("id", "minimum-changed",
+      Some("5"), None, breaking = false)))
+    // type change is breaking
+    assert(schemaDiff(
+      TableSchema(Seq(Field("id", "integer"))),
+      TableSchema(Seq(Field("id", "string"))))
+      .exists(c => c.change == "type-changed" && c.breaking))
+  }
+
   test("validate() against the inferred schema passes on the source table") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val ts = Infer.inferSchema(docs)
