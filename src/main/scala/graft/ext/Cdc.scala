@@ -45,6 +45,15 @@ object Cdc {
     * `unix_micros` — a plain long cast truncates to seconds) and must
     * totally order each key's changes: with ties the winner is
     * first-seen, which is partitioning-dependent.
+    *
+    * Tombstoned keys are DROPPED from the output, which also drops the
+    * tombstone's version. For single-shot compaction that is the
+    * wanted snapshot; for INCREMENTAL maintenance over out-of-order
+    * feeds (repeated merges where an older upsert may arrive after the
+    * delete) keep the tombstone in the snapshot instead — include the
+    * delete flag and version in `payloadCols`, skip/postpone the
+    * filter, and filter at consumption (the foreachBatch maintenance
+    * test in StreamingSpec shows the version-retaining pattern).
     */
   def lastWriterWins(
       changes: DataFrame,

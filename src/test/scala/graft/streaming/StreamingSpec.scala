@@ -410,6 +410,43 @@ class StreamingSpec extends SparkSpec {
     assert(viaCdc === batch)
   }
 
+  test("foreachBatch incremental LWW maintenance equals batch compaction") {
+    import graft.ext.Cdc
+    // the production CDC-sink pattern: each micro-batch merges into the
+    // maintained snapshot with lastWriterWins over snapshot ∪ batch.
+    // The snapshot CARRIES its version columns (ts, event_id ride in
+    // the payload), so the result is independent of batch arrival
+    // order — a late old row can never clobber a newer stored version.
+    val pay = Seq("event_id", "event_type", "value", "ts")
+    def merge(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      Cdc.lastWriterWins(a.unionByName(b),
+        Seq("user_id"), Seq(unix_micros(col("ts")), col("event_id")),
+        pay, lit(false))
+    val cols = Seq(col("user_id"), col("event_id"), col("event_type"),
+      col("value"), col("ts"))
+    var snap = batchEvents.select(cols: _*).limit(0)
+      .localCheckpoint(true)
+    val stream = normalizeTs(spark.readStream
+      .schema(rawSchema).option("maxFilesPerTrigger", "1")
+      .parquet(streamDir))
+    val q = stream.select(cols: _*).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        snap = merge(snap, b).localCheckpoint(true)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Cdc.lastWriterWins(batchEvents.select(cols: _*),
+      Seq("user_id"), Seq(unix_micros(col("ts")), col("event_id")),
+      pay, lit(false))
+    assert(key(snap) === key(direct))
+    assert(snap.count() === direct.count())
+  }
+
   test("violation flags are streaming-safe (stateless projection)") {
     val schema = TableSchema(Seq(
       Field("event_type", constraints = Constraints(
