@@ -147,21 +147,27 @@ object Behavior {
     * float op (both operands exact, IEEE division — engine-portable).
     */
   def pairLift(df: DataFrame, idCol: String, itemCol: String): DataFrame = {
-    val d = df.select(col(idCol).as("__graft_u"), col(itemCol).as("__graft_i"))
-      .where(col("__graft_i").isNotNull).distinct()
-    val perItem = d.groupBy(col("__graft_i")).agg(count(lit(1)).as("n"))
-    val total = d.select(countDistinct(col("__graft_u")).as("__graft_n_total"))
-    val pairs = d.toDF("__graft_u", "item_a")
-      .join(d.toDF("__graft_u", "item_b"), "__graft_u")
-      .where(col("item_a") < col("item_b"))
-      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
-    pairs
-      .join(broadcast(perItem.toDF("item_a", "n_a")), "item_a")
-      .join(broadcast(perItem.toDF("item_b", "n_b")), "item_b")
-      .crossJoin(broadcast(total))
-      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
-        col("n_b"),
-        ((col("n_ab") * col("__graft_n_total")).cast("double") /
-          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+    // scoped cache: the distinct (id, item) frame feeds FOUR subtrees
+    // (both self-join sides, the per-item counts, the total) — without
+    // it the corpus distinct shuffle runs once per consumer
+    CacheScope.withCached(
+      df.select(col(idCol).as("__graft_u"), col(itemCol).as("__graft_i"))
+        .where(col("__graft_i").isNotNull).distinct()) { d =>
+      val perItem = d.groupBy(col("__graft_i")).agg(count(lit(1)).as("n"))
+      val total = d.select(
+        countDistinct(col("__graft_u")).as("__graft_n_total"))
+      val pairs = d.toDF("__graft_u", "item_a")
+        .join(d.toDF("__graft_u", "item_b"), "__graft_u")
+        .where(col("item_a") < col("item_b"))
+        .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(perItem.toDF("item_a", "n_a")), "item_a")
+        .join(broadcast(perItem.toDF("item_b", "n_b")), "item_b")
+        .crossJoin(broadcast(total))
+        .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          ((col("n_ab") * col("__graft_n_total")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("lift"))
+    }
   }
 }

@@ -36,26 +36,34 @@ object TimeSeries {
     require(bucketUs > 0, "need bucketUs > 0")
     val bk = ((tsMicros - pmod(tsMicros, lit(bucketUs))) / lit(bucketUs))
       .cast("long")
-    val perBucket = df.select(bk.as("__graft_bk"))
-      .groupBy("__graft_bk").agg(count(lit(1)).as("__graft_n"))
-    val bounds = perBucket.agg(
-      min("__graft_bk").as("__graft_lo"), max("__graft_bk").as("__graft_hi"))
-    // grid-size guard: evaluated from the SAME bounds frame the grid
-    // uses, inside the plan (assert_true), so no extra driver action
-    // coalesce(…, true): an EMPTY input has null bounds — sequence()
-    // then yields no rows, which is the right answer, not an assertion
-    val grid = bounds
-      .select(explode(sequence(
-        col("__graft_lo"),
-        when(assert_true(
-            coalesce(col("__graft_hi") - col("__graft_lo") < 10000000L,
-              lit(true)),
-            lit("resample grid exceeds 10M buckets — widen bucketUs"))
-          .isNull, col("__graft_hi"))))
-        .as("bucket"))
-    grid.join(perBucket, col("bucket") === col("__graft_bk"), "left_outer")
-      .select(col("bucket"),
-        timestamp_micros(col("bucket") * lit(bucketUs)).as("bucket_start"),
-        coalesce(col("__graft_n"), lit(0L)).as("n_events"))
+    // scoped cache: the bucket aggregate feeds both the grid bounds
+    // and the join — without it the corpus scan+agg runs twice
+    CacheScope.withCached(
+      df.select(bk.as("__graft_bk"))
+        .groupBy("__graft_bk").agg(count(lit(1)).as("__graft_n"))) {
+      perBucket =>
+        val bounds = perBucket.agg(
+          min("__graft_bk").as("__graft_lo"),
+          max("__graft_bk").as("__graft_hi"))
+        // grid-size guard: evaluated from the SAME bounds frame the grid
+        // uses, inside the plan (assert_true), so no extra driver action.
+        // coalesce(…, true): an EMPTY input has null bounds — sequence()
+        // then yields no rows, which is the right answer, not an assertion
+        val grid = bounds
+          .select(explode(sequence(
+            col("__graft_lo"),
+            when(assert_true(
+                coalesce(col("__graft_hi") - col("__graft_lo") < 10000000L,
+                  lit(true)),
+                lit("resample grid exceeds 10M buckets — widen bucketUs"))
+              .isNull, col("__graft_hi"))))
+            .as("bucket"))
+        grid.join(perBucket, col("bucket") === col("__graft_bk"),
+            "left_outer")
+          .select(col("bucket"),
+            timestamp_micros(col("bucket") * lit(bucketUs))
+              .as("bucket_start"),
+            coalesce(col("__graft_n"), lit(0L)).as("n_events"))
+    }
   }
 }
