@@ -1720,6 +1720,18 @@ object SparkEntry {
     graft.schema.Infer.inferReport(t(s, dir, "orders"))
       .orderBy("field")
 
+  /** Poisson-bootstrap uncertainty (Profile.bootstrapMeans): 32
+    * deterministic replicates of mean(l_extendedprice) with exact
+    * cent-sums — the replicate spread is the metric's sampling
+    * distribution, every weight a pure hash of (row id, replicate).
+    */
+  private def xProfileBootstrap(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.bootstrapMeans(t(s, dir, "lineitem"),
+        concat(col("l_orderkey").cast("string"), lit("|"),
+          col("l_linenumber").cast("string")),
+        round(col("l_extendedprice") * 100).cast("long"), 32)
+      .orderBy("b")
+
   // -------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_pk_lineitem" -> (k1PkLineitem _),
@@ -1882,7 +1894,8 @@ object SparkEntry {
     "x_drift_psi" -> (xDriftPsi _),
     "x_ts_resample" -> (xTsResample _),
     "x_profile_benford" -> (xProfileBenford _),
-    "x_infer_schema" -> (xInferSchema _)
+    "x_infer_schema" -> (xInferSchema _),
+    "x_profile_bootstrap" -> (xProfileBootstrap _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -193,6 +193,57 @@ object Profile {
         col("n_below"), col("n_above"), col("n_total"))
   }
 
+  /** Poisson(1) CDF thresholds for k = 0..8 — the inverse-CDF table
+    * behind [[bootstrapMeans]]. Computed ONCE here and embedded as
+    * double literals in both the Spark plan and the DuckDB oracle
+    * (StaticOracles), so no cross-engine libm enters the comparison.
+    */
+  private[graft] val PoissonCdf: Seq[Double] = {
+    val eInv = math.exp(-1.0)
+    Iterator.iterate((0, 1.0, 1.0)) { case (k, fact, acc) =>
+      val f = fact * (k + 1); (k + 1, f, acc + 1.0 / f)
+    }.take(9).map { case (_, _, acc) => eInv * acc }.toSeq
+  }
+
+  /** Deterministic Poisson bootstrap of a metric's mean: replicate `b`
+    * draws where every row enters replicate j with weight
+    * Poisson(1)(hash(id, j)) — the streaming-friendly bootstrap
+    * (Chamandy et al., "Estimating uncertainty for massive data
+    * streams", 2012 lineage): no resample materialization, no global
+    * coordination, reproducible on any partitioning because the weight
+    * is a pure hash function of (id, replicate). Output: one row per
+    * replicate (b, n_eff, sum_cents, mean); the spread of `mean`
+    * across replicates IS the sampling distribution — read CIs off
+    * its quantiles.
+    *
+    * `cents` must be an integer-valued column (money in cents, counts):
+    * the per-replicate sums stay in exact long arithmetic, so the only
+    * float op is the final mean division — engine-exact given the
+    * shared threshold literals. One narrow ×b explode feeding a
+    * `b`-group map-side-combinable aggregate: shuffle carries
+    * b × partitions rows at any corpus size.
+    */
+  def bootstrapMeans(df: DataFrame, id: Column, cents: Column,
+      b: Int, salt: String = "bs"): DataFrame = {
+    require(b > 0 && b <= 10000, "need 0 < b <= 10000 replicates")
+    val rep = df.select(id.cast("string").as("__graft_id"),
+        cents.cast("long").as("__graft_c"))
+      .select(col("__graft_id"), col("__graft_c"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+    val u = graft.ext.Sampling.hashUnit(
+      concat(col("__graft_id"), lit("_"), col("b").cast("string")), salt)
+    val w = PoissonCdf.map(t => (u > lit(t)).cast("int")).reduce(_ + _)
+    rep.withColumn("__graft_w", w)
+      .groupBy("b").agg(
+        sum(col("__graft_w").cast("long")).as("n_eff"),
+        sum(col("__graft_w").cast("long") * col("__graft_c"))
+          .as("sum_cents"))
+      .select(col("b"), col("n_eff"), col("sum_cents"),
+        when(col("n_eff") > 0,
+          col("sum_cents").cast("double") / lit(100.0) /
+            col("n_eff").cast("double")).as("mean"))
+  }
+
   /** Benford first-significant-digit scan: the observed share of each
     * leading digit 1–9 of |c| next to Benford's expected log₁₀(1+1/d) —
     * the classic fabricated-figures screen for naturally-spanning

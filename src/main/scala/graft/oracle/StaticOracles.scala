@@ -2153,6 +2153,33 @@ private[graft] object StaticOracles {
         |FROM (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
         |  WHERE l_quantity IS NOT NULL) CROSS JOIN b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_profile_bootstrap" -> {
+      // weights from the SAME threshold literals the Spark plan embeds
+      // (Profile.PoissonCdf) — no cross-engine libm in the compare
+      val w = graft.ext.Profile.PoissonCdf
+        .map(t => s"(CASE WHEN u > $t THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH base AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) || '|' ||
+        |      CAST(l_linenumber AS VARCHAR) AS id,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |rep AS (SELECT id, c, unnest(generate_series(0, 31)) AS b
+        |  FROM base),
+        |uu AS (SELECT b, c,
+        |    ${duckHash48("'bs' || id || '_' || CAST(b AS VARCHAR)")}
+        |      / 281474976710656.0 AS u
+        |  FROM rep),
+        |wt AS (SELECT b, c, $w AS w FROM uu),
+        |agg AS (SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+        |    CAST(sum(w * c) AS BIGINT) AS sum_cents
+        |  FROM wt GROUP BY b)
+        |SELECT b, n_eff, sum_cents,
+        |  CASE WHEN n_eff > 0 THEN
+        |    CAST(sum_cents AS DOUBLE) / 100.0 / CAST(n_eff AS DOUBLE)
+        |  END AS mean
+        |FROM agg ORDER BY b""".stripMargin
+    },
     "x_infer_schema" -> {
       // one UNION ALL branch per orders column, generated so the
       // column list and type mapping can't drift from the Spark side's

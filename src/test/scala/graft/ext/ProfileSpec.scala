@@ -25,4 +25,34 @@ class ProfileSpec extends SparkSpec {
     val df = Seq(0.0, 0.0).toDF("v")
     assert(Profile.benford(df, "v").count() === 0L)
   }
+
+  test("PoissonCdf matches the closed form") {
+    // e^-1 · Σ_{j≤k} 1/j! for k = 0..8
+    val e = math.exp(-1.0)
+    assert(Profile.PoissonCdf.head === e)
+    assert(math.abs(Profile.PoissonCdf(1) - 2 * e) < 1e-15)
+    assert(Profile.PoissonCdf.length === 9)
+    assert(Profile.PoissonCdf.last > 0.999998)
+    assert(Profile.PoissonCdf === Profile.PoissonCdf.sorted)
+  }
+
+  test("bootstrapMeans: exact sums, weights reproducible, sane spread") {
+    val df = (1 to 500).map(i => (i.toLong, 100L + (i % 7))).toDF("id", "c")
+    val out = Profile.bootstrapMeans(df, col("id"), col("c"), 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.length === 16)
+    // Poisson(1) weights: n_eff concentrates near n
+    out.foreach { case (_, nEff, sumC, mean) =>
+      assert(nEff > 350 && nEff < 650)
+      assert(math.abs(mean - sumC / 100.0 / nEff) < 1e-12)
+      // mean of values in [1.00, 1.06] stays there
+      assert(mean > 1.0 && mean < 1.07)
+    }
+    // deterministic: a second run is bitwise identical
+    val again = Profile.bootstrapMeans(df, col("id"), col("c"), 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq === again.toSeq)
+  }
 }
