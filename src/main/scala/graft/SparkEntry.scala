@@ -1681,7 +1681,12 @@ object SparkEntry {
 
   /** Distribution drift (Reconcile.psi): PSI of l_extendedprice between
     * the F and O linestatus populations over 10 fixed-width bins
-    * (900–105000, integer-exact width).
+    * (900–105000, integer-exact width). The compared term is rounded to
+    * 12 decimals on BOTH sides: the raw (p−q)·ln(p/q) carries the
+    * cross-engine libm caveat (Spark's Math.log vs DuckDB's log differ
+    * by 1 ulp on some inputs — observed once at sf0.1), and the
+    * rounding absorbs it without weakening the 5-significant-digit
+    * drift verdict the scan exists for.
     */
   private def xDriftPsi(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
@@ -1689,6 +1694,7 @@ object SparkEntry {
         li.where(col("l_linestatus") === "F"),
         li.where(col("l_linestatus") === "O"),
         "l_extendedprice", 900.0, 105000.0, 10)
+      .withColumn("psi_term", round(col("psi_term"), 12))
       .orderBy("bin")
   }
 

@@ -2261,10 +2261,10 @@ private[graft] object StaticOracles {
         |tt AS (SELECT CAST(sum(n_old) AS DOUBLE) AS t_old,
         |    CAST(sum(n_new) AS DOUBLE) AS t_new FROM j)
         |SELECT bin, n_old, n_new,
-        |  (greatest(CAST(n_old AS DOUBLE) / t_old, 0.000001)
+        |  round((greatest(CAST(n_old AS DOUBLE) / t_old, 0.000001)
         |     - greatest(CAST(n_new AS DOUBLE) / t_new, 0.000001))
         |  * ln(greatest(CAST(n_old AS DOUBLE) / t_old, 0.000001)
-        |     / greatest(CAST(n_new AS DOUBLE) / t_new, 0.000001))
+        |     / greatest(CAST(n_new AS DOUBLE) / t_new, 0.000001)), 12)
         |    AS psi_term
         |FROM j CROSS JOIN tt ORDER BY bin""".stripMargin,
     "x_cdc_scd2" ->
