@@ -14,13 +14,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Repeat protocol (round-5 directive): SPARK_GRAFT_BENCH_REPS=N runs
-    // the WHOLE suite N times (round-robin, so a contention spike hits
-    // different queries on different passes) and reports the per-query
-    // MEDIAN plus min/max spread — making run-to-run noise and real
-    // regressions distinguishable. Default 1 rep = the driver's shape.
+    // Repeat protocol: SPARK_GRAFT_BENCH_REPS=N runs the WHOLE suite N
+    // times (round-robin, so a contention spike hits different queries
+    // on different passes) and reports the per-query MEDIAN plus min/max
+    // spread — making run-to-run noise and real regressions
+    // distinguishable. Default 3 (round-6 directive: the artifact of
+    // record must be a median, not a single contended pass — the r5
+    // single-pass run billed PageRank 28.6 s against a 5.6–6.7 s repeat
+    // median). Env override stays for quick local bisection (reps=1).
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
-      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1)
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(3)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -44,7 +44,12 @@ object Cdc {
     * `ordCols` must be LONG-valued (convert timestamps with
     * `unix_micros` — a plain long cast truncates to seconds) and must
     * totally order each key's changes: with ties the winner is
-    * first-seen, which is partitioning-dependent.
+    * first-seen, which is partitioning-dependent. Run
+    * [[uniqueVersions]] over the log when the total order is not
+    * guaranteed by construction — it turns that silent nondeterminism
+    * into violation rows. A NULL `isDelete` is treated as NOT a delete
+    * (the flag is coalesced to false at ingestion): a row whose delete
+    * predicate cannot be evaluated must not silently tombstone its key.
     *
     * Tombstoned keys are DROPPED from the output, which also drops the
     * tombstone's version. For single-shot compaction that is the
@@ -63,7 +68,7 @@ object Cdc {
       isDelete: Column): DataFrame =
     compactLatest(
       changes.select(keyCols.map(col) ++ payloadCols.map(col) :+
-        isDelete.as("__graft_del") :+
+        coalesce(isDelete, lit(false)).as("__graft_del") :+
         array(ordCols: _*).as("__graft_v"): _*),
       keyCols, payloadCols)
 
@@ -76,7 +81,14 @@ object Cdc {
     * in CdcSpec and by the harness oracle): applyChanges(snapshot(log ≤
     * t), changes(log > t)) == lastWriterWins(log) whenever the cut is
     * clean. Same single-hash-agg shape as [[lastWriterWins]] over
-    * base ∪ changes.
+    * base ∪ changes. "Any change beats the snapshot" is enforced
+    * STRUCTURALLY: the comparison vector gets a leading origin element
+    * (0 for base rows, 1 for changes), so a change whose `ordCols`
+    * legitimately evaluate to all-minimal values still outranks the
+    * base row — no sentinel value of the caller's version domain is
+    * reserved. NULL `isDelete` on a change is not-a-delete, as in
+    * [[lastWriterWins]]. Version ties AMONG CHANGES remain first-seen;
+    * [[uniqueVersions]] is the loud check for that.
     */
   def applyChanges(
       base: DataFrame,
@@ -87,13 +99,33 @@ object Cdc {
       isDelete: Column): DataFrame = {
     val b = base.select(keyCols.map(col) ++ payloadCols.map(col) :+
       lit(false).as("__graft_del") :+
-      array(Seq.fill(ordCols.length)(lit(Long.MinValue)): _*)
+      array(lit(0L) +: Seq.fill(ordCols.length)(lit(Long.MinValue)): _*)
         .as("__graft_v"): _*)
     val c = changes.select(keyCols.map(col) ++ payloadCols.map(col) :+
-      isDelete.as("__graft_del") :+
-      array(ordCols: _*).as("__graft_v"): _*)
+      coalesce(isDelete, lit(false)).as("__graft_del") :+
+      array(lit(1L) +: ordCols: _*).as("__graft_v"): _*)
     compactLatest(b.unionByName(c), keyCols, payloadCols)
   }
+
+  /** Version-uniqueness verifier — the loud check for the
+    * [[lastWriterWins]]/[[applyChanges]] caller contract that `ordCols`
+    * totally order each key's changes. Returns the violating
+    * (key, version) groups with their duplicate counts (empty ⇒ every
+    * winner is deterministic). ONE map-side-combinable hash aggregate
+    * over (key, version) — output bounded by the number of violating
+    * groups, so it is safe to run as a pre-flight on a 100 TB log.
+    */
+  def uniqueVersions(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      ordCols: Seq[Column]): DataFrame =
+    changes
+      .groupBy((keyCols.map(col) :+
+        array(ordCols: _*).as("__graft_v")): _*)
+      .agg(count(lit(1)).as("n_changes"))
+      .where(col("n_changes") > 1)
+      .select(keyCols.map(col) :+ col("__graft_v").as("version") :+
+        col("n_changes"): _*)
 
   /** Shared LWW core: rows carry (__graft_del, __graft_v) — one
     * latest_by hash aggregate, tombstoned winners dropped.

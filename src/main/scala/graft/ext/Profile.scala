@@ -165,14 +165,18 @@ object Profile {
     * pre-normalization for reward/score columns before training-mix
     * arithmetic. Two scans (bounds fit, then a NARROW clip — the 1-row
     * bounds frame rides a broadcast, so the transform itself never
-    * shuffles); nulls pass through (least/greatest propagate null).
+    * shuffles); nulls pass through — the clip is null-guarded, because
+    * Spark's least/greatest SKIP null arguments rather than propagate
+    * them (greatest(null, lo) = lo would silently rewrite missing
+    * values to the lower bound).
     */
   def winsorize(df: DataFrame, c: String, pLo: Double,
       pHi: Double): DataFrame =
     df.crossJoin(broadcast(clipBounds(df, c, pLo, pHi)))
       .withColumn(c,
-        least(greatest(col(c).cast("double"), col("__graft_lo")),
-          col("__graft_hi")))
+        when(col(c).isNotNull,
+          least(greatest(col(c).cast("double"), col("__graft_lo")),
+            col("__graft_hi"))))
       .drop("__graft_lo", "__graft_hi")
 
   /** Clip-bounds report for [[winsorize]]: the fitted (p_lo, p_hi) plus

@@ -63,9 +63,16 @@ object Infer {
     require(enumThreshold > 0, "need enumThreshold > 0")
     val cols = df.schema.fields.toSeq
     require(cols.nonEmpty, "cannot infer an empty schema")
-    val melted = df.select(explode(array(cols.map(f =>
-        struct(lit(f.name).as("field"),
-          col(f.name).cast("string").as("value"))): _*)).as("kv"))
+    // hostile-name armor: re-bind every column to a synthetic positional
+    // name first. Raw field names would otherwise enter col()'s
+    // attribute-name parser (a stray backtick throws) or — worse — a
+    // selectExpr string; after the rename they appear only as `lit`
+    // labels in the output, which no parser ever sees.
+    val safe = df.toDF(cols.indices.map(i => s"__c$i"): _*)
+    def sc(i: Int): Column = col(s"__c$i")
+    val melted = safe.select(explode(array(cols.zipWithIndex.map {
+        case (f, i) => struct(lit(f.name).as("field"),
+          sc(i).cast("string").as("value")) }: _*)).as("kv"))
       .select("kv.*")
     val typeMap = map(cols.flatMap(f =>
       Seq(lit(f.name), lit(ftypeOf(f.dataType)))): _*)
@@ -87,15 +94,19 @@ object Infer {
       rep.withColumn("min_value", lit(null).cast("double"))
         .withColumn("max_value", lit(null).cast("double"))
     else {
-      val aggs = numCols.flatMap(f => Seq(
-        min(col(f.name)).cast("double").as(s"${f.name}__mn"),
-        max(col(f.name)).cast("double").as(s"${f.name}__mx")))
-      val stackArgs = numCols
-        .map(f => s"'${f.name}', `${f.name}__mn`, `${f.name}__mx`")
-        .mkString(", ")
-      val mm = df.agg(aggs.head, aggs.tail: _*).selectExpr(
-        s"stack(${numCols.size}, $stackArgs) " +
-          "AS (field, min_value, max_value)")
+      // typed struct+explode melt over the same synthetic names — field
+      // names enter only as `lit` labels, never parsed text
+      val numIdx = cols.zipWithIndex.filter { case (f, _) =>
+        isNumeric(f.dataType) }
+      val aggs = numIdx.zipWithIndex.map { case ((f, ci), ai) =>
+        struct(lit(f.name).as("field"),
+          min(sc(ci)).cast("double").as("min_value"),
+          max(sc(ci)).cast("double").as("max_value")).as(s"__mm_$ai")
+      }
+      val mm = safe.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(numIdx.indices.map(i =>
+          col(s"__mm_$i")): _*)).as("mm"))
+        .select("mm.*")
       rep.join(broadcast(mm), Seq("field"), "left_outer")
     }
   }
@@ -112,6 +123,10 @@ object Infer {
   def inferSchema(df: DataFrame, enumThreshold: Int = 8): TableSchema = {
     val rows = inferReport(df, enumThreshold).collect()
       .map(r => r.getString(0) -> r).toMap
+    // a zero-row table melts to zero groups — no evidence to infer from;
+    // fail with intent instead of a bare NoSuchElementException
+    require(rows.nonEmpty,
+      "cannot infer a schema from a zero-row table: no value evidence")
     val fields = df.schema.fields.toSeq.map { f =>
       val r = rows(f.name)
       val ftype = r.getString(1)

@@ -111,4 +111,14 @@ class BehaviorSpec extends SparkSpec {
     assert(math.abs(clipped.getDouble(0) - 5.95) < 1e-9)
     assert(math.abs(clipped.getDouble(1) - 95.05) < 1e-9)
   }
+
+  test("winsorize passes nulls through instead of clipping to the bound") {
+    // least/greatest SKIP nulls (greatest(null, lo) = lo), so without
+    // the null guard a missing value would be rewritten to p_lo
+    val df = ((1 to 100).map(i => Some(i.toDouble)) :+
+      (None: Option[Double])).toDF("v")
+    val out = Profile.winsorize(df, "v", 0.05, 0.95)
+    assert(out.where(col("v").isNull).count() === 1L)
+    assert(out.where(col("v") < 5.0).count() === 0L)
+  }
 }

@@ -101,4 +101,54 @@ class CdcSpec extends SparkSpec {
       .collect().map(r => r.getLong(1)).toSet
     assert(currents === Set(1L))
   }
+
+  test("null delete flag is not-a-delete (coalesced at ingestion)") {
+    // key 1's winner has a NULL del evaluation — the key must survive,
+    // not be silently dropped as tombstoned
+    val log = Seq(
+      (1L, 10L, 100L, "a", Some(false)),
+      (1L, 11L, 200L, "b", None),
+      (2L, 20L, 100L, "c", Some(true))
+    ).toDF("k", "cid", "ts", "payload", "del")
+    val out = Cdc.lastWriterWins(log, Seq("k"),
+        Seq(col("ts"), col("cid")), Seq("cid", "payload"), col("del"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 11L)))
+    val applied = Cdc.applyChanges(
+        Seq((3L, 30L, "z")).toDF("k", "cid", "payload"),
+        log, Seq("k"), Seq(col("ts"), col("cid")),
+        Seq("cid", "payload"), col("del"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(applied === Set((1L, 11L), (3L, 30L)))
+  }
+
+  test("applyChanges: change with all-minimal versions still beats base") {
+    // the old all-Long.MinValue base sentinel would TIE here and leave
+    // the winner partitioning-dependent; the leading origin element
+    // makes the change win structurally
+    val base = Seq((1L, 10L, "old")).toDF("k", "cid", "payload")
+    val delta = Seq((1L, 11L, "new", false))
+      .toDF("k", "cid", "payload", "del")
+    val out = Cdc.applyChanges(base, delta, Seq("k"),
+        Seq(lit(Long.MinValue), lit(Long.MinValue)),
+        Seq("cid", "payload"), col("del"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(out === Set((1L, 11L, "new")))
+  }
+
+  test("uniqueVersions flags duplicate (key, version) groups") {
+    val log = Seq(
+      (1L, 10L, 100L), (1L, 11L, 100L), (1L, 12L, 100L), // 3-way tie
+      (2L, 20L, 100L), (2L, 21L, 200L),                  // clean
+      (3L, 30L, 50L), (3L, 31L, 50L)                     // 2-way tie
+    ).toDF("k", "cid", "ts")
+    val out = Cdc.uniqueVersions(log, Seq("k"), Seq(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).head,
+        r.getLong(2))).toSet
+    assert(out === Set((1L, 100L, 3L), (3L, 50L, 2L)))
+    // a totally-ordered log is clean: (ts, cid) disambiguates
+    assert(Cdc.uniqueVersions(log, Seq("k"),
+      Seq(col("ts"), col("cid"))).isEmpty)
+  }
 }

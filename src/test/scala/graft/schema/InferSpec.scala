@@ -83,6 +83,26 @@ class InferSpec extends SparkSpec {
       .exists(c => c.change == "type-changed" && c.breaking))
   }
 
+  test("inferSchema on a zero-row table fails with a clear message") {
+    val ex = intercept[IllegalArgumentException] {
+      Infer.inferSchema(sample.where(lit(false)))
+    }
+    assert(ex.getMessage.contains("zero-row"))
+  }
+
+  test("numeric bounds survive hostile column names (quotes/backticks)") {
+    // the bounds melt is typed struct+explode — names never enter
+    // parsed SQL text, so quote/backtick names label rows correctly
+    val hostile = Seq((1L, 5.0), (2L, 7.0))
+      .toDF("it's`bad`", "plain")
+    val rep = Infer.inferReport(hostile).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rep("it's`bad`").getDouble(8) === 1.0)
+    assert(rep("it's`bad`").getDouble(9) === 2.0)
+    assert(rep("plain").getDouble(8) === 5.0)
+    assert(rep("plain").getDouble(9) === 7.0)
+  }
+
   test("validate() against the inferred schema passes on the source table") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val ts = Infer.inferSchema(docs)
