@@ -1536,21 +1536,49 @@ object SparkEntry {
     * is oracle-checkable cell-for-cell. Node ids namespace the
     * bipartite sides (cust·2 even, supp·2+1 odd).
     */
-  private def xGraphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val edges = t(s, dir, "orders")
+  private def xGraphPagerank(s: SparkSession, dir: String): DataFrame =
+    pageRankTop20(purchaseEdges(s, dir), iterations = 3,
+      dangling = false)
+
+  /** Shared purchase-graph edge build + top-20 rank projection for the
+    * three PageRank harness rows.
+    */
+  private def purchaseEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"),
         col("l_suppkey")), col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
-    graft.ext.Graph.pageRank(edges, "src", "dst", iterations = 3)
+
+  private def pageRankTop20(edges: DataFrame, iterations: Int,
+      dangling: Boolean): DataFrame =
+    graft.ext.Graph.pageRank(edges, "src", "dst", iterations,
+        danglingRedistribute = dangling)
       .select(col("id").as("node_id"),
         when(col("id") % 2 === 0, lit("customer"))
           .otherwise(lit("supplier")).as("node_type"),
         col("rank_scaled"))
       .orderBy(desc("rank_scaled"), asc("node_id"))
       .limit(20)
-  }
+
+  /** 10-iteration PageRank (Graph.pageRank past DeepIterThreshold):
+    * exercises the per-round localCheckpoint lineage-truncation path —
+    * the oracle's 10 unrolled CTE rounds prove the fixed point stays
+    * bit-stable over a deep chain.
+    */
+  private def xGraphPagerankDeep(s: SparkSession, dir: String): DataFrame =
+    pageRankTop20(purchaseEdges(s, dir), iterations = 10,
+      dangling = false)
+
+  /** Dangling-mass redistribute PageRank (danglingRedistribute=true):
+    * every supplier node is out-degree-0 in the purchase graph, so the
+    * redistribute term moves real mass each round — exact long Σ,
+    * broadcast back as a scalar, same bitwise determinism.
+    */
+  private def xGraphPagerankDangling(s: SparkSession,
+      dir: String): DataFrame =
+    pageRankTop20(purchaseEdges(s, dir), iterations = 3, dangling = true)
 
   /** CDC last-writer-wins compaction (Cdc.lastWriterWins): events as a
     * change log keyed by user — the latest change in (ts, event_id)
@@ -1886,6 +1914,8 @@ object SparkEntry {
     "x_session_stats" -> (xSessionStats _),
     "x_sketch_cms" -> (xSketchCms _),
     "x_graph_pagerank" -> (xGraphPagerank _),
+    "x_graph_pagerank_deep" -> (xGraphPagerankDeep _),
+    "x_graph_pagerank_dangling" -> (xGraphPagerankDangling _),
     "x_text_redact" -> (xTextRedact _),
     "x_cdc_merge" -> (xCdcMerge _),
     "x_cdc_scd2" -> (xCdcScd2 _),

@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   * pure function of the edge set. The dropped division remainders are a
   * deliberate, documented quantization (≤ N·Scale⁻¹ mass per step);
   * ranking quality is unaffected (Scale = 10¹²) and determinism is
-  * bought with it. Dangling-node mass is NOT redistributed (the
-  * classic "leaked mass" variant) — also deterministic, also mirrored
-  * by the oracle.
+  * bought with it. Dangling-node mass is dropped by default (the
+  * "leaked mass" variant — deterministic, oracle-mirrored);
+  * `danglingRedistribute = true` switches to the classic
+  * redistribute-uniformly variant most published rankings expect, with
+  * the SAME exact-long determinism: the dangling sum is an
+  * order-independent long Σ, its per-node share `dsum div N` enters the
+  * damped update as one more exact term.
   *
   * Scale design (100 TB lens):
   *  - per iteration: one `src` equi-join (ranks are pre-partitioned on
@@ -28,13 +32,17 @@ import org.apache.spark.sql.functions._
   *    join reuses its exchange every round) + one map-side-combinable
   *    hash agg on dst. Hub skew (the whole-web problem) is absorbed by
   *    partial aggregation: a dst with 10⁸ in-edges combines to one row
-  *    per map partition before the shuffle;
+  *    per map partition before the shuffle. The dangling variant adds
+  *    one co-partitioned filter-join + a 1-row Σ agg per round, carried
+  *    back into the plan as a broadcast scalar — never a driver value;
   *  - iterations are a bounded, caller-chosen constant; each round's
-  *    plan grows linearly, and [[Dedup]]-style localCheckpoint
-  *    truncation applies if a caller runs tens of rounds — at the 3–10
-  *    rounds typical for ranking stabilization the raw chain is fine;
-  *  - overflow headroom: Σcontrib ≤ Scale (total mass), so
-  *    dampNum·Σ ≤ 85·10¹² ≪ 2⁶³ — no overflow under ANSI mode.
+  *    plan grows linearly. Past [[DeepIterThreshold]] rounds the loop
+  *    localCheckpoints the rank frame EVERY round ([[Dedup]]-style
+  *    lineage truncation), so a 64-round run neither re-plans a
+  *    64-join chain nor overflows the optimizer — proven bit-stable at
+  *    10 rounds by the `x_graph_pagerank_deep` oracle row;
+  *  - overflow headroom: Σcontrib + dsum div N ≤ 2·Scale (total mass),
+  *    so dampNum·Σ ≤ 170·10¹² ≪ 2⁶³ — no overflow under ANSI mode.
   */
 object Graph {
 
@@ -45,6 +53,15 @@ object Graph {
     */
   val Scale = 1000000000000L
 
+  /** Past this many iterations the loop truncates lineage with an
+    * eager localCheckpoint every round: a 10+-round chain of
+    * join+agg+join plans otherwise grows superlinearly in analysis/
+    * optimization cost and re-derives every prior round on the final
+    * action. Below it, the raw chain is cheaper (no per-round
+    * materialization barrier).
+    */
+  val DeepIterThreshold = 8
+
   /** PageRank over a directed edge list. `edges` must have long-typed
     * `srcCol`/`dstCol`; duplicate edges are collapsed (set semantics,
     * like the matrix formulation). Returns (id, rank_scaled) for every
@@ -52,11 +69,15 @@ object Graph {
     *
     * damp = dampNum/dampDen (default 85/100); update per node v:
     *   r'(v) = (dampDen−dampNum)·(Scale div N) div dampDen
-    *         + dampNum·Σ_{u→v}(r(u) div deg(u)) div dampDen
+    *         + dampNum·(Σ_{u→v}(r(u) div deg(u)) [+ dsum div N]) div dampDen
+    * where the `dsum div N` term (total rank mass sitting on
+    * out-degree-0 nodes, shared uniformly) applies only with
+    * `danglingRedistribute = true`.
     */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, dampNum: Long = 85L, dampDen: Long = 100L)
+      iterations: Int, dampNum: Long = 85L, dampDen: Long = 100L,
+      danglingRedistribute: Boolean = false)
       : DataFrame = {
     require(iterations >= 1 && iterations <= 64,
       s"iterations must be in [1, 64], got $iterations")
@@ -68,8 +89,15 @@ object Graph {
       .distinct()
       .cache()
     try {
+      // node set annotated ONCE with has_out (out-degree > 0) so the
+      // dangling variant's per-round mass Σ is a filter over the cached
+      // id-partitioned layout, not a fresh anti-join
+      val srcIds = e.select(col("src").as("id")).distinct()
       val nodes = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct()
+        .join(srcIds.withColumn("__has_out", lit(true)), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__has_out"), lit(false))
+          .as("has_out"))
       // one bounded driver action fixes N — the only collect; init and
       // base are exact longs shared with any external re-derivation
       val n = nodes.count()
@@ -82,17 +110,36 @@ object Graph {
       CacheScope.withCached2(
         eDeg.repartition(col("src")), nodes.repartition(col("id"))) {
         (eDeg, nodes) =>
-        var ranks = nodes.select(col("id"), lit(init).as("r"))
+        var ranks = nodes.select(col("id"), col("has_out"),
+          lit(init).as("r"))
         for (_ <- 1 to iterations) {
           val sums = eDeg
-            .join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(ranks.select(col("id").as("src"), col("r")), "src")
             .select(col("dst"), expr("r div deg").as("c"))
             .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-          ranks = nodes
+          // per-node incoming mass; dangling share enters as ONE
+          // broadcast scalar row (exact long Σ — order-independent)
+          val contrib =
+            if (!danglingRedistribute) expr(s"($dampNum * " +
+              s"coalesce(sc, 0L)) div $dampDen")
+            else expr(s"($dampNum * (coalesce(sc, 0L) + " +
+              s"__dang div $n)) div $dampDen")
+          var next = nodes
             .join(sums, nodes("id") === sums("dst"), "left")
-            .select(nodes("id"),
-              (lit(base) + expr(s"($dampNum * coalesce(sc, 0L)) " +
-                s"div $dampDen")).as("r"))
+          if (danglingRedistribute)
+            next = next.crossJoin(broadcast(
+              ranks.where(!col("has_out"))
+                .agg(coalesce(sum(col("r")), lit(0L)).as("__dang"))))
+          ranks = next.select(nodes("id"), nodes("has_out"),
+            (lit(base) + contrib).as("r"))
+          // deep runs: truncate lineage every round (see
+          // [[DeepIterThreshold]]); short runs keep the lazy chain.
+          // The dangling variant ALWAYS truncates: it reads the prior
+          // round's ranks twice (contribution join + mass Σ), so an
+          // unchecked chain would double per round — checkpointing
+          // makes each round's cost linear and the Σ read-once.
+          if (danglingRedistribute || iterations > DeepIterThreshold)
+            ranks = ranks.localCheckpoint(eager = true)
         }
         // withCached2 localCheckpoints this result before releasing the
         // cached layouts its lineage reads

@@ -2062,35 +2062,13 @@ private[graft] object StaticOracles {
     // mirrors Graph.pageRank's fixed-point update exactly: init =
     // 10^12 // N, base = (15·init) // 100, r' = base +
     // (85·Σ(r // deg)) // 100, dangling mass leaked, 3 iterations
-    "x_graph_pagerank" -> {
-      def iterCte(prev: String, cur: String): String =
-        s"""$cur AS (
-          |  SELECT n.id,
-          |    (SELECT base FROM cst)
-          |      + (85 * coalesce(s.sc, 0)) // 100 AS r
-          |  FROM nodes n LEFT JOIN (
-          |    SELECT e.dst AS id, sum(r.r // e.deg) AS sc
-          |    FROM ed e JOIN $prev r ON r.id = e.src
-          |    GROUP BY 1) s ON n.id = s.id)""".stripMargin
-      s"""WITH e0 AS (
-        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |nodes AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
-        |cst AS (SELECT 1000000000000 // count(*) AS init,
-        |    (15 * (1000000000000 // count(*))) // 100 AS base
-        |  FROM nodes),
-        |deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
-        |ed AS (SELECT e.src, e.dst, d.deg FROM e0 e JOIN deg d USING (src)),
-        |r0 AS (SELECT id, (SELECT init FROM cst) AS r FROM nodes),
-        |${iterCte("r0", "r1")},
-        |${iterCte("r1", "r2")},
-        |${iterCte("r2", "r3")}
-        |SELECT id AS node_id,
-        |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
-        |    AS node_type,
-        |  CAST(r AS BIGINT) AS rank_scaled
-        |FROM r3 ORDER BY rank_scaled DESC, node_id LIMIT 20""".stripMargin
-    },
+    "x_graph_pagerank" -> pageRankOracle(3, dangling = false),
+    // same update unrolled to 10 CTE rounds — proves the per-round
+    // localCheckpoint truncation path stays bit-stable over a deep chain
+    "x_graph_pagerank_deep" -> pageRankOracle(10, dangling = false),
+    // redistribute variant: each round adds (Σ rank over out-degree-0
+    // nodes) // N to every node's incoming mass before damping
+    "x_graph_pagerank_dangling" -> pageRankOracle(3, dangling = true),
     // LWW semantics, window formulation: the Spark side is one latest_by
     // hash agg; rn = 1 over (ts DESC, event_id DESC) is the same winner
     "x_cdc_merge" -> cdcMergeOracle,
@@ -2345,6 +2323,51 @@ private[graft] object StaticOracles {
     * be 0 at that point.
     */
   private def duckSessionGapUs: Long = 6L * 3600L * 1000000L
+
+  /** The fixed-point PageRank oracle, unrolled to `iters` CTE rounds
+    * over the customer→supplier purchase graph. Exact-integer mirror of
+    * Graph.pageRank (init = 10¹² // N, base = (15·init) // 100,
+    * r' = base + (85·Σ(r // deg) [+ dang // N]) // 100); `dangling`
+    * adds the redistribute term — the Σ of the previous round's rank
+    * over nodes with no out-edges, shared uniformly.
+    */
+  private def pageRankOracle(iters: Int, dangling: Boolean): String = {
+    def iterCte(prev: String, cur: String): String = {
+      val dang =
+        if (!dangling) ""
+        else s""" +
+          |      (SELECT coalesce(sum(p.r), 0) FROM $prev p
+          |       WHERE p.id NOT IN (SELECT src FROM deg))
+          |        // (SELECT n FROM cst)""".stripMargin
+      s"""$cur AS (
+        |  SELECT n.id,
+        |    (SELECT base FROM cst)
+        |      + (85 * (coalesce(s.sc, 0)$dang)) // 100 AS r
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS id, sum(r.r // e.deg) AS sc
+        |    FROM ed e JOIN $prev r ON r.id = e.src
+        |    GROUP BY 1) s ON n.id = s.id)""".stripMargin
+    }
+    val rounds = (1 to iters)
+      .map(i => iterCte(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH e0 AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |nodes AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+      |cst AS (SELECT 1000000000000 // count(*) AS init,
+      |    (15 * (1000000000000 // count(*))) // 100 AS base,
+      |    count(*) AS n
+      |  FROM nodes),
+      |deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+      |ed AS (SELECT e.src, e.dst, d.deg FROM e0 e JOIN deg d USING (src)),
+      |r0 AS (SELECT id, (SELECT init FROM cst) AS r FROM nodes),
+      |$rounds
+      |SELECT id AS node_id,
+      |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+      |    AS node_type,
+      |  CAST(r AS BIGINT) AS rank_scaled
+      |FROM r$iters ORDER BY rank_scaled DESC, node_id LIMIT 20""".stripMargin
+  }
 
   /** Shared by x_cdc_merge and x_cdc_upsert (a `def` for the same
     * object-init reason as [[duckSessionGapUs]]): the window

@@ -9,7 +9,8 @@ class GraphSpec extends SparkSpec {
 
   /** Driver-side reference of the fixed-point update, for tiny graphs. */
   private def refPageRank(
-      edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      edges: Seq[(Long, Long)], iters: Int,
+      dangling: Boolean = false): Map[Long, Long] = {
     val e = edges.distinct
     val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
     val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
@@ -20,14 +21,19 @@ class GraphSpec extends SparkSpec {
       val sums = e.groupBy(_._2).map { case (d, es) =>
         d -> es.map { case (s, _) => r(s) / deg(s) }.sum
       }
-      r = nodes.map(n => n -> (base + 85L * sums.getOrElse(n, 0L) / 100L))
-        .toMap
+      val dang =
+        if (!dangling) 0L
+        else nodes.filterNot(deg.contains).map(r).sum / nodes.size
+      r = nodes.map(n => n ->
+        (base + 85L * (sums.getOrElse(n, 0L) + dang) / 100L)).toMap
     }
     r
   }
 
-  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
-    Graph.pageRank(edges.toDF("s", "d"), "s", "d", iters)
+  private def run(edges: Seq[(Long, Long)], iters: Int,
+      dangling: Boolean = false): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("s", "d"), "s", "d", iters,
+        danglingRedistribute = dangling)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("pageRank matches the driver-side reference on a small graph") {
@@ -51,6 +57,32 @@ class GraphSpec extends SparkSpec {
     val shuffled = Graph.pageRank(dupDf, "s", "d", 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(base === shuffled)
+  }
+
+  test("pageRank deep run (past checkpoint threshold) matches reference") {
+    // > DeepIterThreshold iterations exercises the per-round
+    // localCheckpoint truncation; the fixed point must be unaffected
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (4L, 1L))
+    assert(run(edges, Graph.DeepIterThreshold + 2) ===
+      refPageRank(edges, Graph.DeepIterThreshold + 2))
+  }
+
+  test("pageRank dangling redistribute matches reference, lifts sinks") {
+    // node 3 is the only sink; with redistribution its held mass is
+    // shared each round instead of leaking
+    val edges = Seq((1L, 3L), (2L, 3L), (4L, 3L), (4L, 1L))
+    val leak = run(edges, 3)
+    val redist = run(edges, 3, dangling = true)
+    assert(redist === refPageRank(edges, 3, dangling = true))
+    // redistribution strictly adds mass (every node gains or holds)
+    assert(redist.forall { case (id, r) => r >= leak(id) })
+    assert(redist.values.sum > leak.values.sum)
+    // and is partitioning-invariant like the leak variant
+    val shuffled = Graph.pageRank(
+        (edges ++ edges).toDF("s", "d").repartition(5), "s", "d", 3,
+        danglingRedistribute = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled === redist)
   }
 
   test("pageRank symmetric cycle gives equal ranks") {
