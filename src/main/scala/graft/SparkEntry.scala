@@ -1087,6 +1087,22 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Multimodal: real JPEG round-trip — encode via the JDK DCT codec,
+    * decode via `ImageIO.read`. JPEG is LOSSY, so only the
+    * container-level facts survive for oracle comparison: format
+    * sniff, decoded width/height, channel count, frame count. Pixel
+    * sums are excluded (they differ from the synthetic source by
+    * design) — exercising the ImageIO JPEG path is the point.
+    */
+  private def xMmDecodeJpeg(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Multimodal.decode(Multimodal.synthesizeImages(d, "doc_id", "jpeg"))
+      .toDF()
+      .select(col("id"), col("format"), col("width"), col("height"),
+        col("channels"), col("n_frames"))
+      .orderBy("id")
+  }
+
   /** Multimodal: corrupt-blob posture — text bytes are not images, so
     * every row must degrade to the typed `unknown` row (correct byte
     * count, zero dims/sums) rather than erroring the scan.
@@ -1820,6 +1836,7 @@ object SparkEntry {
     "x_mm_binary_meta" -> (xMmBinaryMeta _),
     "x_mm_decode" -> (xMmDecode _),
     "x_mm_decode_png" -> (xMmDecodePng _),
+    "x_mm_decode_jpeg" -> (xMmDecodeJpeg _),
     "x_mm_decode_invalid" -> (xMmDecodeInvalid _),
     "x_mm_phash" -> (xMmPhash _),
     "x_stream_window" -> (xStreamWindow _),

@@ -129,20 +129,49 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** id column → (id, blob) of synthetic images in `format` ("bmp" or
-    * "png"), one per row, generated executor-side in partition batches.
+  /** JPEG encoder via `ImageIO.write` — the JDK's real DCT codec.
+    * LOSSY: decoded pixel values differ from the synthetic source, so
+    * only container-level facts (format, dimensions, channel count)
+    * are oracle-checkable for JPEG blobs — pixel-sum verification is
+    * the lossless formats' job.
+    */
+  def encodeJpeg(id: Long): Array[Byte] = {
+    val (w, h) = synthDims(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = synthPixel(id, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** id column → (id, blob) of synthetic images in `format` ("bmp",
+    * "png", or "jpeg"), one per row, generated executor-side in
+    * partition batches.
     */
   def synthesizeImages(df: DataFrame, idCol: String,
       format: String): DataFrame = {
-    require(format == "bmp" || format == "png",
+    require(format == "bmp" || format == "png" || format == "jpeg",
       s"unsupported synthetic format: $format")
     val spark = df.sparkSession
     import spark.implicits._
     val ids = df.select(col(idCol).cast(LongType)).as[Long]
-    val isBmp = format == "bmp"
+    val enc: Long => Array[Byte] = format match {
+      case "bmp" => encodeBmp
+      case "png" => encodePng
+      case _ => encodeJpeg
+    }
     ids.mapPartitions { it =>
       ImageIO.setUseCache(false) // once per partition: no disk cache
-      it.map(id => (id, if (isBmp) encodeBmp(id) else encodePng(id)))
+      it.map(id => (id, enc(id)))
     }.toDF("id", "blob")
       .withColumn("n_bytes", octet_length(col("blob")))
   }

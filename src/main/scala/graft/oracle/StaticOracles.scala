@@ -536,6 +536,15 @@ private[graft] object StaticOracles {
         |  CAST(w * list_sum(list_transform(range(0, h),
         |    y -> (id * 3 + y) % 256)) AS BIGINT) AS sum_blue
         |FROM d ORDER BY id""".stripMargin,
+    // JPEG is lossy: only container facts are compared — dims are a
+    // pure function of doc_id, format/channels/frames are constants
+    "x_mm_decode_jpeg" ->
+      """SELECT doc_id AS id,
+        |  'jpeg' AS format,
+        |  CAST(doc_id % 13 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 7 + 1 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels, CAST(1 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY id""".stripMargin,
     // dHash re-derivation: the synthetic pixel at (x,y) of doc id is
     // r=(id+x)%256, g=id%256, b=(id*3+y)%256; the hash samples the
     // 8x8 grid at (sx,sy)=(x*w/8, y*h/8) (integer floor), takes luma

@@ -1233,6 +1233,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: JPEG round-trip decodes container facts; lossy pixels") {
+    val ids = Seq(0L, 1L, 7L, 12L, 90L, 255L, 256L).toDF("doc_id")
+    val meta = Multimodal.decode(
+        Multimodal.synthesizeImages(ids, "doc_id", "jpeg"))
+      .collect().map(m => m.id -> m).toMap
+    assert(meta.size == 7)
+    meta.foreach { case (id, m) =>
+      val (w, h) = Multimodal.synthDims(id)
+      // container facts are exact even under lossy DCT encoding
+      assert(m.format == "jpeg" && m.width == w && m.height == h,
+        s"container facts for id=$id")
+      assert(m.channels == 3 && m.n_frames == 1)
+      // pixels decoded (not the unknown row): green is constant across
+      // the raster, so its decoded mean must be near id%256 even lossy
+      val g = m.sum_green.toDouble / (w * h)
+      assert(math.abs(g - (id % 256)) <= 16.0,
+        s"decoded green mean for id=$id: $g vs ${id % 256}")
+    }
+  }
+
   test("multimodal: corrupt blobs degrade to typed unknown rows") {
     val d = Seq((1L, "hello"), (2L, "BM garbage that is not a bitmap"),
       (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
