@@ -309,4 +309,33 @@ class ValidateSpec extends SparkSpec {
     assert(json.contains("\"valid\":false"))
     assert(json.contains(ErrorCodes.PrimaryKey))
   }
+
+  test("CSV fixture round-trip reproduces the typed validation verdicts") {
+    // the bench's e2e_validate_csv path: parquet → CSV twin →
+    // all-string read → parse → check must land on the same violation
+    // counts as validating the typed parquet directly (and add no
+    // parse casualties on the way)
+    val dir = "/root/testdata/sf0.001"
+    val csvPkg = graft.sources.CsvFixture.ensure(spark, dir,
+      outBase = java.nio.file.Files
+        .createTempDirectory("csv_fixture_spec").toString)
+    val csvReport = Validate.validateCsv(spark, csvPkg)
+    val typedTables = Tables.loadAll(spark, dir)
+    val typed = Validate.validateTyped(typedTables, Tables.starSchema)
+    def key(r: graft.report.CheckResult) = (r.table, r.code, r.field)
+    val csvRows = csvReport.tables.flatMap(_.errors)
+    // no row failed to parse: every type-error/parse row counts zero
+    val parseCodes = csvRows.filter(_.code.contains("type")).map(_.violations)
+    assert(parseCodes.forall(_ == 0L),
+      s"CSV round-trip lost rows to parsing: ${csvRows.filter(r =>
+        r.code.contains("type") && r.violations > 0)}")
+    // constraint/key verdicts identical to the typed run on shared tables
+    val csvMap = csvRows.map(r => key(r) -> r.violations).toMap
+    typed.tables.filterNot(_.table == "embeddings").flatMap(_.errors)
+      .foreach { r =>
+        assert(csvMap.get(key(r)).contains(r.violations),
+          s"verdict drift for ${key(r)}: typed=${r.violations} " +
+            s"csv=${csvMap.get(key(r))}")
+      }
+  }
 }
