@@ -59,9 +59,20 @@ object ScaleData {
       spark.read.parquet(s"$src/$n.parquet")
         .write.mode("overwrite").parquet(s"$out/$n.parquet")
     }
+    val abc = "abcdefghijklmnopqrstuvwxyz"
+    def rot(r: Int): String = abc.drop(r % 26) + abc.take(r % 26)
     rep("customer")((d, r) => shift(d, r, "c_custkey"))
     rep("supplier")((d, r) => shift(d, r, "s_suppkey"))
-    rep("part")((d, r) => shift(d, r, "p_partkey"))
+    rep("part") { (d, r) =>
+      // p_name is caesar-rotated per replica (like document text):
+      // verbatim copies would fuzzy-match ACROSS replicas and the
+      // linkage decade read becomes ~100× output fan-out instead of
+      // 10× input scaling — rotation keeps per-replica match structure
+      // identical while cross-replica names differ in every character
+      shift(d, r, "p_partkey").withColumn("p_name",
+        translate(col("p_name"), abc + abc.toUpperCase,
+          rot(r) + rot(r).toUpperCase))
+    }
     rep("orders")((d, r) => shift(d, r, "o_orderkey", "o_custkey"))
     rep("lineitem")((d, r) =>
       shift(d, r, "l_orderkey", "l_partkey", "l_suppkey"))
@@ -79,11 +90,9 @@ object ScaleData {
         col("ts") + expr(s"INTERVAL $r DAYS"))
     }
     rep("documents") { (d, r) =>
-      val abc = "abcdefghijklmnopqrstuvwxyz"
-      val rot = abc.drop(r % 26) + abc.take(r % 26)
       shift(d, r, "doc_id").withColumn("text",
         translate(col("text"), abc + abc.toUpperCase,
-          rot + rot.toUpperCase))
+          rot(r) + rot(r).toUpperCase))
     }
     rep("embeddings") { (d, r) =>
       val shifted = shift(d, r, "vec_id")
