@@ -1782,6 +1782,144 @@ object SparkEntry {
         round(col("l_extendedprice") * 100).cast("long"), 32)
       .orderBy("b")
 
+  /** Co-purchase part graph for the triangle query: parts sharing an
+    * order, canonical (a < b) undirected edges. The classic
+    * "bought-together" projection of a bipartite order–part table.
+    */
+  private def coPartEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    li.select(col("o"), col("p").as("pa"))
+      .join(li.select(col("o"), col("p").as("pb")), "o")
+      .where(col("pa") < col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+  }
+
+  /** Triangle counting (Graph.triangleCounts): degree-ordered
+    * orientation over the co-purchase part graph — O(m^{3/2}) wedge
+    * bound instead of Σdeg², every triangle counted exactly once. The
+    * oracle enumerates the same triangle set from canonical a<b<c
+    * three-way joins.
+    */
+  private def xGraphTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.triangleCounts(coPartEdges(s, dir), "src", "dst")
+      .select(col("id").as("part_id"), col("n_triangles"))
+      .orderBy(desc("n_triangles"), asc("part_id"))
+      .limit(20)
+
+  /** Markov transition matrix (Behavior.transitionMatrix): event-type
+    * step counts and row-normalized probabilities per user stream —
+    * one lead window, exact long counts, one IEEE division.
+    */
+  private def xBehaviorTransitions(s: SparkSession,
+      dir: String): DataFrame =
+    Behavior.transitionMatrix(t(s, dir, "events"), "user_id",
+        unix_micros(col("ts")), col("event_id"), col("event_type"))
+      .orderBy("from_state", "to_state")
+
+  /** Session path mining (Behavior.topPaths): the 20 most common
+    * event-type journeys under the shared 6-hour session gap —
+    * deterministic path strings from sorted (ts, id, state) structs,
+    * count-desc/path-asc total order on the cut.
+    */
+  private def xBehaviorPaths(s: SparkSession, dir: String): DataFrame =
+    Behavior.topPaths(t(s, dir, "events"), "user_id",
+      unix_micros(col("ts")), col("event_id"), col("event_type"),
+      SessionGapUs, 20)
+
+  /** Golden-record input: documents plus mirrored copies of the first
+    * 50 (ids +10⁶, source "mirror"), with n_chars bumped by 3 on
+    * doc_id % 10 == 0 so some groups' survivor is the COPY — both
+    * argmax branches are exercised. Mirrored verbatim in the oracle.
+    */
+  private def goldenInput(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      .unionByName(d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit("mirror").as("source"),
+          (col("n_chars") + when(col("doc_id") % 10 === 0, 3L)
+            .otherwise(0L)).as("n_chars")))
+  }
+
+  /** Survivorship (Linkage.goldenRecords): each exact-duplicate text
+    * group collapsed to its (n_chars desc, doc_id asc) winner plus
+    * member/source counts — ONE native latest_by hash aggregate, no
+    * window, no sort.
+    */
+  private def xLinkageGolden(s: SparkSession, dir: String): DataFrame =
+    Linkage.goldenRecords(
+        goldenInput(s, dir).withColumn("text_md5", md5(col("text"))),
+        Seq("text_md5"), Seq(col("n_chars"), -col("doc_id")),
+        Seq("doc_id", "source", "n_chars"),
+        Seq(countDistinct(col("source")).as("n_sources")))
+      .where(col("n_members") > 1)
+      .select(col("text_md5"), col("n_members"), col("n_sources"),
+        col("doc_id").as("rep_id"), col("source").as("rep_source"),
+        col("n_chars").as("rep_chars"))
+      .orderBy("text_md5")
+
+  /** Zone-map layout shape shared with the oracle: 6-bit lanes for
+    * quantity (1..50) and the 64-day-coarsened ship-day, file id =
+    * top-6 z-bits → each file is one (8-quantity × 512-day) rectangle.
+    */
+  private val ZmBits = 6
+  private val ZmShift = 6
+  private val ZmEpoch = "1995-01-01"
+
+  /** Zone map + min/max pruning (Layout.zoneMap / scanFlag): per-file
+    * stats of a Z-ordered lineitem layout and the skip verdict for a
+    * two-dimensional predicate (quantity ∈ [10,20] ∧ ship-day ∈
+    * [100,400]) — the Z-interleave makes BOTH dimensions prune (~93%
+    * of rows skipped at sf0.01), which a single-key sort cannot do.
+    */
+  private def xLayoutZonemap(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_quantity").cast("long").as("q"),
+      datediff(col("l_shipdate").cast("date"),
+        lit(java.sql.Date.valueOf(ZmEpoch))).cast("long").as("d"))
+    val zv = graft.ext.Layout.zValue(
+      Seq(col("q"), shiftright(col("d"), ZmBits)), ZmBits)
+    graft.ext.Layout.zoneMap(li, shiftright(zv, ZmShift),
+        Seq("q" -> col("q"), "d" -> col("d")))
+      .withColumn("scanned", graft.ext.Layout.scanFlag(
+        Seq(("q", lit(10L), lit(20L)), ("d", lit(100L), lit(400L)))))
+      .orderBy("file_id")
+  }
+
+  /** Word co-occurrence lift: Behavior.pairLift over the (doc, word)
+    * set restricted to the top-50 document-frequency vocabulary
+    * (count desc, word asc — a deterministic cut, broadcast back onto
+    * the token stream), so the pair space is ≤ C(50,2) regardless of
+    * corpus size. Exact counts; lift's one division is IEEE-portable.
+    */
+  private def xTextCooc(s: SparkSession, dir: String): DataFrame = {
+    val dw = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .distinct()
+    val vocab = dw.groupBy("w").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("w")).limit(50).select("w")
+    Behavior.pairLift(dw.join(broadcast(vocab), "w"), "doc_id", "w")
+      .orderBy("item_a", "item_b")
+  }
+
+  /** Exact-integer EWMA (TimeSeries.ewmaExact): per-user half-life-1
+    * trailing-30 average of event value cents — num/den are exact
+    * order-free long sums (bit-portable), ewma their single IEEE
+    * division.
+    */
+  private def xTsEwma(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.ewmaExact(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"), col("value")),
+        "user_id", unix_micros(col("ts")), col("event_id"),
+        floor(col("value") * 100).cast("long"), 30)
+      .select(col("event_id"), col("user_id"), col("ewma_n"),
+        col("ewma_num"), col("ewma_den"), col("ewma"))
+      .orderBy("event_id")
+
   // -------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_pk_lineitem" -> (k1PkLineitem _),
@@ -1948,7 +2086,14 @@ object SparkEntry {
     "x_ts_resample" -> (xTsResample _),
     "x_profile_benford" -> (xProfileBenford _),
     "x_infer_schema" -> (xInferSchema _),
-    "x_profile_bootstrap" -> (xProfileBootstrap _)
+    "x_profile_bootstrap" -> (xProfileBootstrap _),
+    "x_graph_triangles" -> (xGraphTriangles _),
+    "x_behavior_transitions" -> (xBehaviorTransitions _),
+    "x_behavior_paths" -> (xBehaviorPaths _),
+    "x_linkage_golden" -> (xLinkageGolden _),
+    "x_layout_zonemap" -> (xLayoutZonemap _),
+    "x_text_cooc" -> (xTextCooc _),
+    "x_ts_ewma" -> (xTsEwma _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral analytics over event logs — funnel conversion, cohort
@@ -169,5 +170,65 @@ object Behavior {
           ((col("n_ab") * col("__graft_n_total")).cast("double") /
             (col("n_a") * col("n_b")).cast("double")).as("lift"))
     }
+  }
+
+  /** First-order Markov transition matrix over each key's time-ordered
+    * event stream: for every observed (from_state, to_state) step, the
+    * exact transition count and probability
+    * p = n / Σ_to n (row-normalized). One per-key `lead` window — the
+    * sequencing is inherent to "what happens next", and a partition
+    * holds ONE key's events (the bounded-partition exception documented
+    * on [[Sessions]]) — then everything downstream is hash aggregation
+    * over an output bounded by (#states)², not the corpus. Counts are
+    * exact longs; the single final division is IEEE-exact-rounded on
+    * both engines. Ties on `tsUs` are ordered by `tieCol` so the
+    * successor — and therefore the matrix — is deterministic.
+    */
+  def transitionMatrix(
+      events: DataFrame, keyCol: String, tsUs: Column, tieCol: Column,
+      stateCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(tsUs, tieCol)
+    val steps = events
+      .select(stateCol.as("from_state"),
+        lead(stateCol, 1).over(w).as("to_state"))
+      .where(col("to_state").isNotNull)
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+    // row totals: a second tiny agg + broadcast join over the bounded
+    // matrix beats a window re-sort of it
+    steps
+      .join(broadcast(steps.groupBy("from_state")
+        .agg(sum("n").as("__graft_row_n"))), "from_state")
+      .select(col("from_state"), col("to_state"), col("n"),
+        (col("n").cast("double") / col("__graft_row_n").cast("double"))
+          .as("p"))
+  }
+
+  /** Top-k session paths: sessionize each key's stream under `gapUs`
+    * ([[Sessions.assign]] semantics), render each session as the
+    * time-ordered `sep`-joined state string, and return the `k` most
+    * frequent paths (count desc, path asc — total order, so the cut is
+    * deterministic). The per-session array is bounded by session
+    * length, the path aggregate by the number of DISTINCT paths — both
+    * independent of corpus size. `collect_list` order is made
+    * deterministic by sorting the collected (ts, tie, state) structs,
+    * not by trusting arrival order.
+    */
+  def topPaths(
+      events: DataFrame, keyCol: String, tsUs: Column, tieCol: Column,
+      stateCol: Column, gapUs: Long, k: Int, sep: String = ">")
+      : DataFrame = {
+    val assigned = Sessions.assign(
+      events.select(col(keyCol), tsUs.as("__graft_ts"),
+        tieCol.as("__graft_tie"), stateCol.as("__graft_st")),
+      keyCol, col("__graft_ts"), col("__graft_tie"), gapUs)
+    assigned
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(array_sort(collect_list(struct(col("__graft_ts"),
+        col("__graft_tie"), col("__graft_st")))).as("__graft_seq"))
+      .select(array_join(transform(col("__graft_seq"),
+        s => s.getField("__graft_st")), sep).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("path"))
+      .limit(k)
   }
 }

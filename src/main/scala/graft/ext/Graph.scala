@@ -148,6 +148,62 @@ object Graph {
     } finally e.unpersist(blocking = false)
   }
 
+  /** Triangle participation counts over an undirected edge list via
+    * degree-ordered orientation (the "forward" algorithm of Schank &
+    * Wagner 2005 / Latapy 2008; the orientation trick MapReduce
+    * formulations reuse — Suri & Vassilvitskii, WWW'11). Returns
+    * (id, n_triangles) for every node that closes at least one
+    * triangle; counts are exact integers.
+    *
+    * Why orientation matters at 100 TB: the naive wedge join e ⋈ e on
+    * a shared endpoint enumerates Σ_v deg(v)² wedges — one 10⁸-degree
+    * hub alone contributes 10¹⁶ candidate rows. Orienting every
+    * undirected edge from its (degree, id)-smaller endpoint to the
+    * larger turns the edge set into a DAG where each node keeps only
+    * edges toward higher-degree peers, so out-degrees are O(√m) and
+    * the wedge join generates O(m^{3/2}) candidates — the optimal
+    * triangle-enumeration bound — with every triangle appearing
+    * EXACTLY once as u→v, v→w, u→w (no ÷6 dedup pass).
+    *
+    * Plan shape: canonical dedup (one hash agg), degree agg (map-side
+    * combinable — hub skew collapses before the shuffle), orientation
+    * projection, wedge equi-join on the middle node, and a LEFT SEMI
+    * close join on (u, w) — every shuffle is on join keys; no window,
+    * no cross product, no driver action.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+    val deg = e0.select(col("a").as("id"))
+      .union(e0.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    // canonical edges have a < b, so the (degree, id) tie-break is
+    // simply da <= db → keep (a, b), else flip
+    val oriented = e0
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"))
+    // the wedge and close joins scan the oriented DAG three times —
+    // scope-cache it so the orientation joins run once
+    CacheScope.withCached(oriented) { o =>
+      val wedges = o
+        .join(o.select(col("u").as("v"), col("v").as("w")), "v")
+      val tri = wedges.join(
+        o.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_semi")
+      tri.select(col("u").as("id"))
+        .union(tri.select(col("v").as("id")))
+        .union(tri.select(col("w").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    }
+  }
+
   /** Weakly-connected components over an undirected edge list:
     * (id, component_id) with the component labeled by its minimum
     * member id. Delegates to the min-label propagation core shared

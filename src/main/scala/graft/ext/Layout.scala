@@ -56,4 +56,38 @@ object Layout {
       .repartitionByRange(numFiles, col(zCol))
       .sortWithinPartitions(col(zCol))
   }
+
+  /** Zone map: per-file min/max ranges + row counts — the metadata
+    * table a scan planner prunes against (parquet row-group stats,
+    * Iceberg/Delta file stats, ORC stripe indexes are all this shape).
+    * `fileId` is the file-assignment expression (for a Z-ordered
+    * layout, a high-bit slice of [[zValue]] — each file id then IS a
+    * contiguous z-range = one hyper-rectangle of the key space);
+    * `dims` are (name, expr) stat columns, emitted as min_/max_ pairs.
+    * One map-side-combinable hash aggregate; output is bounded by the
+    * FILE count, not the row count — the whole point: at 100 TB the
+    * zone map is the megabytes-sized index a driver can hold, and a
+    * predicate consults it instead of opening 10⁵ files.
+    */
+  def zoneMap(df: DataFrame, fileId: Column,
+      dims: Seq[(String, Column)]): DataFrame = {
+    require(dims.nonEmpty, "zone map needs at least one stat dimension")
+    val aggs = dims.flatMap { case (n, c) =>
+      Seq(min(c).as(s"min_$n"), max(c).as(s"max_$n"))
+    } :+ count(lit(1)).as("n_rows")
+    df.groupBy(fileId.as("file_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Would this zone-map row survive pruning under a conjunction of
+    * per-dimension closed ranges? True iff NO dimension's [min, max]
+    * zone is disjoint from its queried [lo, hi] — the standard min/max
+    * skip test. Evaluate against a [[zoneMap]] frame; `n_files_scanned
+    * / n_files` (and the row-weighted variant) is the layout's pruning
+    * ratio, the metric Z-ordering exists to improve on multi-dimension
+    * predicates.
+    */
+  def scanFlag(ranges: Seq[(String, Column, Column)]): Column =
+    ranges.map { case (n, lo, hi) =>
+      col(s"max_$n") >= lo && col(s"min_$n") <= hi
+    }.reduce(_ && _)
 }

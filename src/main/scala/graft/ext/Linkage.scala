@@ -93,6 +93,38 @@ object Linkage {
           .cast("int").as("dist"))
   }
 
+  /** Survivorship: collapse each duplicate group to ONE golden record —
+    * the member with the lexicographically greatest `ordCols` vector
+    * (e.g. (completeness, recency, -id)) carries its `payloadCols`
+    * forward, alongside the group's member count and any caller-aliased
+    * `extraAggs` (distinct-source counts, sums — anything aggregable).
+    * The merge-rule half of record linkage: [[fuzzyJoinBlocked]] /
+    * [[Dedup.duplicateClusters]] decide WHO is a duplicate; this
+    * decides WHICH values survive.
+    *
+    * ONE hash aggregate: the argmax rides the native
+    * [[graft.functions.LatestBy]] TypedImperativeAggregate (O(1) state
+    * per group, map-side partials — a 10⁹-member hot group combines
+    * before the shuffle; `max_by`/`max(struct)` would silently degrade
+    * the whole plan to SortAggregate). `ordCols` must cast to long and
+    * totally order each group (append a unique id; ties are
+    * first-seen otherwise — the [[graft.ext.Cdc]] contract).
+    */
+  def goldenRecords(
+      df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
+      payloadCols: Seq[String], extraAggs: Seq[Column] = Nil)
+      : DataFrame = {
+    val payload = struct(payloadCols.map(col): _*)
+    val agged = df.groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.LatestBy
+        .latestVector(payload, array(ordCols.map(_.cast("long")): _*))
+        .as("__graft_g"),
+        count(lit(1)).as("n_members") +: extraAggs: _*)
+    val kept = agged.columns.filter(_ != "__graft_g")
+    agged.select(kept.map(col) ++
+      payloadCols.map(c => col(s"__graft_g.$c").as(c)): _*)
+  }
+
   private def cap(b: DataFrame, maxBlockSize: Int): DataFrame =
     if (maxBlockSize <= 0) b
     else Dedup.capBuckets(b, Seq("__bk"), maxBlockSize)

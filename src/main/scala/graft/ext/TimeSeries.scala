@@ -66,4 +66,53 @@ object TimeSeries {
             coalesce(col("__graft_n"), lit(0L)).as("n_events"))
     }
   }
+
+  /** Exponentially-weighted moving average with EXACT integer
+    * arithmetic: per key, in (tsUs, tie) order, each row gets the
+    * half-life-one-step EWMA of its trailing `window` integer values
+    * (`cents` — scale floats to longs first, the [[Features]]
+    * convention). A value `k` steps old weighs 2^−k of the newest,
+    * normalized over the observed frame:
+    *
+    *   num = Σ_{p=1..n} cents_p · 2^(p−1)   (p = 1 oldest in frame)
+    *   den = 2^n − 1,   ewma = num / den
+    *
+    * Both sums are EXACT longs (order-free — no float accumulation
+    * drift, engine-portable bit-for-bit), so the only float op is one
+    * final IEEE division of two exactly-representable integers —
+    * deterministic on any engine. Overflow headroom: |cents| ≤ C
+    * requires C · 2^window < 2⁶² (the require below); the default
+    * window 30 allows |cents| up to ~4·10⁹.
+    *
+    * Scale design (100 TB lens): one per-key window exchange (the
+    * bounded-partition exception shared with [[Features.trailing]] —
+    * a partition holds one key's history, never the corpus); the
+    * trailing frame is materialized as a ≤`window`-element array per
+    * row and folded inside codegen — no self-join, no explode, state
+    * bounded by the window length.
+    */
+  def ewmaExact(df: DataFrame, keyCol: String, tsUs: Column,
+      tieCol: Column, cents: Column, window: Int = 30): DataFrame = {
+    require(window >= 1 && window <= 60,
+      s"window must be in [1, 60], got $window")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(tsUs, tieCol)
+      .rowsBetween(-(window - 1), 0)
+    val arr = collect_list(cents.cast("long")).over(w)
+    df.withColumn("__graft_arr", arr)
+      .withColumn("ewma_n", size(col("__graft_arr")).cast("long"))
+      .withColumn("ewma_num",
+        aggregate(
+          zip_with(col("__graft_arr"),
+            sequence(lit(1), col("ewma_n").cast("int")),
+            (c, p) => c * call_function("shiftleft", lit(1L),
+              (p - 1).cast("int"))),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("ewma_den",
+        call_function("shiftleft", lit(1L),
+          col("ewma_n").cast("int")) - 1L)
+      .withColumn("ewma",
+        col("ewma_num").cast("double") / col("ewma_den").cast("double"))
+      .drop("__graft_arr")
+  }
 }

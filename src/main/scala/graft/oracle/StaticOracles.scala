@@ -2324,8 +2324,143 @@ private[graft] object StaticOracles {
         |  count(*) FILTER (WHERE l_extendedprice > b.p_hi) AS n_above,
         |  count(*) AS n_total
         |FROM lineitem CROSS JOIN b
-        |GROUP BY b.p_lo, b.p_hi""".stripMargin
+        |GROUP BY b.p_lo, b.p_hi""".stripMargin,
+    // the same triangle set the degree-oriented Spark plan emits, from
+    // the canonical a<b<c three-way join (each triangle once)
+    "x_graph_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS a, b.p AS b
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |tr AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (SELECT id, count(*) AS n_triangles FROM (
+        |  SELECT x AS id FROM tr UNION ALL SELECT y FROM tr
+        |  UNION ALL SELECT z FROM tr) GROUP BY id)
+        |SELECT id AS part_id, CAST(n_triangles AS BIGINT) AS n_triangles
+        |FROM pn ORDER BY n_triangles DESC, part_id LIMIT 20""".stripMargin,
+    "x_behavior_transitions" ->
+      """WITH st AS (
+        |  SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_state
+        |  FROM events),
+        |m AS (SELECT from_state, to_state, count(*) AS n FROM st
+        |  WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT from_state, sum(n) AS rn FROM m GROUP BY 1)
+        |SELECT m.from_state, m.to_state, n,
+        |  CAST(n AS DOUBLE) / CAST(rn AS DOUBLE) AS p
+        |FROM m JOIN r USING (from_state)
+        |ORDER BY from_state, to_state""".stripMargin,
+    "x_behavior_paths" ->
+      s"""WITH f AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |a AS (SELECT user_id, event_id, event_type, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > $duckSessionGapUs
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM f WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id)),
+        |s AS (SELECT user_id, event_type, ts_us, event_id,
+        |    sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM a),
+        |p AS (SELECT user_id, sess,
+        |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // survivorship winner via the row_number formulation of the same
+    // (n_chars DESC, doc_id ASC) argmax latest_by computes in one agg
+    "x_linkage_golden" ->
+      """WITH inp AS (
+        |  SELECT doc_id, text, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 'mirror',
+        |    n_chars + CASE WHEN doc_id % 10 = 0 THEN 3 ELSE 0 END
+        |  FROM documents WHERE doc_id < 50),
+        |g AS (SELECT md5(text) AS text_md5, count(*) AS n_members,
+        |  count(DISTINCT source) AS n_sources FROM inp GROUP BY 1),
+        |w AS (SELECT md5(text) AS text_md5, doc_id AS rep_id,
+        |  source AS rep_source, n_chars AS rep_chars FROM inp
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+        |    ORDER BY n_chars DESC, doc_id) = 1)
+        |SELECT g.text_md5, n_members, n_sources, rep_id, rep_source,
+        |  rep_chars
+        |FROM g JOIN w USING (text_md5) WHERE n_members > 1
+        |ORDER BY text_md5""".stripMargin,
+    "x_layout_zonemap" -> zonemapOracle,
+    "x_text_cooc" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS w
+        |  FROM documents),
+        |dw AS (SELECT DISTINCT doc_id, w FROM tok),
+        |voc AS (SELECT w FROM (SELECT w, count(*) AS df FROM dw
+        |  GROUP BY 1 ORDER BY df DESC, w LIMIT 50)),
+        |r AS (SELECT dw.doc_id, dw.w FROM dw JOIN voc USING (w)),
+        |tot AS (SELECT count(DISTINCT doc_id) AS n FROM r),
+        |pi AS (SELECT w, count(*) AS cnt FROM r GROUP BY 1),
+        |pr AS (SELECT a.w AS item_a, b.w AS item_b, count(*) AS n_ab
+        |  FROM r a JOIN r b ON a.doc_id = b.doc_id AND a.w < b.w
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_ab, pa.cnt AS n_a, pb.cnt AS n_b,
+        |  CAST(n_ab * tot.n AS DOUBLE) / CAST(pa.cnt * pb.cnt AS DOUBLE)
+        |    AS lift
+        |FROM pr, tot
+        |JOIN pi pa ON pa.w = item_a
+        |JOIN pi pb ON pb.w = item_b
+        |ORDER BY item_a, item_b""".stripMargin,
+    // the trailing-30 frame as a list() window, folded with the same
+    // Σ cents·2^(p−1) / (2^n − 1) exact-long arithmetic
+    "x_ts_ewma" ->
+      """WITH f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |a AS (SELECT event_id, user_id,
+        |    list(cents) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS arr
+        |  FROM f),
+        |e AS (SELECT event_id, user_id, len(arr) AS n,
+        |    list_sum(list_transform(range(1, len(arr) + 1),
+        |      p -> arr[CAST(p AS INTEGER)]
+        |        * (CAST(1 AS BIGINT) << CAST(p - 1 AS INTEGER)))) AS num
+        |  FROM a)
+        |SELECT event_id, user_id, CAST(n AS BIGINT) AS ewma_n,
+        |  CAST(num AS BIGINT) AS ewma_num,
+        |  CAST((CAST(1 AS BIGINT) << CAST(n AS INTEGER)) - 1 AS BIGINT)
+        |    AS ewma_den,
+        |  CAST(num AS DOUBLE)
+        |    / CAST((CAST(1 AS BIGINT) << CAST(n AS INTEGER)) - 1
+        |        AS DOUBLE) AS ewma
+        |FROM e ORDER BY event_id""".stripMargin
   )
+
+  /** Mirrors the SparkEntry zone-map layout bit-for-bit: 6-bit lanes
+    * (quantity, ship-day >> 6), file id = z-value >> 6, stats at full
+    * resolution, skip test for q ∈ [10,20] ∧ d ∈ [100,400]. The
+    * interleave terms are generated from the SAME (bits, lane) loop as
+    * Layout.zValue.
+    */
+  private def zonemapOracle: String = {
+    val terms = (0 until 6).map { b =>
+      s"(((q >> $b) & 1) << ${2 * b}) + (((dc >> $b) & 1) << ${2 * b + 1})"
+    }.mkString(" + ")
+    s"""WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(date_diff('day', DATE '1995-01-01',
+      |      CAST(l_shipdate AS DATE)) AS BIGINT) AS d FROM lineitem),
+      |z AS (SELECT q, d, d >> 6 AS dc FROM li),
+      |zz AS (SELECT q, d, ($terms) AS zv FROM z),
+      |f AS (SELECT zv >> 6 AS file_id, min(q) AS min_q, max(q) AS max_q,
+      |  min(d) AS min_d, max(d) AS max_d, count(*) AS n_rows
+      |  FROM zz GROUP BY 1)
+      |SELECT file_id, min_q, max_q, min_d, max_d, n_rows,
+      |  (max_q >= 10 AND min_q <= 20 AND max_d >= 100 AND min_d <= 400)
+      |    AS scanned
+      |FROM f ORDER BY file_id""".stripMargin
+  }
 
   /** Mirrors SparkEntry.SessionGapUs. A `def`: `sql` above interpolates
     * it during object init, and a forward-referenced `val` would still

@@ -112,6 +112,48 @@ class BehaviorSpec extends SparkSpec {
     assert(math.abs(clipped.getDouble(1) - 95.05) < 1e-9)
   }
 
+  test("transitionMatrix counts successors and row-normalizes exactly") {
+    // user 1: a→b→a→b ; user 2: a→b ⇒ a→b ×3; b→a ×1
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (1L, 4L, "b"), (2L, 1L, "a"), (2L, 2L, "b"))
+      .toDF("u", "ts", "et")
+    val out = Behavior.transitionMatrix(ev, "u", col("ts"), col("ts"),
+        col("et"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out === Map(("a", "b") -> ((3L, 1.0)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
+  test("transitionMatrix breaks timestamp ties with tieCol") {
+    val ev = Seq((1L, 5L, 1L, "x"), (1L, 5L, 2L, "y"), (1L, 5L, 3L, "z"))
+      .toDF("u", "ts", "id", "et")
+    val out = Behavior.transitionMatrix(ev, "u", col("ts"), col("id"),
+        col("et"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("x", "y"), ("y", "z")))
+  }
+
+  test("topPaths splits on the gap and orders the cut deterministically") {
+    // user 1: two sessions a>b then a>b ; user 2: one session a>b ;
+    // user 3: lone c
+    val ev = Seq((1L, 0L, "a"), (1L, 5L, "b"), (1L, 100L, "a"),
+      (1L, 103L, "b"), (2L, 0L, "a"), (2L, 9L, "b"), (3L, 0L, "c"))
+      .toDF("u", "ts", "et")
+    val out = Behavior.topPaths(ev, "u", col("ts"), col("ts"), col("et"),
+        gapUs = 10L, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("a>b", 3L), ("c", 1L)))
+    // gap-EQUAL arrivals extend the session (Sessions.assign contract)
+    val merged = Behavior.topPaths(
+        Seq((1L, 0L, "a"), (1L, 10L, "b")).toDF("u", "ts", "et"),
+        "u", col("ts"), col("ts"), col("et"), gapUs = 10L, k = 5)
+      .collect().map(_.getString(0))
+    assert(merged.toSeq === Seq("a>b"))
+  }
+
   test("winsorize passes nulls through instead of clipping to the bound") {
     // least/greatest SKIP nulls (greatest(null, lo) = lo), so without
     // the null guard a missing value would be rewritten to p_lo

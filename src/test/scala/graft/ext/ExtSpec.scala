@@ -918,6 +918,35 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("zoneMap stats + scanFlag prune disjoint files only") {
+    // 4 synthetic files: x∈[0,9] y∈[0,9] / x∈[10,19] y∈[0,9] /
+    // x∈[0,9] y∈[10,19] / x∈[10,19] y∈[10,19]
+    val rows = for (x <- 0L until 20L; y <- 0L until 20L) yield (x, y)
+    val zm = Layout.zoneMap(rows.toDF("x", "y"),
+        (col("x") / 10).cast("long") * 2 + (col("y") / 10).cast("long"),
+        Seq("x" -> col("x"), "y" -> col("y")))
+      .withColumn("scanned",
+        Layout.scanFlag(Seq(("x", lit(3L), lit(6L)), ("y", lit(12L), lit(30L)))))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6)))
+      .toMap
+    // only the (x-low, y-high) file intersects x∈[3,6] ∧ y∈[12,30]
+    assert(zm(0L) === ((0L, 9L, 0L, 9L, 100L, false)))
+    assert(zm(1L) === ((0L, 9L, 10L, 19L, 100L, true)))
+    assert(zm(2L) === ((10L, 19L, 0L, 9L, 100L, false)))
+    assert(zm(3L) === ((10L, 19L, 10L, 19L, 100L, false)))
+  }
+
+  test("zoneMap is one map-side-combinable hash aggregate") {
+    val df = Seq((1L, 2L)).toDF("x", "y")
+    val plan = Layout.zoneMap(df, col("x") % 4,
+        Seq("y" -> col("y"))).queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("SortAggregate") && !plan.contains("Window"))
+  }
+
   test("zOrdered range-partitions and locally sorts by the z-value") {
     val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
       .toDF("x", "y").repartition(9)

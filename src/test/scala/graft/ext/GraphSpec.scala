@@ -91,6 +91,33 @@ class GraphSpec extends SparkSpec {
     assert(r.values.toSet.size === 1)
   }
 
+  private def tris(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangleCounts on K4: every node closes 3 triangles") {
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)
+    assert(tris(k4) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: one triangle + pendant edge; stars are empty") {
+    assert(tris(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // a star has wedges but no closing edges
+    assert(tris((2L to 9L).map(i => (1L, i))) === Map.empty)
+  }
+
+  test("triangleCounts is invariant to direction, dups, self-loops") {
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 1L),
+      (3L, 1L)) // both orientations of {1,3}
+    val noisy = base ++ base.map(_.swap) ++ Seq((2L, 2L))
+    assert(tris(noisy) === tris(base))
+    // {1,3} shared by triangles {1,2,3} and {1,3,4}
+    assert(tris(base) === Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("connectedComponents labels each component by its min member") {
     import spark.implicits._
     // two chains {1,2,3}, {10,11} and an isolated self-loop {20}

@@ -51,6 +51,34 @@ class LinkageSpec extends SparkSpec {
     assert(tie === Map(9L -> (10L, 1)))
   }
 
+  test("goldenRecords keeps the argmax payload with group stats") {
+    val dupes = Seq(
+      // group "a": 30-char member 3 beats the rest; two sources
+      (1L, "a", 10L, "s1"), (2L, "a", 20L, "s2"), (3L, "a", 30L, "s1"),
+      // group "b": tie on chars → smallest id wins (ord = (chars, -id))
+      (7L, "b", 5L, "s3"), (4L, "b", 5L, "s3"),
+      (9L, "c", 1L, "s4")).toDF("id", "grp", "chars", "src")
+    val out = Linkage.goldenRecords(dupes, Seq("grp"),
+        Seq(col("chars"), -col("id")), Seq("id", "src"),
+        Seq(countDistinct(col("src")).as("n_src")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(out === Map(
+      "a" -> ((3L, 2L, 3L, "s1")),
+      "b" -> ((2L, 1L, 4L, "s3")),
+      "c" -> ((1L, 1L, 9L, "s4"))))
+  }
+
+  test("goldenRecords stays ONE hash aggregate — no window, no sort") {
+    val df = Seq((1L, "a", 2L)).toDF("id", "grp", "chars")
+    val plan = Linkage.goldenRecords(df, Seq("grp"),
+        Seq(col("chars"), -col("id")), Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("SortAggregate"))
+    assert(plan.contains("ObjectHashAggregate"))
+  }
+
   test("maxBlockSize drops oversize blocks like the LSH bucket cap") {
     val manyRed = (0 until 20).map(i => (100L + i, s"red thing$i")).toDF("id", "name")
     val q = Seq((1L, "red thing1")).toDF("id", "name")

@@ -37,4 +37,51 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("10M buckets"))
   }
+
+  private def ewmaRows(rows: Seq[(Long, Long, Long)], window: Int = 30) =
+    TimeSeries.ewmaExact(rows.toDF("k", "ts", "cents"), "k", col("ts"),
+        col("ts"), col("cents"), window)
+      .select("k", "ts", "ewma_n", "ewma_num", "ewma_den", "ewma")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+
+  test("ewmaExact matches the hand-computed fixed-point recursion") {
+    // key 1: values 100, 300, 500 at t = 1, 2, 3
+    val out = ewmaRows(Seq((1L, 1L, 100L), (1L, 2L, 300L), (1L, 3L, 500L)))
+    // n=1: num=100·1, den=1 → 100
+    assert(out((1L, 1L)) === ((1L, 100L, 1L, 100.0)))
+    // n=2: num=100·1+300·2=700, den=3
+    assert(out((1L, 2L)) === ((2L, 700L, 3L, 700.0 / 3.0)))
+    // n=3: num=100+300·2+500·4=2700, den=7
+    assert(out((1L, 3L)) === ((3L, 2700L, 7L, 2700.0 / 7.0)))
+  }
+
+  test("ewmaExact truncates to the trailing window and keys separately") {
+    val rows = (1L to 5L).map(t => (1L, t, 100L * t)) :+ (2L, 1L, 42L)
+    val out = ewmaRows(rows, window = 2)
+    // at t=5 the frame is [400, 500]: num = 400 + 500·2 = 1400, den = 3
+    assert(out((1L, 5L)) === ((2L, 1400L, 3L, 1400.0 / 3.0)))
+    assert(out((2L, 1L)) === ((1L, 42L, 1L, 42.0)))
+  }
+
+  test("ewmaExact equals the plain value on constant series") {
+    val out = ewmaRows((1L to 40L).map(t => (7L, t, 250L)))
+    // num = 250·(2^n − 1), den = 2^n − 1 → exactly 250 at every row
+    assert(out.values.forall { case (_, num, den, e) =>
+      num === 250L * den && e === 250.0 })
+    // the frame never exceeds the window
+    assert(out.values.map(_._1).max === 30L)
+  }
+
+  test("ewmaExact refuses out-of-range windows") {
+    val df = Seq((1L, 1L, 1L)).toDF("k", "ts", "cents")
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewmaExact(df, "k", col("ts"), col("ts"), col("cents"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewmaExact(df, "k", col("ts"), col("ts"), col("cents"), 61)
+    }
+  }
 }
