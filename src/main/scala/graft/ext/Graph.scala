@@ -190,16 +190,24 @@ object Graph {
       .select(
         when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
         when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"))
-    // the wedge and close joins scan the oriented DAG three times —
-    // scope-cache it so the orientation joins run once
-    CacheScope.withCached(oriented) { o =>
+    // canonical edges feed the degree agg (both endpoints) and both
+    // orientation joins; the oriented DAG feeds three consumers (two
+    // wedge sides + the close join) — cache BOTH for the scope, one
+    // result checkpoint
+    CacheScope.withCached2(e0, oriented) { (_, o) =>
       val wedges = o
         .join(o.select(col("u").as("v"), col("v").as("w")), "v")
+      // close the wedges against the edge set with a SHUFFLED HASH
+      // semi join: the wedge stream is the O(m^{3/2}) side and must
+      // not be SORTED (SMJ would) nor the edge side broadcast (it is
+      // corpus-sized at scale) — hashing the m-row side per partition
+      // is the strategy that survives 100×
       val tri = wedges.join(
-        o.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_semi")
-      tri.select(col("u").as("id"))
-        .union(tri.select(col("v").as("id")))
-        .union(tri.select(col("w").as("id")))
+        o.select(col("u"), col("v").as("w")).hint("shuffle_hash"),
+        Seq("u", "w"), "left_semi")
+      // one pass over the triangle stream: explode the three corners
+      // instead of unioning three re-computations of the join pipeline
+      tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("n_triangles"))
     }
   }

@@ -2329,7 +2329,8 @@ private[graft] object StaticOracles {
     // the canonical a<b<c three-way join (each triangle once)
     "x_graph_triangles" ->
       """WITH li AS (
-        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_orderkey % 3 = 0),
         |e AS (SELECT DISTINCT a.p AS a, b.p AS b
         |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
         |tr AS (
