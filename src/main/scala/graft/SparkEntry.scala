@@ -1904,14 +1904,19 @@ object SparkEntry {
     * corpus size. Exact counts; lift's one division is IEEE-portable.
     */
   private def xTextCooc(s: SparkSession, dir: String): DataFrame = {
-    val dw = t(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(TextAnalysis.tokens(col("text"))).as("w"))
-      .distinct()
-    val vocab = dw.groupBy("w").agg(count(lit(1)).as("df"))
-      .orderBy(desc("df"), asc("w")).limit(50).select("w")
-    Behavior.pairLift(dw.join(broadcast(vocab), "w"), "doc_id", "w")
-      .orderBy("item_a", "item_b")
+    // the distinct (doc, word) set feeds the vocab fit AND the
+    // restricted pair join — scope-cache it so the tokenize+distinct
+    // shuffle runs once
+    graft.ext.CacheScope.withCached(
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .distinct()) { dw =>
+      val vocab = dw.groupBy("w").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), asc("w")).limit(50).select("w")
+      Behavior.pairLift(dw.join(broadcast(vocab), "w"), "doc_id", "w")
+        .orderBy("item_a", "item_b")
+    }
   }
 
   /** Exact-integer EWMA (TimeSeries.ewmaExact): per-user half-life-1
