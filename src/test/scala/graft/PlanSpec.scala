@@ -592,4 +592,49 @@ class PlanSpec extends SparkSpec {
     }
     assert(!nodes(diff).exists(_.isInstanceOf[WindowExec]))
   }
+
+  test("transitionMatrix: one window, row totals broadcast — no re-sort") {
+    import graft.ext.Behavior
+    val ev = Tables.load(spark, dir, "events")
+    val tm = Behavior.transitionMatrix(ev, "user_id",
+      unix_micros(col("ts")), col("event_id"), col("event_type"))
+    val ns = nodes(tm)
+    // exactly ONE window (the inherent per-key sequencing); the
+    // row-normalization totals come back as a broadcast join, not a
+    // second window pass over the matrix
+    assert(ns.count(_.isInstanceOf[WindowExec]) == 1)
+    assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+  }
+
+  test("ewmaExact: one window exchange, fold inside the projection") {
+    import graft.ext.TimeSeries
+    val ev = Tables.load(spark, dir, "events")
+    val ew = TimeSeries.ewmaExact(ev.select(col("event_id"),
+        col("user_id"), col("ts"), col("value")),
+      "user_id", unix_micros(col("ts")), col("event_id"),
+      floor(col("value") * 100).cast("long"), 30)
+    val ns = nodes(ew)
+    // the trailing frame is ONE window collect; num/den/ewma are plain
+    // projections over it — no join, no second exchange, no explode
+    assert(ns.count(_.isInstanceOf[WindowExec]) == 1)
+    assert(!ns.exists(_.isInstanceOf[ExpandExec]))
+    assert(!ns.exists(n =>
+      n.getClass.getSimpleName.contains("Join")))
+  }
+
+  test("topPaths: session window partitioning feeds the path agg") {
+    import graft.ext.Behavior
+    val ev = Tables.load(spark, dir, "events")
+    val tp = Behavior.topPaths(ev, "user_id", unix_micros(col("ts")),
+      col("event_id"), col("event_type"), 6L * 3600L * 1000000L, 10)
+    val ns = nodes(tp)
+    // sessionization is two WindowExec nodes (lag flag + running sum —
+    // different frames) over ONE per-key exchange; the (key, session)
+    // group keys EXTEND that partitioning, so the session agg adds no
+    // exchange — the bounded path-count agg is the only second shuffle
+    assert(ns.count(_.isInstanceOf[WindowExec]) <= 2)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 2, s"expected ≤2 exchanges, got $shuffles")
+  }
 }
