@@ -1934,6 +1934,55 @@ object SparkEntry {
         col("ewma_num"), col("ewma_den"), col("ewma"))
       .orderBy("event_id")
 
+  /** Exact-moment correlation matrix (Profile.corrMatrix): pairwise
+    * Pearson r over lineitem's numeric columns in cents — decimal(38)
+    * integer moments from ONE scan, the final r assembled from
+    * correctly-rounded double ops only, so both engines agree
+    * bit-for-bit (Spark's own `corr` sums doubles in partition order
+    * and can never hash-match).
+    */
+  private def xProfileCorr(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.corrMatrix(t(s, dir, "lineitem"),
+        Seq("qty" -> col("l_quantity"),
+          "price_c" -> round(col("l_extendedprice") * 100),
+          "disc_c" -> round(col("l_discount") * 100),
+          "tax_c" -> round(col("l_tax") * 100)))
+      // DuckDB's HUGEINT→DOUBLE cast composes two 64-bit-half
+      // roundings and can land 1 ulp off the correctly-rounded cast
+      // Spark's decimal path produces (observed on Σprice² at sf0.1) —
+      // the same documented absorption as x_drift_psi's libm log
+      .withColumn("corr", round(col("corr"), 12))
+      .orderBy("col_a", "col_b")
+
+  /** t-closeness (Privacy.tCloseness): per-nation market-segment
+    * distribution vs the corpus, total-variation EMD as an exact
+    * integer numerator (absent-value mass included), verdict on
+    * cross-multiplied integers at t > 1/10.
+    */
+  private def xPrivacyTclose(s: SparkSession, dir: String): DataFrame =
+    Privacy.tCloseness(t(s, dir, "customer"), Seq("c_nationkey"),
+        col("c_mktsegment"), (1L, 10L))
+      .orderBy("c_nationkey")
+
+  /** Compaction planning (Layout.compactionPlan) over the zone-map
+    * metadata: the 35 z-bucket files binned toward ≈12k-row outputs in
+    * file order — clustering preserved, pure integer assignment.
+    */
+  private def xLayoutCompaction(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_quantity").cast("long").as("q"),
+      datediff(col("l_shipdate").cast("date"),
+        lit(java.sql.Date.valueOf(ZmEpoch))).cast("long").as("d"))
+    val zv = graft.ext.Layout.zValue(
+      Seq(col("q"), shiftright(col("d"), ZmBits)), ZmBits)
+    val zm = graft.ext.Layout.zoneMap(li, shiftright(zv, ZmShift),
+      Seq("q" -> col("q"), "d" -> col("d")))
+    graft.ext.Layout.compactionPlan(zm, col("file_id"), col("n_rows"),
+        targetBytes = 12000L)
+      .select(col("file_id"), col("n_rows"), col("bin"))
+      .orderBy("file_id")
+  }
+
   // -------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_pk_lineitem" -> (k1PkLineitem _),
@@ -2107,7 +2156,10 @@ object SparkEntry {
     "x_linkage_golden" -> (xLinkageGolden _),
     "x_layout_zonemap" -> (xLayoutZonemap _),
     "x_text_cooc" -> (xTextCooc _),
-    "x_ts_ewma" -> (xTsEwma _)
+    "x_ts_ewma" -> (xTsEwma _),
+    "x_profile_corr" -> (xProfileCorr _),
+    "x_privacy_tclose" -> (xPrivacyTclose _),
+    "x_layout_compaction" -> (xLayoutCompaction _)
   )
 
   // ------------------------------------------------------------- oracles

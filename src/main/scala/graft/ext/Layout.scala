@@ -90,4 +90,33 @@ object Layout {
     ranges.map { case (n, lo, hi) =>
       col(s"max_$n") >= lo && col(s"min_$n") <= hi
     }.reduce(_ && _)
+
+  /** Compaction plan over FILE METADATA: assign files, in `orderCol`
+    * order, to output bins of ≈ `targetBytes` via the offset rule
+    * `bin = (running_total − size) div target` — files stay in order
+    * (a Z-/sort-ordered layout keeps its clustering through
+    * compaction), every bin except the last reaches the target, and
+    * the assignment is a pure function of the metadata (deterministic,
+    * engine-portable integer arithmetic).
+    *
+    * The input is the file-stats table ([[zoneMap]] output, an
+    * Iceberg/Delta manifest) — bounded by FILE count (~10⁵ rows for
+    * 100 TB at 1 GB files), which is why the single global-order
+    * window here is fine: this plans work over metadata; it never
+    * touches data. Output: input columns + (bin, bin-relative order
+    * preserved by `orderCol`).
+    */
+  def compactionPlan(files: DataFrame, orderCol: Column,
+      sizeCol: Column, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"need targetBytes > 0, got $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("__graft_cum", sum(sizeCol.cast("long")).over(w))
+      .withColumn("bin",
+        call_function("div",
+          col("__graft_cum") - sizeCol.cast("long"), lit(targetBytes)))
+      .drop("__graft_cum")
+  }
 }

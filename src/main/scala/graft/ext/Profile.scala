@@ -103,6 +103,62 @@ object Profile {
       s"stack(${cols.size}, $stackArgs) AS (column_name, quantiles)")
   }
 
+  /** Pairwise Pearson correlation over integer-valued expressions
+    * (scale floats to cents first — the [[graft.ext.Features]]
+    * convention) with DETERMINISTIC, engine-portable output. Spark's
+    * own `corr` accumulates doubles in partition order — reruns drift
+    * in the last ulps and can never hash-match an external engine.
+    * Here every moment (n, Σx, Σx², Σxy) is an EXACT decimal(38,0)
+    * sum — order-free integer arithmetic — and only the final
+    *   r = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²ᵗᵒᵗ) · √(n·Σy² − Σy²ᵗᵒᵗ))
+    * runs in floating point, over doubles cast from those exact
+    * integers: cast, multiply, subtract, divide, and sqrt are all
+    * IEEE-754 correctly-rounded, so two engines agree bit-for-bit.
+    *
+    * Scale design (100 TB lens): ONE map-side-combinable hash
+    * aggregate over one scan computes all k + k·(k+1)/2 moments; the
+    * k×k assembly happens on |pairs| rows, not data. Null policy:
+    * rows with ANY null among `cols` are dropped first (listwise —
+    * the only policy with a consistent n across every pair from one
+    * scan).
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, Column)])
+      : DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val clean = df
+      .select(cols.map { case (n, c) => c.cast("long").as(s"__g_$n") }: _*)
+      .na.drop()
+    val sums =
+      cols.map { case (n, _) =>
+        sum(dec(col(s"__g_$n"))).as(s"s_$n") } ++
+      cols.map { case (n, _) =>
+        sum(dec(col(s"__g_$n")) * dec(col(s"__g_$n"))).as(s"ss_$n") } ++
+      (for {
+        (a, i) <- cols.zipWithIndex; (b, j) <- cols.zipWithIndex if i < j
+      } yield sum(dec(col(s"__g_${a._1}")) * dec(col(s"__g_${b._1}")))
+        .as(s"sp_${a._1}__${b._1}")) :+
+      count(lit(1)).as("n")
+    val wide = clean.agg(sums.head, sums.tail: _*)
+    val pairRows = for {
+      (a, i) <- cols.zipWithIndex; (b, j) <- cols.zipWithIndex if i < j
+    } yield {
+      val (na, nb) = (a._1, b._1)
+      val nD = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      val cov = nD * d(s"sp_${na}__$nb") - d(s"s_$na") * d(s"s_$nb")
+      val va = nD * d(s"ss_$na") - d(s"s_$na") * d(s"s_$na")
+      val vb = nD * d(s"ss_$nb") - d(s"s_$nb") * d(s"s_$nb")
+      struct(lit(na).as("col_a"), lit(nb).as("col_b"),
+        col("n").as("n"),
+        when(va > 0 && vb > 0, cov / (sqrt(va) * sqrt(vb)))
+          .as("corr"))
+    }
+    wide.select(explode(array(pairRows: _*)).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+        col("p.n").as("n"), col("p.corr").as("corr"))
+  }
+
   /** [[numericProfile]] in long form: one scalar row per
     * (column, probability) instead of an array column —
     * (column_name, prob_idx, quantile) with `prob_idx` the 0-based

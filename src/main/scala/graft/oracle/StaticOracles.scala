@@ -2393,6 +2393,36 @@ private[graft] object StaticOracles {
         |FROM g JOIN w USING (text_md5) WHERE n_members > 1
         |ORDER BY text_md5""".stripMargin,
     "x_layout_zonemap" -> zonemapOracle,
+    "x_profile_corr" -> corrOracle,
+    "x_privacy_tclose" ->
+      """WITH base AS (SELECT c_nationkey AS q, c_mktsegment AS s
+        |  FROM customer WHERE c_mktsegment IS NOT NULL),
+        |gv AS (SELECT q, s, count(*) AS ngv FROM base GROUP BY 1, 2),
+        |gl AS (SELECT s, count(*) AS nv FROM base GROUP BY 1),
+        |tt AS (SELECT count(*) AS nt FROM base),
+        |g AS (SELECT q, sum(ngv) AS ng FROM gv GROUP BY 1),
+        |a AS (
+        |  SELECT gv.q, g.ng, tt.nt,
+        |    sum(abs(gv.ngv * tt.nt - gl.nv * g.ng)) AS bad_present,
+        |    sum(gl.nv) AS covered
+        |  FROM gv JOIN gl USING (s) JOIN g USING (q) CROSS JOIN tt
+        |  GROUP BY 1, 2, 3)
+        |SELECT q AS c_nationkey, CAST(ng AS BIGINT) AS n_rows,
+        |  CAST(bad_present + (nt - covered) * ng AS BIGINT) AS t_num,
+        |  CAST(bad_present + (nt - covered) * ng AS DOUBLE)
+        |    / (2.0 * CAST(ng AS DOUBLE) * CAST(nt AS DOUBLE)) AS t,
+        |  (bad_present + (nt - covered) * ng) * 10 > 2 * 1 * ng * nt
+        |    AS violates
+        |FROM a ORDER BY c_nationkey""".stripMargin,
+    // the zone-map files folded into ≈12k-row bins by the offset rule
+    // (cum − size) // target over the same z-bucket metadata
+    "x_layout_compaction" ->
+      s"""$zonemapCore
+        |SELECT file_id, n_rows,
+        |  CAST((sum(n_rows) OVER (ORDER BY file_id
+        |     ROWS UNBOUNDED PRECEDING) - n_rows) // 12000 AS BIGINT)
+        |    AS bin
+        |FROM f ORDER BY file_id""".stripMargin,
     "x_text_cooc" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
@@ -2445,7 +2475,11 @@ private[graft] object StaticOracles {
     * interleave terms are generated from the SAME (bits, lane) loop as
     * Layout.zValue.
     */
-  private def zonemapOracle: String = {
+  /** Shared z-bucket file-stats CTE chain (ends at `f`) for the
+    * zone-map and compaction oracles — the interleave terms come from
+    * the SAME (bits, lane) loop as Layout.zValue.
+    */
+  private def zonemapCore: String = {
     val terms = (0 until 6).map { b =>
       s"(((q >> $b) & 1) << ${2 * b}) + (((dc >> $b) & 1) << ${2 * b + 1})"
     }.mkString(" + ")
@@ -2456,11 +2490,61 @@ private[graft] object StaticOracles {
       |zz AS (SELECT q, d, ($terms) AS zv FROM z),
       |f AS (SELECT zv >> 6 AS file_id, min(q) AS min_q, max(q) AS max_q,
       |  min(d) AS min_d, max(d) AS max_d, count(*) AS n_rows
-      |  FROM zz GROUP BY 1)
+      |  FROM zz GROUP BY 1)""".stripMargin
+  }
+
+  private def zonemapOracle: String =
+    s"""$zonemapCore
       |SELECT file_id, min_q, max_q, min_d, max_d, n_rows,
       |  (max_q >= 10 AND min_q <= 20 AND max_d >= 100 AND min_d <= 400)
       |    AS scanned
       |FROM f ORDER BY file_id""".stripMargin
+
+  /** DuckDB twin of Profile.corrMatrix over the lineitem cent columns:
+    * HUGEINT moments (exact, order-free), the r assembly mirrored
+    * double-op-for-double-op (cast sums to DOUBLE first, then
+    * multiply/subtract/divide/sqrt — all IEEE correctly rounded).
+    */
+  private def corrOracle: String = {
+    val cols = Seq(
+      "qty" -> "CAST(l_quantity AS BIGINT)",
+      "price_c" -> "CAST(round(l_extendedprice * 100) AS BIGINT)",
+      "disc_c" -> "CAST(round(l_discount * 100) AS BIGINT)",
+      "tax_c" -> "CAST(round(l_tax * 100) AS BIGINT)")
+    val names = cols.map(_._1)
+    val pairs = for {
+      (a, i) <- names.zipWithIndex; (b, j) <- names.zipWithIndex if i < j
+    } yield (a, b)
+    val sel = cols.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val notNull = names.map(n => s"$n IS NOT NULL").mkString(" AND ")
+    def h(n: String) = s"CAST($n AS HUGEINT)"
+    val sums = (names.map(n => s"sum(${h(n)}) AS s_$n") ++
+      names.map(n => s"sum(${h(n)} * ${h(n)}) AS ss_$n") ++
+      pairs.map { case (a, b) =>
+        s"sum(${h(a)} * ${h(b)}) AS sp_${a}__$b" } :+
+      "count(*) AS n").mkString(",\n    ")
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val rows = pairs.map { case (a, b) =>
+      s"""  SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |    ${d("n")} * ${d(s"sp_${a}__$b")}
+         |      - ${d(s"s_$a")} * ${d(s"s_$b")} AS cov,
+         |    ${d("n")} * ${d(s"ss_$a")} - ${d(s"s_$a")} * ${d(s"s_$a")}
+         |      AS va,
+         |    ${d("n")} * ${d(s"ss_$b")} - ${d(s"s_$b")} * ${d(s"s_$b")}
+         |      AS vb
+         |  FROM s""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH c AS (SELECT $sel FROM lineitem),
+      |cc AS (SELECT * FROM c WHERE $notNull),
+      |s AS (SELECT
+      |    $sums
+      |  FROM cc)
+      |SELECT col_a, col_b, n,
+      |  round(CASE WHEN va > 0 AND vb > 0
+      |    THEN cov / (sqrt(va) * sqrt(vb)) END, 12) AS corr
+      |FROM (
+      |$rows)
+      |ORDER BY col_a, col_b""".stripMargin
   }
 
   /** Mirrors SparkEntry.SessionGapUs. A `def`: `sql` above interpolates

@@ -947,6 +947,19 @@ class ExtSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate") && !plan.contains("Window"))
   }
 
+  test("compactionPlan bins files in order by the offset rule") {
+    val files = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L))
+      .toDF("fid", "sz")
+    val bins = Layout.compactionPlan(files, col("fid"), col("sz"), 10L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bin")).toMap
+    assert(bins === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+    // an oversize file claims its own bin range; order is preserved
+    val big = Seq((1L, 25L), (2L, 5L), (3L, 5L)).toDF("fid", "sz")
+    val b2 = Layout.compactionPlan(big, col("fid"), col("sz"), 10L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bin")).toMap
+    assert(b2 === Map(1L -> 0L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("zOrdered range-partitions and locally sorts by the z-value") {
     val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
       .toDF("x", "y").repartition(9)

@@ -44,4 +44,48 @@ class PrivacySpec extends SparkSpec {
     assert(s.getAs[Long]("n_violating") === 0L)
     assert(s.getAs[Double]("at_risk_rate") === 0.0)
   }
+
+  /** Driver-side t_num reference: Σ over ALL global values of
+    * |n_gv·N − N_v·n_g| — absent values contribute N_v·n_g.
+    */
+  private def refTnum(rows: Seq[(Int, String)]): Map[Int, Long] = {
+    val n = rows.size.toLong
+    val global = rows.groupBy(_._2).map { case (v, xs) => v -> xs.size.toLong }
+    rows.groupBy(_._1).map { case (g, xs) =>
+      val ng = xs.size.toLong
+      val gv = xs.groupBy(_._2).map { case (v, ys) => v -> ys.size.toLong }
+      g -> global.map { case (v, nv) =>
+        math.abs(gv.getOrElse(v, 0L) * n - nv * ng) }.sum
+    }
+  }
+
+  test("tCloseness: exact integer EMD incl. absent-value mass") {
+    val rows = Seq(1 -> "a", 1 -> "b", 2 -> "a", 2 -> "b", 3 -> "a",
+      3 -> "a")
+    val out = Privacy.tCloseness(rows.toDF("zip", "diag"), Seq("zip"),
+        col("diag"), (1L, 10L))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    val ref = refTnum(rows)
+    // groups 1,2 mirror the global mix apart from group 3's skew;
+    // group 3 is pure "a" and must carry the absent-"b" mass
+    assert(out.keySet === Set(1, 2, 3))
+    out.foreach { case (g, (ng, tnum, t, viol)) =>
+      assert(tnum === ref(g), s"group $g")
+      assert(math.abs(t - tnum.toDouble / (2.0 * ng * 6)) < 1e-15)
+      // verdict is the integer cross-multiplication of t > 1/10
+      assert(viol === (tnum * 10 > 2 * ng * 6))
+    }
+    assert(out(3)._4, "the pure group must violate t > 0.1")
+  }
+
+  test("tCloseness: a group matching the global mix scores zero") {
+    val rows = Seq(1 -> "a", 1 -> "b", 2 -> "a", 2 -> "b")
+    val out = Privacy.tCloseness(rows.toDF("zip", "diag"), Seq("zip"),
+        col("diag"), (1L, 10L))
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getBoolean(4)))
+      .toMap
+    assert(out === Map(1 -> ((0L, false)), 2 -> ((0L, false))))
+  }
 }

@@ -55,4 +55,37 @@ class ProfileSpec extends SparkSpec {
         r.getDouble(3)))
     assert(out.toSeq === again.toSeq)
   }
+
+  test("corrMatrix: perfect linear, anti-linear, and degenerate pairs") {
+    val df = (1L to 50L).map(x => (x, 2 * x, 100 - x, 7L))
+      .toDF("x", "y2", "yn", "const")
+    val out = Profile.corrMatrix(df, Seq("x" -> col("x"),
+        "y2" -> col("y2"), "yn" -> col("yn"), "const" -> col("const")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_ => r.getDouble(3))))
+      .toMap
+    assert(out.size === 6)
+    // r is DETERMINISTIC, not algebraically exact: sqrt(va)·sqrt(vb)
+    // rounds, so a perfect fit lands within an ulp of ±1
+    assert(out(("x", "y2"))._1 === 50L)
+    assert(math.abs(out(("x", "y2"))._2.get - 1.0) < 1e-12)
+    assert(math.abs(out(("x", "yn"))._2.get + 1.0) < 1e-12)
+    // zero-variance column → null r, never NaN or ±Infinity
+    assert(out(("x", "const"))._2.isEmpty)
+    assert(out(("y2", "const"))._2.isEmpty)
+  }
+
+  test("corrMatrix drops rows with any null (listwise) and is rerun-stable") {
+    val df = Seq((Some(1L), Some(10L)), (Some(2L), None),
+      (Some(3L), Some(30L)), (None, Some(9L)), (Some(5L), Some(50L)))
+      .toDF("a", "b")
+    val run = () => Profile.corrMatrix(df,
+        Seq("a" -> col("a"), "b" -> col("b")))
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).head
+    val (n, r1) = run()
+    assert(n === 3L) // only the fully-populated rows
+    assert(math.abs(r1 - 1.0) < 1e-15)
+    assert(run() === ((n, r1))) // bitwise rerun stability
+  }
 }
