@@ -1983,6 +1983,154 @@ object SparkEntry {
       .orderBy("file_id")
   }
 
+  /** ROLLUP (Olap.rollupAgg): lineitem volume/revenue by returnflag ×
+    * linestatus with subtotal + grand-total rows in ONE shuffle of
+    * map-side-expanded partials; `gid` (MSB-first grouping bits)
+    * disambiguates subtotal NULLs from genuine NULL group values —
+    * the hash-match doubles as a cross-engine assertion that Spark
+    * `grouping_id()` and DuckDB `GROUPING()` share the bit order.
+    */
+  private def xOlapRollup(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Olap.rollupAgg(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_linestatus"), col("l_quantity"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c")),
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(col("price_c")).as("sum_price_c")))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
+  /** CUBE (Olap.cubeAgg): all four grouping sets of orderstatus ×
+    * orderpriority — same single-shuffle expansion, 2^d map-side
+    * replication.
+    */
+  private def xOlapCube(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Olap.cubeAgg(
+        t(s, dir, "orders").select(col("o_orderstatus"),
+          col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c")),
+        Seq("o_orderstatus", "o_orderpriority"),
+        Seq(count(lit(1)).as("n_orders"),
+          sum(col("total_c")).as("sum_total_c")))
+      .orderBy("gid", "o_orderstatus", "o_orderpriority")
+
+  /** Pivot (Olap.pivotAgg): order revenue cents per priority, order
+    * status pivoted wide over the EXPLICIT value list O/F/P — one
+    * conditional hash agg, no distinct-collect pre-pass.
+    */
+  private def xOlapPivot(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Olap.pivotAgg(
+        t(s, dir, "orders").select(col("o_orderpriority"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c")),
+        Seq("o_orderpriority"), "o_orderstatus", Seq("O", "F", "P"),
+        sum(col("total_c")), "status_")
+      .orderBy("o_orderpriority")
+
+  /** Skyline (Olap.skyline): the pareto frontier of parts maximizing
+    * size while minimizing retail price (cents negated into the
+    * larger-is-better convention). Sample-pruned exact two-phase —
+    * the corpus never self-joins.
+    */
+  private def xOlapSkyline(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Olap.skyline(
+        t(s, dir, "part").select(col("p_partkey"),
+          col("p_size").cast("long").as("p_size"),
+          round(col("p_retailprice") * 100).cast("long").as("price_c")),
+        Seq("size" -> col("p_size"), "cheap" -> (-col("price_c"))))
+      .orderBy("p_partkey")
+
+  /** Per-group OLS trend (Profile.olsTrend): discount cents against
+    * ship-day index per return flag — exact decimal moments in one
+    * hash agg, slope/intercept from correctly-rounded double ops.
+    * Rounded to 12 decimals on both engines (the corrMatrix HUGEINT→
+    * DOUBLE double-rounding absorption).
+    */
+  private def xProfileOls(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.olsTrend(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          datediff(col("l_shipdate").cast("date"),
+            lit(java.sql.Date.valueOf(ZmEpoch))).as("ship_day"),
+          round(col("l_discount") * 100).as("disc_c")),
+        Seq("l_returnflag"), col("ship_day"), col("disc_c"))
+      .withColumn("slope", round(col("slope"), 12))
+      .withColumn("intercept", round(col("intercept"), 12))
+      .orderBy("l_returnflag")
+
+  /** Chi-square independence + Cramér's V (Profile.chiSquare) between
+    * market segment and nation over customers — exact integer
+    * contingency/marginals, per-cell terms snapped to 10⁻⁹ fixed
+    * point and summed as longs (order-free), so the float statistic
+    * hash-matches across engines.
+    */
+  private def xProfileChisq(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.chiSquare(t(s, dir, "customer"),
+        col("c_mktsegment"), col("c_nationkey"))
+      .withColumn("chi2", round(col("chi2"), 9))
+      .withColumn("cramers_v", round(col("cramers_v"), 12))
+
+  /** Functional-dependency violation scan (Profile.fdViolations):
+    * l_orderkey → l_shipdate does NOT hold (an order's lines ship on
+    * different days) — every violating order with row/distinct counts
+    * and min/max witness dates. Pair pre-aggregate, never a
+    * count(DISTINCT) Expand.
+    */
+  private def xQualityFd(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.fdViolations(
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_shipdate").cast("date").as("l_shipdate")),
+        Seq("l_orderkey"), col("l_shipdate"))
+      .orderBy("l_orderkey")
+
+  /** Interval union (TimeSeries.intervalUnion): per-supplier transit
+    * islands over [ship_day, ship_day + quantity) intervals — maximal
+    * overlapping spans from the two-window sweep, exact integer
+    * covered lengths.
+    */
+  private def xTsIntervalUnion(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.intervalUnion(
+        t(s, dir, "lineitem").select(col("l_suppkey"),
+          datediff(col("l_shipdate").cast("date"),
+            lit(java.sql.Date.valueOf(ZmEpoch))).cast("long").as("d0"),
+          (datediff(col("l_shipdate").cast("date"),
+            lit(java.sql.Date.valueOf(ZmEpoch))) +
+            col("l_quantity").cast("long")).as("d1")),
+        "l_suppkey", col("d0"), col("d1"))
+      .orderBy("l_suppkey", "island")
+
+  /** CUSUM drift scan (TimeSeries.cusum): per-user one-sided CUSUM of
+    * event value cents against a 15000-cent target, alarm above 10⁶ —
+    * the sequential recursion rewritten as prefix-sum − running-min
+    * (two frames over one sort), exact longs.
+    */
+  private def xTsCusum(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.cusum(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"), floor(col("value") * 100).cast("long").as("cents")),
+        "user_id", unix_micros(col("ts")), col("event_id"),
+        col("cents"), targetCents = 15000L, threshold = 1000000L)
+      .select(col("event_id"), col("user_id"), col("cusum"),
+        col("flagged"))
+      .orderBy("event_id")
+
+  /** Multi-source BFS (Graph.shortestHops): minimum hop count from the
+    * customers whose key is divisible by 500 across the BIDIRECTIONAL
+    * purchase graph, capped at 4 hops — frontier iteration, exact
+    * integer distances, checkpoint-truncated lineage.
+    */
+  private def xGraphKhop(s: SparkSession, dir: String): DataFrame = {
+    val fwd = purchaseEdges(s, dir)
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val sources = t(s, dir, "customer")
+      .where(pmod(col("c_custkey"), lit(500)) === 0)
+      .select((col("c_custkey") * 2).as("id"))
+    graft.ext.Graph.shortestHops(edges, "src", "dst", sources, 4)
+      .select(col("id").as("node_id"), col("hops"))
+      .orderBy("node_id")
+  }
+
   // -------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_pk_lineitem" -> (k1PkLineitem _),
@@ -2159,7 +2307,17 @@ object SparkEntry {
     "x_ts_ewma" -> (xTsEwma _),
     "x_profile_corr" -> (xProfileCorr _),
     "x_privacy_tclose" -> (xPrivacyTclose _),
-    "x_layout_compaction" -> (xLayoutCompaction _)
+    "x_layout_compaction" -> (xLayoutCompaction _),
+    "x_olap_rollup" -> (xOlapRollup _),
+    "x_olap_cube" -> (xOlapCube _),
+    "x_olap_pivot" -> (xOlapPivot _),
+    "x_olap_skyline" -> (xOlapSkyline _),
+    "x_profile_ols" -> (xProfileOls _),
+    "x_profile_chisq" -> (xProfileChisq _),
+    "x_quality_fd" -> (xQualityFd _),
+    "x_ts_interval_union" -> (xTsIntervalUnion _),
+    "x_ts_cusum" -> (xTsCusum _),
+    "x_graph_khop" -> (xGraphKhop _)
   )
 
   // ------------------------------------------------------------- oracles

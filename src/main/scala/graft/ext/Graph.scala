@@ -226,4 +226,51 @@ object Graph {
       maxIters: Int = 20): DataFrame =
     Dedup.duplicateClusters(edges, src, dst, maxIters)
       .withColumnRenamed("cluster_id", "component_id")
+
+  /** Multi-source BFS: exact minimum hop distance from ANY row of
+    * `sources` (a 1-column frame of long node ids) to every node
+    * reachable within `maxHops` directed edges. Returns (id, hops);
+    * unreached nodes are absent. Exact integer distances — bitwise
+    * deterministic for a fixed edge set and hop cap.
+    *
+    * Frontier iteration, the textbook distributed BFS: round k joins
+    * ONLY the hop-(k−1) frontier against the edge list (cached,
+    * pre-partitioned on src — every round reuses the layout) and
+    * min-merges the candidates into the accumulated distance frame;
+    * the new frontier is exactly the nodes whose merged distance
+    * equals k (first reached this round), so work per round is
+    * proportional to the frontier×out-degree, not the graph. Hub
+    * fan-in collapses in the map-side partial of the min agg. Both
+    * accumulator and frontier are localCheckpointed each round
+    * ([[DeepIterThreshold]] rationale — an unbounded lineage chain
+    * would re-derive every prior round per action). No driver-side
+    * collect anywhere; output bounded by reachable node count.
+    */
+  def shortestHops(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32,
+      s"maxHops must be in [1, 32], got $maxHops")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val src0 = sources.toDF("id").select(col("id").cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct()
+      .withColumn("hops", lit(0L))
+    CacheScope.withCached(e.repartition(col("src"))) { eP =>
+      var dist = src0.localCheckpoint(eager = true)
+      var frontier = dist
+      for (k <- 1 to maxHops) {
+        val candidates = frontier
+          .join(eP, frontier("id") === eP("src"))
+          .select(col("dst").as("id"), lit(k.toLong).as("hops"))
+        dist = dist.union(candidates)
+          .groupBy("id").agg(min(col("hops")).as("hops"))
+          .localCheckpoint(eager = true)
+        frontier = dist.where(col("hops") === k)
+      }
+      dist
+    }
+  }
 }

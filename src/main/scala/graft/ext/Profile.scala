@@ -590,4 +590,128 @@ object Profile {
           .as("hottest_key"),
         col("__hot").getField("p").cast("long").as("hottest_rows"))
   }
+
+  /** Per-group simple OLS fit y = slope·x + intercept over
+    * integer-valued expressions (scale floats to cents/day-indices
+    * first) — the [[corrMatrix]] determinism treatment applied to
+    * trend detection: every moment (n, Σx, Σy, Σx², Σxy) is an exact
+    * decimal(38,0) sum in ONE map-side-combinable hash aggregate, and
+    * only the final slope/intercept assembly runs in floating point
+    * over doubles cast from those exact integers (cast, ·, −, ÷ all
+    * correctly rounded ⇒ engine-portable).
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy − slope·Σx) / n
+    *
+    * Zero x-variance groups emit NULL slope/intercept (never NaN).
+    * Rows with a NULL in x or y are dropped. Overflow headroom:
+    * n·Σx² must stay under 10³⁸ — center/rescale x (e.g. day index,
+    * not epoch micros) before fitting at corpus scale.
+    */
+  def olsTrend(df: DataFrame, keys: Seq[String], x: Column,
+      y: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df
+      .select(keys.map(col) :+ x.cast("long").as("__x") :+
+        y.cast("long").as("__y"): _*)
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    def d(c: String) = col(c).cast("double")
+    val nD = col("__n").cast("double")
+    val den = nD * d("__sxx") - d("__sx") * d("__sx")
+    val slope = (nD * d("__sxy") - d("__sx") * d("__sy")) / den
+    base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(dec(col("__x"))).as("__sx"),
+        sum(dec(col("__y"))).as("__sy"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("__sxx"),
+        sum(dec(col("__x")) * dec(col("__y"))).as("__sxy"))
+      .select(keys.map(col) :+ col("__n").as("n") :+
+        when(den > 0, slope).as("slope") :+
+        when(den > 0, (d("__sy") - slope * d("__sx")) / nD)
+          .as("intercept"): _*)
+  }
+
+  /** Chi-square test of independence between two CATEGORICAL columns,
+    * plus Cramér's V effect size — deterministic and engine-portable
+    * despite being a float statistic:
+    *
+    *  - the contingency table is exact integer counts (one hash agg),
+    *    row/column marginals two more (all map-side combinable);
+    *  - the FULL grid (distinct a × distinct b, both broadcast-sized
+    *    dimensions) is materialized so ABSENT cells contribute their
+    *    expected-count mass E = R·C/N — dropping them understates χ²;
+    *  - each cell term ((O·N − R·C)²/(R·C·N), the O−E form cleared of
+    *    divisions) is computed as correctly-rounded double ops over
+    *    exact integers, then snapped to 10⁻⁹ fixed point (one
+    *    round-to-nearest of a deterministic double) and summed as
+    *    EXACT LONGS — the order-free sum that a naive double Σ over
+    *    cells (partition-order-dependent) can never give;
+    *  - χ² = Σ/10⁹ and V = √(χ²/(N·min(r−1,c−1))) finish in
+    *    correctly-rounded ops.
+    *
+    * Output: one row (n, n_a, n_b, dof, chi2, cramers_v).
+    * Overflow bounds: O·N ≤ N² needs N < ~3·10⁹ rows; per-cell
+    * term·10⁹ < 2⁶³ needs χ² contributions < 9·10⁹ — both document
+    * the pre-aggregated-counts escape hatch (feed cell counts, not
+    * raw rows, above that).
+    */
+  def chiSquare(df: DataFrame, a: Column, b: Column): DataFrame = {
+    // ONE corpus scan builds the bounded contingency table; marginals,
+    // totals, and cardinalities all derive from it (scope-cached so the
+    // scan runs once, not once per marginal)
+    val cellsRaw = df.select(a.as("__a"), b.as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
+    CacheScope.withCached(cellsRaw) { cells =>
+      val ra = cells.groupBy("__a").agg(sum(col("__o")).as("__r"))
+      val cb = cells.groupBy("__b").agg(sum(col("__o")).as("__c"))
+      val tot = cells.agg(sum(col("__o")).as("__nt"),
+        count(lit(1)).as("__npresent"))
+      def d(c: Column) = c.cast("double")
+      val diff = d(col("__o") * col("__nt") - col("__r") * col("__c"))
+      val term = diff * diff /
+        (d(col("__r")) * d(col("__c")) * d(col("__nt")))
+      ra.crossJoin(broadcast(cb)).crossJoin(broadcast(tot))
+        .join(cells, Seq("__a", "__b"), "left")
+        .select(col("__r"), col("__c"), col("__nt"),
+          coalesce(col("__o"), lit(0L)).as("__o"))
+        .select(col("__nt"), round(term * 1e9).cast("long").as("__t9"))
+        .groupBy("__nt")
+        .agg(sum(col("__t9")).as("__s9"))
+        .crossJoin(broadcast(ra.agg(count(lit(1)).as("n_a"))))
+        .crossJoin(broadcast(cb.agg(count(lit(1)).as("n_b"))))
+        .select(col("__nt").as("n"), col("n_a"), col("n_b"),
+          ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"),
+          (col("__s9").cast("double") / 1e9).as("chi2"),
+          sqrt(col("__s9").cast("double") / 1e9 /
+            (col("__nt").cast("double") *
+              least(col("n_a") - 1, col("n_b") - 1).cast("double")))
+            .as("cramers_v"))
+    }
+  }
+
+  /** Functional-dependency violation scan: the groups of `lhs` values
+    * that map to MORE than one distinct `rhs` value — the certificate
+    * that lhs → rhs does NOT hold. For every violating group: row
+    * count, distinct-rhs count, and the min/max rhs as deterministic
+    * witness values.
+    *
+    * Scale design: one groupBy(lhs ∪ rhs) pre-aggregate (bounded by
+    * the distinct pair count, map-side combinable) feeding one
+    * groupBy(lhs) — never a count(DISTINCT) Expand over raw rows.
+    * Output is bounded by the number of violating groups.
+    */
+  def fdViolations(df: DataFrame, lhs: Seq[String],
+      rhs: Column): DataFrame = {
+    val pairs = df.select(lhs.map(col) :+ rhs.as("__rhs"): _*)
+      .where(col("__rhs").isNotNull)
+      .groupBy(lhs.map(col) :+ col("__rhs"): _*)
+      .agg(count(lit(1)).as("__n"))
+    pairs.groupBy(lhs.map(col): _*)
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_distinct_rhs"),
+        min(col("__rhs")).as("rhs_min"),
+        max(col("__rhs")).as("rhs_max"))
+      .where(col("n_distinct_rhs") > 1)
+  }
 }

@@ -115,4 +115,85 @@ object TimeSeries {
         col("ewma_num").cast("double") / col("ewma_den").cast("double"))
       .drop("__graft_arr")
   }
+
+  /** Interval union per key (sweep-line): overlapping/adjacent
+    * [start, end) intervals merge into maximal "islands"; output is
+    * one row per island — (key, island, island_start, island_end,
+    * n_intervals, covered) — from which time-in-state, coverage
+    * ratio, and gap questions all fall out.
+    *
+    * The sweep is two window passes over the SAME (key, start order)
+    * exchange (Catalyst reuses the sort): island boundary = start
+    * strictly after the running max end of all earlier intervals;
+    * island id = running count of boundaries. Within equal starts the
+    * tie order provably cannot change the segmentation (any row tied
+    * at start s sees a prefix max ≥ s from its tie group, so only the
+    * group's FIRST row can open an island and the prefix max the next
+    * start compares against is the whole group's either way) — the
+    * output is deterministic without a tie-break column. Integer
+    * [start, end) arithmetic: covered = island_end − island_start,
+    * exact, no floats anywhere.
+    *
+    * Scale: one shuffle on key, per-key linear windows; output
+    * bounded by island count ≤ interval count.
+    */
+  def intervalUnion(df: DataFrame, keyCol: String, start: Column,
+      end: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol), start.cast("long").as("__s"),
+        end.cast("long").as("__e"))
+      .where(col("__s").isNotNull && col("__e").isNotNull &&
+        col("__e") >= col("__s"))
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("__s"))
+    val prevMax = max(col("__e"))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val isNew = when(prevMax.isNull || col("__s") > prevMax, 1L)
+      .otherwise(0L)
+    base
+      .withColumn("__island", sum(isNew)
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("__island").as("island"))
+      .agg(min(col("__s")).as("island_start"),
+        max(col("__e")).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .withColumn("covered", col("island_end") - col("island_start"))
+  }
+
+  /** One-sided CUSUM change-point scan (Page 1954), exact-integer and
+    * window-only. The textbook recursion S_i = max(0, S_{i−1} + (x_i −
+    * target)) looks inherently sequential, but the classic identity
+    *   S_i = P_i − min(0, min_{j ≤ i} P_j),  P_i = Σ_{k ≤ i}(x_k − target)
+    * turns it into a prefix sum plus a running min — two frames over
+    * ONE (key, ts) sort, linear per key, no fold, no collect, exact
+    * longs end to end. `flagged` marks S_i > threshold: the sustained
+    * upward drift alarm (negate the value column for the downward
+    * side).
+    *
+    * Ties on `tsUs` are ordered by `tieCol` (the CUSUM prefix IS
+    * order-sensitive, unlike [[intervalUnion]]'s sweep — a total
+    * order is part of the semantics here).
+    */
+  def cusum(df: DataFrame, keyCol: String, tsUs: Column, tieCol: Column,
+      cents: Column, targetCents: Long, threshold: Long): DataFrame = {
+    require(threshold >= 0, s"need threshold >= 0, got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    // ordering keys materialized as ATTRIBUTES before the windows:
+    // expression-valued sort keys (unix_micros(ts)) defeat ordering
+    // propagation between the two window nodes and buy a second
+    // SortExec; over plain columns the running-min window reuses the
+    // prefix-sum window's sort (asserted in PlanSpec)
+    val ord = Window.partitionBy(col(keyCol))
+      .orderBy(col("__graft_ord"), col("__graft_tie"))
+    val p = sum(col("__graft_d"))
+      .over(ord.rowsBetween(Window.unboundedPreceding, 0))
+    df.withColumn("__graft_ord", tsUs)
+      .withColumn("__graft_tie", tieCol)
+      .withColumn("__graft_d", cents.cast("long") - lit(targetCents))
+      .withColumn("__graft_p", p)
+      .withColumn("cusum",
+        col("__graft_p") - least(lit(0L), min(col("__graft_p"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, 0))))
+      .withColumn("flagged", col("cusum") > threshold)
+      .drop("__graft_ord", "__graft_tie", "__graft_d", "__graft_p")
+  }
 }

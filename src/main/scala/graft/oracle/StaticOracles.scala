@@ -2466,7 +2466,177 @@ private[graft] object StaticOracles {
         |  CAST(num AS DOUBLE)
         |    / CAST((CAST(1 AS BIGINT) << CAST(n AS INTEGER)) - 1
         |        AS DOUBLE) AS ewma
-        |FROM e ORDER BY event_id""".stripMargin
+        |FROM e ORDER BY event_id""".stripMargin,
+    // the hash-match doubles as the cross-engine assertion that Spark
+    // grouping_id() and DuckDB GROUPING() agree on MSB-first bit order
+    "x_olap_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_price_c
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "x_olap_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+        |    AS gid,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_total_c
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+    "x_olap_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS status_o,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS status_f,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS status_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // brute-force NOT EXISTS dominance — the oracle may go quadratic;
+    // the engine must not
+    "x_olap_skyline" ->
+      """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+        |  FROM part)
+        |SELECT p_partkey, p_size, price_c FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.p_size >= a.p_size AND b.price_c <= a.price_c
+        |    AND (b.p_size > a.p_size OR b.price_c < a.price_c))
+        |ORDER BY p_partkey""".stripMargin,
+    // HUGEINT moments, slope/intercept double ops mirrored
+    // op-for-op; round 12 absorbs the HUGEINT→DOUBLE double-rounding
+    "x_profile_ols" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_shipdate IS NOT NULL AND l_discount IS NOT NULL),
+        |s AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        |  FROM c GROUP BY 1),
+        |d AS (SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM s)
+        |SELECT l_returnflag, n,
+        |  round(CASE WHEN den > 0 THEN num / den END, 12) AS slope,
+        |  round(CASE WHEN den > 0
+        |    THEN (syd - (num / den) * sxd) / CAST(n AS DOUBLE) END, 12)
+        |    AS intercept
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+    // exact integer contingency + 1e-9 fixed-point term fold — the
+    // absent grid cells contribute their expected mass, same as Spark
+    "x_profile_chisq" ->
+      """WITH base AS (SELECT c_mktsegment AS a, c_nationkey AS b
+        |  FROM customer
+        |  WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) AS r FROM cells GROUP BY 1),
+        |cb AS (SELECT b, sum(o) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(o) AS nt FROM cells),
+        |grid AS (SELECT ra.a, cb.b, ra.r, cb.c, tot.nt,
+        |    coalesce(cells.o, 0) AS o
+        |  FROM ra CROSS JOIN cb CROSS JOIN tot
+        |  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
+        |terms AS (SELECT nt, CAST(round(
+        |    CAST(o * nt - r * c AS DOUBLE) * CAST(o * nt - r * c AS DOUBLE)
+        |      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+        |        * CAST(nt AS DOUBLE)) * 1e9) AS BIGINT) AS t9
+        |  FROM grid),
+        |sm AS (SELECT nt, sum(t9) AS s9 FROM terms GROUP BY nt),
+        |na AS (SELECT count(*) AS n_a FROM ra),
+        |nb AS (SELECT count(*) AS n_b FROM cb)
+        |SELECT CAST(sm.nt AS BIGINT) AS n, na.n_a, nb.n_b,
+        |  (na.n_a - 1) * (nb.n_b - 1) AS dof,
+        |  round(CAST(sm.s9 AS DOUBLE) / 1e9, 9) AS chi2,
+        |  round(sqrt(CAST(sm.s9 AS DOUBLE) / 1e9
+        |    / (CAST(sm.nt AS DOUBLE)
+        |      * CAST(least(na.n_a - 1, nb.n_b - 1) AS DOUBLE))), 12)
+        |    AS cramers_v
+        |FROM sm, na, nb""".stripMargin,
+    "x_quality_fd" ->
+      """WITH p AS (SELECT l_orderkey, CAST(l_shipdate AS DATE) AS d,
+        |    count(*) AS n
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1, 2)
+        |SELECT l_orderkey, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  count(*) AS n_distinct_rhs,
+        |  min(d) AS rhs_min, max(d) AS rhs_max
+        |FROM p GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY l_orderkey""".stripMargin,
+    // two-window sweep mirrored frame-for-frame; tie order within
+    // equal starts provably cannot change the segmentation
+    "x_ts_interval_union" ->
+      """WITH iv AS (SELECT l_suppkey,
+        |    CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS s,
+        |    CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(l_shipdate AS DATE))
+        |      + CAST(l_quantity AS BIGINT) AS BIGINT) AS e
+        |  FROM lineitem),
+        |m AS (SELECT l_suppkey, s, e,
+        |    max(e) OVER (PARTITION BY l_suppkey ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |isl AS (SELECT l_suppkey, s, e,
+        |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY l_suppkey ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS island
+        |  FROM m)
+        |SELECT l_suppkey, CAST(island AS BIGINT) AS island,
+        |  min(s) AS island_start, max(e) AS island_end,
+        |  count(*) AS n_intervals,
+        |  max(e) - min(s) AS covered
+        |FROM isl GROUP BY 1, 2
+        |ORDER BY l_suppkey, island""".stripMargin,
+    // prefix-sum − running-min identity mirrored window-for-window
+    "x_ts_cusum" ->
+      """WITH f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |p AS (SELECT event_id, user_id, ts_us,
+        |    sum(cents - 15000) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+        |  FROM f),
+        |m AS (SELECT event_id, user_id, pp,
+        |    least(0, min(pp) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS mn
+        |  FROM p)
+        |SELECT event_id, user_id, CAST(pp - mn AS BIGINT) AS cusum,
+        |  (pp - mn) > 1000000 AS flagged
+        |FROM m ORDER BY event_id""".stripMargin,
+    // recursive-CTE BFS: UNION dedup on (id, d) bounds the working
+    // set; min over the accumulated rows = first-reach hop count
+    "x_graph_khop" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+        |    l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0
+        |  UNION SELECT dst, src FROM e0),
+        |srcs AS (SELECT c_custkey * 2 AS id FROM customer
+        |  WHERE c_custkey % 500 = 0),
+        |r(id, d) AS (
+        |  SELECT id, 0 FROM srcs
+        |  UNION
+        |  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id
+        |  WHERE r.d < 4)
+        |SELECT id AS node_id, CAST(min(d) AS BIGINT) AS hops
+        |FROM r GROUP BY 1 ORDER BY node_id""".stripMargin
   )
 
   /** Mirrors the SparkEntry zone-map layout bit-for-bit: 6-bit lanes

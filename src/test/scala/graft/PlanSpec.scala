@@ -622,6 +622,84 @@ class PlanSpec extends SparkSpec {
       n.getClass.getSimpleName.contains("Join")))
   }
 
+  test("intervalUnion: sweep windows share one per-key exchange") {
+    import graft.ext.TimeSeries
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val li = Tables.load(spark, dir, "lineitem")
+    val iu = TimeSeries.intervalUnion(li.select(col("l_suppkey"),
+        col("l_quantity").cast("long").as("s"),
+        (col("l_quantity").cast("long") + 5L).as("e")),
+      "l_suppkey", col("s"), col("e"))
+    val ns = nodes(iu)
+    // prefix-max + running-sum ride the SAME (key, start) sort; the
+    // island groupBy(key, island) extends that partitioning, so the
+    // whole sweep is ONE exchange and at most two window nodes
+    assert(ns.count(_.isInstanceOf[WindowExec]) <= 2)
+    assert(ns.count(_.isInstanceOf[ShuffleExchangeExec]) <= 1,
+      "island agg must reuse the window's key partitioning")
+    assert(!ns.exists(_.getClass.getSimpleName.contains("Join")))
+  }
+
+  test("cusum: prefix-sum and running-min share one sort, no join") {
+    import graft.ext.TimeSeries
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SortExec
+    val ev = Tables.load(spark, dir, "events")
+    val cs = TimeSeries.cusum(ev.select(col("event_id"), col("user_id"),
+        col("ts"), floor(col("value") * 100).cast("long").as("cents")),
+      "user_id", unix_micros(col("ts")), col("event_id"),
+      col("cents"), 15000L, 1000000L)
+    val ns = nodes(cs)
+    assert(ns.count(_.isInstanceOf[ShuffleExchangeExec]) == 1)
+    assert(ns.count(_.isInstanceOf[SortExec]) == 1,
+      "both frames must reuse one (key, ts) sort")
+    assert(!ns.exists(_.getClass.getSimpleName.contains("Join")))
+  }
+
+  test("olsTrend/chiSquare: moment math is hash aggs, never a window") {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ols = Profile.olsTrend(li.select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_discount") * 100).cast("long").as("y")),
+      Seq("l_returnflag"), col("x"), col("y"))
+    val on = nodes(ols)
+    assert(!on.exists(_.isInstanceOf[WindowExec]))
+    assert(!on.exists(_.getClass.getSimpleName.contains("SortAggregate")),
+      "decimal moments must stay in hash aggregation")
+    // chiSquare checkpoint-materializes inside its cache scope, so its
+    // joins never appear in the RETURNED frame's plan — capture the
+    // executed plans instead
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val cust = Tables.load(spark, dir, "customer")
+      Profile.chiSquare(cust, col("c_mktsegment"), col("c_nationkey"))
+        .collect()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var joined = Seq.empty[String]
+      while (joined.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        joined = plans.toArray(Array.empty[String]).toSeq
+          .filter(p => p.contains("BroadcastHashJoin") ||
+            p.contains("BroadcastNestedLoop"))
+      }
+      // grid assembly joins are all broadcast (bounded dimensions);
+      // nothing in the pipeline may windows-sort or merge-join
+      assert(joined.nonEmpty, "no broadcast-join plan captured")
+      val all = plans.toArray(Array.empty[String]).toSeq
+      assert(!all.exists(_.contains("SortMergeJoin")))
+      assert(!all.exists(_.contains("Window")))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("topPaths: session window partitioning feeds the path agg") {
     import graft.ext.Behavior
     val ev = Tables.load(spark, dir, "events")

@@ -80,6 +80,43 @@ class GraphPropSpec extends SparkSpec {
     })
   }
 
+  /** Driver BFS reference: min directed-hop distance ≤ maxHops. */
+  private def refHops(edges: Seq[(Long, Long)], sources: Set[Long],
+      maxHops: Int): Map[Long, Long] = {
+    val adj = edges.distinct.groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._2).toSet }
+    var dist = sources.map(_ -> 0L).toMap
+    var frontier = sources
+    for (k <- 1 to maxHops) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(dist.contains)
+      dist ++= next.map(_ -> k.toLong)
+      frontier = next
+    }
+    dist
+  }
+
+  test("law: shortestHops equals driver BFS on random graphs") {
+    val gen = Gen.zip(
+      Gen.listOfN(40, Gen.zip(Gen.choose(1L, 15L), Gen.choose(1L, 15L))),
+      Gen.nonEmptyListOf(Gen.choose(1L, 15L)).map(_.take(3)),
+      Gen.choose(1, 5))
+    check(Prop.forAll(gen) { case (edges, srcs, hops) =>
+      val got = Graph.shortestHops(edges.toDF("s", "d"), "s", "d",
+          srcs.toDF("id"), hops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == refHops(edges, srcs.toSet, hops)
+    })
+  }
+
+  test("shortestHops: unreached nodes are absent, sources are hop 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val out = Graph.shortestHops(edges.toDF("s", "d"), "s", "d",
+        Seq(1L).toDF("id"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("law: triangleCounts is partitioning-invariant") {
     val edges = (1 to 40).map(i => ((i % 7).toLong, (i % 11).toLong))
     val a = Graph.triangleCounts(edges.toDF("s", "d"), "s", "d")

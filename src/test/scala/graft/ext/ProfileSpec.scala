@@ -76,6 +76,77 @@ class ProfileSpec extends SparkSpec {
     assert(out(("y2", "const"))._2.isEmpty)
   }
 
+  test("olsTrend recovers an exact line per group; degenerate x → null") {
+    val df = (1L to 40L).flatMap { x =>
+      Seq(("up", x, 3 * x + 7), ("down", x, 100 - 2 * x),
+        ("flat", 5L, x)) // zero x-variance group
+    }.toDF("g", "x", "y")
+    val out = Profile.olsTrend(df, Seq("g"), col("x"), col("y"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_ => r.getDouble(2)),
+        Option(r.get(3)).map(_ => r.getDouble(3))))
+      .toMap
+    // exact integer moments → the perfect fit is exact, not approximate
+    assert(out("up") === ((40L, Some(3.0), Some(7.0))))
+    assert(out("down") === ((40L, Some(-2.0), Some(100.0))))
+    assert(out("flat")._2.isEmpty && out("flat")._3.isEmpty)
+  }
+
+  test("olsTrend drops rows with a null in either variable") {
+    val df = Seq((Some(1L), Some(10L)), (Some(2L), None),
+      (None, Some(5L)), (Some(3L), Some(30L))).toDF("x", "y")
+      .withColumn("g", lit("a"))
+    val r = Profile.olsTrend(df, Seq("g"), col("x"), col("y"))
+      .collect().head
+    assert(r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 10.0)
+  }
+
+  test("chiSquare matches the hand-computed 2x2 statistic") {
+    // O = [[30,10],[10,30]] → E = 20 everywhere, χ² = 4·(10²/20) = 20,
+    // dof = 1, V = √(20/80) = 0.5
+    val rows =
+      Seq.fill(30)(("A", "X")) ++ Seq.fill(10)(("A", "Y")) ++
+      Seq.fill(10)(("B", "X")) ++ Seq.fill(30)(("B", "Y"))
+    val r = Profile.chiSquare(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect().head
+    assert(r.getLong(0) === 80L)
+    assert(r.getLong(1) === 2L && r.getLong(2) === 2L)
+    assert(r.getLong(3) === 1L)
+    assert(math.abs(r.getDouble(4) - 20.0) < 1e-9)
+    assert(math.abs(r.getDouble(5) - 0.5) < 1e-9)
+  }
+
+  test("chiSquare: proportional table scores zero; absent cells count") {
+    val indep = Seq.fill(20)(("A", "X")) ++ Seq.fill(10)(("A", "Y")) ++
+      Seq.fill(40)(("B", "X")) ++ Seq.fill(20)(("B", "Y"))
+    val r0 = Profile.chiSquare(indep.toDF("a", "b"), col("a"), col("b"))
+      .collect().head
+    assert(r0.getDouble(4) === 0.0)
+    // ("B","Y") never observed: its expected mass E = 9·9/18 = 4.5
+    // must still contribute — χ² = Σ (O−E)²/E = 4.5+4.5+4.5+4.5 = 18
+    val gap = Seq.fill(9)(("A", "Y")) ++ Seq.fill(9)(("B", "X"))
+    val r1 = Profile.chiSquare(gap.toDF("a", "b"), col("a"), col("b"))
+      .collect().head
+    assert(math.abs(r1.getDouble(4) - 18.0) < 1e-9)
+  }
+
+  test("fdViolations reports only violating groups, with witnesses") {
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "z")).toDF("k", "v")
+    val out = Profile.fdViolations(df, Seq("k"), col("v"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+      .toMap
+    assert(out === Map(2L -> ((3L, 3L, "a", "c"))))
+    // a holding FD yields an empty frame
+    assert(Profile.fdViolations(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      Seq("k"), col("v")).count() === 0L)
+  }
+
   test("corrMatrix drops rows with any null (listwise) and is rerun-stable") {
     val df = Seq((Some(1L), Some(10L)), (Some(2L), None),
       (Some(3L), Some(30L)), (None, Some(9L)), (Some(5L), Some(50L)))

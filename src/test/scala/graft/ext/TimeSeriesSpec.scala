@@ -84,4 +84,77 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.ewmaExact(df, "k", col("ts"), col("ts"), col("cents"), 61)
     }
   }
+
+  private def islandRows(rows: Seq[(Long, Long, Long)]) =
+    TimeSeries.intervalUnion(rows.toDF("k", "s", "e"), "k",
+        col("s"), col("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+
+  test("intervalUnion merges overlapping AND touching half-open spans") {
+    val out = islandRows(Seq((1L, 0L, 10L), (1L, 5L, 20L),
+      (1L, 20L, 30L), (1L, 40L, 50L), (2L, 3L, 3L)))
+    assert(out === Map(
+      // [0,10) ∪ [5,20) ∪ [20,30): touching at 20 merges (half-open)
+      (1L, 1L) -> ((0L, 30L, 3L, 30L)),
+      (1L, 2L) -> ((40L, 50L, 1L, 10L)),
+      // zero-length interval is a legal degenerate island
+      (2L, 1L) -> ((3L, 3L, 1L, 0L))))
+  }
+
+  test("intervalUnion: a contained interval never splits its island") {
+    val out = islandRows(Seq((1L, 0L, 100L), (1L, 10L, 20L),
+      (1L, 30L, 40L)))
+    assert(out === Map((1L, 1L) -> ((0L, 100L, 3L, 100L))))
+  }
+
+  test("intervalUnion is partitioning- and arrival-order-invariant") {
+    val rows = (1L to 200L).map(i =>
+      (i % 3, (i * 7) % 50, (i * 7) % 50 + i % 11))
+    val a = islandRows(rows)
+    val b = TimeSeries.intervalUnion(
+        rows.reverse.toDF("k", "s", "e").repartition(13), "k",
+        col("s"), col("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(a === b)
+  }
+
+  /** Reference CUSUM recursion S_i = max(0, S_{i−1} + (x_i − t)). */
+  private def refCusum(xs: Seq[Long], target: Long): Seq[Long] =
+    xs.scanLeft(0L)((s, x) => math.max(0L, s + (x - target))).tail
+
+  test("cusum equals the sequential recursion and flags drift") {
+    // deterministic pseudo-series with a planted upward shift
+    val xs = (1L to 80L).map(i =>
+      if (i <= 40) (i * 37) % 20 else 25L + (i * 37) % 20)
+    val df = xs.zipWithIndex.map { case (x, i) => (1L, i.toLong, x) }
+      .toDF("k", "ts", "cents")
+    val out = TimeSeries.cusum(df, "k", col("ts"), col("ts"),
+        col("cents"), targetCents = 10L, threshold = 100L)
+      .select("ts", "cusum", "flagged")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    val ref = refCusum(xs, 10L)
+    assert(out.map(_._2).toSeq === ref)
+    assert(out.map(_._3).toSeq === ref.map(_ > 100L))
+    // the planted shift must actually alarm, and not before it
+    assert(!out.take(40).exists(_._3) && out.drop(60).forall(_._3))
+  }
+
+  test("cusum resets after a sub-target run (max-with-zero floor)") {
+    val xs = Seq(30L, 30L, 0L, 0L, 0L, 0L, 0L, 30L)
+    val df = xs.zipWithIndex.map { case (x, i) => (1L, i.toLong, x) }
+      .toDF("k", "ts", "cents")
+    val out = TimeSeries.cusum(df, "k", col("ts"), col("ts"),
+        col("cents"), targetCents = 10L, threshold = 1000L)
+      .select("ts", "cusum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).map(_._2)
+    assert(out.toSeq === refCusum(xs, 10L))
+    assert(out(6) === 0L) // fully drained back to the floor
+  }
 }
