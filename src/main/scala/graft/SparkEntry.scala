@@ -1983,6 +1983,51 @@ object SparkEntry {
       .orderBy("file_id")
   }
 
+  /** EXACT Jaccard similarity join (Dedup.jaccardJoinExact): prefix-
+    * filtered AllPairs over an id%8 document subset plus their
+    * 80%-token-prefix twins at τ = 7/10 — no LSH false negatives; the
+    * rarest-first prefix ordering keeps hot tokens out of the join.
+    * The oracle brute-forces every token-sharing pair; the engine
+    * must reach the same pairs through pruning.
+    */
+  private def xDedupPpjoin(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .where(pmod(col("doc_id"), lit(8)) === 0)
+      .select(col("doc_id").as("id"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+    val twins = base.select((col("id") + 1000000).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    Dedup.jaccardJoinExact(base.unionByName(twins), "id", col("toks"),
+        7L, 10L)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Bloom file skipping (Layout.bloomIndex/bloomScanFlag): per-z-file
+    * 512-bit blocked blooms over l_orderkey, probed with three point
+    * lookups — the high-cardinality complement to the zone map's
+    * min/max pruning (which prunes nothing on a key every file
+    * spans). md5-portable hashing lets the oracle rebuild the index
+    * bit-identically.
+    */
+  private def xLayoutBloomskip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey"),
+      col("l_quantity").cast("long").as("q"),
+      datediff(col("l_shipdate").cast("date"),
+        lit(java.sql.Date.valueOf(ZmEpoch))).cast("long").as("d"))
+    val zv = graft.ext.Layout.zValue(
+      Seq(col("q"), shiftright(col("d"), ZmBits)), ZmBits)
+    val files = li.withColumn("file_id", shiftright(zv, ZmShift))
+    val idx = graft.ext.Layout.bloomIndex(files, col("file_id"),
+      col("l_orderkey").cast("string"))
+    val probes = Seq(1L, 777L, 5555L).toDF("pk")
+      .select(col("pk").cast("string").as("v"))
+    graft.ext.Layout.bloomScanFlag(idx, probes)
+      .orderBy("file_id")
+  }
+
   /** ROLLUP (Olap.rollupAgg): lineitem volume/revenue by returnflag ×
     * linestatus with subtotal + grand-total rows in ONE shuffle of
     * map-side-expanded partials; `gid` (MSB-first grouping bits)
@@ -2317,7 +2362,9 @@ object SparkEntry {
     "x_quality_fd" -> (xQualityFd _),
     "x_ts_interval_union" -> (xTsIntervalUnion _),
     "x_ts_cusum" -> (xTsCusum _),
-    "x_graph_khop" -> (xGraphKhop _)
+    "x_graph_khop" -> (xGraphKhop _),
+    "x_dedup_ppjoin" -> (xDedupPpjoin _),
+    "x_layout_bloomskip" -> (xLayoutBloomskip _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -716,4 +716,80 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(dupIds, Seq(idCol), "left_anti")
   }
+
+  /** EXACT Jaccard-threshold similarity self-join via prefix filtering
+    * (the AllPairs/PPJoin family — Bayardo, Ma & Srikant, WWW'07;
+    * Vernica, Carey & Li's MapReduce formulation, SIGMOD'10): every
+    * pair of documents whose distinct-token Jaccard meets τ = tNum/tDen,
+    * with NO LSH false negatives — the exact complement to
+    * [[nearDuplicates]]' probabilistic candidates.
+    *
+    * Why it scales where the naive token self-join dies: under ANY
+    * global token order, two sets with J ≥ τ MUST collide inside their
+    * (|d| − ⌈τ·|d|⌉ + 1)-token prefixes (if all ≥ ⌈τ|d|⌉ shared tokens
+    * sat in the suffix of length ⌈τ|d|⌉ − 1, that's a contradiction) —
+    * so only PREFIX tokens are joined. Ordering tokens by ASCENDING
+    * document frequency makes prefixes the RAREST tokens: the "the"-
+    * sized hot keys that explode a naive join by Σ df(w)² land in every
+    * document's suffix and never enter the join. The threshold is an
+    * exact rational: prefix lengths, the symmetric size filter
+    * (τ·|a| ≤ |b| ∧ τ·|b| ≤ |a|), and the final verdict
+    * inter·tDen ≥ union·tNum are all integer arithmetic — no float
+    * admits a borderline pair on one engine and not the other.
+    *
+    * Plan: one distinct-(id, token) explode; a token-df agg; one join
+    * to order tokens; one prefix equi-join on token (candidates,
+    * deduped); two id-keyed joins pulling the full sets back for exact
+    * `array_intersect` verification. The token-set frame is scope-
+    * cached (three consumers). Output: (id_a, id_b, inter, size_a,
+    * size_b, jaccard) with id_a < id_b.
+    */
+  def jaccardJoinExact(df: DataFrame, idCol: String, toksCol: Column,
+      tNum: Long, tDen: Long): DataFrame = {
+    require(tNum > 0 && tNum <= tDen,
+      s"threshold must satisfy 0 < $tNum/$tDen <= 1")
+    val setsRaw = df.select(col(idCol).as("__id"),
+        array_distinct(toksCol).as("__ts"))
+      .withColumn("__s", size(col("__ts")).cast("long"))
+      .where(col("__s") >= 1)
+    CacheScope.withCached(setsRaw) { sets =>
+      val toks = sets.select(col("__id"), col("__s"),
+        explode(col("__ts")).as("__w"))
+      val dfreq = toks.groupBy("__w").agg(count(lit(1)).as("__df"))
+      // per-doc tokens resorted rarest-first; ⌈τ·s⌉ in exact integers
+      val pfx = toks.join(dfreq, "__w")
+        .groupBy(col("__id"), col("__s"))
+        .agg(sort_array(collect_list(struct(col("__df"), col("__w"))))
+          .as("__arr"))
+        .select(col("__id"), col("__s"),
+          explode(slice(col("__arr"), lit(1),
+            (col("__s") - call_function("div",
+              lit(tNum) * col("__s") + lit(tDen - 1), lit(tDen))
+              + 1).cast("int")))
+            .as("__e"))
+        .select(col("__id"), col("__s"), col("__e.__w").as("__w"))
+      val cand = pfx.select(col("__id").as("id_a"), col("__s").as("sa"),
+          col("__w"))
+        .join(pfx.select(col("__id").as("id_b"), col("__s").as("sb"),
+          col("__w")), "__w")
+        .where(col("id_a") < col("id_b") &&
+          col("sa") * tNum <= col("sb") * tDen &&
+          col("sb") * tNum <= col("sa") * tDen)
+        .select("id_a", "id_b", "sa", "sb").distinct()
+      cand
+        .join(sets.select(col("__id").as("id_a"), col("__ts").as("__ta")),
+          "id_a")
+        .join(sets.select(col("__id").as("id_b"), col("__ts").as("__tb")),
+          "id_b")
+        .withColumn("inter",
+          size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+        .where(col("inter") * tDen >=
+          (col("sa") + col("sb") - col("inter")) * tNum)
+        .select(col("id_a"), col("id_b"), col("inter"),
+          col("sa").as("size_a"), col("sb").as("size_b"),
+          (col("inter").cast("double") /
+            (col("sa") + col("sb") - col("inter")).cast("double"))
+            .as("jaccard"))
+    }
+  }
 }

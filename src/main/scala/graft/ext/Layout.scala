@@ -119,4 +119,80 @@ object Layout {
           col("__graft_cum") - sizeCol.cast("long"), lit(targetBytes)))
       .drop("__graft_cum")
   }
+
+  /** Per-file blocked Bloom filter index over a HIGH-cardinality
+    * column — the point-lookup complement to [[zoneMap]]'s range
+    * stats (min/max on a key like order id prunes nothing when every
+    * file spans the key range; a Bloom bit-set prunes almost
+    * everything). `words` 64-bit words per file, two hash positions
+    * per value derived from the engine-portable [[Dedup.hash48]]
+    * (md5-based — an external system can rebuild the index
+    * bit-identically, which is what makes it a FILE FORMAT, not a
+    * runtime cache).
+    *
+    * Output: (file_id, word, bits) — one row per non-zero word,
+    * O(files × words) metadata rows regardless of corpus size. Build
+    * is one projection + one map-side-combinable bit_or hash agg.
+    * False-positive rate for one file with n distinct values:
+    * ≈ (1 − e^(−2n/(64·words)))² — size `words` to the expected
+    * per-file distinct count (default 8 words = 512 bits suits the
+    * ~10³-row files a z-ordered layout produces at the harness scale;
+    * a 1 GB production file wants words ≈ rows/32).
+    */
+  def bloomIndex(df: DataFrame, fileCol: Column, value: Column,
+      words: Int = 8): DataFrame = {
+    require(words >= 1 && words <= 1024,
+      s"words must be in [1, 1024], got $words")
+    val b = lit(words * 64L)
+    val h = Dedup.hash48(value)
+    df.select(fileCol.as("file_id"), h.as("__h"))
+      .select(col("file_id"), explode(array(
+        pmod(col("__h"), b),
+        pmod(call_function("div", col("__h"), b), b))).as("__p"))
+      .groupBy(col("file_id"),
+        call_function("div", col("__p"), lit(64L)).as("word"))
+      .agg(call_function("bit_or",
+        call_function("shiftleft", lit(1L),
+          pmod(col("__p"), lit(64L)).cast("int"))).as("bits"))
+  }
+
+  /** Evaluate a point-lookup probe set against a [[bloomIndex]]:
+    * (file_id, scanned) where `scanned` ⇔ SOME probe value has BOTH
+    * its bits set in that file's filter — the files a reader must
+    * open; everything else is proven probe-free (no false negatives:
+    * a file containing a probe value always has both bits set).
+    *
+    * The probe set is a bounded dimension (a literal IN-list, a
+    * broadcast key set): each of the two bit tests is one equi-join
+    * of the metadata-sized index against the broadcast probes on the
+    * word index, then a key-conjunction semi join — never a scan of
+    * data.
+    */
+  def bloomScanFlag(index: DataFrame, probes: DataFrame,
+      words: Int = 8): DataFrame = {
+    val b = lit(words * 64L)
+    val h = Dedup.hash48(probes.columns.headOption.map(col)
+      .getOrElse(col("value")))
+    // the probe's own 48-bit hash is its join key across the two bit
+    // tests — deterministic, unlike a generated row id
+    val pp = probes.select(h.as("__ph")).distinct()
+      .select(col("__ph").as("__q"),
+        pmod(col("__ph"), b).as("__p1"),
+        pmod(call_function("div", col("__ph"), b), b).as("__p2"))
+    def hit(p: String) = index.join(
+        broadcast(pp.select(col("__q"),
+          call_function("div", col(p), lit(64L)).as("word"),
+          call_function("shiftleft", lit(1L),
+            pmod(col(p), lit(64L)).cast("int")).as("__m"))),
+        "word")
+      .where(col("bits").bitwiseAND(col("__m")) =!= 0)
+      .select("file_id", "__q")
+    val hits = hit("__p1").join(hit("__p2"), Seq("file_id", "__q"),
+        "left_semi")
+      .select("file_id").distinct().withColumn("__hit", lit(true))
+    index.select("file_id").distinct()
+      .join(hits, Seq("file_id"), "left")
+      .select(col("file_id"),
+        coalesce(col("__hit"), lit(false)).as("scanned"))
+  }
 }

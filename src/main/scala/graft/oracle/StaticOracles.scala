@@ -2636,7 +2636,36 @@ private[graft] object StaticOracles {
         |  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id
         |  WHERE r.d < 4)
         |SELECT id AS node_id, CAST(min(d) AS BIGINT) AS hops
-        |FROM r GROUP BY 1 ORDER BY node_id""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY node_id""".stripMargin,
+    // brute-force every token-sharing pair; the engine must reach the
+    // SAME pairs through prefix filtering (exactness is the contract)
+    "x_dedup_ppjoin" ->
+      """WITH sub AS (SELECT doc_id AS id,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 8 = 0),
+        |tw AS (SELECT id + 1000000 AS id,
+        |    list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INTEGER))
+        |      AS toks
+        |  FROM sub),
+        |au AS (SELECT * FROM sub UNION ALL SELECT * FROM tw),
+        |sets AS (SELECT id, list_distinct(toks) AS ts FROM au),
+        |sz AS (SELECT id, CAST(len(ts) AS BIGINT) AS s FROM sets
+        |  WHERE len(ts) >= 1),
+        |tok AS (SELECT id, unnest(ts) AS w FROM sets),
+        |pair AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM tok a JOIN tok b ON a.w = b.w AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, sa.s AS size_a, sb.s AS size_b,
+        |  CAST(inter AS DOUBLE)
+        |    / CAST(sa.s + sb.s - inter AS DOUBLE) AS jaccard
+        |FROM pair
+        |JOIN sz sa ON sa.id = pair.id_a
+        |JOIN sz sb ON sb.id = pair.id_b
+        |WHERE inter * 10 >= (sa.s + sb.s - inter) * 7
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x_layout_bloomskip" -> bloomskipOracle
   )
 
   /** Mirrors the SparkEntry zone-map layout bit-for-bit: 6-bit lanes
@@ -2661,6 +2690,48 @@ private[graft] object StaticOracles {
       |f AS (SELECT zv >> 6 AS file_id, min(q) AS min_q, max(q) AS max_q,
       |  min(d) AS min_d, max(d) AS max_d, count(*) AS n_rows
       |  FROM zz GROUP BY 1)""".stripMargin
+  }
+
+  /** DuckDB twin of the bloom-skip pipeline: same z-file assignment as
+    * [[zonemapCore]] (terms from the identical (bits, lane) loop), the
+    * per-file 512-bit blocked bloom rebuilt from the SAME md5 hash48,
+    * word = p // 64, mask = 1 << (p % 64), probes {1, 777, 5555}.
+    */
+  private def bloomskipOracle: String = {
+    val terms = (0 until 6).map { b =>
+      s"(((q >> $b) & 1) << ${2 * b}) + (((dc >> $b) & 1) << ${2 * b + 1})"
+    }.mkString(" + ")
+    s"""WITH li AS (SELECT l_orderkey AS ok,
+      |    CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(date_diff('day', DATE '1995-01-01',
+      |      CAST(l_shipdate AS DATE)) AS BIGINT) AS d FROM lineitem),
+      |z AS (SELECT ok, q, d >> 6 AS dc FROM li),
+      |zz AS (SELECT ok, ($terms) AS zv FROM z),
+      |f AS (SELECT zv >> 6 AS file_id, ok FROM zz),
+      |hh AS (SELECT file_id,
+      |    ${DuckSql.duckHash48("CAST(ok AS VARCHAR)")} AS h FROM f),
+      |pos AS (SELECT file_id, h % 512 AS p FROM hh
+      |  UNION ALL SELECT file_id, (h // 512) % 512 AS p FROM hh),
+      |wb AS (SELECT file_id, CAST(p // 64 AS BIGINT) AS word,
+      |    bit_or(CAST(1 AS HUGEINT) << CAST(p % 64 AS INTEGER)) AS bits
+      |  FROM pos GROUP BY 1, 2),
+      |pr AS (SELECT CAST(pk AS VARCHAR) AS v
+      |  FROM (VALUES (1), (777), (5555)) t(pk)),
+      |ph AS (SELECT ${DuckSql.duckHash48("v")} AS h FROM pr),
+      |pp AS (SELECT h % 512 AS p1, (h // 512) % 512 AS p2 FROM ph),
+      |h1 AS (SELECT DISTINCT wb.file_id, pp.p1, pp.p2
+      |  FROM wb JOIN pp ON wb.word = pp.p1 // 64
+      |  WHERE (wb.bits
+      |    & (CAST(1 AS HUGEINT) << CAST(pp.p1 % 64 AS INTEGER))) <> 0),
+      |h2 AS (SELECT DISTINCT h1.file_id
+      |  FROM h1 JOIN wb ON wb.file_id = h1.file_id
+      |    AND wb.word = h1.p2 // 64
+      |  WHERE (wb.bits
+      |    & (CAST(1 AS HUGEINT) << CAST(h1.p2 % 64 AS INTEGER))) <> 0)
+      |SELECT f2.file_id, (h2.file_id IS NOT NULL) AS scanned
+      |FROM (SELECT DISTINCT file_id FROM wb) f2
+      |LEFT JOIN h2 ON h2.file_id = f2.file_id
+      |ORDER BY f2.file_id""".stripMargin
   }
 
   private def zonemapOracle: String =

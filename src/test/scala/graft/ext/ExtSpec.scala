@@ -1371,6 +1371,75 @@ class ExtSpec extends SparkSpec {
       bad(0).getLong(4) == 0L)
   }
 
+  /** Brute-force Jaccard reference over distinct token sets. */
+  private def refJaccardPairs(docs: Seq[(Long, Seq[String])],
+      num: Long, den: Long): Set[(Long, Long, Long)] = {
+    val sets = docs.map { case (id, ts) => id -> ts.toSet }
+      .filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size.toLong
+      if inter * den >= (sa.size + sb.size - inter) * num
+    } yield (a, b, inter)).toSet
+  }
+
+  test("law: jaccardJoinExact equals brute force — no LSH misses") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vocab = (0 until 30).map(i => s"w$i")
+    val docGen = org.scalacheck.Gen.listOfN(14,
+      Gen.zip(Gen.choose(0L, 13L), Gen.someOf(vocab).map(_.toSeq)))
+      .map(_.distinctBy(_._1))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8),
+      Prop.forAll(docGen) { docs =>
+        val df = docs.toDF("id", "toks")
+        val got = Dedup.jaccardJoinExact(df, "id", col("toks"), 6L, 10L)
+          .select("id_a", "id_b", "inter").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        got == refJaccardPairs(docs, 6L, 10L)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("jaccardJoinExact: exact rational threshold includes J == τ") {
+    // inter 7, union 10 → J = 7/10 EXACTLY: must be in at τ = 7/10
+    val a = (1 to 9).map(i => s"t$i")           // 9 tokens
+    val b = (1 to 7).map(i => s"t$i") :+ "t10"  // 8 tokens, inter 7
+    val in = Dedup.jaccardJoinExact(
+        Seq((1L, a), (2L, b)).toDF("id", "toks"), "id", col("toks"),
+        7L, 10L)
+      .collect()
+    assert(in.length === 1 && in.head.getAs[Long]("inter") === 7L)
+    assert(in.head.getAs[Double]("jaccard") === 0.7)
+    // one token less of overlap (inter 6, union 11) must be out
+    val c = (1 to 6).map(i => s"t$i") ++ Seq("t11", "t12", "t13")
+    val out = Dedup.jaccardJoinExact(
+      Seq((1L, a), (2L, c)).toDF("id", "toks"), "id", col("toks"),
+      7L, 10L)
+    assert(out.count() === 0L)
+  }
+
+  test("bloomIndex/bloomScanFlag: no false negatives, real pruning") {
+    // 20 files × 50 distinct keys each, disjoint ranges
+    val rows = (0L until 1000L).map(i => (i / 50L, s"k$i"))
+    val df = rows.toDF("f", "v")
+    val idx = Layout.bloomIndex(df, col("f"), col("v"))
+    // metadata-bounded: at most files × words rows
+    assert(idx.count() <= 20L * 8L)
+    // a probe present in files 3 and 7 MUST scan both (no false negs)
+    val probes = Seq("k170", "k371").toDF("v")
+    val scanned = Layout.bloomScanFlag(idx, probes)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(scanned.size === 20)
+    assert(scanned(3L) && scanned(7L))
+    // 512 bits / 50 keys → FP rate ~0.8%: pruning must actually fire
+    assert(scanned.count(_._2) < 10, s"pruned too little: $scanned")
+    // an absent key scans (almost) nothing
+    val none = Layout.bloomScanFlag(idx, Seq("nope").toDF("v"))
+      .where(col("scanned")).count()
+    assert(none <= 2)
+  }
+
   test("redactPii scrubs every occurrence of every pattern type") {
     import spark.implicits._
     val out = Seq(
