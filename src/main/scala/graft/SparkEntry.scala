@@ -1984,7 +1984,7 @@ object SparkEntry {
   }
 
   /** EXACT Jaccard similarity join (Dedup.jaccardJoinExact): prefix-
-    * filtered AllPairs over an id%8 document subset plus their
+    * filtered AllPairs over an id%16 document subset plus their
     * 80%-token-prefix twins at τ = 7/10 — no LSH false negatives; the
     * rarest-first prefix ordering keeps hot tokens out of the join.
     * The oracle brute-forces every token-sharing pair; the engine
@@ -1992,7 +1992,7 @@ object SparkEntry {
     */
   private def xDedupPpjoin(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents")
-      .where(pmod(col("doc_id"), lit(8)) === 0)
+      .where(pmod(col("doc_id"), lit(16)) === 0)
       .select(col("doc_id").as("id"),
         TextAnalysis.tokens(col("text")).as("toks"))
     val twins = base.select((col("id") + 1000000).as("id"),
@@ -2085,6 +2085,59 @@ object SparkEntry {
           round(col("p_retailprice") * 100).cast("long").as("price_c")),
         Seq("size" -> col("p_size"), "cheap" -> (-col("price_c"))))
       .orderBy("p_partkey")
+
+  /** Incremental rollup maintenance (Olap.mergeAdditive): the corpus
+    * split 2:1 on order key, each part rolled up separately, the two
+    * aggregate frames merged per (dims, gid) — the oracle recomputes
+    * the FULL rollup from scratch, so the hash-match proves
+    * merge(rollup(base), rollup(delta)) ≡ rollup(base ∪ delta): the
+    * base is never rescanned.
+    */
+  private def xOlapRollupIncr(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_linestatus"), col("l_quantity"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+      col("l_orderkey"))
+    val dims = Seq("l_returnflag", "l_linestatus")
+    def aggs = Seq(count(lit(1)).as("n_rows"),
+      sum(col("l_quantity").cast("long")).as("sum_qty"),
+      sum(col("price_c")).as("sum_price_c"))
+    val base = graft.ext.Olap.rollupAgg(
+      li.where(pmod(col("l_orderkey"), lit(3)) =!= 0), dims, aggs)
+    val delta = graft.ext.Olap.rollupAgg(
+      li.where(pmod(col("l_orderkey"), lit(3)) === 0), dims, aggs)
+    graft.ext.Olap.mergeAdditive(Seq(base, delta), dims :+ "gid",
+        Seq("n_rows", "sum_qty", "sum_price_c"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+  }
+
+  /** CUPED experiment readout (Experiment.cuped): users split into
+    * arms by id parity, pre/post periods cut at 2024-01-16 UTC —
+    * per-arm means/variances and their CUPED-adjusted forms, all
+    * derived from exact per-arm integer moments (no per-unit float
+    * ever materialized). Round 12 absorbs the HUGEINT→DOUBLE
+    * double-rounding on the oracle side.
+    */
+  private def xAbCuped(s: SparkSession, dir: String): DataFrame = {
+    val CutUs = 1705363200000000L // 2024-01-16T00:00:00Z
+    val ev = t(s, dir, "events").select(col("user_id"),
+      unix_micros(col("ts")).as("tu"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val units = ev.groupBy("user_id").agg(
+      sum(when(col("tu") < CutUs, col("cents")).otherwise(0L))
+        .as("pre_c"),
+      sum(when(col("tu") >= CutUs, col("cents")).otherwise(0L))
+        .as("post_c"))
+    graft.ext.Experiment.cuped(units,
+        when(pmod(col("user_id"), lit(2)) === 0, "control")
+          .otherwise("treat"),
+        col("pre_c"), col("post_c"))
+      .withColumn("mean_post", round(col("mean_post"), 12))
+      .withColumn("mean_adj", round(col("mean_adj"), 12))
+      .withColumn("var_post", round(col("var_post"), 12))
+      .withColumn("var_adj", round(col("var_adj"), 12))
+      .orderBy("arm")
+  }
 
   /** Per-group OLS trend (Profile.olsTrend): discount cents against
     * ship-day index per return flag — exact decimal moments in one
@@ -2364,7 +2417,9 @@ object SparkEntry {
     "x_ts_cusum" -> (xTsCusum _),
     "x_graph_khop" -> (xGraphKhop _),
     "x_dedup_ppjoin" -> (xDedupPpjoin _),
-    "x_layout_bloomskip" -> (xLayoutBloomskip _)
+    "x_layout_bloomskip" -> (xLayoutBloomskip _),
+    "x_olap_rollup_incr" -> (xOlapRollupIncr _),
+    "x_ab_cuped" -> (xAbCuped _)
   )
 
   // ------------------------------------------------------------- oracles

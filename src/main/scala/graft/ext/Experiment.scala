@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experimentation readouts — the A/B-test summary a data platform
+  * runs over event logs, with CUPED variance reduction (Deng, Xu,
+  * Kohavi & Walker, "Improving the sensitivity of online controlled
+  * experiments by utilizing pre-experiment data", WSDM 2013).
+  *
+  * Determinism treatment (the [[Profile.corrMatrix]] discipline): a
+  * naive CUPED pass computes per-unit adjusted values y − θ(x − x̄)
+  * and averages DOUBLES — partition-order-dependent, never
+  * hash-matchable. Here everything is derived from per-arm EXACT
+  * integer moments (n, Σx, Σy, Σx², Σy², Σxy as decimal(38,0) sums of
+  * cents) via algebraic identities, so the float work is a fixed
+  * chain of correctly-rounded double ops on exact integers:
+  *
+  *   θ        = cov_pool(x,y) / var_pool(x)        (pooled, standard)
+  *   mean_adj = ȳ_arm − θ·(x̄_arm − x̄_pool)
+  *   var_adj  = var_arm(y) − 2θ·cov_arm(x,y) + θ²·var_arm(x)
+  *
+  * (population variances, ÷n — the n/(n−1) correction is a constant
+  * factor both engines would apply identically; omitted for formula
+  * parity). Per-unit adjusted values are never materialized.
+  *
+  * Scale design: ONE map-side-combinable hash aggregate per arm over
+  * the unit frame; pooled moments are the Σ of the (tiny) arm rows via
+  * a broadcast; output is one row per arm. No window, no collect, no
+  * second scan.
+  */
+object Experiment {
+
+  /** CUPED readout over a one-row-per-unit frame: `armCol` the
+    * variant label, `preCents`/`postCents` integer-valued pre-period
+    * covariate and experiment metric. Output per arm: (arm, n,
+    * mean_post, mean_adj, var_post, var_adj) — `mean_adj` is the
+    * CUPED-adjusted mean whose between-rerun variance shrinks by the
+    * pooled corr(x,y)²; `var_adj`/`var_post` is the realized
+    * variance-reduction ratio.
+    *
+    * Units with NULL in either column are dropped (listwise, as in
+    * [[Profile.corrMatrix]]). Degenerate pooled var(x) = 0 → θ = 0
+    * (no adjustment), never NaN.
+    */
+  def cuped(units: DataFrame, armCol: Column, preCents: Column,
+      postCents: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = units.select(armCol.as("arm"),
+        preCents.cast("long").as("__x"), postCents.cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val arm = base.groupBy("arm").agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("__x"))).as("sx"),
+      sum(dec(col("__y"))).as("sy"),
+      sum(dec(col("__x")) * dec(col("__x"))).as("sxx"),
+      sum(dec(col("__y")) * dec(col("__y"))).as("syy"),
+      sum(dec(col("__x")) * dec(col("__y"))).as("sxy"))
+    val pool = arm.agg(sum(col("n")).as("pn"),
+      sum(col("sx")).as("psx"), sum(col("sy")).as("psy"),
+      sum(col("sxx")).as("psxx"), sum(col("sxy")).as("psxy"))
+    def d(c: String) = col(c).cast("double")
+    // pooled θ: cov/var with the common 1/n² factor cancelled —
+    // θ = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    val pvar = d("pn") * d("psxx") - d("psx") * d("psx")
+    val theta = when(pvar > 0,
+      (d("pn") * d("psxy") - d("psx") * d("psy")) / pvar).otherwise(0.0)
+    val xbarPool = d("psx") / d("pn")
+    arm.crossJoin(broadcast(pool))
+      .select(col("arm"), col("n"),
+        theta.as("__th"), xbarPool.as("__xbp"),
+        (d("sy") / d("n")).as("mean_post"),
+        (d("sx") / d("n")).as("__xb"),
+        ((d("n") * d("syy") - d("sy") * d("sy")) / (d("n") * d("n")))
+          .as("var_post"),
+        ((d("n") * d("sxx") - d("sx") * d("sx")) / (d("n") * d("n")))
+          .as("__vx"),
+        ((d("n") * d("sxy") - d("sx") * d("sy")) / (d("n") * d("n")))
+          .as("__cxy"))
+      .select(col("arm"), col("n"), col("mean_post"),
+        (col("mean_post") - col("__th") * (col("__xb") - col("__xbp")))
+          .as("mean_adj"),
+        col("var_post"),
+        (col("var_post") - lit(2.0) * col("__th") * col("__cxy") +
+          col("__th") * col("__th") * col("__vx")).as("var_adj"))
+  }
+}

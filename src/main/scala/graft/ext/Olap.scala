@@ -67,6 +67,30 @@ object Olap {
     }
   }
 
+  /** Incremental maintenance for ADDITIVE grouping-set aggregates
+    * (count/sum — the [[rollupAgg]]/[[cubeAgg]] outputs): merge a
+    * delta batch's aggregate into a previously materialized one
+    * WITHOUT rescanning the base corpus — union the (tiny) aggregate
+    * frames and re-sum per (dims, gid) key. Correct because count and
+    * sum distribute over disjoint row partitions, and a rollup is the
+    * same additive agg per grouping set; `gid` in the key keeps
+    * subtotal rows merging with subtotal rows only.
+    *
+    * The 100 TB point: a daily delta re-aggregates ITSELF (linear in
+    * the delta) and then merges O(groups) rows — the base's exabyte
+    * of history is never read again. Min/max are also mergeable this
+    * way; averages are NOT (merge their sum+count parts instead).
+    */
+  def mergeAdditive(parts: Seq[DataFrame], keys: Seq[String],
+      measures: Seq[String]): DataFrame = {
+    require(parts.nonEmpty, "mergeAdditive needs at least one part")
+    require(measures.nonEmpty, "mergeAdditive needs measure columns")
+    parts.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(measures.head)).as(measures.head),
+        measures.tail.map(m => sum(col(m)).as(m)): _*)
+  }
+
   /** Skyline (pareto frontier): the rows not STRICTLY dominated by any
     * other row, where row a dominates row b iff a ≥ b on every
     * criterion and a > b on at least one (criteria are long-valued,

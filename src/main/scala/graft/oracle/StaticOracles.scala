@@ -2643,7 +2643,7 @@ private[graft] object StaticOracles {
       """WITH sub AS (SELECT doc_id AS id,
         |    list_filter(regexp_split_to_array(text, '\s+'),
         |      x -> x <> '') AS toks
-        |  FROM documents WHERE doc_id % 8 = 0),
+        |  FROM documents WHERE doc_id % 16 = 0),
         |tw AS (SELECT id + 1000000 AS id,
         |    list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INTEGER))
         |      AS toks
@@ -2665,7 +2665,68 @@ private[graft] object StaticOracles {
         |JOIN sz sb ON sb.id = pair.id_b
         |WHERE inter * 10 >= (sa.s + sb.s - inter) * 7
         |ORDER BY id_a, id_b""".stripMargin,
-    "x_layout_bloomskip" -> bloomskipOracle
+    "x_layout_bloomskip" -> bloomskipOracle,
+    // the oracle recomputes the FULL rollup; the engine merged two
+    // partial rollups — hash-match proves the maintenance identity
+    "x_olap_rollup_incr" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_price_c
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    // per-arm HUGEINT moments; θ, adjusted mean, and variance identities
+    // mirrored double-op-for-double-op (see Experiment.cuped)
+    "x_ab_cuped" ->
+      """WITH f AS (SELECT user_id, epoch_us(ts) AS tu,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |u AS (SELECT user_id,
+        |    sum(CASE WHEN tu < 1705363200000000 THEN cents
+        |      ELSE 0 END) AS x,
+        |    sum(CASE WHEN tu >= 1705363200000000 THEN cents
+        |      ELSE 0 END) AS y
+        |  FROM f GROUP BY 1),
+        |a AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+        |      ELSE 'treat' END AS arm,
+        |    CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y FROM u),
+        |m AS (SELECT arm, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM a GROUP BY 1),
+        |p AS (SELECT sum(n) AS pn, sum(sx) AS psx, sum(sy) AS psy,
+        |    sum(sxx) AS psxx, sum(sxy) AS psxy FROM m),
+        |c AS (SELECT m.arm, m.n, m.sx, m.sy, m.sxx, m.syy, m.sxy,
+        |    p.pn, p.psx,
+        |    CASE WHEN CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE)
+        |        - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE) > 0
+        |      THEN (CAST(pn AS DOUBLE) * CAST(psxy AS DOUBLE)
+        |          - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))
+        |        / (CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE)
+        |          - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE))
+        |      ELSE 0 END AS th
+        |  FROM m CROSS JOIN p)
+        |SELECT arm, CAST(n AS BIGINT) AS n,
+        |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 12)
+        |    AS mean_post,
+        |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - th * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE)), 12)
+        |    AS mean_adj,
+        |  round((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 12) AS var_post,
+        |  round((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |    - 2 * th * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |    + th * th * ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 12) AS var_adj
+        |FROM c ORDER BY arm""".stripMargin
   )
 
   /** Mirrors the SparkEntry zone-map layout bit-for-bit: 6-bit lanes

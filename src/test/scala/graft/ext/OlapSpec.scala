@@ -55,6 +55,22 @@ class OlapSpec extends SparkSpec {
     assert(rows("p2") === ((Some(5L), None, None)))
   }
 
+  test("mergeAdditive(rollup(parts)) equals rollup(whole), NULLs incl.") {
+    val df = Seq((Some("a"), "x", 1L), (Some("a"), "y", 2L),
+      (None, "x", 4L), (Some("b"), "x", 8L), (None, "y", 16L))
+      .toDF("d1", "d2", "v")
+    val dims = Seq("d1", "d2")
+    def aggs = Seq(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val whole = Olap.rollupAgg(df, dims, aggs)
+      .collect().map(_.toSeq).toSet
+    val merged = Olap.mergeAdditive(
+        Seq(Olap.rollupAgg(df.where(col("v") < 4), dims, aggs),
+          Olap.rollupAgg(df.where(col("v") >= 4), dims, aggs)),
+        dims :+ "gid", Seq("n", "s"))
+      .collect().map(_.toSeq).toSet
+    assert(merged === whole)
+  }
+
   private def refSkyline(pts: Seq[(Long, Long)]): Seq[(Long, Long)] =
     pts.filter(p => !pts.exists(q =>
       q._1 >= p._1 && q._2 >= p._2 && (q._1 > p._1 || q._2 > p._2)))
