@@ -1173,6 +1173,21 @@ object SparkEntry {
     * (StreamingValidate.windowedDistinct): dropDuplicates-then-count,
     * the watermark-bounded streaming replacement for countDistinct.
     */
+  /** Stateful streaming CUSUM (StreamingValidate.cusumStream) in batch
+    * mode — the flatMapGroupsWithState recursion whose output must
+    * equal the batch window identity (x_ts_cusum shares this oracle);
+    * the true streaming mode's micro-batch ≡ batch parity is asserted
+    * in StreamingSpec.
+    */
+  private def xStreamCusum(s: SparkSession, dir: String): DataFrame =
+    StreamingValidate.cusumStream(
+        t(s, dir, "events").select(col("user_id"), col("event_id"),
+          col("ts"), floor(col("value") * 100).cast("long").as("cents")),
+        targetCents = 15000L, threshold = 1000000L)
+      .select(col("event_id"), col("user_id"), col("cusum"),
+        col("flagged"))
+      .orderBy("event_id")
+
   private def xStreamDistinct(s: SparkSession, dir: String): DataFrame =
     StreamingValidate.windowedDistinct(
         t(s, dir, "events").select(col("ts"), col("user_id")), "user_id")
@@ -2168,6 +2183,19 @@ object SparkEntry {
       .withColumn("chi2", round(col("chi2"), 9))
       .withColumn("cramers_v", round(col("cramers_v"), 12))
 
+  /** Mutual information + entropies (Profile.mutualInfo) between
+    * market segment and nation — present-cells-only terms, each libm
+    * `ln` snapped to 10⁻¹² fixed point before the exact long sum (the
+    * PSI absorption applied to information theory).
+    */
+  private def xProfileMi(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.mutualInfo(t(s, dir, "customer"),
+        col("c_mktsegment"), col("c_nationkey"))
+      .withColumn("mi", round(col("mi"), 12))
+      .withColumn("h_a", round(col("h_a"), 12))
+      .withColumn("h_b", round(col("h_b"), 12))
+      .withColumn("mi_norm", round(col("mi_norm"), 12))
+
   /** Functional-dependency violation scan (Profile.fdViolations):
     * l_orderkey → l_shipdate does NOT hold (an order's lines ship on
     * different days) — every violating order with row/distinct counts
@@ -2419,7 +2447,9 @@ object SparkEntry {
     "x_dedup_ppjoin" -> (xDedupPpjoin _),
     "x_layout_bloomskip" -> (xLayoutBloomskip _),
     "x_olap_rollup_incr" -> (xOlapRollupIncr _),
-    "x_ab_cuped" -> (xAbCuped _)
+    "x_ab_cuped" -> (xAbCuped _),
+    "x_stream_cusum" -> (xStreamCusum _),
+    "x_profile_mi" -> (xProfileMi _)
   )
 
   // ------------------------------------------------------------- oracles

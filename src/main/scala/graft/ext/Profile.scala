@@ -690,6 +690,59 @@ object Profile {
     }
   }
 
+  /** Mutual information I(A;B) between two categorical columns, with
+    * the marginal entropies and the normalized form
+    * I/min(H(A), H(B)) ∈ [0,1] — the information-theoretic twin of
+    * [[chiSquare]] (same contingency machinery; absent cells
+    * contribute 0 here since lim p→0 of p·log p = 0, so only PRESENT
+    * cells are touched — no grid materialization).
+    *
+    * Determinism: each cell/marginal term runs one `ln` (libm — the
+    * documented 1-ulp cross-engine hazard, same as the PSI drift
+    * scan), so terms are snapped to 10⁻¹² fixed point and summed as
+    * exact longs: order-free, and a last-ulp libm divergence is
+    * absorbed by the snap. Scale: one corpus scan → bounded cells;
+    * everything downstream is metadata-sized.
+    *
+    * Output row: (n, n_cells, mi, h_a, h_b, mi_norm) — nats.
+    */
+  def mutualInfo(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cellsRaw = df.select(a.as("__a"), b.as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
+    CacheScope.withCached(cellsRaw) { cells =>
+      val ra = cells.groupBy("__a").agg(sum(col("__o")).as("__r"))
+      val cb = cells.groupBy("__b").agg(sum(col("__o")).as("__c"))
+      val tot = cells.agg(sum(col("__o")).as("__nt"),
+        count(lit(1)).as("__ncells"))
+      def d(c: Column) = c.cast("double")
+      val snap = (c: Column) => round(c * 1e12).cast("long")
+      val miTerm = (d(col("__o")) / d(col("__nt"))) *
+        log(d(col("__o")) * d(col("__nt")) /
+          (d(col("__r")) * d(col("__c"))))
+      val mi12 = cells.join(ra, "__a").join(cb, "__b")
+        .crossJoin(broadcast(tot))
+        .agg(sum(snap(miTerm)).as("__mi12"))
+      def ent(m: DataFrame, cnt: String): DataFrame = {
+        val p = d(col(cnt)) / d(col("__nt"))
+        m.crossJoin(broadcast(tot))
+          .agg(sum(snap(-p * log(p))).as("__h12"))
+      }
+      mi12.crossJoin(broadcast(ent(ra, "__r").withColumnRenamed(
+          "__h12", "__ha12")))
+        .crossJoin(broadcast(ent(cb, "__c").withColumnRenamed(
+          "__h12", "__hb12")))
+        .crossJoin(broadcast(tot))
+        .select(col("__nt").as("n"), col("__ncells").as("n_cells"),
+          (d(col("__mi12")) / 1e12).as("mi"),
+          (d(col("__ha12")) / 1e12).as("h_a"),
+          (d(col("__hb12")) / 1e12).as("h_b"),
+          when(least(col("__ha12"), col("__hb12")) > 0,
+            d(col("__mi12")) / d(least(col("__ha12"), col("__hb12"))))
+            .as("mi_norm"))
+    }
+  }
+
   /** Functional-dependency violation scan: the groups of `lhs` values
     * that map to MORE than one distinct `rhs` value — the certificate
     * that lhs → rhs does NOT hold. For every violating group: row

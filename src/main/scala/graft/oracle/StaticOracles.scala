@@ -2602,23 +2602,11 @@ private[graft] object StaticOracles {
         |  max(e) - min(s) AS covered
         |FROM isl GROUP BY 1, 2
         |ORDER BY l_suppkey, island""".stripMargin,
-    // prefix-sum − running-min identity mirrored window-for-window
-    "x_ts_cusum" ->
-      """WITH f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
-        |p AS (SELECT event_id, user_id, ts_us,
-        |    sum(cents - 15000) OVER (PARTITION BY user_id
-        |      ORDER BY ts_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
-        |  FROM f),
-        |m AS (SELECT event_id, user_id, pp,
-        |    least(0, min(pp) OVER (PARTITION BY user_id
-        |      ORDER BY ts_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS mn
-        |  FROM p)
-        |SELECT event_id, user_id, CAST(pp - mn AS BIGINT) AS cusum,
-        |  (pp - mn) > 1000000 AS flagged
-        |FROM m ORDER BY event_id""".stripMargin,
+    // prefix-sum − running-min identity mirrored window-for-window;
+    // x_stream_cusum (the flatMapGroupsWithState recursion) must land
+    // on the SAME rows — one oracle, two implementations
+    "x_stream_cusum" -> cusumOracle,
+    "x_ts_cusum" -> cusumOracle,
     // recursive-CTE BFS: UNION dedup on (id, d) bounds the working
     // set; min over the accumulated rows = first-reach hop count
     "x_graph_khop" ->
@@ -2678,6 +2666,40 @@ private[graft] object StaticOracles {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    // present-cells-only MI; every ln() term snapped to 1e-12 fixed
+    // point before the exact integer sum (the PSI libm absorption)
+    "x_profile_mi" ->
+      """WITH base AS (SELECT c_mktsegment AS a, c_nationkey AS b
+        |  FROM customer
+        |  WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) AS r FROM cells GROUP BY 1),
+        |cb AS (SELECT b, sum(o) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(o) AS nt, count(*) AS ncells FROM cells),
+        |mi AS (SELECT sum(CAST(round(
+        |    (CAST(o AS DOUBLE) / CAST(nt AS DOUBLE))
+        |    * ln(CAST(o AS DOUBLE) * CAST(nt AS DOUBLE)
+        |      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
+        |    * 1e12) AS BIGINT)) AS mi12
+        |  FROM cells JOIN ra USING (a) JOIN cb USING (b)
+        |  CROSS JOIN tot),
+        |ha AS (SELECT sum(CAST(round(
+        |    -(CAST(r AS DOUBLE) / CAST(nt AS DOUBLE))
+        |    * ln(CAST(r AS DOUBLE) / CAST(nt AS DOUBLE))
+        |    * 1e12) AS BIGINT)) AS ha12 FROM ra CROSS JOIN tot),
+        |hb AS (SELECT sum(CAST(round(
+        |    -(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))
+        |    * ln(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))
+        |    * 1e12) AS BIGINT)) AS hb12 FROM cb CROSS JOIN tot)
+        |SELECT CAST(tot.nt AS BIGINT) AS n,
+        |  CAST(tot.ncells AS BIGINT) AS n_cells,
+        |  round(CAST(mi12 AS DOUBLE) / 1e12, 12) AS mi,
+        |  round(CAST(ha12 AS DOUBLE) / 1e12, 12) AS h_a,
+        |  round(CAST(hb12 AS DOUBLE) / 1e12, 12) AS h_b,
+        |  round(CASE WHEN least(ha12, hb12) > 0
+        |    THEN CAST(mi12 AS DOUBLE) / CAST(least(ha12, hb12)
+        |      AS DOUBLE) END, 12) AS mi_norm
+        |FROM mi, ha, hb, tot""".stripMargin,
     // per-arm HUGEINT moments; θ, adjusted mean, and variance identities
     // mirrored double-op-for-double-op (see Experiment.cuped)
     "x_ab_cuped" ->
@@ -2735,6 +2757,26 @@ private[graft] object StaticOracles {
     * interleave terms are generated from the SAME (bits, lane) loop as
     * Layout.zValue.
     */
+  /** Shared CUSUM oracle (x_ts_cusum and x_stream_cusum): the
+    * prefix-sum − running-min identity, mirrored window-for-window.
+    */
+  private def cusumOracle: String =
+    """WITH f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+      |p AS (SELECT event_id, user_id, ts_us,
+      |    sum(cents - 15000) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+      |  FROM f),
+      |m AS (SELECT event_id, user_id, pp,
+      |    least(0, min(pp) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS mn
+      |  FROM p)
+      |SELECT event_id, user_id, CAST(pp - mn AS BIGINT) AS cusum,
+      |  (pp - mn) > 1000000 AS flagged
+      |FROM m ORDER BY event_id""".stripMargin
+
   /** Shared z-bucket file-stats CTE chain (ends at `f`) for the
     * zone-map and compaction oracles — the interleave terms come from
     * the SAME (bits, lane) loop as Layout.zValue.

@@ -23,6 +23,17 @@ final case class OpenSessions(ss: Seq[OpenSession])
 final case class SessionRaw(
     user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
+/** Streaming-CUSUM records (see [[StreamingValidate.cusumStream]]). */
+final case class CusumEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+    ts_us: Long, cents: Long)
+/** State carrier: the running CUSUM value after every SEALED event,
+  * plus the still-unsealed (within-watermark, reorderable) buffer.
+  */
+final case class CusumState(s: Long,
+    buf: Seq[(Long, Long, Long)]) // (ts_us, event_id, cents)
+final case class CusumOut(event_id: Long, user_id: Long, cusum: Long,
+    flagged: Boolean)
+
 /** Streaming validation (SURVEY.md §7.6): the reference's batch checks
   * re-expressed over Structured Streaming — watermarks, windowed
   * violation aggregation, stateful dedup.
@@ -317,4 +328,69 @@ object StreamingValidate {
     events
       .withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
+
+  /** Stateful streaming CUSUM (the online form of
+    * [[graft.ext.TimeSeries.cusum]]'s batch window identity): per key,
+    * S_i = max(0, S_{i−1} + (cents_i − target)), alarm at S > h —
+    * sustained-drift detection with per-micro-batch latency.
+    *
+    * The recursion is ORDER-SENSITIVE, so correctness under
+    * within-watermark disorder needs buffering: events sit in
+    * `GroupState` until the watermark passes their timestamp (no
+    * admissible earlier event can still arrive), then are folded in
+    * (ts, event_id) order onto the running S and emitted EXACTLY once.
+    * Sealed history is never revisited — state is one long plus the
+    * in-flight buffer, bounded by the watermark horizon × event rate.
+    * The event-time timeout flushes a key's buffer when no new events
+    * arrive to trigger it.
+    *
+    *   - `streaming = false` (batch): groups arrive complete — the
+    *     whole series seals at once; output ≡ the batch operator
+    *     (asserted in StreamingSpec AND by the harness oracle).
+    *   - `streaming = true`: requires `withWatermark("ts", ...)` on
+    *     the input (EventTimeTimeout), emits Append-mode rows.
+    */
+  def cusumStream(events: DataFrame, targetCents: Long, threshold: Long,
+      streaming: Boolean = false): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("cents").cast("long").as("cents"))
+      .as[CusumEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, timeout) {
+        (userId: Long, it: Iterator[CusumEvent],
+         state: GroupState[CusumState]) =>
+          val prior = state.getOption.getOrElse(CusumState(0L, Nil))
+          val buf = prior.buf ++
+            it.map(e => (e.ts_us, e.event_id, e.cents))
+          val wmUs =
+            if (streaming) state.getCurrentWatermarkMs() * 1000L
+            else Long.MaxValue
+          // seal = fold in total (ts, id) order; within-watermark rows
+          // stay buffered for possible earlier arrivals
+          val (ready, open) = buf.partition(_._1 <= wmUs)
+          var s = prior.s
+          val out = ready.sortBy(e => (e._1, e._2)).map { e =>
+            s = math.max(0L, s + (e._3 - targetCents))
+            CusumOut(e._2, userId, s, s > threshold)
+          }
+          if (streaming) {
+            // the running S must OUTLIVE the buffer — dropping state
+            // would silently restart the recursion for the key's next
+            // event; one long per drained key is the steady-state cost
+            state.update(CusumState(s, open))
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(open.map(_._1).min / 1000L + 1L)
+          }
+          out.iterator
+      }
+      .toDF()
+  }
 }

@@ -132,6 +132,30 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(r1.getDouble(4) - 18.0) < 1e-9)
   }
 
+  test("mutualInfo: independence → 0 exactly; identity → H, norm 1") {
+    // proportional table: o·N == r·c in every cell → ln(1) = 0 terms
+    val indep = Seq.fill(20)(("A", "X")) ++ Seq.fill(10)(("A", "Y")) ++
+      Seq.fill(40)(("B", "X")) ++ Seq.fill(20)(("B", "Y"))
+    val r0 = Profile.mutualInfo(indep.toDF("a", "b"), col("a"), col("b"))
+      .collect().head
+    assert(r0.getDouble(2) === 0.0)
+    // a == b: I(A;A) = H(A); two equal classes → H = ln 2
+    val ident = (Seq.fill(30)("u") ++ Seq.fill(30)("v")).map(x => (x, x))
+    val r1 = Profile.mutualInfo(ident.toDF("a", "b"), col("a"), col("b"))
+      .collect().head
+    assert(math.abs(r1.getDouble(2) - math.log(2)) < 1e-9)
+    assert(math.abs(r1.getDouble(2) - r1.getDouble(3)) < 1e-12)
+    assert(math.abs(r1.getDouble(5) - 1.0) < 1e-12)
+    // hand case: [[30,10],[10,30]] — I = Σ p·ln(p/(pa·pb))
+    val rows =
+      Seq.fill(30)(("A", "X")) ++ Seq.fill(10)(("A", "Y")) ++
+      Seq.fill(10)(("B", "X")) ++ Seq.fill(30)(("B", "Y"))
+    val r2 = Profile.mutualInfo(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect().head
+    val expected = 2 * (0.375 * math.log(1.5) + 0.125 * math.log(0.5))
+    assert(math.abs(r2.getDouble(2) - expected) < 1e-9)
+  }
+
   test("fdViolations reports only violating groups, with witnesses") {
     val df = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (2L, "c"),
       (3L, "z")).toDF("k", "v")

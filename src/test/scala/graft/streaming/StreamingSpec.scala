@@ -462,4 +462,73 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("event_type__enum") ||
       col("value__minimum")).count() == 0)
   }
+
+  test("stateful CUSUM: streamed rows equal the batch window identity") {
+    val streamed = runStream("cusum_stream",
+      df => StreamingValidate.cusumStream(
+        df.select(col("user_id"), col("event_id"), col("ts"),
+            floor(col("value") * 100).cast("long").as("cents"))
+          .withWatermark("ts", "10 minutes"),
+        targetCents = 15000L, threshold = 1000000L, streaming = true))
+    val batch = graft.ext.TimeSeries.cusum(
+        batchEvents.select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * 100).cast("long").as("cents")),
+        "user_id", unix_micros(col("ts")), col("event_id"),
+        col("cents"), targetCents = 15000L, threshold = 1000000L)
+      .select("event_id", "user_id", "cusum", "flagged")
+    val b = batch.collect().map(_.toSeq).toSet
+    val s = streamed.select("event_id", "user_id", "cusum", "flagged")
+      .collect().map(_.toSeq).toSet
+    // append mode withholds only the within-watermark tail; every
+    // emitted row must match the ORDER-SENSITIVE batch recursion
+    // exactly — the buffered seal-then-fold is what makes that hold
+    assert(s.nonEmpty, "stream emitted no sealed rows")
+    assert(s.subsetOf(b))
+    // ...and nearly everything seals under AvailableNow (10-min tail)
+    assert(s.size > b.size / 2, s"sealed only ${s.size} of ${b.size}")
+  }
+
+  test("streaming CUSUM: out-of-order within-watermark arrival folds " +
+      "in event-time order across micro-batches") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val d = Files.createTempDirectory("graft_cusum_ooo")
+    def ev(rows: Seq[(Long, Long, String, Long)]) =
+      rows.toDF("user_id", "event_id", "s", "cents")
+        .select(col("user_id"), col("event_id"),
+          to_timestamp(col("s")).as("ts"), col("cents"))
+    // target 10: batch2 delivers the 10:05 event AFTER 10:20 was seen.
+    // Processing-order folding would compute S(10:20) without the
+    // 10:05 contribution; event-time sealing must yield the same S
+    // chain as the fully sorted batch: +20, +30, −15→35... per spec.
+    val b1 = ev(Seq((1L, 1L, "2026-01-01 10:00:00", 30L),
+      (1L, 3L, "2026-01-01 10:20:00", 40L)))
+    val b2 = ev(Seq((1L, 2L, "2026-01-01 10:05:00", 50L),
+      (1L, 4L, "2026-01-01 10:40:00", 0L)))
+    // far-future row advances the watermark so everything seals
+    val b3 = ev(Seq((99L, 9L, "2026-01-01 23:00:00", 10L)))
+    Seq((b1, "batch1", 1000000L), (b2, "batch2", 2000000L),
+      (b3, "batch3", 3000000L)).foreach { case (df, name, mt) =>
+      df.coalesce(1).write.parquet(s"$d/$name")
+      Files.list(Paths.get(s"$d/$name")).forEach(p =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(mt)))
+    }
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$d/{batch1,batch2,batch3}")
+    val q = StreamingValidate.cusumStream(
+        stream.withWatermark("ts", "2 hours"),
+        targetCents = 10L, threshold = 75L, streaming = true)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cusum_ooo").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cusum_ooo").filter(col("user_id") === 1L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("cusum"), r.getAs[Boolean]("flagged"))).toMap
+    // sorted series: (1,30) (2,50) (3,40) (4,0) → S = 20, 60, 90, 80
+    assert(got === Map(1L -> ((20L, false)), 2L -> ((60L, false)),
+      3L -> ((90L, true)), 4L -> ((80L, true))), got.toString)
+  }
 }
