@@ -2183,6 +2183,37 @@ object SparkEntry {
       .withColumn("chi2", round(col("chi2"), 9))
       .withColumn("cramers_v", round(col("cramers_v"), 12))
 
+  /** Deterministic negative sampling (Sampling.negativeSamples): every
+    * distinct (customer, purchased part) pair fans out to 3 uniform
+    * hash-drawn negatives from [1, max part] minus the positive —
+    * zero-shuffle narrow projection after one broadcast bound.
+    */
+  private def xSampleNegatives(s: SparkSession, dir: String): DataFrame = {
+    val pos = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_partkey")), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
+      .distinct()
+    Sampling.negativeSamples(pos, "u", "p", t(s, dir, "part"),
+        "p_partkey", 3)
+      .orderBy("user_id", "pos_item", "slot")
+  }
+
+  /** Embedding drift (Reconcile.embeddingDrift): the vector corpus
+    * split by id parity into reference/current halves — centroid
+    * cosine + mean-shift L2 from exact per-dim decimal moments (no
+    * per-row float sum anywhere).
+    */
+  private def xDriftEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").where(size(col("embedding")) === 64)
+    Reconcile.embeddingDrift(
+        e.where(pmod(col("vec_id"), lit(2)) === 0),
+        e.where(pmod(col("vec_id"), lit(2)) === 1), "embedding")
+      .withColumn("centroid_cos", round(col("centroid_cos"), 12))
+      .withColumn("mean_shift_l2", round(col("mean_shift_l2"), 12))
+  }
+
   /** Mutual information + entropies (Profile.mutualInfo) between
     * market segment and nation — present-cells-only terms, each libm
     * `ln` snapped to 10⁻¹² fixed point before the exact long sum (the
@@ -2449,7 +2480,9 @@ object SparkEntry {
     "x_olap_rollup_incr" -> (xOlapRollupIncr _),
     "x_ab_cuped" -> (xAbCuped _),
     "x_stream_cusum" -> (xStreamCusum _),
-    "x_profile_mi" -> (xProfileMi _)
+    "x_profile_mi" -> (xProfileMi _),
+    "x_drift_embedding" -> (xDriftEmbedding _),
+    "x_sample_negatives" -> (xSampleNegatives _)
   )
 
   // ------------------------------------------------------------- oracles

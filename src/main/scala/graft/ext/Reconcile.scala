@@ -133,4 +133,66 @@ object Reconcile {
           ((p - q) * log(p / q)).as("psi_term"))
     }
   }
+
+  /** Embedding-distribution drift between a reference and a current
+    * vector corpus (the vector twin of [[columnDrift]]): centroid
+    * cosine and the L2 norm of the mean-vector shift — the two
+    * numbers a retraining monitor alarms on when an upstream encoder
+    * or data mix changes.
+    *
+    * Determinism: per-dim vector components are snapped to `scale`
+    * fixed point (floor(x·scale) — exact float→int), per-dim sums are
+    * EXACT decimal(38,0), and the identities
+    *
+    *   cos(x̄_r, x̄_c) = cos(S_r, S_c)      (cosine ignores 1/n scaling)
+    *   ‖x̄_r − x̄_c‖ = √Σ_d(S_r·n_c − S_c·n_r)² / (n_r·n_c·scale)
+    *
+    * reduce everything to exact integer cross-moments with a
+    * correctly-rounded double finish — no per-row float sum anywhere,
+    * so the statistic hash-matches across engines and reruns.
+    *
+    * Scale design: one posexplode scan per side → a ≤dims-row
+    * aggregate each; the cross-moment fold runs on dims rows. Vector
+    * corpora of any size reduce to 2·dims metadata rows before any
+    * join. Assumes fixed dimensionality per corpus (enforce upstream
+    * with a len() filter, as the similarity family does). Overflow
+    * headroom: (S·n)² must fit decimal(38), i.e. corpus size
+    * n ≲ 10¹⁹ ⁄ ²/√scale ≈ 3·10⁶ at the default scale — above that,
+    * shard the corpora and fold the per-shard dim sums first (the
+    * shape is mergeable), or drop `scale` a few decades.
+    */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame, vecCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"need scale > 0, got $scale")
+    def dimSums(df: DataFrame, s: String, n: String): DataFrame =
+      df.select(posexplode(col(vecCol)).as(Seq("__d", "__v")))
+        .select(col("__d"),
+          floor(col("__v").cast("double") * scale).cast("long")
+            .as("__c"))
+        .groupBy("__d")
+        .agg(sum(col("__c").cast("decimal(38,0)")).as(s),
+          count(lit(1)).as(n))
+    val r = dimSums(ref, "__sr", "__nr")
+    val c = dimSums(cur, "__sc", "__nc")
+    def d(cn: Column) = cn.cast("double")
+    val dec = (cn: Column) => cn.cast("decimal(38,0)")
+    r.join(c, "__d")
+      .agg(first(col("__nr")).as("__fnr"), first(col("__nc")).as("__fnc"),
+        count(lit(1)).as("dims"),
+        sum(dec(col("__sr")) * dec(col("__sc"))).as("__rc"),
+        sum(dec(col("__sr")) * dec(col("__sr"))).as("__rr"),
+        sum(dec(col("__sc")) * dec(col("__sc"))).as("__cc"),
+        sum((dec(col("__sr")) * dec(col("__nc")) -
+          dec(col("__sc")) * dec(col("__nr"))) *
+          (dec(col("__sr")) * dec(col("__nc")) -
+            dec(col("__sc")) * dec(col("__nr")))).as("__sh"))
+      .select(col("__fnr").as("n_ref"), col("__fnc").as("n_cur"),
+        col("dims"),
+        when(col("__rr") > 0 && col("__cc") > 0,
+          d(col("__rc")) / (sqrt(d(col("__rr"))) * sqrt(d(col("__cc")))))
+          .as("centroid_cos"),
+        (sqrt(d(col("__sh"))) /
+          (d(col("__fnr")) * d(col("__fnc")) * scale.toDouble))
+          .as("mean_shift_l2"))
+  }
 }

@@ -451,4 +451,41 @@ object Sampling {
       }
     df.filter(hashUnit(col(idCol), salt) < rate)
   }
+
+  /** Deterministic negative sampling for contrastive / recommender
+    * training pairs: each (user, positive-item) row fans out to `k`
+    * pseudo-random negatives drawn UNIFORMLY from the dense item
+    * universe [1, m] minus the positive itself — the standard
+    * in-batch-free negative generator, reproducible across reruns,
+    * engines, and partitionings (the draw is [[Dedup.hash48]] of
+    * "neg_<user>_<pos>_<slot>", not an RNG).
+    *
+    * The exclude-the-positive trick costs no rejection loop: draw
+    * n₀ ∈ [1, m−1] and shift draws ≥ pos up by one — an exact
+    * bijection onto [1, m] \ {pos}, still uniform (modulo the hash's
+    * negligible 48-bit bias over item universes ≪ 2⁴⁸).
+    *
+    * Scale design: one broadcast of the 1-row universe bound, then a
+    * pure narrow projection (sequence-explode × hash) — ZERO
+    * shuffles; output is k× the pair count, streamed straight to the
+    * sink. Caller contract: item ids are dense in [1, m] (TPC-H-style
+    * surrogate keys; remap sparse ids first with [[globalIndex]]).
+    */
+  def negativeSamples(pairs: DataFrame, userCol: String, posCol: String,
+      universe: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val mx = broadcast(
+      universe.agg(max(col(itemCol)).cast("long").as("__m")))
+    val h = Dedup.hash48(concat_ws("_", lit("neg"),
+      col("user_id"), col("pos_item"), col("slot")))
+    val neg0 = pmod(h, col("__m") - 1) + 1
+    pairs.select(col(userCol).cast("long").as("user_id"),
+        col(posCol).cast("long").as("pos_item"))
+      .crossJoin(mx)
+      .select(col("user_id"), col("pos_item"), col("__m"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("slot"))
+      .select(col("user_id"), col("pos_item"), col("slot"),
+        when(neg0 >= col("pos_item"), neg0 + 1).otherwise(neg0)
+          .as("neg_item"))
+  }
 }

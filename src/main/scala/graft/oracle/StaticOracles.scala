@@ -2666,6 +2666,53 @@ private[graft] object StaticOracles {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    // same md5 hash48 draw, same shift-past-the-positive bijection
+    "x_sample_negatives" ->
+      s"""WITH pos AS (SELECT DISTINCT o_custkey AS user_id,
+        |    l_partkey AS pos_item
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |mx AS (SELECT CAST(max(p_partkey) AS BIGINT) AS m FROM part),
+        |s AS (SELECT user_id, pos_item, CAST(t.k AS BIGINT) AS slot, m
+        |  FROM pos, mx, range(1, 4) t(k)),
+        |h AS (SELECT user_id, pos_item, slot, m,
+        |    (${DuckSql.duckHash48("'neg_' || CAST(user_id AS VARCHAR)" +
+            " || '_' || CAST(pos_item AS VARCHAR) || '_' ||" +
+            " CAST(slot AS VARCHAR)")}) % (m - 1) + 1 AS n0
+        |  FROM s)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(pos_item AS BIGINT) AS pos_item, slot,
+        |  CAST(CASE WHEN n0 >= pos_item THEN n0 + 1 ELSE n0 END
+        |    AS BIGINT) AS neg_item
+        |FROM h ORDER BY user_id, pos_item, slot""".stripMargin,
+    // exact per-dim HUGEINT moments; cosine/shift identities mirrored
+    "x_drift_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE len(embedding) = 64),
+        |x AS (SELECT vec_id % 2 AS side, CAST(t.d AS INTEGER) AS dim,
+        |    CAST(floor(CAST(embedding[CAST(t.d AS INTEGER)] AS DOUBLE)
+        |      * 1000000) AS BIGINT) AS c
+        |  FROM e, range(1, 65) t(d)),
+        |m AS (SELECT side, dim, sum(CAST(c AS HUGEINT)) AS s,
+        |    count(*) AS n FROM x GROUP BY 1, 2),
+        |j AS (SELECT r.dim, r.s AS sr, r.n AS nr, c2.s AS sc,
+        |    c2.n AS nc
+        |  FROM (SELECT * FROM m WHERE side = 0) r
+        |  JOIN (SELECT * FROM m WHERE side = 1) c2 USING (dim)),
+        |a AS (SELECT max(nr) AS fnr, max(nc) AS fnc, count(*) AS dims,
+        |    sum(sr * sc) AS rc, sum(sr * sr) AS rr,
+        |    sum(sc * sc) AS cc,
+        |    sum((sr * nc - sc * nr) * (sr * nc - sc * nr)) AS sh
+        |  FROM j)
+        |SELECT CAST(fnr AS BIGINT) AS n_ref, CAST(fnc AS BIGINT)
+        |    AS n_cur, CAST(dims AS BIGINT) AS dims,
+        |  round(CASE WHEN rr > 0 AND cc > 0
+        |    THEN CAST(rc AS DOUBLE)
+        |      / (sqrt(CAST(rr AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE)))
+        |    END, 12) AS centroid_cos,
+        |  round(sqrt(CAST(sh AS DOUBLE))
+        |    / (CAST(fnr AS DOUBLE) * CAST(fnc AS DOUBLE) * 1000000.0),
+        |    12) AS mean_shift_l2
+        |FROM a""".stripMargin,
     // present-cells-only MI; every ln() term snapped to 1e-12 fixed
     // point before the exact integer sum (the PSI libm absorption)
     "x_profile_mi" ->

@@ -84,4 +84,25 @@ class ReconcileSpec extends SparkSpec {
       .toMap
     assert(m === Map((1L, "x") -> "unchanged", (1L, "y") -> "changed"))
   }
+
+  test("embeddingDrift: identical corpora → cos ~1, shift exactly 0") {
+    val vecs = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(0.5f, 0.5f, 4.0f)))
+      .toDF("id", "embedding")
+    val r = Reconcile.embeddingDrift(vecs, vecs, "embedding")
+      .collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L &&
+      r.getLong(2) === 3L)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+    assert(r.getDouble(4) === 0.0) // exact integer zero under the hood
+  }
+
+  test("embeddingDrift: orthogonal unit centroids → cos 0, shift √2") {
+    val ref = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)))
+      .toDF("id", "embedding")
+    val cur = Seq((3L, Seq(0.0f, 1.0f))).toDF("id", "embedding")
+    val r = Reconcile.embeddingDrift(ref, cur, "embedding")
+      .collect().head
+    assert(r.getDouble(3) === 0.0)
+    assert(math.abs(r.getDouble(4) - math.sqrt(2)) < 1e-6)
+  }
 }

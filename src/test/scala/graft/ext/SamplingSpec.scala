@@ -222,4 +222,26 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(kept("src1") / 1000.0 - 0.2) < 0.06)
     assert(!kept.contains("src2")) // default 0.0 drops all
   }
+
+  test("negativeSamples: uniform over [1,m] minus the positive, stable") {
+    val pairs = (1L to 50L).map(u => (u, (u % 4) + 1)).toDF("u", "p")
+    val universe = (1L to 4L).toDF("item")
+    val out = Sampling.negativeSamples(pairs, "u", "p", universe,
+        "item", 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 250)
+    // never the positive, always inside the universe
+    assert(out.forall { case (_, pos, _, neg) =>
+      neg != pos && neg >= 1 && neg <= 4 })
+    // every non-positive item is reachable (the bijection covers all)
+    val seen = out.map(_._4).toSet
+    assert(seen === Set(1L, 2L, 3L, 4L))
+    // deterministic: same rows on rerun
+    val again = Sampling.negativeSamples(pairs, "u", "p", universe,
+        "item", 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.sorted.toSeq === again.sorted.toSeq)
+  }
 }
