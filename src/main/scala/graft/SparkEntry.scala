@@ -2183,6 +2183,41 @@ object SparkEntry {
       .withColumn("chi2", round(col("chi2"), 9))
       .withColumn("cramers_v", round(col("cramers_v"), 12))
 
+  /** Kaplan–Meier survival (TimeSeries.kaplanMeier): user lifetime in
+    * days (first→last event), "observed" = the user ever hit an error
+    * event, everyone else right-censored — the churn curve, log-space
+    * product with 10⁻¹² snapped terms cumulated as exact longs.
+    */
+  private def xTsKaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val life = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        col("event_type"))
+      .groupBy("user_id")
+      .agg(call_function("div", max(col("tu")) - min(col("tu")),
+          lit(86400000000L)).as("dur"),
+        (max(when(col("event_type") === "error", 1L).otherwise(0L))
+          === 1L).as("ev"))
+    graft.ext.TimeSeries.kaplanMeier(life, Seq.empty, col("dur"),
+        col("ev"))
+      .withColumn("survival", round(col("survival"), 12))
+      .orderBy("duration")
+  }
+
+  /** kNN label-noise screen (Similarity.labelDisagreement over exact
+    * brute-force neighbors): every fifth vector scored against the
+    * full corpus, top-5 neighborhood label consistency — majority
+    * disagreement flags the mislabeled/boundary suspects.
+    */
+  private def xQualityLabelnoise(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.labelDisagreement(
+        Similarity.bruteForceTopK(
+          e.where(pmod(col("vec_id"), lit(5)) === 0), e, 5),
+        e)
+      .withColumn("disagree_rate", round(col("disagree_rate"), 12))
+      .orderBy("query_id")
+  }
+
   /** Deterministic negative sampling (Sampling.negativeSamples): every
     * distinct (customer, purchased part) pair fans out to 3 uniform
     * hash-drawn negatives from [1, max part] minus the positive —
@@ -2482,7 +2517,9 @@ object SparkEntry {
     "x_stream_cusum" -> (xStreamCusum _),
     "x_profile_mi" -> (xProfileMi _),
     "x_drift_embedding" -> (xDriftEmbedding _),
-    "x_sample_negatives" -> (xSampleNegatives _)
+    "x_sample_negatives" -> (xSampleNegatives _),
+    "x_quality_labelnoise" -> (xQualityLabelnoise _),
+    "x_ts_kaplan_meier" -> (xTsKaplanMeier _)
   )
 
   // ------------------------------------------------------------- oracles

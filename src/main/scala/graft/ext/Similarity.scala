@@ -826,4 +826,39 @@ object Similarity {
         dotN(col("a.nvec"), col("b.nvec")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** kNN label-disagreement screen (label-noise / mislabeled-example
+    * detection — the neighborhood-consistency heuristic of Brodley &
+    * Friedl's classification filtering, JAIR 1999, applied to
+    * embedding space): for each query point, the fraction of its k
+    * nearest neighbors whose label differs from its own; `suspect`
+    * marks majority disagreement — the classic "this example is
+    * probably mislabeled or lives on a boundary" flag a training-data
+    * pipeline routes to review.
+    *
+    * Takes the (query_id, neighbor_id) frame from ANY kNN backend —
+    * [[bruteForceTopK]] for exactness, [[knnJoinLsh]]/[[pqTopK]] at
+    * corpus scale — so the screen itself is backend-agnostic: two
+    * id-keyed label joins + one bounded hash agg, all exact integer
+    * counting (the only float is the final rate division).
+    */
+  def labelDisagreement(neighbors: DataFrame, labeled: DataFrame,
+      idCol: String = "vec_id", labelCol: String = "label"): DataFrame = {
+    val lbl = labeled.select(col(idCol).cast("long").as("__lid"),
+      col(labelCol).as("__lbl"))
+    neighbors
+      .join(lbl.select(col("__lid").as("query_id"),
+        col("__lbl").as("own_label")), "query_id")
+      .join(lbl.select(col("__lid").as("neighbor_id"),
+        col("__lbl").as("nb_label")), "neighbor_id")
+      .groupBy("query_id", "own_label")
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("nb_label") =!= col("own_label"), 1L)
+          .otherwise(0L)).as("n_disagree"))
+      .select(col("query_id"), col("own_label"), col("n_neighbors"),
+        col("n_disagree"),
+        (col("n_disagree").cast("double") /
+          col("n_neighbors").cast("double")).as("disagree_rate"),
+        (col("n_disagree") * 2 > col("n_neighbors")).as("suspect"))
+  }
 }

@@ -173,6 +173,62 @@ object TimeSeries {
     * order-sensitive, unlike [[intervalUnion]]'s sweep — a total
     * order is part of the semantics here).
     */
+  /** Kaplan–Meier survival estimator (Kaplan & Meier, JASA 1958) with
+    * right censoring: S(t) = Π_{s ≤ t} (1 − d_s/n_s) over the ordered
+    * distinct event times, one curve per `keys` group (empty `keys` =
+    * one global curve). Output per (keys, duration):
+    * (duration, n_risk, n_events, n_censored, survival).
+    *
+    * Determinism: the product is computed in log space with each
+    * ln(1 − d/n) term — a correctly-rounded-input libm call, the PSI
+    * hazard — snapped to 10⁻¹² fixed point and cumulated as EXACT
+    * LONGS in one window; only the final exp runs per output row. A
+    * time where everyone at risk dies (d = n) sends the curve to an
+    * exact 0 from then on via an integer flag, never a −∞ log.
+    *
+    * Scale: one hash agg collapses the subject table to its distinct
+    * (keys, duration) rows — the windows then run over death-table
+    * CARDINALITY, not subjects; with empty `keys` that is a single
+    * partition of (distinct durations) rows, which is the
+    * metadata-sized frame the estimator inherently produces.
+    */
+  def kaplanMeier(df: DataFrame, keys: Seq[String], duration: Column,
+      observed: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(keys.map(col) :+
+        duration.cast("long").as("__t") :+
+        observed.cast("boolean").as("__e"): _*)
+      .where(col("__t").isNotNull && col("__t") >= 0 &&
+        col("__e").isNotNull)
+    val g = base.groupBy(keys.map(col) :+ col("__t"): _*)
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(!col("__e"), 1L).otherwise(0L)).as("n_censored"))
+    val part = Window.partitionBy(keys.map(col): _*)
+    val ord = part.orderBy(col("__t"))
+    val removed = coalesce(
+      sum(col("n_events") + col("n_censored"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val total = sum(col("n_events") + col("n_censored"))
+      .over(part.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing))
+    def d(c: Column) = c.cast("double")
+    val withRisk = g.withColumn("n_risk", total - removed)
+    val term12 = when(
+      col("n_events") > 0 && col("n_events") < col("n_risk"),
+      round(log(lit(1.0) - d(col("n_events")) / d(col("n_risk")))
+        * 1e12).cast("long")).otherwise(0L)
+    val zeroFlag = max(
+      when(col("n_events") === col("n_risk"), 1L).otherwise(0L))
+      .over(ord.rowsBetween(Window.unboundedPreceding, 0))
+    val cum12 = sum(term12)
+      .over(ord.rowsBetween(Window.unboundedPreceding, 0))
+    withRisk.select(keys.map(col) :+ col("__t").as("duration") :+
+      col("n_risk") :+ col("n_events") :+ col("n_censored") :+
+      when(zeroFlag === 1, 0.0)
+        .otherwise(exp(cum12.cast("double") / 1e12))
+        .as("survival"): _*)
+  }
+
   def cusum(df: DataFrame, keyCol: String, tsUs: Column, tieCol: Column,
       cents: Column, targetCents: Long, threshold: Long): DataFrame = {
     require(threshold >= 0, s"need threshold >= 0, got $threshold")

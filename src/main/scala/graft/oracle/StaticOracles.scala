@@ -2666,6 +2666,81 @@ private[graft] object StaticOracles {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    // KM product in log space: each ln snapped to 1e-12 fixed point,
+    // cumulated as exact ints; d = n sends the curve to an exact 0
+    "x_ts_kaplan_meier" ->
+      """WITH life AS (SELECT user_id,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000
+        |      AS dur,
+        |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1
+        |      AS ev
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT dur,
+        |    sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN ev THEN 0 ELSE 1 END) AS c
+        |  FROM life GROUP BY 1),
+        |w AS (SELECT dur, d, c, sum(d + c) OVER () AS tot,
+        |    coalesce(sum(d + c) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS rem
+        |  FROM g),
+        |t AS (SELECT dur, d, c, tot - rem AS nr FROM w),
+        |s AS (SELECT dur, d, c, nr,
+        |    CASE WHEN d > 0 AND d < nr
+        |      THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+        |        / CAST(nr AS DOUBLE)) * 1e12) AS BIGINT)
+        |      ELSE 0 END AS t12,
+        |    CASE WHEN d = nr THEN 1 ELSE 0 END AS z
+        |  FROM t),
+        |f AS (SELECT dur, nr, d, c,
+        |    sum(t12) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum12,
+        |    max(z) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zz
+        |  FROM s)
+        |SELECT dur AS duration, CAST(nr AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_events,
+        |  CAST(c AS BIGINT) AS n_censored,
+        |  round(CASE WHEN zz = 1 THEN 0.0
+        |    ELSE exp(CAST(cum12 AS DOUBLE) / 1e12) END, 12)
+        |    AS survival
+        |FROM f ORDER BY duration""".stripMargin,
+    // brute-force cosine kNN (the established list_sum dot — bitwise
+    // equal to Spark's HOF fold) → label-consistency counting
+    "x_quality_labelnoise" ->
+      """WITH v0 AS (SELECT vec_id AS id, embedding AS vec, label,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id, label,
+        |    list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |  FROM v0 WHERE nrm > 0),
+        |q AS (SELECT * FROM v WHERE id % 5 = 0),
+        |scored AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(q.nvec) + 1),
+        |      i -> q.nvec[i] * c.nvec[i])) AS sim
+        |  FROM q, v c WHERE q.id <> c.id),
+        |r AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM scored),
+        |nn AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 5),
+        |ag AS (SELECT nn.query_id, lq.label AS own_label,
+        |    count(*) AS n_neighbors,
+        |    sum(CASE WHEN lc.label <> lq.label THEN 1 ELSE 0 END)
+        |      AS n_disagree
+        |  FROM nn
+        |  JOIN v0 lq ON lq.id = nn.query_id
+        |  JOIN v0 lc ON lc.id = nn.neighbor_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, own_label,
+        |  CAST(n_neighbors AS BIGINT) AS n_neighbors,
+        |  CAST(n_disagree AS BIGINT) AS n_disagree,
+        |  round(CAST(n_disagree AS DOUBLE)
+        |    / CAST(n_neighbors AS DOUBLE), 12) AS disagree_rate,
+        |  n_disagree * 2 > n_neighbors AS suspect
+        |FROM ag ORDER BY query_id""".stripMargin,
     // same md5 hash48 draw, same shift-past-the-positive bijection
     "x_sample_negatives" ->
       s"""WITH pos AS (SELECT DISTINCT o_custkey AS user_id,

@@ -1457,4 +1457,24 @@ class ExtSpec extends SparkSpec {
     assert(out(3) === "clean text stays clean")
     assert(out(4) === "mixed <EMAIL> at <IP> call <PHONE>")
   }
+
+  test("labelDisagreement flags the planted mislabeled point") {
+    // two tight clusters; point 5 sits in cluster A but carries B's label
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), "A"), (2L, Seq(0.9f, 0.1f), "A"),
+      (3L, Seq(1.0f, 0.1f), "A"), (5L, Seq(0.95f, 0.05f), "B"),
+      (10L, Seq(0.0f, 1.0f), "B"), (11L, Seq(0.1f, 0.9f), "B"),
+      (12L, Seq(0.0f, 0.9f), "B"))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelDisagreement(
+        Similarity.bruteForceTopK(vecs, vecs, 3), vecs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3),
+        r.getBoolean(5)))
+      .toMap
+    assert(out(5L)._1 === "B")
+    assert(out(5L)._2 === 3L && out(5L)._3, "planted point must flag")
+    // the well-labeled cluster cores must not flag
+    assert(!out(1L)._3 && !out(10L)._3)
+  }
 }

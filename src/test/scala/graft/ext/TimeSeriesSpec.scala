@@ -157,4 +157,45 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq === refCusum(xs, 10L))
     assert(out(6) === 0L) // fully drained back to the floor
   }
+
+  test("kaplanMeier matches the textbook small-sample curve") {
+    // subjects: death@1, censored@2, death@3, death@5, censored@5
+    val df = Seq((1L, true), (2L, false), (3L, true), (5L, true),
+      (5L, false)).toDF("dur", "ev")
+    val out = TimeSeries.kaplanMeier(df, Seq.empty, col("dur"),
+        col("ev"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out(1L)._1 === 5L && math.abs(out(1L)._4 - 0.8) < 1e-9)
+    // censored-only time: at-risk drops, survival unchanged
+    assert(out(2L) === ((4L, 0L, 1L, out(1L)._4)))
+    assert(math.abs(out(3L)._4 - 0.8 * 2 / 3) < 1e-9)
+    assert(out(5L)._1 === 2L)
+    assert(math.abs(out(5L)._4 - 0.8 * 2 / 3 * 0.5) < 1e-9)
+  }
+
+  test("kaplanMeier: total extinction pins the curve to exact zero") {
+    val df = Seq((1L, true), (2L, true)).toDF("dur", "ev")
+    val out = TimeSeries.kaplanMeier(df, Seq.empty, col("dur"),
+        col("ev"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(math.abs(out(1L) - 0.5) < 1e-12)
+    assert(out(2L) === 0.0) // d == n — integer flag, not exp(-inf)
+  }
+
+  test("kaplanMeier computes independent curves per key group") {
+    val df = Seq(("a", 1L, true), ("a", 2L, true), ("b", 1L, false),
+      ("b", 3L, true)).toDF("g", "dur", "ev")
+    val out = TimeSeries.kaplanMeier(df, Seq("g"), col("dur"),
+        col("ev"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(5))
+      .toMap
+    assert(math.abs(out(("a", 1L)) - 0.5) < 1e-12)
+    assert(out(("a", 2L)) === 0.0)
+    assert(out(("b", 1L)) === 1.0) // censoring only — no drop
+    assert(out(("b", 3L)) === 0.0)
+  }
 }
