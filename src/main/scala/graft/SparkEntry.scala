@@ -2204,15 +2204,15 @@ object SparkEntry {
   }
 
   /** kNN label-noise screen (Similarity.labelDisagreement over exact
-    * brute-force neighbors): every fifth vector scored against the
-    * full corpus, top-5 neighborhood label consistency — majority
-    * disagreement flags the mislabeled/boundary suspects.
+    * brute-force neighbors): a FIXED 500-query panel scored against
+    * the full corpus (constant query count keeps the exact backend
+    * linear in corpus size), top-5 neighborhood label consistency —
+    * majority disagreement flags the mislabeled/boundary suspects.
     */
   private def xQualityLabelnoise(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.labelDisagreement(
-        Similarity.bruteForceTopK(
-          e.where(pmod(col("vec_id"), lit(5)) === 0), e, 5),
+        Similarity.bruteForceTopK(e.where(col("vec_id") < 500), e, 5),
         e)
       .withColumn("disagree_rate", round(col("disagree_rate"), 12))
       .orderBy("query_id")

@@ -2716,7 +2716,7 @@ private[graft] object StaticOracles {
         |v AS (SELECT id, label,
         |    list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
         |  FROM v0 WHERE nrm > 0),
-        |q AS (SELECT * FROM v WHERE id % 5 = 0),
+        |q AS (SELECT * FROM v WHERE id < 500),
         |scored AS (SELECT q.id AS query_id, c.id AS neighbor_id,
         |    list_sum(list_transform(range(1, len(q.nvec) + 1),
         |      i -> q.nvec[i] * c.nvec[i])) AS sim
