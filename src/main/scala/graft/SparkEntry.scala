@@ -2183,6 +2183,18 @@ object SparkEntry {
       .withColumn("chi2", round(col("chi2"), 9))
       .withColumn("cramers_v", round(col("cramers_v"), 12))
 
+  /** Top principal direction (Similarity.pcaFit power iteration on the
+    * exact integer gram) projected over the corpus — the fitted
+    * direction is a deterministic constant, so the oracle re-derives
+    * it on the same path and projects with bit-identical literals.
+    */
+  private def xEmbedPca(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").where(size(col("embedding")) === 64)
+    Similarity.pcaScores(e, Similarity.pcaFit(e))
+      .select(col("id").as("vec_id"), round(col("score"), 9).as("score"))
+      .orderBy("vec_id")
+  }
+
   /** Kaplan–Meier survival (TimeSeries.kaplanMeier): user lifetime in
     * days (first→last event), "observed" = the user ever hit an error
     * event, everyone else right-censored — the churn curve, log-space
@@ -2519,7 +2531,8 @@ object SparkEntry {
     "x_drift_embedding" -> (xDriftEmbedding _),
     "x_sample_negatives" -> (xSampleNegatives _),
     "x_quality_labelnoise" -> (xQualityLabelnoise _),
-    "x_ts_kaplan_meier" -> (xTsKaplanMeier _)
+    "x_ts_kaplan_meier" -> (xTsKaplanMeier _),
+    "x_embed_pca" -> (xEmbedPca _)
   )
 
   // ------------------------------------------------------------- oracles

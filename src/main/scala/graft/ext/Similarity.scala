@@ -827,6 +827,71 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Driver-side top-principal-direction fit: the dominant
+    * eigenvector of the UNCENTERED gram matrix XᵀX (the top right
+    * singular vector of the corpus; mean-center upstream for
+    * classical PCA) via power iteration — the spectral primitive
+    * behind PCA whitening, spectral hashing, and embedding-collapse
+    * diagnostics.
+    *
+    * Determinism: vector components snap to `scale` fixed point, the
+    * d×d gram is EXACT decimal sums over one (d² per row) double-
+    * explode pass — bounded collect of d·(d+1)/2 rows, never the
+    * corpus — and the power iteration runs sequentially on the driver
+    * (deterministic IEEE doubles; the gram's constant scale factor
+    * cancels in the normalization). Sign fixed by making the
+    * largest-|component| coordinate positive (lowest index on ties).
+    *
+    * Scale: the corpus pass is one map-side-combinable hash agg on
+    * (i, j) keys; everything after runs on d² metadata rows. Fit
+    * cost is independent of corpus size beyond that single pass.
+    */
+  def pcaFit(df: DataFrame, vecCol: String = "embedding",
+      iters: Int = 30, scale: Long = 1000000L): Array[Double] = {
+    require(iters >= 1 && iters <= 1000, s"bad iters $iters")
+    val cents = df.select(transform(col(vecCol),
+      x => floor(x.cast("double") * scale).cast("long")).as("__c"))
+    val gram = cents
+      .select(col("__c"), posexplode(col("__c")).as(Seq("i", "vi")))
+      .select(col("i"), col("vi"),
+        posexplode(col("__c")).as(Seq("j", "vj")))
+      .where(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(sum(col("vi").cast("decimal(38,0)") *
+        col("vj").cast("decimal(38,0)")).as("g"))
+      .collect()
+    require(gram.nonEmpty, "pcaFit needs a non-empty vector corpus")
+    val d = gram.map(_.getInt(0)).max + 1
+    val g = Array.ofDim[Double](d, d)
+    gram.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1),
+        r.getDecimal(2).doubleValue())
+      g(i)(j) = v; g(j)(i) = v
+    }
+    var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 1.0 / (i + 1))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).foldLeft(0.0)((acc, j) => acc + g(i)(j) * v(j)))
+      val n = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+      require(n > 0, "power iteration collapsed to zero")
+      v = w.map(_ / n)
+    }
+    val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(pivot) < 0) v.map(x => -x) else v
+  }
+
+  /** Project every vector onto a fitted direction (the [[pcaFit]]
+    * output embedded as literals — the same constants an external
+    * engine re-derives): (id, score). One narrow projection, the dot
+    * in the native left-to-right fold.
+    */
+  def pcaScores(df: DataFrame, pc: Array[Double],
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame =
+    df.select(col(idCol).as("id"),
+      dotN(col(vecCol).cast("array<double>"),
+        array(pc.map(lit).toIndexedSeq: _*)).as("score"))
+
   /** kNN label-disagreement screen (label-noise / mislabeled-example
     * detection — the neighborhood-consistency heuristic of Brodley &
     * Friedl's classification filtering, JAIR 1999, applied to

@@ -31,7 +31,7 @@ private[graft] object DynamicOracles {
     */
   val names: Set[String] =
     Set("x_sim_ivf_kmeans", "x_sim_kmeans_full", "x_sim_pq",
-      "x_sim_ivf_pq", "x_sample_temperature")
+      "x_sim_ivf_pq", "x_sample_temperature", "x_embed_pca")
 
   def sql(
       spark: SparkSession, sfDir: String,
@@ -262,6 +262,26 @@ private[graft] object DynamicOracles {
         |      FROM scored)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+    }
+    // x_embed_pca: the power-iteration fit is driver-side but
+    // deterministic (exact integer gram, sequential doubles) — re-fit
+    // on the query's own path and embed the direction as literals;
+    // the projection is then the same left-to-right dot both engines
+    // compute bitwise.
+    if (want("x_embed_pca")) {
+      val pc = Similarity.pcaFit(t(spark, sfDir, "embeddings")
+        .where(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("embedding")) === 64))
+      val pcLit = pc.map(_.toString).mkString("[", ",", "]")
+      b += ("x_embed_pca" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE len(embedding) = 64),
+        |p AS (SELECT list_transform($pcLit,
+        |  x -> CAST(x AS DOUBLE)) AS pc)
+        |SELECT vec_id, round(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+        |      * pc[CAST(i AS INTEGER)])), 9) AS score
+        |FROM e, p ORDER BY vec_id""".stripMargin)
     }
     b.result()
   }

@@ -700,6 +700,43 @@ class PlanSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("negativeSamples is a zero-shuffle narrow projection") {
+    import graft.ext.Sampling
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val pairs = spark.range(1000).select(col("id").as("u"),
+      (col("id") % 97 + 1).as("p"))
+    val uni = spark.range(1, 101).toDF("item")
+    val ns = Sampling.negativeSamples(pairs, "u", "p", uni, "item", 3)
+    val n = nodes(ns)
+    // the ONLY exchange is the universe bound's 1-row final aggregate
+    // (metadata-sized); the pair stream itself must stay narrow —
+    // nothing between the pair scan and the output may exchange
+    val shuffles = n.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1, "pair stream must not shuffle")
+    shuffles.foreach(s => assert(
+      s.child.toString.contains("max"),
+      s"the only allowed exchange is the max-bound agg: $s"))
+    assert(!n.exists(_.isInstanceOf[WindowExec]))
+  }
+
+  test("kaplanMeier: all windows ride one sort over the death table") {
+    import graft.ext.TimeSeries
+    import org.apache.spark.sql.execution.SortExec
+    val ev = Tables.load(spark, dir, "events")
+    val life = ev.groupBy("user_id")
+      .agg((max(unix_micros(col("ts"))) / 86400000000L).cast("long")
+          .as("dur"),
+        (count(lit(1)) % 2 === 0).as("ev"))
+    val km = TimeSeries.kaplanMeier(life, Seq.empty, col("dur"),
+      col("ev"))
+    val n = nodes(km)
+    // grouped death table, then windows: ≤1 sort, no join, no expand
+    assert(n.count(_.isInstanceOf[SortExec]) <= 1,
+      "risk/cumulative windows must share one duration sort")
+    assert(!n.exists(_.getClass.getSimpleName.contains("Join")))
+    assert(!n.exists(_.isInstanceOf[ExpandExec]))
+  }
+
   test("topPaths: session window partitioning feeds the path agg") {
     import graft.ext.Behavior
     val ev = Tables.load(spark, dir, "events")

@@ -1477,4 +1477,25 @@ class ExtSpec extends SparkSpec {
     // the well-labeled cluster cores must not flag
     assert(!out(1L)._3 && !out(10L)._3)
   }
+
+  test("pcaFit finds the dominant direction, deterministically") {
+    val vecs = (1 to 30).map(i =>
+      (i.toLong, Seq(i.toFloat, i.toFloat, 0.01f))) ++
+      Seq((100L, Seq(0.5f, -0.5f, 0.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val pc = Similarity.pcaFit(df, iters = 50)
+    // dominant mass sits on (1,1,~0)/sqrt(2)
+    val target = math.sqrt(0.5)
+    assert(math.abs(pc(0) - target) < 0.01, pc.toSeq.toString)
+    assert(math.abs(pc(1) - target) < 0.01)
+    assert(math.abs(pc(2)) < 0.05)
+    // unit norm, positive-pivot sign, bitwise rerun stability
+    assert(math.abs(pc.map(x => x * x).sum - 1.0) < 1e-12)
+    assert(pc(pc.indices.maxBy(i => math.abs(pc(i)))) > 0)
+    assert(Similarity.pcaFit(df, iters = 50).toSeq === pc.toSeq)
+    // projection scores follow the data's dominant coordinate
+    val sc = Similarity.pcaScores(df, pc)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sc(30L) > sc(1L) && sc(30L) > 20.0)
+  }
 }
