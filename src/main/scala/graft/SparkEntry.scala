@@ -2183,6 +2183,19 @@ object SparkEntry {
       .withColumn("chi2", round(col("chi2"), 9))
       .withColumn("cramers_v", round(col("cramers_v"), 12))
 
+  /** Robust MAD outlier stats (Profile.madOutliers): per return flag,
+    * exact lower-median and MAD of price cents, values beyond 3·MAD
+    * counted — exact order statistics from value-frequency windows,
+    * integer cross-multiplied verdict.
+    */
+  private def xProfileMad(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.madOutliers(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long")
+            .as("price_c")),
+        Seq("l_returnflag"), col("price_c"), 3L, 1L)
+      .orderBy("l_returnflag")
+
   /** Top principal direction (Similarity.pcaFit power iteration on the
     * exact integer gram) projected over the corpus — the fitted
     * direction is a deterministic constant, so the oracle re-derives
@@ -2532,7 +2545,8 @@ object SparkEntry {
     "x_sample_negatives" -> (xSampleNegatives _),
     "x_quality_labelnoise" -> (xQualityLabelnoise _),
     "x_ts_kaplan_meier" -> (xTsKaplanMeier _),
-    "x_embed_pca" -> (xEmbedPca _)
+    "x_embed_pca" -> (xEmbedPca _),
+    "x_profile_mad" -> (xProfileMad _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -690,6 +690,60 @@ object Profile {
     }
   }
 
+  /** Robust per-group outlier statistics: EXACT integer median,
+    * median absolute deviation (MAD — Hampel's robust scale), and the
+    * count of values beyond k·MAD. Unlike mean/stddev screens, a
+    * 49%-contaminated group still yields the right center/scale —
+    * this is the screen that survives the corrupted shard it exists
+    * to find.
+    *
+    * Medians are EXACT lower-middle order statistics (the smallest v
+    * with 2·cum ≥ n — always an observed value, no interpolation, no
+    * float), computed value-frequency-wise: one hash agg collapses
+    * the corpus to (key, value, count) rows, a per-key cumulative
+    * window runs over DISTINCT-VALUE cardinality (bounded by the
+    * value domain — cents, not rows), and the k·MAD verdict is an
+    * integer cross-multiplication (k = kNum/kDen exact). Two such
+    * passes (values, then absolute deviations) + one summary agg.
+    *
+    * Output per group: (keys, n_rows, median, mad, n_outliers).
+    */
+  def madOutliers(df: DataFrame, keys: Seq[String], value: Column,
+      kNum: Long, kDen: Long): DataFrame = {
+    require(kNum > 0 && kDen > 0, s"bad k = $kNum/$kDen")
+    import org.apache.spark.sql.expressions.Window
+    def medianOf(frame: DataFrame, v: String, as: String): DataFrame = {
+      val counts = frame.groupBy(keys.map(col) :+ col(v): _*)
+        .agg(count(lit(1)).as("__c"))
+      val part = Window.partitionBy(keys.map(col): _*)
+      val cum = sum(col("__c"))
+        .over(part.orderBy(col(v))
+          .rowsBetween(Window.unboundedPreceding, 0))
+      val tot = sum(col("__c"))
+        .over(part.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing))
+      counts.withColumn("__cum", cum).withColumn("__tot", tot)
+        .where(col("__cum") * 2 >= col("__tot"))
+        .groupBy(keys.map(col): _*)
+        .agg(min(col(v)).as(as))
+    }
+    val base = df.select(keys.map(col) :+ value.cast("long").as("__v"): _*)
+      .where(col("__v").isNotNull)
+    CacheScope.withCached(base) { b =>
+      val med = medianOf(b, "__v", "median")
+      val withMed = b.join(med, keys)
+        .withColumn("__dev", abs(col("__v") - col("median")))
+      val mad = medianOf(withMed, "__dev", "mad")
+      withMed.join(mad, keys)
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          first(col("median")).as("median"),
+          first(col("mad")).as("mad"),
+          sum(when(col("__dev") * kDen > col("mad") * kNum, 1L)
+            .otherwise(0L)).as("n_outliers"))
+    }
+  }
+
   /** Mutual information I(A;B) between two categorical columns, with
     * the marginal entropies and the normalized form
     * I/min(H(A), H(B)) ∈ [0,1] — the information-theoretic twin of

@@ -2666,6 +2666,36 @@ private[graft] object StaticOracles {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    // exact lower-median order statistics via cumulative counts over
+    // value frequencies; 3*MAD verdict on cross-multiplied integers
+    "x_profile_mad" ->
+      """WITH b AS (SELECT l_returnflag AS k,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |c1 AS (SELECT k, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |w1 AS (SELECT k, v,
+        |    sum(c) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum,
+        |    sum(c) OVER (PARTITION BY k) AS tot FROM c1),
+        |m1 AS (SELECT k, min(v) AS median FROM w1
+        |  WHERE cum * 2 >= tot GROUP BY 1),
+        |d AS (SELECT b.k, abs(b.v - m1.median) AS dev, m1.median
+        |  FROM b JOIN m1 USING (k)),
+        |c2 AS (SELECT k, dev, count(*) AS c FROM d GROUP BY 1, 2),
+        |w2 AS (SELECT k, dev,
+        |    sum(c) OVER (PARTITION BY k ORDER BY dev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum,
+        |    sum(c) OVER (PARTITION BY k) AS tot FROM c2),
+        |m2 AS (SELECT k, min(dev) AS mad FROM w2
+        |  WHERE cum * 2 >= tot GROUP BY 1)
+        |SELECT d.k AS l_returnflag, count(*) AS n_rows,
+        |  CAST(max(d.median) AS BIGINT) AS median,
+        |  CAST(max(m2.mad) AS BIGINT) AS mad,
+        |  CAST(sum(CASE WHEN d.dev * 1 > m2.mad * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN m2 USING (k) GROUP BY 1 ORDER BY 1""".stripMargin,
     // KM product in log space: each ln snapped to 1e-12 fixed point,
     // cumulated as exact ints; d = n sends the curve to an exact 0
     "x_ts_kaplan_meier" ->

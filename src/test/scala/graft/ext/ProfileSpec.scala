@@ -183,4 +183,28 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(r1 - 1.0) < 1e-15)
     assert(run() === ((n, r1))) // bitwise rerun stability
   }
+
+  test("madOutliers: exact lower medians, robust to contamination") {
+    // group "a": 1..9 plus two wild outliers; median/MAD unmoved
+    val rows = ((1L to 9L).map(("a", _)) ++ Seq(("a", 1000L),
+      ("a", -1000L)) ++ (10L to 20L).map(("b", _))).toDF("g", "v")
+    val out = Profile.madOutliers(rows, Seq("g"), col("v"), 3L, 1L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toMap
+    // 11 values sorted: -1000,1..9,1000 → lower median 5; devs sorted:
+    // 0,1,1,2,2,3,3,4,4,1005,995 → median dev 3; outliers beyond 9: 2
+    assert(out("a") === ((11L, 5L, 3L, 2L)))
+    // clean uniform group: median 15, MAD 3, no outliers at 3*MAD
+    assert(out("b") === ((11L, 15L, 3L, 0L)))
+  }
+
+  test("madOutliers lower-median convention on even group sizes") {
+    val rows = Seq(("x", 1L), ("x", 2L), ("x", 3L), ("x", 4L))
+      .toDF("g", "v")
+    val r = Profile.madOutliers(rows, Seq("g"), col("v"), 3L, 1L)
+      .collect().head
+    assert(r.getLong(2) === 2L) // lower of the two middles, never 2.5
+  }
 }
