@@ -2154,6 +2154,24 @@ object SparkEntry {
       .orderBy("arm")
   }
 
+  /** Exact ROC AUC (Experiment.aucExact): does document length rank
+    * English docs above the rest? Mann–Whitney rank form with half-tie
+    * credit, computed over the DISTINCT length domain (hash agg first,
+    * window over ~hundreds of rows) — the bounded-domain discipline.
+    */
+  private def xEvalAuc(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Experiment.aucExact(t(s, dir, "documents"),
+      col("n_chars"), col("lang") === "en")
+
+  /** Reliability diagram (Experiment.calibrationBins): 64-char-wide
+    * length bins (clamped to bin 9) vs English rate — one hash agg,
+    * output bounded by 10 rows at any corpus size.
+    */
+  private def xEvalCalibration(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Experiment.calibrationBins(t(s, dir, "documents"),
+        col("n_chars"), col("lang") === "en", 64L, 9L)
+      .orderBy("bin")
+
   /** Per-group OLS trend (Profile.olsTrend): discount cents against
     * ship-day index per return flag — exact decimal moments in one
     * hash agg, slope/intercept from correctly-rounded double ops.
@@ -2546,7 +2564,9 @@ object SparkEntry {
     "x_quality_labelnoise" -> (xQualityLabelnoise _),
     "x_ts_kaplan_meier" -> (xTsKaplanMeier _),
     "x_embed_pca" -> (xEmbedPca _),
-    "x_profile_mad" -> (xProfileMad _)
+    "x_profile_mad" -> (xProfileMad _),
+    "x_eval_auc" -> (xEvalAuc _),
+    "x_eval_calibration" -> (xEvalCalibration _)
   )
 
   // ------------------------------------------------------------- oracles

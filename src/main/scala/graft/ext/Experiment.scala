@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Experimentation readouts — the A/B-test summary a data platform
@@ -83,5 +84,75 @@ object Experiment {
         col("var_post"),
         (col("var_post") - lit(2.0) * col("__th") * col("__cxy") +
           col("__th") * col("__th") * col("__vx")).as("var_adj"))
+  }
+
+  /** Exact ROC AUC of an integer-valued score against a boolean label,
+    * in the Mann–Whitney rank form with the standard tie treatment
+    * (ties count half): AUC = Σ_s pos(s)·(2·negBelow(s) + neg(s)) /
+    * (2·P·N). Rows with NULL score or label are dropped listwise;
+    * P = 0 or N = 0 → NULL (undefined, never NaN).
+    *
+    * Scale design: the corpus collapses FIRST to one row per distinct
+    * score via a map-side-combinable hash aggregate, so the global
+    * cumulative window runs over the score DOMAIN, not the row count —
+    * the [[Profile.madOutliers]] bounded-domain discipline. For a
+    * continuous score, pre-bin (e.g. [[calibrationBins]] buckets or
+    * quantile bins) so the domain stays bounded; the binned AUC is the
+    * trapezoidal estimate of the same integral. Tie products are
+    * accumulated in decimal(38,0) — P·N long arithmetic overflows past
+    * ~3·10⁹ rows per class, decimal does not.
+    *
+    * Output: one row (auc rounded to 12 decimals — both engines divide
+    * the same exactly-represented integers — positives, negatives).
+    */
+  def aucExact(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val base = df.select(score.cast("long").as("__s"), label.as("__l"))
+      .where(col("__s").isNotNull && col("__l").isNotNull)
+    val g = base.groupBy("__s").agg(
+      sum(when(col("__l"), 1L).otherwise(0L)).as("pos"),
+      sum(when(col("__l"), 0L).otherwise(1L)).as("neg"))
+    // negatives strictly below this score: cumulative over the distinct
+    // score rows (bounded domain — see scaladoc), ascending
+    val w = Window.orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = g.withColumn("cneg",
+      coalesce(sum(col("neg")).over(w), lit(0L)))
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    c.agg(
+        sum(dec(col("pos")) * dec(col("cneg") * 2 + col("neg")))
+          .as("__num2"),
+        sum(col("pos")).as("positives"),
+        sum(col("neg")).as("negatives"))
+      .select(
+        when(col("positives") > 0 && col("negatives") > 0,
+          round(col("__num2").cast("double") /
+            (col("positives").cast("double") *
+              col("negatives").cast("double") * 2.0), 12)).as("auc"),
+        col("positives"), col("negatives"))
+  }
+
+  /** Reliability diagram over fixed-width score bins: bin =
+    * min(floor(score / width), maxBin), per bin the row count, positive
+    * count, mean score and positive rate. The eval-side complement of
+    * [[aucExact]] — AUC says the score RANKS, calibration says the
+    * score MEANS what it claims. Fixed-width integer bins (not
+    * quantiles) keep the binning a pure per-row expression: one hash
+    * aggregate, zero windows, output bounded by maxBin + 1 rows at any
+    * corpus size. NULL score or label drops the row listwise.
+    */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+      width: Long, maxBin: Long): DataFrame = {
+    require(width > 0 && maxBin >= 0, "width > 0, maxBin >= 0")
+    val base = df.select(score.cast("long").as("__s"), label.as("__l"))
+      .where(col("__s").isNotNull && col("__l").isNotNull)
+    base
+      .groupBy(least(floor(col("__s").cast("double") / width.toDouble)
+        .cast("long"), lit(maxBin)).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("pos"),
+        round(sum(col("__s")).cast("double") /
+          count(lit(1)).cast("double"), 12).as("mean_score"),
+        round(sum(when(col("__l"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 12).as("pos_rate"))
   }
 }

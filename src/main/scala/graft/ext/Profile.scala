@@ -706,6 +706,15 @@ object Profile {
     * integer cross-multiplication (k = kNum/kDen exact). Two such
     * passes (values, then absolute deviations) + one summary agg.
     *
+    * The domain bound is the operative word: on a NEAR-UNIQUE value
+    * column (raw prices, timestamps) distinct-value cardinality IS
+    * the row count and the per-key window degrades to a per-key sort
+    * — still correct and sub-linear in practice (1.7× wall at 10×
+    * data, PLANS.md round-6 third wave), but the scale path is to
+    * quantize first (cents → whole units, or
+    * [[Experiment.calibrationBins]]-style fixed-width bins) so the
+    * window rows stay bounded at any corpus size.
+    *
     * Output per group: (keys, n_rows, median, mad, n_outliers).
     */
   def madOutliers(df: DataFrame, keys: Seq[String], value: Column,

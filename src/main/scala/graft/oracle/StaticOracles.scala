@@ -2696,6 +2696,47 @@ private[graft] object StaticOracles {
         |  CAST(sum(CASE WHEN d.dev * 1 > m2.mad * 3 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_outliers
         |FROM d JOIN m2 USING (k) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Mann–Whitney rank AUC over the distinct score domain: negatives
+    // strictly below via cumulative window, ties count half
+    // (pos·(2·cnegBelow + neg) / 2PN); HUGEINT tie products mirror the
+    // Spark decimal(38,0) accumulator, both → nearest double → round 12
+    "x_eval_auc" ->
+      """WITH b AS (SELECT n_chars AS s, (lang = 'en') AS l
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |g AS (SELECT s,
+        |    sum(CASE WHEN l THEN 1 ELSE 0 END) AS pos,
+        |    sum(CASE WHEN l THEN 0 ELSE 1 END) AS neg
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT pos, neg,
+        |    coalesce(sum(neg) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cneg
+        |  FROM g)
+        |SELECT CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+        |    round(CAST(sum(CAST(pos AS HUGEINT) * (2 * cneg + neg))
+        |        AS DOUBLE) /
+        |      (CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE)
+        |        * 2.0), 12)
+        |  END AS auc,
+        |  CAST(sum(pos) AS BIGINT) AS positives,
+        |  CAST(sum(neg) AS BIGINT) AS negatives
+        |FROM c""".stripMargin,
+    // fixed-width bins: floor(s/64.0) clamped to 9; integer sums →
+    // double division, rounded on both engines
+    "x_eval_calibration" ->
+      """WITH b AS (SELECT n_chars AS s, (lang = 'en') AS l
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL)
+        |SELECT least(CAST(floor(CAST(s AS DOUBLE) / 64.0) AS BIGINT),
+        |    9) AS bin,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |  round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 12)
+        |    AS mean_score,
+        |  round(CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 12) AS pos_rate
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     // KM product in log space: each ln snapped to 1e-12 fixed point,
     // cumulated as exact ints; d = n sends the curve to an exact 0
     "x_ts_kaplan_meier" ->

@@ -64,4 +64,52 @@ class ExperimentSpec extends SparkSpec {
       .collect().head
     assert(r.getLong(1) === 2L)
   }
+
+  private def auc(rows: Seq[(Long, Boolean)]): (Any, Long, Long) = {
+    val r = Experiment.aucExact(rows.toDF("s", "l"), col("s"), col("l"))
+      .collect().head
+    (r.get(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("aucExact: perfect separation, reversal, and half-tie credit") {
+    // all positives above all negatives → 1.0; reversed → 0.0
+    assert(auc(Seq((1L, false), (2L, false), (3L, true), (4L, true)))
+      === ((1.0, 2L, 2L)))
+    assert(auc(Seq((1L, true), (2L, true), (3L, false), (4L, false)))
+      === ((0.0, 2L, 2L)))
+    // label independent of score at every tied value → exactly 0.5
+    assert(auc(Seq((1L, false), (1L, true), (2L, false), (2L, true)))
+      ._1 === 0.5)
+    // hand-check with ties across classes: scores 1⁻ 2⁻ 2⁺ 3⁺ →
+    // pairs: (2⁺,1⁻)=1, (2⁺,2⁻)=½, (3⁺,1⁻)=1, (3⁺,2⁻)=1 → 3.5/4
+    assert(auc(Seq((1L, false), (2L, false), (2L, true), (3L, true)))
+      ._1 === 0.875)
+  }
+
+  test("aucExact: single-class input yields NULL, not NaN") {
+    val (a, p, n) = auc(Seq((1L, true), (2L, true)))
+    assert(a === null && p === 2L && n === 0L)
+  }
+
+  test("aucExact drops NULL-score and NULL-label rows listwise") {
+    val df = Seq((Some(1L), Some(false)), (Some(2L), None),
+      (None, Some(true)), (Some(3L), Some(true)))
+      .toDF("s", "l")
+    val r = Experiment.aucExact(df, col("s"), col("l")).collect().head
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getLong(1) === 1L && r.getLong(2) === 1L)
+  }
+
+  test("calibrationBins: clamped fixed-width bins, exact rates") {
+    val rows = Seq((10L, true), (20L, false), (70L, true),
+      (640L, true), (9999L, false))
+    val out = Experiment.calibrationBins(rows.toDF("s", "l"),
+        col("s"), col("l"), 64L, 9L)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // bin 0: 10,20 → mean 15, rate ½; bin 1: 70; bin 9 clamps 640+9999
+    assert(out.toSeq === Seq((0L, 2L, 1L, 15.0, 0.5),
+      (1L, 1L, 1L, 70.0, 1.0), (9L, 2L, 1L, 5319.5, 0.5)))
+  }
 }
