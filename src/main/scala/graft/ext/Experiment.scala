@@ -102,55 +102,90 @@ object Experiment {
     * accumulated in decimal(38,0) — P·N long arithmetic overflows past
     * ~3·10⁹ rows per class, decimal does not.
     *
+    * The bounded-domain contract is ENFORCED, not advisory: the
+    * distinct-score frame is counted before the window, and a domain
+    * past `maxDomain` (default 2·10⁶ — a single-partition sort of 2 M
+    * tiny rows costs seconds; an unbounded one is the 100×-scale
+    * cliff) fails loudly with the pre-bin remedy in the message,
+    * instead of silently single-partition-sorting a corpus-sized
+    * domain. The count reuses the cached grouped frame the window
+    * consumes — one extra job over an in-memory frame, not a rescan.
+    *
     * Output: one row (auc rounded to 12 decimals — both engines divide
     * the same exactly-represented integers — positives, negatives).
     */
-  def aucExact(df: DataFrame, score: Column, label: Column): DataFrame = {
+  def aucExact(df: DataFrame, score: Column, label: Column,
+      maxDomain: Long = 2000000L): DataFrame = {
+    require(maxDomain > 0, s"maxDomain must be positive: $maxDomain")
     val base = df.select(score.cast("long").as("__s"), label.as("__l"))
       .where(col("__s").isNotNull && col("__l").isNotNull)
-    val g = base.groupBy("__s").agg(
+    val grouped = base.groupBy("__s").agg(
       sum(when(col("__l"), 1L).otherwise(0L)).as("pos"),
       sum(when(col("__l"), 0L).otherwise(1L)).as("neg"))
-    // negatives strictly below this score: cumulative over the distinct
-    // score rows (bounded domain — see scaladoc), ascending
-    val w = Window.orderBy("__s")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val c = g.withColumn("cneg",
-      coalesce(sum(col("neg")).over(w), lit(0L)))
-    val dec = (x: Column) => x.cast("decimal(38,0)")
-    c.agg(
-        sum(dec(col("pos")) * dec(col("cneg") * 2 + col("neg")))
-          .as("__num2"),
-        sum(col("pos")).as("positives"),
-        sum(col("neg")).as("negatives"))
-      .select(
-        when(col("positives") > 0 && col("negatives") > 0,
-          round(col("__num2").cast("double") /
-            (col("positives").cast("double") *
-              col("negatives").cast("double") * 2.0), 12)).as("auc"),
-        col("positives"), col("negatives"))
+    CacheScope.withCached(grouped) { g =>
+      val domain = g.count()
+      require(domain <= maxDomain,
+        s"aucExact: score domain has $domain distinct values " +
+          s"(> maxDomain = $maxDomain) — the global cumulative window " +
+          "would single-partition-sort the whole domain; pre-bin the " +
+          "score (fixed-width or quantile bins) or raise maxDomain " +
+          "deliberately")
+      // negatives strictly below this score: cumulative over the
+      // distinct score rows (bounded domain — enforced above), ascending
+      val w = Window.orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val c = g.withColumn("cneg",
+        coalesce(sum(col("neg")).over(w), lit(0L)))
+      val dec = (x: Column) => x.cast("decimal(38,0)")
+      c.agg(
+          sum(dec(col("pos")) * dec(col("cneg") * 2 + col("neg")))
+            .as("__num2"),
+          sum(col("pos")).as("positives"),
+          sum(col("neg")).as("negatives"))
+        .select(
+          when(col("positives") > 0 && col("negatives") > 0,
+            round(col("__num2").cast("double") /
+              (col("positives").cast("double") *
+                col("negatives").cast("double") * 2.0), 12)).as("auc"),
+          col("positives"), col("negatives"))
+    }
   }
 
   /** Reliability diagram over fixed-width score bins: bin =
-    * min(floor(score / width), maxBin), per bin the row count, positive
-    * count, mean score and positive rate. The eval-side complement of
-    * [[aucExact]] — AUC says the score RANKS, calibration says the
-    * score MEANS what it claims. Fixed-width integer bins (not
+    * clamp(floor(score / width), 0, maxBin), per bin the row count,
+    * positive count, mean score and positive rate. The eval-side
+    * complement of [[aucExact]] — AUC says the score RANKS, calibration
+    * says the score MEANS what it claims. Fixed-width integer bins (not
     * quantiles) keep the binning a pure per-row expression: one hash
     * aggregate, zero windows, output bounded by maxBin + 1 rows at any
-    * corpus size. NULL score or label drops the row listwise.
+    * corpus size — the TWO-sided clamp makes that bound hold for
+    * negative score domains too (a lone upper clamp would leak one bin
+    * per distinct negative floor).
+    *
+    * Exactness: floor(score / width) is computed as integer floor
+    * division — (s − pmod(s, w)) div w — never double division, so the
+    * bin id is exact at any long magnitude (double floor is wrong past
+    * 2⁵³); mean_score sums scores as decimal(38,0) (the [[cuped]]
+    * discipline — a raw long sum silently wraps in non-ANSI Spark
+    * while the oracle engine promotes, an engine-divergence class, not
+    * just an overflow). NULL score or label drops the row listwise.
     */
   def calibrationBins(df: DataFrame, score: Column, label: Column,
       width: Long, maxBin: Long): DataFrame = {
     require(width > 0 && maxBin >= 0, "width > 0, maxBin >= 0")
     val base = df.select(score.cast("long").as("__s"), label.as("__l"))
       .where(col("__s").isNotNull && col("__l").isNotNull)
+    // exact floor division on longs: subtract the positive remainder,
+    // then the quotient is exact under ANY integer-division rounding —
+    // the oracle mirrors the same construction, so the two engines
+    // cannot disagree on truncation direction for negatives
+    val floorDiv = call_function("div",
+      col("__s") - pmod(col("__s"), lit(width)), lit(width))
     base
-      .groupBy(least(floor(col("__s").cast("double") / width.toDouble)
-        .cast("long"), lit(maxBin)).as("bin"))
+      .groupBy(least(greatest(floorDiv, lit(0L)), lit(maxBin)).as("bin"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("__l"), 1L).otherwise(0L)).as("pos"),
-        round(sum(col("__s")).cast("double") /
+        round(sum(col("__s").cast("decimal(38,0)")).cast("double") /
           count(lit(1)).cast("double"), 12).as("mean_score"),
         round(sum(when(col("__l"), 1L).otherwise(0L)).cast("double") /
           count(lit(1)).cast("double"), 12).as("pos_rate"))

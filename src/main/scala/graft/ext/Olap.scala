@@ -110,15 +110,21 @@ object Olap {
     *    and phase 2 is exact over what remains; the sample only sets
     *    how much phase 2 has to chew.
     *
-    * Caller contract: the quadratic phase assumes survivors fit a
-    * nested-loop join (≤ ~10^5 rows). A pathological distribution
-    * (anti-correlated criteria where most rows are frontier) makes
-    * the skyline itself huge — no algorithm returns a small answer
-    * there; cap upstream with a coarser criterion grid if needed.
+    * Caller contract — ENFORCED: the quadratic phase assumes
+    * survivors fit a nested-loop join, so the survivor frame (already
+    * cached for the self join) is counted first and a count past
+    * `maxSurvivors` (default 10⁵ — ~10¹⁰ comparisons is the practical
+    * broadcast-nested-loop ceiling) fails loudly. A pathological
+    * distribution (anti-correlated criteria where most rows are
+    * frontier) makes the skyline itself huge — no algorithm returns a
+    * small answer there; the guard turns that silent corpus-sized
+    * cross join into an error naming the remedy (coarser criterion
+    * grid, or a deliberate maxSurvivors raise).
     */
   def skyline(df: DataFrame, criteria: Seq[(String, Column)],
-      sampleSize: Int = 512): DataFrame = {
+      sampleSize: Int = 512, maxSurvivors: Long = 100000L): DataFrame = {
     require(criteria.nonEmpty, "skyline needs at least one criterion")
+    require(maxSurvivors > 0, s"maxSurvivors must be positive: $maxSurvivors")
     val names = criteria.map(_._1)
     val crit = df.select(
       df.columns.map(col) ++
@@ -138,6 +144,12 @@ object Olap {
     val survivors = crit.alias("x")
       .join(broadcast(sampleSky.alias("s")), dom("s", "x"), "left_anti")
     CacheScope.withCached(survivors) { sv =>
+      val n = sv.count()
+      require(n <= maxSurvivors,
+        s"skyline: $n phase-1 survivors (> maxSurvivors = " +
+          s"$maxSurvivors) — the exact phase would pay an O(n²) " +
+          "nested-loop join; coarsen the criterion grid (quantize " +
+          "criteria) or raise maxSurvivors deliberately")
       sv.alias("a")
         .join(broadcast(sv.alias("b")), dom("b", "a"), "left_anti")
         .drop(names.map(n => s"__sky_$n"): _*)

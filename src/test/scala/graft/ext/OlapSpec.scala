@@ -92,6 +92,22 @@ class OlapSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("skyline enforces the survivor bound on anti-correlated data") {
+    // a perfect anti-correlated diagonal: EVERY row is on the frontier,
+    // so phase 1 can prune nothing and all 50 rows survive to the
+    // quadratic phase — exactly the distribution the cap is for
+    val diag = (1L to 50L).map(i => (i, i, 51L - i)).toDF("id", "a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      Olap.skyline(diag, Seq("a" -> col("a"), "b" -> col("b")),
+        maxSurvivors = 20L).collect()
+    }
+    assert(ex.getMessage.contains("maxSurvivors"))
+    // at the cap it still runs and returns the full frontier
+    val ok = Olap.skyline(diag, Seq("a" -> col("a"), "b" -> col("b")),
+      maxSurvivors = 50L).collect()
+    assert(ok.length === 50)
+  }
+
   test("skyline keeps all rows of a tied frontier point") {
     val df = Seq((1L, 5L, 5L), (2L, 5L, 5L), (3L, 1L, 1L))
       .toDF("id", "a", "b")

@@ -207,4 +207,20 @@ class ProfileSpec extends SparkSpec {
       .collect().head
     assert(r.getLong(2) === 2L) // lower of the two middles, never 2.5
   }
+
+  test("madOutliers enforces the bounded-domain contract loudly") {
+    // per-key domain is what matters: 30 distinct values in one key
+    // trips a maxDomain of 20 even though the other key is tiny
+    val rows = ((1L to 30L).map(("wide", _)) ++ Seq(("narrow", 1L)))
+      .toDF("g", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Profile.madOutliers(rows, Seq("g"), col("v"), 3L, 1L,
+        maxDomain = 20L).collect()
+    }
+    assert(ex.getMessage.contains("quantize"))
+    // at the threshold it still runs (guard is > , not >=)
+    val ok = Profile.madOutliers(rows, Seq("g"), col("v"), 3L, 1L,
+      maxDomain = 30L).collect()
+    assert(ok.length === 2)
+  }
 }
