@@ -2,6 +2,37 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** Per-query attribution counters (round-7 directive: the ~2×
+    * in-suite tax on iteration-bound queries was invisible because the
+    * artifact recorded only a wall-clock median — record WHERE the
+    * wall goes so harness tax and real regressions are
+    * distinguishable). Jobs + task-time come from a listener (async
+    * bus — deltas are snapshotted after the post-query System.gc(),
+    * which gives the bus ample drain time); GC time is the sum over
+    * all collector beans of this single local-mode JVM, so it covers
+    * driver and executors alike.
+    */
+  private final class Counters extends org.apache.spark.scheduler.SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val taskGcMs = new java.util.concurrent.atomic.AtomicLong
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobs.incrementAndGet()
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (t.taskMetrics != null) {
+        taskMs.addAndGet(t.taskMetrics.executorRunTime)
+        taskGcMs.addAndGet(t.taskMetrics.jvmGCTime)
+      }
+  }
+
+  private def jvmGcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
   /** Lower-middle median: for odd n the middle sample, for even n the
     * lower of the two middles — always a REAL observed wall time, never
     * an interpolated value.
@@ -86,7 +117,18 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val samples = scala.collection.mutable.LinkedHashMap[String,
       Vector[Double]]()
+    val gcSamples = scala.collection.mutable.LinkedHashMap[String,
+      Vector[Long]]()
+    val jobSamples = scala.collection.mutable.LinkedHashMap[String,
+      Vector[Long]]()
+    val taskSamples = scala.collection.mutable.LinkedHashMap[String,
+      Vector[Long]]()
+    val counters = new Counters
+    spark.sparkContext.addSparkListener(counters)
     for (_ <- 1 to reps; (name, fn) <- suite) {
+      val gc0 = jvmGcMs()
+      val jobs0 = counters.jobs.get()
+      val task0 = counters.taskMs.get()
       val t0 = System.nanoTime()
       // a failed query records -1, never a wall time: a breakage must
       // read as a breakage in the bench, not as a fast query
@@ -113,6 +155,17 @@ object Bench {
       // then pays the accumulated debt as GC thrash
       System.gc()
       samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+      // attribution deltas INCLUDE the cleanup just performed — the
+      // unpersist + forced GC are part of what this query cost the
+      // suite; the listener bus has drained during the GC pause in
+      // practice (jobs are counted at submission, which is synchronous
+      // with the timed region anyway)
+      gcSamples(name) = gcSamples.getOrElse(name, Vector.empty) :+
+        (jvmGcMs() - gc0)
+      jobSamples(name) = jobSamples.getOrElse(name, Vector.empty) :+
+        (counters.jobs.get() - jobs0)
+      taskSamples(name) = taskSamples.getOrElse(name, Vector.empty) :+
+        (counters.taskMs.get() - task0)
     }
     // per-query value = median over the successful reps (all-failed → -1)
     val results = suite.map { case (name, _) =>
@@ -145,11 +198,28 @@ object Bench {
         }.mkString("{", ",", "}")
         s""","spread":$sp"""
       }
+    // per-query per-rep attribution arrays: raw walls (sec), GC time
+    // (ms, whole-JVM collector beans), job count, and summed task
+    // executorRunTime (ms). wall ≫ task/cpus with flat GC ⇒ driver-side
+    // (scheduling/bus) overhead; GC growth ⇒ memory debt — the two
+    // causes the round-6 verdict could not separate
+    def longMap(m: scala.collection.Map[String, Vector[Long]]): String =
+      results.map { case (k, _) =>
+        jstr(k) + ":" + m.getOrElse(k, Vector.empty)
+          .mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    val walls = results.map { case (k, _) =>
+      jstr(k) + ":" + samples.getOrElse(k, Vector.empty)
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // total sums successful queries only (failures contribute -1 in the
     // per-query map and are enumerated in "errors")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qs,"errors":$errs,"reps":$reps$spread,""" +
+      s""""samples":$walls,"gc_ms":${longMap(gcSamples)},""" +
+      s""""jobs":${longMap(jobSamples)},""" +
+      s""""task_ms":${longMap(taskSamples)},""" +
       s""""sf":"$sfDir"}"""
     println(json)
     // file artifact: a truncated stdout tail must never lose per-query
@@ -159,6 +229,17 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // tagged immutable snapshot (round-7 directive: close-out numbers
+      // must quote artifacts the driver cannot overwrite — the r6
+      // close-out cited a target/bench.json that was clobbered an hour
+      // later). Local protocol runs set SPARK_GRAFT_BENCH_TAG.
+      sys.env.get("SPARK_GRAFT_BENCH_TAG").filter(_.nonEmpty)
+        .foreach { tag =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"target/bench_$tag.json"),
+            (json + "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench.json: $e")
     }

@@ -273,6 +273,55 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** Deterministic per-sf scratch dir for write-once index artifacts
+    * (round-7 directive #3): keyed by the sf dir so concurrent
+    * Verify (sf0.01) and Bench (sf0.1) runs never clobber each
+    * other's artifacts.
+    */
+  private def indexDir(dir: String, kind: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_index/" +
+      s"${java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)}/$kind"
+
+  /** The x_dedup_incremental contract served through a PARQUET
+    * ROUND-TRIP of the corpus index (IndexStore): build (id, sh) +
+    * (id, band, bucket) artifacts, write, RE-READ, and serve the same
+    * twin batch from the re-read frames. Shares x_dedup_incremental's
+    * oracle — the hash-match proves the persisted artifact is exactly
+    * the in-memory index, which is what makes incremental ingestion
+    * real at 100 TB (the corpus is scanned at build time, never per
+    * batch).
+    */
+  private def xDedupIndexServed(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val idx = indexDir(dir, "dedup")
+    graft.sources.IndexStore.writeDedupIndex(base, idx, k = 5)
+    val (sh, bands) = graft.sources.IndexStore.readDedupIndex(s, idx)
+    val twins = base.select((col("id") + IncrementalTwinOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    Dedup.nearDuplicatesAgainstIndex(twins, sh, bands,
+        threshold = 0.5, k = 5)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** The x_sim_ivf_topk contract served from a persisted IVF index:
+    * centroids + assignments written to parquet, re-read, probed.
+    * Doubles round-trip parquet bit-identically, so this shares
+    * x_sim_ivf_topk's oracle — hash-equality, not approximate recall.
+    */
+  private def xSimIvfServed(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = indexDir(dir, "ivf")
+    graft.sources.IndexStore.writeIvfIndex(e,
+      Similarity.firstIdCentroids(e, 16), idx)
+    val (index, cents) = graft.sources.IndexStore.readIvfIndex(s, idx)
+    Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), index, cents,
+        10, nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
   /** Exactly-100 deterministic document sample (eval-set carving):
     * the 100 smallest (hash, id) keys — TakeOrdered, no global sort
     * (asserted in PlanSpec), same rows on any partitioning.
@@ -2465,6 +2514,8 @@ object SparkEntry {
     "x_sample_pack" -> (xSamplePack _),
     "x_dedup_source_matrix" -> (xDedupSourceMatrix _),
     "x_dedup_incremental" -> (xDedupIncremental _),
+    "x_dedup_index_served" -> (xDedupIndexServed _),
+    "x_sim_ivf_served" -> (xSimIvfServed _),
     "x_sample_exact_n" -> (xSampleExactN _),
     "x_stream_join" -> (xStreamJoin _),
     "x_dedup_containment" -> (xDedupContainment _),
@@ -2576,8 +2627,18 @@ object SparkEntry {
   // These delegations keep the driver contract (SparkEntry.oracleSql)
   // and Verify's call sites unchanged.
 
-  /** DuckDB twins of `queries` — identical column names and ordering. */
-  def oracleSql: Map[String, String] = graft.oracle.StaticOracles.sql
+  /** DuckDB twins of `queries` — identical column names and ordering.
+    * The index-served round-trip queries share their in-memory twins'
+    * oracles VERBATIM: the round-trip's whole claim is hash-identity
+    * with the in-memory path, so aliasing the oracle is the contract,
+    * not a shortcut.
+    */
+  def oracleSql: Map[String, String] = graft.oracle.StaticOracles.sql ++
+    Map(
+      "x_dedup_index_served" ->
+        graft.oracle.StaticOracles.sql("x_dedup_incremental"),
+      "x_sim_ivf_served" ->
+        graft.oracle.StaticOracles.sql("x_sim_ivf_topk"))
 
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
     * Verify skip the generation work when a name filter excludes them.

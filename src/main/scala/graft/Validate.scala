@@ -171,6 +171,33 @@ object Validate {
   def parseTable(
       df: DataFrame,
       schema: TableSchema
+  ): (DataFrame, Seq[CheckResult], Set[String]) =
+    parseTable(df, schema, Set.empty)
+
+  /** E2 with an optional DICTIONARY-PARSE path (the upstream
+    * dedup-before-parse trick re-expressed for Spark; round-7
+    * directive #6): fields named in `dictFields` are validated and
+    * parsed per DISTINCT VALUE instead of per row —
+    *
+    *  1. ONE exchange builds (field, value, cnt) for all dict fields
+    *     together (explode a small map literal, hash-aggregate: the
+    *     shuffle carries ≈ Σ field cardinalities after map-side
+    *     combine, not rows);
+    *  2. validity counts/samples come from that tiny cached frame
+    *     (regex runs once per distinct value);
+    *  3. the typed projection maps values back via one broadcast
+    *     null-safe equi-join per dict field (a hash probe per row
+    *     replaces the regex-gate + cast per row).
+    *
+    * Worth it only when parse cost ≫ probe cost and cardinality ≪
+    * rows (strptime dates on a fact table — measured in PLANS.md
+    * round 7); for near-unique columns it is strictly worse, so
+    * callers opt in per field and the broadcast stays bounded.
+    */
+  def parseTable(
+      df: DataFrame,
+      schema: TableSchema,
+      dictFields: Set[String]
   ): (DataFrame, Seq[CheckResult], Set[String]) = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     // Fields whose descriptor cannot compile to a parse expression
@@ -189,11 +216,12 @@ object Validate {
       buildErrors.get(f.name).map(msg =>
         CheckResult("", ErrorCodes.SchemaError, f.name, 1, Seq(msg))))
     val okFields = schema.fields.filterNot(f => buildErrors.contains(f.name))
+    val (dictF, rowF) = okFields.partition(f => dictFields(f.name))
 
-    // one fused agg pass: per parseable field, count of invalid cells +
+    // one fused agg pass: per row-parsed field, count of invalid cells +
     // bounded distinct samples via the native bounded_distinct aggregate
     // (O(maxErrorValues) buffer — collect_set would be unbounded)
-    val aggs: Seq[Column] = okFields.flatMap { f =>
+    val aggs: Seq[Column] = rowF.flatMap { f =>
       val bad = Parsers.invalidExpr(f, df(f.name))
       Seq(
         count(when(bad, lit(1))).as(s"${f.name}__n"),
@@ -201,11 +229,11 @@ object Validate {
           lit(MaxErrorValues)).as(s"${f.name}__v")
       )
     }
-    val results =
+    val rowResults =
       if (aggs.isEmpty) Seq.empty
       else {
         val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-        okFields.zipWithIndex.map { case (f, i) =>
+        rowF.zipWithIndex.map { case (f, i) =>
           CheckResult(
             table = "",
             code = ErrorCodes.TypeOrFormat,
@@ -215,11 +243,54 @@ object Validate {
           )
         }
       }
+
+    // dict path: one exchange for ALL dict fields (field, value, cnt),
+    // then per-field validity verdicts and parse dictionaries over the
+    // tiny cached frame — the corpus is never regex-scanned for these
+    val (dictResults, dicts) =
+      if (dictF.isEmpty) (Seq.empty[CheckResult], Map.empty[String, DataFrame])
+      else {
+        val pairs = dictF.flatMap(f =>
+          Seq(lit(f.name), df(f.name).cast("string")))
+        val vc = df
+          .select(explode(map(pairs: _*)).as(Seq("__f", "__raw")))
+          .groupBy("__f", "__raw").agg(count(lit(1)).as("__c"))
+          .cache()
+        try {
+          vc.count() // materialize once; every use below is in-memory
+          val res = dictF.map { f =>
+            val bad = Parsers.invalidExpr(f, col("__raw"))
+            val row = vc.where(col("__f") === f.name).agg(
+              coalesce(sum(when(bad, col("__c"))), lit(0L)).as("n"),
+              call_function("bounded_distinct", when(bad, col("__raw")),
+                lit(MaxErrorValues)).as("v")).collect()(0)
+            CheckResult("", ErrorCodes.TypeOrFormat, f.name,
+              row.getLong(0), row.getSeq[String](1))
+          }
+          val ds = dictF.map { f =>
+            f.name -> vc.where(col("__f") === f.name)
+              .select(col("__raw").as(s"__dk_${f.name}"),
+                Parsers.parseExpr(f, col("__raw"))
+                  .as(s"__dv_${f.name}"))
+              // the dictionary is an eager bounded artifact; checkpoint
+              // releases the vc cache dependency before vc unpersists
+              .localCheckpoint(true)
+          }.toMap
+          (res, ds)
+        } finally vc.unpersist(blocking = false)
+      }
+
+    val results = schema.fields.flatMap(f =>
+      (rowResults ++ dictResults).find(_.field == f.name))
     val failed = results.filterNot(_.passed).map(_.field).toSet ++
       buildErrors.keySet
-    val typed = df.select(schema.fields.map(f =>
-      if (buildErrors.contains(f.name)) df(f.name)
-      else Parsers.parseExpr(f, df(f.name)).as(f.name)): _*)
+    val joined = dicts.foldLeft(df) { case (d, (n, dict)) =>
+      d.join(broadcast(dict), d(n) <=> dict(s"__dk_$n"), "left")
+    }
+    val typed = joined.select(schema.fields.map(f =>
+      if (buildErrors.contains(f.name)) joined(f.name)
+      else if (dicts.contains(f.name)) col(s"__dv_${f.name}").as(f.name)
+      else Parsers.parseExpr(f, joined(f.name)).as(f.name)): _*)
     (typed, schemaErrs ++ results, failed)
   }
 
@@ -338,8 +409,13 @@ object Validate {
     TableReport(res.name, errs ++ fkErrs)
   }
 
-  /** Full reference lifecycle over CSV resources (E1). */
-  def validateCsv(spark: SparkSession, pkg: Package): PackageReport = {
+  /** Full reference lifecycle over CSV resources (E1).
+    * `dictParseTypes`: field TYPES routed through the dictionary-parse
+    * path (e.g. `Set("date")` — see the three-step scaladoc on
+    * [[parseTable]]); empty = per-row parse everywhere.
+    */
+  def validateCsv(spark: SparkSession, pkg: Package,
+      dictParseTypes: Set[String] = Set.empty): PackageReport = {
     // read + header check + parse each resource once
     val parsed: Map[String, (DataFrame, Seq[CheckResult], Set[String])] =
       pkg.resources.map { res =>
@@ -348,7 +424,10 @@ object Validate {
           if (res.inlineData.isDefined) Nil // no header row to reconcile
           else headerCheck(actualCsvHeader(spark, res), res.schema)
             .map(_.copy(table = res.name))
-        val (typed, parseErrs, failed) = parseTable(raw, res.schema)
+        val dictFields = res.schema.fields
+          .filter(f => dictParseTypes(f.ftype)).map(_.name).toSet
+        val (typed, parseErrs, failed) =
+          parseTable(raw, res.schema, dictFields)
         typed.persist()
         res.name ->
           ((typed, headerErrs ++ parseErrs.map(_.copy(table = res.name)),

@@ -606,33 +606,75 @@ object Dedup {
         shingleHashesFromTokens(col("toks"), k).as("sh")),
       corpusDf.select(col("id"),
         shingleHashesFromTokens(col("toks"), k).as("sh"))) { (nb, cb) =>
-      val nBanded = bandedAssignments(
-        nb.select(col("id"),
-          minhashFromHashes(col("sh"), numHashes).as("sig")),
-        numHashes, bands)
-        .select(col("id").as("new_id"), col("band"), col("bucket"))
-      val cBanded = capBuckets(
-        bandedAssignments(
-          cb.select(col("id"),
-            minhashFromHashes(col("sh"), numHashes).as("sig")),
-          numHashes, bands),
-        Seq("band", "bucket"), maxBucketSize)
-        .select(col("id").as("corpus_id"),
-          col("band").as("band_c"), col("bucket").as("bucket_c"))
-      val cands = nBanded.join(cBanded,
-          col("band") === col("band_c") &&
-            col("bucket") === col("bucket_c"))
-        .select(col("new_id"), col("corpus_id"))
-        .distinct()
-      cands
-        .join(nb.select(col("id").as("new_id"), col("sh").as("sh_n")),
-          "new_id")
-        .join(cb.select(col("id").as("corpus_id"), col("sh").as("sh_c")),
-          "corpus_id")
-        .select(col("new_id"), col("corpus_id"),
-          jaccardHashes(col("sh_n"), col("sh_c")).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
+      againstCore(nb, cb,
+        bandAssignmentsFromShingles(cb, numHashes, bands),
+        threshold, numHashes, bands, maxBucketSize)
     }
+
+  /** Corpus-side index artifacts for the incremental-ingest path, from
+    * a pre-tokenized `(id, toks)` frame: the `(id, sh)` shingle-hash
+    * frame and the `(id, band, bucket)` LSH band-assignment frame —
+    * exactly the two frames [[nearDuplicatesAgainstFromTokens]]
+    * recomputes per batch. Persist them once (parquet; see
+    * [[graft.sources.IndexStore]]) and serve every future batch with
+    * [[nearDuplicatesAgainstIndex]] — at 100 TB the corpus is scanned
+    * once at index-build time, never again.
+    */
+  def bandAssignmentsFromShingles(shFrame: DataFrame, numHashes: Int,
+      bands: Int): DataFrame =
+    bandedAssignments(
+      shFrame.select(col("id"),
+        minhashFromHashes(col("sh"), numHashes).as("sig")),
+      numHashes, bands)
+
+  /** [[nearDuplicatesAgainstFromTokens]] served from PREBUILT corpus
+    * artifacts — `corpusSh` = `(id, sh)` and `corpusBands` =
+    * `(id, band, bucket)`, typically re-read from parquet: only the
+    * (small) new batch is shingled/hashed here; the corpus side costs
+    * a band equi-join plus a semi-join-shaped verify read. Same
+    * output contract, proven by the harness serving the
+    * x_dedup_incremental query through a parquet round-trip against
+    * the in-memory path's oracle.
+    */
+  def nearDuplicatesAgainstIndex(
+      newDf: DataFrame, corpusSh: DataFrame, corpusBands: DataFrame,
+      threshold: Double = 0.7, numHashes: Int = 32, bands: Int = 16,
+      k: Int = 3, maxBucketSize: Int = 0): DataFrame =
+    CacheScope.withCached(
+      newDf.select(col("id"),
+        shingleHashesFromTokens(col("toks"), k).as("sh"))) { nb =>
+      againstCore(nb, corpusSh, corpusBands,
+        threshold, numHashes, bands, maxBucketSize)
+    }
+
+  /** Shared core of the batch-vs-corpus near-dup join: band the new
+    * batch, equi-join against the corpus band assignments (capped),
+    * verify candidates by exact hash-set Jaccard.
+    */
+  private def againstCore(nb: DataFrame, corpusSh: DataFrame,
+      corpusBands: DataFrame, threshold: Double, numHashes: Int,
+      bands: Int, maxBucketSize: Int): DataFrame = {
+    val nBanded = bandAssignmentsFromShingles(nb, numHashes, bands)
+      .select(col("id").as("new_id"), col("band"), col("bucket"))
+    val cBanded = capBuckets(corpusBands,
+        Seq("band", "bucket"), maxBucketSize)
+      .select(col("id").as("corpus_id"),
+        col("band").as("band_c"), col("bucket").as("bucket_c"))
+    val cands = nBanded.join(cBanded,
+        col("band") === col("band_c") &&
+          col("bucket") === col("bucket_c"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+    cands
+      .join(nb.select(col("id").as("new_id"), col("sh").as("sh_n")),
+        "new_id")
+      .join(corpusSh.select(col("id").as("corpus_id"),
+          col("sh").as("sh_c")),
+        "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        jaccardHashes(col("sh_n"), col("sh_c")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 
   // ------------------------------------------------- duplicate clustering
   /** Transitive duplicate clusters over a verified-pair edge list: every

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity}
+
+/** Write-once / read-many index artifacts (round-7 directive #3).
+  *
+  * The incremental-ingest operators' scale story is "build the corpus
+  * index ONCE, serve every future batch from the artifact" — until
+  * this module that contract was asserted in scaladoc but never
+  * exercised: every harness query rebuilt its index in memory. These
+  * helpers persist the index frames as plain parquet (no engine-
+  * private format — an external system can rebuild or consume them)
+  * and re-read them for serving; the harness proves the round-trip by
+  * hash-matching an index-served query against the in-memory path's
+  * DuckDB oracle (x_dedup_index_served / x_sim_ivf_served).
+  *
+  * Artifact schemas (all columns engine-portable primitives):
+  *  - dedup:  `shingles.parquet` (id long, sh array<long>) and
+  *            `bands.parquet` (id long, band int, bucket long)
+  *  - ivf:    `centroids.parquet` (list_id long, cvec array<double>)
+  *            and `ivf.parquet` (id long, nvec array<double>,
+  *            list_id long)
+  *
+  * At 100 TB: the dedup band frame is the per-batch join's build side
+  * — persist it bucketed by `bucket` ([[Bucketing]]) and the serve
+  * join runs exchange-free; the shingle frame is only touched by the
+  * candidate verify join (semi-join-shaped, candidate-bounded). The
+  * IVF frames are read probe-restricted (nProbe/nLists of the lists).
+  * Doubles round-trip parquet bit-identically, so a served query is
+  * hash-equal to the in-memory plan, not just approximately equal.
+  */
+object IndexStore {
+
+  /** Build + persist the near-dup corpus index from a pre-tokenized
+    * `(id, toks)` frame. One corpus scan: the shingle frame is cached,
+    * written, and reused for the band build.
+    */
+  def writeDedupIndex(corpusToks: DataFrame, dir: String,
+      numHashes: Int = 32, bands: Int = 16, k: Int = 3): Unit = {
+    val sh = corpusToks.select(col("id"),
+      Dedup.shingleHashesFromTokens(col("toks"), k).as("sh")).cache()
+    try {
+      sh.write.mode("overwrite").parquet(s"$dir/shingles.parquet")
+      Dedup.bandAssignmentsFromShingles(sh, numHashes, bands)
+        .write.mode("overwrite").parquet(s"$dir/bands.parquet")
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** Re-read the two dedup artifacts: (shingles, bands). */
+  def readDedupIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/shingles.parquet"),
+      spark.read.parquet(s"$dir/bands.parquet"))
+
+  /** Build + persist the IVF index under an explicit centroid frame
+    * (pass [[Similarity.firstIdCentroids]] output for the
+    * deterministic plumbing path or [[Similarity.kmeansCentroids]]
+    * for the quality path — the artifact records whichever was used,
+    * since serving MUST probe with the same centroids the index was
+    * built with).
+    */
+  def writeIvfIndex(corpus: DataFrame, centroids: DataFrame,
+      dir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    Similarity.ivfIndexWith(corpus, centroids, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$dir/ivf.parquet")
+  }
+
+  /** Re-read the IVF artifacts: (index, centroids). */
+  def readIvfIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/ivf.parquet"),
+      spark.read.parquet(s"$dir/centroids.parquet"))
+}
