@@ -30,6 +30,15 @@ object Validate {
 
   val MaxErrorValues = 100
 
+  /** Per-field cardinality ceiling for the dictionary-parse path: a
+    * dictionary past this many distinct values is no longer a cheap
+    * broadcast (and the per-value win over per-row regex has already
+    * evaporated), so the field falls back to row parsing. 2¹⁸ keeps
+    * every realistically-enumerable domain (dates ≈ 3.7 k/decade,
+    * flags, enums) and excludes key-like columns.
+    */
+  val MaxDictValues = 262144L
+
   // -------------------------------------------------------------- CSV read
   /** Data Package dialect → Spark CSV reader options. RFC 4180 doubled
     * quotes are the spec default and map to `escape = quoteChar`; a
@@ -197,7 +206,8 @@ object Validate {
   def parseTable(
       df: DataFrame,
       schema: TableSchema,
-      dictFields: Set[String]
+      dictFields: Set[String],
+      maxDictValues: Long = MaxDictValues
   ): (DataFrame, Seq[CheckResult], Set[String]) = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     // Fields whose descriptor cannot compile to a parse expression
@@ -216,48 +226,33 @@ object Validate {
       buildErrors.get(f.name).map(msg =>
         CheckResult("", ErrorCodes.SchemaError, f.name, 1, Seq(msg))))
     val okFields = schema.fields.filterNot(f => buildErrors.contains(f.name))
-    val (dictF, rowF) = okFields.partition(f => dictFields(f.name))
+    val (dictWanted, rowF) = okFields.partition(f => dictFields(f.name))
 
-    // one fused agg pass: per row-parsed field, count of invalid cells +
-    // bounded distinct samples via the native bounded_distinct aggregate
-    // (O(maxErrorValues) buffer — collect_set would be unbounded)
-    val aggs: Seq[Column] = rowF.flatMap { f =>
-      val bad = Parsers.invalidExpr(f, df(f.name))
-      Seq(
-        count(when(bad, lit(1))).as(s"${f.name}__n"),
-        call_function("bounded_distinct", when(bad, df(f.name)),
-          lit(MaxErrorValues)).as(s"${f.name}__v")
-      )
-    }
-    val rowResults =
-      if (aggs.isEmpty) Seq.empty
+    // dict path FIRST: one exchange for ALL dict fields (field, value,
+    // cnt), then per-field validity verdicts and parse dictionaries
+    // over the tiny cached frame — the corpus is never regex-scanned
+    // for these. A field whose observed cardinality exceeds
+    // [[MaxDictValues]] silently falls back to the per-row path (its
+    // broadcast dictionary would not be "tiny"; correctness is
+    // unaffected, the one exchange it already paid is the documented
+    // price of nominating a near-unique column).
+    val (dictResults, dicts, fellBack) =
+      if (dictWanted.isEmpty)
+        (Seq.empty[CheckResult], Map.empty[String, DataFrame],
+          Set.empty[String])
       else {
-        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-        rowF.zipWithIndex.map { case (f, i) =>
-          CheckResult(
-            table = "",
-            code = ErrorCodes.TypeOrFormat,
-            field = f.name,
-            violations = row.getLong(2 * i),
-            sampleValues = row.getSeq[String](2 * i + 1)
-          )
-        }
-      }
-
-    // dict path: one exchange for ALL dict fields (field, value, cnt),
-    // then per-field validity verdicts and parse dictionaries over the
-    // tiny cached frame — the corpus is never regex-scanned for these
-    val (dictResults, dicts) =
-      if (dictF.isEmpty) (Seq.empty[CheckResult], Map.empty[String, DataFrame])
-      else {
-        val pairs = dictF.flatMap(f =>
+        val pairs = dictWanted.flatMap(f =>
           Seq(lit(f.name), df(f.name).cast("string")))
         val vc = df
           .select(explode(map(pairs: _*)).as(Seq("__f", "__raw")))
           .groupBy("__f", "__raw").agg(count(lit(1)).as("__c"))
           .cache()
         try {
-          vc.count() // materialize once; every use below is in-memory
+          val cards = vc.groupBy("__f").agg(count(lit(1)).as("__d"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val over = dictWanted.map(_.name)
+            .filter(n => cards.getOrElse(n, 0L) > maxDictValues).toSet
+          val dictF = dictWanted.filterNot(f => over(f.name))
           val res = dictF.map { f =>
             val bad = Parsers.invalidExpr(f, col("__raw"))
             val row = vc.where(col("__f") === f.name).agg(
@@ -276,8 +271,36 @@ object Validate {
               // releases the vc cache dependency before vc unpersists
               .localCheckpoint(true)
           }.toMap
-          (res, ds)
+          (res, ds, over)
         } finally vc.unpersist(blocking = false)
+      }
+
+    // one fused agg pass: per row-parsed field (including cardinality
+    // fallbacks), count of invalid cells + bounded distinct samples via
+    // the native bounded_distinct aggregate (O(maxErrorValues) buffer —
+    // collect_set would be unbounded)
+    val rowParsed = rowF ++ dictWanted.filter(f => fellBack(f.name))
+    val aggs: Seq[Column] = rowParsed.flatMap { f =>
+      val bad = Parsers.invalidExpr(f, df(f.name))
+      Seq(
+        count(when(bad, lit(1))).as(s"${f.name}__n"),
+        call_function("bounded_distinct", when(bad, df(f.name)),
+          lit(MaxErrorValues)).as(s"${f.name}__v")
+      )
+    }
+    val rowResults =
+      if (aggs.isEmpty) Seq.empty
+      else {
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        rowParsed.zipWithIndex.map { case (f, i) =>
+          CheckResult(
+            table = "",
+            code = ErrorCodes.TypeOrFormat,
+            field = f.name,
+            violations = row.getLong(2 * i),
+            sampleValues = row.getSeq[String](2 * i + 1)
+          )
+        }
       }
 
     val results = schema.fields.flatMap(f =>
@@ -411,11 +434,18 @@ object Validate {
 
   /** Full reference lifecycle over CSV resources (E1).
     * `dictParseTypes`: field TYPES routed through the dictionary-parse
-    * path (e.g. `Set("date")` — see the three-step scaladoc on
-    * [[parseTable]]); empty = per-row parse everywhere.
+    * path (see the three-step scaladoc on [[parseTable]]); empty =
+    * per-row parse everywhere. Default ADOPTS dict parsing for
+    * date/datetime — measured 21% faster on the sf0.1 star-schema
+    * flagship (16.0 → 12.7 s median; PLANS.md round 7) because date
+    * domains are tiny relative to fact rows and strptime gates are
+    * the most expensive parse. Wider sets measured SLOWER (integer/
+    * number columns are key-like; their dictionaries are the corpus),
+    * and [[MaxDictValues]] guards the same hazard at scale.
     */
   def validateCsv(spark: SparkSession, pkg: Package,
-      dictParseTypes: Set[String] = Set.empty): PackageReport = {
+      dictParseTypes: Set[String] = Set("date", "datetime"))
+      : PackageReport = {
     // read + header check + parse each resource once
     val parsed: Map[String, (DataFrame, Seq[CheckResult], Set[String])] =
       pkg.resources.map { res =>

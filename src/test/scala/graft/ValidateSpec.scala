@@ -338,4 +338,49 @@ class ValidateSpec extends SparkSpec {
             s"csv=${csvMap.get(key(r))}")
       }
   }
+
+  test("dictionary parse path is verdict- and value-identical") {
+    // one good date, one bad date, a missing token, and a duplicated
+    // value: the dict path must report the same violation counts and
+    // produce the same typed cells as the per-row path
+    val csv = "d,n\n2024-01-31,1.5\nnot-a-date,2.5\n,1.5\n2024-01-31,x\n"
+    val res = Resource("t", write("dict.csv", csv),
+      TableSchema(fields = Seq(Field("d", "date"), Field("n", "number")),
+        missingValues = Seq("")))
+    val raw = Validate.readResource(spark, res)
+    val (typedRow, errsRow, failedRow) =
+      Validate.parseTable(raw, res.schema)
+    val (typedDict, errsDict, failedDict) =
+      Validate.parseTable(raw, res.schema, Set("d", "n"))
+    assert(failedRow === failedDict)
+    def em(e: Seq[graft.report.CheckResult]) =
+      e.map(r => (r.code, r.field) -> r.violations).toMap
+    assert(em(errsRow) === em(errsDict))
+    // sample VALUES may legitimately arrive in a different order
+    // (row stream vs distinct stream); the sets must agree
+    def sm(e: Seq[graft.report.CheckResult]) =
+      e.map(r => (r.code, r.field) -> r.sampleValues.toSet).toMap
+    assert(sm(errsRow) === sm(errsDict))
+    assert(typedRow.schema === typedDict.schema)
+    val rows = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+        .toSeq.sorted
+    assert(rows(typedRow) === rows(typedDict))
+  }
+
+  test("dict parse falls back to row parse past the cardinality cap") {
+    // 3 distinct dates under a cap of 2: field must silently take the
+    // per-row path — same verdicts, same typed cells, no error
+    val csv = "d\n2024-01-01\n2024-01-02\n2024-01-03\nbad\n"
+    val res = Resource("t", write("dictcap.csv", csv),
+      TableSchema(fields = Seq(Field("d", "date"))))
+    val raw = Validate.readResource(spark, res)
+    val (typedD, errsD, _) =
+      Validate.parseTable(raw, res.schema, Set("d"), maxDictValues = 2L)
+    val (typedR, errsR, _) = Validate.parseTable(raw, res.schema)
+    assert(errsD.map(e => (e.code, e.field, e.violations)) ===
+      errsR.map(e => (e.code, e.field, e.violations)))
+    assert(typedD.collect().map(String.valueOf).sorted.toSeq ===
+      typedR.collect().map(String.valueOf).sorted.toSeq)
+  }
 }
