@@ -8,7 +8,7 @@ import graft.check.Checks
 import graft.CoreQueries._
 import graft.oracle.Fixtures.{t, docsWithCopies, docsWithTwins, docsV2,
   skewedDocs, FunnelSteps, LangmixPlanted, IncrementalTwinOffset,
-  SplitWeights, MixFractions}
+  SplitWeights, MixFractions, Bm25Terms}
 import graft.ext.{Behavior, Cdc, Dedup, Joins, Linkage, Multimodal,
   Privacy, Reconcile, Sampling, Sessions, Similarity, Sketches,
   TextAnalysis}
@@ -2221,6 +2221,50 @@ object SparkEntry {
         col("n_chars"), col("lang") === "en", 64L, 9L)
       .orderBy("bin")
 
+  /** Cohen's κ (Experiment.kappa) between two derived raters —
+    * "is English" vs "is long" — exact integer contingency, one
+    * cross-multiplied division.
+    */
+  private def xEvalKappa(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Experiment.kappa(t(s, dir, "documents"),
+      col("lang") === "en", col("n_chars") > 256)
+
+  /** BM25 top-10 retrieval (TextAnalysis.bm25TopK) for a fixed
+    * three-term query — rational Robertson idf, integer-cross-
+    * multiplied tf saturation, one corpus aggregate broadcast back,
+    * TakeOrdered ranking.
+    */
+  private def xTextBm25(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.bm25TopK(t(s, dir, "documents"),
+        col("doc_id"), col("text"), Bm25Terms, 10)
+      .orderBy("rank")
+
+  /** k-core peeling (Graph.kCorePeel) on the co-purchase part graph:
+    * 3 synchronous ≥8-degree peels, top-50 surviving nodes by
+    * residual degree. The oracle unrolls the identical rounds.
+    */
+  private def xGraphKcore(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.kCorePeel(coPartEdges(s, dir), "src", "dst",
+        k = 8, rounds = 3)
+      .orderBy(desc("deg"), col("id"))
+      .limit(50)
+
+  /** Group-aware (leakage-free) split: every EVENT of a user lands in
+    * the fold of the USER's hash — a pure projection (zero shuffle
+    * for the assignment; the demo aggregates per-fold user/event
+    * counts). The train/test-contamination-safe way to split
+    * behavioral data: row-hash splitting would put one user's events
+    * on both sides of the fence.
+    */
+  private def xSampleGroupSplit(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.splitAssign(
+        t(s, dir, "events").select(col("user_id"), col("event_id")),
+        "user_id", SplitWeights, salt = "gs1")
+      .groupBy("split")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("split")
+
   /** Per-group OLS trend (Profile.olsTrend): discount cents against
     * ship-day index per return flag — exact decimal moments in one
     * hash agg, slope/intercept from correctly-rounded double ops.
@@ -2617,7 +2661,11 @@ object SparkEntry {
     "x_embed_pca" -> (xEmbedPca _),
     "x_profile_mad" -> (xProfileMad _),
     "x_eval_auc" -> (xEvalAuc _),
-    "x_eval_calibration" -> (xEvalCalibration _)
+    "x_eval_calibration" -> (xEvalCalibration _),
+    "x_eval_kappa" -> (xEvalKappa _),
+    "x_text_bm25" -> (xTextBm25 _),
+    "x_graph_kcore" -> (xGraphKcore _),
+    "x_sample_group_split" -> (xSampleGroupSplit _)
   )
 
   // ------------------------------------------------------------- oracles

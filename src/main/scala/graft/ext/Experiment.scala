@@ -151,6 +151,46 @@ object Experiment {
     }
   }
 
+  /** Cohen's κ inter-annotator agreement between two boolean raters:
+    * κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement rate
+    * and p_e the chance agreement from the raters' marginals — the
+    * label-quality readout for double-annotated data (κ ≈ 0 means the
+    * expensive second rater is adding coin flips).
+    *
+    * Exactness: everything derives from four exact long counts (n,
+    * a₁, b₁, both₁) in ONE map-side-combinable aggregate; κ is
+    * cross-multiplied to a single division of exact decimal(38,0)
+    * integers — κ = (n·agree − chance)/(n² − chance) with
+    * agree = n − a₁ − b₁ + 2·both₁ and
+    * chance = a₁·b₁ + (n−a₁)(n−b₁) — so the float work is one
+    * correctly-rounded division (n² and the marginal products
+    * overflow long past ~3·10⁹ rows; decimal does not). Constant
+    * raters make the denominator 0 → κ NULL (undefined), never NaN.
+    * NULL in either rater drops the row listwise. Output: one row
+    * (n, po, kappa), ratios rounded to 12 decimals.
+    */
+  def kappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = df.select(a.as("__a"), b.as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("a1"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("b1"),
+        sum(when(col("__a") && col("__b"), 1L).otherwise(0L))
+          .as("both1"))
+    val agree = dec(col("n") - col("a1") - col("b1") + col("both1") * 2)
+    val chance = dec(col("a1")) * dec(col("b1")) +
+      dec(col("n") - col("a1")) * dec(col("n") - col("b1"))
+    val den = dec(col("n")) * dec(col("n")) - chance
+    g.select(col("n"),
+      when(col("n") > 0,
+        round(agree.cast("double") / col("n").cast("double"), 12))
+        .as("po"),
+      when(den =!= 0,
+        round((dec(col("n")) * agree - chance).cast("double") /
+          den.cast("double"), 12)).as("kappa"))
+  }
+
   /** Reliability diagram over fixed-width score bins: bin =
     * clamp(floor(score / width), 0, maxBin), per bin the row count,
     * positive count, mean score and positive rate. The eval-side

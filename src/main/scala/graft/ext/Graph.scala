@@ -273,4 +273,51 @@ object Graph {
       dist
     }
   }
+
+  /** k-core peeling, `rounds` synchronous rounds: repeatedly drop
+    * every node whose CURRENT degree (in the surviving subgraph) is
+    * below `k`. After enough rounds this is exactly the k-core (the
+    * maximal subgraph with min degree ≥ k); a FIXED round count keeps
+    * the operator oracle-checkable (the oracle unrolls the same
+    * rounds) and is how production uses it anyway — each round kills
+    * a strictly shrinking shell, so a handful of rounds removes the
+    * overwhelming mass and the result is reported per round count,
+    * like [[pageRank]]'s fixed iterations.
+    *
+    * Returns (id, deg): surviving nodes with their residual degree.
+    *
+    * Scale: per round ONE hash aggregate (degrees, map-side partial)
+    * and two left-semi joins against the (bounded, shrinking) alive
+    * set — never a join of edges × edges; each round's edge frame is
+    * checkpoint-materialized so lineage stays flat at any round
+    * count, and rounds touch only surviving edges, so total work is a
+    * decreasing series, not rounds × |E|.
+    */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    require(rounds >= 1 && rounds <= 32, s"bad rounds $rounds")
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    var e = und
+      .union(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val alive = e.groupBy("a").agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k)
+        .select(col("a").as("__alive"))
+      e = e
+        .join(alive.select(col("__alive").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("__alive").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(eager = true)
+    }
+    e.groupBy("a").agg(count(lit(1)).as("deg"))
+      .select(col("a").as("id"), col("deg"))
+  }
 }

@@ -413,4 +413,70 @@ object TextAnalysis {
           (sum(col("lp")) / sum(col("tf"))).as("avg_logprob"))
     }
   }
+
+  /** BM25 retrieval scoring (Robertson–Spärck Jones) of a FIXED query
+    * term list against the corpus, top-`topN` documents by score —
+    * the lexical-retrieval complement of the embedding top-k family
+    * (hybrid search's sparse leg).
+    *
+    * Determinism treatment: the standard k₁ = 1.2, b = 0.75 BM25 with
+    * every sub-expression kept RATIONAL in exact integers, so the
+    * float work is a fixed chain of correctly-rounded IEEE ops any
+    * engine reproduces bitwise (the [[graft.ext.Profile]] moment
+    * discipline; the log-idf is replaced by its rational Robertson
+    * form — same monotone-in-df ranking, no libm ulp exposure):
+    *
+    *   idf_t    = (2N − 2·df_t + 1) / (2·df_t + 1)
+    *   tfpart_t = 22·tf·L / (10·tf·L + 3·L + 9·len·N)
+    *     (tf·(k₁+1)/(tf + k₁(1−b+b·len/avglen)) with avglen = L/N,
+    *      cross-multiplied by 10·L — one exact-integer numerator and
+    *      denominator, ONE double division each)
+    *   score    = Σ_t idf_t · tfpart_t   (fixed term order)
+    *
+    * Products accumulate in decimal(38,0) (HUGEINT on the oracle
+    * side): tf·L long arithmetic would overflow past ~10⁹ corpus
+    * tokens × realistic tf.
+    *
+    * Scale design: ONE corpus aggregate (N, L, per-term df — the term
+    * list is a bounded literal) broadcast back as a single row; per-doc
+    * tf is an in-codegen array filter, no explode, no shuffle of the
+    * token stream; top-N by (score desc, id) is TakeOrdered — no
+    * global sort. Docs matching no term are filtered before ranking.
+    */
+  def bm25TopK(docs: DataFrame, idCol: Column, textCol: Column,
+      terms: Seq[String], topN: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(topN >= 1, s"bad topN $topN")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = docs.select(idCol.as("doc_id"),
+        tokens(textCol).as("__toks"))
+      .withColumn("__len", size(col("__toks")).cast("long"))
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+      d.withColumn(s"__tf_$i",
+        size(filter(col("__toks"), x => x === t)).cast("long"))
+    }
+    val statAggs = Seq(count(lit(1)).as("__n"),
+      sum(dec(col("__len"))).as("__l")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"__df_$i"))
+    val scored = withTf
+      .crossJoin(broadcast(withTf.agg(statAggs.head, statAggs.tail: _*)))
+      .withColumn("score", terms.indices.map { i =>
+        val tf = col(s"__tf_$i")
+        val df = col(s"__df_$i")
+        val idf = (col("__n") * 2 - df * 2 + 1).cast("double") /
+          (df * 2 + 1).cast("double")
+        val tfl = dec(tf) * col("__l")
+        val tfpart = (tfl * 22).cast("double") /
+          (tfl * 10 + col("__l") * 3 + dec(col("__len")) * col("__n") * 9)
+            .cast("double")
+        when(tf > 0, idf * tfpart).otherwise(lit(0.0))
+      }.reduce(_ + _))
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(topN)
+    scored.select(col("doc_id"), round(col("score"), 12).as("score"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(desc("score"), col("doc_id"))).cast("long").as("rank"))
+  }
 }

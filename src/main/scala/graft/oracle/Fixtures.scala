@@ -64,6 +64,12 @@ private[graft] object Fixtures {
   private[graft] val SplitWeights = Seq("train" -> 0.8, "valid" -> 0.1,
     "test" -> 0.1)
 
+  /** Fixed query-term list for the BM25 retrieval row — shared by the
+    * Spark expression and the oracle so the per-term contributions add
+    * in the same order on both engines.
+    */
+  private[graft] val Bm25Terms = Seq("spark", "window", "vector")
+
   /** Per-source keep-fractions for x_sample_mix (default 0.1 for the
     * unlisted sources).
     */

@@ -4,7 +4,7 @@ import graft.ext.{Sampling, Similarity, TextAnalysis}
 import graft.parse.Parsers
 
 import DuckSql._
-import Fixtures.{LangmixPlanted, SplitWeights}
+import Fixtures.{LangmixPlanted, SplitWeights, Bm25Terms}
 
 /** The static oracle map — DuckDB SQL for every harness query whose
   * oracle does not depend on fitted models (those live in
@@ -2739,6 +2739,50 @@ private[graft] object StaticOracles {
         |  round(CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS DOUBLE) /
         |    CAST(count(*) AS DOUBLE), 12) AS pos_rate
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Cohen's κ from the exact 2×2 contingency: agree = n−a1−b1+2·both1,
+    // chance = a1·b1+(n−a1)(n−b1); κ = (n·agree − chance)/(n² − chance)
+    // — HUGEINT mirrors the Spark decimal(38,0) cross-multiplication,
+    // one double division each, round 12
+    "x_eval_kappa" ->
+      """WITH g AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a1,
+        |    sum(CASE WHEN n_chars > 256 THEN 1 ELSE 0 END) AS b1,
+        |    sum(CASE WHEN lang = 'en' AND n_chars > 256
+        |      THEN 1 ELSE 0 END) AS both1
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL)
+        |SELECT n,
+        |  CASE WHEN n > 0 THEN
+        |    round(CAST(n - a1 - b1 + 2 * both1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE), 12) END AS po,
+        |  CASE WHEN CAST(n AS HUGEINT) * n
+        |      - (CAST(a1 AS HUGEINT) * b1
+        |        + CAST(n - a1 AS HUGEINT) * (n - b1)) <> 0 THEN
+        |    round(CAST(CAST(n AS HUGEINT) * (n - a1 - b1 + 2 * both1)
+        |        - (CAST(a1 AS HUGEINT) * b1
+        |          + CAST(n - a1 AS HUGEINT) * (n - b1)) AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * n
+        |        - (CAST(a1 AS HUGEINT) * b1
+        |          + CAST(n - a1 AS HUGEINT) * (n - b1)) AS DOUBLE), 12)
+        |  END AS kappa
+        |FROM g""".stripMargin,
+    "x_text_bm25" -> bm25Oracle(Bm25Terms, 10),
+    "x_graph_kcore" -> kCoreOracle(8, 3),
+    "x_sample_group_split" -> {
+      val Seq(cTrain, cValid) = Sampling.cumThresholds(SplitWeights)
+      s"""SELECT split,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  count(*) AS n_events
+        |FROM (SELECT user_id,
+        |    CASE WHEN u < $cTrain THEN 'train'
+        |         WHEN u < $cValid THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT user_id,
+        |    ${duckHash48("('gs1' || CAST(user_id AS VARCHAR))")}
+        |      / 281474976710656.0 AS u
+        |  FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // KM product in log space: each ln snapped to 1e-12 fixed point,
     // cumulated as exact ints; d = n sends the curve to an exact 0
     "x_ts_kaplan_meier" ->
@@ -3141,6 +3185,70 @@ private[graft] object StaticOracles {
     * object-init reason as [[duckSessionGapUs]]): the window
     * formulation of events-as-change-log LWW with 'error' tombstones.
     */
+  /** BM25 twin of [[graft.ext.TextAnalysis.bm25TopK]] — the rational
+    * Robertson idf and the 10·L-cross-multiplied tf saturation, per-
+    * term CASE contributions added in the same fixed order as the
+    * Spark `reduce`, HUGEINT products mirroring decimal(38,0).
+    */
+  private def bm25Oracle(terms: Seq[String], topN: Int): String = {
+    val tfCols = terms.indices.map(i =>
+      s"CAST(len(list_filter(toks, x -> x = '${terms(i)}')) AS BIGINT)" +
+        s" AS tf$i").mkString(",\n    ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+      .mkString(", ")
+    val contribs = terms.indices.map(i =>
+      s"""(CASE WHEN tf$i > 0 THEN
+         |    (CAST(2 * n - 2 * df$i + 1 AS DOUBLE)
+         |      / CAST(2 * df$i + 1 AS DOUBLE))
+         |    * (CAST(22 * (CAST(tf$i AS HUGEINT) * l) AS DOUBLE)
+         |      / CAST(10 * (CAST(tf$i AS HUGEINT) * l) + 3 * l
+         |        + 9 * (CAST(len AS HUGEINT) * n) AS DOUBLE))
+         |    ELSE 0.0 END)""".stripMargin).mkString("\n  + ")
+    s"""WITH t AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+      |      AS toks
+      |  FROM documents),
+      |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len,
+      |    $tfCols
+      |  FROM t),
+      |s AS (SELECT count(*) AS n, CAST(sum(len) AS HUGEINT) AS l,
+      |    $dfCols
+      |  FROM d),
+      |sc AS (SELECT doc_id,
+      |  $contribs AS score
+      |  FROM d CROSS JOIN s),
+      |r AS (SELECT doc_id, score,
+      |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      |  FROM sc WHERE score > 0)
+      |SELECT doc_id, round(score, 12) AS score,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= $topN ORDER BY rank""".stripMargin
+  }
+
+  /** k-core twin of [[graft.ext.Graph.kCorePeel]] on the co-purchase
+    * part graph: the same `rounds` synchronous peels unrolled as CTE
+    * pairs (degree filter, both-endpoint edge prune).
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val ctes = (1 to rounds).map(i =>
+      s"""a$i AS (SELECT a FROM e${i - 1} GROUP BY a
+         |  HAVING count(*) >= $k),
+         |e$i AS (SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN a$i x ON e.a = x.a JOIN a$i y ON e.b = y.a)"""
+        .stripMargin).mkString(",\n")
+    s"""WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      |  WHERE l_orderkey % 3 = 0),
+      |und AS (SELECT DISTINCT a.p AS a, b.p AS b
+      |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      |e0 AS (SELECT a, b FROM und
+      |  UNION ALL SELECT b AS a, a AS b FROM und),
+      |$ctes
+      |SELECT a AS id, count(*) AS deg FROM e$rounds GROUP BY 1
+      |ORDER BY deg DESC, id LIMIT 50""".stripMargin
+  }
+
   private def cdcMergeOracle: String =
     """WITH last AS (
       |  SELECT user_id, event_id, event_type, value,

@@ -139,6 +139,34 @@ class ExperimentSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 1L, -65.0), (1L, 2L, 95.5)))
   }
 
+  test("kappa: perfect, independent, and constant raters") {
+    import org.apache.spark.sql.DataFrame
+    def k(rows: Seq[(Boolean, Boolean)]): (Long, Any, Any) = {
+      val df: DataFrame = rows.toDF("a", "b")
+      val r = Experiment.kappa(df, col("a"), col("b")).collect().head
+      (r.getLong(0), r.get(1), r.get(2))
+    }
+    // identical raters → κ = 1 (marginals balanced so pe = 1/2)
+    assert(k(Seq((true, true), (false, false))) === ((2L, 1.0, 1.0)))
+    // exactly-independent 2×2 (all four cells equal) → po = pe → κ = 0
+    assert(k(Seq((true, true), (true, false), (false, true),
+      (false, false))) === ((4L, 0.5, 0.0)))
+    // perfect disagreement → κ = −1
+    assert(k(Seq((true, false), (false, true))) === ((2L, 0.0, -1.0)))
+    // BOTH raters constant → pe = 1 → denominator 0 → NULL, never NaN
+    assert(k(Seq((true, true), (true, true)))._3 === null)
+    // ONE constant rater is defined: agreement is pure chance → κ = 0
+    assert(k(Seq((true, true), (true, false)))._3 === 0.0)
+  }
+
+  test("kappa drops NULL-rater rows listwise") {
+    val df = Seq((Some(true), Some(true)), (None, Some(false)),
+      (Some(false), None), (Some(false), Some(false)))
+      .toDF("a", "b")
+    val r = Experiment.kappa(df, col("a"), col("b")).collect().head
+    assert(r.getLong(0) === 2L && r.getDouble(2) === 1.0)
+  }
+
   test("aucExact enforces the bounded-domain contract loudly") {
     val rows = (1L to 100L).map(i => (i, i % 2 == 0))
     val ex = intercept[IllegalArgumentException] {

@@ -1498,4 +1498,33 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(sc(30L) > sc(1L) && sc(30L) > 20.0)
   }
+
+  test("bm25TopK: hand-computed rational score, zero-match filtered") {
+    val corpus = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(corpus, col("doc_id"), col("text"),
+        Seq("x"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // N=2, L=5, df=1 → idf = (4−2+1)/(2+1) = 1;
+    // tf=2, len=3 → tfpart = 22·2·5 / (10·2·5 + 3·5 + 9·3·2) = 220/169
+    val expect = BigDecimal(220.0 / 169.0)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq === Seq((1L, expect, 1L))) // doc 2 matched nothing
+  }
+
+  test("bm25TopK ranks by tf saturation and idf rarity") {
+    val corpus = Seq(
+      (1L, "a a a b"), (2L, "a b c"), (3L, "b c d"), (4L, "c d e"))
+      .toDF("doc_id", "text")
+    // 'a' appears in 2 docs, 'e' in 1: doc 4's rare-term hit (idf 7/3)
+    // outranks doc 1's tf=3 common-term hit (idf 1, saturating), which
+    // outranks doc 2's single common hit; doc 3 matches nothing
+    val out = TextAnalysis.bm25TopK(corpus, col("doc_id"), col("text"),
+        Seq("a", "e"), 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(4L, 1L, 2L))
+    val ranks = TextAnalysis.bm25TopK(corpus, col("doc_id"),
+        col("text"), Seq("a"), 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ranks === Seq(1L, 2L)) // topN honored, tf-desc order
+  }
 }

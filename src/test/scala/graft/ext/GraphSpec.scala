@@ -128,4 +128,30 @@ class GraphSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
+
+  private def kcore(edges: Seq[(Long, Long)], k: Int, rounds: Int) = {
+    import spark.implicits._
+    Graph.kCorePeel(edges.toDF("src", "dst"), "src", "dst", k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kCorePeel: triangle survives a 2-core peel, pendant dies") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(kcore(g, k = 2, rounds = 2) ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCorePeel: a chain unravels one shell per round") {
+    // path 1-2-3-4-5 under k=2: endpoints die round 1, their
+    // neighbors round 2, everything by round 3
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(kcore(path, 2, 1) === Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+    assert(kcore(path, 2, 3) === Map.empty)
+  }
+
+  test("kCorePeel is invariant to direction, dups, self-loops") {
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val noisy = base ++ base.map(_.swap) ++ Seq((2L, 2L), (1L, 2L))
+    assert(kcore(noisy, 2, 2) === kcore(base, 2, 2))
+  }
 }
