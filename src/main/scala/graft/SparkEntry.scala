@@ -999,6 +999,35 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN quality eval: recall@10 of the probe-restricted IVF search
+    * against the brute-force exact top-10, per query — the metric
+    * that decides nProbe/nLists in production. Both rankings are
+    * existing oracle-checked operators; the recall join is per-query
+    * bounded (10 rows a side). Exact-integer hit counts, one double
+    * division.
+    */
+  private def xSimIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(queries, e, 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val index = Similarity.ivfIndex(e, nLists = 16)
+    val ivf = Similarity.ivfTopK(queries, index, e, 10, nProbe = 4,
+        nLists = 16)
+      .select(col("query_id").as("__qi"), col("neighbor_id").as("__ni"))
+    brute.join(ivf,
+        col("query_id") === col("__qi") &&
+          col("neighbor_id") === col("__ni"), "left")
+      .groupBy("query_id")
+      .agg(sum(when(col("__ni").isNotNull, 1L).otherwise(0L))
+          .as("n_hit"),
+        count(lit(1)).as("__n_true"))
+      .select(col("query_id"), col("n_hit"),
+        round(col("n_hit").cast("double") /
+          col("__n_true").cast("double"), 12).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** LSH-bucketed cosine pairs on the full corpus (portable md5-derived
     * hyperplanes — oracle-checked).
     */
@@ -2505,6 +2534,7 @@ object SparkEntry {
     "x_sim_pairs" -> (xSimPairs _),
     "x_sim_lsh_pairs" -> (xSimLshPairs _),
     "x_sim_ivf_topk" -> (xSimIvfTopk _),
+    "x_sim_ivf_recall" -> (xSimIvfRecall _),
     "x_text_tokens" -> (xTextTokens _),
     "x_text_quality" -> (xTextQuality _),
     "x_text_langid" -> (xTextLangid _),

@@ -2767,6 +2767,66 @@ private[graft] object StaticOracles {
         |  END AS kappa
         |FROM g""".stripMargin,
     "x_text_bm25" -> bm25Oracle(Bm25Terms, 10),
+    // recall@10 of IVF-vs-brute: composes the x_sim_topk and
+    // x_sim_ivf_topk oracle bodies (same normalization, same
+    // first-16-ids centroids, same nProbe=4 routing), then a per-query
+    // bounded left join counts hits
+    "x_sim_ivf_recall" ->
+      """WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
+        |cents AS (SELECT id AS list_id, nvec AS cvec FROM v
+        |          ORDER BY id LIMIT 16),
+        |assigned AS (
+        |  SELECT id, nvec, list_id FROM (
+        |    SELECT vv.id, vv.nvec, c.list_id,
+        |      row_number() OVER (PARTITION BY vv.id ORDER BY
+        |        list_sum(list_transform(range(1, len(vv.nvec) + 1),
+        |          i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
+        |    FROM v vv, cents c) WHERE rn = 1),
+        |q AS (SELECT id AS query_id, nvec AS qvec FROM v WHERE id < 5),
+        |probes AS (
+        |  SELECT query_id, qvec, list_id FROM (
+        |    SELECT qq.query_id, qq.qvec, c.list_id,
+        |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
+        |        list_sum(list_transform(range(1, len(qq.qvec) + 1),
+        |          i -> qq.qvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
+        |    FROM q qq, cents c) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(p.qvec) + 1),
+        |      i -> p.qvec[i] * a.nvec[i])) AS sim
+        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+        |  WHERE p.query_id <> a.id),
+        |rivf AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM scored) WHERE rank <= 10),
+        |sb AS (
+        |  SELECT a.query_id, b.id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(a.qvec) + 1),
+        |      i -> a.qvec[i] * b.nvec[i])) AS sim
+        |  FROM q a, v b WHERE a.query_id <> b.id),
+        |rb AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM sb) WHERE rank <= 10)
+        |SELECT b.query_id,
+        |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 12) AS recall
+        |FROM rb b LEFT JOIN rivf i ON b.query_id = i.query_id
+        |  AND b.neighbor_id = i.neighbor_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_graph_kcore" -> kCoreOracle(8, 3),
     "x_sample_group_split" -> {
       val Seq(cTrain, cValid) = Sampling.cumThresholds(SplitWeights)

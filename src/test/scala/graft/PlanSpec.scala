@@ -752,4 +752,47 @@ class PlanSpec extends SparkSpec {
     val shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec])
     assert(shuffles <= 2, s"expected ≤2 exchanges, got $shuffles")
   }
+
+  test("bm25TopK: token stream never shuffles; ranking is TakeOrdered") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val d = Tables.load(spark, dir, "documents")
+    val b = graft.ext.TextAnalysis.bm25TopK(d, col("doc_id"),
+      col("text"), Seq("spark", "window"), 10)
+    val n = nodes(b)
+    assert(n.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "score ranking must be per-partition top-k + merge")
+    // per-doc tf is an in-codegen array filter: the ONLY exchange in
+    // the whole plan is the single-row corpus-stats aggregate — no
+    // explode of the token stream ever reaches a shuffle
+    val shuffles = n.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1,
+      s"token stream must not shuffle, got ${shuffles.size}")
+    // the final rank window runs over the 10-row TakeOrdered result —
+    // bounded, not a corpus window
+  }
+
+  test("group-aware split assignment is a zero-shuffle projection") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"))
+    val assigned = graft.ext.Sampling.splitAssign(e, "user_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = "gs1")
+    val n = nodes(assigned)
+    assert(!n.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "fold assignment by group hash must be a pure projection")
+    assert(!n.exists(_.isInstanceOf[WindowExec]))
+  }
+
+  test("kCorePeel rounds are aggregates + semi-joins — no window, no BNLJ") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val edges = spark.range(2000).select((col("id") % 211).as("src"),
+      (col("id") % 199 + 211).as("dst"))
+    val k = graft.ext.Graph.kCorePeel(edges, "src", "dst", 2, 2)
+    // the returned frame is checkpoint-materialized; assert on the
+    // final degree aggregation instead (rounds already executed)
+    val n = nodes(k)
+    assert(!n.exists(_.isInstanceOf[WindowExec]))
+    assert(!n.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+  }
 }
