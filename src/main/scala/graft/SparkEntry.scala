@@ -2278,6 +2278,16 @@ object SparkEntry {
       .orderBy(desc("deg"), col("id"))
       .limit(50)
 
+  /** RFM segmentation (Behavior.rfmSegments): per-user recency/
+    * frequency/monetary quintile scores from exact integer metrics
+    * and exact-percentile thresholds (broadcast compares, no corpus
+    * window), rolled up to ≤125 populated cells.
+    */
+  private def xBehaviorRfm(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Behavior.rfmSegments(t(s, dir, "events"),
+        col("user_id"), col("ts"), col("value"))
+      .orderBy("r_score", "f_score", "m_score")
+
   /** Group-aware (leakage-free) split: every EVENT of a user lands in
     * the fold of the USER's hash — a pure projection (zero shuffle
     * for the assignment; the demo aggregates per-fold user/event
@@ -2695,7 +2705,8 @@ object SparkEntry {
     "x_eval_kappa" -> (xEvalKappa _),
     "x_text_bm25" -> (xTextBm25 _),
     "x_graph_kcore" -> (xGraphKcore _),
-    "x_sample_group_split" -> (xSampleGroupSplit _)
+    "x_sample_group_split" -> (xSampleGroupSplit _),
+    "x_behavior_rfm" -> (xBehaviorRfm _)
   )
 
   // ------------------------------------------------------------- oracles

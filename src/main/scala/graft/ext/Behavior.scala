@@ -231,4 +231,67 @@ object Behavior {
       .orderBy(desc("n_sessions"), asc("path"))
       .limit(k)
   }
+
+  /** RFM (recency / frequency / monetary) segmentation over an event
+    * stream: per user, days since last activity (vs the corpus max —
+    * exact integer µs floor-div), event count, and exact monetary
+    * cents; each metric scored 1–5 by quintile THRESHOLDS (count of
+    * exceeded exact-percentile bounds, the [[Profile.quantileBuckets]]
+    * comparison form — NOT ntile, which needs a corpus-wide single-
+    * partition sort and ties break by row order; threshold buckets
+    * are a broadcast compare, deterministic, and oracle-mirrorable
+    * via quantile_cont). 5 = best (most recent / most frequent /
+    * highest spend). Output: one row per populated (r, f, m) cell
+    * with user count and total cents — ≤125 rows at any corpus size.
+    *
+    * Scale: one hash aggregate events→users, ONE exact-percentile
+    * aggregate over the user frame (percentile state is bounded by
+    * value cardinality: day counts, event counts, cent totals — all
+    * narrow domains at user grain), both broadcast back; scoring is
+    * a pure projection, the cell rollup one bounded aggregate.
+    */
+  def rfmSegments(events: DataFrame, userCol: Column, tsCol: Column,
+      valueCol: Column): DataFrame = {
+    val dayUs = 86400000000L
+    val users = events
+      .select(userCol.as("__u"), unix_micros(tsCol).as("__ts"),
+        round(valueCol * 100).cast("long").as("__cents"))
+      .where(col("__u").isNotNull && col("__ts").isNotNull)
+      .groupBy("__u")
+      // cents sum in decimal(38,0), cast back to long: ANSI mode makes
+      // an out-of-range total a LOUD error on both engines (HUGEINT →
+      // BIGINT on the oracle side), never a silent wrap
+      .agg(max(col("__ts")).as("__last"), count(lit(1)).as("__f"),
+        coalesce(sum(col("__cents").cast("decimal(38,0)")), lit(0L))
+          .cast("long").as("__m"))
+    val probs = array(Seq(0.2, 0.4, 0.6, 0.8).map(lit): _*)
+    val withR = users
+      .crossJoin(broadcast(users.agg(max(col("__last")).as("__now"))))
+      .withColumn("__r",
+        expr(s"(__now - __last) div $dayUs"))
+    val bounds = withR.agg(
+      percentile(col("__r").cast("double"), probs).as("__br"),
+      percentile(col("__f").cast("double"), probs).as("__bf"),
+      percentile(col("__m").cast("double"), probs).as("__bm"))
+    def score(v: Column, b: Column, invert: Boolean): Column = {
+      val exceeded = (1 to 4).map(i =>
+        when(v >= element_at(b, i), 1).otherwise(0)).reduce(_ + _)
+      (if (invert) lit(5) - exceeded else lit(1) + exceeded)
+        .cast("long")
+    }
+    withR.crossJoin(broadcast(bounds))
+      .select(
+        // recency inverted: fewer days since last touch scores higher
+        score(col("__r").cast("double"), col("__br"), invert = true)
+          .as("r_score"),
+        score(col("__f").cast("double"), col("__bf"), invert = false)
+          .as("f_score"),
+        score(col("__m").cast("double"), col("__bm"), invert = false)
+          .as("m_score"),
+        col("__m"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("__m").cast("decimal(38,0)")).cast("long")
+          .as("m_total_cents"))
+  }
 }

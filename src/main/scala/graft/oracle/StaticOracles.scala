@@ -2767,6 +2767,40 @@ private[graft] object StaticOracles {
         |  END AS kappa
         |FROM g""".stripMargin,
     "x_text_bm25" -> bm25Oracle(Bm25Terms, 10),
+    // RFM quintiles: exact integer user metrics, quantile_cont
+    // thresholds mirroring Spark's exact percentile, threshold-count
+    // scoring (5 − exceeded for recency, 1 + exceeded otherwise)
+    "x_behavior_rfm" -> {
+      def q(v: String, as: String): String =
+        (1 to 4).map(i =>
+          s"quantile_cont(CAST($v AS DOUBLE), 0.${2 * i}) AS $as$i")
+          .mkString(", ")
+      def sc(v: String, b: String, invert: Boolean): String = {
+        val exceeded = (1 to 4).map(i =>
+          s"(CASE WHEN CAST($v AS DOUBLE) >= $b$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        if (invert) s"CAST(5 - ($exceeded) AS BIGINT)"
+        else s"CAST(1 + ($exceeded) AS BIGINT)"
+      }
+      s"""WITH u AS (
+        |  SELECT user_id AS u, max(epoch_us(ts)) AS last,
+        |    count(*) AS f,
+        |    CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+        |      AS BIGINT) AS m
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (SELECT u, ((SELECT max(last) FROM u) - last)
+        |    // 86400000000 AS r, f, m FROM u),
+        |b AS (SELECT ${q("r", "br")}, ${q("f", "bf")}, ${q("m", "bm")}
+        |  FROM w)
+        |SELECT ${sc("r", "br", invert = true)} AS r_score,
+        |  ${sc("f", "bf", invert = false)} AS f_score,
+        |  ${sc("m", "bm", invert = false)} AS m_score,
+        |  count(*) AS n_users,
+        |  CAST(sum(CAST(m AS HUGEINT)) AS BIGINT) AS m_total_cents
+        |FROM w CROSS JOIN b
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    },
     // recall@10 of IVF-vs-brute: composes the x_sim_topk and
     // x_sim_ivf_topk oracle bodies (same normalization, same
     // first-16-ids centroids, same nProbe=4 routing), then a per-query

@@ -163,4 +163,27 @@ class BehaviorSpec extends SparkSpec {
     assert(out.where(col("v").isNull).count() === 1L)
     assert(out.where(col("v") < 5.0).count() === 0L)
   }
+
+  test("rfmSegments: extremes land in (1,1,1) and (5,5,5), users conserved") {
+    // user i (1..5): i events, last event at day i, value i·10 each —
+    // strictly ordered on all three metrics, user 5 best everywhere
+    val events = for {
+      u <- 1 to 5; e <- 1 to u
+    } yield (u.toLong,
+      java.sql.Timestamp.valueOf(f"2024-01-0$u%d 12:00:00"),
+      u * 10.0)
+    val df = events.toDF("user_id", "ts", "value")
+    val out = Behavior.rfmSegments(df, col("user_id"), col("ts"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(out.keys.forall { case (a, b, c) =>
+      Seq(a, b, c).forall(s => s >= 1 && s <= 5) })
+    assert(out.values.map(_._1).sum === 5L) // every user in one cell
+    assert(out.contains((5L, 5L, 5L)) && out((5L, 5L, 5L))._1 === 1L)
+    // user 5: 5 events × 50.00 → 25000 cents
+    assert(out((5L, 5L, 5L))._2 === 25000L)
+    assert(out.contains((1L, 1L, 1L)))
+  }
 }
