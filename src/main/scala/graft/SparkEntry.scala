@@ -2269,12 +2269,14 @@ object SparkEntry {
       .orderBy("rank")
 
   /** k-core peeling (Graph.kCorePeel) on the co-purchase part graph:
-    * 3 synchronous ≥8-degree peels, top-50 surviving nodes by
+    * 3 synchronous ≥25-degree peels (median degree ≈ 39, so the
+    * first shell is ~15% of nodes and the cascade is real), top-50
+    * surviving nodes by
     * residual degree. The oracle unrolls the identical rounds.
     */
   private def xGraphKcore(s: SparkSession, dir: String): DataFrame =
     graft.ext.Graph.kCorePeel(coPartEdges(s, dir), "src", "dst",
-        k = 8, rounds = 3)
+        k = 25, rounds = 3)
       .orderBy(desc("deg"), col("id"))
       .limit(50)
 

@@ -286,18 +286,28 @@ object Graph {
     *
     * Returns (id, deg): surviving nodes with their residual degree.
     *
-    * Scale: per round ONE hash aggregate (degrees, map-side partial)
-    * and two left-semi joins against the (bounded, shrinking) alive
-    * set — never a join of edges × edges; each round's edge frame is
-    * checkpoint-materialized so lineage stays flat at any round
-    * count, and rounds touch only surviving edges, so total work is a
-    * decreasing series, not rounds × |E|.
+    * Scale: per round ONE hash aggregate (degrees, map-side partial —
+    * checkpoint-materialized, it is a NODE-bounded artifact consumed
+    * three times: fixed-point test and both join sides; the round-7
+    * decade protocol caught the uncached first cut re-running the
+    * corpus-wide aggregate once per semi join) and two left-semi
+    * joins of the edge frame against the alive set, pinned
+    * shuffle-hash with the node-bounded side as build (the
+    * [[triangleCounts]] treatment — never sorts the edge stream).
+    * Rounds EARLY-EXIT at the fixed point (alive count unchanged ⇒
+    * every later round is an identity — same result, and a converged
+    * graph costs one aggregate, not `rounds` × 2 joins); each
+    * surviving-edge frame is checkpointed so lineage stays flat.
     */
   def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"bad k $k")
     require(rounds >= 1 && rounds <= 32, s"bad rounds $rounds")
-    val und = edges
+    // rounds run on the CANONICAL (a < b) frame — half the rows,
+    // half the per-round shuffle and checkpoint bytes of a
+    // symmetrized edge list; degrees stack both endpoint columns
+    // into one aggregate instead
+    var e = edges
       .select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull &&
@@ -305,19 +315,25 @@ object Graph {
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
-    var e = und
-      .union(und.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(eager = true)
-    for (_ <- 1 to rounds) {
-      val alive = e.groupBy("a").agg(count(lit(1)).as("__deg"))
-        .filter(col("__deg") >= k)
-        .select(col("a").as("__alive"))
-      e = e
-        .join(alive.select(col("__alive").as("a")), Seq("a"), "left_semi")
-        .join(alive.select(col("__alive").as("b")), Seq("b"), "left_semi")
+    def degrees(f: DataFrame): DataFrame = f
+      .select(col("a").as("n"))
+      .union(f.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("__deg"))
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
+      val deg = degrees(e).localCheckpoint(eager = true)
+      val alive = deg.filter(col("__deg") >= k)
+        .select(col("n").as("__alive"))
+      // both counts run over the materialized node-bounded frame
+      if (alive.count() == deg.count()) converged = true
+      else e = e
+        .join(alive.select(col("__alive").as("a")).hint("shuffle_hash"),
+          Seq("a"), "left_semi")
+        .join(alive.select(col("__alive").as("b")).hint("shuffle_hash"),
+          Seq("b"), "left_semi")
         .localCheckpoint(eager = true)
     }
-    e.groupBy("a").agg(count(lit(1)).as("deg"))
-      .select(col("a").as("id"), col("deg"))
+    degrees(e).select(col("n").as("id"), col("__deg").as("deg"))
   }
 }

@@ -2861,7 +2861,7 @@ private[graft] object StaticOracles {
         |FROM rb b LEFT JOIN rivf i ON b.query_id = i.query_id
         |  AND b.neighbor_id = i.neighbor_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "x_graph_kcore" -> kCoreOracle(8, 3),
+    "x_graph_kcore" -> kCoreOracle(25, 3),
     "x_sample_group_split" -> {
       val Seq(cTrain, cValid) = Sampling.cumThresholds(SplitWeights)
       s"""SELECT split,
