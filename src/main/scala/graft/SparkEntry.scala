@@ -2250,6 +2250,27 @@ object SparkEntry {
         col("n_chars"), col("lang") === "en", 64L, 9L)
       .orderBy("bin")
 
+  /** Equal-frequency calibration (Experiment.calibrationQuantile):
+    * quintile score bins from exact-percentile edges broadcast back —
+    * the quantile twin of x_eval_calibration.
+    */
+  private def xEvalCalibrationQuantile(s: SparkSession,
+      dir: String): DataFrame =
+    graft.ext.Experiment.calibrationQuantile(t(s, dir, "documents"),
+        col("n_chars"), col("lang") === "en", 5)
+      .orderBy("bin")
+
+  /** Neyman allocation (Sampling.neymanAllocation): a 1000-sample
+    * budget split across return-flag strata ∝ N_h·σ_h of price cents
+    * — exact-integer largest-remainder apportionment on fixed-point
+    * weights.
+    */
+  private def xSampleNeyman(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.neymanAllocation(t(s, dir, "lineitem"),
+        col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long"), 1000L)
+      .orderBy("stratum")
+
   /** Cohen's κ (Experiment.kappa) between two derived raters —
     * "is English" vs "is long" — exact integer contingency, one
     * cross-multiplied division.
@@ -2708,7 +2729,9 @@ object SparkEntry {
     "x_text_bm25" -> (xTextBm25 _),
     "x_graph_kcore" -> (xGraphKcore _),
     "x_sample_group_split" -> (xSampleGroupSplit _),
-    "x_behavior_rfm" -> (xBehaviorRfm _)
+    "x_behavior_rfm" -> (xBehaviorRfm _),
+    "x_eval_calibration_quantile" -> (xEvalCalibrationQuantile _),
+    "x_sample_neyman" -> (xSampleNeyman _)
   )
 
   // ------------------------------------------------------------- oracles

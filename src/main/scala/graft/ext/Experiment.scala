@@ -151,6 +151,38 @@ object Experiment {
     }
   }
 
+  /** Equal-frequency calibration bins: the [[calibrationBins]] readout
+    * with EXACT-QUANTILE bin edges instead of fixed widths — bin =
+    * count of exceeded thresholds t_{1..nBins−1} (percentile i/nBins),
+    * so bins hold ≈ equal mass except where score ties collapse them
+    * (deterministic: ties all land in the same bin). One exact-
+    * percentile aggregate broadcast back (state bounded by score
+    * cardinality — scores are bounded-domain by the [[aucExact]]
+    * contract), then the same single hash aggregate; output ≤ nBins
+    * rows.
+    */
+  def calibrationQuantile(df: DataFrame, score: Column, label: Column,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"bad nBins $nBins")
+    val base = df.select(score.cast("long").as("__s"), label.as("__l"))
+      .where(col("__s").isNotNull && col("__l").isNotNull)
+    val probs = array((1 until nBins).map(i =>
+      lit(i.toDouble / nBins)): _*)
+    val bounds = base.agg(
+      percentile(col("__s").cast("double"), probs).as("__b"))
+    val bin = (1 until nBins).map(i =>
+      when(col("__s").cast("double") >= element_at(col("__b"), i), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    base.crossJoin(broadcast(bounds))
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("pos"),
+        round(sum(col("__s").cast("decimal(38,0)")).cast("double") /
+          count(lit(1)).cast("double"), 12).as("mean_score"),
+        round(sum(when(col("__l"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 12).as("pos_rate"))
+  }
+
   /** Cohen's κ inter-annotator agreement between two boolean raters:
     * κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement rate
     * and p_e the chance agreement from the raters' marginals — the

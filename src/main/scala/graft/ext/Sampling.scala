@@ -488,4 +488,82 @@ object Sampling {
         when(neg0 >= col("pos_item"), neg0 + 1).otherwise(neg0)
           .as("neg_item"))
   }
+
+  /** Neyman allocation for stratified sampling: split a budget of
+    * `total` samples across strata proportionally to N_h·σ_h (stratum
+    * size × population std dev) — the variance-optimal allocation for
+    * estimating the overall mean. The eval-set-design complement of
+    * [[exactN]]: exactN draws the rows, this says how many per
+    * stratum.
+    *
+    * Determinism treatment: σ_h comes from exact decimal moments (one
+    * hash aggregate) through a fixed chain of correctly-rounded double
+    * ops; the weight N_h·σ_h is then SNAPPED to 10⁻⁶ fixed point
+    * (floor) so the apportionment runs on EXACT INTEGERS — quota
+    * floor-division and largest-remainder top-up are integer
+    * arithmetic with (remainder desc, stratum asc) tie-break, so the
+    * allocations sum to exactly `total` and hash-match any engine.
+    * A cross-strata DOUBLE sum would be partition-order-dependent;
+    * the fixed-point long sum is not.
+    *
+    * Scale: one corpus aggregate to stratum grain; everything after
+    * (including the single-partition window) runs on the bounded
+    * strata frame — document the stratum-count bound, not a row
+    * bound. Output: (stratum, n_rows, sigma, alloc) with Σ alloc =
+    * min(total, …); all-zero weights (every stratum constant) fall
+    * back to pure size-proportional allocation.
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: Column,
+      valueCol: Column, total: Long): DataFrame = {
+    require(total >= 0, s"bad total $total")
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val strata = df
+      .select(stratumCol.as("stratum"), valueCol.cast("long").as("__v"))
+      .where(col("stratum").isNotNull && col("__v").isNotNull)
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("__v"))).as("__s"),
+        sum(dec(col("__v")) * dec(col("__v"))).as("__ss"))
+    def d(c: String) = col(c).cast("double")
+    // population σ² = (n·Σv² − (Σv)²)/n² — exact moments, fixed chain
+    val sigma = sqrt(greatest(
+      (d("n_rows") * d("__ss") - d("__s") * d("__s")) /
+        (d("n_rows") * d("n_rows")), lit(0.0)))
+    // 1e-6 fixed-point weight; constant strata weigh 0 and the
+    // all-constant corpus degrades to size-proportional shares
+    val w = strata.withColumn("sigma", sigma)
+      .withColumn("__w",
+        floor(col("n_rows").cast("double") * col("sigma") * 1e6)
+          .cast("long"))
+    val wTot = sum(dec(col("__w")))
+      .over(Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing))
+    val nTot = sum(dec(col("n_rows")))
+      .over(Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing))
+    val withW = w
+      .withColumn("__wtot", wTot)
+      .withColumn("__q",
+        when(col("__wtot") > 0, dec(lit(total)) * dec(col("__w")))
+          .otherwise(dec(lit(total)) * dec(col("n_rows"))))
+      .withColumn("__den", when(col("__wtot") > 0, col("__wtot"))
+        .otherwise(nTot))
+      .withColumn("__base",
+        call_function("div",
+          col("__q") - pmod(col("__q"), col("__den")), col("__den"))
+          .cast("long"))
+      .withColumn("__rem", pmod(col("__q"), col("__den")))
+    val rankW = Window.orderBy(col("__rem").desc, col("stratum"))
+    val baseW = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    withW
+      .withColumn("__rank", row_number().over(rankW).cast("long"))
+      .withColumn("__left", lit(total) - sum(col("__base")).over(baseW))
+      .select(col("stratum"), col("n_rows"),
+        round(col("sigma"), 12).as("sigma"),
+        (col("__base") +
+          when(col("__rank") <= col("__left"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
 }

@@ -2767,6 +2767,74 @@ private[graft] object StaticOracles {
         |  END AS kappa
         |FROM g""".stripMargin,
     "x_text_bm25" -> bm25Oracle(Bm25Terms, 10),
+    // equal-frequency calibration: quantile_cont quintile edges,
+    // threshold-count bin, HUGEINT score sums → double, round 12
+    "x_eval_calibration_quantile" -> {
+      val qs = (1 to 4).map(i =>
+        s"quantile_cont(CAST(s AS DOUBLE), 0.${2 * i}) AS t$i")
+        .mkString(", ")
+      val bin = (1 to 4).map(i =>
+        s"(CASE WHEN CAST(s AS DOUBLE) >= t$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b0 AS (SELECT n_chars AS s, (lang = 'en') AS l
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |t AS (SELECT $qs FROM b0)
+        |SELECT CAST($bin AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |  round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 12)
+        |    AS mean_score,
+        |  round(CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 12) AS pos_rate
+        |FROM b0 CROSS JOIN t GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // Neyman: exact decimal moments → double sigma (fixed chain),
+    // 1e-6 fixed-point weights, integer floor-division quotas and
+    // largest-remainder top-up — apportionment is pure integer math
+    "x_sample_neyman" ->
+      """WITH st AS (SELECT l_returnflag AS stratum, count(*) AS n_rows,
+        |    sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      AS HUGEINT)) AS s,
+        |    sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        AS HUGEINT)
+        |      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS ss
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |sg AS (SELECT stratum, n_rows,
+        |    sqrt(greatest((CAST(n_rows AS DOUBLE) * CAST(ss AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)),
+        |      0.0)) AS sigma
+        |  FROM st),
+        |wf AS (SELECT stratum, n_rows, sigma,
+        |    CAST(floor(CAST(n_rows AS DOUBLE) * sigma * 1e6)
+        |      AS BIGINT) AS w
+        |  FROM sg),
+        |ww AS (SELECT stratum, n_rows, sigma, w,
+        |    sum(CAST(w AS HUGEINT)) OVER () AS wtot,
+        |    sum(CAST(n_rows AS HUGEINT)) OVER () AS ntot
+        |  FROM wf),
+        |qq AS (SELECT stratum, n_rows, sigma,
+        |    CASE WHEN wtot > 0 THEN 1000 * CAST(w AS HUGEINT)
+        |         ELSE 1000 * CAST(n_rows AS HUGEINT) END AS q,
+        |    CASE WHEN wtot > 0 THEN wtot ELSE ntot END AS den
+        |  FROM ww),
+        |bb AS (SELECT stratum, n_rows, sigma,
+        |    CAST((q - (((q % den) + den) % den)) // den AS BIGINT)
+        |      AS base,
+        |    (((q % den) + den) % den) AS rem
+        |  FROM qq),
+        |rr AS (SELECT stratum, n_rows, sigma, base,
+        |    row_number() OVER (ORDER BY rem DESC, stratum) AS rk,
+        |    sum(base) OVER () AS bsum
+        |  FROM bb)
+        |SELECT stratum, n_rows, round(sigma, 12) AS sigma,
+        |  CAST(base + (CASE WHEN rk <= 1000 - bsum THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS alloc
+        |FROM rr ORDER BY stratum""".stripMargin,
     // RFM quintiles: exact integer user metrics, quantile_cont
     // thresholds mirroring Spark's exact percentile, threshold-count
     // scoring (5 − exceeded for recency, 1 + exceeded otherwise)

@@ -139,6 +139,24 @@ class ExperimentSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 1L, -65.0), (1L, 2L, 95.5)))
   }
 
+  test("calibrationQuantile: equal-mass bins, ties collapse together") {
+    // scores 1..100, label = score > 50: quintiles put exactly 20 in
+    // each bin and the positive rate steps 0, 0, .5, 1, 1
+    val rows = (1L to 100L).map(i => (i, i > 50))
+    val out = Experiment.calibrationQuantile(rows.toDF("s", "l"),
+        col("s"), col("l"), 5)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(out.map(_._2).toSeq === Seq(20L, 20L, 20L, 20L, 20L))
+    assert(out.map(_._3).toSeq === Seq(0.0, 0.0, 0.5, 1.0, 1.0))
+    // a constant score collapses every row into the TOP bin (all
+    // thresholds equal the value, >= matches all) — one row out
+    val const = (1L to 10L).map(_ => (7L, true))
+    val c = Experiment.calibrationQuantile(const.toDF("s", "l"),
+      col("s"), col("l"), 5).collect()
+    assert(c.length === 1 && c.head.getLong(1) === 10L)
+  }
+
   test("kappa: perfect, independent, and constant raters") {
     import org.apache.spark.sql.DataFrame
     def k(rows: Seq[(Boolean, Boolean)]): (Long, Any, Any) = {

@@ -244,4 +244,32 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.sorted.toSeq === again.sorted.toSeq)
   }
+
+  test("neymanAllocation: budget conserved, variance draws budget") {
+    // stratum a: constant (sigma 0); b: small spread; c: wide spread,
+    // same sizes — allocation must order alloc(c) > alloc(b) >
+    // alloc(a) = 0 and sum exactly to the budget
+    // σ_a = 0, σ_b = 10 (alternating 40/60), σ_c = 30 (alternating
+    // 0/60), equal sizes → quotas 0 / 22.5 / 67.5; the tie on the .5
+    // remainders breaks to the lexicographically smaller stratum
+    val rows =
+      (1 to 100).map(_ => ("a", 50L)) ++
+      (1 to 100).map(i => ("b", 40L + (i % 2) * 20L)) ++
+      (1 to 100).map(i => ("c", (i % 2) * 60L))
+    val out = Sampling.neymanAllocation(rows.toDF("g", "v"), col("g"),
+        col("v"), 90L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out.values.sum === 90L)
+    assert(out("a") === 0L)
+    assert(out("c") > out("b") && out("b") > 0L)
+  }
+
+  test("neymanAllocation: all-constant strata degrade to proportional") {
+    val rows = (1 to 30).map(_ => ("x", 5L)) ++
+      (1 to 60).map(_ => ("y", 9L))
+    val out = Sampling.neymanAllocation(rows.toDF("g", "v"), col("g"),
+        col("v"), 9L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out === Map("x" -> 3L, "y" -> 6L))
+  }
 }
