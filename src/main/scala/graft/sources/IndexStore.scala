@@ -55,6 +55,28 @@ object IndexStore {
     (spark.read.parquet(s"$dir/shingles.parquet"),
       spark.read.parquet(s"$dir/bands.parquet"))
 
+  /** Bucketed-table variant of the dedup index: the band frame is
+    * saved bucketed on `(band, bucket)` — the serve join's exchange
+    * key — and the shingle frame bucketed on `id` (the verify join's
+    * key). Every future batch then joins against co-located splits:
+    * the CORPUS side of the per-batch join reads with NO Exchange
+    * (asserted in BucketingSpec); only the (small) new batch shuffles
+    * to match. At 100 TB this is the difference between re-shuffling
+    * the standing index per ingest batch and reading it in place.
+    */
+  def writeDedupIndexBucketed(corpusToks: DataFrame, table: String,
+      numBuckets: Int, numHashes: Int = 32, bands: Int = 16,
+      k: Int = 3): Unit = {
+    val sh = corpusToks.select(col("id"),
+      Dedup.shingleHashesFromTokens(col("toks"), k).as("sh")).cache()
+    try {
+      Bucketing.writeBucketed(sh, s"${table}_sh", Seq("id"), numBuckets)
+      Bucketing.writeBucketed(
+        Dedup.bandAssignmentsFromShingles(sh, numHashes, bands),
+        s"${table}_bands", Seq("band", "bucket"), numBuckets)
+    } finally sh.unpersist(blocking = false)
+  }
+
   /** Build + persist the IVF index under an explicit centroid frame
     * (pass [[Similarity.firstIdCentroids]] output for the
     * deterministic plumbing path or [[Similarity.kmeansCentroids]]

@@ -40,6 +40,63 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("bucketed band index: per-batch join reads the corpus side in place") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    graft.sources.IndexStore.writeDedupIndexBucketed(docs, "idx_spec",
+      numBuckets = 8, k = 5)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val corpus = Bucketing.readBucketed(spark, "idx_spec_bands")
+        .select(col("id").as("corpus_id"), col("band"), col("bucket"))
+      // a fresh ingest batch: the same docs re-banded under new ids
+      val batch = graft.ext.Dedup.bandAssignmentsFromShingles(
+          docs.select((col("id") + 100000L).as("id"),
+            graft.ext.Dedup.shingleHashesFromTokens(col("toks"), 5)
+              .as("sh")),
+          32, 16)
+        .select(col("id").as("new_id"), col("band").as("band_n"),
+          col("bucket").as("bucket_n"))
+      val joined = batch.join(corpus,
+        col("band_n") === col("band") && col("bucket_n") === col("bucket"))
+      assert(joined.count() > 0, "twin batch must hit corpus buckets")
+      // traverse through AQE stages (executedPlan alone hides the
+      // finalized subtree behind AdaptiveSparkPlanExec)
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => q +: flatten(q.plan)
+        case other => other +: other.children.flatMap(flatten)
+      }
+      val all = flatten(joined.queryExecution.executedPlan)
+      def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan) =
+        p match {
+          case s: FileSourceScanExec =>
+            s.tableIdentifier.exists(_.table == "idx_spec_bands")
+          case _ => false
+        }
+      // the batch side may shuffle to match the bucketing; NO exchange
+      // may sit anywhere above the bucketed corpus scan
+      val offending = all.collect { case e: ShuffleExchangeExec
+        if flatten(e.child).exists(isIndexScan) => e }
+      assert(offending.isEmpty,
+        "corpus index side must read in place")
+      // and the bucketed scan IS present (the index, not a recompute)
+      assert(all.exists(isIndexScan),
+        "join must read the bucketed index table")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS idx_spec_bands")
+      spark.sql("DROP TABLE IF EXISTS idx_spec_sh")
+    }
+  }
+
   test("bucketed aggregation on the bucket key skips the shuffle") {
     val li = Tables.load(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber")
