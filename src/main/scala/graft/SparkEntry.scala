@@ -8,7 +8,7 @@ import graft.check.Checks
 import graft.CoreQueries._
 import graft.oracle.Fixtures.{t, docsWithCopies, docsWithTwins, docsV2,
   skewedDocs, FunnelSteps, LangmixPlanted, IncrementalTwinOffset,
-  SplitWeights, MixFractions, Bm25Terms}
+  SplitWeights, MixFractions, Bm25Terms, PprSeeds}
 import graft.ext.{Behavior, Cdc, Dedup, Joins, Linkage, Multimodal,
   Privacy, Reconcile, Sampling, Sessions, Similarity, Sketches,
   TextAnalysis}
@@ -1671,6 +1671,22 @@ object SparkEntry {
       .orderBy(desc("rank_scaled"), asc("node_id"))
       .limit(20)
 
+  /** Personalized PageRank (Graph.personalizedPageRank): teleport
+    * pinned to two customer seed nodes — "suppliers most related to
+    * these customers" over the bipartite purchase graph; exact-long
+    * fixed point, oracle unrolls the same 3 rounds with seed-gated
+    * base mass.
+    */
+  private def xGraphPpr(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.personalizedPageRank(purchaseEdges(s, dir),
+        "src", "dst", iterations = 3, seeds = PprSeeds)
+      .select(col("id").as("node_id"),
+        when(col("id") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        col("rank_scaled"))
+      .orderBy(desc("rank_scaled"), asc("node_id"))
+      .limit(20)
+
   /** 10-iteration PageRank (Graph.pageRank past DeepIterThreshold):
     * exercises the per-round localCheckpoint lineage-truncation path —
     * the oracle's 10 unrolled CTE rounds prove the fixed point stays
@@ -2731,7 +2747,8 @@ object SparkEntry {
     "x_sample_group_split" -> (xSampleGroupSplit _),
     "x_behavior_rfm" -> (xBehaviorRfm _),
     "x_eval_calibration_quantile" -> (xEvalCalibrationQuantile _),
-    "x_sample_neyman" -> (xSampleNeyman _)
+    "x_sample_neyman" -> (xSampleNeyman _),
+    "x_graph_ppr" -> (xGraphPpr _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -274,6 +274,67 @@ object Graph {
     }
   }
 
+  /** Personalized PageRank: the random walk teleports to the SEED set
+    * instead of uniformly — the similarity-to-seeds measure behind
+    * related-item recommendation and seed-expansion labeling. Same
+    * exact-long fixed-point discipline as [[pageRank]] (init mass
+    * Scale div |S| on seeds, zero elsewhere; per round
+    * r'(v) = [v ∈ S]·((dampDen−dampNum)·(Scale div |S|) div dampDen)
+    * + dampNum·Σ_{u→v}(r(u) div deg(u)) div dampDen), same
+    * src-partitioned cached edge layout, one equi-join + map-side-
+    * combinable aggregate per round, per-round checkpoint past
+    * [[DeepIterThreshold]]. Seeds are a bounded literal list (they
+    * parameterize the teleport VECTOR, not a data-sized frame);
+    * dangling mass is dropped, as in the standard PPR formulation —
+    * walks that fall off the graph restart by teleport only.
+    */
+  def personalizedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, seeds: Seq[Long],
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && iterations <= 64,
+      s"iterations must be in [1, 64], got $iterations")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping must satisfy 0 < $dampNum < $dampDen")
+    require(seeds.nonEmpty && seeds.size <= 10000,
+      s"seeds must be a bounded non-empty list, got ${seeds.size}")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .cache()
+    try {
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      val init = Scale / seeds.size
+      val base = (dampDen - dampNum) * init / dampDen
+      def isSeed(c: Column): Column = c.isin(seeds: _*)
+      val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")),
+        "src")
+      CacheScope.withCached2(
+        eDeg.repartition(col("src")), nodes.repartition(col("id"))) {
+        (eDeg, nodes) =>
+        var ranks = nodes.select(col("id"),
+          when(isSeed(col("id")), lit(init)).otherwise(lit(0L)).as("r"))
+        for (_ <- 1 to iterations) {
+          val sums = eDeg
+            .join(ranks.select(col("id").as("src"), col("r")), "src")
+            .select(col("dst"), expr("r div deg").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+          ranks = nodes
+            .join(sums, nodes("id") === sums("dst"), "left")
+            .select(nodes("id"),
+              (when(isSeed(nodes("id")), lit(base)).otherwise(lit(0L)) +
+                expr(s"($dampNum * coalesce(sc, 0L)) div $dampDen"))
+                .as("r"))
+          if (iterations > DeepIterThreshold)
+            ranks = ranks.localCheckpoint(eager = true)
+        }
+        ranks.select(col("id"), col("r").as("rank_scaled"))
+      }
+    } finally e.unpersist(blocking = false)
+  }
+
   /** k-core peeling, `rounds` synchronous rounds: repeatedly drop
     * every node whose CURRENT degree (in the surviving subgraph) is
     * below `k`. After enough rounds this is exactly the k-core (the

@@ -70,6 +70,13 @@ private[graft] object Fixtures {
     */
   private[graft] val Bm25Terms = Seq("spark", "window", "vector")
 
+  /** Teleport seed NODES for the personalized-PageRank row (customer
+    * nodes = custkey·2 in the bipartite purchase graph; custkeys 1–2
+    * hold orders at every shipped sf) — shared by the Spark expression
+    * and the oracle.
+    */
+  private[graft] val PprSeeds = Seq(2L, 4L)
+
   /** Per-source keep-fractions for x_sample_mix (default 0.1 for the
     * unlisted sources).
     */

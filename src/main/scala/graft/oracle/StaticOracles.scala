@@ -2072,6 +2072,7 @@ private[graft] object StaticOracles {
     // 10^12 // N, base = (15·init) // 100, r' = base +
     // (85·Σ(r // deg)) // 100, dangling mass leaked, 3 iterations
     "x_graph_pagerank" -> pageRankOracle(3, dangling = false),
+    "x_graph_ppr" -> pprOracle(3, Fixtures.PprSeeds),
     // same update unrolled to 10 CTE rounds — proves the per-round
     // localCheckpoint truncation path stays bit-stable over a deep chain
     "x_graph_pagerank_deep" -> pageRankOracle(10, dangling = false),
@@ -3305,6 +3306,47 @@ private[graft] object StaticOracles {
     * adds the redistribute term — the Σ of the previous round's rank
     * over nodes with no out-edges, shared uniformly.
     */
+  /** Personalized-PageRank twin of
+    * [[graft.ext.Graph.personalizedPageRank]] on the purchase graph:
+    * init and per-round base mass go to the SEED nodes only
+    * (Scale div |S|), everything else identical to [[pageRankOracle]]
+    * without the dangling term.
+    */
+  private def pprOracle(iters: Int, seeds: Seq[Long]): String = {
+    val seedList = seeds.mkString(", ")
+    def iterCte(prev: String, cur: String): String =
+      s"""$cur AS (
+        |  SELECT n.id,
+        |    (CASE WHEN n.id IN ($seedList)
+        |       THEN (SELECT base FROM cst) ELSE 0 END)
+        |      + (85 * coalesce(s.sc, 0)) // 100 AS r
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS id, sum(r.r // e.deg) AS sc
+        |    FROM ed e JOIN $prev r ON r.id = e.src
+        |    GROUP BY 1) s ON n.id = s.id)""".stripMargin
+    val rounds = (1 to iters)
+      .map(i => iterCte(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH e0 AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |nodes AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+      |cst AS (SELECT 1000000000000 // ${seeds.size} AS init,
+      |    (15 * (1000000000000 // ${seeds.size})) // 100 AS base),
+      |deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+      |ed AS (SELECT e.src, e.dst, d.deg FROM e0 e JOIN deg d USING (src)),
+      |r0 AS (SELECT id,
+      |    CASE WHEN id IN ($seedList) THEN (SELECT init FROM cst)
+      |      ELSE 0 END AS r
+      |  FROM nodes),
+      |$rounds
+      |SELECT id AS node_id,
+      |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+      |    AS node_type,
+      |  CAST(r AS BIGINT) AS rank_scaled
+      |FROM r$iters
+      |ORDER BY rank_scaled DESC, node_id LIMIT 20""".stripMargin
+  }
+
   private def pageRankOracle(iters: Int, dangling: Boolean): String = {
     def iterCte(prev: String, cur: String): String = {
       val dang =

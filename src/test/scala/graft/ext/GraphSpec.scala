@@ -129,6 +129,26 @@ class GraphSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("personalizedPageRank: mass flows from seeds only") {
+    import spark.implicits._
+    // 1 → 2, 3 → 4, seed {1}: after one round r(1) = base = 0.15·S,
+    // r(2) = 0.85·S; the disconnected 3→4 pair never gets mass
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.personalizedPageRank(edges, "src", "dst",
+        iterations = 1, seeds = Seq(1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s = Graph.Scale
+    assert(out(1L) === 15L * s / 100L)
+    assert(out(2L) === 85L * s / 100L)
+    assert(out(3L) === 0L && out(4L) === 0L)
+    // two seeds split the teleport mass exactly
+    val two = Graph.personalizedPageRank(edges, "src", "dst", 1,
+        Seq(1L, 3L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two(2L) === 85L * (s / 2) / 100L)
+    assert(two(2L) === two(4L))
+  }
+
   private def kcore(edges: Seq[(Long, Long)], k: Int, rounds: Int) = {
     import spark.implicits._
     Graph.kCorePeel(edges.toDF("src", "dst"), "src", "dst", k, rounds)
