@@ -2266,6 +2266,16 @@ object SparkEntry {
         col("n_chars"), col("lang") === "en", 64L, 9L)
       .orderBy("bin")
 
+  /** Slice audit (Experiment.sliceMetrics): per lang/source value,
+    * the long-document rate vs the corpus with a binomial z — one
+    * explode-map exchange, broadcast global, bounded output.
+    */
+  private def xEvalSlices(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Experiment.sliceMetrics(t(s, dir, "documents"),
+        Seq("lang" -> col("lang"), "source" -> col("source")),
+        col("n_chars") > 256)
+      .orderBy("slice", "value")
+
   /** Equal-frequency calibration (Experiment.calibrationQuantile):
     * quintile score bins from exact-percentile edges broadcast back —
     * the quantile twin of x_eval_calibration.
@@ -2748,7 +2758,8 @@ object SparkEntry {
     "x_behavior_rfm" -> (xBehaviorRfm _),
     "x_eval_calibration_quantile" -> (xEvalCalibrationQuantile _),
     "x_sample_neyman" -> (xSampleNeyman _),
-    "x_graph_ppr" -> (xGraphPpr _)
+    "x_graph_ppr" -> (xGraphPpr _),
+    "x_eval_slices" -> (xEvalSlices _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -151,6 +151,50 @@ object Experiment {
     }
   }
 
+  /** Slice-level metric audit (the "slice finder" eval-ops shape):
+    * for each nominated slicing dimension, per observed value — row
+    * count, positive count/rate, the global rate, and the one-sample
+    * binomial z-score of the slice against the global rate
+    * (z = (p̂ − P)/√(P(1−P)/n)) — the first-pass answer to "which
+    * data slices is the model/label failing on?". Slices with |z|
+    * large and n non-trivial are the ones worth drilling into.
+    *
+    * One pass: dimensions explode through a per-row map literal (the
+    * dictionary-parse trick — ONE exchange carrying ≈ Σ dimension
+    * cardinalities after map-side combine), the global rate rides a
+    * broadcast 1-row aggregate, z is a fixed chain of correctly-
+    * rounded double ops on exact counts, rounded to 12. Output is
+    * bounded by Σ dimension cardinalities (nominate bounded-domain
+    * dimensions). NULL label drops the row; NULL dimension values
+    * audit as the string "null" (absence is itself a slice).
+    */
+  def sliceMetrics(df: DataFrame, slices: Seq[(String, Column)],
+      label: Column): DataFrame = {
+    require(slices.nonEmpty, "sliceMetrics needs at least one slice")
+    val pairs = slices.flatMap { case (n, c) =>
+      Seq(lit(n), coalesce(c.cast("string"), lit("null")))
+    }
+    val base = df.select(label.as("__l"),
+        explode(map(pairs: _*)).as(Seq("slice", "value")))
+      .where(col("__l").isNotNull)
+    val global = base.agg(
+      count(lit(1)).as("__gn"),
+      sum(when(col("__l"), 1L).otherwise(0L)).as("__gpos"))
+    val g = col("__gpos").cast("double") / col("__gn").cast("double")
+    val p = col("pos").cast("double") / col("n").cast("double")
+    base.groupBy("slice", "value")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("pos"))
+      .crossJoin(broadcast(global))
+      .select(col("slice"), col("value"), col("n"), col("pos"),
+        round(p, 12).as("rate"),
+        round(g, 12).as("global_rate"),
+        when(col("__gpos") > 0 && col("__gpos") < col("__gn"),
+          round((p - g) /
+            sqrt(g * (lit(1.0) - g) / col("n").cast("double")), 12))
+          .as("z"))
+  }
+
   /** Equal-frequency calibration bins: the [[calibrationBins]] readout
     * with EXACT-QUANTILE bin edges instead of fixed widths — bin =
     * count of exceeded thresholds t_{1..nBins−1} (percentile i/nBins),

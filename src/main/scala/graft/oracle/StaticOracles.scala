@@ -2740,6 +2740,39 @@ private[graft] object StaticOracles {
         |  round(CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS DOUBLE) /
         |    CAST(count(*) AS DOUBLE), 12) AS pos_rate
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // slice audit: the explode-map mirrored as UNION ALL branches per
+    // dimension; z from exact counts through the same fixed double
+    // chain (p−g)/√(g(1−g)/n), round 12
+    "x_eval_slices" ->
+      """WITH b AS (
+        |  SELECT 'lang' AS slice,
+        |    coalesce(CAST(lang AS VARCHAR), 'null') AS value,
+        |    (n_chars > 256) AS l
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'source',
+        |    coalesce(CAST(source AS VARCHAR), 'null'),
+        |    (n_chars > 256)
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |g AS (SELECT count(*) AS gn,
+        |    sum(CASE WHEN l THEN 1 ELSE 0 END) AS gpos
+        |  FROM b)
+        |SELECT slice, value, count(*) AS n,
+        |  CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |  round(CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 12) AS rate,
+        |  round(CAST(gpos AS DOUBLE) / CAST(gn AS DOUBLE), 12)
+        |    AS global_rate,
+        |  CASE WHEN gpos > 0 AND gpos < gn THEN
+        |    round((CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE)
+        |      - CAST(gpos AS DOUBLE) / CAST(gn AS DOUBLE))
+        |      / sqrt((CAST(gpos AS DOUBLE) / CAST(gn AS DOUBLE))
+        |        * (1.0 - CAST(gpos AS DOUBLE) / CAST(gn AS DOUBLE))
+        |        / CAST(count(*) AS DOUBLE)), 12)
+        |  END AS z
+        |FROM b CROSS JOIN g
+        |GROUP BY slice, value, gn, gpos ORDER BY 1, 2""".stripMargin,
     // Cohen's κ from the exact 2×2 contingency: agree = n−a1−b1+2·both1,
     // chance = a1·b1+(n−a1)(n−b1); κ = (n·agree − chance)/(n² − chance)
     // — HUGEINT mirrors the Spark decimal(38,0) cross-multiplication,

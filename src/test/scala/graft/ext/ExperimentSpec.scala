@@ -139,6 +139,29 @@ class ExperimentSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 1L, -65.0), (1L, 2L, 95.5)))
   }
 
+  test("sliceMetrics: per-value rates, null slice audited, z signs") {
+    val df = Seq(
+      ("en", true), ("en", true), ("en", false), ("en", true),
+      ("de", false), ("de", false), (null: String, true))
+      .toDF("lang", "l")
+    val out = Experiment.sliceMetrics(df, Seq("lang" -> col("lang")),
+        col("l"))
+      .collect()
+      .map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.get(6)))
+      .toMap
+    assert(out("en") === ((4L, 3L, 0.75,
+      out("en")._4))) // en above global → positive z
+    assert(out("en")._4.asInstanceOf[Double] > 0)
+    assert(out("de")._4.asInstanceOf[Double] < 0)
+    assert(out("null") === ((1L, 1L, 1.0, out("null")._4)))
+    // global rate is the same on every row
+    val g = Experiment.sliceMetrics(df, Seq("lang" -> col("lang")),
+      col("l")).select("global_rate").distinct().collect()
+    assert(g.length === 1 &&
+      math.abs(g.head.getDouble(0) - 4.0 / 7.0) < 1e-9)
+  }
+
   test("calibrationQuantile: equal-mass bins, ties collapse together") {
     // scores 1..100, label = score > 50: quintiles put exactly 20 in
     // each bin and the positive rate steps 0, 0, .5, 1, 1
