@@ -245,10 +245,14 @@ object Behavior {
     * with user count and total cents — ≤125 rows at any corpus size.
     *
     * Scale: one hash aggregate events→users, ONE exact-percentile
-    * aggregate over the user frame (percentile state is bounded by
-    * value cardinality: day counts, event counts, cent totals — all
-    * narrow domains at user grain), both broadcast back; scoring is
+    * aggregate over the user frame, both broadcast back; scoring is
     * a pure projection, the cell rollup one bounded aggregate.
+    * Percentile state is bounded by each metric's DISTINCT-VALUE
+    * domain: recency days and event counts are narrow, but raw cent
+    * totals are near-unique per user — at billion-user scale pass a
+    * pre-quantized `valueCol` (whole currency units, or fixed-width
+    * bins) so the monetary domain stays bounded, the
+    * [[Profile.madOutliers]] contract.
     */
   def rfmSegments(events: DataFrame, userCol: Column, tsCol: Column,
       valueCol: Column): DataFrame = {
