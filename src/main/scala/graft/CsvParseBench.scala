@@ -23,13 +23,14 @@ object CsvParseBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val pkg = graft.sources.CsvFixture.ensure(spark, sfDir)
-    val variants: Seq[(String, Set[String])] = Seq(
-      "row-parse (current)" -> Set.empty,
-      "dict: dates" -> Set("date", "datetime"),
-      "dict: dates+int+bool" ->
-        Set("date", "datetime", "integer", "boolean"),
-      "dict: all parseable" ->
-        Set("date", "datetime", "integer", "boolean", "number"))
+    // order configurable so position/JIT bias is measurable: the
+    // round-7 first A/B ran row-first and flattered whichever variant
+    // came later
+    val reversed = sys.env.get("SPARK_GRAFT_CSV_REVERSE").contains("1")
+    val base: Seq[(String, Set[String])] = Seq(
+      "row-parse" -> Set.empty,
+      "dict: dates" -> Set("date", "datetime"))
+    val variants = if (reversed) base.reverse else base
     // one untimed warmup on the row path (JIT for the shared stack)
     Validate.reportDF(spark,
       Validate.validateCsv(spark, pkg)).count()

@@ -435,17 +435,21 @@ object Validate {
   /** Full reference lifecycle over CSV resources (E1).
     * `dictParseTypes`: field TYPES routed through the dictionary-parse
     * path (see the three-step scaladoc on [[parseTable]]); empty =
-    * per-row parse everywhere. Default ADOPTS dict parsing for
-    * date/datetime — measured 21% faster on the sf0.1 star-schema
-    * flagship (16.0 → 12.7 s median; PLANS.md round 7) because date
-    * domains are tiny relative to fact rows and strptime gates are
-    * the most expensive parse. Wider sets measured SLOWER (integer/
-    * number columns are key-like; their dictionaries are the corpus),
-    * and [[MaxDictValues]] guards the same hazard at scale.
+    * per-row parse everywhere — the DEFAULT, kept after measurement
+    * (PLANS.md round 7): an order-controlled A/B on the sf0.1
+    * star-schema flagship put dict dates WITHIN NOISE of the row path
+    * on a warm JVM (~12.5 s both; the first row-first A/B's 21% "win"
+    * was JIT position bias, exposed by reversing the variant order),
+    * and slightly SLOWER in-suite (+24 jobs). Spark's codegen'd regex
+    * gates are simply not the pandas-speed bottleneck the upstream
+    * trick assumes. The path stays available per field type for
+    * genuinely expensive parses (exotic strptime patterns, huge
+    * enums); wider type sets measured clearly slower (key-like
+    * columns have corpus-sized dictionaries), and [[MaxDictValues]]
+    * guards that hazard structurally.
     */
   def validateCsv(spark: SparkSession, pkg: Package,
-      dictParseTypes: Set[String] = Set("date", "datetime"))
-      : PackageReport = {
+      dictParseTypes: Set[String] = Set.empty): PackageReport = {
     // read + header check + parse each resource once
     val parsed: Map[String, (DataFrame, Seq[CheckResult], Set[String])] =
       pkg.resources.map { res =>
