@@ -27,9 +27,10 @@ object CsvParseBench {
     // round-7 first A/B ran row-first and flattered whichever variant
     // came later
     val reversed = sys.env.get("SPARK_GRAFT_CSV_REVERSE").contains("1")
-    val base: Seq[(String, Set[String])] = Seq(
-      "row-parse" -> Set.empty,
-      "dict: dates" -> Set("date", "datetime"))
+    val base: Seq[(String, (Set[String], Boolean))] = Seq(
+      "row-parse" -> ((Set.empty[String], false)),
+      "row-parse+rawcache" -> ((Set.empty[String], true)),
+      "dict: dates" -> ((Set("date", "datetime"), false)))
     val variants = if (reversed) base.reverse else base
     // one untimed warmup on the row path (JIT for the shared stack)
     Validate.reportDF(spark,
@@ -38,7 +39,7 @@ object CsvParseBench {
       val walls = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val n = Validate.reportDF(spark,
-          Validate.validateCsv(spark, pkg, types)).count()
+          Validate.validateCsv(spark, pkg, types._1, types._2)).count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values

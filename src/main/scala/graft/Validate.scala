@@ -449,11 +449,22 @@ object Validate {
     * guards that hazard structurally.
     */
   def validateCsv(spark: SparkSession, pkg: Package,
-      dictParseTypes: Set[String] = Set.empty): PackageReport = {
+      dictParseTypes: Set[String] = Set.empty,
+      persistRaw: Boolean = false): PackageReport = {
     // read + header check + parse each resource once
+    val rawFrames = scala.collection.mutable.ListBuffer[DataFrame]()
     val parsed: Map[String, (DataFrame, Seq[CheckResult], Set[String])] =
       pkg.resources.map { res =>
-        val raw = readResource(spark, res)
+        // `persistRaw` caches the raw all-string frame, which is
+        // consumed TWICE (validity aggregate + typed projection) —
+        // measured round 7: the storage-memory write costs about what
+        // the second (page-cached) CSV parse costs, so it is OFF by
+        // default and available for slow sources (object storage,
+        // decompression-heavy codecs) where a re-scan is genuinely
+        // expensive. Released after the typed frames materialize.
+        val raw0 = readResource(spark, res)
+        val raw = if (persistRaw) { rawFrames += raw0.persist(); raw0 }
+          else raw0
         val headerErrs =
           if (res.inlineData.isDefined) Nil // no header row to reconcile
           else headerCheck(actualCsvHeader(spark, res), res.schema)
@@ -476,6 +487,7 @@ object Validate {
       TableReport(t.table, parseErrs ++ kept)
     })
     tables.values.foreach(_.unpersist())
+    rawFrames.foreach(_.unpersist(blocking = false))
     report
   }
 
