@@ -1687,6 +1687,17 @@ object SparkEntry {
       .orderBy(desc("rank_scaled"), asc("node_id"))
       .limit(20)
 
+  /** Neighbor-Jaccard link prediction (Graph.neighborJaccard) on the
+    * co-purchase part graph: top-20 structurally-similar part pairs —
+    * basket-array wedge fan-out on the engine side, NAIVE wedge
+    * self-join in the oracle, so the hash-match proves the fan-out
+    * path exact.
+    */
+  private def xGraphNeighborJaccard(s: SparkSession,
+      dir: String): DataFrame =
+    graft.ext.Graph.neighborJaccard(coPartEdges(s, dir), "src", "dst",
+      topK = 20)
+
   /** 10-iteration PageRank (Graph.pageRank past DeepIterThreshold):
     * exercises the per-round localCheckpoint lineage-truncation path —
     * the oracle's 10 unrolled CTE rounds prove the fixed point stays
@@ -2759,7 +2770,8 @@ object SparkEntry {
     "x_eval_calibration_quantile" -> (xEvalCalibrationQuantile _),
     "x_sample_neyman" -> (xSampleNeyman _),
     "x_graph_ppr" -> (xGraphPpr _),
-    "x_eval_slices" -> (xEvalSlices _)
+    "x_eval_slices" -> (xEvalSlices _),
+    "x_graph_neighbor_jaccard" -> (xGraphNeighborJaccard _)
   )
 
   // ------------------------------------------------------------- oracles

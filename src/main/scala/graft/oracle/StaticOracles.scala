@@ -2073,6 +2073,25 @@ private[graft] object StaticOracles {
     // (85·Σ(r // deg)) // 100, dangling mass leaked, 3 iterations
     "x_graph_pagerank" -> pageRankOracle(3, dangling = false),
     "x_graph_ppr" -> pprOracle(3, Fixtures.PprSeeds),
+    // neighbor Jaccard via the NAIVE wedge self-join — the engine's
+    // basket-array fan-out must reproduce it exactly
+    "x_graph_neighbor_jaccard" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_orderkey % 3 = 0),
+        |und AS (SELECT DISTINCT a.p AS a, b.p AS b
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT a, b FROM und
+        |  UNION ALL SELECT b AS a, a AS b FROM und),
+        |deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY 1),
+        |w AS (SELECT s1.b AS u, s2.b AS v
+        |  FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b),
+        |c AS (SELECT u, v, count(*) AS common FROM w GROUP BY 1, 2)
+        |SELECT u, v, common,
+        |  round(CAST(common AS DOUBLE)
+        |    / CAST(du.deg + dv.deg - common AS DOUBLE), 12) AS jaccard
+        |FROM c JOIN deg du ON c.u = du.a JOIN deg dv ON c.v = dv.a
+        |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin,
     // same update unrolled to 10 CTE rounds — proves the per-round
     // localCheckpoint truncation path stays bit-stable over a deep chain
     "x_graph_pagerank_deep" -> pageRankOracle(10, dangling = false),

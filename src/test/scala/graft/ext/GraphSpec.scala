@@ -149,6 +149,35 @@ class GraphSpec extends SparkSpec {
     assert(two(2L) === two(4L))
   }
 
+  test("neighborJaccard: hand-checked scores, hub cap prunes centers") {
+    import spark.implicits._
+    // path 1-2-3 plus 1-4, 3-4: N(1)={2,4}, N(3)={2,4} → J(1,3)=1;
+    // N(2)={1,3}, N(4)={1,3} → J(2,4)=1; J(1,3) vs J(1,2): N(2)={1,3},
+    // common(1,2) = ∅? 1's neighbors {2,4}, 2's {1,3} → common via
+    // wedge centers: pairs sharing a center only
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = Graph.neighborJaccard(g, "src", "dst", topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out((1L, 3L)) === ((2L, 1.0))) // share both neighbors
+    assert(out((2L, 4L)) === ((2L, 1.0)))
+    assert(!out.contains((1L, 2L))) // adjacent but no shared neighbor
+    // a hub center: star 10→{1..5} plus edge 1-2. Uncapped, the hub
+    // emits all C(5,2) leaf pairs; with the cap at 4 those vanish and
+    // only the wedges through low-degree centers 1 and 2 remain
+    val star = ((1L to 5L).map(n => (10L, n)) ++ Seq((1L, 2L)))
+      .toDF("src", "dst")
+    val full = Graph.neighborJaccard(star, "src", "dst", 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.size === 10 + 2) // 10 hub pairs + (1,10) + (2,10)
+    val capped = Graph.neighborJaccard(star, "src", "dst", 100,
+        maxCenterDegree = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((2L, 10L), (1L, 10L)))
+  }
+
   private def kcore(edges: Seq[(Long, Long)], k: Int, rounds: Int) = {
     import spark.implicits._
     Graph.kCorePeel(edges.toDF("src", "dst"), "src", "dst", k, rounds)
