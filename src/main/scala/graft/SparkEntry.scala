@@ -1688,15 +1688,18 @@ object SparkEntry {
       .limit(20)
 
   /** Neighbor-Jaccard link prediction (Graph.neighborJaccard) on the
-    * co-purchase part graph: top-20 structurally-similar part pairs —
-    * basket-array wedge fan-out on the engine side, NAIVE wedge
-    * self-join in the oracle, so the hash-match proves the fan-out
-    * path exact.
+    * co-purchase part graph: top-20 structurally-similar part pairs,
+    * hub centers above degree 30 pruned (median degree ≈ 39 — the
+    * production shape: a mega-hub's wedge pairs are the least
+    * informative and the most expensive; uncapped the row costs
+    * 10.4 s vs 3-4 s capped at sf0.1). Basket-array wedge fan-out on
+    * the engine side, NAIVE capped wedge self-join in the oracle, so
+    * the hash-match proves the fan-out path exact.
     */
   private def xGraphNeighborJaccard(s: SparkSession,
       dir: String): DataFrame =
     graft.ext.Graph.neighborJaccard(coPartEdges(s, dir), "src", "dst",
-      topK = 20)
+      topK = 20, maxCenterDegree = 30)
 
   /** 10-iteration PageRank (Graph.pageRank past DeepIterThreshold):
     * exercises the per-round localCheckpoint lineage-truncation path —

@@ -2084,8 +2084,10 @@ private[graft] object StaticOracles {
         |sym AS (SELECT a, b FROM und
         |  UNION ALL SELECT b AS a, a AS b FROM und),
         |deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY 1),
+        |ctr AS (SELECT a FROM deg WHERE deg <= 30),
         |w AS (SELECT s1.b AS u, s2.b AS v
-        |  FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b),
+        |  FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+        |  JOIN ctr ON s1.a = ctr.a),
         |c AS (SELECT u, v, count(*) AS common FROM w GROUP BY 1, 2)
         |SELECT u, v, common,
         |  round(CAST(common AS DOUBLE)
