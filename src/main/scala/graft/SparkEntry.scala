@@ -1687,6 +1687,29 @@ object SparkEntry {
       .orderBy(desc("rank_scaled"), asc("node_id"))
       .limit(20)
 
+  /** Lag-1 autocorrelation (TimeSeries.autocorrelation) of daily
+    * order revenue — exact-moment Pearson over the (day, day+1)
+    * self-join, bucket-grain work only.
+    */
+  private def xTsAutocorr(s: SparkSession, dir: String): DataFrame =
+    // o_orderdate ships TIMESTAMP_NTZ: day index via DATE arithmetic,
+    // which is wall-clock on both engines — no session-timezone
+    // dependence (unix_micros would reject NTZ outright)
+    graft.ext.TimeSeries.autocorrelation(t(s, dir, "orders"),
+      datediff(col("o_orderdate").cast(DateType),
+        to_date(lit("1970-01-01"))),
+      round(col("o_totalprice") * 100).cast(LongType), lag = 1)
+
+  /** Hour-of-day seasonality (TimeSeries.seasonalityProfile) of event
+    * value and error share — one hash aggregate, 24 output rows.
+    */
+  private def xTsSeasonality(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.seasonalityProfile(t(s, dir, "events"),
+        col("ts"), round(col("value") * 100).cast(LongType),
+        col("event_type") === "error",
+        bucketUs = 3600000000L, cycle = 24)
+      .orderBy("phase")
+
   /** Neighbor-Jaccard link prediction (Graph.neighborJaccard) on the
     * co-purchase part graph: top-20 structurally-similar part pairs,
     * hub centers above degree 30 pruned (median degree ≈ 39 — the
@@ -2774,7 +2797,9 @@ object SparkEntry {
     "x_sample_neyman" -> (xSampleNeyman _),
     "x_graph_ppr" -> (xGraphPpr _),
     "x_eval_slices" -> (xEvalSlices _),
-    "x_graph_neighbor_jaccard" -> (xGraphNeighborJaccard _)
+    "x_graph_neighbor_jaccard" -> (xGraphNeighborJaccard _),
+    "x_ts_autocorr" -> (xTsAutocorr _),
+    "x_ts_seasonality" -> (xTsSeasonality _)
   )
 
   // ------------------------------------------------------------- oracles

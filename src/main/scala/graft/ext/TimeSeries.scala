@@ -252,4 +252,60 @@ object TimeSeries {
       .withColumn("flagged", col("cusum") > threshold)
       .drop("__graft_ord", "__graft_tie", "__graft_d", "__graft_p")
   }
+
+  /** Lag-`lag` autocorrelation of a bucketed series: the series is
+    * first aggregated to one exact long per integer time bucket
+    * (decimal sum, ANSI-loud cast back), then Pearson-correlated
+    * against itself shifted by `lag` buckets via
+    * [[Profile.corrMatrix]]'s exact-moment machinery — one
+    * self-equi-join on (bucket + lag), one hash aggregate of decimal
+    * moments, a fixed chain of correctly-rounded double ops. The
+    * seasonality/trend screen ("does yesterday predict today?") a
+    * freshness monitor runs per partition. Output: one row
+    * (n_pairs, autocorr); fewer than 2 pairs or a constant series →
+    * NULL autocorr.
+    *
+    * Scale: the bucket frame is bounded by the TIME RANGE over the
+    * bucket width, not by rows; everything downstream runs at bucket
+    * grain.
+    */
+  def autocorrelation(df: DataFrame, bucket: Column, value: Column,
+      lag: Int): DataFrame = {
+    require(lag >= 1 && lag <= 1000000, s"bad lag $lag")
+    val s = df
+      .select(bucket.cast("long").as("__t"),
+        value.cast("long").as("__v"))
+      .where(col("__t").isNotNull && col("__v").isNotNull)
+      .groupBy("__t")
+      .agg(sum(col("__v").cast("decimal(38,0)")).cast("long")
+        .as("__v"))
+    val pairs = s.select(col("__t"), col("__v").as("__x"))
+      .join(s.select((col("__t") - lag).as("__t"),
+        col("__v").as("__y")), "__t")
+    Profile.corrMatrix(pairs, Seq("x" -> col("__x"), "y" -> col("__y")))
+      .select(col("n").as("n_pairs"), col("corr").as("autocorr"))
+  }
+
+  /** Seasonality profile over an integer cycle (hour-of-day,
+    * day-of-week): per phase — row count, exact value total, and the
+    * share of rows matching `flag` — one hash aggregate, output
+    * bounded by the cycle length. `phase = (µs div bucketUs) mod
+    * cycle`.
+    */
+  def seasonalityProfile(df: DataFrame, tsCol: Column, value: Column,
+      flag: Column, bucketUs: Long, cycle: Int): DataFrame = {
+    require(bucketUs > 0 && cycle >= 2 && cycle <= 100000,
+      s"bad bucketUs $bucketUs / cycle $cycle")
+    df.select(
+        pmod(call_function("div", unix_micros(tsCol), lit(bucketUs)),
+          lit(cycle.toLong)).as("phase"),
+        value.cast("long").as("__v"), flag.as("__f"))
+      .where(col("phase").isNotNull)
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast("decimal(38,0)")).cast("long")
+          .as("v_total"),
+        round(sum(when(col("__f"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 12).as("flag_rate"))
+  }
 }

@@ -3000,6 +3000,51 @@ private[graft] object StaticOracles {
         |  FROM events))
         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // lag-1 autocorrelation: daily exact totals, Pearson over the
+    // (day, day+1) pairs mirrored double-op-for-double-op against
+    // corrMatrix (cast moments to DOUBLE, then multiply/subtract/
+    // divide/sqrt); unrounded like x_profile_corr
+    "x_ts_autocorr" ->
+      """WITH s0 AS (SELECT
+        |    date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS t,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+        |s AS (SELECT t, CAST(sum(CAST(v AS HUGEINT)) AS BIGINT) AS v
+        |  FROM s0 GROUP BY 1),
+        |p AS (SELECT a.v AS x, b.v AS y
+        |  FROM s a JOIN s b ON b.t = a.t + 1),
+        |m AS (SELECT count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM p)
+        |SELECT n AS n_pairs,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |    AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  END AS autocorr
+        |FROM m""".stripMargin,
+    // hour-of-day seasonality: one aggregate, 24 rows
+    "x_ts_seasonality" ->
+      """SELECT (epoch_us(ts) // 3600000000) % 24 AS phase,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+        |    AS BIGINT) AS v_total,
+        |  round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+        |      END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 12)
+        |    AS flag_rate
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // KM product in log space: each ln snapped to 1e-12 fixed point,
     // cumulated as exact ints; d = n sends the curve to an exact 0
     "x_ts_kaplan_meier" ->

@@ -198,4 +198,47 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(("b", 1L)) === 1.0) // censoring only — no drop
     assert(out(("b", 3L)) === 0.0)
   }
+
+  test("autocorrelation: alternating → −1 at lag 1, +1 at lag 2") {
+    val alt = (0L to 9L).map(t => (t, if (t % 2 == 0) 10L else -10L))
+      .toDF("t", "v")
+    def ac(df: org.apache.spark.sql.DataFrame, lag: Int) = {
+      val r = TimeSeries.autocorrelation(df, col("t"), col("v"), lag)
+        .collect().head
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    }
+    // corrMatrix leaves corr unrounded (the x_profile_corr
+    // convention), so compare within an ulp-scale tolerance
+    val a1 = ac(alt, 1); val a2 = ac(alt, 2)
+    assert(a1._1 === 9L && math.abs(a1._2.get - (-1.0)) < 1e-12)
+    assert(a2._1 === 8L && math.abs(a2._2.get - 1.0) < 1e-12)
+    // linear trend → +1; constant series → NULL (zero variance)
+    val lin = (0L to 9L).map(t => (t, t * 5L)).toDF("t", "v")
+    assert(math.abs(ac(lin, 1)._2.get - 1.0) < 1e-12)
+    val const = (0L to 9L).map(t => (t, 7L)).toDF("t", "v")
+    assert(ac(const, 1) === ((9L, None)))
+    // duplicate buckets aggregate before correlating
+    val dup = alt.union(alt)
+    val ad = ac(dup, 1)
+    assert(ad._1 === 9L && math.abs(ad._2.get - (-1.0)) < 1e-12)
+  }
+
+  test("seasonalityProfile: phases wrap the cycle, flags rate per phase") {
+    // hours 1 and 3 across two days: phase counts merge across days
+    val us = 3600000000L
+    val rows = Seq(
+      (1L * us, 10.0, "ok"), (3L * us, 20.0, "error"),
+      (25L * us, 30.0, "error"), (27L * us, 40.0, "ok"))
+      .map { case (t, v, e) => (new java.sql.Timestamp(t / 1000), v, e) }
+    val out = TimeSeries.seasonalityProfile(
+        rows.toDF("ts", "v", "e"), col("ts"),
+        round(col("v") * 100).cast("long"), col("e") === "error",
+        us, 24)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out === Map(
+      1L -> ((2L, 4000L, 0.5)), // 10.00 + 30.00, one error of two
+      3L -> ((2L, 6000L, 0.5))))
+  }
 }
