@@ -7,8 +7,8 @@ object Bench {
     * artifact recorded only a wall-clock median — record WHERE the
     * wall goes so harness tax and real regressions are
     * distinguishable). Jobs + task-time come from a listener (async
-    * bus — deltas are snapshotted after the post-query System.gc(),
-    * which gives the bus ample drain time); GC time is the sum over
+    * bus — deltas are snapshotted behind an explicit
+    * `waitUntilEmpty` drain barrier); GC time is the sum over
     * all collector beans of this single local-mode JVM, so it covers
     * driver and executors alike.
     */
@@ -163,9 +163,12 @@ object Bench {
       samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
       // attribution deltas INCLUDE the cleanup just performed — the
       // unpersist + forced GC are part of what this query cost the
-      // suite; the listener bus has drained during the GC pause in
-      // practice (jobs are counted at submission, which is synchronous
-      // with the timed region anyway)
+      // suite. Hard drain barrier before reading the counters: the
+      // listener bus is async, and without it a loaded run can bill
+      // one query's tail task events to the next row — attribution-
+      // only, but it is the signal the verdict leans on
+      org.apache.spark.GraftSparkShim.drainListenerBus(
+        spark.sparkContext, 10000L)
       gcSamples(name) = gcSamples.getOrElse(name, Vector.empty) :+
         (jvmGcMs() - gc0)
       jobSamples(name) = jobSamples.getOrElse(name, Vector.empty) :+

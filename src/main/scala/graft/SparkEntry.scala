@@ -273,14 +273,18 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
-  /** Deterministic per-sf scratch dir for write-once index artifacts
-    * (round-7 directive #3): keyed by the sf dir so concurrent
-    * Verify (sf0.01) and Bench (sf0.1) runs never clobber each
-    * other's artifacts.
+  /** Per-process, per-sf scratch dir for write-once index artifacts
+    * (round-7 directive #3): keyed by the sf dir AND the pid — sf
+    * keying keeps concurrent Verify (sf0.01) and Bench (sf0.1) runs
+    * apart, and the pid keeps two processes over the SAME sf dir
+    * (parallel Verify runs, or an sf-dir hashCode collision) from
+    * overwriting each other's parquet mid-read. The artifact is
+    * rebuilt per invocation, so a stale pid dir is just dead scratch.
     */
   private def indexDir(dir: String, kind: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_index/" +
-      s"${java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)}/$kind"
+      s"${java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)}_" +
+      s"p${ProcessHandle.current().pid()}/$kind"
 
   /** The x_dedup_incremental contract served through a PARQUET
     * ROUND-TRIP of the corpus index (IndexStore): build (id, sh) +
@@ -296,7 +300,8 @@ object SparkEntry {
       TextAnalysis.tokens(col("text")).as("toks"))
     val idx = indexDir(dir, "dedup")
     graft.sources.IndexStore.writeDedupIndex(base, idx, k = 5)
-    val (sh, bands) = graft.sources.IndexStore.readDedupIndex(s, idx)
+    val (sh, bands) =
+      graft.sources.IndexStore.readDedupIndex(s, idx, k = 5)
     val twins = base.select((col("id") + IncrementalTwinOffset).as("id"),
       slice(col("toks"), lit(1),
         floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
@@ -2345,7 +2350,7 @@ object SparkEntry {
   /** BM25 top-10 retrieval (TextAnalysis.bm25TopK) for a fixed
     * three-term query — rational Robertson idf, integer-cross-
     * multiplied tf saturation, one corpus aggregate broadcast back,
-    * TakeOrdered ranking.
+    * bounded-top-k ranking (no global sort, no window).
     */
   private def xTextBm25(s: SparkSession, dir: String): DataFrame =
     graft.ext.TextAnalysis.bm25TopK(t(s, dir, "documents"),

@@ -252,10 +252,14 @@ object Behavior {
     * totals are near-unique per user — at billion-user scale pass a
     * pre-quantized `valueCol` (whole currency units, or fixed-width
     * bins) so the monetary domain stays bounded, the
-    * [[Profile.madOutliers]] contract.
+    * [[Profile.madOutliers]] contract. ENFORCED like that operator's:
+    * one counted aggregate over the user frame, and past `maxDomain`
+    * distinct monetary totals the call fails loudly with the quantize
+    * remedy instead of silently growing corpus-sized percentile state.
     */
   def rfmSegments(events: DataFrame, userCol: Column, tsCol: Column,
-      valueCol: Column): DataFrame = {
+      valueCol: Column, maxDomain: Long = 2000000L): DataFrame = {
+    require(maxDomain > 0, s"maxDomain must be positive: $maxDomain")
     val dayUs = 86400000000L
     val users = events
       .select(userCol.as("__u"), unix_micros(tsCol).as("__ts"),
@@ -268,6 +272,12 @@ object Behavior {
       .agg(max(col("__ts")).as("__last"), count(lit(1)).as("__f"),
         coalesce(sum(col("__cents").cast("decimal(38,0)")), lit(0L))
           .cast("long").as("__m"))
+    val mDomain = users.agg(count_distinct(col("__m"))).head.getLong(0)
+    require(mDomain <= maxDomain,
+      s"rfmSegments: $mDomain distinct monetary totals (> maxDomain = " +
+        s"$maxDomain) — the exact-percentile state would grow with user " +
+        "count; pre-quantize valueCol (whole currency units or " +
+        "fixed-width bins) or raise maxDomain deliberately")
     val probs = array(Seq(0.2, 0.4, 0.6, 0.8).map(lit): _*)
     val withR = users
       .crossJoin(broadcast(users.agg(max(col("__last")).as("__now"))))

@@ -159,14 +159,18 @@ object Experiment {
     * data slices is the model/label failing on?". Slices with |z|
     * large and n non-trivial are the ones worth drilling into.
     *
-    * One pass: dimensions explode through a per-row map literal (the
-    * dictionary-parse trick — ONE exchange carrying ≈ Σ dimension
-    * cardinalities after map-side combine), the global rate rides a
-    * broadcast 1-row aggregate, z is a fixed chain of correctly-
-    * rounded double ops on exact counts, rounded to 12. Output is
-    * bounded by Σ dimension cardinalities (nominate bounded-domain
-    * dimensions). NULL label drops the row; NULL dimension values
-    * audit as the string "null" (absence is itself a slice).
+    * One pass — literally: dimensions explode through a per-row map
+    * literal (the dictionary-parse trick — ONE exchange carrying
+    * ≈ Σ dimension cardinalities after map-side combine), and the
+    * global rate is DERIVED from the grouped frame (every base row
+    * lands in exactly one value of each slice, so summing one slice's
+    * n/pos recovers the corpus totals — the cached bounded grouped
+    * frame feeds both readouts; the corpus and the exploded map are
+    * scanned once). z is a fixed chain of correctly-rounded double
+    * ops on exact counts, rounded to 12. Output is bounded by
+    * Σ dimension cardinalities (nominate bounded-domain dimensions).
+    * NULL label drops the row; NULL dimension values audit as the
+    * string "null" (absence is itself a slice).
     */
   def sliceMetrics(df: DataFrame, slices: Seq[(String, Column)],
       label: Column): DataFrame = {
@@ -177,22 +181,24 @@ object Experiment {
     val base = df.select(label.as("__l"),
         explode(map(pairs: _*)).as(Seq("slice", "value")))
       .where(col("__l").isNotNull)
-    val global = base.agg(
-      count(lit(1)).as("__gn"),
-      sum(when(col("__l"), 1L).otherwise(0L)).as("__gpos"))
-    val g = col("__gpos").cast("double") / col("__gn").cast("double")
-    val p = col("pos").cast("double") / col("n").cast("double")
-    base.groupBy("slice", "value")
+    val grouped = base.groupBy("slice", "value")
       .agg(count(lit(1)).as("n"),
         sum(when(col("__l"), 1L).otherwise(0L)).as("pos"))
-      .crossJoin(broadcast(global))
-      .select(col("slice"), col("value"), col("n"), col("pos"),
-        round(p, 12).as("rate"),
-        round(g, 12).as("global_rate"),
-        when(col("__gpos") > 0 && col("__gpos") < col("__gn"),
-          round((p - g) /
-            sqrt(g * (lit(1.0) - g) / col("n").cast("double")), 12))
-          .as("z"))
+    val g = col("__gpos").cast("double") / col("__gn").cast("double")
+    val p = col("pos").cast("double") / col("n").cast("double")
+    CacheScope.withCached(grouped) { gdf =>
+      val global = gdf.filter(col("slice") === lit(slices.head._1))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("__gn"),
+          coalesce(sum(col("pos")), lit(0L)).as("__gpos"))
+      gdf.crossJoin(broadcast(global))
+        .select(col("slice"), col("value"), col("n"), col("pos"),
+          round(p, 12).as("rate"),
+          round(g, 12).as("global_rate"),
+          when(col("__gpos") > 0 && col("__gpos") < col("__gn"),
+            round((p - g) /
+              sqrt(g * (lit(1.0) - g) / col("n").cast("double")), 12))
+            .as("z"))
+    }
   }
 
   /** Equal-frequency calibration bins: the [[calibrationBins]] readout

@@ -447,8 +447,14 @@ object Graph {
       val deg = degrees(e).localCheckpoint(eager = true)
       val alive = deg.filter(col("__deg") >= k)
         .select(col("n").as("__alive"))
-      // both counts run over the materialized node-bounded frame
-      if (alive.count() == deg.count()) converged = true
+      // ONE blocking action per round: total and surviving counts come
+      // out of the same aggregate over the materialized node-bounded
+      // frame (the r7 shape ran alive.count() AND deg.count() — two
+      // job submissions per round for one scalar each)
+      val cnt = deg.agg(count(lit(1)),
+        sum(when(col("__deg") >= k, 1L).otherwise(0L))).head
+      val aliveN = if (cnt.isNullAt(1)) 0L else cnt.getLong(1)
+      if (aliveN == cnt.getLong(0)) converged = true
       else e = e
         .join(alive.select(col("__alive").as("a")).hint("shuffle_hash"),
           Seq("a"), "left_semi")

@@ -440,8 +440,13 @@ object TextAnalysis {
     * Scale design: ONE corpus aggregate (N, L, per-term df — the term
     * list is a bounded literal) broadcast back as a single row; per-doc
     * tf is an in-codegen array filter, no explode, no shuffle of the
-    * token stream; top-N by (score desc, id) is TakeOrdered — no
-    * global sort. Docs matching no term are filtered before ranking.
+    * token stream; top-N by (score desc, id) rides the native
+    * `bounded_top_k` aggregate — O(topN) map-side partial state, no
+    * global sort, no single-partition window (the r7 cut TakeOrdered'd
+    * then re-sorted the limited rows under a global `row_number`
+    * window — a second sort plus the WindowExec single-partition
+    * warning in every run log, for rows the aggregate already holds in
+    * rank order). Docs matching no term are filtered before ranking.
     */
   def bm25TopK(docs: DataFrame, idCol: Column, textCol: Column,
       terms: Seq[String], topN: Int): DataFrame = {
@@ -473,10 +478,14 @@ object TextAnalysis {
         when(tf > 0, idf * tfpart).otherwise(lit(0.0))
       }.reduce(_ + _))
       .filter(col("score") > 0)
-      .orderBy(desc("score"), col("doc_id"))
-      .limit(topN)
-    scored.select(col("doc_id"), round(col("score"), 12).as("score"),
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(desc("score"), col("doc_id"))).cast("long").as("rank"))
+    // bounded_top_k's total order (score desc, id asc) is exactly the
+    // ranking contract; posexplode position IS the rank
+    scored
+      .agg(graft.functions.BoundedTopK.topk(
+        col("score"), col("doc_id"), topN).as("__tk"))
+      .select(posexplode(col("__tk")).as(Seq("__pos", "__p")))
+      .select(col("__p.id").as("doc_id"),
+        round(col("__p.score"), 12).as("score"),
+        (col("__pos") + 1).cast("long").as("rank"))
   }
 }

@@ -34,9 +34,33 @@ import graft.ext.{Dedup, Similarity}
   */
 object IndexStore {
 
+  /** One-row (num_hashes, bands, k) parameter record. A batch served
+    * with DIFFERENT banding parameters than the index was built with
+    * never collides with the corpus buckets and silently under-reports
+    * duplicates — so the artifact records its parameters and every
+    * read path requires a match (fail loudly, not quietly empty).
+    */
+  private def metaFrame(spark: SparkSession, numHashes: Int, bands: Int,
+      k: Int): DataFrame =
+    spark.range(1).select(lit(numHashes).as("num_hashes"),
+      lit(bands).as("bands"), lit(k).as("k"))
+
+  private def checkMeta(meta: DataFrame, where: String, numHashes: Int,
+      bands: Int, k: Int): Unit = {
+    val r = meta.select(col("num_hashes"), col("bands"), col("k")).head
+    require(
+      r.getInt(0) == numHashes && r.getInt(1) == bands && r.getInt(2) == k,
+      s"dedup index at $where was built with (numHashes=${r.getInt(0)}, " +
+        s"bands=${r.getInt(1)}, k=${r.getInt(2)}) but is being served " +
+        s"with (numHashes=$numHashes, bands=$bands, k=$k) — mismatched " +
+        "banding never collides with the corpus buckets and silently " +
+        "under-reports duplicates")
+  }
+
   /** Build + persist the near-dup corpus index from a pre-tokenized
     * `(id, toks)` frame. One corpus scan: the shingle frame is cached,
-    * written, and reused for the band build.
+    * written, and reused for the band build. The banding parameters
+    * ride along as `meta.parquet`; [[readDedupIndex]] validates them.
     */
   def writeDedupIndex(corpusToks: DataFrame, dir: String,
       numHashes: Int = 32, bands: Int = 16, k: Int = 3): Unit = {
@@ -46,14 +70,22 @@ object IndexStore {
       sh.write.mode("overwrite").parquet(s"$dir/shingles.parquet")
       Dedup.bandAssignmentsFromShingles(sh, numHashes, bands)
         .write.mode("overwrite").parquet(s"$dir/bands.parquet")
+      metaFrame(sh.sparkSession, numHashes, bands, k)
+        .write.mode("overwrite").parquet(s"$dir/meta.parquet")
     } finally sh.unpersist(blocking = false)
   }
 
-  /** Re-read the two dedup artifacts: (shingles, bands). */
-  def readDedupIndex(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) =
+  /** Re-read the two dedup artifacts: (shingles, bands). The serve-time
+    * parameters must MATCH the build-time record in `meta.parquet`.
+    */
+  def readDedupIndex(spark: SparkSession, dir: String,
+      numHashes: Int = 32, bands: Int = 16, k: Int = 3)
+      : (DataFrame, DataFrame) = {
+    checkMeta(spark.read.parquet(s"$dir/meta.parquet"), dir,
+      numHashes, bands, k)
     (spark.read.parquet(s"$dir/shingles.parquet"),
       spark.read.parquet(s"$dir/bands.parquet"))
+  }
 
   /** Bucketed-table variant of the dedup index: the band frame is
     * saved bucketed on `(band, bucket)` — the serve join's exchange
@@ -74,7 +106,23 @@ object IndexStore {
       Bucketing.writeBucketed(
         Dedup.bandAssignmentsFromShingles(sh, numHashes, bands),
         s"${table}_bands", Seq("band", "bucket"), numBuckets)
+      metaFrame(sh.sparkSession, numHashes, bands, k)
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${table}_meta")
     } finally sh.unpersist(blocking = false)
+  }
+
+  /** Re-read the bucketed dedup index: (shingles, bands), both with
+    * catalog bucket metadata so the per-batch serve join reads the
+    * corpus side with zero exchanges. Parameters validated against the
+    * build-time `_meta` record, like [[readDedupIndex]].
+    */
+  def readDedupIndexBucketed(spark: SparkSession, table: String,
+      numHashes: Int = 32, bands: Int = 16, k: Int = 3)
+      : (DataFrame, DataFrame) = {
+    checkMeta(spark.table(s"${table}_meta"), table, numHashes, bands, k)
+    (Bucketing.readBucketed(spark, s"${table}_sh"),
+      Bucketing.readBucketed(spark, s"${table}_bands"))
   }
 
   /** Build + persist the IVF index under an explicit centroid frame

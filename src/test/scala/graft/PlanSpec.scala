@@ -753,23 +753,26 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 2, s"expected ≤2 exchanges, got $shuffles")
   }
 
-  test("bm25TopK: token stream never shuffles; ranking is TakeOrdered") {
-    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+  test("bm25TopK: token stream never shuffles; ranking is bounded_top_k") {
+    import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val d = Tables.load(spark, dir, "documents")
     val b = graft.ext.TextAnalysis.bm25TopK(d, col("doc_id"),
       col("text"), Seq("spark", "window"), 10)
     val n = nodes(b)
-    assert(n.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
-      "score ranking must be per-partition top-k + merge")
-    // per-doc tf is an in-codegen array filter: the ONLY exchange in
-    // the whole plan is the single-row corpus-stats aggregate — no
-    // explode of the token stream ever reaches a shuffle
+    // ranking is the O(topN)-state bounded_top_k aggregate: nothing in
+    // the plan sorts at all, and no window runs anywhere (the r7 cut
+    // re-sorted the TakeOrdered rows under a single-partition window)
+    assert(!n.exists(_.isInstanceOf[SortExec]),
+      "bounded_top_k ranking must not sort the scored stream")
+    assert(!n.exists(_.isInstanceOf[WindowExec]),
+      "no rank window — position in the top-k array is the rank")
+    // per-doc tf is an in-codegen array filter: the only exchanges are
+    // the two single-row/bounded aggregates (corpus stats, top-k state)
+    // — no explode of the token stream ever reaches a shuffle
     val shuffles = n.collect { case s: ShuffleExchangeExec => s }
-    assert(shuffles.size <= 1,
+    assert(shuffles.size <= 2,
       s"token stream must not shuffle, got ${shuffles.size}")
-    // the final rank window runs over the 10-row TakeOrdered result —
-    // bounded, not a corpus window
   }
 
   test("group-aware split assignment is a zero-shuffle projection") {

@@ -94,6 +94,7 @@ class BucketingSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS idx_spec_bands")
       spark.sql("DROP TABLE IF EXISTS idx_spec_sh")
+      spark.sql("DROP TABLE IF EXISTS idx_spec_meta")
     }
   }
 
