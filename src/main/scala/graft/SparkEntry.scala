@@ -310,6 +310,44 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** Valid per-process SQL identifier for scratch bucketed-index
+    * tables (the managed-table twin of [[indexDir]] — same sf + pid
+    * keying, same rebuilt-per-invocation lifecycle; tables land in the
+    * gitignored spark-warehouse dir).
+    */
+  private def indexTable(dir: String, kind: String): String =
+    s"graft_${kind}_" +
+      s"${java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)}_" +
+      s"p${ProcessHandle.current().pid()}"
+
+  /** The STREAMING ingest loop closed against the persisted BUCKETED
+    * dedup index (the production 100 TB shape, previously proven only
+    * by plan assertion): the corpus index is written once as bucketed
+    * tables, the twin batch is written as multi-file parquet and
+    * re-read as a real file STREAM, and every micro-batch is served
+    * against the standing index inside foreachBatch
+    * (StreamingValidate.nearDupIngestStream) — corpus side exchange-
+    * free, batch side shuffling only itself. Shares
+    * x_dedup_incremental's oracle verbatim: the union over
+    * micro-batches must hash-equal the one-shot in-memory answer.
+    */
+  private def xStreamDedupIndex(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val tbl = indexTable(dir, "sidx")
+    graft.sources.IndexStore.writeDedupIndexBucketed(base, tbl,
+      numBuckets = 8, k = 5)
+    val twins = base.select((col("id") + IncrementalTwinOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val twinDir = indexDir(dir, "sidx_twins")
+    // 4 part files → 4 micro-batches under maxFilesPerTrigger = 1
+    twins.repartition(4).write.mode("overwrite").parquet(twinDir)
+    StreamingValidate.nearDupIngestStream(s, twinDir, tbl,
+        threshold = 0.5, k = 5)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** The x_sim_ivf_topk contract served from a persisted IVF index:
     * centroids + assignments written to parquet, re-read, probed.
     * Doubles round-trip parquet bit-identically, so this shares
@@ -2814,7 +2852,8 @@ object SparkEntry {
     "x_eval_slices" -> (xEvalSlices _),
     "x_graph_neighbor_jaccard" -> (xGraphNeighborJaccard _),
     "x_ts_autocorr" -> (xTsAutocorr _),
-    "x_ts_seasonality" -> (xTsSeasonality _)
+    "x_ts_seasonality" -> (xTsSeasonality _),
+    "x_stream_dedup_index" -> (xStreamDedupIndex _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -2833,6 +2872,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = graft.oracle.StaticOracles.sql ++
     Map(
       "x_dedup_index_served" ->
+        graft.oracle.StaticOracles.sql("x_dedup_incremental"),
+      "x_stream_dedup_index" ->
         graft.oracle.StaticOracles.sql("x_dedup_incremental"),
       "x_sim_ivf_served" ->
         graft.oracle.StaticOracles.sql("x_sim_ivf_topk"))

@@ -647,6 +647,23 @@ object Dedup {
         threshold, numHashes, bands, maxBucketSize)
     }
 
+  /** The EXACT serve join [[nearDuplicatesAgainstIndex]] runs, without
+    * the scoped-cache materialization — the returned frame still
+    * carries the join plan (CacheScope's localCheckpoint collapses it
+    * to a LogicalRDD), so specs can assert the corpus sides read their
+    * bucketed splits in place. Production callers want
+    * [[nearDuplicatesAgainstIndex]] (the new batch's shingle frame is
+    * scanned by both the band and the verify join — worth caching).
+    */
+  private[graft] def againstIndexPlan(
+      newDf: DataFrame, corpusSh: DataFrame, corpusBands: DataFrame,
+      threshold: Double, numHashes: Int, bands: Int, k: Int,
+      maxBucketSize: Int = 0): DataFrame =
+    againstCore(
+      newDf.select(col("id"),
+        shingleHashesFromTokens(col("toks"), k).as("sh")),
+      corpusSh, corpusBands, threshold, numHashes, bands, maxBucketSize)
+
   /** Shared core of the batch-vs-corpus near-dup join: band the new
     * batch, equi-join against the corpus band assignments (capped),
     * verify candidates by exact hash-set Jaccard.

@@ -393,4 +393,57 @@ object StreamingValidate {
       }
       .toDF()
   }
+
+  /** The production 100 TB ingest loop, closed end to end: micro-batches
+    * of NEW documents stream in and are served against the STANDING
+    * persisted dedup index — the bucketed tables written once by
+    * [[graft.sources.IndexStore.writeDedupIndexBucketed]] — via
+    * `foreachBatch`. Per batch, only the batch itself is shingled,
+    * minhashed, and shuffled to match the index bucketing; the corpus
+    * side reads its co-located splits in place with ZERO exchanges
+    * (BucketingSpec/StreamingSpec plan contract), so per-batch cost is
+    * the batch's own size, independent of corpus size. Serve-time
+    * banding parameters are validated against the index's build-time
+    * metadata (a mismatch silently reports no duplicates — IndexStore
+    * fails loudly instead).
+    *
+    * Batching is invisible in the result: each new id's verified pairs
+    * depend only on that id's shingles and the static index, so the
+    * union over micro-batches IS the one-shot batch answer — the
+    * harness proves it by hash-matching the streamed run against the
+    * in-memory batch path's oracle (x_stream_dedup_index shares
+    * x_dedup_incremental's oracle verbatim), and StreamingSpec asserts
+    * streamed ≡ batch on an independent split.
+    *
+    * `newDocsDir` holds parquet `(id, toks)` rows; each part file
+    * arrives as its own micro-batch (`maxFilesPerTrigger = 1`).
+    * Output: (new_id, corpus_id, jaccard) over all batches.
+    */
+  def nearDupIngestStream(spark: org.apache.spark.sql.SparkSession,
+      newDocsDir: String, indexTable: String, threshold: Double = 0.7,
+      numHashes: Int = 32, bands: Int = 16, k: Int = 3,
+      maxBucketSize: Int = 0): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val (sh, bandIdx) = graft.sources.IndexStore
+      .readDedupIndexBucketed(spark, indexTable, numHashes, bands, k)
+    def serve(batch: DataFrame): DataFrame =
+      graft.ext.Dedup.nearDuplicatesAgainstIndex(batch, sh, bandIdx,
+        threshold, numHashes, bands, k, maxBucketSize)
+    val schema = spark.read.parquet(newDocsDir).schema
+    // accumulate each micro-batch's served pairs (eagerly materialized
+    // — a foreachBatch frame is only valid inside its own trigger)
+    var acc: Option[DataFrame] = None
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(newDocsDir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val served = serve(b).localCheckpoint(eager = true)
+        acc = Some(acc.fold(served)(_.unionByName(served)))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    acc.getOrElse(serve(spark.read.parquet(newDocsDir).limit(0)))
+  }
 }

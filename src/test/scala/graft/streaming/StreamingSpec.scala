@@ -463,6 +463,95 @@ class StreamingSpec extends SparkSpec {
       col("value__minimum")).count() == 0)
   }
 
+  test("streamed ingest against the persisted bucketed dedup index " +
+      "equals the one-shot batch serve; corpus side reads in place") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    graft.sources.IndexStore.writeDedupIndexBucketed(docs, "sidx_spec",
+      numBuckets = 8, k = 5)
+    val twins = docs.select((col("id") + 500000L).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val twinDir = java.nio.file.Files
+      .createTempDirectory("graft_sidx_twins").toString
+    twins.repartition(3).write.mode("overwrite").parquet(twinDir)
+    try {
+      val streamed = StreamingValidate.nearDupIngestStream(spark,
+          twinDir, "sidx_spec", threshold = 0.5, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // one-shot batch serve from the SAME bucketed artifacts
+      val (sh, bands) = graft.sources.IndexStore
+        .readDedupIndexBucketed(spark, "sidx_spec", k = 5)
+      val batch = graft.ext.Dedup.nearDuplicatesAgainstIndex(
+        twins, sh, bands, threshold = 0.5, k = 5)
+      assert(streamed ===
+        batch.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      assert(streamed.nonEmpty, "twin batch must find its sources")
+      // plan contract for the per-batch serve join (same plan each
+      // micro-batch runs): NO exchange above either bucketed corpus
+      // scan — only the batch side shuffles to match the bucketing.
+      // Probed through againstIndexPlan (the identical join WITHOUT
+      // the scoped-cache localCheckpoint, which collapses the
+      // returned frame's plan to a LogicalRDD); broadcast disabled so
+      // a shuffle — if one existed — could not hide under an exchange
+      // the threshold happens to elide
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe =
+        try {
+          val p = graft.ext.Dedup.againstIndexPlan(twins, sh, bands,
+            threshold = 0.5, numHashes = 32, bands = 16, k = 5)
+          p.count()
+          p
+        } finally
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => q +: flatten(q.plan)
+        case other => other +: other.children.flatMap(flatten)
+      }
+      val all = flatten(probe.queryExecution.executedPlan)
+      def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan) =
+        p match {
+          case s: FileSourceScanExec => s.tableIdentifier.exists(t =>
+            t.table == "sidx_spec_bands" || t.table == "sidx_spec_sh")
+          case _ => false
+        }
+      assert(all.exists(isIndexScan),
+        "serve join must read the bucketed index tables")
+      // no shuffle may sit BETWEEN an index scan and the join that
+      // consumes it (post-join exchanges — the candidate distinct —
+      // are the batch-sized downstream and are fine): an offending
+      // exchange has an index scan below it with no intervening join
+      val offending = all.collect { case e: ShuffleExchangeExec
+        if {
+          val sub = flatten(e.child)
+          sub.exists(isIndexScan) && !sub.exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.joins
+              .BaseJoinExec])
+        } => e }
+      assert(offending.isEmpty,
+        s"corpus index sides must read in place, found:\n$offending")
+      // mismatched serve-time parameters must fail loudly, not return
+      // an empty (silently duplicate-free) result
+      val ex = intercept[IllegalArgumentException] {
+        graft.sources.IndexStore
+          .readDedupIndexBucketed(spark, "sidx_spec", k = 3)
+      }
+      assert(ex.getMessage.contains("built with"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sidx_spec_bands")
+      spark.sql("DROP TABLE IF EXISTS sidx_spec_sh")
+      spark.sql("DROP TABLE IF EXISTS sidx_spec_meta")
+    }
+  }
+
   test("stateful CUSUM: streamed rows equal the batch window identity") {
     val streamed = runStream("cusum_stream",
       df => StreamingValidate.cusumStream(
