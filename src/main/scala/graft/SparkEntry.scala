@@ -365,6 +365,42 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** The x_sim_pq contract served from a PERSISTED PQ index: the
+    * 16×16 codebook model and the per-vector code arrays written as
+    * plain parquet, re-read (model reconstructed from the artifact),
+    * and the same 5 queries ADC-scored against the re-read codes —
+    * the quantized artifact a 100 TB corpus actually persists (m
+    * small codes per vector instead of the float vector). Codebook
+    * doubles round-trip parquet bit-identically, so this shares
+    * x_sim_pq's dynamic oracle — hash-equality, not approximate.
+    */
+  private def xSimPqServed(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = Similarity.pqFit(e, m = 16, ks = 16)
+    val idx = indexDir(dir, "pq")
+    graft.sources.IndexStore.writePqIndex(e, model, idx)
+    Similarity.pqTopKFromCodes(e.filter(col("vec_id") < 5),
+        graft.sources.IndexStore.readPqCodes(s, idx), 10,
+        graft.sources.IndexStore.readPqModel(s, idx))
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The x_sim_quantized contract served from the PERSISTED int8
+    * corpus: (id, q, scale) written once, re-read, and scored against
+    * in-memory-quantized queries. Integral doubles round-trip parquet
+    * exactly, so this shares x_sim_quantized's oracle verbatim.
+    */
+  private def xSimQuantizedServed(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = indexDir(dir, "int8")
+    graft.sources.IndexStore.writeInt8Index(e, idx)
+    Similarity.quantizedTopKFromIndex(e.filter(col("vec_id") < 5),
+        graft.sources.IndexStore.readInt8Index(s, idx), 10)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
   /** Exactly-100 deterministic document sample (eval-set carving):
     * the 100 smallest (hash, id) keys — TakeOrdered, no global sort
     * (asserted in PlanSpec), same rows on any partitioning.
@@ -2853,7 +2889,9 @@ object SparkEntry {
     "x_graph_neighbor_jaccard" -> (xGraphNeighborJaccard _),
     "x_ts_autocorr" -> (xTsAutocorr _),
     "x_ts_seasonality" -> (xTsSeasonality _),
-    "x_stream_dedup_index" -> (xStreamDedupIndex _)
+    "x_stream_dedup_index" -> (xStreamDedupIndex _),
+    "x_sim_pq_served" -> (xSimPqServed _),
+    "x_sim_quantized_served" -> (xSimQuantizedServed _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -2876,7 +2914,9 @@ object SparkEntry {
       "x_stream_dedup_index" ->
         graft.oracle.StaticOracles.sql("x_dedup_incremental"),
       "x_sim_ivf_served" ->
-        graft.oracle.StaticOracles.sql("x_sim_ivf_topk"))
+        graft.oracle.StaticOracles.sql("x_sim_ivf_topk"),
+      "x_sim_quantized_served" ->
+        graft.oracle.StaticOracles.sql("x_sim_quantized"))
 
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
     * Verify skip the generation work when a name filter excludes them.

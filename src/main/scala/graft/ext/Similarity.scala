@@ -138,15 +138,37 @@ object Similarity {
     * integer ≤ 127²·d, representable in a double), so ranking ties are
     * engine-stable and the whole query is oracle-checkable.
     */
+  /** The int8 corpus index frame: (id, q, scale) with q integral in
+    * [-127, 127] — the persistable artifact ([[graft.sources
+    * .IndexStore.writeInt8Index]]): integral doubles and the scale
+    * round-trip parquet bit-identically, so a query served from the
+    * re-read artifact is hash-equal to the in-memory path.
+    */
+  def int8Index(df: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    normalized(df, idCol, vecCol)
+      .select(col("id"), quantizeInt8(col("nvec")).as("qz"))
+      .select(col("id"), col("qz.q").as("q"), col("qz.scale").as("scale"))
+
   def quantizedTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    quantizedTopKFromIndex(queries,
+      int8Index(corpus, idCol, vecCol), k, idCol, vecCol)
+
+  /** [[quantizedTopK]] served from a PREBUILT (id, q, scale) corpus
+    * index (typically re-read from parquet): only the small query set
+    * is normalized and quantized here; the corpus side is a plain
+    * columnar scan of one byte-packable array + one double per vector.
+    */
+  def quantizedTopKFromIndex(
+      queries: DataFrame, corpusIdx: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def quant(df: DataFrame, as: String, qc: String, sc: String) =
-      normalized(df, idCol, vecCol)
-        .select(col("id").as(as), quantizeInt8(col("nvec")).as("qz"))
-        .select(col(as), col("qz.q").as(qc), col("qz.scale").as(sc))
-    val q = quant(queries, "query_id", "qq", "qs")
-    val c = quant(corpus, "neighbor_id", "cq", "cs")
+    val q = normalized(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), quantizeInt8(col("nvec")).as("qz"))
+      .select(col("query_id"), col("qz.q").as("qq"), col("qz.scale").as("qs"))
+    val c = corpusIdx.select(col("id").as("neighbor_id"),
+      col("q").as("cq"), col("scale").as("cs"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -531,10 +553,22 @@ object Similarity {
 
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       model: PqModel, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    pqTopKFromCodes(queries, pqEncode(corpus, model, idCol, vecCol), k,
+      model, idCol, vecCol)
+
+  /** [[pqTopK]] served from PREBUILT (id, codes) corpus codes and a
+    * (re-read) model — the persisted-index path
+    * ([[graft.sources.IndexStore.writePqIndex]]): the corpus is never
+    * re-encoded per query batch; per-query ADC tables derive from the
+    * model's codebook doubles, which round-trip parquet bit-
+    * identically, so the served ranking is hash-equal to in-memory.
+    */
+  def pqTopKFromCodes(queries: DataFrame, codes: DataFrame, k: Int,
+      model: PqModel, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val enc = pqEncode(corpus, model, idCol, vecCol)
     val qDf = adcTables(queries, model, idCol, vecCol)
-    val scored = enc.crossJoin(broadcast(qDf))
+    val scored = codes.crossJoin(broadcast(qDf))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         adcSim.as("sim"))

@@ -31,7 +31,8 @@ private[graft] object DynamicOracles {
     */
   val names: Set[String] =
     Set("x_sim_ivf_kmeans", "x_sim_kmeans_full", "x_sim_pq",
-      "x_sim_ivf_pq", "x_sample_temperature", "x_embed_pca")
+      "x_sim_pq_served", "x_sim_ivf_pq", "x_sample_temperature",
+      "x_embed_pca")
 
   def sql(
       spark: SparkSession, sfDir: String,
@@ -59,8 +60,10 @@ private[graft] object DynamicOracles {
       .kmeansCentroids(t(spark, sfDir, "embeddings"), nLists = 16))
     // x_sim_pq: re-fit the deterministic codebooks, embed (j, code,
     // centroid, bias) literals; codes/tables/score fold re-derive in SQL
-    // with the same subspace-ordered arithmetic.
-    if (want("x_sim_pq")) {
+    // with the same subspace-ordered arithmetic. The persisted-index
+    // round-trip twin (x_sim_pq_served) shares this SQL VERBATIM —
+    // hash-identity with the in-memory path is its whole claim.
+    if (want("x_sim_pq") || want("x_sim_pq_served")) {
       b += ("x_sim_pq" ->
       s"""WITH v0 AS (
         |  SELECT vec_id AS id, embedding AS vec,
@@ -283,6 +286,12 @@ private[graft] object DynamicOracles {
         |      * pc[CAST(i AS INTEGER)])), 9) AS score
         |FROM e, p ORDER BY vec_id""".stripMargin)
     }
-    b.result()
+    val m = b.result()
+    // served round-trip twins alias their in-memory queries' oracles
+    // verbatim (the round-trip claims hash-identity, so aliasing the
+    // oracle IS the contract); filtered like every other entry
+    if (want("x_sim_pq_served") && m.contains("x_sim_pq"))
+      m + ("x_sim_pq_served" -> m("x_sim_pq"))
+    else m
   }
 }

@@ -145,4 +145,73 @@ object IndexStore {
       : (DataFrame, DataFrame) =
     (spark.read.parquet(s"$dir/ivf.parquet"),
       spark.read.parquet(s"$dir/centroids.parquet"))
+
+  /** Persist the int8-quantized corpus: `int8.parquet` (id long,
+    * q array<double> integral in [-127, 127], scale double). THE
+    * quantized serving artifact a 100 TB corpus persists — q packs to
+    * one byte per dim in a production sink (4× smaller than float32,
+    * 8× than double); integral doubles and the scale round-trip
+    * parquet bit-identically, so index-served rankings are hash-equal
+    * to the in-memory path (x_sim_quantized_served shares
+    * x_sim_quantized's oracle verbatim).
+    */
+  def writeInt8Index(corpus: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    Similarity.int8Index(corpus, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$dir/int8.parquet")
+
+  /** Re-read the int8 artifact: (id, q, scale). */
+  def readInt8Index(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/int8.parquet")
+
+  /** Persist a PQ index: `codebooks.parquet` (j int, code int,
+    * cvec array<double>, bias double — m·ks rows, the whole model) and
+    * `codes.parquet` (id long, codes array<int> — m small codes per
+    * corpus vector, the state that stays in executor memory when float
+    * vectors cannot). Plain parquet an external engine can consume;
+    * the codebook doubles round-trip bit-identically, so
+    * [[readPqModel]] + [[graft.ext.Similarity.pqTopKFromCodes]]
+    * reproduce the in-memory ranking exactly.
+    */
+  def writePqIndex(corpus: DataFrame, model: Similarity.PqModel,
+      dir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    (for (j <- 0 until model.m; c <- 0 until model.ks)
+      yield (j, c, model.codebooks(j)(c).toSeq, model.biases(j)(c)))
+      .toDF("j", "code", "cvec", "bias")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+    Similarity.pqEncode(corpus, model, idCol, vecCol)
+      .select(col("id"), col("codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+  }
+
+  /** Reconstruct the PqModel from the codebook artifact (bounded:
+    * m·ks rows of ds doubles — driver-side by the same contract as
+    * the fit that produced it).
+    */
+  def readPqModel(spark: SparkSession, dir: String): Similarity.PqModel = {
+    val rows = spark.read.parquet(s"$dir/codebooks.parquet")
+      .select(col("j"), col("code"), col("cvec"), col("bias"))
+      .collect()
+    require(rows.nonEmpty, s"empty PQ codebook artifact at $dir")
+    val m = rows.iterator.map(_.getInt(0)).max + 1
+    val ks = rows.iterator.map(_.getInt(1)).max + 1
+    require(rows.length == m * ks,
+      s"PQ codebook artifact at $dir has ${rows.length} rows, " +
+        s"expected $m×$ks")
+    val codebooks = Array.ofDim[Array[Double]](m, ks)
+    val biases = Array.ofDim[Double](m, ks)
+    rows.foreach { r =>
+      codebooks(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      biases(r.getInt(0))(r.getInt(1)) = r.getDouble(3)
+    }
+    Similarity.PqModel(m, ks, codebooks(0)(0).length, codebooks, biases)
+  }
+
+  /** Re-read the PQ corpus codes: (id, codes). */
+  def readPqCodes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/codes.parquet")
 }
