@@ -114,6 +114,11 @@ object Bench {
         Seq("e2e_validate_csv" -> ((s: SparkSession, _: String) =>
           Validate.reportDF(s, Validate.validateCsv(s, csvPkg))))
       }
+    // Zipf text fixture (heavy-tailed oracle corpus): materialized ONCE
+    // here, untimed — the rows time the operators, not fixture
+    // generation (idempotent, so a pre-existing fixture is a no-op)
+    if (only.isEmpty || only.exists(_.startsWith("x_zipf")))
+      graft.sources.ZipfFixture.ensure(spark, sfDir)
     // Deterministic order (Map iteration is hash-ordered) so per-query
     // timings are comparable across rounds; clear leaked per-query caches
     // between queries so one query's working set doesn't tax the next —

@@ -8,7 +8,7 @@ import graft.check.Checks
 import graft.CoreQueries._
 import graft.oracle.Fixtures.{t, docsWithCopies, docsWithTwins, docsV2,
   skewedDocs, FunnelSteps, LangmixPlanted, IncrementalTwinOffset,
-  SplitWeights, MixFractions, Bm25Terms, PprSeeds}
+  SplitWeights, MixFractions, Bm25Terms, ZipfBm25Terms, PprSeeds}
 import graft.ext.{Behavior, Cdc, Dedup, Joins, Linkage, Multimodal,
   Privacy, Reconcile, Sampling, Sessions, Similarity, Sketches,
   TextAnalysis}
@@ -2228,6 +2228,41 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** PPJoin on the HEAVY-TAILED Zipf fixture (round-8 directive #3):
+    * the same exact prefix-filtered AllPairs as x_dedup_ppjoin, run
+    * over the distribution the plan was designed for — a 50k-word
+    * Zipf vocabulary where df-ordered prefixes actually prune (the
+    * driver corpus's ~50-word vocabulary makes every pair share hot
+    * prefix tokens). The fixture plants a ~8%-perturbed replica every
+    * 10th doc; the `% 10 IN (0, 9)` subset keeps every planted pair
+    * while bounding the oracle's brute-force quadratic. The DuckDB
+    * oracle reads the SAME parquet files (read_parquet over the
+    * fixture path — dynamicOracleSql) and brute-forces every
+    * token-sharing pair; the engine must reach the identical pair set
+    * through pruning.
+    */
+  private def xZipfPpjoin(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.ZipfFixture.ensure(s, dir)
+    val base = s.read.parquet(path)
+      .where((col("doc_id") % 10).isin(0, 9))
+      .select(col("doc_id").as("id"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+    Dedup.jaccardJoinExact(base, "id", col("toks"), 7L, 10L)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** BM25 over the Zipf fixture: head/shoulder/tail query terms
+    * against a 50k-word Zipf vocabulary, so the rational Robertson
+    * idf runs on a realistic df spread. Same operator and constants
+    * as x_text_bm25; oracle reads the fixture via read_parquet
+    * (dynamicOracleSql).
+    */
+  private def xZipfBm25(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.bm25TopK(
+        s.read.parquet(graft.sources.ZipfFixture.ensure(s, dir)),
+        col("doc_id"), col("text"), ZipfBm25Terms, 10)
+      .orderBy("rank")
+
   /** Bloom file skipping (Layout.bloomIndex/bloomScanFlag): per-z-file
     * 512-bit blocked blooms over l_orderkey, probed with three point
     * lookups — the high-cardinality complement to the zone map's
@@ -2891,7 +2926,9 @@ object SparkEntry {
     "x_ts_seasonality" -> (xTsSeasonality _),
     "x_stream_dedup_index" -> (xStreamDedupIndex _),
     "x_sim_pq_served" -> (xSimPqServed _),
-    "x_sim_quantized_served" -> (xSimQuantizedServed _)
+    "x_sim_quantized_served" -> (xSimQuantizedServed _),
+    "x_zipf_ppjoin" -> (xZipfPpjoin _),
+    "x_zipf_bm25" -> (xZipfBm25 _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -44,6 +44,20 @@ object ZipfDocs {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    frame(spark, nDocs, vocab)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"[zipf] $out/documents.parquet written: $nDocs docs, " +
+      s"vocab $vocab")
+    spark.stop()
+  }
+
+  /** The corpus as a DataFrame — a pure function of (nDocs, vocab),
+    * shared by the bench-protocol main above and the oracle-checked
+    * [[graft.sources.ZipfFixture]] (round-8: heavy-tailed text
+    * correctness rows, not just timing protocols).
+    */
+  def frame(spark: SparkSession, nDocs: Long, vocab: Int)
+      : org.apache.spark.sql.DataFrame = {
     val lnV = math.log(vocab.toDouble)
     // deterministic uniform in [0,1) from a 2^40 hash bucket
     def u(seed: String): String =
@@ -59,7 +73,7 @@ object ZipfDocs {
       s"""concat('p', cast(greatest(least(cast(
          |  exp(${u("__seed * 7368787L + i")} * $lnV) as long),
          |  ${vocab}L), 1L) as string))""".stripMargin.replace("\n", " ")
-    val docs = spark.range(nDocs)
+    spark.range(nDocs)
       .withColumn("doc_id", col("id"))
       // replica docs share the seed of the group head
       .withColumn("__rep", col("doc_id") % 10 === 9)
@@ -82,9 +96,5 @@ object ZipfDocs {
         concat(lit("src"), pmod(col("doc_id"), lit(8L))))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars")
-    docs.write.mode("overwrite").parquet(s"$out/documents.parquet")
-    println(s"[zipf] $out/documents.parquet written: $nDocs docs, " +
-      s"vocab $vocab")
-    spark.stop()
   }
 }

@@ -32,7 +32,7 @@ private[graft] object DynamicOracles {
   val names: Set[String] =
     Set("x_sim_ivf_kmeans", "x_sim_kmeans_full", "x_sim_pq",
       "x_sim_pq_served", "x_sim_ivf_pq", "x_sample_temperature",
-      "x_embed_pca")
+      "x_embed_pca", "x_zipf_ppjoin", "x_zipf_bm25")
 
   def sql(
       spark: SparkSession, sfDir: String,
@@ -285,6 +285,42 @@ private[graft] object DynamicOracles {
         |    i -> CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
         |      * pc[CAST(i AS INTEGER)])), 9) AS score
         |FROM e, p ORDER BY vec_id""".stripMargin)
+    }
+    // Zipf-fixture rows: "dynamic" only in that the oracle reads the
+    // per-sf fixture PATH — the SQL itself is fixed. ensure() is
+    // idempotent (the query fns build the same files), so oracle
+    // generation never races the dump.
+    if (want("x_zipf_ppjoin") || want("x_zipf_bm25")) {
+      val path = graft.sources.ZipfFixture.ensure(spark, sfDir)
+      val from = s"read_parquet('$path/*.parquet')"
+      if (want("x_zipf_bm25"))
+        b += ("x_zipf_bm25" ->
+          StaticOracles.bm25Oracle(Fixtures.ZipfBm25Terms, 10, from))
+      // brute-force every token-sharing pair over the % 10 ∈ {0, 9}
+      // subset (keeps every planted replica pair); the engine must
+      // reach the SAME pairs through df-ordered prefix filtering
+      if (want("x_zipf_ppjoin"))
+        b += ("x_zipf_ppjoin" ->
+        s"""WITH sub AS (SELECT doc_id AS id,
+          |    list_filter(regexp_split_to_array(text, '\\s+'),
+          |      x -> x <> '') AS toks
+          |  FROM $from WHERE doc_id % 10 IN (0, 9)),
+          |sets AS (SELECT id, list_distinct(toks) AS ts FROM sub),
+          |sz AS (SELECT id, CAST(len(ts) AS BIGINT) AS s FROM sets
+          |  WHERE len(ts) >= 1),
+          |tok AS (SELECT id, unnest(ts) AS w FROM sets),
+          |pair AS (SELECT a.id AS id_a, b.id AS id_b,
+          |    CAST(count(*) AS BIGINT) AS inter
+          |  FROM tok a JOIN tok b ON a.w = b.w AND a.id < b.id
+          |  GROUP BY 1, 2)
+          |SELECT id_a, id_b, inter, sa.s AS size_a, sb.s AS size_b,
+          |  CAST(inter AS DOUBLE)
+          |    / CAST(sa.s + sb.s - inter AS DOUBLE) AS jaccard
+          |FROM pair
+          |JOIN sz sa ON sa.id = pair.id_a
+          |JOIN sz sb ON sb.id = pair.id_b
+          |WHERE inter * 10 >= (sa.s + sb.s - inter) * 7
+          |ORDER BY id_a, id_b""".stripMargin)
     }
     val m = b.result()
     // served round-trip twins alias their in-memory queries' oracles

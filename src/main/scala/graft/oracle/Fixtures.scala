@@ -70,6 +70,12 @@ private[graft] object Fixtures {
     */
   private[graft] val Bm25Terms = Seq("spark", "window", "vector")
 
+  /** Query terms for the Zipf-fixture BM25 row: head / shoulder / tail
+    * ranks of the 50k-vocab Zipf law, so the idf spread is realistic
+    * (the driver corpus's ~50-word vocabulary cannot produce one).
+    */
+  private[graft] val ZipfBm25Terms = Seq("w5", "w50", "w500")
+
   /** Teleport seed NODES for the personalized-PageRank row (customer
     * nodes = custkey·2 in the bipartite purchase graph; custkeys 1–2
     * hold orders at every shipped sf) — shared by the Spark expression

@@ -3497,7 +3497,8 @@ private[graft] object StaticOracles {
     * term CASE contributions added in the same fixed order as the
     * Spark `reduce`, HUGEINT products mirroring decimal(38,0).
     */
-  private def bm25Oracle(terms: Seq[String], topN: Int): String = {
+  private[oracle] def bm25Oracle(terms: Seq[String], topN: Int,
+      from: String = "documents"): String = {
     val tfCols = terms.indices.map(i =>
       s"CAST(len(list_filter(toks, x -> x = '${terms(i)}')) AS BIGINT)" +
         s" AS tf$i").mkString(",\n    ")
@@ -3515,7 +3516,7 @@ private[graft] object StaticOracles {
     s"""WITH t AS (SELECT doc_id,
       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
       |      AS toks
-      |  FROM documents),
+      |  FROM $from),
       |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len,
       |    $tfCols
       |  FROM t),
