@@ -386,6 +386,27 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** The x_sim_ivf_pq contract served ENTIRELY from persisted
+    * artifacts — centroids (probe routing), codebooks (the model),
+    * and the (id, list_id, codes) corpus state all round-trip parquet
+    * and the float corpus is never touched at serve time: the
+    * composed 100 TB ANN architecture, end to end on disk. Shares
+    * x_sim_ivf_pq's dynamic oracle verbatim.
+    */
+  private def xSimIvfPqServed(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = Similarity.pqFit(e, m = 16, ks = 16)
+    val cents = Similarity.kmeansCentroids(e, nLists = 16)
+    val idx = indexDir(dir, "ivfpq")
+    graft.sources.IndexStore.writeIvfPqIndex(e, model, cents, idx)
+    val (enc, rcents) = graft.sources.IndexStore.readIvfPqIndex(s, idx)
+    Similarity.ivfPqTopKFromIndex(e.filter(col("vec_id") < 5), enc,
+        rcents, graft.sources.IndexStore.readPqModel(s, idx), 10,
+        nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
   /** The x_sim_quantized contract served from the PERSISTED int8
     * corpus: (id, q, scale) written once, re-read, and scored against
     * in-memory-quantized queries. Integral doubles round-trip parquet
@@ -398,6 +419,44 @@ object SparkEntry {
     Similarity.quantizedTopKFromIndex(e.filter(col("vec_id") < 5),
         graft.sources.IndexStore.readInt8Index(s, idx), 10)
       .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Ranking-quality eval (Experiment.rankingMetrics): the brute-force
+    * cosine top-10 run scored against label-derived graded judgments
+    * (rel 2 for same-label docs with id % 3 = 0, rel 1 for other
+    * same-label docs) — P@10, recall@10, RR, NDCG@10 per query with
+    * the snapped-log2 DCG discipline. The oracle re-derives the run,
+    * the judgments, and every snapped term in SQL.
+    */
+  private def xEvalRanking(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val run = Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("__ql"))
+    val qrels = e.select(col("vec_id").as("doc_id"), col("label"))
+      .join(broadcast(queries),
+        col("label") === col("__ql") && col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        when(col("doc_id") % 3 === 0, 2L).otherwise(1L).as("rel"))
+    graft.ext.Experiment.rankingMetrics(run, qrels, 10)
+      .orderBy("query_id")
+  }
+
+  /** Hybrid rank fusion (Similarity.rrfFuse): the float-cosine and
+    * int8-quantized top-10 runs RRF-merged per query (k = 60) — the
+    * heterogeneous-retriever merge that needs no score calibration.
+    * Oracle recomputes both legs and the fused re-rank in SQL.
+    */
+  private def xSimRrf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    def rn(df: DataFrame) = df.select(col("query_id"),
+      col("neighbor_id").as("doc_id"), col("rank"))
+    Similarity.rrfFuse(rn(Similarity.bruteForceTopK(q, e, 10)),
+        rn(Similarity.quantizedTopK(q, e, 10)), topN = 10)
       .orderBy("query_id", "rank")
   }
 
@@ -2928,7 +2987,10 @@ object SparkEntry {
     "x_sim_pq_served" -> (xSimPqServed _),
     "x_sim_quantized_served" -> (xSimQuantizedServed _),
     "x_zipf_ppjoin" -> (xZipfPpjoin _),
-    "x_zipf_bm25" -> (xZipfBm25 _)
+    "x_zipf_bm25" -> (xZipfBm25 _),
+    "x_sim_ivf_pq_served" -> (xSimIvfPqServed _),
+    "x_eval_ranking" -> (xEvalRanking _),
+    "x_sim_rrf" -> (xSimRrf _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -312,4 +312,80 @@ object Experiment {
         round(sum(when(col("__l"), 1L).otherwise(0L)).cast("double") /
           count(lit(1)).cast("double"), 12).as("pos_rate"))
   }
+
+  /** Ranking-quality metrics per query — the retrieval-eval readout
+    * (TREC form): precision@k, recall@k, reciprocal rank, and NDCG@k
+    * with graded relevance, for scoring any (query_id, doc_id, rank)
+    * run — BM25, ANN, or a fused ranking — against a
+    * (query_id, doc_id, rel) judgment set.
+    *
+    * Determinism: the only libm call is log2 in the DCG discount, so
+    * each gain term (2^rel − 1)/log2(rank + 1) is snapped to 10⁻¹²
+    * fixed point and summed as exact longs (the [[graft.ext.Profile
+    * .mutualInfo]] discipline — order-free, and a last-ulp libm
+    * divergence is absorbed by the snap); 2^rel is exact for judgment-
+    * scale rel, reciprocal rank is a single correctly-rounded
+    * division, and NDCG is one division of two snapped longs. Ideal
+    * DCG ranks the top-k judgments through `bounded_top_k`
+    * ((rel desc, doc_id asc) — tie order cannot change the sum, since
+    * equal rels produce equal terms at any permutation of positions).
+    *
+    * Scale: the run is ≤ k rows per query by contract and judgments
+    * are eval-set-bounded; everything here is two broadcast-friendly
+    * equi-joins and per-query hash aggregates with O(k) bounded-top-k
+    * state — no windows, no corpus scan. Queries with no relevant
+    * judgment report n_rel = 0 and NULL recall/ndcg (undefined, never
+    * a fabricated 0).
+    *
+    * Output per query: (query_id, n_rel, n_ret, n_hits, p_at_k,
+    * recall_at_k, rr, ndcg), ratios rounded to 12.
+    */
+  def rankingMetrics(run: DataFrame, qrels: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    import graft.functions.BoundedTopK
+    val snap = (c: Column) => round(c * 1e12).cast("long")
+    // DCG term at 1-based rank r: (2^rel − 1) / log2(r + 1)
+    val gain = (rel: Column, rank: Column) =>
+      snap((pow(lit(2.0), rel) - 1.0) / log2(rank + lit(1.0)))
+    val r = run.select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("rank").cast("long").as("__rank"))
+      .where(col("__rank") <= k)
+    val q = qrels.select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("rel").cast("long").as("__rel"))
+      .where(col("__rel") > 0)
+    // per-query judgment totals + ideal DCG over the k best judgments
+    val ideal = q.groupBy("query_id")
+      .agg(count(lit(1)).as("n_rel"),
+        BoundedTopK.topk(col("__rel"), col("doc_id"), k).as("__tk"))
+      .select(col("query_id"), col("n_rel"),
+        posexplode(col("__tk")).as(Seq("__p", "__e")))
+      .groupBy("query_id")
+      .agg(first(col("n_rel")).as("n_rel"),
+        sum(gain(col("__e.score"), col("__p") + 1)).as("__idcg12"))
+    val hits = r.join(q, Seq("query_id", "doc_id"))
+    val perHit = hits.groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits"),
+        max(snap(lit(1.0) / col("__rank"))).as("__rr12"),
+        sum(gain(col("__rel"), col("__rank"))).as("__dcg12"))
+    r.groupBy("query_id").agg(count(lit(1)).as("n_ret"))
+      .join(ideal, Seq("query_id"), "left_outer")
+      .join(perHit, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("n_ret"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 12)
+          .as("p_at_k"),
+        when(col("n_rel") > 0,
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_rel").cast("double"), 12)).as("recall_at_k"),
+        round(coalesce(col("__rr12"), lit(0L)).cast("double") / 1e12, 12)
+          .as("rr"),
+        when(col("__idcg12") > 0,
+          round(coalesce(col("__dcg12"), lit(0L)).cast("double") /
+            col("__idcg12").cast("double"), 12)).as("ndcg"))
+  }
 }

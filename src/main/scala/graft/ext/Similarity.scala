@@ -138,6 +138,47 @@ object Similarity {
     * integer ≤ 127²·d, representable in a double), so ranking ties are
     * engine-stable and the whole query is oracle-checkable.
     */
+  /** Reciprocal-rank fusion of two ranked runs (Cormack, Clarke &
+    * Büttcher, SIGIR 2009) — the standard hybrid-retrieval merge
+    * (sparse BM25 leg + dense ANN leg, or two ANN configurations):
+    * each run contributes 1/(kConst + rank) per (query, doc), fused
+    * score = the sum, re-ranked per query. Rank fusion needs no score
+    * calibration between the legs — only ranks — which is why it is
+    * the production default for heterogeneous retrievers.
+    *
+    * Determinism: each contribution is ONE correctly-rounded division
+    * of exact small integers, and the fused score adds the two legs in
+    * fixed (a, b) order — bit-identical on any engine; ranking rides
+    * `bounded_top_k` ((score desc, doc_id asc) — no window, O(topN)
+    * map-side state). A doc absent from one leg contributes 0 from it
+    * (full outer join), exactly the RRF paper's convention.
+    *
+    * Scale: both runs are ≤ k rows per query by the top-k contract, so
+    * the join and the re-rank are eval-sized regardless of corpus
+    * size. Output: (query_id, doc_id, rrf_score, rank), score rounded
+    * to 12.
+    */
+  def rrfFuse(runA: DataFrame, runB: DataFrame, topN: Int,
+      kConst: Long = 60L): DataFrame = {
+    require(topN >= 1 && kConst >= 1, s"bad topN $topN / kConst $kConst")
+    def leg(df: DataFrame, as: String) =
+      df.select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("rank").cast("long").as(as))
+    val fused = leg(runA, "__ra")
+      .join(leg(runB, "__rb"), Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (col("__ra") + kConst), lit(0.0)) +
+          coalesce(lit(1.0) / (col("__rb") + kConst), lit(0.0)))
+          .as("__s"))
+    fused.groupBy("query_id")
+      .agg(BoundedTopK.topk(col("__s"), col("doc_id"), topN).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__e")))
+      .select(col("query_id"), col("__e.id").as("doc_id"),
+        round(col("__e.score"), 12).as("rrf_score"),
+        (col("__p") + 1).cast("long").as("rank"))
+  }
+
   /** The int8 corpus index frame: (id, q, scale) with q integral in
     * [-127, 127] — the persistable artifact ([[graft.sources
     * .IndexStore.writeInt8Index]]): integral doubles and the scale
@@ -588,13 +629,35 @@ object Similarity {
     * ADC scores identical to [[pqTopK]]'s, probe restriction being the
     * only difference).
     */
-  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      model: PqModel, centroids: DataFrame, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val enc = CacheScope.withCached(normalized(corpus, idCol, vecCol)) { v =>
+  /** The IVF-PQ corpus state built in ONE normalized pass:
+    * (id, list_id, codes) — a list id plus m codes per vector, the
+    * frame [[ivfPqTopK]] searches and [[graft.sources.IndexStore
+    * .writeIvfPqIndex]] persists.
+    */
+  def ivfPqIndex(corpus: DataFrame, model: PqModel,
+      centroids: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    CacheScope.withCached(normalized(corpus, idCol, vecCol)) { v =>
       assignToLists(v, centroids)
         .select(col("id"), col("list_id"), pqCodes(model).as("codes"))
     }
+
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      model: PqModel, centroids: DataFrame, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfPqTopKFromIndex(queries,
+      ivfPqIndex(corpus, model, centroids, idCol, vecCol),
+      centroids, model, k, nProbe, idCol, vecCol)
+
+  /** [[ivfPqTopK]] served from a PREBUILT (id, list_id, codes) frame
+    * and its (re-read) centroids + model — the fully-persisted ANN
+    * serving path: probe routing against the centroid artifact, ADC
+    * scoring against the code artifact, nothing recomputed from the
+    * float corpus.
+    */
+  def ivfPqTopKFromIndex(queries: DataFrame, enc: DataFrame,
+      centroids: DataFrame, model: PqModel, k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val probes = normalized(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("nvec").as("qvec"))
       .crossJoin(broadcast(centroids))

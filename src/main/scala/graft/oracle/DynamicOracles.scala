@@ -31,8 +31,9 @@ private[graft] object DynamicOracles {
     */
   val names: Set[String] =
     Set("x_sim_ivf_kmeans", "x_sim_kmeans_full", "x_sim_pq",
-      "x_sim_pq_served", "x_sim_ivf_pq", "x_sample_temperature",
-      "x_embed_pca", "x_zipf_ppjoin", "x_zipf_bm25")
+      "x_sim_pq_served", "x_sim_ivf_pq", "x_sim_ivf_pq_served",
+      "x_sample_temperature", "x_embed_pca", "x_zipf_ppjoin",
+      "x_zipf_bm25")
 
   def sql(
       spark: SparkSession, sfDir: String,
@@ -132,7 +133,7 @@ private[graft] object DynamicOracles {
     // codebooks) re-fit deterministically; list assignment, probe
     // routing, codes, tables and the subspace-ordered ADC fold all
     // re-derive in SQL.
-    if (want("x_sim_ivf_pq")) {
+    if (want("x_sim_ivf_pq") || want("x_sim_ivf_pq_served")) {
       val cents = cents16
       b += ("x_sim_ivf_pq" ->
       s"""WITH v0 AS (
@@ -326,8 +327,11 @@ private[graft] object DynamicOracles {
     // served round-trip twins alias their in-memory queries' oracles
     // verbatim (the round-trip claims hash-identity, so aliasing the
     // oracle IS the contract); filtered like every other entry
-    if (want("x_sim_pq_served") && m.contains("x_sim_pq"))
-      m + ("x_sim_pq_served" -> m("x_sim_pq"))
-    else m
+    Seq("x_sim_pq_served" -> "x_sim_pq",
+        "x_sim_ivf_pq_served" -> "x_sim_ivf_pq")
+      .foldLeft(m) { case (acc, (served, src)) =>
+        if (want(served) && acc.contains(src)) acc + (served -> acc(src))
+        else acc
+      }
   }
 }

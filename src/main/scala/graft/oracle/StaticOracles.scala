@@ -1610,6 +1610,147 @@ private[graft] object StaticOracles {
         |  FROM s)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // ranking-eval: re-derive the cosine run, the label-graded
+    // judgments, and every snapped DCG/RR term (mirrored operand
+    // order: (gain / log2) * 1e12 then round)
+    "x_eval_ranking" ->
+      """WITH nq AS (
+        |  SELECT vec_id AS query_id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings WHERE vec_id < 5),
+        |q AS (SELECT query_id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS qv
+        |      FROM nq WHERE nrm > 0),
+        |nc AS (
+        |  SELECT vec_id AS neighbor_id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT neighbor_id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS cv
+        |      FROM nc WHERE nrm > 0),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> qv[i] * cv[i])) AS sim
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |r0 AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s),
+        |run AS (SELECT query_id, neighbor_id AS doc_id, rank
+        |        FROM r0 WHERE rank <= 10),
+        |ql AS (SELECT vec_id AS query_id, label FROM embeddings
+        |       WHERE vec_id < 5),
+        |qr AS (SELECT ql.query_id, e.vec_id AS doc_id,
+        |    CASE WHEN e.vec_id % 3 = 0 THEN 2 ELSE 1 END AS rel
+        |  FROM embeddings e JOIN ql
+        |    ON e.label = ql.label AND e.vec_id <> ql.query_id),
+        |nrel AS (SELECT query_id, count(*) AS n_rel FROM qr GROUP BY 1),
+        |ip AS (SELECT query_id, rel,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY rel DESC, doc_id) AS p
+        |  FROM qr),
+        |idcg AS (SELECT query_id,
+        |    sum(CAST(round(((pow(2, rel) - 1.0) / log2(p + 1.0))
+        |      * 1e12) AS BIGINT)) AS idcg12
+        |  FROM ip WHERE p <= 10 GROUP BY 1),
+        |hits AS (SELECT run.query_id, run.rank, qr.rel
+        |  FROM run JOIN qr ON run.query_id = qr.query_id
+        |    AND run.doc_id = qr.doc_id),
+        |ph AS (SELECT query_id, count(*) AS n_hits,
+        |    max(CAST(round((1.0 / rank) * 1e12) AS BIGINT)) AS rr12,
+        |    sum(CAST(round(((pow(2, rel) - 1.0) / log2(rank + 1.0))
+        |      * 1e12) AS BIGINT)) AS dcg12
+        |  FROM hits GROUP BY 1),
+        |nret AS (SELECT query_id, count(*) AS n_ret FROM run GROUP BY 1)
+        |SELECT nret.query_id,
+        |  coalesce(nrel.n_rel, 0) AS n_rel, nret.n_ret,
+        |  coalesce(ph.n_hits, 0) AS n_hits,
+        |  round(CAST(coalesce(ph.n_hits, 0) AS DOUBLE) / 10, 12)
+        |    AS p_at_k,
+        |  CASE WHEN nrel.n_rel > 0 THEN
+        |    round(CAST(coalesce(ph.n_hits, 0) AS DOUBLE)
+        |      / CAST(nrel.n_rel AS DOUBLE), 12) END AS recall_at_k,
+        |  round(CAST(coalesce(ph.rr12, 0) AS DOUBLE) / 1e12, 12) AS rr,
+        |  CASE WHEN idcg.idcg12 > 0 THEN
+        |    round(CAST(coalesce(ph.dcg12, 0) AS DOUBLE)
+        |      / CAST(idcg.idcg12 AS DOUBLE), 12) END AS ndcg
+        |FROM nret
+        |LEFT JOIN nrel ON nrel.query_id = nret.query_id
+        |LEFT JOIN idcg ON idcg.query_id = nret.query_id
+        |LEFT JOIN ph ON ph.query_id = nret.query_id
+        |ORDER BY nret.query_id""".stripMargin,
+    // hybrid RRF fusion: both legs re-derived (float cosine + int8
+    // quantized), fused 1/(60 + rank) contributions, re-ranked
+    "x_sim_rrf" ->
+      """WITH nq AS (
+        |  SELECT vec_id AS query_id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings WHERE vec_id < 5),
+        |q AS (SELECT query_id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS qv
+        |      FROM nq WHERE nrm > 0),
+        |nc AS (
+        |  SELECT vec_id AS neighbor_id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT neighbor_id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS cv
+        |      FROM nc WHERE nrm > 0),
+        |sa AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> qv[i] * cv[i])) AS sim
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |ra0 AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM sa),
+        |ra AS (SELECT query_id, neighbor_id AS doc_id, rank
+        |       FROM ra0 WHERE rank <= 10),
+        |q1 AS (SELECT query_id, qv,
+        |         list_max(list_transform(qv, x -> abs(x))) / 127.0 AS qs
+        |       FROM q),
+        |qq AS (SELECT query_id, qs,
+        |        list_transform(qv, x -> floor(x / qs + 0.5)) AS qa
+        |      FROM q1),
+        |c1 AS (SELECT neighbor_id, cv,
+        |         list_max(list_transform(cv, x -> abs(x))) / 127.0 AS cs
+        |       FROM c),
+        |cc AS (SELECT neighbor_id, cs,
+        |        list_transform(cv, x -> floor(x / cs + 0.5)) AS ca
+        |      FROM c1),
+        |sb AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(range(1, len(qa) + 1),
+        |      i -> qa[i] * ca[i])) * qs * cs AS sim
+        |  FROM qq, cc WHERE query_id <> neighbor_id),
+        |rb0 AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM sb),
+        |rb AS (SELECT query_id, neighbor_id AS doc_id, rank
+        |       FROM rb0 WHERE rank <= 10),
+        |f AS (SELECT coalesce(ra.query_id, rb.query_id) AS query_id,
+        |    coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+        |    coalesce(1.0 / (ra.rank + 60), 0.0)
+        |      + coalesce(1.0 / (rb.rank + 60), 0.0) AS s
+        |  FROM ra FULL OUTER JOIN rb
+        |    ON ra.query_id = rb.query_id AND ra.doc_id = rb.doc_id),
+        |fr AS (SELECT query_id, doc_id, s,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY s DESC, doc_id) AS rank
+        |  FROM f)
+        |SELECT query_id, doc_id, round(s, 12) AS rrf_score,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "x_text_bigram_lp" ->
       """WITH tok AS (
         |  SELECT doc_id,

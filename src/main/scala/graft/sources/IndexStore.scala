@@ -173,20 +173,52 @@ object IndexStore {
     * [[readPqModel]] + [[graft.ext.Similarity.pqTopKFromCodes]]
     * reproduce the in-memory ranking exactly.
     */
-  def writePqIndex(corpus: DataFrame, model: Similarity.PqModel,
-      dir: String, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
-    val spark = corpus.sparkSession
+  private def codebookFrame(spark: SparkSession,
+      model: Similarity.PqModel): DataFrame = {
     import spark.implicits._
     (for (j <- 0 until model.m; c <- 0 until model.ks)
       yield (j, c, model.codebooks(j)(c).toSeq, model.biases(j)(c)))
       .toDF("j", "code", "cvec", "bias")
       .coalesce(1)
+  }
+
+  def writePqIndex(corpus: DataFrame, model: Similarity.PqModel,
+      dir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    codebookFrame(corpus.sparkSession, model)
       .write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
     Similarity.pqEncode(corpus, model, idCol, vecCol)
       .select(col("id"), col("codes"))
       .write.mode("overwrite").parquet(s"$dir/codes.parquet")
   }
+
+  /** Persist the COMPOSED IVF-PQ index — the 100 TB ANN architecture
+    * end to end on disk: `centroids.parquet` (probe routing),
+    * `codebooks.parquet` (the model), `ivfpq.parquet` (id, list_id,
+    * codes — one row of a list id plus m small codes per corpus
+    * vector, built in one normalized pass). Serving reads all three
+    * and never touches the float corpus again
+    * ([[graft.ext.Similarity.ivfPqTopKFromIndex]]); doubles
+    * round-trip parquet bit-identically, so x_sim_ivf_pq_served
+    * shares x_sim_ivf_pq's oracle verbatim.
+    */
+  def writeIvfPqIndex(corpus: DataFrame, model: Similarity.PqModel,
+      centroids: DataFrame, dir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    codebookFrame(corpus.sparkSession, model)
+      .write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+    Similarity.ivfPqIndex(corpus, model, centroids, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$dir/ivfpq.parquet")
+  }
+
+  /** Re-read the IVF-PQ artifacts: (enc, centroids); the model comes
+    * from [[readPqModel]] on the same dir.
+    */
+  def readIvfPqIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/ivfpq.parquet"),
+      spark.read.parquet(s"$dir/centroids.parquet"))
 
   /** Reconstruct the PqModel from the codebook artifact (bounded:
     * m·ks rows of ds doubles — driver-side by the same contract as

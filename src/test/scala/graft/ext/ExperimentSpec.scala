@@ -208,6 +208,44 @@ class ExperimentSpec extends SparkSpec {
     assert(r.getLong(0) === 2L && r.getDouble(2) === 1.0)
   }
 
+  test("rankingMetrics: hand-computed P@k / recall / RR / NDCG") {
+    val run = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 20L, 2L), (1L, 30L, 1L), (1L, 40L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    val r = Experiment.rankingMetrics(run, qrels, 3).collect().head
+    assert(r.getLong(1) === 3L) // n_rel
+    assert(r.getLong(2) === 3L) // n_ret
+    assert(r.getLong(3) === 2L) // n_hits: d20 (rel 2), d30 (rel 1)
+    assert(math.abs(r.getDouble(4) - 2.0 / 3) < 1e-9)  // p_at_k
+    assert(math.abs(r.getDouble(5) - 2.0 / 3) < 1e-9)  // recall
+    assert(r.getDouble(6) === 0.5) // rr: first hit at rank 2
+    // dcg = 3/log2(3) + 1/log2(4); idcg over rels (2,1,1) =
+    // 3/log2(2) + 1/log2(3) + 1/log2(4)
+    val dcg = 3.0 / (math.log(3) / math.log(2)) + 0.5
+    val idcg = 3.0 + 1.0 / (math.log(3) / math.log(2)) + 0.5
+    assert(math.abs(r.getDouble(7) - dcg / idcg) < 1e-9)
+  }
+
+  test("rankingMetrics: no relevant judgments → NULL recall and ndcg") {
+    val run = Seq((7L, 1L, 1L)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((7L, 1L, 0L)).toDF("query_id", "doc_id", "rel")
+    val r = Experiment.rankingMetrics(run, qrels, 5).collect().head
+    assert(r.getLong(1) === 0L && r.getLong(3) === 0L)
+    assert(r.isNullAt(5) && r.isNullAt(7)) // recall, ndcg undefined
+    assert(r.getDouble(4) === 0.0 && r.getDouble(6) === 0.0)
+  }
+
+  test("rankingMetrics: perfect run in ideal order scores NDCG = 1") {
+    val run = Seq((1L, 5L, 1L), (1L, 6L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 5L, 3L), (1L, 6L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    val r = Experiment.rankingMetrics(run, qrels, 2).collect().head
+    assert(r.getDouble(7) === 1.0 && r.getDouble(6) === 1.0)
+    assert(r.getDouble(4) === 1.0 && r.getDouble(5) === 1.0)
+  }
+
   test("aucExact enforces the bounded-domain contract loudly") {
     val rows = (1L to 100L).map(i => (i, i % 2 == 0))
     val ex = intercept[IllegalArgumentException] {

@@ -1527,4 +1527,26 @@ class ExtSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(ranks === Seq(1L, 2L)) // topN honored, tf-desc order
   }
+
+  test("rrfFuse: hand-computed reciprocal-rank fusion of two runs") {
+    val runA = Seq((1L, 1L, 1L), (1L, 2L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val runB = Seq((1L, 2L, 1L), (1L, 3L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Similarity.rrfFuse(runA, runB, topN = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // d2 rides both legs (1/62 + 1/61), d1 only A (1/61), d3 only B
+    // (1/62) — fusion promotes the doc both retrievers agree on
+    assert(out.map(_._1).toSeq === Seq(2L, 1L, 3L))
+    assert(math.abs(out(0)._2 - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(math.abs(out(1)._2 - 1.0 / 61) < 1e-12)
+    assert(out.map(_._3).toSeq === Seq(1L, 2L, 3L))
+    // equal fused scores tie-break by doc_id ascending
+    val tied = Similarity.rrfFuse(
+      Seq((1L, 9L, 1L), (1L, 4L, 2L)).toDF("query_id", "doc_id", "rank"),
+      Seq((1L, 4L, 1L), (1L, 9L, 2L)).toDF("query_id", "doc_id", "rank"),
+      topN = 10).orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(tied === Seq(4L, 9L))
+  }
 }
