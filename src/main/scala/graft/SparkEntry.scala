@@ -460,6 +460,27 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** The ANN SERVING loop streamed (the query-side twin of
+    * x_stream_dedup_index): the IVF index is persisted once, the 5
+    * query vectors arrive as a real file stream in 3 micro-batches,
+    * and each batch probes the standing artifacts inside foreachBatch
+    * (StreamingValidate.annServeStream). Per-query results depend
+    * only on the static index, so the union over batches hash-matches
+    * x_sim_ivf_topk's oracle verbatim.
+    */
+  private def xStreamAnnServe(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = indexDir(dir, "ivf_stream")
+    graft.sources.IndexStore.writeIvfIndex(e,
+      Similarity.firstIdCentroids(e, 16), idx)
+    val qDir = indexDir(dir, "ann_queries")
+    e.filter(col("vec_id") < 5).repartition(3)
+      .write.mode("overwrite").parquet(qDir)
+    StreamingValidate.annServeStream(s, qDir, idx, 10, nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
   /** Exactly-100 deterministic document sample (eval-set carving):
     * the 100 smallest (hash, id) keys — TakeOrdered, no global sort
     * (asserted in PlanSpec), same rows on any partitioning.
@@ -2990,7 +3011,8 @@ object SparkEntry {
     "x_zipf_bm25" -> (xZipfBm25 _),
     "x_sim_ivf_pq_served" -> (xSimIvfPqServed _),
     "x_eval_ranking" -> (xEvalRanking _),
-    "x_sim_rrf" -> (xSimRrf _)
+    "x_sim_rrf" -> (xSimRrf _),
+    "x_stream_ann_serve" -> (xStreamAnnServe _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -3013,6 +3035,8 @@ object SparkEntry {
       "x_stream_dedup_index" ->
         graft.oracle.StaticOracles.sql("x_dedup_incremental"),
       "x_sim_ivf_served" ->
+        graft.oracle.StaticOracles.sql("x_sim_ivf_topk"),
+      "x_stream_ann_serve" ->
         graft.oracle.StaticOracles.sql("x_sim_ivf_topk"),
       "x_sim_quantized_served" ->
         graft.oracle.StaticOracles.sql("x_sim_quantized"))

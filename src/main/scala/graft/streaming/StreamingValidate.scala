@@ -419,6 +419,40 @@ object StreamingValidate {
     * arrives as its own micro-batch (`maxFilesPerTrigger = 1`).
     * Output: (new_id, corpus_id, jaccard) over all batches.
     */
+  /** The ANN twin of [[nearDupIngestStream]]: a STREAM of query
+    * vectors served against the standing persisted IVF index
+    * ([[graft.sources.IndexStore.writeIvfIndex]] artifacts re-read
+    * once, probed per micro-batch). Each query's top-k depends only on
+    * its own vector and the static index, so the union over
+    * micro-batches IS the one-shot batch answer — the harness row
+    * (x_stream_ann_serve) hash-matches the in-memory IVF oracle.
+    * `queriesDir` holds parquet rows with the corpus schema
+    * (vec_id, embedding, ...); one part file per micro-batch.
+    */
+  def annServeStream(spark: org.apache.spark.sql.SparkSession,
+      queriesDir: String, indexDir: String, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val (index, cents) = graft.sources.IndexStore
+      .readIvfIndex(spark, indexDir)
+    def serve(batch: DataFrame): DataFrame =
+      graft.ext.Similarity.ivfTopKWith(batch, index, cents, k, nProbe)
+    val schema = spark.read.parquet(queriesDir).schema
+    var acc: Option[DataFrame] = None
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(queriesDir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val served = serve(b).localCheckpoint(eager = true)
+        acc = Some(acc.fold(served)(_.unionByName(served)))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    acc.getOrElse(serve(spark.read.parquet(queriesDir).limit(0)))
+  }
+
   def nearDupIngestStream(spark: org.apache.spark.sql.SparkSession,
       newDocsDir: String, indexTable: String, threshold: Double = 0.7,
       numHashes: Int = 32, bands: Int = 16, k: Int = 3,
