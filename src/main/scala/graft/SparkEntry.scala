@@ -1883,6 +1883,33 @@ object SparkEntry {
     graft.ext.Graph.neighborJaccard(coPartEdges(s, dir), "src", "dst",
       topK = 20, maxCenterDegree = 30)
 
+  /** Adamic–Adar link prediction (Graph.adamicAdar) on the same
+    * co-purchase graph and hub cap as x_graph_neighbor_jaccard — the
+    * degree-weighted variant (rare common neighbors dominate); each
+    * center's 1/ln(deg) is snapped to 10⁻¹² fixed point once, pair
+    * scores sum as exact longs, ranking ties break on the exact
+    * integer. Oracle = the naive wedge self-join with the same
+    * snapped weights.
+    */
+  private def xGraphAdamicAdar(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.adamicAdar(coPartEdges(s, dir), "src", "dst",
+      topK = 20, maxCenterDegree = 30)
+
+  /** Exact two-sample KS drift statistic (Profile.ksTwoSample):
+    * whole-dollar price distributions of the R vs N return-flag
+    * cohorts — cross-multiplied integer CDF comparison over the
+    * bounded dollar domain, no libm, bit-identical on any engine.
+    */
+  private def xDriftKs(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def cohort(f: String) = li.filter(col("l_returnflag") === f)
+      .select(call_function("div",
+        round(col("l_extendedprice") * 100).cast("long"), lit(100L))
+        .as("price_d"))
+    graft.ext.Profile.ksTwoSample(cohort("R"), cohort("N"),
+      col("price_d"))
+  }
+
   /** 10-iteration PageRank (Graph.pageRank past DeepIterThreshold):
     * exercises the per-round localCheckpoint lineage-truncation path —
     * the oracle's 10 unrolled CTE rounds prove the fixed point stays
@@ -3012,7 +3039,9 @@ object SparkEntry {
     "x_sim_ivf_pq_served" -> (xSimIvfPqServed _),
     "x_eval_ranking" -> (xEvalRanking _),
     "x_sim_rrf" -> (xSimRrf _),
-    "x_stream_ann_serve" -> (xStreamAnnServe _)
+    "x_stream_ann_serve" -> (xStreamAnnServe _),
+    "x_graph_adamic_adar" -> (xGraphAdamicAdar _),
+    "x_drift_ks" -> (xDriftKs _)
   )
 
   // ------------------------------------------------------------- oracles

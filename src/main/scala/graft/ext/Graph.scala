@@ -396,6 +396,73 @@ object Graph {
     }
   }
 
+  /** Adamic–Adar link prediction — the degree-weighted twin of
+    * [[neighborJaccard]]: AA(u,v) = Σ_{c ∈ N(u) ∩ N(v)} 1/ln(deg(c)),
+    * so a common neighbor that touches everything contributes almost
+    * nothing while a selective one is strong evidence (Adamic & Adar,
+    * "Friends and neighbors on the Web", 2003). Top-`topK` pairs.
+    *
+    * Rides the identical per-center basket machinery (ONE shuffle to
+    * group, in-codegen wedge fan-out, Σ deg(c)²/2 work, the same
+    * `maxCenterDegree` hub cap — which here also bounds the weight
+    * floor, since a capped hub's 1/ln(deg) is the smallest possible
+    * contribution). The only change: each center's wedge pairs
+    * aggregate the center's weight instead of a count. The 1/ln term
+    * is libm, so it is snapped to 10⁻¹² fixed point ONCE per center
+    * and the per-pair score is an exact long sum of snapped terms
+    * (the [[graft.ext.Profile.mutualInfo]] discipline) — ranking ties
+    * break on the exact integer, bit-stable on any engine. Centers of
+    * degree 1 produce no wedges; ln(deg ≥ 2) > 0, so the weight is
+    * always finite.
+    *
+    * Output: (u, v, common, aa_score) by (score desc, u, v).
+    */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      topK: Int, maxCenterDegree: Int = 0): DataFrame = {
+    require(topK >= 1, s"bad topK $topK")
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    CacheScope.withCached(
+      und.union(und.select(col("b").as("a"), col("a").as("b")))) { sym =>
+      val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+      val centers0 = sym.select(col("a").as("c"), col("b").as("n"))
+      val centers =
+        if (maxCenterDegree <= 0) centers0
+        else centers0.join(
+          deg.filter(col("deg") <= maxCenterDegree)
+            .select(col("a").as("c")),
+          Seq("c"), "left_semi")
+      val w12 = round(lit(1e12) / log(col("deg").cast("double")))
+        .cast("long")
+      // deg >= 2 BEFORE the weight projection: a degree-1 center spawns
+      // no wedges, but ln(1) = 0 would still divide-by-zero under ANSI
+      val wedges = centers
+        .join(deg.select(col("a").as("c"), col("deg")), "c")
+        .filter(col("deg") >= 2)
+        .groupBy("c")
+        .agg(sort_array(collect_list(col("n"))).as("ns"),
+          first(w12).as("__w12"))
+        .select(col("__w12"), explode(flatten(transform(col("ns"),
+          (x, i) => transform(slice(col("ns"), i + 2, size(col("ns"))),
+            y => struct(x.as("u"), y.as("v")))))).as("p"))
+        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+        .agg(count(lit(1)).as("common"), sum(col("__w12")).as("__aa12"))
+      wedges
+        .select(col("u"), col("v"), col("common"),
+          round(col("__aa12").cast("double") / 1e12, 12).as("aa_score"),
+          col("__aa12"))
+        .orderBy(desc("__aa12"), col("u"), col("v"))
+        .limit(topK)
+        .drop("__aa12")
+    }
+  }
+
   /** k-core peeling, `rounds` synchronous rounds: repeatedly drop
     * every node whose CURRENT degree (in the surviving subgraph) is
     * below `k`. After enough rounds this is exactly the k-core (the

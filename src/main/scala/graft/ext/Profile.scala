@@ -786,6 +786,72 @@ object Profile {
     }
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov statistic between two
+    * cohorts' integer value distributions — the nonparametric drift
+    * detector that needs no binning choice (the [[psi]]-style scans
+    * depend on the bin grid; KS is the supremum over the empirical
+    * CDFs themselves): D = max_x |F_a(x) − F_b(x)|.
+    *
+    * Exactness: both CDFs are rational — cum/n — so the comparison is
+    * cross-multiplied to exact integers: D's numerator is
+    * max |cum_a·n_b − cum_b·n_a| over the UNION value domain (decimal
+    * products — long overflows past ~3·10⁹ rows per side), and the
+    * reported double is one correctly-rounded division. `ks_at` is
+    * the smallest value achieving the max (exact integer tie-break).
+    * No libm anywhere, so no snapping is needed — the statistic is
+    * bit-identical on any engine.
+    *
+    * Scale: one hash agg per cohort collapses rows to value
+    * frequencies; the cumulative window then runs over the DISTINCT
+    * domain only — the [[madOutliers]]/[[graft.ext.Experiment
+    * .aucExact]] bounded-domain contract, ENFORCED the same way
+    * (counted guard, quantize-first remedy past `maxDomain`).
+    *
+    * Output row: (n_a, n_b, ks, ks_at).
+    */
+  def ksTwoSample(a: DataFrame, b: DataFrame, value: Column,
+      maxDomain: Long = 2000000L): DataFrame = {
+    require(maxDomain > 0, s"maxDomain must be positive: $maxDomain")
+    import org.apache.spark.sql.expressions.Window
+    def freq(df: DataFrame, cnt: String): DataFrame =
+      df.select(value.cast("long").as("__v"))
+        .where(col("__v").isNotNull)
+        .groupBy("__v").agg(count(lit(1)).as(cnt))
+    val merged = freq(a, "__ca")
+      .join(freq(b, "__cb"), Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    CacheScope.withCached(merged) { m =>
+      val domain = m.agg(count(lit(1))).head.getLong(0)
+      require(domain <= maxDomain,
+        s"ksTwoSample: $domain distinct values (> maxDomain = " +
+          s"$maxDomain) — the CDF window would sort a corpus-sized " +
+          "partition; quantize the value (coarser units or fixed-width " +
+          "bins) or raise maxDomain deliberately")
+      val w = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val scored = m
+        .withColumn("__cuma", sum(col("__ca")).over(w))
+        .withColumn("__cumb", sum(col("__cb")).over(w))
+        .crossJoin(broadcast(m.agg(sum(col("__ca")).as("__na"),
+          sum(col("__cb")).as("__nb"))))
+        .select(col("__v"), col("__na"), col("__nb"),
+          abs(dec(col("__cuma")) * dec(col("__nb")) -
+            dec(col("__cumb")) * dec(col("__na"))).as("__d"))
+      scored
+        .crossJoin(broadcast(scored.agg(max(col("__d")).as("__dmax"))))
+        .where(col("__d") === col("__dmax"))
+        .groupBy(col("__na"), col("__nb"), col("__dmax"))
+        .agg(min(col("__v")).as("ks_at"))
+        .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+          round(col("__dmax").cast("double") /
+            (dec(col("__na")) * dec(col("__nb"))).cast("double"), 12)
+            .as("ks"),
+          col("ks_at"))
+    }
+  }
+
   /** Mutual information I(A;B) between two categorical columns, with
     * the marginal entropies and the normalized form
     * I/min(H(A), H(B)) ∈ [0,1] — the information-theoretic twin of

@@ -2235,6 +2235,62 @@ private[graft] object StaticOracles {
         |    / CAST(du.deg + dv.deg - common AS DOUBLE), 12) AS jaccard
         |FROM c JOIN deg du ON c.u = du.a JOIN deg dv ON c.v = dv.a
         |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin,
+    // naive wedge self-join with the SAME snapped 1/ln(deg) center
+    // weights — the basket fan-out must reach the identical exact sums
+    "x_graph_adamic_adar" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_orderkey % 3 = 0),
+        |und AS (SELECT DISTINCT a.p AS a, b.p AS b
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT a, b FROM und
+        |  UNION ALL SELECT b AS a, a AS b FROM und),
+        |deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY 1),
+        |ctr AS (SELECT a FROM deg WHERE deg <= 30),
+        |w AS (SELECT s1.b AS u, s2.b AS v, s1.a AS c
+        |  FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+        |  JOIN ctr ON s1.a = ctr.a),
+        |wt AS (SELECT w.u, w.v,
+        |    CAST(round(1e12 / ln(CAST(deg.deg AS DOUBLE))) AS BIGINT)
+        |      AS w12
+        |  FROM w JOIN deg ON w.c = deg.a),
+        |c AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common,
+        |    sum(w12) AS aa12
+        |  FROM wt GROUP BY 1, 2)
+        |SELECT u, v, common,
+        |  round(CAST(aa12 AS DOUBLE) / 1e12, 12) AS aa_score
+        |FROM c ORDER BY aa12 DESC, u, v LIMIT 20""".stripMargin,
+    // exact integer CDF cross-multiplication over the union dollar
+    // domain — no libm, no snapping, bit-identical supremum
+    "x_drift_ks" ->
+      """WITH pa AS (SELECT
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS v
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |pb AS (SELECT
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS v
+        |  FROM lineitem WHERE l_returnflag = 'N'),
+        |fa AS (SELECT v, count(*) AS ca FROM pa GROUP BY 1),
+        |fb AS (SELECT v, count(*) AS cb FROM pb GROUP BY 1),
+        |m AS (SELECT coalesce(fa.v, fb.v) AS v,
+        |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM fa FULL OUTER JOIN fb ON fa.v = fb.v),
+        |cu AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+        |  FROM m),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM m),
+        |sc AS (SELECT v, na, nb,
+        |    abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)
+        |      AS d
+        |  FROM cu, t),
+        |mx AS (SELECT max(d) AS dmax FROM sc)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(CAST(dmax AS DOUBLE)
+        |    / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE), 12) AS ks,
+        |  min(v) AS ks_at
+        |FROM sc, mx WHERE d = dmax GROUP BY na, nb, dmax""".stripMargin,
     // same update unrolled to 10 CTE rounds — proves the per-round
     // localCheckpoint truncation path stays bit-stable over a deep chain
     "x_graph_pagerank_deep" -> pageRankOracle(10, dangling = false),

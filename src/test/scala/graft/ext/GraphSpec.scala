@@ -203,4 +203,34 @@ class GraphSpec extends SparkSpec {
     val noisy = base ++ base.map(_.swap) ++ Seq((2L, 2L), (1L, 2L))
     assert(kcore(noisy, 2, 2) === kcore(base, 2, 2))
   }
+
+  test("adamicAdar: hand-computed degree-weighted wedge scores") {
+    // triangle 1-2-3 plus pendant 3-4: degrees 2,2,3,1. Center 3
+    // (deg 3) spawns (1,2),(1,4),(2,4) at weight 1/ln3; centers 1 and
+    // 2 (deg 2) spawn (2,3) and (1,3) at the stronger 1/ln2 — the
+    // selective-neighbor pairs must outrank the hub-mediated ones
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = Graph.adamicAdar(edges, "src", "dst", topK = 10)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.map(_._1).toSeq ===
+      Seq((1L, 3L), (2L, 3L), (1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(out.forall(_._2 == 1L)) // every pair has ONE common neighbor
+    val ln2 = 1.0 / math.log(2.0)
+    val ln3 = 1.0 / math.log(3.0)
+    assert(math.abs(out(0)._3 - ln2) < 1e-9)
+    assert(math.abs(out(2)._3 - ln3) < 1e-9)
+  }
+
+  test("adamicAdar hub cap drops only hub-mediated wedges") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    // cap 2 removes center 3 (deg 3): only the deg-2 centers remain
+    val capped = Graph.adamicAdar(edges, "src", "dst", topK = 10,
+        maxCenterDegree = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 3L), (2L, 3L)))
+  }
 }

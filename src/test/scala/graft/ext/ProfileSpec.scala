@@ -208,6 +208,38 @@ class ProfileSpec extends SparkSpec {
     assert(r.getLong(2) === 2L) // lower of the two middles, never 2.5
   }
 
+  test("ksTwoSample: hand-computed exact supremum and location") {
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val b = Seq(3L, 4L).toDF("v")
+    // F_a = 1/3, 2/3, 1, 1 at v = 1..4; F_b = 0, 0, 1/2, 1 →
+    // diffs 1/3, 2/3, 1/2, 0 — supremum 2/3 achieved at v = 2
+    val r = Profile.ksTwoSample(a, b, col("v")).collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
+    assert(math.abs(r.getDouble(2) - 2.0 / 3) < 1e-12)
+    assert(r.getLong(3) === 2L)
+  }
+
+  test("ksTwoSample: identical distributions score 0; disjoint score 1") {
+    val x = Seq(1L, 2L, 2L, 5L).toDF("v")
+    val same = Profile.ksTwoSample(x, x, col("v")).collect().head
+    assert(same.getDouble(2) === 0.0)
+    val lo = Seq(1L, 2L).toDF("v")
+    val hi = Seq(9L, 10L).toDF("v")
+    val far = Profile.ksTwoSample(lo, hi, col("v")).collect().head
+    assert(far.getDouble(2) === 1.0 && far.getLong(3) === 2L)
+  }
+
+  test("ksTwoSample enforces the bounded-domain contract loudly") {
+    val wide = (1L to 40L).toDF("v")
+    val ex = intercept[IllegalArgumentException] {
+      Profile.ksTwoSample(wide, wide, col("v"), maxDomain = 20L)
+        .collect()
+    }
+    assert(ex.getMessage.contains("quantize"))
+    assert(Profile.ksTwoSample(wide, wide, col("v"), maxDomain = 40L)
+      .collect().length === 1)
+  }
+
   test("madOutliers enforces the bounded-domain contract loudly") {
     // per-key domain is what matters: 30 distinct values in one key
     // trips a maxDomain of 20 even though the other key is tiny
