@@ -1910,6 +1910,18 @@ object SparkEntry {
       col("price_d"))
   }
 
+  /** Label-propagation communities (Graph.labelPropagation), 4
+    * synchronous rounds on the co-purchase part graph, reported as
+    * community sizes. The oracle unrolls the same 4 rounds as CTEs
+    * with the identical (count desc, label asc) tie-break, so the
+    * hash-match proves the windowless struct-argmax path exact.
+    */
+  private def xGraphLpa(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.labelPropagation(coPartEdges(s, dir), "src", "dst",
+        rounds = 4)
+      .groupBy(col("community")).agg(count(lit(1)).as("size"))
+      .orderBy(desc("size"), col("community")).limit(20)
+
   /** 10-iteration PageRank (Graph.pageRank past DeepIterThreshold):
     * exercises the per-round localCheckpoint lineage-truncation path —
     * the oracle's 10 unrolled CTE rounds prove the fixed point stays
@@ -3041,7 +3053,8 @@ object SparkEntry {
     "x_sim_rrf" -> (xSimRrf _),
     "x_stream_ann_serve" -> (xStreamAnnServe _),
     "x_graph_adamic_adar" -> (xGraphAdamicAdar _),
-    "x_drift_ks" -> (xDriftKs _)
+    "x_drift_ks" -> (xDriftKs _),
+    "x_graph_lpa" -> (xGraphLpa _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -463,6 +463,67 @@ object Graph {
     }
   }
 
+  /** Label-propagation community detection (Raghavan, Albert, Kumara,
+    * "Near linear time algorithm to detect community structures in
+    * large-scale networks", 2007), SYNCHRONOUS variant with a fully
+    * deterministic tie-break so a fixed round count is a pure function
+    * of the edge set (the published algorithm breaks ties RANDOMLY and
+    * updates asynchronously in arrival order — both unreproducible on
+    * a distributed engine). Labels start as node ids; each round every
+    * node adopts the most frequent label among its neighbors, ties to
+    * the SMALLEST label. Returns (id, community) after exactly
+    * `rounds` rounds — the fixed-round contract is the determinism
+    * contract (sync LPA can 2-cycle on bipartite structure, so
+    * "until converged" is not well-defined; callers pick the horizon,
+    * oracles unroll the same rounds).
+    *
+    * Scale design (100 TB lens): per round, ONE equi-join of the
+    * label frame against the symmetric edge list — cached and
+    * pre-partitioned on the neighbor column once, so every round
+    * reuses that exchange — then two map-side-combinable hash aggs:
+    * count per (node, label) (hub skew collapses in the partial agg)
+    * and an argmax per node computed as `max(struct(cnt, -label))`,
+    * exact long arithmetic with no window and no sort. Past
+    * [[DeepIterThreshold]] rounds the label frame localCheckpoints
+    * every round ([[pageRank]]'s lineage-truncation discipline).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds must be in [1, 64], got $rounds")
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    CacheScope.withCached(sym.repartition(col("b"))) { symB =>
+      // every node appears on both sides of sym, so the node set and
+      // the initial labels need no separate frame
+      var lbl = symB.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+      for (r <- 1 to rounds) {
+        // argmax by (count desc, label asc) as one exact-long struct
+        // max: negating the label flips the order, so no window/sort.
+        // Labels are node ids (≥ 0 after the cast filter), far from
+        // Long.MinValue, so the negation cannot overflow.
+        lbl = symB
+          .join(lbl.select(col("id").as("b"), col("lbl")), "b")
+          .groupBy(col("a"), col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("a"))
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("a").as("id"), (-col("m.nl")).as("lbl"))
+        if (rounds > DeepIterThreshold)
+          lbl = lbl.localCheckpoint(eager = true)
+      }
+      lbl.select(col("id"), col("lbl").as("community"))
+    }
+  }
+
   /** k-core peeling, `rounds` synchronous rounds: repeatedly drop
     * every node whose CURRENT degree (in the surviving subgraph) is
     * below `k`. After enough rounds this is exactly the k-core (the

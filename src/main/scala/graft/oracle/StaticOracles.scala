@@ -2291,6 +2291,9 @@ private[graft] object StaticOracles {
         |    / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE), 12) AS ks,
         |  min(v) AS ks_at
         |FROM sc, mx WHERE d = dmax GROUP BY na, nb, dmax""".stripMargin,
+    // same sync rounds unrolled as CTEs with the identical
+    // (count desc, label asc) tie-break via row_number
+    "x_graph_lpa" -> lpaOracle(4),
     // same update unrolled to 10 CTE rounds — proves the per-round
     // localCheckpoint truncation path stays bit-stable over a deep chain
     "x_graph_pagerank_deep" -> pageRankOracle(10, dangling = false),
@@ -3645,6 +3648,38 @@ private[graft] object StaticOracles {
       |  CAST(r AS BIGINT) AS rank_scaled
       |FROM r$iters
       |ORDER BY rank_scaled DESC, node_id LIMIT 20""".stripMargin
+  }
+
+  /** Unrolled sync label-propagation twin of
+    * [[graft.ext.Graph.labelPropagation]] on the thinned co-purchase
+    * graph: each round's argmax is a row_number over the grouped
+    * neighbor-label counts with the same (count desc, label asc)
+    * tie-break the Spark side encodes as max(struct(cnt, -label)).
+    */
+  private def lpaOracle(iters: Int): String = {
+    def iterCte(prev: String, cur: String): String =
+      s"""$cur AS (SELECT a AS id, lbl FROM (
+        |    SELECT a, lbl,
+        |      row_number() OVER (PARTITION BY a
+        |        ORDER BY cnt DESC, lbl) AS rn
+        |    FROM (SELECT s.a, r.lbl, count(*) AS cnt
+        |          FROM sym s JOIN $prev r ON s.b = r.id
+        |          GROUP BY 1, 2))
+        |  WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters)
+      .map(i => iterCte(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      |  WHERE l_orderkey % 3 = 0),
+      |und AS (SELECT DISTINCT a.p AS a, b.p AS b
+      |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      |sym AS (SELECT a, b FROM und
+      |  UNION ALL SELECT b AS a, a AS b FROM und),
+      |r0 AS (SELECT DISTINCT a AS id, a AS lbl FROM sym),
+      |$rounds
+      |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size
+      |FROM r$iters GROUP BY 1
+      |ORDER BY size DESC, community LIMIT 20""".stripMargin
   }
 
   private def pageRankOracle(iters: Int, dangling: Boolean): String = {

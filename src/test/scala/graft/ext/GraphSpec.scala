@@ -224,6 +224,32 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(out(2)._3 - ln3) < 1e-9)
   }
 
+  test("labelPropagation: two triangles and a bridge, hand-unrolled") {
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3-4. Sync rounds
+    // with (count desc, label asc) tie-break, unrolled by hand:
+    // r1 [2,1,1,3,4,4] r2 [1,1,1,4,3,3] r3 [1,1,1,3,3,3] r4 stable —
+    // each triangle settles on its smallest member id, the bridge
+    // never merges the communities
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    def run(r: Int): Map[Long, Long] =
+      Graph.labelPropagation(edges, "src", "dst", r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(run(1) === Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 4L, 6L -> 4L))
+    assert(run(4) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    assert(run(5) === run(4)) // fixed point reached
+  }
+
+  test("labelPropagation converges a clique to its smallest id") {
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b))
+      .toDF("src", "dst")
+    val out = Graph.labelPropagation(k4, "src", "dst", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("adamicAdar hub cap drops only hub-mediated wedges") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
       .toDF("src", "dst")
