@@ -1616,6 +1616,36 @@ object SparkEntry {
       .orderBy("w_name")
   }
 
+  /** Interval × interval overlap join (Joins.intervalOverlapJoin) on
+    * epoch-day bounds: per-lineitem in-transit windows
+    * [ship_day, ship_day + 1 + (okey+line) % 21) — the span is derived
+    * deterministically because the synthetic lineitem carries no
+    * receiptdate — against 30-day order windows [order_day, +30),
+    * counted per order. Day-grained longs sidestep timezone semantics
+    * entirely; the 32-day bin keeps the fan-out at ~1–2 bins per
+    * interval. Oracle = the naive inequality cross filter, so the
+    * hash-match proves canonical-bin dedup exact.
+    */
+  private def xJoinIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val epochD = lit(java.sql.Date.valueOf(ZmEpoch))
+    val shipDay = datediff(col("l_shipdate").cast("date"), epochD)
+      .cast("long")
+    val li = t(s, dir, "lineitem").where(col("l_orderkey") % 7 === 0)
+      .select(shipDay.as("ls"),
+        (shipDay + lit(1L) +
+          pmod(col("l_orderkey") + col("l_linenumber"), lit(21L)))
+          .as("le"))
+    val orderDay = datediff(col("o_orderdate").cast("date"), epochD)
+      .cast("long")
+    val ord = t(s, dir, "orders").where(col("o_orderkey") % 251 === 0)
+      .select(col("o_orderkey").as("okey"), orderDay.as("rs"),
+        (orderDay + lit(30L)).as("re"))
+    graft.ext.Joins.intervalOverlapJoin(li, col("ls"), col("le"),
+        ord, col("rs"), col("re"), binSize = 32L)
+      .groupBy(col("okey")).agg(count(lit(1)).as("n_overlap"))
+      .orderBy(col("okey"))
+  }
+
   /** Per-source vocabulary-cardinality KMV sketch (Sketches.kmvSketch):
     * the k = 64 smallest distinct token hashes per source, the exact
     * distinct-hash count, and the standard (k-1)·2^48/h_(k) estimate.
@@ -3054,7 +3084,8 @@ object SparkEntry {
     "x_stream_ann_serve" -> (xStreamAnnServe _),
     "x_graph_adamic_adar" -> (xGraphAdamicAdar _),
     "x_drift_ks" -> (xDriftKs _),
-    "x_graph_lpa" -> (xGraphLpa _)
+    "x_graph_lpa" -> (xGraphLpa _),
+    "x_join_interval_overlap" -> (xJoinIntervalOverlap _)
   )
 
   // ------------------------------------------------------------- oracles

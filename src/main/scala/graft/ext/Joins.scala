@@ -160,4 +160,63 @@ object Joins {
       .where(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
       .drop("__bin")
   }
+
+  /** Interval × interval overlap join via the same binning trick as
+    * [[rangeJoinBinned]], generalized to intervals on BOTH sides: two
+    * half-open intervals [ls, le) and [rs, re) overlap iff
+    * max(ls, rs) < min(le, re). Bounds are plain longs in any unit
+    * (epoch days, micros, sequence numbers) with `binSize` in the same
+    * unit — unlike the point case there is no timestamp in the
+    * signature, because interval data is as often day- or
+    * offset-grained as it is time-grained.
+    *
+    * Both sides explode into the bins they cover and equi-join on the
+    * bin, so Catalyst plans a hash join — never a nested loop. An
+    * overlapping pair shares EVERY bin the overlap region covers; the
+    * dedup that the point case didn't need is done with zero extra
+    * shuffle by keeping a pair only in its canonical bin — the one
+    * containing max(ls, rs), the overlap's first instant, which both
+    * sides necessarily cover. Degenerate intervals (end <= start)
+    * cover no bins and vanish, exactly like the point case's guard.
+    *
+    * Scale: fan-out per row is span/binSize — pick binSize near the
+    * typical span so each interval lands in O(1) bins; the join then
+    * shuffles both sides once on a key whose skew mirrors temporal
+    * density (hot bins can be salted upstream if one time window
+    * dominates). Output is every (left, right) column pair that
+    * overlaps; names must be disjoint (enforced) — aggregate or
+    * project downstream.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame, lStart: Column, lEnd: Column,
+      right: DataFrame, rStart: Column, rEnd: Column,
+      binSize: Long): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty,
+      s"intervalOverlapJoin: ambiguous column names ${clash.mkString(",")}" +
+        " — rename one side before joining")
+    val reserved = Set("__bin", "__ls", "__le", "__rs", "__re")
+    val taken = (left.columns ++ right.columns).filter(reserved)
+    require(taken.isEmpty,
+      s"intervalOverlapJoin: input columns ${taken.mkString(",")} collide " +
+        "with internal names — rename them first")
+    def binned(df: DataFrame, s: Column, e: Column,
+        sName: String, eName: String): DataFrame =
+      df.withColumn(sName, s.cast("long"))
+        .withColumn(eName, e.cast("long"))
+        .withColumn("__bin", explode(
+          when(col(eName) > col(sName),
+            sequence(floor(col(sName) / binSize),
+              floor((col(eName) - 1) / binSize)))
+            .otherwise(array().cast("array<bigint>"))))
+    val l = binned(left, lStart, lEnd, "__ls", "__le")
+    val r = binned(right, rStart, rEnd, "__rs", "__re")
+    l.join(r, Seq("__bin"))
+      .where(greatest(col("__ls"), col("__rs")) <
+        least(col("__le"), col("__re")) &&
+        col("__bin") ===
+          floor(greatest(col("__ls"), col("__rs")) / binSize))
+      .drop("__bin", "__ls", "__le", "__rs", "__re")
+  }
 }

@@ -2294,6 +2294,25 @@ private[graft] object StaticOracles {
     // same sync rounds unrolled as CTEs with the identical
     // (count desc, label asc) tie-break via row_number
     "x_graph_lpa" -> lpaOracle(4),
+    // naive inequality cross filter — the binned join's canonical-bin
+    // dedup must reproduce these counts exactly
+    "x_join_interval_overlap" ->
+      """WITH l AS (SELECT
+        |    CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS ls,
+        |    CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT)
+        |      + 1 + (l_orderkey + l_linenumber) % 21 AS le
+        |  FROM lineitem WHERE l_orderkey % 7 = 0),
+        |r AS (SELECT o_orderkey AS okey,
+        |    CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS rs,
+        |    CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) + 30 AS re
+        |  FROM orders WHERE o_orderkey % 251 = 0)
+        |SELECT okey, CAST(count(*) AS BIGINT) AS n_overlap
+        |FROM l, r WHERE greatest(ls, rs) < least(le, re)
+        |GROUP BY 1 ORDER BY okey""".stripMargin,
     // same update unrolled to 10 CTE rounds — proves the per-round
     // localCheckpoint truncation path stays bit-stable over a deep chain
     "x_graph_pagerank_deep" -> pageRankOracle(10, dangling = false),

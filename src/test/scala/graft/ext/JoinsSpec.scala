@@ -182,4 +182,60 @@ class JoinsSpec extends SparkSpec {
     val got = Joins.rangeJoinBinned(points, "pt", iv, "ws", "we", 1L)
     assert(got.select("w").collect().map(_.getString(0)).toSeq == Seq("ok"))
   }
+
+  test("intervalOverlapJoin: exact half-open overlaps, one row per pair") {
+    val l = Seq(("a", 0L, 10L), ("b", 10L, 20L), ("c", 5L, 6L),
+      ("inv", 30L, 30L)).toDF("lid", "ls", "le")
+    val r = Seq(("x", 8L, 12L), ("y", 20L, 25L), ("z", 0L, 100L))
+      .toDF("rid", "rs", "re")
+    // half-open: b [10,20) meets x [8,12) and z; y [20,25) touches b
+    // only at the excluded endpoint 20; the empty interval matches
+    // nothing; z [0,100) spans many bins but each pair appears ONCE
+    val got = Joins.intervalOverlapJoin(l, col("ls"), col("le"),
+        r, col("rs"), col("re"), binSize = 3L)
+      .select("lid", "rid").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(got === Set(("a", "x"), ("a", "z"), ("b", "x"), ("b", "z"),
+      ("c", "z")))
+    val n = Joins.intervalOverlapJoin(l, col("ls"), col("le"),
+        r, col("rs"), col("re"), binSize = 3L).count()
+    assert(n === 5L) // set equality alone would hide bin-duplicates
+  }
+
+  test("intervalOverlapJoin matches a naive cross filter at many bin sizes") {
+    val rnd = new scala.util.Random(7)
+    val l = (1 to 60).map(i =>
+      (i.toLong, rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .map { case (i, a, b) => (i, math.min(a, b), math.max(a, b) + 1) }
+      .toDF("lid", "ls", "le")
+    val r = (1 to 40).map(i =>
+      (i.toLong, rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .map { case (i, a, b) => (i, math.min(a, b), math.max(a, b) + 1) }
+      .toDF("rid", "rs", "re")
+    val naive = l.crossJoin(r)
+      .where(greatest(col("ls"), col("rs")) < least(col("le"), col("re")))
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    for (bin <- Seq(1L, 4L, 7L, 64L)) {
+      val got = Joins.intervalOverlapJoin(l, col("ls"), col("le"),
+          r, col("rs"), col("re"), bin)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      assert(got === naive, s"binSize $bin")
+    }
+  }
+
+  test("intervalOverlapJoin rejects clashing and reserved column names") {
+    val l = Seq((1L, 0L, 1L)).toDF("id", "s", "e")
+    val r = Seq((2L, 0L, 1L)).toDF("id", "rs", "re")
+    assert(intercept[IllegalArgumentException] {
+      Joins.intervalOverlapJoin(l, col("s"), col("e"),
+        r, col("rs"), col("re"), 1L)
+    }.getMessage.contains("ambiguous"))
+    val bad = Seq((1L, 0L, 1L)).toDF("__bin", "s", "e")
+    assert(intercept[IllegalArgumentException] {
+      Joins.intervalOverlapJoin(bad, col("s"), col("e"),
+        r, col("rs"), col("re"), 1L)
+    }.getMessage.contains("internal"))
+  }
 }
