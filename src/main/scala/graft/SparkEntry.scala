@@ -1976,6 +1976,28 @@ object SparkEntry {
     * hash agg (native latest_by argmax); the oracle runs the
     * row_number-window formulation of the same semantics.
     */
+  /** Snapshot state diff (Cdc.snapshotDiff): two deterministic
+    * "releases" of the orders table — old drops okey % 5 = 4, new
+    * drops okey % 7 = 3 and bumps totalprice where okey % 11 = 0 —
+    * diffed on (totalprice, orderstatus) and reported as churn counts
+    * per change type. Exercises all three change classes plus the
+    * unchanged-drop on ~27k overlapping keys at sf0.01.
+    */
+  private def xCdcSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val old = ord.where(col("o_orderkey") % 5 =!= 4)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val neu = ord.where(col("o_orderkey") % 7 =!= 3)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"))
+    graft.ext.Cdc.snapshotDiff(old, neu, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+      .groupBy(col("change")).agg(count(lit(1)).as("n"))
+      .orderBy(col("change"))
+  }
+
   private def xCdcMerge(s: SparkSession, dir: String): DataFrame =
     Cdc.lastWriterWins(t(s, dir, "events"),
         Seq("user_id"), Seq(unix_micros(col("ts")), col("event_id")),
@@ -3085,7 +3107,8 @@ object SparkEntry {
     "x_graph_adamic_adar" -> (xGraphAdamicAdar _),
     "x_drift_ks" -> (xDriftKs _),
     "x_graph_lpa" -> (xGraphLpa _),
-    "x_join_interval_overlap" -> (xJoinIntervalOverlap _)
+    "x_join_interval_overlap" -> (xJoinIntervalOverlap _),
+    "x_cdc_snapshot_diff" -> (xCdcSnapshotDiff _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -184,4 +184,48 @@ object Cdc {
       .withColumn("valid_to", lead(ordCol, 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** State diff between two SNAPSHOTS of the same table (dataset
+    * regression testing / release gating): which keys were added,
+    * removed, or changed between versions. The complement of the
+    * change-log operators above — those derive a snapshot FROM a
+    * log; this derives the log a missing CDC feed would have carried.
+    *
+    * Returns one row per differing key: (keys..., change) with
+    * `change` ∈ added | removed | changed; unchanged keys are
+    * filtered out, so output is bounded by the churn, not the corpus.
+    * Payload comparison is EXACT null-safe column equality (`<=>`
+    * per compare column, inside codegen) — never a hash, so there is
+    * no collision class that silently reports "unchanged".
+    *
+    * Precondition: `keys` is unique within each snapshot (it is a
+    * snapshot). Run the library's primary-key check ([[graft
+    * .Validate]] K1) as the pre-flight on untrusted inputs — a
+    * duplicate key would fan out in the join and double-count churn.
+    *
+    * Scale: one full-outer shuffle join on the key — co-located (zero
+    * exchange) when both snapshots are bucketed by the key, the
+    * standard layout for versioned tables; the comparison and the
+    * churn filter are narrow.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String], compare: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(compare.nonEmpty,
+      "snapshotDiff needs at least one compare column")
+    val o = oldDf.select((keys ++ compare).map(col): _*)
+      .withColumn("__in_old", lit(true))
+    val n = newDf.select(
+        (keys.map(col) ++ compare.map(c => col(c).as(s"__new_$c"))): _*)
+      .withColumn("__in_new", lit(true))
+    val same = compare.map(c => col(c) <=> col(s"__new_$c"))
+      .reduce(_ && _)
+    o.join(n, keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(!same, "changed")
+          .otherwise("unchanged").as("change"): _*)
+      .where(col("change") =!= "unchanged")
+  }
 }

@@ -2294,6 +2294,27 @@ private[graft] object StaticOracles {
     // same sync rounds unrolled as CTEs with the identical
     // (count desc, label asc) tie-break via row_number
     "x_graph_lpa" -> lpaOracle(4),
+    // full-outer join with IS NOT DISTINCT FROM payload comparison —
+    // the null-safe <=> reduction must match exactly
+    "x_cdc_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p,
+        |    o_orderstatus AS st
+        |  FROM orders WHERE o_orderkey % 5 <> 4),
+        |nw AS (SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS p,
+        |    o_orderstatus AS st
+        |  FROM orders WHERE o_orderkey % 7 <> 3),
+        |d AS (SELECT
+        |    CASE WHEN o.k IS NULL THEN 'added'
+        |         WHEN nw.k IS NULL THEN 'removed'
+        |         WHEN NOT (o.p IS NOT DISTINCT FROM nw.p
+        |               AND o.st IS NOT DISTINCT FROM nw.st)
+        |           THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM o FULL OUTER JOIN nw ON o.k = nw.k)
+        |SELECT change, CAST(count(*) AS BIGINT) AS n FROM d
+        |WHERE change <> 'unchanged' GROUP BY 1 ORDER BY change""".stripMargin,
     // naive inequality cross filter — the binned join's canonical-bin
     // dedup must reproduce these counts exactly
     "x_join_interval_overlap" ->

@@ -151,4 +151,25 @@ class CdcSpec extends SparkSpec {
     assert(Cdc.uniqueVersions(log, Seq("k"),
       Seq(col("ts"), col("cid"))).isEmpty)
   }
+
+  test("snapshotDiff: added/removed/changed, null-safe, unchanged dropped") {
+    val old = Seq(
+      (1L, Some("a"), Some(10L)),  // unchanged
+      (2L, Some("b"), Some(20L)),  // changed (payload)
+      (3L, None, Some(30L)),       // unchanged with a NULL payload
+      (4L, Some("d"), None),       // changed: NULL -> value
+      (5L, Some("e"), Some(50L))   // removed
+    ).toDF("k", "s", "v")
+    val neu = Seq(
+      (1L, Some("a"), Some(10L)),
+      (2L, Some("B"), Some(20L)),
+      (3L, None, Some(30L)),
+      (4L, Some("d"), Some(40L)),
+      (6L, Some("f"), Some(60L))   // added
+    ).toDF("k", "s", "v")
+    val out = Cdc.snapshotDiff(old, neu, Seq("k"), Seq("s", "v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((2L, "changed"), (4L, "changed"),
+      (5L, "removed"), (6L, "added")))
+  }
 }
