@@ -1039,6 +1039,19 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Per-cluster simplified silhouette (Similarity
+    * .silhouetteSimplified) over the 8-list sampled k-means fit — the
+    * cluster-quality eval for the IVF partitioning itself: which lists
+    * are tight (high s) and which are diffuse boundary lists that
+    * deserve more probes. The oracle re-fits the same deterministic
+    * centroids and recomputes every snapped score in SQL.
+    */
+  private def xSimSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.kmeansCentroids(e, nLists = 8)
+    Similarity.silhouetteSimplified(e, cents).orderBy("list_id")
+  }
+
   /** Deterministic random projection (Similarity.randomProjection):
     * 64-dim embeddings → 8 dims via hash-parity ±1/√8 sign rows —
     * matrix-free JL compression as a narrow per-row map. Scalar-row
@@ -3108,7 +3121,8 @@ object SparkEntry {
     "x_drift_ks" -> (xDriftKs _),
     "x_graph_lpa" -> (xGraphLpa _),
     "x_join_interval_overlap" -> (xJoinIntervalOverlap _),
-    "x_cdc_snapshot_diff" -> (xCdcSnapshotDiff _)
+    "x_cdc_snapshot_diff" -> (xCdcSnapshotDiff _),
+    "x_sim_silhouette" -> (xSimSilhouette _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -868,6 +868,68 @@ object Similarity {
       kmeansCentroids(df, nLists, idCol, vecCol, sampleN, iters),
       idCol, vecCol)
 
+  /** Simplified silhouette (Hruschka et al.'s centroid variant of
+    * Rousseeuw 1987): per vector, a = cosine distance to its OWN
+    * (nearest) centroid, b = distance to the runner-up centroid,
+    * s = (b − a) / max(a, b) = (simₐ − sim_b) / (1 − sim_b) on unit
+    * vectors — the standard O(n·k) cluster-quality score that replaces
+    * the true silhouette's O(n²) pairwise pass, the only form that
+    * exists at corpus scale. Returns (list_id, n, silhouette) — the
+    * per-cluster mean — s ∈ [0, 1] under nearest-centroid assignment;
+    * low clusters are the diffuse/overlapping ones.
+    *
+    * Determinism: each per-vector score is one fixed IEEE expression
+    * over left-to-right dot folds, snapped ONCE to `snap`⁻¹ fixed
+    * point; cluster means are exact integer sums (decimal(38,0) — no
+    * overflow class) with a single correctly-rounded division at the
+    * end — the [[graft.ext.Profile.mutualInfo]] discipline, so two
+    * engines agree bitwise. A vector equidistant from two centroids
+    * ties to the smaller list id (the [[kmeansCentroids]] rule); its
+    * score is 0 either way.
+    *
+    * Scale: the centroid frame is collected (bounded: nLists·dims
+    * cells) and embedded as ONE literal array, so scoring is a narrow
+    * map — 16 dots + an in-codegen sort of 16 structs per row, no
+    * join, no window — and the only exchange is the final nLists-row
+    * hash agg. The two-step projection below is deliberate: `t2` is
+    * expensive and referenced three times, which blocks
+    * CollapseProject from inlining it into triple evaluation.
+    */
+  def silhouetteSimplified(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      snap: Long = 1000000000L): DataFrame = {
+    require(snap > 0, s"snap must be positive: $snap")
+    val cents = centroids
+      .select(col("list_id").cast("long"), col("cvec").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(cents.length >= 2, "silhouette needs at least 2 centroids")
+    val centLit = array(cents.map { case (l, v) =>
+      struct(lit(l).as("l"), array(v.map(lit(_)): _*).as("cvec"))
+    }: _*)
+    val sims = transform(centLit, c =>
+      struct(dotN(col("nvec"), c.getField("cvec")).as("sim"),
+        (-c.getField("l")).as("nl")))
+    normalized(corpus, idCol, vecCol)
+      // reverse(sort_array(...)) orders (sim desc, list asc): struct
+      // sort is (sim asc, nl asc) and nl = -list
+      .select(slice(reverse(sort_array(sims)), 1, 2).as("t2"))
+      .select((-element_at(col("t2"), 1).getField("nl")).as("list_id"),
+        element_at(col("t2"), 1).getField("sim").as("sa"),
+        element_at(col("t2"), 2).getField("sim").as("sb"))
+      .select(col("list_id"),
+        when(col("sb") < 1.0,
+          round((col("sa") - col("sb")) / (lit(1.0) - col("sb"))
+            * snap))
+          .otherwise(lit(0.0)).cast("long").as("s9"))
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("s9").cast("decimal(38,0)")).as("__ssum"))
+      .select(col("list_id"), col("n"),
+        round(col("__ssum").cast("double") /
+          (col("n").cast("double") * snap), 9).as("silhouette"))
+  }
+
   /** Probe-restricted top-k search over an IVF index, against the SAME
     * centroid frame the index was built with: each query is routed to
     * its `nProbe` closest centroid lists (bounded-top-k over the

@@ -33,7 +33,7 @@ private[graft] object DynamicOracles {
     Set("x_sim_ivf_kmeans", "x_sim_kmeans_full", "x_sim_pq",
       "x_sim_pq_served", "x_sim_ivf_pq", "x_sim_ivf_pq_served",
       "x_sample_temperature", "x_embed_pca", "x_zipf_ppjoin",
-      "x_zipf_bm25")
+      "x_zipf_bm25", "x_sim_silhouette")
 
   def sql(
       spark: SparkSession, sfDir: String,
@@ -266,6 +266,47 @@ private[graft] object DynamicOracles {
         |      FROM scored)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+    }
+    // x_sim_silhouette: re-fit the 8-list sampled centroids, embed as
+    // literals; per-vector top-2 sims via row_number with the same
+    // (sim desc, list asc) tie-break, the identical snapped score, and
+    // exact integer cluster sums divided once at the end
+    if (want("x_sim_silhouette")) {
+      val cents8 = centLits(graft.ext.Similarity
+        .kmeansCentroids(t(spark, sfDir, "embeddings"), nLists = 8))
+      b += ("x_sim_silhouette" ->
+      s"""WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
+        |cents AS (SELECT CAST(list_id AS BIGINT) AS list_id,
+        |            list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec
+        |          FROM (VALUES
+        |        $cents8) AS lit(list_id, cvec)),
+        |sc AS (
+        |  SELECT vv.id, c.list_id,
+        |    list_sum(list_transform(range(1, len(vv.nvec) + 1),
+        |      i -> vv.nvec[i] * c.cvec[i])) AS sim
+        |  FROM v vv, cents c),
+        |r AS (SELECT id, list_id, sim,
+        |    row_number() OVER (PARTITION BY id
+        |      ORDER BY sim DESC, list_id) AS rn
+        |  FROM sc),
+        |t AS (SELECT a.id, a.list_id, a.sim AS sa, b.sim AS sb
+        |  FROM r a JOIN r b ON a.id = b.id AND a.rn = 1 AND b.rn = 2),
+        |s AS (SELECT list_id,
+        |    CAST(CASE WHEN sb < 1.0
+        |         THEN round((sa - sb) / (1.0 - sb) * 1000000000)
+        |         ELSE 0 END AS BIGINT) AS s9
+        |  FROM t)
+        |SELECT list_id, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(s9) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * 1000000000), 9) AS silhouette
+        |FROM s GROUP BY 1 ORDER BY list_id""".stripMargin)
     }
     // x_embed_pca: the power-iteration fit is driver-side but
     // deterministic (exact integer gram, sequential doubles) — re-fit

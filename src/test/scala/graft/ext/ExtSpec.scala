@@ -1549,4 +1549,40 @@ class ExtSpec extends SparkSpec {
       topN = 10).orderBy("rank").collect().map(_.getLong(1)).toSeq
     assert(tied === Seq(4L, 9L))
   }
+
+  test("silhouetteSimplified: aligned = 1, tie = 0 in smaller list") {
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(0.0, 1.0))).toDF("list_id", "cvec")
+    val vecs = Seq(
+      (1L, Array(3.0f, 0.0f)),   // exactly centroid 0: s = 1
+      (2L, Array(0.0f, 0.5f)),   // exactly centroid 1: s = 1
+      (3L, Array(1.0f, 1.0f))    // equidistant tie: list 0, s = 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.silhouetteSimplified(vecs, cents)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0L) === ((2L, 0.5)))  // mean of s=1 (vec 1) and s=0 (tie)
+    assert(out(1L) === ((1L, 1.0)))
+  }
+
+  test("silhouetteSimplified: tight cluster outscores a diffuse one") {
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0))).toDF("list_id", "cvec")
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.05f, 0.0f)),  // hugging centroid 0
+      (2L, Array(1.0f, 0.0f, 0.05f)),
+      (3L, Array(0.5f, 1.0f, 0.0f)),   // diffuse around centroid 1
+      (4L, Array(0.0f, 1.0f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.silhouetteSimplified(vecs, cents)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(0L) > out(1L))
+    assert(out.values.forall(s => s >= 0.0 && s <= 1.0))
+    // deterministic: a second run is bit-identical
+    val again = Similarity.silhouetteSimplified(vecs, cents)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again === out)
+  }
 }
