@@ -481,6 +481,29 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Streaming drift monitor (StreamingValidate.driftMonitorStream):
+    * three monitoring windows of the R cohort's whole-dollar prices
+    * (window_id = l_orderkey % 3, one parquet file each, written once
+    * untimed) streamed against the static N-cohort reference; each
+    * micro-batch emits the exact KS row for the windows it carries.
+    * The oracle recomputes every window's KS in batch, so the
+    * hash-match proves streamed ≡ batch directly.
+    */
+  private def xStreamDrift(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def dollars = call_function("div",
+      round(col("l_extendedprice") * 100).cast("long"), lit(100L))
+    val wDir = indexDir(dir, "drift_windows")
+    li.filter(col("l_returnflag") === "R")
+      .select((col("l_orderkey") % 3).as("window_id"), dollars.as("v"))
+      .repartition(3, col("window_id"))
+      .write.mode("overwrite").parquet(wDir)
+    val ref = li.filter(col("l_returnflag") === "N")
+      .select(dollars.as("v"))
+    StreamingValidate.driftMonitorStream(s, wDir, ref)
+      .orderBy("window_id")
+  }
+
   /** Exactly-100 deterministic document sample (eval-set carving):
     * the 100 smallest (hash, id) keys — TakeOrdered, no global sort
     * (asserted in PlanSpec), same rows on any partitioning.
@@ -3122,7 +3145,8 @@ object SparkEntry {
     "x_graph_lpa" -> (xGraphLpa _),
     "x_join_interval_overlap" -> (xJoinIntervalOverlap _),
     "x_cdc_snapshot_diff" -> (xCdcSnapshotDiff _),
-    "x_sim_silhouette" -> (xSimSilhouette _)
+    "x_sim_silhouette" -> (xSimSilhouette _),
+    "x_stream_drift" -> (xStreamDrift _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -2262,35 +2262,11 @@ private[graft] object StaticOracles {
         |FROM c ORDER BY aa12 DESC, u, v LIMIT 20""".stripMargin,
     // exact integer CDF cross-multiplication over the union dollar
     // domain — no libm, no snapping, bit-identical supremum
-    "x_drift_ks" ->
-      """WITH pa AS (SELECT
-        |    CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS v
-        |  FROM lineitem WHERE l_returnflag = 'R'),
-        |pb AS (SELECT
-        |    CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS v
-        |  FROM lineitem WHERE l_returnflag = 'N'),
-        |fa AS (SELECT v, count(*) AS ca FROM pa GROUP BY 1),
-        |fb AS (SELECT v, count(*) AS cb FROM pb GROUP BY 1),
-        |m AS (SELECT coalesce(fa.v, fb.v) AS v,
-        |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
-        |  FROM fa FULL OUTER JOIN fb ON fa.v = fb.v),
-        |cu AS (SELECT v,
-        |    sum(ca) OVER (ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
-        |    sum(cb) OVER (ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
-        |  FROM m),
-        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM m),
-        |sc AS (SELECT v, na, nb,
-        |    abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)
-        |      AS d
-        |  FROM cu, t),
-        |mx AS (SELECT max(d) AS dmax FROM sc)
-        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-        |  round(CAST(dmax AS DOUBLE)
-        |    / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE), 12) AS ks,
-        |  min(v) AS ks_at
-        |FROM sc, mx WHERE d = dmax GROUP BY na, nb, dmax""".stripMargin,
+    "x_drift_ks" -> ksDriftSql(None),
+    // per-monitoring-window KS of the same cohorts — one block per
+    // window id, recomputed in batch; the streamed union must match
+    "x_stream_drift" -> (0 to 2).map(w => ksDriftSql(Some(w)))
+      .mkString("\nUNION ALL\n"),
     // same sync rounds unrolled as CTEs with the identical
     // (count desc, label asc) tie-break via row_number
     "x_graph_lpa" -> lpaOracle(4),
@@ -3688,6 +3664,50 @@ private[graft] object StaticOracles {
       |  CAST(r AS BIGINT) AS rank_scaled
       |FROM r$iters
       |ORDER BY rank_scaled DESC, node_id LIMIT 20""".stripMargin
+  }
+
+  /** Exact two-sample KS between the R cohort's whole-dollar prices
+    * (optionally one monitoring window `l_orderkey % 3 = w` of it)
+    * and the N cohort — the [[graft.ext.Profile.ksTwoSample]] twin:
+    * integer CDF cross-multiplication, HUGEINT products mirroring
+    * decimal(38,0), min-v tie-break on the supremum. `w = None` emits
+    * the plain row (x_drift_ks); `Some(w)` prefixes a window_id
+    * column for the streamed monitor's per-window blocks.
+    */
+  private def ksDriftSql(w: Option[Int]): String = {
+    val widCol = w.map(i => s"CAST($i AS BIGINT) AS window_id,\n  ")
+      .getOrElse("")
+    val wFilter = w.map(i => s" AND l_orderkey % 3 = $i").getOrElse("")
+    s"""SELECT * FROM (
+      |WITH pa AS (SELECT
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS v
+      |  FROM lineitem WHERE l_returnflag = 'R'$wFilter),
+      |pb AS (SELECT
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS v
+      |  FROM lineitem WHERE l_returnflag = 'N'),
+      |fa AS (SELECT v, count(*) AS ca FROM pa GROUP BY 1),
+      |fb AS (SELECT v, count(*) AS cb FROM pb GROUP BY 1),
+      |m AS (SELECT coalesce(fa.v, fb.v) AS v,
+      |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      |  FROM fa FULL OUTER JOIN fb ON fa.v = fb.v),
+      |cu AS (SELECT v,
+      |    sum(ca) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    sum(cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+      |  FROM m),
+      |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM m),
+      |sc AS (SELECT v, na, nb,
+      |    abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)
+      |      AS d
+      |  FROM cu, t),
+      |mx AS (SELECT max(d) AS dmax FROM sc)
+      |SELECT $widCol""".stripMargin +
+    s"""CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  round(CAST(dmax AS DOUBLE)
+      |    / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE), 12) AS ks,
+      |  min(v) AS ks_at
+      |FROM sc, mx WHERE d = dmax GROUP BY na, nb, dmax) ksq""".stripMargin
   }
 
   /** Unrolled sync label-propagation twin of

@@ -453,6 +453,66 @@ object StreamingValidate {
     acc.getOrElse(serve(spark.read.parquet(queriesDir).limit(0)))
   }
 
+  /** Streaming distribution-drift monitor: micro-batches of
+    * monitoring windows scored against a STATIC reference
+    * distribution with the exact two-sample KS statistic
+    * ([[graft.ext.Profile.ksTwoSample]] — integer CDF
+    * cross-multiplication, no binning choice, bit-identical on any
+    * engine). `windowsDir` holds parquet `(window_id, v)` rows, one
+    * monitoring window per file; each batch computes one KS row PER
+    * window_id present in the batch, so window identity comes from
+    * the DATA, not the trigger sequence — the union over
+    * micro-batches IS the one-shot batch answer regardless of how
+    * files map to batches, and the harness row hash-matches the
+    * batch-recomputing DuckDB oracle directly.
+    *
+    * Scale: the reference frequency table is the small side of every
+    * batch's full-outer domain merge; per-batch cost is the batch's
+    * own hash agg plus a bounded-domain CDF window (ksTwoSample's
+    * enforced `maxDomain` contract). Window ids per batch are
+    * collected — bounded by files-per-trigger, not data size.
+    *
+    * Output: (window_id, n_a, n_b, ks, ks_at) across all batches.
+    */
+  def driftMonitorStream(spark: org.apache.spark.sql.SparkSession,
+      windowsDir: String, reference: DataFrame,
+      maxDomain: Long = 2000000L): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    def serve(batch: DataFrame): DataFrame = {
+      val wids = batch.select(col("window_id").cast("long"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      wids.map { w =>
+        graft.ext.Profile.ksTwoSample(
+            batch.where(col("window_id") === w), reference,
+            col("v"), maxDomain)
+          .select(lit(w).as("window_id"), col("n_a"), col("n_b"),
+            col("ks"), col("ks_at"))
+      }.reduceOption(_ unionByName _)
+        // empty batch/dir: a correctly-shaped empty frame (the
+        // ksTwoSample of two empty cohorts, zero rows kept)
+        .getOrElse(graft.ext.Profile.ksTwoSample(
+            batch.where(lit(false)), reference.limit(0), col("v"),
+            maxDomain)
+          .select(lit(0L).as("window_id"), col("n_a"), col("n_b"),
+            col("ks"), col("ks_at"))
+          .limit(0))
+    }
+    val schema = spark.read.parquet(windowsDir).schema
+    var acc: Option[DataFrame] = None
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(windowsDir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val served = serve(b).localCheckpoint(eager = true)
+        acc = Some(acc.fold(served)(_.unionByName(served)))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    acc.getOrElse(serve(spark.read.parquet(windowsDir).limit(0)))
+  }
+
   def nearDupIngestStream(spark: org.apache.spark.sql.SparkSession,
       newDocsDir: String, indexTable: String, threshold: Double = 0.7,
       numHashes: Int = 32, bands: Int = 16, k: Int = 3,

@@ -620,4 +620,30 @@ class StreamingSpec extends SparkSpec {
     assert(got === Map(1L -> ((20L, false)), 2L -> ((60L, false)),
       3L -> ((90L, true)), 4L -> ((80L, true))), got.toString)
   }
+
+  test("driftMonitorStream ≡ per-window batch KS, any file→batch split") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_drift")
+    // window 0 and window 1 deliberately share ONE file (one batch
+    // carries two windows) and window 2 gets its own — identity must
+    // come from the data, not the trigger sequence
+    Seq((0L, 1L), (0L, 2L), (0L, 2L), (1L, 5L), (1L, 6L))
+      .toDF("window_id", "v").coalesce(1).write.parquet(s"$d/f1")
+    Seq((2L, 9L), (2L, 9L), (2L, 1L))
+      .toDF("window_id", "v").coalesce(1).write.parquet(s"$d/f2")
+    val ref = Seq(1L, 2L, 5L, 9L).toDF("v")
+    val got = StreamingValidate.driftMonitorStream(spark,
+        s"$d/{f1,f2}", ref)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    val batch = (0L to 2L).map { w =>
+      val a = Seq((0L, Seq(1L, 2L, 2L)), (1L, Seq(5L, 6L)),
+        (2L, Seq(9L, 9L, 1L))).toMap.apply(w).toDF("v")
+      w -> graft.ext.Profile.ksTwoSample(a, ref, col("v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).head
+    }.toMap
+    assert(got === batch, got.toString)
+  }
 }
