@@ -1874,6 +1874,20 @@ object SparkEntry {
     pageRankTop20(purchaseEdges(s, dir), iterations = 3,
       dangling = false)
 
+  /** HITS hubs & authorities (Graph.hits), 2 rounds on the directed
+    * customer→supplier purchase graph: customers are pure hubs,
+    * suppliers pure authorities (bipartite), and the exact-integer L1
+    * normalization makes both score columns engine-reproducible. Top
+    * 20 by authority; the oracle unrolls both rounds as CTEs with
+    * HUGEINT products mirroring decimal(38,0).
+    */
+  private def xGraphHits(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.hits(purchaseEdges(s, dir), "src", "dst",
+        iterations = 2)
+      .select(col("id").as("node_id"), col("hub_scaled"),
+        col("auth_scaled"))
+      .orderBy(desc("auth_scaled"), col("node_id")).limit(20)
+
   /** Shared purchase-graph edge build + top-20 rank projection for the
     * three PageRank harness rows.
     */
@@ -3146,7 +3160,8 @@ object SparkEntry {
     "x_join_interval_overlap" -> (xJoinIntervalOverlap _),
     "x_cdc_snapshot_diff" -> (xCdcSnapshotDiff _),
     "x_sim_silhouette" -> (xSimSilhouette _),
-    "x_stream_drift" -> (xStreamDrift _)
+    "x_stream_drift" -> (xStreamDrift _),
+    "x_graph_hits" -> (xGraphHits _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -788,7 +788,8 @@ object Profile {
 
   /** EXACT two-sample Kolmogorov–Smirnov statistic between two
     * cohorts' integer value distributions — the nonparametric drift
-    * detector that needs no binning choice (the [[psi]]-style scans
+    * detector that needs no binning choice (the [[graft.ext.Reconcile
+    * .psi]]-style scans
     * depend on the bin grid; KS is the supremum over the empirical
     * CDFs themselves): D = max_x |F_a(x) − F_b(x)|.
     *

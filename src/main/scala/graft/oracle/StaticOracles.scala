@@ -2310,6 +2310,9 @@ private[graft] object StaticOracles {
         |SELECT okey, CAST(count(*) AS BIGINT) AS n_overlap
         |FROM l, r WHERE greatest(ls, rs) < least(le, re)
         |GROUP BY 1 ORDER BY okey""".stripMargin,
+    // two CTE-unrolled mutual-reinforcement rounds with HUGEINT //
+    // normalization — exact-integer L1 HITS
+    "x_graph_hits" -> hitsOracle(2),
     // same update unrolled to 10 CTE rounds — proves the per-round
     // localCheckpoint truncation path stays bit-stable over a deep chain
     "x_graph_pagerank_deep" -> pageRankOracle(10, dangling = false),
@@ -3740,6 +3743,43 @@ private[graft] object StaticOracles {
       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size
       |FROM r$iters GROUP BY 1
       |ORDER BY size DESC, community LIMIT 20""".stripMargin
+  }
+
+  /** CTE-unrolled HITS twin of [[graft.ext.Graph.hits]] on the same
+    * purchase graph as [[pageRankOracle]]: per round an authority sum
+    * + L1 normalization, then a hub sum + L1 normalization, every
+    * product HUGEINT (mirroring decimal(38,0)) and every
+    * normalization a floor division of nonnegative integers —
+    * identical to Spark's `div` truncation.
+    */
+  private def hitsOracle(iters: Int): String = {
+    def round(i: Int): String =
+      s"""a$i AS (SELECT n.id, CAST(coalesce(s.ar, 0) AS HUGEINT) AS ar
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS id, sum(p.h) AS ar
+        |    FROM e0 e JOIN h${i - 1}n p ON p.id = e.src
+        |    GROUP BY 1) s ON n.id = s.id),
+        |a${i}n AS (SELECT id,
+        |  (ar * 1000000000) // (SELECT sum(ar) FROM a$i) AS a FROM a$i),
+        |h$i AS (SELECT n.id, CAST(coalesce(s.hr, 0) AS HUGEINT) AS hr
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.src AS id, sum(p.a) AS hr
+        |    FROM e0 e JOIN a${i}n p ON p.id = e.dst
+        |    GROUP BY 1) s ON n.id = s.id),
+        |h${i}n AS (SELECT id,
+        |  (hr * 1000000000) // (SELECT sum(hr) FROM h$i) AS h
+        |  FROM h$i)""".stripMargin
+    val rounds = (1 to iters).map(round).mkString(",\n")
+    s"""WITH e0 AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |nodes AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+      |h0n AS (SELECT id, CAST(1000000000 AS HUGEINT) AS h FROM nodes),
+      |$rounds
+      |SELECT h.id AS node_id, CAST(h.h AS BIGINT) AS hub_scaled,
+      |  CAST(a.a AS BIGINT) AS auth_scaled
+      |FROM h${iters}n h JOIN a${iters}n a ON h.id = a.id
+      |ORDER BY auth_scaled DESC, node_id LIMIT 20""".stripMargin
   }
 
   private def pageRankOracle(iters: Int, dangling: Boolean): String = {

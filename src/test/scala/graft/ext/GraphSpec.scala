@@ -224,6 +224,32 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(out(2)._3 - ln3) < 1e-9)
   }
 
+  test("hits: one hand-unrolled round of exact L1 mutual reinforcement") {
+    // 1→3, 2→3, 3→4 with S = 1e9. Round 1 by hand:
+    //   aRaw = (3: 2S, 4: S), tot 3S → a(3) = 2S/3 = 666666666,
+    //   a(4) = S/3 = 333333333
+    //   hRaw = (1: a3, 2: a3, 3: a4), tot 1666666665 →
+    //   h(1) = h(2) = 400000000, h(3) = 200000000 (both divisions
+    //   exact), h(4) = 0
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.hits(edges, "src", "dst", iterations = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1L -> ((400000000L, 0L)), 2L -> ((400000000L, 0L)),
+      3L -> ((200000000L, 666666666L)), 4L -> ((0L, 333333333L))))
+  }
+
+  test("hits is stable across reruns and partitionings") {
+    val edges = (1L to 40L).flatMap(i =>
+      Seq((i, i % 7 + 100L), (i, i % 5 + 100L))).toDF("src", "dst")
+    def run(parts: Int): Seq[(Long, Long, Long)] =
+      Graph.hits(edges.repartition(parts), "src", "dst", 3)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(1) === run(13))
+  }
+
   test("labelPropagation: two triangles and a bridge, hand-unrolled") {
     // triangles {1,2,3} and {4,5,6} joined by bridge 3-4. Sync rounds
     // with (count desc, label asc) tie-break, unrolled by hand:
