@@ -504,6 +504,19 @@ object SparkEntry {
       .orderBy("window_id")
   }
 
+  /** Pairwise Jensen–Shannon divergence between every source pair's
+    * token distributions (Profile.jsDivergence) — the categorical
+    * corpus-drift matrix: which sources speak the same language and
+    * which are vocabulary outliers. 20 sources → 190 rows; every
+    * snapped per-token term recomputed by the oracle.
+    */
+  private def xTextJsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    graft.ext.Profile.jsDivergence(toks, col("source"), col("tok"))
+      .orderBy("key_a", "key_b")
+  }
+
   /** Exactly-100 deterministic document sample (eval-set carving):
     * the 100 smallest (hash, id) keys — TakeOrdered, no global sort
     * (asserted in PlanSpec), same rows on any partitioning.
@@ -3161,7 +3174,8 @@ object SparkEntry {
     "x_cdc_snapshot_diff" -> (xCdcSnapshotDiff _),
     "x_sim_silhouette" -> (xSimSilhouette _),
     "x_stream_drift" -> (xStreamDrift _),
-    "x_graph_hits" -> (xGraphHits _)
+    "x_graph_hits" -> (xGraphHits _),
+    "x_text_js_divergence" -> (xTextJsDivergence _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -853,6 +853,66 @@ object Profile {
     }
   }
 
+  /** Pairwise Jensen–Shannon divergence between the `value`
+    * distributions of every pair of `key` groups — the CATEGORICAL
+    * corpus-drift complement of [[ksTwoSample]] (KS needs an ordered
+    * domain; JS compares token/category histograms): JS(P,Q) =
+    * ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2 — symmetric, bounded by ln 2,
+    * zero iff identical. `js_norm` = JS/ln 2 ∈ [0,1].
+    *
+    * Determinism: the [[mutualInfo]] discipline — each token's term
+    * ½(p·ln(2p/(p+q)) + q·ln(2q/(p+q))) is one fixed IEEE expression
+    * snapped to 10⁻¹² fixed point, summed as exact longs; absent-side
+    * halves are zeroed by `when`, so a token private to one group
+    * contributes its exact ½p·ln 2. The ln 2 normalizer is the same
+    * JVM double literal the oracle embeds.
+    *
+    * Scale: one hash agg collapses rows to (group, value)
+    * frequencies; each frequency row then replicates to the ≤ k−1
+    * pairs containing its group via a broadcast nested-loop against
+    * the k²-bounded pair frame (k = #groups, small by contract —
+    * sources, languages, shards), and one hash agg per (pair, value)
+    * builds the union domain with zeros where a side is absent.
+    * Output: k(k−1)/2 rows.
+    */
+  def jsDivergence(df: DataFrame, key: Column, value: Column)
+      : DataFrame = {
+    val cells = df.select(key.cast("string").as("__k"), value.as("__v"))
+      .where(col("__k").isNotNull && col("__v").isNotNull)
+      .groupBy("__k", "__v").agg(count(lit(1)).as("__c"))
+    CacheScope.withCached(cells) { cl =>
+      val tot = cl.groupBy("__k").agg(sum(col("__c")).as("__n"))
+      val pairs = tot.select(col("__k").as("__ka"), col("__n").as("__na"))
+        .join(tot.select(col("__k").as("__kb"), col("__n").as("__nb")),
+          col("__ka") < col("__kb"))
+      val dom = cl.join(broadcast(pairs),
+          col("__k") === col("__ka") || col("__k") === col("__kb"))
+        .groupBy(col("__ka"), col("__kb"), col("__v"))
+        .agg(coalesce(sum(when(col("__k") === col("__ka"), col("__c"))),
+            lit(0L)).as("__ca"),
+          coalesce(sum(when(col("__k") === col("__kb"), col("__c"))),
+            lit(0L)).as("__cb"),
+          first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
+      def d(c: Column) = c.cast("double")
+      val p = d(col("__ca")) / d(col("__na"))
+      val q = d(col("__cb")) / d(col("__nb"))
+      val term = (when(col("__ca") > 0,
+          p * log(lit(2.0) * p / (p + q))).otherwise(lit(0.0)) +
+        when(col("__cb") > 0,
+          q * log(lit(2.0) * q / (p + q))).otherwise(lit(0.0))) / 2
+      dom.select(col("__ka"), col("__kb"), col("__na"), col("__nb"),
+          round(term * 1e12).cast("long").as("__t12"))
+        .groupBy(col("__ka"), col("__kb"))
+        .agg(first(col("__na")).as("__na"), first(col("__nb")).as("__nb"),
+          sum(col("__t12").cast("decimal(38,0)")).as("__js12"))
+        .select(col("__ka").as("key_a"), col("__kb").as("key_b"),
+          col("__na").as("n_a"), col("__nb").as("n_b"),
+          round(d(col("__js12")) / 1e12, 12).as("js"),
+          round(d(col("__js12")) / (lit(math.log(2.0)) * 1e12), 12)
+            .as("js_norm"))
+    }
+  }
+
   /** Mutual information I(A;B) between two categorical columns, with
     * the marginal entropies and the normalized form
     * I/min(H(A), H(B)) ∈ [0,1] — the information-theoretic twin of

@@ -2270,6 +2270,42 @@ private[graft] object StaticOracles {
     // same sync rounds unrolled as CTEs with the identical
     // (count desc, label asc) tie-break via row_number
     "x_graph_lpa" -> lpaOracle(4),
+    // same snapped per-token ½(p·ln(2p/(p+q)) + q·ln(2q/(p+q))) terms
+    // over the per-pair union vocabulary; ln 2 normalizer embedded as
+    // the identical JVM double literal
+    "x_text_js_divergence" ->
+      s"""WITH toks AS (SELECT source AS k,
+        |    unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+        |      x -> x <> '')) AS v
+        |  FROM documents),
+        |cl AS (SELECT k, v, count(*) AS c FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT k, sum(c) AS n FROM cl GROUP BY 1),
+        |pairs AS (SELECT a.k AS ka, a.n AS na, b.k AS kb, b.n AS nb
+        |  FROM tot a JOIN tot b ON a.k < b.k),
+        |dom AS (SELECT p.ka, p.kb, cl.v,
+        |    coalesce(sum(CASE WHEN cl.k = p.ka THEN c END), 0) AS ca,
+        |    coalesce(sum(CASE WHEN cl.k = p.kb THEN c END), 0) AS cb,
+        |    any_value(p.na) AS na, any_value(p.nb) AS nb
+        |  FROM cl JOIN pairs p ON cl.k = p.ka OR cl.k = p.kb
+        |  GROUP BY 1, 2, 3),
+        |terms AS (SELECT ka, kb, na, nb,
+        |    CAST(round(
+        |      (CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / na)
+        |         * ln(2.0 * (CAST(ca AS DOUBLE) / na)
+        |           / (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb))
+        |       ELSE 0.0 END
+        |     + CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / nb)
+        |         * ln(2.0 * (CAST(cb AS DOUBLE) / nb)
+        |           / (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb))
+        |       ELSE 0.0 END) / 2 * 1e12) AS BIGINT) AS t12
+        |  FROM dom)
+        |SELECT ka AS key_a, kb AS key_b, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b,
+        |  round(CAST(sum(t12) AS DOUBLE) / 1e12, 12) AS js,
+        |  round(CAST(sum(t12) AS DOUBLE)
+        |    / (${math.log(2.0)} * 1e12), 12) AS js_norm
+        |FROM terms GROUP BY ka, kb, na, nb
+        |ORDER BY key_a, key_b""".stripMargin,
     // full-outer join with IS NOT DISTINCT FROM payload comparison —
     // the null-safe <=> reduction must match exactly
     "x_cdc_snapshot_diff" ->

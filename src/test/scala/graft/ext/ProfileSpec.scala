@@ -229,6 +229,34 @@ class ProfileSpec extends SparkSpec {
     assert(far.getDouble(2) === 1.0 && far.getLong(3) === 2L)
   }
 
+  test("jsDivergence: hand-computed terms, identical = 0, disjoint = ln2") {
+    // P = {x}, Q = {x:1/2, y:1/2}:
+    //   term_x = (ln(4/3) + 0.5·ln(2/3)) / 2, term_y = 0.25·ln 2 —
+    //   snapped separately, js = 0.215761554339
+    val df = Seq(("p", "x"), ("q", "x"), ("q", "y")).toDF("k", "v")
+    val r = Profile.jsDivergence(df, col("k"), col("v")).collect().head
+    assert((r.getString(0), r.getString(1)) === (("p", "q")))
+    assert((r.getLong(2), r.getLong(3)) === ((1L, 2L)))
+    assert(math.abs(r.getDouble(4) - 0.215761554339) < 1e-11)
+    // identical distributions
+    val same = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("k", "v")
+    assert(Profile.jsDivergence(same, col("k"), col("v"))
+      .collect().head.getDouble(4) === 0.0)
+    // fully disjoint vocabularies: js = ln 2, js_norm = 1
+    val disj = Seq(("a", "x"), ("a", "y"), ("b", "z")).toDF("k", "v")
+    val d = Profile.jsDivergence(disj, col("k"), col("v")).collect().head
+    assert(math.abs(d.getDouble(4) - math.log(2.0)) < 1e-11)
+    assert(d.getDouble(5) === 1.0)
+  }
+
+  test("jsDivergence emits every unordered group pair exactly once") {
+    val df = Seq(("a", "x"), ("b", "x"), ("c", "y")).toDF("k", "v")
+    val pairs = Profile.jsDivergence(df, col("k"), col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs === Set(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+
   test("ksTwoSample enforces the bounded-domain contract loudly") {
     val wide = (1L to 40L).toDF("v")
     val ex = intercept[IllegalArgumentException] {
