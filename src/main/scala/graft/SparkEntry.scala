@@ -1976,6 +1976,18 @@ object SparkEntry {
     graft.ext.Graph.neighborJaccard(coPartEdges(s, dir), "src", "dst",
       topK = 20, maxCenterDegree = 30)
 
+  /** Degree assortativity of the co-purchase graph
+    * (Graph.degreeAssortativity): one exact-moment scalar that
+    * fingerprints the graph's hub structure — the number a dedup or
+    * sampling pass must not silently flip. Rounded to 12 decimals
+    * like the corr rows (the oracle mirrors the identical sqrt
+    * expression over HUGEINT moments).
+    */
+  private def xGraphAssortativity(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.degreeAssortativity(coPartEdges(s, dir), "src", "dst")
+      .select(col("n_pairs"), round(col("assortativity"), 12)
+        .as("assortativity"))
+
   /** Adamic–Adar link prediction (Graph.adamicAdar) on the same
     * co-purchase graph and hub cap as x_graph_neighbor_jaccard — the
     * degree-weighted variant (rare common neighbors dominate); each
@@ -3175,7 +3187,8 @@ object SparkEntry {
     "x_sim_silhouette" -> (xSimSilhouette _),
     "x_stream_drift" -> (xStreamDrift _),
     "x_graph_hits" -> (xGraphHits _),
-    "x_text_js_divergence" -> (xTextJsDivergence _)
+    "x_text_js_divergence" -> (xTextJsDivergence _),
+    "x_graph_assortativity" -> (xGraphAssortativity _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -548,6 +548,45 @@ object Graph {
     */
   val HitsScale = 1000000000L
 
+  /** Degree assortativity (Newman, "Assortative mixing in networks",
+    * PRL 2002): the Pearson correlation of endpoint degrees over
+    * every directed edge of the symmetrized graph — positive means
+    * hubs attach to hubs (social nets), negative means hubs attach to
+    * leaves (the usual shape of co-occurrence and dependency graphs;
+    * a sampling or dedup step that flips the sign has changed the
+    * graph's structure, which is the drift this detects).
+    *
+    * Delegates the moment computation to [[graft.ext.Profile
+    * .corrMatrix]] — exact decimal(38,0) sums in ONE scan, a single
+    * final double expression (sqrt of identical doubles is correctly
+    * rounded, so engines agree) — after one shuffle to build the
+    * (deg(src), deg(dst)) pair frame: degree agg, then two
+    * co-partitioned joins back to the symmetric edge list. Returns
+    * one row (n_pairs, assortativity); null assortativity on a
+    * degree-regular graph (zero variance), never NaN.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    CacheScope.withCached(
+      und.union(und.select(col("b").as("a"), col("a").as("b")))) { sym =>
+      val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+      val pairs = sym
+        .join(deg.select(col("a"), col("deg").as("deg_src")), "a")
+        .join(deg.select(col("a").as("b"), col("deg").as("deg_dst")), "b")
+      Profile.corrMatrix(pairs,
+          Seq("deg_src" -> col("deg_src"), "deg_dst" -> col("deg_dst")))
+        .select(col("n").as("n_pairs"), col("corr").as("assortativity"))
+    }
+  }
+
   /** Label-propagation community detection (Raghavan, Albert, Kumara,
     * "Near linear time algorithm to detect community structures in
     * large-scale networks", 2007), SYNCHRONOUS variant with a fully

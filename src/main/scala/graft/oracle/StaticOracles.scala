@@ -2235,6 +2235,36 @@ private[graft] object StaticOracles {
         |    / CAST(du.deg + dv.deg - common AS DOUBLE), 12) AS jaccard
         |FROM c JOIN deg du ON c.u = du.a JOIN deg dv ON c.v = dv.a
         |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin,
+    // HUGEINT endpoint-degree moments over the symmetric edge list,
+    // the corrOracle final expression verbatim
+    "x_graph_assortativity" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_orderkey % 3 = 0),
+        |und AS (SELECT DISTINCT a.p AS a, b.p AS b
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT a, b FROM und
+        |  UNION ALL SELECT b AS a, a AS b FROM und),
+        |deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY 1),
+        |pr AS (SELECT CAST(da.deg AS HUGEINT) AS x,
+        |    CAST(db.deg AS HUGEINT) AS y
+        |  FROM sym s JOIN deg da ON s.a = da.a JOIN deg db ON s.b = db.a),
+        |m AS (SELECT sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+        |    sum(y * y) AS syy, sum(x * y) AS sxy, count(*) AS n
+        |  FROM pr)
+        |SELECT CAST(n AS BIGINT) AS n_pairs,
+        |  round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |    AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    END, 12) AS assortativity
+        |FROM m""".stripMargin,
     // naive wedge self-join with the SAME snapped 1/ln(deg) center
     // weights — the basket fan-out must reach the identical exact sums
     "x_graph_adamic_adar" ->

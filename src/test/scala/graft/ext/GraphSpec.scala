@@ -250,6 +250,19 @@ class GraphSpec extends SparkSpec {
     assert(run(1) === run(13))
   }
 
+  test("degreeAssortativity: star = -1, clique = null (regular)") {
+    // star K1,3: endpoint-degree pairs are (3,1)x3 and (1,3)x3 —
+    // perfectly disassortative, r = -1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val s = Graph.degreeAssortativity(star, "src", "dst").collect().head
+    assert(s.getLong(0) === 6L)
+    assert(math.abs(s.getDouble(1) - (-1.0)) < 1e-12)
+    // triangle: every degree 2, zero variance -> null, not NaN
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val t = Graph.degreeAssortativity(tri, "src", "dst").collect().head
+    assert(t.getLong(0) === 6L && t.isNullAt(1))
+  }
+
   test("labelPropagation: two triangles and a bridge, hand-unrolled") {
     // triangles {1,2,3} and {4,5,6} joined by bridge 3-4. Sync rounds
     // with (count desc, label asc) tie-break, unrolled by hand:
