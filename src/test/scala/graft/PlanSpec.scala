@@ -798,4 +798,93 @@ class PlanSpec extends SparkSpec {
     assert(!n.exists(_.isInstanceOf[WindowExec]))
     assert(!n.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
   }
+
+  test("intervalOverlapJoin plans a hash equi-join on the bin — no BNLJ") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import spark.implicits._
+    val l = (1L to 500L).map(i => (i, i * 3, i * 3 + 40)).toDF("lid", "ls", "le")
+    val r = (1L to 200L).map(i => (i, i * 7, i * 7 + 25)).toDF("rid", "rs", "re")
+    val j = graft.ext.Joins.intervalOverlapJoin(l, col("ls"), col("le"),
+      r, col("rs"), col("re"), binSize = 32L)
+    val n = nodes(j)
+    assert(!n.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "interval overlap must ride the bin equi-join, never a nested loop")
+    assert(!n.exists(_.isInstanceOf[WindowExec]))
+  }
+
+  test("lpa/adamicAdar/assortativity: aggregates + key joins, no window") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val edges = spark.range(3000).select((col("id") % 97).as("src"),
+      (col("id") % 89 + 97).as("dst"))
+    for (df <- Seq(
+        graft.ext.Graph.labelPropagation(edges, "src", "dst", 2),
+        graft.ext.Graph.adamicAdar(edges, "src", "dst", topK = 10,
+          maxCenterDegree = 50),
+        graft.ext.Graph.degreeAssortativity(edges, "src", "dst"))) {
+      val n = nodes(df)
+      assert(!n.exists(_.isInstanceOf[WindowExec]))
+      assert(!n.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+    }
+  }
+
+  test("jsDivergence pair replication broadcasts the bounded pair frame") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import spark.implicits._
+    // the operator's result is checkpoint-materialized by CacheScope
+    // (like kCorePeel above), so assert on the SAME join shape its
+    // body builds: frequency cells against the k²-bounded pair frame
+    // under the OR condition. The one place a nested loop is CORRECT
+    // — and it must be the broadcast variant, never a shuffled
+    // cartesian.
+    val df = (1L to 4000L).map(i => (s"s${i % 6}", s"w${i % 37}"))
+      .toDF("k", "v")
+    val cells = df.groupBy(col("k"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cells.groupBy("k").agg(sum(col("c")).as("n"))
+    val pairs = tot.select(col("k").as("ka"), col("n").as("na"))
+      .join(tot.select(col("k").as("kb"), col("n").as("nb")),
+        col("ka") < col("kb"))
+    val joined = cells.join(broadcast(pairs),
+      col("k") === col("ka") || col("k") === col("kb"))
+    val n = nodes(joined)
+    assert(n.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "pair replication should broadcast the k²-bounded pair frame")
+    assert(!n.exists(_.isInstanceOf[org.apache.spark.sql.execution
+      .joins.CartesianProductExec]))
+    // and the operator end-to-end emits exactly C(k,2) rows
+    assert(graft.ext.Profile.jsDivergence(df, col("k"), col("v"))
+      .count() === 15L)
+  }
+
+  test("snapshotDiff is ONE join — churn filter stays narrow") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import spark.implicits._
+    val a = (1L to 3000L).map(i => (i, i % 17)).toDF("k", "p")
+    val b = (1L to 3000L).map(i => (i, i % 19)).toDF("k", "p")
+    val n = nodes(graft.ext.Cdc.snapshotDiff(a, b, Seq("k"), Seq("p")))
+    val joins = n.count(p => p.isInstanceOf[SortMergeJoinExec] ||
+      p.isInstanceOf[ShuffledHashJoinExec] ||
+      p.isInstanceOf[BroadcastHashJoinExec])
+    assert(joins == 1, s"snapshot diff must be exactly one join, got $joins")
+    assert(!n.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+    assert(!n.exists(_.isInstanceOf[WindowExec]))
+  }
+
+  test("silhouetteSimplified is a narrow map + one k-row hash agg") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("list_id", "cvec")
+    val vecs = (1L to 500L).map(i =>
+      (i, Array((i % 13).toFloat + 1f, (i % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val n = nodes(
+      graft.ext.Similarity.silhouetteSimplified(vecs, cents))
+    val shuffles = n.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size == 1,
+      s"scoring must not shuffle; only the final cluster agg may " +
+        s"(got ${shuffles.size})")
+    assert(!n.exists(_.isInstanceOf[WindowExec]))
+  }
 }
