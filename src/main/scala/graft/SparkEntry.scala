@@ -2027,6 +2027,18 @@ object SparkEntry {
       .groupBy(col("community")).agg(count(lit(1)).as("size"))
       .orderBy(desc("size"), col("community")).limit(20)
 
+  /** 10-round label propagation (past DeepIterThreshold): exercises
+    * LPA's per-round localCheckpoint truncation path — the oracle's
+    * 10 unrolled CTE rounds prove the label fixed point survives the
+    * lineage-truncated chain bit-stably (the x_graph_pagerank_deep
+    * contract, for the argmax update).
+    */
+  private def xGraphLpaDeep(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.labelPropagation(coPartEdges(s, dir), "src", "dst",
+        rounds = 10)
+      .groupBy(col("community")).agg(count(lit(1)).as("size"))
+      .orderBy(desc("size"), col("community")).limit(20)
+
   /** 10-iteration PageRank (Graph.pageRank past DeepIterThreshold):
     * exercises the per-round localCheckpoint lineage-truncation path —
     * the oracle's 10 unrolled CTE rounds prove the fixed point stays
@@ -3188,7 +3200,8 @@ object SparkEntry {
     "x_stream_drift" -> (xStreamDrift _),
     "x_graph_hits" -> (xGraphHits _),
     "x_text_js_divergence" -> (xTextJsDivergence _),
-    "x_graph_assortativity" -> (xGraphAssortativity _)
+    "x_graph_assortativity" -> (xGraphAssortativity _),
+    "x_graph_lpa_deep" -> (xGraphLpaDeep _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -2300,6 +2300,9 @@ private[graft] object StaticOracles {
     // same sync rounds unrolled as CTEs with the identical
     // (count desc, label asc) tie-break via row_number
     "x_graph_lpa" -> lpaOracle(4),
+    // 10 unrolled rounds — proves LPA's per-round localCheckpoint
+    // truncation path (rounds > DeepIterThreshold) stays bit-stable
+    "x_graph_lpa_deep" -> lpaOracle(10),
     // same snapped per-token ½(p·ln(2p/(p+q)) + q·ln(2q/(p+q))) terms
     // over the per-pair union vocabulary; ln 2 normalizer embedded as
     // the identical JVM double literal
