@@ -504,6 +504,34 @@ object SparkEntry {
       .orderBy("window_id")
   }
 
+  /** Throughput twin of [[xStreamDrift]] (round-8 directive #3): the
+    * SAME drift monitor with the files-per-trigger cap removed, so
+    * AvailableNow drains all three window files in ONE micro-batch —
+    * per-batch scheduling overhead amortized across the backlog.
+    * Window identity is data-borne, so the rows are identical to the
+    * latency row's: the oracle is shared verbatim, and the wall gap
+    * between the two rows MEASURES the per-micro-batch cost the
+    * latency contract pays (x_stream_drift is ~pure scheduling
+    * latency per the round-8 attribution — this row documents the
+    * other operating point).
+    */
+  private def xStreamDriftBatched(s: SparkSession, dir: String)
+      : DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def dollars = call_function("div",
+      round(col("l_extendedprice") * 100).cast("long"), lit(100L))
+    val wDir = indexDir(dir, "drift_windows_b")
+    li.filter(col("l_returnflag") === "R")
+      .select((col("l_orderkey") % 3).as("window_id"), dollars.as("v"))
+      .repartition(3, col("window_id"))
+      .write.mode("overwrite").parquet(wDir)
+    val ref = li.filter(col("l_returnflag") === "N")
+      .select(dollars.as("v"))
+    StreamingValidate.driftMonitorStream(s, wDir, ref,
+        filesPerTrigger = 0)
+      .orderBy("window_id")
+  }
+
   /** Pairwise Jensen–Shannon divergence between every source pair's
     * token distributions (Profile.jsDivergence) — the categorical
     * corpus-drift matrix: which sources speak the same language and
@@ -3201,7 +3229,8 @@ object SparkEntry {
     "x_graph_hits" -> (xGraphHits _),
     "x_text_js_divergence" -> (xTextJsDivergence _),
     "x_graph_assortativity" -> (xGraphAssortativity _),
-    "x_graph_lpa_deep" -> (xGraphLpaDeep _)
+    "x_graph_lpa_deep" -> (xGraphLpaDeep _),
+    "x_stream_drift_batched" -> (xStreamDriftBatched _)
   )
 
   // ------------------------------------------------------------- oracles

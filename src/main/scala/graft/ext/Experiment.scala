@@ -337,6 +337,14 @@ object Experiment {
     * judgment report n_rel = 0 and NULL recall/ndcg (undefined, never
     * a fabricated 0).
     *
+    * Anchor: the output covers run ∪ positively-judged queries (full
+    * outer on query_id). A judged query the retriever returned
+    * NOTHING for (or only ranks > k) reports n_ret = 0 and zero
+    * p/recall/rr/ndcg — dropping it would overstate averaged quality
+    * exactly when a retriever fails hardest. Queries judged only
+    * with rel = 0 rows are not anchored (rel > 0 defines "judged
+    * relevant" here, matching the n_rel count).
+    *
     * Output per query: (query_id, n_rel, n_ret, n_hits, p_at_k,
     * recall_at_k, rr, ndcg), ratios rounded to 12.
     */
@@ -370,12 +378,17 @@ object Experiment {
       .agg(count(lit(1)).as("n_hits"),
         max(snap(lit(1.0) / col("__rank"))).as("__rr12"),
         sum(gain(col("__rel"), col("__rank"))).as("__dcg12"))
+    // anchor on run ∪ judged queries (round-8 ADVICE): a judged query
+    // whose retriever returned NOTHING (or only ranks > k) must report
+    // n_ret = 0 with zero precision/recall/rr/ndcg — a run-anchored
+    // frame silently dropped it, and averaging the output then
+    // OVERSTATED quality exactly when a retriever failed hardest
     r.groupBy("query_id").agg(count(lit(1)).as("n_ret"))
-      .join(ideal, Seq("query_id"), "left_outer")
+      .join(ideal, Seq("query_id"), "full_outer")
       .join(perHit, Seq("query_id"), "left_outer")
       .select(col("query_id"),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),
-        col("n_ret"),
+        coalesce(col("n_ret"), lit(0L)).as("n_ret"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 12)
           .as("p_at_k"),

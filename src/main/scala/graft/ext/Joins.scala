@@ -201,14 +201,24 @@ object Joins {
     require(taken.isEmpty,
       s"intervalOverlapJoin: input columns ${taken.mkString(",")} collide " +
         "with internal names — rename them first")
+    // exact integer floor division (the [[Experiment.calibrationBins]]
+    // idiom — subtract the non-negative pmod remainder, then the `div`
+    // quotient is exact at any long magnitude and for negative bounds
+    // alike): double `floor(x / binSize)` mis-bins once |x| outgrows
+    // 2⁵³ — and the contract explicitly invites micros and sequence
+    // numbers — and the canonical-bin predicate recomputes the same
+    // floor over DIFFERENT inputs (max of two starts), so a rounding
+    // mismatch between the two sites could DROP an overlapping pair
+    // outright, not merely duplicate it
+    def floorDiv(x: Column): Column =
+      call_function("div", x - pmod(x, lit(binSize)), lit(binSize))
     def binned(df: DataFrame, s: Column, e: Column,
         sName: String, eName: String): DataFrame =
       df.withColumn(sName, s.cast("long"))
         .withColumn(eName, e.cast("long"))
         .withColumn("__bin", explode(
           when(col(eName) > col(sName),
-            sequence(floor(col(sName) / binSize),
-              floor((col(eName) - 1) / binSize)))
+            sequence(floorDiv(col(sName)), floorDiv(col(eName) - 1)))
             .otherwise(array().cast("array<bigint>"))))
     val l = binned(left, lStart, lEnd, "__ls", "__le")
     val r = binned(right, rStart, rEnd, "__rs", "__re")
@@ -216,7 +226,7 @@ object Joins {
       .where(greatest(col("__ls"), col("__rs")) <
         least(col("__le"), col("__re")) &&
         col("__bin") ===
-          floor(greatest(col("__ls"), col("__rs")) / binSize))
+          floorDiv(greatest(col("__ls"), col("__rs"))))
       .drop("__bin", "__ls", "__le", "__rs", "__re")
   }
 }

@@ -2297,6 +2297,11 @@ private[graft] object StaticOracles {
     // window id, recomputed in batch; the streamed union must match
     "x_stream_drift" -> (0 to 2).map(w => ksDriftSql(Some(w)))
       .mkString("\nUNION ALL\n"),
+    // SAME SQL on purpose: the throughput twin (no files-per-trigger
+    // cap — one AvailableNow batch over the backlog) must produce the
+    // identical per-window rows; batching is invisible in the result
+    "x_stream_drift_batched" -> (0 to 2).map(w => ksDriftSql(Some(w)))
+      .mkString("\nUNION ALL\n"),
     // same sync rounds unrolled as CTEs with the identical
     // (count desc, label asc) tie-break via row_number
     "x_graph_lpa" -> lpaOracle(4),

@@ -40,14 +40,58 @@ object ZipfFixture {
 
   /** Write (once) and return the absolute path of the fixture's
     * `documents.parquet` directory for `sfDir`.
+    *
+    * Publication is ATOMIC (round-8 ADVICE): the corpus is written to
+    * a pid-keyed staging directory and renamed into place in one
+    * filesystem move, so the shared path either doesn't exist or holds
+    * a COMPLETE fixture — a concurrent run (parallel Verify + Bench
+    * over the same sf dir) or the DuckDB oracle's read_parquet can
+    * never observe deleted/partial part files mid-rewrite, which the
+    * old check-then-`mode(overwrite)` allowed. A lost race is benign:
+    * the corpus is a pure function of (nDocs, vocab), so the winner's
+    * bytes are identical and the loser's staging dir is discarded. A
+    * directory WITHOUT `_SUCCESS` at the final path is crash debris
+    * (atomic publication means a winner appears complete instantly) —
+    * it is swept and the move retried once.
     */
   def ensure(spark: SparkSession, sfDir: String,
       outBase: String = "target/zipf_fixture"): String = {
     val leaf = Paths.get(sfDir).getFileName.toString
     val dir = Paths.get(outBase, leaf, "documents.parquet").toAbsolutePath
-    if (!Files.exists(dir.resolve("_SUCCESS")))
+    if (!Files.exists(dir.resolve("_SUCCESS"))) {
+      val tmp = Paths.get(outBase, leaf,
+        s"documents.parquet.stage_p${ProcessHandle.current().pid()}")
+        .toAbsolutePath
       ZipfDocs.frame(spark, nDocsFor(sfDir), Vocab)
-        .write.mode("overwrite").parquet(dir.toString)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!publish(tmp, dir)) {
+        // the occupant is either a racing winner (complete, keep it)
+        // or crash debris (no _SUCCESS — sweep and retry once)
+        if (!Files.exists(dir.resolve("_SUCCESS"))) {
+          deleteRecursively(dir)
+          publish(tmp, dir)
+        }
+        deleteRecursively(tmp)
+      }
+    }
     dir.toString
   }
+
+  /** Atomic directory rename into place; false if the target already
+    * exists (the filesystem arbitrates the race).
+    */
+  private def publish(tmp: java.nio.file.Path,
+      dir: java.nio.file.Path): Boolean =
+    try {
+      Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch { case _: java.nio.file.FileSystemException => false }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
 }

@@ -236,6 +236,28 @@ class ExperimentSpec extends SparkSpec {
     assert(r.getDouble(4) === 0.0 && r.getDouble(6) === 0.0)
   }
 
+  test("rankingMetrics: judged query with nothing retrieved reports " +
+      "n_ret = 0 and zero scores, never vanishes") {
+    // query 2 is judged but the retriever returned nothing for it;
+    // query 3 retrieved only past k (rank 4 > k = 3) — both must
+    // anchor a row with zero quality, not drop out of the average
+    val run = Seq((1L, 10L, 1L), (3L, 11L, 4L))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 10L, 1L), (2L, 20L, 2L), (3L, 11L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    val rows = Experiment.rankingMetrics(run, qrels, 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L))
+    for (qid <- Seq(2L, 3L)) {
+      val r = rows(qid)
+      assert(r.getLong(2) === 0L, s"q$qid n_ret")  // nothing within k
+      assert(r.getLong(1) === 1L && r.getLong(3) === 0L)
+      assert(r.getDouble(4) === 0.0 && r.getDouble(5) === 0.0)
+      assert(r.getDouble(6) === 0.0 && r.getDouble(7) === 0.0)
+    }
+    assert(rows(1L).getDouble(7) === 1.0)
+  }
+
   test("rankingMetrics: perfect run in ideal order scores NDCG = 1") {
     val run = Seq((1L, 5L, 1L), (1L, 6L, 2L))
       .toDF("query_id", "doc_id", "rank")

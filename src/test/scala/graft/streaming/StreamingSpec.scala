@@ -632,8 +632,25 @@ class StreamingSpec extends SparkSpec {
     Seq((2L, 9L), (2L, 9L), (2L, 1L))
       .toDF("window_id", "v").coalesce(1).write.parquet(s"$d/f2")
     val ref = Seq(1L, 2L, 5L, 9L).toDF("v")
-    val got = StreamingValidate.driftMonitorStream(spark,
-        s"$d/{f1,f2}", ref)
+    val monitor = StreamingValidate.driftMonitorStream(spark,
+      s"$d/{f1,f2}", ref)
+    // sink contract (round-8 directive): the returned frame is a READ
+    // of the append sink — ONE parquet scan, no N-way union of
+    // driver-held per-batch frames, no per-batch driver state
+    locally {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.UnionExec
+      val plan = monitor.queryExecution.executedPlan
+      def flat(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: p.children.flatMap(flat)
+      val ns = flat(plan)
+      assert(ns.exists(_.isInstanceOf[FileSourceScanExec]),
+        "monitor result must plan as a parquet scan of the sink")
+      assert(!ns.exists(_.isInstanceOf[UnionExec]),
+        "monitor result must not union per-batch frames")
+    }
+    val got = monitor
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
       .toMap
