@@ -610,6 +610,22 @@ object Graph {
     * exact long arithmetic with no window and no sort. Past
     * [[DeepIterThreshold]] rounds the label frame localCheckpoints
     * every round ([[pageRank]]'s lineage-truncation discipline).
+    *
+    * The per-round join pins SHUFFLED HASH with the node-bounded
+    * label frame as build side (the [[triangleCounts]]/[[kCorePeel]]
+    * treatment): the label side comes out of a struct-max aggregate
+    * whose size the planner can't estimate, so the unhinted plan
+    * sort-merge-joined — re-SORTING the corpus-sized cached edge
+    * frame every round. Measured at sf0.1 (round 9): the hint halves
+    * the row's wall (8.1 → 5.0 s; summed task 122 → 65 k ms) and
+    * with it the per-round marginal cost sits BELOW a [[pageRank]]
+    * round (the round-8 2.4×-per-round reading divided setup-
+    * inclusive suite-contended totals by round count; the clean
+    * marginal — task(10 rounds) − task(4 rounds), over 6 — was
+    * already 0.73× a pagerank round before the hint). pageRank/
+    * [[hits]]/[[personalizedPageRank]] measured FLAT under the same
+    * hint (their node-bounded side is already planned well), so only
+    * this join pins it.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
@@ -635,7 +651,8 @@ object Graph {
         // Labels are node ids (≥ 0 after the cast filter), far from
         // Long.MinValue, so the negation cannot overflow.
         lbl = symB
-          .join(lbl.select(col("id").as("b"), col("lbl")), "b")
+          .join(lbl.select(col("id").as("b"), col("lbl"))
+            .hint("shuffle_hash"), "b")
           .groupBy(col("a"), col("lbl"))
           .agg(count(lit(1)).as("cnt"))
           .groupBy(col("a"))
