@@ -402,6 +402,70 @@ private[graft] object CoreQueries {
       .distinct().orderBy("raw")
   }
 
+  /** P15 date format="any": every form of the fixed regex-gated list
+    * (ISO, slashed, basic, dotted) plus an invalid calendar date and
+    * an UNCLAIMED shape (`MM-dd-yyyy`) proving no order is ever
+    * guessed — the oracle mirrors gate-for-gate.
+    */
+  private[graft] def p15DateAny(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val raw = when(col("l_linenumber") % 6 === 0, lit("2026-13-01"))
+      .when(col("l_linenumber") % 6 === 1,
+        date_format(col("l_shipdate"), "yyyy/MM/dd"))
+      .when(col("l_linenumber") % 6 === 2,
+        date_format(col("l_shipdate"), "yyyyMMdd"))
+      .when(col("l_linenumber") % 6 === 3,
+        date_format(col("l_shipdate"), "dd.MM.yyyy"))
+      .when(col("l_linenumber") % 6 === 4,
+        date_format(col("l_shipdate"), "MM-dd-yyyy")) // unclaimed → null
+      .otherwise(date_format(col("l_shipdate"), "yyyy-MM-dd"))
+    val f = Field("raw", "date", format = "any")
+    li.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P16 datetime format="any": T and space separators, 6-digit
+    * fraction, `Z` and `±HH:MM` offsets (normalized to UTC on both
+    * engines), a bare date at midnight, and an in-gate invalid
+    * (hour 25) that must null out on BOTH engines.
+    */
+  private[graft] def p16DatetimeAny(s: SparkSession, dir: String)
+      : DataFrame = {
+    val e = t(s, dir, "events")
+    val isoT = date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss")
+    val raw = when(col("event_id") % 7 === 0, isoT)
+      .when(col("event_id") % 7 === 1,
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      .when(col("event_id") % 7 === 2,
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      .when(col("event_id") % 7 === 3, concat(isoT, lit("+02:00")))
+      .when(col("event_id") % 7 === 4, concat(isoT, lit("Z")))
+      .when(col("event_id") % 7 === 5,
+        date_format(col("ts"), "yyyy-MM-dd"))
+      .otherwise(lit("2026-01-01T25:00:00"))
+    val f = Field("raw", "datetime", format = "any")
+    e.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
+  /** P17 time format="any": full `HH:mm:ss` passes through, `HH:mm`
+    * canonicalizes with `:00` seconds, out-of-range and 1-digit-hour
+    * shapes null out (no lenient re-interpretation).
+    */
+  private[graft] def p17TimeAny(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val raw = when(col("event_id") % 4 === 0, lit("25:61:00"))
+      .when(col("event_id") % 4 === 1, date_format(col("ts"), "HH:mm"))
+      .when(col("event_id") % 4 === 2, lit("7:05"))
+      .otherwise(date_format(col("ts"), "HH:mm:ss"))
+    val f = Field("raw", "time", format = "any")
+    e.select(raw.as("raw"))
+      .select(col("raw"), Parsers.parseExpr(f, col("raw")).as("parsed"))
+      .distinct().orderBy("raw")
+  }
+
   /** K2 uniqueKeys: composite (l_partkey, l_suppkey) — the same part
     * from the same supplier appears on many orders, so duplicates exist.
     */

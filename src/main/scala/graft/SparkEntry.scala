@@ -3063,6 +3063,9 @@ object SparkEntry {
     "p12_array" -> (p12Array _),
     "p13_duration" -> (p13Duration _),
     "p14_geojson" -> (p14Geojson _),
+    "p15_date_any" -> (p15DateAny _),
+    "p16_datetime_any" -> (p16DatetimeAny _),
+    "p17_time_any" -> (p17TimeAny _),
     "x_dedup_keep_first" -> (xDedupKeepFirst _),
     "x_dedup_embed" -> (xDedupEmbed _),
     "x_stream_sliding" -> (xStreamSliding _),

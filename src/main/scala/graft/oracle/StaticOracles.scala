@@ -454,6 +454,81 @@ private[graft] object StaticOracles {
         |      || CAST(p_size % 181 - 90 AS VARCHAR) || ']}'
         |    END AS raw FROM part)
         |ORDER BY raw""".stripMargin,
+    // format="any": the oracle mirrors the parser's regex gates
+    // FORM-FOR-FORM — first matching gate claims the value, unclaimed
+    // shapes (MM-dd-yyyy) stay NULL on both engines
+    "p15_date_any" ->
+      """SELECT DISTINCT raw,
+        |  CAST(CASE
+        |    WHEN regexp_full_match(raw, '\d{4}-\d{2}-\d{2}')
+        |      THEN try_strptime(raw, '%Y-%m-%d')
+        |    WHEN regexp_full_match(raw, '\d{4}/\d{2}/\d{2}')
+        |      THEN try_strptime(raw, '%Y/%m/%d')
+        |    WHEN regexp_full_match(raw, '\d{8}')
+        |      THEN try_strptime(raw, '%Y%m%d')
+        |    WHEN regexp_full_match(raw, '\d{2}\.\d{2}\.\d{4}')
+        |      THEN try_strptime(raw, '%d.%m.%Y')
+        |    END AS DATE) AS parsed
+        |FROM (SELECT CASE l_linenumber % 6
+        |    WHEN 0 THEN '2026-13-01'
+        |    WHEN 1 THEN strftime(l_shipdate, '%Y/%m/%d')
+        |    WHEN 2 THEN strftime(l_shipdate, '%Y%m%d')
+        |    WHEN 3 THEN strftime(l_shipdate, '%d.%m.%Y')
+        |    WHEN 4 THEN strftime(l_shipdate, '%m-%d-%Y')
+        |    ELSE strftime(l_shipdate, '%Y-%m-%d') END AS raw
+        |  FROM lineitem)
+        |ORDER BY raw""".stripMargin,
+    // offsets normalize through %z then cast to UTC wall time — the
+    // same result Spark's XXX produces under the UTC session zone;
+    // DuckDB's %z does not accept literal 'Z', hence the replace
+    "p16_datetime_any" ->
+      """SELECT DISTINCT raw,
+        |  CAST(CASE
+        |    WHEN regexp_full_match(raw,
+        |        '\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}')
+        |      THEN try_strptime(raw, '%Y-%m-%dT%H:%M:%S')
+        |    WHEN regexp_full_match(raw,
+        |        '\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}')
+        |      THEN try_strptime(raw, '%Y-%m-%dT%H:%M:%S.%f')
+        |    WHEN regexp_full_match(raw,
+        |        '\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(Z|[+-]\d{2}:\d{2})')
+        |      THEN CAST(try_strptime(replace(raw, 'Z', '+00:00'),
+        |        '%Y-%m-%dT%H:%M:%S%z') AS TIMESTAMP)
+        |    WHEN regexp_full_match(raw,
+        |        '\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}(Z|[+-]\d{2}:\d{2})')
+        |      THEN CAST(try_strptime(replace(raw, 'Z', '+00:00'),
+        |        '%Y-%m-%dT%H:%M:%S.%f%z') AS TIMESTAMP)
+        |    WHEN regexp_full_match(raw, '\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}')
+        |      THEN try_strptime(raw, '%Y-%m-%d %H:%M:%S')
+        |    WHEN regexp_full_match(raw,
+        |        '\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{6}')
+        |      THEN try_strptime(raw, '%Y-%m-%d %H:%M:%S.%f')
+        |    WHEN regexp_full_match(raw, '\d{4}-\d{2}-\d{2}')
+        |      THEN try_strptime(raw, '%Y-%m-%d')
+        |    END AS TIMESTAMP) AS parsed
+        |FROM (SELECT CASE event_id % 7
+        |    WHEN 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+        |    WHEN 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')
+        |    WHEN 2 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |    WHEN 3 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+02:00'
+        |    WHEN 4 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z'
+        |    WHEN 5 THEN strftime(ts, '%Y-%m-%d')
+        |    ELSE '2026-01-01T25:00:00' END AS raw FROM events)
+        |ORDER BY raw""".stripMargin,
+    "p17_time_any" ->
+      """SELECT DISTINCT raw,
+        |  CASE
+        |    WHEN regexp_full_match(raw,
+        |        '([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9]') THEN raw
+        |    WHEN regexp_full_match(raw, '([01][0-9]|2[0-3]):[0-5][0-9]')
+        |      THEN raw || ':00'
+        |    END AS parsed
+        |FROM (SELECT CASE event_id % 4
+        |    WHEN 0 THEN '25:61:00'
+        |    WHEN 1 THEN strftime(ts, '%H:%M')
+        |    WHEN 2 THEN '7:05'
+        |    ELSE strftime(ts, '%H:%M:%S') END AS raw FROM events)
+        |ORDER BY raw""".stripMargin,
     "x_dedup_keep_first" ->
       """SELECT user_id, event_type, min(ts) AS first_ts,
         |  count(*) AS n_dups

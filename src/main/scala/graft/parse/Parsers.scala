@@ -93,10 +93,61 @@ object Parsers {
   }
 
   // ----------------------------------------------------------------- temporal
-  private def dateExpr(f: Field, raw: Column): Column = {
-    val fmt = Patterns.resolve("date", f.format)
-    try_to_timestamp(raw, lit(fmt)).cast(DateType)
-  }
+
+  /** `format="any"` ([B] Table Schema: "any parseable representation";
+    * the reference's README declares it unsupported — SURVEY §1.2 —
+    * so this EXCEEDS the reference). "Anything parseable" is
+    * engine-defined, which is exactly the non-determinism a
+    * distributed validator cannot afford; the contract here is a
+    * FIXED, ORDERED, regex-gated form list: a raw string is claimed
+    * by the FIRST form whose gate matches (at most one gate can, by
+    * construction), every form is unambiguous about field order (no
+    * bare `dd/MM` vs `MM/dd` guess is ever made — dotted order is
+    * pinned to `dd.MM.yyyy`, slashed to `yyyy/MM/dd`), and the
+    * DuckDB oracle mirrors the same gates + strptime forms, so the
+    * two engines cannot disagree on which pattern parsed a value.
+    * Calendar validity rides the engine's strict resolver
+    * (`2026-13-01`, `2024-02-30` → null on both engines).
+    */
+  private val AnyDateForms: Seq[(String, String)] = Seq(
+    "^\\d{4}-\\d{2}-\\d{2}$" -> "yyyy-MM-dd",
+    "^\\d{4}/\\d{2}/\\d{2}$" -> "yyyy/MM/dd",
+    "^\\d{8}$" -> "yyyyMMdd",
+    "^\\d{2}\\.\\d{2}\\.\\d{4}$" -> "dd.MM.yyyy")
+
+  /** ISO 8601 datetime with `T` or space separator, optional 6-digit
+    * fraction, optional `Z`/`±HH:MM` offset (offsets normalize to the
+    * session zone — UTC in the harness), or a bare date at midnight.
+    */
+  private val AnyDatetimeForms: Seq[(String, String)] = Seq(
+    "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}$" ->
+      "yyyy-MM-dd'T'HH:mm:ss",
+    "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{6}$" ->
+      "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(Z|[+-]\\d{2}:\\d{2})$" ->
+      "yyyy-MM-dd'T'HH:mm:ssXXX",
+    ("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{6}" +
+      "(Z|[+-]\\d{2}:\\d{2})$") -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$" ->
+      "yyyy-MM-dd HH:mm:ss",
+    "^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{6}$" ->
+      "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "^\\d{4}-\\d{2}-\\d{2}$" -> "yyyy-MM-dd")
+
+  private def anyTemporalExpr(raw: Column,
+      forms: Seq[(String, String)]): Column =
+    coalesce(forms.map { case (re, p) =>
+      when(raw.rlike(re), try_to_timestamp(raw, lit(p)))
+        .otherwise(lit(null).cast(TimestampType))
+    }: _*)
+
+  private def dateExpr(f: Field, raw: Column): Column =
+    f.format match {
+      case "any" => anyTemporalExpr(raw, AnyDateForms).cast(DateType)
+      case _ =>
+        val fmt = Patterns.resolve("date", f.format)
+        try_to_timestamp(raw, lit(fmt)).cast(DateType)
+    }
 
   private def datetimeExpr(f: Field, raw: Column): Column =
     f.format match {
@@ -109,15 +160,23 @@ object Parsers {
           try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
           try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ssX"))
         )
+      case "any" => anyTemporalExpr(raw, AnyDatetimeForms)
       case _ =>
         try_to_timestamp(raw, lit(Patterns.resolve("datetime", f.format)))
     }
+
+  /** `HH:mm` (seconds defaulted) or full `HH:mm:ss`, range-validated. */
+  private val AnyTimeHmRe = "^([01]\\d|2[0-3]):[0-5]\\d$"
 
   /** Time has no Spark type: canonical `HH:mm:ss` string (SURVEY.md §1.2). */
   private def timeExpr(f: Field, raw: Column): Column =
     f.format match {
       case "default" =>
         when(raw.rlike(TimeRe), raw).otherwise(lit(null: String))
+      case "any" =>
+        when(raw.rlike(TimeRe), raw)
+          .when(raw.rlike(AnyTimeHmRe), concat(raw, lit(":00")))
+          .otherwise(lit(null: String))
       case _ =>
         val fmt = Patterns.resolve("time", f.format)
         date_format(try_to_timestamp(raw, lit(fmt)), "HH:mm:ss")

@@ -83,13 +83,17 @@ object Patterns {
   /** ISO 8601 with optional fractional seconds and optional offset. */
   val DateTimeDefault = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]"
 
-  /** Resolve a field's declared format to a java.time pattern.
-    * `default` → spec default; `any` is unsupported by the reference
-    * (SURVEY.md §1.2) and rejected here the same way.
+  /** Resolve a field's declared format to a SINGLE java.time pattern.
+    * `default` → spec default. `any` is not a single pattern — the
+    * temporal parsers handle it upstream as a fixed regex-gated form
+    * list ([[graft.parse.Parsers]], round-9: previously rejected like
+    * the reference does); reaching here with `any` is a caller bug,
+    * rejected loudly.
     */
   def resolve(ftype: String, format: String): String = (ftype, format) match {
     case (_, "any") =>
-      throw PatternError(s"format 'any' unsupported for $ftype")
+      throw PatternError(s"format 'any' is not a single pattern " +
+        s"(handled by the $ftype parser's form list, never resolved here)")
     case ("date", "default")     => DateDefault
     case ("time", "default")     => TimeDefault
     case ("datetime", "default") => DateTimeDefault

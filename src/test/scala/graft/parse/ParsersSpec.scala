@@ -105,6 +105,49 @@ class ParsersSpec extends SparkSpec {
     assert(d("2026-08-12T99:00:00") == null)
   }
 
+  test("P15 date format='any': fixed form list, no order guessing") {
+    val d = parse(Field("x", "date", format = "any"),
+      Seq("2026-08-12", "2026/08/12", "20260812", "12.08.2026",
+        "08-12-2026", "2026-13-01", "30.02.2026", "12/08/2026"))
+    val exp = Date.valueOf("2026-08-12")
+    assert(d("2026-08-12") == exp && d("2026/08/12") == exp)
+    assert(d("20260812") == exp && d("12.08.2026") == exp)
+    // unclaimed shape: MM-dd-yyyy is never guessed at
+    assert(d("08-12-2026") == null)
+    // slashed order is pinned yyyy/MM/dd — dd/MM never guessed
+    assert(d("12/08/2026") == null)
+    assert(d("2026-13-01") == null) // in-gate calendar-invalid
+    assert(d("30.02.2026") == null)
+  }
+
+  test("P16 datetime format='any': separators, fraction, offsets") {
+    val d = parse(Field("x", "datetime", format = "any"),
+      Seq("2026-08-12T05:33:00", "2026-08-12 05:33:00",
+        "2026-08-12T05:33:00.000123", "2026-08-12T05:33:00+02:00",
+        "2026-08-12T05:33:00Z", "2026-08-12", "2026-08-12T25:00:00",
+        "2026-08-12T05:33:00.1"))
+    val base = Timestamp.valueOf("2026-08-12 05:33:00")
+    assert(d("2026-08-12T05:33:00") == base)
+    assert(d("2026-08-12 05:33:00") == base) // space ok under "any"
+    assert(d("2026-08-12T05:33:00.000123") ==
+      Timestamp.valueOf("2026-08-12 05:33:00.000123"))
+    assert(d("2026-08-12T05:33:00+02:00") ==
+      Timestamp.valueOf("2026-08-12 03:33:00")) // session TZ = UTC
+    assert(d("2026-08-12T05:33:00Z") == base)
+    assert(d("2026-08-12") == Timestamp.valueOf("2026-08-12 00:00:00"))
+    assert(d("2026-08-12T25:00:00") == null)
+    assert(d("2026-08-12T05:33:00.1") == null) // fraction must be 6-digit
+  }
+
+  test("P17 time format='any': HH:mm canonicalizes, no lax hours") {
+    val d = parse(Field("x", "time", format = "any"),
+      Seq("23:59:59", "05:33", "7:05", "25:61:00", "24:00"))
+    assert(d("23:59:59") == "23:59:59")
+    assert(d("05:33") == "05:33:00")
+    assert(d("7:05") == null && d("25:61:00") == null)
+    assert(d("24:00") == null)
+  }
+
   test("P7 time: default range-validated canonical string") {
     val d = parse(Field("x", "time"),
       Seq("23:59:59", "00:00:00", "24:00:00", "12:60:00", "1:2:3"))

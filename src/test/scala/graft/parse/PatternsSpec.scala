@@ -26,7 +26,8 @@ class PatternsSpec extends AnyFunSuite {
     assertThrows[PatternError](Patterns.strptimeToJava("broken%"))
   }
 
-  test("format 'any' is rejected (unsupported upstream)") {
+  test("format 'any' never resolves to a single pattern (the parsers " +
+      "own it as a form list)") {
     assertThrows[PatternError](Patterns.resolve("date", "any"))
   }
 
