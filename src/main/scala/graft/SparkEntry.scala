@@ -460,6 +460,27 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Rank-biased overlap between the float-cosine and int8-quantized
+    * top-10 runs (Experiment.rboTruncated, p = 9/10): how much the
+    * quantized serving index reorders the user-visible ranking
+    * prefix, per query — the top-weighted drift gate between an index
+    * and its cheaper twin. Exact rational arithmetic end to end (the
+    * p = 9/10 depth weights are integers over one common
+    * denominator); the oracle re-derives both runs AND shares the
+    * same integer weight table, so the hash-match proves the
+    * join/Σ/anchor path exact.
+    */
+  private def xEvalRbo(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    def rn(df: DataFrame) = df.select(col("query_id"),
+      col("neighbor_id").as("doc_id"), col("rank"))
+    graft.ext.Experiment.rboTruncated(
+        rn(Similarity.bruteForceTopK(q, e, 10)),
+        rn(Similarity.quantizedTopK(q, e, 10)), k = 10)
+      .orderBy("query_id")
+  }
+
   /** The ANN SERVING loop streamed (the query-side twin of
     * x_stream_dedup_index): the IVF index is persisted once, the 5
     * query vectors arrive as a real file stream in 3 micro-batches,
@@ -3233,7 +3254,8 @@ object SparkEntry {
     "x_text_js_divergence" -> (xTextJsDivergence _),
     "x_graph_assortativity" -> (xGraphAssortativity _),
     "x_graph_lpa_deep" -> (xGraphLpaDeep _),
-    "x_stream_drift_batched" -> (xStreamDriftBatched _)
+    "x_stream_drift_batched" -> (xStreamDriftBatched _),
+    "x_eval_rbo" -> (xEvalRbo _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -401,4 +401,85 @@ object Experiment {
           round(coalesce(col("__dcg12"), lit(0L)).cast("double") /
             col("__idcg12").cast("double"), 12)).as("ndcg"))
   }
+
+  /** Truncated Rank-Biased Overlap between two top-k runs (Webber,
+    * Moffat & Zobel, "A similarity measure for indefinite rankings",
+    * TOIS 2010) — the principled top-weighted comparison of two
+    * retrieval runs (e.g. a float index vs its quantized serving twin:
+    * how much does quantization reorder what users actually see?).
+    * RBO_min@k = (1−p)·Σ_{d=1..k} p^{d−1}·|A_d ∩ B_d|/d, the
+    * known-prefix lower bound (no extrapolation term — that models
+    * unseen tails, which a drift gate should not invent).
+    *
+    * EXACT RATIONAL arithmetic, no libm: with p = pNum/pDen every
+    * depth weight is a fraction over D = pDen^k · lcm(1..k), so the
+    * per-doc contribution Σ_{d≥max(rankA,rankB)} (1−p)p^{d−1}/d
+    * collapses to one LONG from a k-entry lookup table computed once
+    * in exact integer arithmetic (BigInt at build, overflow-checked);
+    * the per-query score is an exact long Σ and ONE correctly-rounded
+    * division by D — bit-identical on any engine, stronger than the
+    * snapped-libm discipline ([[rankingMetrics]]'s log2 gains) because
+    * there is no float term to snap at all.
+    *
+    * Shape: the depth sum is reindexed per DOC — doc enters every
+    * prefix from depth m = max(rank_A, rank_B), so
+    * Σ_d X_d·w_d = Σ_docs W(m) — ONE equi-join of two ≤k-per-query
+    * runs on (query_id, doc_id) + one hash agg; anchored on A ∪ B
+    * query ids so a disjoint pair reports rbo = 0 instead of
+    * vanishing (the [[rankingMetrics]] anchor discipline). No window,
+    * no corpus scan.
+    *
+    * Output per query: (query_id, n_common, rbo_min), rbo rounded 12.
+    */
+  def rboTruncated(runA: DataFrame, runB: DataFrame, k: Int,
+      pNum: Long = 9L, pDen: Long = 10L): DataFrame = {
+    val (wD, d) = rboWeights(k, pNum, pDen)
+    def leg(r: DataFrame, rk: String): DataFrame =
+      r.select(col("query_id").cast("long").as("query_id"),
+          col("doc_id").cast("long").as("doc_id"),
+          col("rank").cast("long").as(rk))
+        .where(col(rk) >= 1 && col(rk) <= k)
+    val a = leg(runA, "__ra")
+    val b = leg(runB, "__rb")
+    val wArr = array(wD.map(lit(_)): _*)
+    val common = a.join(b, Seq("query_id", "doc_id"))
+      .select(col("query_id"),
+        element_at(wArr,
+          greatest(col("__ra"), col("__rb")).cast("int")).as("__w"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_common"), sum(col("__w")).as("__wsum"))
+    a.select("query_id").union(b.select("query_id")).distinct()
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("__wsum"), lit(0L)).cast("double") /
+          d.toDouble, 12).as("rbo_min"))
+  }
+
+  /** W(m)·D for m in 1..k (W(m) = Σ_{d=m..k} (1−p)p^{d−1}/d) and the
+    * common denominator D = pDen^k · lcm(1..k) — exact integers,
+    * BigInt-checked to fit a long with k·W(1)·D headroom for the
+    * per-query sum. Shared verbatim by the DuckDB oracle (the
+    * constants are part of the operator contract, like PQ codebooks;
+    * the hash-match proves the JOIN/Σ/anchor path exact).
+    */
+  private[graft] def rboWeights(k: Int, pNum: Long, pDen: Long)
+      : (Seq[Long], Long) = {
+    require(k >= 1 && k <= 12, s"k must be in [1, 12], got $k")
+    require(pNum > 0 && pDen > pNum && pDen <= 16,
+      s"need 0 < pNum < pDen <= 16, got $pNum/$pDen")
+    def gcd(a: BigInt, b: BigInt): BigInt = if (b == 0) a else gcd(b, a % b)
+    val lcm = (1 to k).map(BigInt(_)).reduce((x, y) => x * y / gcd(x, y))
+    val d = BigInt(pDen).pow(k) * lcm
+    // term(d') = (pDen−pNum)·pNum^{d'−1} · (D / pDen^{d'} / d') — every
+    // factor divides exactly by construction
+    val terms = (1 to k).map { dd =>
+      BigInt(pDen - pNum) * BigInt(pNum).pow(dd - 1) *
+        (d / BigInt(pDen).pow(dd) / dd)
+    }
+    val w = (1 to k).map(m => terms.drop(m - 1).sum)
+    require(w.head * k <= BigInt(Long.MaxValue) / 4 && d.isValidLong,
+      s"rbo weights overflow for k=$k p=$pNum/$pDen")
+    (w.map(_.toLong), d.toLong)
+  }
 }

@@ -1761,58 +1761,7 @@ private[graft] object StaticOracles {
     // hybrid RRF fusion: both legs re-derived (float cosine + int8
     // quantized), fused 1/(60 + rank) contributions, re-ranked
     "x_sim_rrf" ->
-      """WITH nq AS (
-        |  SELECT vec_id AS query_id, embedding AS vec,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-        |  FROM embeddings WHERE vec_id < 5),
-        |q AS (SELECT query_id,
-        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS qv
-        |      FROM nq WHERE nrm > 0),
-        |nc AS (
-        |  SELECT vec_id AS neighbor_id, embedding AS vec,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
-        |  FROM embeddings),
-        |c AS (SELECT neighbor_id,
-        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS cv
-        |      FROM nc WHERE nrm > 0),
-        |sa AS (
-        |  SELECT query_id, neighbor_id,
-        |    list_sum(list_transform(range(1, len(qv) + 1),
-        |      i -> qv[i] * cv[i])) AS sim
-        |  FROM q, c WHERE query_id <> neighbor_id),
-        |ra0 AS (
-        |  SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM sa),
-        |ra AS (SELECT query_id, neighbor_id AS doc_id, rank
-        |       FROM ra0 WHERE rank <= 10),
-        |q1 AS (SELECT query_id, qv,
-        |         list_max(list_transform(qv, x -> abs(x))) / 127.0 AS qs
-        |       FROM q),
-        |qq AS (SELECT query_id, qs,
-        |        list_transform(qv, x -> floor(x / qs + 0.5)) AS qa
-        |      FROM q1),
-        |c1 AS (SELECT neighbor_id, cv,
-        |         list_max(list_transform(cv, x -> abs(x))) / 127.0 AS cs
-        |       FROM c),
-        |cc AS (SELECT neighbor_id, cs,
-        |        list_transform(cv, x -> floor(x / cs + 0.5)) AS ca
-        |      FROM c1),
-        |sb AS (
-        |  SELECT query_id, neighbor_id,
-        |    list_sum(list_transform(range(1, len(qa) + 1),
-        |      i -> qa[i] * ca[i])) * qs * cs AS sim
-        |  FROM qq, cc WHERE query_id <> neighbor_id),
-        |rb0 AS (
-        |  SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM sb),
-        |rb AS (SELECT query_id, neighbor_id AS doc_id, rank
-        |       FROM rb0 WHERE rank <= 10),
+      s"""WITH $cosineRunLegsCte,
         |f AS (SELECT coalesce(ra.query_id, rb.query_id) AS query_id,
         |    coalesce(ra.doc_id, rb.doc_id) AS doc_id,
         |    coalesce(1.0 / (ra.rank + 60), 0.0)
@@ -1826,6 +1775,31 @@ private[graft] object StaticOracles {
         |SELECT query_id, doc_id, round(s, 12) AS rrf_score,
         |  CAST(rank AS BIGINT) AS rank
         |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // truncated RBO over the same two runs: per common doc the depth
+    // sum collapses to W(max(rank_a, rank_b)) from the exact integer
+    // weight table SHARED with the Spark side (rboWeights — the
+    // constants are operator contract, like PQ codebooks); anchored
+    // on ra ∪ rb query ids
+    "x_eval_rbo" -> {
+      val (w, d) = graft.ext.Experiment.rboWeights(10, 9L, 10L)
+      val vals = w.zipWithIndex
+        .map { case (wm, i) => s"(${i + 1}, ${wm})" }.mkString(", ")
+      s"""WITH $cosineRunLegsCte,
+        |mm AS (SELECT ra.query_id AS query_id,
+        |    greatest(ra.rank, rb.rank) AS m
+        |  FROM ra JOIN rb
+        |    ON ra.query_id = rb.query_id AND ra.doc_id = rb.doc_id),
+        |wt(m, w) AS (VALUES $vals),
+        |agg AS (SELECT query_id, count(*) AS n_common, sum(w) AS wsum
+        |  FROM mm JOIN wt ON mm.m = wt.m GROUP BY 1),
+        |qs AS (SELECT DISTINCT query_id FROM ra
+        |  UNION SELECT DISTINCT query_id FROM rb)
+        |SELECT qs.query_id,
+        |  CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+        |  round(CAST(coalesce(wsum, 0) AS DOUBLE) / ${d}, 12) AS rbo_min
+        |FROM qs LEFT JOIN agg ON qs.query_id = agg.query_id
+        |ORDER BY qs.query_id""".stripMargin
+    },
     "x_text_bigram_lp" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -3826,6 +3800,67 @@ private[graft] object StaticOracles {
     * the plain row (x_drift_ks); `Some(w)` prefixes a window_id
     * column for the streamed monitor's per-window blocks.
     */
+  /** Shared CTE block deriving the two retrieval runs the rank-fusion
+    * and rank-overlap oracles compare: `ra` = float-cosine top-10 of
+    * the 5 query vectors against the corpus, `rb` = the int8
+    * symmetric-quantized top-10 (the x_sim_topk / x_sim_quantized
+    * derivations verbatim). Emitted pre-stripped (no margin pipes) so
+    * callers splice it into their own stripMargin strings.
+    */
+  private def cosineRunLegsCte: String =
+    """nq AS (
+      |  SELECT vec_id AS query_id, embedding AS vec,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM embeddings WHERE vec_id < 5),
+      |q AS (SELECT query_id,
+      |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS qv
+      |      FROM nq WHERE nrm > 0),
+      |nc AS (
+      |  SELECT vec_id AS neighbor_id, embedding AS vec,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM embeddings),
+      |c AS (SELECT neighbor_id,
+      |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS cv
+      |      FROM nc WHERE nrm > 0),
+      |sa AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_sum(list_transform(range(1, len(qv) + 1),
+      |      i -> qv[i] * cv[i])) AS sim
+      |  FROM q, c WHERE query_id <> neighbor_id),
+      |ra0 AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM sa),
+      |ra AS (SELECT query_id, neighbor_id AS doc_id, rank
+      |       FROM ra0 WHERE rank <= 10),
+      |q1 AS (SELECT query_id, qv,
+      |         list_max(list_transform(qv, x -> abs(x))) / 127.0 AS qs
+      |       FROM q),
+      |qq AS (SELECT query_id, qs,
+      |        list_transform(qv, x -> floor(x / qs + 0.5)) AS qa
+      |      FROM q1),
+      |c1 AS (SELECT neighbor_id, cv,
+      |         list_max(list_transform(cv, x -> abs(x))) / 127.0 AS cs
+      |       FROM c),
+      |cc AS (SELECT neighbor_id, cs,
+      |        list_transform(cv, x -> floor(x / cs + 0.5)) AS ca
+      |      FROM c1),
+      |sb AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_sum(list_transform(range(1, len(qa) + 1),
+      |      i -> qa[i] * ca[i])) * qs * cs AS sim
+      |  FROM qq, cc WHERE query_id <> neighbor_id),
+      |rb0 AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM sb),
+      |rb AS (SELECT query_id, neighbor_id AS doc_id, rank
+      |       FROM rb0 WHERE rank <= 10)""".stripMargin
+
   private def ksDriftSql(w: Option[Int]): String = {
     val widCol = w.map(i => s"CAST($i AS BIGINT) AS window_id,\n  ")
       .getOrElse("")

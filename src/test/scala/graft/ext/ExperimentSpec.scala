@@ -258,6 +258,30 @@ class ExperimentSpec extends SparkSpec {
     assert(rows(1L).getDouble(7) === 1.0)
   }
 
+  test("rboTruncated: hand-computed overlap weights, exact rational") {
+    // identical top-3 lists: RBO_min@3 = 0.1·(1 + 0.9 + 0.81) = 0.271
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val r1 = Experiment.rboTruncated(a, a, 3).collect().head
+    assert(r1.getLong(1) === 3L && r1.getDouble(2) === 0.271)
+    // swapped top-2: X_1 = 0, X_2 = 2 → 0.1·0.9·(2/2) = 0.09
+    val b = Seq((1L, 20L, 1L), (1L, 10L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val r2 = Experiment.rboTruncated(
+      a.where(col("rank") <= 2), b, 2).collect().head
+    assert(r2.getLong(1) === 2L && r2.getDouble(2) === 0.09)
+    // disjoint-query anchoring: a query present in only one run
+    // reports rbo 0, never vanishes
+    val c = Seq((9L, 50L, 1L)).toDF("query_id", "doc_id", "rank")
+    val rows = Experiment.rboTruncated(a, c, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows === Map(1L -> ((0L, 0.0)), 9L -> ((0L, 0.0))))
+    // weight-table internals: k = 3, p = 9/10 → D = 6000,
+    // W = (1032, 432, 162) exactly
+    assert(Experiment.rboWeights(3, 9L, 10L) ===
+      ((Seq(1032L, 432L, 162L), 6000L)))
+  }
+
   test("rankingMetrics: perfect run in ideal order scores NDCG = 1") {
     val run = Seq((1L, 5L, 1L), (1L, 6L, 2L))
       .toDF("query_id", "doc_id", "rank")
