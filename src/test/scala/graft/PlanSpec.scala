@@ -827,6 +827,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("rboTruncated: one equi-join + hash agg — no window, no " +
+      "nested loop, weight lookup stays a projection") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import spark.implicits._
+    val a = (1L to 200L).flatMap(q => (1L to 10L).map(r =>
+      (q, q * 100 + r, r))).toDF("query_id", "doc_id", "rank")
+    val b = (1L to 200L).flatMap(q => (1L to 10L).map(r =>
+      (q, q * 100 + 11 - r, r))).toDF("query_id", "doc_id", "rank")
+    val n = nodes(graft.ext.Experiment.rboTruncated(a, b, 10))
+    assert(!n.exists(_.isInstanceOf[WindowExec]))
+    assert(!n.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+  }
+
   test("jsDivergence pair replication broadcasts the bounded pair frame") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import spark.implicits._
