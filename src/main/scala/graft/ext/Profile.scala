@@ -853,6 +853,92 @@ object Profile {
     }
   }
 
+  /** Per-group [[ksTwoSample]]: every `groupCol` cohort of `df` scored
+    * against the SAME static reference in ONE pass — the monitoring
+    * shape ([[graft.streaming.StreamingValidate.driftMonitorStream]]
+    * serves a whole micro-batch of windows with it). Row-for-row
+    * identical to looping `ksTwoSample(df.where(group === w), ref)`
+    * over the groups (asserted in ProfileSpec; the streamed harness
+    * row hash-matches the per-window DuckDB oracle), but the plan is
+    * group-count-independent: two frequency hash aggs, the reference
+    * table replicated per group through a cross join against the
+    * GROUP-BOUNDED group list (groups per batch ≪ values — files per
+    * trigger, monitoring windows), one full-outer domain merge, and a
+    * cumulative window PARTITIONED BY GROUP — better partitioned than
+    * the single-cohort operator's global-order window, and no
+    * driver-side group-id collect anywhere. The `maxDomain` contract
+    * is per group, enforced over the merged frame in one aggregate.
+    *
+    * A group whose values are all null/absent still emits its row
+    * (n_a = 0, NULL ks — the statistic is undefined on an empty
+    * cohort; the per-window loop this replaces would have THROWN the
+    * ANSI divide-by-zero instead): group identity comes from the
+    * group column, not from parseability.
+    * Output: (group_id, n_a, n_b, ks, ks_at).
+    */
+  def ksTwoSampleByGroup(df: DataFrame, groupCol: Column, value: Column,
+      reference: DataFrame, refValue: Column,
+      maxDomain: Long = 2000000L): DataFrame = {
+    require(maxDomain > 0, s"maxDomain must be positive: $maxDomain")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(groupCol.cast("long").as("__w"),
+        value.cast("long").as("__v"))
+      .where(col("__w").isNotNull)
+    val fa = rows.where(col("__v").isNotNull)
+      .groupBy("__w", "__v").agg(count(lit(1)).as("__ca"))
+    val fb = reference.select(refValue.cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as("__cb"))
+    // group list from the RAW rows: a group with zero parseable
+    // values still anchors its (degenerate) output row
+    val wins = rows.select("__w").distinct()
+    val grid = wins.crossJoin(fb)
+    val merged = fa.join(grid, Seq("__w", "__v"), "full_outer")
+      .select(col("__w"), col("__v"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    // the single cached frame is `merged` — the [[ksTwoSample]] shape:
+    // it feeds the guard action, both cumulative reads, and the totals
+    // in one scope with ONE exit materialization
+    CacheScope.withCached(merged) { merged =>
+      val dom = merged.groupBy("__w").agg(count(lit(1)).as("__dom"))
+        .agg(max(col("__dom"))).head
+      require(dom.isNullAt(0) || dom.getLong(0) <= maxDomain,
+        s"ksTwoSampleByGroup: a group spans ${dom.getLong(0)} distinct " +
+          s"values (> maxDomain = $maxDomain) — quantize the value or " +
+          "raise maxDomain deliberately")
+      val w = Window.partitionBy(col("__w")).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val scored = merged
+        .withColumn("__cuma", sum(col("__ca")).over(w))
+        .withColumn("__cumb", sum(col("__cb")).over(w))
+        .join(merged.groupBy("__w").agg(sum(col("__ca")).as("__na"),
+          sum(col("__cb")).as("__nb")), Seq("__w"))
+        .select(col("__w"), col("__v"), col("__na"), col("__nb"),
+          abs(dec(col("__cuma")) * dec(col("__nb")) -
+            dec(col("__cumb")) * dec(col("__na"))).as("__d"))
+      scored
+        .join(scored.groupBy("__w").agg(max(col("__d")).as("__dmax")),
+          Seq("__w"))
+        .where(col("__d") === col("__dmax"))
+        .groupBy(col("__w"), col("__na"), col("__nb"), col("__dmax"))
+        .agg(min(col("__v")).as("ks_at"))
+        .select(col("__w").as("group_id"),
+          col("__na").as("n_a"), col("__nb").as("n_b"),
+          // degenerate cohort (one side empty): KS is undefined —
+          // NULL, never a fabricated value, and never the ANSI
+          // divide-by-zero the unguarded ratio would throw (which is
+          // what the pre-grouped per-window LOOP would have done on a
+          // window whose values were all missing)
+          when(col("__na") > 0 && col("__nb") > 0,
+            round(col("__dmax").cast("double") /
+              (dec(col("__na")) * dec(col("__nb"))).cast("double"), 12))
+            .as("ks"),
+          col("ks_at"))
+    }
+  }
+
   /** Pairwise Jensen–Shannon divergence between the `value`
     * distributions of every pair of `key` groups — the CATEGORICAL
     * corpus-drift complement of [[ksTwoSample]] (KS needs an ordered

@@ -485,9 +485,10 @@ object StreamingValidate {
     *
     * Scale: the reference frequency table is the small side of every
     * batch's full-outer domain merge; per-batch cost is the batch's
-    * own hash agg plus a bounded-domain CDF window (ksTwoSample's
-    * enforced `maxDomain` contract). Window ids per batch are
-    * collected — bounded by files-per-trigger, not data size.
+    * own hash agg plus a per-window-partitioned CDF window
+    * (ksTwoSampleByGroup's enforced per-group `maxDomain` contract).
+    * ALL windows in a batch are scored in one grouped pass — no
+    * driver-side window-id collect, no per-window job fan.
     *
     * `filesPerTrigger` = 1 is the latency operating point (one window
     * file per micro-batch, per-batch cost at its floor); 0 removes
@@ -501,28 +502,17 @@ object StreamingValidate {
     */
   def driftMonitorStream(spark: org.apache.spark.sql.SparkSession,
       windowsDir: String, reference: DataFrame,
-      maxDomain: Long = 2000000L, filesPerTrigger: Int = 1): DataFrame = {
-    def serve(batch: DataFrame): DataFrame = {
-      val wids = batch.select(col("window_id").cast("long"))
-        .distinct().collect().map(_.getLong(0)).sorted
-      wids.map { w =>
-        graft.ext.Profile.ksTwoSample(
-            batch.where(col("window_id") === w), reference,
-            col("v"), maxDomain)
-          .select(lit(w).as("window_id"), col("n_a"), col("n_b"),
-            col("ks"), col("ks_at"))
-      }.reduceOption(_ unionByName _)
-        // empty batch/dir: a correctly-shaped empty frame (the
-        // ksTwoSample of two empty cohorts, zero rows kept)
-        .getOrElse(graft.ext.Profile.ksTwoSample(
-            batch.where(lit(false)), reference.limit(0), col("v"),
-            maxDomain)
-          .select(lit(0L).as("window_id"), col("n_a"), col("n_b"),
-            col("ks"), col("ks_at"))
-          .limit(0))
-    }
-    serveAvailableNow(spark, windowsDir, filesPerTrigger, serve)
-  }
+      maxDomain: Long = 2000000L, filesPerTrigger: Int = 1): DataFrame =
+    // one GROUPED KS pass per micro-batch (round-9: the first cut
+    // looped ksTwoSample per collected window id — a driver collect
+    // plus a jobs-per-window fan the grouped operator doesn't pay;
+    // row-for-row identical, asserted in ProfileSpec and by the
+    // unchanged per-window DuckDB oracle)
+    serveAvailableNow(spark, windowsDir, filesPerTrigger, batch =>
+      graft.ext.Profile.ksTwoSampleByGroup(batch, col("window_id"),
+          col("v"), reference, col("v"), maxDomain)
+        .select(col("group_id").as("window_id"), col("n_a"),
+          col("n_b"), col("ks"), col("ks_at")))
 
   /** The production 100 TB ingest loop, closed end to end: micro-batches
     * of NEW documents stream in and are served against the STANDING

@@ -229,6 +229,46 @@ class ProfileSpec extends SparkSpec {
     assert(far.getDouble(2) === 1.0 && far.getLong(3) === 2L)
   }
 
+  test("ksTwoSampleByGroup ≡ per-group ksTwoSample loop, including " +
+      "degenerate groups") {
+    // window 0: shifted; window 1: identical to ref; window 2: only
+    // NULL values (degenerate — must still anchor a row with n_a = 0
+    // and NULL ks, where the per-window loop would have thrown the
+    // ANSI divide-by-zero)
+    val win = Seq((0L, Some(7L)), (0L, Some(8L)), (1L, Some(1L)),
+      (1L, Some(2L)), (2L, None: Option[Long]))
+      .toDF("w", "v")
+    val ref = Seq(1L, 2L).toDF("v")
+    val rows = Profile.ksTwoSampleByGroup(win, col("w"), col("v"),
+        ref, col("v"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === Set(0L, 1L, 2L))
+    for (wId <- Seq(0L, 1L)) {
+      val g = rows(wId)
+      val lone = Profile.ksTwoSample(
+          win.where(col("w") === wId).select(col("v")), ref, col("v"))
+        .collect().head
+      assert((g.getLong(1), g.getLong(2), g.getDouble(3), g.getLong(4))
+        === ((lone.getLong(0), lone.getLong(1), lone.getDouble(2),
+          lone.getLong(3))), s"window $wId")
+    }
+    assert(rows(0L).getDouble(3) === 1.0) // disjoint supports
+    assert(rows(1L).getDouble(3) === 0.0) // identical
+    val g2 = rows(2L)
+    assert(g2.getLong(1) === 0L && g2.getLong(2) === 2L)
+    assert(g2.isNullAt(3)) // undefined KS on an empty cohort
+  }
+
+  test("ksTwoSampleByGroup enforces the per-group domain bound") {
+    val win = (1L to 40L).map(v => (0L, v)).toDF("w", "v")
+    val ref = Seq(1L).toDF("v")
+    val ex = intercept[IllegalArgumentException] {
+      Profile.ksTwoSampleByGroup(win, col("w"), col("v"), ref, col("v"),
+        maxDomain = 20L).collect()
+    }
+    assert(ex.getMessage.contains("quantize"))
+  }
+
   test("jsDivergence: hand-computed terms, identical = 0, disjoint = ln2") {
     // P = {x}, Q = {x:1/2, y:1/2}:
     //   term_x = (ln(4/3) + 0.5·ln(2/3)) / 2, term_y = 0.25·ln 2 —
