@@ -479,8 +479,20 @@ class StreamingSpec extends SparkSpec {
       .createTempDirectory("graft_sidx_twins").toString
     twins.repartition(3).write.mode("overwrite").parquet(twinDir)
     try {
-      val streamed = StreamingValidate.nearDupIngestStream(spark,
-          twinDir, "sidx_spec", threshold = 0.5, k = 5)
+      val streamedDf = StreamingValidate.nearDupIngestStream(spark,
+        twinDir, "sidx_spec", threshold = 0.5, k = 5)
+      // sink contract (shared serveAvailableNow scaffold): the result
+      // is a read of the append sink — one scan, no per-batch union
+      locally {
+        import org.apache.spark.sql.execution.UnionExec
+        def flat(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] =
+          p +: p.children.flatMap(flat)
+        val ns = flat(streamedDf.queryExecution.executedPlan)
+        assert(ns.exists(_.isInstanceOf[FileSourceScanExec]))
+        assert(!ns.exists(_.isInstanceOf[UnionExec]))
+      }
+      val streamed = streamedDf
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       // one-shot batch serve from the SAME bucketed artifacts
       val (sh, bands) = graft.sources.IndexStore
