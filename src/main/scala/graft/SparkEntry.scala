@@ -348,6 +348,45 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** INDEX MAINTENANCE closed end to end (IndexStore
+    * .appendDedupIndexBucketed): the bucketed corpus index is built
+    * from the documents, a DELTA of 80%-prefix twins is APPENDED into
+    * the standing tables (only the delta shuffles; the base files are
+    * untouched), and a probe batch of 60%-prefix twins is served
+    * against the appended index. Every probe must match BOTH its base
+    * source and its delta twin — proving appended rows are live in
+    * the serve join, not just present on disk. The oracle computes
+    * near-duplicates against the UNION corpus from scratch in DuckDB,
+    * so the hash-match proves append(build(base), delta) ≡
+    * build(base ∪ delta) row-for-row.
+    */
+  private def xDedupIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val delta = base.select((col("id") + AppendDeltaOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val probes = base.select((col("id") + IncrementalTwinOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.6).cast("int")).as("toks"))
+    val tbl = indexTable(dir, "sidx_app")
+    graft.sources.IndexStore.writeDedupIndexBucketed(base, tbl,
+      numBuckets = 8, k = 5)
+    graft.sources.IndexStore.appendDedupIndexBucketed(delta, tbl, k = 5)
+    val (sh, bands) =
+      graft.sources.IndexStore.readDedupIndexBucketed(s, tbl, k = 5)
+    Dedup.nearDuplicatesAgainstIndex(probes, sh, bands,
+        threshold = 0.5, k = 5)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** Delta-twin id offset for [[xDedupIndexAppend]]: far above real
+    * doc ids, far below [[IncrementalTwinOffset]] (the probe offset),
+    * so the three id ranges never collide and the oracle's
+    * corpus-vs-probe split is a single comparison.
+    */
+  private val AppendDeltaOffset = 1000000L
+
   /** The x_sim_ivf_topk contract served from a persisted IVF index:
     * centroids + assignments written to parquet, re-read, probed.
     * Doubles round-trip parquet bit-identically, so this shares
@@ -3255,7 +3294,8 @@ object SparkEntry {
     "x_graph_assortativity" -> (xGraphAssortativity _),
     "x_graph_lpa_deep" -> (xGraphLpaDeep _),
     "x_stream_drift_batched" -> (xStreamDriftBatched _),
-    "x_eval_rbo" -> (xEvalRbo _)
+    "x_eval_rbo" -> (xEvalRbo _),
+    "x_dedup_index_append" -> (xDedupIndexAppend _)
   )
 
   // ------------------------------------------------------------- oracles

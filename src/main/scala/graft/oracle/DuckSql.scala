@@ -139,7 +139,14 @@ private[graft] object DuckSql {
       |    list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INTEGER))
       |      AS toks
       |  FROM tok),
-      |shd AS (
+      |$duckMinhashSigCtes""".stripMargin
+
+  /** Shingle → signature → band CTE suffix over any `bothd(id, toks)`
+    * frame (k = 5 shingles, 32 hashes, 16 bands of 2) — factored so
+    * oracle variants only restate their corpus construction.
+    */
+  private[graft] def duckMinhashSigCtes: String =
+    s"""shd AS (
       |  SELECT id, list_transform(
       |    list_distinct(CASE WHEN len(toks) >= 5
       |      THEN list_transform(range(1, len(toks) - 3),
@@ -157,6 +164,48 @@ private[graft] object DuckSql {
       |    array_to_string(list_slice(sig, bb.b * 2 + 1, bb.b * 2 + 2), '_')
       |      AS bucket
       |  FROM sigd, (SELECT unnest(range(0, 16)) AS b) bb)""".stripMargin
+
+  /** Index-APPEND oracle corpus (x_dedup_index_append): the union
+    * corpus a from-scratch rebuild would index — documents plus the
+    * appended 80%-prefix delta twins (@`deltaOffset`) — probed by
+    * 60%-prefix twins (@`probeOffset`); `j` holds the verified
+    * probe-vs-corpus Jaccard pairs. append(build(base), delta) must
+    * reproduce exactly this.
+    */
+  private[graft] def duckMinhashAppendCtes(deltaOffset: Long,
+      probeOffset: Long): String =
+    s"""tok AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+      |      AS toks
+      |  FROM documents),
+      |bothd AS (
+      |  SELECT doc_id AS id, toks FROM tok
+      |  UNION ALL
+      |  SELECT doc_id + $deltaOffset AS id,
+      |    list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INTEGER))
+      |      AS toks
+      |  FROM tok
+      |  UNION ALL
+      |  SELECT doc_id + $probeOffset AS id,
+      |    list_slice(toks, 1, CAST(floor(len(toks) * 0.6) AS INTEGER))
+      |      AS toks
+      |  FROM tok),
+      |$duckMinhashSigCtes,
+      |cand AS (
+      |  SELECT DISTINCT b.id AS new_id, a.id AS corpus_id
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bucket = b.bucket
+      |  WHERE a.id < $probeOffset AND b.id >= $probeOffset),
+      |j AS (
+      |  SELECT c.new_id, c.corpus_id,
+      |    CASE WHEN len(list_distinct(list_concat(sn.sh, sc.sh))) > 0
+      |      THEN CAST(len(list_intersect(sn.sh, sc.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(sn.sh, sc.sh)))
+      |      ELSE 0.0 END AS jaccard
+      |  FROM cand c
+      |  JOIN shd sn ON c.new_id = sn.id
+      |  JOIN shd sc ON c.corpus_id = sc.id)""".stripMargin
 
   /** [[duckMinhashBaseCtes]] + all-pairs candidates and verified
     * Jaccard pairs in `j` — the x_dedup_minhash shape, reused by the

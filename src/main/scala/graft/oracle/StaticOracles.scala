@@ -1542,6 +1542,12 @@ private[graft] object StaticOracles {
       s"""WITH $duckMinhashIncrementalCtes
         |SELECT new_id, corpus_id, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY new_id, corpus_id""".stripMargin,
+    // from-scratch rebuild over base ∪ appended delta — the answer the
+    // APPENDED bucketed index must serve byte-for-byte
+    "x_dedup_index_append" ->
+      s"""WITH ${duckMinhashAppendCtes(1000000L, 1000000000000L)}
+        |SELECT new_id, corpus_id, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY new_id, corpus_id""".stripMargin,
     "x_sample_exact_n" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source FROM documents

@@ -34,4 +34,33 @@ object Bucketing {
   def readBucketed(spark: org.apache.spark.sql.SparkSession,
       table: String): DataFrame =
     spark.table(table)
+
+  /** Append rows into an EXISTING bucketed table, preserving its
+    * layout: only the delta shuffles to the declared bucketing (the
+    * spec must match the catalog's — Spark rejects a mismatch, which
+    * is the guarantee that an append can never silently break the
+    * exchange-free join contract). Each append lands one new file per
+    * non-empty bucket; bucketed reads union a bucket's files, so the
+    * contract survives any number of appends — at the usual LSM-shaped
+    * price of file-count growth until a periodic compaction rewrite.
+    */
+  def appendBucketed(
+      df: DataFrame, table: String, keys: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode("append")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Bucket count of an existing table, from the catalog. */
+  def numBucketsOf(spark: org.apache.spark.sql.SparkSession,
+      table: String): Int = {
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+    require(spec.isDefined, s"table $table is not bucketed")
+    spec.get.numBuckets
+  }
 }

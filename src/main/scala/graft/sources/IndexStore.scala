@@ -125,6 +125,47 @@ object IndexStore {
       Bucketing.readBucketed(spark, s"${table}_bands"))
   }
 
+  /** Append a DELTA of new `(id, toks)` documents INTO the standing
+    * bucketed dedup index — the maintenance arc that closes the
+    * production ingest loop (serve the batch against the index, then
+    * ADMIT it so future batches dedup against it too; without this
+    * the index is frozen at build time and near-dups arriving in two
+    * different later batches are never caught).
+    *
+    * Only the delta is shingled, minhashed, and shuffled into the
+    * table's bucket layout (bucket count read from the catalog; a
+    * spec mismatch is rejected by Spark itself, so an append can
+    * never silently break the serve join's exchange-free contract —
+    * re-asserted after an append in BucketingSpec). The standing
+    * index files are never rewritten; each append adds one file per
+    * non-empty bucket — the LSM trade, compacted periodically like
+    * any bucketed fact table.
+    *
+    * Serve-time parameters are validated against the build-time meta
+    * record FIRST: appending band assignments computed under
+    * different banding than the standing rows would corrupt the
+    * index silently, the exact failure mode the meta record exists
+    * to stop. Shingles and band assignments are pure per-document
+    * functions, so append(build(base), delta) is ROW-IDENTICAL to
+    * build(base ∪ delta) — the x_dedup_index_append oracle computes
+    * the union-corpus answer in DuckDB and the hash-match proves it.
+    */
+  def appendDedupIndexBucketed(deltaToks: DataFrame, table: String,
+      numHashes: Int = 32, bands: Int = 16, k: Int = 3): Unit = {
+    val spark = deltaToks.sparkSession
+    checkMeta(spark.table(s"${table}_meta"), table, numHashes, bands, k)
+    val sh = deltaToks.select(col("id"),
+      Dedup.shingleHashesFromTokens(col("toks"), k).as("sh")).cache()
+    try {
+      Bucketing.appendBucketed(sh, s"${table}_sh", Seq("id"),
+        Bucketing.numBucketsOf(spark, s"${table}_sh"))
+      Bucketing.appendBucketed(
+        Dedup.bandAssignmentsFromShingles(sh, numHashes, bands),
+        s"${table}_bands", Seq("band", "bucket"),
+        Bucketing.numBucketsOf(spark, s"${table}_bands"))
+    } finally sh.unpersist(blocking = false)
+  }
+
   /** Build + persist the IVF index under an explicit centroid frame
     * (pass [[Similarity.firstIdCentroids]] output for the
     * deterministic plumbing path or [[Similarity.kmeansCentroids]]

@@ -98,6 +98,96 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("index append: serve ≡ rebuild over the union corpus, and the " +
+      "appended corpus side still reads in place") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    val delta = docs.select((col("id") + 50000L).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val probes = docs.select((col("id") + 900000L).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.6).cast("int")).as("toks"))
+    IndexStore.writeDedupIndexBucketed(docs, "apx_spec",
+      numBuckets = 8, k = 5)
+    IndexStore.appendDedupIndexBucketed(delta, "apx_spec", k = 5)
+    IndexStore.writeDedupIndexBucketed(docs.unionByName(delta),
+      "apx_full", numBuckets = 8, k = 5)
+    try {
+      def serve(table: String): Set[(Long, Long, Double)] = {
+        val (sh, bands) = IndexStore
+          .readDedupIndexBucketed(spark, table, k = 5)
+        graft.ext.Dedup.nearDuplicatesAgainstIndex(probes, sh, bands,
+            threshold = 0.5, k = 5)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      }
+      val appended = serve("apx_spec")
+      assert(appended === serve("apx_full"),
+        "append(build(base), delta) must serve the union-rebuild answer")
+      // every probe must hit at least one DELTA row — appended rows
+      // are live in the join, not just present on disk
+      assert(appended.exists { case (_, cid, _) => cid >= 50000L },
+        "no match against an appended delta row")
+      // banding-parameter guard holds for appends too
+      intercept[IllegalArgumentException] {
+        IndexStore.appendDedupIndexBucketed(delta, "apx_spec", k = 3)
+      }
+      // plan contract survives the append: the (now multi-file-per-
+      // bucket) corpus side still reads with no exchange above it
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val (sh, bands) = IndexStore
+          .readDedupIndexBucketed(spark, "apx_spec", k = 5)
+        val p = graft.ext.Dedup.againstIndexPlan(probes, sh, bands,
+          threshold = 0.5, numHashes = 32, bands = 16, k = 5)
+        p.count()
+        def flatten(x: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = x match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => flatten(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => q +: flatten(q.plan)
+          case other => other +: other.children.flatMap(flatten)
+        }
+        val all = flatten(p.queryExecution.executedPlan)
+        def isIndexScan(x: org.apache.spark.sql.execution.SparkPlan) =
+          x match {
+            case s: FileSourceScanExec => s.tableIdentifier.exists(t =>
+              t.table == "apx_spec_bands" || t.table == "apx_spec_sh")
+            case _ => false
+          }
+        assert(all.exists(isIndexScan))
+        // the contract: RAW index rows are never re-shuffled — no
+        // exchange may reach an index scan without an intervening
+        // join (post-join exchanges move candidate pairs, which is
+        // the batch-sized data, and are fine)
+        def rawIndexBelow(x: org.apache.spark.sql.execution.SparkPlan)
+            : Boolean = x match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => rawIndexBelow(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => rawIndexBelow(q.plan)
+          case _: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+            false
+          case s if isIndexScan(s) => true
+          case other => other.children.exists(rawIndexBelow)
+        }
+        val offending = all.collect { case e: ShuffleExchangeExec
+          if rawIndexBelow(e.child) => e }
+        assert(offending.isEmpty,
+          "appended corpus index must still read in place")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally for (t <- Seq("apx_spec", "apx_full");
+        s <- Seq("_sh", "_bands", "_meta"))
+      spark.sql(s"DROP TABLE IF EXISTS $t$s")
+  }
+
   test("bucketed aggregation on the bucket key skips the shuffle") {
     val li = Tables.load(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber")
