@@ -520,6 +520,25 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** Kendall rank correlation between the float-cosine and int8 top-10
+    * runs (Experiment.kendallTau) — the UNWEIGHTED complement of
+    * x_eval_rbo: does quantization preserve the relative order of
+    * everything both indexes returned? Exact integer concordant /
+    * discordant counts via the in-codegen pair fan-out; one division.
+    * Oracle re-derives both runs and counts inversions by pair
+    * self-join.
+    */
+  private def xEvalKendall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    def rn(df: DataFrame) = df.select(col("query_id"),
+      col("neighbor_id").as("doc_id"), col("rank"))
+    graft.ext.Experiment.kendallTau(
+        rn(Similarity.bruteForceTopK(q, e, 10)),
+        rn(Similarity.quantizedTopK(q, e, 10)), k = 10)
+      .orderBy("query_id")
+  }
+
   /** The ANN SERVING loop streamed (the query-side twin of
     * x_stream_dedup_index): the IVF index is persisted once, the 5
     * query vectors arrive as a real file stream in 3 micro-batches,
@@ -3295,7 +3314,8 @@ object SparkEntry {
     "x_graph_lpa_deep" -> (xGraphLpaDeep _),
     "x_stream_drift_batched" -> (xStreamDriftBatched _),
     "x_eval_rbo" -> (xEvalRbo _),
-    "x_dedup_index_append" -> (xDedupIndexAppend _)
+    "x_dedup_index_append" -> (xDedupIndexAppend _),
+    "x_eval_kendall" -> (xEvalKendall _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -456,6 +456,73 @@ object Experiment {
           d.toDouble, 12).as("rbo_min"))
   }
 
+  /** Kendall rank correlation between two top-k runs, per query —
+    * the UNWEIGHTED complement of [[rboTruncated]] (RBO asks "do the
+    * prefixes users see agree?"; tau asks "is the relative order of
+    * everything both retrievers returned preserved?" — a quantized
+    * index can score well on one and badly on the other, which is why
+    * eval suites report both). Computed over the common documents of
+    * the two runs: concordant = pairs ordered the same way in both,
+    * discordant = inverted pairs, τ = (C − D) / (n(n−1)/2).
+    *
+    * Exactness: ranks within a run are distinct by the ranking
+    * contract, so there are no ties and τ_b degenerates to τ_a — C,
+    * D, and the pair total are exact integers and the score is ONE
+    * correctly-rounded division (no libm; the [[rboTruncated]]
+    * discipline). Inversions are counted with the per-query basket
+    * trick ([[graft.ext.Graph.neighborJaccard]]'s fan-out): sort the
+    * common docs by run-A rank inside a bounded array, fan the ≤
+    * C(k,2) ordered pairs out IN CODEGEN, and count run-B inversions
+    * — one hash agg, no self-join of the run tables, no window.
+    *
+    * Anchoring follows [[rboTruncated]]: every query in either run
+    * reports a row; τ is NULL below two common docs (undefined, never
+    * a fabricated 0 — the n_common column carries the why).
+    *
+    * Output per query: (query_id, n_common, concordant, discordant,
+    * tau), tau rounded 12.
+    */
+  def kendallTau(runA: DataFrame, runB: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    def leg(r: DataFrame, rk: String): DataFrame =
+      r.select(col("query_id").cast("long").as("query_id"),
+          col("doc_id").cast("long").as("doc_id"),
+          col("rank").cast("long").as(rk))
+        .where(col(rk) >= 1 && col(rk) <= k)
+    val a = leg(runA, "__ra")
+    val b = leg(runB, "__rb")
+    // run-B ranks in run-A rank order; distinct __ra makes the sort
+    // key unique, so the array is a pure function of the two runs
+    val rbs = transform(
+      sort_array(collect_list(struct(col("__ra"), col("__rb")))),
+      x => x.getField("__rb"))
+    val common = a.join(b, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_common"), rbs.as("__rbs"))
+      .select(col("query_id"), col("n_common"),
+        aggregate(
+          flatten(transform(col("__rbs"), (x, i) =>
+            transform(slice(col("__rbs"), i + 2,
+                size(col("__rbs"))),
+              y => when(x > y, 1L).otherwise(0L)))),
+          lit(0L), (acc, v) => acc + v).as("__d"))
+    a.select("query_id").union(b.select("query_id")).distinct()
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("__d"), lit(0L)).as("discordant"))
+      .select(col("query_id"), col("n_common"),
+        (expr("n_common * (n_common - 1) div 2") - col("discordant"))
+          .as("concordant"),
+        col("discordant"))
+      .select(col("query_id"), col("n_common"), col("concordant"),
+        col("discordant"),
+        when(col("n_common") >= 2,
+          round((col("concordant") - col("discordant")).cast("double") /
+            expr("(n_common * (n_common - 1) div 2)").cast("double"),
+            12)).as("tau"))
+  }
+
   /** W(m)·D for m in 1..k (W(m) = Σ_{d=m..k} (1−p)p^{d−1}/d) and the
     * common denominator D = pDen^k · lcm(1..k) — exact integers,
     * BigInt-checked to fit a long with k·W(1)·D headroom for the

@@ -1806,6 +1806,34 @@ private[graft] object StaticOracles {
         |FROM qs LEFT JOIN agg ON qs.query_id = agg.query_id
         |ORDER BY qs.query_id""".stripMargin
     },
+    // unweighted order agreement over the same two runs: inversions
+    // counted by pair self-join; (C − D) = P − 2D, P = n(n−1)/2
+    "x_eval_kendall" ->
+      s"""WITH $cosineRunLegsCte,
+        |m AS (SELECT ra.query_id AS query_id, ra.rank AS rka,
+        |    rb.rank AS rkb
+        |  FROM ra JOIN rb
+        |    ON ra.query_id = rb.query_id AND ra.doc_id = rb.doc_id),
+        |agg AS (SELECT query_id, count(*) AS n_common
+        |  FROM m GROUP BY 1),
+        |dd AS (SELECT x.query_id AS query_id, count(*) AS d
+        |  FROM m x JOIN m y ON x.query_id = y.query_id
+        |    AND x.rka < y.rka AND x.rkb > y.rkb
+        |  GROUP BY 1),
+        |qs AS (SELECT DISTINCT query_id FROM ra
+        |  UNION SELECT DISTINCT query_id FROM rb)
+        |SELECT qs.query_id,
+        |  CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+        |  CAST(coalesce(n_common, 0) * (coalesce(n_common, 0) - 1) // 2
+        |    - coalesce(d, 0) AS BIGINT) AS concordant,
+        |  CAST(coalesce(d, 0) AS BIGINT) AS discordant,
+        |  CASE WHEN coalesce(n_common, 0) >= 2 THEN
+        |    round(CAST(n_common * (n_common - 1) // 2
+        |        - 2 * coalesce(d, 0) AS DOUBLE)
+        |      / (n_common * (n_common - 1) // 2), 12) END AS tau
+        |FROM qs LEFT JOIN agg ON qs.query_id = agg.query_id
+        |LEFT JOIN dd ON qs.query_id = dd.query_id
+        |ORDER BY qs.query_id""".stripMargin,
     "x_text_bigram_lp" ->
       """WITH tok AS (
         |  SELECT doc_id,

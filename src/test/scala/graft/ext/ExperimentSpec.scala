@@ -282,6 +282,35 @@ class ExperimentSpec extends SparkSpec {
       ((Seq(1032L, 432L, 162L), 6000L)))
   }
 
+  test("kendallTau: hand-computed inversions, reversal = -1, anchor") {
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    // full reversal: all 3 pairs inverted → tau = -1
+    val rev = Seq((1L, 10L, 3L), (1L, 20L, 2L), (1L, 30L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val r1 = Experiment.kendallTau(a, rev, 3).collect().head
+    assert(r1.getLong(1) === 3L && r1.getLong(2) === 0L &&
+      r1.getLong(3) === 3L && r1.getDouble(4) === -1.0)
+    // one adjacent swap: D = 1 of 3 pairs → tau = 1/3
+    val swap = Seq((1L, 10L, 2L), (1L, 20L, 1L), (1L, 30L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val r2 = Experiment.kendallTau(a, swap, 3).collect().head
+    assert(r2.getLong(2) === 2L && r2.getLong(3) === 1L)
+    assert(math.abs(r2.getDouble(4) - 1.0 / 3) < 1e-12)
+    // identical runs: tau = 1
+    assert(Experiment.kendallTau(a, a, 3).collect().head
+      .getDouble(4) === 1.0)
+    // anchoring: query only in one run → n_common 0, NULL tau;
+    // single common doc → no pairs, NULL tau
+    val c = Seq((9L, 50L, 1L), (1L, 10L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val rows = Experiment.kendallTau(a, c, 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === Set(1L, 9L))
+    assert(rows(1L).getLong(1) === 1L && rows(1L).isNullAt(4))
+    assert(rows(9L).getLong(1) === 0L && rows(9L).isNullAt(4))
+  }
+
   test("rankingMetrics: perfect run in ideal order scores NDCG = 1") {
     val run = Seq((1L, 5L, 1L), (1L, 6L, 2L))
       .toDF("query_id", "doc_id", "rank")
