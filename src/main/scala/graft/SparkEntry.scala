@@ -624,6 +624,20 @@ object SparkEntry {
       .orderBy("key_a", "key_b")
   }
 
+  /** Cross-source quantile normalization (Profile.quantileNormalize):
+    * every source's n_chars distribution mapped onto the pooled
+    * corpus distribution on a 20-point exact-percentile grid — the
+    * score-calibration step before mixing sources. Exact mid-rank
+    * quantiles and one integral grid-index expression; the oracle
+    * mirrors the frequency CDF, quantile_cont grid, and index
+    * arithmetic.
+    */
+  private def xProfileQuantileNorm(s: SparkSession, dir: String)
+      : DataFrame =
+    graft.ext.Profile.quantileNormalize(t(s, dir, "documents"),
+        col("source"), col("n_chars"), nBins = 20)
+      .orderBy("group_id", "v")
+
   /** Exactly-100 deterministic document sample (eval-set carving):
     * the 100 smallest (hash, id) keys — TakeOrdered, no global sort
     * (asserted in PlanSpec), same rows on any partitioning.
@@ -3315,7 +3329,8 @@ object SparkEntry {
     "x_stream_drift_batched" -> (xStreamDriftBatched _),
     "x_eval_rbo" -> (xEvalRbo _),
     "x_dedup_index_append" -> (xDedupIndexAppend _),
-    "x_eval_kendall" -> (xEvalKendall _)
+    "x_eval_kendall" -> (xEvalKendall _),
+    "x_profile_quantile_norm" -> (xProfileQuantileNorm _)
   )
 
   // ------------------------------------------------------------- oracles

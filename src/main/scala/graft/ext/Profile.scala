@@ -939,6 +939,75 @@ object Profile {
     }
   }
 
+  /** Cross-group QUANTILE NORMALIZATION: map every group's value
+    * distribution onto the POOLED distribution — the score-calibration
+    * step before mixing heterogeneous sources (a "0.8" from a
+    * lenient-scoring source and a "0.3" from a strict one both become
+    * "the value at their own percentile in the pooled corpus", so one
+    * global threshold or mixing temperature means the same thing
+    * everywhere).
+    *
+    * Exactness: each distinct (group, value) carries its EXACT
+    * mid-rank quantile q = (2·cum − cnt) / (2·n_g) (integer
+    * arithmetic over a per-group frequency CDF — the
+    * [[ksTwoSampleByGroup]] machinery); the pooled inverse CDF is an
+    * `nBins`-point exact interpolated percentile grid (the
+    * [[numericProfile]] percentile ↔ DuckDB `quantile_cont` parity),
+    * and the lookup index floor(q·nBins) is one exact integral
+    * expression — (2·cum − cnt)·nBins div (2·n_g) — clamped to the
+    * grid, so both engines pick the identical grid point. Grid
+    * resolution IS the operator's contract: values map to the
+    * pooled 1/nBins-percentile lattice, not to an interpolated
+    * between-point value (which would need cross-engine float
+    * interpolation at an engine-chosen rank).
+    *
+    * Scale: one hash agg to value frequencies (map-side combinable —
+    * row count never shuffles), one per-group-partitioned cumulative
+    * window over the bounded domain (enforced per group like
+    * [[ksTwoSample]]'s `maxDomain`), one 1-row pooled percentile
+    * aggregate broadcast back. Output is domain-bounded: one row per
+    * distinct (group, value).
+    *
+    * Output: (group_id, v, n, q, v_norm) — q and v_norm rounded 12.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: Column, value: Column,
+      nBins: Int = 100, maxDomain: Long = 2000000L): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"bad nBins $nBins")
+    require(maxDomain > 0, s"maxDomain must be positive: $maxDomain")
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.select(groupCol.cast("string").as("__g"),
+        value.cast("long").as("__v"))
+      .where(col("__g").isNotNull && col("__v").isNotNull)
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    CacheScope.withCached(freq) { freq =>
+      val dom = freq.groupBy("__g").agg(count(lit(1)).as("__dom"))
+        .agg(max(col("__dom"))).head
+      require(dom.isNullAt(0) || dom.getLong(0) <= maxDomain,
+        s"quantileNormalize: a group spans ${dom.getLong(0)} distinct " +
+          s"values (> maxDomain = $maxDomain) — quantize the value or " +
+          "raise maxDomain deliberately")
+      val probs = array((1 until nBins).map(i =>
+        lit(i.toDouble / nBins)): _*)
+      val grid = freq.agg(percentile(col("__v").cast("double"), probs,
+        col("__c")).as("__grid"))
+      val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wg = Window.partitionBy(col("__g"))
+      val cum = freq
+        .withColumn("__cum", sum(col("__c")).over(w))
+        .withColumn("__n", sum(col("__c")).over(wg))
+      val bin = expr(s"((2 * __cum - __c) * $nBins) div (2 * __n)")
+      cum.crossJoin(broadcast(grid))
+        .select(col("__g").as("group_id"), col("__v").as("v"),
+          col("__c").as("n"),
+          round((lit(2) * col("__cum") - col("__c")).cast("double") /
+            (lit(2) * col("__n")).cast("double"), 12).as("q"),
+          round(element_at(col("__grid"),
+            least(greatest(bin, lit(1L)), lit(nBins - 1L)).cast("int")),
+            12).as("v_norm"))
+    }
+  }
+
   /** Pairwise Jensen–Shannon divergence between the `value`
     * distributions of every pair of `key` groups — the CATEGORICAL
     * corpus-drift complement of [[ksTwoSample]] (KS needs an ordered

@@ -285,6 +285,36 @@ private[graft] object StaticOracles {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // quantile_cont demands CONSTANT probabilities in DuckDB, so the
     // long form is one generated block per (column, probability)
+    // per-source frequency CDF + pooled quantile_cont grid + the same
+    // integral grid-index expression — both engines pick the identical
+    // grid point for every (source, value)
+    "x_profile_quantile_norm" -> {
+      val probs = (1 until 20).map(i => (i.toDouble / 20).toString)
+        .mkString("[", ", ", "]")
+      s"""WITH freq AS (
+        |  SELECT CAST(source AS VARCHAR) AS g,
+        |    CAST(n_chars AS BIGINT) AS v, count(*) AS c
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, v, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n
+        |  FROM freq),
+        |grid AS (
+        |  SELECT quantile_cont(CAST(n_chars AS DOUBLE), $probs) AS gr
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL)
+        |SELECT g AS group_id, v, CAST(c AS BIGINT) AS n,
+        |  round(CAST(2 * cum - c AS DOUBLE) / (2 * n), 12) AS q,
+        |  round(gr[CAST(least(greatest(
+        |    (2 * cum - c) * 20 // (2 * n), 1), 19) AS INTEGER)], 12)
+        |    AS v_norm
+        |FROM cum, grid
+        |ORDER BY group_id, v""".stripMargin
+    },
     "x_profile_quantiles" -> {
       val blocks = for {
         c <- Seq("l_quantity", "l_discount", "l_linenumber")

@@ -269,6 +269,33 @@ class ProfileSpec extends SparkSpec {
     assert(ex.getMessage.contains("quantize"))
   }
 
+  test("quantileNormalize: hand-computed grid mapping") {
+    // pooled = [1,2,3,4,10]; nBins = 4 → grid = (2.0, 3.0, 4.0);
+    // source b's lone huge value sits at its own median → pooled
+    // median 3.0 — the cross-source calibration this exists for
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 10L)).toDF("s", "x")
+    val rows = Profile.quantileNormalize(df, col("s"), col("x"),
+        nBins = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows(("a", 1L)) === ((0.125, 2.0))) // q < 1/4 clamps to p25
+    assert(rows(("a", 2L)) === ((0.375, 2.0)))
+    assert(rows(("a", 3L)) === ((0.625, 3.0)))
+    assert(rows(("a", 4L)) === ((0.875, 4.0)))
+    assert(rows(("b", 10L)) === ((0.5, 3.0)))
+  }
+
+  test("quantileNormalize enforces the per-group domain bound") {
+    val wide = (1L to 40L).map(v => ("a", v)).toDF("s", "x")
+    val ex = intercept[IllegalArgumentException] {
+      Profile.quantileNormalize(wide, col("s"), col("x"),
+        nBins = 4, maxDomain = 20L).collect()
+    }
+    assert(ex.getMessage.contains("quantize"))
+  }
+
   test("jsDivergence: hand-computed terms, identical = 0, disjoint = ln2") {
     // P = {x}, Q = {x:1/2, y:1/2}:
     //   term_x = (ln(4/3) + 0.5·ln(2/3)) / 2, term_y = 0.25·ln 2 —
