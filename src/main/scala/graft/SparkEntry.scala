@@ -638,6 +638,17 @@ object SparkEntry {
         col("source"), col("n_chars"), nBins = 20)
       .orderBy("group_id", "v")
 
+  /** Spearman rank correlation (Profile.spearman) between quantity
+    * and price cents over lineitem — the monotone-robust twin of
+    * x_profile_corr's Pearson matrix, exact integer mid-ranks (tie-
+    * corrected) and decimal moments. The oracle re-derives the rank
+    * frames and every moment with the corrOracle double discipline.
+    */
+  private def xProfileSpearman(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.spearman(t(s, dir, "lineitem"),
+      col("l_quantity"),
+      round(col("l_extendedprice") * 100).cast(LongType))
+
   /** Exactly-100 deterministic document sample (eval-set carving):
     * the 100 smallest (hash, id) keys — TakeOrdered, no global sort
     * (asserted in PlanSpec), same rows on any partitioning.
@@ -3330,7 +3341,8 @@ object SparkEntry {
     "x_eval_rbo" -> (xEvalRbo _),
     "x_dedup_index_append" -> (xDedupIndexAppend _),
     "x_eval_kendall" -> (xEvalKendall _),
-    "x_profile_quantile_norm" -> (xProfileQuantileNorm _)
+    "x_profile_quantile_norm" -> (xProfileQuantileNorm _),
+    "x_profile_spearman" -> (xProfileSpearman _)
   )
 
   // ------------------------------------------------------------- oracles

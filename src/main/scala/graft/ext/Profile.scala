@@ -939,6 +939,59 @@ object Profile {
     }
   }
 
+  /** Spearman rank correlation between two numeric columns — the
+    * robust complement of [[corrMatrix]]'s Pearson: invariant to any
+    * monotone transform and insensitive to outliers (a handful of
+    * pathological documents can pin Pearson to ±1; their RANKS move
+    * by at most their count). ρ = Pearson over tie-averaged mid-ranks,
+    * the standard tie-corrected definition.
+    *
+    * Exactness: the mid-rank of value v is (2·cum − cnt + 1)/2; since
+    * Pearson is invariant to affine transforms, the INTEGER
+    * r = 2·cum − cnt is used directly — ranks come from one
+    * frequency-CDF window per column over the bounded distinct domain
+    * (the [[ksTwoSample]] contract, enforced), every moment is an
+    * exact decimal(38,0) sum via [[corrMatrix]], and the only float
+    * work is corrMatrix's fixed correctly-rounded expression.
+    * Constant columns yield NULL (undefined), never NaN.
+    *
+    * Scale: one hash agg per column to value frequencies, two
+    * domain-bounded rank frames joined back to the row stream
+    * (broadcast-shaped: the rank frames are value-domain-sized), one
+    * moment aggregate. Output: one row (n, rho), rho rounded 12.
+    */
+  def spearman(df: DataFrame, x: Column, y: Column,
+      maxDomain: Long = 2000000L): DataFrame = {
+    require(maxDomain > 0, s"maxDomain must be positive: $maxDomain")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(x.cast("long").as("__x"),
+        y.cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    CacheScope.withCached(rows) { rows =>
+      val dom = rows.agg(count_distinct(col("__x")).as("dx"),
+        count_distinct(col("__y")).as("dy")).head
+      val worst = math.max(if (dom.isNullAt(0)) 0L else dom.getLong(0),
+        if (dom.isNullAt(1)) 0L else dom.getLong(1))
+      require(worst <= maxDomain,
+        s"spearman: a column spans $worst distinct values (> maxDomain" +
+          s" = $maxDomain) — quantize the value or raise maxDomain " +
+          "deliberately")
+      def rankFrame(c: String): DataFrame = {
+        val w = Window.orderBy(col(c))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        rows.groupBy(c).agg(count(lit(1)).as("__c"))
+          .withColumn("__cum", sum(col("__c")).over(w))
+          .select(col(c),
+            (lit(2) * col("__cum") - col("__c")).as(s"__r$c"))
+      }
+      val ranked = rows.join(rankFrame("__x"), "__x")
+        .join(rankFrame("__y"), "__y")
+      corrMatrix(ranked,
+          Seq("rx" -> col("__r__x"), "ry" -> col("__r__y")))
+        .select(col("n"), round(col("corr"), 12).as("rho"))
+    }
+  }
+
   /** Cross-group QUANTILE NORMALIZATION: map every group's value
     * distribution onto the POOLED distribution — the score-calibration
     * step before mixing heterogeneous sources (a "0.8" from a

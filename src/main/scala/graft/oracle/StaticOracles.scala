@@ -2822,6 +2822,45 @@ private[graft] object StaticOracles {
         |ORDER BY text_md5""".stripMargin,
     "x_layout_zonemap" -> zonemapOracle,
     "x_profile_corr" -> corrOracle,
+    // integer mid-ranks (2·cum − cnt) per column via frequency-CDF
+    // windows, then the corrOracle moment/double discipline verbatim
+    "x_profile_spearman" ->
+      """WITH cc AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |fx AS (SELECT x, count(*) AS c FROM cc GROUP BY 1),
+        |fxr AS (SELECT x,
+        |  2 * sum(c) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS rx
+        |  FROM fx),
+        |fy AS (SELECT y, count(*) AS c FROM cc GROUP BY 1),
+        |fyr AS (SELECT y,
+        |  2 * sum(c) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS ry
+        |  FROM fy),
+        |j AS (SELECT rx, ry FROM cc
+        |  JOIN fxr USING (x) JOIN fyr USING (y)),
+        |s AS (SELECT count(*) AS n,
+        |    sum(CAST(rx AS HUGEINT)) AS sx,
+        |    sum(CAST(ry AS HUGEINT)) AS sy,
+        |    sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+        |    sum(CAST(ry AS HUGEINT) * ry) AS syy,
+        |    sum(CAST(rx AS HUGEINT) * ry) AS sxy
+        |  FROM j),
+        |m AS (SELECT n,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS va,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vb
+        |  FROM s)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CASE WHEN va > 0 AND vb > 0
+        |    THEN cov / (sqrt(va) * sqrt(vb)) END, 12) AS rho
+        |FROM m""".stripMargin,
     "x_privacy_tclose" ->
       """WITH base AS (SELECT c_nationkey AS q, c_mktsegment AS s
         |  FROM customer WHERE c_mktsegment IS NOT NULL),

@@ -225,6 +225,36 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlapJoin ≡ naive past 2^53 and at negative bounds " +
+      "(exact integral floor division)") {
+    // bounds where double floor(x / b) is unreliable: |x| > 2^53
+    // (sub-integer resolution is gone) and x < 0 (double floor and
+    // integer div disagree on truncation direction). The overlap
+    // answer must be exactly the cross filter's either way.
+    val big = 1L << 60
+    val rnd = new scala.util.Random(11)
+    def iv(n: Int, base: Long) = (1 to n).map { i =>
+      val s = base + rnd.nextInt(50).toLong - 25
+      (base + i, s, s + 1 + rnd.nextInt(10))
+    }
+    for (base <- Seq(big, -big, -25L)) {
+      val l = iv(30, base).toDF("lid", "ls", "le")
+      val r = iv(20, base).toDF("rid", "rs", "re")
+      val naive = l.crossJoin(r)
+        .where(greatest(col("ls"), col("rs")) < least(col("le"), col("re")))
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      assert(naive.nonEmpty, s"fixture at $base must overlap")
+      for (bin <- Seq(3L, 7L, 64L)) {
+        val got = Joins.intervalOverlapJoin(l, col("ls"), col("le"),
+            r, col("rs"), col("re"), bin)
+          .select("lid", "rid").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+        assert(got === naive, s"base $base binSize $bin")
+      }
+    }
+  }
+
   test("intervalOverlapJoin rejects clashing and reserved column names") {
     val l = Seq((1L, 0L, 1L)).toDF("id", "s", "e")
     val r = Seq((2L, 0L, 1L)).toDF("id", "rs", "re")

@@ -269,6 +269,26 @@ class ProfileSpec extends SparkSpec {
     assert(ex.getMessage.contains("quantize"))
   }
 
+  test("spearman: monotone = 1, reversed = -1, ties hand-computed, " +
+      "constant NULL") {
+    val up = Seq((1L, 10L), (2L, 400L), (3L, 900000L)).toDF("x", "y")
+    assert(Profile.spearman(up, col("x"), col("y")).collect().head
+      .getDouble(1) === 1.0) // any monotone map scores exactly 1
+    val down = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("x", "y")
+    assert(Profile.spearman(down, col("x"), col("y")).collect().head
+      .getDouble(1) === -1.0)
+    // ties in x: mid-ranks (2cum−cnt) = (2,2,5) vs (1,3,5) →
+    // ρ = 18/sqrt(18·24) = sqrt(3)/2
+    val tied = Seq((1L, 5L), (1L, 7L), (2L, 9L)).toDF("x", "y")
+    val r = Profile.spearman(tied, col("x"), col("y")).collect().head
+    assert(r.getLong(0) === 3L)
+    assert(math.abs(r.getDouble(1) - math.sqrt(3.0) / 2) < 1e-12)
+    // constant column: zero rank variance → NULL, never NaN
+    val const = Seq((1L, 5L), (1L, 7L)).toDF("x", "y")
+    assert(Profile.spearman(const, col("x"), col("y")).collect().head
+      .isNullAt(1))
+  }
+
   test("quantileNormalize: hand-computed grid mapping") {
     // pooled = [1,2,3,4,10]; nBins = 4 → grid = (2.0, 3.0, 4.0);
     // source b's lone huge value sits at its own median → pooled
