@@ -649,6 +649,18 @@ object SparkEntry {
       col("l_quantity"),
       round(col("l_extendedprice") * 100).cast(LongType))
 
+  /** Per-source Gini concentration of document length
+    * (Profile.giniByGroup): does one source's character budget sit in
+    * a few mega-documents while another's is uniform? — the
+    * concentration readout a mixing weight silently assumes. Exact
+    * integer tie-block rank sums, one division; the oracle mirrors
+    * the frequency CDF and the identity in HUGEINT.
+    */
+  private def xProfileGini(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.giniByGroup(t(s, dir, "documents"),
+        col("source"), col("n_chars"))
+      .orderBy("group_id")
+
   /** Exactly-100 deterministic document sample (eval-set carving):
     * the 100 smallest (hash, id) keys — TakeOrdered, no global sort
     * (asserted in PlanSpec), same rows on any partitioning.
@@ -3342,7 +3354,8 @@ object SparkEntry {
     "x_dedup_index_append" -> (xDedupIndexAppend _),
     "x_eval_kendall" -> (xEvalKendall _),
     "x_profile_quantile_norm" -> (xProfileQuantileNorm _),
-    "x_profile_spearman" -> (xProfileSpearman _)
+    "x_profile_spearman" -> (xProfileSpearman _),
+    "x_profile_gini" -> (xProfileGini _)
   )
 
   // ------------------------------------------------------------- oracles

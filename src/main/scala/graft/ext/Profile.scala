@@ -939,6 +939,70 @@ object Profile {
     }
   }
 
+  /** Per-group Gini coefficient of a non-negative value — the
+    * concentration diagnostic for corpus curation: does 1% of a
+    * source's documents carry half its tokens (G → 1), or is the
+    * budget spread evenly (G → 0)? A mixing weight computed for a
+    * source whose mass sits in a few mega-documents means something
+    * very different from the same weight on a uniform source, which
+    * is why the concentration readout belongs next to the mixing
+    * operators.
+    *
+    * Exactness: the rank identity G = (2·Σᵢ rᵢxᵢ)/(n·S) − (n+1)/n
+    * collapses over tied values to T = Σ_v v·(2·c_v·cum_{<v} +
+    * c_v·(c_v+1)) with T = 2·Σᵢ rᵢxᵢ, so
+    * G = (T − (n+1)·S) / (n·S) — every term an exact decimal(38,0)
+    * integer from a per-group frequency CDF (one hash agg + one
+    * group-partitioned cumulative window over the bounded distinct
+    * domain, the [[ksTwoSampleByGroup]] machinery), and the score is
+    * ONE correctly-rounded division. Negative values are rejected
+    * (Gini is defined for non-negative quantities); an all-zero
+    * group has S = 0 → NULL (undefined), never NaN.
+    *
+    * Output per group: (group_id, n, total, gini), gini rounded 12.
+    */
+  def giniByGroup(df: DataFrame, groupCol: Column, value: Column,
+      maxDomain: Long = 2000000L): DataFrame = {
+    require(maxDomain > 0, s"maxDomain must be positive: $maxDomain")
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.select(groupCol.cast("string").as("__g"),
+        value.cast("long").as("__v"))
+      .where(col("__g").isNotNull && col("__v").isNotNull)
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    CacheScope.withCached(freq) { freq =>
+      val bad = freq.where(col("__v") < 0).agg(count(lit(1))).head
+      require(bad.getLong(0) == 0L,
+        "giniByGroup: negative values — Gini is defined for " +
+          "non-negative quantities; shift or filter first")
+      val dom = freq.groupBy("__g").agg(count(lit(1)).as("__dom"))
+        .agg(max(col("__dom"))).head
+      require(dom.isNullAt(0) || dom.getLong(0) <= maxDomain,
+        s"giniByGroup: a group spans ${dom.getLong(0)} distinct " +
+          s"values (> maxDomain = $maxDomain) — quantize the value " +
+          "or raise maxDomain deliberately")
+      val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      freq
+        .withColumn("__cum", sum(col("__c")).over(w))
+        .groupBy("__g")
+        .agg(sum(col("__c")).as("n"),
+          sum(dec(col("__v")) * dec(col("__c"))).as("__s"),
+          // 2·Σ rᵢxᵢ via tie blocks: cum_{<v} = cum − c
+          sum(dec(col("__v")) *
+            (lit(2) * dec(col("__c")) * (dec(col("__cum")) -
+              dec(col("__c"))) +
+              dec(col("__c")) * (dec(col("__c")) + 1))).as("__t"))
+        .select(col("__g").as("group_id"), col("n"),
+          col("__s").cast("long").as("total"),
+          when(col("__s") > 0,
+            round((col("__t") - (dec(col("n")) + 1) * col("__s"))
+              .cast("double") /
+              (dec(col("n")) * col("__s")).cast("double"), 12))
+            .as("gini"))
+    }
+  }
+
   /** Spearman rank correlation between two numeric columns — the
     * robust complement of [[corrMatrix]]'s Pearson: invariant to any
     * monotone transform and insensitive to outliers (a handful of

@@ -2822,6 +2822,33 @@ private[graft] object StaticOracles {
         |ORDER BY text_md5""".stripMargin,
     "x_layout_zonemap" -> zonemapOracle,
     "x_profile_corr" -> corrOracle,
+    // tie-block rank identity in HUGEINT: T = Σ_v v·(2c·cum_<v +
+    // c(c+1)), G = (T − (n+1)S)/(nS) — one double division at the end
+    "x_profile_gini" ->
+      """WITH freq AS (
+        |  SELECT CAST(source AS VARCHAR) AS g,
+        |    CAST(n_chars AS BIGINT) AS v, count(*) AS c
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, v, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM freq),
+        |agg AS (
+        |  SELECT g, sum(c) AS n,
+        |    sum(CAST(v AS HUGEINT) * c) AS s,
+        |    sum(CAST(v AS HUGEINT) *
+        |      (2 * CAST(c AS HUGEINT) * (cum - c)
+        |        + CAST(c AS HUGEINT) * (c + 1))) AS t
+        |  FROM cum GROUP BY 1)
+        |SELECT g AS group_id, CAST(n AS BIGINT) AS n,
+        |  CAST(s AS BIGINT) AS total,
+        |  CASE WHEN s > 0 THEN
+        |    round(CAST(t - (n + 1) * s AS DOUBLE)
+        |      / CAST(n * s AS DOUBLE), 12) END AS gini
+        |FROM agg ORDER BY group_id""".stripMargin,
     // integer mid-ranks (2·cum − cnt) per column via frequency-CDF
     // windows, then the corrOracle moment/double discipline verbatim
     "x_profile_spearman" ->

@@ -289,6 +289,27 @@ class ProfileSpec extends SparkSpec {
       .isNullAt(1))
   }
 
+  test("giniByGroup: hand values, uniform 0, concentrated (n-1)/n, " +
+      "all-zero NULL, negatives rejected") {
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 4L),  // G = 1/3
+      ("u", 2L), ("u", 2L),                        // uniform → 0
+      ("c", 0L), ("c", 0L), ("c", 9L),             // max conc → 2/3
+      ("z", 0L), ("z", 0L))                        // S = 0 → NULL
+      .toDF("s", "x")
+    val rows = Profile.giniByGroup(df, col("s"), col("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(rows("a").getDouble(3) - 1.0 / 3) < 1e-12)
+    assert(rows("a").getLong(1) === 3L && rows("a").getLong(2) === 6L)
+    assert(rows("u").getDouble(3) === 0.0)
+    assert(math.abs(rows("c").getDouble(3) - 2.0 / 3) < 1e-12)
+    assert(rows("z").isNullAt(3))
+    val ex = intercept[IllegalArgumentException] {
+      Profile.giniByGroup(Seq(("a", -1L)).toDF("s", "x"),
+        col("s"), col("x")).collect()
+    }
+    assert(ex.getMessage.contains("non-negative"))
+  }
+
   test("quantileNormalize: hand-computed grid mapping") {
     // pooled = [1,2,3,4,10]; nBins = 4 → grid = (2.0, 3.0, 4.0);
     // source b's lone huge value sits at its own median → pooled
