@@ -661,6 +661,21 @@ object SparkEntry {
         col("source"), col("n_chars"))
       .orderBy("group_id")
 
+  /** Distribution-matched sampling (Sampling.matchDistribution): draw
+    * ≈100 documents from the whole corpus whose n_chars distribution
+    * follows src0's shape — target-defined equal-frequency grid,
+    * exact integral per-bin quotas, smallest-hash winners per bin.
+    * The oracle re-derives the grid, quotas, and per-bin hash ranking.
+    */
+  private def xSampleMatchDist(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.ext.Sampling.matchDistribution(
+        d.filter(col("source") === "src0"), d,
+        col("n_chars"), col("n_chars"), "doc_id",
+        nBins = 5, n = 100, salt = "md1")
+      .orderBy("doc_id")
+  }
+
   /** Exactly-100 deterministic document sample (eval-set carving):
     * the 100 smallest (hash, id) keys — TakeOrdered, no global sort
     * (asserted in PlanSpec), same rows on any partitioning.
@@ -3355,7 +3370,8 @@ object SparkEntry {
     "x_eval_kendall" -> (xEvalKendall _),
     "x_profile_quantile_norm" -> (xProfileQuantileNorm _),
     "x_profile_spearman" -> (xProfileSpearman _),
-    "x_profile_gini" -> (xProfileGini _)
+    "x_profile_gini" -> (xProfileGini _),
+    "x_sample_match_dist" -> (xSampleMatchDist _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -181,6 +181,69 @@ object Sampling {
       .select(keys.map(col) :+ col("__e.id").as(idCol): _*)
   }
 
+  /** Distribution-MATCHED sampling: draw ≈`n` rows from `source` so
+    * the drawn value distribution follows `target`'s SHAPE — the
+    * matched-control curation step ("sample web documents whose
+    * length profile matches the curated corpus", "draw negatives with
+    * the positives' score distribution") that plain rate sampling
+    * cannot express: a uniform rate preserves the SOURCE's shape, not
+    * the target's.
+    *
+    * Mechanics: `target` defines an `nBins` equal-frequency grid (its
+    * own exact interpolated percentiles — the
+    * [[graft.ext.Experiment.calibrationQuantile]] edge discipline, so
+    * bin = count of exceeded thresholds, ties deterministic);
+    * per-bin quotas are `n·cnt_T(bin) div n_T` — exact integral
+    * shares of the requested size, Σ ≤ n; winners per bin are the
+    * quota-many smallest-hash source rows (the [[capPerKey]]
+    * BoundedTopK discipline — map-side O(k) state per bin, no
+    * window, partition/rerun/engine-stable). A bin the source cannot
+    * fill delivers what it has — the shortfall is REPORTED by the
+    * (bin, quota, taken) output, never silently rebalanced onto
+    * other bins (that would distort the shape the caller asked for).
+    *
+    * Scale: the grid and quota frames are nBins-bounded broadcasts;
+    * the source pays one projection + one hash agg with O(n) state
+    * per bin. Output: (idCol, bin) winners — semi-join back for full
+    * rows; `groupBy(bin).count()` against the quota frame reads the
+    * fill rates when shortfall matters.
+    */
+  def matchDistribution(target: DataFrame, source: DataFrame,
+      targetValue: Column, sourceValue: Column, idCol: String,
+      nBins: Int, n: Int, salt: String = ""): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"bad nBins $nBins")
+    require(n >= 1, s"bad n $n")
+    val probs = array((1 until nBins).map(i =>
+      lit(i.toDouble / nBins)): _*)
+    val grid = target.select(targetValue.cast("double").as("__tv"))
+      .where(col("__tv").isNotNull)
+      .agg(percentile(col("__tv"), probs).as("__b"))
+    def binOf(v: Column): Column = (1 until nBins).map(i =>
+      when(v >= element_at(col("__b"), i), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val tHist = target.select(targetValue.cast("double").as("__tv"))
+      .where(col("__tv").isNotNull)
+      .crossJoin(broadcast(grid))
+      .groupBy(binOf(col("__tv")).as("__bin"))
+      .agg(count(lit(1)).as("__ct"))
+    val quotas = tHist.crossJoin(broadcast(
+        tHist.agg(sum(col("__ct")).as("__nt"))))
+      .select(col("__bin"),
+        expr(s"(${n.toLong}L * __ct) div __nt").as("__quota"))
+    source.select(col(idCol), sourceValue.cast("double").as("__sv"))
+      .where(col("__sv").isNotNull)
+      .crossJoin(broadcast(grid))
+      .groupBy(binOf(col("__sv")).as("__bin"))
+      .agg(graft.functions.BoundedTopK.topk(
+        -hashUnit(col(idCol), salt), col(idCol).cast("long"), n)
+        .as("__tk"))
+      .join(broadcast(quotas), Seq("__bin"))
+      .select(col("__bin"), col("__quota"),
+        posexplode(col("__tk")).as(Seq("__p", "__e")))
+      .where(col("__p") < col("__quota"))
+      .select(col("__e.id").as(idCol), col("__bin").as("bin"))
+  }
+
   /** Deterministic sequence packing: assign rows to token-budget bins —
     * the pretraining batch-packing step. Rows are ordered by their
     * stable hash within a hash shard; a running weight sum assigns each

@@ -1320,6 +1320,33 @@ private[graft] object StaticOracles {
         |    AS shard,
         |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // target-grid bins + exact integral quotas + per-bin smallest-hash
+    // winners (the x_sample_cap ranking discipline, quota per bin)
+    "x_sample_match_dist" -> {
+      val probs = (1 until 5).map(i => (i.toDouble / 5).toString)
+        .mkString("[", ", ", "]")
+      val binExpr = (1 until 5).map(i =>
+        s"CASE WHEN v >= b[$i] THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH tv AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE source = 'src0' AND n_chars IS NOT NULL),
+        |grid AS (SELECT quantile_cont(v, $probs) AS b FROM tv),
+        |th AS (SELECT ($binExpr) AS bin, count(*) AS ct
+        |  FROM tv, grid GROUP BY 1),
+        |nt AS (SELECT sum(ct) AS n_t FROM th),
+        |q AS (SELECT bin, (100 * ct) // n_t AS quota FROM th, nt),
+        |sb AS (SELECT doc_id, ($binExpr) AS bin
+        |  FROM (SELECT doc_id, CAST(n_chars AS DOUBLE) AS v
+        |        FROM documents WHERE n_chars IS NOT NULL), grid),
+        |r AS (SELECT doc_id, bin,
+        |    row_number() OVER (PARTITION BY bin ORDER BY
+        |      ${duckHash48("('md1' || CAST(doc_id AS VARCHAR))")} ASC,
+        |      doc_id ASC) AS rn
+        |  FROM sb)
+        |SELECT r.doc_id, CAST(r.bin AS BIGINT) AS bin
+        |FROM r JOIN q USING (bin) WHERE rn <= quota
+        |ORDER BY doc_id""".stripMargin
+    },
     "x_sample_cap" ->
       s"""SELECT event_type, count(*) AS n_kept,
         |  CAST(sum(event_id) AS BIGINT) AS sum_kept_ids FROM (

@@ -9,6 +9,35 @@ class SamplingSpec extends SparkSpec {
 
   private lazy val ids = (0L until 2000L).toDF("id")
 
+  test("matchDistribution: quotas follow the target shape, shortfall " +
+      "is reported not rebalanced, draw is deterministic") {
+    // target: half low (1), half high (100) -> 2 bins, quota 5 each
+    val target = ((1 to 10).map(_ => 1L) ++ (1 to 10).map(_ => 100L))
+      .toDF("v")
+    // source: 8 low candidates, 6 high
+    val source = ((1L to 8L).map(i => (i, i)) ++
+      (11L to 16L).map(i => (i, 60L + i))).toDF("id", "v")
+    val got = Sampling.matchDistribution(target, source, col("v"),
+        col("v"), "id", nBins = 2, n = 10, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 10)
+    assert(got.count(_._2 == 0L) === 5 && got.count(_._2 == 1L) === 5)
+    // deterministic: same inputs, same winners
+    val again = Sampling.matchDistribution(target, source, col("v"),
+        col("v"), "id", nBins = 2, n = 10, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+    // shortfall: only 3 high-bin candidates -> bin delivers 3, the
+    // low bin does NOT absorb the missing 2
+    val thin = ((1L to 8L).map(i => (i, i)) ++
+      (11L to 13L).map(i => (i, 60L + i))).toDF("id", "v")
+    val short = Sampling.matchDistribution(target, thin, col("v"),
+        col("v"), "id", nBins = 2, n = 10, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(short.count(_._2 == 1L) === 3)
+    assert(short.count(_._2 == 0L) === 5)
+  }
+
   test("hashUnit is deterministic, in [0,1), and salt-independent draws") {
     val u1 = Sampling.hashUnit(col("id"), "a")
     val r = ids.select(u1.as("u")).collect().map(_.getDouble(0))
