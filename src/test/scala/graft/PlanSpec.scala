@@ -827,17 +827,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("rboTruncated: one equi-join + hash agg — no window, no " +
-      "nested loop, weight lookup stays a projection") {
+  test("rboTruncated/kendallTau/matchDistribution: joins + hash aggs " +
+      "— no window, no nested loop") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import spark.implicits._
     val a = (1L to 200L).flatMap(q => (1L to 10L).map(r =>
       (q, q * 100 + r, r))).toDF("query_id", "doc_id", "rank")
     val b = (1L to 200L).flatMap(q => (1L to 10L).map(r =>
       (q, q * 100 + 11 - r, r))).toDF("query_id", "doc_id", "rank")
-    val n = nodes(graft.ext.Experiment.rboTruncated(a, b, 10))
-    assert(!n.exists(_.isInstanceOf[WindowExec]))
-    assert(!n.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+    for (df <- Seq(
+        graft.ext.Experiment.rboTruncated(a, b, 10),
+        graft.ext.Experiment.kendallTau(a, b, 10))) {
+      val n = nodes(df)
+      assert(!n.exists(_.isInstanceOf[WindowExec]))
+      assert(!n.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+    }
+    // matchDistribution: the grid crossJoin is the accepted 1-row
+    // scalar-broadcast BNLJ; what must NOT appear is a window (the
+    // per-bin ranking is the BoundedTopK aggregate) or a shuffled
+    // cartesian
+    val rows = (1L to 3000L).map(i => (i, i % 97)).toDF("id", "v")
+    val m = nodes(graft.ext.Sampling.matchDistribution(rows, rows,
+      col("v"), col("v"), "id", nBins = 8, n = 50))
+    assert(!m.exists(_.isInstanceOf[WindowExec]))
+    assert(!m.exists(_.isInstanceOf[org.apache.spark.sql.execution
+      .joins.CartesianProductExec]))
   }
 
   test("jsDivergence pair replication broadcasts the bounded pair frame") {
