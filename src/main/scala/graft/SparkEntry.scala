@@ -881,6 +881,20 @@ object SparkEntry {
       .orderBy("shard", "bin")
   }
 
+  /** Vocab-table-driven BPE apply (TextAnalysis.bpeTokenCounts): real
+    * subword token counts per document — greedy longest-match of the
+    * shared BpeVocab over each DISTINCT word, joined back and summed.
+    * The oracle re-derives the greedy orbit with a recursive CTE over
+    * the same vocab; the x_sample_pack budget row packs on these
+    * counts, so token budgets run on real tokens, not the regex
+    * estimate.
+    */
+  private def xTextBpe(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTokenCounts(t(s, dir, "documents"), "doc_id",
+        col("text"), graft.oracle.Fixtures.BpeVocab)
+      .select(col("id").as("doc_id"), col("n_words"), col("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** Bigram conditional log-probability (TextAnalysis.bigramLogProb):
     * the fluency signal one rung above unigrams — word-salad docs score
     * low even when every word is individually common.
@@ -918,6 +932,34 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("n_kept"),
         length(col("text")).cast(LongType).as("text_len"))
       .orderBy("doc_id")
+  }
+
+  /** Substring-level cross-document dedup (Dedup.sharedSubstringRuns):
+    * maximal shared token runs >= 30 tokens via rolling k-gram anchors
+    * (k = 8, every 23rd position) → bucketed equi-join on the gram
+    * hash → chain-extension along matched diagonals — the Lee et al.
+    * 2022 shape; never all-pairs. 40 planted docs embed a 35-token
+    * mid-document slice of one doc plus a 12-token slice of another:
+    * the 35-run must be reported, the 12-run must not, and the
+    * corpus's own natural repeated stretches (the generator reuses
+    * sentence templates) must come out identically on both engines.
+    * The oracle brute-forces every gram-sharing diagonal; the engine
+    * reaches the same pair set through anchor sampling.
+    */
+  private def xDedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+    val planted = base.filter(col("id") < 40)
+      .select(col("id"), col("toks").as("toks_a"))
+      .join(base.select((col("id") - 100).as("id"),
+        col("toks").as("toks_b")), "id")
+      .select((col("id") + 7000000L).as("id"),
+        concat(slice(col("toks_a"), 7, 35),
+          slice(col("toks_b"), 1, 12)).as("toks"))
+    Dedup.sharedSubstringRuns(base.unionByName(planted), "id",
+        col("toks"), minRunLen = 30, k = 8)
+      .orderBy("id_a", "id_b")
   }
 
   /** Fixed-width histogram profile of l_quantity over [1, 51) in 10
@@ -1028,11 +1070,16 @@ object SparkEntry {
 
   /** Sequence packing: documents into 2000-token bins across 8 hash
     * shards (append-style, deterministic); reported as per-shard bin
-    * statistics so output stays bounded at any corpus size.
+    * statistics so output stays bounded at any corpus size. The bin
+    * weight is the REAL vocab-driven BPE token count (bpeTokenCounts
+    * over the shared BpeVocab), not the whitespace estimate — token
+    * budgets mean actual tokens.
     */
   private def xSamplePack(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+    val docs = TextAnalysis.bpeTokenCounts(t(s, dir, "documents"),
+        "doc_id", col("text"), graft.oracle.Fixtures.BpeVocab)
+      .select(col("id").as("doc_id"),
+        col("n_bpe_tokens").as("n_tokens"))
     graft.ext.Sampling.packBins(docs, "doc_id", "n_tokens",
         budget = 2000.0, nShards = 8, salt = "pack1")
       .groupBy("shard", "bin")
@@ -2060,16 +2107,21 @@ object SparkEntry {
         col("auth_scaled"))
       .orderBy(desc("auth_scaled"), col("node_id")).limit(20)
 
-  /** Shared purchase-graph edge build + top-20 rank projection for the
-    * three PageRank harness rows.
+  /** Shared purchase-graph edge frame for the five purchase-graph rows
+    * (pagerank ×3, hits, ppr) — derived ONCE per process and served as
+    * a src-bucketed EdgeStore artifact; the orders⋈lineitem projection
+    * runs at first access, every later row reads the splits in place.
     */
   private def purchaseEdges(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(t(s, dir, "lineitem").select(col("l_orderkey"),
-        col("l_suppkey")), col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
+    graft.sources.EdgeStore.ensure(s, indexTable(dir, "pedges"),
+        Seq("src"), 8) {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_suppkey")), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+    }
 
   private def pageRankTop20(edges: DataFrame, iterations: Int,
       dangling: Boolean): DataFrame =
@@ -2428,7 +2480,7 @@ object SparkEntry {
     * order, canonical (a < b) undirected edges. The classic
     * "bought-together" projection of a bipartite order–part table.
     */
-  private def coPartEdges(s: SparkSession, dir: String): DataFrame = {
+  private def coPartEdges(s: SparkSession, dir: String): DataFrame =
     // every-third order: the full co-purchase projection is quadratic
     // in basket size × order count, and the un-thinned sf0.1 graph
     // (1.2M edges, 83M wedges) makes this one demo row dominate the
@@ -2436,16 +2488,21 @@ object SparkEntry {
     // edges) while the operator's bounds do the real scaling work.
     // Pairs come from per-order BASKET ARRAYS (one scan + one shuffle,
     // pair fan-out inside codegen), not a lineitem self-join that
-    // would scan and shuffle the fact table twice.
-    t(s, dir, "lineitem")
-      .where(col("l_orderkey") % 3 === 0)
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + 2, size(col("ps"))), y =>
-          struct(x.as("src"), y.as("dst")))))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-  }
+    // would scan and shuffle the fact table twice. Served as a
+    // src-bucketed EdgeStore artifact: the seven co-purchase rows
+    // (jaccard, assortativity, adamic-adar, lpa ×2, triangles, k-core)
+    // pay the fan-out once per process.
+    graft.sources.EdgeStore.ensure(s, indexTable(dir, "copart"),
+        Seq("src"), 8) {
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 3 === 0)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))), y =>
+            struct(x.as("src"), y.as("dst")))))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    }
 
   /** Triangle counting (Graph.triangleCounts): degree-ordered
     * orientation over the co-purchase part graph — O(m^{3/2}) wedge
@@ -3235,9 +3292,11 @@ object SparkEntry {
     "x_dedup_containment" -> (xDedupContainment _),
     "x_profile_group_quantiles" -> (xProfileGroupQuantiles _),
     "x_dedup_spans" -> (xDedupSpans _),
+    "x_dedup_substring" -> (xDedupSubstring _),
     "x_text_logprob" -> (xTextLogprob _),
     "x_sim_quantized" -> (xSimQuantized _),
     "x_text_bigram_lp" -> (xTextBigramLp _),
+    "x_text_bpe" -> (xTextBpe _),
     "x_profile_keyskew" -> (xProfileKeyskew _),
     "x_sample_weighted" -> (xSampleWeighted _),
     "x_sample_pack_seq" -> (xSamplePackSeq _),

@@ -776,6 +776,139 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  // ------------------------------------------------- substring-level dedup
+  /** Maximal shared token runs of length >= `minRunLen` between every
+    * document pair — the substring-level complement to [[dedupSpans]]
+    * (which only catches spans aligned on delimiter boundaries):
+    * detects a paragraph pasted mid-document, quote chains, and
+    * templated text with novel infill — the overlap that survives
+    * document-level AND span-level dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better").
+    *
+    * EXACT seed-and-extend, never all-pairs:
+    *  1. Every document's k-gram start positions are hashed
+    *     ([[hash48]] of the k-token slice — engine-portable, so the
+    *     DuckDB oracle reproduces the pipeline on gram strings).
+    *     Volume: one row per token.
+    *  2. ANCHORS: only every `stride`-th gram position
+    *     (stride = minRunLen−k+1) enters the probe side of the
+    *     candidate join. Any shared run of >= minRunLen tokens covers
+    *     `stride` consecutive gram starts in the smaller-id document,
+    *     so it contains exactly one anchor position — positional
+    *     sampling loses NO qualifying pair (the seed-and-extend
+    *     guarantee) while cutting probe volume by the stride factor.
+    *  3. The anchor equi-join on the gram hash yields candidate
+    *     (id_a, id_b, diag) alignments (diag = pos_a − pos_b); a run
+    *     lives on one diagonal.
+    *  4. EXTEND: candidate diagonals equi-join back against the gram
+    *     frame (keys id_a, then (id_b, h, pos_b = pos_a − diag) — all
+    *     hash joins) recovering EVERY matching gram position on the
+    *     diagonal; consecutive positions chain into maximal runs via
+    *     one collect-sort-posexplode per (pair, diagonal) — per-group
+    *     state bounded by document length, no corpus-wide window.
+    *
+    * Scale shape: shuffles key on the 8-byte gram hash and on
+    * (pair, diag) tuples; candidate volume is anchor-hit driven, not
+    * |corpus|². `maxGramFreq > 0` drops gram-hash buckets with more
+    * occurrences before the anchor join (boilerplate guard — same
+    * recall tradeoff as the LSH `maxBucketSize` cap; 0 = exact).
+    * 48-bit gram-hash collisions can in principle conjure a false
+    * matched position — negligible at corpus-scale gram counts, the
+    * same tradeoff the shingle pipeline documents.
+    *
+    * Output: one row per maximal run ≥ minRunLen — (id_a, id_b, pos_a,
+    * pos_b, run_len) with id_a < id_b and 1-indexed token starts.
+    */
+  def substringRuns(df: DataFrame, idCol: String, toksCol: Column,
+      minRunLen: Int, k: Int, maxGramFreq: Int = 0): DataFrame =
+    CacheScope.withCached(substringGrams(df, idCol, toksCol, k)) { g =>
+      substringCore(g, minRunLen, k, maxGramFreq)
+    }
+
+  /** The exact plan [[substringRuns]] executes, without the scoped-cache
+    * materialization barrier (which collapses the lineage to a
+    * LogicalRDD) — so PlanSpec can assert the no-window / no-cartesian
+    * contracts on the real operators. Production callers want
+    * [[substringRuns]]: the gram frame is scanned four times.
+    */
+  private[graft] def substringRunsPlan(df: DataFrame, idCol: String,
+      toksCol: Column, minRunLen: Int, k: Int,
+      maxGramFreq: Int = 0): DataFrame =
+    substringCore(substringGrams(df, idCol, toksCol, k), minRunLen, k,
+      maxGramFreq)
+
+  /** (id, pos, h) k-gram frame: pos = 1-indexed token start, h =
+    * portable 48-bit hash of the space-joined k-token slice. Documents
+    * shorter than k emit nothing.
+    */
+  private def substringGrams(df: DataFrame, idCol: String,
+      toksCol: Column, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), toksCol.as("__t"))
+      .select(col("id"),
+        posexplode(
+          when(size(col("__t")) >= k,
+            transform(sequence(lit(1), size(col("__t")) - (k - 1)),
+              i => hash48(concat_ws(" ", slice(col("__t"), i, lit(k))))))
+            .otherwise(array())).as(Seq("p0", "h")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("h"))
+
+  private def substringCore(g: DataFrame, minRunLen: Int, k: Int,
+      maxGramFreq: Int): DataFrame = {
+    require(k >= 1 && minRunLen >= k,
+      s"need 1 <= k <= minRunLen, got k=$k minRunLen=$minRunLen")
+    val stride = minRunLen - k + 1
+    val full = capBuckets(
+      g.select(col("id").as("id_b"), col("pos").as("pos_b"),
+        col("h").as("h_b")),
+      Seq("h_b"), maxGramFreq)
+    val anchors = g
+      .filter(pmod(col("pos"), lit(stride)) === lit(1 % stride))
+      .select(col("id").as("id_a"), col("pos").as("pos_a"), col("h"))
+    val diags = anchors.join(full,
+        col("h") === col("h_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("pos_a") - col("pos_b")).as("diag"))
+      .distinct()
+    // recover ALL matching gram positions on each candidate diagonal:
+    // two hash joins, the second keyed on (id_b, h, pos_b = pos_a − diag)
+    val matched = diags
+      .join(g.select(col("id").as("id_a"), col("pos").as("pos_a"),
+        col("h")), Seq("id_a"))
+      .join(g.select(col("id").as("__ib"), col("pos").as("__pb"),
+          col("h").as("__hb")),
+        col("id_b") === col("__ib") && col("h") === col("__hb") &&
+          col("__pb") === col("pos_a") - col("diag"))
+      .select(col("id_a"), col("id_b"), col("diag"), col("pos_a"))
+    // chain consecutive positions per (pair, diag): sorted positions
+    // minus their rank are constant within a maximal run (no window —
+    // per-group array state bounded by document length, the dedupSpans
+    // reassembly pattern)
+    matched.groupBy("id_a", "id_b", "diag")
+      .agg(sort_array(collect_list(col("pos_a"))).as("__ps"))
+      .select(col("id_a"), col("id_b"), col("diag"),
+        posexplode(col("__ps")).as(Seq("__idx", "__p")))
+      .groupBy(col("id_a"), col("id_b"), col("diag"),
+        (col("__p") - col("__idx")).as("__chain"))
+      .agg(min(col("__p")).as("__start"), count(lit(1)).as("__glen"))
+      .filter(col("__glen") + (k - 1) >= minRunLen)
+      .select(col("id_a"), col("id_b"),
+        col("__start").cast(LongType).as("pos_a"),
+        (col("__start") - col("diag")).cast(LongType).as("pos_b"),
+        (col("__glen") + (k - 1)).cast(LongType).as("run_len"))
+  }
+
+  /** Pair-level rollup of [[substringRuns]]: (id_a, id_b, n_runs,
+    * max_run, overlap_tokens) — the "how much of b is copied from a"
+    * report a corpus audit consumes, one bounded row per overlapping
+    * pair.
+    */
+  def sharedSubstringRuns(df: DataFrame, idCol: String, toksCol: Column,
+      minRunLen: Int, k: Int, maxGramFreq: Int = 0): DataFrame =
+    substringRuns(df, idCol, toksCol, minRunLen, k, maxGramFreq)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_runs"), max(col("run_len")).as("max_run"),
+        sum(col("run_len")).as("overlap_tokens"))
+
   /** EXACT Jaccard-threshold similarity self-join via prefix filtering
     * (the AllPairs/PPJoin family — Bayardo, Ma & Srikant, WWW'07;
     * Vernica, Carey & Li's MapReduce formulation, SIGMOD'10): every

@@ -26,6 +26,66 @@ object TextAnalysis {
   def wordTokenCount(c: Column): Column =
     regexp_count(c, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"))
 
+  /** Greedy longest-match subword segmentation of ONE word against a
+    * vocab table — the WordPiece/BPE-apply shape: at each position take
+    * the longest vocab piece that matches; characters no piece covers
+    * fall back to single-char pieces. Returns the piece array (token
+    * count = its size). Deterministic by construction (longest match,
+    * ties impossible), so the DuckDB oracle reproduces it from the same
+    * vocab with a recursive position-orbit.
+    *
+    * The vocab rides the plan as per-length literal arrays (longest
+    * length probed first — a truncated end-of-word substring can never
+    * equal a longer piece, so no boundary guard is needed). Intended
+    * for DISTINCT-word frames (see [[bpeTokenCounts]]): the loop is an
+    * interpreted HOF, priced per vocabulary entry, not per corpus
+    * token.
+    */
+  def bpePieces(w: Column, vocab: Seq[String]): Column = {
+    require(vocab.nonEmpty, "empty BPE vocab")
+    val byLen = vocab.distinct.groupBy(_.length).toSeq.sortBy(-_._1)
+    def matchLen(pos: Column): Column =
+      coalesce(byLen.map { case (l, vs) =>
+        when(array_contains(array(vs.map(lit): _*),
+          w.substr(pos, lit(l))), lit(l))
+      } :+ lit(1): _*)
+    val init = struct(lit(1).as("pos"),
+      array().cast("array<string>").as("ps"))
+    aggregate(sequence(lit(1), length(w)), init, (acc, _) => {
+      val pos = acc.getField("pos")
+      val m = matchLen(pos)
+      when(pos > length(w), acc)
+        .otherwise(struct((pos + m).as("pos"),
+          concat(acc.getField("ps"), array(w.substr(pos, m))).as("ps")))
+    }).getField("ps")
+  }
+
+  /** Real (vocab-table-driven) token counts per document: whitespace
+    * pre-tokenization, greedy [[bpePieces]] segmentation of each
+    * DISTINCT word, counts joined back and summed per document —
+    * (id, n_words, n_bpe_tokens). Replaces the [[wordTokenCount]]
+    * regex ESTIMATE wherever a token budget must be real.
+    *
+    * Scale shape: segmentation runs on the distinct-word frame (the
+    * corpus vocabulary — orders of magnitude smaller than the token
+    * stream), so the per-word greedy loop is priced per vocabulary
+    * entry; the count join keys on the word and AQE broadcasts the
+    * segmented dimension whenever it actually fits. Documents with
+    * zero tokens emit no row.
+    */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: Column,
+      vocab: Seq[String]): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      explode(tokens(textCol)).as("w"))
+    val seg = words.select("w").distinct()
+      .select(col("w"),
+        size(bpePieces(col("w"), vocab)).cast("long").as("n_pieces"))
+    words.join(seg, "w")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_pieces").as("n_bpe_tokens"))
+  }
+
   def avgTokenLength(c: Column): Column = {
     val ts = tokens(c)
     when(size(ts) > 0,

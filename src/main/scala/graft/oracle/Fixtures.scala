@@ -70,6 +70,21 @@ private[graft] object Fixtures {
     */
   private[graft] val Bm25Terms = Seq("spark", "window", "vector")
 
+  /** Subword vocab for the BPE-apply rows (x_text_bpe and the re-based
+    * x_sample_pack budget): multi-char pieces with overlapping prefixes
+    * ("ta"/"tab", "pa"/"part") so greedy longest-match is actually
+    * exercised; characters no piece covers fall back to single-char
+    * pieces. Shared verbatim with the DuckDB oracle (embedded as a SQL
+    * list literal) so neither side can drift.
+    */
+  private[graft] val BpeVocab: Seq[String] = Seq(
+    "th", "the", "ta", "tab", "le", "sc", "scan", "sp", "spark", "ar",
+    "so", "sort", "sl", "ow", "sm", "all", "st", "str", "eam", "row",
+    "ha", "hash", "me", "rge", "ba", "tch", "cust", "om", "er", "qu",
+    "ery", "fil", "ter", "gr", "oup", "jo", "in", "win", "dow", "vec",
+    "tor", "or", "der", "li", "ne", "co", "lumn", "agg", "pa", "rt",
+    "part", "ke", "key", "da", "du", "fa", "big", "va", "lue", "an")
+
   /** Query terms for the Zipf-fixture BM25 row: head / shoulder / tail
     * ranks of the 50k-vocab Zipf law, so the idf spread is realistic
     * (the driver corpus's ~50-word vocabulary cannot produce one).

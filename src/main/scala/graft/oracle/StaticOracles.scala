@@ -1536,16 +1536,25 @@ private[graft] object StaticOracles {
         |  FROM t WHERE n > 1 AND s2 - s1 * s1 / n > 0)
         |WHERE abs(z) >= 2.5
         |ORDER BY window_start, event_type""".stripMargin,
+    "x_text_bpe" ->
+      s"""WITH RECURSIVE $bpeCntCtes
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(bcnt.n_pieces) AS BIGINT) AS n_bpe_tokens
+        |FROM btok JOIN bcnt USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // packs on the REAL BPE token counts (bcnt join), mirroring the
+    // re-based Spark row
     "x_sample_pack" ->
-      s"""WITH tk AS (
+      s"""WITH RECURSIVE $bpeCntCtes,
+        |tk AS (
         |  SELECT doc_id,
-        |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
-        |      x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(sum(bcnt.n_pieces) AS BIGINT) AS n_tokens,
         |    ${duckHash48("('pack1' || CAST(doc_id AS VARCHAR))")} % 8
         |      AS shard,
         |    ${duckHash48("('pack1' || CAST(doc_id AS VARCHAR))")}
         |      / 281474976710656.0 AS u
-        |  FROM documents),
+        |  FROM btok JOIN bcnt USING (w)
+        |  GROUP BY doc_id),
         |c AS (
         |  SELECT shard, doc_id, n_tokens,
         |    COALESCE(sum(n_tokens) OVER (PARTITION BY shard
@@ -1693,6 +1702,38 @@ private[graft] object StaticOracles {
         |    AS text_len
         |FROM ranked WHERE rn = 1
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // brute-force twin of the seed-and-extend engine: ALL gram-sharing
+    // diagonals (no anchor sampling — exactness of the sampling is the
+    // thing under test), chained with a per-(pair, diag) row_number
+    "x_dedup_substring" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |planted AS (
+        |  SELECT a.id + 7000000 AS id,
+        |    list_concat(list_slice(a.toks, 7, 41),
+        |      list_slice(b.toks, 1, 12)) AS toks
+        |  FROM base a JOIN base b ON b.id = a.id + 100 WHERE a.id < 40),
+        |allt AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |g AS (SELECT id, i AS pos,
+        |        array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        |      FROM allt,
+        |        unnest(range(1, greatest(len(toks) - 7, 0) + 1)) t(i)),
+        |m AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |        a.pos - b.pos AS diag, a.pos AS pos
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id),
+        |r AS (SELECT id_a, id_b, diag, pos,
+        |        pos - row_number() OVER (PARTITION BY id_a, id_b, diag
+        |                                 ORDER BY pos) AS chain
+        |      FROM m),
+        |runs AS (SELECT id_a, id_b, diag, chain, count(*) + 7 AS run_len
+        |         FROM r GROUP BY 1, 2, 3, 4 HAVING count(*) + 7 >= 30)
+        |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_runs,
+        |  CAST(max(run_len) AS BIGINT) AS max_run,
+        |  CAST(sum(run_len) AS BIGINT) AS overlap_tokens
+        |FROM runs GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
     "x_text_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -3764,6 +3805,41 @@ private[graft] object StaticOracles {
   /** Shared CUSUM oracle (x_ts_cusum and x_stream_cusum): the
     * prefix-sum − running-min identity, mirrored window-for-window.
     */
+  /** Shared CTE chain computing per-distinct-word greedy BPE piece
+    * counts over Fixtures.BpeVocab (embedded as a list literal so the
+    * two engines cannot drift): `words` (distinct corpus words) →
+    * `bpos` (every in-word position) → `bm` (longest matching piece
+    * length at each position; 1 = single-char fallback) → `brec` (the
+    * recursive greedy orbit pos → pos + step) → `bcnt` (w, n_pieces).
+    * Callers must open with WITH RECURSIVE.
+    */
+  private def bpeCntCtes: String = {
+    val vs = Fixtures.BpeVocab.map(v => s"'$v'").mkString(", ")
+    s"""words AS (
+      |  SELECT DISTINCT unnest(list_filter(
+      |    regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+      |  FROM documents),
+      |bpos AS (
+      |  SELECT w, unnest(range(1, len(w) + 1)) AS p FROM words),
+      |bvocab AS (SELECT unnest([$vs]) AS v),
+      |bm AS (
+      |  SELECT bpos.w, bpos.p, coalesce(max(len(v)), 1) AS step
+      |  FROM bpos LEFT JOIN bvocab
+      |    ON substr(bpos.w, CAST(bpos.p AS INTEGER), len(v)) = v
+      |  GROUP BY 1, 2),
+      |brec AS (
+      |  SELECT w, CAST(1 AS BIGINT) AS p, CAST(0 AS BIGINT) AS n
+      |  FROM words
+      |  UNION ALL
+      |  SELECT r.w, r.p + bm.step, r.n + 1
+      |  FROM brec r JOIN bm ON bm.w = r.w AND bm.p = r.p),
+      |bcnt AS (SELECT w, max(n) AS n_pieces FROM brec GROUP BY w),
+      |btok AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+      |  FROM documents)""".stripMargin
+  }
+
   private def cusumOracle: String =
     """WITH f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
       |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),

@@ -123,6 +123,25 @@ class PlanSpec extends SparkSpec {
       "the corpus-total scalar must ride a broadcast, not a cartesian")
   }
 
+  test("substring dedup: equi-joins only, chains window-free") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    val runs = graft.ext.Dedup.substringRunsPlan(docs, "id",
+      col("toks"), minRunLen = 30, k = 8)
+    val all = nodes(runs)
+    assert(!all.exists(_.isInstanceOf[WindowExec]),
+      "chain extraction must be the collect-sort-posexplode aggregation," +
+        " never a row_number window over the matched-gram frame")
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]) &&
+      !all.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "anchor + extension joins must all extract equi keys " +
+        "(gram hash / (id, h, pos − diag)); a nested loop here is " +
+        "corpus × corpus")
+  }
+
   test("semantic dedup: no nested loop, shuffles bounded to list/pair keys") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     val e = Tables.load(spark, dir, "embeddings")

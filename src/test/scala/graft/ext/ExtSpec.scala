@@ -465,6 +465,83 @@ class ExtSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("bpePieces: greedy longest-match with single-char fallback") {
+    val v = graft.oracle.Fixtures.BpeVocab
+    val got = Seq("the", "table", "customer", "part", "dup", "a", "xyz",
+        "spark").toDF("w")
+      .select(col("w"), TextAnalysis.bpePieces(col("w"), v).as("ps"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(got("the") == List("the"))          // longest beats "th"
+    assert(got("table") == List("tab", "le"))  // "tab" beats "ta"
+    assert(got("customer") == List("cust", "om", "er"))
+    assert(got("part") == List("part"))        // beats "pa" + "rt"
+    assert(got("dup") == List("du", "p"))      // trailing fallback char
+    assert(got("a") == List("a"))              // pure fallback
+    assert(got("xyz") == List("x", "y", "z"))
+    assert(got("spark") == List("spark"))
+    // reassembly invariant: pieces always concat back to the word
+    got.foreach { case (w, ps) => assert(ps.mkString == w) }
+  }
+
+  test("substringRuns: exact maximal runs via anchored seed-and-extend") {
+    // unique filler tokens per doc so only the planted runs share grams
+    def f(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val run30 = f("R", 30)
+    val run29 = f("S", 29)
+    val runA = f("A", 30)
+    val runB = f("B", 35)
+    val corpus = Seq(
+      (1L, f("f", 40) ++ run30 ++ f("g", 10)), // run at pos 41
+      (2L, f("h", 5) ++ run30 ++ f("i", 20)),  // same run at pos 6
+      (3L, f("j", 3) ++ run29),                // 29 < minRunLen
+      (4L, run29 ++ f("k", 8)),
+      // two runs on the SAME diagonal, split by a one-token mismatch
+      (5L, Seq("x0") ++ runA ++ Seq("x1") ++ runB),
+      (6L, runA ++ Seq("y1") ++ runB ++ Seq("y2"))
+    ).toDF("id", "toks")
+    val runs = Dedup.substringRuns(corpus, "id", col("toks"), 30, 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(runs == Set(
+      (1L, 2L, 41L, 6L, 30L),  // exact maximal run, exact positions
+      (5L, 6L, 2L, 1L, 30L),   // first chain on diag 1
+      (5L, 6L, 33L, 32L, 35L)  // second chain, same diag, separated
+    ), s"got $runs")
+    // pair rollup
+    val pairs = Dedup.sharedSubstringRuns(corpus, "id", col("toks"), 30, 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(pairs == Map(
+      (1L, 2L) -> (1L, 30L, 30L),
+      (5L, 6L) -> (2L, 35L, 65L)))
+    // partition-invariant
+    val runs2 = Dedup.substringRuns(corpus.repartition(7), "id",
+        col("toks"), 30, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(runs2 == runs)
+    // docs shorter than k emit nothing and nothing crashes
+    val tiny = Seq((1L, Seq("a", "b")), (2L, Seq("a", "b")))
+      .toDF("id", "toks")
+    assert(Dedup.substringRuns(tiny, "id", col("toks"), 30, 8).isEmpty)
+  }
+
+  test("substringRuns: gram-frequency cap drops boilerplate diagonals") {
+    def f(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val boiler = f("Z", 30)
+    // the same 30-run in 6 docs → every gram of it occurs 6 times
+    val corpus = (1L to 6L).map(i => (i, f(s"u$i-", 4) ++ boiler))
+      .toDF("id", "toks")
+    val exact = Dedup.substringRuns(corpus, "id", col("toks"), 30, 8)
+    assert(exact.count() == 15) // all 6·5/2 pairs
+    val capped = Dedup.substringRuns(corpus, "id", col("toks"), 30, 8,
+      maxGramFreq = 5)
+    assert(capped.isEmpty) // capped out: the documented recall tradeoff
+  }
+
   test("unigramLogProb: common-word docs beat rare-word docs") {
     val corpus = Seq(
       (1L, "the the the the"),       // hot token

@@ -98,6 +98,41 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("EdgeStore: one build per process; src work reads splits in place") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def build = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("src"), col("o_orderkey").as("dst"))
+    try {
+      val served = EdgeStore.ensure(spark, "es_spec", Seq("src"), 8)(build)
+      // content identical to the in-memory frame (multiset, no dedup)
+      val want = build.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      val got = served.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      assert(got == want, "served artifact must be the build frame as-is")
+      // second access must serve, not rebuild
+      val again = EdgeStore.ensure(spark, "es_spec", Seq("src"), 8) {
+        fail("EdgeStore.ensure must build exactly once per process")
+      }
+      // src-keyed aggregation over the served table: bucketed scan, no
+      // exchange below the aggregate
+      val deg = again.groupBy("src").agg(count(lit(1)).as("deg"))
+      deg.collect()
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => q +: flatten(q.plan)
+        case other => other +: other.children.flatMap(flatten)
+      }
+      val all = flatten(deg.queryExecution.executedPlan)
+      assert(!all.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"src agg over the bucketed edge artifact must not shuffle:\n" +
+          deg.queryExecution.executedPlan)
+    } finally spark.sql("DROP TABLE IF EXISTS es_spec")
+  }
+
   test("index append: serve ≡ rebuild over the union corpus, and the " +
       "appended corpus side still reads in place") {
     import org.apache.spark.sql.execution.FileSourceScanExec
