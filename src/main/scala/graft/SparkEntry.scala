@@ -1640,6 +1640,30 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Multimodal: REAL WAV decode. Synthesizes a genuine RIFF/PCM16
+    * blob per document (sample values are pure functions of doc_id),
+    * then `javax.sound.sampled` parses the bytes back — container
+    * facts, exact Σ|sample| loudness, and the clip count are all
+    * recomputed arithmetically by the oracle, cell-for-cell.
+    */
+  private def xMmAudio(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Multimodal.decodeAudio(Multimodal.synthesizeAudio(d, "doc_id"))
+      .toDF()
+      .orderBy("id")
+  }
+
+  /** Multimodal: corrupt-audio posture — text bytes are not RIFF, so
+    * every row degrades to the typed unknown row (correct byte count,
+    * zero stats) rather than erroring the scan.
+    */
+  private def xMmAudioInvalid(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Multimodal.decodeAudio(Multimodal.withBinary(d, "doc_id", "text"))
+      .toDF()
+      .orderBy("id")
+  }
+
   /** Streaming-shaped tumbling-window aggregation (batch-equivalent
     * plan of StreamingValidate.windowedCounts, minus the watermark —
     * identical grouping).
@@ -3240,6 +3264,8 @@ object SparkEntry {
     "x_mm_decode_jpeg" -> (xMmDecodeJpeg _),
     "x_mm_decode_invalid" -> (xMmDecodeInvalid _),
     "x_mm_phash" -> (xMmPhash _),
+    "x_mm_audio" -> (xMmAudio _),
+    "x_mm_audio_invalid" -> (xMmAudioInvalid _),
     "x_stream_window" -> (xStreamWindow _),
     "r1_error_sample" -> (r1ErrorSample _),
     "k2_uniquekeys" -> (k2UniqueKeys _),

@@ -374,13 +374,31 @@ object Validate {
   }
 
   private def keyResult(v: DataFrame, code: String, field: String): CheckResult = {
-    // duplicated tuples: violations = sum of extra occurrences; bounded sample
-    val agg = v.agg(
-      coalesce(sum(col("cnt") - 1), lit(0L)).as("n")).collect()(0)
-    val sample = v.orderBy(v.columns.dropRight(1).map(col): _*)
-      .limit(MaxErrorValues).collect()
-      .map(r => r.toSeq.dropRight(1).mkString(",")).toSeq
-    CheckResult("", code, field, agg.getLong(0), sample)
+    // duplicated tuples: violations = sum of extra occurrences, with the
+    // bounded key sample FUSED into the same hash-agg action
+    // (bounded_min_k ≡ orderBy(keys).limit(k), but as an aggregate —
+    // round-11 fuse: one action per key check instead of sum + TakeOrdered)
+    val (n, sample) = countAndSample(v, sum(col("cnt") - 1))
+    CheckResult("", code, field, n, sample)
+  }
+
+  /** ONE-action (violation count, bounded smallest-key sample) over a
+    * grouped violation frame whose last column is `cnt`: the sample
+    * rides the count's aggregation as a `bounded_min_k` of the key
+    * struct — bit-identical to the former orderBy(keys).limit(k)
+    * second action (struct ordering IS the multi-column asc order; key
+    * tuples are non-null by construction in every caller).
+    */
+  private def countAndSample(
+      v: DataFrame, violations: Column): (Long, Seq[String]) = {
+    val keyCols = v.columns.dropRight(1)
+    val row = v.agg(
+      coalesce(violations, lit(0L)).as("n"),
+      graft.functions.BoundedMinK.minK(struct(keyCols.map(col): _*),
+        MaxErrorValues).as("sample")).head()
+    (row.getLong(0),
+      row.getSeq[org.apache.spark.sql.Row](1)
+        .map(_.toSeq.mkString(",")).toSeq)
   }
 
   // ------------------------------------------------------------------- E1
@@ -421,10 +439,8 @@ object Validate {
         val parentName = if (fk.refResource.isEmpty) res.name else fk.refResource
         val parent = tables(parentName)
         val v = Checks.foreignKey(df, fk.fields, parent, fk.refFields)
-        val n = v.agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
-        val sample = v.orderBy(v.columns.dropRight(1).map(col): _*)
-          .limit(MaxErrorValues).collect()
-          .map(r => r.toSeq.dropRight(1).mkString(",")).toSeq
+        // round-11 fuse: count + bounded sample in ONE action
+        val (n, sample) = countAndSample(v, sum(col("cnt")))
         CheckResult(res.name, ErrorCodes.ForeignKey,
           s"${fk.fields.mkString(",")}->$parentName.${fk.refFields.mkString(",")}",
           n, sample)

@@ -376,6 +376,140 @@ object Multimodal {
         substring(base64(col("blob")), 1, 16).as("frame_head"))
   }
 
+  // --------------------------------------------------------------- audio
+  /** Audio row after decode: container facts + exact sample statistics.
+    * Undecodable / non-PCM16 blobs: format="unknown", zeros — the same
+    * typed-degradation posture as [[MediaMeta]]. `duration_us` is exact
+    * integer µs (n_samples · 10⁶ div rate); `sum_abs` (Σ|sample|) and
+    * `n_clipped` (|sample| ≥ [[ClipLevel]]) are the loudness/clipping
+    * screens an audio-corpus quality pass runs, integer-exact so the
+    * oracle recomputes them cell-for-cell on known content.
+    */
+  final case class AudioMeta(
+      id: Long,
+      n_bytes: Int,
+      format: String,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_samples: Long,
+      duration_us: Long,
+      sum_abs: Long,
+      n_clipped: Long)
+
+  val ClipLevel = 32000
+  val AudioRate = 8000
+
+  // Deterministic synthetic PCM, same doctrine as the synthetic images:
+  // every sample is a pure function of (id, i) —
+  //   n_samples = id % 50 + 20
+  //   sample(i) = (id·31 + i·17) % 65536 − 32768   (full 16-bit range,
+  //               so ~2.3% of samples land in the clip band)
+  // so Σ|sample| and the clip count are plain integer arithmetic.
+  def synthAudioSamples(id: Long): Int = (id % 50 + 20).toInt
+
+  def synthAudioSample(id: Long, i: Int): Int =
+    ((id * 31 + i.toLong * 17) % 65536).toInt - 32768
+
+  /** Hand-written RIFF/WAVE encoder: 44-byte canonical header + 16-bit
+    * mono little-endian PCM — uncompressed, so the byte length
+    * 44 + 2·n is itself decoder-verifiable, like [[encodeBmp]]'s.
+    */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = synthAudioSamples(id)
+    val dataSize = 2 * n
+    val buf = ByteBuffer.allocate(44 + dataSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(AudioRate).putInt(AudioRate * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) { buf.putShort(synthAudioSample(id, i).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** id column → (id, blob, n_bytes) of synthetic WAVs, generated
+    * executor-side in partition batches (the [[synthesizeImages]]
+    * pattern).
+    */
+  def synthesizeAudio(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions(_.map(id => (id, encodeWav(id))))
+      .toDF("id", "blob")
+      .withColumn("n_bytes", octet_length(col("blob")))
+  }
+
+  /** RIFF/WAVE magic sniff — cheap, no codec involvement. */
+  def sniffAudio(bytes: Array[Byte]): String =
+    if (bytes != null && bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+      bytes(10) == 'V' && bytes(11) == 'E') "wav"
+    else "unknown"
+
+  /** Real WAV decode: `javax.sound.sampled` (pure JVM, headless-safe)
+    * parses the container; sample statistics come from the decoded PCM
+    * stream. Only the signed-16-bit PCM profile is decoded — anything
+    * else (compressed encodings, 8/24-bit, absurd headers) degrades to
+    * the typed unknown row, never an exception, so one bad blob can't
+    * fail a 100 TB scan. The header's frame count is cross-checked
+    * against the bytes actually read (a lying `data` size cannot
+    * inflate the stats).
+    */
+  def decodeWav(id: Long, bytes: Array[Byte]): AudioMeta = {
+    val n = if (bytes == null) 0 else bytes.length
+    val unknown = AudioMeta(id, n, "unknown", 0, 0, 0, 0L, 0L, 0L, 0L)
+    if (n == 0 || sniffAudio(bytes) == "unknown") return unknown
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val rate = f.getSampleRate.toInt
+        val ok = f.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16 && f.getChannels >= 1 &&
+          f.getChannels <= 8 && !f.isBigEndian &&
+          rate > 0 && rate <= 1000000
+        if (!ok) return unknown
+        val data = ais.readAllBytes()
+        val nSamples = data.length / 2
+        var sumAbs = 0L
+        var clipped = 0L
+        var i = 0
+        while (i + 1 < data.length) {
+          val s = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toInt
+          val a = math.abs(s)
+          sumAbs += a
+          if (a >= ClipLevel) clipped += 1
+          i += 2
+        }
+        AudioMeta(id, n, "wav", rate, f.getChannels, 16,
+          nSamples.toLong / f.getChannels,
+          nSamples.toLong / f.getChannels * 1000000L / rate,
+          sumAbs, clipped)
+      } finally ais.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => unknown
+    }
+  }
+
+  /** Batched audio decode — the same per-partition codec seam as
+    * [[decode]].
+    */
+  def decodeAudio(df: DataFrame): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeWav(id, bytes) })
+  }
+
   /** JSON-typed metadata column → typed struct/fields (events.props). */
   def extractJsonField(df: DataFrame, jsonCol: String, field: String): DataFrame =
     df.withColumn(field,

@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("bounded_top_k"), BoundedTopK.info,
         BoundedTopK.builder))
     ext.injectFunction(
+      (FunctionIdentifier("bounded_min_k"), BoundedMinK.info,
+        BoundedMinK.builder))
+    ext.injectFunction(
       (FunctionIdentifier("minhash_sigs"), MinHashSig.info,
         MinHashSig.builder))
     ext.injectFunction(
@@ -70,6 +73,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bounded_top_k"), BoundedTopK.info,
       BoundedTopK.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bounded_min_k"), BoundedMinK.info,
+      BoundedMinK.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_sigs"), MinHashSig.info,
       MinHashSig.builder)

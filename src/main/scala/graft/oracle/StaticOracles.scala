@@ -679,6 +679,36 @@ private[graft] object StaticOracles {
         |    AS BIGINT) AS dhash,
         |  CAST(0 AS INTEGER) AS hamming_bmp_png
         |FROM g ORDER BY id""".stripMargin,
+    // exact-arithmetic twin of the WAV decode: the synthetic PCM is a
+    // pure function of (id, i), so loudness and clip counts re-derive
+    "x_mm_audio" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, doc_id % 50 + 20 AS n FROM documents),
+        |v AS (
+        |  SELECT id, n, ((id * 31 + i * 17) % 65536) - 32768 AS smp
+        |  FROM d, unnest(range(0, n)) t(i))
+        |SELECT id,
+        |  CAST(44 + 2 * any_value(n) AS INTEGER) AS n_bytes,
+        |  'wav' AS format,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(16 AS INTEGER) AS bits,
+        |  CAST(any_value(n) AS BIGINT) AS n_samples,
+        |  CAST(any_value(n) * 125 AS BIGINT) AS duration_us,
+        |  CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(CASE WHEN abs(smp) >= 32000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clipped
+        |FROM v GROUP BY id ORDER BY id""".stripMargin,
+    "x_mm_audio_invalid" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+        |  CAST(coalesce(octet_length(encode(text)), 0) AS INTEGER)
+        |    AS n_bytes,
+        |  'unknown' AS format,
+        |  CAST(0 AS INTEGER) AS sample_rate,
+        |  CAST(0 AS INTEGER) AS channels, CAST(0 AS INTEGER) AS bits,
+        |  CAST(0 AS BIGINT) AS n_samples, CAST(0 AS BIGINT) AS duration_us,
+        |  CAST(0 AS BIGINT) AS sum_abs, CAST(0 AS BIGINT) AS n_clipped
+        |FROM documents ORDER BY id""".stripMargin,
     "x_mm_decode_invalid" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
         |  CAST(coalesce(octet_length(encode(text)), 0) AS INTEGER)

@@ -1324,6 +1324,39 @@ class ExtSpec extends SparkSpec {
     assert(zh == "zh")
   }
 
+  test("multimodal: real WAV decode recovers encoded PCM statistics") {
+    val ids = Seq(0L, 1L, 7L, 49L, 255L, 4096L)
+    // expected stats straight from the synthetic-PCM formulas
+    def expect(id: Long): (Int, Long, Long) = {
+      val n = Multimodal.synthAudioSamples(id)
+      val samples = (0 until n).map(i => Multimodal.synthAudioSample(id, i))
+      (n, samples.map(s => math.abs(s).toLong).sum,
+        samples.count(s => math.abs(s) >= Multimodal.ClipLevel).toLong)
+    }
+    val meta = Multimodal.decodeAudio(
+        Multimodal.synthesizeAudio(ids.toDF("doc_id"), "doc_id"))
+      .collect().map(m => m.id -> m).toMap
+    ids.foreach { id =>
+      val (n, sumAbs, clipped) = expect(id)
+      val m = meta(id)
+      assert(m.format == "wav" && m.sample_rate == 8000 &&
+        m.channels == 1 && m.bits == 16, s"container facts for $id: $m")
+      assert(m.n_bytes == 44 + 2 * n && m.n_samples == n &&
+        m.duration_us == n * 125L, s"sizing for $id: $m")
+      assert(m.sum_abs == sumAbs && m.n_clipped == clipped,
+        s"sample stats for $id: $m")
+    }
+    // corrupt inputs: truncated header, lying RIFF magic, null — all
+    // degrade to the typed unknown row, never an exception
+    val wav = Multimodal.encodeWav(7L)
+    Seq(wav.take(10), "RIFFxxxxWAVEgarbage".getBytes("US-ASCII"),
+        Array.empty[Byte]).foreach { bad =>
+      val m = Multimodal.decodeWav(99L, bad)
+      assert(m.format == "unknown" && m.n_samples == 0 &&
+        m.sum_abs == 0L, s"must degrade typed: $m")
+    }
+  }
+
   test("multimodal: real BMP/PNG decode recovers encoded pixels") {
     val ids = Seq(0L, 1L, 7L, 12L, 90L, 255L, 256L).toDF("doc_id")
     // expected stats straight from the synthetic-content formulas
