@@ -962,6 +962,37 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental substring dedup served from a PERSISTED BUCKETED gram
+    * index (Dedup.substringRunsAgainst + IndexStore substring index):
+    * the corpus is gram-hashed ONCE into an h-bucketed table; the 40
+    * planted batch documents are then screened against the standing
+    * index — batch-vs-corpus only, never corpus × corpus, with the
+    * corpus side of both serve joins reading its buckets in place.
+    * The oracle brute-forces every batch-vs-corpus gram-sharing
+    * diagonal; matching it through the parquet round-trip proves the
+    * persisted artifact is exactly the in-memory gram frame.
+    */
+  private def xDedupSubstringServed(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+    val tbl = indexTable(dir, "subidx")
+    graft.sources.IndexStore.writeSubstringIndexBucketed(base, tbl,
+      numBuckets = 8, k = 8)
+    val grams = graft.sources.IndexStore.readSubstringIndexBucketed(
+      s, tbl, k = 8)
+    val planted = base.filter(col("id") < 40)
+      .select(col("id"), col("toks").as("toks_a"))
+      .join(base.select((col("id") - 100).as("id"),
+        col("toks").as("toks_b")), "id")
+      .select((col("id") + 7000000L).as("id"),
+        concat(slice(col("toks_a"), 7, 35),
+          slice(col("toks_b"), 1, 12)).as("toks"))
+    Dedup.sharedSubstringRunsAgainst(planted, grams,
+        minRunLen = 30, k = 8)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Fixed-width histogram profile of l_quantity over [1, 51) in 10
     * bins — one hash-agg on the integer bin index, bounded output.
     */
@@ -3319,6 +3350,7 @@ object SparkEntry {
     "x_profile_group_quantiles" -> (xProfileGroupQuantiles _),
     "x_dedup_spans" -> (xDedupSpans _),
     "x_dedup_substring" -> (xDedupSubstring _),
+    "x_dedup_substring_served" -> (xDedupSubstringServed _),
     "x_text_logprob" -> (xTextLogprob _),
     "x_sim_quantized" -> (xSimQuantized _),
     "x_text_bigram_lp" -> (xTextBigramLp _),

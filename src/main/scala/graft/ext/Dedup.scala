@@ -839,9 +839,12 @@ object Dedup {
 
   /** (id, pos, h) k-gram frame: pos = 1-indexed token start, h =
     * portable 48-bit hash of the space-joined k-token slice. Documents
-    * shorter than k emit nothing.
+    * shorter than k emit nothing. Public as the SUBSTRING-INDEX
+    * artifact schema: persist the corpus gram frame once (bucketed on
+    * `h` — [[graft.sources.IndexStore.writeSubstringIndexBucketed]])
+    * and serve every future batch with [[substringRunsAgainst]].
     */
-  private def substringGrams(df: DataFrame, idCol: String,
+  def substringGrams(df: DataFrame, idCol: String,
       toksCol: Column, k: Int): DataFrame =
     df.select(col(idCol).as("id"), toksCol.as("__t"))
       .select(col("id"),
@@ -879,23 +882,29 @@ object Dedup {
         col("id_b") === col("__ib") && col("h") === col("__hb") &&
           col("__pb") === col("pos_a") - col("diag"))
       .select(col("id_a"), col("id_b"), col("diag"), col("pos_a"))
-    // chain consecutive positions per (pair, diag): sorted positions
-    // minus their rank are constant within a maximal run (no window —
-    // per-group array state bounded by document length, the dedupSpans
-    // reassembly pattern)
-    matched.groupBy("id_a", "id_b", "diag")
-      .agg(sort_array(collect_list(col("pos_a"))).as("__ps"))
-      .select(col("id_a"), col("id_b"), col("diag"),
+    chainRuns(matched, "id_a", "id_b", "pos_a", "pos_b", minRunLen, k)
+  }
+
+  /** Chain consecutive matched positions per (pair, diag) into maximal
+    * runs ≥ minRunLen: sorted positions minus their rank are constant
+    * within a run (no window — per-group array state bounded by
+    * document length, the dedupSpans reassembly pattern). `matched` =
+    * (aId, bId, diag, aPos); output (aId, bId, aPos, bPos, run_len).
+    */
+  private def chainRuns(matched: DataFrame, aId: String, bId: String,
+      aPos: String, bPos: String, minRunLen: Int, k: Int): DataFrame =
+    matched.groupBy(col(aId), col(bId), col("diag"))
+      .agg(sort_array(collect_list(matched(aPos))).as("__ps"))
+      .select(col(aId), col(bId), col("diag"),
         posexplode(col("__ps")).as(Seq("__idx", "__p")))
-      .groupBy(col("id_a"), col("id_b"), col("diag"),
+      .groupBy(col(aId), col(bId), col("diag"),
         (col("__p") - col("__idx")).as("__chain"))
       .agg(min(col("__p")).as("__start"), count(lit(1)).as("__glen"))
       .filter(col("__glen") + (k - 1) >= minRunLen)
-      .select(col("id_a"), col("id_b"),
-        col("__start").cast(LongType).as("pos_a"),
-        (col("__start") - col("diag")).cast(LongType).as("pos_b"),
+      .select(col(aId), col(bId),
+        col("__start").cast(LongType).as(aPos),
+        (col("__start") - col("diag")).cast(LongType).as(bPos),
         (col("__glen") + (k - 1)).cast(LongType).as("run_len"))
-  }
 
   /** Pair-level rollup of [[substringRuns]]: (id_a, id_b, n_runs,
     * max_run, overlap_tokens) — the "how much of b is copied from a"
@@ -906,6 +915,65 @@ object Dedup {
       minRunLen: Int, k: Int, maxGramFreq: Int = 0): DataFrame =
     substringRuns(df, idCol, toksCol, minRunLen, k, maxGramFreq)
       .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_runs"), max(col("run_len")).as("max_run"),
+        sum(col("run_len")).as("overlap_tokens"))
+
+  /** Incremental substring dedup: maximal shared runs between a NEW
+    * batch (pre-tokenized `(id, toks)`) and a standing CORPUS GRAM
+    * INDEX (`(id, pos, h)` — [[substringGrams]], typically re-read from
+    * a bucketed parquet artifact), never corpus × corpus.
+    *
+    * Unlike the self-join case, NO anchor sampling: the whole point of
+    * sampling is to shrink a quadratic probe side, and here the probe
+    * is the (small) batch — ONE equi-join of every batch gram against
+    * the index on the 8-byte hash `h` alone is already linear in batch
+    * size, recovers every matching diagonal position in the same pass
+    * (candidate generation and extension collapse into one join), and
+    * keys on exactly the index's bucketing column, so the corpus side
+    * reads its buckets in place (asserted in BucketingSpec — a
+    * composite-key extension join would instead re-shuffle the whole
+    * index per batch). Hot grams fan out by their corpus frequency;
+    * `maxGramFreq` caps them (the [[hotBuckets]] tradeoff). This is
+    * the substring twin of [[nearDuplicatesAgainstIndex]]: at 100 TB
+    * the corpus is gram-hashed once at index-build time, never per
+    * batch.
+    *
+    * Output: one row per maximal run — (new_id, corpus_id, pos_new,
+    * pos_corpus, run_len).
+    */
+  def substringRunsAgainst(newDf: DataFrame, corpusGrams: DataFrame,
+      minRunLen: Int, k: Int, maxGramFreq: Int = 0): DataFrame =
+    // no scoped cache: the batch gram frame feeds exactly one join
+    substringAgainstCore(substringGrams(newDf, "id", col("toks"), k),
+      corpusGrams, minRunLen, k, maxGramFreq)
+
+  private def substringAgainstCore(gNew: DataFrame, gCorpus: DataFrame,
+      minRunLen: Int, k: Int, maxGramFreq: Int): DataFrame = {
+    require(k >= 1 && minRunLen >= k,
+      s"need 1 <= k <= minRunLen, got k=$k minRunLen=$minRunLen")
+    val corpusFull = capBuckets(
+      gCorpus.select(col("id").as("corpus_id"), col("pos").as("pos_c"),
+        col("h").as("h_c")),
+      Seq("h_c"), maxGramFreq)
+    // matched rows are unique per (pair, diag, pos_new) by construction:
+    // a (new_id, pos_new) gram has one hash, and for a fixed pair and
+    // diagonal the corpus position it can meet is pinned to pos_new−diag
+    val matched = gNew
+      .select(col("id").as("new_id"), col("pos").as("pos_new"), col("h"))
+      .join(corpusFull, col("h") === col("h_c"))
+      .select(col("new_id"), col("corpus_id"),
+        (col("pos_new") - col("pos_c")).as("diag"), col("pos_new"))
+    chainRuns(matched, "new_id", "corpus_id", "pos_new", "pos_corpus",
+      minRunLen, k)
+  }
+
+  /** Pair-level rollup of [[substringRunsAgainst]]: (new_id, corpus_id,
+    * n_runs, max_run, overlap_tokens).
+    */
+  def sharedSubstringRunsAgainst(newDf: DataFrame, corpusGrams: DataFrame,
+      minRunLen: Int, k: Int, maxGramFreq: Int = 0): DataFrame =
+    substringRunsAgainst(newDf, corpusGrams, minRunLen, k, maxGramFreq)
+      .groupBy("new_id", "corpus_id")
       .agg(count(lit(1)).as("n_runs"), max(col("run_len")).as("max_run"),
         sum(col("run_len")).as("overlap_tokens"))
 

@@ -166,6 +166,39 @@ object IndexStore {
     } finally sh.unpersist(blocking = false)
   }
 
+  /** Build + persist the SUBSTRING-DEDUP gram index from a
+    * pre-tokenized `(id, toks)` frame: `(id, pos, h)` k-gram rows
+    * ([[Dedup.substringGrams]]) saved as a bucketed table on `h` — the
+    * key BOTH serve-time joins (anchor candidates and diagonal
+    * extension) use, so every future batch reads the corpus side of
+    * both joins in place (asserted in BucketingSpec). The gram size
+    * `k` rides along as `_meta`: serving with a different k than the
+    * index was built with never matches a single gram and silently
+    * reports zero overlap — fail loudly instead.
+    */
+  def writeSubstringIndexBucketed(corpusToks: DataFrame, table: String,
+      numBuckets: Int, k: Int): Unit = {
+    Bucketing.writeBucketed(
+      Dedup.substringGrams(corpusToks, "id", col("toks"), k),
+      s"${table}_grams", Seq("h"), numBuckets)
+    corpusToks.sparkSession.range(1).select(lit(k).as("k"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_meta")
+  }
+
+  /** Re-read the bucketed substring gram index; the serve-time `k`
+    * must match the build-time record.
+    */
+  def readSubstringIndexBucketed(spark: SparkSession, table: String,
+      k: Int): DataFrame = {
+    val built = spark.table(s"${table}_meta").select(col("k")).head.getInt(0)
+    require(built == k,
+      s"substring index at $table was built with k=$built but is being " +
+        s"served with k=$k — mismatched gram sizes never collide and " +
+        "silently report zero overlap")
+    Bucketing.readBucketed(spark, s"${table}_grams")
+  }
+
   /** Build + persist the IVF index under an explicit centroid frame
     * (pass [[Similarity.firstIdCentroids]] output for the
     * deterministic plumbing path or [[Similarity.kmeansCentroids]]

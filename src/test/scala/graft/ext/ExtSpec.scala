@@ -529,6 +529,39 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.substringRuns(tiny, "id", col("toks"), 30, 8).isEmpty)
   }
 
+  test("substringRunsAgainst: batch-vs-corpus equals the pair-restricted " +
+      "self-join answer") {
+    def f(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val run30 = f("R", 30)
+    val run29 = f("S", 29)
+    val corpus = Seq(
+      (1L, f("c1-", 12) ++ run30 ++ f("c1x", 5)),
+      (2L, run29 ++ f("c2-", 9)),
+      (3L, f("c3-", 44))
+    ).toDF("id", "toks")
+    val batch = Seq(
+      (100L, f("b1-", 3) ++ run30),          // ≥30 vs corpus 1 only
+      (101L, run29 ++ f("b2-", 15)),         // 29 < minRunLen: no pair
+      (102L, f("b3-", 35))                   // shares nothing
+    ).toDF("id", "toks")
+    val grams = Dedup.substringGrams(corpus, "id", col("toks"), 8)
+    val got = Dedup.substringRunsAgainst(batch, grams, 30, 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set((100L, 1L, 4L, 13L, 30L)), s"got $got")
+    // same answer as the self-join over the union, restricted to
+    // (batch, corpus) pairs — the incremental contract
+    val self = Dedup.substringRuns(corpus.unionByName(batch), "id",
+        col("toks"), 30, 8)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(3), r.getLong(2),
+        r.getLong(4)))          // (id_a=corpus, id_b=batch) → reorder
+      .filter { case (b, c, _, _, _) => b >= 100L && c < 100L }
+      .toSet
+    assert(self == got, s"self-join restriction $self != against $got")
+  }
+
   test("substringRuns: gram-frequency cap drops boilerplate diagonals") {
     def f(p: String, n: Int) = (1 to n).map(i => s"$p$i")
     val boiler = f("Z", 30)

@@ -133,6 +133,69 @@ class BucketingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS es_spec")
   }
 
+  test("substring gram index: serve joins read the corpus side in place") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    IndexStore.writeSubstringIndexBucketed(docs, "sgx_spec",
+      numBuckets = 8, k = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // k mismatch fails loudly, never silently-zero
+      intercept[IllegalArgumentException] {
+        IndexStore.readSubstringIndexBucketed(spark, "sgx_spec", k = 5)
+      }
+      val grams = IndexStore.readSubstringIndexBucketed(spark,
+        "sgx_spec", k = 8)
+      val batch = docs.filter(col("id") < 10)
+        .select((col("id") + 900000L).as("id"),
+          slice(col("toks"), lit(3), lit(40)).as("toks"))
+      val served = graft.ext.Dedup.substringRunsAgainst(batch, grams,
+        minRunLen = 30, k = 8)
+      assert(served.count() > 0, "planted slices must hit the corpus")
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => q +: flatten(q.plan)
+        case other => other +: other.children.flatMap(flatten)
+      }
+      val all = flatten(served.queryExecution.executedPlan)
+      def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan) =
+        p match {
+          case s: FileSourceScanExec =>
+            s.tableIdentifier.exists(_.table == "sgx_spec_grams")
+          case _ => false
+        }
+      // the batch side may shuffle to match the bucketing, and the
+      // post-join chain aggregation shuffles on (pair, diag) — but NO
+      // exchange may sit between the bucketed gram scan and the join
+      // consuming it (that would be re-shuffling the standing index
+      // per batch)
+      val joinChildren = all.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          Seq(j.left, j.right)
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          Seq(j.left, j.right)
+      }.flatten
+      val indexSides = joinChildren.filter(c => flatten(c).exists(isIndexScan))
+      assert(indexSides.nonEmpty,
+        "serve must join against the bucketed gram table")
+      indexSides.foreach { side =>
+        assert(!flatten(side).exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"corpus gram index must read in place below the join:\n$side")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS sgx_spec_grams")
+      spark.sql("DROP TABLE IF EXISTS sgx_spec_meta")
+    }
+  }
+
   test("index append: serve ≡ rebuild over the union corpus, and the " +
       "appended corpus side still reads in place") {
     import org.apache.spark.sql.execution.FileSourceScanExec
