@@ -67,6 +67,19 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // provenance stamp (round-10 ADVICE: a fresh re-run over
+    // deterministic code is otherwise indistinguishable from a copied
+    // artifact) — wall time + the HEAD sha this dump was built from
+    val sha =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+          .directory(new java.io.File(".")).start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+        if (p.waitFor() == 0) out else "unknown"
+      } catch { case _: Throwable => "unknown" }
+    Files.writeString(Paths.get(s"$outDir/run_meta.json"),
+      s"""{"epoch_ms": ${System.currentTimeMillis()}, """ +
+        s""""head_sha": ${q(sha)}, "sf_dir": ${q(sfDir)}}""")
     spark.stop()
   }
 }
