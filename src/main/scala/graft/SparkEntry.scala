@@ -946,20 +946,49 @@ object SparkEntry {
     * The oracle brute-forces every gram-sharing diagonal; the engine
     * reaches the same pair set through anchor sampling.
     */
-  private def xDedupSubstring(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents")
+  private def xDedupSubstring(s: SparkSession, dir: String): DataFrame =
+    Dedup.sharedSubstringRuns(substringDocs(s, dir), "id",
+        col("toks"), minRunLen = 30, k = 8)
+      .orderBy("id_a", "id_b")
+
+  /** Tokenized documents corpus — the substring rows' base frame. */
+  private def substringBase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .select(col("doc_id").as("id"),
         TextAnalysis.tokens(col("text")).as("toks"))
-    val planted = base.filter(col("id") < 40)
+
+  /** The 40 planted batch docs: a 35-token mid-document slice of doc i
+    * glued to a 12-token slice of doc i+100, under ids 7000000+i.
+    */
+  private def substringPlanted(base: DataFrame): DataFrame =
+    base.filter(col("id") < 40)
       .select(col("id"), col("toks").as("toks_a"))
       .join(base.select((col("id") - 100).as("id"),
         col("toks").as("toks_b")), "id")
       .select((col("id") + 7000000L).as("id"),
         concat(slice(col("toks_a"), 7, 35),
           slice(col("toks_b"), 1, 12)).as("toks"))
-    Dedup.sharedSubstringRuns(base.unionByName(planted), "id",
-        col("toks"), minRunLen = 30, k = 8)
-      .orderBy("id_a", "id_b")
+
+  /** Corpus + planted — the self-join substring fixture. */
+  private def substringDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = substringBase(s, dir)
+    base.unionByName(substringPlanted(base))
+  }
+
+  /** APPLY step of substring dedup (Dedup.stripSubstringRuns,
+    * keep-first): every detected ≥30-token run is stripped from its
+    * LATER occurrence and the survivors reassemble — planted docs lose
+    * exactly their 35-token slice, fully-duplicated docs vanish, and
+    * the reassembled text is length-checked without dumping it.
+    */
+  private def xDedupSubstringApply(s: SparkSession, dir: String): DataFrame = {
+    val all = substringDocs(s, dir)
+    val runs = Dedup.substringRuns(all, "id", col("toks"),
+      minRunLen = 30, k = 8)
+    Dedup.stripSubstringRuns(all, "id", col("toks"), runs)
+      .select(col("id").as("doc_id"), col("n_kept"), col("n_removed"),
+        length(col("text")).cast(LongType).as("text_len"))
+      .orderBy("doc_id")
   }
 
   /** Incremental substring dedup served from a PERSISTED BUCKETED gram
@@ -973,22 +1002,13 @@ object SparkEntry {
     * persisted artifact is exactly the in-memory gram frame.
     */
   private def xDedupSubstringServed(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents")
-      .select(col("doc_id").as("id"),
-        TextAnalysis.tokens(col("text")).as("toks"))
+    val base = substringBase(s, dir)
     val tbl = indexTable(dir, "subidx")
     graft.sources.IndexStore.writeSubstringIndexBucketed(base, tbl,
       numBuckets = 8, k = 8)
     val grams = graft.sources.IndexStore.readSubstringIndexBucketed(
       s, tbl, k = 8)
-    val planted = base.filter(col("id") < 40)
-      .select(col("id"), col("toks").as("toks_a"))
-      .join(base.select((col("id") - 100).as("id"),
-        col("toks").as("toks_b")), "id")
-      .select((col("id") + 7000000L).as("id"),
-        concat(slice(col("toks_a"), 7, 35),
-          slice(col("toks_b"), 1, 12)).as("toks"))
-    Dedup.sharedSubstringRunsAgainst(planted, grams,
+    Dedup.sharedSubstringRunsAgainst(substringPlanted(base), grams,
         minRunLen = 30, k = 8)
       .orderBy("new_id", "corpus_id")
   }
@@ -3351,6 +3371,7 @@ object SparkEntry {
     "x_dedup_spans" -> (xDedupSpans _),
     "x_dedup_substring" -> (xDedupSubstring _),
     "x_dedup_substring_served" -> (xDedupSubstringServed _),
+    "x_dedup_substring_apply" -> (xDedupSubstringApply _),
     "x_text_logprob" -> (xTextLogprob _),
     "x_sim_quantized" -> (xSimQuantized _),
     "x_text_bigram_lp" -> (xTextBigramLp _),

@@ -967,6 +967,48 @@ object Dedup {
       minRunLen, k)
   }
 
+  /** APPLY step of substring dedup (keep-first, the Lee et al. 2022
+    * removal policy): strip from every document the token positions
+    * covered by a detected run in which it is the LATER occurrence
+    * (the `id_b` side of [[substringRuns]]' ordered pairs — the
+    * smaller id keeps its copy), and reassemble the surviving tokens.
+    * Documents stripped to zero tokens are dropped (the dedupSpans
+    * convention: all-duplicate content disappears, not kept empty).
+    *
+    * Plan shape: run intervals aggregate per document (sorted array,
+    * bounded by run count per doc), ONE equi-join back to the corpus
+    * on the doc id, and coverage is a per-token `exists` over that
+    * document's own interval array — no corpus windows, no second
+    * corpus scan. Overlapping intervals need no pre-merge: coverage
+    * is a disjunction. Output: (id, text, n_kept, n_removed).
+    */
+  def stripSubstringRuns(df: DataFrame, idCol: String, toksCol: Column,
+      runs: DataFrame): DataFrame = {
+    val iv = runs.select(col("id_b").as("__sid"),
+        struct(col("pos_b").as("s"),
+          (col("pos_b") + col("run_len") - 1).as("e")).as("__iv"))
+      .groupBy("__sid")
+      .agg(sort_array(collect_list(col("__iv"))).as("__ivs"))
+    val covered = (p: Column, ivs: Column) =>
+      exists(ivs, iv => p >= iv.getField("s") && p <= iv.getField("e"))
+    df.select(col(idCol).as("id"), toksCol.as("__t"))
+      .join(iv, col("id") === col("__sid"), "left")
+      .select(col("id"), col("__t"),
+        coalesce(col("__ivs"),
+          array().cast("array<struct<s:long,e:long>>")).as("__ivs"))
+      .select(col("id"), size(col("__t")).as("__n"),
+        filter(transform(col("__t"), (t, i) =>
+            struct((i + 1).cast(LongType).as("p"), t.as("t"))),
+          pt => !covered(pt.getField("p"), col("__ivs"))).as("__kept"))
+      .filter(size(col("__kept")) > 0)
+      .select(col("id"),
+        concat_ws(" ", transform(col("__kept"), _.getField("t")))
+          .as("text"),
+        size(col("__kept")).cast(LongType).as("n_kept"),
+        (col("__n") - size(col("__kept"))).cast(LongType)
+          .as("n_removed"))
+  }
+
   /** Pair-level rollup of [[substringRunsAgainst]]: (new_id, corpus_id,
     * n_runs, max_run, overlap_tokens).
     */

@@ -1736,34 +1736,27 @@ private[graft] object StaticOracles {
     // diagonals (no anchor sampling — exactness of the sampling is the
     // thing under test), chained with a per-(pair, diag) row_number
     "x_dedup_substring" ->
-      """WITH base AS (
-        |  SELECT doc_id AS id,
-        |    list_filter(regexp_split_to_array(text, '\s+'),
-        |      x -> x <> '') AS toks
-        |  FROM documents),
-        |planted AS (
-        |  SELECT a.id + 7000000 AS id,
-        |    list_concat(list_slice(a.toks, 7, 41),
-        |      list_slice(b.toks, 1, 12)) AS toks
-        |  FROM base a JOIN base b ON b.id = a.id + 100 WHERE a.id < 40),
-        |allt AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
-        |g AS (SELECT id, i AS pos,
-        |        array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
-        |      FROM allt,
-        |        unnest(range(1, greatest(len(toks) - 7, 0) + 1)) t(i)),
-        |m AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-        |        a.pos - b.pos AS diag, a.pos AS pos
-        |      FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id),
-        |r AS (SELECT id_a, id_b, diag, pos,
-        |        pos - row_number() OVER (PARTITION BY id_a, id_b, diag
-        |                                 ORDER BY pos) AS chain
-        |      FROM m),
-        |runs AS (SELECT id_a, id_b, diag, chain, count(*) + 7 AS run_len
-        |         FROM r GROUP BY 1, 2, 3, 4 HAVING count(*) + 7 >= 30)
+      s"""WITH $substringCtes
         |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_runs,
         |  CAST(max(run_len) AS BIGINT) AS max_run,
         |  CAST(sum(run_len) AS BIGINT) AS overlap_tokens
         |FROM runs GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+    // keep-first apply: run intervals land on the LATER (id_b) side;
+    // covered token positions anti-join away; survivors reassemble
+    "x_dedup_substring_apply" ->
+      s"""WITH $substringCtes,
+        |iv AS (SELECT id_b AS id, sa - diag AS s,
+        |         sa - diag + run_len - 1 AS e FROM runs),
+        |tok AS (SELECT id, len(toks) AS n_total, p,
+        |          toks[CAST(p AS INTEGER)] AS t
+        |        FROM allt, unnest(range(1, len(toks) + 1)) u(p)),
+        |kept AS (SELECT tok.* FROM tok ANTI JOIN iv
+        |         ON iv.id = tok.id AND tok.p >= iv.s AND tok.p <= iv.e)
+        |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(any_value(n_total) - count(*) AS BIGINT) AS n_removed,
+        |  CAST(length(string_agg(t, ' ' ORDER BY p)) AS BIGINT)
+        |    AS text_len
+        |FROM kept GROUP BY id ORDER BY doc_id""".stripMargin,
     // batch-vs-corpus twin: ALL gram-sharing diagonals between the
     // planted batch and the corpus (no anchor sampling, no index —
     // matching the served row proves both the sampling and the
@@ -3872,6 +3865,40 @@ private[graft] object StaticOracles {
   /** Shared CUSUM oracle (x_ts_cusum and x_stream_cusum): the
     * prefix-sum − running-min identity, mirrored window-for-window.
     */
+  /** Shared CTE chain of the substring-dedup oracles: the corpus +
+    * planted fixture, all 8-gram occurrences, every gram-sharing
+    * diagonal position between ordered doc pairs, and the maximal
+    * chained runs ≥ 30 tokens (sa = a-side start). Extracted so the
+    * detect and apply rows cannot drift from each other.
+    */
+  private def substringCtes: String =
+    """base AS (
+      |  SELECT doc_id AS id,
+      |    list_filter(regexp_split_to_array(text, '\s+'),
+      |      x -> x <> '') AS toks
+      |  FROM documents),
+      |planted AS (
+      |  SELECT a.id + 7000000 AS id,
+      |    list_concat(list_slice(a.toks, 7, 41),
+      |      list_slice(b.toks, 1, 12)) AS toks
+      |  FROM base a JOIN base b ON b.id = a.id + 100 WHERE a.id < 40),
+      |allt AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+      |g AS (SELECT id, i AS pos,
+      |        array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+      |      FROM allt,
+      |        unnest(range(1, greatest(len(toks) - 7, 0) + 1)) t(i)),
+      |m AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      |        a.pos - b.pos AS diag, a.pos AS pos
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id),
+      |r AS (SELECT id_a, id_b, diag, pos,
+      |        pos - row_number() OVER (PARTITION BY id_a, id_b, diag
+      |                                 ORDER BY pos) AS chain
+      |      FROM m),
+      |runs AS (SELECT id_a, id_b, diag, chain, min(pos) AS sa,
+      |           count(*) + 7 AS run_len
+      |         FROM r GROUP BY 1, 2, 3, 4 HAVING count(*) + 7 >= 30)"""
+      .stripMargin
+
   /** Shared CTE chain computing per-distinct-word greedy BPE piece
     * counts over Fixtures.BpeVocab (embedded as a list literal so the
     * two engines cannot drift): `words` (distinct corpus words) →

@@ -529,6 +529,42 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.substringRuns(tiny, "id", col("toks"), 30, 8).isEmpty)
   }
 
+  test("stripSubstringRuns: keep-first removal, overlaps merge, " +
+      "all-duplicate docs vanish") {
+    def f(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val run = f("R", 30)
+    val corpus = Seq(
+      (1L, f("a", 4) ++ run ++ f("b", 3)),  // first occurrence: kept
+      (2L, f("c", 2) ++ run ++ f("d", 5)),  // later: run stripped
+      (3L, run),                            // all duplicate: vanishes
+      (4L, f("e", 10))                      // untouched
+    ).toDF("id", "toks")
+    val runs = Dedup.substringRuns(corpus, "id", col("toks"), 30, 8)
+    val got = Dedup.stripSubstringRuns(corpus, "id", col("toks"), runs)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) ==
+      ((f("a", 4) ++ run ++ f("b", 3)).mkString(" "), 37L, 0L))
+    assert(got(2L) == ((f("c", 2) ++ f("d", 5)).mkString(" "), 7L, 30L))
+    assert(!got.contains(3L), "fully-covered doc must be dropped")
+    assert(got(4L) == (f("e", 10).mkString(" "), 10L, 0L))
+    // overlapping intervals from two sources: covered positions are a
+    // union, never double-removed
+    val runX = f("X", 40)
+    val c2 = Seq(
+      (1L, runX.take(35)),                        // covers X1..X35
+      (2L, runX.drop(5)),                         // covers X6..X40
+      (9L, f("p", 2) ++ runX ++ f("q", 1))        // later than both
+    ).toDF("id", "toks")
+    val got2 = Dedup.stripSubstringRuns(c2, "id", col("toks"),
+        Dedup.substringRuns(c2, "id", col("toks"), 30, 8))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got2(9L) == (("p1 p2 q1"), 3L, 40L), s"got ${got2.get(9L)}")
+  }
+
   test("substringRunsAgainst: batch-vs-corpus equals the pair-restricted " +
       "self-join answer") {
     def f(p: String, n: Int) = (1 to n).map(i => s"$p$i")
