@@ -727,6 +727,28 @@ object SparkEntry {
       .orderBy("train_id", "eval_id")
   }
 
+  /** Substring-level decontamination (Decontaminate.
+    * substringContamination): train docs sharing a verbatim ≥30-token
+    * run with an eval doc — the long-n-gram eval-leakage check. Same
+    * planted excerpts as x_decontaminate (every 50th doc's 80% token
+    * prefix under an eval id): each source doc must be flagged with
+    * max_run ≈ the excerpt length, scattered k-gram overlap alone must
+    * not. The train corpus streams through a broadcast gram join with
+    * zero shuffle of its own (plan-asserted in PlanSpec).
+    */
+  private def xDecontaminateSubstring(s: SparkSession,
+      dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val evalSet = base.filter(col("id") % 50 === 0)
+      .select((col("id") + 2000000).as("id"),
+        slice(col("toks"), lit(1),
+          floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    graft.ext.Decontaminate.substringContamination(base, evalSet,
+        minRunLen = 30, k = 8)
+      .orderBy("train_id", "eval_id")
+  }
+
   /** Bloom-screened decontamination (Decontaminate.contaminationBloom):
     * same corpus and planted eval excerpts as x_decontaminate, but the
     * train shingles are prefiltered map-side against a constant-size
@@ -3392,6 +3414,7 @@ object SparkEntry {
     "x_sim_rproj" -> (xSimRproj _),
     "x_text_normalize" -> (xTextNormalize _),
     "x_decontaminate_bloom" -> (xDecontaminateBloom _),
+    "x_decontaminate_substring" -> (xDecontaminateSubstring _),
     "x_sim_pq" -> (xSimPq _),
     "x_layout_zorder" -> (xLayoutZorder _),
     "x_sim_lsh_probe" -> (xSimLshProbe _),

@@ -99,6 +99,46 @@ object Decontaminate {
       minShared)
   }
 
+  /** SUBSTRING-level decontamination: training documents sharing a
+    * verbatim token run ≥ `minRunLen` with an eval document — the
+    * standard "long n-gram overlap" eval-leakage check (the GPT-3
+    * appendix shape), generalized to MAXIMAL runs with positions.
+    * Complements the other two passes: the shingle pass counts shared
+    * k-grams anywhere (scattered paraphrase-with-quotes leakage), the
+    * semantic pass catches reformulations, this one proves CONTIGUOUS
+    * verbatim copying and reports how long it is.
+    *
+    * Scale shape: the eval side is a benchmark suite — its (id, pos, h)
+    * gram frame is `broadcast()`, and the train corpus STREAMS through
+    * one map-side hash join on the 8-byte gram hash with ZERO train
+    * shuffle (plan-asserted, like the shingle pass); only actual gram
+    * collisions shuffle, into the bounded per-(pair, diagonal) chain
+    * aggregation ([[Dedup.chainRuns]]). Exact by construction — every
+    * matching diagonal position is recovered in the same join.
+    *
+    * Output: (train_id, eval_id, n_runs, max_run, overlap_tokens), one
+    * row per contaminated pair.
+    */
+  def substringContamination(train: DataFrame, evalSet: DataFrame,
+      minRunLen: Int = 30, k: Int = 8): DataFrame = {
+    val gt = Dedup.substringGrams(
+        train.select(col("id"), col("toks")), "id", col("toks"), k)
+      .select(col("id").as("train_id"), col("pos").as("pos_t"), col("h"))
+    val ge = Dedup.substringGrams(
+        evalSet.select(col("id"), col("toks")), "id", col("toks"), k)
+      .select(col("id").as("eval_id"), col("pos").as("pos_e"),
+        col("h").as("h_e"))
+    val matched = gt.join(broadcast(ge), col("h") === col("h_e"))
+      .select(col("train_id"), col("eval_id"),
+        (col("pos_t") - col("pos_e")).as("diag"), col("pos_t"))
+    Dedup.chainRuns(matched, "train_id", "eval_id", "pos_t", "pos_e",
+        minRunLen, k)
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("run_len")).as("max_run"),
+        sum(col("run_len")).as("overlap_tokens"))
+  }
+
   /** Embedding-space (semantic) decontamination: training vectors whose
     * cosine against ANY eval vector reaches `threshold`, each with its
     * best-matching eval id — catches paraphrased/reformatted benchmark

@@ -891,7 +891,7 @@ object Dedup {
     * document length, the dedupSpans reassembly pattern). `matched` =
     * (aId, bId, diag, aPos); output (aId, bId, aPos, bPos, run_len).
     */
-  private def chainRuns(matched: DataFrame, aId: String, bId: String,
+  private[ext] def chainRuns(matched: DataFrame, aId: String, bId: String,
       aPos: String, bPos: String, minRunLen: Int, k: Int): DataFrame =
     matched.groupBy(col(aId), col(bId), col("diag"))
       .agg(sort_array(collect_list(matched(aPos))).as("__ps"))

@@ -1741,6 +1741,40 @@ private[graft] object StaticOracles {
         |  CAST(max(run_len) AS BIGINT) AS max_run,
         |  CAST(sum(run_len) AS BIGINT) AS overlap_tokens
         |FROM runs GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+    // train grams × eval grams brute force, chained per (pair, diag)
+    "x_decontaminate_substring" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |ev AS (
+        |  SELECT id + 2000000 AS id,
+        |    list_slice(toks, 1,
+        |      CAST(floor(len(toks) * 0.8) AS INTEGER)) AS toks
+        |  FROM base WHERE id % 50 = 0),
+        |gt AS (SELECT id, i AS pos,
+        |        array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        |      FROM base,
+        |        unnest(range(1, greatest(len(toks) - 7, 0) + 1)) t(i)),
+        |ge AS (SELECT id, i AS pos,
+        |        array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        |      FROM ev,
+        |        unnest(range(1, greatest(len(toks) - 7, 0) + 1)) t(i)),
+        |m AS (SELECT DISTINCT t.id AS train_id, e.id AS eval_id,
+        |        t.pos - e.pos AS diag, t.pos AS pos
+        |      FROM gt t JOIN ge e ON t.gram = e.gram),
+        |r AS (SELECT train_id, eval_id, diag, pos,
+        |        pos - row_number() OVER (PARTITION BY train_id, eval_id,
+        |          diag ORDER BY pos) AS chain
+        |      FROM m),
+        |runs AS (SELECT train_id, eval_id, diag, chain,
+        |           count(*) + 7 AS run_len
+        |         FROM r GROUP BY 1, 2, 3, 4 HAVING count(*) + 7 >= 30)
+        |SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_runs,
+        |  CAST(max(run_len) AS BIGINT) AS max_run,
+        |  CAST(sum(run_len) AS BIGINT) AS overlap_tokens
+        |FROM runs GROUP BY 1, 2 ORDER BY train_id, eval_id""".stripMargin,
     // keep-first apply: run intervals land on the LATER (id_b) side;
     // covered token positions anti-join away; survivors reassemble
     "x_dedup_substring_apply" ->

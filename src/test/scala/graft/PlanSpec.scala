@@ -210,6 +210,22 @@ class PlanSpec extends SparkSpec {
       .collect { case s: ShuffleExchangeExec => s }
     assert(shufflesInsideJoinInput.isEmpty,
       "train-side shingle stream must reach the broadcast join unshuffled")
+    // substring variant: same contract — eval GRAMS broadcast, the
+    // train gram stream reaches the join unshuffled; only matched
+    // collisions shuffle into the chain aggregation
+    val sc = graft.ext.Decontaminate.substringContamination(d, ev,
+      minRunLen = 30, k = 8)
+    val sAll = nodes(sc)
+    val sBhj = sAll.collect { case j: BroadcastHashJoinExec => j }
+    assert(sBhj.nonEmpty, "eval grams must broadcast into the join")
+    val sOffending = sBhj.flatMap(_.children)
+      .filterNot(c => flatten(c).exists(_.isInstanceOf[BroadcastExchangeLike]))
+      .flatMap(flatten)
+      .collect { case s: ShuffleExchangeExec => s }
+    assert(sOffending.isEmpty,
+      "train-side gram stream must reach the broadcast join unshuffled")
+    assert(!sAll.exists(_.isInstanceOf[WindowExec]),
+      "chain extraction must stay window-free in the decontamination use")
   }
 
   test("profile plans are Expand-free in BOTH modes; exact prunes per column") {

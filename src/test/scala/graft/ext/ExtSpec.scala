@@ -415,6 +415,30 @@ class ExtSpec extends SparkSpec {
     assert(nd.contains((1L, 2L)) || nd.contains((2L, 4L)))
   }
 
+  test("substringContamination: verbatim ≥L runs flag, scattered overlap " +
+      "does not") {
+    def f(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val run30 = f("R", 30)
+    val run29 = f("S", 29)
+    val train = Seq(
+      (1L, f("t1-", 6) ++ run30 ++ f("t1x", 4)),
+      (2L, f("t2-", 3) ++ run29),
+      // shares eval 200's VOCABULARY scattered (every gram broken up):
+      // k-gram overlap is zero even though tokens overlap heavily
+      (3L, run30.grouped(2).flatMap(g => g :+ "zz").toSeq)
+    ).toDF("id", "toks")
+    val evalSet = Seq(
+      (200L, run30),           // verbatim ≥30: must flag train 1 only
+      (201L, run29)            // 29 < L: must not flag
+    ).toDF("id", "toks")
+    val got = Decontaminate.substringContamination(train, evalSet,
+        minRunLen = 30, k = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set((1L, 200L, 1L, 30L, 30L)), s"got $got")
+  }
+
   test("decontamination flags shared-shingle docs, skips clean ones") {
     def toks(s: String) = s.split(" ").toSeq
     val train = Seq(
