@@ -2822,6 +2822,29 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Substring dedup on the heavy-tailed Zipf fixture (the round-8
+    * realistic-vocabulary protocol applied to the round's new family):
+    * replica docs perturb every 13th token, so the ONLY shared runs
+    * are the exact 12-token stretches between consecutive
+    * perturbations — detected with minRunLen = 12 (k = 8, stride 5),
+    * and NOTHING else fires across a 50k-word Zipf vocabulary (the
+    * natural 12-run collision probability is ~0.0065¹²). Every one of
+    * the 200 planted replica pairs in the % 10 ∈ {0, 9} subset must
+    * surface with its run count and total overlap; the oracle
+    * brute-forces every gram-sharing diagonal over the same subset
+    * (dynamicOracleSql — it reads the fixture parquet).
+    */
+  private def xZipfSubstring(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.ZipfFixture.ensure(s, dir)
+    val base = s.read.parquet(path)
+      .where((col("doc_id") % 10).isin(0, 9))
+      .select(col("doc_id").as("id"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+    Dedup.sharedSubstringRuns(base, "id", col("toks"),
+        minRunLen = 12, k = 8)
+      .orderBy("id_a", "id_b")
+  }
+
   /** BM25 over the Zipf fixture: head/shoulder/tail query terms
     * against a 50k-word Zipf vocabulary, so the rational Robertson
     * idf runs on a realistic df spread. Same operator and constants
@@ -3509,6 +3532,7 @@ object SparkEntry {
     "x_sim_pq_served" -> (xSimPqServed _),
     "x_sim_quantized_served" -> (xSimQuantizedServed _),
     "x_zipf_ppjoin" -> (xZipfPpjoin _),
+    "x_zipf_substring" -> (xZipfSubstring _),
     "x_zipf_bm25" -> (xZipfBm25 _),
     "x_sim_ivf_pq_served" -> (xSimIvfPqServed _),
     "x_eval_ranking" -> (xEvalRanking _),

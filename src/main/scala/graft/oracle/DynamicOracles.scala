@@ -33,7 +33,7 @@ private[graft] object DynamicOracles {
     Set("x_sim_ivf_kmeans", "x_sim_kmeans_full", "x_sim_pq",
       "x_sim_pq_served", "x_sim_ivf_pq", "x_sim_ivf_pq_served",
       "x_sample_temperature", "x_embed_pca", "x_zipf_ppjoin",
-      "x_zipf_bm25", "x_sim_silhouette")
+      "x_zipf_bm25", "x_zipf_substring", "x_sim_silhouette")
 
   def sql(
       spark: SparkSession, sfDir: String,
@@ -332,9 +332,40 @@ private[graft] object DynamicOracles {
     // per-sf fixture PATH — the SQL itself is fixed. ensure() is
     // idempotent (the query fns build the same files), so oracle
     // generation never races the dump.
-    if (want("x_zipf_ppjoin") || want("x_zipf_bm25")) {
+    if (want("x_zipf_ppjoin") || want("x_zipf_bm25") ||
+        want("x_zipf_substring")) {
       val path = graft.sources.ZipfFixture.ensure(spark, sfDir)
       val from = s"read_parquet('$path/*.parquet')"
+      // brute-force every gram-sharing diagonal over the same subset;
+      // the engine must reach the identical run set through anchor
+      // sampling (stride 5 at L=12, k=8)
+      if (want("x_zipf_substring"))
+        b += ("x_zipf_substring" ->
+        s"""WITH sub AS (SELECT doc_id AS id,
+          |    list_filter(regexp_split_to_array(text, '\\s+'),
+          |      x -> x <> '') AS toks
+          |  FROM $from WHERE doc_id % 10 IN (0, 9)),
+          |g AS (SELECT id, i AS pos,
+          |        array_to_string(list_slice(toks, i, i + 7), ' ')
+          |          AS gram
+          |      FROM sub,
+          |        unnest(range(1, greatest(len(toks) - 7, 0) + 1)) t(i)),
+          |m AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+          |        a.pos - b.pos AS diag, a.pos AS pos
+          |      FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id),
+          |r AS (SELECT id_a, id_b, diag, pos,
+          |        pos - row_number() OVER (PARTITION BY id_a, id_b,
+          |          diag ORDER BY pos) AS chain
+          |      FROM m),
+          |runs AS (SELECT id_a, id_b, diag, chain,
+          |           count(*) + 7 AS run_len
+          |         FROM r GROUP BY 1, 2, 3, 4
+          |         HAVING count(*) + 7 >= 12)
+          |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_runs,
+          |  CAST(max(run_len) AS BIGINT) AS max_run,
+          |  CAST(sum(run_len) AS BIGINT) AS overlap_tokens
+          |FROM runs GROUP BY 1, 2
+          |ORDER BY id_a, id_b""".stripMargin)
       if (want("x_zipf_bm25"))
         b += ("x_zipf_bm25" ->
           StaticOracles.bm25Oracle(Fixtures.ZipfBm25Terms, 10, from))
