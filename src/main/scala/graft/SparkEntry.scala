@@ -1035,6 +1035,41 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** LSM MAINTENANCE of the substring gram index (IndexStore
+    * .appendSubstringIndexBucketed): the corpus is gram-hashed once
+    * into the h-bucketed table, a DELTA of 80%-prefix twins of the
+    * first 40 docs is APPENDED (only the delta shuffles; standing
+    * files untouched), and the planted batch is screened against the
+    * appended index. Every planted doc must now report runs against
+    * BOTH its base source and that source's appended delta twin —
+    * proving appended grams are live in the serve join, not just on
+    * disk. The oracle recomputes batch-vs-(base ∪ delta) from scratch
+    * in DuckDB, so the hash-match proves
+    * append(build(base), delta) ≡ build(base ∪ delta).
+    */
+  private def xDedupSubstringAppend(s: SparkSession, dir: String): DataFrame = {
+    val base = substringBase(s, dir)
+    val delta = base.filter(col("id") < 40)
+      .select((col("id") + SubstringDeltaOffset).as("id"),
+        slice(col("toks"), lit(1),
+          floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val tbl = indexTable(dir, "subapp")
+    graft.sources.IndexStore.writeSubstringIndexBucketed(base, tbl,
+      numBuckets = 8, k = 8)
+    graft.sources.IndexStore.appendSubstringIndexBucketed(delta, tbl, k = 8)
+    val grams = graft.sources.IndexStore.readSubstringIndexBucketed(
+      s, tbl, k = 8)
+    Dedup.sharedSubstringRunsAgainst(substringPlanted(base), grams,
+        minRunLen = 30, k = 8)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** Delta-twin id offset for [[xDedupSubstringAppend]]: clear of real
+    * doc ids and of the +7000000 planted-probe range, so the oracle's
+    * corpus-vs-batch split is a single comparison.
+    */
+  private val SubstringDeltaOffset = 8000000L
+
   /** Fixed-width histogram profile of l_quantity over [1, 51) in 10
     * bins — one hash-agg on the integer bin index, bounded output.
     */
@@ -3416,6 +3451,7 @@ object SparkEntry {
     "x_dedup_spans" -> (xDedupSpans _),
     "x_dedup_substring" -> (xDedupSubstring _),
     "x_dedup_substring_served" -> (xDedupSubstringServed _),
+    "x_dedup_substring_append" -> (xDedupSubstringAppend _),
     "x_dedup_substring_apply" -> (xDedupSubstringApply _),
     "x_text_logprob" -> (xTextLogprob _),
     "x_sim_quantized" -> (xSimQuantized _),

@@ -1828,6 +1828,48 @@ private[graft] object StaticOracles {
         |  CAST(max(run_len) AS BIGINT) AS max_run,
         |  CAST(sum(run_len) AS BIGINT) AS overlap_tokens
         |FROM runs GROUP BY 1, 2 ORDER BY new_id, corpus_id""".stripMargin,
+    // from-scratch rebuild over base ∪ appended 80%-prefix delta — the
+    // answer the APPENDED bucketed gram index must serve byte-for-byte
+    // (append(build(base), delta) ≡ build(base ∪ delta))
+    "x_dedup_substring_append" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |delta AS (
+        |  SELECT id + 8000000 AS id,
+        |    list_slice(toks, 1,
+        |      CAST(floor(len(toks) * 0.8) AS INTEGER)) AS toks
+        |  FROM base WHERE id < 40),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+        |planted AS (
+        |  SELECT a.id + 7000000 AS id,
+        |    list_concat(list_slice(a.toks, 7, 41),
+        |      list_slice(b.toks, 1, 12)) AS toks
+        |  FROM base a JOIN base b ON b.id = a.id + 100 WHERE a.id < 40),
+        |gc AS (SELECT id, i AS pos,
+        |        array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        |      FROM corpus,
+        |        unnest(range(1, greatest(len(toks) - 7, 0) + 1)) t(i)),
+        |gn AS (SELECT id, i AS pos,
+        |        array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        |      FROM planted,
+        |        unnest(range(1, greatest(len(toks) - 7, 0) + 1)) t(i)),
+        |m AS (SELECT DISTINCT n.id AS new_id, c.id AS corpus_id,
+        |        n.pos - c.pos AS diag, n.pos AS pos
+        |      FROM gn n JOIN gc c ON n.gram = c.gram),
+        |r AS (SELECT new_id, corpus_id, diag, pos,
+        |        pos - row_number() OVER (PARTITION BY new_id, corpus_id,
+        |          diag ORDER BY pos) AS chain
+        |      FROM m),
+        |runs AS (SELECT new_id, corpus_id, diag, chain,
+        |           count(*) + 7 AS run_len
+        |         FROM r GROUP BY 1, 2, 3, 4 HAVING count(*) + 7 >= 30)
+        |SELECT new_id, corpus_id, CAST(count(*) AS BIGINT) AS n_runs,
+        |  CAST(max(run_len) AS BIGINT) AS max_run,
+        |  CAST(sum(run_len) AS BIGINT) AS overlap_tokens
+        |FROM runs GROUP BY 1, 2 ORDER BY new_id, corpus_id""".stripMargin,
     "x_text_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -191,12 +191,49 @@ object IndexStore {
     */
   def readSubstringIndexBucketed(spark: SparkSession, table: String,
       k: Int): DataFrame = {
+    checkSubstringMeta(spark, table, k)
+    Bucketing.readBucketed(spark, s"${table}_grams")
+  }
+
+  private def checkSubstringMeta(spark: SparkSession, table: String,
+      k: Int): Unit = {
     val built = spark.table(s"${table}_meta").select(col("k")).head.getInt(0)
     require(built == k,
       s"substring index at $table was built with k=$built but is being " +
         s"served with k=$k — mismatched gram sizes never collide and " +
         "silently report zero overlap")
-    Bucketing.readBucketed(spark, s"${table}_grams")
+  }
+
+  /** Append a DELTA of new `(id, toks)` documents INTO the standing
+    * bucketed substring gram index — the LSM maintenance arc the
+    * MinHash index already has ([[appendDedupIndexBucketed]]): without
+    * it a growing 100 TB corpus must re-gram-hash the FULL corpus per
+    * ingest batch just to admit the batch into future screens.
+    *
+    * Only the delta is gram-hashed and shuffled into the table's
+    * bucket layout (bucket count read from the catalog; a spec
+    * mismatch is rejected by Spark itself, so an append can never
+    * silently break the serve join's exchange-free contract —
+    * re-asserted post-append in BucketingSpec). Standing files are
+    * never rewritten; each append adds one file per non-empty bucket,
+    * compacted periodically like any bucketed fact table.
+    *
+    * The gram size is validated against the build-time `_meta` record
+    * FIRST: appending k'-grams into a k-gram index would silently
+    * split every cross-boundary run. [[graft.ext.Dedup.substringGrams]]
+    * is a pure per-document function, so append(build(base), delta)
+    * is ROW-IDENTICAL to build(base ∪ delta) — the
+    * x_dedup_substring_append oracle computes the union-corpus answer
+    * from scratch in DuckDB and the hash-match proves it.
+    */
+  def appendSubstringIndexBucketed(deltaToks: DataFrame, table: String,
+      k: Int): Unit = {
+    val spark = deltaToks.sparkSession
+    checkSubstringMeta(spark, table, k)
+    Bucketing.appendBucketed(
+      Dedup.substringGrams(deltaToks, "id", col("toks"), k),
+      s"${table}_grams", Seq("h"),
+      Bucketing.numBucketsOf(spark, s"${table}_grams"))
   }
 
   /** Build + persist the IVF index under an explicit centroid frame

@@ -196,6 +196,92 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("substring index append: serve ≡ rebuild over the union corpus, " +
+      "and the appended gram side still reads in place") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    // delta docs carry a 40-token mid-document slice of their source,
+    // so probes that slice the same region must match BOTH copies
+    val delta = docs.filter(col("id") < 10)
+      .select((col("id") + 50000L).as("id"),
+        slice(col("toks"), lit(1),
+          floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val probes = docs.filter(col("id") < 10)
+      .select((col("id") + 900000L).as("id"),
+        slice(col("toks"), lit(3), lit(40)).as("toks"))
+    IndexStore.writeSubstringIndexBucketed(docs, "sga_spec",
+      numBuckets = 8, k = 8)
+    IndexStore.appendSubstringIndexBucketed(delta, "sga_spec", k = 8)
+    IndexStore.writeSubstringIndexBucketed(docs.unionByName(delta),
+      "sga_full", numBuckets = 8, k = 8)
+    try {
+      def serve(table: String): Set[(Long, Long, Long, Long, Long)] = {
+        val grams = IndexStore.readSubstringIndexBucketed(spark, table,
+          k = 8)
+        graft.ext.Dedup.substringRunsAgainst(probes, grams,
+            minRunLen = 30, k = 8)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+      }
+      val appended = serve("sga_spec")
+      assert(appended === serve("sga_full"),
+        "append(build(base), delta) must serve the union-rebuild answer")
+      assert(appended.exists { case (_, cid, _, _, _) => cid >= 50000L },
+        "no match against an appended delta row")
+      // gram-size guard holds for appends too
+      intercept[IllegalArgumentException] {
+        IndexStore.appendSubstringIndexBucketed(delta, "sga_spec", k = 5)
+      }
+      // plan contract survives the append: the (now multi-file-per-
+      // bucket) gram side still reads in place below the serve join
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val grams = IndexStore.readSubstringIndexBucketed(spark,
+          "sga_spec", k = 8)
+        val served = graft.ext.Dedup.substringRunsAgainst(probes, grams,
+          minRunLen = 30, k = 8)
+        served.count()
+        def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => flatten(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => q +: flatten(q.plan)
+          case other => other +: other.children.flatMap(flatten)
+        }
+        val all = flatten(served.queryExecution.executedPlan)
+        def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan) =
+          p match {
+            case s: FileSourceScanExec =>
+              s.tableIdentifier.exists(_.table == "sga_spec_grams")
+            case _ => false
+          }
+        assert(all.exists(isIndexScan),
+          "serve must read the bucketed gram table")
+        val joinChildren = all.collect {
+          case j: org.apache.spark.sql.execution.joins
+              .SortMergeJoinExec => Seq(j.left, j.right)
+          case j: org.apache.spark.sql.execution.joins
+              .ShuffledHashJoinExec => Seq(j.left, j.right)
+        }.flatten
+        joinChildren.filter(c => flatten(c).exists(isIndexScan))
+          .foreach { side =>
+            assert(
+              !flatten(side).exists(_.isInstanceOf[ShuffleExchangeExec]),
+              s"appended gram index must still read in place:\n$side")
+          }
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally for (t <- Seq("sga_spec", "sga_full");
+        s <- Seq("_grams", "_meta"))
+      spark.sql(s"DROP TABLE IF EXISTS $t$s")
+  }
+
   test("index append: serve ≡ rebuild over the union corpus, and the " +
       "appended corpus side still reads in place") {
     import org.apache.spark.sql.execution.FileSourceScanExec
