@@ -61,29 +61,102 @@ object TextAnalysis {
   }
 
   /** Real (vocab-table-driven) token counts per document: whitespace
-    * pre-tokenization, greedy [[bpePieces]] segmentation of each
+    * pre-tokenization, greedy longest-match segmentation of each
     * DISTINCT word, counts joined back and summed per document —
     * (id, n_words, n_bpe_tokens). Replaces the [[wordTokenCount]]
     * regex ESTIMATE wherever a token budget must be real.
     *
     * Scale shape: segmentation runs on the distinct-word frame (the
     * corpus vocabulary — orders of magnitude smaller than the token
-    * stream), so the per-word greedy loop is priced per vocabulary
-    * entry; the count join keys on the word and AQE broadcasts the
-    * segmented dimension whenever it actually fits. Documents with
-    * zero tokens emit no row.
+    * stream) via the JOIN-based matcher ([[bpeTokenCountsFrom]]), so
+    * a production vocabulary neither bloats the expression tree nor
+    * costs O(|vocab|) per character; the count join keys on the word
+    * and AQE broadcasts the segmented dimension whenever it actually
+    * fits. Documents with zero tokens emit no row.
     */
   def bpeTokenCounts(df: DataFrame, idCol: String, textCol: Column,
       vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "empty BPE vocab")
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeTokenCountsFrom(df, idCol, textCol,
+      vocab.distinct.toDF("piece"))
+  }
+
+  /** [[bpeTokenCounts]] against a vocab FRAME — the production-scale
+    * apply (round-12 directive #3). The old [[bpePieces]] apply rode
+    * the plan as per-length literal arrays: a 50k-piece vocabulary
+    * would both bloat the expression tree with 50k literals and pay an
+    * O(|vocab|)-wide array scan per character. Here matching is ONE
+    * equi-join: every (word, position) probes one substring per
+    * DISTINCT piece length (a handful — collected driver-side,
+    * bounded by [[MaxPieceLen]]) against the broadcast vocab frame;
+    * the longest matched piece per position becomes the greedy step,
+    * and the per-word orbit walks a position→step map in a single HOF
+    * pass — priced per (distinct word × distinct lengths), never per
+    * vocabulary entry. Result-identical to the literal-array path
+    * (law-tested in Round12PropSpec): a truncated end-of-word probe
+    * can only equal a SHORTER piece, which a shorter probe also
+    * finds, so max(len(piece)) is the longest match either way.
+    */
+  def bpeTokenCountsFrom(df: DataFrame, idCol: String, textCol: Column,
+      vocab: DataFrame): DataFrame = {
     val words = df.select(col(idCol).as("id"),
       explode(tokens(textCol)).as("w"))
-    val seg = words.select("w").distinct()
-      .select(col("w"),
-        size(bpePieces(col("w"), vocab)).cast("long").as("n_pieces"))
+    val seg = bpePieceCounts(words.select("w").distinct(), vocab)
     words.join(seg, "w")
       .groupBy("id")
       .agg(count(lit(1)).as("n_words"),
         sum("n_pieces").as("n_bpe_tokens"))
+  }
+
+  /** Distinct piece lengths may not exceed this (guards the driver-side
+    * lengths collect and the per-position probe count).
+    */
+  val MaxPieceLen = 64
+
+  /** Greedy longest-match piece COUNT per distinct word against a
+    * vocab frame — the join-based matcher behind [[bpeTokenCountsFrom]]
+    * (see there for the scale argument). `words` = one `w` per distinct
+    * word; `vocab` = one `piece` per entry. Output: (w, n_pieces).
+    */
+  def bpePieceCounts(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val lens: Seq[Int] = vocab
+      .select(length(col("piece")).as("l")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    require(lens.nonEmpty, "empty BPE vocab")
+    require(lens.last <= MaxPieceLen,
+      s"piece length ${lens.last} exceeds MaxPieceLen=$MaxPieceLen")
+    // (w, pos, sub): one probe substring per distinct piece length;
+    // distinct drops truncation twins at the word's end
+    val cand = words
+      .select(col("w"), explode(sequence(lit(1), length(col("w"))))
+        .as("pos"))
+      .select(col("w"), col("pos"),
+        explode(array_distinct(array(
+          lens.map(l => col("w").substr(col("pos"), lit(l))): _*)))
+          .as("sub"))
+    val steps = cand
+      .join(broadcast(vocab), cand("sub") === vocab("piece"))
+      .groupBy("w", "pos")
+      .agg(max(length(col("piece"))).as("step"))
+      .groupBy("w")
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("step"))))
+        .as("steps"))
+    // orbit: pos_{k+1} = pos_k + step(pos_k), fallback 1 where no
+    // piece matches; one HOF pass per word, state bounded by |w|
+    words.join(steps, Seq("w"), "left")
+      .select(col("w"),
+        aggregate(sequence(lit(1), length(col("w"))),
+          struct(lit(1).as("pos"), lit(0L).as("n")),
+          (acc, _) => {
+            val pos = acc.getField("pos")
+            when(pos > length(col("w")), acc)
+              .otherwise(struct(
+                (pos + coalesce(try_element_at(col("steps"), pos), lit(1)))
+                  .as("pos"),
+                (acc.getField("n") + 1).as("n")))
+          }).getField("n").as("n_pieces"))
   }
 
   def avgTokenLength(c: Column): Column = {
