@@ -903,19 +903,34 @@ object SparkEntry {
       .orderBy("shard", "bin")
   }
 
-  /** Vocab-table-driven BPE apply (TextAnalysis.bpeTokenCounts): real
-    * subword token counts per document — greedy longest-match of the
-    * shared BpeVocab over each DISTINCT word, joined back and summed.
-    * The oracle re-derives the greedy orbit with a recursive CTE over
-    * the same vocab; the x_sample_pack budget row packs on these
-    * counts, so token budgets run on real tokens, not the regex
-    * estimate.
+  /** BPE merge learning (TextAnalysis.learnBpeMerges): 16 merges from
+    * the documents corpus, minCount 2 — (merge_rank, lhs, rhs, merged,
+    * cnt). The oracle re-learns the FULL sequence from scratch in
+    * DuckDB: one materialized pair-count + deterministic-argmax +
+    * recursive merge-orbit CTE block per step, so every step's pair
+    * statistics, tie-break, and leftmost-first application are
+    * independently recomputed — not replayed from embedded constants.
     */
-  private def xTextBpe(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.bpeTokenCounts(t(s, dir, "documents"), "doc_id",
-        col("text"), graft.oracle.Fixtures.BpeVocab)
+  private def xTextBpeLearn(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.learnBpeMerges(t(s, dir, "documents"), col("text"),
+        nMerges = 16, minCount = 2L)
+      .orderBy("merge_rank")
+
+  /** End-to-end BPE arc (round 12): the vocabulary is LEARNED from the
+    * corpus (the 16 merges of [[xTextBpeLearn]]) and then applied by
+    * the join-based greedy segmenter (TextAnalysis.bpeTokenCountsFrom)
+    * — real subword token counts per document with no hand-pinned
+    * vocab anywhere. The oracle re-learns the merges AND re-derives
+    * the greedy orbit over the learned pieces, all in one chain.
+    */
+  private def xTextBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = TextAnalysis.learnBpeMerges(docs, col("text"), 16, 2L)
+      .select(col("merged").as("piece")).distinct()
+    TextAnalysis.bpeTokenCountsFrom(docs, "doc_id", col("text"), vocab)
       .select(col("id").as("doc_id"), col("n_words"), col("n_bpe_tokens"))
       .orderBy("doc_id")
+  }
 
   /** Bigram conditional log-probability (TextAnalysis.bigramLogProb):
     * the fluency signal one rung above unigrams — word-salad docs score
@@ -1746,6 +1761,25 @@ object SparkEntry {
         Multimodal.hammingDist(col("dhash"), col("dhash_png"))
           .cast(IntegerType).as("hamming_bmp_png"))
       .orderBy("id")
+  }
+
+  /** Multimodal: banded Hamming LSH near-dup join over REAL decoded
+    * dHashes (Multimodal.phashNearDuplicates). Items are every doc's
+    * synthetic BMP plus a one-pixel-perturbed twin for each fifth doc;
+    * 8 bands × 7 bits with maxDist 7 = bands − 1, so the banded join
+    * is pigeonhole-COMPLETE and the output is exactly the brute-force
+    * ≤7-bit pair set the oracle recomputes (hashes re-derived
+    * arithmetically, then all pairs). The small synthetic rasters make
+    * flat-image hash clusters — the degenerate case the bucket cap
+    * exists for at scale; this row runs uncapped so exactness holds.
+    */
+  private def xMmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val hashes = Multimodal.perceptualHash(
+      Multimodal.synthesizeNearDupImages(d, "doc_id", every = 5))
+    Multimodal.phashNearDuplicates(
+        hashes.select(col("id"), col("dhash")), bands = 8, maxDist = 7)
+      .orderBy("id_a", "id_b")
   }
 
   /** Multimodal: REAL WAV decode. Synthesizes a genuine RIFF/PCM16
@@ -3395,6 +3429,7 @@ object SparkEntry {
     "x_mm_decode_jpeg" -> (xMmDecodeJpeg _),
     "x_mm_decode_invalid" -> (xMmDecodeInvalid _),
     "x_mm_phash" -> (xMmPhash _),
+    "x_mm_phash_neardup" -> (xMmPhashNeardup _),
     "x_mm_audio" -> (xMmAudio _),
     "x_mm_audio_invalid" -> (xMmAudioInvalid _),
     "x_stream_window" -> (xStreamWindow _),
@@ -3457,6 +3492,7 @@ object SparkEntry {
     "x_sim_quantized" -> (xSimQuantized _),
     "x_text_bigram_lp" -> (xTextBigramLp _),
     "x_text_bpe" -> (xTextBpe _),
+    "x_text_bpe_learn" -> (xTextBpeLearn _),
     "x_profile_keyskew" -> (xProfileKeyskew _),
     "x_sample_weighted" -> (xSampleWeighted _),
     "x_sample_pack_seq" -> (xSamplePackSeq _),

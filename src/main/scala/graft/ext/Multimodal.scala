@@ -82,6 +82,26 @@ object Multimodal {
     */
   def encodeBmp(id: Long): Array[Byte] = {
     val (w, h) = synthDims(id)
+    encodeBmpPixels(w, h, (x, y) => synthPixel(id, x, y))
+  }
+
+  /** [[encodeBmp]]'s perturbed twin: the same synthetic image with the
+    * single (0,0) pixel's green channel shifted by +128 mod 256 — a
+    * one-pixel edit, so the decoded raster is a perceptual NEAR-dup of
+    * the original (the dHash flips only the bits whose 8×8 luma
+    * samples land on (0,0); for the small synthetic dims several grid
+    * cells can alias onto it, so planted distances range 0..~16).
+    */
+  def encodeBmpPerturbed(id: Long): Array[Byte] = {
+    val (w, h) = synthDims(id)
+    encodeBmpPixels(w, h, (x, y) => {
+      val (r, g, b) = synthPixel(id, x, y)
+      if (x == 0 && y == 0) (r, (g + 128) % 256, b) else (r, g, b)
+    })
+  }
+
+  private def encodeBmpPixels(w: Int, h: Int,
+      pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     val rowSize = ((24 * w + 31) / 32) * 4
     val dataSize = rowSize * h
     val fileSize = 54 + dataSize
@@ -96,7 +116,7 @@ object Multimodal {
     while (y >= 0) {
       var x = 0
       while (x < w) {
-        val (r, g, b) = synthPixel(id, x, y)
+        val (r, g, b) = pixel(x, y)
         buf.put(b.toByte).put(g.toByte).put(r.toByte) // BGR on disk
         x += 1
       }
@@ -360,6 +380,88 @@ object Multimodal {
   def hammingDist(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup image fixture frame: every source row's synthetic BMP at
+    * item id 2·id, plus — for ids divisible by `every` — a perturbed
+    * twin ([[encodeBmpPerturbed]]: one green sample shifted) at item id
+    * 2·id + 1. One mapPartitions pass, 1–2 blobs per source row.
+    */
+  def synthesizeNearDupImages(df: DataFrame, idCol: String,
+      every: Int): DataFrame = {
+    require(every >= 1, s"bad every $every")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { id =>
+          val orig = (id * 2, encodeBmp(id))
+          if (id % every == 0) Iterator(orig, (id * 2 + 1,
+            encodeBmpPerturbed(id)))
+          else Iterator(orig)
+        }
+      }.toDF("id", "blob")
+  }
+
+  /** Banded Hamming LSH over perceptual hashes — the image twin of the
+    * text near-dup family: split the 56-bit dHash into `bands` equal
+    * bit slices, equi-join items sharing any (band, slice-bits) bucket,
+    * verify candidates by exact popcount distance ≤ `maxDist`. Output:
+    * (id_a, id_b, hamming), id_a < id_b.
+    *
+    * EXACT by pigeonhole when maxDist ≤ bands − 1: ≤ maxDist differing
+    * bits cannot touch all `bands` slices, so every qualifying pair
+    * shares at least one band bucket — the default (8, 7) is a
+    * complete ≤7-bit near-dup join with no all-pairs comparison.
+    *
+    * Scale shape: ONE pass computes all band keys (static shifts,
+    * posexplode), the self-join shuffles on the bounded (band, bits)
+    * key, candidate pairs dedup before the popcount verify. Degenerate
+    * hash clusters (e.g. flat images hashing to 0) are the image
+    * family's hot buckets: `maxBucketSize > 0` drops buckets larger
+    * than the cap from CANDIDATE GENERATION entirely — both members
+    * of the banded join, so capped output is a documented-recall
+    * subset, never a half-joined artifact (the maxGramFreq lesson:
+    * one semantics, stated loudly). The oracle row runs uncapped and
+    * is therefore exactly the brute-force ≤maxDist pair set.
+    */
+  def phashNearDuplicates(hashes: DataFrame, bands: Int = 8,
+      maxDist: Int = 7, maxBucketSize: Long = 0L): DataFrame = {
+    require(bands >= 2 && 56 % bands == 0, s"bands must divide 56: $bands")
+    require(maxDist >= 0 && maxDist <= bands - 1,
+      s"completeness needs maxDist <= bands - 1 (got $maxDist, $bands)")
+    val bits = 56 / bands
+    val mask = (1L << bits) - 1
+    val keys = array((0 until bands).map(b =>
+      shiftrightunsigned(col("dhash"), b * bits)
+        .bitwiseAND(lit(mask))): _*)
+    val banded0 = hashes
+      .select(col("id"), col("dhash"),
+        posexplode(keys).as(Seq("band", "key")))
+    val banded =
+      if (maxBucketSize <= 0L) banded0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("key"))
+        // bounded per-bucket count, not a global window: partitions by
+        // the same (band, key) the join shuffles on
+        banded0.withColumn("__n", count(lit(1)).over(w))
+          .filter(col("__n") <= maxBucketSize)
+          .drop("__n")
+      }
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"),
+      col("dhash").as("__ha"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"),
+      col("dhash").as("__hb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        hammingDist(col("__ha"), col("__hb")).cast(IntegerType)
+          .as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
 
   /** "Frame sampling" plumbing for video-like blobs: emit k byte-range
     * slices per blob with offsets — the schema/batch shape of real frame

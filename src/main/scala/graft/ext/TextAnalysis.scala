@@ -159,6 +159,49 @@ object TextAnalysis {
           }).getField("n").as("n_pieces"))
   }
 
+  /** Learn `nMerges` BPE merges from the corpus (whitespace words,
+    * symbols start as characters, each step merges the most frequent
+    * adjacent pair with corpus count >= `minCount`; deterministic
+    * count-desc / pair-lexicographic argmax). Output:
+    * (merge_rank, lhs, rhs, merged, cnt), one row per executed merge —
+    * learning stops early when no pair reaches `minCount`.
+    *
+    * Scale shape: the corpus-sized work is ONE distributed hash-agg
+    * (the word histogram — combiner-absorbed, shuffled on the word
+    * key); the merge loop itself is inherently sequential (step k+1's
+    * counts depend on step k's merge), so it runs once, executor-side,
+    * over the vocabulary-sized histogram via [[BpeTrainer]]'s indexed
+    * incremental update — never nMerges shuffle jobs over the corpus.
+    * The DuckDB twin re-learns the full sequence from scratch with one
+    * materialized pair-count + argmax + recursive-merge-orbit CTE
+    * block per step.
+    */
+  def learnBpeMerges(df: DataFrame, textCol: Column, nMerges: Int,
+      minCount: Long = 2L): DataFrame =
+    learnBpeMergesFromHistogram(
+      df.select(explode(tokens(textCol)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt")),
+      nMerges, minCount)
+
+  /** [[learnBpeMerges]] from a pre-computed (w, cnt) histogram — the
+    * seam for corpora whose histogram is already materialized (or
+    * pre-pruned by a min-word-frequency filter, the standard way to
+    * bound trainer memory at web scale).
+    */
+  def learnBpeMergesFromHistogram(hist: DataFrame, nMerges: Int,
+      minCount: Long): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    hist
+      .select(col("w").cast("string"), col("cnt").cast("long"))
+      .as[(String, Long)]
+      // repartition(1) (not coalesce) keeps the histogram agg parallel
+      // upstream and lands the whole frame in ONE task for the trainer
+      .repartition(1)
+      .mapPartitions(it => BpeTrainer.train(it, nMerges, minCount))
+      .toDF()
+  }
+
   def avgTokenLength(c: Column): Column = {
     val ts = tokens(c)
     when(size(ts) > 0,

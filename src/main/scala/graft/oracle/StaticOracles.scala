@@ -679,6 +679,43 @@ private[graft] object StaticOracles {
         |    AS BIGINT) AS dhash,
         |  CAST(0 AS INTEGER) AS hamming_bmp_png
         |FROM g ORDER BY id""".stripMargin,
+    // brute-force twin of the banded-LSH near-dup join: re-derives
+    // every item's dHash arithmetically (originals + the perturbed
+    // twins, whose (0,0) green sample is +128 — the CASE arm fires on
+    // exactly the luma cells whose 8x8 grid sample aliases onto pixel
+    // (0,0)), then compares ALL pairs; the Spark side's pigeonhole
+    // completeness (maxDist 7 < 8 bands) makes the two sets equal
+    "x_mm_phash_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id AS src, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h
+        |  FROM documents),
+        |items AS (
+        |  SELECT src, src * 2 AS item_id, 0 AS pert, w, h FROM d
+        |  UNION ALL
+        |  SELECT src, src * 2 + 1, 1, w, h FROM d WHERE src % 5 = 0),
+        |g AS (
+        |  SELECT item_id,
+        |    list_transform(range(0, 64), i ->
+        |      ((((src + ((i % 8) * w // 8)) % 256) * 299
+        |        + (CASE WHEN pert = 1 AND ((i % 8) * w // 8) = 0
+        |                AND ((i // 8) * h // 8) = 0
+        |           THEN (src % 256 + 128) % 256 ELSE src % 256 END) * 587
+        |        + (((src * 3 + ((i // 8) * h // 8)) % 256) * 114))
+        |        // 1000)) AS luma
+        |  FROM items),
+        |hh AS (
+        |  SELECT item_id,
+        |    CAST(list_sum(list_transform(range(0, 56), b ->
+        |      CASE WHEN luma[(b // 7) * 8 + (b % 7) + 2]
+        |             > luma[(b // 7) * 8 + (b % 7) + 1]
+        |        THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END))
+        |      AS BIGINT) AS dhash
+        |  FROM g)
+        |SELECT a.item_id AS id_a, b.item_id AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+        |FROM hh a JOIN hh b ON a.item_id < b.item_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+        |ORDER BY id_a, id_b""".stripMargin,
     // exact-arithmetic twin of the WAV decode: the synthetic PCM is a
     // pure function of (id, i), so loudness and clip counts re-derive
     "x_mm_audio" ->
@@ -1566,12 +1603,20 @@ private[graft] object StaticOracles {
         |  FROM t WHERE n > 1 AND s2 - s1 * s1 / n > 0)
         |WHERE abs(z) >= 2.5
         |ORDER BY window_start, event_type""".stripMargin,
+    // re-learns the 16 merges from scratch, then re-derives the greedy
+    // segmentation orbit over the learned pieces — the whole learn →
+    // apply arc recomputed independently
     "x_text_bpe" ->
-      s"""WITH RECURSIVE $bpeCntCtes
+      s"""WITH RECURSIVE ${bpeLearnCtes(16, 2L)},
+        |${bpeSegCtes("SELECT DISTINCT merged AS v FROM learned")}
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
         |  CAST(sum(bcnt.n_pieces) AS BIGINT) AS n_bpe_tokens
         |FROM btok JOIN bcnt USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_text_bpe_learn" ->
+      s"""WITH RECURSIVE ${bpeLearnCtes(16, 2L)}
+        |SELECT merge_rank, lhs, rhs, merged, cnt FROM learned
+        |ORDER BY merge_rank""".stripMargin,
     // packs on the REAL BPE token counts (bcnt join), mirroring the
     // re-based Spark row
     "x_sample_pack" ->
@@ -3985,13 +4030,21 @@ private[graft] object StaticOracles {
     */
   private def bpeCntCtes: String = {
     val vs = Fixtures.BpeVocab.map(v => s"'$v'").mkString(", ")
+    bpeSegCtes(s"SELECT unnest([$vs]) AS v")
+  }
+
+  /** [[bpeCntCtes]] with the piece set supplied as a CTE body — the
+    * round-12 learned-vocab twin plugs `SELECT DISTINCT merged AS v
+    * FROM learned` in here.
+    */
+  private def bpeSegCtes(bvocabSql: String): String = {
     s"""words AS (
       |  SELECT DISTINCT unnest(list_filter(
       |    regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
       |  FROM documents),
       |bpos AS (
       |  SELECT w, unnest(range(1, len(w) + 1)) AS p FROM words),
-      |bvocab AS (SELECT unnest([$vs]) AS v),
+      |bvocab AS ($bvocabSql),
       |bm AS (
       |  SELECT bpos.w, bpos.p, coalesce(max(len(v)), 1) AS step
       |  FROM bpos LEFT JOIN bvocab
@@ -4008,6 +4061,71 @@ private[graft] object StaticOracles {
       |  SELECT doc_id, unnest(list_filter(
       |    regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
       |  FROM documents)""".stripMargin
+  }
+
+  /** DuckDB re-learn of [[graft.ext.BpeTrainer]]'s merge sequence —
+    * one CTE block per step i: `p{i}` adjacent-pair counts over the
+    * current symbol state, `b{i}` the deterministic argmax
+    * (count desc, pair lexicographic; a chr(1) sentinel row keeps the
+    * chain alive after learning stops — chr(1) can never equal a
+    * corpus symbol, so the step's apply is the identity), `a{i}` the
+    * recursive leftmost-first merge orbit (pos += 2 on a match, += 1
+    * otherwise, accumulator list is the new symbol array), `s{i}` the
+    * next state. Every multiply-referenced CTE is MATERIALIZED — the
+    * chain references each state twice (pair counts + apply), so the
+    * default inlining would re-evaluate the corpus scan 2^n times.
+    * Ends with `learned` = the executed merges. Callers must open
+    * with WITH RECURSIVE.
+    */
+  private def bpeLearnCtes(nSteps: Int, minCount: Long): String = {
+    val steps = (1 to nSteps).map { i =>
+      s"""p$i AS MATERIALIZED (
+      |  SELECT syms[CAST(j AS INTEGER)] AS l,
+      |    syms[CAST(j AS INTEGER) + 1] AS r, sum(cnt) AS c
+      |  FROM s${i - 1}, unnest(range(1, len(syms))) t(j) GROUP BY 1, 2),
+      |b$i AS MATERIALIZED (
+      |  SELECT l, r, c FROM (
+      |    SELECT l, r, c, 0 AS pri FROM (
+      |      SELECT l, r, c FROM p$i WHERE c >= $minCount
+      |      ORDER BY c DESC, l, r LIMIT 1)
+      |    UNION ALL SELECT chr(1), chr(1), 0, 1)
+      |  ORDER BY pri LIMIT 1),
+      |a$i AS (
+      |  SELECT w, cnt, syms, CAST(1 AS BIGINT) AS p,
+      |    CAST([] AS VARCHAR[]) AS acc
+      |  FROM s${i - 1}
+      |  UNION ALL
+      |  SELECT a.w, a.cnt, a.syms,
+      |    a.p + CASE WHEN a.p < len(a.syms)
+      |      AND a.syms[CAST(a.p AS INTEGER)] = b.l
+      |      AND a.syms[CAST(a.p AS INTEGER) + 1] = b.r THEN 2 ELSE 1 END,
+      |    list_append(a.acc, CASE WHEN a.p < len(a.syms)
+      |      AND a.syms[CAST(a.p AS INTEGER)] = b.l
+      |      AND a.syms[CAST(a.p AS INTEGER) + 1] = b.r THEN b.l || b.r
+      |      ELSE a.syms[CAST(a.p AS INTEGER)] END)
+      |  FROM a$i a, b$i b WHERE a.p <= len(a.syms)),
+      |s$i AS MATERIALIZED (
+      |  SELECT w, cnt, acc AS syms FROM a$i WHERE p > len(syms))"""
+        .stripMargin
+    }.mkString(",\n")
+    val learned = (1 to nSteps).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs,
+      |    l || r AS merged, CAST(c AS BIGINT) AS cnt
+      |  FROM b$i WHERE l <> chr(1)""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""w0 AS MATERIALIZED (
+    |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    |    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+    |      x -> x <> '')) AS w
+    |    FROM documents)
+    |  GROUP BY w),
+    |s0 AS MATERIALIZED (
+    |  SELECT w, cnt, list_transform(range(1, len(w) + 1),
+    |    i -> substr(w, CAST(i AS INTEGER), 1)) AS syms
+    |  FROM w0),
+    |$steps,
+    |learned AS MATERIALIZED (
+    |  $learned)""".stripMargin
   }
 
   private def cusumOracle: String =

@@ -949,4 +949,34 @@ class PlanSpec extends SparkSpec {
         s"(got ${shuffles.size})")
     assert(!n.exists(_.isInstanceOf[WindowExec]))
   }
+
+  test("phashNearDuplicates rides the (band, bits) equi-join — no BNLJ, " +
+      "no cartesian, no global window") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import spark.implicits._
+    // 8 ids per distinct hash: buckets of 8 (under the cap below), so
+    // BOTH variants return rows — an all-unique fixture lets AQE
+    // collapse the capped join to EmptyRelation and no Window survives
+    // into the executed plan to assert on
+    val hashes = (1L to 400L).map(i =>
+        (i, ((i % 50) * 2654435761L) & 0xFFFFFFFFFFFFFFL))
+      .toDF("id", "dhash")
+    val n = nodes(graft.ext.Multimodal.phashNearDuplicates(hashes))
+    assert(!n.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "banded LSH must equi-join on (band, bits), never nested-loop")
+    assert(!n.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!n.exists(_.isInstanceOf[WindowExec]),
+      "uncapped near-dup join must not plan a window")
+    // the capped variant's per-bucket count IS a window, but
+    // partitioned by the same (band, key) the join shuffles on —
+    // bounded state, never a single-partition global sort
+    val capped = nodes(graft.ext.Multimodal.phashNearDuplicates(
+      hashes, maxBucketSize = 16L))
+    val ws = capped.collect {
+      case w: WindowExec => w.partitionSpec.map(_.sql)
+    }
+    assert(ws.nonEmpty && ws.forall(_.nonEmpty),
+      s"bucket-cap window must partition by (band, key): $ws")
+  }
 }

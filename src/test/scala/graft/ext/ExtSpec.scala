@@ -1574,6 +1574,41 @@ class ExtSpec extends SparkSpec {
       bad(0).getLong(4) == 0L)
   }
 
+  test("phashNearDuplicates: banded LSH equals brute force through the " +
+      "real decode path; planted twins surface; cap yields a subset") {
+    import spark.implicits._
+    val ids = (1L to 60L).toDF("doc_id")
+    val hashes = Multimodal.perceptualHash(
+        Multimodal.synthesizeNearDupImages(ids, "doc_id", every = 5))
+      .select(col("id"), col("dhash"))
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1))
+    // brute-force reference over the SAME decoded hashes
+    val ref = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+    } yield (a, b, d)).toSet
+    val got = Multimodal.phashNearDuplicates(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == ref, "pigeonhole completeness: banded == brute force")
+    // planted twins: original 2k vs perturbed 2k+1 — a one-pixel edit,
+    // so some twins land within distance 7 and must be reported
+    val twins = hs.toMap
+    val near = (1L to 60L).filter(_ % 5 == 0).filter { k =>
+      java.lang.Long.bitCount(twins(k * 2) ^ twins(k * 2 + 1)) <= 7
+    }
+    assert(near.nonEmpty, "fixture must plant at least one near twin")
+    near.foreach { k =>
+      assert(got.exists(p => p._1 == k * 2 && p._2 == k * 2 + 1),
+        s"planted twin pair for doc $k must surface")
+    }
+    // hot-bucket cap: output is a SUBSET (whole buckets dropped from
+    // candidate generation — documented recall, never extra pairs)
+    val capped = Multimodal.phashNearDuplicates(hashes,
+        maxBucketSize = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped.subsetOf(got))
+  }
+
   /** Brute-force Jaccard reference over distinct token sets. */
   private def refJaccardPairs(docs: Seq[(Long, Seq[String])],
       num: Long, den: Long): Set[(Long, Long, Long)] = {

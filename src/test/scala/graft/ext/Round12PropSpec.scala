@@ -64,4 +64,65 @@ class Round12PropSpec extends SparkSpec {
       got == ref && viaLiterals == ref
     })
   }
+
+  /** Naive recompute-everything BPE reference: full pair recount and
+    * full-histogram merge application every step — no incremental
+    * index, no containing-words bookkeeping, deliberately nothing in
+    * common with [[BpeTrainer]]'s update structure.
+    */
+  private def naiveMerges(hist: Map[String, Long], nMerges: Int,
+      minCount: Long): List[(Long, String, String, String, Long)] = {
+    def applyMerge(s: List[String], l: String, r: String): List[String] =
+      s match {
+        case a :: b :: rest if a == l && b == r =>
+          (l + r) :: applyMerge(rest, l, r)
+        case a :: rest => a :: applyMerge(rest, l, r)
+        case Nil => Nil
+      }
+    var state: Map[List[String], Long] =
+      hist.map { case (w, c) => w.map(_.toString).toList -> c }
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(Long, String, String, String, Long)]
+    var r = 1
+    var stop = false
+    while (r <= nMerges && !stop) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (s, c) =>
+        s.zip(s.drop(1)).foreach(p => pc(p) = pc.getOrElse(p, 0L) + c)
+      }
+      val cands = pc.filter(_._2 >= minCount)
+      if (cands.isEmpty) stop = true
+      else {
+        val ((l, rt), c) = cands.minBy { case ((l, rt), c) =>
+          (-c, l, rt)
+        }
+        state = state.map { case (s, cn) => applyMerge(s, l, rt) -> cn }
+        out += ((r.toLong, l, rt, l + rt, c))
+        r += 1
+      }
+    }
+    out.toList
+  }
+
+  test("law: the indexed incremental BPE trainer learns the same merge " +
+      "sequence as the naive recompute-everything reference") {
+    val gen = for {
+      nWords <- Gen.choose(1, 12)
+      words <- Gen.listOfN(nWords,
+        Gen.choose(1, 8).flatMap(l =>
+          Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+      counts <- Gen.listOfN(nWords, Gen.choose(1L, 20L))
+      nMerges <- Gen.choose(1, 8)
+      minCount <- Gen.choose(1L, 3L)
+    } yield (words.zip(counts).groupMapReduce(_._1)(_._2)(_ + _),
+      nMerges, minCount)
+    check(Prop.forAll(gen) { case (hist, nMerges, minCount) =>
+      val got = TextAnalysis.learnBpeMergesFromHistogram(
+          hist.toSeq.toDF("w", "cnt"), nMerges, minCount)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toList
+      got == naiveMerges(hist, nMerges, minCount)
+    })
+  }
 }
