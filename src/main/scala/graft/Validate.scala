@@ -325,17 +325,32 @@ object Validate {
       df: DataFrame,
       schema: TableSchema,
       skipFields: Set[String] = Set.empty
-  ): Seq[CheckResult] = {
-    val buf = Seq.newBuilder[CheckResult]
+  ): Seq[CheckResult] = checkTableTasks(df, schema, skipFields).flatMap(_())
+
+  /** [[checkTable]] as independently-submittable tasks, one Spark
+    * action each (round-12 directive #5): [[validateTyped]] submits
+    * EVERY table's tasks to one pool, so a one-big-table package
+    * overlaps its own key/unique/constraint actions instead of
+    * serializing on per-action latency — the report is a pure
+    * reassembly (task order = the old sequential order), so the JSON
+    * stays byte-identical.
+    */
+  private def checkTableTasks(
+      df: DataFrame,
+      schema: TableSchema,
+      skipFields: Set[String] = Set.empty
+  ): Seq[() => Seq[CheckResult]] = {
+    val tasks = Seq.newBuilder[() => Seq[CheckResult]]
     val checked = schema.copy(fields =
       schema.fields.filterNot(f => skipFields(f.name)))
 
     // fused single-scan pass for C1, C3-C8
-    if (checked.fields.exists(!_.constraints.isEmpty)) {
+    if (checked.fields.exists(!_.constraints.isEmpty)) tasks += { () =>
       val summary = Checks.constraintSummary(df, checked)
-      if (summary.columns.nonEmpty) {
+      if (summary.columns.isEmpty) Nil
+      else {
         val row = summary.collect()(0)
-        summary.columns.zipWithIndex.foreach { case (name, i) =>
+        summary.columns.zipWithIndex.map { case (name, i) =>
           val Array(field, tag) = name.split("__", 2)
           val code = tag match {
             case "required"  => ErrorCodes.Required
@@ -346,31 +361,32 @@ object Validate {
             case "pattern"   => ErrorCodes.Pattern
             case "enum"      => ErrorCodes.Enum
           }
-          buf += CheckResult("", code, field, row.getLong(i), Nil)
+          CheckResult("", code, field, row.getLong(i), Nil)
         }
       }
     }
 
     // C2 unique — one shuffle per declared unique field
     checked.fields.filter(_.constraints.unique.contains(true)).foreach { f =>
-      val v = Checks.unique(df, Seq(f.name))
-      buf += keyResult(v, ErrorCodes.Unique, f.name)
+      tasks += (() => Seq(keyResult(Checks.unique(df, Seq(f.name)),
+        ErrorCodes.Unique, f.name)))
     }
     // K1 primary key (uniqueness + implied required on every part)
-    if (schema.primaryKey.nonEmpty) {
+    if (schema.primaryKey.nonEmpty) tasks += { () =>
       val v = Checks.unique(df, schema.primaryKey)
-      buf += keyResult(v, ErrorCodes.PrimaryKey, schema.primaryKey.mkString(","))
+      val kr = keyResult(v, ErrorCodes.PrimaryKey,
+        schema.primaryKey.mkString(","))
       val nulls = Checks.primaryKeyNulls(df, schema.primaryKey)
         .collect().headOption.map(_.getLong(0)).getOrElse(0L)
-      buf += CheckResult("", ErrorCodes.Required,
-        schema.primaryKey.mkString(","), nulls, Nil)
+      Seq(kr, CheckResult("", ErrorCodes.Required,
+        schema.primaryKey.mkString(","), nulls, Nil))
     }
     // K2 uniqueKeys
     schema.uniqueKeys.foreach { keys =>
-      val v = Checks.unique(df, keys)
-      buf += keyResult(v, ErrorCodes.UniqueKey, keys.mkString(","))
+      tasks += (() => Seq(keyResult(Checks.unique(df, keys),
+        ErrorCodes.UniqueKey, keys.mkString(","))))
     }
-    buf.result()
+    tasks.result()
   }
 
   private def keyResult(v: DataFrame, code: String, field: String): CheckResult = {
@@ -415,37 +431,50 @@ object Validate {
   ): PackageReport = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    // EVERY check task across EVERY table rides one pool (round-12
+    // directive #5): the old shape parallelized across tables only, so
+    // a one-big-table package serialized on per-action latency. Tasks
+    // are submitted up front (the `named` map is eager) and reassembled
+    // per table in submission order — report byte-identical.
+    val named = pkg.resources.map(res => res.name -> resourceTasks(tables, res))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(8, pkg.resources.size.max(1)))
+      math.min(8, named.map(_._2.size).sum.max(1)))
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
-    val futures = pkg.resources.map { res =>
-      Future(checkResource(tables, res))
-    }
+    val futures = named.map { case (n, ts) => n -> ts.map(t => Future(t())) }
     try {
-      val perTable = Await.result(Future.sequence(futures), Duration.Inf)
+      val perTable = futures.map { case (n, fs) =>
+        TableReport(n,
+          Await.result(Future.sequence(fs), Duration.Inf).flatten)
+      }
       PackageReport(perTable)
     } finally pool.shutdown()
   }
 
-  private def checkResource(
+  /** One task per check action for a resource: the table's own checks
+    * ([[checkTableTasks]]) then its foreign keys, in the exact order
+    * the old sequential path emitted them.
+    */
+  private[graft] def resourceTasks(
       tables: Map[String, DataFrame],
       res: Resource
-  ): TableReport = {
+  ): Seq[() => Seq[CheckResult]] = {
     val df = tables(res.name)
-      val errs = checkTable(df, res.schema).map(_.copy(table = res.name))
-      // K3/K4 foreign keys — parent resolved across the package
-      val fkErrs = res.schema.foreignKeys.map { fk =>
-        val parentName = if (fk.refResource.isEmpty) res.name else fk.refResource
-        val parent = tables(parentName)
-        val v = Checks.foreignKey(df, fk.fields, parent, fk.refFields)
-        // round-11 fuse: count + bounded sample in ONE action
-        val (n, sample) = countAndSample(v, sum(col("cnt")))
-        CheckResult(res.name, ErrorCodes.ForeignKey,
-          s"${fk.fields.mkString(",")}->$parentName.${fk.refFields.mkString(",")}",
-          n, sample)
-      }
-    TableReport(res.name, errs ++ fkErrs)
+    val tableTasks = checkTableTasks(df, res.schema)
+      .map(t => () => t().map(_.copy(table = res.name)))
+    // K3/K4 foreign keys — parent resolved across the package
+    val fkTasks = res.schema.foreignKeys.map { fk => () => {
+      val parentName =
+        if (fk.refResource.isEmpty) res.name else fk.refResource
+      val parent = tables(parentName)
+      val v = Checks.foreignKey(df, fk.fields, parent, fk.refFields)
+      // round-11 fuse: count + bounded sample in ONE action
+      val (n, sample) = countAndSample(v, sum(col("cnt")))
+      Seq(CheckResult(res.name, ErrorCodes.ForeignKey,
+        s"${fk.fields.mkString(",")}->$parentName.${fk.refFields.mkString(",")}",
+        n, sample))
+    }}
+    tableTasks ++ fkTasks
   }
 
   /** Full reference lifecycle over CSV resources (E1).
