@@ -809,8 +809,17 @@ object Dedup {
     *
     * Scale shape: shuffles key on the 8-byte gram hash and on
     * (pair, diag) tuples; candidate volume is anchor-hit driven, not
-    * |corpus|². `maxGramFreq > 0` drops gram-hash buckets with more
-    * occurrences before the anchor join (boilerplate guard — same
+    * |corpus|². One fan-out to know about: the first extension join
+    * keys on id_a alone, so a document's gram frame replicates once
+    * per candidate (id_b, diag) — a doc sharing runs with MANY
+    * partners (a template copied corpus-wide) pays |grams(doc)| ×
+    * |partners| intermediate rows before the (id_b, h, pos) join
+    * prunes them; results stay exact, and the cap below is the lever
+    * when that template fan-out dominates (hot template grams are what
+    * seed those partners). `maxGramFreq > 0` makes over-frequent grams invisible
+    * to matching ENTIRELY — seeding and extension alike, the identical
+    * semantics [[substringRunsAgainst]] applies — so runs through
+    * boilerplate grams split/shorten the same way on both paths (same
     * recall tradeoff as the LSH `maxBucketSize` cap; 0 = exact).
     * 48-bit gram-hash collisions can in principle conjure a false
     * matched position — negligible at corpus-scale gram counts, the
@@ -860,11 +869,19 @@ object Dedup {
     require(k >= 1 && minRunLen >= k,
       s"need 1 <= k <= minRunLen, got k=$k minRunLen=$minRunLen")
     val stride = minRunLen - k + 1
-    val full = capBuckets(
-      g.select(col("id").as("id_b"), col("pos").as("pos_b"),
-        col("h").as("h_b")),
-      Seq("h_b"), maxGramFreq)
-    val anchors = g
+    // ONE cap semantics across both variants (round-12, ADVICE): grams
+    // above the cap are invisible to matching ENTIRELY — seeding AND
+    // extension — exactly what the against-variant's single join does,
+    // so the same corpus+cap reports the same (possibly split) runs
+    // either way, and the anchored ≡ against law holds for nonzero
+    // caps too (a surviving chain of ≥ stride consecutive positions
+    // still contains a surviving anchor — the covering argument is
+    // cap-stable). The pre-round-12 shape capped only the seed side,
+    // extending runs THROUGH hot grams the serve path would split on.
+    val gc = capBuckets(g, Seq("h"), maxGramFreq)
+    val full = gc.select(col("id").as("id_b"), col("pos").as("pos_b"),
+      col("h").as("h_b"))
+    val anchors = gc
       .filter(pmod(col("pos"), lit(stride)) === lit(1 % stride))
       .select(col("id").as("id_a"), col("pos").as("pos_a"), col("h"))
     val diags = anchors.join(full,
@@ -875,9 +892,9 @@ object Dedup {
     // recover ALL matching gram positions on each candidate diagonal:
     // two hash joins, the second keyed on (id_b, h, pos_b = pos_a − diag)
     val matched = diags
-      .join(g.select(col("id").as("id_a"), col("pos").as("pos_a"),
+      .join(gc.select(col("id").as("id_a"), col("pos").as("pos_a"),
         col("h")), Seq("id_a"))
-      .join(g.select(col("id").as("__ib"), col("pos").as("__pb"),
+      .join(gc.select(col("id").as("__ib"), col("pos").as("__pb"),
           col("h").as("__hb")),
         col("id_b") === col("__ib") && col("h") === col("__hb") &&
           col("__pb") === col("pos_a") - col("diag"))
@@ -977,33 +994,80 @@ object Dedup {
     *
     * Plan shape: run intervals aggregate per document (sorted array,
     * bounded by run count per doc), ONE equi-join back to the corpus
-    * on the doc id, and coverage is a per-token `exists` over that
-    * document's own interval array — no corpus windows, no second
-    * corpus scan. Overlapping intervals need no pre-merge: coverage
-    * is a disjunction. Output: (id, text, n_kept, n_removed).
+    * on the doc id, and coverage is O(tokens + intervals) per document
+    * (round-12 directive #6): the sorted intervals PRE-MERGE into
+    * disjoint blocks with one fold, then a single two-pointer fold
+    * walks tokens and blocks together — the token position advances by
+    * 1 per step and merged blocks are disjoint-sorted, so the block
+    * cursor never needs to move more than one block per step (the next
+    * block's end is ≥ the current position by disjointness), which is
+    * exactly what a loop-free `aggregate` lambda can express. The old
+    * per-token `exists` paid O(tokens × intervals) on heavily-templated
+    * documents with thousands of detected runs. Output: (id, text,
+    * n_kept, n_removed).
     */
   def stripSubstringRuns(df: DataFrame, idCol: String, toksCol: Column,
       runs: DataFrame): DataFrame = {
+    val emptyIvs = array().cast("array<struct<s:long,e:long>>")
+    // merge sorted intervals into disjoint blocks (adjacent ones too —
+    // s = last.e + 1 covers the same positions as one block). Runs ON
+    // THE RUNS-SIDE AGGREGATE, below the join: the token fold's lambda
+    // then references a join-output ATTRIBUTE — CollapseProject cannot
+    // substitute an expression across the join, so the merge is priced
+    // once per document, never once per token (the per-element
+    // re-evaluation trap, fourth sighting — caught by a thread dump
+    // showing the merge fold NESTED inside the token fold).
+    val mergeIvs = (ivs: Column) => aggregate(ivs, emptyIvs,
+      (acc, i) => {
+        val last = element_at(acc, -1)
+        when(size(acc) === 0 || i.getField("s") > last.getField("e") + 1,
+          concat(acc, array(i)))
+          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("s").as("s"),
+              greatest(last.getField("e"), i.getField("e")).as("e")))))
+      })
     val iv = runs.select(col("id_b").as("__sid"),
         struct(col("pos_b").as("s"),
           (col("pos_b") + col("run_len") - 1).as("e")).as("__iv"))
       .groupBy("__sid")
-      .agg(sort_array(collect_list(col("__iv"))).as("__ivs"))
-    val covered = (p: Column, ivs: Column) =>
-      exists(ivs, iv => p >= iv.getField("s") && p <= iv.getField("e"))
+      .agg(sort_array(collect_list(col("__iv"))).as("__ivs0"))
+      .select(col("__sid"), mergeIvs(col("__ivs0")).as("__m"))
+    // two-pointer fold: state = (1-based block cursor, kept tokens);
+    // try_element_at past the last block nulls out and the coalesced
+    // comparisons read "not covered". The fold result goes through an
+    // explode(array(...)) Generate BARRIER: the filter and all three
+    // output columns then consume the __kept attribute, instead of the
+    // filter pushdown + CollapseProject re-evaluating the whole fold
+    // once per consumer (measured 4× on the old shape).
+    val keptFold = aggregate(
+      transform(col("__t"), (t, i) =>
+        struct((i + 1).cast(LongType).as("p"), t.as("t"))),
+      struct(lit(1).as("ci"),
+        array().cast("array<string>").as("kept")),
+      (acc, pt) => {
+        val p = pt.getField("p")
+        val ci = when(
+          coalesce(p > try_element_at(col("__mm"), acc.getField("ci"))
+            .getField("e"), lit(false)),
+          acc.getField("ci") + 1).otherwise(acc.getField("ci"))
+        val cur = try_element_at(col("__mm"), ci)
+        val cov = coalesce(
+          p >= cur.getField("s") && p <= cur.getField("e"),
+          lit(false))
+        struct(ci.as("ci"),
+          when(cov, acc.getField("kept"))
+            .otherwise(concat(acc.getField("kept"),
+              array(pt.getField("t")))).as("kept"))
+      }).getField("kept")
     df.select(col(idCol).as("id"), toksCol.as("__t"))
       .join(iv, col("id") === col("__sid"), "left")
       .select(col("id"), col("__t"),
-        coalesce(col("__ivs"),
-          array().cast("array<struct<s:long,e:long>>")).as("__ivs"))
+        coalesce(col("__m"), emptyIvs).as("__mm"))
       .select(col("id"), size(col("__t")).as("__n"),
-        filter(transform(col("__t"), (t, i) =>
-            struct((i + 1).cast(LongType).as("p"), t.as("t"))),
-          pt => !covered(pt.getField("p"), col("__ivs"))).as("__kept"))
+        explode(array(keptFold)).as("__kept"))
       .filter(size(col("__kept")) > 0)
       .select(col("id"),
-        concat_ws(" ", transform(col("__kept"), _.getField("t")))
-          .as("text"),
+        concat_ws(" ", col("__kept")).as("text"),
         size(col("__kept")).cast(LongType).as("n_kept"),
         (col("__n") - size(col("__kept"))).cast(LongType)
           .as("n_removed"))

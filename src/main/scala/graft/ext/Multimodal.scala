@@ -481,11 +481,16 @@ object Multimodal {
   // --------------------------------------------------------------- audio
   /** Audio row after decode: container facts + exact sample statistics.
     * Undecodable / non-PCM16 blobs: format="unknown", zeros — the same
-    * typed-degradation posture as [[MediaMeta]]. `duration_us` is exact
-    * integer µs (n_samples · 10⁶ div rate); `sum_abs` (Σ|sample|) and
-    * `n_clipped` (|sample| ≥ [[ClipLevel]]) are the loudness/clipping
-    * screens an audio-corpus quality pass runs, integer-exact so the
-    * oracle recomputes them cell-for-cell on known content.
+    * typed-degradation posture as [[MediaMeta]]. UNITS, stated once
+    * because they differ by field: `n_samples` and `duration_us` are
+    * per-channel FRAMES (stereo does not double them; duration_us =
+    * n_samples · 10⁶ div rate, exact integer µs), while `sum_abs`
+    * (Σ|sample|) and `n_clipped` (|sample| ≥ [[ClipLevel]]) aggregate
+    * across ALL interleaved channel samples (stereo contributes both
+    * channels — the clipping screen must see every channel; divide by
+    * n_samples · channels, not n_samples, for a per-sample mean).
+    * Integer-exact so the oracle recomputes them cell-for-cell on
+    * known content.
     */
   final case class AudioMeta(
       id: Long,

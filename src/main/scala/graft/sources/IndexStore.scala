@@ -64,6 +64,7 @@ object IndexStore {
     */
   def writeDedupIndex(corpusToks: DataFrame, dir: String,
       numHashes: Int = 32, bands: Int = 16, k: Int = 3): Unit = {
+    Scratch.sweepOnce(corpusToks.sparkSession) // age out dead-pid scratch
     val sh = corpusToks.select(col("id"),
       Dedup.shingleHashesFromTokens(col("toks"), k).as("sh")).cache()
     try {
@@ -246,6 +247,7 @@ object IndexStore {
   def writeIvfIndex(corpus: DataFrame, centroids: DataFrame,
       dir: String, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
+    Scratch.sweepOnce(corpus.sparkSession)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     Similarity.ivfIndexWith(corpus, centroids, idCol, vecCol)
       .write.mode("overwrite").parquet(s"$dir/ivf.parquet")
@@ -267,9 +269,11 @@ object IndexStore {
     * x_sim_quantized's oracle verbatim).
     */
   def writeInt8Index(corpus: DataFrame, dir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    Scratch.sweepOnce(corpus.sparkSession)
     Similarity.int8Index(corpus, idCol, vecCol)
       .write.mode("overwrite").parquet(s"$dir/int8.parquet")
+  }
 
   /** Re-read the int8 artifact: (id, q, scale). */
   def readInt8Index(spark: SparkSession, dir: String): DataFrame =
@@ -296,6 +300,7 @@ object IndexStore {
   def writePqIndex(corpus: DataFrame, model: Similarity.PqModel,
       dir: String, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
+    Scratch.sweepOnce(corpus.sparkSession)
     codebookFrame(corpus.sparkSession, model)
       .write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
     Similarity.pqEncode(corpus, model, idCol, vecCol)
@@ -316,6 +321,7 @@ object IndexStore {
   def writeIvfPqIndex(corpus: DataFrame, model: Similarity.PqModel,
       centroids: DataFrame, dir: String, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
+    Scratch.sweepOnce(corpus.sparkSession)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     codebookFrame(corpus.sparkSession, model)
       .write.mode("overwrite").parquet(s"$dir/codebooks.parquet")

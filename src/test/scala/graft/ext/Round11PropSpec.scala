@@ -64,15 +64,26 @@ class Round11PropSpec extends SparkSpec {
     // is an UNSAMPLED reference for the anchored self-join — equality
     // on random corpora is the covering-lemma losslessness, exercised
     // end-to-end rather than argued
-    check(Prop.forAll(corpusGen) { corpus =>
+    // cap = 0 is the exact path; the nonzero caps exercise the
+    // round-12 unified semantics (hot grams invisible to seeding AND
+    // extension in BOTH variants — the covering argument is cap-stable:
+    // a surviving chain of >= stride consecutive positions still
+    // contains a surviving anchor, so anchored == against under any cap)
+    val gen = for {
+      corpus <- corpusGen
+      cap <- Gen.oneOf(0, 1, 2, 4)
+    } yield (corpus, cap)
+    check(Prop.forAll(gen) { case (corpus, cap) =>
       val df = corpus.toDF("id", "toks")
       val l = 12; val k = 8
-      val anchored = Dedup.substringRuns(df, "id", col("toks"), l, k)
+      val anchored = Dedup.substringRuns(df, "id", col("toks"), l, k,
+          maxGramFreq = cap)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4))).toSet
       val reference = Dedup.substringRunsAgainst(df,
-          Dedup.substringGrams(df, "id", col("toks"), k), l, k)
+          Dedup.substringGrams(df, "id", col("toks"), k), l, k,
+          maxGramFreq = cap)
         .filter(col("new_id") < col("corpus_id"))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

@@ -386,4 +386,37 @@ class BucketingSpec extends SparkSpec {
         "groupBy on the bucket key must not re-shuffle")
     } finally spark.sql("DROP TABLE IF EXISTS li_agg_b")
   }
+
+  test("scratch sweep deletes dead-pid leftovers, keeps live-pid and " +
+      "non-scratch entries") {
+    import java.io.File
+    import java.nio.file.Files
+    val wh = new File(java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    wh.mkdirs()
+    val self = ProcessHandle.current().pid()
+    // 999999 exceeds this kernel's default pid_max — never a live pid
+    val dead = new File(wh, "graft_test_cafe_p999999")
+    val live = new File(wh, s"graft_test_cafe_p$self")
+    val other = new File(wh, "not_graft_p999999")
+    Seq(dead, live, other).foreach { d =>
+      d.mkdirs()
+      Files.writeString(new File(d, "part-0").toPath, "x")
+    }
+    val tmpIdx = new File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_index")
+    tmpIdx.mkdirs()
+    val deadIdx = new File(tmpIdx, "abc123_p999999")
+    deadIdx.mkdirs()
+    try {
+      Scratch.sweepNow(spark)
+      assert(!dead.exists(), "dead-pid warehouse scratch must be swept")
+      assert(live.exists(), "live-pid scratch must survive")
+      assert(other.exists(), "non-graft dirs are not ours to delete")
+      assert(!deadIdx.exists(), "dead-pid index scratch must be swept")
+    } finally Seq(dead, live, other, deadIdx).foreach { d =>
+      Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      d.delete()
+    }
+  }
 }
