@@ -177,6 +177,64 @@ object Checks {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Incremental C2/K1 served from a standing key index
+    * ([[graft.sources.IndexStore.writeKeyIndexBucketed]]): the
+    * uniqueness violations a NEW BATCH introduces — batch-internal
+    * duplicate key tuples and batch keys the history already holds —
+    * without rescanning history. Output one row per offending batch
+    * key: `(key…, n_new, n_existing)` with `n_new + n_existing > 1`.
+    * Keys already duplicated INSIDE history but untouched by the batch
+    * are deliberately not re-reported; they were reported when their
+    * own batch landed.
+    *
+    * Scale shape: the batch aggregates to its distinct keys and
+    * shuffles; the index side merges its LSM count rows with a
+    * groupBy on its own bucket columns and joins on them — history is
+    * read in place, no exchange (BucketingSpec). The left join keeps
+    * fresh batch keys so purely-internal duplicates still surface.
+    */
+  def uniqueAgainstIndex(batch: DataFrame, index: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val b = batch
+      .filter(keys.map(batch(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(batch(_)): _*)
+      .agg(count(lit(1)).as("n_new"))
+    val h = index.groupBy(keys.map(index(_)): _*)
+      .agg(sum(col("n")).as("n_existing"))
+    val cond = keys.map(k => b(k) === h(k)).reduce(_ && _)
+    b.join(h, cond, "left")
+      .select(keys.map(b(_)) ++ Seq(b("n_new"),
+        coalesce(h("n_existing"), lit(0L)).as("n_existing")): _*)
+      .filter(col("n_new") + col("n_existing") > 1)
+  }
+
+  /** K3 served from a standing PARENT key index — the FK check when
+    * the dimension is itself 100 TB-class (too big to broadcast, too
+    * hot to re-shuffle per batch): the child batch anti-joins the
+    * bucketed index on its own bucket columns, so the parent side
+    * reads in place and only the batch moves. Right-side row
+    * multiplicity (LSM appends may split a key across rows) is
+    * irrelevant to an anti join, so no merge pass is needed. Result
+    * contract identical to [[foreignKey]]: orphan key tuples + counts.
+    */
+  def foreignKeyAgainstIndex(
+      child: DataFrame,
+      childKeys: Seq[String],
+      index: DataFrame,
+      indexKeys: Seq[String]
+  ): DataFrame = {
+    require(childKeys.size == indexKeys.size, "fk arity mismatch")
+    val c = child.select(childKeys.map(child(_)): _*)
+      .filter(childKeys.map(child(_).isNotNull).reduce(_ && _))
+    val p = index.select(indexKeys.zip(childKeys).map {
+      case (ik, ck) => index(ik).as(ck)
+    }: _*)
+    val cond = childKeys.map(k => c(k) === p(k)).reduce(_ && _)
+    c.join(p, cond, "left_anti")
+      .groupBy(childKeys.map(c(_)): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   // ------------------------------------------------- fused single-scan pass
   /** Compile every field constraint of a table into ONE aggregate pass
     * (SURVEY.md §4.3 decision 1): a single scan emitting one row with a

@@ -425,19 +425,27 @@ object Multimodal {
     * one semantics, stated loudly). The oracle row runs uncapped and
     * is therefore exactly the brute-force ≤maxDist pair set.
     */
-  def phashNearDuplicates(hashes: DataFrame, bands: Int = 8,
-      maxDist: Int = 7, maxBucketSize: Long = 0L): DataFrame = {
+  /** Banded (band, key) assignments of a `(id, dhash)` frame — the
+    * shared candidate-generation frame of [[phashNearDuplicates]] and
+    * the persisted index path ([[phashNearDuplicatesAgainst]] /
+    * [[graft.sources.IndexStore.writePhashIndexBucketed]]).
+    */
+  def phashBands(hashes: DataFrame, bands: Int): DataFrame = {
     require(bands >= 2 && 56 % bands == 0, s"bands must divide 56: $bands")
-    require(maxDist >= 0 && maxDist <= bands - 1,
-      s"completeness needs maxDist <= bands - 1 (got $maxDist, $bands)")
     val bits = 56 / bands
     val mask = (1L << bits) - 1
     val keys = array((0 until bands).map(b =>
       shiftrightunsigned(col("dhash"), b * bits)
         .bitwiseAND(lit(mask))): _*)
-    val banded0 = hashes
-      .select(col("id"), col("dhash"),
-        posexplode(keys).as(Seq("band", "key")))
+    hashes.select(col("id"), col("dhash"),
+      posexplode(keys).as(Seq("band", "key")))
+  }
+
+  def phashNearDuplicates(hashes: DataFrame, bands: Int = 8,
+      maxDist: Int = 7, maxBucketSize: Long = 0L): DataFrame = {
+    require(maxDist >= 0 && maxDist <= bands - 1,
+      s"completeness needs maxDist <= bands - 1 (got $maxDist, $bands)")
+    val banded0 = phashBands(hashes, bands)
     val banded =
       if (maxBucketSize <= 0L) banded0
       else {
@@ -459,6 +467,35 @@ object Multimodal {
       .distinct()
       .select(col("id_a"), col("id_b"),
         hammingDist(col("__ha"), col("__hb")).cast(IntegerType)
+          .as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** [[phashNearDuplicates]] against a STANDING banded corpus — the
+    * incremental-ingest shape for images: `corpusBanded` is the
+    * `(id, dhash, band, key)` frame of [[phashBands]], persisted once
+    * ([[graft.sources.IndexStore.writePhashIndexBucketed]], bucketed
+    * on exactly this join's (band, key)); only the new batch is
+    * hashed and banded per ingest. Same pigeonhole completeness
+    * (maxDist ≤ bands − 1) against the corpus; batch-internal pairs
+    * are the self-join's job, not this one's. Output:
+    * (new_id, corpus_id, hamming).
+    */
+  def phashNearDuplicatesAgainst(newHashes: DataFrame,
+      corpusBanded: DataFrame, bands: Int = 8, maxDist: Int = 7)
+      : DataFrame = {
+    require(maxDist >= 0 && maxDist <= bands - 1,
+      s"completeness needs maxDist <= bands - 1 (got $maxDist, $bands)")
+    val n = phashBands(newHashes, bands)
+      .select(col("band"), col("key"), col("id").as("new_id"),
+        col("dhash").as("__hn"))
+    val c = corpusBanded.select(col("band"), col("key"),
+      col("id").as("corpus_id"), col("dhash").as("__hc"))
+    n.join(c, Seq("band", "key"))
+      .select(col("new_id"), col("corpus_id"), col("__hn"), col("__hc"))
+      .distinct()
+      .select(col("new_id"), col("corpus_id"),
+        hammingDist(col("__hn"), col("__hc")).cast(IntegerType)
           .as("hamming"))
       .filter(col("hamming") <= maxDist)
   }

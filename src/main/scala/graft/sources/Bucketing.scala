@@ -63,4 +63,83 @@ object Bucketing {
     require(spec.isDefined, s"table $table is not bucketed")
     spec.get.numBuckets
   }
+
+  /** Rewrite a bucketed table back to ONE data file per non-empty
+    * bucket — the compaction half of the LSM trade [[appendBucketed]]
+    * documents: each append lands one file per non-empty bucket, so a
+    * frequently-ingesting index degrades toward
+    * appends × buckets small files (per-file open/footer cost on every
+    * serve scan, file-listing pressure on the metastore). Compaction
+    * restores the write-once layout without touching the serve
+    * contract: the bucket spec (keys, sort, count) is read from the
+    * catalog and re-declared verbatim on the rewrite, so post-compact
+    * serve joins are the SAME plan (exchange-free on the bucket key —
+    * re-asserted in BucketingSpec), and row content is exactly the
+    * union of the files it replaced.
+    *
+    * One file per bucket is forced by repartitioning on the bucket
+    * keys into exactly `numBuckets` partitions: Spark's bucket id and
+    * its expression-hash repartition use the same
+    * pmod(murmur3, n) routing, so every write task holds exactly one
+    * bucket's rows. The rewrite lands in a sibling `__compact` table
+    * first and swaps in atomically-enough via catalog RENAME (the
+    * original is dropped only after the rewrite fully committed —
+    * a crashed compaction leaves the original intact plus dead
+    * scratch that [[Scratch]] sweeps, never a half-table).
+    *
+    * `merge` lets an index give compaction LSM merge semantics (e.g.
+    * the key index re-aggregates per-key count rows split across
+    * appends); it must preserve the schema and must be a function the
+    * table's serve path is already invariant under — identity by
+    * default (pure file compaction).
+    */
+  def compactBucketed(spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      merge: DataFrame => DataFrame = identity): Unit = {
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec
+    require(spec.isDefined, s"table $table is not bucketed")
+    val keys = spec.get.bucketColumnNames
+    val sorts = spec.get.sortColumnNames
+    val n = spec.get.numBuckets
+    val tmp = s"${table}__compact"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    // Read the table's files BY PATH, not via the catalog: a catalog
+    // read advertises the bucket spec, the optimizer then elides the
+    // repartition below as redundant — and DisableUnnecessaryBucketedScan
+    // subsequently disables the bucket-aligned scan because nothing
+    // left in the plan declares interest (a V1 bucketed WRITE only
+    // requires ordering, not distribution). Net effect, observed: the
+    // rewrite runs over raw file splits and writes one file per
+    // (task × bucket) instead of one per bucket. The path read carries
+    // no bucket metadata, so the repartition survives and aligns every
+    // task with exactly one writer bucket.
+    val w = merge(spark.read.parquet(meta.location.toString))
+      .repartition(n, keys.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite")
+      .bucketBy(n, keys.head, keys.tail: _*)
+    (if (sorts.nonEmpty) w.sortBy(sorts.head, sorts.tail: _*) else w)
+      .format("parquet")
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
+  /** Data-file count of a managed table's directory (non-hidden files
+    * only) — the observable the LSM file-growth/compaction contract is
+    * asserted against in BucketingSpec.
+    */
+  def dataFileCount(spark: org.apache.spark.sql.SparkSession,
+      table: String): Int = {
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location
+    val dir = new java.io.File(loc)
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+  }
 }

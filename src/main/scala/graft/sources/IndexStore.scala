@@ -237,6 +237,157 @@ object IndexStore {
       Bucketing.numBucketsOf(spark, s"${table}_grams"))
   }
 
+  /** Compact the standing bucketed MinHash dedup index back to one
+    * data file per non-empty bucket ([[Bucketing.compactBucketed]] on
+    * both halves) — the periodic rewrite [[appendDedupIndexBucketed]]
+    * prices in: after b appended batches every serve scan opens
+    * O(b × buckets) small files. Content, bucket layout, and the
+    * `_meta` parameter record are all untouched, so serving after a
+    * compaction is the SAME join plan over the SAME rows — the
+    * x_dedup_index_compact row shares x_dedup_index_append's oracle
+    * verbatim (hash-identity IS the claim), and BucketingSpec asserts
+    * the file count actually drops and the exchange-free serve
+    * contract survives.
+    */
+  def compactDedupIndexBucketed(spark: SparkSession,
+      table: String): Unit = {
+    Bucketing.compactBucketed(spark, s"${table}_sh")
+    Bucketing.compactBucketed(spark, s"${table}_bands")
+  }
+
+  /** Compact the standing bucketed substring gram index (one half:
+    * the gram frame) — same contract as
+    * [[compactDedupIndexBucketed]].
+    */
+  def compactSubstringIndexBucketed(spark: SparkSession,
+      table: String): Unit =
+    Bucketing.compactBucketed(spark, s"${table}_grams")
+
+  // ----------------------------------------------------- pHash index
+  /** Persist the banded perceptual-hash frame
+    * ([[graft.ext.Multimodal.phashBands]]) as a bucketed table on
+    * (band, key) — exactly the serve join's key, so checking an image
+    * ingest batch against the standing corpus
+    * ([[graft.ext.Multimodal.phashNearDuplicatesAgainst]]) reads the
+    * corpus side in place; only the batch is decoded, hashed, banded,
+    * and shuffled. `_meta` pins the band count: hashes banded
+    * differently never collide and silently report no near-dups —
+    * fail loudly instead. Append + compaction come free from the
+    * generic bucketed-table paths ([[Bucketing.appendBucketed]] /
+    * [[Bucketing.compactBucketed]]) since bands are a pure
+    * per-image function.
+    */
+  def writePhashIndexBucketed(hashes: DataFrame, table: String,
+      numBuckets: Int, bands: Int = 8): Unit = {
+    Scratch.sweepOnce(hashes.sparkSession)
+    Bucketing.writeBucketed(
+      graft.ext.Multimodal.phashBands(hashes, bands),
+      s"${table}_bands", Seq("band", "key"), numBuckets)
+    hashes.sparkSession.range(1).select(lit(bands).as("bands"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_meta")
+  }
+
+  def readPhashIndexBucketed(spark: SparkSession, table: String,
+      bands: Int = 8): DataFrame = {
+    val built = spark.table(s"${table}_meta")
+      .select(col("bands")).head.getInt(0)
+    require(built == bands,
+      s"phash index at $table was built with bands=$built but is being " +
+        s"served with bands=$bands — mismatched banding never collides " +
+        "and silently reports no near-duplicates")
+    Bucketing.readBucketed(spark, s"${table}_bands")
+  }
+
+  // ------------------------------------------------------- key index
+  /** The key-uniqueness / foreign-key twin of the dedup index arc —
+    * the validation-core operator a growing 100 TB table actually
+    * needs: re-running `unique`/`primaryKey` over the FULL history per
+    * ingest batch re-scans and re-shuffles everything ever ingested,
+    * when the only question is "does the BATCH collide with what the
+    * history already holds". The key index persists one
+    * `(key…, n)` count row per distinct historical key tuple, bucketed
+    * on the key columns — exactly the serve join's key, so checking a
+    * batch reads the history side in place (BucketingSpec) and only
+    * the batch shuffles.
+    *
+    * LSM semantics, deliberately: [[appendKeyIndexBucketed]] appends
+    * the DELTA's per-key counts as new rows (never rewrites standing
+    * files), so one key's total may be split across several physical
+    * rows; every serve path merges with `sum(n) GROUP BY key` — a
+    * groupBy on the bucket columns, i.e. exchange-free — which makes
+    * correctness invariant under append granularity.
+    * [[compactKeyIndexBucketed]] is therefore a true LSM merge, not
+    * just a file rewrite: it re-aggregates split rows while
+    * compacting, and the serve answer cannot change because the serve
+    * already sums.
+    *
+    * Nulls are exempt, matching [[graft.check.Checks.unique]] / SQL
+    * convention: a null key tuple is a `required` problem, not a
+    * uniqueness one.
+    */
+  private def keyCounts(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.filter(keys.map(df(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(df(_)): _*)
+      .agg(count(lit(1)).as("n"))
+
+  private def checkKeyMeta(spark: SparkSession, table: String,
+      keys: Seq[String]): Unit = {
+    val built = spark.table(s"${table}_meta")
+      .select(col("keys")).head.getString(0)
+    require(built == keys.mkString(","),
+      s"key index at $table was built on ($built) but is being served " +
+        s"on (${keys.mkString(",")}) — a different key set silently " +
+        "reports zero collisions")
+  }
+
+  def writeKeyIndexBucketed(df: DataFrame, table: String,
+      keys: Seq[String], numBuckets: Int): Unit = {
+    Scratch.sweepOnce(df.sparkSession)
+    Bucketing.writeBucketed(keyCounts(df, keys), s"${table}_keys",
+      keys, numBuckets)
+    df.sparkSession.range(1).select(lit(keys.mkString(",")).as("keys"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_meta")
+  }
+
+  /** Admit a checked batch's keys into the standing index: only the
+    * delta aggregates and shuffles into the table's bucket layout;
+    * standing files are untouched. Key columns are validated against
+    * the build-time `_meta` record first.
+    */
+  def appendKeyIndexBucketed(delta: DataFrame, table: String,
+      keys: Seq[String]): Unit = {
+    val spark = delta.sparkSession
+    checkKeyMeta(spark, table, keys)
+    Bucketing.appendBucketed(keyCounts(delta, keys), s"${table}_keys",
+      keys, Bucketing.numBucketsOf(spark, s"${table}_keys"))
+  }
+
+  /** Re-read the standing key index (bucket metadata from the
+    * catalog). Rows are RAW LSM rows — consumers must merge per key
+    * ([[graft.check.Checks.uniqueAgainstIndex]] does; FK serving
+    * doesn't need to, an anti join ignores right-side multiplicity).
+    */
+  def readKeyIndexBucketed(spark: SparkSession, table: String,
+      keys: Seq[String]): DataFrame = {
+    checkKeyMeta(spark, table, keys)
+    Bucketing.readBucketed(spark, s"${table}_keys")
+  }
+
+  /** True LSM merge-compaction: re-aggregate rows a key accumulated
+    * across appends AND rewrite to one file per non-empty bucket.
+    * The merge is a groupBy on the bucket columns (exchange-free) and
+    * the serve paths already sum per key, so the served answer is
+    * invariant — asserted in BucketingSpec alongside the file-count
+    * drop.
+    */
+  def compactKeyIndexBucketed(spark: SparkSession, table: String): Unit =
+    Bucketing.compactBucketed(spark, s"${table}_keys", df => {
+      val keys = df.columns.filter(_ != "n").toSeq
+      df.groupBy(keys.map(df(_)): _*).agg(sum(col("n")).as("n"))
+    })
+
   /** Build + persist the IVF index under an explicit centroid frame
     * (pass [[Similarity.firstIdCentroids]] output for the
     * deterministic plumbing path or [[Similarity.kmeansCentroids]]

@@ -191,6 +191,34 @@ class ChecksSpec extends SparkSpec {
     assert(row.getLong(0) == 1L) // only []
   }
 
+  test("index-served checks agree with their one-shot twins") {
+    // foreignKeyAgainstIndex over a key-index-SHAPED frame (keys + n,
+    // possibly with LSM-split rows for one key) ≡ foreignKey over the
+    // parent it indexes
+    val child = Seq(Some(1), Some(2), Some(99), Some(99), None)
+      .toDF("parent_id")
+    val parent = Seq(1, 2, 3).toDF("id")
+    val index = Seq((1, 1L), (2, 1L), (3, 1L), (3, 2L)) // key 3 split
+      .toDF("id", "n")
+    val direct = Checks.foreignKey(child, Seq("parent_id"), parent,
+      Seq("id")).collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val served = Checks.foreignKeyAgainstIndex(child, Seq("parent_id"),
+      index, Seq("id")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(served === direct && direct === Set((99, 2L)))
+
+    // uniqueAgainstIndex: batch-internal dup (7), history collision
+    // (1), split-row history collision (3: 2+1 across LSM rows), clean
+    // key (8) filtered; null keys exempt
+    val batch = Seq(Some(1), Some(3), Some(7), Some(7), Some(8), None)
+      .toDF("id")
+    val kidx = Seq((1, 1L), (2, 1L), (3, 2L), (3, 1L)).toDF("id", "n")
+    val got = Checks.uniqueAgainstIndex(batch, kidx, Seq("id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === Set((1, 1L, 1L), (3, 1L, 3L), (7, 2L, 0L)))
+  }
+
   test("fk broadcast re-hint applies ONLY to broadcast-family hints") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val child = Seq(Some(1), Some(99)).toDF("parent_id")

@@ -372,6 +372,307 @@ class BucketingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t$s")
   }
 
+  test("index compaction: file count drops to one per non-empty bucket, " +
+      "content and serve plan unchanged") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    def shifted(off: Long, frac: Double) =
+      docs.select((col("id") + off).as("id"),
+        slice(col("toks"), lit(1),
+          floor(size(col("toks")) * frac).cast("int")).as("toks"))
+    val probes = shifted(900000L, 0.6)
+    IndexStore.writeDedupIndexBucketed(docs, "cpx_spec",
+      numBuckets = 8, k = 5)
+    // two appended batches → three files per touched bucket
+    IndexStore.appendDedupIndexBucketed(shifted(50000L, 0.8),
+      "cpx_spec", k = 5)
+    IndexStore.appendDedupIndexBucketed(shifted(60000L, 0.7),
+      "cpx_spec", k = 5)
+    try {
+      def serve(): Set[(Long, Long, Double)] = {
+        val (sh, bands) = IndexStore
+          .readDedupIndexBucketed(spark, "cpx_spec", k = 5)
+        graft.ext.Dedup.nearDuplicatesAgainstIndex(probes, sh, bands,
+            threshold = 0.5, k = 5)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      }
+      val before = serve()
+      val filesBefore = Bucketing.dataFileCount(spark, "cpx_spec_bands")
+      assert(filesBefore > 8,
+        s"two appends must have grown past one file per bucket " +
+          s"(saw $filesBefore)")
+      IndexStore.compactDedupIndexBucketed(spark, "cpx_spec")
+      val filesAfter = Bucketing.dataFileCount(spark, "cpx_spec_bands")
+      assert(filesAfter <= 8 && filesAfter < filesBefore,
+        s"compaction must restore one file per non-empty bucket " +
+          s"($filesBefore → $filesAfter)")
+      assert(Bucketing.dataFileCount(spark, "cpx_spec_sh") <= 8,
+        "the shingle half compacts too")
+      // content and serve answer are exactly what the multi-file
+      // layout served, delta matches included
+      val after = serve()
+      assert(after === before,
+        "compaction must not change the served answer")
+      assert(after.exists { case (_, cid, _) => cid >= 50000L })
+      // meta record untouched → parameter guard still fires
+      intercept[IllegalArgumentException] {
+        IndexStore.readDedupIndexBucketed(spark, "cpx_spec", k = 3)
+      }
+      // the compacted table keeps its bucket metadata: the serve join
+      // still reads raw index rows with no exchange above them
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert(Bucketing.numBucketsOf(spark, "cpx_spec_bands") == 8)
+        val (sh, bands) = IndexStore
+          .readDedupIndexBucketed(spark, "cpx_spec", k = 5)
+        val p = graft.ext.Dedup.againstIndexPlan(probes, sh, bands,
+          threshold = 0.5, numHashes = 32, bands = 16, k = 5)
+        p.count()
+        def flatten(x: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = x match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => flatten(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => q +: flatten(q.plan)
+          case other => other +: other.children.flatMap(flatten)
+        }
+        val all = flatten(p.queryExecution.executedPlan)
+        def isIndexScan(x: org.apache.spark.sql.execution.SparkPlan) =
+          x match {
+            case s: FileSourceScanExec => s.tableIdentifier.exists(t =>
+              t.table == "cpx_spec_bands" || t.table == "cpx_spec_sh")
+            case _ => false
+          }
+        assert(all.exists(isIndexScan),
+          "serve must read the compacted bucketed tables")
+        def rawIndexBelow(x: org.apache.spark.sql.execution.SparkPlan)
+            : Boolean = x match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => rawIndexBelow(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => rawIndexBelow(q.plan)
+          case _: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+            false
+          case s if isIndexScan(s) => true
+          case other => other.children.exists(rawIndexBelow)
+        }
+        assert(!all.exists {
+          case e: ShuffleExchangeExec => rawIndexBelow(e.child)
+          case _ => false
+        }, "compacted index must still read in place")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // compacting a non-bucketed table is a loud error
+      spark.range(3).write.mode("overwrite").format("parquet")
+        .saveAsTable("cpx_plain")
+      intercept[IllegalArgumentException] {
+        Bucketing.compactBucketed(spark, "cpx_plain")
+      }
+    } finally {
+      for (s <- Seq("_sh", "_bands", "_meta"))
+        spark.sql(s"DROP TABLE IF EXISTS cpx_spec$s")
+      spark.sql("DROP TABLE IF EXISTS cpx_plain")
+      spark.sql("DROP TABLE IF EXISTS cpx_spec_sh__compact")
+      spark.sql("DROP TABLE IF EXISTS cpx_spec_bands__compact")
+    }
+  }
+
+  test("key index: serve ≡ rebuild over the union history, appended keys " +
+      "live, merge-compaction merges split rows without changing the " +
+      "answer") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val orders = Tables.load(spark, dir, "orders")
+    val batch1 = orders.filter(col("o_orderkey") % 3 === 0)
+      .select((col("o_orderkey") + 1000000L).as("o_orderkey"))
+    val batch2 = orders.filter(col("o_orderkey") % 6 === 0)
+      .select((col("o_orderkey") + 1000000L).as("o_orderkey"))
+      .unionByName(orders.filter(col("o_orderkey") % 10 === 1)
+        .select("o_orderkey"))
+    IndexStore.writeKeyIndexBucketed(orders, "kix_spec",
+      Seq("o_orderkey"), numBuckets = 8)
+    IndexStore.appendKeyIndexBucketed(batch1, "kix_spec",
+      Seq("o_orderkey"))
+    IndexStore.writeKeyIndexBucketed(
+      orders.select("o_orderkey").unionByName(batch1), "kix_full",
+      Seq("o_orderkey"), numBuckets = 8)
+    try {
+      def serve(table: String): Set[(Long, Long, Long)] = {
+        val idx = IndexStore.readKeyIndexBucketed(spark, table,
+          Seq("o_orderkey"))
+        graft.check.Checks.uniqueAgainstIndex(batch2, idx,
+            Seq("o_orderkey"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      }
+      val appended = serve("kix_spec")
+      assert(appended === serve("kix_full"),
+        "append(build(hist), batch) must serve the union-rebuild answer")
+      assert(appended.exists { case (k, _, ne) => k > 1000000L && ne > 0 },
+        "batch-2 keys must collide with batch-1 keys appended earlier")
+      // second append of the same batch splits its keys across files;
+      // the serve must sum the split rows (n_existing = 2 now)
+      IndexStore.appendKeyIndexBucketed(batch1, "kix_spec",
+        Seq("o_orderkey"))
+      val split = serve("kix_spec")
+      assert(split.exists { case (k, _, ne) => k > 1000000L && ne == 2 },
+        "LSM split rows must sum at serve time")
+      val rowsBefore = spark.table("kix_spec_keys").count()
+      val filesBefore = Bucketing.dataFileCount(spark, "kix_spec_keys")
+      assert(filesBefore > 8, "two appends must exceed one file/bucket")
+      IndexStore.compactKeyIndexBucketed(spark, "kix_spec")
+      val filesAfter = Bucketing.dataFileCount(spark, "kix_spec_keys")
+      assert(filesAfter <= 8 && filesAfter < filesBefore,
+        s"compaction must shrink files ($filesBefore → $filesAfter)")
+      val rowsAfter = spark.table("kix_spec_keys").count()
+      assert(rowsAfter < rowsBefore,
+        "merge-compaction must merge rows a key accumulated across " +
+          s"appends ($rowsBefore → $rowsAfter)")
+      val distinctKeys = orders.select("o_orderkey").unionByName(batch1)
+        .distinct().count()
+      assert(rowsAfter == distinctKeys,
+        "post-merge the index holds exactly one row per key")
+      assert(serve("kix_spec") === split,
+        "merge-compaction must not change the served answer")
+      // key-set guard fires on read and append
+      intercept[IllegalArgumentException] {
+        IndexStore.readKeyIndexBucketed(spark, "kix_spec",
+          Seq("o_custkey"))
+      }
+      intercept[IllegalArgumentException] {
+        IndexStore.appendKeyIndexBucketed(batch1, "kix_spec",
+          Seq("o_custkey"))
+      }
+      // plan contract: history side (scan → merge agg → join) reads in
+      // place; no exchange may sit between the index scan and the join
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val idx = IndexStore.readKeyIndexBucketed(spark, "kix_spec",
+          Seq("o_orderkey"))
+        val p = graft.check.Checks.uniqueAgainstIndex(batch2, idx,
+          Seq("o_orderkey"))
+        p.count()
+        def flatten(x: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = x match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => flatten(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => q +: flatten(q.plan)
+          case other => other +: other.children.flatMap(flatten)
+        }
+        val all = flatten(p.queryExecution.executedPlan)
+        def isIndexScan(x: org.apache.spark.sql.execution.SparkPlan) =
+          x match {
+            case s: FileSourceScanExec =>
+              s.tableIdentifier.exists(_.table == "kix_spec_keys")
+            case _ => false
+          }
+        assert(all.exists(isIndexScan),
+          "serve must read the bucketed key index")
+        def rawIndexBelow(x: org.apache.spark.sql.execution.SparkPlan)
+            : Boolean = x match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => rawIndexBelow(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => rawIndexBelow(q.plan)
+          case _: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+            false
+          case s if isIndexScan(s) => true
+          case other => other.children.exists(rawIndexBelow)
+        }
+        assert(!all.exists {
+          case e: ShuffleExchangeExec => rawIndexBelow(e.child)
+          case _ => false
+        }, "history side of the uniqueness serve must read in place:\n" +
+          p.queryExecution.executedPlan)
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally for (t <- Seq("kix_spec", "kix_full");
+        s <- Seq("_keys", "_meta"))
+      spark.sql(s"DROP TABLE IF EXISTS $t$s")
+  }
+
+  test("phash index: serve ≡ self-join restricted to probe×corpus, " +
+      "banding guard fires, corpus side reads in place") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.ext.Multimodal
+    val d = Tables.load(spark, dir, "documents")
+    val hashes = Multimodal.perceptualHash(
+      Multimodal.synthesizeNearDupImages(d, "doc_id", every = 5))
+      .select(col("id"), col("dhash"))
+    val corpus = hashes.filter(col("id") % 2 === 0)
+    val probes = hashes.filter(col("id") % 2 === 1)
+    IndexStore.writePhashIndexBucketed(corpus, "phx_spec",
+      numBuckets = 8, bands = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      intercept[IllegalArgumentException] {
+        IndexStore.readPhashIndexBucketed(spark, "phx_spec", bands = 4)
+      }
+      val idx = IndexStore.readPhashIndexBucketed(spark, "phx_spec",
+        bands = 8)
+      val served = Multimodal.phashNearDuplicatesAgainst(probes, idx,
+        bands = 8, maxDist = 7)
+      val got = served.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // reference: the self-join over ALL items, restricted to
+      // (odd probe, even corpus) pairs, either orientation
+      val all = Multimodal.phashNearDuplicates(hashes, bands = 8,
+          maxDist = 7).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val ref = all.collect {
+        case (a, b, h) if a % 2 == 1 && b % 2 == 0 => (a, b, h)
+        case (a, b, h) if b % 2 == 1 && a % 2 == 0 => (b, a, h)
+      }.toSet
+      assert(got === ref, "served pairs must match the self-join answer")
+      assert(got.nonEmpty, "perturbed twins must hit their sources")
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => q +: flatten(q.plan)
+        case other => other +: other.children.flatMap(flatten)
+      }
+      val all2 = flatten(served.queryExecution.executedPlan)
+      def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan) =
+        p match {
+          case s: FileSourceScanExec =>
+            s.tableIdentifier.exists(_.table == "phx_spec_bands")
+          case _ => false
+        }
+      assert(all2.exists(isIndexScan),
+        "serve must read the bucketed phash index")
+      def rawIndexBelow(x: org.apache.spark.sql.execution.SparkPlan)
+          : Boolean = x match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => rawIndexBelow(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => rawIndexBelow(q.plan)
+        case _: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          false
+        case s if isIndexScan(s) => true
+        case other => other.children.exists(rawIndexBelow)
+      }
+      assert(!all2.exists {
+        case e: ShuffleExchangeExec => rawIndexBelow(e.child)
+        case _ => false
+      }, "banded corpus index must read in place below the serve join")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      for (s <- Seq("_bands", "_meta"))
+        spark.sql(s"DROP TABLE IF EXISTS phx_spec$s")
+    }
+  }
+
   test("bucketed aggregation on the bucket key skips the shuffle") {
     val li = Tables.load(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber")
