@@ -1110,6 +1110,117 @@ object Dedup {
     * cached (three consumers). Output: (id_a, id_b, inter, size_a,
     * size_b, jaccard) with id_a < id_b.
     */
+  /** EXACT edit-distance similarity join (PassJoin-style segment
+    * pigeonhole; Li/Deng/Feng, VLDB 2011 — public algorithm, original
+    * implementation): all pairs with `levenshtein(a, b) <= d`, output
+    * `(id_a, id_b, dist)` with `id_a < id_b`. The all-pairs DP a naive
+    * join would do is O(n² · len²); this never compares two strings
+    * that cannot share an untouched segment.
+    *
+    * Pigeonhole: split every indexed string of length `ls >= d+1`
+    * into d+1 contiguous segments (deterministic even partition — the
+    * LAST `ls mod (d+1)` segments get the extra char). An alignment
+    * with at most d edits leaves at least one segment untouched, and
+    * that segment appears VERBATIM in the partner at a start shifted
+    * by at most d (the net indel balance before it). So: index side
+    * emits (ls, j, segment), probe side emits, for each candidate
+    * indexed length `ls in [max(d+1, lt-d), lt]` and segment slot j,
+    * every substring of the probe with that segment's length starting
+    * within ±d of the segment's home position — one equi-join on
+    * `(ls, j, xxhash64(piece))` yields a candidate superset (probing
+    * only `ls <= lt` plus id-ordering at `ls == lt` gives each pair
+    * exactly once; hashing the piece keeps the shuffle narrow and can
+    * only ADD candidates, never lose one). Strings SHORTER than d+1
+    * chars can't feed the pigeonhole (fewer than d+1 non-empty
+    * segments); any partner within distance d has length <= 2d, so the
+    * short frame equi-joins on exact partner LENGTH instead — still
+    * never a cartesian, though inherently dense if billions of
+    * near-empty strings share a length (that's the problem, not the
+    * plan). Candidates are verified with the codegen'd banded
+    * `levenshtein(a, b, d)` (O(d·len) per pair, early-exit -1).
+    *
+    * Scale shape: explode volumes are (d+1)²·(2d+1) probe rows and
+    * d+1 index rows per document — linear in corpus size for fixed d;
+    * every join is an equi-join on bounded keys; the only quadratic
+    * surface is genuinely-colliding segment buckets (true near-dups,
+    * or pathological template corpora — the same lever as the gram
+    * caps applies if one ever dominates).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: Column,
+      d: Int): DataFrame = {
+    require(d >= 1, s"edit-distance threshold must be >= 1, got $d")
+    val m = d + 1
+    val bRaw = df.select(col(idCol).as("__id"), strCol.as("__s"))
+      .filter(col("__s").isNotNull)
+      .withColumn("__l", length(col("__s")))
+    CacheScope.withCached(bRaw) { b =>
+      // even-partition arithmetic, shared verbatim by both sides:
+      // seg j of a length-ls string starts at p(j) (0-based), len(j)
+      def segLen(ls: Column, j: Column): Column =
+        call_function("div", ls, lit(m)) +
+          when(j >= lit(m) - pmod(ls, lit(m)), lit(1L)).otherwise(lit(0L))
+      def segPos(ls: Column, j: Column): Column =
+        j * call_function("div", ls, lit(m)) +
+          greatest(lit(0L), j - (lit(m) - pmod(ls, lit(m))))
+
+      val long = b.filter(col("__l") >= m)
+      val segs = long
+        .select(col("__id").as("id_a"), col("__l").as("la"), col("__s"),
+          explode(sequence(lit(0), lit(d))).as("j"))
+        .select(col("id_a"), col("la"), col("j"),
+          xxhash64(col("__s").substr(
+            (segPos(col("la"), col("j")) + 1).cast("int"),
+            segLen(col("la"), col("j")).cast("int"))).as("h"))
+      val probes = long
+        .select(col("__id").as("id_b"), col("__l").as("lb"), col("__s"),
+          explode(sequence(greatest(lit(m), col("__l") - d),
+            col("__l"))).as("ls"))
+        .select(col("id_b"), col("lb"), col("ls"), col("__s"),
+          explode(sequence(lit(0), lit(d))).as("jp"))
+        .select(col("id_b"), col("lb"), col("ls"), col("jp"), col("__s"),
+          explode(sequence(
+            greatest(lit(0L), segPos(col("ls"), col("jp")) - d),
+            least(col("lb") - segLen(col("ls"), col("jp")),
+              segPos(col("ls"), col("jp")) + d))).as("st"))
+        .select(col("id_b"), col("lb"), col("ls"), col("jp"),
+          xxhash64(col("__s").substr((col("st") + 1).cast("int"),
+            segLen(col("ls"), col("jp")).cast("int"))).as("hp"))
+      val candLong = segs.join(probes,
+          segs("la") === probes("ls") && segs("j") === probes("jp") &&
+            segs("h") === probes("hp") &&
+            (segs("la") < probes("lb") ||
+              segs("id_a") < probes("id_b")))
+        .select(col("id_a"), col("id_b"))
+
+      // short strings (< d+1 chars): every partner within distance d
+      // has length <= ls + d — equi-join on exact partner length
+      val shorts = b.filter(col("__l") <= d)
+        .select(col("__id").as("id_a"), col("__l").as("la"),
+          explode(sequence(greatest(lit(0), col("__l") - d),
+            col("__l") + d)).as("lbt"))
+      val candShort = shorts.join(
+          b.select(col("__id").as("id_b"), col("__l").as("lb")),
+          shorts("lbt") === col("lb") &&
+            (shorts("la") < col("lb") ||
+              (shorts("la") === col("lb") &&
+                shorts("id_a") < col("id_b"))))
+        .select(col("id_a"), col("id_b"))
+
+      candLong.unionByName(candShort)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .distinct()
+        .join(b.select(col("__id").as("id_a"), col("__s").as("__sa")),
+          "id_a")
+        .join(b.select(col("__id").as("id_b"), col("__s").as("__sb")),
+          "id_b")
+        .withColumn("dist",
+          levenshtein(col("__sa"), col("__sb"), d).cast("long"))
+        .filter(col("dist") >= 0)
+        .select(col("id_a"), col("id_b"), col("dist"))
+    }
+  }
+
   def jaccardJoinExact(df: DataFrame, idCol: String, toksCol: Column,
       tNum: Long, tDen: Long): DataFrame = {
     require(tNum > 0 && tNum <= tDen,

@@ -979,4 +979,22 @@ class PlanSpec extends SparkSpec {
     assert(ws.nonEmpty && ws.forall(_.nonEmpty),
       s"bucket-cap window must partition by (band, key): $ws")
   }
+
+  test("editDistancePairs: segment pigeonhole equi-joins only — no " +
+      "BNLJ, no cartesian, no window") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import spark.implicits._
+    // mixed long strings (segment path) and sub-(d+1) strings (short
+    // path, length-keyed) so BOTH candidate arms plan
+    val rows = ((1L to 60L).map(i => (i, s"abcdefghij-${i % 7}-klmno")) ++
+      (61L to 70L).map(i => (i, "ab"))).toDF("id", "s")
+    val p = graft.ext.Dedup.editDistancePairs(rows, "id", col("s"), 3)
+    val n = nodes(p)
+    assert(!n.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "candidates must come from the (len, slot, piece-hash) and " +
+        "partner-length equi-joins, never a nested loop")
+    assert(!n.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!n.exists(_.isInstanceOf[WindowExec]))
+  }
 }

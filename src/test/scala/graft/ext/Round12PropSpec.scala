@@ -104,6 +104,47 @@ class Round12PropSpec extends SparkSpec {
     out.toList
   }
 
+  /** Textbook full-matrix Levenshtein DP — nothing in common with
+    * either Spark's banded builtin or the PassJoin candidate plan.
+    */
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  test("law: editDistancePairs equals the all-pairs DP reference — " +
+      "short strings, equal lengths, and empty strings included") {
+    val gen = for {
+      d <- Gen.choose(1, 3)
+      n <- Gen.choose(2, 10)
+      strs <- Gen.listOfN(n,
+        Gen.choose(0, 12).flatMap(l =>
+          Gen.listOfN(l, Gen.oneOf('a', 'b')).map(_.mkString)))
+    } yield (d, strs.zipWithIndex.map { case (s, i) => (i.toLong, s) })
+    check(Prop.forAll(gen) { case (d, rows) =>
+      val got = Dedup.editDistancePairs(rows.toDF("id", "s"), "id",
+          col("s"), d)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val ref = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib
+        dist = lev(sa, sb)
+        if dist <= d
+      } yield (ia, ib, dist.toLong)).toSet
+      got == ref
+    })
+  }
+
   test("law: the indexed incremental BPE trainer learns the same merge " +
       "sequence as the naive recompute-everything reference") {
     val gen = for {
