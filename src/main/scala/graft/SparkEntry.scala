@@ -387,6 +387,157 @@ object SparkEntry {
     */
   private val AppendDeltaOffset = 1000000L
 
+  /** The LSM arc CLOSED: build → append → COMPACT → serve. Identical
+    * data flow to [[xDedupIndexAppend]] with one
+    * [[graft.sources.IndexStore.compactDedupIndexBucketed]] between
+    * the append and the serve — compaction rewrites the multi-file
+    * buckets back to one file each WITHOUT changing content, layout,
+    * or the serve plan, so this row shares x_dedup_index_append's
+    * oracle verbatim: the hash-match proves
+    * serve(compact(append(build(base), delta))) ≡
+    * serve(append(build(base), delta)) ≡ build(base ∪ delta). The
+    * file-count drop itself (the thing compaction buys) is asserted
+    * in BucketingSpec, where the filesystem observable lives.
+    */
+  private def xDedupIndexCompact(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val delta = base.select((col("id") + AppendDeltaOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val probes = base.select((col("id") + IncrementalTwinOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.6).cast("int")).as("toks"))
+    val tbl = indexTable(dir, "sidx_cmp")
+    graft.sources.IndexStore.writeDedupIndexBucketed(base, tbl,
+      numBuckets = 8, k = 5)
+    graft.sources.IndexStore.appendDedupIndexBucketed(delta, tbl, k = 5)
+    graft.sources.IndexStore.compactDedupIndexBucketed(s, tbl)
+    val (sh, bands) =
+      graft.sources.IndexStore.readDedupIndexBucketed(s, tbl, k = 5)
+    Dedup.nearDuplicatesAgainstIndex(probes, sh, bands,
+        threshold = 0.5, k = 5)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** Incremental C2/K1 served from a persisted bucketed KEY INDEX
+    * ([[graft.sources.IndexStore.writeKeyIndexBucketed]]) — the
+    * validation-core twin of the dedup index arc: a growing table's
+    * uniqueness check should only ask "does the BATCH collide with
+    * history", never rescan history. The batch deliberately contains
+    * all three violation shapes: keys history already holds (every
+    * 5th order re-ingested → n_existing ≥ 1), keys duplicated both
+    * against history AND inside the batch (the %15 subset rides
+    * twice), and BATCH-INTERNAL-ONLY duplicates history has never
+    * seen (fresh offset keys included twice → n_existing = 0, still
+    * reported). Fresh singleton keys (%7 = 3, once each) prove the
+    * non-violating path filters out. The oracle recomputes every
+    * count from scratch over the same frames in DuckDB.
+    */
+  private def xUniqueIncremental(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+    val fresh = base.filter(col("o_orderkey") % 7 === 3)
+      .select((col("o_orderkey") + KeyFreshOffset).as("o_orderkey"))
+    val batch = base.filter(col("o_orderkey") % 5 === 0)
+      .select("o_orderkey")
+      .unionByName(base.filter(col("o_orderkey") % 15 === 0)
+        .select("o_orderkey"))
+      .unionByName(fresh).unionByName(fresh)
+    val tbl = indexTable(dir, "keyidx")
+    graft.sources.IndexStore.writeKeyIndexBucketed(base, tbl,
+      Seq("o_orderkey"), numBuckets = 8)
+    val idx = graft.sources.IndexStore.readKeyIndexBucketed(s, tbl,
+      Seq("o_orderkey"))
+    Checks.uniqueAgainstIndex(batch, idx, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Fresh-key offset for the key-index rows: far above any real
+    * o_orderkey at every harness sf, so offset ranges never collide
+    * with history and the oracle's splits are single comparisons.
+    */
+  private val KeyFreshOffset = 1000000000L
+
+  /** STREAMING uniqueness with check-then-admit state
+    * ([[graft.streaming.StreamingValidate.uniqueIngestStream]]): the
+    * key index is built on orders, then a 4-file stream of batch keys
+    * is checked batch-by-batch against it, each batch ADMITTED after
+    * its check — fresh keys riding the stream TWICE are caught only
+    * because earlier batches' appends are live for later ones. The
+    * output is the order-invariant aggregate (key, n_total), so the
+    * DuckDB oracle recomputes totals over history ∪ stream with no
+    * notion of batch boundaries — the hash-match proves the streamed
+    * stateful decomposition equals the batchless answer.
+    */
+  private def xStreamUniqueIndex(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+    val fresh = base.filter(col("o_orderkey") % 6 === 0)
+      .select((col("o_orderkey") + 3L * KeyFreshOffset).as("o_orderkey"))
+    val stream = base.filter(col("o_orderkey") % 10 === 1)
+      .select("o_orderkey")
+      .unionByName(fresh).unionByName(fresh)
+    val streamDir = indexDir(dir, "ukeys_stream")
+    stream.repartition(4).write.mode("overwrite").parquet(streamDir)
+    val tbl = indexTable(dir, "keyustr")
+    graft.sources.IndexStore.writeKeyIndexBucketed(base, tbl,
+      Seq("o_orderkey"), numBuckets = 8)
+    StreamingValidate.uniqueIngestStream(s, streamDir, tbl,
+        Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  /** The key-index LSM arc CLOSED: build on history → APPEND an
+    * admitted batch → MERGE-COMPACT → serve the next batch. Batch 2
+    * collides with BOTH the original history (%10 = 1 keys) and with
+    * batch 1's appended fresh keys (the %6 = 0 offset subset of
+    * batch 1's %3 = 0 keys) — so a hash-match against the oracle's
+    * scratch recompute over history ∪ batch1 proves appended keys are
+    * live in the serve join AND that
+    * [[graft.sources.IndexStore.compactKeyIndexBucketed]]'s row-merge
+    * rewrite changed nothing the serve can observe.
+    */
+  private def xUniqueIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+    val batch1 = base.filter(col("o_orderkey") % 3 === 0)
+      .select((col("o_orderkey") + 2L * KeyFreshOffset).as("o_orderkey"))
+    val batch2 = base.filter(col("o_orderkey") % 6 === 0)
+      .select((col("o_orderkey") + 2L * KeyFreshOffset).as("o_orderkey"))
+      .unionByName(base.filter(col("o_orderkey") % 10 === 1)
+        .select("o_orderkey"))
+    val tbl = indexTable(dir, "keyapp")
+    graft.sources.IndexStore.writeKeyIndexBucketed(base, tbl,
+      Seq("o_orderkey"), numBuckets = 8)
+    graft.sources.IndexStore.appendKeyIndexBucketed(batch1, tbl,
+      Seq("o_orderkey"))
+    graft.sources.IndexStore.compactKeyIndexBucketed(s, tbl)
+    val idx = graft.sources.IndexStore.readKeyIndexBucketed(s, tbl,
+      Seq("o_orderkey"))
+    Checks.uniqueAgainstIndex(batch2, idx, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  /** K3 served from a standing PARENT key index — the FK check when
+    * the dimension itself is 100 TB-class: too big to broadcast, too
+    * hot to re-shuffle per ingest batch. Same degraded-parent scenario
+    * as k3_fk_orders_customer (every 10th customer dropped) with the
+    * parent persisted once as a bucketed key index and the child
+    * batch anti-joined against it in place
+    * ([[graft.check.Checks.foreignKeyAgainstIndex]]) — result contract
+    * identical, so this row shares k3_fk_orders_customer's oracle
+    * verbatim: hash-identity with the broadcast path IS the claim.
+    */
+  private def k3FkIndexServed(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val parent = t(s, dir, "customer").filter(col("c_custkey") % 10 =!= 0)
+    val tbl = indexTable(dir, "fkidx")
+    graft.sources.IndexStore.writeKeyIndexBucketed(parent, tbl,
+      Seq("c_custkey"), numBuckets = 8)
+    val idx = graft.sources.IndexStore.readKeyIndexBucketed(s, tbl,
+      Seq("c_custkey"))
+    Checks.foreignKeyAgainstIndex(orders, Seq("o_custkey"), idx,
+      Seq("c_custkey")).orderBy("o_custkey")
+  }
+
   /** The x_sim_ivf_topk contract served from a persisted IVF index:
     * centroids + assignments written to parquet, re-read, probed.
     * Doubles round-trip parquet bit-identically, so this shares
@@ -1782,6 +1933,34 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** The image family's incremental-ingest arc closed: the corpus'
+    * banded dHash frame persisted ONCE as a bucketed index on the
+    * serve join's own (band, key)
+    * ([[graft.sources.IndexStore.writePhashIndexBucketed]]), a probe
+    * batch (the perturbed twins) decoded/hashed/banded per ingest and
+    * joined against it in place. Same pigeonhole completeness as the
+    * self-join row; the oracle recomputes every luma byte, hash bit,
+    * and popcount arithmetically in DuckDB for the probe×corpus pair
+    * set.
+    */
+  private def xMmPhashServed(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val hashes = Multimodal.perceptualHash(
+      Multimodal.synthesizeNearDupImages(d, "doc_id", every = 5))
+    val corpus = hashes.filter(col("id") % 2 === 0)
+      .select(col("id"), col("dhash"))
+    val probes = hashes.filter(col("id") % 2 === 1)
+      .select(col("id"), col("dhash"))
+    val tbl = indexTable(dir, "phidx")
+    graft.sources.IndexStore.writePhashIndexBucketed(corpus, tbl,
+      numBuckets = 8, bands = 8)
+    val idx = graft.sources.IndexStore.readPhashIndexBucketed(s, tbl,
+      bands = 8)
+    Multimodal.phashNearDuplicatesAgainst(probes, idx, bands = 8,
+        maxDist = 7)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Multimodal: REAL WAV decode. Synthesizes a genuine RIFF/PCM16
     * blob per document (sample values are pure functions of doc_id),
     * then `javax.sound.sampled` parses the bytes back — container
@@ -2855,6 +3034,23 @@ object SparkEntry {
     * The oracle brute-forces every token-sharing pair; the engine
     * must reach the same pairs through pruning.
     */
+  /** EXACT edit-distance join over the documents corpus (PassJoin
+    * segment pigeonhole + banded levenshtein verify,
+    * [[graft.ext.Dedup.editDistancePairs]]) — the near-dup family
+    * member none of the token/shingle operators cover: character-level
+    * tolerance to typos/small edits with a HARD metric guarantee. The
+    * corpus genuinely contains mutated copies within distance 4, so
+    * the result is non-empty without planting; restricted to
+    * `n_chars <= 250` purely to keep the DuckDB brute-force oracle
+    * (length-filtered all-pairs levenshtein) affordable — the Spark
+    * side never goes all-pairs at any size.
+    */
+  private def xDedupEditdist(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(
+        t(s, dir, "documents").filter(col("n_chars") <= 250),
+        "doc_id", col("text"), d = 4)
+      .orderBy("id_a", "id_b")
+
   private def xDedupPpjoin(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents")
       .where(pmod(col("doc_id"), lit(16)) === 0)
@@ -3575,6 +3771,7 @@ object SparkEntry {
     "x_ts_cusum" -> (xTsCusum _),
     "x_graph_khop" -> (xGraphKhop _),
     "x_dedup_ppjoin" -> (xDedupPpjoin _),
+    "x_dedup_editdist" -> (xDedupEditdist _),
     "x_layout_bloomskip" -> (xLayoutBloomskip _),
     "x_olap_rollup_incr" -> (xOlapRollupIncr _),
     "x_ab_cuped" -> (xAbCuped _),
@@ -3624,6 +3821,12 @@ object SparkEntry {
     "x_stream_drift_batched" -> (xStreamDriftBatched _),
     "x_eval_rbo" -> (xEvalRbo _),
     "x_dedup_index_append" -> (xDedupIndexAppend _),
+    "x_dedup_index_compact" -> (xDedupIndexCompact _),
+    "x_unique_incremental" -> (xUniqueIncremental _),
+    "x_unique_index_append" -> (xUniqueIndexAppend _),
+    "k3_fk_index_served" -> (k3FkIndexServed _),
+    "x_stream_unique_index" -> (xStreamUniqueIndex _),
+    "x_mm_phash_served" -> (xMmPhashServed _),
     "x_eval_kendall" -> (xEvalKendall _),
     "x_profile_quantile_norm" -> (xProfileQuantileNorm _),
     "x_profile_spearman" -> (xProfileSpearman _),
@@ -3655,7 +3858,11 @@ object SparkEntry {
       "x_stream_ann_serve" ->
         graft.oracle.StaticOracles.sql("x_sim_ivf_topk"),
       "x_sim_quantized_served" ->
-        graft.oracle.StaticOracles.sql("x_sim_quantized"))
+        graft.oracle.StaticOracles.sql("x_sim_quantized"),
+      "x_dedup_index_compact" ->
+        graft.oracle.StaticOracles.sql("x_dedup_index_append"),
+      "k3_fk_index_served" ->
+        graft.oracle.StaticOracles.sql("k3_fk_orders_customer"))
 
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
     * Verify skip the generation work when a name filter excludes them.

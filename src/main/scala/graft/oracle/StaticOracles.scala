@@ -686,36 +686,21 @@ private[graft] object StaticOracles {
     // (0,0)), then compares ALL pairs; the Spark side's pigeonhole
     // completeness (maxDist 7 < 8 bands) makes the two sets equal
     "x_mm_phash_neardup" ->
-      """WITH d AS (
-        |  SELECT doc_id AS src, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h
-        |  FROM documents),
-        |items AS (
-        |  SELECT src, src * 2 AS item_id, 0 AS pert, w, h FROM d
-        |  UNION ALL
-        |  SELECT src, src * 2 + 1, 1, w, h FROM d WHERE src % 5 = 0),
-        |g AS (
-        |  SELECT item_id,
-        |    list_transform(range(0, 64), i ->
-        |      ((((src + ((i % 8) * w // 8)) % 256) * 299
-        |        + (CASE WHEN pert = 1 AND ((i % 8) * w // 8) = 0
-        |                AND ((i // 8) * h // 8) = 0
-        |           THEN (src % 256 + 128) % 256 ELSE src % 256 END) * 587
-        |        + (((src * 3 + ((i // 8) * h // 8)) % 256) * 114))
-        |        // 1000)) AS luma
-        |  FROM items),
-        |hh AS (
-        |  SELECT item_id,
-        |    CAST(list_sum(list_transform(range(0, 56), b ->
-        |      CASE WHEN luma[(b // 7) * 8 + (b % 7) + 2]
-        |             > luma[(b // 7) * 8 + (b % 7) + 1]
-        |        THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END))
-        |      AS BIGINT) AS dhash
-        |  FROM g)
+      s"""WITH $phashItemHashCtes
         |SELECT a.item_id AS id_a, b.item_id AS id_b,
         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
         |FROM hh a JOIN hh b ON a.item_id < b.item_id
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
         |ORDER BY id_a, id_b""".stripMargin,
+    // probes (odd item ids, the perturbed twins) vs corpus (even item
+    // ids) — the answer the bucketed phash index must serve
+    "x_mm_phash_served" ->
+      s"""WITH $phashItemHashCtes
+        |SELECT a.item_id AS new_id, b.item_id AS corpus_id,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+        |FROM hh a JOIN hh b ON a.item_id % 2 = 1 AND b.item_id % 2 = 0
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+        |ORDER BY new_id, corpus_id""".stripMargin,
     // exact-arithmetic twin of the WAV decode: the synthetic PCM is a
     // pure function of (id, i), so loudness and clip counts re-derive
     "x_mm_audio" ->
@@ -1689,6 +1674,85 @@ private[graft] object StaticOracles {
       s"""WITH ${duckMinhashAppendCtes(1000000L, 1000000000000L)}
         |SELECT new_id, corpus_id, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY new_id, corpus_id""".stripMargin,
+    // brute-force edit-distance ground truth: length-filtered
+    // all-pairs levenshtein (the quadratic plan the Spark side exists
+    // to avoid — affordable here because the row restricts to
+    // n_chars <= 250)
+    "x_dedup_editdist" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE n_chars <= 250),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        levenshtein(a.text, b.text) AS dist
+        |      FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |        AND abs(length(a.text) - length(b.text)) <= 4)
+        |SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist FROM p
+        |WHERE dist <= 4 ORDER BY id_a, id_b""".stripMargin,
+    // key-index serve: every count recomputed from scratch — batch
+    // built from the same deterministic filters as the Spark side
+    // (every-5th re-ingest, the %15 subset twice, fresh offset keys
+    // twice; singleton fresh %7=3 keys must filter OUT)
+    "x_unique_incremental" ->
+      """WITH batch AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 15 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000 FROM orders
+        |  WHERE o_orderkey % 7 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000 FROM orders
+        |  WHERE o_orderkey % 7 = 3),
+        |b AS (SELECT o_orderkey, count(*) AS n_new FROM batch
+        |  WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |h AS (SELECT o_orderkey, count(*) AS n_existing FROM orders
+        |  WHERE o_orderkey IS NOT NULL GROUP BY 1)
+        |SELECT b.o_orderkey, b.n_new,
+        |  coalesce(h.n_existing, 0) AS n_existing
+        |FROM b LEFT JOIN h ON b.o_orderkey = h.o_orderkey
+        |WHERE b.n_new + coalesce(h.n_existing, 0) > 1
+        |ORDER BY 1""".stripMargin,
+    // from-scratch recompute over history ∪ admitted batch1 — the
+    // answer the appended-then-merge-compacted key index must serve
+    "x_unique_index_append" ->
+      """WITH hist AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT o_orderkey + 2000000000 FROM orders
+        |  WHERE o_orderkey % 3 = 0),
+        |batch AS (
+        |  SELECT o_orderkey + 2000000000 AS o_orderkey FROM orders
+        |  WHERE o_orderkey % 6 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 1),
+        |b AS (SELECT o_orderkey, count(*) AS n_new FROM batch
+        |  WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |h AS (SELECT o_orderkey, count(*) AS n_existing FROM hist
+        |  GROUP BY 1)
+        |SELECT b.o_orderkey, b.n_new,
+        |  coalesce(h.n_existing, 0) AS n_existing
+        |FROM b LEFT JOIN h ON b.o_orderkey = h.o_orderkey
+        |WHERE b.n_new + coalesce(h.n_existing, 0) > 1
+        |ORDER BY 1""".stripMargin,
+    // batchless recompute of the streamed check-then-admit uniqueness:
+    // total counts over history ∪ stream for every key the stream
+    // touched — micro-batch boundaries must be invisible
+    "x_stream_unique_index" ->
+      """WITH stream AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 3000000000 FROM orders
+        |  WHERE o_orderkey % 6 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 3000000000 FROM orders
+        |  WHERE o_orderkey % 6 = 0),
+        |s AS (SELECT o_orderkey, count(*) AS c FROM stream
+        |  WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |h AS (SELECT o_orderkey, count(*) AS c FROM orders
+        |  WHERE o_orderkey IS NOT NULL GROUP BY 1)
+        |SELECT s.o_orderkey, s.c + coalesce(h.c, 0) AS n_total
+        |FROM s LEFT JOIN h ON s.o_orderkey = h.o_orderkey
+        |WHERE s.c + coalesce(h.c, 0) > 1
+        |ORDER BY 1""".stripMargin,
     "x_sample_exact_n" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source FROM documents
@@ -4575,6 +4639,39 @@ private[graft] object StaticOracles {
     * part graph: the same `rounds` synchronous peels unrolled as CTE
     * pairs (degree filter, both-endpoint edge prune).
     */
+  /** Shared synthetic-image hash recompute (x_mm_phash_neardup /
+    * x_mm_phash_served): every luma byte of the BMP fixtures and every
+    * dHash bit re-derived arithmetically — `hh` is (item_id, dhash).
+    */
+  // a def, not a val: the `sql` map initializes first and would
+  // interpolate a null
+  private def phashItemHashCtes: String =
+    """d AS (
+      |  SELECT doc_id AS src, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h
+      |  FROM documents),
+      |items AS (
+      |  SELECT src, src * 2 AS item_id, 0 AS pert, w, h FROM d
+      |  UNION ALL
+      |  SELECT src, src * 2 + 1, 1, w, h FROM d WHERE src % 5 = 0),
+      |g AS (
+      |  SELECT item_id,
+      |    list_transform(range(0, 64), i ->
+      |      ((((src + ((i % 8) * w // 8)) % 256) * 299
+      |        + (CASE WHEN pert = 1 AND ((i % 8) * w // 8) = 0
+      |                AND ((i // 8) * h // 8) = 0
+      |           THEN (src % 256 + 128) % 256 ELSE src % 256 END) * 587
+      |        + (((src * 3 + ((i // 8) * h // 8)) % 256) * 114))
+      |        // 1000)) AS luma
+      |  FROM items),
+      |hh AS (
+      |  SELECT item_id,
+      |    CAST(list_sum(list_transform(range(0, 56), b ->
+      |      CASE WHEN luma[(b // 7) * 8 + (b % 7) + 2]
+      |             > luma[(b // 7) * 8 + (b % 7) + 1]
+      |        THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END))
+      |      AS BIGINT) AS dhash
+      |  FROM g)""".stripMargin
+
   private def kCoreOracle(k: Int, rounds: Int): String = {
     val ctes = (1 to rounds).map(i =>
       s"""a$i AS (SELECT a FROM e${i - 1} GROUP BY a

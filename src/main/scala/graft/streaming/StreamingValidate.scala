@@ -549,4 +549,69 @@ object StreamingValidate {
       batch => graft.ext.Dedup.nearDuplicatesAgainstIndex(batch, sh,
         bandIdx, threshold, numHashes, bands, k, maxBucketSize))
   }
+
+  /** STREAMING uniqueness over a growing table: each micro-batch is
+    * CHECKED against the standing key index
+    * ([[graft.check.Checks.uniqueAgainstIndex]]) and then ADMITTED
+    * into it ([[graft.sources.IndexStore.appendKeyIndexBucketed]]),
+    * so duplicates arriving in two different batches are caught when
+    * the second lands — the stateful arc nearDupIngestStream's static
+    * index can't express. The check is materialized to the sink
+    * STRICTLY BEFORE the append (and the index is re-read per batch
+    * so appends are visible to the next one): appending first would
+    * make a batch collide with itself.
+    *
+    * Per-batch rows depend on arrival order (n_existing is history-
+    * so-far), so the returned frame aggregates to the order-invariant
+    * form: for every key the stream touched,
+    * `n_total = max over batches of (n_new + n_existing)` — the
+    * batch cumulative peaks at the key's LAST occurrence, where it
+    * equals the key's TOTAL count in history ∪ stream. Keys with
+    * `n_total > 1` are exactly the uniqueness violations the stream
+    * introduced or re-hit, whatever the micro-batch decomposition —
+    * which is what makes the row oracle-checkable: DuckDB recomputes
+    * total counts over history ∪ stream with no notion of batches.
+    * Output: (key…, n_total).
+    */
+  def uniqueIngestStream(spark: org.apache.spark.sql.SparkSession,
+      newKeysDir: String, indexTable: String,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.{col, max}
+    val sinkDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_sink/" +
+        s"u${java.lang.Long.toHexString(newKeysDir.hashCode.toLong & 0xffffffffL)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val batchInput = spark.read.parquet(newKeysDir)
+    def check(b: DataFrame): DataFrame =
+      graft.check.Checks.uniqueAgainstIndex(b,
+        graft.sources.IndexStore.readKeyIndexBucketed(spark, indexTable,
+          keys), keys)
+    check(batchInput.limit(0)).write.mode("overwrite").parquet(sinkDir)
+    val q = spark.readStream.schema(batchInput.schema)
+      .option("maxFilesPerTrigger", "1").parquet(newKeysDir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // the write IS the materialization barrier: the plan reads the
+        // index's file listing at THIS action, before the admit below
+        check(b).write.mode("append").parquet(sinkDir)
+        graft.sources.IndexStore.appendKeyIndexBucketed(b, indexTable,
+          keys)
+        // the admit ran through `b`'s session — the STREAM's clone —
+        // so it refreshed the CLONE's table-relation cache; the serve
+        // reads above ride the OUTER session, whose cache was primed
+        // by the sink-schema init read and would otherwise keep
+        // serving the pre-append file listing (observed: every
+        // cross-batch duplicate silently missed)
+        spark.catalog.refreshTable(s"${indexTable}_keys")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(sinkDir)
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("n_new") + col("n_existing")).as("n_total"))
+      .filter(col("n_total") > 1)
+  }
 }

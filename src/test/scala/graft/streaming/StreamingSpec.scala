@@ -564,6 +564,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming check-then-admit uniqueness equals the batchless " +
+      "recompute; cross-batch duplicates caught via admitted appends") {
+    import graft.sources.IndexStore
+    val orders = Tables.load(spark, dir, "orders").select("o_orderkey")
+    IndexStore.writeKeyIndexBucketed(orders, "ustr_spec",
+      Seq("o_orderkey"), numBuckets = 8)
+    val sdir = java.nio.file.Files
+      .createTempDirectory("graft_ustream").toString
+    // fresh keys ride ONCE PER FILE: with maxFilesPerTrigger = 1 each
+    // file is its own micro-batch, so n_total = 2 for them is provable
+    // only if batch 1's admit is live for batch 2's check
+    val fileA = orders.filter(col("o_orderkey") % 6 === 0)
+      .select((col("o_orderkey") + 900000L).as("o_orderkey"))
+    val fileB = fileA.unionByName(
+      orders.filter(col("o_orderkey") % 10 === 1).select("o_orderkey"))
+    fileA.coalesce(1).write.mode("append").parquet(sdir)
+    fileB.coalesce(1).write.mode("append").parquet(sdir)
+    try {
+      val got = StreamingValidate.uniqueIngestStream(spark, sdir,
+          "ustr_spec", Seq("o_orderkey"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ref = fileA.unionByName(fileB)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("sc"))
+        .join(orders.groupBy("o_orderkey").agg(count(lit(1)).as("hc")),
+          Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          (col("sc") + coalesce(col("hc"), lit(0L))).as("n_total"))
+        .filter(col("n_total") > 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === ref,
+        "streamed stateful decomposition must equal the batchless answer")
+      assert(got.exists { case (k, n) => k >= 900000L && n == 2L },
+        "cross-batch duplicate of a fresh key must be caught")
+      assert(got.exists { case (k, _) => k < 900000L },
+        "history collisions must be caught too")
+      // the stream is admitted: re-checking the fresh keys collides
+      // with BOTH streamed copies now
+      val idx = IndexStore.readKeyIndexBucketed(spark, "ustr_spec",
+        Seq("o_orderkey"))
+      assert(graft.check.Checks.uniqueAgainstIndex(fileA, idx,
+          Seq("o_orderkey"))
+        .filter(col("n_existing") >= 2).count() > 0,
+        "streamed batches must be live in the index after the run")
+    } finally for (s <- Seq("_keys", "_meta"))
+      spark.sql(s"DROP TABLE IF EXISTS ustr_spec$s")
+  }
+
   test("stateful CUSUM: streamed rows equal the batch window identity") {
     val streamed = runStream("cusum_stream",
       df => StreamingValidate.cusumStream(
