@@ -3051,6 +3051,31 @@ object SparkEntry {
         "doc_id", col("text"), d = 4)
       .orderBy("id_a", "id_b")
 
+  /** The edit-distance family's ingest arc: the corpus' PassJoin index
+    * (segment hashes / strings / length directory) persisted once as
+    * bucketed tables, then a batch of one-char mutants (substitute
+    * position 10 with 'X') screened against it
+    * ([[graft.ext.Dedup.editDistanceAgainst]]). Every mutant must find
+    * its source within distance 1 plus whatever other corpus strings
+    * fall within 4 — the oracle brute-forces batch × corpus
+    * levenshtein from the same deterministic mutation in DuckDB.
+    */
+  private def xDedupEditdistServed(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").filter(col("n_chars") <= 250)
+      .select(col("doc_id").as("id"), col("text").as("s"))
+    val batch = corpus.select((col("id") + 7000000L).as("id"),
+      concat(substring(col("s"), 1, 9), lit("X"),
+        col("s").substr(lit(11), length(col("s")))).as("s"))
+    val tbl = indexTable(dir, "editidx")
+    graft.sources.IndexStore.writeEditIndexBucketed(corpus, tbl,
+      numBuckets = 8, d = 4)
+    val (segs, str, bylen) = graft.sources.IndexStore
+      .readEditIndexBucketed(s, tbl, d = 4)
+    Dedup.editDistanceAgainst(batch, "id", col("s"), segs, str, bylen,
+        d = 4)
+      .orderBy("new_id", "corpus_id")
+  }
+
   private def xDedupPpjoin(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents")
       .where(pmod(col("doc_id"), lit(16)) === 0)
@@ -3772,6 +3797,7 @@ object SparkEntry {
     "x_graph_khop" -> (xGraphKhop _),
     "x_dedup_ppjoin" -> (xDedupPpjoin _),
     "x_dedup_editdist" -> (xDedupEditdist _),
+    "x_dedup_editdist_served" -> (xDedupEditdistServed _),
     "x_layout_bloomskip" -> (xLayoutBloomskip _),
     "x_olap_rollup_incr" -> (xOlapRollupIncr _),
     "x_ab_cuped" -> (xAbCuped _),

@@ -1146,50 +1146,79 @@ object Dedup {
     * or pathological template corpora — the same lever as the gram
     * caps applies if one ever dominates).
     */
+  // Shared even-partition arithmetic of the edit-distance family:
+  // segment j of a length-ls string starts at p(j) (0-based), len(j);
+  // the LAST (ls mod m) of the m segments carry the extra char.
+  private def editSegLen(ls: Column, j: Column, m: Int): Column =
+    call_function("div", ls, lit(m)) +
+      when(j >= lit(m) - pmod(ls, lit(m)), lit(1L)).otherwise(lit(0L))
+  private def editSegPos(ls: Column, j: Column, m: Int): Column =
+    j * call_function("div", ls, lit(m)) +
+      greatest(lit(0L), j - (lit(m) - pmod(ls, lit(m))))
+
+  /** `(id, len, h)` segment-hash frame of a normalized
+    * `(__id, __s, __l)` string frame: one row per segment slot of
+    * every string with at least d+1 chars,
+    * `h = xxhash64(len, slot, piece)` — folding length and slot into
+    * the hash makes the candidate join a SINGLE-column equi-join
+    * (collisions only add candidates; the levenshtein verify is the
+    * exactness), which is also what lets the persisted index bucket
+    * on `h` alone and serve exchange-free.
+    */
+  private[graft] def editSegmentFrame(b: DataFrame, d: Int): DataFrame = {
+    val m = d + 1
+    b.filter(col("__l") >= m)
+      .select(col("__id").as("id"), col("__l").as("len"), col("__s"),
+        explode(sequence(lit(0), lit(d))).as("j"))
+      .select(col("id"), col("len"),
+        xxhash64(col("len"), col("j"), col("__s").substr(
+          (editSegPos(col("len"), col("j"), m) + 1).cast("int"),
+          editSegLen(col("len"), col("j"), m).cast("int"))).as("h"))
+  }
+
+  /** Probe-hash frame `(id, len, h)`: for each string, every candidate
+    * indexed length `ls in [max(d+1, len-d), len+upper]` × segment
+    * slot × start position within ±d of the slot's home — `upper = 0`
+    * when both roles ride the same frame (self-join: each pair probed
+    * from its longer side), `upper = d` when probing an external
+    * corpus (a corpus string may be LONGER than the probe). Window
+    * bounds are provably non-empty for len ≥ max(1, m−upper).
+    */
+  private def editProbeFrame(b: DataFrame, d: Int,
+      upper: Int): DataFrame = {
+    val m = d + 1
+    b.filter(col("__l") + upper >= m && col("__l") >= 1)
+      .select(col("__id").as("id"), col("__l").as("len"), col("__s"),
+        explode(sequence(greatest(lit(m), col("__l") - d),
+          col("__l") + upper)).as("ls"))
+      .select(col("id"), col("len"), col("ls"), col("__s"),
+        explode(sequence(lit(0), lit(d))).as("jp"))
+      .select(col("id"), col("len"), col("ls"), col("jp"), col("__s"),
+        explode(sequence(
+          greatest(lit(0L), editSegPos(col("ls"), col("jp"), m) - d),
+          least(col("len") - editSegLen(col("ls"), col("jp"), m),
+            editSegPos(col("ls"), col("jp"), m) + d))).as("st"))
+      .select(col("id"), col("len"),
+        xxhash64(col("ls"), col("jp"), col("__s").substr(
+          (col("st") + 1).cast("int"),
+          editSegLen(col("ls"), col("jp"), m).cast("int"))).as("h"))
+  }
+
   def editDistancePairs(df: DataFrame, idCol: String, strCol: Column,
       d: Int): DataFrame = {
     require(d >= 1, s"edit-distance threshold must be >= 1, got $d")
-    val m = d + 1
     val bRaw = df.select(col(idCol).as("__id"), strCol.as("__s"))
       .filter(col("__s").isNotNull)
       .withColumn("__l", length(col("__s")))
     CacheScope.withCached(bRaw) { b =>
-      // even-partition arithmetic, shared verbatim by both sides:
-      // seg j of a length-ls string starts at p(j) (0-based), len(j)
-      def segLen(ls: Column, j: Column): Column =
-        call_function("div", ls, lit(m)) +
-          when(j >= lit(m) - pmod(ls, lit(m)), lit(1L)).otherwise(lit(0L))
-      def segPos(ls: Column, j: Column): Column =
-        j * call_function("div", ls, lit(m)) +
-          greatest(lit(0L), j - (lit(m) - pmod(ls, lit(m))))
-
-      val long = b.filter(col("__l") >= m)
-      val segs = long
-        .select(col("__id").as("id_a"), col("__l").as("la"), col("__s"),
-          explode(sequence(lit(0), lit(d))).as("j"))
-        .select(col("id_a"), col("la"), col("j"),
-          xxhash64(col("__s").substr(
-            (segPos(col("la"), col("j")) + 1).cast("int"),
-            segLen(col("la"), col("j")).cast("int"))).as("h"))
-      val probes = long
-        .select(col("__id").as("id_b"), col("__l").as("lb"), col("__s"),
-          explode(sequence(greatest(lit(m), col("__l") - d),
-            col("__l"))).as("ls"))
-        .select(col("id_b"), col("lb"), col("ls"), col("__s"),
-          explode(sequence(lit(0), lit(d))).as("jp"))
-        .select(col("id_b"), col("lb"), col("ls"), col("jp"), col("__s"),
-          explode(sequence(
-            greatest(lit(0L), segPos(col("ls"), col("jp")) - d),
-            least(col("lb") - segLen(col("ls"), col("jp")),
-              segPos(col("ls"), col("jp")) + d))).as("st"))
-        .select(col("id_b"), col("lb"), col("ls"), col("jp"),
-          xxhash64(col("__s").substr((col("st") + 1).cast("int"),
-            segLen(col("ls"), col("jp")).cast("int"))).as("hp"))
+      val segs = editSegmentFrame(b, d)
+        .select(col("id").as("id_a"), col("len").as("la"), col("h"))
+      val probes = editProbeFrame(b, d, upper = 0)
+        .select(col("id").as("id_b"), col("len").as("lb"),
+          col("h").as("hp"))
       val candLong = segs.join(probes,
-          segs("la") === probes("ls") && segs("j") === probes("jp") &&
-            segs("h") === probes("hp") &&
-            (segs("la") < probes("lb") ||
-              segs("id_a") < probes("id_b")))
+          col("h") === col("hp") &&
+            (col("la") < col("lb") || col("id_a") < col("id_b")))
         .select(col("id_a"), col("id_b"))
 
       // short strings (< d+1 chars): every partner within distance d
@@ -1207,6 +1236,9 @@ object Dedup {
         .select(col("id_a"), col("id_b"))
 
       candLong.unionByName(candShort)
+        // hash collisions can only ADD candidates — including, in
+        // principle, self/reversed pairs; canonicalize and verify
+        .filter(col("id_a") =!= col("id_b"))
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"))
         .distinct()
@@ -1219,6 +1251,73 @@ object Dedup {
         .filter(col("dist") >= 0)
         .select(col("id_a"), col("id_b"), col("dist"))
     }
+  }
+
+  /** [[editDistancePairs]] against a STANDING corpus — the
+    * incremental-ingest shape of the edit-distance family: the corpus'
+    * segment hashes, strings, and length directory are persisted once
+    * ([[graft.sources.IndexStore.writeEditIndexBucketed]]) and every
+    * batch probes them in place. `corpusSegs` is the
+    * [[editSegmentFrame]] output bucketed on `h` (the candidate
+    * join's ONLY key, by the fold-length-and-slot-into-the-hash
+    * design); `corpusStr` is `(id, s)` bucketed on `id` (the verify
+    * fetch); `corpusByLen` is `(len, id)` bucketed on `len` — the
+    * short-string directory: a corpus string under d+1 chars has no
+    * segments, but all its partners have length ≤ 2d, so batch
+    * strings that short equi-join the directory on exact length.
+    * Probes enumerate indexed lengths UP TO len+d (a corpus string
+    * may be longer than the batch string — the asymmetry the
+    * self-join's longer-side-probes convention hides). Output:
+    * (new_id, corpus_id, dist), dist ≤ d, exact.
+    */
+  def editDistanceAgainst(newDf: DataFrame, idCol: String,
+      strCol: Column, corpusSegs: DataFrame, corpusStr: DataFrame,
+      corpusByLen: DataFrame, d: Int): DataFrame = {
+    require(d >= 1, s"edit-distance threshold must be >= 1, got $d")
+    CacheScope.withCached(normalizedStrFrame(newDf, idCol, strCol)) {
+      b => editAgainstCore(b, corpusSegs, corpusStr, corpusByLen, d)
+    }
+  }
+
+  /** [[editDistanceAgainst]] WITHOUT the scoped-cache localCheckpoint —
+    * the plan-assertion seam (the checkpoint collapses the returned
+    * frame to a LogicalRDD, hiding the scans the contract is about).
+    */
+  private[graft] def editDistanceAgainstPlan(newDf: DataFrame,
+      idCol: String, strCol: Column, corpusSegs: DataFrame,
+      corpusStr: DataFrame, corpusByLen: DataFrame, d: Int): DataFrame =
+    editAgainstCore(normalizedStrFrame(newDf, idCol, strCol),
+      corpusSegs, corpusStr, corpusByLen, d)
+
+  private def normalizedStrFrame(df: DataFrame, idCol: String,
+      strCol: Column): DataFrame =
+    df.select(col(idCol).as("__id"), strCol.as("__s"))
+      .filter(col("__s").isNotNull)
+      .withColumn("__l", length(col("__s")))
+
+  private def editAgainstCore(b: DataFrame, corpusSegs: DataFrame,
+      corpusStr: DataFrame, corpusByLen: DataFrame, d: Int)
+      : DataFrame = {
+    val probes = editProbeFrame(b, d, upper = d)
+      .select(col("id").as("new_id"), col("h").as("hp"))
+    val candSeg = corpusSegs.join(probes,
+        corpusSegs("h") === col("hp"))
+      .select(col("new_id"), corpusSegs("id").as("corpus_id"))
+    val candShort = b.filter(col("__l") <= 2 * d)
+      .select(col("__id").as("new_id"),
+        explode(sequence(greatest(lit(0), col("__l") - d), lit(d)))
+          .as("cl"))
+      .join(corpusByLen, col("cl") === corpusByLen("len"))
+      .select(col("new_id"), corpusByLen("id").as("corpus_id"))
+    candSeg.unionByName(candShort).distinct()
+      .join(b.select(col("__id").as("new_id"), col("__s").as("__sn")),
+        "new_id")
+      .join(corpusStr.select(col("id").as("corpus_id"),
+        col("s").as("__sc")), "corpus_id")
+      .withColumn("dist",
+        levenshtein(col("__sn"), col("__sc"), d).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("new_id"), col("corpus_id"), col("dist"))
   }
 
   def jaccardJoinExact(df: DataFrame, idCol: String, toksCol: Column,

@@ -1687,6 +1687,20 @@ private[graft] object StaticOracles {
         |        AND abs(length(a.text) - length(b.text)) <= 4)
         |SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist FROM p
         |WHERE dist <= 4 ORDER BY id_a, id_b""".stripMargin,
+    // brute-force batch×corpus levenshtein from the same deterministic
+    // one-char mutation — the answer the persisted PassJoin index must
+    // serve
+    "x_dedup_editdist_served" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE n_chars <= 250),
+        |batch AS (SELECT doc_id + 7000000 AS new_id,
+        |    substr(text, 1, 9) || 'X' || substr(text, 11) AS s FROM d),
+        |p AS (SELECT b.new_id, c.doc_id AS corpus_id,
+        |        levenshtein(b.s, c.text) AS dist
+        |      FROM batch b JOIN d c
+        |        ON abs(length(b.s) - length(c.text)) <= 4)
+        |SELECT new_id, corpus_id, CAST(dist AS BIGINT) AS dist FROM p
+        |WHERE dist <= 4 ORDER BY new_id, corpus_id""".stripMargin,
     // key-index serve: every count recomputed from scratch — batch
     // built from the same deterministic filters as the Spark side
     // (every-5th re-ingest, the %15 subset twice, fresh offset keys

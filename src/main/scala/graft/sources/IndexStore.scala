@@ -263,6 +263,90 @@ object IndexStore {
       table: String): Unit =
     Bucketing.compactBucketed(spark, s"${table}_grams")
 
+  // ------------------------------------------------ edit-dist index
+  /** Persist the PassJoin corpus for incremental edit-distance
+    * screening ([[graft.ext.Dedup.editDistanceAgainst]]): three
+    * bucketed tables, each on its own serve join's key —
+    * `_segs` (id, len, h) on `h` (the single-column candidate join:
+    * length and slot are folded INTO the hash by design), `_str`
+    * (id, s) on `id` (the verify fetch), `_bylen` (len, id) on `len`
+    * (the sub-(d+1)-char directory). All three are pure per-string
+    * functions, so append(build(base), delta) ≡ build(base ∪ delta)
+    * row-for-row and the generic LSM append/compaction paths apply.
+    * `_meta` pins `d`: segments cut for a different threshold never
+    * hash-collide with the probes and silently report nothing —
+    * fail loudly instead.
+    */
+  def writeEditIndexBucketed(corpus: DataFrame, table: String,
+      numBuckets: Int, d: Int, idCol: String = "id",
+      strCol: String = "s"): Unit = {
+    Scratch.sweepOnce(corpus.sparkSession)
+    val c = normalizedEditFrame(corpus, idCol, strCol).cache()
+    try {
+      Bucketing.writeBucketed(graft.ext.Dedup.editSegmentFrame(c, d),
+        s"${table}_segs", Seq("h"), numBuckets)
+      Bucketing.writeBucketed(
+        c.select(col("__id").as("id"), col("__s").as("s")),
+        s"${table}_str", Seq("id"), numBuckets)
+      Bucketing.writeBucketed(
+        c.select(col("__l").as("len"), col("__id").as("id")),
+        s"${table}_bylen", Seq("len"), numBuckets)
+      c.sparkSession.range(1).select(lit(d).as("d"))
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${table}_meta")
+    } finally c.unpersist(blocking = false)
+  }
+
+  private def normalizedEditFrame(df: DataFrame, idCol: String,
+      strCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull)
+      .withColumn("__l", length(col("__s")))
+
+  private def checkEditMeta(spark: SparkSession, table: String,
+      d: Int): Unit = {
+    val built = spark.table(s"${table}_meta").select(col("d")).head
+      .getInt(0)
+    require(built == d,
+      s"edit index at $table was built for d=$built but is being " +
+        s"served with d=$d — differently-cut segments never collide " +
+        "and silently report no matches")
+  }
+
+  /** Admit a checked batch into the standing edit index (all three
+    * tables; only the delta shuffles).
+    */
+  def appendEditIndexBucketed(delta: DataFrame, table: String, d: Int,
+      idCol: String = "id", strCol: String = "s"): Unit = {
+    val spark = delta.sparkSession
+    checkEditMeta(spark, table, d)
+    val c = normalizedEditFrame(delta, idCol, strCol).cache()
+    try {
+      Bucketing.appendBucketed(graft.ext.Dedup.editSegmentFrame(c, d),
+        s"${table}_segs", Seq("h"),
+        Bucketing.numBucketsOf(spark, s"${table}_segs"))
+      Bucketing.appendBucketed(
+        c.select(col("__id").as("id"), col("__s").as("s")),
+        s"${table}_str", Seq("id"),
+        Bucketing.numBucketsOf(spark, s"${table}_str"))
+      Bucketing.appendBucketed(
+        c.select(col("__l").as("len"), col("__id").as("id")),
+        s"${table}_bylen", Seq("len"),
+        Bucketing.numBucketsOf(spark, s"${table}_bylen"))
+    } finally c.unpersist(blocking = false)
+  }
+
+  /** Re-read the edit index: (segs, str, bylen); serve-time `d` must
+    * match the build-time record.
+    */
+  def readEditIndexBucketed(spark: SparkSession, table: String, d: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    checkEditMeta(spark, table, d)
+    (Bucketing.readBucketed(spark, s"${table}_segs"),
+      Bucketing.readBucketed(spark, s"${table}_str"),
+      Bucketing.readBucketed(spark, s"${table}_bylen"))
+  }
+
   // ----------------------------------------------------- pHash index
   /** Persist the banded perceptual-hash frame
     * ([[graft.ext.Multimodal.phashBands]]) as a bucketed table on

@@ -145,6 +145,38 @@ class Round12PropSpec extends SparkSpec {
     })
   }
 
+  test("law: editDistanceAgainst equals the batch×corpus DP reference — " +
+      "corpus strings longer AND shorter than the probes, shorts on " +
+      "both sides") {
+    val strGen = Gen.choose(0, 12).flatMap(l =>
+      Gen.listOfN(l, Gen.oneOf('a', 'b')).map(_.mkString))
+    val gen = for {
+      d <- Gen.choose(1, 3)
+      nc <- Gen.choose(1, 8)
+      corpus <- Gen.listOfN(nc, strGen)
+      nb <- Gen.choose(1, 6)
+      batch <- Gen.listOfN(nb, strGen)
+    } yield (d,
+      corpus.zipWithIndex.map { case (s, i) => (i.toLong, s) },
+      batch.zipWithIndex.map { case (s, i) => (100L + i, s) })
+    check(Prop.forAll(gen) { case (d, corpus, batch) =>
+      val c = corpus.toDF("__id", "__s")
+        .withColumn("__l", length(col("__s")))
+      val got = Dedup.editDistanceAgainst(batch.toDF("id", "s"), "id",
+          col("s"), Dedup.editSegmentFrame(c, d),
+          c.select(col("__id").as("id"), col("__s").as("s")),
+          c.select(col("__l").as("len"), col("__id").as("id")), d)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val ref = (for {
+        (ib, sb) <- batch; (ic, sc) <- corpus
+        dist = lev(sb, sc)
+        if dist <= d
+      } yield (ib, ic, dist.toLong)).toSet
+      got == ref
+    })
+  }
+
   test("law: the indexed incremental BPE trainer learns the same merge " +
       "sequence as the naive recompute-everything reference") {
     val gen = for {

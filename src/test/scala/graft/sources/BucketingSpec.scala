@@ -673,6 +673,69 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("edit index: d guard fires; every corpus table reads in place " +
+      "below its serve join") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val corpus = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").as("s"))
+    val batch = corpus.select((col("id") + 70000L).as("id"),
+      concat(substring(col("s"), 1, 9), lit("X"),
+        col("s").substr(lit(11), length(col("s")))).as("s"))
+    IndexStore.writeEditIndexBucketed(corpus, "edx_spec",
+      numBuckets = 8, d = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      intercept[IllegalArgumentException] {
+        IndexStore.readEditIndexBucketed(spark, "edx_spec", d = 2)
+      }
+      val (segs, str, bylen) = IndexStore.readEditIndexBucketed(spark,
+        "edx_spec", d = 4)
+      // the plan probe: identical join tree WITHOUT the scoped-cache
+      // localCheckpoint that collapses the public frame to a LogicalRDD
+      val served = graft.ext.Dedup.editDistanceAgainstPlan(batch, "id",
+        col("s"), segs, str, bylen, d = 4)
+      assert(served.count() > 0, "mutants must find their sources")
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => q +: flatten(q.plan)
+        case other => other +: other.children.flatMap(flatten)
+      }
+      val all = flatten(served.queryExecution.executedPlan)
+      def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan) =
+        p match {
+          case s: FileSourceScanExec => s.tableIdentifier.exists(t =>
+            t.table.startsWith("edx_spec"))
+          case _ => false
+        }
+      assert(all.exists(isIndexScan), "serve must read the index tables")
+      def rawIndexBelow(x: org.apache.spark.sql.execution.SparkPlan)
+          : Boolean = x match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => rawIndexBelow(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => rawIndexBelow(q.plan)
+        case _: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          false
+        case s if isIndexScan(s) => true
+        case other => other.children.exists(rawIndexBelow)
+      }
+      assert(!all.exists {
+        case e: ShuffleExchangeExec => rawIndexBelow(e.child)
+        case _ => false
+      }, "every edit-index table must read in place below its join:\n" +
+        served.queryExecution.executedPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      for (s <- Seq("_segs", "_str", "_bylen", "_meta"))
+        spark.sql(s"DROP TABLE IF EXISTS edx_spec$s")
+    }
+  }
+
   test("bucketed aggregation on the bucket key skips the shuffle") {
     val li = Tables.load(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber")
