@@ -3076,6 +3076,36 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** The edit index's LSM append arc: build on the corpus, APPEND a
+    * delta of position-20 variants (distance 1 from their sources),
+    * then screen position-10 mutants against the appended index — each
+    * probe must find BOTH its base source (distance 1) and the
+    * appended variant (distance 2: the two strings differ at positions
+    * 10 and 20), proving appended rows are live in all three bucketed
+    * tables, not just present on disk. Oracle recomputes batch ×
+    * (base ∪ delta) levenshtein from scratch:
+    * append(build(base), delta) ≡ build(base ∪ delta).
+    */
+  private def xDedupEditdistAppend(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").filter(col("n_chars") <= 250)
+      .select(col("doc_id").as("id"), col("text").as("s"))
+    def mutated(off: Long, pos: Int) =
+      corpus.select((col("id") + off).as("id"),
+        concat(substring(col("s"), 1, pos - 1), lit("X"),
+          col("s").substr(lit(pos + 1), length(col("s")))).as("s"))
+    val delta = mutated(8000000L, 20)
+    val batch = mutated(7000000L, 10)
+    val tbl = indexTable(dir, "editapp")
+    graft.sources.IndexStore.writeEditIndexBucketed(corpus, tbl,
+      numBuckets = 8, d = 4)
+    graft.sources.IndexStore.appendEditIndexBucketed(delta, tbl, d = 4)
+    val (segs, str, bylen) = graft.sources.IndexStore
+      .readEditIndexBucketed(s, tbl, d = 4)
+    Dedup.editDistanceAgainst(batch, "id", col("s"), segs, str, bylen,
+        d = 4)
+      .orderBy("new_id", "corpus_id")
+  }
+
   private def xDedupPpjoin(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents")
       .where(pmod(col("doc_id"), lit(16)) === 0)
@@ -3798,6 +3828,7 @@ object SparkEntry {
     "x_dedup_ppjoin" -> (xDedupPpjoin _),
     "x_dedup_editdist" -> (xDedupEditdist _),
     "x_dedup_editdist_served" -> (xDedupEditdistServed _),
+    "x_dedup_editdist_append" -> (xDedupEditdistAppend _),
     "x_layout_bloomskip" -> (xLayoutBloomskip _),
     "x_olap_rollup_incr" -> (xOlapRollupIncr _),
     "x_ab_cuped" -> (xAbCuped _),

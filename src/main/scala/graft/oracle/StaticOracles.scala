@@ -1701,6 +1701,25 @@ private[graft] object StaticOracles {
         |        ON abs(length(b.s) - length(c.text)) <= 4)
         |SELECT new_id, corpus_id, CAST(dist AS BIGINT) AS dist FROM p
         |WHERE dist <= 4 ORDER BY new_id, corpus_id""".stripMargin,
+    // batch × (base ∪ appended delta) from scratch — the answer the
+    // APPENDED edit index must serve: every probe finds its base
+    // source (dist 1) AND the appended position-20 variant (dist 2)
+    "x_dedup_editdist_append" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE n_chars <= 250),
+        |corpus AS (
+        |  SELECT doc_id, text FROM d
+        |  UNION ALL
+        |  SELECT doc_id + 8000000,
+        |    substr(text, 1, 19) || 'X' || substr(text, 21) FROM d),
+        |batch AS (SELECT doc_id + 7000000 AS new_id,
+        |    substr(text, 1, 9) || 'X' || substr(text, 11) AS s FROM d),
+        |p AS (SELECT b.new_id, c.doc_id AS corpus_id,
+        |        levenshtein(b.s, c.text) AS dist
+        |      FROM batch b JOIN corpus c
+        |        ON abs(length(b.s) - length(c.text)) <= 4)
+        |SELECT new_id, corpus_id, CAST(dist AS BIGINT) AS dist FROM p
+        |WHERE dist <= 4 ORDER BY new_id, corpus_id""".stripMargin,
     // key-index serve: every count recomputed from scratch — batch
     // built from the same deterministic filters as the Spark side
     // (every-5th re-ingest, the %15 subset twice, fresh offset keys
