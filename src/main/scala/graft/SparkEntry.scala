@@ -538,6 +538,33 @@ object SparkEntry {
       Seq("c_custkey")).orderBy("o_custkey")
   }
 
+  /** The LATE-ARRIVING DIMENSION arc — the fk failure mode a streaming
+    * warehouse actually has (facts land before their dims): orders are
+    * checked against a customer key index missing every 10th customer,
+    * then HALF the missing customers (the %20 = 0 subset) arrive late
+    * and are appended, and the re-check's orphan set shrinks to
+    * exactly the still-missing half. The output is the post-append
+    * check; the oracle recomputes it against dim0 ∪ late in DuckDB,
+    * proving appended dimension rows RESOLVE previously-orphan facts
+    * (not just that appends are readable).
+    */
+  private def xFkIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    val dim0 = customer.filter(col("c_custkey") % 10 =!= 0)
+    val late = customer.filter(col("c_custkey") % 10 === 0 &&
+      col("c_custkey") % 20 === 0)
+    val tbl = indexTable(dir, "fkapp")
+    graft.sources.IndexStore.writeKeyIndexBucketed(dim0, tbl,
+      Seq("c_custkey"), numBuckets = 8)
+    graft.sources.IndexStore.appendKeyIndexBucketed(late, tbl,
+      Seq("c_custkey"))
+    val idx = graft.sources.IndexStore.readKeyIndexBucketed(s, tbl,
+      Seq("c_custkey"))
+    Checks.foreignKeyAgainstIndex(orders, Seq("o_custkey"), idx,
+      Seq("c_custkey")).orderBy("o_custkey")
+  }
+
   /** The x_sim_ivf_topk contract served from a persisted IVF index:
     * centroids + assignments written to parquet, re-read, probed.
     * Doubles round-trip parquet bit-identically, so this shares
@@ -1235,6 +1262,33 @@ object SparkEntry {
     * corpus-vs-batch split is a single comparison.
     */
   private val SubstringDeltaOffset = 8000000L
+
+  /** The substring gram index through the full LSM cycle — build →
+    * append → COMPACT → serve — sharing x_dedup_substring_append's
+    * oracle verbatim: compaction rewrites the multi-file buckets to
+    * one file each without changing a row, so the served answer is
+    * hash-identical to the uncompacted path (which itself equals the
+    * DuckDB union-rebuild). With x_dedup_index_compact (MinHash) and
+    * the key index's merge-compaction, every index family's
+    * maintenance cycle is now oracle-closed.
+    */
+  private def xDedupSubstringCompact(s: SparkSession, dir: String): DataFrame = {
+    val base = substringBase(s, dir)
+    val delta = base.filter(col("id") < 40)
+      .select((col("id") + SubstringDeltaOffset).as("id"),
+        slice(col("toks"), lit(1),
+          floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val tbl = indexTable(dir, "subcmp")
+    graft.sources.IndexStore.writeSubstringIndexBucketed(base, tbl,
+      numBuckets = 8, k = 8)
+    graft.sources.IndexStore.appendSubstringIndexBucketed(delta, tbl, k = 8)
+    graft.sources.IndexStore.compactSubstringIndexBucketed(s, tbl)
+    val grams = graft.sources.IndexStore.readSubstringIndexBucketed(
+      s, tbl, k = 8)
+    Dedup.sharedSubstringRunsAgainst(substringPlanted(base), grams,
+        minRunLen = 30, k = 8)
+      .orderBy("new_id", "corpus_id")
+  }
 
   /** Fixed-width histogram profile of l_quantity over [1, 51) in 10
     * bins — one hash-agg on the integer bin index, bounded output.
@@ -3829,6 +3883,8 @@ object SparkEntry {
     "x_dedup_editdist" -> (xDedupEditdist _),
     "x_dedup_editdist_served" -> (xDedupEditdistServed _),
     "x_dedup_editdist_append" -> (xDedupEditdistAppend _),
+    "x_fk_index_append" -> (xFkIndexAppend _),
+    "x_dedup_substring_compact" -> (xDedupSubstringCompact _),
     "x_layout_bloomskip" -> (xLayoutBloomskip _),
     "x_olap_rollup_incr" -> (xOlapRollupIncr _),
     "x_ab_cuped" -> (xAbCuped _),
@@ -3919,7 +3975,9 @@ object SparkEntry {
       "x_dedup_index_compact" ->
         graft.oracle.StaticOracles.sql("x_dedup_index_append"),
       "k3_fk_index_served" ->
-        graft.oracle.StaticOracles.sql("k3_fk_orders_customer"))
+        graft.oracle.StaticOracles.sql("k3_fk_orders_customer"),
+      "x_dedup_substring_compact" ->
+        graft.oracle.StaticOracles.sql("x_dedup_substring_append"))
 
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
     * Verify skip the generation work when a name filter excludes them.

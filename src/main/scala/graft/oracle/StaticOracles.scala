@@ -1720,6 +1720,17 @@ private[graft] object StaticOracles {
         |        ON abs(length(b.s) - length(c.text)) <= 4)
         |SELECT new_id, corpus_id, CAST(dist AS BIGINT) AS dist FROM p
         |WHERE dist <= 4 ORDER BY new_id, corpus_id""".stripMargin,
+    // late-arriving dimension: orphans against dim0 ∪ late — the
+    // %20 = 0 half of the dropped customers arrived late and must
+    // RESOLVE their facts; only the %10 = 0, %20 ≠ 0 half stays orphan
+    "x_fk_index_append" ->
+      """SELECT o.o_custkey, count(*) AS cnt FROM orders o
+        |LEFT JOIN (
+        |  SELECT DISTINCT c_custkey FROM customer
+        |  WHERE c_custkey % 10 <> 0 OR c_custkey % 20 = 0) c
+        |ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // key-index serve: every count recomputed from scratch — batch
     // built from the same deterministic filters as the Spark side
     // (every-5th re-ingest, the %15 subset twice, fresh offset keys
