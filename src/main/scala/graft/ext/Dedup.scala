@@ -1204,14 +1204,33 @@ object Dedup {
           editSegLen(col("ls"), col("jp"), m).cast("int"))).as("h"))
   }
 
+  /** Over-frequent segment filter — the template-corpus lever, same
+    * convention as the gram caps (ONE semantics, stated loudly): when
+    * `maxSegFreq > 0`, segment hashes carried by more than that many
+    * strings are removed from candidate generation ENTIRELY, so a pair
+    * is found iff it shares an untouched segment whose corpus
+    * frequency is within the cap — a documented-recall SUBSET of the
+    * exact answer (reported distances stay exact; the uncapped default
+    * is the exact join). At 100 TB this is what stops a boilerplate
+    * header shared by millions of documents from generating a
+    * quadratic candidate set.
+    */
+  private def capSegs(segs: DataFrame, maxSegFreq: Long): DataFrame =
+    if (maxSegFreq <= 0L) segs
+    else {
+      val hot = segs.groupBy(col("h")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxSegFreq).select(col("h"))
+      segs.join(hot, Seq("h"), "left_anti")
+    }
+
   def editDistancePairs(df: DataFrame, idCol: String, strCol: Column,
-      d: Int): DataFrame = {
+      d: Int, maxSegFreq: Long = 0L): DataFrame = {
     require(d >= 1, s"edit-distance threshold must be >= 1, got $d")
     val bRaw = df.select(col(idCol).as("__id"), strCol.as("__s"))
       .filter(col("__s").isNotNull)
       .withColumn("__l", length(col("__s")))
     CacheScope.withCached(bRaw) { b =>
-      val segs = editSegmentFrame(b, d)
+      val segs = capSegs(editSegmentFrame(b, d), maxSegFreq)
         .select(col("id").as("id_a"), col("len").as("la"), col("h"))
       val probes = editProbeFrame(b, d, upper = 0)
         .select(col("id").as("id_b"), col("len").as("lb"),
@@ -1272,10 +1291,12 @@ object Dedup {
     */
   def editDistanceAgainst(newDf: DataFrame, idCol: String,
       strCol: Column, corpusSegs: DataFrame, corpusStr: DataFrame,
-      corpusByLen: DataFrame, d: Int): DataFrame = {
+      corpusByLen: DataFrame, d: Int,
+      maxSegFreq: Long = 0L): DataFrame = {
     require(d >= 1, s"edit-distance threshold must be >= 1, got $d")
     CacheScope.withCached(normalizedStrFrame(newDf, idCol, strCol)) {
-      b => editAgainstCore(b, corpusSegs, corpusStr, corpusByLen, d)
+      b => editAgainstCore(b, capSegs(corpusSegs, maxSegFreq),
+        corpusStr, corpusByLen, d)
     }
   }
 

@@ -20,7 +20,12 @@ object Scratch {
 
   private val swept = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  private val PidName = ".*_p([0-9]+)$".r
+  // the pid segment may be FOLLOWED by an artifact suffix: bucketed
+  // index tables are named graft_<kind>_<hash>_p<pid>_<part> (_keys,
+  // _sh, _bands, _grams, _segs, _meta, …, plus __compact siblings) —
+  // the original end-anchored pattern silently skipped all of them
+  // (observed: 130 dead dirs / 40 MB surviving several harness runs)
+  private val PidName = ".*_p([0-9]+)(?:_.*)?$".r
 
   /** Sweep once per process; safe to call from every scratch writer. */
   def sweepOnce(spark: SparkSession): Unit =

@@ -141,7 +141,17 @@ class Round12PropSpec extends SparkSpec {
         dist = lev(sa, sb)
         if dist <= d
       } yield (ia, ib, dist.toLong)).toSet
-      got == ref
+      // segment-frequency cap: a cap that nothing reaches is the
+      // exact join; a tight cap is a SUBSET with exact distances
+      val uncapped = Dedup.editDistancePairs(rows.toDF("id", "s"),
+          "id", col("s"), d, maxSegFreq = 1000L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val capped = Dedup.editDistancePairs(rows.toDF("id", "s"),
+          "id", col("s"), d, maxSegFreq = 1L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      got == ref && uncapped == ref && capped.subsetOf(ref)
     })
   }
 

@@ -761,9 +761,13 @@ class BucketingSpec extends SparkSpec {
     val self = ProcessHandle.current().pid()
     // 999999 exceeds this kernel's default pid_max — never a live pid
     val dead = new File(wh, "graft_test_cafe_p999999")
+    // bucketed-index shape: artifact suffix AFTER the pid segment —
+    // the end-anchored original pattern missed every one of these
+    val deadSfx = new File(wh, "graft_test_cafe_p999999_keys")
+    val liveSfx = new File(wh, s"graft_test_cafe_p${self}_keys")
     val live = new File(wh, s"graft_test_cafe_p$self")
     val other = new File(wh, "not_graft_p999999")
-    Seq(dead, live, other).foreach { d =>
+    Seq(dead, deadSfx, liveSfx, live, other).foreach { d =>
       d.mkdirs()
       Files.writeString(new File(d, "part-0").toPath, "x")
     }
@@ -775,12 +779,16 @@ class BucketingSpec extends SparkSpec {
     try {
       Scratch.sweepNow(spark)
       assert(!dead.exists(), "dead-pid warehouse scratch must be swept")
+      assert(!deadSfx.exists(),
+        "dead-pid SUFFIXED index tables must be swept too")
       assert(live.exists(), "live-pid scratch must survive")
+      assert(liveSfx.exists(), "live-pid suffixed scratch must survive")
       assert(other.exists(), "non-graft dirs are not ours to delete")
       assert(!deadIdx.exists(), "dead-pid index scratch must be swept")
-    } finally Seq(dead, live, other, deadIdx).foreach { d =>
-      Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-      d.delete()
-    }
+    } finally Seq(dead, deadSfx, liveSfx, live, other, deadIdx)
+      .foreach { d =>
+        Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        d.delete()
+      }
   }
 }
