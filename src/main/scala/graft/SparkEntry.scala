@@ -3130,6 +3130,51 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** x_dedup_editdist_served's contract driven through a REAL file
+    * stream: the same mutant batch lands as 4 parquet part files, each
+    * served as its own micro-batch against the standing PassJoin index
+    * inside foreachBatch. Per-document independence + a static index
+    * make the micro-batch union the one-shot answer — shares the
+    * served row's oracle verbatim.
+    */
+  private def xStreamEditdist(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").filter(col("n_chars") <= 250)
+      .select(col("doc_id").as("id"), col("text").as("s"))
+    val batch = corpus.select((col("id") + 7000000L).as("id"),
+      concat(substring(col("s"), 1, 9), lit("X"),
+        col("s").substr(lit(11), length(col("s")))).as("s"))
+    val tbl = indexTable(dir, "editstr")
+    graft.sources.IndexStore.writeEditIndexBucketed(corpus, tbl,
+      numBuckets = 8, d = 4)
+    val batchDir = indexDir(dir, "edit_stream")
+    batch.repartition(4).write.mode("overwrite").parquet(batchDir)
+    StreamingValidate.editDistanceIngestStream(s, batchDir, tbl, d = 4)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** x_mm_phash_served's contract driven through a file stream of RAW
+    * IMAGE BYTES: each micro-batch decodes, dHashes, and bands its own
+    * blobs (the codec seam runs inside the stream) and joins the
+    * standing bucketed pHash index in place. Shares the served row's
+    * oracle verbatim.
+    */
+  private def xStreamPhash(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val items = Multimodal.synthesizeNearDupImages(d, "doc_id", every = 5)
+    val corpusHashes = Multimodal.perceptualHash(
+        items.filter(col("id") % 2 === 0))
+      .select(col("id"), col("dhash"))
+    val tbl = indexTable(dir, "phstr")
+    graft.sources.IndexStore.writePhashIndexBucketed(corpusHashes, tbl,
+      numBuckets = 8, bands = 8)
+    val probesDir = indexDir(dir, "phash_stream")
+    items.filter(col("id") % 2 === 1).repartition(4)
+      .write.mode("overwrite").parquet(probesDir)
+    StreamingValidate.phashIngestStream(s, probesDir, tbl, bands = 8,
+        maxDist = 7)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** The edit index's LSM append arc: build on the corpus, APPEND a
     * delta of position-20 variants (distance 1 from their sources),
     * then screen position-10 mutants against the appended index — each
@@ -3885,6 +3930,8 @@ object SparkEntry {
     "x_dedup_editdist_append" -> (xDedupEditdistAppend _),
     "x_fk_index_append" -> (xFkIndexAppend _),
     "x_dedup_substring_compact" -> (xDedupSubstringCompact _),
+    "x_stream_editdist" -> (xStreamEditdist _),
+    "x_stream_phash" -> (xStreamPhash _),
     "x_layout_bloomskip" -> (xLayoutBloomskip _),
     "x_olap_rollup_incr" -> (xOlapRollupIncr _),
     "x_ab_cuped" -> (xAbCuped _),
@@ -3977,7 +4024,11 @@ object SparkEntry {
       "k3_fk_index_served" ->
         graft.oracle.StaticOracles.sql("k3_fk_orders_customer"),
       "x_dedup_substring_compact" ->
-        graft.oracle.StaticOracles.sql("x_dedup_substring_append"))
+        graft.oracle.StaticOracles.sql("x_dedup_substring_append"),
+      "x_stream_editdist" ->
+        graft.oracle.StaticOracles.sql("x_dedup_editdist_served"),
+      "x_stream_phash" ->
+        graft.oracle.StaticOracles.sql("x_mm_phash_served"))
 
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
     * Verify skip the generation work when a name filter excludes them.

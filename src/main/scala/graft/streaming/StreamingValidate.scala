@@ -550,6 +550,44 @@ object StreamingValidate {
         bandIdx, threshold, numHashes, bands, k, maxBucketSize))
   }
 
+  /** The edit-distance twin of [[nearDupIngestStream]]: a STREAM of
+    * `(id, s)` documents screened per micro-batch against the standing
+    * bucketed PassJoin index
+    * ([[graft.sources.IndexStore.writeEditIndexBucketed]] artifacts
+    * re-read once). Each document's matches depend only on its own
+    * string and the static index, so the union over micro-batches IS
+    * the one-shot batch answer — x_stream_editdist shares
+    * x_dedup_editdist_served's oracle verbatim.
+    */
+  def editDistanceIngestStream(spark: org.apache.spark.sql.SparkSession,
+      newDocsDir: String, indexTable: String, d: Int): DataFrame = {
+    val (segs, str, bylen) = graft.sources.IndexStore
+      .readEditIndexBucketed(spark, indexTable, d)
+    serveAvailableNow(spark, newDocsDir, filesPerTrigger = 1,
+      batch => graft.ext.Dedup.editDistanceAgainst(batch, "id",
+        org.apache.spark.sql.functions.col("s"), segs, str, bylen, d))
+  }
+
+  /** The IMAGE twin: a stream of `(id, blob)` raw image bytes,
+    * decoded + dHashed + banded PER MICRO-BATCH and joined against the
+    * standing bucketed pHash index — the codec seam runs inside the
+    * stream, the corpus side reads in place. Shares
+    * x_mm_phash_served's oracle verbatim (static index, per-item
+    * independence).
+    */
+  def phashIngestStream(spark: org.apache.spark.sql.SparkSession,
+      newImagesDir: String, indexTable: String, bands: Int = 8,
+      maxDist: Int = 7): DataFrame = {
+    val idx = graft.sources.IndexStore
+      .readPhashIndexBucketed(spark, indexTable, bands)
+    serveAvailableNow(spark, newImagesDir, filesPerTrigger = 1,
+      batch => graft.ext.Multimodal.phashNearDuplicatesAgainst(
+        graft.ext.Multimodal.perceptualHash(batch)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("dhash")),
+        idx, bands, maxDist))
+  }
+
   /** STREAMING uniqueness over a growing table: each micro-batch is
     * CHECKED against the standing key index
     * ([[graft.check.Checks.uniqueAgainstIndex]]) and then ADMITTED
