@@ -286,6 +286,35 @@ object SparkEntry {
       s"${java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)}_" +
       s"p${ProcessHandle.current().pid()}/$kind"
 
+  /** SOURCE-FORMAT round-trips: the documents table written to and
+    * re-read from another format under an EXPLICIT schema (never
+    * inferred — the house rule), then projected to the same cells the
+    * oracle computes from the PARQUET source. A hash-match proves the
+    * full encode→decode cycle is faithful for every value INCLUDING
+    * the free-text column (JSON string escaping / ORC string+long
+    * round-trips) — a genuinely different claim than reading parquet
+    * twice. Scratch lands under the pid-keyed index dir ([[Scratch]]
+    * sweeps it).
+    */
+  private def sourceRoundTrip(s: SparkSession, dir: String,
+      format: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val out = indexDir(dir, s"src_$format")
+    docs.write.mode("overwrite").format(format).save(out)
+    val back = s.read.format(format).schema(docs.schema).load(out)
+    back.select(col("doc_id"), length(col("text")).as("text_len"),
+        col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private def xSourceJsonl(s: SparkSession, dir: String): DataFrame =
+    sourceRoundTrip(s, dir, "json")
+
+  private def xSourceOrc(s: SparkSession, dir: String): DataFrame =
+    sourceRoundTrip(s, dir, "orc")
+
   /** The x_dedup_incremental contract served through a PARQUET
     * ROUND-TRIP of the corpus index (IndexStore): build (id, sh) +
     * (id, band, bucket) artifacts, write, RE-READ, and serve the same
@@ -3932,6 +3961,8 @@ object SparkEntry {
     "x_dedup_substring_compact" -> (xDedupSubstringCompact _),
     "x_stream_editdist" -> (xStreamEditdist _),
     "x_stream_phash" -> (xStreamPhash _),
+    "x_source_jsonl" -> (xSourceJsonl _),
+    "x_source_orc" -> (xSourceOrc _),
     "x_layout_bloomskip" -> (xLayoutBloomskip _),
     "x_olap_rollup_incr" -> (xOlapRollupIncr _),
     "x_ab_cuped" -> (xAbCuped _),

@@ -1720,6 +1720,15 @@ private[graft] object StaticOracles {
         |        ON abs(length(b.s) - length(c.text)) <= 4)
         |SELECT new_id, corpus_id, CAST(dist AS BIGINT) AS dist FROM p
         |WHERE dist <= 4 ORDER BY new_id, corpus_id""".stripMargin,
+    // source-format round-trips: the PARQUET-source cells the
+    // JSONL/ORC encode→decode cycle must reproduce exactly (free-text
+    // length included — the escaping-sensitive column)
+    "x_source_jsonl" ->
+      """SELECT doc_id, length(text) AS text_len, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_source_orc" ->
+      """SELECT doc_id, length(text) AS text_len, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // late-arriving dimension: orphans against dim0 ∪ late — the
     // %20 = 0 half of the dropped customers arrived late and must
     // RESOLVE their facts; only the %10 = 0, %20 ≠ 0 half stays orphan
