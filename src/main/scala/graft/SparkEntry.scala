@@ -312,6 +312,29 @@ object SparkEntry {
   private def xSourceJsonl(s: SparkSession, dir: String): DataFrame =
     sourceRoundTrip(s, dir, "json")
 
+  /** Directory-partition pruning — the coarse skipping primitive:
+    * events written ONCE partitioned on event_type
+    * ([[graft.ext.Layout.writePartitioned]]), then a one-type read
+    * aggregates per user. The filter prunes whole directories at
+    * planning time (PlanSpec asserts partitionFilters non-empty and
+    * that only the matching partition's files are listed); the oracle
+    * recomputes the aggregate from the unpartitioned source, so the
+    * hash-match proves pruning lost no rows. Exact-integer outputs by
+    * house convention.
+    */
+  private def xLayoutPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val out = indexDir(dir, "part_events")
+    graft.ext.Layout.writePartitioned(ev, out, "event_type")
+    graft.ext.Layout.readPartitioned(s, out, ev.schema)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event_id"))
+      .orderBy("user_id")
+  }
+
   private def xSourceOrc(s: SparkSession, dir: String): DataFrame =
     sourceRoundTrip(s, dir, "orc")
 
@@ -3963,6 +3986,7 @@ object SparkEntry {
     "x_stream_phash" -> (xStreamPhash _),
     "x_source_jsonl" -> (xSourceJsonl _),
     "x_source_orc" -> (xSourceOrc _),
+    "x_layout_partition_prune" -> (xLayoutPartitionPrune _),
     "x_layout_bloomskip" -> (xLayoutBloomskip _),
     "x_olap_rollup_incr" -> (xOlapRollupIncr _),
     "x_ab_cuped" -> (xAbCuped _),

@@ -69,6 +69,28 @@ object Layout {
     * zone map is the megabytes-sized index a driver can hold, and a
     * predicate consults it instead of opening 10⁵ files.
     */
+  /** Hive-style partitioned write + read — THE coarse data-skipping
+    * primitive at 100 TB (zonemaps and bloom filters skip within
+    * files; directory partitioning skips whole directories before a
+    * single footer is opened). Write once partitioned on a
+    * low-cardinality column; every later read that filters on it
+    * prunes at PLANNING time — PlanSpec asserts the scan's
+    * partitionFilters are non-empty and that it lists only the
+    * matching partition's files. Spark handles the layout natively;
+    * this helper just pins the library's conventions (explicit
+    * partition column, overwrite semantics, no schema inference on
+    * re-read — partition-column TYPE comes from the caller's schema,
+    * not directory-name guessing).
+    */
+  def writePartitioned(df: DataFrame, dir: String,
+      partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+
+  def readPartitioned(spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(dir)
+
   def zoneMap(df: DataFrame, fileId: Column,
       dims: Seq[(String, Column)]): DataFrame = {
     require(dims.nonEmpty, "zone map needs at least one stat dimension")

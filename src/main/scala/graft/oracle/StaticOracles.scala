@@ -1729,6 +1729,13 @@ private[graft] object StaticOracles {
     "x_source_orc" ->
       """SELECT doc_id, length(text) AS text_len, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the partition-pruned read must lose no rows vs the
+    // unpartitioned source
+    "x_layout_partition_prune" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  min(event_id) AS min_event_id
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // late-arriving dimension: orphans against dim0 ∪ late — the
     // %20 = 0 half of the dropped customers arrived late and must
     // RESOLVE their facts; only the %10 = 0, %20 ≠ 0 half stays orphan

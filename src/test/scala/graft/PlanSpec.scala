@@ -980,6 +980,37 @@ class PlanSpec extends SparkSpec {
       s"bucket-cap window must partition by (band, key): $ws")
   }
 
+  test("partitioned events read prunes whole directories at planning " +
+      "time") {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val out = java.nio.file.Files.createTempDirectory("graft_part")
+      .toString
+    graft.ext.Layout.writePartitioned(ev, out, "event_type")
+    val r = graft.ext.Layout.readPartitioned(spark, out, ev.schema)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    r.collect()
+    val s = scans(r)
+    assert(s.size == 1)
+    assert(s.head.partitionFilters.nonEmpty,
+      "the event_type predicate must land in partitionFilters")
+    // only the matching partition's files are read — count them on disk
+    val purchaseFiles = Option(new java.io.File(out,
+        "event_type=purchase").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val allFiles = Option(new java.io.File(out).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.isDirectory)
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val numFiles = s.head.metrics("numFiles").value
+    assert(numFiles == purchaseFiles && numFiles < allFiles,
+      s"scan must list only the purchase partition's files " +
+        s"($numFiles vs $purchaseFiles of $allFiles total)")
+  }
+
   test("editDistancePairs: segment pigeonhole equi-joins only — no " +
       "BNLJ, no cartesian, no window") {
     import org.apache.spark.sql.execution.joins.{
