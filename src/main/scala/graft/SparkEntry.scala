@@ -338,6 +338,61 @@ object SparkEntry {
   private def xSourceOrc(s: SparkSession, dir: String): DataFrame =
     sourceRoundTrip(s, dir, "orc")
 
+  /** Incremental re-materialization via DYNAMIC partition overwrite
+    * ([[graft.ext.Layout.overwritePartitionsDynamic]]): a per-type
+    * aggregate table is materialized from the first load, then a late
+    * batch touching ONLY two event types re-materializes exactly those
+    * two partitions (recomputed over first ∪ late for the touched
+    * types) — untouched partitions keep their original files
+    * (spec-asserted). The final read must hash-match the oracle's
+    * from-scratch aggregate over first ∪ late, proving the
+    * partial rewrite composed correctly.
+    */
+  private def xLayoutPartitionOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val first = ev.filter(col("event_id") % 3 =!= 0)
+    val late = ev.filter(col("event_id") % 3 === 0 &&
+      col("event_type").isin("click", "view"))
+    def agg(df: DataFrame) = df.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"))
+    val out = indexDir(dir, "dyn_part")
+    graft.ext.Layout.writePartitioned(agg(first), out, "event_type")
+    val touched = first.filter(col("event_type").isin("click", "view"))
+      .unionByName(late)
+    graft.ext.Layout.overwritePartitionsDynamic(agg(touched), out,
+      "event_type")
+    graft.ext.Layout.readPartitioned(s, out, agg(ev).schema)
+      .orderBy("event_type", "user_id")
+  }
+
+  /** Parquet SCHEMA EVOLUTION on read: an early batch lacks the
+    * `quality` column a later batch carries; `mergeSchema` unions the
+    * footers and fills the missing column with nulls for old files —
+    * the ingest reality of any long-lived corpus. The oracle
+    * recomputes the per-lang counts with quality only on the new half,
+    * so the hash-match proves old rows surface with NULL (not 0, not
+    * dropped) and new rows keep their values.
+    */
+  private def xSourceEvolution(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val out = indexDir(dir, "evo")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$out/old")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") % 100).as("quality"))
+      .write.mode("overwrite").parquet(s"$out/new")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$out/old", s"$out/new")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        count(col("quality")).as("n_with_quality"),
+        sum(col("quality")).as("sum_quality"))
+      .orderBy("lang")
+  }
+
   /** The x_dedup_incremental contract served through a PARQUET
     * ROUND-TRIP of the corpus index (IndexStore): build (id, sh) +
     * (id, band, bucket) artifacts, write, RE-READ, and serve the same
@@ -3987,6 +4042,8 @@ object SparkEntry {
     "x_source_jsonl" -> (xSourceJsonl _),
     "x_source_orc" -> (xSourceOrc _),
     "x_layout_partition_prune" -> (xLayoutPartitionPrune _),
+    "x_layout_partition_overwrite" -> (xLayoutPartitionOverwrite _),
+    "x_source_evolution" -> (xSourceEvolution _),
     "x_layout_bloomskip" -> (xLayoutBloomskip _),
     "x_olap_rollup_incr" -> (xOlapRollupIncr _),
     "x_ab_cuped" -> (xAbCuped _),

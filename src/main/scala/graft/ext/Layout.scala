@@ -91,6 +91,21 @@ object Layout {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).parquet(dir)
 
+  /** DYNAMIC partition overwrite — incremental re-materialization of a
+    * derived partitioned table: only the partitions present in `df`
+    * are replaced; every other partition's files are byte-untouched
+    * (spec-asserted via file listings). This is how a 100 TB derived
+    * table absorbs a late batch that touches 2 of 10 000 partitions
+    * without rewriting the other 9 998. Static overwrite (the
+    * default!) would silently DROP them — the option is set per-write
+    * here so the semantics never depend on session state.
+    */
+  def overwritePartitionsDynamic(df: DataFrame, dir: String,
+      partitionCol: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(dir)
+
   def zoneMap(df: DataFrame, fileId: Column,
       dims: Seq[(String, Column)]): DataFrame = {
     require(dims.nonEmpty, "zone map needs at least one stat dimension")

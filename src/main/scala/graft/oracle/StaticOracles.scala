@@ -1736,6 +1736,30 @@ private[graft] object StaticOracles {
         |  min(event_id) AS min_event_id
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // from-scratch aggregate over first-load ∪ late batch — the answer
+    // the dynamically-overwritten partitioned table must serve
+    "x_layout_partition_overwrite" ->
+      """WITH allr AS (
+        |  SELECT user_id, event_id, event_type FROM events
+        |  WHERE event_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT user_id, event_id, event_type FROM events
+        |  WHERE event_id % 3 = 0 AND event_type IN ('click', 'view'))
+        |SELECT event_type, user_id, count(*) AS n,
+        |  min(event_id) AS min_id
+        |FROM allr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // schema evolution: old half has no quality column (must surface
+    // as NULL under mergeSchema — counted absent, not zero)
+    "x_source_evolution" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, NULL AS quality FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars % 100 FROM documents
+        |  WHERE doc_id % 2 = 1)
+        |SELECT lang, count(*) AS n, count(quality) AS n_with_quality,
+        |  CAST(sum(quality) AS BIGINT) AS sum_quality
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     // late-arriving dimension: orphans against dim0 ∪ late — the
     // %20 = 0 half of the dropped customers arrived late and must
     // RESOLVE their facts; only the %10 = 0, %20 ≠ 0 half stays orphan

@@ -1011,6 +1011,38 @@ class PlanSpec extends SparkSpec {
         s"($numFiles vs $purchaseFiles of $allFiles total)")
   }
 
+  test("dynamic partition overwrite replaces ONLY the touched " +
+      "partitions; untouched files stay byte-identical") {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val out = java.nio.file.Files.createTempDirectory("graft_dyn")
+      .toString
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"))
+    graft.ext.Layout.writePartitioned(agg(ev), out, "event_type")
+    def files(part: String): Set[String] =
+      Option(new java.io.File(out, s"event_type=$part").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getName + ":" + f.lastModified()).toSet
+    val signupBefore = files("signup")
+    val clickBefore = files("click")
+    assert(signupBefore.nonEmpty && clickBefore.nonEmpty)
+    // a rewrite touching ONLY the click partition
+    graft.ext.Layout.overwritePartitionsDynamic(
+      agg(ev.filter(col("event_type") === "click")), out, "event_type")
+    assert(files("signup") === signupBefore,
+      "untouched partitions must keep their exact files")
+    assert(files("click") !== clickBefore,
+      "the touched partition must have been rewritten")
+    // content still complete: all five types readable
+    val types = graft.ext.Layout.readPartitioned(spark, out,
+        agg(ev).schema)
+      .select("event_type").distinct().count()
+    assert(types == 5)
+  }
+
   test("editDistancePairs: segment pigeonhole equi-joins only — no " +
       "BNLJ, no cartesian, no window") {
     import org.apache.spark.sql.execution.joins.{
