@@ -593,6 +593,49 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** RESTART-SAFE streaming uniqueness: the check-then-admit loop is
+    * driven as TWO separate query runs over one checkpoint — file A
+    * exists for run 1; file B (colliding with A's fresh keys AND with
+    * history) arrives before run 2. The checkpoint makes run 2 process
+    * ONLY file B, and the oracle's batchless recompute is the
+    * restart-safety proof: if run 2 re-processed the already-admitted
+    * file A, A's keys would be re-checked against an index that now
+    * CONTAINS them, inflating their cumulative counts and failing the
+    * hash. Scratch (stream dir, checkpoint, sink) is reset per
+    * invocation so bench reps stay independent.
+    */
+  private def xStreamUniqueResume(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+    val fileA = base.filter(col("o_orderkey") % 4 === 0)
+      .select((col("o_orderkey") + 4L * KeyFreshOffset).as("o_orderkey"))
+    val fileB = base.filter(col("o_orderkey") % 8 === 0)
+      .select((col("o_orderkey") + 4L * KeyFreshOffset).as("o_orderkey"))
+      .unionByName(base.filter(col("o_orderkey") % 10 === 3)
+        .select("o_orderkey"))
+    val streamDir = indexDir(dir, "ukeys_resume")
+    val ckpt = indexDir(dir, "ukeys_resume_ckpt")
+    val sink = indexDir(dir, "ukeys_resume_sink")
+    def wipe(p: String): Unit = {
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+        f.delete(); ()
+      }
+      rec(new java.io.File(p))
+    }
+    Seq(streamDir, ckpt, sink).foreach(wipe)
+    val tbl = indexTable(dir, "keyres")
+    graft.sources.IndexStore.writeKeyIndexBucketed(base, tbl,
+      Seq("o_orderkey"), numBuckets = 8)
+    fileA.coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.uniqueIngestRun(s, streamDir, tbl,
+      Seq("o_orderkey"), ckpt, sink)
+    fileB.coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.uniqueIngestRun(s, streamDir, tbl,
+      Seq("o_orderkey"), ckpt, sink)
+    StreamingValidate.uniqueViolationTotals(s, sink, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   /** The key-index LSM arc CLOSED: build on history → APPEND an
     * admitted batch → MERGE-COMPACT → serve the next batch. Batch 2
     * collides with BOTH the original history (%10 = 1 keys) and with
@@ -4098,6 +4141,7 @@ object SparkEntry {
     "x_unique_index_append" -> (xUniqueIndexAppend _),
     "k3_fk_index_served" -> (k3FkIndexServed _),
     "x_stream_unique_index" -> (xStreamUniqueIndex _),
+    "x_stream_unique_resume" -> (xStreamUniqueResume _),
     "x_mm_phash_served" -> (xMmPhashServed _),
     "x_eval_kendall" -> (xEvalKendall _),
     "x_profile_quantile_norm" -> (xProfileQuantileNorm _),

@@ -1837,6 +1837,26 @@ private[graft] object StaticOracles {
         |FROM s LEFT JOIN h ON s.o_orderkey = h.o_orderkey
         |WHERE s.c + coalesce(h.c, 0) > 1
         |ORDER BY 1""".stripMargin,
+    // batchless recompute over the TWO-RUN checkpointed stream: a
+    // re-processed (already-admitted) file A would inflate its keys'
+    // cumulative counts and fail this hash
+    "x_stream_unique_resume" ->
+      """WITH stream AS (
+        |  SELECT o_orderkey + 4000000000 AS o_orderkey FROM orders
+        |  WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 4000000000 FROM orders
+        |  WHERE o_orderkey % 8 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 3),
+        |s AS (SELECT o_orderkey, count(*) AS c FROM stream
+        |  WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |h AS (SELECT o_orderkey, count(*) AS c FROM orders
+        |  WHERE o_orderkey IS NOT NULL GROUP BY 1)
+        |SELECT s.o_orderkey, s.c + coalesce(h.c, 0) AS n_total
+        |FROM s LEFT JOIN h ON s.o_orderkey = h.o_orderkey
+        |WHERE s.c + coalesce(h.c, 0) > 1
+        |ORDER BY 1""".stripMargin,
     "x_sample_exact_n" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source FROM documents

@@ -614,21 +614,39 @@ object StreamingValidate {
   def uniqueIngestStream(spark: org.apache.spark.sql.SparkSession,
       newKeysDir: String, indexTable: String,
       keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.functions.{col, max}
     val sinkDir =
       s"${System.getProperty("java.io.tmpdir")}/graft_stream_sink/" +
         s"u${java.lang.Long.toHexString(newKeysDir.hashCode.toLong & 0xffffffffL)}" +
         s"_p${ProcessHandle.current().pid()}"
+    uniqueIngestRun(spark, newKeysDir, indexTable, keys,
+      checkpointDir = null, sinkDir = sinkDir)
+    uniqueViolationTotals(spark, sinkDir, keys)
+  }
+
+  /** One AvailableNow RUN of the check-then-admit loop against
+    * whatever files `newKeysDir` currently holds. With a non-null
+    * `checkpointDir` the run is RESUMABLE: a later invocation with the
+    * same checkpoint processes only files that arrived since — the
+    * restart-safety contract (x_stream_unique_resume's oracle is its
+    * proof: re-processing an already-admitted batch would re-check it
+    * against an index that now CONTAINS it, inflating its keys'
+    * cumulative counts and failing the hash).
+    */
+  def uniqueIngestRun(spark: org.apache.spark.sql.SparkSession,
+      newKeysDir: String, indexTable: String, keys: Seq[String],
+      checkpointDir: String, sinkDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
     val batchInput = spark.read.parquet(newKeysDir)
     def check(b: DataFrame): DataFrame =
       graft.check.Checks.uniqueAgainstIndex(b,
         graft.sources.IndexStore.readKeyIndexBucketed(spark, indexTable,
           keys), keys)
-    check(batchInput.limit(0)).write.mode("overwrite").parquet(sinkDir)
-    val q = spark.readStream.schema(batchInput.schema)
+    // init the sink once (first run only — a resumed run must APPEND)
+    if (!new java.io.File(sinkDir).exists())
+      check(batchInput.limit(0)).write.mode("overwrite").parquet(sinkDir)
+    val reader = spark.readStream.schema(batchInput.schema)
       .option("maxFilesPerTrigger", "1").parquet(newKeysDir)
-      .writeStream
+    val writer0 = reader.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
         // the write IS the materialization barrier: the plan reads the
         // index's file listing at THIS action, before the admit below
@@ -644,9 +662,19 @@ object StreamingValidate {
         spark.catalog.refreshTable(s"${indexTable}_keys")
         ()
       }
-      .trigger(Trigger.AvailableNow()).start()
+    val writer = if (checkpointDir == null) writer0
+      else writer0.option("checkpointLocation", checkpointDir)
+    val q = writer.trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable()
     q.stop()
+  }
+
+  /** Order-invariant aggregate of the per-batch violation sink —
+    * see [[uniqueIngestStream]].
+    */
+  def uniqueViolationTotals(spark: org.apache.spark.sql.SparkSession,
+      sinkDir: String, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max}
     spark.read.parquet(sinkDir)
       .groupBy(keys.map(col): _*)
       .agg(max(col("n_new") + col("n_existing")).as("n_total"))
