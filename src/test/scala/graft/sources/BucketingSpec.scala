@@ -12,6 +12,35 @@ class BucketingSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** Flatten through AQE wrappers to the real physical nodes — shared
+    * by every plan-contract test below.
+    */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => flatten(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive
+        .QueryStageExec => q +: flatten(q.plan)
+    case other => other +: other.children.flatMap(flatten)
+  }
+
+  /** True when raw rows of a scan satisfying `isIndexScan` sit below
+    * `x` with no intervening join — the "standing index is never
+    * re-shuffled" contract (post-join exchanges move candidate-sized
+    * data and are fine).
+    */
+  private def rawBelow(
+      isIndexScan: org.apache.spark.sql.execution.SparkPlan => Boolean)(
+      x: org.apache.spark.sql.execution.SparkPlan): Boolean = x match {
+    case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => rawBelow(isIndexScan)(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive
+        .QueryStageExec => rawBelow(isIndexScan)(q.plan)
+    case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+    case s if isIndexScan(s) => true
+    case other => other.children.exists(rawBelow(isIndexScan))
+  }
+
   test("fk join between tables bucketed on the key has no shuffle") {
     val li = Tables.load(spark, dir, "lineitem")
       .select("l_orderkey", "l_quantity")
@@ -66,14 +95,6 @@ class BucketingSpec extends SparkSpec {
       assert(joined.count() > 0, "twin batch must hit corpus buckets")
       // traverse through AQE stages (executedPlan alone hides the
       // finalized subtree behind AdaptiveSparkPlanExec)
-      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-        case a: org.apache.spark.sql.execution.adaptive
-            .AdaptiveSparkPlanExec => flatten(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive
-            .QueryStageExec => q +: flatten(q.plan)
-        case other => other +: other.children.flatMap(flatten)
-      }
       val all = flatten(joined.queryExecution.executedPlan)
       def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan) =
         p match {
@@ -118,14 +139,6 @@ class BucketingSpec extends SparkSpec {
       // exchange below the aggregate
       val deg = again.groupBy("src").agg(count(lit(1)).as("deg"))
       deg.collect()
-      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-        case a: org.apache.spark.sql.execution.adaptive
-            .AdaptiveSparkPlanExec => flatten(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive
-            .QueryStageExec => q +: flatten(q.plan)
-        case other => other +: other.children.flatMap(flatten)
-      }
       val all = flatten(deg.queryExecution.executedPlan)
       assert(!all.exists(_.isInstanceOf[ShuffleExchangeExec]),
         s"src agg over the bucketed edge artifact must not shuffle:\n" +
@@ -156,14 +169,6 @@ class BucketingSpec extends SparkSpec {
       val served = graft.ext.Dedup.substringRunsAgainst(batch, grams,
         minRunLen = 30, k = 8)
       assert(served.count() > 0, "planted slices must hit the corpus")
-      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-        case a: org.apache.spark.sql.execution.adaptive
-            .AdaptiveSparkPlanExec => flatten(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive
-            .QueryStageExec => q +: flatten(q.plan)
-        case other => other +: other.children.flatMap(flatten)
-      }
       val all = flatten(served.queryExecution.executedPlan)
       def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan) =
         p match {
@@ -246,14 +251,6 @@ class BucketingSpec extends SparkSpec {
         val served = graft.ext.Dedup.substringRunsAgainst(probes, grams,
           minRunLen = 30, k = 8)
         served.count()
-        def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-          case a: org.apache.spark.sql.execution.adaptive
-              .AdaptiveSparkPlanExec => flatten(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive
-              .QueryStageExec => q +: flatten(q.plan)
-          case other => other +: other.children.flatMap(flatten)
-        }
         val all = flatten(served.queryExecution.executedPlan)
         def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan) =
           p match {
@@ -330,14 +327,6 @@ class BucketingSpec extends SparkSpec {
         val p = graft.ext.Dedup.againstIndexPlan(probes, sh, bands,
           threshold = 0.5, numHashes = 32, bands = 16, k = 5)
         p.count()
-        def flatten(x: org.apache.spark.sql.execution.SparkPlan)
-            : Seq[org.apache.spark.sql.execution.SparkPlan] = x match {
-          case a: org.apache.spark.sql.execution.adaptive
-              .AdaptiveSparkPlanExec => flatten(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive
-              .QueryStageExec => q +: flatten(q.plan)
-          case other => other +: other.children.flatMap(flatten)
-        }
         val all = flatten(p.queryExecution.executedPlan)
         def isIndexScan(x: org.apache.spark.sql.execution.SparkPlan) =
           x match {
@@ -350,19 +339,8 @@ class BucketingSpec extends SparkSpec {
         // exchange may reach an index scan without an intervening
         // join (post-join exchanges move candidate pairs, which is
         // the batch-sized data, and are fine)
-        def rawIndexBelow(x: org.apache.spark.sql.execution.SparkPlan)
-            : Boolean = x match {
-          case a: org.apache.spark.sql.execution.adaptive
-              .AdaptiveSparkPlanExec => rawIndexBelow(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive
-              .QueryStageExec => rawIndexBelow(q.plan)
-          case _: org.apache.spark.sql.execution.joins.BaseJoinExec =>
-            false
-          case s if isIndexScan(s) => true
-          case other => other.children.exists(rawIndexBelow)
-        }
         val offending = all.collect { case e: ShuffleExchangeExec
-          if rawIndexBelow(e.child) => e }
+          if rawBelow(isIndexScan)(e.child) => e }
         assert(offending.isEmpty,
           "appended corpus index must still read in place")
       } finally
@@ -433,14 +411,6 @@ class BucketingSpec extends SparkSpec {
         val p = graft.ext.Dedup.againstIndexPlan(probes, sh, bands,
           threshold = 0.5, numHashes = 32, bands = 16, k = 5)
         p.count()
-        def flatten(x: org.apache.spark.sql.execution.SparkPlan)
-            : Seq[org.apache.spark.sql.execution.SparkPlan] = x match {
-          case a: org.apache.spark.sql.execution.adaptive
-              .AdaptiveSparkPlanExec => flatten(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive
-              .QueryStageExec => q +: flatten(q.plan)
-          case other => other +: other.children.flatMap(flatten)
-        }
         val all = flatten(p.queryExecution.executedPlan)
         def isIndexScan(x: org.apache.spark.sql.execution.SparkPlan) =
           x match {
@@ -450,19 +420,8 @@ class BucketingSpec extends SparkSpec {
           }
         assert(all.exists(isIndexScan),
           "serve must read the compacted bucketed tables")
-        def rawIndexBelow(x: org.apache.spark.sql.execution.SparkPlan)
-            : Boolean = x match {
-          case a: org.apache.spark.sql.execution.adaptive
-              .AdaptiveSparkPlanExec => rawIndexBelow(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive
-              .QueryStageExec => rawIndexBelow(q.plan)
-          case _: org.apache.spark.sql.execution.joins.BaseJoinExec =>
-            false
-          case s if isIndexScan(s) => true
-          case other => other.children.exists(rawIndexBelow)
-        }
         assert(!all.exists {
-          case e: ShuffleExchangeExec => rawIndexBelow(e.child)
+          case e: ShuffleExchangeExec => rawBelow(isIndexScan)(e.child)
           case _ => false
         }, "compacted index must still read in place")
       } finally
@@ -558,14 +517,6 @@ class BucketingSpec extends SparkSpec {
         val p = graft.check.Checks.uniqueAgainstIndex(batch2, idx,
           Seq("o_orderkey"))
         p.count()
-        def flatten(x: org.apache.spark.sql.execution.SparkPlan)
-            : Seq[org.apache.spark.sql.execution.SparkPlan] = x match {
-          case a: org.apache.spark.sql.execution.adaptive
-              .AdaptiveSparkPlanExec => flatten(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive
-              .QueryStageExec => q +: flatten(q.plan)
-          case other => other +: other.children.flatMap(flatten)
-        }
         val all = flatten(p.queryExecution.executedPlan)
         def isIndexScan(x: org.apache.spark.sql.execution.SparkPlan) =
           x match {
@@ -575,19 +526,8 @@ class BucketingSpec extends SparkSpec {
           }
         assert(all.exists(isIndexScan),
           "serve must read the bucketed key index")
-        def rawIndexBelow(x: org.apache.spark.sql.execution.SparkPlan)
-            : Boolean = x match {
-          case a: org.apache.spark.sql.execution.adaptive
-              .AdaptiveSparkPlanExec => rawIndexBelow(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive
-              .QueryStageExec => rawIndexBelow(q.plan)
-          case _: org.apache.spark.sql.execution.joins.BaseJoinExec =>
-            false
-          case s if isIndexScan(s) => true
-          case other => other.children.exists(rawIndexBelow)
-        }
         assert(!all.exists {
-          case e: ShuffleExchangeExec => rawIndexBelow(e.child)
+          case e: ShuffleExchangeExec => rawBelow(isIndexScan)(e.child)
           case _ => false
         }, "history side of the uniqueness serve must read in place:\n" +
           p.queryExecution.executedPlan)
@@ -634,14 +574,6 @@ class BucketingSpec extends SparkSpec {
       }.toSet
       assert(got === ref, "served pairs must match the self-join answer")
       assert(got.nonEmpty, "perturbed twins must hit their sources")
-      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-        case a: org.apache.spark.sql.execution.adaptive
-            .AdaptiveSparkPlanExec => flatten(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive
-            .QueryStageExec => q +: flatten(q.plan)
-        case other => other +: other.children.flatMap(flatten)
-      }
       val all2 = flatten(served.queryExecution.executedPlan)
       def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan) =
         p match {
@@ -651,19 +583,8 @@ class BucketingSpec extends SparkSpec {
         }
       assert(all2.exists(isIndexScan),
         "serve must read the bucketed phash index")
-      def rawIndexBelow(x: org.apache.spark.sql.execution.SparkPlan)
-          : Boolean = x match {
-        case a: org.apache.spark.sql.execution.adaptive
-            .AdaptiveSparkPlanExec => rawIndexBelow(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive
-            .QueryStageExec => rawIndexBelow(q.plan)
-        case _: org.apache.spark.sql.execution.joins.BaseJoinExec =>
-          false
-        case s if isIndexScan(s) => true
-        case other => other.children.exists(rawIndexBelow)
-      }
       assert(!all2.exists {
-        case e: ShuffleExchangeExec => rawIndexBelow(e.child)
+        case e: ShuffleExchangeExec => rawBelow(isIndexScan)(e.child)
         case _ => false
       }, "banded corpus index must read in place below the serve join")
     } finally {
@@ -697,14 +618,6 @@ class BucketingSpec extends SparkSpec {
       val served = graft.ext.Dedup.editDistanceAgainstPlan(batch, "id",
         col("s"), segs, str, bylen, d = 4)
       assert(served.count() > 0, "mutants must find their sources")
-      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-        case a: org.apache.spark.sql.execution.adaptive
-            .AdaptiveSparkPlanExec => flatten(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive
-            .QueryStageExec => q +: flatten(q.plan)
-        case other => other +: other.children.flatMap(flatten)
-      }
       val all = flatten(served.queryExecution.executedPlan)
       def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan) =
         p match {
@@ -713,19 +626,8 @@ class BucketingSpec extends SparkSpec {
           case _ => false
         }
       assert(all.exists(isIndexScan), "serve must read the index tables")
-      def rawIndexBelow(x: org.apache.spark.sql.execution.SparkPlan)
-          : Boolean = x match {
-        case a: org.apache.spark.sql.execution.adaptive
-            .AdaptiveSparkPlanExec => rawIndexBelow(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive
-            .QueryStageExec => rawIndexBelow(q.plan)
-        case _: org.apache.spark.sql.execution.joins.BaseJoinExec =>
-          false
-        case s if isIndexScan(s) => true
-        case other => other.children.exists(rawIndexBelow)
-      }
       assert(!all.exists {
-        case e: ShuffleExchangeExec => rawIndexBelow(e.child)
+        case e: ShuffleExchangeExec => rawBelow(isIndexScan)(e.child)
         case _ => false
       }, "every edit-index table must read in place below its join:\n" +
         served.queryExecution.executedPlan)
