@@ -3325,6 +3325,32 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** Typo-chain clustering — editDistancePairs composed into
+    * [[graft.ext.Dedup.duplicateClusters]]: the corpus carries
+    * two-mutation and four-mutation variants of each source, and at
+    * d = 2 the endpoints do NOT pair directly (distance 4) — the
+    * three-member cluster forms only through transitive label
+    * propagation via the middle variant, which is exactly what the
+    * composition must get right. The oracle recomputes brute-force
+    * pairs AND the min-label fixpoint with a recursive CTE.
+    */
+  private def xDedupEditdistClusters(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .filter(col("n_chars") <= 250 && col("doc_id") % 4 === 1)
+      .select(col("doc_id").as("id"), col("text").as("s"))
+    def subst(c: Column, pos: Int): Column =
+      concat(substring(c, 1, pos - 1), lit("X"),
+        c.substr(lit(pos + 1), length(c)))
+    val m2 = base.select((col("id") + 7000000L).as("id"),
+      subst(subst(col("s"), 10), 20).as("s"))
+    val m4 = base.select((col("id") + 14000000L).as("id"),
+      subst(subst(subst(subst(col("s"), 10), 20), 30), 40).as("s"))
+    val corpus = base.unionByName(m2).unionByName(m4)
+    Dedup.duplicateClusters(
+        Dedup.editDistancePairs(corpus, "id", col("s"), d = 2))
+      .orderBy("id")
+  }
+
   /** The edit index's LSM append arc: build on the corpus, APPEND a
     * delta of position-20 variants (distance 1 from their sources),
     * then screen position-10 mutants against the appended index — each
@@ -4078,6 +4104,7 @@ object SparkEntry {
     "x_dedup_editdist" -> (xDedupEditdist _),
     "x_dedup_editdist_served" -> (xDedupEditdistServed _),
     "x_dedup_editdist_append" -> (xDedupEditdistAppend _),
+    "x_dedup_editdist_clusters" -> (xDedupEditdistClusters _),
     "x_fk_index_append" -> (xFkIndexAppend _),
     "x_dedup_substring_compact" -> (xDedupSubstringCompact _),
     "x_stream_editdist" -> (xStreamEditdist _),

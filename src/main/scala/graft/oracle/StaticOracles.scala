@@ -1701,6 +1701,42 @@ private[graft] object StaticOracles {
         |        ON abs(length(b.s) - length(c.text)) <= 4)
         |SELECT new_id, corpus_id, CAST(dist AS BIGINT) AS dist FROM p
         |WHERE dist <= 4 ORDER BY new_id, corpus_id""".stripMargin,
+    // typo-chain clusters: brute-force d<=2 pairs (endpoints at
+    // distance 4 deliberately do NOT pair) + recursive min-label
+    // fixpoint — clusters must form transitively via the middle
+    // variant
+    "x_dedup_editdist_clusters" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE n_chars <= 250 AND doc_id % 4 = 1),
+        |m2 AS (SELECT doc_id,
+        |    substr(text, 1, 19) || 'X' || substr(text, 21) AS text
+        |  FROM (SELECT doc_id,
+        |      substr(text, 1, 9) || 'X' || substr(text, 11) AS text
+        |    FROM d0)),
+        |m4 AS (SELECT doc_id,
+        |    substr(text, 1, 39) || 'X' || substr(text, 41) AS text
+        |  FROM (SELECT doc_id,
+        |      substr(text, 1, 29) || 'X' || substr(text, 31) AS text
+        |    FROM m2)),
+        |corpus AS (
+        |  SELECT doc_id, text FROM d0
+        |  UNION ALL SELECT doc_id + 7000000, text FROM m2
+        |  UNION ALL SELECT doc_id + 14000000, text FROM m4),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM corpus a JOIN corpus b
+        |        ON a.doc_id < b.doc_id
+        |        AND abs(length(a.text) - length(b.text)) <= 2
+        |      WHERE levenshtein(a.text, b.text) <= 2),
+        |nodes AS (SELECT id_a AS id FROM p UNION SELECT id_b FROM p),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON e.src = reach.id)
+        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
     // batch × (base ∪ appended delta) from scratch — the answer the
     // APPENDED edit index must serve: every probe finds its base
     // source (dist 1) AND the appended position-20 variant (dist 2)
