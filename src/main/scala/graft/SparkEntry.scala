@@ -593,6 +593,57 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Right-to-be-forgotten in the key index — LSM TOMBSTONES: every
+    * 6th order's key is DELETED from the standing index (negated
+    * counts appended, history files untouched), the index is
+    * merge-compacted (zero-total rows physically dropped), and a batch
+    * re-ingesting those keys twice plus some live keys is checked.
+    * Deleted keys must surface with n_existing = 0 (batch-internal
+    * duplicates only — a failed deletion would report their history
+    * counts and miss the hash); live keys keep their history counts.
+    */
+  private def xUniqueIndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+    val del = base.filter(col("o_orderkey") % 6 === 0)
+    val batch = del.select("o_orderkey")
+      .unionByName(del.select("o_orderkey"))
+      .unionByName(base.filter(col("o_orderkey") % 10 === 1)
+        .select("o_orderkey"))
+    val tbl = indexTable(dir, "keydel")
+    graft.sources.IndexStore.writeKeyIndexBucketed(base, tbl,
+      Seq("o_orderkey"), numBuckets = 8)
+    graft.sources.IndexStore.deleteFromKeyIndexBucketed(del, tbl,
+      Seq("o_orderkey"))
+    graft.sources.IndexStore.compactKeyIndexBucketed(s, tbl)
+    val idx = graft.sources.IndexStore.readKeyIndexBucketed(s, tbl,
+      Seq("o_orderkey"))
+    Checks.uniqueAgainstIndex(batch, idx, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  /** The FK twin of the tombstone arc: the FULL customer dimension is
+    * indexed, every 10th customer is DELETED via tombstones (no
+    * compaction — the serve must see through raw tombstone rows), and
+    * orders are re-checked. Deleted customers' facts REOPEN as
+    * orphans, which makes the answer exactly k3_fk_orders_customer's
+    * (the same degradation constructed by filtering) — the oracle is
+    * shared verbatim.
+    */
+  private def k3FkIndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    val tbl = indexTable(dir, "fkdel")
+    graft.sources.IndexStore.writeKeyIndexBucketed(customer, tbl,
+      Seq("c_custkey"), numBuckets = 8)
+    graft.sources.IndexStore.deleteFromKeyIndexBucketed(
+      customer.filter(col("c_custkey") % 10 === 0), tbl,
+      Seq("c_custkey"))
+    val idx = graft.sources.IndexStore.readKeyIndexBucketed(s, tbl,
+      Seq("c_custkey"))
+    Checks.foreignKeyAgainstIndex(orders, Seq("o_custkey"), idx,
+      Seq("c_custkey")).orderBy("o_custkey")
+  }
+
   /** RESTART-SAFE streaming uniqueness: the check-then-admit loop is
     * driven as TWO separate query runs over one checkpoint — file A
     * exists for run 1; file B (colliding with A's fresh keys AND with
@@ -4169,6 +4220,8 @@ object SparkEntry {
     "k3_fk_index_served" -> (k3FkIndexServed _),
     "x_stream_unique_index" -> (xStreamUniqueIndex _),
     "x_stream_unique_resume" -> (xStreamUniqueResume _),
+    "x_unique_index_delete" -> (xUniqueIndexDelete _),
+    "k3_fk_index_delete" -> (k3FkIndexDelete _),
     "x_mm_phash_served" -> (xMmPhashServed _),
     "x_eval_kendall" -> (xEvalKendall _),
     "x_profile_quantile_norm" -> (xProfileQuantileNorm _),
@@ -4211,7 +4264,9 @@ object SparkEntry {
       "x_stream_editdist" ->
         graft.oracle.StaticOracles.sql("x_dedup_editdist_served"),
       "x_stream_phash" ->
-        graft.oracle.StaticOracles.sql("x_mm_phash_served"))
+        graft.oracle.StaticOracles.sql("x_mm_phash_served"),
+      "k3_fk_index_delete" ->
+        graft.oracle.StaticOracles.sql("k3_fk_orders_customer"))
 
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
     * Verify skip the generation work when a name filter excludes them.

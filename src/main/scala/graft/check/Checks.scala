@@ -212,10 +212,13 @@ object Checks {
     * the dimension is itself 100 TB-class (too big to broadcast, too
     * hot to re-shuffle per batch): the child batch anti-joins the
     * bucketed index on its own bucket columns, so the parent side
-    * reads in place and only the batch moves. Right-side row
-    * multiplicity (LSM appends may split a key across rows) is
-    * irrelevant to an anti join, so no merge pass is needed. Result
-    * contract identical to [[foreignKey]]: orphan key tuples + counts.
+    * reads in place and only the batch moves. The index's LSM rows
+    * merge per key FIRST (`sum(n) > 0` — a groupBy on the index's own
+    * bucket columns, exchange-free), so keys erased by
+    * [[graft.sources.IndexStore.deleteFromKeyIndexBucketed]]
+    * tombstones correctly REOPEN as orphans instead of matching their
+    * dead rows. Result contract identical to [[foreignKey]]: orphan
+    * key tuples + counts.
     */
   def foreignKeyAgainstIndex(
       child: DataFrame,
@@ -226,8 +229,10 @@ object Checks {
     require(childKeys.size == indexKeys.size, "fk arity mismatch")
     val c = child.select(childKeys.map(child(_)): _*)
       .filter(childKeys.map(child(_).isNotNull).reduce(_ && _))
-    val p = index.select(indexKeys.zip(childKeys).map {
-      case (ik, ck) => index(ik).as(ck)
+    val live = index.groupBy(indexKeys.map(index(_)): _*)
+      .agg(sum(col("n")).as("__n")).filter(col("__n") > 0)
+    val p = live.select(indexKeys.zip(childKeys).map {
+      case (ik, ck) => live(ik).as(ck)
     }: _*)
     val cond = childKeys.map(k => c(k) === p(k)).reduce(_ && _)
     c.join(p, cond, "left_anti")

@@ -1796,6 +1796,26 @@ private[graft] object StaticOracles {
         |SELECT lang, count(*) AS n, count(quality) AS n_with_quality,
         |  CAST(sum(quality) AS BIGINT) AS sum_quality
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    // tombstone deletion: history counts recomputed WITHOUT the
+    // deleted keys — a failed deletion reports their counts and
+    // misses this hash
+    "x_unique_index_delete" ->
+      """WITH batch AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 6 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 6 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 1),
+        |b AS (SELECT o_orderkey, count(*) AS n_new FROM batch
+        |  WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |h AS (SELECT o_orderkey, count(*) AS n_existing FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_orderkey % 6 <> 0
+        |  GROUP BY 1)
+        |SELECT b.o_orderkey, b.n_new,
+        |  coalesce(h.n_existing, 0) AS n_existing
+        |FROM b LEFT JOIN h ON b.o_orderkey = h.o_orderkey
+        |WHERE b.n_new + coalesce(h.n_existing, 0) > 1
+        |ORDER BY 1""".stripMargin,
     // late-arriving dimension: orphans against dim0 ∪ late — the
     // %20 = 0 half of the dropped customers arrived late and must
     // RESOLVE their facts; only the %10 = 0, %20 ≠ 0 half stays orphan

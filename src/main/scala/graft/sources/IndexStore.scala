@@ -459,17 +459,41 @@ object IndexStore {
     Bucketing.readBucketed(spark, s"${table}_keys")
   }
 
+  /** DELETE keys from the standing index WITHOUT touching history
+    * files — LSM tombstones: the deleted rows' per-key counts are
+    * appended NEGATED, and because every serve path aggregates with
+    * `sum(n)` per key, a fully-deleted key contributes exactly zero
+    * from the moment the tombstone lands. This is the
+    * right-to-be-forgotten shape at 100 TB: no rewrite of years of
+    * standing files, one batch-sized append; the next
+    * [[compactKeyIndexBucketed]] collapses tombstones physically
+    * (zero-total rows are dropped by the merge). Contract: delete
+    * rows that were actually ingested — over-deleting drives a key's
+    * total negative, which no serve interprets.
+    */
+  def deleteFromKeyIndexBucketed(deleted: DataFrame, table: String,
+      keys: Seq[String]): Unit = {
+    val spark = deleted.sparkSession
+    checkKeyMeta(spark, table, keys)
+    Bucketing.appendBucketed(
+      keyCounts(deleted, keys).withColumn("n", -col("n")),
+      s"${table}_keys", keys,
+      Bucketing.numBucketsOf(spark, s"${table}_keys"))
+  }
+
   /** True LSM merge-compaction: re-aggregate rows a key accumulated
-    * across appends AND rewrite to one file per non-empty bucket.
-    * The merge is a groupBy on the bucket columns (exchange-free) and
-    * the serve paths already sum per key, so the served answer is
-    * invariant — asserted in BucketingSpec alongside the file-count
-    * drop.
+    * across appends AND rewrite to one file per non-empty bucket,
+    * DROPPING keys whose total reached zero (collapsed tombstones —
+    * a fully-deleted key physically disappears here). The merge is a
+    * groupBy on the bucket columns (exchange-free) and the serve
+    * paths already sum per key, so the served answer is invariant —
+    * asserted in BucketingSpec alongside the file-count drop.
     */
   def compactKeyIndexBucketed(spark: SparkSession, table: String): Unit =
     Bucketing.compactBucketed(spark, s"${table}_keys", df => {
       val keys = df.columns.filter(_ != "n").toSeq
       df.groupBy(keys.map(df(_)): _*).agg(sum(col("n")).as("n"))
+        .filter(col("n") =!= 0)
     })
 
   /** Build + persist the IVF index under an explicit centroid frame

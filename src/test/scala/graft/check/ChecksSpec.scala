@@ -217,6 +217,21 @@ class ChecksSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .toSet
     assert(got === Set((1, 1L, 1L), (3, 1L, 3L), (7, 2L, 0L)))
+
+    // LSM tombstones (negated count rows): fully-deleted key 2 must
+    // REOPEN as an fk orphan, and contribute zero to uniqueness
+    val tomb = Seq((1, 1L), (2, 1L), (2, -1L), (3, 1L)).toDF("id", "n")
+    val reopened = Checks.foreignKeyAgainstIndex(child,
+        Seq("parent_id"), tomb, Seq("id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(reopened === Set((2, 1L), (99, 2L)),
+      "deleted parent keys must orphan their facts again")
+    val uniq = Checks.uniqueAgainstIndex(
+        Seq(2, 2).toDF("id"), tomb, Seq("id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(uniq === Set((2, 2L, 0L)),
+      "a deleted key's history must count zero")
   }
 
   test("fk broadcast re-hint applies ONLY to broadcast-family hints") {

@@ -507,6 +507,20 @@ class BucketingSpec extends SparkSpec {
         IndexStore.appendKeyIndexBucketed(batch1, "kix_spec",
           Seq("o_custkey"))
       }
+      // tombstones: deleting BOTH admitted copies of batch1 returns
+      // the index to its pre-append state (serve-identical), and the
+      // next merge-compaction drops the dead keys physically
+      IndexStore.deleteFromKeyIndexBucketed(batch1, "kix_spec",
+        Seq("o_orderkey"))
+      IndexStore.deleteFromKeyIndexBucketed(batch1, "kix_spec",
+        Seq("o_orderkey"))
+      IndexStore.compactKeyIndexBucketed(spark, "kix_spec")
+      assert(spark.table("kix_spec_keys")
+        .filter(col("o_orderkey") > 1000000L).count() == 0,
+        "merge-compaction must physically drop fully-deleted keys")
+      val served = serve("kix_spec")
+      assert(!served.exists { case (k, _, ne) => k > 1000000L && ne > 0 },
+        "deleted batch-1 keys must contribute zero history")
       // plan contract: history side (scan → merge agg → join) reads in
       // place; no exchange may sit between the index scan and the join
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
