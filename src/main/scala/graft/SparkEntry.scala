@@ -494,6 +494,38 @@ object SparkEntry {
     */
   private val AppendDeltaOffset = 1000000L
 
+  /** Tombstone deletion for the near-dup corpus index: every 3rd
+    * source document is DELETED (id-list tombstones — standing index
+    * files untouched), and the twin batch is served with dead corpus
+    * ids excluded via an anti-join on the OUTPUT pairs (batch-sized,
+    * exact: a dead doc can only surface through candidates). The
+    * oracle recomputes the incremental answer and drops the deleted
+    * corpus ids — a failed exclusion reports their pairs and misses
+    * the hash. Physical purge (compaction with an anti-join merge) is
+    * proven serve-invariant in BucketingSpec.
+    */
+  private def xDedupIndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val probes = base.select((col("id") + IncrementalTwinOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val tbl = indexTable(dir, "sidx_del")
+    graft.sources.IndexStore.writeDedupIndexBucketed(base, tbl,
+      numBuckets = 8, k = 5)
+    graft.sources.IndexStore.deleteFromDedupIndexBucketed(
+      base.filter(col("id") % 3 === 0).select("id"), tbl)
+    val (sh, bands) =
+      graft.sources.IndexStore.readDedupIndexBucketed(s, tbl, k = 5)
+    val dead = graft.sources.IndexStore.readDedupDeadIds(s, tbl)
+      .select(col("id").as("corpus_id"))
+    Dedup.nearDuplicatesAgainstIndex(probes, sh, bands,
+        threshold = 0.5, k = 5)
+      .join(dead, Seq("corpus_id"), "left_anti")
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** The LSM arc CLOSED: build → append → COMPACT → serve. Identical
     * data flow to [[xDedupIndexAppend]] with one
     * [[graft.sources.IndexStore.compactDedupIndexBucketed]] between
@@ -4222,6 +4254,7 @@ object SparkEntry {
     "x_stream_unique_resume" -> (xStreamUniqueResume _),
     "x_unique_index_delete" -> (xUniqueIndexDelete _),
     "k3_fk_index_delete" -> (k3FkIndexDelete _),
+    "x_dedup_index_delete" -> (xDedupIndexDelete _),
     "x_mm_phash_served" -> (xMmPhashServed _),
     "x_eval_kendall" -> (xEvalKendall _),
     "x_profile_quantile_norm" -> (xProfileQuantileNorm _),

@@ -1668,6 +1668,14 @@ private[graft] object StaticOracles {
       s"""WITH $duckMinhashIncrementalCtes
         |SELECT new_id, corpus_id, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY new_id, corpus_id""".stripMargin,
+    // tombstone deletion: the incremental answer minus every deleted
+    // corpus id's pairs — per-document banding is independent, so
+    // removal touches nothing else
+    "x_dedup_index_delete" ->
+      s"""WITH $duckMinhashIncrementalCtes
+        |SELECT new_id, corpus_id, jaccard FROM j
+        |WHERE jaccard >= 0.5 AND corpus_id % 3 <> 0
+        |ORDER BY new_id, corpus_id""".stripMargin,
     // from-scratch rebuild over base ∪ appended delta — the answer the
     // APPENDED bucketed index must serve byte-for-byte
     "x_dedup_index_append" ->

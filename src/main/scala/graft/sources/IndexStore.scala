@@ -237,6 +237,42 @@ object IndexStore {
       Bucketing.numBucketsOf(spark, s"${table}_grams"))
   }
 
+  /** Tombstone DELETION for the MinHash index: deleted document ids
+    * land in a sibling `_dead` table — standing index files untouched,
+    * one id-list append. Serving excludes dead corpus ids by
+    * anti-joining the OUTPUT pairs (batch-sized — the cheap side; a
+    * dead doc can only surface through candidates, so post-join
+    * exclusion is exact). [[purgeDedupIndexBucketed]] later removes
+    * dead rows physically via the compaction rewrite and clears the
+    * tombstones; the serve answer is invariant across the purge
+    * (BucketingSpec proves excluded-serve ≡ post-purge serve ≡
+    * rebuild-without-deleted).
+    */
+  def deleteFromDedupIndexBucketed(ids: DataFrame, table: String): Unit =
+    ids.select(col("id"))
+      .write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_dead")
+
+  /** The current tombstone set — empty frame if none were deleted. */
+  def readDedupDeadIds(spark: SparkSession, table: String): DataFrame =
+    if (spark.catalog.tableExists(s"${table}_dead"))
+      spark.table(s"${table}_dead")
+    else spark.range(0).select(col("id"))
+
+  /** Physically remove tombstoned documents from both index halves
+    * (the compaction rewrite with an anti-join merge) and clear the
+    * tombstone table. After a purge, serving needs no exclusion until
+    * the next delete.
+    */
+  def purgeDedupIndexBucketed(spark: SparkSession, table: String): Unit = {
+    val dead = readDedupDeadIds(spark, table)
+    Bucketing.compactBucketed(spark, s"${table}_sh",
+      df => df.join(dead, Seq("id"), "left_anti"))
+    Bucketing.compactBucketed(spark, s"${table}_bands",
+      df => df.join(dead, Seq("id"), "left_anti"))
+    spark.sql(s"DROP TABLE IF EXISTS `${table}_dead`")
+  }
+
   /** Compact the standing bucketed MinHash dedup index back to one
     * data file per non-empty bucket ([[Bucketing.compactBucketed]] on
     * both halves) — the periodic rewrite [[appendDedupIndexBucketed]]

@@ -652,6 +652,56 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("dedup index tombstones: excluded serve ≡ rebuild-without-" +
+      "deleted ≡ post-purge serve; purge drops rows physically") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    val probes = docs.select((col("id") + 900000L).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.6).cast("int")).as("toks"))
+    IndexStore.writeDedupIndexBucketed(docs, "del_spec",
+      numBuckets = 8, k = 5)
+    IndexStore.writeDedupIndexBucketed(docs.filter(col("id") % 3 =!= 0),
+      "del_ref", numBuckets = 8, k = 5)
+    IndexStore.deleteFromDedupIndexBucketed(
+      docs.filter(col("id") % 3 === 0).select("id"), "del_spec")
+    try {
+      def serve(table: String, excludeDead: Boolean)
+          : Set[(Long, Long, Double)] = {
+        val (sh, bands) = IndexStore
+          .readDedupIndexBucketed(spark, table, k = 5)
+        val r0 = graft.ext.Dedup.nearDuplicatesAgainstIndex(probes, sh,
+          bands, threshold = 0.5, k = 5)
+        val r = if (!excludeDead) r0
+          else r0.join(IndexStore.readDedupDeadIds(spark, table)
+            .select(col("id").as("corpus_id")), Seq("corpus_id"),
+            "left_anti")
+        r.select(col("new_id"), col("corpus_id"), col("jaccard"))
+          .collect()
+          .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+      }
+      val ref = serve("del_ref", excludeDead = false)
+      assert(serve("del_spec", excludeDead = true) === ref,
+        "tombstone-excluded serve must equal rebuild-without-deleted")
+      assert(ref.nonEmpty)
+      IndexStore.purgeDedupIndexBucketed(spark, "del_spec")
+      assert(!spark.catalog.tableExists("del_spec_dead"),
+        "purge must clear the tombstone table")
+      assert(spark.table("del_spec_sh")
+        .filter(col("id") % 3 === 0).count() == 0 &&
+        spark.table("del_spec_bands")
+          .filter(col("id") % 3 === 0).count() == 0,
+        "purge must drop deleted rows physically")
+      assert(Bucketing.numBucketsOf(spark, "del_spec_bands") == 8,
+        "bucket layout must survive the purge rewrite")
+      assert(serve("del_spec", excludeDead = false) === ref,
+        "post-purge serve needs no exclusion and keeps the answer")
+    } finally for (t <- Seq("del_spec", "del_ref");
+        s <- Seq("_sh", "_bands", "_meta", "_dead"))
+      spark.sql(s"DROP TABLE IF EXISTS $t$s")
+  }
+
   test("bucketed aggregation on the bucket key skips the shuffle") {
     val li = Tables.load(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber")
