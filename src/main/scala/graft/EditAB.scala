@@ -30,7 +30,13 @@ object EditAB {
     // document has the same length (250), so segments 0–3 (chars
     // 0–199) fall entirely inside the boilerplate and are shared by
     // the WHOLE corpus — the hot-segment shape. Every 10th doc gets a
-    // mutant twin (id + 1000000, one char substituted in the tail).
+    // mutant twin (id + 1000000, one char substituted INSIDE the
+    // boilerplate, at position 70 — deliberately: the twin's rare
+    // TAIL segment stays identical to its source's, so the planted
+    // pair remains discoverable via that rare segment even when the
+    // cap drops every hot boilerplate segment (a tail mutation would
+    // leave only capped-away hot segments as candidates and the
+    // capped ⊆ exact assertion below would trivialize to empty).
     val boiler = ("official disclaimer: the following text is " +
       "provided as is, without warranty of any kind, express or " +
       "implied, including but not limited to the warranties of " +

@@ -82,10 +82,16 @@ object Bucketing {
     * its expression-hash repartition use the same
     * pmod(murmur3, n) routing, so every write task holds exactly one
     * bucket's rows. The rewrite lands in a sibling `__compact` table
-    * first and swaps in atomically-enough via catalog RENAME (the
-    * original is dropped only after the rewrite fully committed —
-    * a crashed compaction leaves the original intact plus dead
-    * scratch that [[Scratch]] sweeps, never a half-table).
+    * first, then swaps in with the original renamed ASIDE, never
+    * dropped early: `table` → `table__old`, `__compact` → `table`,
+    * drop `table__old`. At every crash point the full row set exists
+    * under at least one durable name (before the first rename: the
+    * original; between the renames: `__old` + `__compact`; after:
+    * the new `table` + `__old` debris) — the pre-round-13 shape
+    * DROPPED the original before renaming the rewrite in, leaving a
+    * crash window where `__compact` held the only copy (and, for
+    * pid-named scratch indexes, one a later process's [[Scratch]]
+    * sweep would then delete).
     *
     * `merge` lets an index give compaction LSM merge semantics (e.g.
     * the key index re-aggregates per-key count rows split across
@@ -105,7 +111,21 @@ object Bucketing {
     val sorts = spec.get.sortColumnNames
     val n = spec.get.numBuckets
     val tmp = s"${table}__compact"
+    val old = s"${table}__old"
     spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    spark.sql(s"DROP TABLE IF EXISTS `$old`")
+    // a crashed prior attempt can leave catalog-less sibling DIRS that
+    // would block the managed-table renames below — clear them (the
+    // drops above only clear catalog entries they know about)
+    if (meta.location.getScheme == null ||
+        meta.location.getScheme == "file") {
+      val parent = new java.io.File(meta.location).getParentFile
+      Seq(tmp, old).foreach { n =>
+        val dir = new java.io.File(parent, n.toLowerCase)
+        if (dir.exists() && !spark.catalog.tableExists(n))
+          deleteDir(dir)
+      }
+    }
     // Read the table's files BY PATH, not via the catalog: a catalog
     // read advertises the bucket spec, the optimizer then elides the
     // repartition below as redundant — and DisableUnnecessaryBucketedScan
@@ -115,16 +135,30 @@ object Bucketing {
     // rewrite runs over raw file splits and writes one file per
     // (task × bucket) instead of one per bucket. The path read carries
     // no bucket metadata, so the repartition survives and aligns every
-    // task with exactly one writer bucket.
-    val w = merge(spark.read.parquet(meta.location.toString))
+    // task with exactly one writer bucket. The CATALOG schema rides the
+    // read explicitly: a merge-compaction can legitimately empty the
+    // table (every key tombstoned), and a schema-less parquet read of
+    // the then file-less directory fails "Unable to infer schema" —
+    // compaction must be idempotent on an emptied index.
+    val w = merge(spark.read.schema(meta.schema)
+        .parquet(meta.location.toString))
       .repartition(n, keys.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("overwrite")
       .bucketBy(n, keys.head, keys.tail: _*)
     (if (sorts.nonEmpty) w.sortBy(sorts.head, sorts.tail: _*) else w)
       .format("parquet")
       .saveAsTable(tmp)
-    spark.sql(s"DROP TABLE `$table`")
+    // crash-safe swap: the original survives under SOME name until the
+    // rewrite is fully installed (see scaladoc)
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    spark.sql(s"DROP TABLE `$old`")
+  }
+
+  private def deleteDir(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach(deleteDir)
+    f.delete(): Unit
   }
 
   /** Data-file count of a managed table's directory (non-hidden files

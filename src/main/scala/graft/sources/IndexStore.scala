@@ -249,15 +249,42 @@ object IndexStore {
     * rebuild-without-deleted).
     */
   def deleteFromDedupIndexBucketed(ids: DataFrame, table: String): Unit =
+    appendDeadIds(ids, table)
+
+  /** Generic id-tombstone primitives shared by every PER-DOCUMENT index
+    * family (MinHash, substring grams, edit-distance, pHash — all pure
+    * functions of single documents, so deletes are id-keyed): deleted
+    * ids land in a sibling `_dead` table, one batch-sized append,
+    * standing index files untouched. Each family serves with dead
+    * corpus ids excluded by anti-joining the OUTPUT pairs (batch-sized,
+    * exact — a dead doc can only surface through candidates) and purges
+    * physically via its compaction rewrite with an anti-join merge.
+    */
+  private def appendDeadIds(ids: DataFrame, table: String): Unit =
     ids.select(col("id"))
       .write.mode("append").format("parquet")
       .saveAsTable(s"${table}_dead")
 
-  /** The current tombstone set — empty frame if none were deleted. */
-  def readDedupDeadIds(spark: SparkSession, table: String): DataFrame =
+  /** The standing tombstone set — empty frame if none were deleted;
+    * the empty fallback's id TYPE comes from `idTypeFrom`'s own id
+    * column, never a hardcoded type (a mismatched empty frame would
+    * silently type-coerce the purge anti-join).
+    */
+  def readDeadIds(spark: SparkSession, table: String,
+      idTypeFrom: String): DataFrame =
     if (spark.catalog.tableExists(s"${table}_dead"))
       spark.table(s"${table}_dead")
-    else spark.range(0).select(col("id"))
+    else spark.table(idTypeFrom).select(col("id")).limit(0)
+
+  /** The current tombstone set — empty frame if none were deleted.
+    * The empty fallback derives its `id` TYPE from the index's own
+    * `_sh` table (round-13, ADVICE): a hardcoded LongType frame would
+    * silently type-coerce the purge anti-join and the serve-side
+    * exclusion for non-long corpus ids (string-vs-long casts can null
+    * out and un-exclude).
+    */
+  def readDedupDeadIds(spark: SparkSession, table: String): DataFrame =
+    readDeadIds(spark, table, s"${table}_sh")
 
   /** Physically remove tombstoned documents from both index halves
     * (the compaction rewrite with an anti-join merge) and clear the

@@ -44,6 +44,12 @@ object Scratch {
     sweepDir(new File(
       s"${System.getProperty("java.io.tmpdir")}/graft_index"),
       prefix = "")
+    // streaming sinks land under graft_stream_sink with the same
+    // _p<pid> keying (round-13, ADVICE: dead-process sink dirs leaked
+    // forever — the exact class the pid sweep exists for)
+    sweepDir(new File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_sink"),
+      prefix = "")
   }
 
   private def sweepDir(dir: File, prefix: String): Unit = {

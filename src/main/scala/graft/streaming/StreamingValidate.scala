@@ -618,9 +618,22 @@ object StreamingValidate {
       s"${System.getProperty("java.io.tmpdir")}/graft_stream_sink/" +
         s"u${java.lang.Long.toHexString(newKeysDir.hashCode.toLong & 0xffffffffL)}" +
         s"_p${ProcessHandle.current().pid()}"
+    // fresh-run semantics (round-13, ADVICE): without a checkpoint this
+    // entry point re-processes every file, so a second same-process
+    // call on the same dir must NOT inherit the first call's sink rows
+    // (they'd ride the aggregate twice). Callers re-ADMITTING the same
+    // stream still owe a rebuilt index per invocation — resumable
+    // ingestion is [[uniqueIngestRun]] with a checkpoint.
+    deleteDir(new java.io.File(sinkDir))
     uniqueIngestRun(spark, newKeysDir, indexTable, keys,
       checkpointDir = null, sinkDir = sinkDir)
     uniqueViolationTotals(spark, sinkDir, keys)
+  }
+
+  private def deleteDir(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach(deleteDir)
+    f.delete(): Unit
   }
 
   /** One AvailableNow RUN of the check-then-admit loop against
