@@ -1523,6 +1523,35 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** Tombstone deletion for the substring gram index (round-13: the
+    * MinHash id-tombstone pattern transplanted to the gram family):
+    * every 3rd corpus document is DELETED — one id-list append,
+    * standing gram files untouched — and the planted batch is served
+    * with dead corpus ids excluded via an anti-join on the OUTPUT
+    * pairs. The oracle recomputes batch-vs-corpus runs and drops the
+    * deleted corpus ids; a failed exclusion reports their runs and
+    * misses the hash. Physical purge (gram-table compaction with an
+    * anti-join merge) is proven serve-invariant in BucketingSpec.
+    */
+  private def xDedupSubstringDelete(s: SparkSession, dir: String): DataFrame = {
+    val base = substringBase(s, dir)
+    val tbl = indexTable(dir, "subdel")
+    graft.sources.IndexStore.writeSubstringIndexBucketed(base, tbl,
+      numBuckets = 8, k = 8)
+    graft.sources.IndexStore.deleteFromSubstringIndexBucketed(
+      base.filter(col("id") % 3 === 0).select("id"), tbl)
+    val grams = graft.sources.IndexStore.readSubstringIndexBucketed(
+      s, tbl, k = 8)
+    val dead = graft.sources.IndexStore.readSubstringDeadIds(s, tbl)
+      .select(col("id").as("corpus_id"))
+    Dedup.sharedSubstringRunsAgainst(substringPlanted(base), grams,
+        minRunLen = 30, k = 8)
+      .join(dead, Seq("corpus_id"), "left_anti")
+      .select(col("new_id"), col("corpus_id"), col("n_runs"),
+        col("max_run"), col("overlap_tokens"))
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Fixed-width histogram profile of l_quantity over [1, 51) in 10
     * bins — one hash-agg on the integer bin index, bounded output.
     */
@@ -2245,6 +2274,38 @@ object SparkEntry {
       bands = 8)
     Multimodal.phashNearDuplicatesAgainst(probes, idx, bands = 8,
         maxDist = 7)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** Tombstone deletion for the pHash index: every 4th item id is
+    * DELETED from the (even-id) image corpus — one id-list append,
+    * standing band files untouched — and the probe batch is served
+    * with dead corpus ids excluded on the OUTPUT pairs. The oracle
+    * recomputes the probe × corpus Hamming pairs arithmetically and
+    * drops the deleted corpus ids; purge is proven serve-invariant in
+    * BucketingSpec.
+    */
+  private def xMmPhashDelete(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val hashes = Multimodal.perceptualHash(
+      Multimodal.synthesizeNearDupImages(d, "doc_id", every = 5))
+    val corpus = hashes.filter(col("id") % 2 === 0)
+      .select(col("id"), col("dhash"))
+    val probes = hashes.filter(col("id") % 2 === 1)
+      .select(col("id"), col("dhash"))
+    val tbl = indexTable(dir, "phdel")
+    graft.sources.IndexStore.writePhashIndexBucketed(corpus, tbl,
+      numBuckets = 8, bands = 8)
+    graft.sources.IndexStore.deleteFromPhashIndexBucketed(
+      corpus.filter(col("id") % 4 === 0).select("id"), tbl)
+    val idx = graft.sources.IndexStore.readPhashIndexBucketed(s, tbl,
+      bands = 8)
+    val dead = graft.sources.IndexStore.readPhashDeadIds(s, tbl)
+      .select(col("id").as("corpus_id"))
+    Multimodal.phashNearDuplicatesAgainst(probes, idx, bands = 8,
+        maxDist = 7)
+      .join(dead, Seq("corpus_id"), "left_anti")
+      .select(col("new_id"), col("corpus_id"), col("hamming"))
       .orderBy("new_id", "corpus_id")
   }
 
@@ -3464,6 +3525,37 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** Tombstone deletion for the edit-distance index: every 3rd corpus
+    * string is DELETED (id tombstones cover all three bucketed tables
+    * at once — segments, strings, length directory are all keyed by
+    * the same id), and the mutant batch is served with dead corpus
+    * ids excluded on the OUTPUT pairs. The oracle recomputes
+    * batch × corpus levenshtein minus the deleted ids; physical purge
+    * across all three tables is proven serve-invariant in
+    * BucketingSpec.
+    */
+  private def xDedupEditdistDelete(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").filter(col("n_chars") <= 250)
+      .select(col("doc_id").as("id"), col("text").as("s"))
+    val batch = corpus.select((col("id") + 7000000L).as("id"),
+      concat(substring(col("s"), 1, 9), lit("X"),
+        col("s").substr(lit(11), length(col("s")))).as("s"))
+    val tbl = indexTable(dir, "editdel")
+    graft.sources.IndexStore.writeEditIndexBucketed(corpus, tbl,
+      numBuckets = 8, d = 4)
+    graft.sources.IndexStore.deleteFromEditIndexBucketed(
+      corpus.filter(col("id") % 3 === 0).select("id"), tbl)
+    val (segs, str, bylen) = graft.sources.IndexStore
+      .readEditIndexBucketed(s, tbl, d = 4)
+    val dead = graft.sources.IndexStore.readEditDeadIds(s, tbl)
+      .select(col("id").as("corpus_id"))
+    Dedup.editDistanceAgainst(batch, "id", col("s"), segs, str, bylen,
+        d = 4)
+      .join(dead, Seq("corpus_id"), "left_anti")
+      .select(col("new_id"), col("corpus_id"), col("dist"))
+      .orderBy("new_id", "corpus_id")
+  }
+
   private def xDedupPpjoin(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents")
       .where(pmod(col("doc_id"), lit(16)) === 0)
@@ -4255,6 +4347,9 @@ object SparkEntry {
     "x_unique_index_delete" -> (xUniqueIndexDelete _),
     "k3_fk_index_delete" -> (k3FkIndexDelete _),
     "x_dedup_index_delete" -> (xDedupIndexDelete _),
+    "x_dedup_substring_delete" -> (xDedupSubstringDelete _),
+    "x_dedup_editdist_delete" -> (xDedupEditdistDelete _),
+    "x_mm_phash_delete" -> (xMmPhashDelete _),
     "x_mm_phash_served" -> (xMmPhashServed _),
     "x_eval_kendall" -> (xEvalKendall _),
     "x_profile_quantile_norm" -> (xProfileQuantileNorm _),

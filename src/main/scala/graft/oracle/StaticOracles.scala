@@ -701,6 +701,16 @@ private[graft] object StaticOracles {
         |FROM hh a JOIN hh b ON a.item_id % 2 = 1 AND b.item_id % 2 = 0
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
         |ORDER BY new_id, corpus_id""".stripMargin,
+    // tombstone deletion for the phash index: the served answer minus
+    // every deleted corpus item id's pairs
+    "x_mm_phash_delete" ->
+      s"""WITH $phashItemHashCtes
+        |SELECT a.item_id AS new_id, b.item_id AS corpus_id,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+        |FROM hh a JOIN hh b ON a.item_id % 2 = 1 AND b.item_id % 2 = 0
+        |  AND b.item_id % 4 <> 0
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+        |ORDER BY new_id, corpus_id""".stripMargin,
     // exact-arithmetic twin of the WAV decode: the synthetic PCM is a
     // pure function of (id, i), so loudness and clip counts re-derive
     "x_mm_audio" ->
@@ -1709,6 +1719,20 @@ private[graft] object StaticOracles {
         |        ON abs(length(b.s) - length(c.text)) <= 4)
         |SELECT new_id, corpus_id, CAST(dist AS BIGINT) AS dist FROM p
         |WHERE dist <= 4 ORDER BY new_id, corpus_id""".stripMargin,
+    // tombstone deletion for the edit index: the served answer minus
+    // every deleted corpus id's pairs
+    "x_dedup_editdist_delete" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE n_chars <= 250),
+        |batch AS (SELECT doc_id + 7000000 AS new_id,
+        |    substr(text, 1, 9) || 'X' || substr(text, 11) AS s FROM d),
+        |p AS (SELECT b.new_id, c.doc_id AS corpus_id,
+        |        levenshtein(b.s, c.text) AS dist
+        |      FROM batch b JOIN d c
+        |        ON abs(length(b.s) - length(c.text)) <= 4
+        |        AND c.doc_id % 3 <> 0)
+        |SELECT new_id, corpus_id, CAST(dist AS BIGINT) AS dist FROM p
+        |WHERE dist <= 4 ORDER BY new_id, corpus_id""".stripMargin,
     // typo-chain clusters: brute-force d<=2 pairs (endpoints at
     // distance 4 deliberately do NOT pair) + recursive min-label
     // fixpoint — clusters must form transitively via the middle
@@ -2105,6 +2129,44 @@ private[graft] object StaticOracles {
         |  CAST(max(run_len) AS BIGINT) AS max_run,
         |  CAST(sum(run_len) AS BIGINT) AS overlap_tokens
         |FROM runs GROUP BY 1, 2 ORDER BY new_id, corpus_id""".stripMargin,
+    // tombstone deletion for the gram index: the served answer minus
+    // every deleted corpus id's runs — per-document grams are
+    // independent, so removal touches nothing else; a failed exclusion
+    // reports the dead ids' runs and misses this hash
+    "x_dedup_substring_delete" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |planted AS (
+        |  SELECT a.id + 7000000 AS id,
+        |    list_concat(list_slice(a.toks, 7, 41),
+        |      list_slice(b.toks, 1, 12)) AS toks
+        |  FROM base a JOIN base b ON b.id = a.id + 100 WHERE a.id < 40),
+        |gc AS (SELECT id, i AS pos,
+        |        array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        |      FROM base,
+        |        unnest(range(1, greatest(len(toks) - 7, 0) + 1)) t(i)),
+        |gn AS (SELECT id, i AS pos,
+        |        array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        |      FROM planted,
+        |        unnest(range(1, greatest(len(toks) - 7, 0) + 1)) t(i)),
+        |m AS (SELECT DISTINCT n.id AS new_id, c.id AS corpus_id,
+        |        n.pos - c.pos AS diag, n.pos AS pos
+        |      FROM gn n JOIN gc c ON n.gram = c.gram),
+        |r AS (SELECT new_id, corpus_id, diag, pos,
+        |        pos - row_number() OVER (PARTITION BY new_id, corpus_id,
+        |          diag ORDER BY pos) AS chain
+        |      FROM m),
+        |runs AS (SELECT new_id, corpus_id, diag, chain,
+        |           count(*) + 7 AS run_len
+        |         FROM r GROUP BY 1, 2, 3, 4 HAVING count(*) + 7 >= 30)
+        |SELECT new_id, corpus_id, CAST(count(*) AS BIGINT) AS n_runs,
+        |  CAST(max(run_len) AS BIGINT) AS max_run,
+        |  CAST(sum(run_len) AS BIGINT) AS overlap_tokens
+        |FROM runs WHERE corpus_id % 3 <> 0
+        |GROUP BY 1, 2 ORDER BY new_id, corpus_id""".stripMargin,
     // from-scratch rebuild over base ∪ appended 80%-prefix delta — the
     // answer the APPENDED bucketed gram index must serve byte-for-byte
     // (append(build(base), delta) ≡ build(base ∪ delta))

@@ -326,6 +326,38 @@ object IndexStore {
       table: String): Unit =
     Bucketing.compactBucketed(spark, s"${table}_grams")
 
+  /** Tombstone DELETION for the substring gram index — the MinHash
+    * id-tombstone pattern transplanted (round-13 directive #1; grams
+    * are a pure per-document frame, so deletes are id-keyed): deleted
+    * ids land in `_dead` (one batch-sized append, standing gram files
+    * untouched); serving excludes dead corpus ids by anti-joining the
+    * OUTPUT run/pair rows on corpus_id (exact — a dead doc can only
+    * surface through gram candidates);
+    * [[purgeSubstringIndexBucketed]] later removes dead grams
+    * physically. The right-to-be-forgotten shape: no rewrite of a
+    * 100 TB gram index on the request path.
+    */
+  def deleteFromSubstringIndexBucketed(ids: DataFrame,
+      table: String): Unit =
+    appendDeadIds(ids, table)
+
+  /** The substring index's standing tombstone set. */
+  def readSubstringDeadIds(spark: SparkSession, table: String): DataFrame =
+    readDeadIds(spark, table, s"${table}_grams")
+
+  /** Physically remove tombstoned documents' grams (the compaction
+    * rewrite with an anti-join merge) and clear the tombstone table;
+    * the served answer is invariant across the purge (BucketingSpec:
+    * excluded serve ≡ rebuild-without-deleted ≡ post-purge serve).
+    */
+  def purgeSubstringIndexBucketed(spark: SparkSession,
+      table: String): Unit = {
+    val dead = readSubstringDeadIds(spark, table)
+    Bucketing.compactBucketed(spark, s"${table}_grams",
+      df => df.join(dead, Seq("id"), "left_anti"))
+    spark.sql(s"DROP TABLE IF EXISTS `${table}_dead`")
+  }
+
   // ------------------------------------------------ edit-dist index
   /** Persist the PassJoin corpus for incremental edit-distance
     * screening ([[graft.ext.Dedup.editDistanceAgainst]]): three
@@ -410,6 +442,35 @@ object IndexStore {
       Bucketing.readBucketed(spark, s"${table}_bylen"))
   }
 
+  /** Tombstone DELETION for the edit-distance index (round-13
+    * directive #1): all three tables are pure per-string frames keyed
+    * by id, so one id-list tombstone covers segments, strings, and the
+    * length directory alike. Serving excludes dead corpus ids on the
+    * OUTPUT pairs; [[purgeEditIndexBucketed]] rewrites all three
+    * tables without dead rows and clears the tombstones.
+    */
+  def deleteFromEditIndexBucketed(ids: DataFrame, table: String): Unit =
+    appendDeadIds(ids, table)
+
+  /** The edit index's standing tombstone set. */
+  def readEditDeadIds(spark: SparkSession, table: String): DataFrame =
+    readDeadIds(spark, table, s"${table}_str")
+
+  /** Physically remove tombstoned strings from all three edit-index
+    * tables (compaction rewrites with an anti-join merge) and clear
+    * the tombstone table; serve answer invariant (BucketingSpec).
+    */
+  def purgeEditIndexBucketed(spark: SparkSession, table: String): Unit = {
+    val dead = readEditDeadIds(spark, table)
+    Bucketing.compactBucketed(spark, s"${table}_segs",
+      df => df.join(dead, Seq("id"), "left_anti"))
+    Bucketing.compactBucketed(spark, s"${table}_str",
+      df => df.join(dead, Seq("id"), "left_anti"))
+    Bucketing.compactBucketed(spark, s"${table}_bylen",
+      df => df.join(dead, Seq("id"), "left_anti"))
+    spark.sql(s"DROP TABLE IF EXISTS `${table}_dead`")
+  }
+
   // ----------------------------------------------------- pHash index
   /** Persist the banded perceptual-hash frame
     * ([[graft.ext.Multimodal.phashBands]]) as a bucketed table on
@@ -444,6 +505,31 @@ object IndexStore {
         s"served with bands=$bands — mismatched banding never collides " +
         "and silently reports no near-duplicates")
     Bucketing.readBucketed(spark, s"${table}_bands")
+  }
+
+  /** Tombstone DELETION for the pHash index (round-13 directive #1):
+    * the banded hash frame is a pure per-image function, so deletes
+    * are id-keyed like the other per-document families. Serving
+    * excludes dead corpus ids on the OUTPUT pairs;
+    * [[purgePhashIndexBucketed]] rewrites the band table without dead
+    * rows and clears the tombstones.
+    */
+  def deleteFromPhashIndexBucketed(ids: DataFrame, table: String): Unit =
+    appendDeadIds(ids, table)
+
+  /** The pHash index's standing tombstone set. */
+  def readPhashDeadIds(spark: SparkSession, table: String): DataFrame =
+    readDeadIds(spark, table, s"${table}_bands")
+
+  /** Physically remove tombstoned images' band rows (compaction
+    * rewrite with an anti-join merge) and clear the tombstone table;
+    * serve answer invariant (BucketingSpec).
+    */
+  def purgePhashIndexBucketed(spark: SparkSession, table: String): Unit = {
+    val dead = readPhashDeadIds(spark, table)
+    Bucketing.compactBucketed(spark, s"${table}_bands",
+      df => df.join(dead, Seq("id"), "left_anti"))
+    spark.sql(s"DROP TABLE IF EXISTS `${table}_dead`")
   }
 
   // ------------------------------------------------------- key index

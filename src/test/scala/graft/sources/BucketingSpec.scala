@@ -702,6 +702,155 @@ class BucketingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t$s")
   }
 
+  test("substring index tombstones: excluded serve ≡ rebuild-without-" +
+      "deleted ≡ post-purge serve; purge drops grams physically") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    val probes = docs.select((col("id") + 900000L).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.6).cast("int")).as("toks"))
+    IndexStore.writeSubstringIndexBucketed(docs, "sdel_spec",
+      numBuckets = 8, k = 8)
+    IndexStore.writeSubstringIndexBucketed(
+      docs.filter(col("id") % 3 =!= 0), "sdel_ref", numBuckets = 8, k = 8)
+    IndexStore.deleteFromSubstringIndexBucketed(
+      docs.filter(col("id") % 3 === 0).select("id"), "sdel_spec")
+    try {
+      def serve(table: String, excludeDead: Boolean)
+          : Set[(Long, Long, Long, Long, Long)] = {
+        val grams = IndexStore.readSubstringIndexBucketed(spark, table,
+          k = 8)
+        val r0 = graft.ext.Dedup.sharedSubstringRunsAgainst(probes,
+          grams, minRunLen = 20, k = 8)
+        val r = if (!excludeDead) r0
+          else r0.join(IndexStore.readSubstringDeadIds(spark, table)
+            .select(col("id").as("corpus_id")), Seq("corpus_id"),
+            "left_anti")
+        r.select(col("new_id"), col("corpus_id"), col("n_runs"),
+            col("max_run"), col("overlap_tokens"))
+          .collect()
+          .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+            x.getLong(3), x.getLong(4))).toSet
+      }
+      val ref = serve("sdel_ref", excludeDead = false)
+      assert(serve("sdel_spec", excludeDead = true) === ref,
+        "tombstone-excluded serve must equal rebuild-without-deleted")
+      assert(ref.nonEmpty)
+      IndexStore.purgeSubstringIndexBucketed(spark, "sdel_spec")
+      assert(!spark.catalog.tableExists("sdel_spec_dead"),
+        "purge must clear the tombstone table")
+      assert(spark.table("sdel_spec_grams")
+        .filter(col("id") % 3 === 0).count() == 0,
+        "purge must drop deleted grams physically")
+      assert(Bucketing.numBucketsOf(spark, "sdel_spec_grams") == 8,
+        "bucket layout must survive the purge rewrite")
+      assert(serve("sdel_spec", excludeDead = false) === ref,
+        "post-purge serve needs no exclusion and keeps the answer")
+    } finally for (t <- Seq("sdel_spec", "sdel_ref");
+        s <- Seq("_grams", "_meta", "_dead"))
+      spark.sql(s"DROP TABLE IF EXISTS $t$s")
+  }
+
+  test("edit index tombstones: excluded serve ≡ rebuild-without-" +
+      "deleted ≡ post-purge serve across all three tables") {
+    val corpus = Tables.load(spark, dir, "documents")
+      .filter(col("n_chars") <= 250)
+      .select(col("doc_id").as("id"), col("text").as("s"))
+    val batch = corpus.select((col("id") + 900000L).as("id"),
+      concat(substring(col("s"), 1, 9), lit("X"),
+        col("s").substr(lit(11), length(col("s")))).as("s"))
+    IndexStore.writeEditIndexBucketed(corpus, "edel_spec",
+      numBuckets = 8, d = 4)
+    IndexStore.writeEditIndexBucketed(corpus.filter(col("id") % 3 =!= 0),
+      "edel_ref", numBuckets = 8, d = 4)
+    IndexStore.deleteFromEditIndexBucketed(
+      corpus.filter(col("id") % 3 === 0).select("id"), "edel_spec")
+    try {
+      def serve(table: String, excludeDead: Boolean)
+          : Set[(Long, Long, Long)] = {
+        val (segs, str, bylen) = IndexStore.readEditIndexBucketed(spark,
+          table, d = 4)
+        val r0 = graft.ext.Dedup.editDistanceAgainst(batch, "id",
+          col("s"), segs, str, bylen, d = 4)
+        val r = if (!excludeDead) r0
+          else r0.join(IndexStore.readEditDeadIds(spark, table)
+            .select(col("id").as("corpus_id")), Seq("corpus_id"),
+            "left_anti")
+        r.select(col("new_id"), col("corpus_id"), col("dist"))
+          .collect()
+          .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      }
+      val ref = serve("edel_ref", excludeDead = false)
+      assert(serve("edel_spec", excludeDead = true) === ref,
+        "tombstone-excluded serve must equal rebuild-without-deleted")
+      assert(ref.nonEmpty)
+      IndexStore.purgeEditIndexBucketed(spark, "edel_spec")
+      assert(!spark.catalog.tableExists("edel_spec_dead"),
+        "purge must clear the tombstone table")
+      for (t <- Seq("_segs", "_str", "_bylen"))
+        assert(spark.table(s"edel_spec$t")
+          .filter(col("id") % 3 === 0).count() == 0,
+          s"purge must drop deleted rows from $t physically")
+      assert(Bucketing.numBucketsOf(spark, "edel_spec_segs") == 8,
+        "bucket layout must survive the purge rewrite")
+      assert(serve("edel_spec", excludeDead = false) === ref,
+        "post-purge serve needs no exclusion and keeps the answer")
+    } finally for (t <- Seq("edel_spec", "edel_ref");
+        s <- Seq("_segs", "_str", "_bylen", "_meta", "_dead"))
+      spark.sql(s"DROP TABLE IF EXISTS $t$s")
+  }
+
+  test("phash index tombstones: excluded serve ≡ rebuild-without-" +
+      "deleted ≡ post-purge serve; purge drops band rows physically") {
+    val d = Tables.load(spark, dir, "documents")
+    val hashes = graft.ext.Multimodal.perceptualHash(
+      graft.ext.Multimodal.synthesizeNearDupImages(d, "doc_id",
+        every = 5))
+    val corpus = hashes.filter(col("id") % 2 === 0)
+      .select(col("id"), col("dhash"))
+    val probes = hashes.filter(col("id") % 2 === 1)
+      .select(col("id"), col("dhash"))
+    IndexStore.writePhashIndexBucketed(corpus, "pdel_spec",
+      numBuckets = 8, bands = 8)
+    IndexStore.writePhashIndexBucketed(corpus.filter(col("id") % 4 =!= 0),
+      "pdel_ref", numBuckets = 8, bands = 8)
+    IndexStore.deleteFromPhashIndexBucketed(
+      corpus.filter(col("id") % 4 === 0).select("id"), "pdel_spec")
+    try {
+      def serve(table: String, excludeDead: Boolean)
+          : Set[(Long, Long, Int)] = {
+        val idx = IndexStore.readPhashIndexBucketed(spark, table,
+          bands = 8)
+        val r0 = graft.ext.Multimodal.phashNearDuplicatesAgainst(probes,
+          idx, bands = 8, maxDist = 7)
+        val r = if (!excludeDead) r0
+          else r0.join(IndexStore.readPhashDeadIds(spark, table)
+            .select(col("id").as("corpus_id")), Seq("corpus_id"),
+            "left_anti")
+        r.select(col("new_id"), col("corpus_id"), col("hamming"))
+          .collect()
+          .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      }
+      val ref = serve("pdel_ref", excludeDead = false)
+      assert(serve("pdel_spec", excludeDead = true) === ref,
+        "tombstone-excluded serve must equal rebuild-without-deleted")
+      assert(ref.nonEmpty)
+      IndexStore.purgePhashIndexBucketed(spark, "pdel_spec")
+      assert(!spark.catalog.tableExists("pdel_spec_dead"),
+        "purge must clear the tombstone table")
+      assert(spark.table("pdel_spec_bands")
+        .filter(col("id") % 4 === 0).count() == 0,
+        "purge must drop deleted band rows physically")
+      assert(Bucketing.numBucketsOf(spark, "pdel_spec_bands") == 8,
+        "bucket layout must survive the purge rewrite")
+      assert(serve("pdel_spec", excludeDead = false) === ref,
+        "post-purge serve needs no exclusion and keeps the answer")
+    } finally for (t <- Seq("pdel_spec", "pdel_ref");
+        s <- Seq("_bands", "_meta", "_dead"))
+      spark.sql(s"DROP TABLE IF EXISTS $t$s")
+  }
+
   test("bucketed aggregation on the bucket key skips the shuffle") {
     val li = Tables.load(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber")
