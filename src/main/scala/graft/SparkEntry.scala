@@ -559,6 +559,62 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** Recursive delete of a scratch path (stream dirs, checkpoints,
+    * sinks) — per-invocation reset so bench reps stay independent.
+    */
+  private def wipeDir(p: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+      f.delete(); ()
+    }
+    rec(new java.io.File(p))
+  }
+
+  /** RESTART-SAFE near-dup ingestion (round-13 directive #5 —
+    * x_stream_unique_resume's two-run arc for the MinHash index): the
+    * check-then-admit loop runs as TWO query runs over one checkpoint.
+    * Run 1 sees only file A (the 80%-prefix delta twins), checks it
+    * against the base index, and ADMITS it; file B (the 60%-prefix
+    * probes) arrives before run 2, which — thanks to the checkpoint —
+    * processes ONLY file B, against an index now holding base ∪ A.
+    * The probes' sink rows are therefore exactly
+    * x_dedup_index_append's answer (probes × (base ∪ delta)) and the
+    * row SHARES that oracle verbatim. The restart proof: if run 2
+    * re-processed the admitted file A, A's `_sh`/`_bands` rows would
+    * duplicate and every probe×A pair would be emitted twice — row
+    * count misses. Filters keep only probe rows (run 1's A×base check
+    * rows and any probe×earlier-probe pairs are the stream's own
+    * bookkeeping, outside the shared oracle's corpus).
+    */
+  private def xStreamDedupResume(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val fileA = base.select((col("id") + AppendDeltaOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val fileB = base.select((col("id") + IncrementalTwinOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.6).cast("int")).as("toks"))
+    val streamDir = indexDir(dir, "dedup_resume")
+    val ckpt = indexDir(dir, "dedup_resume_ckpt")
+    val sink = indexDir(dir, "dedup_resume_sink")
+    Seq(streamDir, ckpt, sink).foreach(wipeDir)
+    val tbl = indexTable(dir, "sidxres")
+    graft.sources.IndexStore.writeDedupIndexBucketed(base, tbl,
+      numBuckets = 8, k = 5)
+    fileA.coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.nearDupIngestRun(s, streamDir, tbl, ckpt, sink,
+      threshold = 0.5, k = 5)
+    fileB.coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.nearDupIngestRun(s, streamDir, tbl, ckpt, sink,
+      threshold = 0.5, k = 5)
+    s.read.parquet(sink)
+      .filter(col("new_id") >= IncrementalTwinOffset &&
+        col("corpus_id") < IncrementalTwinOffset)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Incremental C2/K1 served from a persisted bucketed KEY INDEX
     * ([[graft.sources.IndexStore.writeKeyIndexBucketed]]) — the
     * validation-core twin of the dedup index arc: a growing table's
@@ -3525,6 +3581,45 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** RESTART-SAFE edit-distance ingestion — the x_stream_dedup_resume
+    * arc for the PassJoin index: run 1 checks and ADMITS the
+    * position-20 delta variants (file A); the position-10 mutant
+    * probes (file B) arrive before run 2, which processes only B
+    * against an index now holding corpus ∪ delta across all THREE
+    * bucketed tables. The probe rows equal x_dedup_editdist_append's
+    * answer (oracle shared verbatim); a re-processed file A would
+    * duplicate the delta's `_str`/`_segs` rows and double-report every
+    * probe×delta pair.
+    */
+  private def xStreamEditdistResume(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").filter(col("n_chars") <= 250)
+      .select(col("doc_id").as("id"), col("text").as("s"))
+    def mutated(off: Long, pos: Int) =
+      corpus.select((col("id") + off).as("id"),
+        concat(substring(col("s"), 1, pos - 1), lit("X"),
+          col("s").substr(lit(pos + 1), length(col("s")))).as("s"))
+    val fileA = mutated(8000000L, 20)
+    val fileB = mutated(7000000L, 10)
+    val streamDir = indexDir(dir, "edit_resume")
+    val ckpt = indexDir(dir, "edit_resume_ckpt")
+    val sink = indexDir(dir, "edit_resume_sink")
+    Seq(streamDir, ckpt, sink).foreach(wipeDir)
+    val tbl = indexTable(dir, "editres")
+    graft.sources.IndexStore.writeEditIndexBucketed(corpus, tbl,
+      numBuckets = 8, d = 4)
+    fileA.coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.editDistanceIngestRun(s, streamDir, tbl, d = 4,
+      checkpointDir = ckpt, sinkDir = sink)
+    fileB.coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.editDistanceIngestRun(s, streamDir, tbl, d = 4,
+      checkpointDir = ckpt, sinkDir = sink)
+    s.read.parquet(sink)
+      .filter(col("new_id") >= 7000000L && col("new_id") < 8000000L &&
+        !(col("corpus_id") >= 7000000L && col("corpus_id") < 8000000L))
+      .select(col("new_id"), col("corpus_id"), col("dist"))
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Tombstone deletion for the edit-distance index: every 3rd corpus
     * string is DELETED (id tombstones cover all three bucketed tables
     * at once — segments, strings, length directory are all keyed by
@@ -4344,6 +4439,8 @@ object SparkEntry {
     "k3_fk_index_served" -> (k3FkIndexServed _),
     "x_stream_unique_index" -> (xStreamUniqueIndex _),
     "x_stream_unique_resume" -> (xStreamUniqueResume _),
+    "x_stream_dedup_resume" -> (xStreamDedupResume _),
+    "x_stream_editdist_resume" -> (xStreamEditdistResume _),
     "x_unique_index_delete" -> (xUniqueIndexDelete _),
     "k3_fk_index_delete" -> (k3FkIndexDelete _),
     "x_dedup_index_delete" -> (xDedupIndexDelete _),
@@ -4394,7 +4491,11 @@ object SparkEntry {
       "x_stream_phash" ->
         graft.oracle.StaticOracles.sql("x_mm_phash_served"),
       "k3_fk_index_delete" ->
-        graft.oracle.StaticOracles.sql("k3_fk_orders_customer"))
+        graft.oracle.StaticOracles.sql("k3_fk_orders_customer"),
+      "x_stream_dedup_resume" ->
+        graft.oracle.StaticOracles.sql("x_dedup_index_append"),
+      "x_stream_editdist_resume" ->
+        graft.oracle.StaticOracles.sql("x_dedup_editdist_append"))
 
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
     * Verify skip the generation work when a name filter excludes them.

@@ -550,6 +550,58 @@ object StreamingValidate {
         bandIdx, threshold, numHashes, bands, k, maxBucketSize))
   }
 
+  /** One RESUMABLE AvailableNow run of the near-dup CHECK-THEN-ADMIT
+    * loop (round-13 directive #5 — [[uniqueIngestRun]]'s restart arc
+    * for the MinHash index): each micro-batch of `(id, toks)` docs is
+    * served against the STANDING bucketed index (re-read per batch so
+    * earlier admits are visible), its pairs appended to `sinkDir`, and
+    * the batch then ADMITTED
+    * ([[graft.sources.IndexStore.appendDedupIndexBucketed]]). With a
+    * checkpoint, a later invocation processes only files that arrived
+    * since — and re-processing an already-admitted batch is exactly
+    * what the oracle catches: the re-admit duplicates the batch's
+    * `_sh`/`_bands` rows, every later probe's verify join then emits
+    * its pairs against those ids TWICE, and the row count misses.
+    */
+  def nearDupIngestRun(spark: org.apache.spark.sql.SparkSession,
+      newDocsDir: String, indexTable: String, checkpointDir: String,
+      sinkDir: String, threshold: Double = 0.7, numHashes: Int = 32,
+      bands: Int = 16, k: Int = 3): Unit =
+    checkAdmitRun(spark, newDocsDir, checkpointDir, sinkDir,
+      check = b => {
+        val (sh, bandIdx) = graft.sources.IndexStore
+          .readDedupIndexBucketed(spark, indexTable, numHashes, bands, k)
+        graft.ext.Dedup.nearDuplicatesAgainstIndex(b, sh, bandIdx,
+          threshold, numHashes, bands, k)
+      },
+      admit = b => graft.sources.IndexStore
+        .appendDedupIndexBucketed(b, indexTable, numHashes, bands, k),
+      refreshTables =
+        Seq(s"${indexTable}_sh", s"${indexTable}_bands"))
+
+  /** The edit-distance twin of [[nearDupIngestRun]]: resumable
+    * check-then-admit over the PassJoin index — per batch, `(id, s)`
+    * strings are screened against the standing three-table index and
+    * then admitted into all three ([[graft.sources.IndexStore
+    * .appendEditIndexBucketed]]). Same restart proof: a re-admitted
+    * batch duplicates its `_str`/`_segs` rows and every later probe's
+    * verify join double-reports against those ids.
+    */
+  def editDistanceIngestRun(spark: org.apache.spark.sql.SparkSession,
+      newDocsDir: String, indexTable: String, d: Int,
+      checkpointDir: String, sinkDir: String): Unit =
+    checkAdmitRun(spark, newDocsDir, checkpointDir, sinkDir,
+      check = b => {
+        val (segs, str, bylen) = graft.sources.IndexStore
+          .readEditIndexBucketed(spark, indexTable, d)
+        graft.ext.Dedup.editDistanceAgainst(b, "id",
+          org.apache.spark.sql.functions.col("s"), segs, str, bylen, d)
+      },
+      admit = b => graft.sources.IndexStore
+        .appendEditIndexBucketed(b, indexTable, d),
+      refreshTables = Seq("_segs", "_str", "_bylen")
+        .map(s => s"$indexTable$s"))
+
   /** The edit-distance twin of [[nearDupIngestStream]]: a STREAM of
     * `(id, s)` documents screened per micro-batch against the standing
     * bucketed PassJoin index
@@ -647,32 +699,47 @@ object StreamingValidate {
     */
   def uniqueIngestRun(spark: org.apache.spark.sql.SparkSession,
       newKeysDir: String, indexTable: String, keys: Seq[String],
-      checkpointDir: String, sinkDir: String): Unit = {
-    import org.apache.spark.sql.streaming.Trigger
-    val batchInput = spark.read.parquet(newKeysDir)
-    def check(b: DataFrame): DataFrame =
-      graft.check.Checks.uniqueAgainstIndex(b,
+      checkpointDir: String, sinkDir: String): Unit =
+    checkAdmitRun(spark, newKeysDir, checkpointDir, sinkDir,
+      check = b => graft.check.Checks.uniqueAgainstIndex(b,
         graft.sources.IndexStore.readKeyIndexBucketed(spark, indexTable,
-          keys), keys)
+          keys), keys),
+      admit = b => graft.sources.IndexStore.appendKeyIndexBucketed(b,
+        indexTable, keys),
+      refreshTables = Seq(s"${indexTable}_keys"))
+
+  /** The shared check-then-admit AvailableNow loop (round-13: factored
+    * from [[uniqueIngestRun]] for the near-dup / edit-distance ingest
+    * arcs): per micro-batch, `check(batch)` is materialized to the
+    * sink STRICTLY BEFORE `admit(batch)` appends the batch into the
+    * standing index (the write IS the barrier — the serve plan reads
+    * the index's file listing at that action; admitting first would
+    * make a batch collide with itself), then the index tables'
+    * relation caches are refreshed on the OUTER session (the admit ran
+    * through the stream's CLONED session and refreshed only the
+    * clone's cache; without the explicit refresh the outer session
+    * keeps serving the pre-append file listing and every cross-batch
+    * duplicate is silently missed — regression-trapped in
+    * StreamingSpec). With a non-null `checkpointDir` the run is
+    * RESUMABLE: a later invocation with the same checkpoint processes
+    * only files that arrived since.
+    */
+  private def checkAdmitRun(spark: org.apache.spark.sql.SparkSession,
+      inputDir: String, checkpointDir: String, sinkDir: String,
+      check: DataFrame => DataFrame, admit: DataFrame => Unit,
+      refreshTables: Seq[String]): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val batchInput = spark.read.parquet(inputDir)
     // init the sink once (first run only — a resumed run must APPEND)
     if (!new java.io.File(sinkDir).exists())
       check(batchInput.limit(0)).write.mode("overwrite").parquet(sinkDir)
     val reader = spark.readStream.schema(batchInput.schema)
-      .option("maxFilesPerTrigger", "1").parquet(newKeysDir)
+      .option("maxFilesPerTrigger", "1").parquet(inputDir)
     val writer0 = reader.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
-        // the write IS the materialization barrier: the plan reads the
-        // index's file listing at THIS action, before the admit below
         check(b).write.mode("append").parquet(sinkDir)
-        graft.sources.IndexStore.appendKeyIndexBucketed(b, indexTable,
-          keys)
-        // the admit ran through `b`'s session — the STREAM's clone —
-        // so it refreshed the CLONE's table-relation cache; the serve
-        // reads above ride the OUTER session, whose cache was primed
-        // by the sink-schema init read and would otherwise keep
-        // serving the pre-append file listing (observed: every
-        // cross-batch duplicate silently missed)
-        spark.catalog.refreshTable(s"${indexTable}_keys")
+        admit(b)
+        refreshTables.foreach(spark.catalog.refreshTable)
         ()
       }
     val writer = if (checkpointDir == null) writer0

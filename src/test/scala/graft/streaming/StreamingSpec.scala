@@ -611,6 +611,75 @@ class StreamingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS ustr_spec$s")
   }
 
+  test("near-dup check-then-admit resume: run 2 serves only the new " +
+      "file against base ∪ admitted A; no checkpoint → double-admit") {
+    import graft.sources.IndexStore
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    def twins(off: Long, frac: Double) =
+      docs.select((col("id") + off).as("id"),
+        slice(col("toks"), lit(1),
+          floor(size(col("toks")) * frac).cast("int")).as("toks"))
+    val fileA = twins(900000L, 0.8)
+    val fileB = twins(2000000L, 0.6)
+    IndexStore.writeDedupIndexBucketed(docs, "ndres_spec",
+      numBuckets = 8, k = 5)
+    val sdir = java.nio.file.Files
+      .createTempDirectory("graft_ndres_stream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ndres_ckpt").toString
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_ndres_sink").toString + "/s"
+    try {
+      fileA.coalesce(1).write.mode("append").parquet(sdir)
+      StreamingValidate.nearDupIngestRun(spark, sdir, "ndres_spec",
+        ckpt, sink, threshold = 0.5, k = 5)
+      fileB.coalesce(1).write.mode("append").parquet(sdir)
+      StreamingValidate.nearDupIngestRun(spark, sdir, "ndres_spec",
+        ckpt, sink, threshold = 0.5, k = 5)
+      def probeRows(path: String): Seq[(Long, Long, Double)] =
+        spark.read.parquet(path)
+          .filter(col("new_id") >= 2000000L)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSeq.sorted
+      // reference: fileB served one-shot against a FROM-SCRATCH index
+      // over base ∪ fileA (multiset compare — duplicate rows would be
+      // exactly the re-admit failure mode)
+      IndexStore.writeDedupIndexBucketed(docs.unionByName(fileA),
+        "ndres_ref", numBuckets = 8, k = 5)
+      val (sh, bands) = IndexStore.readDedupIndexBucketed(spark,
+        "ndres_ref", k = 5)
+      val ref = graft.ext.Dedup.nearDuplicatesAgainstIndex(fileB, sh,
+          bands, threshold = 0.5, k = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+      assert(probeRows(sink) === ref,
+        "checkpointed run 2 must serve ONLY file B, against base ∪ A")
+      assert(ref.exists(_._2 >= 900000L),
+        "probes must match the ADMITTED file A, not just base")
+      // NEGATIVE control — the failure the checkpoint prevents: a run
+      // with NO checkpoint re-processes (and re-ADMITS) file A, so its
+      // sink double-reports every probe×A pair through A's duplicated
+      // _sh rows
+      val sink2 = java.nio.file.Files
+        .createTempDirectory("graft_ndres_sink2").toString + "/s"
+      StreamingValidate.nearDupIngestRun(spark, sdir, "ndres_spec",
+        checkpointDir = null, sinkDir = sink2, threshold = 0.5, k = 5)
+      val rerun = probeRows(sink2)
+      assert(rerun.size > rerun.distinct.size,
+        "an uncheckpointed re-run must double-report probe×A pairs " +
+          "(the duplicate-index-rows failure the resume arc exists to " +
+          "prevent)")
+    } finally {
+      for (t <- Seq("ndres_spec", "ndres_ref");
+          s <- Seq("_sh", "_bands", "_meta"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$s")
+    }
+  }
+
   test("stateful CUSUM: streamed rows equal the batch window identity") {
     val streamed = runStream("cusum_stream",
       df => StreamingValidate.cusumStream(
