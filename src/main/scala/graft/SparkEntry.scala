@@ -1608,6 +1608,34 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** The substring gram index through the SIZE-TIERED maintenance
+    * cycle (round-13 directive #6): build → append → tiered compaction
+    * (only buckets holding ≥ 2 files are rewritten, at the file level;
+    * everything else stays byte-identical — asserted in BucketingSpec)
+    * → serve. Shares x_dedup_substring_append's oracle verbatim: a
+    * tiered rewrite changes file layout only, never a row, so the
+    * served answer is hash-identical to the uncompacted path.
+    */
+  private def xDedupSubstringCompactTiered(s: SparkSession,
+      dir: String): DataFrame = {
+    val base = substringBase(s, dir)
+    val delta = base.filter(col("id") < 40)
+      .select((col("id") + SubstringDeltaOffset).as("id"),
+        slice(col("toks"), lit(1),
+          floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val tbl = indexTable(dir, "subtier")
+    graft.sources.IndexStore.writeSubstringIndexBucketed(base, tbl,
+      numBuckets = 8, k = 8)
+    graft.sources.IndexStore.appendSubstringIndexBucketed(delta, tbl, k = 8)
+    graft.sources.IndexStore.compactSubstringIndexTiered(s, tbl,
+      minFilesPerBucket = 2)
+    val grams = graft.sources.IndexStore.readSubstringIndexBucketed(
+      s, tbl, k = 8)
+    Dedup.sharedSubstringRunsAgainst(substringPlanted(base), grams,
+        minRunLen = 30, k = 8)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Fixed-width histogram profile of l_quantity over [1, 51) in 10
     * bins — one hash-agg on the integer bin index, bounded output.
     */
@@ -4377,6 +4405,7 @@ object SparkEntry {
     "x_dedup_editdist_clusters" -> (xDedupEditdistClusters _),
     "x_fk_index_append" -> (xFkIndexAppend _),
     "x_dedup_substring_compact" -> (xDedupSubstringCompact _),
+    "x_dedup_substring_compact_tiered" -> (xDedupSubstringCompactTiered _),
     "x_stream_editdist" -> (xStreamEditdist _),
     "x_stream_phash" -> (xStreamPhash _),
     "x_source_jsonl" -> (xSourceJsonl _),
@@ -4485,6 +4514,8 @@ object SparkEntry {
       "k3_fk_index_served" ->
         graft.oracle.StaticOracles.sql("k3_fk_orders_customer"),
       "x_dedup_substring_compact" ->
+        graft.oracle.StaticOracles.sql("x_dedup_substring_append"),
+      "x_dedup_substring_compact_tiered" ->
         graft.oracle.StaticOracles.sql("x_dedup_substring_append"),
       "x_stream_editdist" ->
         graft.oracle.StaticOracles.sql("x_dedup_editdist_served"),

@@ -161,6 +161,133 @@ object Bucketing {
     f.delete(): Unit
   }
 
+  /** SIZE-TIERED compaction (round-13 directive #6):
+    * [[compactBucketed]] rewrites every bucket unconditionally — the
+    * right tool after a merge/purge, but a 100 TB index whose appends
+    * hit a few hot buckets should only rewrite the buckets that
+    * actually accumulated files. This variant compacts ONLY buckets
+    * holding >= `minFilesPerBucket` data files, at the FILE level:
+    * per touched bucket, its files are read (under the catalog
+    * schema), re-sorted on the declared sort columns, and rewritten as
+    * ONE file that is renamed into the table directory under a name
+    * whose `_NNNNN` suffix Spark's bucket-id parser reads back —
+    * untouched buckets' files are not opened, moved, or rewritten
+    * (byte-identical, asserted in BucketingSpec). Content, bucket
+    * layout, and the catalog entry are unchanged, so serving after a
+    * tiered compaction is the same plan over the same rows.
+    *
+    * Crash safety is a per-bucket manifest protocol (no catalog swap
+    * to lean on — the table itself stays live): the merged file lands
+    * HIDDEN (dot-prefixed — invisible to every reader), a manifest
+    * records (originals, hidden, final) BEFORE any original is
+    * deleted, then originals are deleted, the hidden file renamed
+    * visible, and the manifest removed. [[recoverTiered]] runs first
+    * on every invocation and finishes or aborts any crashed attempt:
+    * all originals still present → abort (drop hidden + manifest);
+    * any original missing → complete (delete the rest, reveal the
+    * merged file). At every crash point the bucket's full row set is
+    * readable or mechanically recoverable.
+    *
+    * Local-filesystem tables only (the harness shape); an object-store
+    * deployment would swap the File ops for its FileSystem and keep
+    * the same protocol.
+    */
+  def compactBucketedTiered(spark: org.apache.spark.sql.SparkSession,
+      table: String, minFilesPerBucket: Int): Unit = {
+    require(minFilesPerBucket >= 2,
+      s"minFilesPerBucket must be >= 2, got $minFilesPerBucket")
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    require(meta.bucketSpec.isDefined, s"table $table is not bucketed")
+    require(meta.location.getScheme == null ||
+      meta.location.getScheme == "file",
+      s"tiered compaction supports local tables, got ${meta.location}")
+    val sorts = meta.bucketSpec.get.sortColumnNames
+    val dir = new java.io.File(meta.location)
+    recoverTiered(dir)
+    val byBucket = Option(dir.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .flatMap(f => bucketIdOf(f.getName).map(_ -> f))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var nonce = 0
+    byBucket.toSeq.sortBy(_._1).foreach { case (bucket, files) =>
+      if (files.length >= minFilesPerBucket) {
+        nonce += 1
+        // 1. merged file, written to scratch then moved in HIDDEN
+        val scratch = java.nio.file.Files
+          .createTempDirectory(s"graft_tiered_$table").toFile
+        val rows = spark.read.schema(meta.schema)
+          .parquet(files.map(_.getPath).toSeq: _*)
+          .coalesce(1)
+        (if (sorts.nonEmpty)
+          rows.sortWithinPartitions(
+            sorts.map(org.apache.spark.sql.functions.col): _*)
+        else rows)
+          .write.mode("overwrite")
+          .option("compression", "snappy").parquet(scratch.getPath)
+        val produced = Option(scratch.listFiles()).get
+          .filter(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith("."))
+          .head
+        val tag = s"p${ProcessHandle.current().pid()}x$nonce"
+        val hidden = new java.io.File(dir, f".graftcompact-$tag%s.tmp")
+        val visible = new java.io.File(dir,
+          f"part-00000-graftcompact$tag%s_$bucket%05d.c000.snappy.parquet")
+        java.nio.file.Files.move(produced.toPath, hidden.toPath)
+        deleteDir(scratch)
+        // 2. manifest BEFORE any delete (the recovery pivot)
+        val manifest = new java.io.File(dir, s".graftcompact-$tag.manifest")
+        java.nio.file.Files.write(manifest.toPath,
+          (Seq(hidden.getName, visible.getName) ++ files.map(_.getName))
+            .mkString("\n").getBytes("UTF-8"))
+        // 3. delete originals, 4. reveal, 5. drop manifest
+        files.foreach(f => java.nio.file.Files.delete(f.toPath))
+        java.nio.file.Files.move(hidden.toPath, visible.toPath)
+        java.nio.file.Files.delete(manifest.toPath)
+      }
+    }
+    // readers must not keep serving the pre-compaction file listing
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Bucket id parsed from a data file name (Spark's `_NNNNN` suffix
+    * convention — the same parse the bucketed scan applies).
+    */
+  private[graft] def bucketIdOf(name: String): Option[Int] = {
+    val m = java.util.regex.Pattern
+      .compile(".*_(\\d+)(?:\\..*)?$").matcher(name)
+    if (m.matches()) Some(m.group(1).toInt) else None
+  }
+
+  /** Finish or abort crashed [[compactBucketedTiered]] attempts in a
+    * table directory (see the protocol there). Idempotent.
+    */
+  private[graft] def recoverTiered(dir: java.io.File): Unit =
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".manifest")).foreach { manifest =>
+        val lines = new String(java.nio.file.Files
+          .readAllBytes(manifest.toPath), "UTF-8").split("\n").toSeq
+        val hidden = new java.io.File(dir, lines.head)
+        val visible = new java.io.File(dir, lines(1))
+        val originals = lines.drop(2).map(new java.io.File(dir, _))
+        if (hidden.exists() && originals.forall(_.exists())) {
+          // crashed before any delete — abort, originals are the truth
+          java.nio.file.Files.delete(hidden.toPath)
+        } else if (hidden.exists() || visible.exists()) {
+          // merged copy present, some original already gone — complete
+          originals.filter(_.exists())
+            .foreach(f => java.nio.file.Files.delete(f.toPath))
+          if (hidden.exists())
+            java.nio.file.Files.move(hidden.toPath, visible.toPath)
+        }
+        // else: no merged copy at all — never touch originals; the
+        // manifest is stale bookkeeping either way
+        java.nio.file.Files.delete(manifest.toPath)
+      }
+
   /** Data-file count of a managed table's directory (non-hidden files
     * only) — the observable the LSM file-growth/compaction contract is
     * asserted against in BucketingSpec.

@@ -326,6 +326,16 @@ object IndexStore {
       table: String): Unit =
     Bucketing.compactBucketed(spark, s"${table}_grams")
 
+  /** Size-tiered compaction of the substring gram index: only buckets
+    * that accumulated >= `minFilesPerBucket` files are rewritten
+    * ([[Bucketing.compactBucketedTiered]]) — the periodic maintenance
+    * shape for a 100 TB index whose appends hit a few hot buckets.
+    */
+  def compactSubstringIndexTiered(spark: SparkSession, table: String,
+      minFilesPerBucket: Int): Unit =
+    Bucketing.compactBucketedTiered(spark, s"${table}_grams",
+      minFilesPerBucket)
+
   /** Tombstone DELETION for the substring gram index — the MinHash
     * id-tombstone pattern transplanted (round-13 directive #1; grams
     * are a pure per-document frame, so deletes are id-keyed): deleted

@@ -851,6 +851,100 @@ class BucketingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t$s")
   }
 
+  test("tiered compaction rewrites ONLY buckets over the file " +
+      "threshold; untouched files byte-identical, serve invariant, " +
+      "crashed attempts recover") {
+    import java.io.File
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("id"), col("n_chars"))
+      .coalesce(1) // one writer partition → base = one file per bucket
+    Bucketing.writeBucketed(docs, "tier_spec", Seq("id"), 8)
+    try {
+      // two single-row appends land one extra file each in exactly ONE
+      // bucket (pmod(murmur3(id), 8) routing) — the hot-bucket shape
+      val one = docs.limit(1)
+      Bucketing.appendBucketed(one, "tier_spec", Seq("id"), 8)
+      Bucketing.appendBucketed(one, "tier_spec", Seq("id"), 8)
+      val loc = new File(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("tier_spec"))
+        .location)
+      def dataFiles(): Map[String, (Long, Long)] =
+        Option(loc.listFiles()).get
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+          .map(f => f.getName ->
+            (f.length(), f.lastModified())).toMap
+      val before = dataFiles()
+      val byBucket = before.keys.toSeq
+        .groupBy(n => Bucketing.bucketIdOf(n).get)
+      val hot = byBucket.filter(_._2.size >= 3)
+      assert(hot.size == 1, s"exactly one hot bucket expected: $byBucket")
+      val expected = spark.table("tier_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      Bucketing.compactBucketedTiered(spark, "tier_spec",
+        minFilesPerBucket = 3)
+      val after = dataFiles()
+      // untouched buckets: same files, byte-identical (name+size+mtime)
+      val untouchedBefore = before.filter { case (n, _) =>
+        Bucketing.bucketIdOf(n).get != hot.head._1 }
+      assert(after.filter { case (n, _) =>
+        Bucketing.bucketIdOf(n).get != hot.head._1 } === untouchedBefore,
+        "files of buckets under the threshold must not be rewritten")
+      // hot bucket: merged to exactly one file
+      assert(after.keys.count(n =>
+        Bucketing.bucketIdOf(n).get == hot.head._1) == 1,
+        "the hot bucket must merge to one file")
+      // serve invariant (multiset)
+      assert(spark.table("tier_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted === expected)
+      assert(Bucketing.numBucketsOf(spark, "tier_spec") == 8)
+      // the bucketed contract survives: groupBy on the key, no shuffle
+      val agg = spark.table("tier_spec").groupBy("id")
+        .agg(count(lit(1)).as("n"))
+      agg.count()
+      assert(agg.queryExecution.executedPlan
+        .collect { case e: Exchange => e }.isEmpty)
+
+      // ---- crash recovery: ABORT path (manifest + hidden + originals
+      // all present → recovery drops the attempt, originals untouched)
+      val anyData = after.keys.head
+      val hidden = new File(loc, ".graftcompact-test1.tmp")
+      java.nio.file.Files.write(hidden.toPath, "x".getBytes)
+      val manifest = new File(loc, ".graftcompact-test1.manifest")
+      java.nio.file.Files.write(manifest.toPath,
+        Seq(hidden.getName, "part-00000-test1_00000.c000.snappy.parquet",
+          anyData).mkString("\n").getBytes)
+      Bucketing.recoverTiered(loc)
+      assert(!hidden.exists() && !manifest.exists(),
+        "abort recovery must drop the hidden file and manifest")
+      assert(new File(loc, anyData).exists(),
+        "abort recovery must leave originals untouched")
+
+      // ---- crash recovery: COMPLETE path (an original already gone →
+      // recovery reveals the merged file and deletes the rest)
+      val victims = after.keys.filter(n =>
+        Bucketing.bucketIdOf(n).get == hot.head._1).toSeq
+      val mergedBytes = java.nio.file.Files.readAllBytes(
+        new File(loc, victims.head).toPath)
+      val hidden2 = new File(loc, ".graftcompact-test2.tmp")
+      java.nio.file.Files.write(hidden2.toPath, mergedBytes)
+      val vis2 = s"part-00000-test2_${"%05d".format(hot.head._1)}" +
+        ".c000.snappy.parquet"
+      val manifest2 = new File(loc, ".graftcompact-test2.manifest")
+      java.nio.file.Files.write(manifest2.toPath,
+        (Seq(hidden2.getName, vis2) ++ victims).mkString("\n").getBytes)
+      victims.foreach(v => java.nio.file.Files.delete(
+        new File(loc, v).toPath)) // the mid-delete crash state
+      Bucketing.recoverTiered(loc)
+      spark.catalog.refreshTable("tier_spec")
+      assert(new File(loc, vis2).exists() && !hidden2.exists() &&
+        !manifest2.exists(), "complete recovery must reveal the merge")
+      assert(spark.table("tier_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted === expected,
+        "content must survive the completed recovery")
+    } finally spark.sql("DROP TABLE IF EXISTS tier_spec")
+  }
+
   test("bucketed aggregation on the bucket key skips the shuffle") {
     val li = Tables.load(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber")
