@@ -914,9 +914,11 @@ object SparkEntry {
   }
 
   /** The x_sim_quantized contract served from the PERSISTED int8
-    * corpus: (id, q, scale) written once, re-read, and scored against
-    * in-memory-quantized queries. Integral doubles round-trip parquet
-    * exactly, so this shares x_sim_quantized's oracle verbatim.
+    * corpus: (id, q, scale) written once — q packed as one-byte
+    * TINYINTs on disk since round 13 — re-read, and scored against
+    * in-memory-quantized queries. Quantized values are exact integers
+    * in [-127, 127], so the tinyint→double round-trip is exact and
+    * this shares x_sim_quantized's oracle verbatim.
     */
   private def xSimQuantizedServed(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")

@@ -678,24 +678,40 @@ object IndexStore {
       spark.read.parquet(s"$dir/centroids.parquet"))
 
   /** Persist the int8-quantized corpus: `int8.parquet` (id long,
-    * q array<double> integral in [-127, 127], scale double). THE
-    * quantized serving artifact a 100 TB corpus persists — q packs to
-    * one byte per dim in a production sink (4× smaller than float32,
-    * 8× than double); integral doubles and the scale round-trip
-    * parquet bit-identically, so index-served rankings are hash-equal
-    * to the in-memory path (x_sim_quantized_served shares
-    * x_sim_quantized's oracle verbatim).
+    * q array<tinyint> in [-127, 127], scale double). THE quantized
+    * serving artifact a 100 TB corpus persists — and since round 13
+    * the artifact REALIZES the packing on disk instead of deferring it
+    * to "a production sink": q is stored as one-byte TINYINTs (4×
+    * smaller than float32, 8× than the doubles the pre-round-13
+    * artifact wrote; Int8PackSpec measures the on-disk ratio).
+    * Quantized values are exact integers in [-127, 127], so the
+    * tinyint cast on write and the double cast on read
+    * ([[readInt8Index]]) both round-trip EXACTLY — index-served
+    * rankings stay hash-equal to the in-memory path
+    * (x_sim_quantized_served shares x_sim_quantized's oracle
+    * verbatim).
     */
   def writeInt8Index(corpus: DataFrame, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     Scratch.sweepOnce(corpus.sparkSession)
     Similarity.int8Index(corpus, idCol, vecCol)
+      .select(col("id"),
+        transform(col("q"), x => x.cast("tinyint")).as("q"),
+        col("scale"))
       .write.mode("overwrite").parquet(s"$dir/int8.parquet")
   }
 
-  /** Re-read the int8 artifact: (id, q, scale). */
+  /** Re-read the int8 artifact as (id, q array<double>, scale) — the
+    * exact frame [[graft.ext.Similarity.quantizedTopKFromIndex]]
+    * consumes: every tinyint is an exactly-representable double, so
+    * the widening cast reconstructs the in-memory quantized frame
+    * bit-for-bit.
+    */
   def readInt8Index(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/int8.parquet")
+      .select(col("id"),
+        transform(col("q"), x => x.cast("double")).as("q"),
+        col("scale"))
 
   /** Persist a PQ index: `codebooks.parquet` (j int, code int,
     * cvec array<double>, bias double — m·ks rows, the whole model) and
