@@ -884,13 +884,67 @@ object Dedup {
     val anchors = gc
       .filter(pmod(col("pos"), lit(stride)) === lit(1 % stride))
       .select(col("id").as("id_a"), col("pos").as("pos_a"), col("h"))
+    // candidate DIAGONALS per probe document — deliberately WITHOUT
+    // the partner id (round-13 directive: the pre-round-13 extension
+    // replicated a document's gram frame once per candidate
+    // (id_b, diag) PAIR, so a template shared corpus-wide at the same
+    // offset — one diagonal, thousands of partners — paid
+    // |grams| × |partners| intermediate rows; keyed on the distinct
+    // diagonal alone it pays |grams| × |diags|, and same-position
+    // boilerplate has ONE diagonal). Dropping id_b is exact, not a
+    // relaxation: the b-side join below recovers every matching
+    // partner position, extra (pair, diag) chains it admits are
+    // sub-threshold by the covering-anchor argument (any chain of
+    // ≥ minRunLen tokens covers stride consecutive gram starts, so it
+    // contains an anchor and its pair/diag was a candidate anyway —
+    // cap-stable, since both sides of every join read the SAME capped
+    // gram frame), and the id_a < id ordering predicate keeps
+    // self-matches and reversed duplicates out. Parity with the
+    // direct per-candidate extension is law-tested in Round13PropSpec
+    // and all nine substring-family oracles are unchanged.
+    val diags = anchors.join(full, col("h") === col("h_b") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), (col("pos_a") - col("pos_b")).as("diag"))
+      .distinct()
+    // recover ALL matching gram positions on each candidate diagonal:
+    // two hash joins, the second keyed on (h, pos_b = pos_a − diag)
+    val matched = diags
+      .join(gc.select(col("id").as("id_a"), col("pos").as("pos_a"),
+        col("h")), Seq("id_a"))
+      .join(gc.select(col("id").as("__ib"), col("pos").as("__pb"),
+          col("h").as("__hb")),
+        col("h") === col("__hb") &&
+          col("__pb") === col("pos_a") - col("diag") &&
+          col("id_a") < col("__ib"))
+      .select(col("id_a"), col("__ib").as("id_b"), col("diag"),
+        col("pos_a"))
+    chainRuns(matched, "id_a", "id_b", "pos_a", "pos_b", minRunLen, k)
+  }
+
+  /** The pre-round-13 extension — one gram-frame replication per
+    * candidate (id_b, diag) pair — kept as the parity-law reference
+    * and the SubstrAB baseline (the fan-out it pays on same-diagonal
+    * templates is what [[substringCore]]'s grouped-diagonal shape
+    * removes). Not a production path.
+    */
+  private[graft] def substringRunsDirect(df: DataFrame, idCol: String,
+      toksCol: Column, minRunLen: Int, k: Int,
+      maxGramFreq: Int = 0): DataFrame = {
+    require(k >= 1 && minRunLen >= k,
+      s"need 1 <= k <= minRunLen, got k=$k minRunLen=$minRunLen")
+    val stride = minRunLen - k + 1
+    val gc = capBuckets(substringGrams(df, idCol, toksCol, k),
+      Seq("h"), maxGramFreq)
+    val full = gc.select(col("id").as("id_b"), col("pos").as("pos_b"),
+      col("h").as("h_b"))
+    val anchors = gc
+      .filter(pmod(col("pos"), lit(stride)) === lit(1 % stride))
+      .select(col("id").as("id_a"), col("pos").as("pos_a"), col("h"))
     val diags = anchors.join(full,
         col("h") === col("h_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("pos_a") - col("pos_b")).as("diag"))
       .distinct()
-    // recover ALL matching gram positions on each candidate diagonal:
-    // two hash joins, the second keyed on (id_b, h, pos_b = pos_a − diag)
     val matched = diags
       .join(gc.select(col("id").as("id_a"), col("pos").as("pos_a"),
         col("h")), Seq("id_a"))
