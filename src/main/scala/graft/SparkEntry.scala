@@ -1385,6 +1385,22 @@ object SparkEntry {
         nMerges = 16, minCount = 2L)
       .orderBy("merge_rank")
 
+  /** The same 16 merges learned by the DISTRIBUTED per-iteration
+    * aggregation (round-13 directive #2;
+    * [[graft.ext.TextAnalysis.learnBpeMergesDistributed]]) — the
+    * memory-bound path for histograms too large for one task. Shares
+    * x_text_bpe_learn's oracle verbatim: the merge sequence must be
+    * IDENTICAL to the single-task trainer's (law-pinned in
+    * Round13PropSpec on random histograms).
+    */
+  private def xTextBpeLearnDist(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.learnBpeMergesDistributed(
+        t(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt")),
+        nMerges = 16, minCount = 2L)
+      .orderBy("merge_rank")
+
   /** End-to-end BPE arc (round 12): the vocabulary is LEARNED from the
     * corpus (the 16 merges of [[xTextBpeLearn]]) and then applied by
     * the join-based greedy segmenter (TextAnalysis.bpeTokenCountsFrom)
@@ -4319,6 +4335,7 @@ object SparkEntry {
     "x_text_bigram_lp" -> (xTextBigramLp _),
     "x_text_bpe" -> (xTextBpe _),
     "x_text_bpe_learn" -> (xTextBpeLearn _),
+    "x_text_bpe_learn_dist" -> (xTextBpeLearnDist _),
     "x_profile_keyskew" -> (xProfileKeyskew _),
     "x_sample_weighted" -> (xSampleWeighted _),
     "x_sample_pack_seq" -> (xSamplePackSeq _),
@@ -4528,7 +4545,9 @@ object SparkEntry {
       "x_stream_dedup_resume" ->
         graft.oracle.StaticOracles.sql("x_dedup_index_append"),
       "x_stream_editdist_resume" ->
-        graft.oracle.StaticOracles.sql("x_dedup_editdist_append"))
+        graft.oracle.StaticOracles.sql("x_dedup_editdist_append"),
+      "x_text_bpe_learn_dist" ->
+        graft.oracle.StaticOracles.sql("x_text_bpe_learn"))
 
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
     * Verify skip the generation work when a name filter excludes them.

@@ -202,6 +202,97 @@ object TextAnalysis {
       .toDF()
   }
 
+  /** [[learnBpeMergesFromHistogram]] with the per-iteration
+    * adjacent-pair counting as a DISTRIBUTED aggregation (round-13
+    * directive #2): the (w, cnt) histogram stays a DataFrame of
+    * codepoint-symbol sequences across all iterations; each merge step
+    * is ONE hash-aggregation over the exploded adjacent pairs (map-side
+    * combined, shuffled on the pair key), a driver-side argmax over the
+    * max-count ties only, and one narrow projection applying the winner
+    * leftmost-first-non-overlapping via a per-word fold. The
+    * single-task [[BpeTrainer]] is kept as the LAW reference
+    * (Round13PropSpec pins merge sequences equal on random
+    * histograms); this path is for histograms too large for one task —
+    * hundreds of millions of distinct words pre-prune — where the
+    * sequential trainer's O(vocab) heap residency is the bound, at the
+    * price of nMerges shuffle rounds (the honest trade: BpeDistAB
+    * measures the single-task trainer FASTER on every
+    * fits-in-one-task histogram, ~1M distinct words included — use
+    * this variant for memory, never speed).
+    *
+    * State is `localCheckpoint`ed per iteration (the duplicateClusters
+    * discipline — lineage would otherwise deepen by one fold per
+    * merge). Argmax ties collect to the driver and break on Scala
+    * string order, exactly the trainer's comparator.
+    */
+  def learnBpeMergesDistributed(hist: DataFrame, nMerges: Int,
+      minCount: Long): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 65536, s"bad nMerges $nMerges")
+    require(minCount >= 1L, s"bad minCount $minCount")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    // codepoint symbols ((?s). matches one code point — surrogate
+    // pairs stay whole, matching BpeTrainer.toSymbols)
+    var state = hist
+      .select(regexp_extract_all(col("w").cast("string"),
+        lit("(?s)."), lit(0)).as("syms"), col("cnt").cast("long"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var r = 1L
+    var stop = false
+    while (r <= nMerges && !stop) {
+      val n = greatest(size(col("syms")) - 1, lit(0))
+      val counts = state
+        .select(explode(zip_with(slice(col("syms"), lit(1), n),
+            slice(col("syms"), lit(2), n),
+            (x, y) => struct(x.as("l"), y.as("r")))).as("p"),
+          col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .filter(col("c") >= minCount)
+      val anyTop = counts.orderBy(col("c").desc).limit(1).collect()
+      if (anyTop.isEmpty) stop = true
+      else {
+        val mx = anyTop(0).getLong(2)
+        // ties at the max collect (few in practice) and break on the
+        // trainer's own comparator — Scala string order, not
+        // UTF8String byte order, so non-BMP tie-breaks agree too
+        val (bl, br) = counts.filter(col("c") === mx)
+          .select(col("l"), col("r")).collect()
+          .map(x => (x.getString(0), x.getString(1)))
+          .minBy(identity)
+        out += BpeMerge(r, bl, br, bl + br, mx)
+        state = state
+          .select(mergePairExpr(col("syms"), bl, br).as("syms"),
+            col("cnt"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    out.toSeq.toDF()
+  }
+
+  /** Leftmost-first non-overlapping application of one merge (l, r) to
+    * a symbol array — the fold twin of BpeTrainer's in-place rewrite.
+    * try_element_at past the end nulls out and the null comparison
+    * reads "no pair" (ANSI-safe without relying on And short-circuit).
+    */
+  private def mergePairExpr(syms: Column, l: String, r: String): Column =
+    aggregate(sequence(lit(1), size(syms)),
+      struct(lit(1).as("pos"),
+        array().cast("array<string>").as("out")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val o = acc.getField("out")
+        when(pos > size(syms), acc)
+          .when(try_element_at(syms, pos) === lit(l) &&
+              try_element_at(syms, pos + 1) === lit(r),
+            struct((pos + 2).as("pos"),
+              concat(o, array(lit(l + r))).as("out")))
+          .otherwise(struct((pos + 1).as("pos"),
+            concat(o, array(try_element_at(syms, pos))).as("out")))
+      }).getField("out")
+
   def avgTokenLength(c: Column): Column = {
     val ts = tokens(c)
     when(size(ts) > 0,
