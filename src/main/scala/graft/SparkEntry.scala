@@ -2379,6 +2379,74 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** LSM APPEND for the pHash index: the index is built on HALF the
+    * even-id corpus (item id % 4 = 0), the other half (% 4 = 2) is
+    * APPENDED (only the delta is banded and shuffled; standing files
+    * untouched), and the odd-id probes are served against the result.
+    * Bands are a pure per-image function, so the served answer must
+    * equal the full-corpus build's — this row shares
+    * x_mm_phash_served's oracle VERBATIM: if appended band rows were
+    * dead in the serve join, every probe×(%4 = 2) pair would be
+    * missing and the hash would fail.
+    */
+  private def xMmPhashAppend(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val hashes = Multimodal.perceptualHash(
+      Multimodal.synthesizeNearDupImages(d, "doc_id", every = 5))
+    val base = hashes.filter(col("id") % 4 === 0)
+      .select(col("id"), col("dhash"))
+    val delta = hashes.filter(col("id") % 4 === 2)
+      .select(col("id"), col("dhash"))
+    val probes = hashes.filter(col("id") % 2 === 1)
+      .select(col("id"), col("dhash"))
+    val tbl = indexTable(dir, "phapp")
+    graft.sources.IndexStore.writePhashIndexBucketed(base, tbl,
+      numBuckets = 8, bands = 8)
+    graft.sources.IndexStore.appendPhashIndexBucketed(delta, tbl,
+      bands = 8)
+    val idx = graft.sources.IndexStore.readPhashIndexBucketed(s, tbl,
+      bands = 8)
+    Multimodal.phashNearDuplicatesAgainst(probes, idx, bands = 8,
+        maxDist = 7)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** RESTART-SAFE image ingestion — the x_stream_dedup_resume arc for
+    * the pHash index, over RAW IMAGE BYTES: run 1 decodes, hashes,
+    * checks, and ADMITS the % 4 = 2 half of the corpus (file A); the
+    * odd-id probe blobs (file B) arrive before run 2, which processes
+    * only B against the now-complete even-id corpus. The probe rows
+    * equal the full-corpus serve — x_mm_phash_served's oracle shared
+    * verbatim; a re-processed file A would duplicate its band rows and
+    * double-report every probe×A pair.
+    */
+  private def xStreamPhashResume(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val items = Multimodal.synthesizeNearDupImages(d, "doc_id", every = 5)
+    val baseHashes = Multimodal.perceptualHash(
+        items.filter(col("id") % 4 === 0))
+      .select(col("id"), col("dhash"))
+    val fileA = items.filter(col("id") % 4 === 2)
+    val fileB = items.filter(col("id") % 2 === 1)
+    val streamDir = indexDir(dir, "phash_resume")
+    val ckpt = indexDir(dir, "phash_resume_ckpt")
+    val sink = indexDir(dir, "phash_resume_sink")
+    Seq(streamDir, ckpt, sink).foreach(wipeDir)
+    val tbl = indexTable(dir, "phres")
+    graft.sources.IndexStore.writePhashIndexBucketed(baseHashes, tbl,
+      numBuckets = 8, bands = 8)
+    fileA.coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.phashIngestRun(s, streamDir, tbl, bands = 8,
+      maxDist = 7, checkpointDir = ckpt, sinkDir = sink)
+    fileB.coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.phashIngestRun(s, streamDir, tbl, bands = 8,
+      maxDist = 7, checkpointDir = ckpt, sinkDir = sink)
+    s.read.parquet(sink)
+      .filter(col("new_id") % 2 === 1)
+      .select(col("new_id"), col("corpus_id"), col("hamming"))
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Tombstone deletion for the pHash index: every 4th item id is
     * DELETED from the (even-id) image corpus — one id-list append,
     * standing band files untouched — and the probe batch is served
@@ -4495,6 +4563,8 @@ object SparkEntry {
     "x_dedup_substring_delete" -> (xDedupSubstringDelete _),
     "x_dedup_editdist_delete" -> (xDedupEditdistDelete _),
     "x_mm_phash_delete" -> (xMmPhashDelete _),
+    "x_mm_phash_append" -> (xMmPhashAppend _),
+    "x_stream_phash_resume" -> (xStreamPhashResume _),
     "x_mm_phash_served" -> (xMmPhashServed _),
     "x_eval_kendall" -> (xEvalKendall _),
     "x_profile_quantile_norm" -> (xProfileQuantileNorm _),
@@ -4547,7 +4617,11 @@ object SparkEntry {
       "x_stream_editdist_resume" ->
         graft.oracle.StaticOracles.sql("x_dedup_editdist_append"),
       "x_text_bpe_learn_dist" ->
-        graft.oracle.StaticOracles.sql("x_text_bpe_learn"))
+        graft.oracle.StaticOracles.sql("x_text_bpe_learn"),
+      "x_mm_phash_append" ->
+        graft.oracle.StaticOracles.sql("x_mm_phash_served"),
+      "x_stream_phash_resume" ->
+        graft.oracle.StaticOracles.sql("x_mm_phash_served"))
 
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
     * Verify skip the generation work when a name filter excludes them.

@@ -508,13 +508,38 @@ object IndexStore {
 
   def readPhashIndexBucketed(spark: SparkSession, table: String,
       bands: Int = 8): DataFrame = {
+    checkPhashMeta(spark, table, bands)
+    Bucketing.readBucketed(spark, s"${table}_bands")
+  }
+
+  private def checkPhashMeta(spark: SparkSession, table: String,
+      bands: Int): Unit = {
     val built = spark.table(s"${table}_meta")
       .select(col("bands")).head.getInt(0)
     require(built == bands,
       s"phash index at $table was built with bands=$built but is being " +
         s"served with bands=$bands — mismatched banding never collides " +
         "and silently reports no near-duplicates")
-    Bucketing.readBucketed(spark, s"${table}_bands")
+  }
+
+  /** Admit a checked image batch's `(id, dhash)` rows into the
+    * standing pHash index — the LSM append arc the other per-document
+    * families already have: only the delta is banded and shuffled into
+    * the table's bucket layout; standing files untouched. Band count
+    * validated against the build-time `_meta` record first (banding
+    * mismatches never collide — fail loudly). Bands are a pure
+    * per-image function, so append(build(base), delta) ≡
+    * build(base ∪ delta) row-for-row — x_mm_phash_append proves it by
+    * sharing the full-corpus serve oracle.
+    */
+  def appendPhashIndexBucketed(deltaHashes: DataFrame, table: String,
+      bands: Int = 8): Unit = {
+    val spark = deltaHashes.sparkSession
+    checkPhashMeta(spark, table, bands)
+    Bucketing.appendBucketed(
+      graft.ext.Multimodal.phashBands(deltaHashes, bands),
+      s"${table}_bands", Seq("band", "key"),
+      Bucketing.numBucketsOf(spark, s"${table}_bands"))
   }
 
   /** Tombstone DELETION for the pHash index (round-13 directive #1):

@@ -587,6 +587,32 @@ object StreamingValidate {
     * batch duplicates its `_str`/`_segs` rows and every later probe's
     * verify join double-reports against those ids.
     */
+  /** The IMAGE twin of [[nearDupIngestRun]]: resumable check-then-admit
+    * over the pHash index — per batch, `(id, blob)` raw bytes are
+    * decoded + dHashed + banded, screened against the standing band
+    * table, and then admitted
+    * ([[graft.sources.IndexStore.appendPhashIndexBucketed]]). Same
+    * restart proof as the other families: a re-admitted batch
+    * duplicates its band rows and every later probe double-reports
+    * against those ids.
+    */
+  def phashIngestRun(spark: org.apache.spark.sql.SparkSession,
+      newImagesDir: String, indexTable: String, bands: Int,
+      maxDist: Int, checkpointDir: String, sinkDir: String): Unit =
+    checkAdmitRun(spark, newImagesDir, checkpointDir, sinkDir,
+      check = b => graft.ext.Multimodal.phashNearDuplicatesAgainst(
+        graft.ext.Multimodal.perceptualHash(b)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("dhash")),
+        graft.sources.IndexStore.readPhashIndexBucketed(spark,
+          indexTable, bands), bands, maxDist),
+      admit = b => graft.sources.IndexStore.appendPhashIndexBucketed(
+        graft.ext.Multimodal.perceptualHash(b)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("dhash")),
+        indexTable, bands),
+      refreshTables = Seq(s"${indexTable}_bands"))
+
   def editDistanceIngestRun(spark: org.apache.spark.sql.SparkSession,
       newDocsDir: String, indexTable: String, d: Int,
       checkpointDir: String, sinkDir: String): Unit =
