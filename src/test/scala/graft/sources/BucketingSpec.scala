@@ -945,6 +945,50 @@ class BucketingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS tier_spec")
   }
 
+  test("tiered compaction is valid for the key index: file-level only " +
+      "(split rows survive), serve sums across them unchanged") {
+    import graft.sources.IndexStore
+    val orders = Tables.load(spark, dir, "orders").select("o_orderkey")
+    val batch1 = orders.filter(col("o_orderkey") % 3 === 0)
+      .select((col("o_orderkey") + 900000L).as("o_orderkey"))
+    val batch2 = batch1.unionByName(
+      orders.filter(col("o_orderkey") % 10 === 1).select("o_orderkey"))
+    IndexStore.writeKeyIndexBucketed(orders, "ktier_spec",
+      Seq("o_orderkey"), numBuckets = 8)
+    try {
+      // two appends of the same batch → split per-key rows AND
+      // multi-file buckets, the state tiered compaction operates on
+      IndexStore.appendKeyIndexBucketed(batch1, "ktier_spec",
+        Seq("o_orderkey"))
+      IndexStore.appendKeyIndexBucketed(batch1, "ktier_spec",
+        Seq("o_orderkey"))
+      def serve(): Set[(Long, Long, Long)] =
+        graft.check.Checks.uniqueAgainstIndex(batch2,
+            IndexStore.readKeyIndexBucketed(spark, "ktier_spec",
+              Seq("o_orderkey")), Seq("o_orderkey"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val before = serve()
+      val rowsBefore = spark.table("ktier_spec_keys").count()
+      val filesBefore = Bucketing.dataFileCount(spark, "ktier_spec_keys")
+      Bucketing.compactBucketedTiered(spark, "ktier_spec_keys",
+        minFilesPerBucket = 2)
+      assert(Bucketing.dataFileCount(spark, "ktier_spec_keys")
+        < filesBefore, "tiered compaction must shrink the file count")
+      // file-level ONLY: split LSM rows survive (row merging is
+      // compactKeyIndexBucketed's job) — and the serve's sum-per-key
+      // makes that invisible, which is exactly why file-level tiered
+      // compaction is VALID for the key family
+      assert(spark.table("ktier_spec_keys").count() == rowsBefore,
+        "tiered compaction must not merge rows")
+      assert(serve() === before,
+        "the served answer must be invariant under tiered compaction")
+      assert(before.exists { case (k, _, ne) => k > 900000L && ne == 2 },
+        "split rows must still sum at serve time")
+    } finally for (s <- Seq("_keys", "_meta"))
+      spark.sql(s"DROP TABLE IF EXISTS ktier_spec$s")
+  }
+
   test("bucketed aggregation on the bucket key skips the shuffle") {
     val li = Tables.load(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber")
@@ -985,6 +1029,15 @@ class BucketingSpec extends SparkSpec {
     tmpIdx.mkdirs()
     val deadIdx = new File(tmpIdx, "abc123_p999999")
     deadIdx.mkdirs()
+    // streaming sinks leak the same way (round-13 ADVICE): dead-pid
+    // dirs under graft_stream_sink must be swept, live-pid kept
+    val tmpSink = new File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_sink")
+    tmpSink.mkdirs()
+    val deadSink = new File(tmpSink, "u1a2b3_p999999")
+    deadSink.mkdirs()
+    val liveSink = new File(tmpSink, s"u1a2b3_p$self")
+    liveSink.mkdirs()
     try {
       Scratch.sweepNow(spark)
       assert(!dead.exists(), "dead-pid warehouse scratch must be swept")
@@ -994,7 +1047,10 @@ class BucketingSpec extends SparkSpec {
       assert(liveSfx.exists(), "live-pid suffixed scratch must survive")
       assert(other.exists(), "non-graft dirs are not ours to delete")
       assert(!deadIdx.exists(), "dead-pid index scratch must be swept")
-    } finally Seq(dead, deadSfx, liveSfx, live, other, deadIdx)
+      assert(!deadSink.exists(), "dead-pid stream sinks must be swept")
+      assert(liveSink.exists(), "live-pid stream sinks must survive")
+    } finally Seq(dead, deadSfx, liveSfx, live, other, deadIdx,
+        deadSink, liveSink)
       .foreach { d =>
         Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
         d.delete()
