@@ -871,6 +871,31 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Tombstone deletion for the IVF artifact: every 7th vector
+    * (vec_id % 7 = 3) is DELETED — one id-list append, standing
+    * (id, nvec, list_id) rows untouched — and the same 5 queries are
+    * served over the LIVE frame (exclusion BEFORE ranking: a dropped
+    * neighbor is replaced by the next-best, so output-side anti-joins
+    * would be wrong here). Centroids stay: the routing model is not
+    * corpus content. The oracle recomputes the probe-restricted top-10
+    * with the deleted ids excluded from the assigned corpus; physical
+    * purge is proven serve-invariant in IvfDeleteSpec.
+    */
+  private def xSimIvfDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = indexDir(dir, "ivfdel")
+    graft.sources.IndexStore.writeIvfIndex(e,
+      Similarity.firstIdCentroids(e, 16), idx)
+    graft.sources.IndexStore.deleteFromIvfIndex(
+      e.filter(col("vec_id") % 7 === 3).select(col("vec_id").as("id")),
+      idx)
+    val (live, cents) = graft.sources.IndexStore.readIvfIndexLive(s, idx)
+    Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), live, cents,
+        10, nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
   /** The x_sim_pq contract served from a PERSISTED PQ index: the
     * 16×16 codebook model and the per-vector code arrays written as
     * plain parquet, re-read (model reconstructed from the artifact),
@@ -4327,6 +4352,7 @@ object SparkEntry {
     "x_sim_pairs" -> (xSimPairs _),
     "x_sim_lsh_pairs" -> (xSimLshPairs _),
     "x_sim_ivf_topk" -> (xSimIvfTopk _),
+    "x_sim_ivf_delete" -> (xSimIvfDelete _),
     "x_sim_ivf_recall" -> (xSimIvfRecall _),
     "x_text_tokens" -> (xTextTokens _),
     "x_text_quality" -> (xTextQuality _),

@@ -702,6 +702,67 @@ object IndexStore {
     (spark.read.parquet(s"$dir/ivf.parquet"),
       spark.read.parquet(s"$dir/centroids.parquet"))
 
+  /** Tombstone DELETION for the dir-based IVF artifact (round-13 —
+    * the similarity family's right-to-be-forgotten path, completing
+    * the per-document families'): dead vector ids append to
+    * `dead.parquet`, the standing (id, nvec, list_id) rows untouched.
+    * Unlike the pair-output families, exclusion must happen BEFORE
+    * ranking — a dropped neighbor is replaced by the next-best, so
+    * serving anti-joins the ENC frame ([[readIvfIndexLive]]), never
+    * the output. Centroids are the routing MODEL, not corpus content:
+    * deleting a vector never removes a centroid (re-fitting is a
+    * rebuild decision, exactly like any trained model).
+    */
+  def deleteFromIvfIndex(ids: DataFrame, dir: String): Unit =
+    ids.select(col("id"))
+      .write.mode("append").parquet(s"$dir/dead.parquet")
+
+  /** The IVF artifact's standing tombstone set; the empty fallback's
+    * id type comes from the artifact itself.
+    */
+  def readIvfDeadIds(spark: SparkSession, dir: String): DataFrame =
+    if (new java.io.File(s"$dir/dead.parquet").exists())
+      spark.read.parquet(s"$dir/dead.parquet")
+    else spark.read.parquet(s"$dir/ivf.parquet")
+      .select(col("id")).limit(0)
+
+  /** (index minus tombstoned ids, centroids) — the frame serving must
+    * rank over while tombstones are pending.
+    */
+  def readIvfIndexLive(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (enc, cents) = readIvfIndex(spark, dir)
+    (enc.join(readIvfDeadIds(spark, dir), Seq("id"), "left_anti"), cents)
+  }
+
+  /** Physically remove tombstoned vectors from `ivf.parquet` (rewrite
+    * + the rename-aside swap — the original survives under some name
+    * at every crash point, the [[Bucketing.compactBucketed]]
+    * discipline) and clear the tombstones. Serve answer invariant
+    * (IvfDeleteSpec: live serve ≡ rebuild-without-deleted ≡
+    * post-purge serve).
+    */
+  def purgeIvfIndex(spark: SparkSession, dir: String): Unit = {
+    val dead = readIvfDeadIds(spark, dir)
+    val tmp = new java.io.File(s"$dir/ivf.parquet__purge")
+    val cur = new java.io.File(s"$dir/ivf.parquet")
+    val old = new java.io.File(s"$dir/ivf.parquet__old")
+    spark.read.parquet(cur.getPath)
+      .join(dead, Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(tmp.getPath)
+    deleteDirTree(old)
+    java.nio.file.Files.move(cur.toPath, old.toPath)
+    java.nio.file.Files.move(tmp.toPath, cur.toPath)
+    deleteDirTree(old)
+    deleteDirTree(new java.io.File(s"$dir/dead.parquet"))
+  }
+
+  private def deleteDirTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach(deleteDirTree)
+    f.delete(): Unit
+  }
+
   /** Persist the int8-quantized corpus: `int8.parquet` (id long,
     * q array<tinyint> in [-127, 127], scale double). THE quantized
     * serving artifact a 100 TB corpus persists — and since round 13
