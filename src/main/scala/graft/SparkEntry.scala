@@ -955,6 +955,27 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Tombstone deletion for the int8 artifact: every 7th vector
+    * deleted via dead.parquet, the 5 queries scored over the LIVE
+    * decoded frame (exclusion before ranking — next-best neighbors
+    * promote in). The oracle recomputes the quantized top-10 with the
+    * deleted ids excluded from the corpus side; physical purge
+    * (tinyint schema preserved through the rewrite) is proven
+    * serve-invariant in Int8PackSpec.
+    */
+  private def xSimQuantizedDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = indexDir(dir, "int8del")
+    graft.sources.IndexStore.writeInt8Index(e, idx)
+    graft.sources.IndexStore.deleteFromInt8Index(
+      e.filter(col("vec_id") % 7 === 3).select(col("vec_id").as("id")),
+      idx)
+    Similarity.quantizedTopKFromIndex(e.filter(col("vec_id") < 5),
+        graft.sources.IndexStore.readInt8IndexLive(s, idx), 10)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
   /** Ranking-quality eval (Experiment.rankingMetrics): the brute-force
     * cosine top-10 run scored against label-derived graded judgments
     * (rel 2 for same-label docs with id % 3 = 0, rel 1 for other
@@ -4353,6 +4374,7 @@ object SparkEntry {
     "x_sim_lsh_pairs" -> (xSimLshPairs _),
     "x_sim_ivf_topk" -> (xSimIvfTopk _),
     "x_sim_ivf_delete" -> (xSimIvfDelete _),
+    "x_sim_quantized_delete" -> (xSimQuantizedDelete _),
     "x_sim_ivf_recall" -> (xSimIvfRecall _),
     "x_text_tokens" -> (xTextTokens _),
     "x_text_quality" -> (xTextQuality _),

@@ -2306,6 +2306,49 @@ private[graft] object StaticOracles {
         |  FROM s)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // int8 tombstone deletion: the quantized top-10 recomputed with
+    // the deleted ids excluded from the CORPUS side before ranking
+    "x_sim_quantized_delete" ->
+      """WITH nq AS (
+        |  SELECT vec_id AS query_id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings WHERE vec_id < 5),
+        |q0 AS (SELECT query_id,
+        |         list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS qv
+        |       FROM nq WHERE nrm > 0),
+        |q1 AS (SELECT query_id, qv,
+        |         list_max(list_transform(qv, x -> abs(x))) / 127.0 AS qs
+        |       FROM q0),
+        |q AS (SELECT query_id, qs,
+        |        list_transform(qv, x -> floor(x / qs + 0.5)) AS qa
+        |      FROM q1),
+        |nc AS (
+        |  SELECT vec_id AS neighbor_id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings WHERE vec_id % 7 <> 3),
+        |c0 AS (SELECT neighbor_id,
+        |         list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS cv
+        |       FROM nc WHERE nrm > 0),
+        |c1 AS (SELECT neighbor_id, cv,
+        |         list_max(list_transform(cv, x -> abs(x))) / 127.0 AS cs
+        |       FROM c0),
+        |c AS (SELECT neighbor_id, cs,
+        |        list_transform(cv, x -> floor(x / cs + 0.5)) AS ca
+        |      FROM c1),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(range(1, len(qa) + 1),
+        |      i -> qa[i] * ca[i])) * qs * cs AS sim
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // ranking-eval: re-derive the cosine run, the label-graded
     // judgments, and every snapped DCG/RR term (mirrored operand
     // order: (gain / log2) * 1e12 then round)

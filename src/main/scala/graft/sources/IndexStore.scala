@@ -799,6 +799,47 @@ object IndexStore {
         transform(col("q"), x => x.cast("double")).as("q"),
         col("scale"))
 
+  /** Tombstone DELETION for the int8 artifact — the IVF pattern on
+    * the flat (id, q, scale) corpus: dead ids append to
+    * `dead.parquet`; [[readInt8IndexLive]] anti-joins BEFORE ranking
+    * (exclusion must precede top-k); [[purgeInt8Index]] rewrites the
+    * artifact minus dead rows (tinyint schema preserved — the rewrite
+    * never decodes q) with the rename-aside swap and clears the
+    * tombstones. The same ten lines transplant to the PQ/IVF-PQ code
+    * tables when needed — all the similarity artifacts are flat
+    * per-vector frames.
+    */
+  def deleteFromInt8Index(ids: DataFrame, dir: String): Unit =
+    ids.select(col("id"))
+      .write.mode("append").parquet(s"$dir/dead.parquet")
+
+  def readInt8DeadIds(spark: SparkSession, dir: String): DataFrame =
+    if (new java.io.File(s"$dir/dead.parquet").exists())
+      spark.read.parquet(s"$dir/dead.parquet")
+    else spark.read.parquet(s"$dir/int8.parquet")
+      .select(col("id")).limit(0)
+
+  /** The int8 corpus minus tombstoned ids, decoded for serving. */
+  def readInt8IndexLive(spark: SparkSession, dir: String): DataFrame =
+    readInt8Index(spark, dir)
+      .join(readInt8DeadIds(spark, dir), Seq("id"), "left_anti")
+
+  def purgeInt8Index(spark: SparkSession, dir: String): Unit = {
+    val dead = readInt8DeadIds(spark, dir)
+    val tmp = new java.io.File(s"$dir/int8.parquet__purge")
+    val cur = new java.io.File(s"$dir/int8.parquet")
+    val old = new java.io.File(s"$dir/int8.parquet__old")
+    // raw read: q stays tinyint through the rewrite
+    spark.read.parquet(cur.getPath)
+      .join(dead, Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(tmp.getPath)
+    deleteDirTree(old)
+    java.nio.file.Files.move(cur.toPath, old.toPath)
+    java.nio.file.Files.move(tmp.toPath, cur.toPath)
+    deleteDirTree(old)
+    deleteDirTree(new java.io.File(s"$dir/dead.parquet"))
+  }
+
   /** Persist a PQ index: `codebooks.parquet` (j int, code int,
     * cvec array<double>, bias double — m·ks rows, the whole model) and
     * `codes.parquet` (id long, codes array<int> — m small codes per

@@ -67,4 +67,44 @@ class Int8PackSpec extends SparkSpec {
       s"int8 artifact ($packed B) must be well under a third of the " +
         s"float corpus ($corpus B)")
   }
+
+  test("int8 tombstones: live serve ≡ rebuild-without-deleted ≡ " +
+      "post-purge serve; purge keeps the tinyint schema") {
+    import org.apache.spark.sql.DataFrame
+    val e = Tables.load(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_int8del_spec").toString
+    val refIdx = java.nio.file.Files
+      .createTempDirectory("graft_int8del_ref").toString
+    IndexStore.writeInt8Index(e, idx)
+    IndexStore.writeInt8Index(e.filter(col("vec_id") % 7 =!= 3), refIdx)
+    IndexStore.deleteFromInt8Index(
+      e.filter(col("vec_id") % 7 === 3).select(col("vec_id").as("id")),
+      idx)
+    def serve(corpusIdx: DataFrame): Seq[(Long, Long, Long)] =
+      graft.ext.Similarity.quantizedTopKFromIndex(queries, corpusIdx, 10)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    val ref = serve(IndexStore.readInt8Index(spark, refIdx))
+    assert(ref.nonEmpty)
+    assert(serve(IndexStore.readInt8IndexLive(spark, idx)) === ref,
+      "tombstone-excluded serve must equal rebuild-without-deleted")
+    assert(serve(IndexStore.readInt8Index(spark, idx)) !== ref,
+      "deleted ids must have been in some top-10 for the test to bite")
+    IndexStore.purgeInt8Index(spark, idx)
+    assert(!new java.io.File(s"$idx/dead.parquet").exists(),
+      "purge must clear the tombstones")
+    assert(spark.read.parquet(s"$idx/int8.parquet").schema("q")
+      .dataType === ArrayType(ByteType),
+      "the purge rewrite must keep the tinyint schema")
+    assert(spark.read.parquet(s"$idx/int8.parquet")
+      .filter(col("id") % 7 === 3).count() == 0,
+      "purge must drop deleted vectors physically")
+    assert(serve(IndexStore.readInt8IndexLive(spark, idx)) === ref,
+      "post-purge serve needs no exclusion and keeps the answer")
+  }
 }
