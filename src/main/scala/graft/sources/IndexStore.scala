@@ -711,7 +711,10 @@ object IndexStore {
     * serving anti-joins the ENC frame ([[readIvfIndexLive]]), never
     * the output. Centroids are the routing MODEL, not corpus content:
     * deleting a vector never removes a centroid (re-fitting is a
-    * rebuild decision, exactly like any trained model).
+    * rebuild decision, exactly like any trained model). The
+    * tombstone-presence check and the purge swap use local File ops
+    * (the harness shape, like [[Bucketing.compactBucketedTiered]]);
+    * an object-store deployment swaps them for its FileSystem.
     */
   def deleteFromIvfIndex(ids: DataFrame, dir: String): Unit =
     ids.select(col("id"))
