@@ -871,6 +871,32 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** LSM APPEND for the IVF artifact: the index is built on half the
+    * corpus (vec_id % 2 = 0), the other half is APPENDED — only the
+    * delta is normalized and assigned, against the artifact's own
+    * persisted centroids — and the 5 queries are served over the
+    * result. Assignment is a pure per-vector function of the static
+    * centroids, so the served ranking must equal the full-corpus
+    * build's: this row shares x_sim_ivf_topk's oracle VERBATIM (dead
+    * appended rows would drop every promoted odd-id neighbor and miss
+    * the hash). Centroids come from the FULL corpus (the model is
+    * fitted once; admission never re-fits it).
+    */
+  private def xSimIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = indexDir(dir, "ivfapp")
+    graft.sources.IndexStore.writeIvfIndex(
+      e.filter(col("vec_id") % 2 === 0),
+      Similarity.firstIdCentroids(e, 16), idx)
+    graft.sources.IndexStore.appendIvfIndex(
+      e.filter(col("vec_id") % 2 === 1), idx)
+    val (index, cents) = graft.sources.IndexStore.readIvfIndex(s, idx)
+    Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), index, cents,
+        10, nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
   /** Tombstone deletion for the IVF artifact: every 7th vector
     * (vec_id % 7 = 3) is DELETED — one id-list append, standing
     * (id, nvec, list_id) rows untouched — and the same 5 queries are
@@ -4374,6 +4400,7 @@ object SparkEntry {
     "x_sim_lsh_pairs" -> (xSimLshPairs _),
     "x_sim_ivf_topk" -> (xSimIvfTopk _),
     "x_sim_ivf_delete" -> (xSimIvfDelete _),
+    "x_sim_ivf_append" -> (xSimIvfAppend _),
     "x_sim_quantized_delete" -> (xSimQuantizedDelete _),
     "x_sim_ivf_recall" -> (xSimIvfRecall _),
     "x_text_tokens" -> (xTextTokens _),
@@ -4668,6 +4695,8 @@ object SparkEntry {
         graft.oracle.StaticOracles.sql("x_text_bpe_learn"),
       "x_mm_phash_append" ->
         graft.oracle.StaticOracles.sql("x_mm_phash_served"),
+      "x_sim_ivf_append" ->
+        graft.oracle.StaticOracles.sql("x_sim_ivf_topk"),
       "x_stream_phash_resume" ->
         graft.oracle.StaticOracles.sql("x_mm_phash_served"))
 

@@ -702,6 +702,24 @@ object IndexStore {
     (spark.read.parquet(s"$dir/ivf.parquet"),
       spark.read.parquet(s"$dir/centroids.parquet"))
 
+  /** Admit a vector batch into the standing IVF artifact: only the
+    * delta is normalized and assigned (against the ARTIFACT's own
+    * centroids — serving must probe with the centroids the index was
+    * built with, so the append reads them back rather than taking a
+    * caller frame), landing as appended files under `ivf.parquet`.
+    * Assignment is a pure per-vector function of the static centroids,
+    * so append(build(base), delta) ≡ build(base ∪ delta) row-for-row —
+    * x_sim_ivf_append proves it by sharing the full-corpus serve
+    * oracle verbatim.
+    */
+  def appendIvfIndex(delta: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = delta.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    Similarity.ivfIndexWith(delta, cents, idCol, vecCol)
+      .write.mode("append").parquet(s"$dir/ivf.parquet")
+  }
+
   /** Tombstone DELETION for the dir-based IVF artifact (round-13 —
     * the similarity family's right-to-be-forgotten path, completing
     * the per-document families'): dead vector ids append to
