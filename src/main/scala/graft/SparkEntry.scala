@@ -1669,6 +1669,62 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** x_dedup_substring_served's contract driven through a REAL file
+    * stream: the planted batch lands as 4 parquet part files, each
+    * screened as its own micro-batch against the standing bucketed
+    * gram index. Per-document independence + a static index + the
+    * within-document pair rollup make the micro-batch union the
+    * one-shot answer — shares the served row's oracle verbatim.
+    */
+  private def xStreamSubstring(s: SparkSession, dir: String): DataFrame = {
+    val base = substringBase(s, dir)
+    val tbl = indexTable(dir, "substr_s")
+    graft.sources.IndexStore.writeSubstringIndexBucketed(base, tbl,
+      numBuckets = 8, k = 8)
+    val batchDir = indexDir(dir, "substring_stream")
+    substringPlanted(base).repartition(4)
+      .write.mode("overwrite").parquet(batchDir)
+    StreamingValidate.substringIngestStream(s, batchDir, tbl,
+        minRunLen = 30, k = 8)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** RESTART-SAFE substring ingestion — the x_stream_dedup_resume arc
+    * for the gram index: run 1 checks and ADMITS the 80%-prefix delta
+    * twins (file A); the planted probes (file B) arrive before run 2,
+    * which processes only B against an index now holding base ∪ delta.
+    * The probe rows equal x_dedup_substring_append's answer (oracle
+    * shared verbatim); a re-processed file A would duplicate its gram
+    * rows, double every matched diagonal position, and corrupt the
+    * chained run lengths.
+    */
+  private def xStreamSubstringResume(s: SparkSession, dir: String): DataFrame = {
+    val base = substringBase(s, dir)
+    val fileA = base.filter(col("id") < 40)
+      .select((col("id") + SubstringDeltaOffset).as("id"),
+        slice(col("toks"), lit(1),
+          floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val fileB = substringPlanted(base)
+    val streamDir = indexDir(dir, "substring_resume")
+    val ckpt = indexDir(dir, "substring_resume_ckpt")
+    val sink = indexDir(dir, "substring_resume_sink")
+    Seq(streamDir, ckpt, sink).foreach(wipeDir)
+    val tbl = indexTable(dir, "substr_r")
+    graft.sources.IndexStore.writeSubstringIndexBucketed(base, tbl,
+      numBuckets = 8, k = 8)
+    fileA.coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.substringIngestRun(s, streamDir, tbl,
+      minRunLen = 30, k = 8, checkpointDir = ckpt, sinkDir = sink)
+    fileB.coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.substringIngestRun(s, streamDir, tbl,
+      minRunLen = 30, k = 8, checkpointDir = ckpt, sinkDir = sink)
+    s.read.parquet(sink)
+      .filter(col("new_id") >= 7000000L && col("new_id") < 8000000L)
+      .select(col("new_id"), col("corpus_id"), col("n_runs"),
+        col("max_run"), col("overlap_tokens"))
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Tombstone deletion for the substring gram index (round-13: the
     * MinHash id-tombstone pattern transplanted to the gram family):
     * every 3rd corpus document is DELETED — one id-list append,
@@ -2516,6 +2572,32 @@ object SparkEntry {
     s.read.parquet(sink)
       .filter(col("new_id") % 2 === 1)
       .select(col("new_id"), col("corpus_id"), col("hamming"))
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** The pHash index through the full LSM cycle — build on half the
+    * even-id corpus → append the other half → COMPACT → serve the odd
+    * probes — sharing x_mm_phash_served's oracle verbatim (same
+    * argument as [[xMmPhashAppend]], plus compaction changing file
+    * layout only).
+    */
+  private def xMmPhashCompact(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val hashes = Multimodal.perceptualHash(
+      Multimodal.synthesizeNearDupImages(d, "doc_id", every = 5))
+    val tbl = indexTable(dir, "phcmp")
+    graft.sources.IndexStore.writePhashIndexBucketed(
+      hashes.filter(col("id") % 4 === 0).select(col("id"), col("dhash")),
+      tbl, numBuckets = 8, bands = 8)
+    graft.sources.IndexStore.appendPhashIndexBucketed(
+      hashes.filter(col("id") % 4 === 2).select(col("id"), col("dhash")),
+      tbl, bands = 8)
+    graft.sources.IndexStore.compactPhashIndexBucketed(s, tbl)
+    val idx = graft.sources.IndexStore.readPhashIndexBucketed(s, tbl,
+      bands = 8)
+    Multimodal.phashNearDuplicatesAgainst(
+        hashes.filter(col("id") % 2 === 1).select(col("id"), col("dhash")),
+        idx, bands = 8, maxDist = 7)
       .orderBy("new_id", "corpus_id")
   }
 
@@ -3806,6 +3888,32 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** The edit index through the full LSM cycle — build → append →
+    * COMPACT (all three bucketed tables) → serve — sharing
+    * x_dedup_editdist_append's oracle verbatim: compaction rewrites
+    * the multi-file buckets to one file each without changing a row.
+    */
+  private def xDedupEditdistCompact(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").filter(col("n_chars") <= 250)
+      .select(col("doc_id").as("id"), col("text").as("s"))
+    def mutated(off: Long, pos: Int) =
+      corpus.select((col("id") + off).as("id"),
+        concat(substring(col("s"), 1, pos - 1), lit("X"),
+          col("s").substr(lit(pos + 1), length(col("s")))).as("s"))
+    val delta = mutated(8000000L, 20)
+    val batch = mutated(7000000L, 10)
+    val tbl = indexTable(dir, "editcmp")
+    graft.sources.IndexStore.writeEditIndexBucketed(corpus, tbl,
+      numBuckets = 8, d = 4)
+    graft.sources.IndexStore.appendEditIndexBucketed(delta, tbl, d = 4)
+    graft.sources.IndexStore.compactEditIndexBucketed(s, tbl)
+    val (segs, str, bylen) = graft.sources.IndexStore
+      .readEditIndexBucketed(s, tbl, d = 4)
+    Dedup.editDistanceAgainst(batch, "id", col("s"), segs, str, bylen,
+        d = 4)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Tombstone deletion for the edit-distance index: every 3rd corpus
     * string is DELETED (id tombstones cover all three bucketed tables
     * at once — segments, strings, length directory are all keyed by
@@ -4639,7 +4747,11 @@ object SparkEntry {
     "x_dedup_editdist_delete" -> (xDedupEditdistDelete _),
     "x_mm_phash_delete" -> (xMmPhashDelete _),
     "x_mm_phash_append" -> (xMmPhashAppend _),
+    "x_mm_phash_compact" -> (xMmPhashCompact _),
     "x_stream_phash_resume" -> (xStreamPhashResume _),
+    "x_dedup_editdist_compact" -> (xDedupEditdistCompact _),
+    "x_stream_substring" -> (xStreamSubstring _),
+    "x_stream_substring_resume" -> (xStreamSubstringResume _),
     "x_mm_phash_served" -> (xMmPhashServed _),
     "x_eval_kendall" -> (xEvalKendall _),
     "x_profile_quantile_norm" -> (xProfileQuantileNorm _),
@@ -4697,6 +4809,14 @@ object SparkEntry {
         graft.oracle.StaticOracles.sql("x_mm_phash_served"),
       "x_sim_ivf_append" ->
         graft.oracle.StaticOracles.sql("x_sim_ivf_topk"),
+      "x_mm_phash_compact" ->
+        graft.oracle.StaticOracles.sql("x_mm_phash_served"),
+      "x_dedup_editdist_compact" ->
+        graft.oracle.StaticOracles.sql("x_dedup_editdist_append"),
+      "x_stream_substring" ->
+        graft.oracle.StaticOracles.sql("x_dedup_substring_served"),
+      "x_stream_substring_resume" ->
+        graft.oracle.StaticOracles.sql("x_dedup_substring_append"),
       "x_stream_phash_resume" ->
         graft.oracle.StaticOracles.sql("x_mm_phash_served"))
 

@@ -452,6 +452,20 @@ object IndexStore {
       Bucketing.readBucketed(spark, s"${table}_bylen"))
   }
 
+  /** Compact all three standing edit-index tables back to one file
+    * per non-empty bucket — same contract as
+    * [[compactDedupIndexBucketed]] (content, layout, `_meta`
+    * untouched; the serve plan is the same join over the same rows,
+    * so x_dedup_editdist_compact shares the append row's oracle
+    * verbatim).
+    */
+  def compactEditIndexBucketed(spark: SparkSession,
+      table: String): Unit = {
+    Bucketing.compactBucketed(spark, s"${table}_segs")
+    Bucketing.compactBucketed(spark, s"${table}_str")
+    Bucketing.compactBucketed(spark, s"${table}_bylen")
+  }
+
   /** Tombstone DELETION for the edit-distance index (round-13
     * directive #1): all three tables are pure per-string frames keyed
     * by id, so one id-list tombstone covers segments, strings, and the
@@ -541,6 +555,13 @@ object IndexStore {
       s"${table}_bands", Seq("band", "key"),
       Bucketing.numBucketsOf(spark, s"${table}_bands"))
   }
+
+  /** Compact the standing pHash band table — same contract as
+    * [[compactDedupIndexBucketed]].
+    */
+  def compactPhashIndexBucketed(spark: SparkSession,
+      table: String): Unit =
+    Bucketing.compactBucketed(spark, s"${table}_bands")
 
   /** Tombstone DELETION for the pHash index (round-13 directive #1):
     * the banded hash frame is a pure per-image function, so deletes

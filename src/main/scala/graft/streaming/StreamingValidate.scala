@@ -550,6 +550,46 @@ object StreamingValidate {
         bandIdx, threshold, numHashes, bands, k, maxBucketSize))
   }
 
+  /** The SUBSTRING twin of [[nearDupIngestStream]]: a stream of
+    * `(id, toks)` documents screened per micro-batch against the
+    * standing bucketed gram index
+    * ([[graft.sources.IndexStore.writeSubstringIndexBucketed]], read
+    * once — static). Each document's shared runs depend only on its
+    * own grams and the index, and the per-pair rollup aggregates
+    * within one document's rows, so the union over micro-batches IS
+    * the one-shot batch answer — x_stream_substring shares
+    * x_dedup_substring_served's oracle verbatim.
+    */
+  def substringIngestStream(spark: org.apache.spark.sql.SparkSession,
+      newDocsDir: String, indexTable: String, minRunLen: Int,
+      k: Int): DataFrame = {
+    val grams = graft.sources.IndexStore
+      .readSubstringIndexBucketed(spark, indexTable, k)
+    serveAvailableNow(spark, newDocsDir, filesPerTrigger = 1,
+      batch => graft.ext.Dedup.sharedSubstringRunsAgainst(batch, grams,
+        minRunLen, k))
+  }
+
+  /** The substring family's RESUMABLE check-then-admit run: per
+    * micro-batch, screen against the standing gram index (re-read per
+    * batch so earlier admits are visible), sink the per-pair rollups,
+    * then admit the batch's grams
+    * ([[graft.sources.IndexStore.appendSubstringIndexBucketed]]).
+    * Same restart proof as the other families: a re-admitted batch
+    * duplicates its gram rows, every later probe's diagonal recovers
+    * each matched position twice, and the chained run rows double.
+    */
+  def substringIngestRun(spark: org.apache.spark.sql.SparkSession,
+      newDocsDir: String, indexTable: String, minRunLen: Int, k: Int,
+      checkpointDir: String, sinkDir: String): Unit =
+    checkAdmitRun(spark, newDocsDir, checkpointDir, sinkDir,
+      check = b => graft.ext.Dedup.sharedSubstringRunsAgainst(b,
+        graft.sources.IndexStore.readSubstringIndexBucketed(spark,
+          indexTable, k), minRunLen, k),
+      admit = b => graft.sources.IndexStore
+        .appendSubstringIndexBucketed(b, indexTable, k),
+      refreshTables = Seq(s"${indexTable}_grams"))
+
   /** One RESUMABLE AvailableNow run of the near-dup CHECK-THEN-ADMIT
     * loop (round-13 directive #5 — [[uniqueIngestRun]]'s restart arc
     * for the MinHash index): each micro-batch of `(id, toks)` docs is
