@@ -943,6 +943,28 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Tombstone deletion for the PQ code table: every 7th vector
+    * deleted via dead.parquet, the 5 queries ADC-scored over the LIVE
+    * codes (exclusion before ranking). The codebooks — the fitted
+    * model — stay, like the IVF centroids. The oracle is the fitted-
+    * literal x_sim_pq SQL with the deleted ids excluded from the
+    * encoded corpus (dynamic, rendered per dump).
+    */
+  private def xSimPqDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = Similarity.pqFit(e, m = 16, ks = 16)
+    val idx = indexDir(dir, "pqdel")
+    graft.sources.IndexStore.writePqIndex(e, model, idx)
+    graft.sources.IndexStore.deleteFromPqIndex(
+      e.filter(col("vec_id") % 7 === 3).select(col("vec_id").as("id")),
+      idx)
+    Similarity.pqTopKFromCodes(e.filter(col("vec_id") < 5),
+        graft.sources.IndexStore.readPqCodesLive(s, idx), 10,
+        graft.sources.IndexStore.readPqModel(s, idx))
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
   /** The x_sim_ivf_pq contract served ENTIRELY from persisted
     * artifacts — centroids (probe routing), codebooks (the model),
     * and the (id, list_id, codes) corpus state all round-trip parquet
@@ -957,6 +979,30 @@ object SparkEntry {
     val idx = indexDir(dir, "ivfpq")
     graft.sources.IndexStore.writeIvfPqIndex(e, model, cents, idx)
     val (enc, rcents) = graft.sources.IndexStore.readIvfPqIndex(s, idx)
+    Similarity.ivfPqTopKFromIndex(e.filter(col("vec_id") < 5), enc,
+        rcents, graft.sources.IndexStore.readPqModel(s, idx), 10,
+        nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Tombstone deletion for the composed IVF-PQ artifact: every 7th
+    * vector deleted via dead.parquet, the 5 queries ADC-scored over
+    * the LIVE (id, list_id, codes) frame (exclusion before ranking);
+    * centroids AND codebooks — both model halves — stay. The oracle
+    * is the fitted-literal x_sim_ivf_pq SQL with the deleted ids
+    * excluded from the assigned corpus.
+    */
+  private def xSimIvfPqDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = Similarity.pqFit(e, m = 16, ks = 16)
+    val cents = Similarity.kmeansCentroids(e, nLists = 16)
+    val idx = indexDir(dir, "ivfpqdel")
+    graft.sources.IndexStore.writeIvfPqIndex(e, model, cents, idx)
+    graft.sources.IndexStore.deleteFromIvfPqIndex(
+      e.filter(col("vec_id") % 7 === 3).select(col("vec_id").as("id")),
+      idx)
+    val (enc, rcents) = graft.sources.IndexStore.readIvfPqIndexLive(s, idx)
     Similarity.ivfPqTopKFromIndex(e.filter(col("vec_id") < 5), enc,
         rcents, graft.sources.IndexStore.readPqModel(s, idx), 10,
         nProbe = 4)
@@ -4710,6 +4756,8 @@ object SparkEntry {
     "x_ts_seasonality" -> (xTsSeasonality _),
     "x_stream_dedup_index" -> (xStreamDedupIndex _),
     "x_sim_pq_served" -> (xSimPqServed _),
+    "x_sim_pq_delete" -> (xSimPqDelete _),
+    "x_sim_ivf_pq_delete" -> (xSimIvfPqDelete _),
     "x_sim_quantized_served" -> (xSimQuantizedServed _),
     "x_zipf_ppjoin" -> (xZipfPpjoin _),
     "x_zipf_substring" -> (xZipfSubstring _),

@@ -31,9 +31,11 @@ private[graft] object DynamicOracles {
     */
   val names: Set[String] =
     Set("x_sim_ivf_kmeans", "x_sim_kmeans_full", "x_sim_pq",
-      "x_sim_pq_served", "x_sim_ivf_pq", "x_sim_ivf_pq_served",
-      "x_sample_temperature", "x_embed_pca", "x_zipf_ppjoin",
-      "x_zipf_bm25", "x_zipf_substring", "x_sim_silhouette")
+      "x_sim_pq_served", "x_sim_pq_delete", "x_sim_ivf_pq",
+      "x_sim_ivf_pq_served", "x_sim_ivf_pq_delete",
+      "x_sample_temperature", "x_embed_pca",
+      "x_zipf_ppjoin", "x_zipf_bm25", "x_zipf_substring",
+      "x_sim_silhouette")
 
   def sql(
       spark: SparkSession, sfDir: String,
@@ -64,8 +66,10 @@ private[graft] object DynamicOracles {
     // with the same subspace-ordered arithmetic. The persisted-index
     // round-trip twin (x_sim_pq_served) shares this SQL VERBATIM —
     // hash-identity with the in-memory path is its whole claim.
-    if (want("x_sim_pq") || want("x_sim_pq_served")) {
-      b += ("x_sim_pq" ->
+    // templated over a corpus filter so the tombstone-deletion row
+    // (x_sim_pq_delete) reuses the identical fitted-literal body with
+    // the deleted ids excluded from the ENCODED corpus before ranking
+    def pqSql(corpusFilter: String): String =
       s"""WITH v0 AS (
         |  SELECT vec_id AS id, embedding AS vec,
         |    sqrt(list_sum(list_transform(embedding,
@@ -98,14 +102,17 @@ private[graft] object DynamicOracles {
         |scored AS (SELECT qm.query_id, ec.id AS neighbor_id,
         |    list_sum(list_transform(range(1, ${pq.m + 1}),
         |      j -> qm.tls[j][ec.codes[j] + 1])) AS sim
-        |  FROM qm, ec WHERE qm.query_id <> ec.id),
+        |  FROM qm, ec WHERE qm.query_id <> ec.id$corpusFilter),
         |r AS (SELECT query_id, neighbor_id,
         |        row_number() OVER (PARTITION BY query_id
         |                           ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM scored)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
-    }
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    if (want("x_sim_pq") || want("x_sim_pq_served"))
+      b += ("x_sim_pq" -> pqSql(""))
+    if (want("x_sim_pq_delete"))
+      b += ("x_sim_pq_delete" -> pqSql(" AND ec.id % 7 <> 3"))
     // x_sample_temperature: the per-source rates are a deterministic
     // function of the bounded source counts — re-fit and embed them,
     // then replay the same hash-unit filter.
@@ -133,9 +140,10 @@ private[graft] object DynamicOracles {
     // codebooks) re-fit deterministically; list assignment, probe
     // routing, codes, tables and the subspace-ordered ADC fold all
     // re-derive in SQL.
-    if (want("x_sim_ivf_pq") || want("x_sim_ivf_pq_served")) {
+    // templated like pqSql: the tombstone row excludes deleted ids
+    // from the ASSIGNED corpus before the probe join
+    def ivfPqSql(corpusFilter: String): String = {
       val cents = cents16
-      b += ("x_sim_ivf_pq" ->
       s"""WITH v0 AS (
         |  SELECT vec_id AS id, embedding AS vec,
         |    sqrt(list_sum(list_transform(embedding,
@@ -188,14 +196,18 @@ private[graft] object DynamicOracles {
         |  JOIN assigned a ON p.list_id = a.list_id
         |  JOIN ec ON ec.id = a.id
         |  JOIN qm ON qm.query_id = p.query_id
-        |  WHERE p.query_id <> a.id),
+        |  WHERE p.query_id <> a.id$corpusFilter),
         |r AS (SELECT query_id, neighbor_id,
         |        row_number() OVER (PARTITION BY query_id
         |                           ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM scored)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     }
+    if (want("x_sim_ivf_pq") || want("x_sim_ivf_pq_served"))
+      b += ("x_sim_ivf_pq" -> ivfPqSql(""))
+    if (want("x_sim_ivf_pq_delete"))
+      b += ("x_sim_ivf_pq_delete" -> ivfPqSql(" AND a.id % 7 <> 3"))
     // x_sim_kmeans_full: identical re-fit (decimal-exact distributed
     // sums make the two fits bitwise equal), centroids as literals, and
     // the assignment argmax becomes a plain row_number pick.

@@ -911,6 +911,43 @@ object IndexStore {
       .write.mode("overwrite").parquet(s"$dir/codes.parquet")
   }
 
+  /** Tombstone DELETION for the PQ code table — the documented
+    * ten-line transplant of the flat-artifact pattern: dead ids append
+    * to `dead.parquet`; [[readPqCodesLive]] anti-joins the codes
+    * BEFORE ranking; [[purgePqIndex]] rewrites `codes.parquet` minus
+    * dead rows with the rename-aside swap. The codebooks — the fitted
+    * model — stay, like the IVF centroids.
+    */
+  def deleteFromPqIndex(ids: DataFrame, dir: String): Unit =
+    ids.select(col("id"))
+      .write.mode("append").parquet(s"$dir/dead.parquet")
+
+  def readPqDeadIds(spark: SparkSession, dir: String): DataFrame =
+    if (new java.io.File(s"$dir/dead.parquet").exists())
+      spark.read.parquet(s"$dir/dead.parquet")
+    else spark.read.parquet(s"$dir/codes.parquet")
+      .select(col("id")).limit(0)
+
+  /** The PQ corpus codes minus tombstoned ids. */
+  def readPqCodesLive(spark: SparkSession, dir: String): DataFrame =
+    readPqCodes(spark, dir)
+      .join(readPqDeadIds(spark, dir), Seq("id"), "left_anti")
+
+  def purgePqIndex(spark: SparkSession, dir: String): Unit = {
+    val dead = readPqDeadIds(spark, dir)
+    val tmp = new java.io.File(s"$dir/codes.parquet__purge")
+    val cur = new java.io.File(s"$dir/codes.parquet")
+    val old = new java.io.File(s"$dir/codes.parquet__old")
+    spark.read.parquet(cur.getPath)
+      .join(dead, Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(tmp.getPath)
+    deleteDirTree(old)
+    java.nio.file.Files.move(cur.toPath, old.toPath)
+    java.nio.file.Files.move(tmp.toPath, cur.toPath)
+    deleteDirTree(old)
+    deleteDirTree(new java.io.File(s"$dir/dead.parquet"))
+  }
+
   /** Persist the COMPOSED IVF-PQ index — the 100 TB ANN architecture
     * end to end on disk: `centroids.parquet` (probe routing),
     * `codebooks.parquet` (the model), `ivfpq.parquet` (id, list_id,
@@ -939,6 +976,43 @@ object IndexStore {
       : (DataFrame, DataFrame) =
     (spark.read.parquet(s"$dir/ivfpq.parquet"),
       spark.read.parquet(s"$dir/centroids.parquet"))
+
+  /** Tombstone DELETION for the composed IVF-PQ artifact — the same
+    * flat-artifact pattern ([[deleteFromPqIndex]]); centroids AND
+    * codebooks (both model halves) stay.
+    */
+  def deleteFromIvfPqIndex(ids: DataFrame, dir: String): Unit =
+    ids.select(col("id"))
+      .write.mode("append").parquet(s"$dir/dead.parquet")
+
+  def readIvfPqDeadIds(spark: SparkSession, dir: String): DataFrame =
+    if (new java.io.File(s"$dir/dead.parquet").exists())
+      spark.read.parquet(s"$dir/dead.parquet")
+    else spark.read.parquet(s"$dir/ivfpq.parquet")
+      .select(col("id")).limit(0)
+
+  /** (enc minus tombstoned ids, centroids). */
+  def readIvfPqIndexLive(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (enc, cents) = readIvfPqIndex(spark, dir)
+    (enc.join(readIvfPqDeadIds(spark, dir), Seq("id"), "left_anti"),
+      cents)
+  }
+
+  def purgeIvfPqIndex(spark: SparkSession, dir: String): Unit = {
+    val dead = readIvfPqDeadIds(spark, dir)
+    val tmp = new java.io.File(s"$dir/ivfpq.parquet__purge")
+    val cur = new java.io.File(s"$dir/ivfpq.parquet")
+    val old = new java.io.File(s"$dir/ivfpq.parquet__old")
+    spark.read.parquet(cur.getPath)
+      .join(dead, Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(tmp.getPath)
+    deleteDirTree(old)
+    java.nio.file.Files.move(cur.toPath, old.toPath)
+    java.nio.file.Files.move(tmp.toPath, cur.toPath)
+    deleteDirTree(old)
+    deleteDirTree(new java.io.File(s"$dir/dead.parquet"))
+  }
 
   /** Reconstruct the PqModel from the codebook artifact (bounded:
     * m·ks rows of ds doubles — driver-side by the same contract as
