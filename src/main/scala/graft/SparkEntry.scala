@@ -922,6 +922,31 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** The IVF artifact through the full LSM file cycle — build on the
+    * even half → APPEND the odd half (one file set per admitted batch,
+    * the fragmentation a long-lived ingest loop accumulates) →
+    * COMPACT ([[graft.sources.IndexStore.compactIvfIndex]]: live rows
+    * rewritten into one file with the rename-aside swap) → serve the
+    * 5 queries. Compaction is a pure layout change, so this shares
+    * x_sim_ivf_topk's oracle VERBATIM — and SimArtifactLifecycleSpec
+    * asserts the file count actually dropped.
+    */
+  private def xSimIvfCompact(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = indexDir(dir, "ivfcmp")
+    graft.sources.IndexStore.writeIvfIndex(
+      e.filter(col("vec_id") % 2 === 0),
+      Similarity.firstIdCentroids(e, 16), idx)
+    graft.sources.IndexStore.appendIvfIndex(
+      e.filter(col("vec_id") % 2 === 1), idx)
+    graft.sources.IndexStore.compactIvfIndex(s, idx)
+    val (index, cents) = graft.sources.IndexStore.readIvfIndex(s, idx)
+    Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), index, cents,
+        10, nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
   /** The x_sim_pq contract served from a PERSISTED PQ index: the
     * 16×16 codebook model and the per-vector code arrays written as
     * plain parquet, re-read (model reconstructed from the artifact),
@@ -960,6 +985,31 @@ object SparkEntry {
       idx)
     Similarity.pqTopKFromCodes(e.filter(col("vec_id") < 5),
         graft.sources.IndexStore.readPqCodesLive(s, idx), 10,
+        graft.sources.IndexStore.readPqModel(s, idx))
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSM APPEND for the PQ code table: the model is fitted ONCE on
+    * the full corpus, the index is built on the even half, and the odd
+    * half is ADMITTED via [[graft.sources.IndexStore.appendPqIndex]] —
+    * which encodes the delta against the artifact's OWN re-read
+    * codebooks, never the caller's model object. Encoding is a pure
+    * per-vector function of the static model, so the served ADC
+    * ranking must equal the full-corpus build's: shares x_sim_pq's
+    * fitted-literal dynamic oracle VERBATIM (dead appended code rows
+    * would drop every odd-id neighbor and miss the hash).
+    */
+  private def xSimPqAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = Similarity.pqFit(e, m = 16, ks = 16)
+    val idx = indexDir(dir, "pqapp")
+    graft.sources.IndexStore.writePqIndex(
+      e.filter(col("vec_id") % 2 === 0), model, idx)
+    graft.sources.IndexStore.appendPqIndex(
+      e.filter(col("vec_id") % 2 === 1), idx)
+    Similarity.pqTopKFromCodes(e.filter(col("vec_id") < 5),
+        graft.sources.IndexStore.readPqCodes(s, idx), 10,
         graft.sources.IndexStore.readPqModel(s, idx))
       .withColumn("rank", col("rank").cast(LongType))
       .orderBy("query_id", "rank")
@@ -1010,6 +1060,30 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** LSM APPEND for the composed IVF-PQ artifact: centroids AND
+    * codebooks are fitted once on the full corpus, the index is built
+    * on the even half, and the odd half is admitted via
+    * [[graft.sources.IndexStore.appendIvfPqIndex]] — assignment and
+    * encoding both against the artifact's own re-read model halves.
+    * Shares x_sim_ivf_pq's fitted-literal dynamic oracle VERBATIM.
+    */
+  private def xSimIvfPqAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = Similarity.pqFit(e, m = 16, ks = 16)
+    val cents = Similarity.kmeansCentroids(e, nLists = 16)
+    val idx = indexDir(dir, "ivfpqapp")
+    graft.sources.IndexStore.writeIvfPqIndex(
+      e.filter(col("vec_id") % 2 === 0), model, cents, idx)
+    graft.sources.IndexStore.appendIvfPqIndex(
+      e.filter(col("vec_id") % 2 === 1), idx)
+    val (enc, rcents) = graft.sources.IndexStore.readIvfPqIndex(s, idx)
+    Similarity.ivfPqTopKFromIndex(e.filter(col("vec_id") < 5), enc,
+        rcents, graft.sources.IndexStore.readPqModel(s, idx), 10,
+        nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
   /** The x_sim_quantized contract served from the PERSISTED int8
     * corpus: (id, q, scale) written once — q packed as one-byte
     * TINYINTs on disk since round 13 — re-read, and scored against
@@ -1044,6 +1118,27 @@ object SparkEntry {
       idx)
     Similarity.quantizedTopKFromIndex(e.filter(col("vec_id") < 5),
         graft.sources.IndexStore.readInt8IndexLive(s, idx), 10)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSM APPEND for the int8 artifact: built on the even half, the
+    * odd half admitted via
+    * [[graft.sources.IndexStore.appendInt8Index]]. Per-vector
+    * quantization has NO fitted state (each row's scale is its own
+    * max-abs), so append ≡ full rebuild unconditionally — the only
+    * artifact in the similarity family whose admission needs no model
+    * read-back. Shares x_sim_quantized's oracle VERBATIM.
+    */
+  private def xSimQuantizedAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = indexDir(dir, "int8app")
+    graft.sources.IndexStore.writeInt8Index(
+      e.filter(col("vec_id") % 2 === 0), idx)
+    graft.sources.IndexStore.appendInt8Index(
+      e.filter(col("vec_id") % 2 === 1), idx)
+    Similarity.quantizedTopKFromIndex(e.filter(col("vec_id") < 5),
+        graft.sources.IndexStore.readInt8Index(s, idx), 10)
       .withColumn("rank", col("rank").cast(LongType))
       .orderBy("query_id", "rank")
   }
@@ -1143,6 +1238,78 @@ object SparkEntry {
     e.filter(col("vec_id") < 5).repartition(3)
       .write.mode("overwrite").parquet(qDir)
     StreamingValidate.annServeStream(s, qDir, idx, 10, nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Check-then-admit VECTOR ingestion
+    * (StreamingValidate.ivfIngestRun) — the similarity family's
+    * STATEFUL streaming arc, closing its column of the lifecycle
+    * matrix: the IVF artifact is built on a third of the corpus
+    * (centroids fitted once, on the full corpus — admission never
+    * re-fits the model), the remaining two thirds arrive as TWO
+    * micro-batches, and each batch is cosine-top-k CHECKED against the
+    * standing live artifact (the embedding near-dup gate) strictly
+    * before being ADMITTED into it. The artifact re-reads per batch,
+    * so batch 2's check sees batch 1's admissions. Per-batch sink rows
+    * depend on arrival order (history-so-far, like
+    * x_stream_unique_index's), so the ROW hashes the order-invariant
+    * final state instead: the post-ingest artifact serves the 5
+    * queries and must equal the full-corpus build — x_sim_ivf_topk's
+    * oracle VERBATIM (a dead or double admission drops or duplicates
+    * top-k slots and misses the hash).
+    */
+  private def xStreamIvfIngest(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = indexDir(dir, "ivf_ingest")
+    val streamDir = indexDir(dir, "ivf_ingest_src")
+    val ckpt = indexDir(dir, "ivf_ingest_ckpt")
+    val sink = indexDir(dir, "ivf_ingest_sink")
+    Seq(idx, streamDir, ckpt, sink).foreach(wipeDir)
+    graft.sources.IndexStore.writeIvfIndex(
+      e.filter(col("vec_id") % 3 === 0),
+      Similarity.firstIdCentroids(e, 16), idx)
+    e.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    e.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    StreamingValidate.ivfIngestRun(s, streamDir, idx, 10, 4, ckpt, sink)
+    val (index, cents) = graft.sources.IndexStore.readIvfIndex(s, idx)
+    Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), index, cents,
+        10, nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
+  /** RESTART-SAFE vector ingestion — the x_stream_unique_resume arc
+    * for the IVF artifact: run 1 checks + ADMITS the % 3 = 1 third
+    * (file A); file B (% 3 = 2) arrives only before run 2, which
+    * resumes from the same checkpoint and processes ONLY B. A
+    * re-processed file A would append duplicate (id, nvec, list_id)
+    * rows whose doubled candidates occupy two bounded-top-k slots and
+    * push the true k-th neighbor out — so hash-matching the final
+    * artifact's serve against x_sim_ivf_topk's full-corpus oracle
+    * proves admit-exactly-once across the restart.
+    */
+  private def xStreamIvfResume(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = indexDir(dir, "ivf_resume")
+    val streamDir = indexDir(dir, "ivf_resume_src")
+    val ckpt = indexDir(dir, "ivf_resume_ckpt")
+    val sink = indexDir(dir, "ivf_resume_sink")
+    Seq(idx, streamDir, ckpt, sink).foreach(wipeDir)
+    graft.sources.IndexStore.writeIvfIndex(
+      e.filter(col("vec_id") % 3 === 0),
+      Similarity.firstIdCentroids(e, 16), idx)
+    e.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    StreamingValidate.ivfIngestRun(s, streamDir, idx, 10, 4, ckpt, sink)
+    e.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    StreamingValidate.ivfIngestRun(s, streamDir, idx, 10, 4, ckpt, sink)
+    val (index, cents) = graft.sources.IndexStore.readIvfIndex(s, idx)
+    Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), index, cents,
+        10, nProbe = 4)
       .withColumn("rank", col("rank").cast(LongType))
       .orderBy("query_id", "rank")
   }
@@ -4805,7 +4972,13 @@ object SparkEntry {
     "x_profile_quantile_norm" -> (xProfileQuantileNorm _),
     "x_profile_spearman" -> (xProfileSpearman _),
     "x_profile_gini" -> (xProfileGini _),
-    "x_sample_match_dist" -> (xSampleMatchDist _)
+    "x_sample_match_dist" -> (xSampleMatchDist _),
+    "x_sim_ivf_compact" -> (xSimIvfCompact _),
+    "x_sim_pq_append" -> (xSimPqAppend _),
+    "x_sim_ivf_pq_append" -> (xSimIvfPqAppend _),
+    "x_sim_quantized_append" -> (xSimQuantizedAppend _),
+    "x_stream_ivf_ingest" -> (xStreamIvfIngest _),
+    "x_stream_ivf_resume" -> (xStreamIvfResume _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -4866,7 +5039,15 @@ object SparkEntry {
       "x_stream_substring_resume" ->
         graft.oracle.StaticOracles.sql("x_dedup_substring_append"),
       "x_stream_phash_resume" ->
-        graft.oracle.StaticOracles.sql("x_mm_phash_served"))
+        graft.oracle.StaticOracles.sql("x_mm_phash_served"),
+      "x_sim_ivf_compact" ->
+        graft.oracle.StaticOracles.sql("x_sim_ivf_topk"),
+      "x_sim_quantized_append" ->
+        graft.oracle.StaticOracles.sql("x_sim_quantized"),
+      "x_stream_ivf_ingest" ->
+        graft.oracle.StaticOracles.sql("x_sim_ivf_topk"),
+      "x_stream_ivf_resume" ->
+        graft.oracle.StaticOracles.sql("x_sim_ivf_topk"))
 
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
     * Verify skip the generation work when a name filter excludes them.

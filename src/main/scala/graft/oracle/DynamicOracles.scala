@@ -31,8 +31,10 @@ private[graft] object DynamicOracles {
     */
   val names: Set[String] =
     Set("x_sim_ivf_kmeans", "x_sim_kmeans_full", "x_sim_pq",
-      "x_sim_pq_served", "x_sim_pq_delete", "x_sim_ivf_pq",
+      "x_sim_pq_served", "x_sim_pq_delete", "x_sim_pq_append",
+      "x_sim_ivf_pq",
       "x_sim_ivf_pq_served", "x_sim_ivf_pq_delete",
+      "x_sim_ivf_pq_append",
       "x_sample_temperature", "x_embed_pca",
       "x_zipf_ppjoin", "x_zipf_bm25", "x_zipf_substring",
       "x_sim_silhouette")
@@ -109,7 +111,8 @@ private[graft] object DynamicOracles {
         |      FROM scored)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-    if (want("x_sim_pq") || want("x_sim_pq_served"))
+    if (want("x_sim_pq") || want("x_sim_pq_served") ||
+        want("x_sim_pq_append"))
       b += ("x_sim_pq" -> pqSql(""))
     if (want("x_sim_pq_delete"))
       b += ("x_sim_pq_delete" -> pqSql(" AND ec.id % 7 <> 3"))
@@ -204,7 +207,8 @@ private[graft] object DynamicOracles {
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     }
-    if (want("x_sim_ivf_pq") || want("x_sim_ivf_pq_served"))
+    if (want("x_sim_ivf_pq") || want("x_sim_ivf_pq_served") ||
+        want("x_sim_ivf_pq_append"))
       b += ("x_sim_ivf_pq" -> ivfPqSql(""))
     if (want("x_sim_ivf_pq_delete"))
       b += ("x_sim_ivf_pq_delete" -> ivfPqSql(" AND a.id % 7 <> 3"))
@@ -412,7 +416,9 @@ private[graft] object DynamicOracles {
     // verbatim (the round-trip claims hash-identity, so aliasing the
     // oracle IS the contract); filtered like every other entry
     Seq("x_sim_pq_served" -> "x_sim_pq",
-        "x_sim_ivf_pq_served" -> "x_sim_ivf_pq")
+        "x_sim_pq_append" -> "x_sim_pq",
+        "x_sim_ivf_pq_served" -> "x_sim_ivf_pq",
+        "x_sim_ivf_pq_append" -> "x_sim_ivf_pq")
       .foldLeft(m) { case (acc, (served, src)) =>
         if (want(served) && acc.contains(src)) acc + (served -> acc(src))
         else acc

@@ -784,13 +784,43 @@ object IndexStore {
     * (IvfDeleteSpec: live serve ≡ rebuild-without-deleted ≡
     * post-purge serve).
     */
-  def purgeIvfIndex(spark: SparkSession, dir: String): Unit = {
-    val dead = readIvfDeadIds(spark, dir)
-    val tmp = new java.io.File(s"$dir/ivf.parquet__purge")
-    val cur = new java.io.File(s"$dir/ivf.parquet")
-    val old = new java.io.File(s"$dir/ivf.parquet__old")
-    spark.read.parquet(cur.getPath)
+  def purgeIvfIndex(spark: SparkSession, dir: String): Unit =
+    rewriteFlatArtifact(spark, dir, "ivf.parquet",
+      readIvfDeadIds(spark, dir))
+
+  /** FILE compaction for the dir-based IVF artifact: every admitted
+    * batch ([[appendIvfIndex]]) lands as its own file set under
+    * `ivf.parquet`, so a long-lived ingest loop accumulates
+    * one-file-per-batch fragmentation exactly like the bucketed LSM
+    * families — this rewrites the LIVE rows into `targetFiles` files
+    * (pending tombstones fold in and clear, the bucketed compacts'
+    * purge-on-compact discipline) with the same rename-aside swap.
+    * Pure layout change: x_sim_ivf_compact shares x_sim_ivf_topk's
+    * oracle verbatim through a build-half / append-half / compact
+    * cycle, and SimArtifactLifecycleSpec asserts the file count
+    * actually dropped.
+    */
+  def compactIvfIndex(spark: SparkSession, dir: String,
+      targetFiles: Int = 1): Unit =
+    rewriteFlatArtifact(spark, dir, "ivf.parquet",
+      readIvfDeadIds(spark, dir), targetFiles)
+
+  /** Rewrite a flat (per-vector) artifact leaf minus `dead` ids with
+    * the rename-aside swap — the original survives under SOME name at
+    * every crash point, the [[Bucketing.compactBucketed]] discipline —
+    * then clear the tombstones. `targetFiles > 0` coalesces the
+    * rewrite (compaction); 0 keeps the write's natural partitioning
+    * (purge). The read is RAW (no decode/re-encode), so packed schemas
+    * — the int8 leaf's tinyint q — survive the rewrite byte-exact.
+    */
+  private def rewriteFlatArtifact(spark: SparkSession, dir: String,
+      leaf: String, dead: DataFrame, targetFiles: Int = 0): Unit = {
+    val tmp = new java.io.File(s"$dir/${leaf}__purge")
+    val cur = new java.io.File(s"$dir/$leaf")
+    val old = new java.io.File(s"$dir/${leaf}__old")
+    val live = spark.read.parquet(cur.getPath)
       .join(dead, Seq("id"), "left_anti")
+    (if (targetFiles > 0) live.coalesce(targetFiles) else live)
       .write.mode("overwrite").parquet(tmp.getPath)
     deleteDirTree(old)
     java.nio.file.Files.move(cur.toPath, old.toPath)
@@ -829,6 +859,20 @@ object IndexStore {
       .write.mode("overwrite").parquet(s"$dir/int8.parquet")
   }
 
+  /** LSM APPEND for the int8 artifact: only the delta is normalized,
+    * quantized, and packed — per-vector quantization has NO fitted
+    * state (each row's scale is its own max-abs), so
+    * append(build(base), delta) ≡ build(base ∪ delta) row-for-row and
+    * x_sim_quantized_append shares x_sim_quantized's oracle verbatim.
+    */
+  def appendInt8Index(delta: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    Similarity.int8Index(delta, idCol, vecCol)
+      .select(col("id"),
+        transform(col("q"), x => x.cast("tinyint")).as("q"),
+        col("scale"))
+      .write.mode("append").parquet(s"$dir/int8.parquet")
+
   /** Re-read the int8 artifact as (id, q array<double>, scale) — the
     * exact frame [[graft.ext.Similarity.quantizedTopKFromIndex]]
     * consumes: every tinyint is an exactly-representable double, so
@@ -866,21 +910,19 @@ object IndexStore {
     readInt8Index(spark, dir)
       .join(readInt8DeadIds(spark, dir), Seq("id"), "left_anti")
 
-  def purgeInt8Index(spark: SparkSession, dir: String): Unit = {
-    val dead = readInt8DeadIds(spark, dir)
-    val tmp = new java.io.File(s"$dir/int8.parquet__purge")
-    val cur = new java.io.File(s"$dir/int8.parquet")
-    val old = new java.io.File(s"$dir/int8.parquet__old")
-    // raw read: q stays tinyint through the rewrite
-    spark.read.parquet(cur.getPath)
-      .join(dead, Seq("id"), "left_anti")
-      .write.mode("overwrite").parquet(tmp.getPath)
-    deleteDirTree(old)
-    java.nio.file.Files.move(cur.toPath, old.toPath)
-    java.nio.file.Files.move(tmp.toPath, cur.toPath)
-    deleteDirTree(old)
-    deleteDirTree(new java.io.File(s"$dir/dead.parquet"))
-  }
+  def purgeInt8Index(spark: SparkSession, dir: String): Unit =
+    // raw read inside the helper: q stays tinyint through the rewrite
+    rewriteFlatArtifact(spark, dir, "int8.parquet",
+      readInt8DeadIds(spark, dir))
+
+  /** [[compactIvfIndex]] for the int8 artifact (appends fragment
+    * `int8.parquet` the same way); the raw rewrite preserves the
+    * packed tinyint schema.
+    */
+  def compactInt8Index(spark: SparkSession, dir: String,
+      targetFiles: Int = 1): Unit =
+    rewriteFlatArtifact(spark, dir, "int8.parquet",
+      readInt8DeadIds(spark, dir), targetFiles)
 
   /** Persist a PQ index: `codebooks.parquet` (j int, code int,
     * cvec array<double>, bias double — m·ks rows, the whole model) and
@@ -911,6 +953,22 @@ object IndexStore {
       .write.mode("overwrite").parquet(s"$dir/codes.parquet")
   }
 
+  /** LSM APPEND for the PQ code table: the delta is encoded against
+    * the artifact's OWN persisted codebooks ([[readPqModel]] — the
+    * fitted model is read back, never re-fitted or taken from the
+    * caller, the [[appendIvfIndex]] discipline) and its code rows land
+    * as appended files. Encoding is a pure per-vector function of the
+    * static model, so append(build(base), delta) ≡ build(base ∪ delta)
+    * and x_sim_pq_append shares x_sim_pq's fitted-literal dynamic
+    * oracle verbatim.
+    */
+  def appendPqIndex(delta: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    Similarity.pqEncode(delta, readPqModel(delta.sparkSession, dir),
+        idCol, vecCol)
+      .select(col("id"), col("codes"))
+      .write.mode("append").parquet(s"$dir/codes.parquet")
+
   /** Tombstone DELETION for the PQ code table — the documented
     * ten-line transplant of the flat-artifact pattern: dead ids append
     * to `dead.parquet`; [[readPqCodesLive]] anti-joins the codes
@@ -933,20 +991,15 @@ object IndexStore {
     readPqCodes(spark, dir)
       .join(readPqDeadIds(spark, dir), Seq("id"), "left_anti")
 
-  def purgePqIndex(spark: SparkSession, dir: String): Unit = {
-    val dead = readPqDeadIds(spark, dir)
-    val tmp = new java.io.File(s"$dir/codes.parquet__purge")
-    val cur = new java.io.File(s"$dir/codes.parquet")
-    val old = new java.io.File(s"$dir/codes.parquet__old")
-    spark.read.parquet(cur.getPath)
-      .join(dead, Seq("id"), "left_anti")
-      .write.mode("overwrite").parquet(tmp.getPath)
-    deleteDirTree(old)
-    java.nio.file.Files.move(cur.toPath, old.toPath)
-    java.nio.file.Files.move(tmp.toPath, cur.toPath)
-    deleteDirTree(old)
-    deleteDirTree(new java.io.File(s"$dir/dead.parquet"))
-  }
+  def purgePqIndex(spark: SparkSession, dir: String): Unit =
+    rewriteFlatArtifact(spark, dir, "codes.parquet",
+      readPqDeadIds(spark, dir))
+
+  /** [[compactIvfIndex]] for the PQ code table. */
+  def compactPqIndex(spark: SparkSession, dir: String,
+      targetFiles: Int = 1): Unit =
+    rewriteFlatArtifact(spark, dir, "codes.parquet",
+      readPqDeadIds(spark, dir), targetFiles)
 
   /** Persist the COMPOSED IVF-PQ index — the 100 TB ANN architecture
     * end to end on disk: `centroids.parquet` (probe routing),
@@ -977,6 +1030,22 @@ object IndexStore {
     (spark.read.parquet(s"$dir/ivfpq.parquet"),
       spark.read.parquet(s"$dir/centroids.parquet"))
 
+  /** LSM APPEND for the composed IVF-PQ artifact: the delta is
+    * assigned AND encoded against the artifact's own persisted
+    * centroids + codebooks (both model halves read back — admission
+    * never re-fits either), landing as appended (id, list_id, codes)
+    * files. Both steps are pure per-vector functions of the static
+    * model, so append ≡ full rebuild and x_sim_ivf_pq_append shares
+    * x_sim_ivf_pq's fitted-literal dynamic oracle verbatim.
+    */
+  def appendIvfPqIndex(delta: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = delta.sparkSession
+    Similarity.ivfPqIndex(delta, readPqModel(spark, dir),
+        spark.read.parquet(s"$dir/centroids.parquet"), idCol, vecCol)
+      .write.mode("append").parquet(s"$dir/ivfpq.parquet")
+  }
+
   /** Tombstone DELETION for the composed IVF-PQ artifact — the same
     * flat-artifact pattern ([[deleteFromPqIndex]]); centroids AND
     * codebooks (both model halves) stay.
@@ -999,20 +1068,15 @@ object IndexStore {
       cents)
   }
 
-  def purgeIvfPqIndex(spark: SparkSession, dir: String): Unit = {
-    val dead = readIvfPqDeadIds(spark, dir)
-    val tmp = new java.io.File(s"$dir/ivfpq.parquet__purge")
-    val cur = new java.io.File(s"$dir/ivfpq.parquet")
-    val old = new java.io.File(s"$dir/ivfpq.parquet__old")
-    spark.read.parquet(cur.getPath)
-      .join(dead, Seq("id"), "left_anti")
-      .write.mode("overwrite").parquet(tmp.getPath)
-    deleteDirTree(old)
-    java.nio.file.Files.move(cur.toPath, old.toPath)
-    java.nio.file.Files.move(tmp.toPath, cur.toPath)
-    deleteDirTree(old)
-    deleteDirTree(new java.io.File(s"$dir/dead.parquet"))
-  }
+  def purgeIvfPqIndex(spark: SparkSession, dir: String): Unit =
+    rewriteFlatArtifact(spark, dir, "ivfpq.parquet",
+      readIvfPqDeadIds(spark, dir))
+
+  /** [[compactIvfIndex]] for the composed IVF-PQ code table. */
+  def compactIvfPqIndex(spark: SparkSession, dir: String,
+      targetFiles: Int = 1): Unit =
+    rewriteFlatArtifact(spark, dir, "ivfpq.parquet",
+      readIvfPqDeadIds(spark, dir), targetFiles)
 
   /** Reconstruct the PqModel from the codebook artifact (bounded:
     * m·ks rows of ds doubles — driver-side by the same contract as

@@ -653,6 +653,37 @@ object StreamingValidate {
         indexTable, bands),
       refreshTables = Seq(s"${indexTable}_bands"))
 
+  /** Check-then-admit VECTOR ingestion — the similarity family's
+    * stateful streaming arc (the [[uniqueIngestRun]] shape over the
+    * dir-based IVF artifact): per micro-batch the arriving vectors are
+    * first CHECKED against the standing LIVE index (probe-routed
+    * cosine top-k — the embedding near-dup gate a training-data
+    * pipeline runs before admitting new documents), the check
+    * materialized to the sink STRICTLY BEFORE the batch is ADMITTED
+    * ([[graft.sources.IndexStore.appendIvfIndex]]: only the delta is
+    * normalized and assigned, against the artifact's own persisted
+    * centroids). The artifact is re-read inside the check closure, so
+    * each batch's fresh path read lists the files earlier batches
+    * appended — admissions are visible to the next batch with no
+    * catalog to refresh. With a checkpoint the run is RESUMABLE: a
+    * re-processed batch would append duplicate (id, nvec, list_id)
+    * rows whose doubled scored candidates occupy two bounded-top-k
+    * slots and push the true k-th neighbor out — x_stream_ivf_resume
+    * detects exactly that by hash-matching the final artifact's serve
+    * against x_sim_ivf_topk's full-corpus oracle.
+    */
+  def ivfIngestRun(spark: org.apache.spark.sql.SparkSession,
+      newVecsDir: String, indexDir: String, k: Int, nProbe: Int,
+      checkpointDir: String, sinkDir: String): Unit =
+    checkAdmitRun(spark, newVecsDir, checkpointDir, sinkDir,
+      check = b => {
+        val (index, cents) = graft.sources.IndexStore
+          .readIvfIndexLive(spark, indexDir)
+        graft.ext.Similarity.ivfTopKWith(b, index, cents, k, nProbe)
+      },
+      admit = b => graft.sources.IndexStore.appendIvfIndex(b, indexDir),
+      refreshTables = Seq.empty)
+
   def editDistanceIngestRun(spark: org.apache.spark.sql.SparkSession,
       newDocsDir: String, indexTable: String, d: Int,
       checkpointDir: String, sinkDir: String): Unit =

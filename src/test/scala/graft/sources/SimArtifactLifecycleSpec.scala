@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.ext.Similarity
+import graft.streaming.StreamingValidate
+
+/** The flat similarity artifacts' LSM lifecycle (round-13 closing
+  * pass): append ≡ full rebuild for every artifact whose encode is a
+  * pure per-vector function of a persisted model (int8: no model; PQ:
+  * codebooks; IVF-PQ: centroids + codebooks), file compaction that
+  * actually shrinks the file count while folding pending tombstones,
+  * and admit-exactly-once across a checkpointed ingest restart — the
+  * dir-artifact twins of BucketingSpec's bucketed-family proofs.
+  */
+class SimArtifactLifecycleSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_simlc_$tag").toString
+
+  private def partFiles(leaf: String): Int =
+    Option(new java.io.File(leaf).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(f => f.getName.startsWith("part-"))
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("int8 append ≡ full rebuild; compaction shrinks files, " +
+      "preserves the packed schema, and folds tombstones") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val idx = tmp("int8")
+    val ref = tmp("int8ref")
+    IndexStore.writeInt8Index(e.filter(col("vec_id") % 2 === 0), idx)
+    IndexStore.appendInt8Index(e.filter(col("vec_id") % 2 === 1), idx)
+    IndexStore.writeInt8Index(e, ref)
+    assert(rows(IndexStore.readInt8Index(spark, idx)) ===
+      rows(IndexStore.readInt8Index(spark, ref)),
+      "append(build(evens), odds) must equal build(all) row-for-row")
+
+    IndexStore.deleteFromInt8Index(
+      e.filter(col("vec_id") % 7 === 3).select(col("vec_id").as("id")),
+      idx)
+    val before = partFiles(s"$idx/int8.parquet")
+    assert(before >= 2, "build + append must leave >= 2 files")
+    IndexStore.compactInt8Index(spark, idx)
+    assert(partFiles(s"$idx/int8.parquet") === 1,
+      "compaction must rewrite to one file")
+    assert(!new java.io.File(s"$idx/dead.parquet").exists(),
+      "compaction must fold and clear pending tombstones")
+    val compacted = spark.read.parquet(s"$idx/int8.parquet")
+    assert(compacted.schema("q").dataType.simpleString ===
+      "array<tinyint>", "the packed schema must survive the rewrite")
+    assert(compacted.filter(col("id") % 7 === 3).count() === 0,
+      "tombstoned rows must be physically gone after compaction")
+  }
+
+  test("PQ append encodes against the artifact's own codebooks " +
+      "≡ full rebuild; IVF-PQ likewise with both model halves") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val model = Similarity.pqFit(e, m = 8, ks = 16)
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val odds = e.filter(col("vec_id") % 2 === 1)
+
+    val pq = tmp("pq")
+    val pqRef = tmp("pqref")
+    IndexStore.writePqIndex(evens, model, pq)
+    IndexStore.appendPqIndex(odds, pq)
+    IndexStore.writePqIndex(e, model, pqRef)
+    assert(rows(IndexStore.readPqCodes(spark, pq)) ===
+      rows(IndexStore.readPqCodes(spark, pqRef)),
+      "PQ append(build(evens), odds) must equal build(all)")
+    assert(partFiles(s"$pq/codes.parquet") >= 2)
+    IndexStore.compactPqIndex(spark, pq)
+    assert(partFiles(s"$pq/codes.parquet") === 1)
+
+    val cents = Similarity.firstIdCentroids(e, 8)
+    val ivfpq = tmp("ivfpq")
+    val ivfpqRef = tmp("ivfpqref")
+    IndexStore.writeIvfPqIndex(evens, model, cents, ivfpq)
+    IndexStore.appendIvfPqIndex(odds, ivfpq)
+    IndexStore.writeIvfPqIndex(e, model, cents, ivfpqRef)
+    assert(rows(IndexStore.readIvfPqIndex(spark, ivfpq)._1) ===
+      rows(IndexStore.readIvfPqIndex(spark, ivfpqRef)._1),
+      "IVF-PQ append(build(evens), odds) must equal build(all)")
+    IndexStore.compactIvfPqIndex(spark, ivfpq)
+    assert(partFiles(s"$ivfpq/ivfpq.parquet") === 1)
+  }
+
+  test("IVF compaction: file count drops, serve invariant vs the " +
+      "appended artifact, pending tombstones purged") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+    val cents = Similarity.firstIdCentroids(e, 16)
+    val idx = tmp("ivfcmp")
+    IndexStore.writeIvfIndex(e.filter(col("vec_id") % 2 === 0), cents,
+      idx)
+    IndexStore.appendIvfIndex(e.filter(col("vec_id") % 2 === 1), idx)
+
+    def serve(): Seq[String] = {
+      val (enc, cn) = IndexStore.readIvfIndexLive(spark, idx)
+      rows(Similarity.ivfTopKWith(queries, enc, cn, 10, nProbe = 4))
+    }
+    IndexStore.deleteFromIvfIndex(
+      e.filter(col("vec_id") % 7 === 3).select(col("vec_id").as("id")),
+      idx)
+    val expected = serve()
+    assert(partFiles(s"$idx/ivf.parquet") >= 2)
+    IndexStore.compactIvfIndex(spark, idx)
+    assert(partFiles(s"$idx/ivf.parquet") === 1,
+      "compaction must rewrite to one file")
+    assert(!new java.io.File(s"$idx/dead.parquet").exists())
+    assert(serve() === expected,
+      "post-compaction serve must equal the tombstone-excluded serve")
+  }
+
+  test("ivfIngestRun admits exactly once across a checkpointed " +
+      "restart; batch 2's check sees batch 1's admissions") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val idx = tmp("ivfing")
+    val src = tmp("ivfing_src")
+    val ckpt = tmp("ivfing_ckpt")
+    val sink = tmp("ivfing_sink")
+    IndexStore.writeIvfIndex(e.filter(col("vec_id") % 3 === 0),
+      Similarity.firstIdCentroids(e, 16), idx)
+    e.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    StreamingValidate.ivfIngestRun(spark, src, idx, 5, 4, ckpt, sink)
+    e.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(src)
+    StreamingValidate.ivfIngestRun(spark, src, idx, 5, 4, ckpt, sink)
+    // a re-processed file A would double the % 3 = 1 rows
+    val enc = spark.read.parquet(s"$idx/ivf.parquet")
+    assert(enc.count() === e.count(),
+      "exactly one enc row per corpus vector after the two-run restart")
+    assert(enc.groupBy(col("id")).count().filter(col("count") > 1)
+      .count() === 0, "no vector admitted twice")
+    // the sink saw run 2's batch checked AGAINST run 1's admissions:
+    // some % 3 = 2 query must rank a % 3 = 1 neighbor
+    val checks = spark.read.parquet(sink)
+    assert(checks.filter(col("query_id") % 3 === 2 &&
+      col("neighbor_id") % 3 === 1).count() > 0,
+      "run 2's checks must see run 1's admitted vectors")
+  }
+}
