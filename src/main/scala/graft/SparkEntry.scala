@@ -947,6 +947,87 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** The IVF artifact behind VERSION-POINTER manifests
+    * (graft.sources.VersionedFlat) instead of in-place leaf mutation:
+    * build on the even half publishes version 1, appending the odd
+    * half publishes version 2 (v1's batch dirs referenced, not
+    * rewritten), compaction publishes version 3 as one merged batch —
+    * and a reader holding ANY version keeps a consistent snapshot
+    * through all of it (the property the rename-aside swap can't give
+    * a 1000-reader cluster). Serving CURRENT after the full cycle must
+    * equal the full-corpus build: x_sim_ivf_topk's oracle VERBATIM.
+    */
+  private def xSimIvfVersioned(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = indexDir(dir, "ivfver")
+    graft.sources.IndexStore.writeIvfIndexVersioned(
+      e.filter(col("vec_id") % 2 === 0),
+      Similarity.firstIdCentroids(e, 16), idx)
+    graft.sources.IndexStore.appendIvfIndexVersioned(
+      e.filter(col("vec_id") % 2 === 1), idx)
+    graft.sources.IndexStore.compactIvfIndexVersioned(s, idx)
+    val (index, cents) = graft.sources.IndexStore
+      .readIvfIndexVersioned(s, idx)
+    Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), index, cents,
+        10, nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
+  /** TIME TRAVEL on the versioned IVF artifact: after the odd half is
+    * admitted (version 2), version 1 — the evens-only snapshot — is
+    * still served EXACTLY as written: the oracle recomputes the
+    * probe-restricted top-10 with the corpus assigned from even ids
+    * only (centroids stay the full-corpus model, exactly what v1
+    * persisted). The row pins the reproducibility claim a training
+    * pipeline builds on: "the corpus as of version N" is a stable,
+    * re-servable object, not a best-effort reconstruction.
+    */
+  private def xSimIvfTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = indexDir(dir, "ivftt")
+    graft.sources.IndexStore.writeIvfIndexVersioned(
+      e.filter(col("vec_id") % 2 === 0),
+      Similarity.firstIdCentroids(e, 16), idx)
+    graft.sources.IndexStore.appendIvfIndexVersioned(
+      e.filter(col("vec_id") % 2 === 1), idx)
+    val (v1, cents) = graft.sources.IndexStore
+      .readIvfIndexVersioned(s, idx, asOf = 1)
+    Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), v1, cents,
+        10, nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Tombstone deletion composed onto the VERSIONED IVF store: the
+    * full corpus is published as version 1, every 7th vector is
+    * tombstoned, and the 5 queries are served over the LIVE frame
+    * (current version anti-joined before ranking — next-best
+    * neighbors promote in, exactly the flat artifact's contract, so
+    * this shares x_sim_ivf_delete's oracle VERBATIM). Physical
+    * erasure under time travel is purge + vacuum
+    * (VersionedFlatSpec proves that arc); this row pins the serving
+    * semantics while tombstones are pending.
+    */
+  private def xSimIvfVersionedDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = indexDir(dir, "ivfverdel")
+    graft.sources.IndexStore.writeIvfIndexVersioned(e,
+      Similarity.firstIdCentroids(e, 16), idx)
+    // versioned write never touches dead.parquet — clear any prior
+    // invocation's tombstones (write() wipes only the enc store)
+    wipeDir(s"$idx/dead.parquet")
+    graft.sources.IndexStore.deleteFromIvfIndexVersioned(
+      e.filter(col("vec_id") % 7 === 3).select(col("vec_id").as("id")),
+      idx)
+    val (live, cents) = graft.sources.IndexStore
+      .readIvfIndexVersionedLive(s, idx)
+    Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), live, cents,
+        10, nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
   /** The x_sim_pq contract served from a PERSISTED PQ index: the
     * 16×16 codebook model and the per-vector code arrays written as
     * plain parquet, re-read (model reconstructed from the artifact),
@@ -4978,7 +5059,10 @@ object SparkEntry {
     "x_sim_ivf_pq_append" -> (xSimIvfPqAppend _),
     "x_sim_quantized_append" -> (xSimQuantizedAppend _),
     "x_stream_ivf_ingest" -> (xStreamIvfIngest _),
-    "x_stream_ivf_resume" -> (xStreamIvfResume _)
+    "x_stream_ivf_resume" -> (xStreamIvfResume _),
+    "x_sim_ivf_versioned" -> (xSimIvfVersioned _),
+    "x_sim_ivf_time_travel" -> (xSimIvfTimeTravel _),
+    "x_sim_ivf_versioned_delete" -> (xSimIvfVersionedDelete _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -5047,7 +5131,11 @@ object SparkEntry {
       "x_stream_ivf_ingest" ->
         graft.oracle.StaticOracles.sql("x_sim_ivf_topk"),
       "x_stream_ivf_resume" ->
-        graft.oracle.StaticOracles.sql("x_sim_ivf_topk"))
+        graft.oracle.StaticOracles.sql("x_sim_ivf_topk"),
+      "x_sim_ivf_versioned" ->
+        graft.oracle.StaticOracles.sql("x_sim_ivf_topk"),
+      "x_sim_ivf_versioned_delete" ->
+        graft.oracle.StaticOracles.sql("x_sim_ivf_delete"))
 
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
     * Verify skip the generation work when a name filter excludes them.

@@ -425,6 +425,48 @@ private[graft] object StaticOracles {
         |      FROM scored)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // versioned-IVF time travel: version 1 indexed only the even ids,
+    // so its serve recomputes with the corpus ASSIGNED from evens only;
+    // centroids — the model, written once — stay the full-corpus
+    // first-16 literals, exactly what version 1 persisted
+    "x_sim_ivf_time_travel" ->
+      """WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
+        |cents AS (SELECT id AS list_id, nvec AS cvec FROM v
+        |          ORDER BY id LIMIT 16),
+        |assigned AS (
+        |  SELECT id, nvec, list_id FROM (
+        |    SELECT vv.id, vv.nvec, c.list_id,
+        |      row_number() OVER (PARTITION BY vv.id ORDER BY
+        |        list_sum(list_transform(range(1, len(vv.nvec) + 1),
+        |          i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
+        |    FROM v vv, cents c) WHERE rn = 1 AND id % 2 = 0),
+        |q AS (SELECT id AS query_id, nvec AS qvec FROM v WHERE id < 5),
+        |probes AS (
+        |  SELECT query_id, qvec, list_id FROM (
+        |    SELECT qq.query_id, qq.qvec, c.list_id,
+        |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
+        |        list_sum(list_transform(range(1, len(qq.qvec) + 1),
+        |          i -> qq.qvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
+        |    FROM q qq, cents c) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(p.qvec) + 1),
+        |      i -> p.qvec[i] * a.nvec[i])) AS sim
+        |  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+        |  WHERE p.query_id <> a.id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // IVF tombstone deletion: the probe-restricted top-10 recomputed
     // with the deleted ids excluded from the ASSIGNED corpus before
     // ranking (next-best neighbors promote in); centroids — the

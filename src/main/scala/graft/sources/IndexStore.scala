@@ -805,6 +805,101 @@ object IndexStore {
     rewriteFlatArtifact(spark, dir, "ivf.parquet",
       readIvfDeadIds(spark, dir), targetFiles)
 
+  /** The IVF artifact on [[VersionedFlat]] manifests instead of an
+    * in-place leaf: the enc frame lives under `dir/enc` as immutable
+    * batch dirs behind an atomically-swapped version pointer, so
+    * appends and compactions never mutate what a concurrent reader
+    * holds and every version stays time-travelable until vacuumed.
+    * Centroids remain a plain leaf — the routing model is written once
+    * and never rewritten, so it needs no versioning. Serving any
+    * version must equal building from that version's corpus directly
+    * (assignment is a pure per-vector function of the static
+    * centroids): x_sim_ivf_versioned shares x_sim_ivf_topk's oracle
+    * through a write/append/compact cycle and x_sim_ivf_time_travel
+    * pins version 1's serve to an evens-only recompute.
+    */
+  def writeIvfIndexVersioned(corpus: DataFrame, centroids: DataFrame,
+      dir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    Scratch.sweepOnce(corpus.sparkSession)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    VersionedFlat.write(
+      Similarity.ivfIndexWith(corpus, centroids, idCol, vecCol),
+      s"$dir/enc")
+  }
+
+  /** [[appendIvfIndex]] on the versioned store: the delta is assigned
+    * against the artifact's own persisted centroids and published as a
+    * new version (previous batches referenced, not rewritten).
+    */
+  def appendIvfIndexVersioned(delta: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = delta.sparkSession.read
+      .parquet(s"$dir/centroids.parquet")
+    VersionedFlat.append(
+      Similarity.ivfIndexWith(delta, cents, idCol, vecCol), s"$dir/enc")
+  }
+
+  /** [[compactIvfIndex]] on the versioned store: the merged batch is
+    * PUBLISHED as a new version rather than swapped in place — readers
+    * holding any older version keep their files until vacuum.
+    */
+  def compactIvfIndexVersioned(spark: SparkSession, dir: String,
+      targetFiles: Int = 1): Unit =
+    VersionedFlat.compact(spark, s"$dir/enc", targetFiles)
+
+  /** (enc of version `asOf` — 0 = current, centroids). */
+  def readIvfIndexVersioned(spark: SparkSession, dir: String,
+      asOf: Int = 0): (DataFrame, DataFrame) =
+    ((if (asOf > 0) VersionedFlat.readVersion(spark, s"$dir/enc", asOf)
+      else VersionedFlat.read(spark, s"$dir/enc")),
+      spark.read.parquet(s"$dir/centroids.parquet"))
+
+  /** The tombstone algebra composed onto the versioned store — same
+    * `dead.parquet` + anti-join-before-ranking as the flat artifact
+    * ([[deleteFromIvfIndex]]), with one honest difference a
+    * right-to-be-forgotten pipeline must know: tombstones mask SERVING
+    * immediately (any version, via [[readIvfIndexVersionedLive]]), but
+    * the bytes persist in older versions' batch dirs until
+    * [[purgeIvfIndexVersioned]] publishes the excluded frame AND
+    * [[VersionedFlat.vacuum]] drops the versions that still hold them
+    * — physical erasure is purge + vacuum, by construction of
+    * time travel.
+    */
+  def deleteFromIvfIndexVersioned(ids: DataFrame, dir: String): Unit =
+    ids.select(col("id"))
+      .write.mode("append").parquet(s"$dir/dead.parquet")
+
+  def readIvfVersionedDeadIds(spark: SparkSession,
+      dir: String): DataFrame =
+    if (new java.io.File(s"$dir/dead.parquet").exists())
+      spark.read.parquet(s"$dir/dead.parquet")
+    else VersionedFlat.read(spark, s"$dir/enc")
+      .select(col("id")).limit(0)
+
+  /** (current enc minus tombstoned ids, centroids). */
+  def readIvfIndexVersionedLive(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (enc, cents) = readIvfIndexVersioned(spark, dir)
+    (enc.join(readIvfVersionedDeadIds(spark, dir), Seq("id"),
+      "left_anti"), cents)
+  }
+
+  /** Publish the tombstone-excluded frame as the next version and
+    * clear the tombstones — publish STRICTLY BEFORE the clear, so a
+    * crash between the two leaves pending tombstones whose anti-join
+    * over the already-purged rows is a harmless no-op. Older versions
+    * still hold the dead rows until vacuum (see
+    * [[deleteFromIvfIndexVersioned]]).
+    */
+  def purgeIvfIndexVersioned(spark: SparkSession, dir: String,
+      targetFiles: Int = 1): Unit = {
+    VersionedFlat.replace(
+      readIvfIndexVersionedLive(spark, dir)._1, s"$dir/enc",
+      targetFiles)
+    deleteDirTree(new java.io.File(s"$dir/dead.parquet"))
+  }
+
   /** Rewrite a flat (per-vector) artifact leaf minus `dead` ids with
     * the rename-aside swap — the original survives under SOME name at
     * every crash point, the [[Bucketing.compactBucketed]] discipline —

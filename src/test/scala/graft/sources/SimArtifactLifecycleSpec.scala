@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.{SparkSpec, Tables}
 import graft.ext.Similarity
@@ -145,5 +146,59 @@ class SimArtifactLifecycleSpec extends SparkSpec {
     assert(checks.filter(col("query_id") % 3 === 2 &&
       col("neighbor_id") % 3 === 1).count() > 0,
       "run 2's checks must see run 1's admitted vectors")
+  }
+
+  test("law: int8 and PQ append-folds over ANY batch decomposition " +
+      "equal the one-shot build") {
+    // random small corpora of integral vectors (normalization and
+    // quantization are then deterministic IEEE on both paths), split
+    // into 2-4 batches by a random assignment — the even/odd fixture
+    // rows are one point of this space
+    val corpusGen = for {
+      n <- Gen.choose(8, 14)
+      d <- Gen.oneOf(4, 6, 8) // pqFit needs dims divisible by m = 2
+      vecs <- Gen.listOfN(n,
+        Gen.listOfN(d, Gen.choose(-5, 5).map(_.toDouble)))
+      nBatches <- Gen.choose(2, 4)
+      asg <- Gen.listOfN(n, Gen.choose(0, nBatches - 1))
+    } yield (vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) },
+      asg, nBatches)
+    val p = Prop.forAll(corpusGen) { case (rows, asg, nBatches) =>
+      import spark.implicits._
+      // drop all-zero vectors (normalized() filters them anyway)
+      val live = rows.zip(asg).filter(_._1._2.exists(_ != 0.0))
+      val all = live.map(_._1).toDF("vec_id", "embedding")
+      val batches = (0 until nBatches).map(b =>
+        live.filter(_._2 == b).map(_._1).toDF("vec_id", "embedding"))
+      // pqFit needs >= ks live sample vectors; batch 0 seeds the build
+      if (live.size < 5 || batches.head.isEmpty) Prop.undecided
+      else {
+        def slurp(dir: String, leaf: String): Seq[String] =
+          spark.read.parquet(s"$dir/$leaf")
+            .collect().map(_.toString).toSeq.sorted
+
+        val i8 = tmp("lawint8"); val i8r = tmp("lawint8r")
+        IndexStore.writeInt8Index(batches.head, i8)
+        batches.tail.filter(!_.isEmpty)
+          .foreach(IndexStore.appendInt8Index(_, i8))
+        IndexStore.writeInt8Index(all, i8r)
+        val int8Ok =
+          slurp(i8, "int8.parquet") == slurp(i8r, "int8.parquet")
+
+        val model = Similarity.pqFit(all, m = 2, ks = 4)
+        val pq = tmp("lawpq"); val pqr = tmp("lawpqr")
+        IndexStore.writePqIndex(batches.head, model, pq)
+        batches.tail.filter(!_.isEmpty)
+          .foreach(IndexStore.appendPqIndex(_, pq))
+        IndexStore.writePqIndex(all, model, pqr)
+        val pqOk =
+          slurp(pq, "codes.parquet") == slurp(pqr, "codes.parquet")
+
+        Prop.propBoolean(int8Ok && pqOk)
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(res.passed, res.status.toString)
   }
 }
