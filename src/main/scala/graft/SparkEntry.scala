@@ -3929,6 +3929,84 @@ object SparkEntry {
     }
   }
 
+  /** END-TO-END training-data pipeline — the composition a real corpus
+    * run chains, as ONE lazy plan over the degraded corpus (documents
+    * plus exact copies of the first 50): exact dedup keeping the
+    * lowest doc_id per text (one hash aggregation — never all-pairs),
+    * then the quality gate (composite score ≥ 0.7), the language gate
+    * (langId = 'en'), a minimum-length gate (≥ 10 whitespace tokens),
+    * and deterministic hash-sharding of the survivors into 8 training
+    * shards. Output is per-shard (n_docs, token sum, doc-id checksum)
+    * — bounded at 8 rows at ANY corpus size, and the checksum pins
+    * WHICH documents survived every gate, so the oracle re-deriving
+    * the full dedup → score → gate → shard chain in SQL proves the
+    * whole composition, not just the final counts. Each stage is an
+    * already-proven operator (x_dedup_exact, x_text_quality,
+    * x_text_langid, x_text_tokens, x_sample_* share the expressions);
+    * this row proves they COMPOSE in one lazy plan: the corpus
+    * shuffles ONCE (the dedup hash aggregation — its only exchange
+    * before the 8-group shard rollup), and every gate is a plain
+    * projection/filter over the keepers, eligible for whole-stage
+    * codegen, with nothing materialized between stages.
+    */
+  private def xPipelineTrain(s: SparkSession, dir: String): DataFrame = {
+    val kept = docsWithCopies(s, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .filter(TextAnalysis.qualityScore(col("text")) >= 0.7 &&
+        TextAnalysis.langId(col("text")) === "en" &&
+        TextAnalysis.tokenCount(col("text")) >= 10)
+    kept.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType)
+          .as("n_tokens"),
+        (Dedup.hash48(concat(lit("pipe1"),
+          col("doc_id").cast("string"))) % 8).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        sum(col("doc_id")).as("docid_checksum"))
+      .orderBy("shard")
+  }
+
+  /** The x_pipeline_train composition STREAMED against a standing
+    * index (StreamingValidate.gatedIngestStream) — the production
+    * crawl-ingest loop end to end: the even-id half of the corpus is
+    * indexed once (bucketed MinHash), the "new crawl" — the odd-id
+    * half plus exact copies of the first 25 even docs — arrives as
+    * real micro-batches, and each batch is near-dup screened against
+    * the index, quality/language/length gated, and its survivors
+    * emitted as (doc_id, n_tokens, shard) admit records. The copies
+    * MUST die at the dedup gate (jaccard 1.0 against their sources);
+    * the odd docs live or die by the data. Static index + per-document
+    * gates ⇒ the union over micro-batches is the one-shot answer; the
+    * oracle recomputes screen + gates + shard rollup from scratch,
+    * checksum included.
+    */
+  private def xStreamPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+    val tbl = indexTable(dir, "spipe")
+    graft.sources.IndexStore.writeDedupIndexBucketed(corpus, tbl,
+      numBuckets = 8, k = 5)
+    val stream = d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .unionByName(
+        d.filter(col("doc_id") % 2 === 0 && col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val streamDir = indexDir(dir, "spipe_src")
+    stream.repartition(2).write.mode("overwrite").parquet(streamDir)
+    StreamingValidate.gatedIngestStream(s, streamDir, tbl,
+        threshold = 0.5, k = 5, minQuality = 0.7, minTokens = 10,
+        salt = "spipe1")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        sum(col("doc_id")).as("docid_checksum"))
+      .orderBy("shard")
+  }
+
   /** Exact-integer EWMA (TimeSeries.ewmaExact): per-user half-life-1
     * trailing-30 average of event value cents — num/den are exact
     * order-free long sums (bit-portable), ewma their single IEEE
@@ -5062,7 +5140,9 @@ object SparkEntry {
     "x_stream_ivf_resume" -> (xStreamIvfResume _),
     "x_sim_ivf_versioned" -> (xSimIvfVersioned _),
     "x_sim_ivf_time_travel" -> (xSimIvfTimeTravel _),
-    "x_sim_ivf_versioned_delete" -> (xSimIvfVersionedDelete _)
+    "x_sim_ivf_versioned_delete" -> (xSimIvfVersionedDelete _),
+    "x_pipeline_train" -> (xPipelineTrain _),
+    "x_stream_pipeline" -> (xStreamPipeline _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -1047,6 +1047,158 @@ private[graft] object StaticOracles {
         |FROM (SELECT text FROM documents UNION ALL
         |      SELECT text FROM documents WHERE doc_id < 50)
         |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+    // the end-to-end training pipeline: dedup (keep lowest id per
+    // exact text over the degraded corpus) → quality gate ≥ 0.7 →
+    // langid = 'en' → ≥ 10 tokens → hash-shard; per-shard counts,
+    // token sums and a doc-id checksum pin WHICH rows survived
+    "x_pipeline_train" ->
+      s"""WITH src AS (
+        |  SELECT doc_id, text FROM documents UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+        |dedup AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM src GROUP BY text),
+        |feat AS (
+        |  SELECT doc_id, text, ' ' || text || ' ' AS p,
+        |    CASE WHEN length(text) > 0
+        |      THEN CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
+        |        AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+        |    CASE WHEN length(text) > 0
+        |      THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '',
+        |        'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio,
+        |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+        |      x -> x <> '')) AS n_toks
+        |  FROM dedup),
+        |sc AS (
+        |  SELECT doc_id, text, n_toks,
+        |    round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+        |      + alpha_ratio
+        |      + greatest(0.0, 1.0 - punct_ratio * 10.0)) / 3.0, 6)
+        |      AS quality,
+        |    (length(p)-length(replace(p,' the ','')))/5
+        |      + (length(p)-length(replace(p,' and ','')))/5
+        |      + (length(p)-length(replace(p,' of ','')))/4
+        |      + (length(p)-length(replace(p,' to ','')))/4
+        |      + (length(p)-length(replace(p,' a ','')))/3 AS s_en,
+        |    (length(p)-length(replace(p,' el ','')))/4
+        |      + (length(p)-length(replace(p,' la ','')))/4
+        |      + (length(p)-length(replace(p,' de ','')))/4
+        |      + (length(p)-length(replace(p,' que ','')))/5
+        |      + (length(p)-length(replace(p,' y ','')))/3 AS s_es,
+        |    (length(p)-length(replace(p,' le ','')))/4
+        |      + (length(p)-length(replace(p,' et ','')))/4
+        |      + (length(p)-length(replace(p,' les ','')))/5
+        |      + (length(p)-length(replace(p,' des ','')))/5
+        |      + (length(p)-length(replace(p,' un ','')))/4 AS s_fr,
+        |    (length(p)-length(replace(p,' der ','')))/5
+        |      + (length(p)-length(replace(p,' und ','')))/5
+        |      + (length(p)-length(replace(p,' die ','')))/5
+        |      + (length(p)-length(replace(p,' das ','')))/5
+        |      + (length(p)-length(replace(p,' ist ','')))/5 AS s_de
+        |  FROM feat),
+        |gated AS (
+        |  SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
+        |    ${duckHash48("('pipe1' || CAST(doc_id AS VARCHAR))")} % 8
+        |      AS shard
+        |  FROM sc
+        |  WHERE quality >= 0.7 AND n_toks >= 10
+        |    AND NOT regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]')
+        |    AND NOT regexp_matches(text, '[\\x{0400}-\\x{04FF}]')
+        |    AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS docid_checksum
+        |FROM gated GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the gated streaming ingest: even-id corpus indexed, the stream
+    // (odd docs + exact copies of even ids < 50 at +1000000) screened
+    // by MinHash against it, quality/lang/length gated, survivors
+    // shard-rolled-up with a doc-id checksum
+    "x_stream_pipeline" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |bothd AS (
+        |  SELECT doc_id AS id, toks FROM tok WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id AS id, toks FROM tok WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS id, toks FROM tok
+        |  WHERE doc_id % 2 = 0 AND doc_id < 50),
+        |$duckMinhashSigCtes,
+        |cand AS (
+        |  SELECT DISTINCT b.id AS new_id, a.id AS corpus_id
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.id % 2 = 0 AND a.id < 1000000
+        |    AND (b.id % 2 = 1 OR b.id >= 1000000)),
+        |jp AS (
+        |  SELECT c.new_id,
+        |    CASE WHEN len(list_distinct(list_concat(sn.sh, sc.sh))) > 0
+        |      THEN CAST(len(list_intersect(sn.sh, sc.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(sn.sh, sc.sh)))
+        |      ELSE 0.0 END AS jaccard
+        |  FROM cand c
+        |  JOIN shd sn ON c.new_id = sn.id
+        |  JOIN shd sc ON c.corpus_id = sc.id),
+        |dup AS (SELECT DISTINCT new_id FROM jp WHERE jaccard >= 0.5),
+        |stream_docs AS (
+        |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS id, text FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id < 50),
+        |feat AS (
+        |  SELECT id, text, ' ' || text || ' ' AS p,
+        |    CASE WHEN length(text) > 0
+        |      THEN CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
+        |        AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+        |    CASE WHEN length(text) > 0
+        |      THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '',
+        |        'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio,
+        |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+        |      x -> x <> '')) AS n_toks
+        |  FROM stream_docs),
+        |sc AS (
+        |  SELECT id, text, n_toks,
+        |    round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+        |      + alpha_ratio
+        |      + greatest(0.0, 1.0 - punct_ratio * 10.0)) / 3.0, 6)
+        |      AS quality,
+        |    (length(p)-length(replace(p,' the ','')))/5
+        |      + (length(p)-length(replace(p,' and ','')))/5
+        |      + (length(p)-length(replace(p,' of ','')))/4
+        |      + (length(p)-length(replace(p,' to ','')))/4
+        |      + (length(p)-length(replace(p,' a ','')))/3 AS s_en,
+        |    (length(p)-length(replace(p,' el ','')))/4
+        |      + (length(p)-length(replace(p,' la ','')))/4
+        |      + (length(p)-length(replace(p,' de ','')))/4
+        |      + (length(p)-length(replace(p,' que ','')))/5
+        |      + (length(p)-length(replace(p,' y ','')))/3 AS s_es,
+        |    (length(p)-length(replace(p,' le ','')))/4
+        |      + (length(p)-length(replace(p,' et ','')))/4
+        |      + (length(p)-length(replace(p,' les ','')))/5
+        |      + (length(p)-length(replace(p,' des ','')))/5
+        |      + (length(p)-length(replace(p,' un ','')))/4 AS s_fr,
+        |    (length(p)-length(replace(p,' der ','')))/5
+        |      + (length(p)-length(replace(p,' und ','')))/5
+        |      + (length(p)-length(replace(p,' die ','')))/5
+        |      + (length(p)-length(replace(p,' das ','')))/5
+        |      + (length(p)-length(replace(p,' ist ','')))/5 AS s_de
+        |  FROM feat),
+        |gated AS (
+        |  SELECT id, CAST(n_toks AS BIGINT) AS n_tokens,
+        |    ${duckHash48("('spipe1' || CAST(id AS VARCHAR))")} % 8
+        |      AS shard
+        |  FROM sc
+        |  WHERE id NOT IN (SELECT new_id FROM dup)
+        |    AND quality >= 0.7 AND n_toks >= 10
+        |    AND NOT regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]')
+        |    AND NOT regexp_matches(text, '[\\x{0400}-\\x{04FF}]')
+        |    AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |  CAST(sum(id) AS BIGINT) AS docid_checksum
+        |FROM gated GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_dedup_prefix" ->
       """SELECT array_to_string(list_slice(
         |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),

@@ -550,6 +550,47 @@ object StreamingValidate {
         bandIdx, threshold, numHashes, bands, k, maxBucketSize))
   }
 
+  /** The GATED production ingest loop — the composition
+    * x_pipeline_train runs in batch, STREAMED: per micro-batch of
+    * `(doc_id, text)` documents, each document is (1) screened against
+    * the standing bucketed MinHash corpus index (near-dup gate: any
+    * verified pair ≥ `threshold` rejects it), (2) quality / language /
+    * minimum-length gated, and only the survivors emit
+    * `(doc_id, n_tokens, shard)` — the admit record a downstream
+    * packing stage consumes. The index is STATIC and every gate is a
+    * pure per-document function, so the union over micro-batches IS
+    * the one-shot batch answer regardless of the file→batch mapping —
+    * x_stream_pipeline's oracle recomputes the dedup screen, every
+    * gate, and the shard assignment in SQL and hash-matches the
+    * rollup including a doc-id checksum (WHICH documents survived,
+    * not just how many).
+    */
+  def gatedIngestStream(spark: org.apache.spark.sql.SparkSession,
+      newDocsDir: String, indexTable: String, threshold: Double,
+      numHashes: Int = 32, bands: Int = 16, k: Int = 3,
+      minQuality: Double = 0.7, minTokens: Int = 10,
+      lang: String = "en", salt: String = ""): DataFrame = {
+    import graft.ext.{Dedup, TextAnalysis}
+    val (sh, bandIdx) = graft.sources.IndexStore
+      .readDedupIndexBucketed(spark, indexTable, numHashes, bands, k)
+    serveAvailableNow(spark, newDocsDir, filesPerTrigger = 1, batch => {
+      val dupIds = Dedup.nearDuplicatesAgainstIndex(
+          batch.select(col("doc_id").as("id"),
+            TextAnalysis.tokens(col("text")).as("toks")),
+          sh, bandIdx, threshold, numHashes, bands, k)
+        .select(col("new_id").as("doc_id")).distinct()
+      batch.join(dupIds, Seq("doc_id"), "left_anti")
+        .filter(TextAnalysis.qualityScore(col("text")) >= minQuality &&
+          TextAnalysis.langId(col("text")) === lang &&
+          TextAnalysis.tokenCount(col("text")) >= minTokens)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens"),
+          (Dedup.hash48(concat(lit(salt),
+            col("doc_id").cast("string"))) % 8).as("shard"))
+    })
+  }
+
   /** The SUBSTRING twin of [[nearDupIngestStream]]: a stream of
     * `(id, toks)` documents screened per micro-batch against the
     * standing bucketed gram index

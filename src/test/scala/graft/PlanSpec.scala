@@ -1060,4 +1060,19 @@ class PlanSpec extends SparkSpec {
     assert(!n.exists(_.isInstanceOf[CartesianProductExec]))
     assert(!n.exists(_.isInstanceOf[WindowExec]))
   }
+
+  test("e2e training pipeline: dedup shuffle + shard rollup + output " +
+      "sort ONLY — no joins, no window, every gate a plain filter") {
+    val df = SparkEntry.queries("x_pipeline_train")(spark, dir)
+    val n = nodes(df)
+    assert(joinsOf(df).isEmpty,
+      "dedup is a hash aggregation and the gates are filters — a join " +
+        "anywhere means a stage materialized what composition fuses")
+    assert(!n.exists(_.isInstanceOf[WindowExec]))
+    // the corpus moves ONCE (the dedup hash agg); the shard rollup and
+    // the 8-row output sort shuffle pre-aggregated group rows only
+    assert(shuffles(df).size <= 3,
+      s"expected dedup + rollup + sort exchanges only, got " +
+        s"${shuffles(df).size}")
+  }
 }
