@@ -791,4 +791,57 @@ class StreamingSpec extends SparkSpec {
     }.toMap
     assert(got === batch, got.toString)
   }
+
+  test("gatedIngestStream ≡ the one-shot screen+gate composition, " +
+      "any file→batch split; every gate provably bites") {
+    val docs = Tables.load(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    graft.sources.IndexStore.writeDedupIndexBucketed(corpus,
+      "gated_spec", numBuckets = 8, k = 5)
+    // stream = odd docs + exact copies of 10 even docs (must die at
+    // the dedup gate) across 3 files/batches
+    val stream = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") % 2 === 0 && col("doc_id") < 20)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_gated_spec").toString
+    stream.repartition(3).write.mode("overwrite").parquet(d)
+    try {
+      val streamed = StreamingValidate.gatedIngestStream(spark, d,
+          "gated_spec", threshold = 0.5, k = 5, minQuality = 0.7,
+          minTokens = 10, salt = "gs1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // one-shot composition over the same artifacts
+      val (sh, bands) = graft.sources.IndexStore
+        .readDedupIndexBucketed(spark, "gated_spec", k = 5)
+      val dup = graft.ext.Dedup.nearDuplicatesAgainstIndex(
+          stream.select(col("doc_id").as("id"),
+            graft.ext.TextAnalysis.tokens(col("text")).as("toks")),
+          sh, bands, threshold = 0.5, k = 5)
+        .select(col("new_id").as("doc_id")).distinct()
+      val batch = stream.join(dup, Seq("doc_id"), "left_anti")
+        .filter(graft.ext.TextAnalysis.qualityScore(col("text")) >= 0.7 &&
+          graft.ext.TextAnalysis.langId(col("text")) === "en" &&
+          graft.ext.TextAnalysis.tokenCount(col("text")) >= 10)
+        .select(col("doc_id"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens"),
+          (graft.ext.Dedup.hash48(concat(lit("gs1"),
+            col("doc_id").cast("string"))) % 8).as("shard"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty, "some documents must be admitted")
+      assert(!streamed.exists(_._1 >= 500000L),
+        "every planted exact copy must die at the dedup gate")
+      assert(streamed.size < stream.count(),
+        "the composition must reject something")
+    } finally for (s <- Seq("_bands", "_sh", "_meta"))
+      spark.sql(s"DROP TABLE IF EXISTS gated_spec$s")
+  }
 }
