@@ -840,9 +840,15 @@ object IndexStore {
       Similarity.ivfIndexWith(delta, cents, idCol, vecCol), s"$dir/enc")
   }
 
-  /** [[compactIvfIndex]] on the versioned store: the merged batch is
+  /** File compaction on the versioned store: the merged batch is
     * PUBLISHED as a new version rather than swapped in place — readers
-    * holding any older version keep their files until vacuum.
+    * holding any older version keep their files until vacuum. Unlike
+    * [[compactIvfIndex]] (which folds pending tombstones into its
+    * rewrite), this is LAYOUT-ONLY: tombstones keep masking at serve
+    * time and the dead bytes stay until an explicit
+    * [[purgeIvfIndexVersioned]] — in a store whose versions are
+    * immutable snapshots, silently erasing rows during a compact would
+    * contradict what time travel promises.
     */
   def compactIvfIndexVersioned(spark: SparkSession, dir: String,
       targetFiles: Int = 1): Unit =

@@ -76,6 +76,10 @@ object VersionedFlat {
   /** Publish `batches` as version `v` and atomically repoint CURRENT.
     * The manifest is fully written under its final name BEFORE the
     * pointer moves; the pointer move is a same-directory ATOMIC_MOVE.
+    * (Durability of the manifest bytes themselves across a POWER loss
+    * is the filesystem's job, as everywhere in this store layer; an
+    * object-store deployment gets it free — a PUT is atomic and
+    * durable before it acknowledges.)
     */
   private def publish(dir: String, v: Int, batches: Seq[String]): Unit = {
     java.nio.file.Files.write(
