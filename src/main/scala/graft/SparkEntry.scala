@@ -3968,6 +3968,42 @@ object SparkEntry {
       .orderBy("shard")
   }
 
+  /** The check-then-admit vector stream over the VERSIONED artifact
+    * (StreamingValidate.ivfIngestRunVersioned) — streaming and
+    * versioning composed: each admitted micro-batch PUBLISHES a
+    * manifest version, so the ingest history itself time-travels
+    * (as-of version N replays the corpus after batch N−1) while
+    * concurrent readers keep snapshots. Two runs against one
+    * checkpoint (the restart arc); the final CURRENT serve must equal
+    * the full-corpus build — x_sim_ivf_topk's oracle VERBATIM, with
+    * the same duplicate-slot detection as x_stream_ivf_resume.
+    */
+  private def xStreamIvfVersioned(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = indexDir(dir, "ivf_ver_stream")
+    val streamDir = indexDir(dir, "ivf_ver_stream_src")
+    val ckpt = indexDir(dir, "ivf_ver_stream_ckpt")
+    val sink = indexDir(dir, "ivf_ver_stream_sink")
+    Seq(idx, streamDir, ckpt, sink).foreach(wipeDir)
+    graft.sources.IndexStore.writeIvfIndexVersioned(
+      e.filter(col("vec_id") % 3 === 0),
+      Similarity.firstIdCentroids(e, 16), idx)
+    e.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    StreamingValidate.ivfIngestRunVersioned(s, streamDir, idx, 10, 4,
+      ckpt, sink)
+    e.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    StreamingValidate.ivfIngestRunVersioned(s, streamDir, idx, 10, 4,
+      ckpt, sink)
+    val (index, cents) = graft.sources.IndexStore
+      .readIvfIndexVersioned(s, idx)
+    Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), index, cents,
+        10, nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
   /** The x_pipeline_train composition STREAMED against a standing
     * index (StreamingValidate.gatedIngestStream) — the production
     * crawl-ingest loop end to end: the even-id half of the corpus is
@@ -5142,7 +5178,8 @@ object SparkEntry {
     "x_sim_ivf_time_travel" -> (xSimIvfTimeTravel _),
     "x_sim_ivf_versioned_delete" -> (xSimIvfVersionedDelete _),
     "x_pipeline_train" -> (xPipelineTrain _),
-    "x_stream_pipeline" -> (xStreamPipeline _)
+    "x_stream_pipeline" -> (xStreamPipeline _),
+    "x_stream_ivf_versioned" -> (xStreamIvfVersioned _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -5215,7 +5252,9 @@ object SparkEntry {
       "x_sim_ivf_versioned" ->
         graft.oracle.StaticOracles.sql("x_sim_ivf_topk"),
       "x_sim_ivf_versioned_delete" ->
-        graft.oracle.StaticOracles.sql("x_sim_ivf_delete"))
+        graft.oracle.StaticOracles.sql("x_sim_ivf_delete"),
+      "x_stream_ivf_versioned" ->
+        graft.oracle.StaticOracles.sql("x_sim_ivf_topk"))
 
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
     * Verify skip the generation work when a name filter excludes them.

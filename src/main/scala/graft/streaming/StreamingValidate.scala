@@ -569,7 +569,8 @@ object StreamingValidate {
       newDocsDir: String, indexTable: String, threshold: Double,
       numHashes: Int = 32, bands: Int = 16, k: Int = 3,
       minQuality: Double = 0.7, minTokens: Int = 10,
-      lang: String = "en", salt: String = ""): DataFrame = {
+      lang: String = "en", salt: String = "",
+      nShards: Int = 8): DataFrame = {
     import graft.ext.{Dedup, TextAnalysis}
     val (sh, bandIdx) = graft.sources.IndexStore
       .readDedupIndexBucketed(spark, indexTable, numHashes, bands, k)
@@ -587,7 +588,7 @@ object StreamingValidate {
           TextAnalysis.tokenCount(col("text")).cast("long")
             .as("n_tokens"),
           (Dedup.hash48(concat(lit(salt),
-            col("doc_id").cast("string"))) % 8).as("shard"))
+            col("doc_id").cast("string"))) % nShards).as("shard"))
     })
   }
 
@@ -723,6 +724,32 @@ object StreamingValidate {
         graft.ext.Similarity.ivfTopKWith(b, index, cents, k, nProbe)
       },
       admit = b => graft.sources.IndexStore.appendIvfIndex(b, indexDir),
+      refreshTables = Seq.empty)
+
+  /** [[ivfIngestRun]] over the VERSIONED IVF artifact: every admitted
+    * micro-batch PUBLISHES a new manifest version
+    * ([[graft.sources.IndexStore.appendIvfIndexVersioned]]) instead of
+    * appending files into a mutable leaf — so the ingest history
+    * itself becomes time-travelable (version N = the corpus after
+    * batch N−1 admitted; as-of reads replay any point of the stream)
+    * and concurrent serving readers keep consistent snapshots while
+    * the stream runs. Check semantics, restart safety, and the
+    * admit-exactly-once proof are identical to the flat run's; the
+    * versioned twist is proven in SimArtifactLifecycleSpec (version
+    * count = 1 + admitted batches, as-of replay equals the prefix
+    * corpus).
+    */
+  def ivfIngestRunVersioned(spark: org.apache.spark.sql.SparkSession,
+      newVecsDir: String, indexDir: String, k: Int, nProbe: Int,
+      checkpointDir: String, sinkDir: String): Unit =
+    checkAdmitRun(spark, newVecsDir, checkpointDir, sinkDir,
+      check = b => {
+        val (index, cents) = graft.sources.IndexStore
+          .readIvfIndexVersionedLive(spark, indexDir)
+        graft.ext.Similarity.ivfTopKWith(b, index, cents, k, nProbe)
+      },
+      admit = b => graft.sources.IndexStore
+        .appendIvfIndexVersioned(b, indexDir),
       refreshTables = Seq.empty)
 
   def editDistanceIngestRun(spark: org.apache.spark.sql.SparkSession,

@@ -148,6 +148,39 @@ class SimArtifactLifecycleSpec extends SparkSpec {
       "run 2's checks must see run 1's admitted vectors")
   }
 
+  test("versioned ingest: every admitted batch publishes a version; " +
+      "as-of replays the prefix corpus; restart admits exactly once") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val idx = tmp("ivfverstream")
+    val src = tmp("ivfverstream_src")
+    val ckpt = tmp("ivfverstream_ckpt")
+    val sink = tmp("ivfverstream_sink")
+    val base = e.filter(col("vec_id") % 3 === 0)
+    IndexStore.writeIvfIndexVersioned(base,
+      Similarity.firstIdCentroids(e, 16), idx)
+    e.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    StreamingValidate.ivfIngestRunVersioned(spark, src, idx, 5, 4,
+      ckpt, sink)
+    e.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(src)
+    StreamingValidate.ivfIngestRunVersioned(spark, src, idx, 5, 4,
+      ckpt, sink)
+    assert(VersionedFlat.currentVersion(s"$idx/enc") === 3,
+      "base + one version per admitted batch")
+    // as-of replay: version 2 = base + the first batch, exactly
+    val v2 = IndexStore.readIvfIndexVersioned(spark, idx, asOf = 2)._1
+    assert(v2.count() ===
+      base.count() + e.filter(col("vec_id") % 3 === 1).count())
+    assert(v2.filter(col("id") % 3 === 2).count() === 0,
+      "batch 2's vectors must not exist at version 2")
+    // restart admitted exactly once: current has one row per vector
+    val cur = IndexStore.readIvfIndexVersioned(spark, idx)._1
+    assert(cur.count() === e.count())
+    assert(cur.groupBy(col("id")).count().filter(col("count") > 1)
+      .count() === 0)
+  }
+
   test("law: int8 and PQ append-folds over ANY batch decomposition " +
       "equal the one-shot build") {
     // random small corpora of integral vectors (normalization and
