@@ -4043,6 +4043,56 @@ object SparkEntry {
       .orderBy("shard")
   }
 
+  /** The gated pipeline with a GROWING index
+    * (StreamingValidate.gatedIngestRun) — the full production crawl
+    * loop: run 1 screens + gates file A (doc_id % 4 = 1) against the
+    * even-id corpus index and ADMITS its survivors; file B — the
+    * % 4 = 3 docs plus exact copies (+2000000) of the first A docs —
+    * arrives before run 2, which resumes from the checkpoint and
+    * screens B against corpus ∪ A-survivors. Every copy must die
+    * REGARDLESS of its source's fate: an admitted source is now IN the
+    * index (jaccard 1.0), and a rejected source's copy shares its
+    * exact text, so it fails the same gate or corpus screen. The
+    * oracle re-derives both runs' admission sets — including the
+    * grown-index screen for run 2 — and the per-shard checksum pins
+    * the exact surviving ids across the restart (a re-processed A
+    * would double-admit and double-count).
+    */
+  private def xStreamPipelineAdmit(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+    val tbl = indexTable(dir, "spadm")
+    graft.sources.IndexStore.writeDedupIndexBucketed(corpus, tbl,
+      numBuckets = 8, k = 5)
+    val streamDir = indexDir(dir, "spadm_src")
+    val ckpt = indexDir(dir, "spadm_ckpt")
+    val sink = indexDir(dir, "spadm_sink")
+    Seq(streamDir, ckpt, sink).foreach(wipeDir)
+    d.filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), col("text")).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    StreamingValidate.gatedIngestRun(s, streamDir, tbl,
+      threshold = 0.5, k = 5, minQuality = 0.7, minTokens = 10,
+      salt = "spadm1", checkpointDir = ckpt, sinkDir = sink)
+    d.filter(col("doc_id") % 4 === 3)
+      .select(col("doc_id"), col("text"))
+      .unionByName(
+        d.filter(col("doc_id") % 4 === 1 && col("doc_id") < 40)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.gatedIngestRun(s, streamDir, tbl,
+      threshold = 0.5, k = 5, minQuality = 0.7, minTokens = 10,
+      salt = "spadm1", checkpointDir = ckpt, sinkDir = sink)
+    s.read.parquet(sink)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        sum(col("doc_id")).as("docid_checksum"))
+      .orderBy("shard")
+  }
+
   /** Exact-integer EWMA (TimeSeries.ewmaExact): per-user half-life-1
     * trailing-30 average of event value cents — num/den are exact
     * order-free long sums (bit-portable), ewma their single IEEE
@@ -5179,7 +5229,8 @@ object SparkEntry {
     "x_sim_ivf_versioned_delete" -> (xSimIvfVersionedDelete _),
     "x_pipeline_train" -> (xPipelineTrain _),
     "x_stream_pipeline" -> (xStreamPipeline _),
-    "x_stream_ivf_versioned" -> (xStreamIvfVersioned _)
+    "x_stream_ivf_versioned" -> (xStreamIvfVersioned _),
+    "x_stream_pipeline_admit" -> (xStreamPipelineAdmit _)
   )
 
   // ------------------------------------------------------------- oracles

@@ -592,6 +592,76 @@ object StreamingValidate {
     })
   }
 
+  /** The gated composition with a GROWING index — check-then-admit
+    * where ADMISSION IS GATED: per micro-batch, documents are screened
+    * against the standing LIVE MinHash index (re-read per batch, so
+    * earlier admissions are visible) and quality/language/length
+    * gated; the SURVIVORS — computed once and cached for the batch —
+    * are both sunk as admit records and admitted into the index. A
+    * duplicate arriving in a later batch than its source is therefore
+    * rejected even when BOTH are new documents — the stateful arc
+    * [[gatedIngestStream]]'s static index cannot express. Within one
+    * micro-batch the check runs strictly before any of the batch's own
+    * admissions (a batch never collides with itself), and with a
+    * checkpoint the run is resumable; a re-processed batch would
+    * re-admit its survivors' shingle rows, double every later verify
+    * join against them, and (via the admit sink) double-count the
+    * batch's admit records — x_stream_pipeline_admit's checksum
+    * catches either.
+    */
+  def gatedIngestRun(spark: org.apache.spark.sql.SparkSession,
+      newDocsDir: String, indexTable: String, threshold: Double,
+      numHashes: Int = 32, bands: Int = 16, k: Int = 3,
+      minQuality: Double = 0.7, minTokens: Int = 10,
+      lang: String = "en", salt: String = "", nShards: Int = 8,
+      checkpointDir: String = null, sinkDir: String): Unit = {
+    import graft.ext.{Dedup, TextAnalysis}
+    import org.apache.spark.sql.streaming.Trigger
+    def survivors(b: DataFrame): DataFrame = {
+      val (sh, bandIdx) = graft.sources.IndexStore
+        .readDedupIndexBucketed(spark, indexTable, numHashes, bands, k)
+      val dupIds = Dedup.nearDuplicatesAgainstIndex(
+          b.select(col("doc_id").as("id"),
+            TextAnalysis.tokens(col("text")).as("toks")),
+          sh, bandIdx, threshold, numHashes, bands, k)
+        .select(col("new_id").as("doc_id")).distinct()
+      b.join(dupIds, Seq("doc_id"), "left_anti")
+        .filter(TextAnalysis.qualityScore(col("text")) >= minQuality &&
+          TextAnalysis.langId(col("text")) === lang &&
+          TextAnalysis.tokenCount(col("text")) >= minTokens)
+    }
+    def admitRecords(sv: DataFrame): DataFrame =
+      sv.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"),
+        (Dedup.hash48(concat(lit(salt),
+          col("doc_id").cast("string"))) % nShards).as("shard"))
+    val batchInput = spark.read.parquet(newDocsDir)
+    if (!new java.io.File(sinkDir).exists())
+      admitRecords(survivors(batchInput.limit(0)))
+        .write.mode("overwrite").parquet(sinkDir)
+    val reader = spark.readStream.schema(batchInput.schema)
+      .option("maxFilesPerTrigger", "1").parquet(newDocsDir)
+    val writer0 = reader.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val sv = survivors(b).cache()
+        try {
+          admitRecords(sv).write.mode("append").parquet(sinkDir)
+          graft.sources.IndexStore.appendDedupIndexBucketed(
+            sv.select(col("doc_id").as("id"),
+              TextAnalysis.tokens(col("text")).as("toks")),
+            indexTable, numHashes, bands, k)
+          Seq(s"${indexTable}_sh", s"${indexTable}_bands")
+            .foreach(spark.catalog.refreshTable)
+        } finally { sv.unpersist(blocking = false); () }
+      }
+    val writer = if (checkpointDir == null) writer0
+      else writer0.option("checkpointLocation", checkpointDir)
+    val q = writer.trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** The SUBSTRING twin of [[nearDupIngestStream]]: a stream of
     * `(id, toks)` documents screened per micro-batch against the
     * standing bucketed gram index
