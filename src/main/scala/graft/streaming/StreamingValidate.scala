@@ -607,7 +607,11 @@ object StreamingValidate {
     * re-admit its survivors' shingle rows, double every later verify
     * join against them, and (via the admit sink) double-count the
     * batch's admit records — x_stream_pipeline_admit's checksum
-    * catches either.
+    * catches either. Like [[uniqueIngestRun]], a caller WITHOUT a
+    * checkpoint gets fresh-run semantics only if it also supplies a
+    * fresh sink and a freshly-built index — the harness rows wipe all
+    * three per invocation; resumable ingestion is this function WITH
+    * the checkpoint.
     */
   def gatedIngestRun(spark: org.apache.spark.sql.SparkSession,
       newDocsDir: String, indexTable: String, threshold: Double,

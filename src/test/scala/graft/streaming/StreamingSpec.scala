@@ -844,4 +844,92 @@ class StreamingSpec extends SparkSpec {
     } finally for (s <- Seq("_bands", "_sh", "_meta"))
       spark.sql(s"DROP TABLE IF EXISTS gated_spec$s")
   }
+
+  test("law: gated ADMIT stream ≡ the sequential one-shot fold over " +
+      "the same ordered batches (growing index, copies injected)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).cache()
+    val corpusToks = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks")).cache()
+    try {
+      val odds = docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      val scenarioGen = for {
+        n <- Gen.choose(6, math.min(16, odds.size))
+        ids <- Gen.pick(n, odds)
+        nBatches <- Gen.choose(2, 3)
+        asg <- Gen.listOfN(n, Gen.choose(0, nBatches - 1))
+        // copies of batch-0 docs injected into LATER batches: their
+        // fate depends on whether the source was admitted earlier —
+        // exactly the order-dependence the fold must reproduce
+        nCopies <- Gen.choose(1, 3)
+      } yield (ids.toSeq.zip(asg), nBatches, nCopies)
+      val p = Prop.forAll(scenarioGen) { case (assigned, nBatches, nCopies) =>
+        val batch0 = assigned.filter(_._2 == 0).map(_._1)
+        val copies = batch0.take(nCopies)
+          .map(src => (src + 100000L, src,
+            1 + (src % (nBatches - 1).toLong).toInt))
+        def batchDf(b: Int) = {
+          val own = assigned.filter(_._2 == b).map(_._1)
+          val cp = copies.filter(_._3 == b).map { case (cid, src, _) =>
+            (cid, src) }
+          import spark.implicits._
+          docs.join(own.toDF("doc_id"), Seq("doc_id"))
+            .unionByName(docs
+              .join(cp.toDF("src", "doc_id")
+                .select(col("doc_id"), col("src").as("__cid")), Seq("doc_id"))
+              .select(col("__cid").as("doc_id"), col("text")))
+        }
+        // streamed: one run per ordered batch into one sink
+        graft.sources.IndexStore.writeDedupIndexBucketed(corpusToks,
+          "gatedlaw_spec", numBuckets = 8, k = 5)
+        val sink = java.nio.file.Files
+          .createTempDirectory("graft_glaw_sink").toString
+        java.nio.file.Files.delete(java.nio.file.Paths.get(sink))
+        (0 until nBatches).foreach { b =>
+          val d = java.nio.file.Files
+            .createTempDirectory(s"graft_glaw_b$b").toString
+          batchDf(b).coalesce(1).write.mode("overwrite").parquet(d)
+          StreamingValidate.gatedIngestRun(spark, d, "gatedlaw_spec",
+            threshold = 0.5, k = 5, minQuality = 0.7, minTokens = 10,
+            salt = "glaw", nShards = 4, checkpointDir = null,
+            sinkDir = sink)
+        }
+        val streamed = spark.read.parquet(sink)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        // reference: a driver-side fold with the in-memory one-shot
+        // screen (no bucketed tables, no streaming) over the SAME order
+        var refCorpus = corpusToks
+        var admitted = Set.empty[Long]
+        (0 until nBatches).foreach { b =>
+          val bdf = batchDf(b)
+          val bt = bdf.select(col("doc_id").as("id"),
+            graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+          val dup = graft.ext.Dedup.nearDuplicatesAgainstFromTokens(
+              bt, refCorpus, threshold = 0.5, k = 5)
+            .select("new_id").distinct()
+            .collect().map(_.getLong(0)).toSet
+          val sv = bdf
+            .filter(graft.ext.TextAnalysis.qualityScore(col("text")) >= 0.7 &&
+              graft.ext.TextAnalysis.langId(col("text")) === "en" &&
+              graft.ext.TextAnalysis.tokenCount(col("text")) >= 10)
+            .select("doc_id").collect().map(_.getLong(0)).toSet -- dup
+          admitted ++= sv
+          if (sv.nonEmpty) refCorpus = refCorpus.unionByName(
+            bt.filter(col("id").isin(sv.toSeq: _*)))
+        }
+        streamed == admitted
+      }
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(5), p)
+      assert(res.passed, res.status.toString)
+    } finally {
+      docs.unpersist(blocking = false)
+      corpusToks.unpersist(blocking = false)
+      for (s <- Seq("_bands", "_sh", "_meta"))
+        spark.sql(s"DROP TABLE IF EXISTS gatedlaw_spec$s")
+    }
+  }
 }
