@@ -1061,6 +1061,33 @@ class PlanSpec extends SparkSpec {
     assert(!n.exists(_.isInstanceOf[WindowExec]))
   }
 
+  test("versioned store read: ONE multi-path parquet scan of exactly " +
+      "the manifest's batch dirs — no listing, no union, no exchange") {
+    import graft.ext.Similarity
+    import graft.sources.IndexStore
+    import org.apache.spark.sql.execution.UnionExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val e = Tables.load(spark, dir, "embeddings")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_vflat_plan").toString
+    IndexStore.writeIvfIndexVersioned(e.filter(col("vec_id") % 2 === 0),
+      Similarity.firstIdCentroids(e, 16), idx)
+    IndexStore.appendIvfIndexVersioned(
+      e.filter(col("vec_id") % 2 === 1), idx)
+    val (enc, _) = IndexStore.readIvfIndexVersioned(spark, idx)
+    val n = nodes(enc)
+    assert(!n.exists(_.isInstanceOf[UnionExec]),
+      "a version must read as one relation, not a per-batch union")
+    assert(!n.exists(_.isInstanceOf[ShuffleExchangeExec]))
+    val s = scans(enc)
+    assert(s.size == 1, "one multi-path scan")
+    val roots = s.head.relation.location.rootPaths.map(_.toString)
+    assert(roots.size == 2 &&
+      roots.exists(_.endsWith("b-000001")) &&
+      roots.exists(_.endsWith("b-000002")),
+      s"scan roots must be exactly the manifest's batch dirs: $roots")
+  }
+
   test("e2e training pipeline: dedup shuffle + shard rollup + output " +
       "sort ONLY — no joins, no window, every gate a plain filter") {
     val df = SparkEntry.queries("x_pipeline_train")(spark, dir)
