@@ -1224,6 +1224,28 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** The int8 artifact behind VERSION-POINTER manifests — the second
+    * wiring of graft.sources.VersionedFlat, proving the store is
+    * artifact-agnostic: int8 has no model leaf (per-vector scales), so
+    * the whole artifact is the versioned frame. Build on the even half
+    * (v1, packed tinyint batches) → append the odd half (v2) → compact
+    * (v3, the raw merge preserving the packed schema) → serve CURRENT
+    * decoded. Shares x_sim_quantized's oracle VERBATIM.
+    */
+  private def xSimQuantizedVersioned(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = indexDir(dir, "int8ver")
+    graft.sources.IndexStore.writeInt8IndexVersioned(
+      e.filter(col("vec_id") % 2 === 0), idx)
+    graft.sources.IndexStore.appendInt8IndexVersioned(
+      e.filter(col("vec_id") % 2 === 1), idx)
+    graft.sources.VersionedFlat.compact(s, idx)
+    Similarity.quantizedTopKFromIndex(e.filter(col("vec_id") < 5),
+        graft.sources.IndexStore.readInt8IndexVersioned(s, idx), 10)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
   /** Ranking-quality eval (Experiment.rankingMetrics): the brute-force
     * cosine top-10 run scored against label-derived graded judgments
     * (rel 2 for same-label docs with id % 3 = 0, rel 1 for other
@@ -5230,7 +5252,8 @@ object SparkEntry {
     "x_pipeline_train" -> (xPipelineTrain _),
     "x_stream_pipeline" -> (xStreamPipeline _),
     "x_stream_ivf_versioned" -> (xStreamIvfVersioned _),
-    "x_stream_pipeline_admit" -> (xStreamPipelineAdmit _)
+    "x_stream_pipeline_admit" -> (xStreamPipelineAdmit _),
+    "x_sim_quantized_versioned" -> (xSimQuantizedVersioned _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -5305,7 +5328,9 @@ object SparkEntry {
       "x_sim_ivf_versioned_delete" ->
         graft.oracle.StaticOracles.sql("x_sim_ivf_delete"),
       "x_stream_ivf_versioned" ->
-        graft.oracle.StaticOracles.sql("x_sim_ivf_topk"))
+        graft.oracle.StaticOracles.sql("x_sim_ivf_topk"),
+      "x_sim_quantized_versioned" ->
+        graft.oracle.StaticOracles.sql("x_sim_quantized"))
 
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
     * Verify skip the generation work when a name filter excludes them.

@@ -906,6 +906,48 @@ object IndexStore {
     deleteDirTree(new java.io.File(s"$dir/dead.parquet"))
   }
 
+  /** The int8 artifact on [[VersionedFlat]] manifests — the second
+    * wiring, showing the store is artifact-agnostic: int8 has NO model
+    * leaf at all (per-vector scales), so the whole artifact IS the
+    * versioned frame and `write` owns the directory outright. Batches
+    * land PACKED (tinyint q, the [[writeInt8Index]] discipline) and
+    * [[VersionedFlat.compact]]'s raw rewrite preserves the packed
+    * schema through the merged batch — asserted in
+    * SimArtifactLifecycleSpec. Serving any version decodes exactly as
+    * the flat reader does; x_sim_quantized_versioned shares
+    * x_sim_quantized's oracle through a write/append/compact cycle.
+    */
+  def writeInt8IndexVersioned(corpus: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    Scratch.sweepOnce(corpus.sparkSession)
+    VersionedFlat.write(packedInt8(corpus, idCol, vecCol), dir)
+  }
+
+  def appendInt8IndexVersioned(delta: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    VersionedFlat.append(packedInt8(delta, idCol, vecCol), dir)
+
+  /** The current (or `asOf`) version decoded for serving — tinyint →
+    * double is exact, so versioned serves hash-match the flat path.
+    */
+  def readInt8IndexVersioned(spark: SparkSession, dir: String,
+      asOf: Int = 0): DataFrame =
+    (if (asOf > 0) VersionedFlat.readVersion(spark, dir, asOf)
+     else VersionedFlat.read(spark, dir))
+      .select(col("id"),
+        transform(col("q"), x => x.cast("double")).as("q"),
+        col("scale"))
+
+  /** One quantize+pack projection shared by the flat and versioned
+    * int8 writers.
+    */
+  private def packedInt8(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    Similarity.int8Index(df, idCol, vecCol)
+      .select(col("id"),
+        transform(col("q"), x => x.cast("tinyint")).as("q"),
+        col("scale"))
+
   /** Rewrite a flat (per-vector) artifact leaf minus `dead` ids with
     * the rename-aside swap — the original survives under SOME name at
     * every crash point, the [[Bucketing.compactBucketed]] discipline —
@@ -953,10 +995,7 @@ object IndexStore {
   def writeInt8Index(corpus: DataFrame, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     Scratch.sweepOnce(corpus.sparkSession)
-    Similarity.int8Index(corpus, idCol, vecCol)
-      .select(col("id"),
-        transform(col("q"), x => x.cast("tinyint")).as("q"),
-        col("scale"))
+    packedInt8(corpus, idCol, vecCol)
       .write.mode("overwrite").parquet(s"$dir/int8.parquet")
   }
 
@@ -968,10 +1007,7 @@ object IndexStore {
     */
   def appendInt8Index(delta: DataFrame, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    Similarity.int8Index(delta, idCol, vecCol)
-      .select(col("id"),
-        transform(col("q"), x => x.cast("tinyint")).as("q"),
-        col("scale"))
+    packedInt8(delta, idCol, vecCol)
       .write.mode("append").parquet(s"$dir/int8.parquet")
 
   /** Re-read the int8 artifact as (id, q array<double>, scale) — the

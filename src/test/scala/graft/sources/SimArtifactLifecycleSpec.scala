@@ -181,6 +181,27 @@ class SimArtifactLifecycleSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("versioned int8: the packed tinyint schema survives every " +
+      "version including the compacted merge; decode matches flat") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val idx = tmp("int8ver")
+    IndexStore.writeInt8IndexVersioned(
+      e.filter(col("vec_id") % 2 === 0), idx)
+    IndexStore.appendInt8IndexVersioned(
+      e.filter(col("vec_id") % 2 === 1), idx)
+    VersionedFlat.compact(spark, idx)
+    (1 to 3).foreach { v =>
+      assert(VersionedFlat.readVersion(spark, idx, v)
+        .schema("q").dataType.simpleString === "array<tinyint>",
+        s"version $v must hold the packed schema")
+    }
+    val flat = tmp("int8flat")
+    IndexStore.writeInt8Index(e, flat)
+    assert(rows(IndexStore.readInt8IndexVersioned(spark, idx)) ===
+      rows(IndexStore.readInt8Index(spark, flat)),
+      "versioned decode must equal the flat artifact's")
+  }
+
   test("law: int8 and PQ append-folds over ANY batch decomposition " +
       "equal the one-shot build") {
     // random small corpora of integral vectors (normalization and
