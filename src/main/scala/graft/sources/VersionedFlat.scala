@@ -19,37 +19,82 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                      listing of version N (no directory listing at
   *                      read time, the Iceberg/Delta lesson: listings
   *                      are slow and racy on object stores)
-  *   - `CURRENT`        one line naming the live manifest, swapped with
-  *                      an ATOMIC_MOVE — the only mutable file
+  *   - `CURRENT`        a monotonic HINT naming a recently committed
+  *                      manifest (see the commit protocol below)
   *
-  * Readers resolve CURRENT once and read exactly the named batch dirs:
-  * every version is a consistent SNAPSHOT, a reader mid-job keeps its
-  * version's files regardless of concurrent appends/compactions, and
-  * `readVersion` time-travels to any un-vacuumed version for free.
-  * Writes are single-writer by contract (like every store here); a
-  * crashed write leaves at worst an orphan batch dir + manifest that
-  * the next attempt overwrites and [[vacuum]] collects — CURRENT is
-  * never half-written (tmp + atomic rename), so readers see the old
-  * version until the instant the new one is complete.
+  * Readers resolve the current version once and read exactly the named
+  * batch dirs: every version is a consistent SNAPSHOT, a reader mid-job
+  * keeps its version's files regardless of concurrent appends or
+  * compactions, and `readVersion` time-travels to any un-vacuumed
+  * version for free.
   *
-  * Batch dirs are named by the version that introduces them (the
-  * single-writer makes this deterministic — no UUIDs to leak into
-  * hashes), appends reference the previous manifest's batches plus
-  * their own (O(1) data moved per admit), and compaction writes ONE
-  * merged batch and points the new manifest at only it — old versions
-  * stay readable until a `vacuum(retain)` drops their manifests and
-  * any batch dirs no retained manifest references.
+  * == Commit protocol (multi-writer safe, round-14) ==
+  *
+  * Until round 13 the store was single-writer by contract: batch names
+  * WERE version numbers and the manifest landed under its final name
+  * with a plain write, so two concurrent appenders would silently
+  * overwrite each other. The protocol is now optimistic concurrency:
+  *
+  *  1. CLAIM a batch dir: the next `b-NNNNNN` name after the highest
+  *     existing one, taken atomically with `createDirectory` (EEXIST
+  *     means another writer — or a crashed writer's orphan — holds the
+  *     name; take the next). The claim makes batch writes collision-
+  *     free without UUIDs: under a contention-free single writer the
+  *     names are exactly the old deterministic sequence.
+  *  2. WRITE the batch parquet into the claimed dir.
+  *  3. COMMIT: write the manifest bytes to a writer-unique dot-tmp
+  *     file, then atomically LINK it to `manifest-(cur+1)` — a hard
+  *     link creation fails with EEXIST if the name is taken, which is
+  *     the create-if-absent primitive POSIX gives (an object-store
+  *     deployment uses a conditional PUT / If-None-Match; a store with
+  *     neither — bare S3 before 2024 — needs an external lock service,
+  *     which is exactly what Delta's S3 LogStore does). Losing the
+  *     race costs nothing but a re-read of the winner's manifest and a
+  *     retry at the next version; the batch is never rewritten.
+  *  4. ADVANCE the `CURRENT` hint (forward-only; losing THIS race is
+  *     harmless — see below).
+  *
+  * A manifest file therefore EXISTS only if it is complete (the bytes
+  * were fully durable before the link), so manifest-existence IS
+  * commit: the committed chain is dense (every winner extends it by
+  * exactly one), and `currentVersion` probes forward from the CURRENT
+  * hint until the chain ends. CURRENT may lag — a writer crashed
+  * between link and advance, or two advancers raced — but it can only
+  * name a committed version, and the probe recovers the true head in
+  * O(lag) existence checks, never a directory listing.
+  *
+  * Crash anatomy: before the link, a writer leaves at worst an orphan
+  * claimed batch dir and a dot-tmp file — invisible to every reader,
+  * collected by [[vacuum]]. After the link the version is committed
+  * regardless of what else the writer meant to do. There is no state
+  * in between (the link is atomic), so "a truncated batch list behind
+  * a live manifest name" — the round-13 hazard of the plain-write
+  * publish — cannot exist.
+  *
+  * [[replace]] (and [[compact]] through it) does NOT auto-retry: its
+  * frame was computed from a specific base version, and blindly
+  * re-committing it after a concurrent append would silently erase
+  * that append's rows. It fails loudly with the base version in the
+  * message; the caller re-reads and re-runs — the Iceberg rewrite
+  * semantics.
   *
   * Local File ops are the harness shape (same note as
   * [[Bucketing.compactBucketedTiered]]); an object-store deployment
-  * swaps them for its FileSystem and keeps the protocol — every store
-  * primitive used here (immutable puts, atomic single-key swap) exists
-  * on S3-class stores.
+  * swaps them for its FileSystem and keeps the protocol — immutable
+  * puts, conditional put, last-writer-wins put for the hint.
   */
 object VersionedFlat {
 
   private def manifestName(v: Int): String = f"manifest-$v%06d"
-  private def batchName(v: Int): String = f"b-$v%06d"
+  private def batchName(n: Int): String = f"b-$n%06d"
+
+  private val ManifestRe = "manifest-(\\d{1,9})".r
+  private val BatchRe = "b-(\\d{1,9})".r
+
+  /** Per-process tmp-name uniquifier (two threads of one process
+    * racing a commit must not share a tmp file either).
+    */
+  private val tmpNonce = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def deleteTree(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -57,12 +102,23 @@ object VersionedFlat {
     f.delete(): Unit
   }
 
-  /** The live version number (0 if the store is uninitialized). */
+  private def listNames(dir: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File]).toSeq.map(_.getName)
+
+  /** The live version number (0 if the store is uninitialized).
+    * CURRENT is a hint, not truth: probe forward along the dense
+    * committed chain until it ends (a crashed or raced hint advance
+    * lags by a bounded number of commits, each one existence check).
+    */
   def currentVersion(dir: String): Int = {
     val cur = new java.io.File(dir, "CURRENT")
-    if (!cur.exists()) 0
-    else new String(java.nio.file.Files.readAllBytes(cur.toPath),
-      "UTF-8").trim.stripPrefix("manifest-").toInt
+    var v =
+      if (!cur.exists()) 0
+      else new String(java.nio.file.Files.readAllBytes(cur.toPath),
+        "UTF-8").trim.stripPrefix("manifest-").toInt
+    while (new java.io.File(dir, manifestName(v + 1)).exists()) v += 1
+    v
   }
 
   private def readManifest(dir: String, v: Int): Seq[String] = {
@@ -73,53 +129,119 @@ object VersionedFlat {
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Publish `batches` as version `v` and atomically repoint CURRENT.
-    * The manifest is fully written under its final name BEFORE the
-    * pointer moves; the pointer move is a same-directory ATOMIC_MOVE.
-    * (Durability of the manifest bytes themselves across a POWER loss
-    * is the filesystem's job, as everywhere in this store layer; an
-    * object-store deployment gets it free — a PUT is atomic and
-    * durable before it acknowledges.)
+  /** Atomically claim the next free batch-dir name (EEXIST — a
+    * concurrent writer or a crashed claim — skips to the next; the
+    * loop is bounded by the number of live contenders plus orphans).
     */
-  private def publish(dir: String, v: Int, batches: Seq[String]): Unit = {
-    java.nio.file.Files.write(
-      new java.io.File(dir, manifestName(v)).toPath,
-      (batches.mkString("\n") + "\n").getBytes("UTF-8"))
-    val tmp = new java.io.File(dir, "CURRENT.tmp")
+  private def claimBatchDir(dir: String): java.io.File = {
+    var n = listNames(dir)
+      .collect { case BatchRe(d) => d.toInt }
+      .foldLeft(0)(math.max) + 1
+    while (true) {
+      val f = new java.io.File(dir, batchName(n))
+      try {
+        java.nio.file.Files.createDirectory(f.toPath)
+        return f
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => n += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Try to commit `batches` as version `v`: manifest bytes land fully
+    * in a writer-unique tmp, the atomic link claims the version name
+    * (create-if-absent), and the CURRENT hint advances. False = lost
+    * the race (another writer committed `v`); the tmp is cleaned up.
+    */
+  private def tryCommit(dir: String, v: Int,
+      batches: Seq[String]): Boolean = {
+    val tmp = new java.io.File(dir,
+      s".${manifestName(v)}.p${ProcessHandle.current().pid()}" +
+        s"t${tmpNonce.incrementAndGet()}.tmp")
     java.nio.file.Files.write(tmp.toPath,
-      (manifestName(v) + "\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(dir, "CURRENT").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      (batches.mkString("\n") + "\n").getBytes("UTF-8"))
+    try {
+      java.nio.file.Files.createLink(
+        new java.io.File(dir, manifestName(v)).toPath, tmp.toPath)
+      advanceCurrent(dir, v)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp.toPath): Unit
+    }
   }
 
-  /** Write a batch dir for version `v` (wiping any orphan a crashed
-    * previous attempt at the same version left behind).
+  /** Move the CURRENT hint forward to `v` if it lags (forward-only:
+    * overwriting a HIGHER hint would point readers at extra probe
+    * work, not wrong data, but there is no reason to). Two advancers
+    * can still interleave read-then-move so that the final hint is
+    * the smaller v — that race is accepted: the hint only ever names
+    * a committed manifest and [[currentVersion]]'s probe closes any
+    * lag. Writer-unique tmp names keep the racers from corrupting
+    * each other's bytes.
     */
-  private def writeBatch(df: DataFrame, dir: String, v: Int): String = {
-    val b = new java.io.File(dir, batchName(v))
-    deleteTree(b)
-    df.write.mode("overwrite").parquet(b.getPath)
-    batchName(v)
+  private def advanceCurrent(dir: String, v: Int): Unit = {
+    val cur = new java.io.File(dir, "CURRENT")
+    val pointed =
+      if (!cur.exists()) 0
+      else new String(java.nio.file.Files.readAllBytes(cur.toPath),
+        "UTF-8").trim.stripPrefix("manifest-").toInt
+    if (v > pointed) {
+      val tmp = new java.io.File(dir,
+        s".CURRENT.p${ProcessHandle.current().pid()}" +
+          s"t${tmpNonce.incrementAndGet()}.tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        (manifestName(v) + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath, cur.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
-  /** Initialize the store with `df` as version 1 (wipes `dir`). */
+  /** Write `df`'s parquet into an already-claimed (empty) batch dir —
+    * append mode adds files without deleting the dir, preserving the
+    * claim.
+    */
+  private def writeBatch(df: DataFrame, claimed: java.io.File): String = {
+    df.write.mode("append").parquet(claimed.getPath)
+    claimed.getName
+  }
+
+  /** Initialize the store with `df` as version 1 (wipes `dir`).
+    * Initialization is the one single-writer operation by contract —
+    * concurrent writers join at [[append]] time.
+    */
   def write(df: DataFrame, dir: String): Unit = {
     deleteTree(new java.io.File(dir))
     new java.io.File(dir).mkdirs()
-    publish(dir, 1, Seq(writeBatch(df, dir, 1)))
+    val ok = tryCommit(dir, 1, Seq(writeBatch(df, claimBatchDir(dir))))
+    require(ok, s"init of $dir raced a concurrent writer — " +
+      "initialization is single-writer by contract")
   }
 
-  /** Admit `df` as version current+1: one new immutable batch dir, a
-    * manifest referencing the previous version's batches plus it —
-    * O(batch) data written, standing batches untouched.
+  /** Admit `df` as a new version: one new immutable batch dir, a
+    * manifest referencing the winner-at-commit-time's batches plus it
+    * — O(batch) data written, standing batches untouched. Safe under
+    * concurrent appenders: the batch is written ONCE, and a lost
+    * manifest CAS costs only a re-read of the winner's (now current)
+    * manifest and a retry at the next version number.
     */
-  def append(df: DataFrame, dir: String): Unit = {
-    val cur = currentVersion(dir)
-    require(cur > 0, s"$dir is not an initialized VersionedFlat store")
-    val v = cur + 1
-    publish(dir, v, readManifest(dir, cur) :+ writeBatch(df, dir, v))
+  def append(df: DataFrame, dir: String, maxRetries: Int = 20): Unit = {
+    require(currentVersion(dir) > 0,
+      s"$dir is not an initialized VersionedFlat store")
+    val b = claimBatchDir(dir)
+    val name = writeBatch(df, b)
+    var attempts = 0
+    while (attempts < maxRetries) {
+      val cur = currentVersion(dir)
+      if (tryCommit(dir, cur + 1, readManifest(dir, cur) :+ name)) return
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"append to $dir lost the manifest CAS $maxRetries times — " +
+        "pathological contention; raise maxRetries or serialize writers")
   }
 
   /** Publish `df` as the next version's SOLE content — the
@@ -127,23 +249,64 @@ object VersionedFlat {
     * everything for a plain compact, the tombstone-excluded frame for
     * a purge). `df` may freely read the current version's batches: the
     * merged batch lands in a NEW dir, nothing is rewritten in place.
+    *
+    * Unlike [[append]] this does NOT auto-retry a lost CAS: `df` was
+    * computed from `basedOn` (default: the current version at entry),
+    * and re-committing it after a concurrent append would silently
+    * erase that append's rows. A concurrent commit raises
+    * [[java.util.ConcurrentModificationException]]; recompute from the
+    * new current version and retry the whole operation.
     */
-  def replace(df: DataFrame, dir: String, targetFiles: Int = 1): Unit = {
-    val cur = currentVersion(dir)
-    require(cur > 0, s"$dir is not an initialized VersionedFlat store")
-    val v = cur + 1
-    publish(dir, v,
-      Seq(writeBatch(df.coalesce(math.max(1, targetFiles)), dir, v)))
+  def replace(df: DataFrame, dir: String, targetFiles: Int = 1,
+      basedOn: Int = 0): Unit = {
+    val base = if (basedOn > 0) basedOn else currentVersion(dir)
+    require(base > 0, s"$dir is not an initialized VersionedFlat store")
+    val b = claimBatchDir(dir)
+    val name = writeBatch(
+      df.coalesce(math.max(1, targetFiles)), b)
+    if (!tryCommit(dir, base + 1, Seq(name)))
+      throw new java.util.ConcurrentModificationException(
+        s"version ${base + 1} of $dir was committed concurrently — " +
+          "the replacement frame is stale; recompute and retry")
   }
 
   /** Compact the current version's batches into ONE merged batch dir
     * (`targetFiles` files) and publish it as the next version's sole
     * content. Readers on older versions are untouched — their batch
-    * dirs remain until [[vacuum]].
+    * dirs remain until [[vacuum]]. Fails loudly if a concurrent
+    * commit lands mid-compaction (see [[replace]]).
     */
   def compact(spark: SparkSession, dir: String,
-      targetFiles: Int = 1): Unit =
-    replace(read(spark, dir), dir, targetFiles)
+      targetFiles: Int = 1): Unit = {
+    val v = currentVersion(dir)
+    require(v > 0, s"$dir is not an initialized VersionedFlat store")
+    replace(readVersion(spark, dir, v), dir, targetFiles, basedOn = v)
+  }
+
+  /** [[compact]] only when the current manifest references more than
+    * `maxBatches` batch dirs — the cadence policy that bounds manifest
+    * growth (round-14 directive #6): N appends otherwise leave a
+    * manifest of N batch roots and a read plan whose multi-path scan
+    * carries N roots; planning cost grows with the root count (the
+    * measured table lives in PLANS.md §Round 14). Ingest loops call
+    * this after admitting; the cap trades one merged-batch write per
+    * `maxBatches` admits for O(1) read-plan roots. Returns whether a
+    * compaction ran.
+    */
+  def maybeCompact(spark: SparkSession, dir: String, maxBatches: Int,
+      targetFiles: Int = 1): Boolean = {
+    require(maxBatches >= 1, s"bad maxBatches $maxBatches")
+    val v = currentVersion(dir)
+    require(v > 0, s"$dir is not an initialized VersionedFlat store")
+    if (readManifest(dir, v).size <= maxBatches) false
+    else { compact(spark, dir, targetFiles); true }
+  }
+
+  /** Batch-dir count of version `v` (0 = current) — the observable the
+    * manifest-growth cadence contract is asserted against.
+    */
+  def batchCount(dir: String, v: Int = 0): Int =
+    readManifest(dir, if (v > 0) v else currentVersion(dir)).size
 
   /** The current snapshot. */
   def read(spark: SparkSession, dir: String): DataFrame =
@@ -152,6 +315,9 @@ object VersionedFlat {
   /** Time travel: the exact row set of version `v`. Fails loudly if
     * `v` was vacuumed or never existed — a silent fallback to another
     * version would un-pin every downstream reproducibility claim.
+    * (An existing manifest is complete by the commit protocol — the
+    * link happens only after the bytes are fully written — so there is
+    * no "orphan version above CURRENT" to guard against.)
     */
   def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
     val paths = readManifest(dir, v)
@@ -161,28 +327,39 @@ object VersionedFlat {
 
   /** Drop manifests older than the `retain` most recent versions, then
     * every batch dir no retained manifest references — including
-    * orphans a crashed writer left (single-writer contract: vacuum is
-    * the writer's housekeeping, so nothing in-flight can own them).
-    * The current version always survives (`retain` is clamped to 1+).
+    * orphan claims and dot-tmp files crashed writers left. Vacuum is
+    * housekeeping run QUIESCED (no in-flight appenders) by contract:
+    * it cannot tell a crashed writer's orphan claim from a live
+    * writer's not-yet-committed one (an object-store deployment ages
+    * orphans instead — only collect claims older than the longest
+    * plausible write). The current version always survives (`retain`
+    * is clamped to 1+); the CURRENT hint is refreshed to the true head
+    * first, so retention windows are measured from the real current.
     */
   def vacuum(dir: String, retain: Int = 1): Unit = {
     val cur = currentVersion(dir)
     require(cur > 0, s"$dir is not an initialized VersionedFlat store")
+    advanceCurrent(dir, cur)
     val keepMin = math.max(1, cur - math.max(1, retain) + 1)
     val kept = (keepMin to cur)
       .filter(v => new java.io.File(dir, manifestName(v)).exists())
     val referenced = kept.flatMap(readManifest(dir, _)).toSet
     val top = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])
-    top.filter(f => f.getName.startsWith("manifest-") &&
-        f.getName.stripPrefix("manifest-").toInt < keepMin)
+    // strict manifest-\d+ match (ADVICE round-13: a stray editor
+    // backup like manifest-000002~ must not abort housekeeping)
+    top.filter(f => f.getName match {
+      case ManifestRe(d) => d.toInt < keepMin
+      case _ => false
+    }).foreach(f => java.nio.file.Files.delete(f.toPath))
+    // crashed commits' dot-tmp debris
+    top.filter(f => f.isFile && f.getName.startsWith(".") &&
+        f.getName.endsWith(".tmp"))
       .foreach(f => java.nio.file.Files.delete(f.toPath))
-    // orphan manifests above CURRENT (crashed publish) go too
-    top.filter(f => f.getName.startsWith("manifest-") &&
-        f.getName.stripPrefix("manifest-").toInt > cur)
-      .foreach(f => java.nio.file.Files.delete(f.toPath))
-    top.filter(f => f.isDirectory && f.getName.startsWith("b-") &&
-        !referenced(f.getName))
+    top.filter(f => f.isDirectory && (f.getName match {
+        case BatchRe(_) => !referenced(f.getName)
+        case _ => false
+      }))
       .foreach(deleteTree)
   }
 }

@@ -58,25 +58,105 @@ class VersionedFlatSpec extends SparkSpec {
       "the compacted version must hold one merged file")
   }
 
-  test("a crashed publish (manifest written, CURRENT not swapped) is " +
-      "invisible to readers and overwritten by the retry") {
+  test("a crash BEFORE the manifest link (orphan batch + tmp) is " +
+      "invisible; a retry commits around the orphans; vacuum sweeps") {
     val dir = tmp("crash")
     VersionedFlat.write(frame(0 until 5), dir)
-    // simulate the crash: batch + manifest for v2 exist, pointer not
-    // moved — exactly the state after a writer died mid-append
+    // simulate the pre-link crash state: a claimed batch dir with data
+    // and a manifest dot-tmp, no manifest — nothing is committed
     frame(5 until 9).write.mode("overwrite")
       .parquet(new java.io.File(dir, "b-000002").getPath)
     java.nio.file.Files.write(
-      new java.io.File(dir, "manifest-000002").toPath,
+      new java.io.File(dir, ".manifest-000002.p0t0.tmp").toPath,
       "b-000001\nb-000002\n".getBytes("UTF-8"))
     assert(VersionedFlat.currentVersion(dir) === 1)
     assert(idSet(VersionedFlat.read(spark, dir)) === (0L until 5L).toSet,
       "readers must still see version 1")
-    // the retry admits a DIFFERENT batch under the same version number
+    // the retry claims PAST the orphan (b-000003) and commits v2
     VersionedFlat.append(frame(5 until 8), dir)
     assert(VersionedFlat.currentVersion(dir) === 2)
     assert(idSet(VersionedFlat.read(spark, dir)) === (0L until 8L).toSet,
-      "the retry must fully replace the crashed attempt's orphans")
+      "the retry's commit must not include the crashed orphan's rows")
+    VersionedFlat.vacuum(dir, retain = 2)
+    val left = Option(new java.io.File(dir).listFiles()).get
+      .map(_.getName).toSet
+    assert(!left.contains("b-000002"),
+      "vacuum must collect the orphan claimed batch dir")
+    assert(!left.exists(_.endsWith(".tmp")),
+      "vacuum must collect crashed writers' dot-tmp debris")
+  }
+
+  test("a crash AFTER the manifest link (CURRENT hint not advanced) " +
+      "IS committed: the probe finds the version past the stale hint") {
+    val dir = tmp("crashpost")
+    VersionedFlat.write(frame(0 until 5), dir)
+    VersionedFlat.append(frame(5 until 8), dir)
+    // regress the hint to v1 — the state after a writer crashed (or
+    // lost the advance race) between link and hint advance
+    java.nio.file.Files.write(new java.io.File(dir, "CURRENT").toPath,
+      "manifest-000001\n".getBytes("UTF-8"))
+    assert(VersionedFlat.currentVersion(dir) === 2,
+      "manifest existence IS commit — the probe must pass the hint")
+    assert(idSet(VersionedFlat.read(spark, dir)) === (0L until 8L).toSet)
+    // and the next append extends the true head, not the hint
+    VersionedFlat.append(frame(8 until 9), dir)
+    assert(VersionedFlat.currentVersion(dir) === 3)
+  }
+
+  test("two concurrent appenders interleave safely: both batches " +
+      "survive, versions linearize into a dense chain") {
+    val dir = tmp("mw")
+    VersionedFlat.write(frame(0 until 4), dir)
+    val writers = (0 until 2).map { w =>
+      new Thread(() =>
+        (0 until 3).foreach { i =>
+          val lo = 100 * (w + 1) + 10 * i
+          VersionedFlat.append(frame(lo until (lo + 4)), dir)
+        })
+    }
+    writers.foreach(_.start())
+    writers.foreach(_.join())
+    assert(VersionedFlat.currentVersion(dir) === 7,
+      "6 appends over v1 must linearize into versions 2..7")
+    val expect = (0L until 4L).toSet ++
+      (for (w <- 0 until 2; i <- 0 until 3; d <- 0 until 4)
+        yield (100 * (w + 1) + 10 * i + d).toLong)
+    assert(idSet(VersionedFlat.read(spark, dir)) === expect,
+      "every writer's every batch must survive the interleaving")
+    // each version is a strict superset chain (one batch per commit)
+    (1 to 7).foreach { v =>
+      assert(VersionedFlat.readVersion(spark, dir, v).columns
+        .contains("id"))
+    }
+  }
+
+  test("replace/compact fail loudly when a concurrent commit lands " +
+      "(stale frame must not erase the interleaved append)") {
+    val dir = tmp("occ")
+    VersionedFlat.write(frame(0 until 5), dir)
+    val stale = VersionedFlat.read(spark, dir) // computed from v1
+    VersionedFlat.append(frame(5 until 9), dir) // concurrent commit: v2
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedFlat.replace(stale, dir, basedOn = 1)
+    }
+    assert(idSet(VersionedFlat.read(spark, dir)) === (0L until 9L).toSet,
+      "the concurrent append must survive the rejected stale replace")
+  }
+
+  test("maybeCompact honors the batch-count cadence: no-op at or " +
+      "under the cap, one merged batch above it") {
+    val dir = tmp("cad")
+    VersionedFlat.write(frame(0 until 3), dir)
+    VersionedFlat.append(frame(3 until 6), dir)
+    VersionedFlat.append(frame(6 until 9), dir)
+    assert(VersionedFlat.batchCount(dir) === 3)
+    assert(!VersionedFlat.maybeCompact(spark, dir, maxBatches = 3),
+      "at the cap: no compaction")
+    assert(VersionedFlat.currentVersion(dir) === 3)
+    assert(VersionedFlat.maybeCompact(spark, dir, maxBatches = 2),
+      "above the cap: compaction must run")
+    assert(VersionedFlat.batchCount(dir) === 1)
+    assert(idSet(VersionedFlat.read(spark, dir)) === (0L until 9L).toSet)
   }
 
   test("vacuum keeps the retained versions' batches, drops the rest, " +
@@ -127,16 +207,19 @@ class VersionedFlatSpec extends SparkSpec {
     assert(liveIds() === masked)
   }
 
-  test("law: any append/compact/vacuum sequence serves the model's " +
+  test("law: any append/compact/vacuum sequence — with crashed " +
+      "writers' orphan claims injected anywhere — serves the model's " +
       "content, and every retained version time-travels exactly") {
     sealed trait Op
     final case class Append(n: Int) extends Op
     case object Compact extends Op
     final case class Vacuum(retain: Int) extends Op
+    case object Orphan extends Op // a crashed writer's claimed batch dir
     val opGen: Gen[Op] = Gen.frequency(
       (4, Gen.choose(1, 5).map(Append(_))),
       (2, Gen.const(Compact)),
-      (1, Gen.choose(1, 3).map(Vacuum(_))))
+      (1, Gen.choose(1, 3).map(Vacuum(_))),
+      (1, Gen.const(Orphan)))
     val opsGen = Gen.choose(1, 6).flatMap(Gen.listOfN(_, opGen))
     val p = Prop.forAll(opsGen) { ops =>
       val dir = tmp("law")
@@ -161,6 +244,15 @@ class VersionedFlatSpec extends SparkSpec {
         case Vacuum(r) =>
           VersionedFlat.vacuum(dir, r)
           keepMin = math.max(keepMin, versions.size - math.max(1, r) + 1)
+        case Orphan =>
+          // simulate a writer that claimed a batch dir, wrote into it,
+          // and died before its commit — invisible to the model
+          val claimed = Option(new java.io.File(dir).listFiles()).get
+            .collect { case f if f.getName.matches("b-\\d+") =>
+              f.getName.stripPrefix("b-").toInt }
+            .foldLeft(0)(math.max) + 1
+          fr(Seq(999999L)).write.mode("overwrite").parquet(
+            new java.io.File(dir, f"b-$claimed%06d").getPath)
       }
       idSet(VersionedFlat.read(spark, dir)) == versions.last &&
         (keepMin to versions.size).forall(v =>
