@@ -559,6 +559,40 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** The MinHash index on VERSION-POINTER bucketed tables
+    * (graft.sources.VersionedBucketed — round-14 directive #2, the
+    * first bucketed family versioned): identical data flow to
+    * [[xDedupIndexCompact]], but the compaction between append and
+    * serve publishes NEW version tables and repoints instead of
+    * swap-dropping the listing a concurrent reader holds. Content,
+    * bucket layout, and parameters are untouched by versioning, so
+    * this row shares x_dedup_index_append's oracle VERBATIM; the
+    * filesystem/catalog observables (snapshot isolation for captured
+    * readers, exchange-free serve over the live version, vacuum) live
+    * in VersionedBucketedSpec.
+    */
+  private def xDedupIndexVersioned(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val delta = base.select((col("id") + AppendDeltaOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val probes = base.select((col("id") + IncrementalTwinOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.6).cast("int")).as("toks"))
+    val tbl = indexTable(dir, "sidx_ver")
+    graft.sources.IndexStore.writeDedupIndexBucketedVersioned(base, tbl,
+      numBuckets = 8, k = 5)
+    graft.sources.IndexStore.appendDedupIndexBucketedVersioned(delta,
+      tbl, k = 5)
+    graft.sources.IndexStore.compactDedupIndexBucketedVersioned(s, tbl)
+    val (sh, bands) = graft.sources.IndexStore
+      .readDedupIndexBucketedVersioned(s, tbl, k = 5)
+    Dedup.nearDuplicatesAgainstIndex(probes, sh, bands,
+        threshold = 0.5, k = 5)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Recursive delete of a scratch path (stream dirs, checkpoints,
     * sinks) — per-invocation reset so bench reps stay independent.
     */
@@ -1246,6 +1280,60 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** The PQ artifact behind VERSION-POINTER manifests (round-14
+    * directive #1 — the third graft.sources.VersionedFlat wiring): the
+    * model is fitted once on the full corpus, the even half's codes
+    * publish version 1, the odd half is ADMITTED (encoded against the
+    * artifact's own persisted codebooks) as version 2, compaction
+    * publishes version 3 as one merged batch — and a reader holding
+    * any version keeps a consistent snapshot throughout. Serving
+    * CURRENT after the cycle must equal the full-corpus build: shares
+    * x_sim_pq's fitted-literal dynamic oracle VERBATIM.
+    */
+  private def xSimPqVersioned(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = Similarity.pqFit(e, m = 16, ks = 16)
+    val idx = indexDir(dir, "pqver")
+    graft.sources.IndexStore.writePqIndexVersioned(
+      e.filter(col("vec_id") % 2 === 0), model, idx)
+    graft.sources.IndexStore.appendPqIndexVersioned(
+      e.filter(col("vec_id") % 2 === 1), idx)
+    graft.sources.IndexStore.compactPqIndexVersioned(s, idx)
+    Similarity.pqTopKFromCodes(e.filter(col("vec_id") < 5),
+        graft.sources.IndexStore.readPqCodesVersioned(s, idx), 10,
+        graft.sources.IndexStore.readPqModel(s, idx))
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The composed IVF-PQ artifact behind VERSION-POINTER manifests —
+    * the LAST similarity artifact onto the versioned store: both model
+    * halves (k-means centroids, PQ codebooks) fitted once and persisted
+    * as plain write-once leaves, the (id, list_id, codes) corpus state
+    * going through the build-evens → admit-odds → compact version
+    * cycle. Shares x_sim_ivf_pq's fitted-literal dynamic oracle
+    * VERBATIM; with this row green every flat similarity artifact has
+    * a reader-snapshot-safe versioned twin.
+    */
+  private def xSimIvfPqVersioned(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = Similarity.pqFit(e, m = 16, ks = 16)
+    val cents = Similarity.kmeansCentroids(e, nLists = 16)
+    val idx = indexDir(dir, "ivfpqver")
+    graft.sources.IndexStore.writeIvfPqIndexVersioned(
+      e.filter(col("vec_id") % 2 === 0), model, cents, idx)
+    graft.sources.IndexStore.appendIvfPqIndexVersioned(
+      e.filter(col("vec_id") % 2 === 1), idx)
+    graft.sources.IndexStore.compactIvfPqIndexVersioned(s, idx)
+    val (enc, rcents) = graft.sources.IndexStore
+      .readIvfPqIndexVersioned(s, idx)
+    Similarity.ivfPqTopKFromIndex(e.filter(col("vec_id") < 5), enc,
+        rcents, graft.sources.IndexStore.readPqModel(s, idx), 10,
+        nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
   /** Ranking-quality eval (Experiment.rankingMetrics): the brute-force
     * cosine top-10 run scored against label-derived graded judgments
     * (rel 2 for same-label docs with id % 3 = 0, rel 1 for other
@@ -1413,6 +1501,40 @@ object SparkEntry {
     val (index, cents) = graft.sources.IndexStore.readIvfIndex(s, idx)
     Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), index, cents,
         10, nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Check-then-admit PQ ingestion (StreamingValidate.pqIngestRun —
+    * round-14 directive #5, closing the one similarity artifact
+    * without a streaming admission arc): the model is fitted once on
+    * the full corpus, the index built on the % 3 = 0 third, and the
+    * other two thirds arrive as two files of one AvailableNow run —
+    * each micro-batch ADC-checked against the standing live codes
+    * (earlier admissions visible via the per-batch re-read), sunk, and
+    * then admitted against the artifact's own persisted codebooks.
+    * Serving the final code table must equal the full-corpus build:
+    * shares x_sim_pq's fitted-literal dynamic oracle VERBATIM (a
+    * dropped or doubled admission misses the hash).
+    */
+  private def xStreamPqIngest(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = Similarity.pqFit(e, m = 16, ks = 16)
+    val idx = indexDir(dir, "pq_ingest")
+    val streamDir = indexDir(dir, "pq_ingest_src")
+    val ckpt = indexDir(dir, "pq_ingest_ckpt")
+    val sink = indexDir(dir, "pq_ingest_sink")
+    Seq(idx, streamDir, ckpt, sink).foreach(wipeDir)
+    graft.sources.IndexStore.writePqIndex(
+      e.filter(col("vec_id") % 3 === 0), model, idx)
+    e.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    e.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    StreamingValidate.pqIngestRun(s, streamDir, idx, 10, ckpt, sink)
+    Similarity.pqTopKFromCodes(e.filter(col("vec_id") < 5),
+        graft.sources.IndexStore.readPqCodes(s, idx), 10,
+        graft.sources.IndexStore.readPqModel(s, idx))
       .withColumn("rank", col("rank").cast(LongType))
       .orderBy("query_id", "rank")
   }
@@ -5253,7 +5375,11 @@ object SparkEntry {
     "x_stream_pipeline" -> (xStreamPipeline _),
     "x_stream_ivf_versioned" -> (xStreamIvfVersioned _),
     "x_stream_pipeline_admit" -> (xStreamPipelineAdmit _),
-    "x_sim_quantized_versioned" -> (xSimQuantizedVersioned _)
+    "x_sim_quantized_versioned" -> (xSimQuantizedVersioned _),
+    "x_sim_pq_versioned" -> (xSimPqVersioned _),
+    "x_sim_ivf_pq_versioned" -> (xSimIvfPqVersioned _),
+    "x_stream_pq_ingest" -> (xStreamPqIngest _),
+    "x_dedup_index_versioned" -> (xDedupIndexVersioned _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -5330,7 +5456,9 @@ object SparkEntry {
       "x_stream_ivf_versioned" ->
         graft.oracle.StaticOracles.sql("x_sim_ivf_topk"),
       "x_sim_quantized_versioned" ->
-        graft.oracle.StaticOracles.sql("x_sim_quantized"))
+        graft.oracle.StaticOracles.sql("x_sim_quantized"),
+      "x_dedup_index_versioned" ->
+        graft.oracle.StaticOracles.sql("x_dedup_index_append"))
 
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
     * Verify skip the generation work when a name filter excludes them.

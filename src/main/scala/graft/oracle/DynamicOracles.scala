@@ -32,9 +32,10 @@ private[graft] object DynamicOracles {
   val names: Set[String] =
     Set("x_sim_ivf_kmeans", "x_sim_kmeans_full", "x_sim_pq",
       "x_sim_pq_served", "x_sim_pq_delete", "x_sim_pq_append",
+      "x_sim_pq_versioned", "x_stream_pq_ingest",
       "x_sim_ivf_pq",
       "x_sim_ivf_pq_served", "x_sim_ivf_pq_delete",
-      "x_sim_ivf_pq_append",
+      "x_sim_ivf_pq_append", "x_sim_ivf_pq_versioned",
       "x_sample_temperature", "x_embed_pca",
       "x_zipf_ppjoin", "x_zipf_bm25", "x_zipf_substring",
       "x_sim_silhouette")
@@ -112,7 +113,8 @@ private[graft] object DynamicOracles {
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     if (want("x_sim_pq") || want("x_sim_pq_served") ||
-        want("x_sim_pq_append"))
+        want("x_sim_pq_append") || want("x_sim_pq_versioned") ||
+        want("x_stream_pq_ingest"))
       b += ("x_sim_pq" -> pqSql(""))
     if (want("x_sim_pq_delete"))
       b += ("x_sim_pq_delete" -> pqSql(" AND ec.id % 7 <> 3"))
@@ -208,7 +210,7 @@ private[graft] object DynamicOracles {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     }
     if (want("x_sim_ivf_pq") || want("x_sim_ivf_pq_served") ||
-        want("x_sim_ivf_pq_append"))
+        want("x_sim_ivf_pq_append") || want("x_sim_ivf_pq_versioned"))
       b += ("x_sim_ivf_pq" -> ivfPqSql(""))
     if (want("x_sim_ivf_pq_delete"))
       b += ("x_sim_ivf_pq_delete" -> ivfPqSql(" AND a.id % 7 <> 3"))
@@ -417,8 +419,11 @@ private[graft] object DynamicOracles {
     // oracle IS the contract); filtered like every other entry
     Seq("x_sim_pq_served" -> "x_sim_pq",
         "x_sim_pq_append" -> "x_sim_pq",
+        "x_sim_pq_versioned" -> "x_sim_pq",
+        "x_stream_pq_ingest" -> "x_sim_pq",
         "x_sim_ivf_pq_served" -> "x_sim_ivf_pq",
-        "x_sim_ivf_pq_append" -> "x_sim_ivf_pq")
+        "x_sim_ivf_pq_append" -> "x_sim_ivf_pq",
+        "x_sim_ivf_pq_versioned" -> "x_sim_ivf_pq")
       .foldLeft(m) { case (acc, (served, src)) =>
         if (want(served) && acc.contains(src)) acc + (served -> acc(src))
         else acc

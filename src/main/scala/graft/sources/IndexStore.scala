@@ -318,6 +318,80 @@ object IndexStore {
     Bucketing.compactBucketed(spark, s"${table}_bands")
   }
 
+  // -------------------------- MinHash family, versioned (round-14 #2)
+  /** The MinHash dedup index on [[VersionedBucketed]] version-pointer
+    * tables instead of swap-compacted ones — the first BUCKETED family
+    * versioned (round-14 directive #2; the flat artifacts got their
+    * manifests in rounds 13–14): both halves (`_sh` on id, `_bands` on
+    * (band, bucket)) become version families whose COMPACTION publishes
+    * a new table and repoints rather than deleting the listing a
+    * concurrent reader holds. Serve reads carry the catalog bucket
+    * metadata of the live version, so the per-batch join still reads
+    * the corpus side exchange-free (VersionedBucketedSpec re-asserts);
+    * appends stay in-place file-adds on the live version (adds never
+    * invalidate a captured listing). Content contract unchanged:
+    * x_dedup_index_versioned shares x_dedup_index_append's oracle
+    * verbatim through a build/append/compact cycle.
+    */
+  def writeDedupIndexBucketedVersioned(corpusToks: DataFrame,
+      table: String, numBuckets: Int, numHashes: Int = 32,
+      bands: Int = 16, k: Int = 3): Unit = {
+    Scratch.sweepOnce(corpusToks.sparkSession)
+    val sh = corpusToks.select(col("id"),
+      Dedup.shingleHashesFromTokens(col("toks"), k).as("sh")).cache()
+    try {
+      VersionedBucketed.write(sh, s"${table}_sh", Seq("id"), numBuckets)
+      VersionedBucketed.write(
+        Dedup.bandAssignmentsFromShingles(sh, numHashes, bands),
+        s"${table}_bands", Seq("band", "bucket"), numBuckets)
+      metaFrame(sh.sparkSession, numHashes, bands, k)
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${table}_meta")
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** (shingles, bands) of the LIVE version, bucket metadata attached;
+    * serve-time parameters validated against the build-time record.
+    */
+  def readDedupIndexBucketedVersioned(spark: SparkSession,
+      table: String, numHashes: Int = 32, bands: Int = 16, k: Int = 3)
+      : (DataFrame, DataFrame) = {
+    checkMeta(spark.table(s"${table}_meta"), table, numHashes, bands, k)
+    (VersionedBucketed.read(spark, s"${table}_sh"),
+      VersionedBucketed.read(spark, s"${table}_bands"))
+  }
+
+  /** [[appendDedupIndexBucketed]] against the live versions of both
+    * halves (in-place file adds — the delta shuffles, standing files
+    * untouched, captured listings remain valid).
+    */
+  def appendDedupIndexBucketedVersioned(deltaToks: DataFrame,
+      table: String, numHashes: Int = 32, bands: Int = 16,
+      k: Int = 3): Unit = {
+    val spark = deltaToks.sparkSession
+    checkMeta(spark.table(s"${table}_meta"), table, numHashes, bands, k)
+    val sh = deltaToks.select(col("id"),
+      Dedup.shingleHashesFromTokens(col("toks"), k).as("sh")).cache()
+    try {
+      VersionedBucketed.append(sh, s"${table}_sh")
+      VersionedBucketed.append(
+        Dedup.bandAssignmentsFromShingles(sh, numHashes, bands),
+        s"${table}_bands")
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** [[compactDedupIndexBucketed]] as version publication: each half's
+    * one-file-per-bucket rewrite lands as a NEW version table and the
+    * pointer swaps — concurrent readers keep their version's files
+    * until [[VersionedBucketed.vacuum]]. Content, layout, `_meta`
+    * untouched, so the serve answer is hash-invariant.
+    */
+  def compactDedupIndexBucketedVersioned(spark: SparkSession,
+      table: String): Unit = {
+    VersionedBucketed.compact(spark, s"${table}_sh")
+    VersionedBucketed.compact(spark, s"${table}_bands")
+  }
+
   /** Compact the standing bucketed substring gram index (one half:
     * the gram frame) — same contract as
     * [[compactDedupIndexBucketed]].
@@ -842,17 +916,22 @@ object IndexStore {
 
   /** File compaction on the versioned store: the merged batch is
     * PUBLISHED as a new version rather than swapped in place — readers
-    * holding any older version keep their files until vacuum. Unlike
-    * [[compactIvfIndex]] (which folds pending tombstones into its
-    * rewrite), this is LAYOUT-ONLY: tombstones keep masking at serve
-    * time and the dead bytes stay until an explicit
-    * [[purgeIvfIndexVersioned]] — in a store whose versions are
-    * immutable snapshots, silently erasing rows during a compact would
-    * contradict what time travel promises.
+    * holding any older version keep their files until vacuum. By
+    * default this is LAYOUT-ONLY — tombstones keep masking at serve
+    * time and the dead bytes stay until a purge publishes the excluded
+    * frame, because in a store whose versions are immutable snapshots,
+    * silently erasing rows during a compact would contradict what time
+    * travel promises. That deliberately DIVERGES from
+    * [[compactIvfIndex]] (the flat twin folds and clears pending
+    * tombstones), so the divergence is a call-site-visible FLAG
+    * (round-13 ADVICE): `purgeTombstones = true` opts into the flat
+    * twin's fold-and-clear semantics (≡ [[purgeIvfIndexVersioned]]
+    * with coalescing) for callers that want one verb for both stores.
     */
   def compactIvfIndexVersioned(spark: SparkSession, dir: String,
-      targetFiles: Int = 1): Unit =
-    VersionedFlat.compact(spark, s"$dir/enc", targetFiles)
+      targetFiles: Int = 1, purgeTombstones: Boolean = false): Unit =
+    if (purgeTombstones) purgeIvfIndexVersioned(spark, dir, targetFiles)
+    else VersionedFlat.compact(spark, s"$dir/enc", targetFiles)
 
   /** (enc of version `asOf` — 0 = current, centroids). */
   def readIvfIndexVersioned(spark: SparkSession, dir: String,
@@ -1006,9 +1085,18 @@ object IndexStore {
     * x_sim_quantized_append shares x_sim_quantized's oracle verbatim.
     */
   def appendInt8Index(delta: DataFrame, dir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    // fail loudly on an unbuilt store (round-13 ADVICE): int8 is the
+    // one artifact whose append needs no model read-back, so without
+    // this check mode("append") would silently CREATE a partial
+    // artifact where every other family's append fails
+    require(new java.io.File(s"$dir/int8.parquet").exists(),
+      s"no int8 artifact at $dir — build with writeInt8Index first " +
+        "(appending into a never-built store would silently create a " +
+        "partial corpus)")
     packedInt8(delta, idCol, vecCol)
       .write.mode("append").parquet(s"$dir/int8.parquet")
+  }
 
   /** Re-read the int8 artifact as (id, q array<double>, scale) — the
     * exact frame [[graft.ext.Similarity.quantizedTopKFromIndex]]
@@ -1138,6 +1226,95 @@ object IndexStore {
     rewriteFlatArtifact(spark, dir, "codes.parquet",
       readPqDeadIds(spark, dir), targetFiles)
 
+  // ------------------------------------------- PQ versioned (round-14)
+  /** The PQ artifact on [[VersionedFlat]] manifests — round-14
+    * directive #1, the third wiring (int8 at [[writeInt8IndexVersioned]]
+    * was the template): the (id, codes) frame lives under `dir/codes`
+    * as immutable batch dirs behind the manifest chain, so appends and
+    * compactions never mutate what a concurrent reader holds and every
+    * version stays time-travelable until vacuumed. The codebooks — the
+    * fitted MODEL — remain a plain write-once leaf exactly like the
+    * IVF centroids: deleting or admitting vectors never refits a model
+    * (a refit is a rebuild decision). Encoding is a pure per-vector
+    * function of the static model, so serving any version equals
+    * building from that version's corpus directly — x_sim_pq_versioned
+    * shares x_sim_pq's fitted-literal dynamic oracle through a
+    * write/append/compact cycle.
+    */
+  def writePqIndexVersioned(corpus: DataFrame, model: Similarity.PqModel,
+      dir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    Scratch.sweepOnce(corpus.sparkSession)
+    codebookFrame(corpus.sparkSession, model)
+      .write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+    VersionedFlat.write(
+      Similarity.pqEncode(corpus, model, idCol, vecCol)
+        .select(col("id"), col("codes")),
+      s"$dir/codes")
+  }
+
+  /** [[appendPqIndex]] on the versioned store: the delta is encoded
+    * against the artifact's OWN persisted codebooks and published as a
+    * new version (previous batches referenced, not rewritten).
+    */
+  def appendPqIndexVersioned(delta: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    VersionedFlat.append(
+      Similarity.pqEncode(delta, readPqModel(delta.sparkSession, dir),
+          idCol, vecCol)
+        .select(col("id"), col("codes")),
+      s"$dir/codes")
+
+  /** [[compactIvfIndexVersioned]]'s contract for the PQ code table:
+    * layout-only by default (tombstones keep masking; time travel
+    * keeps its bytes), fold-and-clear under the explicit flag.
+    */
+  def compactPqIndexVersioned(spark: SparkSession, dir: String,
+      targetFiles: Int = 1, purgeTombstones: Boolean = false): Unit =
+    if (purgeTombstones) purgePqIndexVersioned(spark, dir, targetFiles)
+    else VersionedFlat.compact(spark, s"$dir/codes", targetFiles)
+
+  /** The code frame of version `asOf` (0 = current). */
+  def readPqCodesVersioned(spark: SparkSession, dir: String,
+      asOf: Int = 0): DataFrame =
+    if (asOf > 0) VersionedFlat.readVersion(spark, s"$dir/codes", asOf)
+    else VersionedFlat.read(spark, s"$dir/codes")
+
+  /** The tombstone algebra on the versioned PQ store — same
+    * `dead.parquet` + anti-join-before-ranking as the flat twin, with
+    * the versioned stores' honest difference: tombstones mask serving
+    * immediately, the bytes persist in older versions until purge +
+    * vacuum (see [[deleteFromIvfIndexVersioned]]).
+    */
+  def deleteFromPqIndexVersioned(ids: DataFrame, dir: String): Unit =
+    ids.select(col("id"))
+      .write.mode("append").parquet(s"$dir/dead.parquet")
+
+  def readPqVersionedDeadIds(spark: SparkSession,
+      dir: String): DataFrame =
+    if (new java.io.File(s"$dir/dead.parquet").exists())
+      spark.read.parquet(s"$dir/dead.parquet")
+    else readPqCodesVersioned(spark, dir).select(col("id")).limit(0)
+
+  /** The current code frame minus tombstoned ids — exclusion BEFORE
+    * ADC ranking, so next-best neighbors promote in.
+    */
+  def readPqCodesVersionedLive(spark: SparkSession,
+      dir: String): DataFrame =
+    readPqCodesVersioned(spark, dir)
+      .join(readPqVersionedDeadIds(spark, dir), Seq("id"), "left_anti")
+
+  /** Publish the tombstone-excluded code frame as the next version and
+    * clear the tombstones — publish STRICTLY BEFORE the clear
+    * ([[purgeIvfIndexVersioned]]'s crash discipline).
+    */
+  def purgePqIndexVersioned(spark: SparkSession, dir: String,
+      targetFiles: Int = 1): Unit = {
+    VersionedFlat.replace(readPqCodesVersionedLive(spark, dir),
+      s"$dir/codes", targetFiles)
+    deleteDirTree(new java.io.File(s"$dir/dead.parquet"))
+  }
+
   /** Persist the COMPOSED IVF-PQ index — the 100 TB ANN architecture
     * end to end on disk: `centroids.parquet` (probe routing),
     * `codebooks.parquet` (the model), `ivfpq.parquet` (id, list_id,
@@ -1214,6 +1391,95 @@ object IndexStore {
       targetFiles: Int = 1): Unit =
     rewriteFlatArtifact(spark, dir, "ivfpq.parquet",
       readIvfPqDeadIds(spark, dir), targetFiles)
+
+  // --------------------------------------- IVF-PQ versioned (round-14)
+  /** The composed IVF-PQ artifact on [[VersionedFlat]] manifests — the
+    * last similarity artifact onto the store (round-14 directive #1):
+    * the (id, list_id, codes) frame lives under `dir/enc` behind the
+    * manifest chain; BOTH model halves (centroids for probe routing,
+    * codebooks for ADC) stay plain write-once leaves. Assignment and
+    * encoding are pure per-vector functions of the static models, so
+    * serving any version equals building from that version's corpus —
+    * x_sim_ivf_pq_versioned shares x_sim_ivf_pq's fitted-literal
+    * dynamic oracle through a write/append/compact cycle. With this,
+    * every flat similarity artifact (IVF, int8, PQ, IVF-PQ) has a
+    * reader-snapshot-safe versioned twin; the remaining versioning gap
+    * is the BUCKETED catalog families ([[VersionedBucketed]]).
+    */
+  def writeIvfPqIndexVersioned(corpus: DataFrame,
+      model: Similarity.PqModel, centroids: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    Scratch.sweepOnce(corpus.sparkSession)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    codebookFrame(corpus.sparkSession, model)
+      .write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+    VersionedFlat.write(
+      Similarity.ivfPqIndex(corpus, model, centroids, idCol, vecCol),
+      s"$dir/enc")
+  }
+
+  /** [[appendIvfPqIndex]] on the versioned store: the delta is
+    * assigned AND encoded against the artifact's own persisted model
+    * halves, published as a new version.
+    */
+  def appendIvfPqIndexVersioned(delta: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = delta.sparkSession
+    VersionedFlat.append(
+      Similarity.ivfPqIndex(delta, readPqModel(spark, dir),
+        spark.read.parquet(s"$dir/centroids.parquet"), idCol, vecCol),
+      s"$dir/enc")
+  }
+
+  /** [[compactIvfIndexVersioned]]'s contract for the IVF-PQ enc
+    * table: layout-only by default, fold-and-clear under the flag.
+    */
+  def compactIvfPqIndexVersioned(spark: SparkSession, dir: String,
+      targetFiles: Int = 1, purgeTombstones: Boolean = false): Unit =
+    if (purgeTombstones) purgeIvfPqIndexVersioned(spark, dir,
+      targetFiles)
+    else VersionedFlat.compact(spark, s"$dir/enc", targetFiles)
+
+  /** (enc of version `asOf` — 0 = current, centroids). */
+  def readIvfPqIndexVersioned(spark: SparkSession, dir: String,
+      asOf: Int = 0): (DataFrame, DataFrame) =
+    ((if (asOf > 0) VersionedFlat.readVersion(spark, s"$dir/enc", asOf)
+      else VersionedFlat.read(spark, s"$dir/enc")),
+      spark.read.parquet(s"$dir/centroids.parquet"))
+
+  /** Versioned IVF-PQ tombstones — [[deleteFromPqIndexVersioned]]'s
+    * contract; both model halves stay.
+    */
+  def deleteFromIvfPqIndexVersioned(ids: DataFrame, dir: String): Unit =
+    ids.select(col("id"))
+      .write.mode("append").parquet(s"$dir/dead.parquet")
+
+  def readIvfPqVersionedDeadIds(spark: SparkSession,
+      dir: String): DataFrame =
+    if (new java.io.File(s"$dir/dead.parquet").exists())
+      spark.read.parquet(s"$dir/dead.parquet")
+    else VersionedFlat.read(spark, s"$dir/enc")
+      .select(col("id")).limit(0)
+
+  /** (current enc minus tombstoned ids, centroids) — exclusion before
+    * probe-join and ranking.
+    */
+  def readIvfPqIndexVersionedLive(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (enc, cents) = readIvfPqIndexVersioned(spark, dir)
+    (enc.join(readIvfPqVersionedDeadIds(spark, dir), Seq("id"),
+      "left_anti"), cents)
+  }
+
+  /** Publish the tombstone-excluded enc frame as the next version and
+    * clear the tombstones (publish strictly before the clear).
+    */
+  def purgeIvfPqIndexVersioned(spark: SparkSession, dir: String,
+      targetFiles: Int = 1): Unit = {
+    VersionedFlat.replace(readIvfPqIndexVersionedLive(spark, dir)._1,
+      s"$dir/enc", targetFiles)
+    deleteDirTree(new java.io.File(s"$dir/dead.parquet"))
+  }
 
   /** Reconstruct the PqModel from the codebook artifact (bounded:
     * m·ks rows of ds doubles — driver-side by the same contract as

@@ -813,17 +813,56 @@ object StreamingValidate {
     * count = 1 + admitted batches, as-of replay equals the prefix
     * corpus).
     */
+  /** `autoCompactBatches > 0` bounds manifest growth (round-14
+    * directive #6): after an admit, when the current manifest
+    * references more than that many batch dirs,
+    * [[graft.sources.VersionedFlat.maybeCompact]] publishes one merged
+    * batch — so a long-lived ingest stream's read plans keep O(1)
+    * multi-path roots instead of one per ever-admitted batch (the
+    * measured planning-cost table is in PLANS.md §Round 14). 0 = off.
+    */
   def ivfIngestRunVersioned(spark: org.apache.spark.sql.SparkSession,
       newVecsDir: String, indexDir: String, k: Int, nProbe: Int,
-      checkpointDir: String, sinkDir: String): Unit =
+      checkpointDir: String, sinkDir: String,
+      autoCompactBatches: Int = 0): Unit =
     checkAdmitRun(spark, newVecsDir, checkpointDir, sinkDir,
       check = b => {
         val (index, cents) = graft.sources.IndexStore
           .readIvfIndexVersionedLive(spark, indexDir)
         graft.ext.Similarity.ivfTopKWith(b, index, cents, k, nProbe)
       },
-      admit = b => graft.sources.IndexStore
-        .appendIvfIndexVersioned(b, indexDir),
+      admit = b => {
+        graft.sources.IndexStore.appendIvfIndexVersioned(b, indexDir)
+        if (autoCompactBatches > 0)
+          graft.sources.VersionedFlat.maybeCompact(spark,
+            s"$indexDir/enc", autoCompactBatches): Unit
+      },
+      refreshTables = Seq.empty)
+
+  /** Check-then-admit ingestion for the PQ code artifact (round-14
+    * directive #5 — the [[ivfIngestRun]] shape for the product-
+    * quantized family, previously the only similarity artifact without
+    * a streaming admission arc): per micro-batch the arriving vectors
+    * are ADC-scored against the standing LIVE code table (codes re-read
+    * per batch so earlier admissions are visible; the codebook MODEL is
+    * re-read too — bounded m·ks rows — and never re-fitted), the check
+    * sunk STRICTLY BEFORE the batch is admitted
+    * ([[graft.sources.IndexStore.appendPqIndex]]: the delta encoded
+    * against the artifact's own persisted codebooks). With a checkpoint
+    * the run is RESUMABLE: a re-processed batch would append duplicate
+    * code rows whose doubled candidates occupy two bounded-top-k slots
+    * — x_stream_pq_ingest catches that by hash-matching the final
+    * artifact's serve against x_sim_pq's full-corpus fitted-literal
+    * oracle.
+    */
+  def pqIngestRun(spark: org.apache.spark.sql.SparkSession,
+      newVecsDir: String, indexDir: String, k: Int,
+      checkpointDir: String, sinkDir: String): Unit =
+    checkAdmitRun(spark, newVecsDir, checkpointDir, sinkDir,
+      check = b => graft.ext.Similarity.pqTopKFromCodes(b,
+        graft.sources.IndexStore.readPqCodesLive(spark, indexDir), k,
+        graft.sources.IndexStore.readPqModel(spark, indexDir)),
+      admit = b => graft.sources.IndexStore.appendPqIndex(b, indexDir),
       refreshTables = Seq.empty)
 
   def editDistanceIngestRun(spark: org.apache.spark.sql.SparkSession,

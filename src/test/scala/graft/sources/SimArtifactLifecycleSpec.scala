@@ -148,6 +148,35 @@ class SimArtifactLifecycleSpec extends SparkSpec {
       "run 2's checks must see run 1's admitted vectors")
   }
 
+  test("pqIngestRun admits exactly once across a checkpointed " +
+      "restart; run 2's checks see run 1's admissions") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val model = Similarity.pqFit(e, m = 8, ks = 16)
+    val idx = tmp("pqing")
+    val src = tmp("pqing_src")
+    val ckpt = tmp("pqing_ckpt")
+    val sink = tmp("pqing_sink")
+    IndexStore.writePqIndex(e.filter(col("vec_id") % 3 === 0), model,
+      idx)
+    e.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    StreamingValidate.pqIngestRun(spark, src, idx, 5, ckpt, sink)
+    e.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(src)
+    StreamingValidate.pqIngestRun(spark, src, idx, 5, ckpt, sink)
+    // a re-processed file A would double the % 3 = 1 code rows
+    val codes = IndexStore.readPqCodes(spark, idx)
+    assert(codes.count() === e.count(),
+      "exactly one code row per corpus vector after the restart")
+    assert(codes.groupBy(col("id")).count().filter(col("count") > 1)
+      .count() === 0, "no vector admitted twice")
+    // run 2's batch was checked AGAINST run 1's admissions
+    val checks = spark.read.parquet(sink)
+    assert(checks.filter(col("query_id") % 3 === 2 &&
+      col("neighbor_id") % 3 === 1).count() > 0,
+      "run 2's checks must see run 1's admitted vectors")
+  }
+
   test("versioned ingest: every admitted batch publishes a version; " +
       "as-of replays the prefix corpus; restart admits exactly once") {
     val e = Tables.load(spark, dir, "embeddings")
@@ -181,6 +210,30 @@ class SimArtifactLifecycleSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("versioned ingest with a compaction cadence: manifest roots " +
+      "stay bounded while admissions remain exactly-once") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val idx = tmp("ivfvercad")
+    val src = tmp("ivfvercad_src")
+    val ckpt = tmp("ivfvercad_ckpt")
+    val sink = tmp("ivfvercad_sink")
+    IndexStore.writeIvfIndexVersioned(e.filter(col("vec_id") % 3 === 0),
+      Similarity.firstIdCentroids(e, 16), idx)
+    e.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    e.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(src)
+    StreamingValidate.ivfIngestRunVersioned(spark, src, idx, 5, 4,
+      ckpt, sink, autoCompactBatches = 1)
+    assert(VersionedFlat.batchCount(s"$idx/enc") === 1,
+      "the cadence must hold the current manifest at one batch root")
+    val cur = IndexStore.readIvfIndexVersioned(spark, idx)._1
+    assert(cur.count() === e.count(),
+      "auto-compaction must not drop or double any admission")
+    assert(cur.groupBy(col("id")).count().filter(col("count") > 1)
+      .count() === 0)
+  }
+
   test("versioned int8: the packed tinyint schema survives every " +
       "version including the compacted merge; decode matches flat") {
     val e = Tables.load(spark, dir, "embeddings")
@@ -200,6 +253,84 @@ class SimArtifactLifecycleSpec extends SparkSpec {
     assert(rows(IndexStore.readInt8IndexVersioned(spark, idx)) ===
       rows(IndexStore.readInt8Index(spark, flat)),
       "versioned decode must equal the flat artifact's")
+  }
+
+  test("versioned PQ: version chain, time travel to the evens " +
+      "snapshot, layout-only compact keeps tombstones, purge " +
+      "serve-invariant") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val model = Similarity.pqFit(e, m = 8, ks = 16)
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val odds = e.filter(col("vec_id") % 2 === 1)
+    val pq = tmp("pqver")
+    val ref = tmp("pqverref")
+    IndexStore.writePqIndexVersioned(evens, model, pq)
+    IndexStore.appendPqIndexVersioned(odds, pq)
+    assert(VersionedFlat.currentVersion(s"$pq/codes") === 2,
+      "build + one version per admitted batch")
+    // time travel: version 1 is exactly the evens-only encode
+    val v1 = IndexStore.readPqCodesVersioned(spark, pq, asOf = 1)
+    assert(v1.filter(col("id") % 2 === 1).count() === 0)
+    assert(v1.count() === evens.count())
+    IndexStore.compactPqIndexVersioned(spark, pq) // v3, one batch
+    assert(VersionedFlat.currentVersion(s"$pq/codes") === 3)
+    IndexStore.writePqIndex(e, model, ref)
+    assert(rows(IndexStore.readPqCodesVersioned(spark, pq)) ===
+      rows(IndexStore.readPqCodes(spark, ref)),
+      "versioned write/append/compact must equal the one-shot build")
+    // tombstones mask serving; the default compact is LAYOUT-ONLY
+    val dead = e.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id").as("id"))
+    IndexStore.deleteFromPqIndexVersioned(dead, pq)
+    def liveIds(): Set[Long] = IndexStore
+      .readPqCodesVersionedLive(spark, pq)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val masked = liveIds()
+    assert(!masked.exists(_ % 7 == 3))
+    IndexStore.compactPqIndexVersioned(spark, pq) // layout-only
+    assert(new java.io.File(s"$pq/dead.parquet").exists(),
+      "the default versioned compact must NOT clear tombstones")
+    assert(liveIds() === masked)
+    IndexStore.compactPqIndexVersioned(spark, pq,
+      purgeTombstones = true)
+    assert(!new java.io.File(s"$pq/dead.parquet").exists(),
+      "purgeTombstones = true must fold and clear")
+    assert(liveIds() === masked, "purge must be serve-invariant")
+  }
+
+  test("versioned IVF-PQ: version chain, time travel, delete under " +
+      "versioning with exclusion before ranking, purge invariant") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val model = Similarity.pqFit(e, m = 8, ks = 16)
+    val cents = Similarity.firstIdCentroids(e, 8)
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val odds = e.filter(col("vec_id") % 2 === 1)
+    val idx = tmp("ivfpqver")
+    val ref = tmp("ivfpqverref")
+    IndexStore.writeIvfPqIndexVersioned(evens, model, cents, idx)
+    IndexStore.appendIvfPqIndexVersioned(odds, idx)
+    assert(VersionedFlat.currentVersion(s"$idx/enc") === 2)
+    val v1 = IndexStore.readIvfPqIndexVersioned(spark, idx, asOf = 1)._1
+    assert(v1.filter(col("id") % 2 === 1).count() === 0)
+    IndexStore.compactIvfPqIndexVersioned(spark, idx)
+    IndexStore.writeIvfPqIndex(e, model, cents, ref)
+    assert(rows(IndexStore.readIvfPqIndexVersioned(spark, idx)._1) ===
+      rows(IndexStore.readIvfPqIndex(spark, ref)._1),
+      "versioned write/append/compact must equal the one-shot build")
+    val dead = e.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id").as("id"))
+    IndexStore.deleteFromIvfPqIndexVersioned(dead, idx)
+    val queries = e.filter(col("vec_id") < 5)
+    def serve(): Seq[String] = {
+      val (enc, cn) = IndexStore.readIvfPqIndexVersionedLive(spark, idx)
+      rows(Similarity.ivfPqTopKFromIndex(queries, enc, cn,
+        IndexStore.readPqModel(spark, idx), 10, nProbe = 4))
+    }
+    val expected = serve()
+    IndexStore.purgeIvfPqIndexVersioned(spark, idx)
+    assert(!new java.io.File(s"$idx/dead.parquet").exists())
+    assert(serve() === expected,
+      "post-purge serve must equal the tombstone-excluded serve")
   }
 
   test("law: int8 and PQ append-folds over ANY batch decomposition " +
