@@ -3,17 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch in-JVM A/B (not part of the harness contract): the
-  * distributed per-iteration BPE merge learner vs the single-task
-  * indexed trainer, on a generated histogram of ≥1M DISTINCT words
+/** Scratch in-JVM A/B (not part of the harness contract): the three
+  * BPE merge learners — full-reaggregation distributed, DELTA
+  * distributed (round-14: only winner-containing words re-counted,
+  * folded into a standing pair histogram), and the single-task
+  * indexed trainer — on a generated histogram of ≥1M DISTINCT words
   * (the scale the round-12 verdict flagged the single-task
-  * `repartition(1)` for). Sequences asserted IDENTICAL each rep; the
-  * honest expectation is that the single-task trainer WINS wall-clock
-  * on anything that fits one task (its incremental index touches only
-  * affected words per merge, while the distributed step re-aggregates
-  * the full histogram every iteration) — the distributed path buys
-  * MEMORY headroom (no single-task O(vocab) heap residency), not
-  * speed. The numbers land in PLANS.md with that framing.
+  * `repartition(1)` for). Sequences asserted IDENTICAL each rep. The
+  * round-13 expectation was honest: the single-task trainer wins
+  * anything that fits one task; the delta path's job is to close most
+  * of that 5× gap while keeping the no-single-task-heap property. The
+  * numbers land in PLANS.md with that framing.
   */
 object BpeDistAB {
   def main(args: Array[String]): Unit = {
@@ -49,11 +49,16 @@ object BpeDistAB {
       val dist = run(s"rep$rep distributed", () =>
         graft.ext.TextAnalysis.learnBpeMergesDistributed(hist, nMerges,
           minCount = 2L))
+      val delta = run(s"rep$rep dist-delta", () =>
+        graft.ext.TextAnalysis.learnBpeMergesDistributedDelta(hist,
+          nMerges, minCount = 2L))
       val single = run(s"rep$rep single-task", () =>
         graft.ext.TextAnalysis.learnBpeMergesFromHistogram(hist, nMerges,
           minCount = 2L))
       require(dist == single,
         s"merge sequences must be identical:\n$dist\nvs\n$single")
+      require(delta == single,
+        s"delta merge sequence must be identical:\n$delta\nvs\n$single")
     }
     spark.stop()
   }

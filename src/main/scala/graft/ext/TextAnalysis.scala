@@ -218,7 +218,9 @@ object TextAnalysis {
     * price of nMerges shuffle rounds (the honest trade: BpeDistAB
     * measures the single-task trainer FASTER on every
     * fits-in-one-task histogram, ~1M distinct words included — use
-    * this variant for memory, never speed).
+    * this variant for memory, never speed; or better, use
+    * [[learnBpeMergesDistributedDelta]], which keeps the memory
+    * property and cuts the per-merge work to the affected words).
     *
     * State is `localCheckpoint`ed per iteration (the duplicateClusters
     * discipline — lineage would otherwise deepen by one fold per
@@ -270,6 +272,108 @@ object TextAnalysis {
       }
     }
     out.toSeq.toDF()
+  }
+
+  /** [[learnBpeMergesDistributed]] with the per-iteration cost cut to
+    * the DELTA (round-14 directive #4 — the classic incremental-BPE
+    * fix, distributed): a standing (l, r, c) pair histogram is built
+    * ONCE from the full corpus histogram; each merge then (1) argmaxes
+    * over the standing pairs, (2) re-counts pairs for ONLY the words
+    * that actually contain the winning adjacency — negated
+    * before-counts and positive after-counts — and (3) folds that
+    * delta into the standing histogram (union + re-aggregate, dropping
+    * exact zeros; zero-dropping is safe because a dropped pair has no
+    * remaining occurrence, so any later contribution re-enters with a
+    * correct base of 0). The word frame is rewritten per merge only
+    * where the winner occurs (a lazily-evaluated CASE branch); every
+    * other word's symbols and pair contributions are never recomputed.
+    *
+    * This is exactly why [[BpeTrainer]]'s incremental index wins
+    * in-task — transplanted to the distributed setting: per-iteration
+    * shuffle work drops from O(corpus adjacencies) to O(standing
+    * distinct pairs + affected-word adjacencies). The full
+    * re-aggregation variant ([[learnBpeMergesDistributed]]) is kept as
+    * the law baseline; Round13PropSpec pins all three paths to
+    * identical merge sequences on random histograms, and BpeDistAB
+    * measures the delta path against both at the 1M-distinct-word
+    * scale (the numbers live in PLANS.md §Round 14).
+    *
+    * State (`syms` words and the pair histogram) is
+    * `localCheckpoint`ed per iteration; the argmax tie-break collects
+    * ties-at-max only and uses the trainer's own Scala-string
+    * comparator, like the baseline.
+    */
+  def learnBpeMergesDistributedDelta(hist: DataFrame, nMerges: Int,
+      minCount: Long): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 65536, s"bad nMerges $nMerges")
+    require(minCount >= 1L, s"bad minCount $minCount")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    def pairCounts(words: DataFrame): DataFrame = {
+      val n = greatest(size(col("syms")) - 1, lit(0))
+      words
+        .select(explode(zip_with(slice(col("syms"), lit(1), n),
+            slice(col("syms"), lit(2), n),
+            (x, y) => struct(x.as("l"), y.as("r")))).as("p"),
+          col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+    }
+    var words = hist
+      .select(regexp_extract_all(col("w").cast("string"),
+        lit("(?s)."), lit(0)).as("syms"), col("cnt").cast("long"))
+      .localCheckpoint(true)
+    // the ONE corpus-sized aggregation; kept UNFILTERED — dropping
+    // sub-minCount rows would lose the base a later negative delta
+    // subtracts from (only exact zeros may go)
+    var pairs = pairCounts(words).localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var r = 1L
+    var stop = false
+    while (r <= nMerges && !stop) {
+      val anyTop = pairs.filter(col("c") >= minCount)
+        .orderBy(col("c").desc).limit(1).collect()
+      if (anyTop.isEmpty) stop = true
+      else {
+        val mx = anyTop(0).getLong(2)
+        val (bl, br) = pairs.filter(col("c") === mx)
+          .select(col("l"), col("r")).collect()
+          .map(x => (x.getString(0), x.getString(1)))
+          .minBy(identity)
+        out += BpeMerge(r, bl, br, bl + br, mx)
+        val hit = hasAdjacentPair(col("syms"), bl, br)
+        val affected = words.filter(hit).cache()
+        try {
+          val delta = pairCounts(affected)
+            .select(col("l"), col("r"), (-col("c")).as("c"))
+            .unionByName(pairCounts(affected.select(
+              mergePairExpr(col("syms"), bl, br).as("syms"),
+              col("cnt"))))
+          pairs = pairs.unionByName(delta)
+            .groupBy(col("l"), col("r")).agg(sum(col("c")).as("c"))
+            .filter(col("c") =!= 0)
+            .localCheckpoint(true)
+          words = words
+            .select(when(hasAdjacentPair(col("syms"), bl, br),
+                mergePairExpr(col("syms"), bl, br))
+              .otherwise(col("syms")).as("syms"), col("cnt"))
+            .localCheckpoint(true)
+        } finally { affected.unpersist(blocking = false); () }
+        r += 1
+      }
+    }
+    out.toSeq.toDF()
+  }
+
+  /** True when the symbol array contains the ADJACENT pair (l, r) —
+    * the delta learner's affected-word predicate (cheap: one
+    * slice-zip pass per word, no aggregation).
+    */
+  private def hasAdjacentPair(syms: Column, l: String,
+      r: String): Column = {
+    val n = greatest(size(syms) - 1, lit(0))
+    exists(zip_with(slice(syms, lit(1), n), slice(syms, lit(2), n),
+      (x, y) => x === lit(l) && y === lit(r)), p => p)
   }
 
   /** Leftmost-first non-overlapping application of one merge (l, r) to

@@ -82,10 +82,12 @@ class Round13PropSpec extends SparkSpec {
       def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2),
           r.getString(3), r.getLong(4))).toList.sortBy(_._1)
+      val single = rows(TextAnalysis.learnBpeMergesFromHistogram(df,
+        nMerges, minCount))
       rows(TextAnalysis.learnBpeMergesDistributed(df, nMerges,
-        minCount)) ==
-        rows(TextAnalysis.learnBpeMergesFromHistogram(df, nMerges,
-          minCount))
+        minCount)) == single &&
+        rows(TextAnalysis.learnBpeMergesDistributedDelta(df, nMerges,
+          minCount)) == single
     })
   }
 }

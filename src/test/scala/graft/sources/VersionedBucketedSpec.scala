@@ -1,0 +1,150 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The version-pointer bucketed store's contract (round-14 directive
+  * #2): compaction publishes a new table and repoints instead of
+  * deleting the listing a concurrent reader holds — snapshot isolation
+  * for captured frames, the exchange-free serve plan preserved across
+  * versions, crash-orphan recovery, vacuum as the only deleter.
+  */
+class VersionedBucketedSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => flatten(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive
+        .QueryStageExec => q +: flatten(q.plan)
+    case other => other +: other.children.flatMap(flatten)
+  }
+
+  private def dropFamily(family: String): Unit = {
+    spark.catalog.listTables().collect()
+      .filter(_.name.toLowerCase.startsWith(family.toLowerCase))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `${t.name}`"))
+  }
+
+  test("write/append/compact: content invariant, version chain " +
+      "advances, per-bucket file count drops to one") {
+    val fam = "vb_basic"
+    try {
+      val o = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_custkey"))
+      VersionedBucketed.write(o.filter(col("id") % 2 === 0), fam,
+        Seq("id"), 4)
+      assert(VersionedBucketed.currentVersion(spark, fam) === 1)
+      VersionedBucketed.append(o.filter(col("id") % 2 === 1), fam)
+      assert(VersionedBucketed.currentVersion(spark, fam) === 1,
+        "appends are in-place on the live version")
+      val before = Bucketing.dataFileCount(spark, s"${fam}__v1")
+      assert(before > 4, "build + append must leave > 1 file per bucket")
+      VersionedBucketed.compact(spark, fam)
+      assert(VersionedBucketed.currentVersion(spark, fam) === 2)
+      assert(Bucketing.dataFileCount(spark, s"${fam}__v2") === 4,
+        "the compacted version must hold one file per non-empty bucket")
+      assert(VersionedBucketed.read(spark, fam).count() === o.count(),
+        "compaction must not change content")
+    } finally dropFamily("vb_basic")
+  }
+
+  test("snapshot isolation: a reader frame captured before the " +
+      "compaction still collects after it (old files undeleted)") {
+    val fam = "vb_snap"
+    try {
+      val o = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_custkey"))
+      VersionedBucketed.write(o, fam, Seq("id"), 4)
+      VersionedBucketed.append(o.select((col("id") + 1000000L).as("id"),
+        col("o_custkey")), fam)
+      // the long-running reader captures the live version's listing
+      val captured = VersionedBucketed.read(spark, fam)
+      val want = o.count() * 2
+      VersionedBucketed.compact(spark, fam)
+      assert(captured.count() === want,
+        "the pre-compaction capture must still collect after it — " +
+          "the property the catalog swap could never give")
+      assert(VersionedBucketed.read(spark, fam).count() === want)
+      // physical reclamation happens at vacuum, not compact
+      VersionedBucketed.vacuum(spark, fam, retain = 1)
+      assert(!spark.catalog.tableExists(s"${fam}__v1"),
+        "vacuum must drop the superseded version table")
+      assert(VersionedBucketed.read(spark, fam).count() === want)
+    } finally dropFamily("vb_snap")
+  }
+
+  test("a compaction that crashed between table-create and pointer " +
+      "swap leaves an orphan the next compact recovers") {
+    val fam = "vb_crash"
+    try {
+      val o = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_custkey"))
+      VersionedBucketed.write(o, fam, Seq("id"), 4)
+      // simulate the crash: v2 table exists (even with WRONG content),
+      // pointer still at 1
+      Bucketing.writeBucketed(o.limit(3), s"${fam}__v2", Seq("id"), 4)
+      assert(VersionedBucketed.currentVersion(spark, fam) === 1)
+      assert(VersionedBucketed.read(spark, fam).count() === o.count(),
+        "readers must resolve the pointer, never the orphan")
+      VersionedBucketed.compact(spark, fam) // recovers, then publishes v2
+      assert(VersionedBucketed.currentVersion(spark, fam) === 2)
+      assert(VersionedBucketed.read(spark, fam).count() === o.count(),
+        "the recovered compact must publish the REAL rewrite as v2")
+    } finally dropFamily("vb_crash")
+  }
+
+  test("versioned MinHash family: serve join over the live version " +
+      "reads the corpus side in place after a versioned compaction") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val fam = "vb_dedup"
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      IndexStore.writeDedupIndexBucketedVersioned(docs, fam,
+        numBuckets = 8, k = 5)
+      IndexStore.appendDedupIndexBucketedVersioned(
+        docs.select((col("id") + 500000L).as("id"), col("toks")), fam,
+        k = 5)
+      IndexStore.compactDedupIndexBucketedVersioned(spark, fam)
+      assert(VersionedBucketed.currentVersion(spark, s"${fam}_bands")
+        === 2)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val corpus = VersionedBucketed.read(spark, s"${fam}_bands")
+        .select(col("id").as("corpus_id"), col("band"), col("bucket"))
+      val batch = graft.ext.Dedup.bandAssignmentsFromShingles(
+          docs.select((col("id") + 900000L).as("id"),
+            graft.ext.Dedup.shingleHashesFromTokens(col("toks"), 5)
+              .as("sh")),
+          32, 16)
+        .select(col("id").as("new_id"), col("band").as("band_n"),
+          col("bucket").as("bucket_n"))
+      val joined = batch.join(corpus,
+        col("band_n") === col("band") &&
+          col("bucket_n") === col("bucket"))
+      assert(joined.count() > 0, "twin batch must hit corpus buckets")
+      val all = flatten(joined.queryExecution.executedPlan)
+      def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan) =
+        p match {
+          case s: FileSourceScanExec => s.tableIdentifier.exists(
+            _.table.toLowerCase == s"${fam}_bands__v2")
+          case _ => false
+        }
+      val offending = all.collect { case e: ShuffleExchangeExec
+        if flatten(e.child).exists(isIndexScan) => e }
+      assert(offending.isEmpty,
+        "the live version's corpus side must read in place")
+      assert(all.exists(isIndexScan),
+        "the join must read the live version's bucketed table")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      dropFamily("vb_dedup")
+    }
+  }
+}
