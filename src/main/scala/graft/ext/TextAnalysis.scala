@@ -294,9 +294,22 @@ object TextAnalysis {
     * distinct pairs + affected-word adjacencies). The full
     * re-aggregation variant ([[learnBpeMergesDistributed]]) is kept as
     * the law baseline; Round13PropSpec pins all three paths to
-    * identical merge sequences on random histograms, and BpeDistAB
-    * measures the delta path against both at the 1M-distinct-word
-    * scale (the numbers live in PLANS.md §Round 14).
+    * identical merge sequences on random histograms.
+    *
+    * Honest measurement (BpeDistAB, 1M distinct words, 8 merges, full
+    * table in PLANS.md §Round 14): the delta path wins the full
+    * re-aggregation by ~1.2× (25 s vs 30 s), NOT the 5× hoped for —
+    * removing the per-merge corpus explode exposed the next floor, the
+    * per-merge rewrite + eager materialization of the 1M-row symbol
+    * frame (~2.5 s/merge) plus fixed multi-job scheduling. Two
+    * attempted fixes measured WORSE and were reverted: chaining the
+    * rewrites lazily (stacked O(|w|) fold expressions re-evaluate per
+    * scan — 16× slower) and a base+overrides split state (per-merge
+    * broadcast builds and extra join layers cost more than the
+    * materialization they saved — 1.7× slower). The single-task
+    * trainer stays ~5× ahead on any histogram that fits one task; the
+    * delta variant's claim remains memory headroom with the least
+    * distributed overhead, not parity.
     *
     * State (`syms` words and the pair histogram) is
     * `localCheckpoint`ed per iteration; the argmax tie-break collects
