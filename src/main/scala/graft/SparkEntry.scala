@@ -649,6 +649,48 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** [[xStreamDedupResume]]'s two-run restart arc over the VERSIONED
+    * MinHash family (StreamingValidate.nearDupIngestRunVersioned),
+    * with a versioned COMPACTION interleaved between the runs — the
+    * full cluster choreography: run 1 checks + admits file A into the
+    * live version tables, the compaction publishes new version tables
+    * and repoints (what run 1's checkpoint state or any concurrent
+    * reader holds stays on disk), run 2 resumes and probes file B
+    * against base ∪ A through the NEW live version. The probe rows
+    * are exactly x_dedup_index_append's answer, shared verbatim —
+    * admit-exactly-once, compaction content-invariance, and live-name
+    * re-resolution all have to hold at once for the hash to match.
+    */
+  private def xStreamDedupVersioned(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val fileA = base.select((col("id") + AppendDeltaOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val fileB = base.select((col("id") + IncrementalTwinOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.6).cast("int")).as("toks"))
+    val streamDir = indexDir(dir, "dedup_ver_stream")
+    val ckpt = indexDir(dir, "dedup_ver_ckpt")
+    val sink = indexDir(dir, "dedup_ver_sink")
+    Seq(streamDir, ckpt, sink).foreach(wipeDir)
+    val tbl = indexTable(dir, "sidxvst")
+    graft.sources.IndexStore.writeDedupIndexBucketedVersioned(base, tbl,
+      numBuckets = 8, k = 5)
+    fileA.coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.nearDupIngestRunVersioned(s, streamDir, tbl, ckpt,
+      sink, threshold = 0.5, k = 5)
+    graft.sources.IndexStore.compactDedupIndexBucketedVersioned(s, tbl)
+    fileB.coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.nearDupIngestRunVersioned(s, streamDir, tbl, ckpt,
+      sink, threshold = 0.5, k = 5)
+    s.read.parquet(sink)
+      .filter(col("new_id") >= IncrementalTwinOffset &&
+        col("corpus_id") < IncrementalTwinOffset)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Incremental C2/K1 served from a persisted bucketed KEY INDEX
     * ([[graft.sources.IndexStore.writeKeyIndexBucketed]]) — the
     * validation-core twin of the dedup index arc: a growing table's
@@ -835,6 +877,35 @@ object SparkEntry {
     graft.sources.IndexStore.compactKeyIndexBucketed(s, tbl)
     val idx = graft.sources.IndexStore.readKeyIndexBucketed(s, tbl,
       Seq("o_orderkey"))
+    Checks.uniqueAgainstIndex(batch2, idx, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  /** [[xUniqueIndexAppend]]'s arc over the VERSIONED key index — the
+    * validation core on graft.sources.VersionedBucketed: history
+    * built, batch 1 admitted as new LSM rows into the live version,
+    * and the merge-compaction (split rows re-aggregated, zero-total
+    * keys dropped) PUBLISHED as a new version table rather than
+    * swapped in place. Batch 2's check against the new live version
+    * must equal the flat path's answer exactly: shares
+    * x_unique_index_append's oracle VERBATIM.
+    */
+  private def xUniqueIndexVersioned(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+    val batch1 = base.filter(col("o_orderkey") % 3 === 0)
+      .select((col("o_orderkey") + 2L * KeyFreshOffset).as("o_orderkey"))
+    val batch2 = base.filter(col("o_orderkey") % 6 === 0)
+      .select((col("o_orderkey") + 2L * KeyFreshOffset).as("o_orderkey"))
+      .unionByName(base.filter(col("o_orderkey") % 10 === 1)
+        .select("o_orderkey"))
+    val tbl = indexTable(dir, "keyver")
+    graft.sources.IndexStore.writeKeyIndexBucketedVersioned(base, tbl,
+      Seq("o_orderkey"), numBuckets = 8)
+    graft.sources.IndexStore.appendKeyIndexBucketedVersioned(batch1,
+      tbl, Seq("o_orderkey"))
+    graft.sources.IndexStore.compactKeyIndexBucketedVersioned(s, tbl)
+    val idx = graft.sources.IndexStore.readKeyIndexBucketedVersioned(s,
+      tbl, Seq("o_orderkey"))
     Checks.uniqueAgainstIndex(batch2, idx, Seq("o_orderkey"))
       .orderBy("o_orderkey")
   }
@@ -5379,7 +5450,9 @@ object SparkEntry {
     "x_sim_pq_versioned" -> (xSimPqVersioned _),
     "x_sim_ivf_pq_versioned" -> (xSimIvfPqVersioned _),
     "x_stream_pq_ingest" -> (xStreamPqIngest _),
-    "x_dedup_index_versioned" -> (xDedupIndexVersioned _)
+    "x_dedup_index_versioned" -> (xDedupIndexVersioned _),
+    "x_stream_dedup_versioned" -> (xStreamDedupVersioned _),
+    "x_unique_index_versioned" -> (xUniqueIndexVersioned _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -5458,7 +5531,11 @@ object SparkEntry {
       "x_sim_quantized_versioned" ->
         graft.oracle.StaticOracles.sql("x_sim_quantized"),
       "x_dedup_index_versioned" ->
-        graft.oracle.StaticOracles.sql("x_dedup_index_append"))
+        graft.oracle.StaticOracles.sql("x_dedup_index_append"),
+      "x_stream_dedup_versioned" ->
+        graft.oracle.StaticOracles.sql("x_dedup_index_append"),
+      "x_unique_index_versioned" ->
+        graft.oracle.StaticOracles.sql("x_unique_index_append"))
 
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
     * Verify skip the generation work when a name filter excludes them.

@@ -775,6 +775,65 @@ object IndexStore {
         .filter(col("n") =!= 0)
     })
 
+  // ------------------------- key index, versioned (round-14 #2 cont.)
+  /** The KEY index — the validation core's family — on
+    * [[VersionedBucketed]]: same LSM semantics (append = new per-key
+    * count rows; deletes = negated counts; every serve sums per key),
+    * but the merge-compaction publishes a NEW version table and
+    * repoints instead of swap-dropping the listing concurrent readers
+    * hold. x_unique_index_versioned shares x_unique_index_append's
+    * oracle verbatim — the serve answer is invariant under where the
+    * merged rows physically live.
+    */
+  def writeKeyIndexBucketedVersioned(df: DataFrame, table: String,
+      keys: Seq[String], numBuckets: Int): Unit = {
+    Scratch.sweepOnce(df.sparkSession)
+    VersionedBucketed.write(keyCounts(df, keys), s"${table}_keys",
+      keys, numBuckets)
+    df.sparkSession.range(1).select(lit(keys.mkString(",")).as("keys"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_meta")
+  }
+
+  def appendKeyIndexBucketedVersioned(delta: DataFrame, table: String,
+      keys: Seq[String]): Unit = {
+    checkKeyMeta(delta.sparkSession, table, keys)
+    VersionedBucketed.append(keyCounts(delta, keys), s"${table}_keys")
+  }
+
+  /** RAW LSM rows of the live version — consumers merge per key, like
+    * [[readKeyIndexBucketed]].
+    */
+  def readKeyIndexBucketedVersioned(spark: SparkSession, table: String,
+      keys: Seq[String]): DataFrame = {
+    checkKeyMeta(spark, table, keys)
+    VersionedBucketed.read(spark, s"${table}_keys")
+  }
+
+  /** Negated-count tombstones into the live version
+    * ([[deleteFromKeyIndexBucketed]]'s contract).
+    */
+  def deleteFromKeyIndexBucketedVersioned(deleted: DataFrame,
+      table: String, keys: Seq[String]): Unit = {
+    checkKeyMeta(deleted.sparkSession, table, keys)
+    VersionedBucketed.append(
+      keyCounts(deleted, keys).withColumn("n", -col("n")),
+      s"${table}_keys")
+  }
+
+  /** The LSM merge-compaction as version publication: split rows
+    * re-aggregate, zero-total keys (collapsed tombstones) drop, and
+    * the result lands as a new version table — readers of the old
+    * version keep their files until vacuum.
+    */
+  def compactKeyIndexBucketedVersioned(spark: SparkSession,
+      table: String): Unit =
+    VersionedBucketed.compact(spark, s"${table}_keys", df => {
+      val keys = df.columns.filter(_ != "n").toSeq
+      df.groupBy(keys.map(df(_)): _*).agg(sum(col("n")).as("n"))
+        .filter(col("n") =!= 0)
+    })
+
   /** Build + persist the IVF index under an explicit centroid frame
     * (pass [[Similarity.firstIdCentroids]] output for the
     * deterministic plumbing path or [[Similarity.kmeansCentroids]]

@@ -735,6 +735,40 @@ object StreamingValidate {
       refreshTables =
         Seq(s"${indexTable}_sh", s"${indexTable}_bands"))
 
+  /** [[nearDupIngestRun]] over the VERSIONED MinHash family
+    * ([[graft.sources.VersionedBucketed]] — round-14 directive #2's
+    * streaming arc): checks read the LIVE version of both halves per
+    * micro-batch, admits append in-place into the live version tables
+    * (file adds — captured listings stay valid), and a versioned
+    * COMPACTION interleaved between runs repoints without touching
+    * what this stream or any reader holds. Check semantics, restart
+    * safety, and the admit-exactly-once proof are identical to the
+    * flat-family run's — x_stream_dedup_versioned shares
+    * x_dedup_index_append's oracle verbatim. The live table names are
+    * resolved at run start: versions only change at compaction, which
+    * is not part of a run.
+    */
+  def nearDupIngestRunVersioned(spark: org.apache.spark.sql.SparkSession,
+      newDocsDir: String, indexTable: String, checkpointDir: String,
+      sinkDir: String, threshold: Double = 0.7, numHashes: Int = 32,
+      bands: Int = 16, k: Int = 3): Unit =
+    checkAdmitRun(spark, newDocsDir, checkpointDir, sinkDir,
+      check = b => {
+        val (sh, bandIdx) = graft.sources.IndexStore
+          .readDedupIndexBucketedVersioned(spark, indexTable,
+            numHashes, bands, k)
+        graft.ext.Dedup.nearDuplicatesAgainstIndex(b, sh, bandIdx,
+          threshold, numHashes, bands, k)
+      },
+      admit = b => graft.sources.IndexStore
+        .appendDedupIndexBucketedVersioned(b, indexTable, numHashes,
+          bands, k),
+      refreshTables = Seq(
+        graft.sources.VersionedBucketed.liveName(spark,
+          s"${indexTable}_sh"),
+        graft.sources.VersionedBucketed.liveName(spark,
+          s"${indexTable}_bands")))
+
   /** The edit-distance twin of [[nearDupIngestRun]]: resumable
     * check-then-admit over the PassJoin index — per batch, `(id, s)`
     * strings are screened against the standing three-table index and
