@@ -2178,6 +2178,32 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** [[xDedupSubstringCompact]] on the VERSIONED gram table
+    * (graft.sources.VersionedBucketed): the compaction between append
+    * and serve publishes a new version and repoints instead of
+    * swap-dropping the reader-held listing. Shares
+    * x_dedup_substring_append's oracle verbatim.
+    */
+  private def xDedupSubstringVersioned(s: SparkSession, dir: String): DataFrame = {
+    val base = substringBase(s, dir)
+    val delta = base.filter(col("id") < 40)
+      .select((col("id") + SubstringDeltaOffset).as("id"),
+        slice(col("toks"), lit(1),
+          floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val tbl = indexTable(dir, "subver")
+    graft.sources.IndexStore.writeSubstringIndexBucketedVersioned(base,
+      tbl, numBuckets = 8, k = 8)
+    graft.sources.IndexStore.appendSubstringIndexBucketedVersioned(
+      delta, tbl, k = 8)
+    graft.sources.IndexStore.compactSubstringIndexBucketedVersioned(s,
+      tbl)
+    val grams = graft.sources.IndexStore
+      .readSubstringIndexBucketedVersioned(s, tbl, k = 8)
+    Dedup.sharedSubstringRunsAgainst(substringPlanted(base), grams,
+        minRunLen = 30, k = 8)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** x_dedup_substring_served's contract driven through a REAL file
     * stream: the planted batch lands as 4 parquet part files, each
     * screened as its own micro-batch against the standing bucketed
@@ -3104,6 +3130,29 @@ object SparkEntry {
     graft.sources.IndexStore.compactPhashIndexBucketed(s, tbl)
     val idx = graft.sources.IndexStore.readPhashIndexBucketed(s, tbl,
       bands = 8)
+    Multimodal.phashNearDuplicatesAgainst(
+        hashes.filter(col("id") % 2 === 1).select(col("id"), col("dhash")),
+        idx, bands = 8, maxDist = 7)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** [[xMmPhashCompact]] on the VERSIONED band table. Shares
+    * x_mm_phash_served's oracle verbatim.
+    */
+  private def xMmPhashVersioned(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val hashes = Multimodal.perceptualHash(
+      Multimodal.synthesizeNearDupImages(d, "doc_id", every = 5))
+    val tbl = indexTable(dir, "phver")
+    graft.sources.IndexStore.writePhashIndexBucketedVersioned(
+      hashes.filter(col("id") % 4 === 0).select(col("id"), col("dhash")),
+      tbl, numBuckets = 8, bands = 8)
+    graft.sources.IndexStore.appendPhashIndexBucketedVersioned(
+      hashes.filter(col("id") % 4 === 2).select(col("id"), col("dhash")),
+      tbl, bands = 8)
+    graft.sources.IndexStore.compactPhashIndexBucketedVersioned(s, tbl)
+    val idx = graft.sources.IndexStore.readPhashIndexBucketedVersioned(
+      s, tbl, bands = 8)
     Multimodal.phashNearDuplicatesAgainst(
         hashes.filter(col("id") % 2 === 1).select(col("id"), col("dhash")),
         idx, bands = 8, maxDist = 7)
@@ -4587,6 +4636,32 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** [[xDedupEditdistCompact]] on the VERSIONED three-table PassJoin
+    * index: all three compactions publish new versions and repoint.
+    * Shares x_dedup_editdist_append's oracle verbatim.
+    */
+  private def xDedupEditdistVersioned(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").filter(col("n_chars") <= 250)
+      .select(col("doc_id").as("id"), col("text").as("s"))
+    def mutated(off: Long, pos: Int) =
+      corpus.select((col("id") + off).as("id"),
+        concat(substring(col("s"), 1, pos - 1), lit("X"),
+          col("s").substr(lit(pos + 1), length(col("s")))).as("s"))
+    val delta = mutated(8000000L, 20)
+    val batch = mutated(7000000L, 10)
+    val tbl = indexTable(dir, "editver")
+    graft.sources.IndexStore.writeEditIndexBucketedVersioned(corpus,
+      tbl, numBuckets = 8, d = 4)
+    graft.sources.IndexStore.appendEditIndexBucketedVersioned(delta,
+      tbl, d = 4)
+    graft.sources.IndexStore.compactEditIndexBucketedVersioned(s, tbl)
+    val (segs, str, bylen) = graft.sources.IndexStore
+      .readEditIndexBucketedVersioned(s, tbl, d = 4)
+    Dedup.editDistanceAgainst(batch, "id", col("s"), segs, str, bylen,
+        d = 4)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Tombstone deletion for the edit-distance index: every 3rd corpus
     * string is DELETED (id tombstones cover all three bucketed tables
     * at once — segments, strings, length directory are all keyed by
@@ -5452,7 +5527,10 @@ object SparkEntry {
     "x_stream_pq_ingest" -> (xStreamPqIngest _),
     "x_dedup_index_versioned" -> (xDedupIndexVersioned _),
     "x_stream_dedup_versioned" -> (xStreamDedupVersioned _),
-    "x_unique_index_versioned" -> (xUniqueIndexVersioned _)
+    "x_unique_index_versioned" -> (xUniqueIndexVersioned _),
+    "x_dedup_substring_versioned" -> (xDedupSubstringVersioned _),
+    "x_dedup_editdist_versioned" -> (xDedupEditdistVersioned _),
+    "x_mm_phash_versioned" -> (xMmPhashVersioned _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -5535,7 +5613,13 @@ object SparkEntry {
       "x_stream_dedup_versioned" ->
         graft.oracle.StaticOracles.sql("x_dedup_index_append"),
       "x_unique_index_versioned" ->
-        graft.oracle.StaticOracles.sql("x_unique_index_append"))
+        graft.oracle.StaticOracles.sql("x_unique_index_append"),
+      "x_dedup_substring_versioned" ->
+        graft.oracle.StaticOracles.sql("x_dedup_substring_append"),
+      "x_dedup_editdist_versioned" ->
+        graft.oracle.StaticOracles.sql("x_dedup_editdist_append"),
+      "x_mm_phash_versioned" ->
+        graft.oracle.StaticOracles.sql("x_mm_phash_served"))
 
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
     * Verify skip the generation work when a name filter excludes them.

@@ -400,6 +400,40 @@ object IndexStore {
       table: String): Unit =
     Bucketing.compactBucketed(spark, s"${table}_grams")
 
+  /** The substring gram index on [[VersionedBucketed]] (round-14 —
+    * with this plus the MinHash, key, edit, and pHash wirings, EVERY
+    * bucketed family has a version-pointer twin whose compaction never
+    * deletes a concurrent reader's listing). One version family: the
+    * gram table on `h`; `_meta` pins k as in the swap-compacted twin.
+    */
+  def writeSubstringIndexBucketedVersioned(corpusToks: DataFrame,
+      table: String, numBuckets: Int, k: Int): Unit = {
+    VersionedBucketed.write(
+      Dedup.substringGrams(corpusToks, "id", col("toks"), k),
+      s"${table}_grams", Seq("h"), numBuckets)
+    corpusToks.sparkSession.range(1).select(lit(k).as("k"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_meta")
+  }
+
+  def readSubstringIndexBucketedVersioned(spark: SparkSession,
+      table: String, k: Int): DataFrame = {
+    checkSubstringMeta(spark, table, k)
+    VersionedBucketed.read(spark, s"${table}_grams")
+  }
+
+  def appendSubstringIndexBucketedVersioned(deltaToks: DataFrame,
+      table: String, k: Int): Unit = {
+    checkSubstringMeta(deltaToks.sparkSession, table, k)
+    VersionedBucketed.append(
+      Dedup.substringGrams(deltaToks, "id", col("toks"), k),
+      s"${table}_grams")
+  }
+
+  def compactSubstringIndexBucketedVersioned(spark: SparkSession,
+      table: String): Unit =
+    VersionedBucketed.compact(spark, s"${table}_grams")
+
   /** Size-tiered compaction of the substring gram index: only buckets
     * that accumulated >= `minFilesPerBucket` files are rewritten
     * ([[Bucketing.compactBucketedTiered]]) — the periodic maintenance
@@ -540,6 +574,60 @@ object IndexStore {
     Bucketing.compactBucketed(spark, s"${table}_bylen")
   }
 
+  /** The PassJoin edit index on [[VersionedBucketed]]: all three
+    * tables (`_segs` on h, `_str` on id, `_bylen` on len) become
+    * version families compacted by publication; `_meta` pins d.
+    */
+  def writeEditIndexBucketedVersioned(corpus: DataFrame, table: String,
+      numBuckets: Int, d: Int, idCol: String = "id",
+      strCol: String = "s"): Unit = {
+    val c = normalizedEditFrame(corpus, idCol, strCol).cache()
+    try {
+      VersionedBucketed.write(graft.ext.Dedup.editSegmentFrame(c, d),
+        s"${table}_segs", Seq("h"), numBuckets)
+      VersionedBucketed.write(
+        c.select(col("__id").as("id"), col("__s").as("s")),
+        s"${table}_str", Seq("id"), numBuckets)
+      VersionedBucketed.write(
+        c.select(col("__l").as("len"), col("__id").as("id")),
+        s"${table}_bylen", Seq("len"), numBuckets)
+      c.sparkSession.range(1).select(lit(d).as("d"))
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${table}_meta")
+    } finally c.unpersist(blocking = false)
+  }
+
+  def appendEditIndexBucketedVersioned(delta: DataFrame, table: String,
+      d: Int, idCol: String = "id", strCol: String = "s"): Unit = {
+    checkEditMeta(delta.sparkSession, table, d)
+    val c = normalizedEditFrame(delta, idCol, strCol).cache()
+    try {
+      VersionedBucketed.append(graft.ext.Dedup.editSegmentFrame(c, d),
+        s"${table}_segs")
+      VersionedBucketed.append(
+        c.select(col("__id").as("id"), col("__s").as("s")),
+        s"${table}_str")
+      VersionedBucketed.append(
+        c.select(col("__l").as("len"), col("__id").as("id")),
+        s"${table}_bylen")
+    } finally c.unpersist(blocking = false)
+  }
+
+  def readEditIndexBucketedVersioned(spark: SparkSession, table: String,
+      d: Int): (DataFrame, DataFrame, DataFrame) = {
+    checkEditMeta(spark, table, d)
+    (VersionedBucketed.read(spark, s"${table}_segs"),
+      VersionedBucketed.read(spark, s"${table}_str"),
+      VersionedBucketed.read(spark, s"${table}_bylen"))
+  }
+
+  def compactEditIndexBucketedVersioned(spark: SparkSession,
+      table: String): Unit = {
+    VersionedBucketed.compact(spark, s"${table}_segs")
+    VersionedBucketed.compact(spark, s"${table}_str")
+    VersionedBucketed.compact(spark, s"${table}_bylen")
+  }
+
   /** Tombstone DELETION for the edit-distance index (round-13
     * directive #1): all three tables are pure per-string frames keyed
     * by id, so one id-list tombstone covers segments, strings, and the
@@ -636,6 +724,37 @@ object IndexStore {
   def compactPhashIndexBucketed(spark: SparkSession,
       table: String): Unit =
     Bucketing.compactBucketed(spark, s"${table}_bands")
+
+  /** The pHash band index on [[VersionedBucketed]]: one version
+    * family on (band, key); `_meta` pins the band count.
+    */
+  def writePhashIndexBucketedVersioned(hashes: DataFrame, table: String,
+      numBuckets: Int, bands: Int = 8): Unit = {
+    VersionedBucketed.write(
+      graft.ext.Multimodal.phashBands(hashes, bands),
+      s"${table}_bands", Seq("band", "key"), numBuckets)
+    hashes.sparkSession.range(1).select(lit(bands).as("bands"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_meta")
+  }
+
+  def readPhashIndexBucketedVersioned(spark: SparkSession,
+      table: String, bands: Int = 8): DataFrame = {
+    checkPhashMeta(spark, table, bands)
+    VersionedBucketed.read(spark, s"${table}_bands")
+  }
+
+  def appendPhashIndexBucketedVersioned(deltaHashes: DataFrame,
+      table: String, bands: Int = 8): Unit = {
+    checkPhashMeta(deltaHashes.sparkSession, table, bands)
+    VersionedBucketed.append(
+      graft.ext.Multimodal.phashBands(deltaHashes, bands),
+      s"${table}_bands")
+  }
+
+  def compactPhashIndexBucketedVersioned(spark: SparkSession,
+      table: String): Unit =
+    VersionedBucketed.compact(spark, s"${table}_bands")
 
   /** Tombstone DELETION for the pHash index (round-13 directive #1):
     * the banded hash frame is a pure per-image function, so deletes
