@@ -139,6 +139,21 @@ object VersionedBucketed {
   def read(spark: SparkSession, family: String): DataFrame =
     spark.table(liveName(spark, family))
 
+  /** Time travel: version `v`'s table as a snapshot-at-publication.
+    * Honest semantics difference from [[VersionedFlat.readVersion]]:
+    * appends land in-place on the live version, so the LIVE version's
+    * content moves with admissions; a SUPERSEDED version is frozen (it
+    * stops receiving appends the moment the pointer passes it). Fails
+    * loudly when `v` was vacuumed or never existed.
+    */
+  def readVersion(spark: SparkSession, family: String,
+      v: Int): DataFrame = {
+    require(spark.catalog.tableExists(versionName(family, v)),
+      s"version $v of $family does not exist (never written, or " +
+        "vacuumed)")
+    spark.table(versionName(family, v))
+  }
+
   /** Admit a delta into the LIVE version — in-place file ADDS via
     * [[Bucketing.appendBucketed]] under the live table's own bucket
     * spec (adds never invalidate a captured listing; see the object

@@ -69,11 +69,17 @@ class VersionedBucketedSpec extends SparkSpec {
         "the pre-compaction capture must still collect after it — " +
           "the property the catalog swap could never give")
       assert(VersionedBucketed.read(spark, fam).count() === want)
+      // a superseded version is frozen and time-travelable until vacuum
+      assert(VersionedBucketed.readVersion(spark, fam, 1).count()
+        === want)
       // physical reclamation happens at vacuum, not compact
       VersionedBucketed.vacuum(spark, fam, retain = 1)
       assert(!spark.catalog.tableExists(s"${fam}__v1"),
         "vacuum must drop the superseded version table")
       assert(VersionedBucketed.read(spark, fam).count() === want)
+      intercept[IllegalArgumentException] {
+        VersionedBucketed.readVersion(spark, fam, 1).count()
+      }
     } finally dropFamily("vb_snap")
   }
 
