@@ -115,8 +115,8 @@ object VersionedBucketed {
     */
   private def recover(spark: SparkSession, family: String): Unit = {
     val cur = currentVersion(spark, family)
-    versionsOf(spark, family).filter(_ > cur).foreach(v =>
-      spark.sql(s"DROP TABLE IF EXISTS `${versionName(family, v)}`"))
+    versionsOf(spark, family).filter(_ > cur)
+      .foreach(dropVersion(spark, family, _))
   }
 
   /** Initialize the family with `df` as version 1 (drops any prior
@@ -126,8 +126,7 @@ object VersionedBucketed {
   def write(df: DataFrame, family: String, keys: Seq[String],
       numBuckets: Int): Unit = {
     val spark = df.sparkSession
-    versionsOf(spark, family).foreach(v =>
-      spark.sql(s"DROP TABLE IF EXISTS `${versionName(family, v)}`"))
+    versionsOf(spark, family).foreach(dropVersion(spark, family, _))
     java.nio.file.Files.deleteIfExists(ptrFile(spark, family).toPath)
     Bucketing.writeBucketed(df, versionName(family, 1), keys, numBuckets)
     swapPointer(spark, family, 1)
@@ -169,6 +168,100 @@ object VersionedBucketed {
     require(spec.isDefined, s"table $live is not bucketed")
     Bucketing.appendBucketed(df, live,
       spec.get.bucketColumnNames, spec.get.numBuckets)
+  }
+
+  /** FREEZE the live version — append-level snapshots without a data
+    * copy (round-14 follow-through on the honest [[readVersion]] note
+    * that only superseded versions are frozen): version v+1 is
+    * published as an EXTERNAL bucketed table over a new directory of
+    * HARD LINKS to the live version's current data files, and the
+    * pointer moves to it. From that instant the old version's file set
+    * is fixed forever (appends only ever target the live version), so
+    * calling `snapshot` after each ingest batch gives the bucketed
+    * families the same commit-granularity time travel the flat
+    * manifests give — at O(files) metadata cost, zero bytes copied.
+    * Hard links also make retention composable for free: a vacuumed
+    * version's directory deletion only drops link counts, never bytes
+    * a retained snapshot still references.
+    *
+    * Local-filesystem shape, like every store here (an object-store
+    * deployment has no links — it would name the shared files in a
+    * manifest, which is the full table-format design the scaladoc on
+    * [[VersionedBucketed]] already credits). The external CREATE
+    * re-declares the live bucket spec verbatim, so serve joins over
+    * the snapshot carry the same exchange-free contract — asserted in
+    * VersionedBucketedSpec. Returns the new live version number.
+    */
+  def snapshot(spark: SparkSession, family: String): Int = {
+    recover(spark, family)
+    val v = currentVersion(spark, family)
+    require(v > 0,
+      s"$family is not an initialized VersionedBucketed family")
+    val cur = versionName(family, v)
+    val next = versionName(family, v + 1)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(cur))
+    val spec = meta.bucketSpec
+    require(spec.isDefined, s"table $cur is not bucketed")
+    require(meta.location.getScheme == null ||
+      meta.location.getScheme == "file",
+      s"snapshot supports local tables, got ${meta.location}")
+    val srcDir = new java.io.File(meta.location)
+    val dstDir = new java.io.File(srcDir.getParentFile,
+      next.toLowerCase)
+    if (dstDir.exists()) { // crashed prior attempt's debris
+      require(!spark.catalog.tableExists(next),
+        s"$next exists without being an orphan — refusing to clobber")
+      deleteDir(dstDir)
+    }
+    java.nio.file.Files.createDirectory(dstDir.toPath)
+    Option(srcDir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .foreach(f => java.nio.file.Files.createLink(
+        new java.io.File(dstDir, f.getName).toPath, f.toPath))
+    val keys = spec.get.bucketColumnNames
+    val sorts = spec.get.sortColumnNames
+    val sortClause = if (sorts.isEmpty) ""
+      else sorts.mkString(" SORTED BY (`", "`, `", "`)")
+    spark.sql(
+      s"""CREATE TABLE `$next` (${meta.schema.toDDL})
+         |USING PARQUET
+         |CLUSTERED BY (${keys.mkString("`", "`, `", "`")})
+         |$sortClause
+         |INTO ${spec.get.numBuckets} BUCKETS
+         |LOCATION '${dstDir.getPath}'""".stripMargin)
+    swapPointer(spark, family, v + 1)
+    v + 1
+  }
+
+  private def deleteDir(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach(deleteDir)
+    f.delete(): Unit
+  }
+
+  /** Drop a version table AND its files — `DROP TABLE` alone leaves
+    * an EXTERNAL table's directory (the snapshot clones) behind.
+    */
+  private def dropVersion(spark: SparkSession, family: String,
+      v: Int): Unit = {
+    val name = versionName(family, v)
+    val loc: Option[java.io.File] =
+      if (!spark.catalog.tableExists(name)) None
+      else {
+        val m = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(name))
+        if (m.tableType ==
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType
+              .EXTERNAL &&
+            (m.location.getScheme == null ||
+              m.location.getScheme == "file"))
+          Some(new java.io.File(m.location))
+        else None
+      }
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    loc.foreach(deleteDir)
   }
 
   /** Compact the live version into a NEW version table (one file per
@@ -223,7 +316,6 @@ object VersionedBucketed {
     val keepMin = math.max(1, cur - math.max(1, retain) + 1)
     versionsOf(spark, family)
       .filter(v => v < keepMin || v > cur)
-      .foreach(v =>
-        spark.sql(s"DROP TABLE IF EXISTS `${versionName(family, v)}`"))
+      .foreach(dropVersion(spark, family, _))
   }
 }

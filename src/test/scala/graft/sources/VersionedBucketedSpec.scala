@@ -103,6 +103,44 @@ class VersionedBucketedSpec extends SparkSpec {
     } finally dropFamily("vb_crash")
   }
 
+  test("snapshot freezes the live version as a zero-copy linked " +
+      "clone: history fixed, live keeps ingesting, retention safe") {
+    val fam = "vb_snapfreeze"
+    try {
+      val o = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_custkey"))
+      VersionedBucketed.write(o, fam, Seq("id"), 4)
+      val n0 = o.count()
+      // freeze point 1: v1 becomes superseded (forever fixed), v2 is
+      // the new live — a hard-linked external clone, zero bytes copied
+      assert(VersionedBucketed.snapshot(spark, fam) === 2)
+      VersionedBucketed.append(o.select((col("id") + 1000000L).as("id"),
+        col("o_custkey")), fam)
+      assert(VersionedBucketed.readVersion(spark, fam, 1).count() === n0,
+        "the frozen version must not see the live append")
+      assert(VersionedBucketed.read(spark, fam).count() === 2 * n0,
+        "the live external clone must receive the append")
+      // freeze point 2, then compact the live
+      assert(VersionedBucketed.snapshot(spark, fam) === 3)
+      VersionedBucketed.compact(spark, fam) // v4 (managed rewrite)
+      assert(VersionedBucketed.readVersion(spark, fam, 2).count()
+        === 2 * n0, "freeze point 2 holds batch 1's admission")
+      assert(VersionedBucketed.read(spark, fam).count() === 2 * n0)
+      // the clone table carries the bucket spec (exchange-free serve)
+      assert(Bucketing.numBucketsOf(spark, s"${fam}__v3") === 4)
+      // retention: dropping v1-v3 (incl. external clones + their
+      // dirs) must not harm v4 — hard links only drop link counts
+      VersionedBucketed.vacuum(spark, fam, retain = 1)
+      assert(!spark.catalog.tableExists(s"${fam}__v2"))
+      val warehouse = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")))
+      assert(!new java.io.File(warehouse, s"${fam}__v2").exists(),
+        "vacuum must delete the external clone's directory too")
+      assert(VersionedBucketed.read(spark, fam).count() === 2 * n0,
+        "the live version must survive vacuum untouched")
+    } finally dropFamily("vb_snapfreeze")
+  }
+
   test("versioned key index: the merge-compaction collapses split " +
       "rows and negated tombstones into the new version") {
     val fam = "vb_key"
