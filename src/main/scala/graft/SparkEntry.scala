@@ -559,6 +559,41 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** TIME TRAVEL on the versioned MinHash index
+    * (graft.sources.VersionedBucketed.snapshot — zero-copy hard-link
+    * freeze): the base corpus is indexed and FROZEN, the delta twins
+    * are then admitted into the live clones, and the probes are
+    * served against the FROZEN version — whose answer must be blind
+    * to everything admitted after the freeze: probes × base only,
+    * x_dedup_incremental's oracle VERBATIM. A leaked post-freeze
+    * admission adds probe × delta pairs and misses the hash; this is
+    * the bucketed families' reproducibility pin ("the corpus as of
+    * freeze N is a stable, re-servable object"), twin to
+    * x_sim_ivf_time_travel on the flat manifests.
+    */
+  private def xDedupIndexSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val delta = base.select((col("id") + AppendDeltaOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val probes = base.select((col("id") + IncrementalTwinOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val tbl = indexTable(dir, "sidx_snap")
+    graft.sources.IndexStore.writeDedupIndexBucketedVersioned(base, tbl,
+      numBuckets = 8, k = 5)
+    val frozen = graft.sources.IndexStore
+      .snapshotDedupIndexBucketedVersioned(s, tbl)
+    graft.sources.IndexStore.appendDedupIndexBucketedVersioned(delta,
+      tbl, k = 5)
+    val (sh, bands) = graft.sources.IndexStore
+      .readDedupIndexBucketedVersionedAsOf(s, tbl, frozen, k = 5)
+    Dedup.nearDuplicatesAgainstIndex(probes, sh, bands,
+        threshold = 0.5, k = 5)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** The MinHash index on VERSION-POINTER bucketed tables
     * (graft.sources.VersionedBucketed — round-14 directive #2, the
     * first bucketed family versioned): identical data flow to
@@ -5530,7 +5565,8 @@ object SparkEntry {
     "x_unique_index_versioned" -> (xUniqueIndexVersioned _),
     "x_dedup_substring_versioned" -> (xDedupSubstringVersioned _),
     "x_dedup_editdist_versioned" -> (xDedupEditdistVersioned _),
-    "x_mm_phash_versioned" -> (xMmPhashVersioned _)
+    "x_mm_phash_versioned" -> (xMmPhashVersioned _),
+    "x_dedup_index_snapshot" -> (xDedupIndexSnapshot _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -5619,7 +5655,9 @@ object SparkEntry {
       "x_dedup_editdist_versioned" ->
         graft.oracle.StaticOracles.sql("x_dedup_editdist_append"),
       "x_mm_phash_versioned" ->
-        graft.oracle.StaticOracles.sql("x_mm_phash_served"))
+        graft.oracle.StaticOracles.sql("x_mm_phash_served"),
+      "x_dedup_index_snapshot" ->
+        graft.oracle.StaticOracles.sql("x_dedup_incremental"))
 
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
     * Verify skip the generation work when a name filter excludes them.

@@ -380,6 +380,38 @@ object IndexStore {
     } finally sh.unpersist(blocking = false)
   }
 
+  /** Freeze the versioned MinHash index at the current ingest point
+    * ([[VersionedBucketed.snapshot]] on both halves): returns the
+    * FROZEN version number — from this instant that version's file
+    * sets never change (appends target the new live clones), so
+    * serving it later reproduces exactly the corpus-as-of-the-freeze.
+    * Both halves freeze at the same logical point by construction
+    * (no admission can interleave: admissions go through
+    * [[appendDedupIndexBucketedVersioned]], same single-writer ingest
+    * loop).
+    */
+  def snapshotDedupIndexBucketedVersioned(spark: SparkSession,
+      table: String): Int = {
+    val frozen = VersionedBucketed.snapshot(spark, s"${table}_sh") - 1
+    val frozenBands =
+      VersionedBucketed.snapshot(spark, s"${table}_bands") - 1
+    require(frozen == frozenBands,
+      s"index halves of $table diverged: _sh froze v$frozen, " +
+        s"_bands froze v$frozenBands")
+    frozen
+  }
+
+  /** (shingles, bands) of FROZEN version `v` — the corpus exactly as
+    * of that freeze point, regardless of every admission since.
+    */
+  def readDedupIndexBucketedVersionedAsOf(spark: SparkSession,
+      table: String, v: Int, numHashes: Int = 32, bands: Int = 16,
+      k: Int = 3): (DataFrame, DataFrame) = {
+    checkMeta(spark.table(s"${table}_meta"), table, numHashes, bands, k)
+    (VersionedBucketed.readVersion(spark, s"${table}_sh", v),
+      VersionedBucketed.readVersion(spark, s"${table}_bands", v))
+  }
+
   /** [[compactDedupIndexBucketed]] as version publication: each half's
     * one-file-per-bucket rewrite lands as a NEW version table and the
     * pointer swaps — concurrent readers keep their version's files
