@@ -126,8 +126,18 @@ class VersionedBucketedSpec extends SparkSpec {
       assert(VersionedBucketed.readVersion(spark, fam, 2).count()
         === 2 * n0, "freeze point 2 holds batch 1's admission")
       assert(VersionedBucketed.read(spark, fam).count() === 2 * n0)
-      // the clone table carries the bucket spec (exchange-free serve)
+      // the clone table carries the bucket spec — and the catalog
+      // metadata actually drives planning: a bucket-key aggregation
+      // over the external clone runs with zero exchanges
       assert(Bucketing.numBucketsOf(spark, s"${fam}__v3") === 4)
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val agg = VersionedBucketed.readVersion(spark, fam, 3)
+        .groupBy("id").agg(count(lit(1)).as("n"))
+      agg.collect()
+      assert(!flatten(agg.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[ShuffleExchangeExec]),
+        "bucket-key agg over the hard-linked external clone must " +
+          "not shuffle")
       // retention: dropping v1-v3 (incl. external clones + their
       // dirs) must not harm v4 — hard links only drop link counts
       VersionedBucketed.vacuum(spark, fam, retain = 1)
