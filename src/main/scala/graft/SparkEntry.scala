@@ -4392,6 +4392,53 @@ object SparkEntry {
       .orderBy("shard")
   }
 
+  /** [[xStreamPipelineAdmit]]'s gated-admission arc over the
+    * VERSIONED MinHash family with a PER-BATCH FREEZE
+    * (StreamingValidate.gatedIngestRunVersioned — the auditable-ingest
+    * capstone): identical gate choreography and checkpoint restart,
+    * but every admitted batch snapshots the index, so the run leaves a
+    * time-travelable ingest history (version k+1 = the corpus after
+    * batch k) as a side effect of the loop itself. The sink aggregate
+    * must be identical to the swap-family run's — shares
+    * x_stream_pipeline_admit's oracle VERBATIM (a gate reading a stale
+    * or wrong version re-admits copies and breaks the checksum); the
+    * per-version history observables live in StreamingSpec.
+    */
+  private def xStreamPipelineAdmitVersioned(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+    val tbl = indexTable(dir, "spadmv")
+    graft.sources.IndexStore.writeDedupIndexBucketedVersioned(corpus,
+      tbl, numBuckets = 8, k = 5)
+    val streamDir = indexDir(dir, "spadmv_src")
+    val ckpt = indexDir(dir, "spadmv_ckpt")
+    val sink = indexDir(dir, "spadmv_sink")
+    Seq(streamDir, ckpt, sink).foreach(wipeDir)
+    d.filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), col("text")).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    StreamingValidate.gatedIngestRunVersioned(s, streamDir, tbl,
+      threshold = 0.5, k = 5, minQuality = 0.7, minTokens = 10,
+      salt = "spadm1", checkpointDir = ckpt, sinkDir = sink)
+    d.filter(col("doc_id") % 4 === 3)
+      .select(col("doc_id"), col("text"))
+      .unionByName(
+        d.filter(col("doc_id") % 4 === 1 && col("doc_id") < 40)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.gatedIngestRunVersioned(s, streamDir, tbl,
+      threshold = 0.5, k = 5, minQuality = 0.7, minTokens = 10,
+      salt = "spadm1", checkpointDir = ckpt, sinkDir = sink)
+    s.read.parquet(sink)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        sum(col("doc_id")).as("docid_checksum"))
+      .orderBy("shard")
+  }
+
   /** Exact-integer EWMA (TimeSeries.ewmaExact): per-user half-life-1
     * trailing-30 average of event value cents — num/den are exact
     * order-free long sums (bit-portable), ewma their single IEEE
@@ -5566,7 +5613,9 @@ object SparkEntry {
     "x_dedup_substring_versioned" -> (xDedupSubstringVersioned _),
     "x_dedup_editdist_versioned" -> (xDedupEditdistVersioned _),
     "x_mm_phash_versioned" -> (xMmPhashVersioned _),
-    "x_dedup_index_snapshot" -> (xDedupIndexSnapshot _)
+    "x_dedup_index_snapshot" -> (xDedupIndexSnapshot _),
+    "x_stream_pipeline_admit_versioned" ->
+      (xStreamPipelineAdmitVersioned _)
   )
 
   // ------------------------------------------------------------- oracles
@@ -5657,7 +5706,9 @@ object SparkEntry {
       "x_mm_phash_versioned" ->
         graft.oracle.StaticOracles.sql("x_mm_phash_served"),
       "x_dedup_index_snapshot" ->
-        graft.oracle.StaticOracles.sql("x_dedup_incremental"))
+        graft.oracle.StaticOracles.sql("x_dedup_incremental"),
+      "x_stream_pipeline_admit_versioned" ->
+        graft.oracle.StaticOracles.sql("x_stream_pipeline_admit"))
 
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
     * Verify skip the generation work when a name filter excludes them.

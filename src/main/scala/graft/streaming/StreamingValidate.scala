@@ -666,6 +666,78 @@ object StreamingValidate {
     q.stop()
   }
 
+  /** [[gatedIngestRun]] over the VERSIONED MinHash family with a
+    * per-batch FREEZE (round-14 capstone — the auditable-ingest
+    * training pipeline): each micro-batch is screened against the
+    * live version, its survivors sunk strictly before admission, and
+    * after the admit the index is SNAPSHOT
+    * ([[graft.sources.IndexStore.snapshotDedupIndexBucketedVersioned]])
+    * — so version k+1's frozen tables are exactly "the corpus after
+    * batch k", time-travelable for as long as retention keeps them:
+    * the reproducibility object a training run pins ("trained against
+    * the corpus as of freeze N") falls out of the ingest loop itself.
+    * The freeze also makes cache invalidation structural rather than
+    * procedural: every batch resolves a FRESH live table name (the
+    * post-snapshot clone), so no refreshTable is needed — there is no
+    * stale listing to refresh, the exact class of bug the
+    * cloned-session refresh traps in the flat families guard against.
+    * Restart safety is [[gatedIngestRun]]'s: re-processing a batch
+    * would re-admit its survivors and double their sink records.
+    */
+  def gatedIngestRunVersioned(spark: org.apache.spark.sql.SparkSession,
+      newDocsDir: String, indexTable: String, threshold: Double,
+      numHashes: Int = 32, bands: Int = 16, k: Int = 3,
+      minQuality: Double = 0.7, minTokens: Int = 10,
+      lang: String = "en", salt: String = "", nShards: Int = 8,
+      checkpointDir: String = null, sinkDir: String): Unit = {
+    import graft.ext.{Dedup, TextAnalysis}
+    import org.apache.spark.sql.streaming.Trigger
+    def survivors(b: DataFrame): DataFrame = {
+      val (sh, bandIdx) = graft.sources.IndexStore
+        .readDedupIndexBucketedVersioned(spark, indexTable, numHashes,
+          bands, k)
+      val dupIds = Dedup.nearDuplicatesAgainstIndex(
+          b.select(col("doc_id").as("id"),
+            TextAnalysis.tokens(col("text")).as("toks")),
+          sh, bandIdx, threshold, numHashes, bands, k)
+        .select(col("new_id").as("doc_id")).distinct()
+      b.join(dupIds, Seq("doc_id"), "left_anti")
+        .filter(TextAnalysis.qualityScore(col("text")) >= minQuality &&
+          TextAnalysis.langId(col("text")) === lang &&
+          TextAnalysis.tokenCount(col("text")) >= minTokens)
+    }
+    def admitRecords(sv: DataFrame): DataFrame =
+      sv.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"),
+        (Dedup.hash48(concat(lit(salt),
+          col("doc_id").cast("string"))) % nShards).as("shard"))
+    val batchInput = spark.read.parquet(newDocsDir)
+    if (!new java.io.File(sinkDir).exists())
+      admitRecords(survivors(batchInput.limit(0)))
+        .write.mode("overwrite").parquet(sinkDir)
+    val reader = spark.readStream.schema(batchInput.schema)
+      .option("maxFilesPerTrigger", "1").parquet(newDocsDir)
+    val writer0 = reader.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val sv = survivors(b).cache()
+        try {
+          admitRecords(sv).write.mode("append").parquet(sinkDir)
+          graft.sources.IndexStore.appendDedupIndexBucketedVersioned(
+            sv.select(col("doc_id").as("id"),
+              TextAnalysis.tokens(col("text")).as("toks")),
+            indexTable, numHashes, bands, k)
+          graft.sources.IndexStore
+            .snapshotDedupIndexBucketedVersioned(spark, indexTable): Unit
+        } finally { sv.unpersist(blocking = false); () }
+      }
+    val writer = if (checkpointDir == null) writer0
+      else writer0.option("checkpointLocation", checkpointDir)
+    val q = writer.trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** The SUBSTRING twin of [[nearDupIngestStream]]: a stream of
     * `(id, toks)` documents screened per micro-batch against the
     * standing bucketed gram index

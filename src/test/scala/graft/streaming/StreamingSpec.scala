@@ -845,6 +845,55 @@ class StreamingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS gated_spec$s")
   }
 
+  test("versioned gated ingest leaves a frozen per-batch history: " +
+      "version k+1 is exactly the corpus after batch k") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpusToks = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    val fam = "gatedver_spec"
+    try {
+      graft.sources.IndexStore.writeDedupIndexBucketedVersioned(
+        corpusToks, fam, numBuckets = 8, k = 5)
+      val base = corpusToks.count()
+      def run(batch: org.apache.spark.sql.DataFrame, sink: String)
+          : Long = {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft_gv_b").toString
+        batch.coalesce(1).write.mode("overwrite").parquet(d)
+        StreamingValidate.gatedIngestRunVersioned(spark, d, fam,
+          threshold = 0.5, k = 5, minQuality = 0.7, minTokens = 10,
+          salt = "gv", nShards = 4, checkpointDir = null, sinkDir = sink)
+        spark.read.parquet(sink).count()
+      }
+      val mkSink = () => {
+        val s = java.nio.file.Files
+          .createTempDirectory("graft_gv_sink").toString
+        java.nio.file.Files.delete(java.nio.file.Paths.get(s)); s
+      }
+      val adm1 = run(docs.filter(col("doc_id") % 4 === 1), mkSink())
+      val adm2 = run(docs.filter(col("doc_id") % 4 === 3), mkSink())
+      assert(adm1 > 0 && adm2 > 0, "both batches must admit something")
+      assert(graft.sources.VersionedBucketed
+        .currentVersion(spark, s"${fam}_sh") === 3,
+        "one frozen version per admitted batch")
+      def shCount(v: Int): Long = graft.sources.VersionedBucketed
+        .readVersion(spark, s"${fam}_sh", v).count()
+      assert(shCount(1) === base, "v1 = the pre-ingest corpus, frozen")
+      assert(shCount(2) === base + adm1,
+        "v2 = the corpus after batch 1, frozen through batch 2")
+      assert(shCount(3) === base + adm1 + adm2,
+        "the live version holds every admission")
+    } finally {
+      for (half <- Seq("_sh", "_bands"); t <- spark.catalog.listTables()
+          .collect().map(_.name)
+          if t.startsWith(s"$fam$half".toLowerCase))
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      spark.sql(s"DROP TABLE IF EXISTS ${fam}_meta")
+    }
+  }
+
   test("law: gated ADMIT stream ≡ the sequential one-shot fold over " +
       "the same ordered batches (growing index, copies injected)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
