@@ -392,6 +392,21 @@ object IndexStore {
     */
   def snapshotDedupIndexBucketedVersioned(spark: SparkSession,
       table: String): Int = {
+    // idempotent crash recovery (round-14 ADVICE): the two halves
+    // freeze in order (_sh then _bands), so a crash between them
+    // leaves _sh exactly one version ahead — freeze only the lagging
+    // half to re-align before proceeding (mirrors
+    // VersionedBucketed.recover; recovery must run before any
+    // post-crash admission, which the single-writer ingest loops
+    // guarantee by snapshotting at batch boundaries)
+    val vSh = VersionedBucketed.currentVersion(spark, s"${table}_sh")
+    val vBands =
+      VersionedBucketed.currentVersion(spark, s"${table}_bands")
+    if (vSh == vBands + 1)
+      VersionedBucketed.snapshot(spark, s"${table}_bands"): Unit
+    else require(vSh == vBands,
+      s"index halves of $table diverged beyond one-step recovery: " +
+        s"_sh at v$vSh, _bands at v$vBands")
     val frozen = VersionedBucketed.snapshot(spark, s"${table}_sh") - 1
     val frozenBands =
       VersionedBucketed.snapshot(spark, s"${table}_bands") - 1
@@ -1186,12 +1201,22 @@ object IndexStore {
     * over the already-purged rows is a harmless no-op. Older versions
     * still hold the dead rows until vacuum (see
     * [[deleteFromIvfIndexVersioned]]).
+    *
+    * The base version is captured FIRST and passed to
+    * [[VersionedFlat.replace]] as `basedOn` (round-14 ADVICE): the
+    * excluded frame is computed from exactly that version, so an
+    * append that commits between the capture and the CAS raises
+    * ConcurrentModificationException instead of being silently erased
+    * by a purge built from a now-stale snapshot.
     */
   def purgeIvfIndexVersioned(spark: SparkSession, dir: String,
       targetFiles: Int = 1): Unit = {
+    val v = VersionedFlat.currentVersion(s"$dir/enc")
     VersionedFlat.replace(
-      readIvfIndexVersionedLive(spark, dir)._1, s"$dir/enc",
-      targetFiles)
+      VersionedFlat.readVersion(spark, s"$dir/enc", v)
+        .join(readIvfVersionedDeadIds(spark, dir), Seq("id"),
+          "left_anti"),
+      s"$dir/enc", targetFiles, basedOn = v)
     deleteDirTree(new java.io.File(s"$dir/dead.parquet"))
   }
 
@@ -1516,12 +1541,17 @@ object IndexStore {
 
   /** Publish the tombstone-excluded code frame as the next version and
     * clear the tombstones — publish STRICTLY BEFORE the clear
-    * ([[purgeIvfIndexVersioned]]'s crash discipline).
+    * ([[purgeIvfIndexVersioned]]'s crash discipline, including its
+    * captured `basedOn` stale-frame guard).
     */
   def purgePqIndexVersioned(spark: SparkSession, dir: String,
       targetFiles: Int = 1): Unit = {
-    VersionedFlat.replace(readPqCodesVersionedLive(spark, dir),
-      s"$dir/codes", targetFiles)
+    val v = VersionedFlat.currentVersion(s"$dir/codes")
+    VersionedFlat.replace(
+      VersionedFlat.readVersion(spark, s"$dir/codes", v)
+        .join(readPqVersionedDeadIds(spark, dir), Seq("id"),
+          "left_anti"),
+      s"$dir/codes", targetFiles, basedOn = v)
     deleteDirTree(new java.io.File(s"$dir/dead.parquet"))
   }
 
@@ -1682,12 +1712,18 @@ object IndexStore {
   }
 
   /** Publish the tombstone-excluded enc frame as the next version and
-    * clear the tombstones (publish strictly before the clear).
+    * clear the tombstones (publish strictly before the clear, with
+    * [[purgeIvfIndexVersioned]]'s captured `basedOn` stale-frame
+    * guard).
     */
   def purgeIvfPqIndexVersioned(spark: SparkSession, dir: String,
       targetFiles: Int = 1): Unit = {
-    VersionedFlat.replace(readIvfPqIndexVersionedLive(spark, dir)._1,
-      s"$dir/enc", targetFiles)
+    val v = VersionedFlat.currentVersion(s"$dir/enc")
+    VersionedFlat.replace(
+      VersionedFlat.readVersion(spark, s"$dir/enc", v)
+        .join(readIvfPqVersionedDeadIds(spark, dir), Seq("id"),
+          "left_anti"),
+      s"$dir/enc", targetFiles, basedOn = v)
     deleteDirTree(new java.io.File(s"$dir/dead.parquet"))
   }
 

@@ -54,8 +54,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  4. ADVANCE the `CURRENT` hint (forward-only; losing THIS race is
   *     harmless — see below).
   *
-  * A manifest file therefore EXISTS only if it is complete (the bytes
-  * were fully durable before the link), so manifest-existence IS
+  * A manifest file therefore EXISTS only if it is complete — the tmp's
+  * bytes are fsynced before the link and the directory entry after it
+  * (round-14 ADVICE: without the force, a power loss could surface a
+  * committed manifest NAME over truncated bytes) — so
+  * manifest-existence IS
   * commit: the committed chain is dense (every winner extends it by
   * exactly one), and `currentVersion` probes forward from the CURRENT
   * hint until the chain ends. CURRENT may lag — a writer crashed
@@ -149,10 +152,25 @@ object VersionedFlat {
     sys.error("unreachable")
   }
 
+  /** fsync a file or directory so its bytes (file) or entries (dir)
+    * are durable before the next protocol step — the power-loss half
+    * of "manifest existence IS commit" (round-14 ADVICE: without the
+    * force, a committed manifest NAME could surface over truncated
+    * bytes after a crash).
+    */
+  private def fsync(p: java.nio.file.Path): Unit = {
+    val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.READ)
+    try ch.force(true) finally ch.close()
+  }
+
   /** Try to commit `batches` as version `v`: manifest bytes land fully
-    * in a writer-unique tmp, the atomic link claims the version name
-    * (create-if-absent), and the CURRENT hint advances. False = lost
-    * the race (another writer committed `v`); the tmp is cleaned up.
+    * in a writer-unique tmp and are FORCED to stable storage (file
+    * fsync) before the atomic link claims the version name
+    * (create-if-absent); the directory is then fsynced so the link
+    * entry itself is durable, and the CURRENT hint advances. False =
+    * lost the race (another writer committed `v`); the tmp is cleaned
+    * up.
     */
   private def tryCommit(dir: String, v: Int,
       batches: Seq[String]): Boolean = {
@@ -161,9 +179,11 @@ object VersionedFlat {
         s"t${tmpNonce.incrementAndGet()}.tmp")
     java.nio.file.Files.write(tmp.toPath,
       (batches.mkString("\n") + "\n").getBytes("UTF-8"))
+    fsync(tmp.toPath)
     try {
       java.nio.file.Files.createLink(
         new java.io.File(dir, manifestName(v)).toPath, tmp.toPath)
+      fsync(new java.io.File(dir).toPath)
       advanceCurrent(dir, v)
       true
     } catch {
@@ -327,19 +347,31 @@ object VersionedFlat {
 
   /** Drop manifests older than the `retain` most recent versions, then
     * every batch dir no retained manifest references — including
-    * orphan claims and dot-tmp files crashed writers left. Vacuum is
-    * housekeeping run QUIESCED (no in-flight appenders) by contract:
-    * it cannot tell a crashed writer's orphan claim from a live
-    * writer's not-yet-committed one (an object-store deployment ages
-    * orphans instead — only collect claims older than the longest
-    * plausible write). The current version always survives (`retain`
-    * is clamped to 1+); the CURRENT hint is refreshed to the true head
-    * first, so retention windows are measured from the real current.
+    * orphan claims and dot-tmp files crashed writers left. The current
+    * version always survives (`retain` is clamped to 1+); the CURRENT
+    * hint is refreshed to the true head first, so retention windows
+    * are measured from the real current.
+    *
+    * Orphan collection is AGE-GATED (round-14 ADVICE): an unreferenced
+    * batch dir or a dot-tmp is indistinguishable from a LIVE writer's
+    * in-flight claim, so only debris whose mtime is older than
+    * `orphanMinAgeMs` is collected — set it above the longest
+    * plausible write and vacuum is safe to run concurrently with
+    * appenders (committed batches are referenced the instant their
+    * manifest links, so only claims-in-progress are at stake). The
+    * default keeps the old quiesced-housekeeping semantics (collect
+    * everything), which remains correct only when no writer is
+    * in flight — callers that cannot guarantee quiescence must pass an
+    * age. Superseded MANIFESTS need no gate: a manifest older than the
+    * retention window is committed history, never in-flight state.
     */
-  def vacuum(dir: String, retain: Int = 1): Unit = {
+  def vacuum(dir: String, retain: Int = 1,
+      orphanMinAgeMs: Long = 0L): Unit = {
     val cur = currentVersion(dir)
     require(cur > 0, s"$dir is not an initialized VersionedFlat store")
     advanceCurrent(dir, cur)
+    val cutoff = System.currentTimeMillis() - math.max(0L, orphanMinAgeMs)
+    def oldEnough(f: java.io.File): Boolean = f.lastModified() <= cutoff
     val keepMin = math.max(1, cur - math.max(1, retain) + 1)
     val kept = (keepMin to cur)
       .filter(v => new java.io.File(dir, manifestName(v)).exists())
@@ -352,11 +384,12 @@ object VersionedFlat {
       case ManifestRe(d) => d.toInt < keepMin
       case _ => false
     }).foreach(f => java.nio.file.Files.delete(f.toPath))
-    // crashed commits' dot-tmp debris
+    // crashed commits' dot-tmp debris (age-gated: a live committer's
+    // tmp only exists between write and link — milliseconds)
     top.filter(f => f.isFile && f.getName.startsWith(".") &&
-        f.getName.endsWith(".tmp"))
+        f.getName.endsWith(".tmp") && oldEnough(f))
       .foreach(f => java.nio.file.Files.delete(f.toPath))
-    top.filter(f => f.isDirectory && (f.getName match {
+    top.filter(f => f.isDirectory && oldEnough(f) && (f.getName match {
         case BatchRe(_) => !referenced(f.getName)
         case _ => false
       }))

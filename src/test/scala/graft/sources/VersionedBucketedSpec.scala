@@ -190,6 +190,32 @@ class VersionedBucketedSpec extends SparkSpec {
     } finally dropFamily("vb_key")
   }
 
+  test("a freeze that crashed between the dedup halves (_sh frozen, " +
+      "_bands not) is re-aligned by the next snapshot (round-14 ADVICE)") {
+    val fam = "vb_snapcrash"
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id").as("id"),
+          graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+      IndexStore.writeDedupIndexBucketedVersioned(docs, fam,
+        numBuckets = 4, k = 5)
+      // simulate the crash: only the _sh half froze
+      VersionedBucketed.snapshot(spark, s"${fam}_sh")
+      assert(VersionedBucketed.currentVersion(spark, s"${fam}_sh") === 2)
+      assert(VersionedBucketed.currentVersion(spark, s"${fam}_bands")
+        === 1)
+      // the next snapshot call recovers (re-aligns the lagging half)
+      // instead of failing forever with an off-by-one require
+      val frozen =
+        IndexStore.snapshotDedupIndexBucketedVersioned(spark, fam)
+      assert(frozen === 2, "recovery re-aligns, then freezes both")
+      val (sh, bands) = IndexStore
+        .readDedupIndexBucketedVersionedAsOf(spark, fam, frozen, k = 5)
+      assert(sh.count() > 0 && bands.count() > 0,
+        "the recovered freeze point must serve both halves")
+    } finally dropFamily("vb_snapcrash")
+  }
+
   test("versioned MinHash family: serve join over the live version " +
       "reads the corpus side in place after a versioned compaction") {
     import org.apache.spark.sql.execution.FileSourceScanExec

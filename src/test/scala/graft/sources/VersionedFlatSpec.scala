@@ -177,6 +177,37 @@ class VersionedFlatSpec extends SparkSpec {
     }
   }
 
+  test("age-gated vacuum: a young in-flight claim and tmp survive, " +
+      "aged debris is collected (round-14 ADVICE)") {
+    val dir = tmp("age")
+    VersionedFlat.write(frame(0 until 4), dir)
+    VersionedFlat.append(frame(4 until 8), dir)
+    VersionedFlat.compact(spark, dir) // v3; b-000001/2 now unreferenced
+    // a LIVE writer's in-flight state: claimed batch dir + commit tmp,
+    // both with fresh mtimes
+    val claim = new java.io.File(dir, "b-000999")
+    java.nio.file.Files.createDirectory(claim.toPath)
+    val inflight = new java.io.File(dir, ".manifest-000009.p1t1.tmp")
+    java.nio.file.Files.write(inflight.toPath, "b-000999\n".getBytes)
+    VersionedFlat.vacuum(dir, retain = 1, orphanMinAgeMs = 3600000L)
+    assert(claim.exists(),
+      "a claim younger than the age gate must survive vacuum")
+    assert(inflight.exists(),
+      "a commit tmp younger than the age gate must survive vacuum")
+    assert(new java.io.File(dir, "b-000001").exists(),
+      "the gate is conservative: young unreferenced batches survive " +
+        "too (in a real deployment superseded history has aged past " +
+        "any plausible write and is collected)")
+    assert(!new java.io.File(dir, "manifest-000001").exists(),
+      "superseded manifests are committed history, never in-flight — " +
+        "no age gate applies")
+    // quiesced-mode vacuum (no gate) collects everything unreferenced
+    VersionedFlat.vacuum(dir, retain = 1)
+    assert(!claim.exists() && !inflight.exists(),
+      "ungated vacuum keeps the old quiesced semantics")
+    assert(idSet(VersionedFlat.read(spark, dir)) === (0L until 8L).toSet)
+  }
+
   test("versioned IVF tombstones: purge publishes the excluded frame, " +
       "time travel still holds the bytes, vacuum erases them; " +
       "re-pending tombstones over purged rows are a no-op") {
