@@ -124,7 +124,7 @@ object VersionedFlat {
     v
   }
 
-  private def readManifest(dir: String, v: Int): Seq[String] = {
+  private[sources] def readManifest(dir: String, v: Int): Seq[String] = {
     val m = new java.io.File(dir, manifestName(v))
     require(m.exists(),
       s"version $v of $dir does not exist (never written, or vacuumed)")
@@ -132,25 +132,33 @@ object VersionedFlat {
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Atomically claim the next free batch-dir name (EEXIST — a
-    * concurrent writer or a crashed claim — skips to the next; the
-    * loop is bounded by the number of live contenders plus orphans).
+  /** Atomically claim the next free `prefix`-numbered marker dir
+    * (EEXIST — a concurrent writer or a crashed claim — skips to the
+    * next; the loop is bounded by the number of live contenders plus
+    * orphans). Shared protocol primitive: [[VersionedFlat]] claims
+    * batch dirs with it ("b-"), [[BucketedManifest]] claims generation
+    * numbers ("g-").
     */
-  private def claimBatchDir(dir: String): java.io.File = {
+  private[sources] def claimMarker(dir: String, prefix: String)
+      : (Int, java.io.File) = {
+    val re = (java.util.regex.Pattern.quote(prefix) + "(\\d{1,9})").r
     var n = listNames(dir)
-      .collect { case BatchRe(d) => d.toInt }
+      .collect { case re(d) => d.toInt }
       .foldLeft(0)(math.max) + 1
     while (true) {
-      val f = new java.io.File(dir, batchName(n))
+      val f = new java.io.File(dir, f"$prefix$n%06d")
       try {
         java.nio.file.Files.createDirectory(f.toPath)
-        return f
+        return (n, f)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => n += 1
       }
     }
     sys.error("unreachable")
   }
+
+  private def claimBatchDir(dir: String): java.io.File =
+    claimMarker(dir, "b-")._2
 
   /** fsync a file or directory so its bytes (file) or entries (dir)
     * are durable before the next protocol step — the power-loss half
@@ -172,7 +180,7 @@ object VersionedFlat {
     * lost the race (another writer committed `v`); the tmp is cleaned
     * up.
     */
-  private def tryCommit(dir: String, v: Int,
+  private[sources] def tryCommit(dir: String, v: Int,
       batches: Seq[String]): Boolean = {
     val tmp = new java.io.File(dir,
       s".${manifestName(v)}.p${ProcessHandle.current().pid()}" +
@@ -202,7 +210,7 @@ object VersionedFlat {
     * lag. Writer-unique tmp names keep the racers from corrupting
     * each other's bytes.
     */
-  private def advanceCurrent(dir: String, v: Int): Unit = {
+  private[sources] def advanceCurrent(dir: String, v: Int): Unit = {
     val cur = new java.io.File(dir, "CURRENT")
     val pointed =
       if (!cur.exists()) 0

@@ -1,0 +1,242 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The gen-manifest bucketed store's whole contract (round-15
+  * directive #1): versioned appends with atomic multi-member commits,
+  * partition-pruned exchange-free serve over any version, snapshot
+  * isolation across compactions, size-tiered compaction that
+  * references big generations untouched, CAS multi-writer safety, and
+  * age-gated vacuum as the only deleter.
+  */
+class BucketedManifestSpec extends SparkSpec {
+
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => flatten(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive
+        .QueryStageExec => q +: flatten(q.plan)
+    case other => other +: other.children.flatMap(flatten)
+  }
+
+  private def frame(ids: Range): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, i % 13)).toDF("id", "v")
+  }
+
+  private def idSet(df: DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("create/append: every commit is a version; time travel reads " +
+      "exactly the committed generation sets; both members advance " +
+      "atomically") {
+    val fam = "bm_basic"
+    val (a, b) = (s"${fam}_a", s"${fam}_b")
+    try {
+      BucketedManifest.create(spark, fam, Seq(
+        (a, frame(0 until 10), Seq("id"), 4),
+        (b, frame(100 until 110), Seq("id"), 4)))
+      assert(BucketedManifest.currentVersion(spark, fam) === 1)
+      val v2 = BucketedManifest.append(spark, fam, Seq(
+        (a, frame(10 until 20)), (b, frame(110 until 120))))
+      assert(v2 === 2, "an append IS a new version — no freeze step")
+      assert(idSet(BucketedManifest.readVersion(spark, fam, a, 1))
+        === (0L until 10L).toSet,
+        "version 1 must be blind to the append")
+      assert(idSet(BucketedManifest.read(spark, fam, a))
+        === (0L until 20L).toSet)
+      assert(idSet(BucketedManifest.readVersion(spark, fam, b, 1))
+        === (100L until 110L).toSet)
+      assert(idSet(BucketedManifest.read(spark, fam, b))
+        === (100L until 120L).toSet)
+      assert(BucketedManifest.gensOf(spark, fam, a).size === 2)
+    } finally BucketedManifest.drop(spark, fam, Seq(a, b))
+  }
+
+  test("a crashed append (generation written, no manifest) is " +
+      "invisible to every reader and collected by ungated vacuum") {
+    val fam = "bm_crash"
+    val a = s"${fam}_a"
+    try {
+      BucketedManifest.create(spark, fam,
+        Seq((a, frame(0 until 10), Seq("id"), 4)))
+      // the crash: generation files land, the manifest link never ran
+      frame(50 until 60).withColumn("gen", lit(99))
+        .write.mode("append").partitionBy("gen")
+        .bucketBy(4, "id").sortBy("id")
+        .format("parquet").saveAsTable(a)
+      assert(idSet(BucketedManifest.read(spark, fam, a))
+        === (0L until 10L).toSet,
+        "an un-manifested generation must be invisible")
+      BucketedManifest.vacuum(spark, fam)
+      assert(spark.sessionState.catalog.listPartitions(
+        org.apache.spark.sql.catalyst.TableIdentifier(a)).size === 1,
+        "ungated vacuum must drop the orphan generation's partition")
+      assert(idSet(BucketedManifest.read(spark, fam, a))
+        === (0L until 10L).toSet)
+    } finally BucketedManifest.drop(spark, fam, Seq(a))
+  }
+
+  test("serve plan: the gen predicate is a partition filter (prunes " +
+      "to the manifest's generations) and the bucket-key join over a " +
+      "multi-generation version runs with no exchange on the store side") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val fam = "bm_plan"
+    val a = s"${fam}_a"
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      BucketedManifest.create(spark, fam,
+        Seq((a, frame(0 until 500), Seq("id"), 4)))
+      BucketedManifest.append(spark, fam, Seq((a, frame(500 until 1000))))
+      BucketedManifest.append(spark, fam, Seq((a, frame(1000 until 1500))))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // serve version 2 (gens 1+2 of 3): pruning must exclude gen 3
+      val corpus = BucketedManifest.readVersion(spark, fam, a, 2)
+      val probe = frame(0 until 1500).select(col("id"),
+        col("v").as("pv"))
+      val j = corpus.join(probe, Seq("id"))
+      assert(j.count() === 1000)
+      val all = flatten(j.queryExecution.executedPlan)
+      val scan = all.collect { case s: FileSourceScanExec
+        if s.tableIdentifier.exists(_.table.toLowerCase == a) => s }
+      assert(scan.nonEmpty, "the serve join must scan the member table")
+      assert(scan.head.partitionFilters.nonEmpty,
+        "the gen predicate must reach the scan as a partition filter")
+      assert(all.collect { case e: ShuffleExchangeExec
+        if flatten(e.child).exists {
+          case s: FileSourceScanExec =>
+            s.tableIdentifier.exists(_.table.toLowerCase == a)
+          case _ => false
+        } => e }.isEmpty,
+        "the store side must read in place — no exchange")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      BucketedManifest.drop(spark, fam, Seq(a))
+    }
+  }
+
+  test("compact: content invariant, one generation after, old version " +
+      "still travels, a captured reader frame survives (snapshot " +
+      "isolation), stale basedOn fails loudly") {
+    val fam = "bm_compact"
+    val a = s"${fam}_a"
+    try {
+      BucketedManifest.create(spark, fam,
+        Seq((a, frame(0 until 10), Seq("id"), 4)))
+      BucketedManifest.append(spark, fam, Seq((a, frame(10 until 20))))
+      val captured = BucketedManifest.read(spark, fam, a)
+      BucketedManifest.compact(spark, fam)
+      assert(BucketedManifest.currentVersion(spark, fam) === 3)
+      assert(BucketedManifest.gensOf(spark, fam, a).size === 1)
+      assert(idSet(BucketedManifest.read(spark, fam, a))
+        === (0L until 20L).toSet, "compaction must not change content")
+      assert(idSet(captured) === (0L until 20L).toSet,
+        "a frame captured before the compaction must still collect")
+      assert(idSet(BucketedManifest.readVersion(spark, fam, a, 1))
+        === (0L until 10L).toSet,
+        "pre-compaction versions stay readable until vacuum")
+      // Iceberg rewrite semantics: a compaction computed against a
+      // version that is no longer the head must fail loudly
+      BucketedManifest.append(spark, fam, Seq((a, frame(20 until 30))))
+      intercept[java.util.ConcurrentModificationException] {
+        BucketedManifest.compact(spark, fam, basedOn = 3)
+      }
+    } finally BucketedManifest.drop(spark, fam, Seq(a))
+  }
+
+  test("compactTiered merges only the small generations and " +
+      "REFERENCES the big one untouched (its files not rewritten)") {
+    val fam = "bm_tier"
+    val a = s"${fam}_a"
+    try {
+      BucketedManifest.create(spark, fam,
+        Seq((a, frame(0 until 5000), Seq("id"), 4))) // the big gen
+      BucketedManifest.append(spark, fam, Seq((a, frame(5000 until 5050))))
+      BucketedManifest.append(spark, fam, Seq((a, frame(5050 until 5100))))
+      BucketedManifest.append(spark, fam, Seq((a, frame(5100 until 5150))))
+      assert(!BucketedManifest.compactTiered(spark, fam, maxGens = 4),
+        "at the cap: no compaction")
+      val bigGen = BucketedManifest.gensOf(spark, fam, a, 1).head
+      val bigDirs = spark.sessionState.catalog.listPartitions(
+        org.apache.spark.sql.catalyst.TableIdentifier(a),
+        Some(Map("gen" -> bigGen.toString)))
+      val bigFiles = bigDirs.flatMap(p =>
+        Option(new java.io.File(new java.net.URI(p.location.toString)
+          .getPath).listFiles()).get.filter(_.isFile)
+          .map(f => f.getName -> f.lastModified())).toMap
+      assert(BucketedManifest.compactTiered(spark, fam, maxGens = 2),
+        "above the cap: compaction must run")
+      val gens = BucketedManifest.gensOf(spark, fam, a)
+      assert(gens.size === 2, "result must hold exactly maxGens gens")
+      assert(gens.contains(bigGen),
+        "the big generation must be referenced, not rewritten")
+      val bigAfter = bigDirs.flatMap(p =>
+        Option(new java.io.File(new java.net.URI(p.location.toString)
+          .getPath).listFiles()).get.filter(_.isFile)
+          .map(f => f.getName -> f.lastModified())).toMap
+      assert(bigAfter === bigFiles,
+        "the big generation's files must be byte-for-byte untouched")
+      assert(idSet(BucketedManifest.read(spark, fam, a))
+        === (0L until 5150L).toSet, "tiered compaction content-invariant")
+    } finally BucketedManifest.drop(spark, fam, Seq(a))
+  }
+
+  test("two concurrent appenders interleave safely: both generations " +
+      "survive, versions linearize into a dense chain") {
+    val fam = "bm_race"
+    val a = s"${fam}_a"
+    try {
+      BucketedManifest.create(spark, fam,
+        Seq((a, frame(0 until 10), Seq("id"), 4)))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = Seq(
+        (10, 20), (20, 30), (30, 40), (40, 50)).map { case (lo, hi) =>
+        new Thread(() =>
+          try BucketedManifest.append(spark, fam,
+            Seq((a, frame(lo until hi)))): Unit
+          catch { case t: Throwable => errs.add(t): Unit })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(errs.isEmpty, s"concurrent appends must not fail: " +
+        s"${Option(errs.peek()).map(_.toString)}")
+      assert(BucketedManifest.currentVersion(spark, fam) === 5,
+        "four appends over v1 must linearize to v5")
+      assert(idSet(BucketedManifest.read(spark, fam, a))
+        === (0L until 50L).toSet, "every appender's rows must survive")
+    } finally BucketedManifest.drop(spark, fam, Seq(a))
+  }
+
+  test("vacuum honors retention and the age gate; time travel to a " +
+      "vacuumed version fails loudly; the live version is untouched") {
+    val fam = "bm_vac"
+    val a = s"${fam}_a"
+    try {
+      BucketedManifest.create(spark, fam,
+        Seq((a, frame(0 until 10), Seq("id"), 4)))
+      BucketedManifest.append(spark, fam, Seq((a, frame(10 until 20))))
+      BucketedManifest.compact(spark, fam) // v3, gens 1+2 unreferenced
+      // age gate: young unreferenced generations survive
+      BucketedManifest.vacuum(spark, fam, retain = 1,
+        orphanMinAgeMs = 3600000L)
+      assert(spark.sessionState.catalog.listPartitions(
+        org.apache.spark.sql.catalyst.TableIdentifier(a)).size === 3,
+        "gated vacuum must keep young unreferenced generations")
+      // ungated (quiesced) vacuum reclaims them
+      BucketedManifest.vacuum(spark, fam, retain = 1)
+      assert(spark.sessionState.catalog.listPartitions(
+        org.apache.spark.sql.catalyst.TableIdentifier(a)).size === 1,
+        "ungated vacuum must drop unreferenced generations")
+      intercept[IllegalArgumentException] {
+        BucketedManifest.readVersion(spark, fam, a, 1).collect()
+      }
+      assert(idSet(BucketedManifest.read(spark, fam, a))
+        === (0L until 20L).toSet, "the live version survives vacuum")
+    } finally BucketedManifest.drop(spark, fam, Seq(a))
+  }
+}
