@@ -560,16 +560,18 @@ object SparkEntry {
   }
 
   /** TIME TRAVEL on the versioned MinHash index
-    * (graft.sources.VersionedBucketed.snapshot — zero-copy hard-link
-    * freeze): the base corpus is indexed and FROZEN, the delta twins
-    * are then admitted into the live clones, and the probes are
-    * served against the FROZEN version — whose answer must be blind
-    * to everything admitted after the freeze: probes × base only,
-    * x_dedup_incremental's oracle VERBATIM. A leaked post-freeze
-    * admission adds probe × delta pairs and misses the hash; this is
-    * the bucketed families' reproducibility pin ("the corpus as of
-    * freeze N is a stable, re-servable object"), twin to
-    * x_sim_ivf_time_travel on the flat manifests.
+    * (graft.sources.BucketedManifest — round-15: every committed
+    * manifest IS a frozen version, so the freeze is a pure metadata
+    * read, no links and no clone tables): the base corpus is indexed,
+    * the current version number captured, the delta twins are then
+    * admitted as a NEW version, and the probes are served against the
+    * CAPTURED version — whose answer must be blind to everything
+    * committed after it: probes × base only, x_dedup_incremental's
+    * oracle VERBATIM. A leaked post-freeze admission adds
+    * probe × delta pairs and misses the hash; this is the bucketed
+    * families' reproducibility pin ("the corpus as of version N is a
+    * stable, re-servable object"), twin to x_sim_ivf_time_travel on
+    * the flat manifests.
     */
   private def xDedupIndexSnapshot(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents").select(col("doc_id").as("id"),
@@ -594,17 +596,18 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
-  /** The MinHash index on VERSION-POINTER bucketed tables
-    * (graft.sources.VersionedBucketed — round-14 directive #2, the
-    * first bucketed family versioned): identical data flow to
-    * [[xDedupIndexCompact]], but the compaction between append and
-    * serve publishes NEW version tables and repoints instead of
-    * swap-dropping the listing a concurrent reader holds. Content,
-    * bucket layout, and parameters are untouched by versioning, so
-    * this row shares x_dedup_index_append's oracle VERBATIM; the
+  /** The MinHash index on GEN-MANIFEST bucketed tables
+    * (graft.sources.BucketedManifest — round-15 directive #1, the
+    * first bucketed family on the table format): identical data flow
+    * to [[xDedupIndexCompact]], but the append commits both halves in
+    * one atomic manifest and the compaction publishes merged
+    * GENERATIONS that old versions keep referencing — no hard links,
+    * no catalog-table-per-version, no pointer swap. Content, bucket
+    * layout, and parameters are untouched by versioning, so this row
+    * shares x_dedup_index_append's oracle VERBATIM; the
     * filesystem/catalog observables (snapshot isolation for captured
-    * readers, exchange-free serve over the live version, vacuum) live
-    * in VersionedBucketedSpec.
+    * readers, partition-pruned exchange-free serve, CAS multi-writer
+    * safety, vacuum) live in BucketedManifestSpec.
     */
   private def xDedupIndexVersioned(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents").select(col("doc_id").as("id"),
@@ -4395,10 +4398,11 @@ object SparkEntry {
   /** [[xStreamPipelineAdmit]]'s gated-admission arc over the
     * VERSIONED MinHash family with a PER-BATCH FREEZE
     * (StreamingValidate.gatedIngestRunVersioned — the auditable-ingest
-    * capstone): identical gate choreography and checkpoint restart,
-    * but every admitted batch snapshots the index, so the run leaves a
-    * time-travelable ingest history (version k+1 = the corpus after
-    * batch k) as a side effect of the loop itself. The sink aggregate
+    * capstone, on graft.sources.BucketedManifest since round 15):
+    * identical gate choreography and checkpoint restart, but every
+    * admitted batch's atomic manifest commit IS the freeze, so the run
+    * leaves a time-travelable ingest history (version k+1 = the corpus
+    * after batch k) as a side effect of the loop itself. The sink aggregate
     * must be identical to the swap-family run's — shares
     * x_stream_pipeline_admit's oracle VERBATIM (a gate reading a stale
     * or wrong version re-admits copies and breaks the checksum); the

@@ -318,126 +318,124 @@ object IndexStore {
     Bucketing.compactBucketed(spark, s"${table}_bands")
   }
 
-  // -------------------------- MinHash family, versioned (round-14 #2)
-  /** The MinHash dedup index on [[VersionedBucketed]] version-pointer
-    * tables instead of swap-compacted ones — the first BUCKETED family
-    * versioned (round-14 directive #2; the flat artifacts got their
-    * manifests in rounds 13–14): both halves (`_sh` on id, `_bands` on
-    * (band, bucket)) become version families whose COMPACTION publishes
-    * a new table and repoints rather than deleting the listing a
-    * concurrent reader holds. Serve reads carry the catalog bucket
-    * metadata of the live version, so the per-batch join still reads
-    * the corpus side exchange-free (VersionedBucketedSpec re-asserts);
-    * appends stay in-place file-adds on the live version (adds never
-    * invalidate a captured listing). Content contract unchanged:
-    * x_dedup_index_versioned shares x_dedup_index_append's oracle
-    * verbatim through a build/append/compact cycle.
+  // -------------------------- MinHash family, versioned (round-15 #1)
+  /** The MinHash dedup index on [[BucketedManifest]] gen-manifest
+    * tables — the first bucketed family on the real table format
+    * (round-15 directive #1; rounds 13–14 versioned it on
+    * [[VersionedBucketed]]'s hard-link freezes, whose scaladoc named
+    * this store as the object-store-deployable fix). Both halves
+    * (`_sh` on id, `_bands` on (band, bucket)) are MEMBERS of ONE
+    * family: every append commits both in a single atomic manifest
+    * (the half-frozen crash split of the freeze-per-half design cannot
+    * exist), every commit is a time-travelable version, and compaction
+    * publishes merged generations the old versions keep referencing —
+    * no hard links, no catalog-table-per-version, no pointer swap.
+    * Serve reads are partition-pruned catalog scans carrying the
+    * bucket metadata, so the per-batch join still reads the corpus
+    * side exchange-free (BucketedManifestSpec asserts the executed
+    * plan). Content contract unchanged: x_dedup_index_versioned shares
+    * x_dedup_index_append's oracle verbatim through a
+    * build/append/compact cycle.
     */
   def writeDedupIndexBucketedVersioned(corpusToks: DataFrame,
       table: String, numBuckets: Int, numHashes: Int = 32,
       bands: Int = 16, k: Int = 3): Unit = {
-    Scratch.sweepOnce(corpusToks.sparkSession)
+    val spark = corpusToks.sparkSession
+    Scratch.sweepOnce(spark)
     val sh = corpusToks.select(col("id"),
       Dedup.shingleHashesFromTokens(col("toks"), k).as("sh")).cache()
     try {
-      VersionedBucketed.write(sh, s"${table}_sh", Seq("id"), numBuckets)
-      VersionedBucketed.write(
-        Dedup.bandAssignmentsFromShingles(sh, numHashes, bands),
-        s"${table}_bands", Seq("band", "bucket"), numBuckets)
-      metaFrame(sh.sparkSession, numHashes, bands, k)
+      BucketedManifest.create(spark, table, Seq(
+        (s"${table}_sh", sh, Seq("id"), numBuckets),
+        (s"${table}_bands",
+          Dedup.bandAssignmentsFromShingles(sh, numHashes, bands),
+          Seq("band", "bucket"), numBuckets)))
+      metaFrame(spark, numHashes, bands, k)
         .write.mode("overwrite").format("parquet")
         .saveAsTable(s"${table}_meta")
     } finally sh.unpersist(blocking = false)
   }
 
-  /** (shingles, bands) of the LIVE version, bucket metadata attached;
-    * serve-time parameters validated against the build-time record.
+  /** (shingles, bands) of the CURRENT version, bucket metadata
+    * attached; serve-time parameters validated against the build-time
+    * record. The manifest is resolved at call time, so a per-batch
+    * caller always serves against everything committed so far.
     */
   def readDedupIndexBucketedVersioned(spark: SparkSession,
       table: String, numHashes: Int = 32, bands: Int = 16, k: Int = 3)
       : (DataFrame, DataFrame) = {
     checkMeta(spark.table(s"${table}_meta"), table, numHashes, bands, k)
-    (VersionedBucketed.read(spark, s"${table}_sh"),
-      VersionedBucketed.read(spark, s"${table}_bands"))
+    (BucketedManifest.read(spark, table, s"${table}_sh"),
+      BucketedManifest.read(spark, table, s"${table}_bands"))
   }
 
-  /** [[appendDedupIndexBucketed]] against the live versions of both
-    * halves (in-place file adds — the delta shuffles, standing files
-    * untouched, captured listings remain valid).
+  /** [[appendDedupIndexBucketed]] as ONE atomic family commit: the
+    * delta's shingle and band generations land under a claimed gen
+    * number and both halves advance in a single manifest link — the
+    * committed version is returned and IS the freeze point ("the
+    * corpus after this batch"). Standing generations untouched;
+    * captured reader frames remain valid.
     */
   def appendDedupIndexBucketedVersioned(deltaToks: DataFrame,
       table: String, numHashes: Int = 32, bands: Int = 16,
-      k: Int = 3): Unit = {
+      k: Int = 3): Int = {
     val spark = deltaToks.sparkSession
     checkMeta(spark.table(s"${table}_meta"), table, numHashes, bands, k)
     val sh = deltaToks.select(col("id"),
       Dedup.shingleHashesFromTokens(col("toks"), k).as("sh")).cache()
-    try {
-      VersionedBucketed.append(sh, s"${table}_sh")
-      VersionedBucketed.append(
-        Dedup.bandAssignmentsFromShingles(sh, numHashes, bands),
-        s"${table}_bands")
-    } finally sh.unpersist(blocking = false)
+    try
+      BucketedManifest.append(spark, table, Seq(
+        (s"${table}_sh", sh),
+        (s"${table}_bands",
+          Dedup.bandAssignmentsFromShingles(sh, numHashes, bands))))
+    finally sh.unpersist(blocking = false)
   }
 
-  /** Freeze the versioned MinHash index at the current ingest point
-    * ([[VersionedBucketed.snapshot]] on both halves): returns the
-    * FROZEN version number — from this instant that version's file
-    * sets never change (appends target the new live clones), so
-    * serving it later reproduces exactly the corpus-as-of-the-freeze.
-    * Both halves freeze at the same logical point by construction
-    * (no admission can interleave: admissions go through
-    * [[appendDedupIndexBucketedVersioned]], same single-writer ingest
-    * loop).
+  /** The freeze point of the current ingest state. On the manifest
+    * store a snapshot is PURE METADATA — every committed version is
+    * already frozen (generations are immutable, manifests reference
+    * them forever until vacuum), so "freeze now" just reads the
+    * current version number. The round-14 half-by-half freeze (and its
+    * crash-split recovery, round-14 ADVICE) is retired structurally:
+    * both halves live in one manifest, there are no halves to
+    * re-align.
     */
   def snapshotDedupIndexBucketedVersioned(spark: SparkSession,
-      table: String): Int = {
-    // idempotent crash recovery (round-14 ADVICE): the two halves
-    // freeze in order (_sh then _bands), so a crash between them
-    // leaves _sh exactly one version ahead — freeze only the lagging
-    // half to re-align before proceeding (mirrors
-    // VersionedBucketed.recover; recovery must run before any
-    // post-crash admission, which the single-writer ingest loops
-    // guarantee by snapshotting at batch boundaries)
-    val vSh = VersionedBucketed.currentVersion(spark, s"${table}_sh")
-    val vBands =
-      VersionedBucketed.currentVersion(spark, s"${table}_bands")
-    if (vSh == vBands + 1)
-      VersionedBucketed.snapshot(spark, s"${table}_bands"): Unit
-    else require(vSh == vBands,
-      s"index halves of $table diverged beyond one-step recovery: " +
-        s"_sh at v$vSh, _bands at v$vBands")
-    val frozen = VersionedBucketed.snapshot(spark, s"${table}_sh") - 1
-    val frozenBands =
-      VersionedBucketed.snapshot(spark, s"${table}_bands") - 1
-    require(frozen == frozenBands,
-      s"index halves of $table diverged: _sh froze v$frozen, " +
-        s"_bands froze v$frozenBands")
-    frozen
-  }
+      table: String): Int =
+    BucketedManifest.currentVersion(spark, table)
 
   /** (shingles, bands) of FROZEN version `v` — the corpus exactly as
-    * of that freeze point, regardless of every admission since.
+    * of that commit, regardless of every admission since.
     */
   def readDedupIndexBucketedVersionedAsOf(spark: SparkSession,
       table: String, v: Int, numHashes: Int = 32, bands: Int = 16,
       k: Int = 3): (DataFrame, DataFrame) = {
     checkMeta(spark.table(s"${table}_meta"), table, numHashes, bands, k)
-    (VersionedBucketed.readVersion(spark, s"${table}_sh", v),
-      VersionedBucketed.readVersion(spark, s"${table}_bands", v))
+    (BucketedManifest.readVersion(spark, table, s"${table}_sh", v),
+      BucketedManifest.readVersion(spark, table, s"${table}_bands", v))
   }
 
-  /** [[compactDedupIndexBucketed]] as version publication: each half's
-    * one-file-per-bucket rewrite lands as a NEW version table and the
-    * pointer swaps — concurrent readers keep their version's files
-    * until [[VersionedBucketed.vacuum]]. Content, layout, `_meta`
-    * untouched, so the serve answer is hash-invariant.
+  /** [[compactDedupIndexBucketed]] as version publication: both
+    * halves' one-file-per-bucket merged generations land under one
+    * claimed gen and ONE manifest commit — concurrent readers keep
+    * their versions' generations until [[BucketedManifest.vacuum]].
+    * Content, layout, `_meta` untouched, so the serve answer is
+    * hash-invariant.
     */
   def compactDedupIndexBucketedVersioned(spark: SparkSession,
-      table: String): Unit = {
-    VersionedBucketed.compact(spark, s"${table}_sh")
-    VersionedBucketed.compact(spark, s"${table}_bands")
-  }
+      table: String): Unit =
+    BucketedManifest.compact(spark, table)
+
+  /** Size-tiered cadence for the versioned MinHash family
+    * ([[BucketedManifest.compactTiered]]): when the manifest
+    * references more than `maxGens` generations, merge the smallest
+    * down to the cap and reference the big ones untouched — the
+    * O(small-generations) maintenance an every-batch ingest loop can
+    * afford to run after each admit.
+    */
+  def maybeCompactDedupIndexBucketedVersioned(spark: SparkSession,
+      table: String, maxGens: Int): Boolean =
+    BucketedManifest.compactTiered(spark, table, maxGens)
 
   /** Compact the standing bucketed substring gram index (one half:
     * the gram frame) — same contract as

@@ -667,22 +667,21 @@ object StreamingValidate {
   }
 
   /** [[gatedIngestRun]] over the VERSIONED MinHash family with a
-    * per-batch FREEZE (round-14 capstone — the auditable-ingest
-    * training pipeline): each micro-batch is screened against the
-    * live version, its survivors sunk strictly before admission, and
-    * after the admit the index is SNAPSHOT
-    * ([[graft.sources.IndexStore.snapshotDedupIndexBucketedVersioned]])
-    * — so version k+1's frozen tables are exactly "the corpus after
-    * batch k", time-travelable for as long as retention keeps them:
-    * the reproducibility object a training run pins ("trained against
-    * the corpus as of freeze N") falls out of the ingest loop itself.
-    * The freeze also makes cache invalidation structural rather than
-    * procedural: every batch resolves a FRESH live table name (the
-    * post-snapshot clone), so no refreshTable is needed — there is no
-    * stale listing to refresh, the exact class of bug the
-    * cloned-session refresh traps in the flat families guard against.
-    * Restart safety is [[gatedIngestRun]]'s: re-processing a batch
-    * would re-admit its survivors and double their sink records.
+    * per-batch FREEZE (round-14 capstone, re-based onto the
+    * gen-manifest store in round-15 — the auditable-ingest training
+    * pipeline): each micro-batch is screened against the current
+    * version, its survivors sunk strictly before admission, and the
+    * admit's OWN atomic manifest commit is the freeze — version k+1
+    * is exactly "the corpus after batch k", time-travelable for as
+    * long as retention keeps it: the reproducibility object a
+    * training run pins ("trained against the corpus as of version N")
+    * falls out of the ingest loop itself, with no separate snapshot
+    * step and no per-version catalog tables. Cache invalidation is
+    * structural: every batch resolves a FRESH manifest (the gen set
+    * moved), and the generation writes refresh the member tables'
+    * listings. Restart safety is [[gatedIngestRun]]'s: re-processing
+    * a batch would re-admit its survivors and double their sink
+    * records.
     */
   def gatedIngestRunVersioned(spark: org.apache.spark.sql.SparkSession,
       newDocsDir: String, indexTable: String, threshold: Double,
@@ -723,12 +722,13 @@ object StreamingValidate {
         val sv = survivors(b).cache()
         try {
           admitRecords(sv).write.mode("append").parquet(sinkDir)
+          // the append's manifest commit IS the per-batch freeze on
+          // the gen-manifest store (round-15): version k+1 = the
+          // corpus after batch k, no separate snapshot step
           graft.sources.IndexStore.appendDedupIndexBucketedVersioned(
             sv.select(col("doc_id").as("id"),
               TextAnalysis.tokens(col("text")).as("toks")),
-            indexTable, numHashes, bands, k)
-          graft.sources.IndexStore
-            .snapshotDedupIndexBucketedVersioned(spark, indexTable): Unit
+            indexTable, numHashes, bands, k): Unit
         } finally { sv.unpersist(blocking = false); () }
       }
     val writer = if (checkpointDir == null) writer0
@@ -808,17 +808,16 @@ object StreamingValidate {
         Seq(s"${indexTable}_sh", s"${indexTable}_bands"))
 
   /** [[nearDupIngestRun]] over the VERSIONED MinHash family
-    * ([[graft.sources.VersionedBucketed]] — round-14 directive #2's
-    * streaming arc): checks read the LIVE version of both halves per
-    * micro-batch, admits append in-place into the live version tables
-    * (file adds — captured listings stay valid), and a versioned
-    * COMPACTION interleaved between runs repoints without touching
-    * what this stream or any reader holds. Check semantics, restart
-    * safety, and the admit-exactly-once proof are identical to the
-    * flat-family run's — x_stream_dedup_versioned shares
-    * x_dedup_index_append's oracle verbatim. The live table names are
-    * resolved at run start: versions only change at compaction, which
-    * is not part of a run.
+    * ([[graft.sources.BucketedManifest]] — the gen-manifest streaming
+    * arc): checks resolve the CURRENT manifest of both halves per
+    * micro-batch, admits commit new generations atomically (standing
+    * generations untouched — captured listings stay valid), and a
+    * versioned COMPACTION interleaved between runs publishes merged
+    * generations without touching what this stream or any reader
+    * holds. Check semantics, restart safety, and the
+    * admit-exactly-once proof are identical to the flat-family run's —
+    * x_stream_dedup_versioned shares x_dedup_index_append's oracle
+    * verbatim.
     */
   def nearDupIngestRunVersioned(spark: org.apache.spark.sql.SparkSession,
       newDocsDir: String, indexTable: String, checkpointDir: String,
@@ -834,12 +833,8 @@ object StreamingValidate {
       },
       admit = b => graft.sources.IndexStore
         .appendDedupIndexBucketedVersioned(b, indexTable, numHashes,
-          bands, k),
-      refreshTables = Seq(
-        graft.sources.VersionedBucketed.liveName(spark,
-          s"${indexTable}_sh"),
-        graft.sources.VersionedBucketed.liveName(spark,
-          s"${indexTable}_bands")))
+          bands, k): Unit,
+      refreshTables = Seq(s"${indexTable}_sh", s"${indexTable}_bands"))
 
   /** The edit-distance twin of [[nearDupIngestRun]]: resumable
     * check-then-admit over the PassJoin index — per batch, `(id, s)`

@@ -212,6 +212,68 @@ class BucketedManifestSpec extends SparkSpec {
     } finally BucketedManifest.drop(spark, fam, Seq(a))
   }
 
+  test("versioned MinHash family on the manifest store: append IS the " +
+      "freeze (as-of reads blind to later admissions); serve join " +
+      "over the compacted current version reads the corpus in place") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val fam = "bm_dedup"
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
+        "documents")
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      IndexStore.writeDedupIndexBucketedVersioned(docs, fam,
+        numBuckets = 8, k = 5)
+      val frozen =
+        IndexStore.snapshotDedupIndexBucketedVersioned(spark, fam)
+      assert(frozen === 1, "a freeze is a pure metadata read")
+      val v2 = IndexStore.appendDedupIndexBucketedVersioned(
+        docs.select((col("id") + 500000L).as("id"), col("toks")), fam,
+        k = 5)
+      assert(v2 === 2, "the append commits the next version atomically")
+      val (shAsOf, _) = IndexStore
+        .readDedupIndexBucketedVersionedAsOf(spark, fam, frozen, k = 5)
+      assert(shAsOf.count() === docs.count(),
+        "the freeze point must be blind to the later admission")
+      IndexStore.compactDedupIndexBucketedVersioned(spark, fam)
+      assert(BucketedManifest.currentVersion(spark, fam) === 3)
+      assert(BucketedManifest.gensOf(spark, fam, s"${fam}_bands")
+        .size === 1, "compaction merges to one generation")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val corpus = BucketedManifest.read(spark, fam, s"${fam}_bands")
+        .select(col("id").as("corpus_id"), col("band"), col("bucket"))
+      val batch = graft.ext.Dedup.bandAssignmentsFromShingles(
+          docs.select((col("id") + 900000L).as("id"),
+            graft.ext.Dedup.shingleHashesFromTokens(col("toks"), 5)
+              .as("sh")),
+          32, 16)
+        .select(col("id").as("new_id"), col("band").as("band_n"),
+          col("bucket").as("bucket_n"))
+      val joined = batch.join(corpus,
+        col("band_n") === col("band") &&
+          col("bucket_n") === col("bucket"))
+      assert(joined.count() > 0, "twin batch must hit corpus buckets")
+      val all = flatten(joined.queryExecution.executedPlan)
+      def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan) =
+        p match {
+          case s: FileSourceScanExec => s.tableIdentifier.exists(
+            _.table.toLowerCase == s"${fam}_bands")
+          case _ => false
+        }
+      assert(all.collect { case e: ShuffleExchangeExec
+        if flatten(e.child).exists(isIndexScan) => e }.isEmpty,
+        "the current version's corpus side must read in place")
+      assert(all.exists(isIndexScan),
+        "the join must read the member's bucketed catalog table")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      BucketedManifest.drop(spark, fam,
+        Seq(s"${fam}_sh", s"${fam}_bands", s"${fam}_meta"))
+    }
+  }
+
   test("vacuum honors retention and the age gate; time travel to a " +
       "vacuumed version fails loudly; the live version is untouched") {
     val fam = "bm_vac"

@@ -190,80 +190,10 @@ class VersionedBucketedSpec extends SparkSpec {
     } finally dropFamily("vb_key")
   }
 
-  test("a freeze that crashed between the dedup halves (_sh frozen, " +
-      "_bands not) is re-aligned by the next snapshot (round-14 ADVICE)") {
-    val fam = "vb_snapcrash"
-    try {
-      val docs = Tables.load(spark, dir, "documents")
-        .select(col("doc_id").as("id"),
-          graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
-      IndexStore.writeDedupIndexBucketedVersioned(docs, fam,
-        numBuckets = 4, k = 5)
-      // simulate the crash: only the _sh half froze
-      VersionedBucketed.snapshot(spark, s"${fam}_sh")
-      assert(VersionedBucketed.currentVersion(spark, s"${fam}_sh") === 2)
-      assert(VersionedBucketed.currentVersion(spark, s"${fam}_bands")
-        === 1)
-      // the next snapshot call recovers (re-aligns the lagging half)
-      // instead of failing forever with an off-by-one require
-      val frozen =
-        IndexStore.snapshotDedupIndexBucketedVersioned(spark, fam)
-      assert(frozen === 2, "recovery re-aligns, then freezes both")
-      val (sh, bands) = IndexStore
-        .readDedupIndexBucketedVersionedAsOf(spark, fam, frozen, k = 5)
-      assert(sh.count() > 0 && bands.count() > 0,
-        "the recovered freeze point must serve both halves")
-    } finally dropFamily("vb_snapcrash")
-  }
-
-  test("versioned MinHash family: serve join over the live version " +
-      "reads the corpus side in place after a versioned compaction") {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    val fam = "vb_dedup"
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id").as("id"),
-        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      IndexStore.writeDedupIndexBucketedVersioned(docs, fam,
-        numBuckets = 8, k = 5)
-      IndexStore.appendDedupIndexBucketedVersioned(
-        docs.select((col("id") + 500000L).as("id"), col("toks")), fam,
-        k = 5)
-      IndexStore.compactDedupIndexBucketedVersioned(spark, fam)
-      assert(VersionedBucketed.currentVersion(spark, s"${fam}_bands")
-        === 2)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val corpus = VersionedBucketed.read(spark, s"${fam}_bands")
-        .select(col("id").as("corpus_id"), col("band"), col("bucket"))
-      val batch = graft.ext.Dedup.bandAssignmentsFromShingles(
-          docs.select((col("id") + 900000L).as("id"),
-            graft.ext.Dedup.shingleHashesFromTokens(col("toks"), 5)
-              .as("sh")),
-          32, 16)
-        .select(col("id").as("new_id"), col("band").as("band_n"),
-          col("bucket").as("bucket_n"))
-      val joined = batch.join(corpus,
-        col("band_n") === col("band") &&
-          col("bucket_n") === col("bucket"))
-      assert(joined.count() > 0, "twin batch must hit corpus buckets")
-      val all = flatten(joined.queryExecution.executedPlan)
-      def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan) =
-        p match {
-          case s: FileSourceScanExec => s.tableIdentifier.exists(
-            _.table.toLowerCase == s"${fam}_bands__v2")
-          case _ => false
-        }
-      val offending = all.collect { case e: ShuffleExchangeExec
-        if flatten(e.child).exists(isIndexScan) => e }
-      assert(offending.isEmpty,
-        "the live version's corpus side must read in place")
-      assert(all.exists(isIndexScan),
-        "the join must read the live version's bucketed table")
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      dropFamily("vb_dedup")
-    }
-  }
+  // The MinHash family moved to the gen-manifest store in round 15
+  // (BucketedManifest — atomic two-half commits retire the
+  // half-frozen crash split structurally); its serve-plan and freeze
+  // contracts now live in BucketedManifestSpec. VersionedBucketed
+  // remains the version-pointer store for the key / substring / edit
+  // / pHash families, pinned above.
 }

@@ -875,11 +875,11 @@ class StreamingSpec extends SparkSpec {
       val adm1 = run(docs.filter(col("doc_id") % 4 === 1), mkSink())
       val adm2 = run(docs.filter(col("doc_id") % 4 === 3), mkSink())
       assert(adm1 > 0 && adm2 > 0, "both batches must admit something")
-      assert(graft.sources.VersionedBucketed
-        .currentVersion(spark, s"${fam}_sh") === 3,
+      assert(graft.sources.BucketedManifest
+        .currentVersion(spark, fam) === 3,
         "one frozen version per admitted batch")
-      def shCount(v: Int): Long = graft.sources.VersionedBucketed
-        .readVersion(spark, s"${fam}_sh", v).count()
+      def shCount(v: Int): Long = graft.sources.BucketedManifest
+        .readVersion(spark, fam, s"${fam}_sh", v).count()
       assert(shCount(1) === base, "v1 = the pre-ingest corpus, frozen")
       assert(shCount(2) === base + adm1,
         "v2 = the corpus after batch 1, frozen through batch 2")
