@@ -43,15 +43,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * which the catalog cannot express without a table format underneath;
   * deletion is the hazard, and only compaction deletes.
   *
-  * Crash anatomy: compaction creates `__v(N+1)` fully, then swaps the
-  * pointer. A crash in between leaves an orphan version table ABOVE
-  * the pointer; [[recover]] (run at the head of every compact) drops
-  * such orphans, so the retry is clean. The pointer file move is
-  * atomic, so readers always resolve a complete table.
+  * == Commit protocol (claim/commit markers, round-15) ==
   *
-  * Single-writer per family by contract (the families' ingest loops
-  * already are); the pointer discipline matches [[VersionedFlat]]'s
-  * hint so a multi-writer upgrade has one shape to follow.
+  * Until round 14 the store was single-writer by contract: the pointer
+  * swap was a blind ATOMIC_MOVE and the version table a
+  * `mode("overwrite")` create, so two racing compactors/snapshotters
+  * would clobber each other. The protocol is now the flat store's
+  * optimistic concurrency, adapted to catalog-table versions:
+  *
+  *  1. CLAIM version N+1: create-if-absent of the
+  *     `{family}__claim-(N+1)` marker (an atomic `createDirectory` —
+  *     the POSIX create-if-absent primitive; an object store uses a
+  *     conditional PUT). Losing the claim means another writer owns
+  *     N+1: [[snapshot]] re-reads the head and retries at the new
+  *     version if it advanced; [[compact]] fails loudly — its rewrite
+  *     was computed from a base that is either about to be superseded
+  *     (concurrent writer) or blocked by a crashed claimant
+  *     ([[recover]] clears those, quiesced by contract).
+  *  2. BUILD the version table `__v(N+1)` fully. The build may
+  *     `overwrite` — holding the claim makes the name ours, and
+  *     overwriting reclaims any PRE-PROTOCOL orphan debris for free.
+  *  3. COMMIT: create the `{family}__commit-(N+1)` marker. Marker
+  *     existence IS commit — the committed chain is dense, and
+  *     [[currentVersion]] probes forward from the pointer HINT until
+  *     the chain ends (the [[VersionedFlat.currentVersion]] shape).
+  *  4. ADVANCE the pointer hint (forward-only; losing this race is
+  *     harmless, the probe closes any lag).
+  *
+  * Crash anatomy: a crash before the commit marker leaves a claim (and
+  * possibly a table) ABOVE the committed head — invisible to every
+  * reader; [[recover]] (explicit, run quiesced — it cannot tell a
+  * crashed claimant from a live one, the same contract as
+  * [[VersionedFlat.vacuum]]'s orphan collection) drops such orphans.
+  * After the marker the version is committed regardless of what else
+  * the writer meant to do.
   */
 object VersionedBucketed {
 
@@ -70,12 +95,36 @@ object VersionedBucketed {
   /** Physical catalog-table name of `family`'s version `v`. */
   def versionName(family: String, v: Int): String = s"${family}__v$v"
 
-  /** The live version number (0 if the family is uninitialized). */
+  private def markerFile(spark: SparkSession, family: String,
+      kind: String, v: Int): java.io.File =
+    new java.io.File(warehouse(spark),
+      s"${family.toLowerCase}__$kind-$v")
+
+  /** Atomic create-if-absent of a claim/commit marker (an empty dir —
+    * `createDirectory` is the POSIX conditional PUT). True = ours.
+    */
+  private def createMarker(spark: SparkSession, family: String,
+      kind: String, v: Int): Boolean =
+    try {
+      java.nio.file.Files.createDirectory(
+        markerFile(spark, family, kind, v).toPath)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+
+  /** The live version number (0 if the family is uninitialized): the
+    * pointer file is a HINT — probe forward along the dense committed
+    * chain of `__commit-N` markers until it ends.
+    */
   def currentVersion(spark: SparkSession, family: String): Int = {
     val p = ptrFile(spark, family)
-    if (!p.exists()) 0
-    else new String(java.nio.file.Files.readAllBytes(p.toPath), "UTF-8")
-      .trim.toInt
+    var v =
+      if (!p.exists()) 0
+      else new String(java.nio.file.Files.readAllBytes(p.toPath),
+        "UTF-8").trim.toInt
+    while (markerFile(spark, family, "commit", v + 1).exists()) v += 1
+    v
   }
 
   /** The live physical table name; fails loudly when uninitialized. */
@@ -86,15 +135,47 @@ object VersionedBucketed {
     versionName(family, v)
   }
 
-  private def swapPointer(spark: SparkSession, family: String,
+  /** Per-process tmp-name uniquifier (two threads of one process
+    * racing a hint advance must not share a tmp file).
+    */
+  private val tmpNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Move the pointer HINT forward to `v` if it lags (forward-only;
+    * the commit markers are truth, so a raced or crashed advance only
+    * costs the probe extra existence checks).
+    */
+  private def advanceHint(spark: SparkSession, family: String,
       v: Int): Unit = {
     val p = ptrFile(spark, family)
-    val tmp = new java.io.File(p.getParentFile,
-      s".${p.getName}.p${ProcessHandle.current().pid()}.tmp")
-    java.nio.file.Files.write(tmp.toPath, s"$v\n".getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, p.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val pointed =
+      if (!p.exists()) 0
+      else new String(java.nio.file.Files.readAllBytes(p.toPath),
+        "UTF-8").trim.toInt
+    if (v > pointed) {
+      val tmp = new java.io.File(p.getParentFile,
+        s".${p.getName}.p${ProcessHandle.current().pid()}" +
+          s"t${tmpNonce.incrementAndGet()}.tmp")
+      java.nio.file.Files.write(tmp.toPath, s"$v\n".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath, p.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Claim version `v`, build its table via `build`, commit, advance
+    * the hint — the shared publication engine of [[snapshot]] and
+    * [[compact]]. False = the claim was lost (a concurrent writer or
+    * a crashed claimant holds `v`); nothing was written.
+    */
+  private def publish(spark: SparkSession, family: String, v: Int)
+      (build: => Unit): Boolean = {
+    if (!createMarker(spark, family, "claim", v)) return false
+    build
+    require(createMarker(spark, family, "commit", v),
+      s"commit marker for $family v$v already exists under our claim " +
+        "— protocol violation")
+    advanceHint(spark, family, v)
+    true
   }
 
   private def versionsOf(spark: SparkSession,
@@ -109,27 +190,50 @@ object VersionedBucketed {
       }
   }
 
-  /** Drop orphan version tables ABOVE the pointer (a compaction that
-    * crashed between table-create and pointer-swap). Idempotent; run
-    * at the head of every [[compact]].
+  /** Drop crashed writers' debris ABOVE the committed head: claims
+    * without commit markers and the orphan tables under them.
+    * EXPLICIT and quiesced-by-contract (it cannot tell a crashed
+    * claimant from a live writer mid-build — the same contract as
+    * [[VersionedFlat.vacuum]]'s orphan collection); the live protocol
+    * never needs it, a lost claim just fails loudly or retries.
+    * Idempotent.
     */
-  private def recover(spark: SparkSession, family: String): Unit = {
+  def recover(spark: SparkSession, family: String): Unit = {
     val cur = currentVersion(spark, family)
     versionsOf(spark, family).filter(_ > cur)
       .foreach(dropVersion(spark, family, _))
+    Option(warehouse(spark).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter { f =>
+        val m = java.util.regex.Pattern.compile(
+          java.util.regex.Pattern.quote(family.toLowerCase) +
+            "__claim-(\\d+)").matcher(f.getName)
+        m.matches() && m.group(1).toInt > cur
+      }
+      .foreach(f => deleteDir(f))
   }
 
   /** Initialize the family with `df` as version 1 (drops any prior
-    * versions and pointer — the write-once init, like
-    * [[VersionedFlat.write]]).
+    * versions, markers, and pointer — the write-once init, like
+    * [[VersionedFlat.write]]; single-writer by contract, concurrent
+    * writers join at the versioned operations).
     */
   def write(df: DataFrame, family: String, keys: Seq[String],
       numBuckets: Int): Unit = {
     val spark = df.sparkSession
     versionsOf(spark, family).foreach(dropVersion(spark, family, _))
+    Option(warehouse(spark).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches(java.util.regex.Pattern.quote(
+        family.toLowerCase) + "__(claim|commit)-\\d+"))
+      .foreach(deleteDir)
     java.nio.file.Files.deleteIfExists(ptrFile(spark, family).toPath)
-    Bucketing.writeBucketed(df, versionName(family, 1), keys, numBuckets)
-    swapPointer(spark, family, 1)
+    val ok = publish(spark, family, 1) {
+      Bucketing.writeBucketed(df, versionName(family, 1), keys,
+        numBuckets)
+    }
+    require(ok, s"init of $family raced a concurrent writer — " +
+      "initialization is single-writer by contract")
   }
 
   /** The live version's frame, with catalog bucket metadata (the
@@ -186,17 +290,46 @@ object VersionedBucketed {
     *
     * Local-filesystem shape, like every store here (an object-store
     * deployment has no links — it would name the shared files in a
-    * manifest, which is the full table-format design the scaladoc on
-    * [[VersionedBucketed]] already credits). The external CREATE
+    * manifest, which is [[BucketedManifest]]). The external CREATE
     * re-declares the live bucket spec verbatim, so serve joins over
     * the snapshot carry the same exchange-free contract — asserted in
-    * VersionedBucketedSpec. Returns the new live version number.
+    * VersionedBucketedSpec. Concurrency: the version is claimed
+    * first; losing the claim re-reads the head and retries at the new
+    * version (two racing snapshotters both succeed, at consecutive
+    * versions), and a claim held with NO head advance fails loudly
+    * (in-flight or crashed claimant — [[recover]] clears the latter).
+    * Returns the new live version number.
     */
-  def snapshot(spark: SparkSession, family: String): Int = {
-    recover(spark, family)
-    val v = currentVersion(spark, family)
-    require(v > 0,
-      s"$family is not an initialized VersionedBucketed family")
+  def snapshot(spark: SparkSession, family: String,
+      maxRetries: Int = 20): Int = {
+    var attempts = 0
+    while (attempts < maxRetries) {
+      val v = currentVersion(spark, family)
+      require(v > 0,
+        s"$family is not an initialized VersionedBucketed family")
+      if (publish(spark, family, v + 1) {
+        buildSnapshotClone(spark, family, v)
+      }) return v + 1
+      // claim lost: if the head advanced a concurrent writer won —
+      // retry there; if not, the claimant is in flight or crashed
+      if (currentVersion(spark, family) == v)
+        throw new IllegalStateException(
+          s"version ${v + 1} of $family is claimed but not committed " +
+            "— a concurrent writer is in flight, or a crashed claim " +
+            "blocks the slot (run recover() when quiesced)")
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"snapshot of $family lost the version claim $maxRetries times " +
+        "— pathological contention")
+  }
+
+  /** The hard-link clone build of [[snapshot]]: version v+1's
+    * directory is populated with links to version v's current files
+    * and declared as an external bucketed table with v's spec.
+    */
+  private def buildSnapshotClone(spark: SparkSession, family: String,
+      v: Int): Unit = {
     val cur = versionName(family, v)
     val next = versionName(family, v + 1)
     val meta = spark.sessionState.catalog.getTableMetadata(
@@ -209,7 +342,7 @@ object VersionedBucketed {
     val srcDir = new java.io.File(meta.location)
     val dstDir = new java.io.File(srcDir.getParentFile,
       next.toLowerCase)
-    if (dstDir.exists()) { // crashed prior attempt's debris
+    if (dstDir.exists()) { // pre-protocol debris (we hold the claim)
       require(!spark.catalog.tableExists(next),
         s"$next exists without being an orphan — refusing to clobber")
       deleteDir(dstDir)
@@ -231,8 +364,6 @@ object VersionedBucketed {
          |$sortClause
          |INTO ${spec.get.numBuckets} BUCKETS
          |LOCATION '${dstDir.getPath}'""".stripMargin)
-    swapPointer(spark, family, v + 1)
-    v + 1
   }
 
   private def deleteDir(f: java.io.File): Unit = {
@@ -273,49 +404,78 @@ object VersionedBucketed {
     */
   def compact(spark: SparkSession, family: String,
       merge: DataFrame => DataFrame = identity): Unit = {
-    recover(spark, family)
     val v = currentVersion(spark, family)
     require(v > 0,
       s"$family is not an initialized VersionedBucketed family")
-    val cur = versionName(family, v)
-    val next = versionName(family, v + 1)
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(cur))
-    val spec = meta.bucketSpec
-    require(spec.isDefined, s"table $cur is not bucketed")
-    val keys = spec.get.bucketColumnNames
-    val sorts = spec.get.sortColumnNames
-    val n = spec.get.numBuckets
-    // path read under the catalog schema — the [[Bucketing
-    // .compactBucketed]] discipline: a catalog read advertises the
-    // bucket spec and the optimizer elides the repartition, spraying
-    // one file per (task × bucket); the path read keeps the
-    // repartition, aligning each writer task with exactly one bucket.
-    // The explicit schema keeps an emptied LSM index compactable.
-    val w = merge(spark.read.schema(meta.schema)
-        .parquet(meta.location.toString))
-      .repartition(n, keys.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode("overwrite")
-      .bucketBy(n, keys.head, keys.tail: _*)
-    (if (sorts.nonEmpty) w.sortBy(sorts.head, sorts.tail: _*) else w)
-      .format("parquet")
-      .saveAsTable(next)
-    swapPointer(spark, family, v + 1)
+    val committed = publish(spark, family, v + 1) {
+      val cur = versionName(family, v)
+      val next = versionName(family, v + 1)
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(cur))
+      val spec = meta.bucketSpec
+      require(spec.isDefined, s"table $cur is not bucketed")
+      val keys = spec.get.bucketColumnNames
+      val sorts = spec.get.sortColumnNames
+      val n = spec.get.numBuckets
+      // path read under the catalog schema — the [[Bucketing
+      // .compactBucketed]] discipline: a catalog read advertises the
+      // bucket spec and the optimizer elides the repartition, spraying
+      // one file per (task × bucket); the path read keeps the
+      // repartition, aligning each writer task with exactly one bucket.
+      // The explicit schema keeps an emptied LSM index compactable.
+      // The overwrite is safe under our claim (and reclaims
+      // pre-protocol orphan debris for free).
+      val w = merge(spark.read.schema(meta.schema)
+          .parquet(meta.location.toString))
+        .repartition(n, keys.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite")
+        .bucketBy(n, keys.head, keys.tail: _*)
+      (if (sorts.nonEmpty) w.sortBy(sorts.head, sorts.tail: _*) else w)
+        .format("parquet")
+        .saveAsTable(next)
+    }
+    if (!committed) {
+      // Iceberg rewrite semantics ([[VersionedFlat.replace]]): the
+      // rewrite was computed from version v — never blindly re-commit
+      if (currentVersion(spark, family) > v)
+        throw new java.util.ConcurrentModificationException(
+          s"version ${v + 1} of $family was committed concurrently — " +
+            "the compaction frame is stale; recompute and retry")
+      throw new IllegalStateException(
+        s"version ${v + 1} of $family is claimed but not committed — " +
+          "a concurrent writer is in flight, or a crashed claim " +
+          "blocks the slot (run recover() when quiesced)")
+    }
   }
 
   /** Drop version tables older than the `retain` most recent (their
     * files go with the managed tables — physical reclamation happens
-    * HERE, never during compact) plus any orphans above the pointer.
-    * The live version always survives.
+    * HERE, never during compact) plus any orphans above the committed
+    * head, with their claim/commit markers. The live version always
+    * survives; the hint is advanced to the true head first so the
+    * retention window is measured from the real current (and the
+    * probe keeps working after old commit markers are dropped).
     */
   def vacuum(spark: SparkSession, family: String,
       retain: Int = 1): Unit = {
     val cur = currentVersion(spark, family)
     require(cur > 0,
       s"$family is not an initialized VersionedBucketed family")
+    advanceHint(spark, family, cur)
+    recover(spark, family) // vacuum is quiesced-by-contract, like recover
     val keepMin = math.max(1, cur - math.max(1, retain) + 1)
     versionsOf(spark, family)
-      .filter(v => v < keepMin || v > cur)
+      .filter(_ < keepMin)
       .foreach(dropVersion(spark, family, _))
+    val re = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(family.toLowerCase) +
+        "__(claim|commit)-(\\d+)")
+    Option(warehouse(spark).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter { f =>
+        val m = re.matcher(f.getName)
+        m.matches() && m.group(2).toInt < keepMin
+      }
+      .foreach(deleteDir)
   }
 }

@@ -196,4 +196,59 @@ class VersionedBucketedSpec extends SparkSpec {
   // contracts now live in BucketedManifestSpec. VersionedBucketed
   // remains the version-pointer store for the key / substring / edit
   // / pHash families, pinned above.
+
+  private def warehouseDir: java.io.File =
+    new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")))
+
+  test("two concurrent compactors: exactly one publishes, the loser " +
+      "fails loudly instead of clobbering, the chain advances by one") {
+    val fam = "vb_race"
+    try {
+      val o = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_custkey"))
+      VersionedBucketed.write(o, fam, Seq("id"), 4)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = (1 to 2).map { _ =>
+        new Thread(() =>
+          try VersionedBucketed.compact(spark, fam)
+          catch { case t: Throwable => errs.add(t): Unit })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(errs.size === 1,
+        s"exactly one compactor must lose (got ${errs.size} failures)")
+      val loser = errs.peek()
+      assert(loser.isInstanceOf[java.util.ConcurrentModificationException]
+          || loser.isInstanceOf[IllegalStateException],
+        s"the loser must fail with the protocol's exceptions, got $loser")
+      assert(VersionedBucketed.currentVersion(spark, fam) === 2,
+        "the chain advances by exactly one")
+      assert(VersionedBucketed.read(spark, fam).count() === o.count(),
+        "the winner's rewrite must be content-invariant")
+    } finally dropFamily("vb_race")
+  }
+
+  test("a crashed claim blocks its version slot loudly; recover() " +
+      "(quiesced) clears it and the retry publishes") {
+    val fam = "vb_claim"
+    try {
+      val o = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_custkey"))
+      VersionedBucketed.write(o, fam, Seq("id"), 4)
+      // the crash: a claim marker with no commit (writer died mid-build)
+      java.nio.file.Files.createDirectory(new java.io.File(
+        warehouseDir, s"${fam}__claim-2").toPath)
+      intercept[IllegalStateException] {
+        VersionedBucketed.compact(spark, fam)
+      }
+      intercept[IllegalStateException] {
+        VersionedBucketed.snapshot(spark, fam)
+      }
+      VersionedBucketed.recover(spark, fam)
+      VersionedBucketed.compact(spark, fam)
+      assert(VersionedBucketed.currentVersion(spark, fam) === 2)
+      assert(VersionedBucketed.read(spark, fam).count() === o.count())
+    } finally dropFamily("vb_claim")
+  }
 }
