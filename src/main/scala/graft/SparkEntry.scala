@@ -2242,6 +2242,39 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** [[xDedupSubstringCompactTiered]] with snapshot isolation
+    * (graft.sources.VersionedBucketed.compactTiered — round-15
+    * directive #3's hard-link hybrid): the tiered rewrite publishes a
+    * NEW version whose cold buckets are hard links to the live
+    * version's files (zero bytes copied) and whose hot buckets are
+    * one-file merges — O(hot) cost, and the superseded version's
+    * readers keep their files until vacuum. Layout-only like every
+    * tiered rewrite, so this row shares x_dedup_substring_append's
+    * oracle verbatim; the link/rewrite observables live in
+    * VersionedBucketedSpec.
+    */
+  private def xDedupSubstringTieredVersioned(s: SparkSession,
+      dir: String): DataFrame = {
+    val base = substringBase(s, dir)
+    val delta = base.filter(col("id") < 40)
+      .select((col("id") + SubstringDeltaOffset).as("id"),
+        slice(col("toks"), lit(1),
+          floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val tbl = indexTable(dir, "subtierv")
+    graft.sources.IndexStore.writeSubstringIndexBucketedVersioned(base,
+      tbl, numBuckets = 8, k = 8)
+    graft.sources.IndexStore.appendSubstringIndexBucketedVersioned(
+      delta, tbl, k = 8)
+    graft.sources.IndexStore
+      .compactSubstringIndexBucketedVersionedTiered(s, tbl,
+        minFilesPerBucket = 2): Unit
+    val grams = graft.sources.IndexStore
+      .readSubstringIndexBucketedVersioned(s, tbl, k = 8)
+    Dedup.sharedSubstringRunsAgainst(substringPlanted(base), grams,
+        minRunLen = 30, k = 8)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** x_dedup_substring_served's contract driven through a REAL file
     * stream: the planted batch lands as 4 parquet part files, each
     * screened as its own micro-batch against the standing bucketed
@@ -5615,6 +5648,8 @@ object SparkEntry {
     "x_stream_dedup_versioned" -> (xStreamDedupVersioned _),
     "x_unique_index_versioned" -> (xUniqueIndexVersioned _),
     "x_dedup_substring_versioned" -> (xDedupSubstringVersioned _),
+    "x_dedup_substring_tiered_versioned" ->
+      (xDedupSubstringTieredVersioned _),
     "x_dedup_editdist_versioned" -> (xDedupEditdistVersioned _),
     "x_mm_phash_versioned" -> (xMmPhashVersioned _),
     "x_dedup_index_snapshot" -> (xDedupIndexSnapshot _),
@@ -5654,6 +5689,8 @@ object SparkEntry {
       "x_dedup_substring_compact" ->
         graft.oracle.StaticOracles.sql("x_dedup_substring_append"),
       "x_dedup_substring_compact_tiered" ->
+        graft.oracle.StaticOracles.sql("x_dedup_substring_append"),
+      "x_dedup_substring_tiered_versioned" ->
         graft.oracle.StaticOracles.sql("x_dedup_substring_append"),
       "x_stream_editdist" ->
         graft.oracle.StaticOracles.sql("x_dedup_editdist_served"),

@@ -479,6 +479,17 @@ object IndexStore {
       table: String): Unit =
     VersionedBucketed.compact(spark, s"${table}_grams")
 
+  /** [[compactSubstringIndexTiered]] with snapshot isolation
+    * ([[VersionedBucketed.compactTiered]] — round-15 directive #3):
+    * only hot buckets are rewritten, cold buckets are shared into the
+    * new version by hard link, and the old version's files stay for
+    * its readers until vacuum. Returns the rewritten-bucket count.
+    */
+  def compactSubstringIndexBucketedVersionedTiered(spark: SparkSession,
+      table: String, minFilesPerBucket: Int): Int =
+    VersionedBucketed.compactTiered(spark, s"${table}_grams",
+      minFilesPerBucket)
+
   /** Size-tiered compaction of the substring gram index: only buckets
     * that accumulated >= `minFilesPerBucket` files are rewritten
     * ([[Bucketing.compactBucketedTiered]]) — the periodic maintenance

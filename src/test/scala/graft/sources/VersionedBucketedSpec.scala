@@ -229,6 +229,65 @@ class VersionedBucketedSpec extends SparkSpec {
     } finally dropFamily("vb_race")
   }
 
+  test("versioned tiered compaction: hot buckets rewritten to one " +
+      "file, cold buckets shared into the new version by hard link, " +
+      "old version untouched") {
+    val fam = "vb_tier"
+    try {
+      val o = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_custkey"))
+      VersionedBucketed.write(o, fam, Seq("id"), 8)
+      // hot appends: tiny deltas hitting a few ids repeatedly
+      (1 to 3).foreach { i =>
+        VersionedBucketed.append(
+          o.filter(col("id") % 400 === 0)
+            .select((col("id") + i * 1000000L).as("id"),
+              col("o_custkey")), fam)
+      }
+      val want = VersionedBucketed.read(spark, fam).count()
+      val srcDir = new java.io.File(spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst
+          .TableIdentifier(s"${fam}__v1")).location)
+      def files(d: java.io.File): Map[String, java.nio.file.Path] =
+        Option(d.listFiles()).get
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".")).map(f => f.getName -> f.toPath)
+          .toMap
+      val before = files(srcDir)
+      val rewritten = VersionedBucketed.compactTiered(spark, fam,
+        minFilesPerBucket = 2)
+      assert(rewritten > 0, "the hot appends must make buckets hot")
+      assert(VersionedBucketed.currentVersion(spark, fam) === 2)
+      assert(files(srcDir) === before,
+        "the old version's directory must be byte-for-byte untouched")
+      val dstDir = new java.io.File(spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst
+          .TableIdentifier(s"${fam}__v2")).location)
+      val after = files(dstDir)
+      val shared = after.filter { case (n, p) =>
+        before.contains(n) &&
+          java.nio.file.Files.isSameFile(p, before(n)) }
+      assert(shared.nonEmpty,
+        "cold buckets must be shared by hard link (same inode)")
+      val hotFiles = after.keys.filterNot(before.contains)
+      assert(hotFiles.nonEmpty && hotFiles.forall(
+        Bucketing.bucketIdOf(_).isDefined),
+        "hot rewrites must carry parseable bucket ids")
+      assert(VersionedBucketed.read(spark, fam).count() === want,
+        "tiered compaction must be content-invariant")
+      assert(VersionedBucketed.readVersion(spark, fam, 1).count()
+        === want, "the superseded version still time-travels")
+      // no hot buckets left → no-op, no version published
+      assert(VersionedBucketed.compactTiered(spark, fam,
+        minFilesPerBucket = 2) === 0)
+      assert(VersionedBucketed.currentVersion(spark, fam) === 2)
+      // retention: vacuuming the old version must not harm the new
+      // (links only drop link counts)
+      VersionedBucketed.vacuum(spark, fam, retain = 1)
+      assert(VersionedBucketed.read(spark, fam).count() === want)
+    } finally dropFamily("vb_tier")
+  }
+
   test("a crashed claim blocks its version slot loudly; recover() " +
       "(quiesced) clears it and the retry publishes") {
     val fam = "vb_claim"
