@@ -682,13 +682,25 @@ object StreamingValidate {
     * listings. Restart safety is [[gatedIngestRun]]'s: re-processing
     * a batch would re-admit its survivors and double their sink
     * records.
+    *
+    * Growth is BOUNDED by two cadence knobs (round-15 directive #4 —
+    * a per-batch freeze otherwise accumulates one manifest version and
+    * one generation per batch forever): `autoCompactGens` > 0 runs the
+    * size-tiered generation merge after each admit whenever the
+    * manifest references more than that many generations (O(small
+    * generations) cost, big ones referenced untouched), and
+    * `autoVacuumRetain` > 0 keeps only the last N versions — vacuumed
+    * freezes fail loudly on time travel, retained ones still serve
+    * exactly (spec-pinned in StreamingSpec). Both default OFF so the
+    * audit-history rows keep their pure per-batch version chain.
     */
   def gatedIngestRunVersioned(spark: org.apache.spark.sql.SparkSession,
       newDocsDir: String, indexTable: String, threshold: Double,
       numHashes: Int = 32, bands: Int = 16, k: Int = 3,
       minQuality: Double = 0.7, minTokens: Int = 10,
       lang: String = "en", salt: String = "", nShards: Int = 8,
-      checkpointDir: String = null, sinkDir: String): Unit = {
+      checkpointDir: String = null, sinkDir: String,
+      autoCompactGens: Int = 0, autoVacuumRetain: Int = 0): Unit = {
     import graft.ext.{Dedup, TextAnalysis}
     import org.apache.spark.sql.streaming.Trigger
     def survivors(b: DataFrame): DataFrame = {
@@ -729,6 +741,13 @@ object StreamingValidate {
             sv.select(col("doc_id").as("id"),
               TextAnalysis.tokens(col("text")).as("toks")),
             indexTable, numHashes, bands, k): Unit
+          if (autoCompactGens > 0)
+            graft.sources.IndexStore
+              .maybeCompactDedupIndexBucketedVersioned(spark,
+                indexTable, autoCompactGens): Unit
+          if (autoVacuumRetain > 0)
+            graft.sources.BucketedManifest.vacuum(spark, indexTable,
+              retain = autoVacuumRetain)
         } finally { sv.unpersist(blocking = false); () }
       }
     val writer = if (checkpointDir == null) writer0

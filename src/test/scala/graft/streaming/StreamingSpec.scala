@@ -894,6 +894,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("gated ingest cadence: autoVacuumRetain bounds the freeze " +
+      "history (vacuumed versions fail loudly, retained ones serve) " +
+      "and autoCompactGens bounds the generation count") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpusToks = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    val fam = "gatedcad_spec"
+    try {
+      graft.sources.IndexStore.writeDedupIndexBucketedVersioned(
+        corpusToks, fam, numBuckets = 8, k = 5)
+      def run(batch: org.apache.spark.sql.DataFrame): Unit = {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft_gc_b").toString
+        batch.coalesce(1).write.mode("overwrite").parquet(d)
+        val s = java.nio.file.Files
+          .createTempDirectory("graft_gc_sink").toString
+        java.nio.file.Files.delete(java.nio.file.Paths.get(s))
+        StreamingValidate.gatedIngestRunVersioned(spark, d, fam,
+          threshold = 0.5, k = 5, minQuality = 0.7, minTokens = 10,
+          salt = "gc", nShards = 4, checkpointDir = null, sinkDir = s,
+          autoCompactGens = 2, autoVacuumRetain = 2)
+      }
+      run(docs.filter(col("doc_id") % 4 === 1))
+      run(docs.filter(col("doc_id") % 4 === 3))
+      val cur = graft.sources.BucketedManifest.currentVersion(spark, fam)
+      assert(cur >= 3, "per-batch freezes still advance the chain")
+      // retention: only the last 2 versions survive
+      intercept[IllegalArgumentException] {
+        graft.sources.BucketedManifest
+          .readVersion(spark, fam, s"${fam}_sh", 1).collect()
+      }
+      val live = graft.sources.BucketedManifest
+        .read(spark, fam, s"${fam}_sh")
+      assert(live.count() > corpusToks.count(),
+        "the retained head must hold the admissions")
+      // cadence: the generation count stays at or under the cap + the
+      // one generation the latest admit may have added past it
+      assert(graft.sources.BucketedManifest
+        .gensOf(spark, fam, s"${fam}_sh").size <= 3,
+        "autoCompactGens must bound the generation count")
+    } finally {
+      graft.sources.BucketedManifest.drop(spark, fam,
+        Seq(s"${fam}_sh", s"${fam}_bands", s"${fam}_meta"))
+    }
+  }
+
   test("law: gated ADMIT stream ≡ the sequential one-shot fold over " +
       "the same ordered batches (growing index, copies injected)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
