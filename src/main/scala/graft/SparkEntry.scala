@@ -1648,6 +1648,73 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Check-then-admit int8 ingestion (StreamingValidate.int8IngestRun
+    * — round-15 directive #5, with [[xStreamIvfPqIngest]] closing the
+    * last two similarity artifacts without streaming admission arcs):
+    * the index built on the % 3 = 0 third, the other two thirds
+    * arriving as two files of one AvailableNow run — each micro-batch
+    * scored against the standing live decoded frame (earlier
+    * admissions visible via the per-batch re-read), sunk, then
+    * quantized and admitted (no model leaf to read back — int8's
+    * scales are per-vector). Serving the final artifact must equal
+    * the full-corpus build: shares x_sim_quantized's oracle VERBATIM.
+    */
+  private def xStreamInt8Ingest(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = indexDir(dir, "int8_ingest")
+    val streamDir = indexDir(dir, "int8_ingest_src")
+    val ckpt = indexDir(dir, "int8_ingest_ckpt")
+    val sink = indexDir(dir, "int8_ingest_sink")
+    Seq(idx, streamDir, ckpt, sink).foreach(wipeDir)
+    graft.sources.IndexStore.writeInt8Index(
+      e.filter(col("vec_id") % 3 === 0), idx)
+    e.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    e.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    StreamingValidate.int8IngestRun(s, streamDir, idx, 10, ckpt, sink)
+    Similarity.quantizedTopKFromIndex(e.filter(col("vec_id") < 5),
+        graft.sources.IndexStore.readInt8Index(s, idx), 10)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Check-then-admit IVF-PQ ingestion
+    * (StreamingValidate.ivfPqIngestRun): both model halves fitted once
+    * on the full corpus and persisted, the composed index built on the
+    * % 3 = 0 third, the other two thirds arriving as two files of one
+    * AvailableNow run — each micro-batch probe-routed and ADC-checked
+    * against the standing live enc table, sunk, then admitted assigned
+    * AND encoded against the artifact's own persisted centroids +
+    * codebooks (admission never re-fits either). Serving the final
+    * artifact must equal the full-corpus build: shares x_sim_ivf_pq's
+    * fitted-literal dynamic oracle VERBATIM.
+    */
+  private def xStreamIvfPqIngest(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = Similarity.pqFit(e, m = 16, ks = 16)
+    val cents = Similarity.kmeansCentroids(e, nLists = 16)
+    val idx = indexDir(dir, "ivfpq_ingest")
+    val streamDir = indexDir(dir, "ivfpq_ingest_src")
+    val ckpt = indexDir(dir, "ivfpq_ingest_ckpt")
+    val sink = indexDir(dir, "ivfpq_ingest_sink")
+    Seq(idx, streamDir, ckpt, sink).foreach(wipeDir)
+    graft.sources.IndexStore.writeIvfPqIndex(
+      e.filter(col("vec_id") % 3 === 0), model, cents, idx)
+    e.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    e.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    StreamingValidate.ivfPqIngestRun(s, streamDir, idx, 10, 4, ckpt,
+      sink)
+    val (enc, rcents) = graft.sources.IndexStore.readIvfPqIndex(s, idx)
+    Similarity.ivfPqTopKFromIndex(e.filter(col("vec_id") < 5), enc,
+        rcents, graft.sources.IndexStore.readPqModel(s, idx), 10,
+        nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
   /** Streaming drift monitor (StreamingValidate.driftMonitorStream):
     * three monitoring windows of the R cohort's whole-dollar prices
     * (window_id = l_orderkey % 3, one parquet file each, written once
@@ -5644,6 +5711,8 @@ object SparkEntry {
     "x_sim_pq_versioned" -> (xSimPqVersioned _),
     "x_sim_ivf_pq_versioned" -> (xSimIvfPqVersioned _),
     "x_stream_pq_ingest" -> (xStreamPqIngest _),
+    "x_stream_int8_ingest" -> (xStreamInt8Ingest _),
+    "x_stream_ivfpq_ingest" -> (xStreamIvfPqIngest _),
     "x_dedup_index_versioned" -> (xDedupIndexVersioned _),
     "x_stream_dedup_versioned" -> (xStreamDedupVersioned _),
     "x_unique_index_versioned" -> (xUniqueIndexVersioned _),
@@ -5733,6 +5802,8 @@ object SparkEntry {
       "x_stream_ivf_versioned" ->
         graft.oracle.StaticOracles.sql("x_sim_ivf_topk"),
       "x_sim_quantized_versioned" ->
+        graft.oracle.StaticOracles.sql("x_sim_quantized"),
+      "x_stream_int8_ingest" ->
         graft.oracle.StaticOracles.sql("x_sim_quantized"),
       "x_dedup_index_versioned" ->
         graft.oracle.StaticOracles.sql("x_dedup_index_append"),

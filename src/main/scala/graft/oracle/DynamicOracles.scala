@@ -36,6 +36,7 @@ private[graft] object DynamicOracles {
       "x_sim_ivf_pq",
       "x_sim_ivf_pq_served", "x_sim_ivf_pq_delete",
       "x_sim_ivf_pq_append", "x_sim_ivf_pq_versioned",
+      "x_stream_ivfpq_ingest",
       "x_sample_temperature", "x_embed_pca",
       "x_zipf_ppjoin", "x_zipf_bm25", "x_zipf_substring",
       "x_sim_silhouette")
@@ -210,7 +211,8 @@ private[graft] object DynamicOracles {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     }
     if (want("x_sim_ivf_pq") || want("x_sim_ivf_pq_served") ||
-        want("x_sim_ivf_pq_append") || want("x_sim_ivf_pq_versioned"))
+        want("x_sim_ivf_pq_append") || want("x_sim_ivf_pq_versioned") ||
+        want("x_stream_ivfpq_ingest"))
       b += ("x_sim_ivf_pq" -> ivfPqSql(""))
     if (want("x_sim_ivf_pq_delete"))
       b += ("x_sim_ivf_pq_delete" -> ivfPqSql(" AND a.id % 7 <> 3"))
@@ -423,7 +425,8 @@ private[graft] object DynamicOracles {
         "x_stream_pq_ingest" -> "x_sim_pq",
         "x_sim_ivf_pq_served" -> "x_sim_ivf_pq",
         "x_sim_ivf_pq_append" -> "x_sim_ivf_pq",
-        "x_sim_ivf_pq_versioned" -> "x_sim_ivf_pq")
+        "x_sim_ivf_pq_versioned" -> "x_sim_ivf_pq",
+        "x_stream_ivfpq_ingest" -> "x_sim_ivf_pq")
       .foldLeft(m) { case (acc, (served, src)) =>
         if (want(served) && acc.contains(src)) acc + (served -> acc(src))
         else acc

@@ -985,6 +985,53 @@ object StreamingValidate {
       admit = b => graft.sources.IndexStore.appendPqIndex(b, indexDir),
       refreshTables = Seq.empty)
 
+  /** Check-then-admit ingestion for the int8 artifact (round-15
+    * directive #5 — with [[ivfPqIngestRun]] the last two similarity
+    * artifacts without streaming admission arcs): int8 has NO model
+    * leaf at all, so admission just quantizes the batch (pure
+    * per-vector scales — [[graft.sources.IndexStore.appendInt8Index]])
+    * and the check scores against the standing LIVE decoded frame,
+    * re-read per batch so earlier admissions are visible. Check sunk
+    * STRICTLY BEFORE the admit; resumable via checkpoint
+    * (x_stream_int8_ingest hash-matches the final artifact's serve
+    * against x_sim_quantized's full-corpus oracle — a dropped or
+    * doubled admission misses it).
+    */
+  def int8IngestRun(spark: org.apache.spark.sql.SparkSession,
+      newVecsDir: String, indexDir: String, k: Int,
+      checkpointDir: String, sinkDir: String): Unit =
+    checkAdmitRun(spark, newVecsDir, checkpointDir, sinkDir,
+      check = b => graft.ext.Similarity.quantizedTopKFromIndex(b,
+        graft.sources.IndexStore.readInt8IndexLive(spark, indexDir), k),
+      admit = b => graft.sources.IndexStore.appendInt8Index(b, indexDir),
+      refreshTables = Seq.empty)
+
+  /** Check-then-admit ingestion for the composed IVF-PQ artifact:
+    * per micro-batch the arriving vectors are probe-routed and
+    * ADC-scored against the standing live (id, list_id, codes) table
+    * (re-read per batch), then admitted assigned AND encoded against
+    * the artifact's own persisted model halves — centroids and
+    * codebooks re-read, never re-fitted
+    * ([[graft.sources.IndexStore.appendIvfPqIndex]]). Check sunk
+    * strictly before the admit; resumable via checkpoint
+    * (x_stream_ivfpq_ingest shares x_sim_ivf_pq's fitted-literal
+    * dynamic oracle).
+    */
+  def ivfPqIngestRun(spark: org.apache.spark.sql.SparkSession,
+      newVecsDir: String, indexDir: String, k: Int, nProbe: Int,
+      checkpointDir: String, sinkDir: String): Unit =
+    checkAdmitRun(spark, newVecsDir, checkpointDir, sinkDir,
+      check = b => {
+        val (enc, cents) = graft.sources.IndexStore
+          .readIvfPqIndexLive(spark, indexDir)
+        graft.ext.Similarity.ivfPqTopKFromIndex(b, enc, cents,
+          graft.sources.IndexStore.readPqModel(spark, indexDir), k,
+          nProbe)
+      },
+      admit = b =>
+        graft.sources.IndexStore.appendIvfPqIndex(b, indexDir),
+      refreshTables = Seq.empty)
+
   def editDistanceIngestRun(spark: org.apache.spark.sql.SparkSession,
       newDocsDir: String, indexTable: String, d: Int,
       checkpointDir: String, sinkDir: String): Unit =

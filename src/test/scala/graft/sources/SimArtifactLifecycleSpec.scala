@@ -177,6 +177,69 @@ class SimArtifactLifecycleSpec extends SparkSpec {
       "run 2's checks must see run 1's admitted vectors")
   }
 
+  test("int8IngestRun admits exactly once across a checkpointed " +
+      "restart; run 2's checks see run 1's admissions") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val idx = tmp("i8ing")
+    val src = tmp("i8ing_src")
+    val ckpt = tmp("i8ing_ckpt")
+    val sink = tmp("i8ing_sink")
+    IndexStore.writeInt8Index(e.filter(col("vec_id") % 3 === 0), idx)
+    e.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    StreamingValidate.int8IngestRun(spark, src, idx, 5, ckpt, sink)
+    e.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(src)
+    StreamingValidate.int8IngestRun(spark, src, idx, 5, ckpt, sink)
+    // a re-processed file A would double the % 3 = 1 quantized rows
+    val q = IndexStore.readInt8Index(spark, idx)
+    assert(q.count() === e.count(),
+      "exactly one quantized row per corpus vector after the restart")
+    assert(q.groupBy(col("id")).count().filter(col("count") > 1)
+      .count() === 0, "no vector admitted twice")
+    // run 2's batch was checked AGAINST run 1's admissions
+    val checks = spark.read.parquet(sink)
+    assert(checks.filter(col("query_id") % 3 === 2 &&
+      col("neighbor_id") % 3 === 1).count() > 0,
+      "run 2's checks must see run 1's admitted vectors")
+  }
+
+  test("ivfPqIngestRun admits exactly once across a checkpointed " +
+      "restart; run 2's checks see run 1's admissions; models never " +
+      "re-fitted") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val model = Similarity.pqFit(e, m = 8, ks = 16)
+    val cents = Similarity.firstIdCentroids(e, 16)
+    val idx = tmp("ivfpqing")
+    val src = tmp("ivfpqing_src")
+    val ckpt = tmp("ivfpqing_ckpt")
+    val sink = tmp("ivfpqing_sink")
+    IndexStore.writeIvfPqIndex(e.filter(col("vec_id") % 3 === 0),
+      model, cents, idx)
+    val modelBytes = Option(new java.io.File(s"$idx/codebooks.parquet")
+      .listFiles()).get.filter(_.isFile)
+      .map(f => f.getName -> f.length()).toMap
+    e.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    StreamingValidate.ivfPqIngestRun(spark, src, idx, 5, 4, ckpt, sink)
+    e.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(src)
+    StreamingValidate.ivfPqIngestRun(spark, src, idx, 5, 4, ckpt, sink)
+    val enc = spark.read.parquet(s"$idx/ivfpq.parquet")
+    assert(enc.count() === e.count(),
+      "exactly one enc row per corpus vector after the restart")
+    assert(enc.groupBy(col("id")).count().filter(col("count") > 1)
+      .count() === 0, "no vector admitted twice")
+    assert(Option(new java.io.File(s"$idx/codebooks.parquet")
+      .listFiles()).get.filter(_.isFile)
+      .map(f => f.getName -> f.length()).toMap === modelBytes,
+      "admission must never re-fit or rewrite the model leaves")
+    val checks = spark.read.parquet(sink)
+    assert(checks.filter(col("query_id") % 3 === 2 &&
+      col("neighbor_id") % 3 === 1).count() > 0,
+      "run 2's checks must see run 1's admitted vectors")
+  }
+
   test("versioned ingest: every admitted batch publishes a version; " +
       "as-of replays the prefix corpus; restart admits exactly once") {
     val e = Tables.load(spark, dir, "embeddings")
