@@ -889,6 +889,140 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** [[xStreamUniqueResume]]'s two-run arc over the VERSIONED key
+    * index (StreamingValidate.uniqueIngestRunVersioned — round-15,
+    * closing the versioned streaming-arc matrix): same files, same
+    * checkpoint restart, with a versioned MERGE-COMPACTION interleaved
+    * between the runs — run 2's checks read the NEW live version
+    * (split rows merged, tombstone algebra intact) while any reader of
+    * the old version keeps its files. Shares
+    * x_stream_unique_resume's oracle VERBATIM.
+    */
+  private def xStreamUniqueVersioned(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+    val fileA = base.filter(col("o_orderkey") % 4 === 0)
+      .select((col("o_orderkey") + 4L * KeyFreshOffset).as("o_orderkey"))
+    val fileB = base.filter(col("o_orderkey") % 8 === 0)
+      .select((col("o_orderkey") + 4L * KeyFreshOffset).as("o_orderkey"))
+      .unionByName(base.filter(col("o_orderkey") % 10 === 3)
+        .select("o_orderkey"))
+    val streamDir = indexDir(dir, "ukeys_ver")
+    val ckpt = indexDir(dir, "ukeys_ver_ckpt")
+    val sink = indexDir(dir, "ukeys_ver_sink")
+    Seq(streamDir, ckpt, sink).foreach(wipeDir)
+    val tbl = indexTable(dir, "keyver_s")
+    graft.sources.IndexStore.writeKeyIndexBucketedVersioned(base, tbl,
+      Seq("o_orderkey"), numBuckets = 8)
+    fileA.coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.uniqueIngestRunVersioned(s, streamDir, tbl,
+      Seq("o_orderkey"), ckpt, sink)
+    graft.sources.IndexStore.compactKeyIndexBucketedVersioned(s, tbl)
+    fileB.coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.uniqueIngestRunVersioned(s, streamDir, tbl,
+      Seq("o_orderkey"), ckpt, sink)
+    StreamingValidate.uniqueViolationTotals(s, sink, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  /** [[xStreamSubstringResume]] over the VERSIONED gram family with a
+    * versioned compaction between the runs — shares
+    * x_dedup_substring_append's oracle VERBATIM.
+    */
+  private def xStreamSubstringVersioned(s: SparkSession, dir: String): DataFrame = {
+    val base = substringBase(s, dir)
+    val fileA = base.filter(col("id") < 40)
+      .select((col("id") + SubstringDeltaOffset).as("id"),
+        slice(col("toks"), lit(1),
+          floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val fileB = substringPlanted(base)
+    val streamDir = indexDir(dir, "substring_ver")
+    val ckpt = indexDir(dir, "substring_ver_ckpt")
+    val sink = indexDir(dir, "substring_ver_sink")
+    Seq(streamDir, ckpt, sink).foreach(wipeDir)
+    val tbl = indexTable(dir, "substr_v")
+    graft.sources.IndexStore.writeSubstringIndexBucketedVersioned(base,
+      tbl, numBuckets = 8, k = 8)
+    fileA.coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.substringIngestRunVersioned(s, streamDir, tbl,
+      minRunLen = 30, k = 8, checkpointDir = ckpt, sinkDir = sink)
+    graft.sources.IndexStore.compactSubstringIndexBucketedVersioned(s,
+      tbl)
+    fileB.coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.substringIngestRunVersioned(s, streamDir, tbl,
+      minRunLen = 30, k = 8, checkpointDir = ckpt, sinkDir = sink)
+    s.read.parquet(sink)
+      .filter(col("new_id") >= 7000000L && col("new_id") < 8000000L)
+      .select(col("new_id"), col("corpus_id"), col("n_runs"),
+        col("max_run"), col("overlap_tokens"))
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** [[xStreamEditdistResume]] over the VERSIONED three-table PassJoin
+    * family with a versioned compaction between the runs — shares
+    * x_dedup_editdist_append's oracle VERBATIM.
+    */
+  private def xStreamEditdistVersioned(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").filter(col("n_chars") <= 250)
+      .select(col("doc_id").as("id"), col("text").as("s"))
+    def mutated(off: Long, pos: Int) =
+      corpus.select((col("id") + off).as("id"),
+        concat(substring(col("s"), 1, pos - 1), lit("X"),
+          col("s").substr(lit(pos + 1), length(col("s")))).as("s"))
+    val fileA = mutated(8000000L, 20)
+    val fileB = mutated(7000000L, 10)
+    val streamDir = indexDir(dir, "edit_ver_stream")
+    val ckpt = indexDir(dir, "edit_ver_stream_ckpt")
+    val sink = indexDir(dir, "edit_ver_stream_sink")
+    Seq(streamDir, ckpt, sink).foreach(wipeDir)
+    val tbl = indexTable(dir, "editver_s")
+    graft.sources.IndexStore.writeEditIndexBucketedVersioned(corpus,
+      tbl, numBuckets = 8, d = 4)
+    fileA.coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.editDistanceIngestRunVersioned(s, streamDir, tbl,
+      d = 4, checkpointDir = ckpt, sinkDir = sink)
+    graft.sources.IndexStore.compactEditIndexBucketedVersioned(s, tbl)
+    fileB.coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.editDistanceIngestRunVersioned(s, streamDir, tbl,
+      d = 4, checkpointDir = ckpt, sinkDir = sink)
+    s.read.parquet(sink)
+      .filter(col("new_id") >= 7000000L && col("new_id") < 8000000L &&
+        !(col("corpus_id") >= 7000000L && col("corpus_id") < 8000000L))
+      .select(col("new_id"), col("corpus_id"), col("dist"))
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** [[xStreamPhashResume]] over the VERSIONED band family with a
+    * versioned compaction between the runs — shares
+    * x_mm_phash_served's oracle VERBATIM.
+    */
+  private def xStreamPhashVersioned(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val items = Multimodal.synthesizeNearDupImages(d, "doc_id", every = 5)
+    val baseHashes = Multimodal.perceptualHash(
+        items.filter(col("id") % 4 === 0))
+      .select(col("id"), col("dhash"))
+    val fileA = items.filter(col("id") % 4 === 2)
+    val fileB = items.filter(col("id") % 2 === 1)
+    val streamDir = indexDir(dir, "phash_ver_stream")
+    val ckpt = indexDir(dir, "phash_ver_stream_ckpt")
+    val sink = indexDir(dir, "phash_ver_stream_sink")
+    Seq(streamDir, ckpt, sink).foreach(wipeDir)
+    val tbl = indexTable(dir, "phver_s")
+    graft.sources.IndexStore.writePhashIndexBucketedVersioned(
+      baseHashes, tbl, numBuckets = 8, bands = 8)
+    fileA.coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.phashIngestRunVersioned(s, streamDir, tbl,
+      bands = 8, maxDist = 7, checkpointDir = ckpt, sinkDir = sink)
+    graft.sources.IndexStore.compactPhashIndexBucketedVersioned(s, tbl)
+    fileB.coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.phashIngestRunVersioned(s, streamDir, tbl,
+      bands = 8, maxDist = 7, checkpointDir = ckpt, sinkDir = sink)
+    s.read.parquet(sink)
+      .filter(col("new_id") % 2 === 1)
+      .select(col("new_id"), col("corpus_id"), col("hamming"))
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** The key-index LSM arc CLOSED: build on history → APPEND an
     * admitted batch → MERGE-COMPACT → serve the next batch. Batch 2
     * collides with BOTH the original history (%10 = 1 keys) and with
@@ -5674,6 +5808,10 @@ object SparkEntry {
     "k3_fk_index_served" -> (k3FkIndexServed _),
     "x_stream_unique_index" -> (xStreamUniqueIndex _),
     "x_stream_unique_resume" -> (xStreamUniqueResume _),
+    "x_stream_unique_versioned" -> (xStreamUniqueVersioned _),
+    "x_stream_substring_versioned" -> (xStreamSubstringVersioned _),
+    "x_stream_editdist_versioned" -> (xStreamEditdistVersioned _),
+    "x_stream_phash_versioned" -> (xStreamPhashVersioned _),
     "x_stream_dedup_resume" -> (xStreamDedupResume _),
     "x_stream_editdist_resume" -> (xStreamEditdistResume _),
     "x_unique_index_delete" -> (xUniqueIndexDelete _),
@@ -5785,8 +5923,16 @@ object SparkEntry {
         graft.oracle.StaticOracles.sql("x_dedup_substring_served"),
       "x_stream_substring_resume" ->
         graft.oracle.StaticOracles.sql("x_dedup_substring_append"),
+      "x_stream_substring_versioned" ->
+        graft.oracle.StaticOracles.sql("x_dedup_substring_append"),
       "x_stream_phash_resume" ->
         graft.oracle.StaticOracles.sql("x_mm_phash_served"),
+      "x_stream_phash_versioned" ->
+        graft.oracle.StaticOracles.sql("x_mm_phash_served"),
+      "x_stream_editdist_versioned" ->
+        graft.oracle.StaticOracles.sql("x_dedup_editdist_append"),
+      "x_stream_unique_versioned" ->
+        graft.oracle.StaticOracles.sql("x_stream_unique_resume"),
       "x_sim_ivf_compact" ->
         graft.oracle.StaticOracles.sql("x_sim_ivf_topk"),
       "x_sim_quantized_append" ->

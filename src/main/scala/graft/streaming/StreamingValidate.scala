@@ -855,6 +855,87 @@ object StreamingValidate {
           bands, k): Unit,
       refreshTables = Seq(s"${indexTable}_sh", s"${indexTable}_bands"))
 
+  /** [[substringIngestRun]] over the VERSIONED gram family
+    * ([[graft.sources.VersionedBucketed]] — round-15, closing the
+    * versioned streaming-arc matrix with the edit/pHash/key twins):
+    * checks read the LIVE version per micro-batch, admits append
+    * in-place into it (file adds — captured listings stay valid), and
+    * a versioned compaction interleaved between runs publishes a new
+    * version without touching what this stream holds. Shares the
+    * swap-family run's oracle verbatim.
+    */
+  def substringIngestRunVersioned(spark: org.apache.spark.sql.SparkSession,
+      newDocsDir: String, indexTable: String, minRunLen: Int, k: Int,
+      checkpointDir: String, sinkDir: String): Unit =
+    checkAdmitRun(spark, newDocsDir, checkpointDir, sinkDir,
+      check = b => graft.ext.Dedup.sharedSubstringRunsAgainst(b,
+        graft.sources.IndexStore.readSubstringIndexBucketedVersioned(
+          spark, indexTable, k), minRunLen, k),
+      admit = b => graft.sources.IndexStore
+        .appendSubstringIndexBucketedVersioned(b, indexTable, k),
+      refreshTables = Seq(graft.sources.VersionedBucketed
+        .liveName(spark, s"${indexTable}_grams")))
+
+  /** [[editDistanceIngestRun]] over the VERSIONED three-table PassJoin
+    * family — [[substringIngestRunVersioned]]'s contract, all three
+    * live versions resolved at run start.
+    */
+  def editDistanceIngestRunVersioned(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocsDir: String, indexTable: String, d: Int,
+      checkpointDir: String, sinkDir: String): Unit =
+    checkAdmitRun(spark, newDocsDir, checkpointDir, sinkDir,
+      check = b => {
+        val (segs, str, bylen) = graft.sources.IndexStore
+          .readEditIndexBucketedVersioned(spark, indexTable, d)
+        graft.ext.Dedup.editDistanceAgainst(b, "id",
+          org.apache.spark.sql.functions.col("s"), segs, str, bylen, d)
+      },
+      admit = b => graft.sources.IndexStore
+        .appendEditIndexBucketedVersioned(b, indexTable, d),
+      refreshTables = Seq("_segs", "_str", "_bylen")
+        .map(sfx => graft.sources.VersionedBucketed
+          .liveName(spark, s"$indexTable$sfx")))
+
+  /** [[phashIngestRun]] over the VERSIONED band family —
+    * [[substringIngestRunVersioned]]'s contract for the image index.
+    */
+  def phashIngestRunVersioned(spark: org.apache.spark.sql.SparkSession,
+      newImagesDir: String, indexTable: String, bands: Int,
+      maxDist: Int, checkpointDir: String, sinkDir: String): Unit =
+    checkAdmitRun(spark, newImagesDir, checkpointDir, sinkDir,
+      check = b => graft.ext.Multimodal.phashNearDuplicatesAgainst(
+        graft.ext.Multimodal.perceptualHash(b)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("dhash")),
+        graft.sources.IndexStore.readPhashIndexBucketedVersioned(spark,
+          indexTable, bands), bands, maxDist),
+      admit = b => graft.sources.IndexStore
+        .appendPhashIndexBucketedVersioned(
+          graft.ext.Multimodal.perceptualHash(b)
+            .select(org.apache.spark.sql.functions.col("id"),
+              org.apache.spark.sql.functions.col("dhash")),
+          indexTable, bands),
+      refreshTables = Seq(graft.sources.VersionedBucketed
+        .liveName(spark, s"${indexTable}_bands")))
+
+  /** [[uniqueIngestRun]] over the VERSIONED key index —
+    * [[substringIngestRunVersioned]]'s contract for the validation
+    * core's LSM family (raw split rows merge at check time, as in the
+    * swap twin).
+    */
+  def uniqueIngestRunVersioned(spark: org.apache.spark.sql.SparkSession,
+      newKeysDir: String, indexTable: String, keys: Seq[String],
+      checkpointDir: String, sinkDir: String): Unit =
+    checkAdmitRun(spark, newKeysDir, checkpointDir, sinkDir,
+      check = b => graft.check.Checks.uniqueAgainstIndex(b,
+        graft.sources.IndexStore.readKeyIndexBucketedVersioned(spark,
+          indexTable, keys), keys),
+      admit = b => graft.sources.IndexStore
+        .appendKeyIndexBucketedVersioned(b, indexTable, keys),
+      refreshTables = Seq(graft.sources.VersionedBucketed
+        .liveName(spark, s"${indexTable}_keys")))
+
   /** The edit-distance twin of [[nearDupIngestRun]]: resumable
     * check-then-admit over the PassJoin index — per batch, `(id, s)`
     * strings are screened against the standing three-table index and
