@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 
 /** The gen-manifest bucketed store — the per-file table format for
   * bucketed index families (round-14 verdict item #1, the "last real
@@ -147,18 +147,30 @@ object BucketedManifest {
     * The direct write is safe precisely because of the manifest gate:
     * the generation is invisible until its manifest commits, so there
     * is nothing to stage against — a crash leaves unreferenced debris
-    * for the age-gated vacuum. The frame is repartitioned on the
-    * bucket keys into exactly `numBuckets` shuffle partitions (the
-    * same pmod(murmur3, n) routing as Spark's bucket id — the
-    * [[Bucketing.compactBucketed]] identity) and sorted within
-    * partitions, so task i holds exactly bucket i's rows in sort
-    * order; the written `part-0000i-…` files are then renamed to
-    * carry the `_0000i` bucket suffix Spark's bucketed scan parses
-    * (the [[Bucketing.compactBucketedTiered]] naming discipline —
-    * same-directory rename, metadata-only; an object-store deployment
-    * writes final names through its committer instead). One file per
-    * non-empty bucket per generation, concurrent writers on distinct
-    * claimed generations never share a path.
+    * for the age-gated vacuum.
+    *
+    * Bucket-id file naming is derived from the DATA, never from the
+    * writer task index: the frame gains a computed
+    * `pmod(hash(keys), n)` column — `functions.hash` IS
+    * HashPartitioning's Murmur3, the same identity
+    * [[Bucketing.compactBucketed]] relies on — and is written
+    * `partitionBy` that column into per-bucket subdirectories, whose
+    * files are then folded up into the generation directory under the
+    * `_NNNNN` bucket suffix Spark's bucketed scan parses. (A first
+    * implementation renamed `part-0000i` files by their task index
+    * after a `repartition(n, keys)`; observed failure: on small
+    * deltas the shuffle can collapse to fewer output partitions, one
+    * file then holds several buckets' rows, and the misnamed file
+    * splits groups under the exchange-free agg — the task index is
+    * NOT a bucket id, only the routing column is.) The repartition
+    * stays as a best-effort one-file-per-bucket layout hint; the
+    * sort runs on (bucket, keys...) so the planned write's
+    * partition-column sort requirement is already satisfied and each
+    * bucket file stays key-sorted — required for the declared SORTED
+    * BY once a compaction reaches one file per bucket. Renames are
+    * same-directory (metadata-only; an object-store deployment writes
+    * final names through its committer instead); concurrent writers
+    * on distinct claimed generations never share a path.
     */
   private def writeGen(df: DataFrame, table: String, keys: Seq[String],
       numBuckets: Int, gen: Int, init: Boolean): Unit = {
@@ -180,20 +192,37 @@ object BucketedManifest {
       s"generation writes support local tables, got ${meta.location}")
     val genDir = new java.io.File(
       new java.io.File(meta.location), s"gen=$gen")
+    val bucketCol = "__graft_bucket"
     df.select(dataSchema(spark, table).map(f => col(f.name)): _*)
-      .repartition(numBuckets, keys.map(col): _*)
-      .sortWithinPartitions(keys.map(col): _*)
+      .withColumn(bucketCol,
+        pmod(hash(keys.map(col): _*), lit(numBuckets)))
+      .repartition(numBuckets, col(bucketCol))
+      .sortWithinPartitions(
+        (col(bucketCol) +: keys.map(col)): _*)
       .write.mode("overwrite")
+      .partitionBy(bucketCol)
       .option("compression", "snappy")
       .parquet(genDir.getPath)
+    // fold __graft_bucket=K/part-… up into gen=N/ as bucket-K files
     val PartRe = "part-(\\d+)-([^.]*)(\\..*)".r
+    val BDirRe = (java.util.regex.Pattern.quote(bucketCol) +
+      "=(\\d+)").r
     Option(genDir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .foreach { f =>
-        f.getName match {
-          case PartRe(task, mid, ext) =>
-            java.nio.file.Files.move(f.toPath,
-              new java.io.File(genDir,
-                f"part-$task%s-$mid%s_${task.toInt}%05d$ext%s").toPath)
+      .foreach { d =>
+        d.getName match {
+          case BDirRe(b) =>
+            Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+              .foreach { f =>
+                f.getName match {
+                  case PartRe(task, mid, ext) =>
+                    java.nio.file.Files.move(f.toPath,
+                      new java.io.File(genDir,
+                        f"part-$task%s-$mid%s_${b.toInt}%05d$ext%s")
+                        .toPath)
+                  case _ => ()
+                }
+              }
+            deleteTree(d)
           case _ => ()
         }
       }

@@ -960,54 +960,92 @@ object IndexStore {
     * oracle verbatim — the serve answer is invariant under where the
     * merged rows physically live.
     */
+  /** The key index on [[BucketedManifest]] gen-manifests (round-15 —
+    * the second family on the table format, chosen because it is the
+    * LSM one: split rows, NEGATED-COUNT tombstones, and a
+    * merge-compaction that must re-aggregate INTO the merged
+    * generation prove the store's `merges` hook carries the full LSM
+    * algebra, not just file layout). Every append — admissions AND
+    * tombstones alike — is an atomic versioned commit, so the key
+    * history is time-travelable per batch with no freeze step; the
+    * substring/edit/pHash families deliberately STAY on
+    * [[VersionedBucketed]] so both stores keep first-class family
+    * coverage.
+    */
   def writeKeyIndexBucketedVersioned(df: DataFrame, table: String,
       keys: Seq[String], numBuckets: Int): Unit = {
-    Scratch.sweepOnce(df.sparkSession)
-    VersionedBucketed.write(keyCounts(df, keys), s"${table}_keys",
-      keys, numBuckets)
-    df.sparkSession.range(1).select(lit(keys.mkString(",")).as("keys"))
+    val spark = df.sparkSession
+    Scratch.sweepOnce(spark)
+    BucketedManifest.create(spark, table,
+      Seq((s"${table}_keys", keyCounts(df, keys), keys, numBuckets)))
+    spark.range(1).select(lit(keys.mkString(",")).as("keys"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_meta")
   }
 
+  /** Admit a delta's count rows as a new version (returns it). */
   def appendKeyIndexBucketedVersioned(delta: DataFrame, table: String,
-      keys: Seq[String]): Unit = {
+      keys: Seq[String]): Int = {
     checkKeyMeta(delta.sparkSession, table, keys)
-    VersionedBucketed.append(keyCounts(delta, keys), s"${table}_keys")
+    BucketedManifest.append(delta.sparkSession, table,
+      Seq((s"${table}_keys", keyCounts(delta, keys))))
   }
 
-  /** RAW LSM rows of the live version — consumers merge per key, like
-    * [[readKeyIndexBucketed]].
+  /** RAW LSM rows of the current version — consumers merge per key,
+    * like [[readKeyIndexBucketed]].
     */
   def readKeyIndexBucketedVersioned(spark: SparkSession, table: String,
       keys: Seq[String]): DataFrame = {
     checkKeyMeta(spark, table, keys)
-    VersionedBucketed.read(spark, s"${table}_keys")
+    BucketedManifest.read(spark, table, s"${table}_keys")
   }
 
-  /** Negated-count tombstones into the live version
-    * ([[deleteFromKeyIndexBucketed]]'s contract).
+  /** RAW LSM rows as of version `v` — the key history at that commit. */
+  def readKeyIndexBucketedVersionedAsOf(spark: SparkSession,
+      table: String, keys: Seq[String], v: Int): DataFrame = {
+    checkKeyMeta(spark, table, keys)
+    BucketedManifest.readVersion(spark, table, s"${table}_keys", v)
+  }
+
+  /** Negated-count tombstones, committed as their own version
+    * ([[deleteFromKeyIndexBucketed]]'s contract — deletion is part of
+    * the auditable history too).
     */
   def deleteFromKeyIndexBucketedVersioned(deleted: DataFrame,
       table: String, keys: Seq[String]): Unit = {
     checkKeyMeta(deleted.sparkSession, table, keys)
-    VersionedBucketed.append(
-      keyCounts(deleted, keys).withColumn("n", -col("n")),
-      s"${table}_keys")
+    BucketedManifest.append(deleted.sparkSession, table,
+      Seq((s"${table}_keys",
+        keyCounts(deleted, keys).withColumn("n", -col("n"))))): Unit
+  }
+
+  private def keyMergeFn(df: DataFrame): DataFrame = {
+    val keys = df.columns.filter(_ != "n").toSeq
+    df.groupBy(keys.map(df(_)): _*).agg(sum(col("n")).as("n"))
+      .filter(col("n") =!= 0)
   }
 
   /** The LSM merge-compaction as version publication: split rows
     * re-aggregate, zero-total keys (collapsed tombstones) drop, and
-    * the result lands as a new version table — readers of the old
-    * version keep their files until vacuum.
+    * the result lands as ONE merged generation — readers of older
+    * versions keep their generations until vacuum.
     */
   def compactKeyIndexBucketedVersioned(spark: SparkSession,
       table: String): Unit =
-    VersionedBucketed.compact(spark, s"${table}_keys", df => {
-      val keys = df.columns.filter(_ != "n").toSeq
-      df.groupBy(keys.map(df(_)): _*).agg(sum(col("n")).as("n"))
-        .filter(col("n") =!= 0)
-    })
+    BucketedManifest.compact(spark, table,
+      merges = Map(s"${table}_keys".toLowerCase -> (keyMergeFn _)))
+
+  /** Size-tiered cadence for the versioned key index: the smallest
+    * generations MERGE (with the LSM re-aggregation — split rows
+    * collapse, zero-totals drop within the merged part), big standing
+    * generations are referenced untouched. Serve-invariant: consumers
+    * sum per key, and re-aggregating a subset of generations never
+    * changes a key's total.
+    */
+  def maybeCompactKeyIndexBucketedVersioned(spark: SparkSession,
+      table: String, maxGens: Int): Boolean =
+    BucketedManifest.compactTiered(spark, table, maxGens,
+      merges = Map(s"${table}_keys".toLowerCase -> (keyMergeFn _)))
 
   /** Build + persist the IVF index under an explicit centroid frame
     * (pass [[Similarity.firstIdCentroids]] output for the

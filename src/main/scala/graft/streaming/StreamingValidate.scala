@@ -919,10 +919,12 @@ object StreamingValidate {
       refreshTables = Seq(graft.sources.VersionedBucketed
         .liveName(spark, s"${indexTable}_bands")))
 
-  /** [[uniqueIngestRun]] over the VERSIONED key index —
-    * [[substringIngestRunVersioned]]'s contract for the validation
-    * core's LSM family (raw split rows merge at check time, as in the
-    * swap twin).
+  /** [[uniqueIngestRun]] over the VERSIONED key index — on the
+    * gen-manifest store ([[graft.sources.BucketedManifest]], round-15:
+    * the LSM family on the table format): every admitted batch is an
+    * atomic versioned commit, checks resolve the current manifest per
+    * micro-batch, raw split rows merge at check time as in the swap
+    * twin.
     */
   def uniqueIngestRunVersioned(spark: org.apache.spark.sql.SparkSession,
       newKeysDir: String, indexTable: String, keys: Seq[String],
@@ -932,9 +934,8 @@ object StreamingValidate {
         graft.sources.IndexStore.readKeyIndexBucketedVersioned(spark,
           indexTable, keys), keys),
       admit = b => graft.sources.IndexStore
-        .appendKeyIndexBucketedVersioned(b, indexTable, keys),
-      refreshTables = Seq(graft.sources.VersionedBucketed
-        .liveName(spark, s"${indexTable}_keys")))
+        .appendKeyIndexBucketedVersioned(b, indexTable, keys): Unit,
+      refreshTables = Seq(s"${indexTable}_keys"))
 
   /** The edit-distance twin of [[nearDupIngestRun]]: resumable
     * check-then-admit over the PassJoin index — per batch, `(id, s)`

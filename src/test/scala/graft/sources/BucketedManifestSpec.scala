@@ -274,6 +274,63 @@ class BucketedManifestSpec extends SparkSpec {
     }
   }
 
+  test("versioned key index (LSM family): merge-compaction collapses " +
+      "split rows and negated tombstones into the merged generation; " +
+      "tiered merge is serve-invariant; history time-travels per commit") {
+    val fam = "bm_key"
+    val kt = s"${fam}_keys"
+    try {
+      val o = graft.Tables.load(spark, "/root/testdata/sf0.001",
+        "orders").select("o_orderkey")
+      IndexStore.writeKeyIndexBucketedVersioned(o, fam,
+        Seq("o_orderkey"), numBuckets = 4)
+      // split rows: the %5 subset re-admitted; tombstones: the %7
+      // subset fully deleted (incl. the %35 re-admissions)
+      IndexStore.appendKeyIndexBucketedVersioned(
+        o.filter(col("o_orderkey") % 5 === 0), fam, Seq("o_orderkey"))
+      IndexStore.deleteFromKeyIndexBucketedVersioned(
+        o.filter(col("o_orderkey") % 7 === 0)
+          .unionByName(o.filter(col("o_orderkey") % 35 === 0)),
+        fam, Seq("o_orderkey"))
+      assert(BucketedManifest.currentVersion(spark, fam) === 3,
+        "admissions AND tombstones are versioned commits")
+      def totals(df: DataFrame): Map[Long, Long] = df
+        .groupBy("o_orderkey").agg(sum("n").as("n"))
+        .filter(col("n") =!= 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def live() = IndexStore
+        .readKeyIndexBucketedVersioned(spark, fam, Seq("o_orderkey"))
+      val before = totals(live())
+      assert(!before.keySet.exists(_ % 7 == 0),
+        "fully-deleted keys must sum to zero pre-compaction")
+      // the pre-delete history is still exactly recomputable
+      assert(totals(IndexStore.readKeyIndexBucketedVersionedAsOf(
+        spark, fam, Seq("o_orderkey"), 2)).keySet.exists(_ % 7 == 0),
+        "version 2 (pre-tombstone) must still hold the %7 keys")
+      IndexStore.compactKeyIndexBucketedVersioned(spark, fam)
+      assert(BucketedManifest.currentVersion(spark, fam) === 4)
+      assert(totals(live()) === before, "merge-compaction serve-invariant")
+      val physical = live()
+      assert(physical.groupBy("o_orderkey").count()
+        .filter(col("count") > 1).count() === 0,
+        "split rows must be physically merged in the new generation")
+      assert(physical.filter(col("o_orderkey") % 7 === 0).count() === 0,
+        "zero-total keys must be physically gone in the new generation")
+      // tiered cadence with the LSM merge: more appends, then merge
+      // only the small generations — totals never move
+      IndexStore.appendKeyIndexBucketedVersioned(
+        o.filter(col("o_orderkey") % 11 === 0), fam, Seq("o_orderkey"))
+      IndexStore.appendKeyIndexBucketedVersioned(
+        o.filter(col("o_orderkey") % 13 === 0), fam, Seq("o_orderkey"))
+      val want = totals(live())
+      assert(IndexStore.maybeCompactKeyIndexBucketedVersioned(spark,
+        fam, maxGens = 2))
+      assert(BucketedManifest.gensOf(spark, fam, kt).size === 2)
+      assert(totals(live()) === want, "tiered LSM merge serve-invariant")
+    } finally
+      BucketedManifest.drop(spark, fam, Seq(kt, s"${fam}_meta"))
+  }
+
   test("vacuum honors retention and the age gate; time travel to a " +
       "vacuumed version fails loudly; the live version is untouched") {
     val fam = "bm_vac"

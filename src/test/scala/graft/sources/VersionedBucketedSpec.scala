@@ -151,44 +151,9 @@ class VersionedBucketedSpec extends SparkSpec {
     } finally dropFamily("vb_snapfreeze")
   }
 
-  test("versioned key index: the merge-compaction collapses split " +
-      "rows and negated tombstones into the new version") {
-    val fam = "vb_key"
-    try {
-      val o = Tables.load(spark, dir, "orders").select("o_orderkey")
-      IndexStore.writeKeyIndexBucketedVersioned(o, fam,
-        Seq("o_orderkey"), numBuckets = 4)
-      // split rows: the %5 subset re-admitted; tombstones: the %7
-      // subset fully deleted
-      IndexStore.appendKeyIndexBucketedVersioned(
-        o.filter(col("o_orderkey") % 5 === 0), fam, Seq("o_orderkey"))
-      // delete exactly what was ingested for the %7 keys: once from
-      // the base, and again for those the %5 append re-admitted
-      IndexStore.deleteFromKeyIndexBucketedVersioned(
-        o.filter(col("o_orderkey") % 7 === 0)
-          .unionByName(o.filter(col("o_orderkey") % 35 === 0)),
-        fam, Seq("o_orderkey"))
-      def totals(): Map[Long, Long] = IndexStore
-        .readKeyIndexBucketedVersioned(spark, fam, Seq("o_orderkey"))
-        .groupBy("o_orderkey").agg(sum("n").as("n"))
-        .filter(col("n") =!= 0)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val before = totals()
-      assert(!before.keySet.exists(_ % 7 == 0),
-        "fully-deleted keys must sum to zero pre-compaction")
-      IndexStore.compactKeyIndexBucketedVersioned(spark, fam)
-      assert(VersionedBucketed.currentVersion(spark, s"${fam}_keys")
-        === 2)
-      assert(totals() === before, "merge-compaction serve-invariant")
-      val physical = IndexStore.readKeyIndexBucketedVersioned(spark,
-        fam, Seq("o_orderkey"))
-      assert(physical.groupBy("o_orderkey").count()
-        .filter(col("count") > 1).count() === 0,
-        "split rows must be physically merged in the new version")
-      assert(physical.filter(col("o_orderkey") % 7 === 0).count() === 0,
-        "zero-total keys must be physically gone in the new version")
-    } finally dropFamily("vb_key")
-  }
+  // The key family moved to the gen-manifest store in round 15
+  // (BucketedManifest — the LSM family proving the merges hook); its
+  // merge-compaction contract now lives in BucketedManifestSpec.
 
   // The MinHash family moved to the gen-manifest store in round 15
   // (BucketedManifest — atomic two-half commits retire the
