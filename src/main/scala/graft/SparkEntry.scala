@@ -4540,6 +4540,98 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** [[xStreamIvfVersioned]]'s arc for the PQ artifact
+    * (StreamingValidate.pqIngestRunVersioned — round-15, completing
+    * the versioned ingest matrix): two checkpointed runs publish one
+    * manifest version per admitted batch, checks ADC-score against
+    * the current version's codes, and the final serve must equal the
+    * full-corpus build — x_sim_pq's fitted-literal dynamic oracle
+    * VERBATIM.
+    */
+  private def xStreamPqVersioned(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = Similarity.pqFit(e, m = 16, ks = 16)
+    val idx = indexDir(dir, "pq_ver_stream")
+    val streamDir = indexDir(dir, "pq_ver_stream_src")
+    val ckpt = indexDir(dir, "pq_ver_stream_ckpt")
+    val sink = indexDir(dir, "pq_ver_stream_sink")
+    Seq(idx, streamDir, ckpt, sink).foreach(wipeDir)
+    graft.sources.IndexStore.writePqIndexVersioned(
+      e.filter(col("vec_id") % 3 === 0), model, idx)
+    e.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    StreamingValidate.pqIngestRunVersioned(s, streamDir, idx, 10, ckpt,
+      sink)
+    e.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    StreamingValidate.pqIngestRunVersioned(s, streamDir, idx, 10, ckpt,
+      sink)
+    Similarity.pqTopKFromCodes(e.filter(col("vec_id") < 5),
+        graft.sources.IndexStore.readPqCodesVersioned(s, idx), 10,
+        graft.sources.IndexStore.readPqModel(s, idx))
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[xStreamIvfVersioned]]'s arc for the int8 artifact
+    * (StreamingValidate.int8IngestRunVersioned) — shares
+    * x_sim_quantized's oracle VERBATIM.
+    */
+  private def xStreamInt8Versioned(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = indexDir(dir, "int8_ver_stream")
+    val streamDir = indexDir(dir, "int8_ver_stream_src")
+    val ckpt = indexDir(dir, "int8_ver_stream_ckpt")
+    val sink = indexDir(dir, "int8_ver_stream_sink")
+    Seq(idx, streamDir, ckpt, sink).foreach(wipeDir)
+    graft.sources.IndexStore.writeInt8IndexVersioned(
+      e.filter(col("vec_id") % 3 === 0), idx)
+    e.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    StreamingValidate.int8IngestRunVersioned(s, streamDir, idx, 10,
+      ckpt, sink)
+    e.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    StreamingValidate.int8IngestRunVersioned(s, streamDir, idx, 10,
+      ckpt, sink)
+    Similarity.quantizedTopKFromIndex(e.filter(col("vec_id") < 5),
+        graft.sources.IndexStore.readInt8IndexVersioned(s, idx), 10)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[xStreamIvfVersioned]]'s arc for the composed IVF-PQ artifact
+    * (StreamingValidate.ivfPqIngestRunVersioned) — shares
+    * x_sim_ivf_pq's fitted-literal dynamic oracle VERBATIM.
+    */
+  private def xStreamIvfPqVersioned(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = Similarity.pqFit(e, m = 16, ks = 16)
+    val cents = Similarity.kmeansCentroids(e, nLists = 16)
+    val idx = indexDir(dir, "ivfpq_ver_stream")
+    val streamDir = indexDir(dir, "ivfpq_ver_stream_src")
+    val ckpt = indexDir(dir, "ivfpq_ver_stream_ckpt")
+    val sink = indexDir(dir, "ivfpq_ver_stream_sink")
+    Seq(idx, streamDir, ckpt, sink).foreach(wipeDir)
+    graft.sources.IndexStore.writeIvfPqIndexVersioned(
+      e.filter(col("vec_id") % 3 === 0), model, cents, idx)
+    e.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    StreamingValidate.ivfPqIngestRunVersioned(s, streamDir, idx, 10, 4,
+      ckpt, sink)
+    e.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    StreamingValidate.ivfPqIngestRunVersioned(s, streamDir, idx, 10, 4,
+      ckpt, sink)
+    val (enc, rcents) = graft.sources.IndexStore
+      .readIvfPqIndexVersioned(s, idx)
+    Similarity.ivfPqTopKFromIndex(e.filter(col("vec_id") < 5), enc,
+        rcents, graft.sources.IndexStore.readPqModel(s, idx), 10,
+        nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
   /** The x_pipeline_train composition STREAMED against a standing
     * index (StreamingValidate.gatedIngestStream) — the production
     * crawl-ingest loop end to end: the even-id half of the corpus is
@@ -5844,6 +5936,9 @@ object SparkEntry {
     "x_pipeline_train" -> (xPipelineTrain _),
     "x_stream_pipeline" -> (xStreamPipeline _),
     "x_stream_ivf_versioned" -> (xStreamIvfVersioned _),
+    "x_stream_pq_versioned" -> (xStreamPqVersioned _),
+    "x_stream_int8_versioned" -> (xStreamInt8Versioned _),
+    "x_stream_ivfpq_versioned" -> (xStreamIvfPqVersioned _),
     "x_stream_pipeline_admit" -> (xStreamPipelineAdmit _),
     "x_sim_quantized_versioned" -> (xSimQuantizedVersioned _),
     "x_sim_pq_versioned" -> (xSimPqVersioned _),
@@ -5950,6 +6045,8 @@ object SparkEntry {
       "x_sim_quantized_versioned" ->
         graft.oracle.StaticOracles.sql("x_sim_quantized"),
       "x_stream_int8_ingest" ->
+        graft.oracle.StaticOracles.sql("x_sim_quantized"),
+      "x_stream_int8_versioned" ->
         graft.oracle.StaticOracles.sql("x_sim_quantized"),
       "x_dedup_index_versioned" ->
         graft.oracle.StaticOracles.sql("x_dedup_index_append"),

@@ -33,6 +33,7 @@ private[graft] object DynamicOracles {
     Set("x_sim_ivf_kmeans", "x_sim_kmeans_full", "x_sim_pq",
       "x_sim_pq_served", "x_sim_pq_delete", "x_sim_pq_append",
       "x_sim_pq_versioned", "x_stream_pq_ingest",
+      "x_stream_pq_versioned", "x_stream_ivfpq_versioned",
       "x_sim_ivf_pq",
       "x_sim_ivf_pq_served", "x_sim_ivf_pq_delete",
       "x_sim_ivf_pq_append", "x_sim_ivf_pq_versioned",
@@ -115,7 +116,7 @@ private[graft] object DynamicOracles {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     if (want("x_sim_pq") || want("x_sim_pq_served") ||
         want("x_sim_pq_append") || want("x_sim_pq_versioned") ||
-        want("x_stream_pq_ingest"))
+        want("x_stream_pq_ingest") || want("x_stream_pq_versioned"))
       b += ("x_sim_pq" -> pqSql(""))
     if (want("x_sim_pq_delete"))
       b += ("x_sim_pq_delete" -> pqSql(" AND ec.id % 7 <> 3"))
@@ -212,7 +213,7 @@ private[graft] object DynamicOracles {
     }
     if (want("x_sim_ivf_pq") || want("x_sim_ivf_pq_served") ||
         want("x_sim_ivf_pq_append") || want("x_sim_ivf_pq_versioned") ||
-        want("x_stream_ivfpq_ingest"))
+        want("x_stream_ivfpq_ingest") || want("x_stream_ivfpq_versioned"))
       b += ("x_sim_ivf_pq" -> ivfPqSql(""))
     if (want("x_sim_ivf_pq_delete"))
       b += ("x_sim_ivf_pq_delete" -> ivfPqSql(" AND a.id % 7 <> 3"))
@@ -423,6 +424,8 @@ private[graft] object DynamicOracles {
         "x_sim_pq_append" -> "x_sim_pq",
         "x_sim_pq_versioned" -> "x_sim_pq",
         "x_stream_pq_ingest" -> "x_sim_pq",
+        "x_stream_pq_versioned" -> "x_sim_pq",
+        "x_stream_ivfpq_versioned" -> "x_sim_ivf_pq",
         "x_sim_ivf_pq_served" -> "x_sim_ivf_pq",
         "x_sim_ivf_pq_append" -> "x_sim_ivf_pq",
         "x_sim_ivf_pq_versioned" -> "x_sim_ivf_pq",

@@ -1041,6 +1041,77 @@ object StreamingValidate {
       },
       refreshTables = Seq.empty)
 
+  /** [[pqIngestRun]] over the VERSIONED PQ store — with
+    * [[int8IngestRunVersioned]] and [[ivfPqIngestRunVersioned]] this
+    * closes the ingest matrix completely (round-15): every flat
+    * similarity artifact now has BOTH a flat and a versioned
+    * check-then-admit arc. Each admitted micro-batch publishes a
+    * manifest version (the ingest history time-travels); checks
+    * ADC-score against the current version's codes re-read per batch;
+    * the codebooks are re-read, never re-fitted. `autoCompactBatches`
+    * is [[ivfIngestRunVersioned]]'s manifest-growth cadence.
+    */
+  def pqIngestRunVersioned(spark: org.apache.spark.sql.SparkSession,
+      newVecsDir: String, indexDir: String, k: Int,
+      checkpointDir: String, sinkDir: String,
+      autoCompactBatches: Int = 0): Unit =
+    checkAdmitRun(spark, newVecsDir, checkpointDir, sinkDir,
+      check = b => graft.ext.Similarity.pqTopKFromCodes(b,
+        graft.sources.IndexStore.readPqCodesVersionedLive(spark,
+          indexDir), k,
+        graft.sources.IndexStore.readPqModel(spark, indexDir)),
+      admit = b => {
+        graft.sources.IndexStore.appendPqIndexVersioned(b, indexDir)
+        if (autoCompactBatches > 0)
+          graft.sources.VersionedFlat.maybeCompact(spark,
+            s"$indexDir/codes", autoCompactBatches): Unit
+      },
+      refreshTables = Seq.empty)
+
+  /** [[int8IngestRun]] over the VERSIONED int8 store — no model leaf;
+    * each batch quantizes and publishes a manifest version.
+    */
+  def int8IngestRunVersioned(spark: org.apache.spark.sql.SparkSession,
+      newVecsDir: String, indexDir: String, k: Int,
+      checkpointDir: String, sinkDir: String,
+      autoCompactBatches: Int = 0): Unit =
+    checkAdmitRun(spark, newVecsDir, checkpointDir, sinkDir,
+      check = b => graft.ext.Similarity.quantizedTopKFromIndex(b,
+        graft.sources.IndexStore.readInt8IndexVersioned(spark,
+          indexDir), k),
+      admit = b => {
+        graft.sources.IndexStore.appendInt8IndexVersioned(b, indexDir)
+        if (autoCompactBatches > 0)
+          graft.sources.VersionedFlat.maybeCompact(spark, indexDir,
+            autoCompactBatches): Unit
+      },
+      refreshTables = Seq.empty)
+
+  /** [[ivfPqIngestRun]] over the VERSIONED composed store — checks
+    * probe-route and ADC-score against the current version; admits
+    * assign AND encode against both persisted model halves and publish
+    * a manifest version.
+    */
+  def ivfPqIngestRunVersioned(spark: org.apache.spark.sql.SparkSession,
+      newVecsDir: String, indexDir: String, k: Int, nProbe: Int,
+      checkpointDir: String, sinkDir: String,
+      autoCompactBatches: Int = 0): Unit =
+    checkAdmitRun(spark, newVecsDir, checkpointDir, sinkDir,
+      check = b => {
+        val (enc, cents) = graft.sources.IndexStore
+          .readIvfPqIndexVersionedLive(spark, indexDir)
+        graft.ext.Similarity.ivfPqTopKFromIndex(b, enc, cents,
+          graft.sources.IndexStore.readPqModel(spark, indexDir), k,
+          nProbe)
+      },
+      admit = b => {
+        graft.sources.IndexStore.appendIvfPqIndexVersioned(b, indexDir)
+        if (autoCompactBatches > 0)
+          graft.sources.VersionedFlat.maybeCompact(spark,
+            s"$indexDir/enc", autoCompactBatches): Unit
+      },
+      refreshTables = Seq.empty)
+
   /** Check-then-admit ingestion for the PQ code artifact (round-14
     * directive #5 — the [[ivfIngestRun]] shape for the product-
     * quantized family, previously the only similarity artifact without

@@ -240,6 +240,58 @@ class SimArtifactLifecycleSpec extends SparkSpec {
       "run 2's checks must see run 1's admitted vectors")
   }
 
+  test("versioned ingest arcs for PQ / int8 / IVF-PQ: every admitted " +
+      "batch publishes a manifest version; a checkpointed restart " +
+      "admits exactly once") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val model = Similarity.pqFit(e, m = 8, ks = 16)
+    val cents = Similarity.firstIdCentroids(e, 16)
+    val arcs: Seq[(String, String => Unit, String => String)] = Seq(
+      ("pqv", { idx: String =>
+        IndexStore.writePqIndexVersioned(
+          e.filter(col("vec_id") % 3 === 0), model, idx) },
+        (idx: String) => s"$idx/codes"),
+      ("i8v", { idx: String =>
+        IndexStore.writeInt8IndexVersioned(
+          e.filter(col("vec_id") % 3 === 0), idx) },
+        (idx: String) => idx),
+      ("ipqv", { idx: String =>
+        IndexStore.writeIvfPqIndexVersioned(
+          e.filter(col("vec_id") % 3 === 0), model, cents, idx) },
+        (idx: String) => s"$idx/enc"))
+    for ((tag, build, store) <- arcs) {
+      val idx = tmp(s"${tag}_idx")
+      val src = tmp(s"${tag}_src")
+      val ckpt = tmp(s"${tag}_ckpt")
+      val sink = tmp(s"${tag}_sink")
+      build(idx)
+      assert(VersionedFlat.currentVersion(store(idx)) === 1)
+      def run(): Unit = tag match {
+        case "pqv" => StreamingValidate.pqIngestRunVersioned(spark,
+          src, idx, 5, ckpt, sink)
+        case "i8v" => StreamingValidate.int8IngestRunVersioned(spark,
+          src, idx, 5, ckpt, sink)
+        case _ => StreamingValidate.ivfPqIngestRunVersioned(spark,
+          src, idx, 5, 4, ckpt, sink)
+      }
+      e.filter(col("vec_id") % 3 === 1).coalesce(1)
+        .write.mode("append").parquet(src)
+      run()
+      assert(VersionedFlat.currentVersion(store(idx)) === 2,
+        s"$tag: the admitted batch must publish a version")
+      e.filter(col("vec_id") % 3 === 2).coalesce(1)
+        .write.mode("append").parquet(src)
+      run()
+      assert(VersionedFlat.currentVersion(store(idx)) === 3,
+        s"$tag: the restarted run must admit only the new file")
+      val rows = VersionedFlat.read(spark, store(idx))
+      assert(rows.count() === e.count(),
+        s"$tag: exactly one row per corpus vector after the restart")
+      assert(rows.groupBy(col("id")).count().filter(col("count") > 1)
+        .count() === 0, s"$tag: no vector admitted twice")
+    }
+  }
+
   test("versioned ingest: every admitted batch publishes a version; " +
       "as-of replays the prefix corpus; restart admits exactly once") {
     val e = Tables.load(spark, dir, "embeddings")
