@@ -176,8 +176,14 @@ object BucketedManifest {
       numBuckets: Int, gen: Int, init: Boolean): Unit = {
     val spark = df.sparkSession
     if (init) {
+      // EXTERNAL from birth (explicit path): the catalog entry is a
+      // CACHE over the manifest chain and the files — losing it (an
+      // in-memory catalog in a fresh JVM, a metastore rebuild) must
+      // never delete data, and [[attach]] re-derives the entry.
       df.withColumn("gen", lit(gen))
         .write.mode("overwrite")
+        .option("path", new java.io.File(warehouse(spark),
+          table.toLowerCase).getPath)
         .partitionBy("gen")
         .bucketBy(numBuckets, keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
@@ -507,12 +513,76 @@ object BucketedManifest {
       .foreach(deleteTree)
   }
 
-  /** Drop the family entirely (tables, meta dir) — test/scratch
-    * hygiene, not a lifecycle operation.
+  /** Re-register a member table in a session whose catalog has no
+    * entry for it (a fresh JVM over an in-memory catalog, a new
+    * metastore, a disaster-recovery replay): the CATALOG IS A CACHE —
+    * truth lives in the manifest chain and the generation files. The
+    * member is re-declared as an EXTERNAL table over its existing
+    * directory with the given bucket spec (the same
+    * declared-spec-drives-planning contract every store here uses),
+    * and every generation any retained manifest references is
+    * re-registered as a partition. After attach, reads, serves, and
+    * new commits work exactly as before — asserted in
+    * BucketedManifestSpec, including the exchange-free plan.
+    *
+    * The bucket spec is caller-supplied because the catalog entry that
+    * recorded it is exactly what was lost; attaching with a DIFFERENT
+    * spec than the files were written with would break the
+    * exchange-free contract silently, so deployments should carry
+    * (keys, numBuckets) in their own config the way they carry the
+    * warehouse path. No data is read or written — pure metadata,
+    * O(generations) catalog calls.
+    */
+  def attach(spark: SparkSession, family: String, table: String,
+      location: String, schemaDDL: String, keys: Seq[String],
+      numBuckets: Int): Unit = {
+    require(!spark.catalog.tableExists(table),
+      s"$table already exists — attach is for catalogs that lost it")
+    val meta = metaDir(spark, family)
+    require(VersionedFlat.currentVersion(meta) > 0,
+      s"$family has no manifest chain at $meta — nothing to attach")
+    spark.sql(
+      s"""CREATE TABLE `$table` ($schemaDDL, gen INT)
+         |USING PARQUET
+         |PARTITIONED BY (gen)
+         |CLUSTERED BY (${keys.mkString("`", "`, `", "`")})
+         |SORTED BY (${keys.mkString("`", "`, `", "`")})
+         |INTO $numBuckets BUCKETS
+         |LOCATION '$location'""".stripMargin)
+    // register every generation a retained manifest references (the
+    // manifest is truth; unreferenced debris stays invisible)
+    val cur = VersionedFlat.currentVersion(meta)
+    val gens = (1 to cur)
+      .filter(v => new java.io.File(meta, f"manifest-$v%06d").exists())
+      .flatMap(v => parse(VersionedFlat.readManifest(meta, v)))
+      .collect { case (t, g) if t == table.toLowerCase => g }
+      .distinct
+    gens.foreach(g => spark.sql(
+      s"ALTER TABLE `$table` ADD IF NOT EXISTS PARTITION (gen=$g)"))
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Drop the family entirely (tables, their data dirs, meta dir) —
+    * test/scratch hygiene, not a lifecycle operation. Members are
+    * EXTERNAL, so the catalog drop alone would leave their data.
     */
   def drop(spark: SparkSession, family: String,
       tables: Seq[String]): Unit = {
-    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    tables.foreach { t =>
+      val loc: Option[java.io.File] =
+        if (!spark.catalog.tableExists(t)) None
+        else {
+          val m = spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t))
+          if (m.location.getScheme == null ||
+              m.location.getScheme == "file")
+            Some(new java.io.File(m.location))
+          else None
+        }
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      loc.foreach(deleteTree)
+      deleteTree(new java.io.File(warehouse(spark), t.toLowerCase))
+    }
     deleteTree(new java.io.File(metaDir(spark, family)))
   }
 }

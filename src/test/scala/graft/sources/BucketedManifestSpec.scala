@@ -331,6 +331,56 @@ class BucketedManifestSpec extends SparkSpec {
       BucketedManifest.drop(spark, fam, Seq(kt, s"${fam}_meta"))
   }
 
+  test("attach: a fresh catalog re-derives the family from the " +
+      "manifest chain and files alone — reads, time travel, new " +
+      "commits, and the exchange-free plan all survive catalog loss") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val fam = "bm_attach"
+    val (a, b) = (s"${fam}_a", s"${fam}_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      BucketedManifest.create(spark, fam, Seq(
+        (a, frame(0 until 300), Seq("id"), 4),
+        (b, frame(500 until 800), Seq("id"), 4)))
+      BucketedManifest.append(spark, fam, Seq(
+        (a, frame(300 until 400)), (b, frame(800 until 900))))
+      val locA = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(a))
+        .location.toString
+      val locB = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(b))
+        .location.toString
+      val ddl = org.apache.spark.sql.types.StructType(
+        spark.table(a).schema.filterNot(_.name == "gen")).toDDL
+      // the catalog loses both entries (members are EXTERNAL — the
+      // drop deletes no data; the manifests and files are the truth)
+      spark.sql(s"DROP TABLE `$a`")
+      spark.sql(s"DROP TABLE `$b`")
+      BucketedManifest.attach(spark, fam, a, locA, ddl, Seq("id"), 4)
+      BucketedManifest.attach(spark, fam, b, locB, ddl, Seq("id"), 4)
+      assert(idSet(BucketedManifest.read(spark, fam, a))
+        === (0L until 400L).toSet, "the re-attached member serves")
+      assert(idSet(BucketedManifest.readVersion(spark, fam, b, 1))
+        === (500L until 800L).toSet, "time travel survives re-attach")
+      // new commits keep working on the re-derived entry
+      BucketedManifest.append(spark, fam, Seq(
+        (a, frame(400 until 450)), (b, frame(900 until 950))))
+      assert(idSet(BucketedManifest.read(spark, fam, a))
+        === (0L until 450L).toSet)
+      // the declared spec still drives planning: zero exchanges
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val agg = BucketedManifest.read(spark, fam, a)
+        .groupBy("id").agg(count(lit(1)).as("n"))
+      agg.collect()
+      assert(!flatten(agg.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[ShuffleExchangeExec]),
+        "bucket-key agg over the re-attached member must not shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      BucketedManifest.drop(spark, fam, Seq(a, b))
+    }
+  }
+
   test("vacuum honors retention and the age gate; time travel to a " +
       "vacuumed version fails loudly; the live version is untouched") {
     val fam = "bm_vac"
