@@ -4632,6 +4632,66 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** The MULTI-INDEX gated pipeline
+    * (StreamingValidate.gatedIngestRunMulti over
+    * graft.sources.IndexStore.writePipelineIndexVersioned — round-15
+    * capstone): the MinHash halves AND a key member live in ONE
+    * manifest chain, every batch is screened through BOTH gates —
+    * near-dup CONTENT (MinHash) and duplicate-id IDENTITY (key) —
+    * and the survivors are admitted into all three members with one
+    * atomic commit. Batch 2 carries PLANTED re-fetches: corpus ids
+    * (% 4 = 0, id < 80) re-sent with FRESH text (the % 4 = 3 neighbor
+    * id+3's text, which is not yet in the index when the batch is
+    * checked) — invisible to the content gate, caught only by the
+    * identity gate; an admitted re-fetch would shift the shard
+    * aggregate AND the key-index total. Output: the sink aggregate
+    * (x_stream_pipeline_admit's shape, minus its offset-copy arm)
+    * plus idx_total = the key member's count sum, which must equal
+    * corpus + admissions exactly — the cross-index consistency the
+    * atomic commit guarantees.
+    */
+  private def xStreamPipelineMulti(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+    val tbl = indexTable(dir, "spmulti")
+    graft.sources.IndexStore.writePipelineIndexVersioned(corpus, tbl,
+      numBuckets = 8, k = 5)
+    val streamDir = indexDir(dir, "spmulti_src")
+    val ckpt = indexDir(dir, "spmulti_ckpt")
+    val sink = indexDir(dir, "spmulti_sink")
+    Seq(streamDir, ckpt, sink).foreach(wipeDir)
+    d.filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), col("text")).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    StreamingValidate.gatedIngestRunMulti(s, streamDir, tbl,
+      threshold = 0.5, k = 5, minQuality = 0.7, minTokens = 10,
+      salt = "spadm1", checkpointDir = ckpt, sinkDir = sink)
+    val planted = d.filter(col("doc_id") % 4 === 0 &&
+        col("doc_id") < 80)
+      .select(col("doc_id"), (col("doc_id") + 3).as("src_id"))
+      .join(d.select(col("doc_id").as("src_id"), col("text")),
+        Seq("src_id"))
+      .select(col("doc_id"), col("text"))
+    d.filter(col("doc_id") % 4 === 3)
+      .select(col("doc_id"), col("text"))
+      .unionByName(planted)
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.gatedIngestRunMulti(s, streamDir, tbl,
+      threshold = 0.5, k = 5, minQuality = 0.7, minTokens = 10,
+      salt = "spadm1", checkpointDir = ckpt, sinkDir = sink)
+    val total = graft.sources.IndexStore.readPipelineKeyIndex(s, tbl)
+      .agg(sum(col("n")).cast(LongType).as("idx_total"))
+    s.read.parquet(sink)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        sum(col("doc_id")).as("docid_checksum"))
+      .crossJoin(total)
+      .orderBy("shard")
+  }
+
   /** The x_pipeline_train composition STREAMED against a standing
     * index (StreamingValidate.gatedIngestStream) — the production
     * crawl-ingest loop end to end: the even-id half of the corpus is
@@ -5900,6 +5960,7 @@ object SparkEntry {
     "k3_fk_index_served" -> (k3FkIndexServed _),
     "x_stream_unique_index" -> (xStreamUniqueIndex _),
     "x_stream_unique_resume" -> (xStreamUniqueResume _),
+    "x_stream_pipeline_multi" -> (xStreamPipelineMulti _),
     "x_stream_unique_versioned" -> (xStreamUniqueVersioned _),
     "x_stream_substring_versioned" -> (xStreamSubstringVersioned _),
     "x_stream_editdist_versioned" -> (xStreamEditdistVersioned _),

@@ -1323,6 +1323,126 @@ private[graft] object StaticOracles {
         |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
         |  CAST(sum(id) AS BIGINT) AS docid_checksum
         |FROM adm GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the MULTI-INDEX pipeline: x_stream_pipeline_admit's two-batch
+    // gate replay WITHOUT the offset-copy arm, plus the identity-gate
+    // claim — batch 2's planted re-fetches (corpus ids % 4 = 0 < 80
+    // re-sent with the id+3 neighbor's fresh text) are rejected by id,
+    // so they appear NOWHERE below, and idx_total must equal
+    // corpus + admissions exactly (an admitted re-fetch would shift
+    // both the shard aggregate and the key total)
+    "x_stream_pipeline_multi" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |bothd AS (
+        |  SELECT doc_id AS id, toks FROM tok WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id AS id, toks FROM tok WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id AS id, toks FROM tok WHERE doc_id % 4 = 3),
+        |$duckMinhashSigCtes,
+        |stream_docs AS (
+        |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 4 = 3),
+        |feat AS (
+        |  SELECT id, text, ' ' || text || ' ' AS p,
+        |    CASE WHEN length(text) > 0
+        |      THEN CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
+        |        AS DOUBLE) / length(text) ELSE 0.0 END AS alpha_ratio,
+        |    CASE WHEN length(text) > 0
+        |      THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '',
+        |        'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio,
+        |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+        |      x -> x <> '')) AS n_toks
+        |  FROM stream_docs),
+        |sc AS (
+        |  SELECT id, text, n_toks,
+        |    round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+        |      + alpha_ratio
+        |      + greatest(0.0, 1.0 - punct_ratio * 10.0)) / 3.0, 6)
+        |      AS quality,
+        |    (length(p)-length(replace(p,' the ','')))/5
+        |      + (length(p)-length(replace(p,' and ','')))/5
+        |      + (length(p)-length(replace(p,' of ','')))/4
+        |      + (length(p)-length(replace(p,' to ','')))/4
+        |      + (length(p)-length(replace(p,' a ','')))/3 AS s_en,
+        |    (length(p)-length(replace(p,' el ','')))/4
+        |      + (length(p)-length(replace(p,' la ','')))/4
+        |      + (length(p)-length(replace(p,' de ','')))/4
+        |      + (length(p)-length(replace(p,' que ','')))/5
+        |      + (length(p)-length(replace(p,' y ','')))/3 AS s_es,
+        |    (length(p)-length(replace(p,' le ','')))/4
+        |      + (length(p)-length(replace(p,' et ','')))/4
+        |      + (length(p)-length(replace(p,' les ','')))/5
+        |      + (length(p)-length(replace(p,' des ','')))/5
+        |      + (length(p)-length(replace(p,' un ','')))/4 AS s_fr,
+        |    (length(p)-length(replace(p,' der ','')))/5
+        |      + (length(p)-length(replace(p,' und ','')))/5
+        |      + (length(p)-length(replace(p,' die ','')))/5
+        |      + (length(p)-length(replace(p,' das ','')))/5
+        |      + (length(p)-length(replace(p,' ist ','')))/5 AS s_de
+        |  FROM feat),
+        |gt AS (
+        |  SELECT id, CAST(n_toks AS BIGINT) AS n_tokens FROM sc
+        |  WHERE quality >= 0.7 AND n_toks >= 10
+        |    AND NOT regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]')
+        |    AND NOT regexp_matches(text, '[\\x{0400}-\\x{04FF}]')
+        |    AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de),
+        |candA AS (
+        |  SELECT DISTINCT b.id AS new_id, a.id AS corpus_id
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.id % 2 = 0 AND b.id % 4 = 1),
+        |jA AS (
+        |  SELECT c.new_id,
+        |    CASE WHEN len(list_distinct(list_concat(sn.sh, sc2.sh))) > 0
+        |      THEN CAST(len(list_intersect(sn.sh, sc2.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(sn.sh, sc2.sh)))
+        |      ELSE 0.0 END AS jaccard
+        |  FROM candA c
+        |  JOIN shd sn ON c.new_id = sn.id
+        |  JOIN shd sc2 ON c.corpus_id = sc2.id),
+        |dupA AS (SELECT DISTINCT new_id FROM jA WHERE jaccard >= 0.5),
+        |admA AS (
+        |  SELECT id FROM gt
+        |  WHERE id % 4 = 1
+        |    AND id NOT IN (SELECT new_id FROM dupA)),
+        |candB AS (
+        |  SELECT DISTINCT b.id AS new_id, a.id AS corpus_id
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE (a.id % 2 = 0 OR a.id IN (SELECT id FROM admA))
+        |    AND b.id % 4 = 3),
+        |jB AS (
+        |  SELECT c.new_id,
+        |    CASE WHEN len(list_distinct(list_concat(sn.sh, sc2.sh))) > 0
+        |      THEN CAST(len(list_intersect(sn.sh, sc2.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(sn.sh, sc2.sh)))
+        |      ELSE 0.0 END AS jaccard
+        |  FROM candB c
+        |  JOIN shd sn ON c.new_id = sn.id
+        |  JOIN shd sc2 ON c.corpus_id = sc2.id),
+        |dupB AS (SELECT DISTINCT new_id FROM jB WHERE jaccard >= 0.5),
+        |admB AS (
+        |  SELECT id FROM gt
+        |  WHERE id % 4 = 3
+        |    AND id NOT IN (SELECT new_id FROM dupB)),
+        |adm AS (
+        |  SELECT gt.id, gt.n_tokens,
+        |    ${duckHash48("('spadm1' || CAST(gt.id AS VARCHAR))")} % 8
+        |      AS shard
+        |  FROM gt
+        |  WHERE gt.id IN (SELECT id FROM admA
+        |                  UNION ALL SELECT id FROM admB))
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |  CAST(sum(id) AS BIGINT) AS docid_checksum,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+        |    + (SELECT count(*) FROM adm) AS idx_total
+        |FROM adm GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_dedup_prefix" ->
       """SELECT array_to_string(list_slice(
         |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),

@@ -437,6 +437,69 @@ object IndexStore {
       table: String, maxGens: Int): Boolean =
     BucketedManifest.compactTiered(spark, table, maxGens)
 
+  // ------------------- multi-index pipeline family (round-15 capstone)
+  /** The MULTI-INDEX pipeline family: the MinHash halves (content
+    * identity) and a key member (document identity) in ONE manifest
+    * chain — the composability the gen-manifest store was built for.
+    * A training-data ingest loop screens every batch through BOTH
+    * gates (near-dup content, duplicate id) and admits the survivors
+    * into all three members with ONE atomic commit: a crash between
+    * "document counted in the dedup index" and "document counted in
+    * the key index" cannot exist, so the two indexes can never
+    * disagree about what was admitted — the cross-index consistency a
+    * per-index commit protocol cannot give. The dedup halves serve
+    * through [[readDedupIndexBucketedVersioned]] unchanged (same
+    * member names and `_meta` record); the key member serves the
+    * uniqueness gate.
+    */
+  def writePipelineIndexVersioned(corpusToks: DataFrame, table: String,
+      numBuckets: Int, numHashes: Int = 32, bands: Int = 16,
+      k: Int = 3): Unit = {
+    val spark = corpusToks.sparkSession
+    Scratch.sweepOnce(spark)
+    val sh = corpusToks.select(col("id"),
+      Dedup.shingleHashesFromTokens(col("toks"), k).as("sh")).cache()
+    try {
+      BucketedManifest.create(spark, table, Seq(
+        (s"${table}_sh", sh, Seq("id"), numBuckets),
+        (s"${table}_bands",
+          Dedup.bandAssignmentsFromShingles(sh, numHashes, bands),
+          Seq("band", "bucket"), numBuckets),
+        (s"${table}_keys",
+          keyCounts(corpusToks.select("id"), Seq("id")),
+          Seq("id"), numBuckets)))
+      metaFrame(spark, numHashes, bands, k)
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${table}_meta")
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** Admit a delta into ALL THREE members atomically (one manifest
+    * link — returns the committed version, which is the freeze point
+    * of the whole pipeline state).
+    */
+  def appendPipelineIndexVersioned(deltaToks: DataFrame, table: String,
+      numHashes: Int = 32, bands: Int = 16, k: Int = 3): Int = {
+    val spark = deltaToks.sparkSession
+    checkMeta(spark.table(s"${table}_meta"), table, numHashes, bands, k)
+    val sh = deltaToks.select(col("id"),
+      Dedup.shingleHashesFromTokens(col("toks"), k).as("sh")).cache()
+    try
+      BucketedManifest.append(spark, table, Seq(
+        (s"${table}_sh", sh),
+        (s"${table}_bands",
+          Dedup.bandAssignmentsFromShingles(sh, numHashes, bands)),
+        (s"${table}_keys",
+          keyCounts(deltaToks.select("id"), Seq("id")))))
+    finally sh.unpersist(blocking = false)
+  }
+
+  /** The key member's raw LSM rows (id, n) of the current version —
+    * the uniqueness gate anti-joins present ids, audits sum totals.
+    */
+  def readPipelineKeyIndex(spark: SparkSession, table: String): DataFrame =
+    BucketedManifest.read(spark, table, s"${table}_keys")
+
   /** Compact the standing bucketed substring gram index (one half:
     * the gram frame) — same contract as
     * [[compactDedupIndexBucketed]].

@@ -757,6 +757,78 @@ object StreamingValidate {
     q.stop()
   }
 
+  /** [[gatedIngestRunVersioned]] over the MULTI-INDEX pipeline family
+    * ([[graft.sources.IndexStore.writePipelineIndexVersioned]] —
+    * round-15 capstone): each micro-batch runs BOTH gates — the
+    * near-dup CONTENT gate against the MinHash members and a
+    * duplicate-id IDENTITY gate against the key member (a re-sent
+    * document id is rejected even when its text is fresh — the crawl
+    * re-fetch case the content gate is blind to) — plus the
+    * quality/language/length screens, sinks the survivors strictly
+    * before admission, and admits them into ALL THREE members with
+    * ONE atomic manifest commit. The two indexes therefore can never
+    * disagree about the admitted set, across any crash point: either
+    * the whole batch's commit exists or none of it does.
+    */
+  def gatedIngestRunMulti(spark: org.apache.spark.sql.SparkSession,
+      newDocsDir: String, indexTable: String, threshold: Double,
+      numHashes: Int = 32, bands: Int = 16, k: Int = 3,
+      minQuality: Double = 0.7, minTokens: Int = 10,
+      lang: String = "en", salt: String = "", nShards: Int = 8,
+      checkpointDir: String = null, sinkDir: String): Unit = {
+    import graft.ext.{Dedup, TextAnalysis}
+    import org.apache.spark.sql.streaming.Trigger
+    def survivors(b: DataFrame): DataFrame = {
+      val (sh, bandIdx) = graft.sources.IndexStore
+        .readDedupIndexBucketedVersioned(spark, indexTable, numHashes,
+          bands, k)
+      val dupIds = Dedup.nearDuplicatesAgainstIndex(
+          b.select(col("doc_id").as("id"),
+            TextAnalysis.tokens(col("text")).as("toks")),
+          sh, bandIdx, threshold, numHashes, bands, k)
+        .select(col("new_id").as("doc_id")).distinct()
+      // the identity gate: ids already counted in the key member
+      val takenIds = graft.sources.IndexStore
+        .readPipelineKeyIndex(spark, indexTable)
+        .groupBy("id").agg(sum(col("n")).as("n"))
+        .filter(col("n") > 0)
+        .select(col("id").as("doc_id"))
+      b.join(dupIds, Seq("doc_id"), "left_anti")
+        .join(takenIds, Seq("doc_id"), "left_anti")
+        .filter(TextAnalysis.qualityScore(col("text")) >= minQuality &&
+          TextAnalysis.langId(col("text")) === lang &&
+          TextAnalysis.tokenCount(col("text")) >= minTokens)
+    }
+    def admitRecords(sv: DataFrame): DataFrame =
+      sv.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"),
+        (Dedup.hash48(concat(lit(salt),
+          col("doc_id").cast("string"))) % nShards).as("shard"))
+    val batchInput = spark.read.parquet(newDocsDir)
+    if (!new java.io.File(sinkDir).exists())
+      admitRecords(survivors(batchInput.limit(0)))
+        .write.mode("overwrite").parquet(sinkDir)
+    val reader = spark.readStream.schema(batchInput.schema)
+      .option("maxFilesPerTrigger", "1").parquet(newDocsDir)
+    val writer0 = reader.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val sv = survivors(b).cache()
+        try {
+          admitRecords(sv).write.mode("append").parquet(sinkDir)
+          graft.sources.IndexStore.appendPipelineIndexVersioned(
+            sv.select(col("doc_id").as("id"),
+              TextAnalysis.tokens(col("text")).as("toks")),
+            indexTable, numHashes, bands, k): Unit
+        } finally { sv.unpersist(blocking = false); () }
+      }
+    val writer = if (checkpointDir == null) writer0
+      else writer0.option("checkpointLocation", checkpointDir)
+    val q = writer.trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** The SUBSTRING twin of [[nearDupIngestStream]]: a stream of
     * `(id, toks)` documents screened per micro-batch against the
     * standing bucketed gram index

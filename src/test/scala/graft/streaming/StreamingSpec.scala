@@ -894,6 +894,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("multi-index pipeline: the identity gate rejects a re-fetched " +
+      "id with FRESH text (content gate blind to it); all three " +
+      "members advance in one atomic commit per batch") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpusToks = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    val fam = "multi_spec"
+    try {
+      graft.sources.IndexStore.writePipelineIndexVersioned(corpusToks,
+        fam, numBuckets = 8, k = 5)
+      assert(graft.sources.BucketedManifest
+        .currentVersion(spark, fam) === 1)
+      // the re-fetch: a CORPUS id re-sent with a fresh odd doc's text
+      // (not in the index), alongside one genuinely new doc
+      val freshText = docs.filter(col("doc_id") % 4 === 3)
+        .orderBy(col("doc_id").desc).limit(1)
+        .select(col("text")).collect()(0).getString(0)
+      val batch = docs.filter(col("doc_id") % 4 === 1).limit(1)
+        .unionByName(
+          docs.filter(col("doc_id") % 4 === 0).limit(1)
+            .select(col("doc_id"),
+              org.apache.spark.sql.functions.lit(freshText).as("text")))
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_mi_b").toString
+      batch.coalesce(1).write.mode("overwrite").parquet(d)
+      val s = java.nio.file.Files
+        .createTempDirectory("graft_mi_sink").toString
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s))
+      StreamingValidate.gatedIngestRunMulti(spark, d, fam,
+        threshold = 0.5, k = 5, minQuality = 0.0, minTokens = 0,
+        salt = "mi", nShards = 4, checkpointDir = null, sinkDir = s)
+      val admitted = spark.read.parquet(s)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(!admitted.exists(_ % 4 == 0),
+        "the re-fetched corpus id must be rejected by the identity " +
+          "gate despite its fresh text")
+      // one atomic commit: all three members moved to version 2
+      assert(graft.sources.BucketedManifest
+        .currentVersion(spark, fam) === 2)
+      for (m <- Seq("_sh", "_bands", "_keys"))
+        assert(graft.sources.BucketedManifest
+          .gensOf(spark, fam, s"$fam$m").size === 2,
+          s"member $m must carry the batch generation")
+    } finally graft.sources.BucketedManifest.drop(spark, fam,
+      Seq(s"${fam}_sh", s"${fam}_bands", s"${fam}_keys", s"${fam}_meta"))
+  }
+
   test("gated ingest cadence: autoVacuumRetain bounds the freeze " +
       "history (vacuumed versions fail loudly, retained ones serve) " +
       "and autoCompactGens bounds the generation count") {
