@@ -2417,11 +2417,15 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
-  /** [[xDedupSubstringCompact]] on the VERSIONED gram table
-    * (graft.sources.VersionedBucketed): the compaction between append
-    * and serve publishes a new version and repoints instead of
-    * swap-dropping the reader-held listing. Shares
-    * x_dedup_substring_append's oracle verbatim.
+  /** [[xDedupSubstringCompact]] on the VERSIONED gram table — now on
+    * the graft.sources.BucketedManifest gen-manifest store (round-16
+    * directive #1; rounds 14–15 ran it on VersionedBucketed's pointer
+    * tables): the append commits its own manifest version, and the
+    * compaction between append and serve publishes merged generations
+    * a NEW manifest references instead of swap-dropping the
+    * reader-held listing. Shares x_dedup_substring_append's oracle
+    * verbatim — the hash-match through the migration IS the proof the
+    * store swap changed no row.
     */
   private def xDedupSubstringVersioned(s: SparkSession, dir: String): DataFrame = {
     val base = substringBase(s, dir)
@@ -2443,21 +2447,24 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
-  /** [[xDedupSubstringCompactTiered]] with snapshot isolation
-    * (graft.sources.VersionedBucketed.compactTiered — round-15
-    * directive #3's hard-link hybrid): the tiered rewrite publishes a
-    * NEW version whose cold buckets are hard links to the live
-    * version's files (zero bytes copied) and whose hot buckets are
-    * one-file merges — O(hot) cost, and the superseded version's
-    * readers keep their files until vacuum. Layout-only like every
-    * tiered rewrite, so this row shares x_dedup_substring_append's
-    * oracle verbatim; the link/rewrite observables live in
-    * VersionedBucketedSpec.
+  /** [[xDedupSubstringCompactTiered]] with snapshot isolation on the
+    * gen-manifest store (graft.sources.BucketedManifest.compactTiered
+    * — round-16 directive #1; rounds 15's hard-link hybrid retired for
+    * this family): the base corpus lands as one BIG generation, the
+    * delta twins arrive as two SMALL generation commits, and the
+    * size-tiered merge collapses only the small ones — the big
+    * generation is REFERENCED in the new manifest untouched, zero
+    * links, zero bytes of it rewritten, and the superseded versions'
+    * readers keep their generations until vacuum. Layout-only like
+    * every tiered rewrite, so this row shares
+    * x_dedup_substring_append's oracle verbatim; the
+    * big-gen-byte-untouched observables live in BucketedManifestSpec.
     */
   private def xDedupSubstringTieredVersioned(s: SparkSession,
       dir: String): DataFrame = {
     val base = substringBase(s, dir)
-    val delta = base.filter(col("id") < 40)
+    def delta(lo: Long, hi: Long) = base
+      .filter(col("id") >= lo && col("id") < hi)
       .select((col("id") + SubstringDeltaOffset).as("id"),
         slice(col("toks"), lit(1),
           floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
@@ -2465,12 +2472,47 @@ object SparkEntry {
     graft.sources.IndexStore.writeSubstringIndexBucketedVersioned(base,
       tbl, numBuckets = 8, k = 8)
     graft.sources.IndexStore.appendSubstringIndexBucketedVersioned(
-      delta, tbl, k = 8)
-    graft.sources.IndexStore
-      .compactSubstringIndexBucketedVersionedTiered(s, tbl,
-        minFilesPerBucket = 2): Unit
+      delta(0L, 20L), tbl, k = 8): Unit
+    graft.sources.IndexStore.appendSubstringIndexBucketedVersioned(
+      delta(20L, 40L), tbl, k = 8): Unit
+    require(graft.sources.IndexStore
+      .maybeCompactSubstringIndexBucketedVersioned(s, tbl, maxGens = 2),
+      "three generations over a cap of two must trigger a tiered merge")
     val grams = graft.sources.IndexStore
       .readSubstringIndexBucketedVersioned(s, tbl, k = 8)
+    Dedup.sharedSubstringRunsAgainst(substringPlanted(base), grams,
+        minRunLen = 30, k = 8)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** TIME TRAVEL on the migrated substring family (round-16 — the
+    * observable the gen-manifest store adds over the pointer store's
+    * hard-link freezes): the base corpus commit IS the freeze point
+    * (version 1, a pure metadata read), the delta twins are then
+    * admitted (v2) and a full compaction publishes v3 — yet serving
+    * the planted batch AS OF the freeze reproduces the BASE-ONLY
+    * answer, x_dedup_substring_served's oracle verbatim. The frozen
+    * version is blind to every admission and rewrite after it, with
+    * zero hard links and zero copied bytes.
+    */
+  private def xDedupSubstringSnapshotVersioned(s: SparkSession,
+      dir: String): DataFrame = {
+    val base = substringBase(s, dir)
+    val delta = base.filter(col("id") < 40)
+      .select((col("id") + SubstringDeltaOffset).as("id"),
+        slice(col("toks"), lit(1),
+          floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val tbl = indexTable(dir, "subsnap")
+    graft.sources.IndexStore.writeSubstringIndexBucketedVersioned(base,
+      tbl, numBuckets = 8, k = 8)
+    val frozen = graft.sources.IndexStore
+      .snapshotSubstringIndexBucketedVersioned(s, tbl)
+    graft.sources.IndexStore.appendSubstringIndexBucketedVersioned(
+      delta, tbl, k = 8): Unit
+    graft.sources.IndexStore.compactSubstringIndexBucketedVersioned(s,
+      tbl)
+    val grams = graft.sources.IndexStore
+      .readSubstringIndexBucketedVersionedAsOf(s, tbl, frozen, k = 8)
     Dedup.sharedSubstringRunsAgainst(substringPlanted(base), grams,
         minRunLen = 30, k = 8)
       .orderBy("new_id", "corpus_id")
@@ -6013,6 +6055,8 @@ object SparkEntry {
     "x_dedup_substring_versioned" -> (xDedupSubstringVersioned _),
     "x_dedup_substring_tiered_versioned" ->
       (xDedupSubstringTieredVersioned _),
+    "x_dedup_substring_snapshot_versioned" ->
+      (xDedupSubstringSnapshotVersioned _),
     "x_dedup_editdist_versioned" -> (xDedupEditdistVersioned _),
     "x_mm_phash_versioned" -> (xMmPhashVersioned _),
     "x_dedup_index_snapshot" -> (xDedupIndexSnapshot _),
@@ -6055,6 +6099,8 @@ object SparkEntry {
         graft.oracle.StaticOracles.sql("x_dedup_substring_append"),
       "x_dedup_substring_tiered_versioned" ->
         graft.oracle.StaticOracles.sql("x_dedup_substring_append"),
+      "x_dedup_substring_snapshot_versioned" ->
+        graft.oracle.StaticOracles.sql("x_dedup_substring_served"),
       "x_stream_editdist" ->
         graft.oracle.StaticOracles.sql("x_dedup_editdist_served"),
       "x_stream_phash" ->

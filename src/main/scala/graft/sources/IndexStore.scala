@@ -508,50 +508,95 @@ object IndexStore {
       table: String): Unit =
     Bucketing.compactBucketed(spark, s"${table}_grams")
 
-  /** The substring gram index on [[VersionedBucketed]] (round-14 —
-    * with this plus the MinHash, key, edit, and pHash wirings, EVERY
-    * bucketed family has a version-pointer twin whose compaction never
-    * deletes a concurrent reader's listing). One version family: the
-    * gram table on `h`; `_meta` pins k as in the swap-compacted twin.
+  /** The substring gram index on [[BucketedManifest]] gen-manifest
+    * tables (round-16 directive #1 — the THIRD family on the table
+    * format after MinHash and key, and the heaviest bucketed one:
+    * O(tokens) gram rows per document). One member: the gram frame on
+    * `h` — the key both serve-time joins use; `_meta` pins k exactly
+    * as the swap-compacted twin does. Migrated off
+    * [[VersionedBucketed]]'s pointer store: appends are natively
+    * versioned (every admit commits a manifest and IS the freeze
+    * point — no hard-link clone, no `file:`-scheme freeze), snapshots
+    * are pure metadata reads, tiered compaction references big
+    * standing generations untouched, and the store's object-store
+    * posture (immutable generation puts + manifest CAS + LWW hint)
+    * comes along for free. Serve content is unchanged through the
+    * migration: x_dedup_substring_versioned,
+    * x_dedup_substring_tiered_versioned, and
+    * x_stream_substring_versioned keep sharing
+    * x_dedup_substring_append's oracle verbatim on the new store.
     */
   def writeSubstringIndexBucketedVersioned(corpusToks: DataFrame,
       table: String, numBuckets: Int, k: Int): Unit = {
-    VersionedBucketed.write(
-      Dedup.substringGrams(corpusToks, "id", col("toks"), k),
-      s"${table}_grams", Seq("h"), numBuckets)
-    corpusToks.sparkSession.range(1).select(lit(k).as("k"))
+    val spark = corpusToks.sparkSession
+    Scratch.sweepOnce(spark)
+    BucketedManifest.create(spark, table, Seq(
+      (s"${table}_grams",
+        Dedup.substringGrams(corpusToks, "id", col("toks"), k),
+        Seq("h"), numBuckets)))
+    spark.range(1).select(lit(k).as("k"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_meta")
   }
 
+  /** The CURRENT version's gram set, bucket metadata attached (the
+    * manifest is resolved at call time, so a per-batch caller always
+    * serves against everything committed so far).
+    */
   def readSubstringIndexBucketedVersioned(spark: SparkSession,
       table: String, k: Int): DataFrame = {
     checkSubstringMeta(spark, table, k)
-    VersionedBucketed.read(spark, s"${table}_grams")
+    BucketedManifest.read(spark, table, s"${table}_grams")
   }
 
+  /** Admit a delta's grams as a NEW VERSION (returned — it IS the
+    * freeze point "the corpus after this batch"; standing generations
+    * untouched, captured reader frames remain valid).
+    */
   def appendSubstringIndexBucketedVersioned(deltaToks: DataFrame,
-      table: String, k: Int): Unit = {
+      table: String, k: Int): Int = {
     checkSubstringMeta(deltaToks.sparkSession, table, k)
-    VersionedBucketed.append(
-      Dedup.substringGrams(deltaToks, "id", col("toks"), k),
-      s"${table}_grams")
+    BucketedManifest.append(deltaToks.sparkSession, table, Seq(
+      (s"${table}_grams",
+        Dedup.substringGrams(deltaToks, "id", col("toks"), k))))
   }
 
+  /** The freeze point of the current ingest state — PURE METADATA on
+    * the manifest store (every committed version is already frozen;
+    * the pointer store needed a hard-link clone for this).
+    */
+  def snapshotSubstringIndexBucketedVersioned(spark: SparkSession,
+      table: String): Int =
+    BucketedManifest.currentVersion(spark, table)
+
+  /** The gram set as of FROZEN version `v` — blind to every admission
+    * and rewrite since that commit.
+    */
+  def readSubstringIndexBucketedVersionedAsOf(spark: SparkSession,
+      table: String, v: Int, k: Int): DataFrame = {
+    checkSubstringMeta(spark, table, k)
+    BucketedManifest.readVersion(spark, table, s"${table}_grams", v)
+  }
+
+  /** Full compaction as version publication: one merged generation,
+    * one file per non-empty bucket; older versions keep their
+    * generations until [[BucketedManifest.vacuum]]. Content-invariant
+    * (grams are pure per-document rows — no merge algebra needed).
+    */
   def compactSubstringIndexBucketedVersioned(spark: SparkSession,
       table: String): Unit =
-    VersionedBucketed.compact(spark, s"${table}_grams")
+    BucketedManifest.compact(spark, table)
 
-  /** [[compactSubstringIndexTiered]] with snapshot isolation
-    * ([[VersionedBucketed.compactTiered]] — round-15 directive #3):
-    * only hot buckets are rewritten, cold buckets are shared into the
-    * new version by hard link, and the old version's files stay for
-    * its readers until vacuum. Returns the rewritten-bucket count.
+  /** Size-tiered cadence ([[BucketedManifest.compactTiered]]): when
+    * the manifest references more than `maxGens` generations, merge
+    * the SMALLEST down to the cap and reference the big standing ones
+    * untouched — O(small generations) maintenance with snapshot
+    * isolation, replacing the pointer store's hard-link hybrid for
+    * this family.
     */
-  def compactSubstringIndexBucketedVersionedTiered(spark: SparkSession,
-      table: String, minFilesPerBucket: Int): Int =
-    VersionedBucketed.compactTiered(spark, s"${table}_grams",
-      minFilesPerBucket)
+  def maybeCompactSubstringIndexBucketedVersioned(spark: SparkSession,
+      table: String, maxGens: Int): Boolean =
+    BucketedManifest.compactTiered(spark, table, maxGens)
 
   /** Size-tiered compaction of the substring gram index: only buckets
     * that accumulated >= `minFilesPerBucket` files are rewritten
@@ -1031,9 +1076,9 @@ object IndexStore {
     * algebra, not just file layout). Every append — admissions AND
     * tombstones alike — is an atomic versioned commit, so the key
     * history is time-travelable per batch with no freeze step; the
-    * substring/edit/pHash families deliberately STAY on
-    * [[VersionedBucketed]] so both stores keep first-class family
-    * coverage.
+    * substring family followed in round 16, while the edit/pHash
+    * families deliberately STAY on [[VersionedBucketed]] so both
+    * stores keep first-class family coverage.
     */
   def writeKeyIndexBucketedVersioned(df: DataFrame, table: String,
       keys: Seq[String], numBuckets: Int): Unit = {

@@ -927,14 +927,16 @@ object StreamingValidate {
           bands, k): Unit,
       refreshTables = Seq(s"${indexTable}_sh", s"${indexTable}_bands"))
 
-  /** [[substringIngestRun]] over the VERSIONED gram family
-    * ([[graft.sources.VersionedBucketed]] — round-15, closing the
-    * versioned streaming-arc matrix with the edit/pHash/key twins):
-    * checks read the LIVE version per micro-batch, admits append
-    * in-place into it (file adds — captured listings stay valid), and
-    * a versioned compaction interleaved between runs publishes a new
-    * version without touching what this stream holds. Shares the
-    * swap-family run's oracle verbatim.
+  /** [[substringIngestRun]] over the VERSIONED gram family — on the
+    * [[graft.sources.BucketedManifest]] gen-manifest store since
+    * round 16 (round-15 ran it on the pointer store): checks resolve
+    * a FRESH manifest per micro-batch (earlier admits visible), each
+    * admit commits its own manifest version, and a versioned
+    * compaction interleaved between runs publishes merged generations
+    * without touching what a captured frame holds. Shares the
+    * swap-family run's oracle verbatim. The member table name is
+    * stable across versions (the manifest, not a live-version pointer,
+    * carries the state), so the refresh target is static.
     */
   def substringIngestRunVersioned(spark: org.apache.spark.sql.SparkSession,
       newDocsDir: String, indexTable: String, minRunLen: Int, k: Int,
@@ -944,9 +946,8 @@ object StreamingValidate {
         graft.sources.IndexStore.readSubstringIndexBucketedVersioned(
           spark, indexTable, k), minRunLen, k),
       admit = b => graft.sources.IndexStore
-        .appendSubstringIndexBucketedVersioned(b, indexTable, k),
-      refreshTables = Seq(graft.sources.VersionedBucketed
-        .liveName(spark, s"${indexTable}_grams")))
+        .appendSubstringIndexBucketedVersioned(b, indexTable, k): Unit,
+      refreshTables = Seq(s"${indexTable}_grams"))
 
   /** [[editDistanceIngestRun]] over the VERSIONED three-table PassJoin
     * family — [[substringIngestRunVersioned]]'s contract, all three

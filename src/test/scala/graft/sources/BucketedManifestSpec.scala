@@ -274,6 +274,99 @@ class BucketedManifestSpec extends SparkSpec {
     }
   }
 
+  test("versioned substring family on the manifest store (round-16 " +
+      "migration): append IS the freeze, as-of serve is blind to later " +
+      "admissions, tiered merge references the big gram generation " +
+      "untouched, and the serve join reads the grams in place") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val fam = "bm_substr"
+    val gt = s"${fam}_grams"
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
+        "documents")
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      IndexStore.writeSubstringIndexBucketedVersioned(docs, fam,
+        numBuckets = 8, k = 5)
+      val frozen =
+        IndexStore.snapshotSubstringIndexBucketedVersioned(spark, fam)
+      assert(frozen === 1, "the freeze is a pure metadata read")
+      val baseGrams = IndexStore
+        .readSubstringIndexBucketedVersioned(spark, fam, k = 5).count()
+      // two small delta commits over the big base generation
+      def delta(off: Long, lo: Long, hi: Long) = docs
+        .filter(col("id") >= lo && col("id") < hi)
+        .select((col("id") + off).as("id"), col("toks"))
+      assert(IndexStore.appendSubstringIndexBucketedVersioned(
+        delta(600000L, 0L, 20L), fam, k = 5) === 2)
+      assert(IndexStore.appendSubstringIndexBucketedVersioned(
+        delta(700000L, 20L, 40L), fam, k = 5) === 3)
+      assert(IndexStore.readSubstringIndexBucketedVersionedAsOf(
+        spark, fam, frozen, k = 5).count() === baseGrams,
+        "the frozen version must be blind to both admissions")
+      // k-mismatch still fails loudly through the migration
+      intercept[IllegalArgumentException] {
+        IndexStore.readSubstringIndexBucketedVersioned(spark, fam, k = 7)
+      }
+      // tiered: the big base generation must be referenced, not
+      // rewritten (byte-untouched files), and content must not move
+      val bigGen = BucketedManifest.gensOf(spark, fam, gt, 1).head
+      val bigFiles = spark.sessionState.catalog.listPartitions(
+          org.apache.spark.sql.catalyst.TableIdentifier(gt),
+          Some(Map("gen" -> bigGen.toString)))
+        .flatMap(p => Option(new java.io.File(
+          new java.net.URI(p.location.toString).getPath).listFiles())
+          .get.filter(_.isFile)
+          .map(f => f.getName -> f.lastModified())).toMap
+      val before = IndexStore
+        .readSubstringIndexBucketedVersioned(spark, fam, k = 5).count()
+      assert(IndexStore.maybeCompactSubstringIndexBucketedVersioned(
+        spark, fam, maxGens = 2))
+      assert(BucketedManifest.gensOf(spark, fam, gt).size === 2)
+      assert(BucketedManifest.gensOf(spark, fam, gt).contains(bigGen),
+        "the big gram generation must survive by reference")
+      val bigAfter = spark.sessionState.catalog.listPartitions(
+          org.apache.spark.sql.catalyst.TableIdentifier(gt),
+          Some(Map("gen" -> bigGen.toString)))
+        .flatMap(p => Option(new java.io.File(
+          new java.net.URI(p.location.toString).getPath).listFiles())
+          .get.filter(_.isFile)
+          .map(f => f.getName -> f.lastModified())).toMap
+      assert(bigAfter === bigFiles,
+        "the big generation's files must be byte-for-byte untouched")
+      assert(IndexStore.readSubstringIndexBucketedVersioned(spark, fam,
+        k = 5).count() === before, "tiered merge is content-invariant")
+      // serve plan: the anchor join on h reads the gram member in
+      // place (partition-pruned, zero store-side exchanges)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val grams = IndexStore
+        .readSubstringIndexBucketedVersioned(spark, fam, k = 5)
+      val probes = graft.ext.Dedup.substringGrams(
+          delta(900000L, 0L, 30L), "id", col("toks"), 5)
+        .select(col("id").as("new_id"), col("pos").as("new_pos"),
+          col("h"))
+      val j = probes.join(grams, Seq("h"))
+      assert(j.count() > 0, "probe grams must hit the corpus")
+      val all = flatten(j.queryExecution.executedPlan)
+      val scan = all.collect { case s: FileSourceScanExec
+        if s.tableIdentifier.exists(_.table.toLowerCase == gt) => s }
+      assert(scan.nonEmpty && scan.head.partitionFilters.nonEmpty,
+        "the gen predicate must reach the gram scan as a partition filter")
+      assert(all.collect { case e: ShuffleExchangeExec
+        if flatten(e.child).exists {
+          case s: FileSourceScanExec =>
+            s.tableIdentifier.exists(_.table.toLowerCase == gt)
+          case _ => false
+        } => e }.isEmpty,
+        "the gram side of the serve join must read in place")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      BucketedManifest.drop(spark, fam, Seq(gt, s"${fam}_meta"))
+    }
+  }
+
   test("versioned key index (LSM family): merge-compaction collapses " +
       "split rows and negated tombstones into the merged generation; " +
       "tiered merge is serve-invariant; history time-travels per commit") {
