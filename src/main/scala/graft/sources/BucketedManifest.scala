@@ -454,12 +454,18 @@ object BucketedManifest {
   }
 
   /** Drop manifests older than the `retain` most recent versions, then
-    * every generation no retained manifest references — DROP PARTITION
-    * plus physical directory delete per member — and aged orphan
+    * every generation no retained manifest references — the member
+    * directories are listed ON DISK (catalog-registered or not, so a
+    * crash between the generation write and ADD PARTITION leaves
+    * nothing uncollectable), each reclaimed via DROP PARTITION IF
+    * EXISTS plus physical directory delete — and aged orphan
     * claims/tmps ([[VersionedFlat.vacuum]]'s age-gate contract:
     * un-manifested generations younger than `orphanMinAgeMs` might be
-    * a live appender's in-flight write and survive). The current
-    * version always survives.
+    * a live appender's in-flight write and survive; a claim marker
+    * additionally survives as long as ANY gen directory for its
+    * number exists, so a long-running append's claimed number can
+    * never be reused against it). The current version always
+    * survives.
     */
   def vacuum(spark: SparkSession, family: String, retain: Int = 1,
       orphanMinAgeMs: Long = 0L): Unit = {
@@ -476,21 +482,37 @@ object BucketedManifest {
     val tables = keptEntries.map(_._1).distinct
     val referenced: Map[String, Set[Int]] = keptEntries
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    // physical generation reclamation, member by member
-    val cat = spark.sessionState.catalog
+    // Physical generation reclamation, member by member — listing
+    // gen=* DIRECTORIES ON DISK, not just registered catalog
+    // partitions: a crash between the generation write and ADD
+    // PARTITION (or a rebuilt in-memory catalog — the catalog is a
+    // CACHE by design) leaves directories no partition entry names,
+    // and those must still be collected once unreferenced and aged.
+    // `survivingGens` records every gen number that still has a
+    // directory on disk after this pass (referenced, or unreferenced
+    // but young) — their claim markers must stay (see below).
+    val survivingGens = scala.collection.mutable.Set.empty[Int]
+    val genDirRe = "gen=(\\d{1,9})".r
     tables.foreach { t =>
-      val ident = org.apache.spark.sql.catalyst.TableIdentifier(t)
-      cat.listPartitions(ident).foreach { p =>
-        val g = p.spec.get("gen").map(_.toInt)
-        val dir = new java.io.File(new java.net.URI(
-          p.location.toString).getPath)
-        if (g.exists(gn => !referenced(t).contains(gn)) &&
-            dir.lastModified() <= cutoff) {
-          spark.sql(s"ALTER TABLE `$t` DROP IF EXISTS PARTITION " +
-            s"(gen=${g.get})")
-          if (dir.exists()) deleteTree(dir)
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+      val tableDir =
+        if (loc.getScheme == null) new java.io.File(loc.toString)
+        else new java.io.File(loc)
+      Option(tableDir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach { d =>
+          d.getName match {
+            case genDirRe(gs) if d.isDirectory =>
+              val g = gs.toInt
+              if (!referenced(t).contains(g) &&
+                  d.lastModified() <= cutoff) {
+                spark.sql(s"ALTER TABLE `$t` DROP IF EXISTS " +
+                  s"PARTITION (gen=$g)")
+                deleteTree(d)
+              } else survivingGens += g
+            case _ => ()
+          }
         }
-      }
     }
     // manifest + claim-marker housekeeping in the meta dir
     val top = Option(new java.io.File(meta).listFiles())
@@ -505,9 +527,21 @@ object BucketedManifest {
     top.filter(f => f.isFile && f.getName.startsWith(".") &&
         f.getName.endsWith(".tmp") && f.lastModified() <= cutoff)
       .foreach(f => java.nio.file.Files.delete(f.toPath))
+    // A claim marker g-N is deletable only when it is aged AND no
+    // gen=N directory exists on disk for ANY member: the claim is
+    // what makes N collision-free, and an append can run longer than
+    // `orphanMinAgeMs` — its claim goes stale mid-flight while its
+    // generation write is still landing files. Deleting such a claim
+    // would let claimGen reuse N and the reuser's mode(overwrite)
+    // write clobber the in-flight writer's files with both manifests
+    // then referencing gen N. Refusing while directories exist makes
+    // the silent-clobber path fail safe even when `orphanMinAgeMs`
+    // is set too low; the claim of a fully-collected generation (its
+    // dirs deleted above, or never written) still goes.
     top.filter(f => f.isDirectory && f.lastModified() <= cutoff &&
         (f.getName match {
-          case claimRe(d) => !claimed.contains(d.toInt)
+          case claimRe(d) => !claimed.contains(d.toInt) &&
+            !survivingGens.contains(d.toInt)
           case _ => false
         }))
       .foreach(deleteTree)

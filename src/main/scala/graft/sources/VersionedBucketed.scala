@@ -261,6 +261,18 @@ object VersionedBucketed {
     * [[Bucketing.appendBucketed]] under the live table's own bucket
     * spec (adds never invalidate a captured listing; see the object
     * scaladoc for why appends are not versioned).
+    *
+    * CONCURRENCY CONTRACT: append is an UNCOORDINATED in-place write
+    * resolved against [[liveName]] — it takes no claim, so it must
+    * NOT run concurrently with [[compact]], [[compactTiered]], or
+    * [[snapshot]] (only those three are mutually safe through the
+    * claim/commit protocol). An append racing a compaction can land
+    * its files in the superseded version AFTER the rewrite's file
+    * listing, silently omitting the delta from the new live version.
+    * Concurrent appends against each other are safe (file adds under
+    * distinct names). A family that needs concurrent append+compact
+    * should live on [[BucketedManifest]], where appends are claimed,
+    * versioned commits.
     */
   def append(df: DataFrame, family: String): Unit = {
     val spark = df.sparkSession

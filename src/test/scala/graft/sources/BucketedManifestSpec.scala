@@ -474,6 +474,58 @@ class BucketedManifestSpec extends SparkSpec {
     }
   }
 
+  test("vacuum collects unregistered on-disk generation directories " +
+      "(crash between the generation write and ADD PARTITION) and " +
+      "never reuses an in-flight appender's number: a stale claim " +
+      "survives as long as its generation directories exist") {
+    val fam = "bm_vac_orphan"
+    val a = s"${fam}_a"
+    try {
+      BucketedManifest.create(spark, fam,
+        Seq((a, frame(0 until 10), Seq("id"), 4)))
+      val meta = BucketedManifest.metaDir(spark, fam)
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(a)).location
+      val tableDir =
+        if (loc.getScheme == null) new java.io.File(loc.toString)
+        else new java.io.File(loc)
+      // the crash: claim taken, generation files landing on disk, but
+      // neither ADD PARTITION nor a manifest commit ever ran — the
+      // generation is invisible AND unregistered
+      val claim = new java.io.File(meta, "g-000077")
+      java.nio.file.Files.createDirectory(claim.toPath)
+      val genDir = new java.io.File(tableDir, "gen=77")
+      assert(genDir.mkdirs())
+      java.nio.file.Files.write(new java.io.File(genDir,
+        "part-00000-crashed_00001.snappy.parquet").toPath,
+        Array[Byte](1, 2, 3))
+      assert(idSet(BucketedManifest.read(spark, fam, a))
+        === (0L until 10L).toSet,
+        "the unregistered generation must be invisible to readers")
+      // the claim went stale (an append can outlive orphanMinAgeMs)
+      // but its generation directory is FRESH: the gated vacuum must
+      // keep both — deleting the claim would let claimGen reuse 77
+      // and clobber the in-flight write
+      assert(claim.setLastModified(
+        System.currentTimeMillis() - 86400000L))
+      BucketedManifest.vacuum(spark, fam, retain = 1,
+        orphanMinAgeMs = 3600000L)
+      assert(genDir.exists(),
+        "young unregistered generation dirs survive the gated vacuum")
+      assert(claim.exists(),
+        "a stale claim with live generation dirs must survive")
+      // quiesced (ungated) vacuum reclaims the on-disk directory the
+      // catalog never registered, and with it the claim
+      BucketedManifest.vacuum(spark, fam, retain = 1)
+      assert(!genDir.exists(),
+        "ungated vacuum must collect the unregistered generation dir")
+      assert(!claim.exists(),
+        "once its directories are gone the stale claim goes too")
+      assert(idSet(BucketedManifest.read(spark, fam, a))
+        === (0L until 10L).toSet)
+    } finally BucketedManifest.drop(spark, fam, Seq(a))
+  }
+
   test("vacuum honors retention and the age gate; time travel to a " +
       "vacuumed version fails loudly; the live version is untouched") {
     val fam = "bm_vac"
