@@ -4734,6 +4734,67 @@ object SparkEntry {
       .orderBy("shard")
   }
 
+  /** [[xStreamPipelineMulti]] with the CADENCE KNOBS ON (round-16
+    * directive #2 — the long-running shape of the capstone: a real
+    * multi-gate ingest runs forever, so its generation and version
+    * growth must be boundable): autoCompactGens=2 runs one tiered
+    * merge across ALL THREE members per admit (one manifest commit —
+    * even maintenance keeps the cross-member atomicity), and
+    * autoVacuumRetain=2 keeps only the last two freezes. Compaction
+    * and retention are layout-only, so the admitted set — and with it
+    * every gate decision, the sink aggregate, and the key-member
+    * total — is INVARIANT under the knobs: this row shares
+    * x_stream_pipeline_multi's oracle VERBATIM, and the hash-match is
+    * the proof that bounding growth changes no answer.
+    */
+  private def xStreamPipelineMultiBounded(s: SparkSession,
+      dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+    val tbl = indexTable(dir, "spmultib")
+    graft.sources.IndexStore.writePipelineIndexVersioned(corpus, tbl,
+      numBuckets = 8, k = 5)
+    val streamDir = indexDir(dir, "spmultib_src")
+    val ckpt = indexDir(dir, "spmultib_ckpt")
+    val sink = indexDir(dir, "spmultib_sink")
+    Seq(streamDir, ckpt, sink).foreach(wipeDir)
+    d.filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), col("text")).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    StreamingValidate.gatedIngestRunMulti(s, streamDir, tbl,
+      threshold = 0.5, k = 5, minQuality = 0.7, minTokens = 10,
+      salt = "spadm1", checkpointDir = ckpt, sinkDir = sink,
+      autoCompactGens = 2, autoVacuumRetain = 2)
+    val planted = d.filter(col("doc_id") % 4 === 0 &&
+        col("doc_id") < 80)
+      .select(col("doc_id"), (col("doc_id") + 3).as("src_id"))
+      .join(d.select(col("doc_id").as("src_id"), col("text")),
+        Seq("src_id"))
+      .select(col("doc_id"), col("text"))
+    d.filter(col("doc_id") % 4 === 3)
+      .select(col("doc_id"), col("text"))
+      .unionByName(planted)
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.gatedIngestRunMulti(s, streamDir, tbl,
+      threshold = 0.5, k = 5, minQuality = 0.7, minTokens = 10,
+      salt = "spadm1", checkpointDir = ckpt, sinkDir = sink,
+      autoCompactGens = 2, autoVacuumRetain = 2)
+    require(graft.sources.BucketedManifest.gensOf(s, tbl,
+        s"${tbl}_keys").size <= 2,
+      "the cadence knob must bound the key member's generation count")
+    val total = graft.sources.IndexStore.readPipelineKeyIndex(s, tbl)
+      .agg(sum(col("n")).cast(LongType).as("idx_total"))
+    s.read.parquet(sink)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        sum(col("doc_id")).as("docid_checksum"))
+      .crossJoin(total)
+      .orderBy("shard")
+  }
+
   /** The x_pipeline_train composition STREAMED against a standing
     * index (StreamingValidate.gatedIngestStream) — the production
     * crawl-ingest loop end to end: the even-id half of the corpus is
@@ -6003,6 +6064,8 @@ object SparkEntry {
     "x_stream_unique_index" -> (xStreamUniqueIndex _),
     "x_stream_unique_resume" -> (xStreamUniqueResume _),
     "x_stream_pipeline_multi" -> (xStreamPipelineMulti _),
+    "x_stream_pipeline_multi_bounded" ->
+      (xStreamPipelineMultiBounded _),
     "x_stream_unique_versioned" -> (xStreamUniqueVersioned _),
     "x_stream_substring_versioned" -> (xStreamSubstringVersioned _),
     "x_stream_editdist_versioned" -> (xStreamEditdistVersioned _),
@@ -6170,7 +6233,9 @@ object SparkEntry {
       "x_dedup_index_snapshot" ->
         graft.oracle.StaticOracles.sql("x_dedup_incremental"),
       "x_stream_pipeline_admit_versioned" ->
-        graft.oracle.StaticOracles.sql("x_stream_pipeline_admit"))
+        graft.oracle.StaticOracles.sql("x_stream_pipeline_admit"),
+      "x_stream_pipeline_multi_bounded" ->
+        graft.oracle.StaticOracles.sql("x_stream_pipeline_multi"))
 
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets
     * Verify skip the generation work when a name filter excludes them.

@@ -500,6 +500,22 @@ object IndexStore {
   def readPipelineKeyIndex(spark: SparkSession, table: String): DataFrame =
     BucketedManifest.read(spark, table, s"${table}_keys")
 
+  /** Size-tiered cadence for the whole pipeline family (round-16
+    * directive #2 — the multi-gate ingest loop is the operator a real
+    * pipeline runs forever, so its generation growth must be
+    * boundable like every other ingest loop's): ONE tiered merge
+    * across all three members — the MinHash halves merge by plain
+    * concatenation (pure per-document rows), the key member through
+    * the LSM re-aggregation (split rows collapse, zero-total keys
+    * drop) — published as ONE manifest commit, so even the
+    * maintenance path keeps the cross-member atomicity the family
+    * exists for. Big standing generations are referenced untouched.
+    */
+  def maybeCompactPipelineIndexVersioned(spark: SparkSession,
+      table: String, maxGens: Int): Boolean =
+    BucketedManifest.compactTiered(spark, table, maxGens,
+      merges = Map(s"${table}_keys".toLowerCase -> (keyMergeFn _)))
+
   /** Compact the standing bucketed substring gram index (one half:
     * the gram frame) — same contract as
     * [[compactDedupIndexBucketed]].

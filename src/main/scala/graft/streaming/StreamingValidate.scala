@@ -769,13 +769,30 @@ object StreamingValidate {
     * ONE atomic manifest commit. The two indexes therefore can never
     * disagree about the admitted set, across any crash point: either
     * the whole batch's commit exists or none of it does.
+    *
+    * Growth is BOUNDED by the same two cadence knobs as
+    * [[gatedIngestRunVersioned]] (round-16 directive #2 — this was
+    * the last ingest loop accumulating one generation per member per
+    * batch forever): `autoCompactGens` > 0 runs
+    * [[graft.sources.IndexStore.maybeCompactPipelineIndexVersioned]]
+    * after each admit — ONE tiered merge across all three members in
+    * ONE manifest commit, the key member re-aggregated through the
+    * LSM algebra, big generations referenced untouched — and
+    * `autoVacuumRetain` > 0 keeps only the last N versions (vacuumed
+    * freezes fail loudly on time travel, retained ones serve
+    * exactly). Both default OFF so the capstone row keeps its pure
+    * per-batch version chain; the admitted set is invariant under
+    * any knob setting (compaction and retention are layout-only —
+    * spec-pinned in StreamingSpec, and the bounded oracle row shares
+    * the unbounded row's oracle verbatim).
     */
   def gatedIngestRunMulti(spark: org.apache.spark.sql.SparkSession,
       newDocsDir: String, indexTable: String, threshold: Double,
       numHashes: Int = 32, bands: Int = 16, k: Int = 3,
       minQuality: Double = 0.7, minTokens: Int = 10,
       lang: String = "en", salt: String = "", nShards: Int = 8,
-      checkpointDir: String = null, sinkDir: String): Unit = {
+      checkpointDir: String = null, sinkDir: String,
+      autoCompactGens: Int = 0, autoVacuumRetain: Int = 0): Unit = {
     import graft.ext.{Dedup, TextAnalysis}
     import org.apache.spark.sql.streaming.Trigger
     def survivors(b: DataFrame): DataFrame = {
@@ -820,6 +837,13 @@ object StreamingValidate {
             sv.select(col("doc_id").as("id"),
               TextAnalysis.tokens(col("text")).as("toks")),
             indexTable, numHashes, bands, k): Unit
+          if (autoCompactGens > 0)
+            graft.sources.IndexStore
+              .maybeCompactPipelineIndexVersioned(spark, indexTable,
+                autoCompactGens): Unit
+          if (autoVacuumRetain > 0)
+            graft.sources.BucketedManifest.vacuum(spark, indexTable,
+              retain = autoVacuumRetain)
         } finally { sv.unpersist(blocking = false); () }
       }
     val writer = if (checkpointDir == null) writer0

@@ -991,6 +991,86 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("multi-index cadence: the knobs bound generation and version " +
+      "growth across ALL THREE members in one manifest commit, the " +
+      "key member's totals survive the LSM merge, and the identity " +
+      "gate still rejects re-fetches after compaction") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpusToks = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+    val fam = "multicad_spec"
+    try {
+      graft.sources.IndexStore.writePipelineIndexVersioned(corpusToks,
+        fam, numBuckets = 8, k = 5)
+      def run(batch: org.apache.spark.sql.DataFrame): Unit = {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft_mc_b").toString
+        batch.coalesce(1).write.mode("overwrite").parquet(d)
+        val s = java.nio.file.Files
+          .createTempDirectory("graft_mc_sink").toString
+        java.nio.file.Files.delete(java.nio.file.Paths.get(s))
+        StreamingValidate.gatedIngestRunMulti(spark, d, fam,
+          threshold = 0.5, k = 5, minQuality = 0.0, minTokens = 0,
+          salt = "mc", nShards = 4, checkpointDir = null, sinkDir = s,
+          autoCompactGens = 2, autoVacuumRetain = 2)
+      }
+      run(docs.filter(col("doc_id") % 4 === 1))
+      run(docs.filter(col("doc_id") % 4 === 3))
+      val cur = graft.sources.BucketedManifest.currentVersion(spark, fam)
+      assert(cur >= 3, "per-batch commits still advance the chain")
+      // retention: the earliest freeze is vacuumed, loudly
+      intercept[IllegalArgumentException] {
+        graft.sources.BucketedManifest
+          .readVersion(spark, fam, s"${fam}_keys", 1).collect()
+      }
+      // cadence bounds EVERY member (cap + at most the latest admit's
+      // one extra generation)
+      for (m <- Seq("_sh", "_bands", "_keys"))
+        assert(graft.sources.BucketedManifest
+          .gensOf(spark, fam, s"$fam$m").size <= 3,
+          s"autoCompactGens must bound member $m")
+      // the key member survived the LSM merge: one row per id, total
+      // = corpus + both batches' admissions
+      val keys = graft.sources.IndexStore
+        .readPipelineKeyIndex(spark, fam)
+      assert(keys.groupBy("id").count()
+        .filter(col("count") > 1).count() === 0,
+        "the merged key generation must hold collapsed rows")
+      // corpus ids are even, admissions odd — the key member carries
+      // the admitted set
+      val oddAdmitted = keys.filter(col("id") % 2 =!= 0).count()
+      assert(oddAdmitted > 0, "some odd docs must have been admitted")
+      // identity gate after compaction: re-sending an admitted odd id
+      // with fresh corpus text must be rejected
+      val freshText = docs.filter(col("doc_id") % 2 === 0)
+        .orderBy(col("doc_id").desc).limit(1)
+        .select(col("text")).collect()(0).getString(0)
+      val takenOdd = keys.filter(col("id") % 2 =!= 0)
+        .orderBy(col("id")).limit(1)
+        .select(col("id").as("doc_id")).collect()(0).getLong(0)
+      val refetch = spark.range(1)
+        .select(org.apache.spark.sql.functions.lit(takenOdd)
+          .as("doc_id"),
+          org.apache.spark.sql.functions.lit(freshText).as("text"))
+      val d3 = java.nio.file.Files
+        .createTempDirectory("graft_mc_b3").toString
+      refetch.coalesce(1).write.mode("overwrite").parquet(d3)
+      val s3 = java.nio.file.Files
+        .createTempDirectory("graft_mc_sink3").toString
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s3))
+      StreamingValidate.gatedIngestRunMulti(spark, d3, fam,
+        threshold = 0.5, k = 5, minQuality = 0.0, minTokens = 0,
+        salt = "mc", nShards = 4, checkpointDir = null, sinkDir = s3,
+        autoCompactGens = 2, autoVacuumRetain = 2)
+      assert(spark.read.parquet(s3).count() === 0,
+        "the identity gate must reject the re-fetch after the " +
+          "compacted key member replaced the per-batch generations")
+    } finally graft.sources.BucketedManifest.drop(spark, fam,
+      Seq(s"${fam}_sh", s"${fam}_bands", s"${fam}_keys", s"${fam}_meta"))
+  }
+
   test("law: gated ADMIT stream ≡ the sequential one-shot fold over " +
       "the same ordered batches (growing index, copies injected)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
