@@ -154,23 +154,31 @@ object BucketedManifest {
     * `pmod(hash(keys), n)` column — `functions.hash` IS
     * HashPartitioning's Murmur3, the same identity
     * [[Bucketing.compactBucketed]] relies on — and is written
-    * `partitionBy` that column into per-bucket subdirectories, whose
-    * files are then folded up into the generation directory under the
-    * `_NNNNN` bucket suffix Spark's bucketed scan parses. (A first
-    * implementation renamed `part-0000i` files by their task index
-    * after a `repartition(n, keys)`; observed failure: on small
-    * deltas the shuffle can collapse to fewer output partitions, one
-    * file then holds several buckets' rows, and the misnamed file
-    * splits groups under the exchange-free agg — the task index is
-    * NOT a bucket id, only the routing column is.) The repartition
-    * stays as a best-effort one-file-per-bucket layout hint; the
-    * sort runs on (bucket, keys...) so the planned write's
-    * partition-column sort requirement is already satisfied and each
-    * bucket file stays key-sorted — required for the declared SORTED
-    * BY once a compaction reaches one file per bucket. Renames are
-    * same-directory (metadata-only; an object-store deployment writes
-    * final names through its committer instead); concurrent writers
-    * on distinct claimed generations never share a path.
+    * `partitionBy` that column into per-bucket subdirectories of a
+    * STAGING directory, whose files are then PUBLISHED into the
+    * generation directory under the `_NNNNN` bucket suffix Spark's
+    * bucketed scan parses. (A first implementation renamed
+    * `part-0000i` files by their task index after a
+    * `repartition(n, keys)`; observed failure: on small deltas the
+    * shuffle can collapse to fewer output partitions, one file then
+    * holds several buckets' rows, and the misnamed file splits groups
+    * under the exchange-free agg — the task index is NOT a bucket id,
+    * only the routing column is.) The repartition stays as a
+    * best-effort one-file-per-bucket layout hint; the sort runs on
+    * (bucket, keys...) so the planned write's partition-column sort
+    * requirement is already satisfied and each bucket file stays
+    * key-sorted — required for the declared SORTED BY once a
+    * compaction reaches one file per bucket.
+    *
+    * Publication rides the [[GenCommitter]] seam (round-16 directive
+    * #3): the default [[RenameGenCommitter]] stages beside the
+    * generation directory and moves files metadata-only (local/HDFS —
+    * it alone carries the `file:`-scheme requirement), while
+    * [[PutGenCommitter]] writes each final name as a fresh byte put
+    * (the object-store discipline — no rename anywhere; safe because
+    * the manifest gate keeps the generation invisible until its
+    * commit). Concurrent writers on distinct claimed generations
+    * never share a path.
     */
   private def writeGen(df: DataFrame, table: String, keys: Seq[String],
       numBuckets: Int, gen: Int, init: Boolean): Unit = {
@@ -193,11 +201,11 @@ object BucketedManifest {
     }
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
-    require(meta.location.getScheme == null ||
-      meta.location.getScheme == "file",
-      s"generation writes support local tables, got ${meta.location}")
+    val committer = GenCommitter.of(spark)
+    committer.requireSupported(meta.location)
     val genDir = new java.io.File(
       new java.io.File(meta.location), s"gen=$gen")
+    val staging = committer.stagingDir(genDir)
     val bucketCol = "__graft_bucket"
     df.select(dataSchema(spark, table).map(f => col(f.name)): _*)
       .withColumn(bucketCol,
@@ -208,12 +216,16 @@ object BucketedManifest {
       .write.mode("overwrite")
       .partitionBy(bucketCol)
       .option("compression", "snappy")
-      .parquet(genDir.getPath)
-    // fold __graft_bucket=K/part-… up into gen=N/ as bucket-K files
+      .parquet(staging.getPath)
+    // publish staging/__graft_bucket=K/part-… into gen=N/ as
+    // bucket-K files (pre-protocol debris under OUR claimed number is
+    // reclaimed — we hold the claim)
+    if (genDir.exists()) deleteTree(genDir)
+    genDir.mkdirs(): Unit
     val PartRe = "part-(\\d+)-([^.]*)(\\..*)".r
     val BDirRe = (java.util.regex.Pattern.quote(bucketCol) +
       "=(\\d+)").r
-    Option(genDir.listFiles()).getOrElse(Array.empty[java.io.File])
+    Option(staging.listFiles()).getOrElse(Array.empty[java.io.File])
       .foreach { d =>
         d.getName match {
           case BDirRe(b) =>
@@ -221,17 +233,16 @@ object BucketedManifest {
               .foreach { f =>
                 f.getName match {
                   case PartRe(task, mid, ext) =>
-                    java.nio.file.Files.move(f.toPath,
+                    committer.publish(f,
                       new java.io.File(genDir,
-                        f"part-$task%s-$mid%s_${b.toInt}%05d$ext%s")
-                        .toPath)
+                        f"part-$task%s-$mid%s_${b.toInt}%05d$ext%s"))
                   case _ => ()
                 }
               }
-            deleteTree(d)
           case _ => ()
         }
       }
+    deleteTree(staging)
     spark.sql(s"ALTER TABLE `$table` ADD IF NOT EXISTS PARTITION " +
       s"(gen=$gen)")
     spark.catalog.refreshTable(table)

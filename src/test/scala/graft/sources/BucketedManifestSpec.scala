@@ -474,6 +474,72 @@ class BucketedManifestSpec extends SparkSpec {
     }
   }
 
+  test("committer seam: the put committer (object-store discipline — " +
+      "fresh byte puts at final names, zero renames) yields the same " +
+      "content, bucket-file layout, and exchange-free plan as the " +
+      "default rename committer, through append, tiered compact, " +
+      "and vacuum") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val (famR, famP) = ("bm_cmt_r", "bm_cmt_p")
+    val (ar, ap) = (s"${famR}_a", s"${famP}_a")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    def build(fam: String, a: String): Unit = {
+      BucketedManifest.create(spark, fam,
+        Seq((a, frame(0 until 500), Seq("id"), 4)))
+      BucketedManifest.append(spark, fam, Seq((a, frame(500 until 600))))
+      BucketedManifest.append(spark, fam, Seq((a, frame(600 until 700))))
+      assert(BucketedManifest.compactTiered(spark, fam, maxGens = 2))
+    }
+    // per-generation multiset of bucket ids parsed from the final
+    // file names — the layout observable the serve contract rides on
+    def layout(fam: String, a: String): Seq[Seq[Int]] =
+      BucketedManifest.gensOf(spark, fam, a).sorted.map { g =>
+        spark.sessionState.catalog.listPartitions(
+            org.apache.spark.sql.catalyst.TableIdentifier(a),
+            Some(Map("gen" -> g.toString)))
+          .flatMap(p => Option(new java.io.File(
+            new java.net.URI(p.location.toString).getPath).listFiles())
+            .get.filter(_.isFile).toSeq
+            .flatMap(f => Bucketing.bucketIdOf(f.getName)))
+          .sorted
+      }
+    try {
+      build(famR, ar)
+      spark.conf.set("spark.graft.genCommitter", "put")
+      build(famP, ap)
+      assert(idSet(BucketedManifest.read(spark, famP, ap))
+        === (0L until 700L).toSet,
+        "the put-committed family must serve the full content")
+      assert(layout(famP, ap) === layout(famR, ar),
+        "both committers must land identical bucket-file layouts")
+      // time travel and vacuum behave identically on put-built gens
+      assert(idSet(BucketedManifest.readVersion(spark, famP, ap, 1))
+        === (0L until 500L).toSet)
+      BucketedManifest.vacuum(spark, famP, retain = 1)
+      assert(idSet(BucketedManifest.read(spark, famP, ap))
+        === (0L until 700L).toSet)
+      // the serve contract survives: bucket-key agg, zero exchanges
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val agg = BucketedManifest.read(spark, famP, ap)
+        .groupBy("id").agg(count(lit(1)).as("n"))
+      agg.collect()
+      assert(!flatten(agg.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[ShuffleExchangeExec]),
+        "bucket-key agg over the put-committed member must not shuffle")
+      // unknown committer names fail loudly before any bytes move
+      spark.conf.set("spark.graft.genCommitter", "mystery")
+      intercept[IllegalArgumentException] {
+        BucketedManifest.append(spark, famP,
+          Seq((ap, frame(700 until 710))))
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.unset("spark.graft.genCommitter")
+      BucketedManifest.drop(spark, famR, Seq(ar))
+      BucketedManifest.drop(spark, famP, Seq(ap))
+    }
+  }
+
   test("vacuum collects unregistered on-disk generation directories " +
       "(crash between the generation write and ADD PARTITION) and " +
       "never reuses an in-flight appender's number: a stale claim " +
