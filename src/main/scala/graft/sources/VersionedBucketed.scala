@@ -92,6 +92,14 @@ object VersionedBucketed {
   private def ptrFile(spark: SparkSession, family: String): java.io.File =
     new java.io.File(warehouse(spark), s"${family.toLowerCase}__current")
 
+  /** Every version table's data directory, derived from the warehouse
+    * and the version name alone — the convention [[attach]] relies on
+    * to re-find a lost catalog's tables (and the same path a managed
+    * table would have had, so pre-round-16 layouts are unchanged).
+    */
+  private def versionDir(spark: SparkSession, name: String): java.io.File =
+    new java.io.File(warehouse(spark), name.toLowerCase)
+
   /** Physical catalog-table name of `family`'s version `v`. */
   def versionName(family: String, v: Int): String = s"${family}__v$v"
 
@@ -216,7 +224,11 @@ object VersionedBucketed {
   /** Initialize the family with `df` as version 1 (drops any prior
     * versions, markers, and pointer — the write-once init, like
     * [[VersionedFlat.write]]; single-writer by contract, concurrent
-    * writers join at the versioned operations).
+    * writers join at the versioned operations). The table is EXTERNAL
+    * from birth (explicit path — round-16, matching
+    * [[BucketedManifest]]'s posture): the catalog entry is a CACHE,
+    * losing it must never delete data, and [[attach]] re-derives it
+    * from the warehouse directory and the markers alone.
     */
   def write(df: DataFrame, family: String, keys: Seq[String],
       numBuckets: Int): Unit = {
@@ -228,9 +240,14 @@ object VersionedBucketed {
         family.toLowerCase) + "__(claim|commit)-\\d+"))
       .foreach(deleteDir)
     java.nio.file.Files.deleteIfExists(ptrFile(spark, family).toPath)
+    val v1 = versionName(family, 1)
     val ok = publish(spark, family, 1) {
-      Bucketing.writeBucketed(df, versionName(family, 1), keys,
-        numBuckets)
+      df.write.mode("overwrite")
+        .option("path", versionDir(spark, v1).getPath)
+        .bucketBy(numBuckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .format("parquet")
+        .saveAsTable(v1)
     }
     require(ok, s"init of $family raced a concurrent writer — " +
       "initialization is single-writer by contract")
@@ -549,6 +566,7 @@ object VersionedBucketed {
           .parquet(meta.location.toString))
         .repartition(n, keys.map(org.apache.spark.sql.functions.col): _*)
         .write.mode("overwrite")
+        .option("path", versionDir(spark, next).getPath)
         .bucketBy(n, keys.head, keys.tail: _*)
       (if (sorts.nonEmpty) w.sortBy(sorts.head, sorts.tail: _*) else w)
         .format("parquet")
@@ -565,6 +583,51 @@ object VersionedBucketed {
         s"version ${v + 1} of $family is claimed but not committed — " +
           "a concurrent writer is in flight, or a crashed claim " +
           "blocks the slot (run recover() when quiesced)")
+    }
+  }
+
+  /** Re-register a pointer-store family in a catalog that lost its
+    * entries (round-16 directive #4 — the [[BucketedManifest.attach]]
+    * story for this store): truth lives in the WAREHOUSE DIRECTORY —
+    * the version data directories plus the claim/commit markers and
+    * the pointer hint are all plain files that survive a metastore
+    * loss, and [[currentVersion]] already resolves the head from them
+    * without touching the catalog. Every committed version whose
+    * directory still exists (vacuum may have dropped older ones) is
+    * re-declared as an EXTERNAL bucketed table over it; after attach,
+    * reads, time travel, appends, snapshots, and compactions work
+    * exactly as before, including the exchange-free serve plan —
+    * asserted in VersionedBucketedSpec.
+    *
+    * The bucket spec is caller-supplied for the same reason as
+    * [[BucketedManifest.attach]]'s: the catalog entry that recorded
+    * it is exactly what was lost, and attaching with a different spec
+    * than the files were written with would break the exchange-free
+    * contract silently — deployments carry (keys, sortKeys,
+    * numBuckets) in their own config the way they carry the warehouse
+    * path. Pure metadata: no data is read or written. Idempotent over
+    * versions that already have entries.
+    */
+  def attach(spark: SparkSession, family: String, schemaDDL: String,
+      keys: Seq[String], sortKeys: Seq[String],
+      numBuckets: Int): Unit = {
+    val cur = currentVersion(spark, family)
+    require(cur > 0,
+      s"$family has no committed chain in the warehouse — nothing " +
+        "to attach")
+    val sortClause = if (sortKeys.isEmpty) ""
+      else sortKeys.mkString(" SORTED BY (`", "`, `", "`)")
+    (1 to cur).foreach { v =>
+      val name = versionName(family, v)
+      val dir = versionDir(spark, name)
+      if (dir.isDirectory && !spark.catalog.tableExists(name))
+        spark.sql(
+          s"""CREATE TABLE `$name` ($schemaDDL)
+             |USING PARQUET
+             |CLUSTERED BY (${keys.mkString("`", "`, `", "`")})
+             |$sortClause
+             |INTO $numBuckets BUCKETS
+             |LOCATION '${dir.getPath}'""".stripMargin)
     }
   }
 

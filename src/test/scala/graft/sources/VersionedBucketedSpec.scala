@@ -52,6 +52,51 @@ class VersionedBucketedSpec extends SparkSpec {
     } finally dropFamily("vb_basic")
   }
 
+  test("attach: a fresh catalog re-derives the family from the " +
+      "warehouse directories and markers alone — reads, time travel, " +
+      "new commits, and the exchange-free plan survive catalog loss") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val fam = "vb_attach"
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val o = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_custkey"))
+      VersionedBucketed.write(o.filter(col("id") % 2 === 0), fam,
+        Seq("id"), 4)
+      VersionedBucketed.append(o.filter(col("id") % 2 === 1), fam)
+      VersionedBucketed.compact(spark, fam) // v2
+      val want = VersionedBucketed.read(spark, fam).count()
+      val v1count = VersionedBucketed.readVersion(spark, fam, 1).count()
+      val ddl = spark.table(s"${fam}__v1").schema.toDDL
+      // the catalog loses both entries (version tables are EXTERNAL
+      // from birth — the drop deletes no data; the warehouse files
+      // and markers are the truth)
+      spark.sql(s"DROP TABLE `${fam}__v1`")
+      spark.sql(s"DROP TABLE `${fam}__v2`")
+      assert(VersionedBucketed.currentVersion(spark, fam) === 2,
+        "the head must resolve from the pointer + markers alone")
+      VersionedBucketed.attach(spark, fam, ddl, Seq("id"), Seq("id"), 4)
+      assert(VersionedBucketed.read(spark, fam).count() === want,
+        "the re-attached live version serves")
+      assert(VersionedBucketed.readVersion(spark, fam, 1).count()
+        === v1count, "time travel survives re-attach")
+      // the commit protocol keeps working on the re-derived entries
+      assert(VersionedBucketed.snapshot(spark, fam) === 3)
+      assert(VersionedBucketed.read(spark, fam).count() === want)
+      // the declared spec still drives planning: zero exchanges
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val agg = VersionedBucketed.read(spark, fam)
+        .groupBy("id").agg(count(lit(1)).as("n"))
+      agg.collect()
+      assert(!flatten(agg.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[ShuffleExchangeExec]),
+        "bucket-key agg over the re-attached family must not shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      dropFamily("vb_attach")
+    }
+  }
+
   test("snapshot isolation: a reader frame captured before the " +
       "compaction still collects after it (old files undeleted)") {
     val fam = "vb_snap"
