@@ -631,6 +631,89 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** DISASTER RECOVERY through the oracle gate (round-16 — the
+    * attach() spec contract proven end to end on real data): the
+    * versioned MinHash family is built and appended, then BOTH member
+    * tables are DROPPED from the catalog — members are EXTERNAL, so
+    * the generation files and the manifest chain survive, and they
+    * are the truth. graft.sources.BucketedManifest.attach re-derives
+    * each entry from manifests + files alone (pure metadata), the
+    * family is then COMPACTED on the re-derived entries (the commit
+    * protocol keeps working), and served. Shares
+    * x_dedup_index_append's oracle verbatim: a metastore rebuild
+    * changes no row.
+    */
+  private def xDedupIndexAttach(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val delta = base.select((col("id") + AppendDeltaOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val probes = base.select((col("id") + IncrementalTwinOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.6).cast("int")).as("toks"))
+    val tbl = indexTable(dir, "sidx_att")
+    graft.sources.IndexStore.writeDedupIndexBucketedVersioned(base, tbl,
+      numBuckets = 8, k = 5)
+    graft.sources.IndexStore.appendDedupIndexBucketedVersioned(delta,
+      tbl, k = 5): Unit
+    // the catalog loses both members; a deployment's config carries
+    // exactly what attach needs (location, data schema, bucket spec)
+    def loseAndAttach(member: String, keys: Seq[String]): Unit = {
+      val m = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(member))
+      val ddl = org.apache.spark.sql.types.StructType(
+        m.schema.filterNot(_.name == "gen")).toDDL
+      val loc = m.location.toString
+      s.sql(s"DROP TABLE `$member`")
+      graft.sources.BucketedManifest.attach(s, tbl, member, loc, ddl,
+        keys, numBuckets = 8)
+    }
+    loseAndAttach(s"${tbl}_sh", Seq("id"))
+    loseAndAttach(s"${tbl}_bands", Seq("band", "bucket"))
+    graft.sources.IndexStore.compactDedupIndexBucketedVersioned(s, tbl)
+    val (sh, bands) = graft.sources.IndexStore
+      .readDedupIndexBucketedVersioned(s, tbl, k = 5)
+    Dedup.nearDuplicatesAgainstIndex(probes, sh, bands,
+        threshold = 0.5, k = 5)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** [[xDedupIndexVersioned]] under the PUT committer (round-16 — the
+    * object-store write path through the oracle gate): every
+    * generation the append and the compaction publish lands as fresh
+    * byte puts at final names via graft.sources.PutGenCommitter —
+    * zero renames, zero links in the store's write path (generation-1
+    * table birth rides Spark's own table committer, as documented on
+    * the seam). Shares x_dedup_index_append's oracle verbatim: the
+    * publication mechanics change no row. The session conf is
+    * restored afterward.
+    */
+  private def xDedupIndexVersionedPut(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val delta = base.select((col("id") + AppendDeltaOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val probes = base.select((col("id") + IncrementalTwinOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.6).cast("int")).as("toks"))
+    val tbl = indexTable(dir, "sidx_put")
+    s.conf.set("spark.graft.genCommitter", "put")
+    try {
+      graft.sources.IndexStore.writeDedupIndexBucketedVersioned(base,
+        tbl, numBuckets = 8, k = 5)
+      graft.sources.IndexStore.appendDedupIndexBucketedVersioned(delta,
+        tbl, k = 5): Unit
+      graft.sources.IndexStore.compactDedupIndexBucketedVersioned(s, tbl)
+    } finally s.conf.unset("spark.graft.genCommitter")
+    val (sh, bands) = graft.sources.IndexStore
+      .readDedupIndexBucketedVersioned(s, tbl, k = 5)
+    Dedup.nearDuplicatesAgainstIndex(probes, sh, bands,
+        threshold = 0.5, k = 5)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** Recursive delete of a scratch path (stream dirs, checkpoints,
     * sinks) — per-invocation reset so bench reps stay independent.
     */
@@ -6113,6 +6196,8 @@ object SparkEntry {
     "x_stream_int8_ingest" -> (xStreamInt8Ingest _),
     "x_stream_ivfpq_ingest" -> (xStreamIvfPqIngest _),
     "x_dedup_index_versioned" -> (xDedupIndexVersioned _),
+    "x_dedup_index_attach" -> (xDedupIndexAttach _),
+    "x_dedup_index_versioned_put" -> (xDedupIndexVersionedPut _),
     "x_stream_dedup_versioned" -> (xStreamDedupVersioned _),
     "x_unique_index_versioned" -> (xUniqueIndexVersioned _),
     "x_dedup_substring_versioned" -> (xDedupSubstringVersioned _),
@@ -6219,6 +6304,10 @@ object SparkEntry {
       "x_stream_int8_versioned" ->
         graft.oracle.StaticOracles.sql("x_sim_quantized"),
       "x_dedup_index_versioned" ->
+        graft.oracle.StaticOracles.sql("x_dedup_index_append"),
+      "x_dedup_index_attach" ->
+        graft.oracle.StaticOracles.sql("x_dedup_index_append"),
+      "x_dedup_index_versioned_put" ->
         graft.oracle.StaticOracles.sql("x_dedup_index_append"),
       "x_stream_dedup_versioned" ->
         graft.oracle.StaticOracles.sql("x_dedup_index_append"),
