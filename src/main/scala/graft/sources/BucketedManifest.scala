@@ -504,6 +504,7 @@ object BucketedManifest {
     // but young) — their claim markers must stay (see below).
     val survivingGens = scala.collection.mutable.Set.empty[Int]
     val genDirRe = "gen=(\\d{1,9})".r
+    val stagingRe = "\\.gen=\\d{1,9}\\.staging-.*".r
     tables.foreach { t =>
       val loc = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(t)).location
@@ -521,6 +522,12 @@ object BucketedManifest {
                   s"PARTITION (gen=$g)")
                 deleteTree(d)
               } else survivingGens += g
+            // a crashed writer's rename-committer staging (dot-
+            // prefixed, beside the gen dirs) — same age gate as any
+            // orphan: young staging may be a live writer's
+            case stagingRe() if d.isDirectory &&
+                d.lastModified() <= cutoff =>
+              deleteTree(d)
             case _ => ()
           }
         }

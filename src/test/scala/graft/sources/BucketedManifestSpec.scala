@@ -568,6 +568,13 @@ class BucketedManifestSpec extends SparkSpec {
       assert(idSet(BucketedManifest.read(spark, fam, a))
         === (0L until 10L).toSet,
         "the unregistered generation must be invisible to readers")
+      // crashed rename-committer staging: an aged one is debris, a
+      // fresh one may be a live writer's staging write
+      val stagingOld = new java.io.File(tableDir, ".gen=88.staging-x")
+      val stagingNew = new java.io.File(tableDir, ".gen=89.staging-y")
+      assert(stagingOld.mkdirs() && stagingNew.mkdirs())
+      assert(stagingOld.setLastModified(
+        System.currentTimeMillis() - 86400000L))
       // the claim went stale (an append can outlive orphanMinAgeMs)
       // but its generation directory is FRESH: the gated vacuum must
       // keep both — deleting the claim would let claimGen reuse 77
@@ -580,6 +587,10 @@ class BucketedManifestSpec extends SparkSpec {
         "young unregistered generation dirs survive the gated vacuum")
       assert(claim.exists(),
         "a stale claim with live generation dirs must survive")
+      assert(!stagingOld.exists(),
+        "aged crashed staging is collected even under the gate")
+      assert(stagingNew.exists(),
+        "young staging may be a live writer's and survives the gate")
       // quiesced (ungated) vacuum reclaims the on-disk directory the
       // catalog never registered, and with it the claim
       BucketedManifest.vacuum(spark, fam, retain = 1)
@@ -587,6 +598,8 @@ class BucketedManifestSpec extends SparkSpec {
         "ungated vacuum must collect the unregistered generation dir")
       assert(!claim.exists(),
         "once its directories are gone the stale claim goes too")
+      assert(!stagingNew.exists(),
+        "ungated (quiesced) vacuum collects remaining staging too")
       assert(idSet(BucketedManifest.read(spark, fam, a))
         === (0L until 10L).toSet)
     } finally BucketedManifest.drop(spark, fam, Seq(a))
