@@ -4878,6 +4878,65 @@ object SparkEntry {
       .orderBy("shard")
   }
 
+  /** ONLINE INDEX EVOLUTION through the oracle gate (round-16 —
+    * graft.sources.BucketedManifest.addMember): the family STARTS as
+    * the plain versioned MinHash pair and ingests batch 1 with the
+    * content gate only (identical decisions — batch-1 ids are % 4 = 1
+    * and can never collide with the even corpus, so the identity gate
+    * is vacuous there); the key member is then derived from the ids
+    * already admitted (`_sh`'s id set) and ADDED in one manifest
+    * commit — no rebuild, no generation touched — and batch 2 (with
+    * its planted re-fetches) runs through the FULL multi-gate loop on
+    * the same checkpoint. Shares x_stream_pipeline_multi's oracle
+    * VERBATIM: a family evolved mid-stream is indistinguishable from
+    * one born with all three members.
+    */
+  private def xStreamPipelineEvolve(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+    val tbl = indexTable(dir, "spevol")
+    graft.sources.IndexStore.writeDedupIndexBucketedVersioned(corpus,
+      tbl, numBuckets = 8, k = 5)
+    val streamDir = indexDir(dir, "spevol_src")
+    val ckpt = indexDir(dir, "spevol_ckpt")
+    val sink = indexDir(dir, "spevol_sink")
+    Seq(streamDir, ckpt, sink).foreach(wipeDir)
+    d.filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), col("text")).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    StreamingValidate.gatedIngestRunVersioned(s, streamDir, tbl,
+      threshold = 0.5, k = 5, minQuality = 0.7, minTokens = 10,
+      salt = "spadm1", checkpointDir = ckpt, sinkDir = sink)
+    // the evolution point: the identity gate's member is born from
+    // the admitted state, in one commit
+    graft.sources.IndexStore.addPipelineKeyMember(s, tbl,
+      numBuckets = 8): Unit
+    val planted = d.filter(col("doc_id") % 4 === 0 &&
+        col("doc_id") < 80)
+      .select(col("doc_id"), (col("doc_id") + 3).as("src_id"))
+      .join(d.select(col("doc_id").as("src_id"), col("text")),
+        Seq("src_id"))
+      .select(col("doc_id"), col("text"))
+    d.filter(col("doc_id") % 4 === 3)
+      .select(col("doc_id"), col("text"))
+      .unionByName(planted)
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingValidate.gatedIngestRunMulti(s, streamDir, tbl,
+      threshold = 0.5, k = 5, minQuality = 0.7, minTokens = 10,
+      salt = "spadm1", checkpointDir = ckpt, sinkDir = sink)
+    val total = graft.sources.IndexStore.readPipelineKeyIndex(s, tbl)
+      .agg(sum(col("n")).cast(LongType).as("idx_total"))
+    s.read.parquet(sink)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        sum(col("doc_id")).as("docid_checksum"))
+      .crossJoin(total)
+      .orderBy("shard")
+  }
+
   /** The x_pipeline_train composition STREAMED against a standing
     * index (StreamingValidate.gatedIngestStream) — the production
     * crawl-ingest loop end to end: the even-id half of the corpus is
@@ -6149,6 +6208,7 @@ object SparkEntry {
     "x_stream_pipeline_multi" -> (xStreamPipelineMulti _),
     "x_stream_pipeline_multi_bounded" ->
       (xStreamPipelineMultiBounded _),
+    "x_stream_pipeline_evolve" -> (xStreamPipelineEvolve _),
     "x_stream_unique_versioned" -> (xStreamUniqueVersioned _),
     "x_stream_substring_versioned" -> (xStreamSubstringVersioned _),
     "x_stream_editdist_versioned" -> (xStreamEditdistVersioned _),
@@ -6324,6 +6384,8 @@ object SparkEntry {
       "x_stream_pipeline_admit_versioned" ->
         graft.oracle.StaticOracles.sql("x_stream_pipeline_admit"),
       "x_stream_pipeline_multi_bounded" ->
+        graft.oracle.StaticOracles.sql("x_stream_pipeline_multi"),
+      "x_stream_pipeline_evolve" ->
         graft.oracle.StaticOracles.sql("x_stream_pipeline_multi"))
 
   /** Names with data-dependent oracles ([[dynamicOracleSql]]) — lets

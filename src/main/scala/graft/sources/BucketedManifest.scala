@@ -313,6 +313,49 @@ object BucketedManifest {
         "serialize writers")
   }
 
+  /** Grow the family by a NEW MEMBER — index/schema EVOLUTION without
+    * a rebuild (round-16): the member's frame becomes its first
+    * generation (a fresh table birth), and the next manifest version
+    * references every existing member's generations PLUS the new
+    * member's, in one commit. Versions BEFORE the member's birth
+    * never list it, so time travel to them fails loudly for this
+    * member — the manifest is truth, and there is no retroactive
+    * backfill; every later commit carries the member like any other
+    * ([[append]] deltas for all members land atomically). Safe
+    * against concurrent [[append]]s of the existing members (claimed
+    * gen + the same manifest-CAS retry); the new NAME itself is
+    * single-writer by contract — adding a member is an operator
+    * action, and two concurrent additions of the same table would
+    * race the table birth. Returns the committed version (the
+    * member's birth version).
+    */
+  def addMember(spark: SparkSession, family: String, table: String,
+      df: DataFrame, keys: Seq[String], numBuckets: Int,
+      maxRetries: Int = 20): Int = {
+    val meta = metaDir(spark, family)
+    require(VersionedFlat.currentVersion(meta) > 0,
+      s"$family is not an initialized BucketedManifest family")
+    val existing = parse(VersionedFlat.readManifest(meta,
+      VersionedFlat.currentVersion(meta))).map(_._1).toSet
+    require(!existing.contains(table.toLowerCase),
+      s"$table is already a member of $family — admit deltas via " +
+        "append")
+    val g = claimGen(meta)
+    writeGen(df, table, keys, numBuckets, g, init = true)
+    var attempts = 0
+    while (attempts < maxRetries) {
+      val cur = VersionedFlat.currentVersion(meta)
+      if (VersionedFlat.tryCommit(meta, cur + 1,
+          VersionedFlat.readManifest(meta, cur) :+ line(table, g)))
+        return cur + 1
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"addMember($table) to family $family lost the manifest CAS " +
+        s"$maxRetries times — pathological contention; raise " +
+        "maxRetries or serialize writers")
+  }
+
   /** The generation numbers version `v` (0 = current) references for
     * `table` — the observable the cadence/pruning contracts are
     * asserted against.

@@ -500,6 +500,25 @@ object IndexStore {
   def readPipelineKeyIndex(spark: SparkSession, table: String): DataFrame =
     BucketedManifest.read(spark, table, s"${table}_keys")
 
+  /** EVOLVE a versioned MinHash family into the pipeline family
+    * online ([[BucketedManifest.addMember]] — round-16): the key
+    * member is derived from the ids ALREADY ADMITTED (the `_sh`
+    * member's id set — corpus plus every admission so far) and added
+    * in one manifest commit. From that version on,
+    * [[readPipelineKeyIndex]] and the identity gate serve exactly as
+    * if the family had been born with
+    * [[writePipelineIndexVersioned]]; no existing generation is
+    * touched, nothing is rebuilt, and time travel before the birth
+    * version keeps working for the original members. Returns the
+    * birth version.
+    */
+  def addPipelineKeyMember(spark: SparkSession, table: String,
+      numBuckets: Int): Int =
+    BucketedManifest.addMember(spark, table, s"${table}_keys",
+      keyCounts(BucketedManifest.read(spark, table, s"${table}_sh")
+        .select("id").distinct(), Seq("id")),
+      Seq("id"), numBuckets)
+
   /** Size-tiered cadence for the whole pipeline family (round-16
     * directive #2 — the multi-gate ingest loop is the operator a real
     * pipeline runs forever, so its generation growth must be

@@ -474,6 +474,48 @@ class BucketedManifestSpec extends SparkSpec {
     }
   }
 
+  test("addMember: the family grows a new member online — birth " +
+      "version semantics (pre-birth time travel fails loudly for the " +
+      "new member, keeps working for the old), later appends carry " +
+      "all members atomically, re-adding fails loudly") {
+    val fam = "bm_evolve"
+    val (a, b) = (s"${fam}_a", s"${fam}_b")
+    try {
+      BucketedManifest.create(spark, fam,
+        Seq((a, frame(0 until 100), Seq("id"), 4)))
+      BucketedManifest.append(spark, fam, Seq((a, frame(100 until 200))))
+      val birth = BucketedManifest.addMember(spark, fam, b,
+        frame(500 until 600), Seq("id"), 4)
+      assert(birth === 3, "the member's birth is its own version")
+      assert(idSet(BucketedManifest.read(spark, fam, b))
+        === (500L until 600L).toSet)
+      assert(idSet(BucketedManifest.read(spark, fam, a))
+        === (0L until 200L).toSet, "existing members untouched")
+      // pre-birth versions: the old member travels, the new one
+      // fails loudly (the manifest is truth — no backfill)
+      assert(idSet(BucketedManifest.readVersion(spark, fam, a, 2))
+        === (0L until 200L).toSet)
+      intercept[IllegalArgumentException] {
+        BucketedManifest.readVersion(spark, fam, b, 2).collect()
+      }
+      // later commits carry every member atomically
+      val v4 = BucketedManifest.append(spark, fam, Seq(
+        (a, frame(200 until 250)), (b, frame(600 until 650))))
+      assert(v4 === 4)
+      assert(idSet(BucketedManifest.read(spark, fam, b))
+        === (500L until 650L).toSet)
+      // compaction spans old and new members alike
+      BucketedManifest.compact(spark, fam)
+      assert(BucketedManifest.gensOf(spark, fam, b).size === 1)
+      assert(idSet(BucketedManifest.read(spark, fam, b))
+        === (500L until 650L).toSet)
+      intercept[IllegalArgumentException] {
+        BucketedManifest.addMember(spark, fam, b,
+          frame(0 until 1), Seq("id"), 4)
+      }
+    } finally BucketedManifest.drop(spark, fam, Seq(a, b))
+  }
+
   test("committer seam: the put committer (object-store discipline — " +
       "fresh byte puts at final names, zero renames) yields the same " +
       "content, bucket-file layout, and exchange-free plan as the " +
