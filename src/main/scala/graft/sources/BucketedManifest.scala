@@ -293,6 +293,16 @@ object BucketedManifest {
     val meta = metaDir(spark, family)
     require(VersionedFlat.currentVersion(meta) > 0,
       s"$family is not an initialized BucketedManifest family")
+    // membership is validated up front: appending under a name the
+    // current manifest does not list would silently resurrect a
+    // dropped member with only the delta's rows — evolution goes
+    // through [[addMember]], loudly
+    val members = parse(VersionedFlat.readManifest(meta,
+      VersionedFlat.currentVersion(meta))).map(_._1).toSet
+    deltas.foreach { case (t, _) =>
+      require(members.contains(t.toLowerCase),
+        s"$t is not a member of family $family — new members are " +
+          "added via addMember") }
     val g = claimGen(meta)
     val newLines = deltas.map { case (t, df) =>
       val (keys, n) = bucketSpecOf(spark, t)
@@ -354,6 +364,76 @@ object BucketedManifest {
       s"addMember($table) to family $family lost the manifest CAS " +
         s"$maxRetries times — pathological contention; raise " +
         "maxRetries or serialize writers")
+  }
+
+  /** RETIRE a member — the evolution inverse of [[addMember]], as a
+    * pure manifest operation: the next version references every OTHER
+    * member's current generations and simply omits this one. Nothing
+    * is deleted: time travel to pre-drop versions keeps serving the
+    * member for as long as retention keeps them, current-version
+    * reads fail loudly for it, and later [[append]]s reject its name
+    * (resurrection goes through [[addMember]], explicitly). Once
+    * retention has aged every referencing manifest out,
+    * [[purgeMember]] reclaims the table and its files — physical
+    * reclamation stays where it always is, behind the retention gate.
+    * Returns the committed version.
+    */
+  def dropMember(spark: SparkSession, family: String, table: String,
+      maxRetries: Int = 20): Int = {
+    val meta = metaDir(spark, family)
+    require(VersionedFlat.currentVersion(meta) > 0,
+      s"$family is not an initialized BucketedManifest family")
+    var attempts = 0
+    while (attempts < maxRetries) {
+      val cur = VersionedFlat.currentVersion(meta)
+      val lines = VersionedFlat.readManifest(meta, cur)
+      val kept = lines.filterNot(l =>
+        parse(Seq(l)).head._1 == table.toLowerCase)
+      require(kept.size < lines.size,
+        s"$table is not a member of family $family")
+      require(parse(kept).map(_._1).distinct.nonEmpty,
+        s"dropping $table would leave family $family empty — " +
+          "retire the family via drop instead")
+      if (VersionedFlat.tryCommit(meta, cur + 1, kept))
+        return cur + 1
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"dropMember($table) of family $family lost the manifest CAS " +
+        s"$maxRetries times — pathological contention")
+  }
+
+  /** Physically reclaim a RETIRED member's table and files. Guarded
+    * loudly: refuses while ANY retained manifest still references the
+    * member (a time traveler could hold it) — run [[vacuum]] with the
+    * desired retention first; the un-referenced check here is the
+    * same manifest-is-truth rule every deleter in this store obeys.
+    */
+  def purgeMember(spark: SparkSession, family: String,
+      table: String): Unit = {
+    val meta = metaDir(spark, family)
+    val cur = VersionedFlat.currentVersion(meta)
+    require(cur > 0,
+      s"$family is not an initialized BucketedManifest family")
+    val stillReferenced = (1 to cur)
+      .filter(v => new java.io.File(meta, f"manifest-$v%06d").exists())
+      .flatMap(v => parse(VersionedFlat.readManifest(meta, v)))
+      .exists(_._1 == table.toLowerCase)
+    require(!stillReferenced,
+      s"$table is still referenced by a retained manifest of " +
+        s"$family — vacuum to the desired retention before purging")
+    if (spark.catalog.tableExists(table)) {
+      val m = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      val loc: Option[java.io.File] =
+        if (m.location.getScheme == null ||
+            m.location.getScheme == "file")
+          Some(new java.io.File(m.location))
+        else None
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      loc.foreach(deleteTree)
+    }
+    deleteTree(new java.io.File(warehouse(spark), table.toLowerCase))
   }
 
   /** The generation numbers version `v` (0 = current) references for

@@ -516,6 +516,52 @@ class BucketedManifestSpec extends SparkSpec {
     } finally BucketedManifest.drop(spark, fam, Seq(a, b))
   }
 
+  test("dropMember retires a member as a pure manifest op: pre-drop " +
+      "versions still serve it, current reads and appends reject it " +
+      "loudly, purgeMember refuses while referenced and reclaims " +
+      "after retention") {
+    val fam = "bm_retire"
+    val (a, b) = (s"${fam}_a", s"${fam}_b")
+    try {
+      BucketedManifest.create(spark, fam, Seq(
+        (a, frame(0 until 100), Seq("id"), 4),
+        (b, frame(500 until 600), Seq("id"), 4)))
+      BucketedManifest.append(spark, fam, Seq(
+        (a, frame(100 until 150)), (b, frame(600 until 650))))
+      val dropV = BucketedManifest.dropMember(spark, fam, b)
+      assert(dropV === 3)
+      // the retired member: pre-drop versions travel, current fails
+      assert(idSet(BucketedManifest.readVersion(spark, fam, b, 2))
+        === (500L until 650L).toSet,
+        "a time traveler must keep the retired member")
+      intercept[IllegalArgumentException] {
+        BucketedManifest.read(spark, fam, b).collect()
+      }
+      // appends reject the retired name (no silent resurrection) but
+      // keep working for the survivors
+      intercept[IllegalArgumentException] {
+        BucketedManifest.append(spark, fam, Seq((b, frame(0 until 1))))
+      }
+      BucketedManifest.append(spark, fam, Seq((a, frame(150 until 200))))
+      assert(idSet(BucketedManifest.read(spark, fam, a))
+        === (0L until 200L).toSet)
+      // purge refuses while any retained manifest references b
+      intercept[IllegalArgumentException] {
+        BucketedManifest.purgeMember(spark, fam, b)
+      }
+      BucketedManifest.vacuum(spark, fam, retain = 1)
+      BucketedManifest.purgeMember(spark, fam, b)
+      assert(!spark.catalog.tableExists(b),
+        "purge reclaims the retired member's table")
+      assert(idSet(BucketedManifest.read(spark, fam, a))
+        === (0L until 200L).toSet, "survivors unaffected by the purge")
+      // dropping the last member is refused — that is family deletion
+      intercept[IllegalArgumentException] {
+        BucketedManifest.dropMember(spark, fam, a)
+      }
+    } finally BucketedManifest.drop(spark, fam, Seq(a, b))
+  }
+
   test("committer seam: the put committer (object-store discipline — " +
       "fresh byte puts at final names, zero renames) yields the same " +
       "content, bucket-file layout, and exchange-free plan as the " +
