@@ -631,6 +631,52 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** MULTI-WRITER correctness through the oracle gate (round-16 —
+    * the BucketedManifestSpec race linearization proven on real data
+    * with the DuckDB oracle as the judge): the delta is split four
+    * ways and admitted by FOUR CONCURRENT appender threads racing
+    * the generation claims and the manifest CAS. Every writer's
+    * commit survives (claims make generation numbers collision-free;
+    * a lost CAS re-reads the winner's line set and retries), the
+    * version chain linearizes dense, and after a compaction the
+    * served answer is EXACTLY the single-writer arc's —
+    * x_dedup_index_append's oracle verbatim. Lost updates or
+    * half-visible members — what an uncoordinated store would
+    * produce under this race — would hash-mismatch immediately.
+    */
+  private def xDedupIndexConcurrent(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val delta = base.select((col("id") + AppendDeltaOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val probes = base.select((col("id") + IncrementalTwinOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.6).cast("int")).as("toks"))
+    val tbl = indexTable(dir, "sidx_conc")
+    graft.sources.IndexStore.writeDedupIndexBucketedVersioned(base, tbl,
+      numBuckets = 8, k = 5)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val writers = (0 until 4).map { i =>
+      new Thread(() =>
+        try graft.sources.IndexStore.appendDedupIndexBucketedVersioned(
+          delta.filter(pmod(col("id"), lit(4)) === i), tbl, k = 5): Unit
+        catch { case t: Throwable => errs.add(t): Unit })
+    }
+    writers.foreach(_.start())
+    writers.foreach(_.join())
+    require(errs.isEmpty,
+      s"concurrent appenders must not fail: ${Option(errs.peek())}")
+    require(graft.sources.BucketedManifest.currentVersion(s, tbl) == 5,
+      "four appends over v1 must linearize to exactly v5")
+    graft.sources.IndexStore.compactDedupIndexBucketedVersioned(s, tbl)
+    val (sh, bands) = graft.sources.IndexStore
+      .readDedupIndexBucketedVersioned(s, tbl, k = 5)
+    Dedup.nearDuplicatesAgainstIndex(probes, sh, bands,
+        threshold = 0.5, k = 5)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** DISASTER RECOVERY through the oracle gate (round-16 — the
     * attach() spec contract proven end to end on real data): the
     * versioned MinHash family is built and appended, then BOTH member
@@ -6258,6 +6304,7 @@ object SparkEntry {
     "x_dedup_index_versioned" -> (xDedupIndexVersioned _),
     "x_dedup_index_attach" -> (xDedupIndexAttach _),
     "x_dedup_index_versioned_put" -> (xDedupIndexVersionedPut _),
+    "x_dedup_index_concurrent" -> (xDedupIndexConcurrent _),
     "x_stream_dedup_versioned" -> (xStreamDedupVersioned _),
     "x_unique_index_versioned" -> (xUniqueIndexVersioned _),
     "x_dedup_substring_versioned" -> (xDedupSubstringVersioned _),
@@ -6368,6 +6415,8 @@ object SparkEntry {
       "x_dedup_index_attach" ->
         graft.oracle.StaticOracles.sql("x_dedup_index_append"),
       "x_dedup_index_versioned_put" ->
+        graft.oracle.StaticOracles.sql("x_dedup_index_append"),
+      "x_dedup_index_concurrent" ->
         graft.oracle.StaticOracles.sql("x_dedup_index_append"),
       "x_stream_dedup_versioned" ->
         graft.oracle.StaticOracles.sql("x_dedup_index_append"),
