@@ -3308,6 +3308,21 @@ object SparkEntry {
         TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** Corpus drift monitor (TextAnalysis.tokenDrift — round-16): the
+    * short-document slice (n_chars <= 300, a genuinely shifted token
+    * mix) measured against the full corpus's top-50 tokens. Every
+    * column is integer-exact — `dev = |base_n·M − batch_n·N|`, the
+    * cross-multiplied total-variation contribution — so the DuckDB
+    * twin reproduces the drift table bit-for-bit with no float
+    * rounding anywhere.
+    */
+  private def xTextDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.tokenDrift(docs,
+        docs.filter(col("n_chars") <= 300), "text", k = 50)
+      .orderBy("tok")
+  }
+
   /** Language ID (stopword/script heuristic). */
   private def xTextLangid(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -6024,6 +6039,7 @@ object SparkEntry {
     "x_sim_ivf_recall" -> (xSimIvfRecall _),
     "x_text_tokens" -> (xTextTokens _),
     "x_text_quality" -> (xTextQuality _),
+    "x_text_drift" -> (xTextDrift _),
     "x_text_langid" -> (xTextLangid _),
     "x_text_fingerprint" -> (xTextFingerprint _),
     "x_mm_json" -> (xMmJson _),

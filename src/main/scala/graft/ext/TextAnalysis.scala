@@ -872,4 +872,48 @@ object TextAnalysis {
         round(col("__p.score"), 12).as("score"),
         (col("__pos") + 1).cast("long").as("rank"))
   }
+
+  /** CORPUS DRIFT MONITOR (round-16): a new batch's token
+    * distribution against the corpus baseline over the corpus's
+    * top-`k` tokens — the standing crawl-quality check a training
+    * pipeline runs per ingest batch (a shifted topic mix, a new spam
+    * source, or a broken extractor shows up as head-token mass
+    * moving). Per token the reported deviation is
+    * `|base_n × M − batch_n × N|` with N/M the two sides' total
+    * counts over the top-k support — the cross-multiplied form of
+    * `|p − q|` scaled by N×M, so every value is INTEGER-exact and the
+    * DuckDB oracle reproduces it bit-for-bit (consumers divide by
+    * N×M for the total-variation contribution). Scale shape: ONE
+    * full wordcount (the baseline — a shuffle on token with map-side
+    * combine), a driver-bounded top-k (TakeOrdered — k rows, never a
+    * global sort), and then the batch side never touches its full
+    * vocabulary: its exploded tokens are support-filtered through a
+    * BROADCAST of the k-token head before counting, so the batch
+    * aggregation shuffles at most k keys and the final join is
+    * k-row × k-row. (The naive shape — left-joining the head against
+    * full batch vocabulary counts — would broadcast or shuffle a
+    * vocabulary-sized side at 100 TB.) No corpus×corpus anywhere.
+    */
+  def tokenDrift(baseDocs: DataFrame, batchDocs: DataFrame,
+      textCol: String, k: Int): DataFrame = {
+    val top = baseDocs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("base_n"))
+      .orderBy(col("base_n").desc, col("tok").asc).limit(k)
+      .cache() // k rows — reused as the support filter and the join head
+    val batchN = batchDocs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .join(broadcast(top.select("tok")), Seq("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("batch_n"))
+    val joined = top.join(batchN, Seq("tok"), "left")
+      .na.fill(0L, Seq("batch_n"))
+      .cache() // k rows — keeps the totals pass from re-running the counts
+    val totals = joined.agg(sum("base_n").cast("long").as("n_base"),
+      sum("batch_n").cast("long").as("n_batch"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("tok"), col("base_n"), col("batch_n"),
+        abs(col("base_n") * col("n_batch") -
+          col("batch_n") * col("n_base")).as("dev"),
+        col("n_base"), col("n_batch"))
+  }
 }

@@ -1550,6 +1550,28 @@ private[graft] object StaticOracles {
         |    + greatest(0.0, 1.0 - punct_ratio * 10.0)) / 3.0, 6)
         |    AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+    "x_text_drift" ->
+      """WITH btoks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) AS tok FROM documents),
+        |base AS (SELECT tok, CAST(count(*) AS BIGINT) AS base_n
+        |  FROM btoks GROUP BY tok),
+        |topk AS (SELECT tok, base_n FROM base
+        |  ORDER BY base_n DESC, tok LIMIT 50),
+        |ktoks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) AS tok FROM documents WHERE n_chars <= 300),
+        |batch AS (SELECT tok, CAST(count(*) AS BIGINT) AS batch_n
+        |  FROM ktoks GROUP BY tok),
+        |j AS (SELECT t.tok, t.base_n, COALESCE(b.batch_n, 0) AS batch_n
+        |  FROM topk t LEFT JOIN batch b USING (tok)),
+        |tot AS (SELECT CAST(sum(base_n) AS BIGINT) AS n_base,
+        |  CAST(sum(batch_n) AS BIGINT) AS n_batch FROM j)
+        |SELECT j.tok, j.base_n, j.batch_n,
+        |  CAST(abs(j.base_n * tot.n_batch - j.batch_n * tot.n_base)
+        |    AS BIGINT) AS dev,
+        |  tot.n_base, tot.n_batch
+        |FROM j, tot ORDER BY tok""".stripMargin,
     "x_text_langid" ->
       """WITH sc AS (
         |  SELECT doc_id, text,

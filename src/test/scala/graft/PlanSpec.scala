@@ -191,6 +191,33 @@ class PlanSpec extends SparkSpec {
       "a full Sort under a limit means the top-k wasn't pushed down")
   }
 
+  test("token drift: the head is TakeOrdered and the batch side is " +
+      "support-filtered through a broadcast BEFORE counting — no " +
+      "vocabulary-sized join side anywhere") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val docs = Tables.load(spark, dir, "documents")
+    val d = graft.ext.TextAnalysis.tokenDrift(docs,
+      docs.filter(col("n_chars") <= 300), "text", k = 50)
+    // the head is cached inside tokenDrift — descend through the
+    // InMemoryTableScan into the cached relation's own physical plan
+    def deep(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      flatten(p).flatMap {
+        case m: org.apache.spark.sql.execution.columnar
+            .InMemoryTableScanExec =>
+          m +: deep(m.relation.cachedPlan)
+        case other => Seq(other)
+      }
+    d.collect()
+    val all = deep(d.queryExecution.executedPlan)
+    assert(all.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "the top-k head must be bounded per-partition top-k, not a sort")
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the batch tokens must be support-filtered via a broadcast of " +
+        "the k-row head (the batch vocabulary is never a join side)")
+  }
+
   test("decontamination joins via broadcast — train side never shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val d = Tables.load(spark, dir, "documents")
