@@ -3323,6 +3323,33 @@ object SparkEntry {
       .orderBy("tok")
   }
 
+  /** [[xTextDrift]] as a per-batch STREAMING monitor
+    * (StreamingValidate.tokenDriftMonitorStream — round-16; the
+    * TOKEN-distribution sibling of the numeric KS drift arc
+    * [[xStreamDrift]] and the source-pair JS matrix
+    * [[xTextJsDivergence]]): the standing top-50 head is built once
+    * from the full corpus, then two "crawl batches" with genuinely
+    * different token mixes — the short-doc slice and the doc_id % 5
+    * slice — arrive as separate files, each screened as its own
+    * micro-batch. The sink union equals the two one-shot drift
+    * tables; every value integer-exact, so the oracle recomputes
+    * both from scratch and unions.
+    */
+  private def xStreamTokenDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val streamDir = indexDir(dir, "tokdrift_stream")
+    wipeDir(streamDir)
+    docs.filter(col("n_chars") <= 300)
+      .select(col("doc_id"), col("text")).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text")).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    StreamingValidate.tokenDriftMonitorStream(s, streamDir, docs,
+        "text", k = 50)
+      .orderBy("tok", "n_batch", "batch_n")
+  }
+
   /** Language ID (stopword/script heuristic). */
   private def xTextLangid(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -6040,6 +6067,7 @@ object SparkEntry {
     "x_text_tokens" -> (xTextTokens _),
     "x_text_quality" -> (xTextQuality _),
     "x_text_drift" -> (xTextDrift _),
+    "x_stream_token_drift" -> (xStreamTokenDrift _),
     "x_text_langid" -> (xTextLangid _),
     "x_text_fingerprint" -> (xTextFingerprint _),
     "x_mm_json" -> (xMmJson _),

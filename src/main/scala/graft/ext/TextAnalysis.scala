@@ -895,17 +895,31 @@ object TextAnalysis {
     * vocabulary-sized side at 100 TB.) No corpus×corpus anywhere.
     */
   def tokenDrift(baseDocs: DataFrame, batchDocs: DataFrame,
-      textCol: String, k: Int): DataFrame = {
-    val top = baseDocs
-      .select(explode(tokens(col(textCol))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("base_n"))
-      .orderBy(col("base_n").desc, col("tok").asc).limit(k)
-      .cache() // k rows — reused as the support filter and the join head
+      textCol: String, k: Int): DataFrame =
+    tokenDriftAgainst(tokenDriftHead(baseDocs, textCol, k), batchDocs,
+      textCol)
+
+  /** The STANDING baseline of the drift monitor: the corpus's top-`k`
+    * tokens with their counts, cached (k rows) — computed once and
+    * reused across every batch check, exactly like a standing dedup
+    * index. The `(base_n desc, tok asc)` order is total, so the head
+    * is deterministic under count ties.
+    */
+  def tokenDriftHead(baseDocs: DataFrame, textCol: String,
+      k: Int): DataFrame = baseDocs
+    .select(explode(tokens(col(textCol))).as("tok"))
+    .groupBy("tok").agg(count(lit(1)).as("base_n"))
+    .orderBy(col("base_n").desc, col("tok").asc).limit(k)
+    .cache() // k rows — reused as the support filter and the join head
+
+  /** One batch's drift table against a standing [[tokenDriftHead]]. */
+  def tokenDriftAgainst(head: DataFrame, batchDocs: DataFrame,
+      textCol: String): DataFrame = {
     val batchN = batchDocs
       .select(explode(tokens(col(textCol))).as("tok"))
-      .join(broadcast(top.select("tok")), Seq("tok"))
+      .join(broadcast(head.select("tok")), Seq("tok"))
       .groupBy("tok").agg(count(lit(1)).as("batch_n"))
-    val joined = top.join(batchN, Seq("tok"), "left")
+    val joined = head.join(batchN, Seq("tok"), "left")
       .na.fill(0L, Seq("batch_n"))
       .cache() // k rows — keeps the totals pass from re-running the counts
     val totals = joined.agg(sum("base_n").cast("long").as("n_base"),

@@ -1572,6 +1572,45 @@ private[graft] object StaticOracles {
         |    AS BIGINT) AS dev,
         |  tot.n_base, tot.n_batch
         |FROM j, tot ORDER BY tok""".stripMargin,
+    "x_stream_token_drift" ->
+      """WITH btoks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) AS tok FROM documents),
+        |base AS (SELECT tok, CAST(count(*) AS BIGINT) AS base_n
+        |  FROM btoks GROUP BY tok),
+        |topk AS (SELECT tok, base_n FROM base
+        |  ORDER BY base_n DESC, tok LIMIT 50),
+        |ta_toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) AS tok FROM documents WHERE n_chars <= 300),
+        |ta_cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS batch_n
+        |  FROM ta_toks GROUP BY tok),
+        |ja AS (SELECT t.tok, t.base_n, COALESCE(b.batch_n, 0) AS batch_n
+        |  FROM topk t LEFT JOIN ta_cnt b USING (tok)),
+        |tota AS (SELECT CAST(sum(base_n) AS BIGINT) AS n_base,
+        |  CAST(sum(batch_n) AS BIGINT) AS n_batch FROM ja),
+        |tb_toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) AS tok FROM documents WHERE doc_id % 5 = 0),
+        |tb_cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS batch_n
+        |  FROM tb_toks GROUP BY tok),
+        |jb AS (SELECT t.tok, t.base_n, COALESCE(b.batch_n, 0) AS batch_n
+        |  FROM topk t LEFT JOIN tb_cnt b USING (tok)),
+        |totb AS (SELECT CAST(sum(base_n) AS BIGINT) AS n_base,
+        |  CAST(sum(batch_n) AS BIGINT) AS n_batch FROM jb)
+        |SELECT * FROM (
+        |  SELECT ja.tok, ja.base_n, ja.batch_n,
+        |    CAST(abs(ja.base_n * tota.n_batch - ja.batch_n * tota.n_base)
+        |      AS BIGINT) AS dev,
+        |    tota.n_base, tota.n_batch
+        |  FROM ja, tota
+        |  UNION ALL
+        |  SELECT jb.tok, jb.base_n, jb.batch_n,
+        |    CAST(abs(jb.base_n * totb.n_batch - jb.batch_n * totb.n_base)
+        |      AS BIGINT) AS dev,
+        |    totb.n_base, totb.n_batch
+        |  FROM jb, totb)
+        |ORDER BY tok, n_batch, batch_n""".stripMargin,
     "x_text_langid" ->
       """WITH sc AS (
         |  SELECT doc_id, text,

@@ -450,6 +450,51 @@ object StreamingValidate {
     spark.read.parquet(sinkDir)
   }
 
+  /** STREAMING corpus drift monitor (round-16 —
+    * [[graft.ext.TextAnalysis.tokenDriftAgainst]] per micro-batch
+    * against a STANDING [[graft.ext.TextAnalysis.tokenDriftHead]]):
+    * the production crawl-quality loop. The baseline head is
+    * materialized ONCE like a standing index; each arriving file is
+    * one micro-batch whose integer-exact drift table over the
+    * corpus's top-k tokens is appended to the sink. Per-batch
+    * independence plus the static head make the sink union exactly
+    * the per-file one-shot answers, so the oracle recomputes each
+    * file's drift from scratch and unions.
+    */
+  def tokenDriftMonitorStream(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocsDir: String, baseDocs: DataFrame, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val head = graft.ext.TextAnalysis.tokenDriftHead(baseDocs,
+      textCol, k)
+    head.count(): Unit // build the standing baseline once
+    // not [[serveAvailableNow]]: a drift table is k rows even for an
+    // EMPTY batch (the head left-joined with nothing is the head with
+    // zeros), so the schema-seeding init write must be emptied
+    // explicitly or the sink gains a phantom zero-batch table
+    val sinkDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_sink/" +
+        s"tokdrift_${java.lang.Long.toHexString(
+          newDocsDir.hashCode.toLong & 0xffffffffL)}" +
+        s"_p${ProcessHandle.current().pid()}"
+    val batchInput = spark.read.parquet(newDocsDir)
+    graft.ext.TextAnalysis
+      .tokenDriftAgainst(head, batchInput.limit(0), textCol)
+      .limit(0).write.mode("overwrite").parquet(sinkDir)
+    val q = spark.readStream.schema(batchInput.schema)
+      .option("maxFilesPerTrigger", "1").parquet(newDocsDir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        graft.ext.TextAnalysis.tokenDriftAgainst(head, b, textCol)
+          .write.mode("append").parquet(sinkDir)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(sinkDir)
+  }
+
   /** The ANN twin of [[nearDupIngestStream]]: a STREAM of query
     * vectors served against the standing persisted IVF index
     * ([[graft.sources.IndexStore.writeIvfIndex]] artifacts re-read
