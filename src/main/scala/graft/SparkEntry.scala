@@ -3350,6 +3350,19 @@ object SparkEntry {
       .orderBy("tok", "n_batch", "batch_n")
   }
 
+  /** Embedding-space drift (Similarity.assignmentDrift — round-16):
+    * the vec_id % 3 slice's centroid-assignment histogram against
+    * the full corpus's, over the shared 16-list k-means centroids.
+    * Integer-exact deviations; the fitted-literal dynamic oracle
+    * re-derives assignment, histograms, and the cross-multiplied dev.
+    */
+  private def xEmbedDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.assignmentDrift(e, e.filter(col("vec_id") % 3 === 0),
+        Similarity.kmeansCentroids(e, nLists = 16))
+      .orderBy("list_id")
+  }
+
   /** Language ID (stopword/script heuristic). */
   private def xTextLangid(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -6068,6 +6081,7 @@ object SparkEntry {
     "x_text_quality" -> (xTextQuality _),
     "x_text_drift" -> (xTextDrift _),
     "x_stream_token_drift" -> (xStreamTokenDrift _),
+    "x_embed_drift" -> (xEmbedDrift _),
     "x_text_langid" -> (xTextLangid _),
     "x_text_fingerprint" -> (xTextFingerprint _),
     "x_mm_json" -> (xMmJson _),

@@ -1085,4 +1085,37 @@ object Similarity {
           col("n_neighbors").cast("double")).as("disagree_rate"),
         (col("n_disagree") * 2 > col("n_neighbors")).as("suspect"))
   }
+
+  /** EMBEDDING-SPACE drift monitor (round-16 — the vector sibling of
+    * [[graft.ext.TextAnalysis.tokenDrift]]): base-vs-batch
+    * centroid-assignment histograms over a SHARED centroid frame,
+    * with the same cross-multiplied integer deviation
+    * `|base_n × M − batch_n × N|` so the fitted-literal oracle
+    * reproduces every value exactly. A shifted embedding distribution
+    * — a new content domain, a changed encoder, a broken
+    * normalization — shows up as mass moving across the lists, the
+    * same signal an IVF index's list balance degrades under. Scale
+    * shape: assignment is [[ivfIndexWith]]'s broadcast-centroid
+    * argmax (no shuffle beyond the ≤ nLists-key count agg), and
+    * everything after the histograms is nLists-row arithmetic.
+    */
+  def assignmentDrift(base: DataFrame, batch: DataFrame,
+      centroids: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    def hist(df: DataFrame, as: String): DataFrame =
+      ivfIndexWith(df, centroids, idCol, vecCol)
+        .groupBy("list_id").agg(count(lit(1)).as(as))
+    val joined = centroids.select(col("list_id"))
+      .join(hist(base, "base_n"), Seq("list_id"), "left")
+      .join(hist(batch, "batch_n"), Seq("list_id"), "left")
+      .na.fill(0L, Seq("base_n", "batch_n"))
+      .cache() // nLists rows
+    val totals = joined.agg(sum("base_n").cast("long").as("n_base"),
+      sum("batch_n").cast("long").as("n_batch"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("list_id"), col("base_n"), col("batch_n"),
+        abs(col("base_n") * col("n_batch") -
+          col("batch_n") * col("n_base")).as("dev"),
+        col("n_base"), col("n_batch"))
+  }
 }

@@ -38,7 +38,7 @@ private[graft] object DynamicOracles {
       "x_sim_ivf_pq_served", "x_sim_ivf_pq_delete",
       "x_sim_ivf_pq_append", "x_sim_ivf_pq_versioned",
       "x_stream_ivfpq_ingest",
-      "x_sample_temperature", "x_embed_pca",
+      "x_sample_temperature", "x_embed_pca", "x_embed_drift",
       "x_zipf_ppjoin", "x_zipf_bm25", "x_zipf_substring",
       "x_sim_silhouette")
 
@@ -244,6 +244,47 @@ private[graft] object DynamicOracles {
         |        i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
         |  FROM v vv, cents c) WHERE rn = 1
         |ORDER BY id""".stripMargin)
+    }
+    // x_embed_drift: re-fit the shared 16-list centroids as literals;
+    // assignment (argmax dot, ties to the smaller list), histograms
+    // over the centroid spine, and the cross-multiplied integer
+    // deviation — every value exact, no float division anywhere
+    if (want("x_embed_drift")) {
+      val cents = cents16
+      b += ("x_embed_drift" ->
+      s"""WITH v0 AS (
+        |  SELECT vec_id AS id, embedding AS vec,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT id,
+        |        list_transform(vec, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+        |      FROM v0 WHERE nrm > 0),
+        |cents AS (SELECT CAST(list_id AS BIGINT) AS list_id,
+        |            list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec
+        |          FROM (VALUES
+        |        $cents) AS lit(list_id, cvec)),
+        |assigned AS (SELECT id, list_id FROM (
+        |  SELECT vv.id, c.list_id,
+        |    row_number() OVER (PARTITION BY vv.id ORDER BY
+        |      list_sum(list_transform(range(1, len(vv.nvec) + 1),
+        |        i -> vv.nvec[i] * c.cvec[i])) DESC, c.list_id) AS rn
+        |  FROM v vv, cents c) WHERE rn = 1),
+        |bh AS (SELECT list_id, CAST(count(*) AS BIGINT) AS base_n
+        |  FROM assigned GROUP BY list_id),
+        |ch AS (SELECT list_id, CAST(count(*) AS BIGINT) AS batch_n
+        |  FROM assigned WHERE id % 3 = 0 GROUP BY list_id),
+        |j AS (SELECT s.list_id, COALESCE(bh.base_n, 0) AS base_n,
+        |    COALESCE(ch.batch_n, 0) AS batch_n
+        |  FROM (SELECT list_id FROM cents) s
+        |  LEFT JOIN bh USING (list_id) LEFT JOIN ch USING (list_id)),
+        |tot AS (SELECT CAST(sum(base_n) AS BIGINT) AS n_base,
+        |  CAST(sum(batch_n) AS BIGINT) AS n_batch FROM j)
+        |SELECT j.list_id, j.base_n, j.batch_n,
+        |  CAST(abs(j.base_n * tot.n_batch - j.batch_n * tot.n_base)
+        |    AS BIGINT) AS dev,
+        |  tot.n_base, tot.n_batch
+        |FROM j, tot ORDER BY list_id""".stripMargin)
     }
     if (want("x_sim_ivf_kmeans")) {
       val cents = cents16
