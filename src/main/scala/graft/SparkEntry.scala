@@ -596,6 +596,43 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** UNDO through the oracle gate (round-16 —
+    * graft.sources.BucketedManifest.rollback, the Iceberg
+    * rollback-to-snapshot semantics): a poisoned batch is admitted
+    * (version 2), the family rolls back to the pre-admit freeze BY
+    * REFERENCE (version 3 — nothing copied, rewritten, or deleted;
+    * the bad version stays time-travelable for the audit trail), and
+    * the CURRENT version then serves the base-only answer —
+    * x_dedup_index_snapshot's oracle verbatim. The difference from
+    * the snapshot row is the mechanism under test: there the READER
+    * travels to the freeze; here the FAMILY ITSELF is reverted and an
+    * ordinary current-version read proves it.
+    */
+  private def xDedupIndexRollback(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val poison = base.select((col("id") + AppendDeltaOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val probes = base.select((col("id") + IncrementalTwinOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val tbl = indexTable(dir, "sidx_rb")
+    graft.sources.IndexStore.writeDedupIndexBucketedVersioned(base, tbl,
+      numBuckets = 8, k = 5)
+    val frozen = graft.sources.IndexStore
+      .snapshotDedupIndexBucketedVersioned(s, tbl)
+    graft.sources.IndexStore.appendDedupIndexBucketedVersioned(poison,
+      tbl, k = 5): Unit
+    require(graft.sources.BucketedManifest.rollback(s, tbl, frozen)
+      == 3, "the rollback is itself an ordinary auditable commit")
+    val (sh, bands) = graft.sources.IndexStore
+      .readDedupIndexBucketedVersioned(s, tbl, k = 5)
+    Dedup.nearDuplicatesAgainstIndex(probes, sh, bands,
+        threshold = 0.5, k = 5)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** The MinHash index on GEN-MANIFEST bucketed tables
     * (graft.sources.BucketedManifest — round-15 directive #1, the
     * first bucketed family on the table format): identical data flow
@@ -6373,6 +6410,7 @@ object SparkEntry {
     "x_dedup_editdist_versioned" -> (xDedupEditdistVersioned _),
     "x_mm_phash_versioned" -> (xMmPhashVersioned _),
     "x_dedup_index_snapshot" -> (xDedupIndexSnapshot _),
+    "x_dedup_index_rollback" -> (xDedupIndexRollback _),
     "x_stream_pipeline_admit_versioned" ->
       (xStreamPipelineAdmitVersioned _)
   )
@@ -6487,6 +6525,8 @@ object SparkEntry {
       "x_mm_phash_versioned" ->
         graft.oracle.StaticOracles.sql("x_mm_phash_served"),
       "x_dedup_index_snapshot" ->
+        graft.oracle.StaticOracles.sql("x_dedup_incremental"),
+      "x_dedup_index_rollback" ->
         graft.oracle.StaticOracles.sql("x_dedup_incremental"),
       "x_stream_pipeline_admit_versioned" ->
         graft.oracle.StaticOracles.sql("x_stream_pipeline_admit"),

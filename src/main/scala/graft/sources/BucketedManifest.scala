@@ -366,6 +366,40 @@ object BucketedManifest {
         "maxRetries or serialize writers")
   }
 
+  /** ROLLBACK: publish version `v`'s exact line set as the NEXT
+    * version — the undo operation (round-16; Iceberg's
+    * rollback-to-snapshot semantics): a bad commit (a poisoned batch,
+    * a mistaken delete) is reverted by REFERENCE, with nothing
+    * copied, rewritten, or deleted — the bad versions stay
+    * time-travelable for the audit trail until retention ages them
+    * out, and the rollback itself is an ordinary auditable commit.
+    * Members added after `v` drop out of the head (their generations
+    * stay for their versions' readers, like any superseded state);
+    * members retired after `v` come back. Fails loudly when `v` was
+    * vacuumed or never existed; CAS-retried like [[append]]. Returns
+    * the committed version.
+    */
+  def rollback(spark: SparkSession, family: String, v: Int,
+      maxRetries: Int = 20): Int = {
+    val meta = metaDir(spark, family)
+    require(VersionedFlat.currentVersion(meta) > 0,
+      s"$family is not an initialized BucketedManifest family")
+    require(v > 0 && new java.io.File(meta, f"manifest-$v%06d").exists(),
+      s"version $v of family $family does not exist (never " +
+        "committed, or vacuumed) — cannot roll back to it")
+    val lines = VersionedFlat.readManifest(meta, v)
+    var attempts = 0
+    while (attempts < maxRetries) {
+      val cur = VersionedFlat.currentVersion(meta)
+      if (VersionedFlat.tryCommit(meta, cur + 1, lines))
+        return cur + 1
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"rollback of family $family to version $v lost the manifest " +
+        s"CAS $maxRetries times — pathological contention")
+  }
+
   /** RETIRE a member — the evolution inverse of [[addMember]], as a
     * pure manifest operation: the next version references every OTHER
     * member's current generations and simply omits this one. Nothing

@@ -516,6 +516,53 @@ class BucketedManifestSpec extends SparkSpec {
     } finally BucketedManifest.drop(spark, fam, Seq(a, b))
   }
 
+  test("rollback publishes a prior version's line set by reference: " +
+      "the head reverts, the bad commit stays time-travelable, later " +
+      "appends continue from the rolled-back state, members evolved " +
+      "after the target drop out of the head and come back") {
+    val fam = "bm_rollback"
+    val (a, b) = (s"${fam}_a", s"${fam}_b")
+    try {
+      BucketedManifest.create(spark, fam,
+        Seq((a, frame(0 until 100), Seq("id"), 4)))
+      BucketedManifest.append(spark, fam, Seq((a, frame(100 until 150))))
+      BucketedManifest.addMember(spark, fam, b,
+        frame(500 until 550), Seq("id"), 4): Unit // v3
+      // the bad state: v4 poisons a, v5 retires b
+      BucketedManifest.append(spark, fam, Seq((a, frame(150 until 160))))
+      BucketedManifest.dropMember(spark, fam, b): Unit // v5
+      val rb = BucketedManifest.rollback(spark, fam, 3)
+      assert(rb === 6, "a rollback is an ordinary commit")
+      assert(idSet(BucketedManifest.read(spark, fam, a))
+        === (0L until 150L).toSet,
+        "the head must revert to v3's content for a")
+      assert(idSet(BucketedManifest.read(spark, fam, b))
+        === (500L until 550L).toSet,
+        "the member retired after the target must come back")
+      assert(idSet(BucketedManifest.readVersion(spark, fam, a, 4))
+        === (0L until 160L).toSet,
+        "the bad commit stays time-travelable for the audit trail")
+      // later work continues from the rolled-back state
+      BucketedManifest.append(spark, fam, Seq(
+        (a, frame(200 until 210)), (b, frame(550 until 560))))
+      assert(idSet(BucketedManifest.read(spark, fam, a))
+        === ((0L until 150L) ++ (200L until 210L)).toSet)
+      // rolling back to a nonexistent / vacuumed version fails loudly
+      intercept[IllegalArgumentException] {
+        BucketedManifest.rollback(spark, fam, 99)
+      }
+      // after retention ages the poisoned versions out, the rolled-
+      // back-to state still serves (its generations are referenced
+      // by the current head, so vacuum keeps them)
+      BucketedManifest.vacuum(spark, fam, retain = 1)
+      assert(idSet(BucketedManifest.read(spark, fam, a))
+        === ((0L until 150L) ++ (200L until 210L)).toSet)
+      intercept[IllegalArgumentException] {
+        BucketedManifest.readVersion(spark, fam, a, 4).collect()
+      }
+    } finally BucketedManifest.drop(spark, fam, Seq(a, b))
+  }
+
   test("dropMember retires a member as a pure manifest op: pre-drop " +
       "versions still serve it, current reads and appends reject it " +
       "loudly, purgeMember refuses while referenced and reclaims " +
@@ -719,7 +766,7 @@ class BucketedManifestSpec extends SparkSpec {
         var state = Map(names.head -> init.map(_.toLong).toSet)
         // history(v-1) = expected member→ids at version v
         var history = Vector(state)
-        for (_ <- 0 until 6) rnd.nextInt(5) match {
+        for (_ <- 0 until 6) rnd.nextInt(6) match {
           case 0 => // append to a random nonempty member subset
             val targets = names.filter(_ => rnd.nextBoolean()) match {
               case Vector() => Vector(names(rnd.nextInt(names.size)))
@@ -749,6 +796,12 @@ class BucketedManifestSpec extends SparkSpec {
           case 3 =>
             BucketedManifest.compact(spark, fam)
             history :+= state // content-invariant, one version
+          case 4 => // rollback to a random committed version
+            val target = 1 + rnd.nextInt(history.size)
+            BucketedManifest.rollback(spark, fam, target): Unit
+            state = history(target - 1)
+            names = state.keySet.toVector.sorted
+            history :+= state
           case _ =>
             // cadence predicate is spec'd elsewhere; here the model
             // just mirrors whether the store committed a version
