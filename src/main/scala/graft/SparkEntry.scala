@@ -1417,6 +1417,41 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** UNDO on the versioned IVF artifact
+    * (graft.sources.IndexStore.rollbackIvfIndexVersioned — round-16,
+    * the flat-store twin of x_dedup_index_rollback): the corpus is
+    * built normally (evens, then odds — version 2 = the full corpus),
+    * a POISONED batch is admitted — byte-exact copies of the query
+    * vectors under fresh ids, which would surface as cosine-1.0 top
+    * neighbors and corrupt every ranking — and the artifact rolls
+    * back to version 2 by reference. Serving the CURRENT version then
+    * equals the clean full-corpus build: x_sim_ivf_topk's oracle
+    * verbatim. The poisoned version stays time-travelable for the
+    * incident audit until vacuum.
+    */
+  private def xSimIvfRollback(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = indexDir(dir, "ivfrb")
+    graft.sources.IndexStore.writeIvfIndexVersioned(
+      e.filter(col("vec_id") % 2 === 0),
+      Similarity.firstIdCentroids(e, 16), idx)
+    graft.sources.IndexStore.appendIvfIndexVersioned(
+      e.filter(col("vec_id") % 2 === 1), idx)
+    val clean = graft.sources.VersionedFlat.currentVersion(s"$idx/enc")
+    graft.sources.IndexStore.appendIvfIndexVersioned(
+      e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 900000L).as("vec_id"),
+          col("embedding")), idx)
+    require(graft.sources.IndexStore.rollbackIvfIndexVersioned(s, idx,
+      clean) == clean + 2, "rollback is an ordinary commit")
+    val (index, cents) = graft.sources.IndexStore
+      .readIvfIndexVersioned(s, idx)
+    Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), index, cents,
+        10, nProbe = 4)
+      .withColumn("rank", col("rank").cast(LongType))
+      .orderBy("query_id", "rank")
+  }
+
   /** TIME TRAVEL on the versioned IVF artifact: after the odd half is
     * admitted (version 2), version 1 — the evens-only snapshot — is
     * still served EXACTLY as written: the oracle recomputes the
@@ -6381,6 +6416,7 @@ object SparkEntry {
     "x_stream_ivf_ingest" -> (xStreamIvfIngest _),
     "x_stream_ivf_resume" -> (xStreamIvfResume _),
     "x_sim_ivf_versioned" -> (xSimIvfVersioned _),
+    "x_sim_ivf_rollback" -> (xSimIvfRollback _),
     "x_sim_ivf_time_travel" -> (xSimIvfTimeTravel _),
     "x_sim_ivf_versioned_delete" -> (xSimIvfVersionedDelete _),
     "x_pipeline_train" -> (xPipelineTrain _),
@@ -6495,6 +6531,8 @@ object SparkEntry {
       "x_stream_ivf_resume" ->
         graft.oracle.StaticOracles.sql("x_sim_ivf_topk"),
       "x_sim_ivf_versioned" ->
+        graft.oracle.StaticOracles.sql("x_sim_ivf_topk"),
+      "x_sim_ivf_rollback" ->
         graft.oracle.StaticOracles.sql("x_sim_ivf_topk"),
       "x_sim_ivf_versioned_delete" ->
         graft.oracle.StaticOracles.sql("x_sim_ivf_delete"),

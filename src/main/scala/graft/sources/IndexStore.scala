@@ -1355,6 +1355,17 @@ object IndexStore {
       else VersionedFlat.read(spark, s"$dir/enc")),
       spark.read.parquet(s"$dir/centroids.parquet"))
 
+  /** ROLLBACK of the versioned IVF artifact's enc family
+    * ([[VersionedFlat.rollback]] — round-16): revert a poisoned
+    * admission by reference; the bad version stays time-travelable,
+    * the centroids (the artifact's immutable model) are untouched,
+    * and serving the current version afterwards equals serving the
+    * rolled-back-to version.
+    */
+  def rollbackIvfIndexVersioned(spark: SparkSession, dir: String,
+      v: Int): Int =
+    VersionedFlat.rollback(s"$dir/enc", v)
+
   /** The tombstone algebra composed onto the versioned store — same
     * `dead.parquet` + anti-join-before-ranking as the flat artifact
     * ([[deleteFromIvfIndex]]), with one honest difference a

@@ -311,6 +311,34 @@ object VersionedFlat {
     replace(readVersion(spark, dir, v), dir, targetFiles, basedOn = v)
   }
 
+  /** ROLLBACK: publish version `v`'s exact batch list as the NEXT
+    * version — the undo operation (round-16; the flat-store twin of
+    * [[BucketedManifest.rollback]], Iceberg's rollback-to-snapshot
+    * semantics): a poisoned append or mistaken replace is reverted by
+    * REFERENCE — no batch is copied, rewritten, or deleted; the bad
+    * versions stay time-travelable until [[vacuum]] ages them out,
+    * and the rollback itself is an ordinary auditable commit. Fails
+    * loudly when `v` was vacuumed or never existed; CAS-retried like
+    * [[append]]. Returns the committed version.
+    */
+  def rollback(dir: String, v: Int, maxRetries: Int = 20): Int = {
+    require(currentVersion(dir) > 0,
+      s"$dir is not an initialized VersionedFlat store")
+    require(v > 0 && new java.io.File(dir, manifestName(v)).exists(),
+      s"version $v of $dir does not exist (never committed, or " +
+        "vacuumed) — cannot roll back to it")
+    val lines = readManifest(dir, v)
+    var attempts = 0
+    while (attempts < maxRetries) {
+      val cur = currentVersion(dir)
+      if (tryCommit(dir, cur + 1, lines)) return cur + 1
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"rollback of $dir to version $v lost the manifest CAS " +
+        s"$maxRetries times — pathological contention")
+  }
+
   /** [[compact]] only when the current manifest references more than
     * `maxBatches` batch dirs — the cadence policy that bounds manifest
     * growth (round-14 directive #6): N appends otherwise leave a

@@ -39,6 +39,33 @@ class VersionedFlatSpec extends SparkSpec {
       "version 1 must still serve exactly its own snapshot")
   }
 
+  test("rollback republishes a prior version's batch list by " +
+      "reference: head reverts, bad versions stay time-travelable, " +
+      "later appends continue from the reverted state, vacuum keeps " +
+      "the re-referenced batches") {
+    val dir = tmp("rb")
+    VersionedFlat.write(frame(0 until 10), dir)
+    VersionedFlat.append(frame(10 until 20), dir) // v2, the good state
+    VersionedFlat.append(frame(90 until 99), dir) // v3, the poison
+    VersionedFlat.replace(frame(500 until 510), dir) // v4, worse still
+    assert(VersionedFlat.rollback(dir, 2) === 5)
+    assert(idSet(VersionedFlat.read(spark, dir))
+      === (0L until 20L).toSet, "the head must revert to v2's content")
+    assert(idSet(VersionedFlat.readVersion(spark, dir, 3))
+      === (0L until 20L).toSet ++ (90L until 99L).toSet,
+      "the poisoned version stays time-travelable")
+    VersionedFlat.append(frame(30 until 35), dir)
+    assert(idSet(VersionedFlat.read(spark, dir))
+      === ((0L until 20L) ++ (30L until 35L)).toSet)
+    intercept[IllegalArgumentException] {
+      VersionedFlat.rollback(dir, 77)
+    }
+    VersionedFlat.vacuum(dir, retain = 1)
+    assert(idSet(VersionedFlat.read(spark, dir))
+      === ((0L until 20L) ++ (30L until 35L)).toSet,
+      "vacuum must keep batches the rolled-back head re-references")
+  }
+
   test("a reader's captured snapshot survives a concurrent compaction " +
       "(no rename-aside gap); compaction content-invariant, one file") {
     val dir = tmp("snap")
