@@ -353,14 +353,56 @@ object VersionedBucketed {
         "— pathological contention")
   }
 
+  /** ROLLBACK: re-publish version `v`'s content as the NEXT live
+    * version (round-16 — undo parity with
+    * [[BucketedManifest.rollback]] and [[VersionedFlat.rollback]]):
+    * the new version's directory is a zero-copy hard-link clone of
+    * version `v`'s files, published through the claim/commit
+    * protocol, so a poisoned in-place append or a bad compaction is
+    * reverted without rewriting a byte — the bad versions stay
+    * time-travelable until [[vacuum]]. Requires version `v` to still
+    * exist (not vacuumed). Fails loudly on claim contention like
+    * [[compact]]. Returns the committed version.
+    */
+  def rollback(spark: SparkSession, family: String, v: Int): Int = {
+    val cur = currentVersion(spark, family)
+    require(cur > 0,
+      s"$family is not an initialized VersionedBucketed family")
+    require(spark.catalog.tableExists(versionName(family, v)),
+      s"version $v of $family does not exist (never written, or " +
+        "vacuumed) — cannot roll back to it")
+    val committed = publish(spark, family, cur + 1) {
+      buildClone(spark, family, src = v, dst = cur + 1)
+    }
+    if (!committed) {
+      if (currentVersion(spark, family) > cur)
+        throw new java.util.ConcurrentModificationException(
+          s"version ${cur + 1} of $family was committed concurrently " +
+            "— recompute and retry the rollback")
+      throw new IllegalStateException(
+        s"version ${cur + 1} of $family is claimed but not committed " +
+          "— a concurrent writer is in flight, or a crashed claim " +
+          "blocks the slot (run recover() when quiesced)")
+    }
+    cur + 1
+  }
+
   /** The hard-link clone build of [[snapshot]]: version v+1's
     * directory is populated with links to version v's current files
     * and declared as an external bucketed table with v's spec.
     */
   private def buildSnapshotClone(spark: SparkSession, family: String,
-      v: Int): Unit = {
-    val cur = versionName(family, v)
-    val next = versionName(family, v + 1)
+      v: Int): Unit = buildClone(spark, family, src = v, dst = v + 1)
+
+  /** Link-clone version `src`'s file set into a fresh directory and
+    * declare it as external table `dst` with `src`'s spec — the
+    * shared build of [[snapshot]] (src = live head) and [[rollback]]
+    * (src = any retained version).
+    */
+  private def buildClone(spark: SparkSession, family: String,
+      src: Int, dst: Int): Unit = {
+    val cur = versionName(family, src)
+    val next = versionName(family, dst)
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(cur))
     val spec = meta.bucketSpec

@@ -97,6 +97,44 @@ class VersionedBucketedSpec extends SparkSpec {
     }
   }
 
+  test("rollback re-publishes a retained version as a zero-copy " +
+      "linked clone: the head reverts, the poisoned version stays " +
+      "time-travelable, later appends continue from the reverted " +
+      "state, vacuum keeps shared bytes by link count") {
+    val fam = "vb_rollback"
+    try {
+      val o = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_custkey"))
+      val evens = o.filter(col("id") % 2 === 0)
+      VersionedBucketed.write(evens, fam, Seq("id"), 4)
+      VersionedBucketed.compact(spark, fam) // v2: the good state
+      val want = VersionedBucketed.read(spark, fam).count()
+      // the poison: an in-place append of wrong rows onto a SNAPSHOT
+      // (v3) so v2 stays frozen, then the bad rows land in v3
+      VersionedBucketed.snapshot(spark, fam): Unit
+      VersionedBucketed.append(o.filter(col("id") % 2 === 1), fam)
+      assert(VersionedBucketed.read(spark, fam).count() > want)
+      val rb = VersionedBucketed.rollback(spark, fam, 2)
+      assert(rb === 4, "rollback publishes an ordinary next version")
+      assert(VersionedBucketed.read(spark, fam).count() === want,
+        "the head must serve the rolled-back-to content")
+      assert(VersionedBucketed.readVersion(spark, fam, 3).count() > want,
+        "the poisoned version stays time-travelable")
+      // later work continues from the reverted state
+      VersionedBucketed.append(evens.limit(10)
+        .select((col("id") + 900000000L).as("id"), col("o_custkey")),
+        fam)
+      assert(VersionedBucketed.read(spark, fam).count() === want + 10)
+      intercept[IllegalArgumentException] {
+        VersionedBucketed.rollback(spark, fam, 77)
+      }
+      // vacuum drops the poisoned versions; the live (cloned) version
+      // keeps its bytes via link counts
+      VersionedBucketed.vacuum(spark, fam, retain = 1)
+      assert(VersionedBucketed.read(spark, fam).count() === want + 10)
+    } finally dropFamily("vb_rollback")
+  }
+
   test("snapshot isolation: a reader frame captured before the " +
       "compaction still collects after it (old files undeleted)") {
     val fam = "vb_snap"
