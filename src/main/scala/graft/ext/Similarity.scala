@@ -1109,13 +1109,25 @@ object Similarity {
       .join(hist(base, "base_n"), Seq("list_id"), "left")
       .join(hist(batch, "batch_n"), Seq("list_id"), "left")
       .na.fill(0L, Seq("base_n", "batch_n"))
-      .cache() // nLists rows
-    val totals = joined.agg(sum("base_n").cast("long").as("n_base"),
-      sum("batch_n").cast("long").as("n_batch"))
-    joined.crossJoin(broadcast(totals))
+    // The nLists-row histogram join is materialized ONCE (a bounded
+    // collect — nLists rows, the same driver-bounded scale as the
+    // centroid frame itself) and re-emitted as a local relation with
+    // the totals baked in as literals — deliberately NOT cached for
+    // a second totals pass: a per-call cache nobody unpersists
+    // accumulates in the block manager across a standing monitor's
+    // lifetime (round-16 ADVICE), and the expensive part (both
+    // corpus assignment passes) runs exactly once this way.
+    val rows = joined.collect()
+    val spark = base.sparkSession
+    val bIdx = joined.schema.fieldIndex("base_n")
+    val cIdx = joined.schema.fieldIndex("batch_n")
+    val nBase = rows.map(_.getLong(bIdx)).sum
+    val nBatch = rows.map(_.getLong(cIdx)).sum
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        joined.schema)
       .select(col("list_id"), col("base_n"), col("batch_n"),
-        abs(col("base_n") * col("n_batch") -
-          col("batch_n") * col("n_base")).as("dev"),
-        col("n_base"), col("n_batch"))
+        abs(col("base_n") * lit(nBatch) -
+          col("batch_n") * lit(nBase)).as("dev"),
+        lit(nBase).as("n_base"), lit(nBatch).as("n_batch"))
   }
 }

@@ -912,7 +912,19 @@ object TextAnalysis {
     .orderBy(col("base_n").desc, col("tok").asc).limit(k)
     .cache() // k rows — reused as the support filter and the join head
 
-  /** One batch's drift table against a standing [[tokenDriftHead]]. */
+  /** One batch's drift table against a standing [[tokenDriftHead]].
+    *
+    * The two totals are computed EAGERLY and baked in as literals —
+    * deliberately NOT by caching the k-row join for a second totals
+    * pass: a standing monitor ([[graft.streaming.StreamingValidate
+    * .tokenDriftMonitorStream]]) calls this once per micro-batch, and
+    * a per-call cache that nobody unpersists accumulates in the block
+    * manager for the monitor's lifetime (round-16 ADVICE). The cost
+    * is one extra evaluation of the bounded batch-side count (the
+    * batch is a micro-batch; the base side stays free — the head is
+    * the standing cache); the returned frame's plan keeps the
+    * broadcast support-filter shape PlanSpec pins.
+    */
   def tokenDriftAgainst(head: DataFrame, batchDocs: DataFrame,
       textCol: String): DataFrame = {
     val batchN = batchDocs
@@ -921,13 +933,14 @@ object TextAnalysis {
       .groupBy("tok").agg(count(lit(1)).as("batch_n"))
     val joined = head.join(batchN, Seq("tok"), "left")
       .na.fill(0L, Seq("batch_n"))
-      .cache() // k rows — keeps the totals pass from re-running the counts
-    val totals = joined.agg(sum("base_n").cast("long").as("n_base"),
-      sum("batch_n").cast("long").as("n_batch"))
-    joined.crossJoin(broadcast(totals))
+    val t = joined.agg(sum("base_n").cast("long"),
+      sum("batch_n").cast("long")).head
+    val nBase = if (t.isNullAt(0)) 0L else t.getLong(0)
+    val nBatch = if (t.isNullAt(1)) 0L else t.getLong(1)
+    joined
       .select(col("tok"), col("base_n"), col("batch_n"),
-        abs(col("base_n") * col("n_batch") -
-          col("batch_n") * col("n_base")).as("dev"),
-        col("n_base"), col("n_batch"))
+        abs(col("base_n") * lit(nBatch) -
+          col("batch_n") * lit(nBase)).as("dev"),
+        lit(nBase).as("n_base"), lit(nBatch).as("n_batch"))
   }
 }

@@ -118,12 +118,44 @@ object BucketedManifest {
   def currentVersion(spark: SparkSession, family: String): Int =
     VersionedFlat.currentVersion(metaDir(spark, family))
 
+  private val tokenNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Claim the next collision-free generation number (the claim
     * marker dir makes it safe under concurrent writers; a crashed
-    * claim is an invisible orphan vacuum collects).
+    * claim is an invisible orphan vacuum collects). The returned
+    * OWNER TOKEN is a writer-unique file dropped inside the claim
+    * dir: if an over-aggressive vacuum (orphanMinAgeMs below this
+    * write's duration) collects the claim mid-flight and a concurrent
+    * claimant re-creates `g-N`, the token is gone — [[requireClaim]]
+    * then fails the original writer's COMMIT loudly instead of
+    * letting two writers publish manifests that both reference
+    * generation N with interleaved files (the silent-clobber path).
     */
-  private def claimGen(meta: String): Int =
-    VersionedFlat.claimMarker(meta, "g-")._1
+  private def claimGen(meta: String): (Int, String) = {
+    val (n, dir) = VersionedFlat.claimMarker(meta, "g-")
+    val token = s"owner-p${ProcessHandle.current().pid()}" +
+      s"t${tokenNonce.incrementAndGet()}"
+    java.nio.file.Files.createFile(
+      new java.io.File(dir, token).toPath)
+    (n, token)
+  }
+
+  /** Fail loudly if this writer's claim on generation `gen` is no
+    * longer held (vacuum collected it — and possibly another claimant
+    * reused the number). Checked immediately before every manifest
+    * commit attempt: a commit that proceeds after losing the claim
+    * could reference a generation directory another writer now owns.
+    */
+  private def requireClaim(meta: String, gen: Int, token: String,
+      family: String): Unit =
+    require(new java.io.File(new java.io.File(meta, f"g-$gen%06d"),
+        token).exists(),
+      s"writer lost its claim on generation $gen of family $family — " +
+        "vacuum ran with orphanMinAgeMs below this write's duration " +
+        "and collected the claim mid-flight; the write is aborted to " +
+        "avoid publishing a generation number another writer may now " +
+        "own. Re-run the operation; set vacuum's orphanMinAgeMs above " +
+        "the longest plausible write when writers run concurrently")
 
   /** Write one member's frame as generation `gen`.
     *
@@ -205,6 +237,14 @@ object BucketedManifest {
     committer.requireSupported(meta.location)
     val genDir = new java.io.File(
       new java.io.File(meta.location), s"gen=$gen")
+    // The generation directory is created BEFORE the staged write —
+    // not at publication — so vacuum's claim guard ("a g-N claim
+    // survives while any gen=N directory exists") covers the staged
+    // Spark write too, which is where an append spends most of its
+    // wall time. Pre-protocol debris under OUR claimed number is
+    // reclaimed first (we hold the claim).
+    if (genDir.exists()) deleteTree(genDir)
+    genDir.mkdirs(): Unit
     val staging = committer.stagingDir(genDir)
     val bucketCol = "__graft_bucket"
     df.select(dataSchema(spark, table).map(f => col(f.name)): _*)
@@ -218,10 +258,7 @@ object BucketedManifest {
       .option("compression", "snappy")
       .parquet(staging.getPath)
     // publish staging/__graft_bucket=K/part-… into gen=N/ as
-    // bucket-K files (pre-protocol debris under OUR claimed number is
-    // reclaimed — we hold the claim)
-    if (genDir.exists()) deleteTree(genDir)
-    genDir.mkdirs(): Unit
+    // bucket-K files
     val PartRe = "part-(\\d+)-([^.]*)(\\..*)".r
     val BDirRe = (java.util.regex.Pattern.quote(bucketCol) +
       "=(\\d+)").r
@@ -270,9 +307,10 @@ object BucketedManifest {
     new java.io.File(meta).mkdirs()
     members.foreach { case (t, _, _, _) =>
       spark.sql(s"DROP TABLE IF EXISTS `$t`") }
-    val g = claimGen(meta)
+    val (g, tok) = claimGen(meta)
     members.foreach { case (t, df, keys, n) =>
       writeGen(df, t, keys, n, g, init = true) }
+    requireClaim(meta, g, tok, family)
     val ok = VersionedFlat.tryCommit(meta, 1,
       members.map { case (t, _, _, _) => line(t, g) })
     require(ok, s"init of family $family raced a concurrent writer — " +
@@ -303,7 +341,7 @@ object BucketedManifest {
       require(members.contains(t.toLowerCase),
         s"$t is not a member of family $family — new members are " +
           "added via addMember") }
-    val g = claimGen(meta)
+    val (g, tok) = claimGen(meta)
     val newLines = deltas.map { case (t, df) =>
       val (keys, n) = bucketSpecOf(spark, t)
       writeGen(df, t, keys, n, g, init = false)
@@ -311,6 +349,7 @@ object BucketedManifest {
     }
     var attempts = 0
     while (attempts < maxRetries) {
+      requireClaim(meta, g, tok, family)
       val cur = VersionedFlat.currentVersion(meta)
       if (VersionedFlat.tryCommit(meta, cur + 1,
           VersionedFlat.readManifest(meta, cur) ++ newLines))
@@ -350,10 +389,11 @@ object BucketedManifest {
     require(!existing.contains(table.toLowerCase),
       s"$table is already a member of $family — admit deltas via " +
         "append")
-    val g = claimGen(meta)
+    val (g, tok) = claimGen(meta)
     writeGen(df, table, keys, numBuckets, g, init = true)
     var attempts = 0
     while (attempts < maxRetries) {
+      requireClaim(meta, g, tok, family)
       val cur = VersionedFlat.currentVersion(meta)
       if (VersionedFlat.tryCommit(meta, cur + 1,
           VersionedFlat.readManifest(meta, cur) :+ line(table, g)))
@@ -540,7 +580,7 @@ object BucketedManifest {
     val meta = metaDir(spark, family)
     val tables = parse(VersionedFlat.readManifest(meta, basedOn))
       .map(_._1).distinct
-    val g = claimGen(meta)
+    val (g, tok) = claimGen(meta)
     val mergedLines = tables.map { t =>
       val (keys, n) = bucketSpecOf(spark, t)
       val paths = genLocations(spark, t,
@@ -555,6 +595,7 @@ object BucketedManifest {
       writeGen(merged, t, keys, n, g, init = false)
       line(t, g)
     }
+    requireClaim(meta, g, tok, family)
     if (!VersionedFlat.tryCommit(meta, basedOn + 1,
         survivors.map { case (t, sg) => line(t, sg) } ++ mergedLines))
       throw new java.util.ConcurrentModificationException(
@@ -630,10 +671,15 @@ object BucketedManifest {
     * claims/tmps ([[VersionedFlat.vacuum]]'s age-gate contract:
     * un-manifested generations younger than `orphanMinAgeMs` might be
     * a live appender's in-flight write and survive; a claim marker
-    * additionally survives as long as ANY gen directory for its
-    * number exists, so a long-running append's claimed number can
-    * never be reused against it). The current version always
-    * survives.
+    * additionally survives as long as any young gen or staging
+    * directory for its number does — and writeGen creates the gen
+    * directory at write START, so the guard spans the whole write.
+    * Like every age gate here, concurrent-writer safety requires
+    * `orphanMinAgeMs` above the longest plausible write; the default
+    * 0 asserts quiescence. A misconfigured age cannot silently
+    * corrupt: a writer whose claim was collected detects the loss via
+    * its claim owner token and aborts its commit loudly). The current
+    * version always survives.
     */
   def vacuum(spark: SparkSession, family: String, retain: Int = 1,
       orphanMinAgeMs: Long = 0L): Unit = {
@@ -661,7 +707,7 @@ object BucketedManifest {
     // but young) — their claim markers must stay (see below).
     val survivingGens = scala.collection.mutable.Set.empty[Int]
     val genDirRe = "gen=(\\d{1,9})".r
-    val stagingRe = "\\.gen=\\d{1,9}\\.staging-.*".r
+    val stagingRe = "\\.gen=(\\d{1,9})\\.staging-.*".r
     tables.foreach { t =>
       val loc = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(t)).location
@@ -679,12 +725,14 @@ object BucketedManifest {
                   s"PARTITION (gen=$g)")
                 deleteTree(d)
               } else survivingGens += g
-            // a crashed writer's rename-committer staging (dot-
-            // prefixed, beside the gen dirs) — same age gate as any
-            // orphan: young staging may be a live writer's
-            case stagingRe() if d.isDirectory &&
-                d.lastModified() <= cutoff =>
-              deleteTree(d)
+            // a crashed writer's staging (dot-prefixed, beside the
+            // gen dirs — both committers stage here) — same age gate
+            // as any orphan: young staging may be a live writer's,
+            // and while it survives it also keeps its generation
+            // number's claim alive (see the claim rule below)
+            case stagingRe(gs) if d.isDirectory =>
+              if (d.lastModified() <= cutoff) deleteTree(d)
+              else survivingGens += gs.toInt
             case _ => ()
           }
         }
@@ -703,16 +751,22 @@ object BucketedManifest {
         f.getName.endsWith(".tmp") && f.lastModified() <= cutoff)
       .foreach(f => java.nio.file.Files.delete(f.toPath))
     // A claim marker g-N is deletable only when it is aged AND no
-    // gen=N directory exists on disk for ANY member: the claim is
-    // what makes N collision-free, and an append can run longer than
-    // `orphanMinAgeMs` — its claim goes stale mid-flight while its
-    // generation write is still landing files. Deleting such a claim
-    // would let claimGen reuse N and the reuser's mode(overwrite)
-    // write clobber the in-flight writer's files with both manifests
-    // then referencing gen N. Refusing while directories exist makes
-    // the silent-clobber path fail safe even when `orphanMinAgeMs`
-    // is set too low; the claim of a fully-collected generation (its
-    // dirs deleted above, or never written) still goes.
+    // gen=N directory or .gen=N.staging-* directory survived the
+    // pass above for ANY member: the claim is what makes N
+    // collision-free, and deleting a live writer's claim would let
+    // claimGen reuse N. Writers give the guard its coverage —
+    // writeGen creates the (empty) generation directory BEFORE the
+    // staged Spark write, so a gen=N dir exists for the whole write,
+    // and staging lives beside it under the same number. The guard
+    // is still AGE-GATED like every orphan rule here: those dirs are
+    // only kept while younger than `orphanMinAgeMs`, so safety under
+    // concurrent writers requires an age above the longest plausible
+    // write — age 0 asserts quiescence ([[VersionedFlat.vacuum]]'s
+    // contract, same words). Against the residual misconfiguration
+    // (age below a live write's duration), the writer's claim OWNER
+    // TOKEN converts the silent clobber into a loud abort: the
+    // in-flight writer re-checks its token immediately before every
+    // manifest commit and refuses to publish a stolen number.
     top.filter(f => f.isDirectory && f.lastModified() <= cutoff &&
         (f.getName match {
           case claimRe(d) => !claimed.contains(d.toInt) &&

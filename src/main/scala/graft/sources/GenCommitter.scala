@@ -104,10 +104,24 @@ object RenameGenCommitter extends GenCommitter {
 }
 
 /** Put publication (object-store discipline): each final name is a
-  * fresh full-byte write; staging is scratch space (it never needs to
-  * share a filesystem with the destination). The source file is left
-  * intact — the caller deletes the staging tree wholesale, exactly as
-  * an object-store deployment discards its local upload buffers.
+  * fresh full-byte write — publish never renames, so staging needs no
+  * same-filesystem relationship with the destination. The source file
+  * is left intact; the caller deletes the staging tree wholesale,
+  * exactly as an object-store deployment discards its upload buffers.
+  *
+  * Staging nevertheless lives BESIDE the generation directory (same
+  * dot-prefixed location the rename committer uses), for two reasons
+  * that are about the staged SPARK write, not the publish: (1) the
+  * staged write's tasks run on executors, and the table directory is
+  * the storage every executor can already reach — a driver-local
+  * tmpdir is not (the round-16 shape staged there and was silently
+  * local-mode-only); (2) a crashed writer's staging is then swept by
+  * the same age-gated [[BucketedManifest.vacuum]] rule that collects
+  * rename-committer staging, and while young it keeps the writer's
+  * generation-number claim alive. A real object-store deployment
+  * replaces the staged-write-then-put shape wholesale: its tasks
+  * buffer in executor-local scratch and stream multipart uploads —
+  * the seam to swap is exactly these two methods.
   */
 object PutGenCommitter extends GenCommitter {
   val name = "put"
@@ -115,8 +129,7 @@ object PutGenCommitter extends GenCommitter {
   def requireSupported(location: java.net.URI): Unit = ()
 
   def stagingDir(genDir: java.io.File): java.io.File =
-    new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir")),
+    new java.io.File(genDir.getParentFile,
       GenCommitter.stagingName(genDir))
 
   def publish(src: java.io.File, dst: java.io.File): Unit =

@@ -738,6 +738,15 @@ object StreamingValidate {
     * freezes fail loudly on time travel, retained ones still serve
     * exactly (spec-pinned in StreamingSpec). Both default OFF so the
     * audit-history rows keep their pure per-batch version chain.
+    *
+    * The in-loop vacuum runs with `vacuumOrphanAgeMs` as its orphan
+    * age gate. The default 0 asserts this loop is the family's SOLE
+    * writer (true of the loop itself — one micro-batch at a time);
+    * a deployment that lets OTHER appenders race the same family
+    * must pass an age above the longest plausible write, or their
+    * just-claimed in-flight generations are collectable the moment
+    * they appear ([[graft.sources.BucketedManifest.vacuum]]'s
+    * age-gate contract).
     */
   def gatedIngestRunVersioned(spark: org.apache.spark.sql.SparkSession,
       newDocsDir: String, indexTable: String, threshold: Double,
@@ -745,7 +754,8 @@ object StreamingValidate {
       minQuality: Double = 0.7, minTokens: Int = 10,
       lang: String = "en", salt: String = "", nShards: Int = 8,
       checkpointDir: String = null, sinkDir: String,
-      autoCompactGens: Int = 0, autoVacuumRetain: Int = 0): Unit = {
+      autoCompactGens: Int = 0, autoVacuumRetain: Int = 0,
+      vacuumOrphanAgeMs: Long = 0L): Unit = {
     import graft.ext.{Dedup, TextAnalysis}
     import org.apache.spark.sql.streaming.Trigger
     def survivors(b: DataFrame): DataFrame = {
@@ -792,7 +802,8 @@ object StreamingValidate {
                 indexTable, autoCompactGens): Unit
           if (autoVacuumRetain > 0)
             graft.sources.BucketedManifest.vacuum(spark, indexTable,
-              retain = autoVacuumRetain)
+              retain = autoVacuumRetain,
+              orphanMinAgeMs = vacuumOrphanAgeMs)
         } finally { sv.unpersist(blocking = false); () }
       }
     val writer = if (checkpointDir == null) writer0
@@ -830,6 +841,11 @@ object StreamingValidate {
     * any knob setting (compaction and retention are layout-only —
     * spec-pinned in StreamingSpec, and the bounded oracle row shares
     * the unbounded row's oracle verbatim).
+    *
+    * `vacuumOrphanAgeMs` is the in-loop vacuum's orphan age gate —
+    * default 0 asserts this loop is the family's sole writer; pass an
+    * age above the longest plausible write if other appenders may
+    * race the family (see [[gatedIngestRunVersioned]]).
     */
   def gatedIngestRunMulti(spark: org.apache.spark.sql.SparkSession,
       newDocsDir: String, indexTable: String, threshold: Double,
@@ -837,7 +853,8 @@ object StreamingValidate {
       minQuality: Double = 0.7, minTokens: Int = 10,
       lang: String = "en", salt: String = "", nShards: Int = 8,
       checkpointDir: String = null, sinkDir: String,
-      autoCompactGens: Int = 0, autoVacuumRetain: Int = 0): Unit = {
+      autoCompactGens: Int = 0, autoVacuumRetain: Int = 0,
+      vacuumOrphanAgeMs: Long = 0L): Unit = {
     import graft.ext.{Dedup, TextAnalysis}
     import org.apache.spark.sql.streaming.Trigger
     def survivors(b: DataFrame): DataFrame = {
@@ -888,7 +905,8 @@ object StreamingValidate {
                 autoCompactGens): Unit
           if (autoVacuumRetain > 0)
             graft.sources.BucketedManifest.vacuum(spark, indexTable,
-              retain = autoVacuumRetain)
+              retain = autoVacuumRetain,
+              orphanMinAgeMs = vacuumOrphanAgeMs)
         } finally { sv.unpersist(blocking = false); () }
       }
     val writer = if (checkpointDir == null) writer0
