@@ -763,14 +763,14 @@ object SparkEntry {
   }
 
   /** [[xDedupIndexVersioned]] under the PUT committer (round-16 — the
-    * object-store write path through the oracle gate): every
-    * generation the append and the compaction publish lands as fresh
-    * byte puts at final names via graft.sources.PutGenCommitter —
-    * zero renames, zero links in the store's write path (generation-1
-    * table birth rides Spark's own table committer, as documented on
-    * the seam). Shares x_dedup_index_append's oracle verbatim: the
-    * publication mechanics change no row. The session conf is
-    * restored afterward.
+    * object-store write path through the oracle gate): EVERY
+    * generation — including generation 1, since table birth is pure
+    * DDL and its data lands through the committer seam (round-17
+    * directive #3) — is published as fresh byte puts at final names
+    * via graft.sources.PutGenCommitter: zero renames, zero links
+    * anywhere in the family's life. Shares x_dedup_index_append's
+    * oracle verbatim: the publication mechanics change no row. The
+    * session conf is restored afterward.
     */
   private def xDedupIndexVersionedPut(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents").select(col("doc_id").as("id"),

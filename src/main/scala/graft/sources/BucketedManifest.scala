@@ -159,11 +159,23 @@ object BucketedManifest {
 
   /** Write one member's frame as generation `gen`.
     *
-    * Init (table birth, single-writer) is a plain partitioned+bucketed
-    * `saveAsTable` — task-parallel build, Spark's bucket-id file
-    * naming. Every LATER generation writes its parquet DIRECTLY into
-    * the `gen=N` partition directory and registers the partition —
-    * deliberately NOT a table-level insert:
+    * Init (table birth, single-writer by the caller's contract) is
+    * pure DDL — the member is declared as an EXTERNAL table shell
+    * over an empty directory (the same declaration [[attach]] makes
+    * over an existing one), and generation 1 then lands through the
+    * SAME staged-write + committer-publish path as every later
+    * generation (round-16 verdict item #3): NO write in the store's
+    * life rides Spark's table committer, so under the put committer
+    * the family is rename-free from birth. The only init difference
+    * is layout shaping: the delta-sizing `repartition(numBuckets)`
+    * is skipped, keeping the corpus-sized birth write shuffle-free
+    * and task-parallel (per-task per-bucket files — exactly the
+    * layout the old `saveAsTable` bucketed birth produced; the first
+    * compaction reaches one file per bucket as before).
+    *
+    * Every generation writes its parquet DIRECTLY into the `gen=N`
+    * partition directory and registers the partition — deliberately
+    * NOT a table-level insert:
     *
     *   - a `saveAsTable` append stages under the table-global
     *     `_temporary/0`, so two concurrent appenders clobber each
@@ -216,20 +228,26 @@ object BucketedManifest {
       numBuckets: Int, gen: Int, init: Boolean): Unit = {
     val spark = df.sparkSession
     if (init) {
-      // EXTERNAL from birth (explicit path): the catalog entry is a
-      // CACHE over the manifest chain and the files — losing it (an
+      // EXTERNAL from birth (explicit location): the catalog entry is
+      // a CACHE over the manifest chain and the files — losing it (an
       // in-memory catalog in a fresh JVM, a metastore rebuild) must
-      // never delete data, and [[attach]] re-derives the entry.
-      df.withColumn("gen", lit(gen))
-        .write.mode("overwrite")
-        .option("path", new java.io.File(warehouse(spark),
-          table.toLowerCase).getPath)
-        .partitionBy("gen")
-        .bucketBy(numBuckets, keys.head, keys.tail: _*)
-        .sortBy(keys.head, keys.tail: _*)
-        .format("parquet")
-        .saveAsTable(table)
-      return
+      // never delete data, and [[attach]] re-derives the entry. The
+      // shell is empty; the data lands below, through the committer.
+      require(!df.schema.fieldNames.map(_.toLowerCase).contains("gen"),
+        s"member $table's frame may not carry a 'gen' column — the " +
+          "store owns that partition column")
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val loc = new java.io.File(warehouse(spark), table.toLowerCase)
+      deleteTree(loc)
+      loc.mkdirs(): Unit
+      spark.sql(
+        s"""CREATE TABLE `$table` (${df.schema.toDDL}, gen INT)
+           |USING PARQUET
+           |PARTITIONED BY (gen)
+           |CLUSTERED BY (${keys.mkString("`", "`, `", "`")})
+           |SORTED BY (${keys.mkString("`", "`, `", "`")})
+           |INTO $numBuckets BUCKETS
+           |LOCATION '${loc.getPath}'""".stripMargin)
     }
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
@@ -247,10 +265,16 @@ object BucketedManifest {
     genDir.mkdirs(): Unit
     val staging = committer.stagingDir(genDir)
     val bucketCol = "__graft_bucket"
-    df.select(dataSchema(spark, table).map(f => col(f.name)): _*)
+    val routed = df
+      .select(dataSchema(spark, table).map(f => col(f.name)): _*)
       .withColumn(bucketCol,
         pmod(hash(keys.map(col): _*), lit(numBuckets)))
-      .repartition(numBuckets, col(bucketCol))
+    // appends shape the (small) delta to one file per bucket; the
+    // corpus-sized birth write stays shuffle-free and task-parallel
+    val shaped =
+      if (init) routed
+      else routed.repartition(numBuckets, col(bucketCol))
+    shaped
       .sortWithinPartitions(
         (col(bucketCol) +: keys.map(col)): _*)
       .write.mode("overwrite")

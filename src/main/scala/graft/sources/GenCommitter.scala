@@ -34,11 +34,11 @@ package graft.sources
   * both and pins identical content, bucket-file layout, and the
   * exchange-free serve plan.
   *
-  * (Generation-1 table BIRTH still rides Spark's own
-  * `saveAsTable` committer — single-writer by [[BucketedManifest
-  * .create]]'s contract; an object-store deployment configures a
-  * cloud-safe Spark committer for that one write the same way it
-  * does for any other table creation.)
+  * EVERY write in a family's life goes through this seam — table
+  * birth is pure DDL (an external shell over an empty directory) and
+  * generation 1 lands through the same staged-write + publish path
+  * as every later generation (round-16 verdict item #3), so under
+  * the put committer a family is rename-free from its first byte.
   */
 sealed trait GenCommitter {
   /** Committer name, for error messages and the conf round-trip. */

@@ -647,6 +647,17 @@ class BucketedManifestSpec extends SparkSpec {
         "the put-committed family must serve the full content")
       assert(layout(famP, ap) === layout(famR, ar),
         "both committers must land identical bucket-file layouts")
+      // birth goes through the seam too (round-17 directive #3):
+      // generation 1 was published by the committer, not by Spark's
+      // table committer — the member directory holds ONLY generation
+      // dirs, no _SUCCESS/_temporary debris and no leftover staging
+      val apDir = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(ap))
+          .location.toString).getPath)
+      assert(apDir.listFiles().map(_.getName).forall(_.startsWith("gen=")),
+        "a put-born member dir must contain only generation dirs — " +
+          "table birth rides the committer seam, not saveAsTable")
       // time travel and vacuum behave identically on put-built gens
       assert(idSet(BucketedManifest.readVersion(spark, famP, ap, 1))
         === (0L until 500L).toSet)
