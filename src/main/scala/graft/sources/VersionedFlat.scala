@@ -210,15 +210,46 @@ object VersionedFlat {
     * lag. Writer-unique tmp names keep the racers from corrupting
     * each other's bytes.
     */
-  private[sources] def advanceCurrent(dir: String, v: Int): Unit = {
-    val cur = new java.io.File(dir, "CURRENT")
+  private[sources] def advanceCurrent(dir: String, v: Int): Unit =
+    advanceHint(dir, "CURRENT", v)
+
+  /** The chain's checkpoint FLOOR (default 1): the lowest version
+    * whose manifest can still exist — everything below is expired,
+    * deleted history. The floor is the Iceberg snapshot-log-
+    * compaction idea reduced to this store's shape (round-16 verdict
+    * item #1): the manifest CHAIN grows by one flat file per commit
+    * forever, and without a floor every whole-chain metadata walk
+    * (purge/attach-style audits) is O(all-time commits) in existence
+    * probes even after vacuum deleted the files. [[vacuum]] advances
+    * the floor as it expires manifests, so those walks read
+    * O(retained). Like CURRENT it is a forward-only, last-writer-wins
+    * HINT, conservative by construction: it may LAG the true lowest
+    * manifest (a crash between manifest deletion and the advance),
+    * never overshoot it, so a scan from the floor sees every retained
+    * manifest and at worst re-probes a few deleted names.
+    */
+  def floorVersion(dir: String): Int = {
+    val f = new java.io.File(dir, "FLOOR")
+    if (!f.exists()) 1
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+      "UTF-8").trim.stripPrefix("manifest-").toInt
+  }
+
+  /** Move the FLOOR hint forward to `v` if it lags ([[floorVersion]];
+    * same forward-only LWW discipline as [[advanceCurrent]]).
+    */
+  private[sources] def advanceFloor(dir: String, v: Int): Unit =
+    advanceHint(dir, "FLOOR", v)
+
+  private def advanceHint(dir: String, name: String, v: Int): Unit = {
+    val cur = new java.io.File(dir, name)
     val pointed =
       if (!cur.exists()) 0
       else new String(java.nio.file.Files.readAllBytes(cur.toPath),
         "UTF-8").trim.stripPrefix("manifest-").toInt
     if (v > pointed) {
       val tmp = new java.io.File(dir,
-        s".CURRENT.p${ProcessHandle.current().pid()}" +
+        s".$name.p${ProcessHandle.current().pid()}" +
           s"t${tmpNonce.incrementAndGet()}.tmp")
       java.nio.file.Files.write(tmp.toPath,
         (manifestName(v) + "\n").getBytes("UTF-8"))
@@ -420,6 +451,9 @@ object VersionedFlat {
       case ManifestRe(d) => d.toInt < keepMin
       case _ => false
     }).foreach(f => java.nio.file.Files.delete(f.toPath))
+    // checkpoint the chain: everything below keepMin is now deleted
+    // history, so whole-chain walks can start at the floor
+    advanceFloor(dir, keepMin)
     // crashed commits' dot-tmp debris (age-gated: a live committer's
     // tmp only exists between write and link — milliseconds)
     top.filter(f => f.isFile && f.getName.startsWith(".") &&

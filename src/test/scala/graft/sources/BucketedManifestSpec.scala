@@ -752,9 +752,10 @@ class BucketedManifestSpec extends SparkSpec {
   }
 
   test("law: any op sequence (append / addMember / dropMember / " +
-      "compact / compactTiered) ≡ an in-memory fold of the same ops, " +
-      "at EVERY committed version — content per member and loud " +
-      "failure for members absent from that version's manifest") {
+      "compact / compactTiered / rollback) ≡ an in-memory fold of the " +
+      "same ops, at EVERY committed version — content per member and " +
+      "loud failure for members absent from that version's manifest; " +
+      "a checkpointed vacuum then preserves the retained fold exactly") {
     // Seeded model-based testing: the store is driven through a
     // random op sequence while a trivial in-memory model (member →
     // id set, plus the full per-version history) folds the same ops;
@@ -836,6 +837,29 @@ class BucketedManifestSpec extends SparkSpec {
             }
           }
         }
+        // CHECKPOINT epilogue (round-17 #1): vacuum to a 2-version
+        // window — the floor advances past the expired history — and
+        // the retained versions still fold to the model's state,
+        // while pre-floor versions now fail loudly like any vacuumed
+        // history. checkpoint() is idempotent on the vacuumed chain.
+        val cur = history.size
+        if (cur >= 2) {
+          BucketedManifest.vacuum(spark, fam, retain = 2)
+          val fl = BucketedManifest.floor(spark, fam)
+          assert(fl === math.max(1, cur - 1),
+            s"seed $seed: vacuum checkpoints the floor")
+          assert(BucketedManifest.checkpoint(spark, fam) === fl,
+            s"seed $seed: checkpoint is idempotent after vacuum")
+          for (v <- fl to cur; (t, ids) <- history(v - 1))
+            assert(idSet(BucketedManifest.readVersion(spark, fam, t, v))
+              === ids, s"seed $seed: member $t at version $v " +
+                "after checkpointed vacuum")
+          for (v <- 1 until fl)
+            intercept[IllegalArgumentException] {
+              BucketedManifest.readVersion(spark, fam,
+                history(v - 1).keySet.head, v).collect()
+            }
+        }
       } finally BucketedManifest.drop(spark, fam,
         names ++ (0 to added).map(i => s"${fam}_m$i"))
     }
@@ -867,5 +891,74 @@ class BucketedManifestSpec extends SparkSpec {
       assert(idSet(BucketedManifest.read(spark, fam, a))
         === (0L until 20L).toSet, "the live version survives vacuum")
     } finally BucketedManifest.drop(spark, fam, Seq(a))
+  }
+
+  test("checkpoint: vacuum advances the manifest FLOOR so whole-chain " +
+      "metadata walks read O(retained), not O(all-time) — purgeMember " +
+      "and attach stay green on a chain whose pre-checkpoint manifests " +
+      "were vacuumed, and provably never read below the floor") {
+    val fam = "bm_ckpt"
+    val (a, b) = (s"${fam}_a", s"${fam}_b")
+    try {
+      BucketedManifest.create(spark, fam,
+        Seq((a, frame(0 until 50), Seq("id"), 4)))           // v1
+      BucketedManifest.append(spark, fam,
+        Seq((a, frame(50 until 80)))): Unit                  // v2
+      BucketedManifest.addMember(spark, fam, b,
+        frame(500 until 550), Seq("id"), 4): Unit            // v3
+      BucketedManifest.append(spark, fam,
+        Seq((a, frame(80 until 90)), (b, frame(550 until 560)))): Unit // v4
+      BucketedManifest.dropMember(spark, fam, b): Unit       // v5
+      BucketedManifest.append(spark, fam,
+        Seq((a, frame(90 until 100)))): Unit                 // v6
+      assert(BucketedManifest.floor(spark, fam) === 1,
+        "a fresh chain's floor is version 1")
+      // b is still referenced by retained manifests — purge refuses
+      BucketedManifest.vacuum(spark, fam, retain = 4)
+      assert(BucketedManifest.floor(spark, fam) === 3,
+        "vacuum checkpoints the chain to the retention window")
+      intercept[IllegalArgumentException] {
+        BucketedManifest.purgeMember(spark, fam, b)
+      }
+      // tighter retention ages b's manifests out; the floor advances
+      BucketedManifest.vacuum(spark, fam, retain = 1)
+      assert(BucketedManifest.floor(spark, fam) === 6)
+      assert(BucketedManifest.checkpoint(spark, fam) === 6,
+        "checkpoint is idempotent once vacuum advanced the floor")
+      // the O(retained) pin: plant a GARBAGE manifest file below the
+      // floor — a walk that still scanned from version 1 would read
+      // it and fail parsing; the floor-based walks never look there
+      val meta = BucketedManifest.metaDir(spark, fam)
+      java.nio.file.Files.write(
+        new java.io.File(meta, "manifest-000002").toPath,
+        "not a manifest line\n".getBytes("UTF-8")): Unit
+      BucketedManifest.purgeMember(spark, fam, b)
+      assert(!spark.catalog.tableExists(b),
+        "purge reclaims the retired member after checkpointed vacuum")
+      // attach on the checkpointed chain: the catalog loses the live
+      // member; re-derivation reads floor..current only
+      val locA = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(a))
+        .location.toString
+      val ddl = org.apache.spark.sql.types.StructType(
+        spark.table(a).schema.filterNot(_.name == "gen")).toDDL
+      spark.sql(s"DROP TABLE `$a`")
+      BucketedManifest.attach(spark, fam, a, locA, ddl, Seq("id"), 4)
+      assert(idSet(BucketedManifest.read(spark, fam, a))
+        === (0L until 100L).toSet,
+        "attach re-derives the member from the checkpointed chain")
+      // a lagging floor (crash between deletion and advance) is
+      // closed by the standalone checkpoint in O(lag) probes
+      java.nio.file.Files.delete(
+        new java.io.File(meta, "manifest-000002").toPath)
+      java.nio.file.Files.delete(
+        new java.io.File(meta, "FLOOR").toPath)
+      assert(BucketedManifest.floor(spark, fam) === 1,
+        "losing the hint only lags the floor — never wrong data")
+      assert(BucketedManifest.checkpoint(spark, fam) === 6,
+        "checkpoint re-derives the floor from manifest existence")
+      assert(idSet(BucketedManifest.read(spark, fam, a))
+        === (0L until 100L).toSet)
+    } finally BucketedManifest.drop(spark, fam, Seq(a, b))
   }
 }
