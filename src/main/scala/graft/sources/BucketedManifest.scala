@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 
 /** The gen-manifest bucketed store — the per-file table format for
   * bucketed index families (round-14 verdict item #1, the "last real
-  * table-format item"), replacing [[VersionedBucketed]]'s
+  * table-format item"), replacing the retired pointer store's
   * hard-link-freeze + catalog-table-per-version shape for families
   * that adopt it.
   *
@@ -37,13 +37,14 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod}
   * and the scan still carries the catalog bucket spec, so the
   * exchange-free serve contract over the bucket keys survives
   * versioning verbatim (`outputPartitioning = hashpartitioning(keys,
-  * n)` — the property [[VersionedBucketed]] needed hard-linked
+  * n)` — the property the retired pointer store needed hard-linked
   * external-table clones for, obtained here with zero links and zero
   * per-version catalog entries).
   *
-  * What this buys over [[VersionedBucketed]]:
+  * What this bought over the pointer store it retired (VersionedBucketed,
+  * removed in round 17 once the last families migrated):
   *
-  *   - APPENDS ARE VERSIONED. VersionedBucketed appends mutate the
+  *   - APPENDS ARE VERSIONED. The pointer store's appends mutated the
   *     live version in place (version-per-append needed a per-file
   *     manifest the catalog cannot express — its own scaladoc names
   *     this store as the fix). Here every append commits a manifest:
@@ -95,7 +96,8 @@ object BucketedManifest {
   }
 
   /** The family's manifest meta dir (filesystem, beside the warehouse
-    * tables — the [[VersionedBucketed]] pointer-file discipline).
+    * tables — the pointer-file discipline the retired stores share
+    * with [[VersionedFlat]]).
     */
   def metaDir(spark: SparkSession, family: String): String =
     new java.io.File(warehouse(spark),

@@ -322,7 +322,7 @@ object IndexStore {
   /** The MinHash dedup index on [[BucketedManifest]] gen-manifest
     * tables — the first bucketed family on the real table format
     * (round-15 directive #1; rounds 13–14 versioned it on
-    * [[VersionedBucketed]]'s hard-link freezes, whose scaladoc named
+    * the retired pointer store's hard-link freezes, whose scaladoc named
     * this store as the object-store-deployable fix). Both halves
     * (`_sh` on id, `_bands` on (band, bucket)) are MEMBERS of ONE
     * family: every append commits both in a single atomic manifest
@@ -549,7 +549,7 @@ object IndexStore {
     * O(tokens) gram rows per document). One member: the gram frame on
     * `h` — the key both serve-time joins use; `_meta` pins k exactly
     * as the swap-compacted twin does. Migrated off
-    * [[VersionedBucketed]]'s pointer store: appends are natively
+    * the retired pointer store: appends are natively
     * versioned (every admit commits a manifest and IS the freeze
     * point — no hard-link clone, no `file:`-scheme freeze), snapshots
     * are pure metadata reads, tiered compaction references big
@@ -773,59 +773,79 @@ object IndexStore {
     Bucketing.compactBucketed(spark, s"${table}_bylen")
   }
 
-  /** The PassJoin edit index on [[VersionedBucketed]]: all three
-    * tables (`_segs` on h, `_str` on id, `_bylen` on len) become
-    * version families compacted by publication; `_meta` pins d.
+  /** The PassJoin edit index on [[BucketedManifest]] gen-manifest
+    * tables (round-17 directive #2 — the FOURTH family on the table
+    * format, completing the migration the substring family templated
+    * in round 16): ONE family with THREE members — `_segs` on `h`
+    * (the candidate join), `_str` on `id` (the verify fetch),
+    * `_bylen` on `len` (the sub-(d+1)-char directory) — so every
+    * admit advances all three in ONE atomic manifest commit: the
+    * pointer store's per-table appends could crash with the segment
+    * table a batch ahead of the string table (a candidate whose
+    * verify fetch finds no string); here that split cannot exist.
+    * Appends are natively versioned (each admit IS a freeze point),
+    * snapshots are pure metadata, and the store's object-store
+    * posture (committer-seam writes, manifest CAS, attach, rollback)
+    * comes along for free — no hard links, no `file:`-scheme
+    * requirement. `_meta` pins d as before. Serve content is
+    * unchanged through the migration: x_dedup_editdist_versioned and
+    * x_stream_editdist_versioned keep sharing
+    * x_dedup_editdist_append's oracle verbatim on the new store.
     */
   def writeEditIndexBucketedVersioned(corpus: DataFrame, table: String,
       numBuckets: Int, d: Int, idCol: String = "id",
       strCol: String = "s"): Unit = {
+    val spark = corpus.sparkSession
+    Scratch.sweepOnce(spark)
     val c = normalizedEditFrame(corpus, idCol, strCol).cache()
     try {
-      VersionedBucketed.write(graft.ext.Dedup.editSegmentFrame(c, d),
-        s"${table}_segs", Seq("h"), numBuckets)
-      VersionedBucketed.write(
-        c.select(col("__id").as("id"), col("__s").as("s")),
-        s"${table}_str", Seq("id"), numBuckets)
-      VersionedBucketed.write(
-        c.select(col("__l").as("len"), col("__id").as("id")),
-        s"${table}_bylen", Seq("len"), numBuckets)
-      c.sparkSession.range(1).select(lit(d).as("d"))
+      BucketedManifest.create(spark, table, Seq(
+        (s"${table}_segs", graft.ext.Dedup.editSegmentFrame(c, d),
+          Seq("h"), numBuckets),
+        (s"${table}_str",
+          c.select(col("__id").as("id"), col("__s").as("s")),
+          Seq("id"), numBuckets),
+        (s"${table}_bylen",
+          c.select(col("__l").as("len"), col("__id").as("id")),
+          Seq("len"), numBuckets)))
+      spark.range(1).select(lit(d).as("d"))
         .write.mode("overwrite").format("parquet")
         .saveAsTable(s"${table}_meta")
     } finally c.unpersist(blocking = false)
   }
 
+  /** Admit a checked batch as a NEW VERSION — all three members in
+    * one atomic manifest commit (returned; it IS the freeze point).
+    */
   def appendEditIndexBucketedVersioned(delta: DataFrame, table: String,
-      d: Int, idCol: String = "id", strCol: String = "s"): Unit = {
+      d: Int, idCol: String = "id", strCol: String = "s"): Int = {
     checkEditMeta(delta.sparkSession, table, d)
     val c = normalizedEditFrame(delta, idCol, strCol).cache()
     try {
-      VersionedBucketed.append(graft.ext.Dedup.editSegmentFrame(c, d),
-        s"${table}_segs")
-      VersionedBucketed.append(
-        c.select(col("__id").as("id"), col("__s").as("s")),
-        s"${table}_str")
-      VersionedBucketed.append(
-        c.select(col("__l").as("len"), col("__id").as("id")),
-        s"${table}_bylen")
+      BucketedManifest.append(delta.sparkSession, table, Seq(
+        (s"${table}_segs", graft.ext.Dedup.editSegmentFrame(c, d)),
+        (s"${table}_str",
+          c.select(col("__id").as("id"), col("__s").as("s"))),
+        (s"${table}_bylen",
+          c.select(col("__l").as("len"), col("__id").as("id")))))
     } finally c.unpersist(blocking = false)
   }
 
   def readEditIndexBucketedVersioned(spark: SparkSession, table: String,
       d: Int): (DataFrame, DataFrame, DataFrame) = {
     checkEditMeta(spark, table, d)
-    (VersionedBucketed.read(spark, s"${table}_segs"),
-      VersionedBucketed.read(spark, s"${table}_str"),
-      VersionedBucketed.read(spark, s"${table}_bylen"))
+    (BucketedManifest.read(spark, table, s"${table}_segs"),
+      BucketedManifest.read(spark, table, s"${table}_str"),
+      BucketedManifest.read(spark, table, s"${table}_bylen"))
   }
 
+  /** Full compaction as version publication — one merged generation
+    * per member, all three published in ONE manifest commit (the
+    * pointer store needed three separate compact+repoint cycles).
+    */
   def compactEditIndexBucketedVersioned(spark: SparkSession,
-      table: String): Unit = {
-    VersionedBucketed.compact(spark, s"${table}_segs")
-    VersionedBucketed.compact(spark, s"${table}_str")
-    VersionedBucketed.compact(spark, s"${table}_bylen")
-  }
+      table: String): Unit =
+    BucketedManifest.compact(spark, table)
 
   /** Tombstone DELETION for the edit-distance index (round-13
     * directive #1): all three tables are pure per-string frames keyed
@@ -924,15 +944,25 @@ object IndexStore {
       table: String): Unit =
     Bucketing.compactBucketed(spark, s"${table}_bands")
 
-  /** The pHash band index on [[VersionedBucketed]]: one version
-    * family on (band, key); `_meta` pins the band count.
+  /** The pHash band index on [[BucketedManifest]] gen-manifest tables
+    * (round-17 directive #2 — the FIFTH and final bucketed family on
+    * the table format): one member on (band, key); `_meta` pins the
+    * band count. Appends are natively versioned, snapshots pure
+    * metadata, object-store posture (committer-seam writes, manifest
+    * CAS, attach, rollback) inherited — no hard links, no `file:`
+    * scheme. Serve content unchanged through the migration:
+    * x_mm_phash_versioned and x_stream_phash_versioned keep sharing
+    * x_mm_phash_served's oracle verbatim on the new store.
     */
   def writePhashIndexBucketedVersioned(hashes: DataFrame, table: String,
       numBuckets: Int, bands: Int = 8): Unit = {
-    VersionedBucketed.write(
-      graft.ext.Multimodal.phashBands(hashes, bands),
-      s"${table}_bands", Seq("band", "key"), numBuckets)
-    hashes.sparkSession.range(1).select(lit(bands).as("bands"))
+    val spark = hashes.sparkSession
+    Scratch.sweepOnce(spark)
+    BucketedManifest.create(spark, table, Seq(
+      (s"${table}_bands",
+        graft.ext.Multimodal.phashBands(hashes, bands),
+        Seq("band", "key"), numBuckets)))
+    spark.range(1).select(lit(bands).as("bands"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_meta")
   }
@@ -940,20 +970,23 @@ object IndexStore {
   def readPhashIndexBucketedVersioned(spark: SparkSession,
       table: String, bands: Int = 8): DataFrame = {
     checkPhashMeta(spark, table, bands)
-    VersionedBucketed.read(spark, s"${table}_bands")
+    BucketedManifest.read(spark, table, s"${table}_bands")
   }
 
+  /** Admit a checked image batch as a NEW VERSION (returned; it IS
+    * the freeze point).
+    */
   def appendPhashIndexBucketedVersioned(deltaHashes: DataFrame,
-      table: String, bands: Int = 8): Unit = {
+      table: String, bands: Int = 8): Int = {
     checkPhashMeta(deltaHashes.sparkSession, table, bands)
-    VersionedBucketed.append(
-      graft.ext.Multimodal.phashBands(deltaHashes, bands),
-      s"${table}_bands")
+    BucketedManifest.append(deltaHashes.sparkSession, table, Seq(
+      (s"${table}_bands",
+        graft.ext.Multimodal.phashBands(deltaHashes, bands))))
   }
 
   def compactPhashIndexBucketedVersioned(spark: SparkSession,
       table: String): Unit =
-    VersionedBucketed.compact(spark, s"${table}_bands")
+    BucketedManifest.compact(spark, table)
 
   /** Tombstone DELETION for the pHash index (round-13 directive #1):
     * the banded hash frame is a pure per-image function, so deletes
@@ -1094,15 +1127,6 @@ object IndexStore {
     })
 
   // ------------------------- key index, versioned (round-14 #2 cont.)
-  /** The KEY index — the validation core's family — on
-    * [[VersionedBucketed]]: same LSM semantics (append = new per-key
-    * count rows; deletes = negated counts; every serve sums per key),
-    * but the merge-compaction publishes a NEW version table and
-    * repoints instead of swap-dropping the listing concurrent readers
-    * hold. x_unique_index_versioned shares x_unique_index_append's
-    * oracle verbatim — the serve answer is invariant under where the
-    * merged rows physically live.
-    */
   /** The key index on [[BucketedManifest]] gen-manifests (round-15 —
     * the second family on the table format, chosen because it is the
     * LSM one: split rows, NEGATED-COUNT tombstones, and a
@@ -1110,10 +1134,10 @@ object IndexStore {
     * generation prove the store's `merges` hook carries the full LSM
     * algebra, not just file layout). Every append — admissions AND
     * tombstones alike — is an atomic versioned commit, so the key
-    * history is time-travelable per batch with no freeze step; the
-    * substring family followed in round 16, while the edit/pHash
-    * families deliberately STAY on [[VersionedBucketed]] so both
-    * stores keep first-class family coverage.
+    * history is time-travelable per batch with no freeze step. The
+    * substring family followed in round 16, edit-distance and pHash
+    * in round 17 — all five bucketed families now live on the table
+    * format, and the pointer store is retired.
     */
   def writeKeyIndexBucketedVersioned(df: DataFrame, table: String,
       keys: Seq[String], numBuckets: Int): Unit = {
@@ -1844,8 +1868,8 @@ object IndexStore {
     * x_sim_ivf_pq_versioned shares x_sim_ivf_pq's fitted-literal
     * dynamic oracle through a write/append/compact cycle. With this,
     * every flat similarity artifact (IVF, int8, PQ, IVF-PQ) has a
-    * reader-snapshot-safe versioned twin; the remaining versioning gap
-    * is the BUCKETED catalog families ([[VersionedBucketed]]).
+    * reader-snapshot-safe versioned twin; the bucketed catalog
+    * families' versioning lives on [[BucketedManifest]].
     */
   def writeIvfPqIndexVersioned(corpus: DataFrame,
       model: Similarity.PqModel, centroids: DataFrame, dir: String,

@@ -1052,10 +1052,9 @@ object StreamingValidate {
           org.apache.spark.sql.functions.col("s"), segs, str, bylen, d)
       },
       admit = b => graft.sources.IndexStore
-        .appendEditIndexBucketedVersioned(b, indexTable, d),
+        .appendEditIndexBucketedVersioned(b, indexTable, d): Unit,
       refreshTables = Seq("_segs", "_str", "_bylen")
-        .map(sfx => graft.sources.VersionedBucketed
-          .liveName(spark, s"$indexTable$sfx")))
+        .map(sfx => s"$indexTable$sfx"))
 
   /** [[phashIngestRun]] over the VERSIONED band family —
     * [[substringIngestRunVersioned]]'s contract for the image index.
@@ -1075,9 +1074,8 @@ object StreamingValidate {
           graft.ext.Multimodal.perceptualHash(b)
             .select(org.apache.spark.sql.functions.col("id"),
               org.apache.spark.sql.functions.col("dhash")),
-          indexTable, bands),
-      refreshTables = Seq(graft.sources.VersionedBucketed
-        .liveName(spark, s"${indexTable}_bands")))
+          indexTable, bands): Unit,
+      refreshTables = Seq(s"${indexTable}_bands"))
 
   /** [[uniqueIngestRun]] over the VERSIONED key index — on the
     * gen-manifest store ([[graft.sources.BucketedManifest]], round-15:
