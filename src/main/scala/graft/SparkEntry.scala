@@ -714,6 +714,70 @@ object SparkEntry {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** MIXED-OP concurrency through the oracle gate (round-17
+    * directive #4 — [[xDedupIndexConcurrent]] races appends only;
+    * here the store's whole commit algebra races): FIVE threads hit
+    * one family at once — three appenders on disjoint delta quarters,
+    * one ONLINE MEMBER EVOLUTION (addMember of a per-doc audit
+    * member), and one ROLLBACK to the birth version. Claims keep
+    * generation numbers collision-free and the manifest CAS
+    * linearizes all five into a dense chain of exactly six versions —
+    * every thread's commit lands, none is lost, none is duplicated.
+    * WHICH intermediate head results is genuinely order-dependent
+    * (rollback drops whatever committed before it; that is its
+    * semantics), so the row then RECONCILES deterministically — the
+    * incident-response move the raced rollback models: roll back to
+    * the birth version, re-admit the full delta in one commit,
+    * compact, serve. The served answer is EXACTLY the single-writer
+    * arc's — x_dedup_index_append's oracle verbatim. A store whose
+    * claims, CAS, or rollback-by-reference interleaved wrongly (a
+    * shared generation number, a half-applied member, a rollback that
+    * deleted files a later re-append needed) would corrupt the final
+    * serve and hash-mismatch immediately.
+    */
+  private def xDedupIndexConcurrentMixed(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val delta = base.select((col("id") + AppendDeltaOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.8).cast("int")).as("toks"))
+    val probes = base.select((col("id") + IncrementalTwinOffset).as("id"),
+      slice(col("toks"), lit(1),
+        floor(size(col("toks")) * 0.6).cast("int")).as("toks"))
+    val tbl = indexTable(dir, "sidx_mix")
+    graft.sources.IndexStore.writeDedupIndexBucketedVersioned(base, tbl,
+      numBuckets = 8, k = 5)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def th(body: => Unit): Thread = new Thread(() =>
+      try body catch { case t: Throwable => errs.add(t): Unit })
+    val writers = (0 until 3).map { i =>
+      th(graft.sources.IndexStore.appendDedupIndexBucketedVersioned(
+        delta.filter(pmod(col("id"), lit(4)) === i), tbl, k = 5): Unit)
+    } ++ Seq(
+      th(graft.sources.BucketedManifest.addMember(s, tbl,
+        s"${tbl}_audit",
+        delta.select(col("id"), size(col("toks")).as("n_toks")),
+        Seq("id"), 8): Unit),
+      th(graft.sources.BucketedManifest.rollback(s, tbl, 1): Unit))
+    writers.foreach(_.start())
+    writers.foreach(_.join())
+    require(errs.isEmpty,
+      s"mixed-op racers must not fail: ${Option(errs.peek())}")
+    require(graft.sources.BucketedManifest.currentVersion(s, tbl) == 6,
+      "five raced commits over v1 must linearize to exactly v6")
+    // deterministic reconciliation: whatever interleaving won, revert
+    // to the birth state and re-admit everything in one commit
+    graft.sources.BucketedManifest.rollback(s, tbl, 1): Unit
+    graft.sources.IndexStore.appendDedupIndexBucketedVersioned(delta,
+      tbl, k = 5): Unit
+    graft.sources.IndexStore.compactDedupIndexBucketedVersioned(s, tbl)
+    val (sh, bands) = graft.sources.IndexStore
+      .readDedupIndexBucketedVersioned(s, tbl, k = 5)
+    Dedup.nearDuplicatesAgainstIndex(probes, sh, bands,
+        threshold = 0.5, k = 5)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** DISASTER RECOVERY through the oracle gate (round-16 — the
     * attach() spec contract proven end to end on real data): the
     * versioned MinHash family is built and appended, then BOTH member
@@ -1220,12 +1284,13 @@ object SparkEntry {
   }
 
   /** [[xUniqueIndexAppend]]'s arc over the VERSIONED key index — the
-    * validation core on graft.sources.VersionedBucketed: history
-    * built, batch 1 admitted as new LSM rows into the live version,
-    * and the merge-compaction (split rows re-aggregated, zero-total
-    * keys dropped) PUBLISHED as a new version table rather than
-    * swapped in place. Batch 2's check against the new live version
-    * must equal the flat path's answer exactly: shares
+    * validation core on graft.sources.BucketedManifest gen-manifest
+    * tables (round-15): history built, batch 1 admitted as new LSM
+    * rows in an atomic versioned commit, and the merge-compaction
+    * (split rows re-aggregated, zero-total keys dropped) PUBLISHED as
+    * a new generation a new manifest references rather than swapped
+    * in place. Batch 2's check against the new live version must
+    * equal the flat path's answer exactly: shares
     * x_unique_index_append's oracle VERBATIM.
     */
   private def xUniqueIndexVersioned(s: SparkSession, dir: String): DataFrame = {
@@ -3433,6 +3498,27 @@ object SparkEntry {
     Similarity.assignmentDrift(e, e.filter(col("vec_id") % 3 === 0),
         Similarity.kmeansCentroids(e, nLists = 16))
       .orderBy("list_id")
+  }
+
+  /** Numeric-PROFILE drift (Profile.profileDrift — round-17
+    * directive #5, completing the drift-monitor family across the
+    * column-profiling surface): per-column decile bounds fitted on
+    * the full lineitem (exact interpolated percentiles — the
+    * quantile_cont parity basis every profile row shares), both
+    * sides bucketed by bounds reached, cross-multiplied integer
+    * deviations per (column, bucket). The high-discount slice
+    * genuinely drifts: l_discount's mass vacates the low deciles
+    * while quantity/price stay flat — and every value is exact, so
+    * the static DuckDB oracle recomputes bounds, buckets, and devs
+    * bit-for-bit.
+    */
+  private def xProfileDrift(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    graft.ext.Profile.profileDrift(li,
+        li.filter(col("l_discount") >= 0.05),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        exact = true)
+      .orderBy("column_name", "bucket")
   }
 
   /** Language ID (stopword/script heuristic). */
@@ -6154,6 +6240,7 @@ object SparkEntry {
     "x_text_drift" -> (xTextDrift _),
     "x_stream_token_drift" -> (xStreamTokenDrift _),
     "x_embed_drift" -> (xEmbedDrift _),
+    "x_profile_drift" -> (xProfileDrift _),
     "x_text_langid" -> (xTextLangid _),
     "x_text_fingerprint" -> (xTextFingerprint _),
     "x_mm_json" -> (xMmJson _),
@@ -6436,6 +6523,7 @@ object SparkEntry {
     "x_dedup_index_attach" -> (xDedupIndexAttach _),
     "x_dedup_index_versioned_put" -> (xDedupIndexVersionedPut _),
     "x_dedup_index_concurrent" -> (xDedupIndexConcurrent _),
+    "x_dedup_index_concurrent_mixed" -> (xDedupIndexConcurrentMixed _),
     "x_stream_dedup_versioned" -> (xStreamDedupVersioned _),
     "x_unique_index_versioned" -> (xUniqueIndexVersioned _),
     "x_dedup_substring_versioned" -> (xDedupSubstringVersioned _),
@@ -6551,6 +6639,8 @@ object SparkEntry {
       "x_dedup_index_versioned_put" ->
         graft.oracle.StaticOracles.sql("x_dedup_index_append"),
       "x_dedup_index_concurrent" ->
+        graft.oracle.StaticOracles.sql("x_dedup_index_append"),
+      "x_dedup_index_concurrent_mixed" ->
         graft.oracle.StaticOracles.sql("x_dedup_index_append"),
       "x_stream_dedup_versioned" ->
         graft.oracle.StaticOracles.sql("x_dedup_index_append"),

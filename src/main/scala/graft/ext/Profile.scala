@@ -373,6 +373,97 @@ object Profile {
         max(v).as("bin_max"))
   }
 
+  /** NUMERIC-PROFILE drift monitor (round-17 directive #5 — the
+    * column-profiling member of the drift family: numeric KS windows,
+    * source-pair JS, token drift, embedding drift, and now per-column
+    * quantile-bucket drift): fit interpolated percentile bounds per
+    * column on the BASE corpus — the standing baseline, the Profile
+    * analogue of the token head — then bucket BOTH sides' values by
+    * how many bounds they reach ([[quantileBuckets]]'s equal-frequency
+    * discretization: bucket k = between the k-th and (k+1)-th bound,
+    * |probabilities|+1 buckets) and report, per (column, bucket), the
+    * cross-multiplied integer deviation `|base_n·M − batch_n·N|`
+    * (N/M the column's two total non-null counts) — the drift
+    * family's float-division-free form, every output value exact, so
+    * the DuckDB oracle reproduces the row bit-for-bit. A drifted
+    * column (a broken unit conversion, a truncated domain, a new
+    * source mix) shows up as mass leaving its baseline deciles.
+    *
+    * Scale shape: the bounds fit is ONE agg over the base (default
+    * `percentile_approx`, a bounded-size sketch per column — the only
+    * shape that survives a near-unique measure column at 100 TB;
+    * `exact = true` is the oracle-parity mode the harness runs); each
+    * side is then ONE `stack`-unpivoted scan joined against the
+    * BROADCAST cols-row bounds frame into a (cols × buckets)-key
+    * count agg — no window, no sort, nothing vocabulary-sized. The
+    * bounded (cols × (|probabilities|+1))-row result is materialized
+    * once and re-emitted as a local relation with per-column totals
+    * attached by broadcast — the drift family's no-leaked-cache
+    * discipline ([[graft.ext.Similarity.assignmentDrift]]).
+    */
+  def profileDrift(base: DataFrame, batch: DataFrame, cols: Seq[String],
+      probabilities: Seq[Double] = (1 until 10).map(_ / 10.0),
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    require(probabilities.nonEmpty &&
+      probabilities.forall(p => p > 0 && p < 1) &&
+      probabilities == probabilities.sorted,
+      "probabilities must be sorted and strictly inside (0, 1)")
+    val spark = base.sparkSession
+    val probs = array(probabilities.map(lit): _*)
+    def qAgg(c: Column): Column =
+      if (exact) percentile(c.cast("double"), probs)
+      else percentile_approx(c.cast("double"), probs, lit(accuracy))
+    val aggs = cols.map(c => qAgg(col(c)).as(s"${c}__q"))
+    val stackQ = cols.map(c => s"'$c', `${c}__q`").mkString(", ")
+    val bounds = base.agg(aggs.head, aggs.tail: _*).selectExpr(
+      s"stack(${cols.size}, $stackQ) AS (column_name, __graft_b)")
+    val stackV = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)")
+      .mkString(", ")
+    val bucket = probabilities.indices
+      .map(i => (col("__graft_v") >=
+        element_at(col("__graft_b"), i + 1)).cast("int"))
+      .reduce(_ + _).cast("long")
+    def hist(df: DataFrame, as: String): DataFrame = df
+      .selectExpr(
+        s"stack(${cols.size}, $stackV) AS (column_name, __graft_v)")
+      .where(col("__graft_v").isNotNull)
+      .join(broadcast(bounds), Seq("column_name"))
+      .groupBy(col("column_name"), bucket.as("bucket"))
+      .agg(count(lit(1)).as(as))
+    val spine = bounds.select("column_name").crossJoin(
+      spark.range((probabilities.size + 1).toLong)
+        .select(col("id").as("bucket")))
+    val joined = spine
+      .join(hist(base, "base_n"), Seq("column_name", "bucket"), "left")
+      .join(hist(batch, "batch_n"), Seq("column_name", "bucket"), "left")
+      .na.fill(0L, Seq("base_n", "batch_n"))
+    val rows = joined.collect()
+    val cIdx = joined.schema.fieldIndex("column_name")
+    val bIdx = joined.schema.fieldIndex("base_n")
+    val tIdx = joined.schema.fieldIndex("batch_n")
+    val totals = rows.groupBy(_.getString(cIdx)).view.mapValues(rs =>
+      (rs.map(_.getLong(bIdx)).sum, rs.map(_.getLong(tIdx)).sum)).toMap
+    val totalsDf = spark.createDataFrame(java.util.Arrays.asList(
+      totals.toSeq.sortBy(_._1).map { case (c, (nb, nc)) =>
+        org.apache.spark.sql.Row(c, nb, nc) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("column_name",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_base",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_batch",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        joined.schema)
+      .join(broadcast(totalsDf), Seq("column_name"))
+      .select(col("column_name"), col("bucket"), col("base_n"),
+        col("batch_n"),
+        abs(col("base_n") * col("n_batch") -
+          col("batch_n") * col("n_base")).as("dev"),
+        col("n_base"), col("n_batch"))
+  }
+
   /** Fixed-width histogram of a numeric column over [lo, hi): one
     * hash-agg on the bin index (integer arithmetic — no windows, no
     * sort), rows outside the range are dropped (a profiling histogram

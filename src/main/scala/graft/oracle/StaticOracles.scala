@@ -1550,6 +1550,50 @@ private[graft] object StaticOracles {
         |    + greatest(0.0, 1.0 - punct_ratio * 10.0)) / 3.0, 6)
         |    AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+    // numeric-profile drift (round-17 #5): per-column decile bounds
+    // fitted on the full base via quantile_cont (the interpolated-
+    // percentile parity basis every profile row shares), both sides
+    // bucketed by bounds reached, cross-multiplied integer deviation
+    // per (column, bucket) — every value exact
+    "x_profile_drift" -> {
+      val probs = (1 until 10).map(i => (i.toDouble / 10).toString)
+        .mkString("[", ", ", "]")
+      val binExpr = (1 until 10).map(i =>
+        s"CASE WHEN v >= b[$i] THEN 1 ELSE 0 END").mkString(" + ")
+      def one(c: String) =
+        s"""SELECT '$c' AS column_name, s.bucket,
+          |  COALESCE(bh.base_n, 0) AS base_n,
+          |  COALESCE(ch.batch_n, 0) AS batch_n
+          |FROM (SELECT unnest(generate_series(0, 9)) AS bucket) s
+          |LEFT JOIN (
+          |  SELECT ($binExpr) AS bucket,
+          |    CAST(count(*) AS BIGINT) AS base_n
+          |  FROM (SELECT CAST($c AS DOUBLE) AS v FROM lineitem
+          |        WHERE $c IS NOT NULL),
+          |       (SELECT quantile_cont(CAST($c AS DOUBLE), $probs) AS b
+          |        FROM lineitem) GROUP BY 1) bh USING (bucket)
+          |LEFT JOIN (
+          |  SELECT ($binExpr) AS bucket,
+          |    CAST(count(*) AS BIGINT) AS batch_n
+          |  FROM (SELECT CAST($c AS DOUBLE) AS v FROM lineitem
+          |        WHERE l_discount >= 0.05 AND $c IS NOT NULL),
+          |       (SELECT quantile_cont(CAST($c AS DOUBLE), $probs) AS b
+          |        FROM lineitem) GROUP BY 1) ch USING (bucket)"""
+          .stripMargin
+      s"""WITH j AS (${one("l_quantity")}
+        |UNION ALL ${one("l_extendedprice")}
+        |UNION ALL ${one("l_discount")}),
+        |tot AS (SELECT column_name,
+        |  CAST(sum(base_n) AS BIGINT) AS n_base,
+        |  CAST(sum(batch_n) AS BIGINT) AS n_batch FROM j GROUP BY 1)
+        |SELECT j.column_name, CAST(j.bucket AS BIGINT) AS bucket,
+        |  j.base_n, j.batch_n,
+        |  CAST(abs(j.base_n * tot.n_batch - j.batch_n * tot.n_base)
+        |    AS BIGINT) AS dev,
+        |  tot.n_base, tot.n_batch
+        |FROM j JOIN tot USING (column_name)
+        |ORDER BY column_name, bucket""".stripMargin
+    },
     "x_text_drift" ->
       """WITH btoks AS (
         |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
