@@ -19,6 +19,21 @@ object Prof {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_STAGES=1: per-stage executorRunTime attribution —
+    // which stage (by callsite) the task milliseconds actually go to
+    if (sys.env.get("SPARK_GRAFT_STAGES").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler
+                .SparkListenerStageCompleted): Unit = {
+            val i = sc.stageInfo
+            val ms = i.taskMetrics.executorRunTime
+            if (ms > 200)
+              println(f"[stage] ${i.stageId}%5d ${ms}%8d ms  " +
+                f"tasks=${i.numTasks}%4d  ${i.name.take(110)}%s")
+          }
+        })
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     names.foreach { name =>
       // the builder call is INSIDE the timed region: eager operators
@@ -31,8 +46,44 @@ object Prof {
         println(df.queryExecution.executedPlan.treeString.linesIterator
           .map("[prof] " + _).mkString("\n"))
       }
+      // SPARK_GRAFT_EXPLAIN_DIR=<dir> [SPARK_GRAFT_EXPLAIN_SUFFIX=_before]
+      // writes explain("formatted") to <dir>/<name><suffix>.txt — the
+      // optimization-round plan artifact (judge-checkable without Spark)
+      sys.env.get("SPARK_GRAFT_EXPLAIN_DIR").filter(_.nonEmpty).foreach {
+        d =>
+          val suffix = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_SUFFIX", "")
+          val p = java.nio.file.Paths.get(d, s"$name$suffix.txt")
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p,
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
       val n = df.count()
       println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$n)")
+      // SPARK_GRAFT_SQLMETRICS=1: per-operator metrics of EVERY SQL
+      // execution this query ran (iterative builders run eagerly, so
+      // the returned frame's plan hides the real work) — node name +
+      // its time/rows metrics, largest first
+      if (sys.env.get("SPARK_GRAFT_SQLMETRICS").contains("1")) {
+        val store = spark.sharedState.statusStore
+        store.executionsList().foreach { e =>
+          val mets = store.executionMetrics(e.executionId)
+          println(s"[sqlexec] id=${e.executionId} " +
+            s"${e.description.linesIterator.next().take(90)}")
+          store.planGraph(e.executionId).allNodes.foreach { nd =>
+            val vals = nd.metrics.flatMap(m =>
+              mets.get(m.accumulatorId).map(v =>
+                s"${m.name}=${v.linesIterator.mkString(" ")}"))
+            if (vals.nonEmpty)
+              println(s"[sqlnode]   ${nd.name}: " +
+                vals.mkString(" | ").take(400))
+          }
+          if (sys.env.get("SPARK_GRAFT_SQLPLANS").contains("1"))
+            println(e.physicalPlanDescription.linesIterator
+              .map("[sqlplan] " + _).mkString("\n"))
+        }
+      }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -104,17 +104,30 @@ object Graph {
       val init = Scale / n
       val base = (dampDen - dampNum) * init / dampDen
       // edge list annotated with out-degree, partitioned by src once so
-      // every iteration's rank join reuses the layout
-      val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")),
-        "src")
+      // every iteration's rank join reuses the layout. The degree
+      // attach pins SHUFFLED HASH with the node-bounded degree side as
+      // build (r17, guide §3.1): the unhinted plan BROADCAST the
+      // 587k-row EDGE side (its cached estimate sat under the 10 MB
+      // threshold) and streamed the degrees — a 32 MiB broadcast
+      // build, and backwards at any scale.
+      val eDeg = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("deg"))
+          .hint("shuffle_hash"), "src")
       CacheScope.withCached2(
         eDeg.repartition(col("src")), nodes.repartition(col("id"))) {
         (eDeg, nodes) =>
         var ranks = nodes.select(col("id"), col("has_out"),
           lit(init).as("r"))
         for (_ <- 1 to iterations) {
+          // rank side pinned SHUFFLED HASH (r17): the unhinted
+          // per-round join sort-merge-joined, re-SORTING the cached
+          // 587k-row edge frame every iteration (measured 4.6 s sort
+          // time in a 14.8 s round pipeline at sf0.1) — the
+          // labelPropagation scaladoc's own treatment, now measured
+          // worth it here too
           val sums = eDeg
-            .join(ranks.select(col("id").as("src"), col("r")), "src")
+            .join(ranks.select(col("id").as("src"), col("r"))
+              .hint("shuffle_hash"), "src")
             .select(col("dst"), expr("r div deg").as("c"))
             .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
           // per-node incoming mass; dangling share enters as ONE
@@ -309,8 +322,13 @@ object Graph {
       val init = Scale / seeds.size
       val base = (dampDen - dampNum) * init / dampDen
       def isSeed(c: Column): Column = c.isin(seeds: _*)
-      val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")),
-        "src")
+      // same two shuffle-hash pins as [[pageRank]] (r17): node-bounded
+      // degree side as build for the attach; rank side as build for
+      // the per-round join (the unhinted plans broadcast the edge side
+      // / re-sorted the cached edge frame per round)
+      val eDeg = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("deg"))
+          .hint("shuffle_hash"), "src")
       CacheScope.withCached2(
         eDeg.repartition(col("src")), nodes.repartition(col("id"))) {
         (eDeg, nodes) =>
@@ -318,7 +336,8 @@ object Graph {
           when(isSeed(col("id")), lit(init)).otherwise(lit(0L)).as("r"))
         for (_ <- 1 to iterations) {
           val sums = eDeg
-            .join(ranks.select(col("id").as("src"), col("r")), "src")
+            .join(ranks.select(col("id").as("src"), col("r"))
+              .hint("shuffle_hash"), "src")
             .select(col("dst"), expr("r div deg").as("c"))
             .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
           ranks = nodes
@@ -496,20 +515,51 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      // r17: the dedup'd edge frame feeds THREE cache builds (the
+      // src-partitioned layout + both union branches of the node set)
+      // — cache it for the scope like [[pageRank]] does, or the
+      // 600k-row scan+distinct runs three times per call
+      .cache()
+    // Normalization stays decimal(38,0) — but it runs on NODE-bounded
+    // rows only. The cast covers both the long raw sums (rounds ≥ 2)
+    // and round 1's decimal indeg·Scale products; `div` on decimals
+    // yields LONG, so the normalized columns are longs, as before.
+    // The total Σ casts PER ROW before summing: a long-typed sum
+    // accumulator would overflow at Σ ≈ E·Scale on a 10¹²-edge graph.
     def l1Norm(df: DataFrame, raw: String, out: String): DataFrame =
       df.crossJoin(broadcast(
-          df.agg(sum(col(raw)).cast("decimal(38,0)").as("__tot"))))
+          df.agg(sum(col(raw).cast("decimal(38,0)")).as("__tot"))))
         .select(col("id"),
           expr(s"(CAST($raw AS DECIMAL(38,0)) * $HitsScale) div __tot")
             .as(out))
-    CacheScope.withCached2(
+    try CacheScope.withCached2(
       e.repartition(col("src")),
       e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct()
         .repartition(col("id"))) { (eCached, nodes) =>
-      var hub = nodes.select(col("id"), lit(HitsScale).as("h"))
+      // Round-17 optimization (guide §1.2 step 2 / §4 "expression
+      // choice"): the edge-wide aggregates sum LONGS, never
+      // decimal(38,0) — a decimal sum accumulates through BigDecimal
+      // (precision > 18), measured as THE cost of this operator
+      // (~330 s summed task time at sf0.1; ~20 µs/row in the hot hash
+      // agg). Safe at ANY graph size by the L1 invariant: after each
+      // normalization Σ_v score(v) ≤ HitsScale = 10⁹, so every
+      // per-node raw sum (a sum over a SUBSET of the normalized
+      // scores) is ≤ 10⁹ ≪ 2⁶³. Only round 1's input is the
+      // un-normalized constant init mass, where a per-node sum is
+      // Scale·indeg — indeg > 9.2·10⁹ would overflow a long — so
+      // round 1 aggregates a plain count and takes the Scale product
+      // in decimal on the node-bounded output. Totals and the
+      // (raw · Scale) div tot products stay decimal, node-bounded.
+      // Values are bit-identical to the decimal formulation (same
+      // integer sums, same integral divisions); the joins pin
+      // SHUFFLED HASH with the node-bounded score frame as build side
+      // (the labelPropagation treatment — the unhinted plan
+      // sort-merge-joined, re-sorting the cached edge frame every
+      // half-round).
+      var hub: DataFrame = null // null in round 1 ⇔ all nodes at init
       var auth: DataFrame = null
-      for (_ <- 1 to iterations) {
+      for (it <- 1 to iterations) {
         // each raw frame is read TWICE by its normalization (main +
         // total Σ) and feeds the next half-round's join — an
         // unmaterialized chain doubles per read and goes exponential
@@ -517,29 +567,43 @@ object Graph {
         // at sf0.01 lazy vs 41 jobs materialized). ALWAYS truncate,
         // the dangling-PageRank discipline; the normalized frames
         // stay lazy cheap projections over the materialized raws.
-        val aRaw = nodes.join(
-            eCached.join(hub.select(col("id").as("src"), col("h")), "src")
+        val aSums =
+          if (it == 1)
+            // hub ≡ HitsScale: Σ_{u→v} hub(u) = Scale · indeg(v),
+            // exactly — no join, one long count agg, one decimal
+            // product per NODE row
+            eCached.groupBy(col("dst").as("id"))
+              .agg(count(lit(1)).as("__indeg"))
+              .select(col("id"),
+                (lit(HitsScale).cast("decimal(38,0)") * col("__indeg"))
+                  .as("ar"))
+          else
+            eCached.join(
+                hub.select(col("id").as("src"), col("h"))
+                  .hint("shuffle_hash"), "src")
               .groupBy(col("dst").as("id"))
-              .agg(sum(col("h").cast("decimal(38,0)")).as("ar")),
-            Seq("id"), "left")
-          .select(col("id"), coalesce(col("ar"), lit(0L)
-            .cast("decimal(38,0)")).as("ar"))
+              .agg(sum(col("h")).as("ar"))
+        val aRaw = nodes.join(aSums, Seq("id"), "left")
+          .select(col("id"), coalesce(col("ar"),
+            lit(0L).cast(if (it == 1) "decimal(38,0)" else "long"))
+            .as("ar"))
           .localCheckpoint(eager = true)
         auth = l1Norm(aRaw, "ar", "a")
         val hRaw = nodes.join(
-            eCached.join(auth.select(col("id").as("dst"), col("a")), "dst")
+            eCached.join(
+                auth.select(col("id").as("dst"), col("a"))
+                  .hint("shuffle_hash"), "dst")
               .groupBy(col("src").as("id"))
-              .agg(sum(col("a").cast("decimal(38,0)")).as("hr")),
+              .agg(sum(col("a")).as("hr")),
             Seq("id"), "left")
-          .select(col("id"), coalesce(col("hr"), lit(0L)
-            .cast("decimal(38,0)")).as("hr"))
+          .select(col("id"), coalesce(col("hr"), lit(0L)).as("hr"))
           .localCheckpoint(eager = true)
         hub = l1Norm(hRaw, "hr", "h")
       }
       hub.join(auth, Seq("id"))
         .select(col("id"), col("h").as("hub_scaled"),
           col("a").as("auth_scaled"))
-    }
+    } finally e.unpersist(blocking = false)
   }
 
   /** HITS mass unit (see [[hits]]): 10⁹ keeps the decimal(38,0)
