@@ -4835,13 +4835,18 @@ object SparkEntry {
     */
   private def xTextCooc(s: SparkSession, dir: String): DataFrame = {
     // the distinct (doc, word) set feeds the vocab fit AND the
-    // restricted pair join — scope-cache it so the tokenize+distinct
-    // shuffle runs once
+    // restricted pair join — scope-cache it so the tokenize runs once.
+    // r17 (guide §2.4 "remove shuffles outright"): per-doc dedup moved
+    // INTO the row as array_distinct BEFORE the explode — the emitted
+    // (doc_id, w) pairs are distinct by construction, so the corpus-
+    // wide `.distinct()` shuffle of the full occurrence stream (the
+    // row's dominant exchange; 93 s summed task at sf0.1) is gone.
+    // Same set, same downstream counts, hash unchanged.
     graft.ext.CacheScope.withCached(
       t(s, dir, "documents")
         .select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("w"))
-        .distinct()) { dw =>
+          explode(array_distinct(TextAnalysis.tokens(col("text"))))
+            .as("w"))) { dw =>
       val vocab = dw.groupBy("w").agg(count(lit(1)).as("df"))
         .orderBy(desc("df"), asc("w")).limit(50).select("w")
       Behavior.pairLift(dw.join(broadcast(vocab), "w"), "doc_id", "w")

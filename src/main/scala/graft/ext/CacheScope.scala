@@ -20,11 +20,23 @@ private[graft] object CacheScope {
 
   /** Run `body` with `frame` cached; release the cache before returning
     * the eagerly-materialized result.
+    *
+    * The cache is populated EAGERLY (one count) before `body`'s plan
+    * runs (r17): the cache exists because the body scans the frame
+    * several times, and under AQE those scans are INDEPENDENT leaf
+    * query stages that materialize concurrently — racing scanners of
+    * a lazily-cached relation each recompute the full upstream
+    * pipeline instead of waiting (measured on x_text_js_divergence:
+    * the corpus tokenize ran once per concurrent consumer, tripling
+    * the row's task time; eager population pays one extra cache read
+    * and removes every duplicate build).
     */
   def withCached(frame: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
     val cached = frame.cache()
-    try body(cached).localCheckpoint(eager = true)
-    finally cached.unpersist(blocking = false)
+    try {
+      cached.count(): Unit
+      body(cached).localCheckpoint(eager = true)
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Two-frame variant: caches both inputs, checkpoints the result
@@ -38,8 +50,14 @@ private[graft] object CacheScope {
       body: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val c1 = f1.cache()
     val c2 = f2.cache()
-    try body(c1, c2).localCheckpoint(eager = true)
-    finally {
+    try {
+      // eager population, the [[withCached]] rationale; c2 first when
+      // it reads c1 (e.g. a node set derived from a cached edge list)
+      // would be wrong in general, so populate in argument order
+      c1.count(): Unit
+      c2.count(): Unit
+      body(c1, c2).localCheckpoint(eager = true)
+    } finally {
       c1.unpersist(blocking = false)
       c2.unpersist(blocking = false)
     }

@@ -969,6 +969,28 @@ object Profile {
     */
   def ksTwoSampleByGroup(df: DataFrame, groupCol: Column, value: Column,
       reference: DataFrame, refValue: Column,
+      maxDomain: Long = 2000000L): DataFrame =
+    ksTwoSampleByGroupCounts(df, groupCol, value,
+      refFrequencies(reference, refValue), maxDomain)
+
+  /** The reference side of [[ksTwoSampleByGroup]] as a frequency
+    * table `(__v, __cb)` — exposed so a STANDING monitor can
+    * aggregate the reference ONCE (materialize this frame, e.g.
+    * `localCheckpoint`) instead of re-scanning the reference corpus
+    * every micro-batch (r17; [[graft.streaming.StreamingValidate
+    * .driftMonitorStream]] is the caller).
+    */
+  def refFrequencies(reference: DataFrame, refValue: Column): DataFrame =
+    reference.select(refValue.cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as("__cb"))
+
+  /** [[ksTwoSampleByGroup]] with the reference already counted
+    * ([[refFrequencies]] shape). Same result bit-for-bit: the inline
+    * path aggregated the reference to exactly this frame per call.
+    */
+  def ksTwoSampleByGroupCounts(df: DataFrame, groupCol: Column,
+      value: Column, refCounts: DataFrame,
       maxDomain: Long = 2000000L): DataFrame = {
     require(maxDomain > 0, s"maxDomain must be positive: $maxDomain")
     import org.apache.spark.sql.expressions.Window
@@ -977,9 +999,7 @@ object Profile {
       .where(col("__w").isNotNull)
     val fa = rows.where(col("__v").isNotNull)
       .groupBy("__w", "__v").agg(count(lit(1)).as("__ca"))
-    val fb = reference.select(refValue.cast("long").as("__v"))
-      .where(col("__v").isNotNull)
-      .groupBy("__v").agg(count(lit(1)).as("__cb"))
+    val fb = refCounts
     // group list from the RAW rows: a group with zero parseable
     // values still anchors its (degenerate) output row
     val wins = rows.select("__w").distinct()
@@ -1257,30 +1277,66 @@ object Profile {
       val pairs = tot.select(col("__k").as("__ka"), col("__n").as("__na"))
         .join(tot.select(col("__k").as("__kb"), col("__n").as("__nb")),
           col("__ka") < col("__kb"))
-      val dom = cl.join(broadcast(pairs),
-          col("__k") === col("__ka") || col("__k") === col("__kb"))
-        .groupBy(col("__ka"), col("__kb"), col("__v"))
-        .agg(coalesce(sum(when(col("__k") === col("__ka"), col("__c"))),
-            lit(0L)).as("__ca"),
-          coalesce(sum(when(col("__k") === col("__kb"), col("__c"))),
-            lit(0L)).as("__cb"),
-          first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
       def d(c: Column) = c.cast("double")
+      val ln2 = lit(math.log(2.0))
+      // r17 (guide §3 — replace the nested loop with an equi-join):
+      // the old shape replicated every (group, value) cell to the
+      // k−1 pairs containing its group through a broadcast
+      // NESTED-LOOP join (each cell row evaluated against the whole
+      // k²-bounded pair frame) and hash-aggregated a
+      // (pair × union-domain)-keyed frame. Same result, leaner:
+      //  - tokens present in BOTH groups of a pair come from ONE
+      //    value equi-join of the cell frame with itself (ka < kb) —
+      //    each joined row IS its (pair, value) term, aggregated
+      //    straight to the k²-bounded pair keys (map-side combine);
+      //  - a token private to one group contributes exactly
+      //    snap(½·p·ln 2) (its `when` arm zeroes the other side and
+      //    2p/(p+0) is exactly 2.0 in IEEE), so per (pair, group) the
+      //    private mass is the group's FULL snapped ½·p·ln2 total
+      //    minus the shared part — all exact longs, so the
+      //    redistribution is bit-identical to enumerating the union
+      //    domain, term for term.
+      // The snapped-term sums are LONG, not decimal(38,0) (the r16
+      // shape's decimal accumulator ran through BigDecimal on every
+      // domain row): every per-token term is NON-NEGATIVE (the
+      // log-sum inequality) and Σ terms = JS ≤ ln 2, so any partial
+      // or total sum of the 10⁻¹²-snapped longs is ≤ ln2·10¹² plus
+      // half a count of snap roundings — long-safe at any vocabulary
+      // a long can index. Same integers, same output.
+      val halfLn2T12 = (c: Column, n: Column) =>
+        round((d(c) / d(n) * ln2 / lit(2)) * 1e12).cast("long")
+      val cn = cl.join(broadcast(tot), "__k")
+      val privTot = cn
+        .select(col("__k"), halfLn2T12(col("__c"), col("__n")).as("__t"))
+        .groupBy("__k").agg(sum(col("__t")).as("__a12"))
       val p = d(col("__ca")) / d(col("__na"))
       val q = d(col("__cb")) / d(col("__nb"))
-      val term = (when(col("__ca") > 0,
-          p * log(lit(2.0) * p / (p + q))).otherwise(lit(0.0)) +
-        when(col("__cb") > 0,
-          q * log(lit(2.0) * q / (p + q))).otherwise(lit(0.0))) / 2
-      dom.select(col("__ka"), col("__kb"), col("__na"), col("__nb"),
-          round(term * 1e12).cast("long").as("__t12"))
+      val term = (p * log(lit(2.0) * p / (p + q)) +
+        q * log(lit(2.0) * q / (p + q))) / 2
+      val shared = cn.select(col("__v"), col("__k").as("__ka"),
+          col("__c").as("__ca"), col("__n").as("__na"))
+        .join(cn.select(col("__v"), col("__k").as("__kb"),
+          col("__c").as("__cb"), col("__n").as("__nb")), Seq("__v"))
+        .where(col("__ka") < col("__kb"))
+        .select(col("__ka"), col("__kb"),
+          round(term * 1e12).cast("long").as("__t12"),
+          halfLn2T12(col("__ca"), col("__na")).as("__pa12"),
+          halfLn2T12(col("__cb"), col("__nb")).as("__pb12"))
         .groupBy(col("__ka"), col("__kb"))
-        .agg(first(col("__na")).as("__na"), first(col("__nb")).as("__nb"),
-          sum(col("__t12").cast("decimal(38,0)")).as("__js12"))
+        .agg(sum(col("__t12")).as("__s12"),
+          sum(col("__pa12")).as("__sa12"),
+          sum(col("__pb12")).as("__sb12"))
+      val js12 = coalesce(col("__s12"), lit(0L)) +
+        (col("__aa12") - coalesce(col("__sa12"), lit(0L))) +
+        (col("__ab12") - coalesce(col("__sb12"), lit(0L)))
+      pairs
+        .join(shared, Seq("__ka", "__kb"), "left")
+        .join(broadcast(privTot.toDF("__ka", "__aa12")), "__ka")
+        .join(broadcast(privTot.toDF("__kb", "__ab12")), "__kb")
         .select(col("__ka").as("key_a"), col("__kb").as("key_b"),
           col("__na").as("n_a"), col("__nb").as("n_b"),
-          round(d(col("__js12")) / 1e12, 12).as("js"),
-          round(d(col("__js12")) / (lit(math.log(2.0)) * 1e12), 12)
+          round(d(js12) / 1e12, 12).as("js"),
+          round(d(js12) / (lit(math.log(2.0)) * 1e12), 12)
             .as("js_norm"))
     }
   }

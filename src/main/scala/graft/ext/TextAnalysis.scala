@@ -694,7 +694,12 @@ object TextAnalysis {
     // vocab is scanned twice (corpus total + score join) — scope-cache
     // it so the corpus is tokenized once per consumer of `terms`, not
     // once per vocab reference (vocab is |distinct terms| rows, tiny
-    // next to the corpus at any scale)
+    // next to the corpus at any scale). r17 NOTE: caching tf and
+    // deriving the vocab from it (one explode instead of two) was
+    // tried and MEASURED WORSE in-suite (x_text_logprob task 4.2 s →
+    // 33 s, wall 1.4 → 2.1 s): the columnar cache build of the wide
+    // (id, term, tf) frame costs more than the second explode+agg it
+    // saves. Kept as-is deliberately.
     CacheScope.withCached(
       terms.groupBy("term").agg(count(lit(1)).as("cnt"))) { vocab =>
       val total = vocab.agg(sum(col("cnt")).as("total"))
@@ -784,7 +789,12 @@ object TextAnalysis {
     // it or the corpus explode re-runs once per reference (measured:
     // the uncached c1 branch alone re-paid the full explode+agg at sf1).
     // c2 is |distinct bigrams| rows — big on a web corpus but orders of
-    // magnitude under the occurrence stream it summarizes.
+    // magnitude under the occurrence stream it summarizes. r17 NOTE:
+    // caching tf and deriving c2 from it (one bigram explode instead
+    // of two) was tried and MEASURED WORSE in-suite (x_text_bigram_lp
+    // task 15.5 s → 47 s, wall 2.4 → 2.8 s) — the columnar cache build
+    // of the (id, w1, w2, tf) frame costs more than the explode it
+    // saves, same finding as [[unigramLogProb]]. Kept as-is.
     CacheScope.withCached(
       bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))) { c2 =>
       val c1 = c2.groupBy("w1").agg(sum(col("cnt2")).as("cnt1"))

@@ -547,17 +547,24 @@ object StreamingValidate {
     */
   def driftMonitorStream(spark: org.apache.spark.sql.SparkSession,
       windowsDir: String, reference: DataFrame,
-      maxDomain: Long = 2000000L, filesPerTrigger: Int = 1): DataFrame =
+      maxDomain: Long = 2000000L, filesPerTrigger: Int = 1): DataFrame = {
     // one GROUPED KS pass per micro-batch (round-9: the first cut
     // looped ksTwoSample per collected window id — a driver collect
     // plus a jobs-per-window fan the grouped operator doesn't pay;
     // row-for-row identical, asserted in ProfileSpec and by the
-    // unchanged per-window DuckDB oracle)
+    // unchanged per-window DuckDB oracle). r17: the reference is a
+    // STANDING baseline — its frequency table is aggregated ONCE and
+    // materialized here (the tokenDriftHead treatment), not re-scanned
+    // per micro-batch; identical rows (the inline path built exactly
+    // this frame each batch).
+    val refCounts = graft.ext.Profile.refFrequencies(reference, col("v"))
+      .localCheckpoint(eager = true)
     serveAvailableNow(spark, windowsDir, filesPerTrigger, batch =>
-      graft.ext.Profile.ksTwoSampleByGroup(batch, col("window_id"),
-          col("v"), reference, col("v"), maxDomain)
+      graft.ext.Profile.ksTwoSampleByGroupCounts(batch, col("window_id"),
+          col("v"), refCounts, maxDomain)
         .select(col("group_id").as("window_id"), col("n_a"),
           col("n_b"), col("ks"), col("ks_at")))
+  }
 
   /** The production 100 TB ingest loop, closed end to end: micro-batches
     * of NEW documents stream in and are served against the STANDING

@@ -916,28 +916,28 @@ class PlanSpec extends SparkSpec {
       .joins.CartesianProductExec]))
   }
 
-  test("jsDivergence pair replication broadcasts the bounded pair frame") {
+  test("jsDivergence shared-term pass is a value EQUI-join — no " +
+      "nested loop, no cartesian") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import spark.implicits._
-    // the operator's result is checkpoint-materialized by CacheScope
-    // (like kCorePeel above), so assert on the SAME join shape its
-    // body builds: frequency cells against the k²-bounded pair frame
-    // under the OR condition. The one place a nested loop is CORRECT
-    // — and it must be the broadcast variant, never a shuffled
-    // cartesian.
+    // r17: the operator's shared-token pass self-equi-joins the cell
+    // frame on the value (private-token mass redistributed from exact
+    // per-group totals) — the old k²-pair OR-condition nested loop is
+    // gone. The operator's result is checkpoint-materialized by
+    // CacheScope, so assert on the SAME join shape its body builds.
     val df = (1L to 4000L).map(i => (s"s${i % 6}", s"w${i % 37}"))
       .toDF("k", "v")
     val cells = df.groupBy(col("k"), col("v"))
       .agg(count(lit(1)).as("c"))
-    val tot = cells.groupBy("k").agg(sum(col("c")).as("n"))
-    val pairs = tot.select(col("k").as("ka"), col("n").as("na"))
-      .join(tot.select(col("k").as("kb"), col("n").as("nb")),
-        col("ka") < col("kb"))
-    val joined = cells.join(broadcast(pairs),
-      col("k") === col("ka") || col("k") === col("kb"))
-    val n = nodes(joined)
-    assert(n.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
-      "pair replication should broadcast the k²-bounded pair frame")
+    val shared = cells.select(col("v"), col("k").as("ka"),
+        col("c").as("ca"))
+      .join(cells.select(col("v"), col("k").as("kb"),
+        col("c").as("cb")), Seq("v"))
+      .where(col("ka") < col("kb"))
+      .groupBy("ka", "kb").agg(sum(col("ca")).as("sa"))
+    val n = nodes(shared)
+    assert(!n.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "shared-term pass must be an equi-join, not a nested loop")
     assert(!n.exists(_.isInstanceOf[org.apache.spark.sql.execution
       .joins.CartesianProductExec]))
     // and the operator end-to-end emits exactly C(k,2) rows

@@ -365,6 +365,59 @@ class ProfileSpec extends SparkSpec {
     assert(pairs === Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
 
+  test("jsDivergence equi-join form ≡ the union-domain enumeration, " +
+      "bit for bit") {
+    // r17 plan change (shared-token equi-join + exact private-mass
+    // redistribution) pinned against a literal reimplementation of the
+    // old algorithm: replicate every cell to its pairs, build the
+    // union domain with zeros, snap each term once, sum. Mixed
+    // shared/private vocabularies and skewed counts on purpose.
+    val df = (1L to 5000L)
+      .map(i => (s"s${i % 7}", s"w${(i * i) % (41 + (i % 7) * 13)}"))
+      .toDF("k", "v")
+    val cells = df.groupBy(col("k"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cells.groupBy("k").agg(sum(col("c")).as("n"))
+    val pairs = tot.select(col("k").as("ka"), col("n").as("na"))
+      .join(tot.select(col("k").as("kb"), col("n").as("nb")),
+        col("ka") < col("kb"))
+    val dom = cells.join(broadcast(pairs),
+        col("k") === col("ka") || col("k") === col("kb"))
+      .groupBy(col("ka"), col("kb"), col("v"))
+      .agg(coalesce(sum(when(col("k") === col("ka"), col("c"))),
+          lit(0L)).as("ca"),
+        coalesce(sum(when(col("k") === col("kb"), col("c"))),
+          lit(0L)).as("cb"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val p = d(col("ca")) / d(col("na"))
+    val q = d(col("cb")) / d(col("nb"))
+    val term = (when(col("ca") > 0,
+        p * log(lit(2.0) * p / (p + q))).otherwise(lit(0.0)) +
+      when(col("cb") > 0,
+        q * log(lit(2.0) * q / (p + q))).otherwise(lit(0.0))) / 2
+    val expected = dom
+      .select(col("ka"), col("kb"), col("na"), col("nb"),
+        round(term * 1e12).cast("long").as("t12"))
+      .groupBy(col("ka"), col("kb"))
+      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
+        sum(col("t12").cast("decimal(38,0)")).as("js12"))
+      .select(col("ka"), col("kb"), col("na"), col("nb"),
+        round(d(col("js12")) / 1e12, 12).as("js"),
+        round(d(col("js12")) / (lit(math.log(2.0)) * 1e12), 12)
+          .as("jsn"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val got = Profile.jsDivergence(df, col("k"), col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (k, v) => assert(v === expected(k),
+      s"pair $k diverged from the union-domain enumeration") }
+  }
+
   test("ksTwoSample enforces the bounded-domain contract loudly") {
     val wide = (1L to 40L).toDF("v")
     val ex = intercept[IllegalArgumentException] {
