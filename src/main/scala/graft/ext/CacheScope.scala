@@ -21,22 +21,22 @@ private[graft] object CacheScope {
   /** Run `body` with `frame` cached; release the cache before returning
     * the eagerly-materialized result.
     *
-    * The cache is populated EAGERLY (one count) before `body`'s plan
-    * runs (r17): the cache exists because the body scans the frame
-    * several times, and under AQE those scans are INDEPENDENT leaf
-    * query stages that materialize concurrently — racing scanners of
-    * a lazily-cached relation each recompute the full upstream
-    * pipeline instead of waiting (measured on x_text_js_divergence:
-    * the corpus tokenize ran once per concurrent consumer, tripling
-    * the row's task time; eager population pays one extra cache read
-    * and removes every duplicate build).
+    * The cache is populated LAZILY — deliberately, re-measured r17:
+    * pre-populating it with an eager count before `body` (tried to
+    * stop AQE's concurrent leaf stages from racing the population and
+    * re-deriving the upstream pipeline once per scanner) lost 20–30%
+    * wall on every A/B'd operator (x_dedup_editdist_compact 6.3 →
+    * 9.1 s, x_graph_lpa_deep 11.6 → 14.1 s, x_stream_ivf_ingest 5.9 →
+    * 7.6 s, x_stream_pipeline_admit 12.4 → 17.4 s): the lazy path
+    * overlaps population with the first consumer's real work and
+    * costs no extra action per call — which multiplies in foreachBatch
+    * loops — while the racing duplicates burn only task-CPU that the
+    * 32-way local run absorbs. Revisit only with wall evidence.
     */
   def withCached(frame: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
     val cached = frame.cache()
-    try {
-      cached.count(): Unit
-      body(cached).localCheckpoint(eager = true)
-    } finally cached.unpersist(blocking = false)
+    try body(cached).localCheckpoint(eager = true)
+    finally cached.unpersist(blocking = false)
   }
 
   /** Two-frame variant: caches both inputs, checkpoints the result
@@ -50,14 +50,8 @@ private[graft] object CacheScope {
       body: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val c1 = f1.cache()
     val c2 = f2.cache()
-    try {
-      // eager population, the [[withCached]] rationale; c2 first when
-      // it reads c1 (e.g. a node set derived from a cached edge list)
-      // would be wrong in general, so populate in argument order
-      c1.count(): Unit
-      c2.count(): Unit
-      body(c1, c2).localCheckpoint(eager = true)
-    } finally {
+    try body(c1, c2).localCheckpoint(eager = true)
+    finally {
       c1.unpersist(blocking = false)
       c2.unpersist(blocking = false)
     }
