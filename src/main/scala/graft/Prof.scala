@@ -52,7 +52,24 @@ object Prof {
       // (duplicateClusters' propagation loop, ivf index builds) do their
       // work at plan-build time, exactly as Bench accounts them
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, dir)
+      // the two bench-only e2e rows are reachable here too (r18: the
+      // validate_csv single-scan work needs their plan artifacts and
+      // stage attribution); fixture ensure is untimed in Bench, but in
+      // this scratch tool the idempotent ensure is cheap after the
+      // first run
+      val df = name match {
+        case "e2e_validate" => Validate.reportDF(spark,
+          Validate.validateTyped(Tables.loadAll(spark, dir),
+            Tables.starSchema))
+        case "e2e_validate_csv" => Validate.reportDF(spark,
+          Validate.validateCsv(spark,
+            graft.sources.CsvFixture.ensure(spark, dir),
+            // SPARK_GRAFT_CSV_LEGACY=1 profiles the retired two-scan
+            // shape for same-build A/Bs and before-plan artifacts
+            fuseScan =
+              !sys.env.get("SPARK_GRAFT_CSV_LEGACY").contains("1")))
+        case n => SparkEntry.queries(n)(spark, dir)
+      }
       if (explain) {
         println(s"[prof] ===== $name =====")
         println(df.queryExecution.executedPlan.treeString.linesIterator

@@ -4842,6 +4842,13 @@ object SparkEntry {
     // wide `.distinct()` shuffle of the full occurrence stream (the
     // row's dominant exchange; 93 s summed task at sf0.1) is gone.
     // Same set, same downstream counts, hash unchanged.
+    // PRECONDITION (r18, ADVICE): the per-row dedup is equivalent to
+    // the oracle's corpus-wide SELECT DISTINCT doc_id, w ONLY because
+    // doc_id is unique per documents row — the corpus primary key
+    // (the fixture generator key-shifts doc_id per replica, never
+    // duplicating it). A corpus with duplicate doc_id rows would
+    // inflate df counts and pair lifts here while the oracle dedups
+    // across rows — dedup on doc_id first if that contract ever bends.
     graft.ext.CacheScope.withCached(
       t(s, dir, "documents")
         .select(col("doc_id"),

@@ -208,6 +208,33 @@ object Validate {
       schema: TableSchema,
       dictFields: Set[String],
       maxDictValues: Long = MaxDictValues
+  ): (DataFrame, Seq[CheckResult], Set[String]) =
+    parseTable(df, schema, dictFields, maxDictValues, None)
+
+  /** E2 with an optional FUSED single-scan mode (r18, guide §6 — one
+    * parse instead of two): when `fuseScan` is given, the validity
+    * aggregate and the typed projection share ONE scan of the source.
+    * The typed frame is built WITH one extra column per row-parsed
+    * field carrying the raw value of invalid cells
+    * (`invalidExpr ≡ raw IS NOT NULL AND parsed IS NULL`, so
+    * `when(raw.isNotNull && typed.isNull, raw)` is non-null exactly on
+    * the invalid cells), persisted, and the validity aggregate runs
+    * over THAT cache — `count(bad_f)` ≡ the old
+    * `count(when(invalid, 1))` and `bounded_distinct(bad_f)` ≡ the old
+    * `bounded_distinct(when(invalid, raw))` (bounded_distinct is the
+    * k SMALLEST distinct strings — order-free), so every CheckResult
+    * is value-identical while the source (for CSV: read + text parse,
+    * the dominant cost) is scanned once instead of twice. The persisted
+    * frame is appended to `fuseScan` for the caller to release; the
+    * returned typed frame is a column-pruning projection over it, so
+    * downstream checks read the same cache.
+    */
+  private[graft] def parseTable(
+      df: DataFrame,
+      schema: TableSchema,
+      dictFields: Set[String],
+      maxDictValues: Long,
+      fuseScan: Option[scala.collection.mutable.ListBuffer[DataFrame]]
   ): (DataFrame, Seq[CheckResult], Set[String]) = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     // Fields whose descriptor cannot compile to a parse expression
@@ -280,40 +307,74 @@ object Validate {
     // the native bounded_distinct aggregate (O(maxErrorValues) buffer —
     // collect_set would be unbounded)
     val rowParsed = rowF ++ dictWanted.filter(f => fellBack(f.name))
-    val aggs: Seq[Column] = rowParsed.flatMap { f =>
-      val bad = Parsers.invalidExpr(f, df(f.name))
-      Seq(
-        count(when(bad, lit(1))).as(s"${f.name}__n"),
-        call_function("bounded_distinct", when(bad, df(f.name)),
-          lit(MaxErrorValues)).as(s"${f.name}__v")
-      )
+    val joined = dicts.foldLeft(df) { case (d, (n, dict)) =>
+      d.join(broadcast(dict), d(n) <=> dict(s"__dk_$n"), "left")
     }
-    val rowResults =
-      if (aggs.isEmpty) Seq.empty
-      else {
-        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-        rowParsed.zipWithIndex.map { case (f, i) =>
-          CheckResult(
-            table = "",
-            code = ErrorCodes.TypeOrFormat,
-            field = f.name,
-            violations = row.getLong(2 * i),
-            sampleValues = row.getSeq[String](2 * i + 1)
+    def typedCol(f: Field): Column =
+      if (buildErrors.contains(f.name)) joined(f.name)
+      else if (dicts.contains(f.name)) col(s"__dv_${f.name}").as(f.name)
+      else Parsers.parseExpr(f, joined(f.name)).as(f.name)
+    def unpack(row: Row): Seq[CheckResult] =
+      rowParsed.zipWithIndex.map { case (f, i) =>
+        CheckResult(
+          table = "",
+          code = ErrorCodes.TypeOrFormat,
+          field = f.name,
+          violations = row.getLong(2 * i),
+          sampleValues = row.getSeq[String](2 * i + 1)
+        )
+      }
+    val (rowResults, typed) = fuseScan match {
+      case None =>
+        // legacy two-scan shape: validity aggregate over the raw frame,
+        // typed projection consumed (and usually cached) by the caller
+        val aggs: Seq[Column] = rowParsed.flatMap { f =>
+          val bad = Parsers.invalidExpr(f, df(f.name))
+          Seq(
+            count(when(bad, lit(1))).as(s"${f.name}__n"),
+            call_function("bounded_distinct", when(bad, df(f.name)),
+              lit(MaxErrorValues)).as(s"${f.name}__v")
           )
         }
-      }
-
+        val rr =
+          if (aggs.isEmpty) Seq.empty[CheckResult]
+          else unpack(df.agg(aggs.head, aggs.tail: _*).collect()(0))
+        (rr, joined.select(schema.fields.map(typedCol): _*))
+      case Some(release) =>
+        // fused single-scan shape (scaladoc above): stage1 carries the
+        // raw value beside every typed column; stage2 derives the
+        // invalid-cell column from the TYPED value (no second
+        // parseExpr evaluation), and the validity aggregate's action
+        // doubles as the cache build — the source is scanned once.
+        val stage1 = joined.select(
+          rowParsed.map(f =>
+            joined(f.name).as(s"__graft_raw_${f.name}")) ++
+          schema.fields.map(typedCol): _*)
+        val typedPlus = stage1.select(
+          schema.fields.map(f => col(f.name)) ++
+          rowParsed.map(f =>
+            when(col(s"__graft_raw_${f.name}").isNotNull &&
+                col(f.name).isNull, col(s"__graft_raw_${f.name}"))
+              .as(s"__graft_bad_${f.name}")): _*)
+          .persist()
+        release += typedPlus
+        val aggs: Seq[Column] = rowParsed.flatMap { f =>
+          Seq(
+            count(col(s"__graft_bad_${f.name}")).as(s"${f.name}__n"),
+            call_function("bounded_distinct",
+              col(s"__graft_bad_${f.name}"),
+              lit(MaxErrorValues)).as(s"${f.name}__v")
+          )
+        }
+        val rr =
+          if (aggs.isEmpty) Seq.empty[CheckResult]
+          else unpack(typedPlus.agg(aggs.head, aggs.tail: _*).collect()(0))
+        (rr, typedPlus.select(schema.fields.map(f => col(f.name)): _*))
+    }
     val results = schema.fields.flatMap(f =>
       (rowResults ++ dictResults).find(_.field == f.name))
     val failed = results.filterNot(_.passed).map(_.field).toSet ++
       buildErrors.keySet
-    val joined = dicts.foldLeft(df) { case (d, (n, dict)) =>
-      d.join(broadcast(dict), d(n) <=> dict(s"__dk_$n"), "left")
-    }
-    val typed = joined.select(schema.fields.map(f =>
-      if (buildErrors.contains(f.name)) joined(f.name)
-      else if (dicts.contains(f.name)) col(s"__dv_${f.name}").as(f.name)
-      else Parsers.parseExpr(f, joined(f.name)).as(f.name)): _*)
     (typed, schemaErrs ++ results, failed)
   }
 
@@ -495,18 +556,25 @@ object Validate {
     */
   def validateCsv(spark: SparkSession, pkg: Package,
       dictParseTypes: Set[String] = Set.empty,
-      persistRaw: Boolean = false): PackageReport = {
-    // read + header check + parse each resource once
+      persistRaw: Boolean = false,
+      fuseScan: Boolean = true): PackageReport = {
+    // read + header check + parse each resource once. r18 (guide §6 —
+    // one parse instead of two): the fused parseTable mode makes each
+    // resource's validity aggregate and typed projection share ONE
+    // scan — for CSV that halves the dominant read+text-parse cost;
+    // the persisted typed(+bad) frame it registers in `fused` IS the
+    // cache the downstream checks read (the old separate
+    // typed.persist() second parse is gone). Report value-identical
+    // (see the fused-mode scaladoc; ValidateSpec pins fused ≡ legacy).
     val rawFrames = scala.collection.mutable.ListBuffer[DataFrame]()
+    val fused = scala.collection.mutable.ListBuffer[DataFrame]()
     val parsed: Map[String, (DataFrame, Seq[CheckResult], Set[String])] =
       pkg.resources.map { res =>
-        // `persistRaw` caches the raw all-string frame, which is
-        // consumed TWICE (validity aggregate + typed projection) —
-        // measured round 7: the storage-memory write costs about what
-        // the second (page-cached) CSV parse costs, so it is OFF by
-        // default and available for slow sources (object storage,
-        // decompression-heavy codecs) where a re-scan is genuinely
-        // expensive. Released after the typed frames materialize.
+        // `persistRaw` caches the raw all-string frame — with the fused
+        // single-scan path it is only useful for sources whose ONE scan
+        // is itself worth pinning across the dict path's extra exchange;
+        // kept for API compatibility. Released after the typed frames
+        // materialize.
         val raw0 = readResource(spark, res)
         val raw = if (persistRaw) { rawFrames += raw0.persist(); raw0 }
           else raw0
@@ -517,8 +585,9 @@ object Validate {
         val dictFields = res.schema.fields
           .filter(f => dictParseTypes(f.ftype)).map(_.name).toSet
         val (typed, parseErrs, failed) =
-          parseTable(raw, res.schema, dictFields)
-        typed.persist()
+          parseTable(raw, res.schema, dictFields, MaxDictValues,
+            if (fuseScan) Some(fused) else None)
+        if (!fuseScan) typed.persist()
         res.name ->
           ((typed, headerErrs ++ parseErrs.map(_.copy(table = res.name)),
             failed))
@@ -552,7 +621,8 @@ object Validate {
       val kept = t.errors.filterNot(e => failed(e.field))
       TableReport(t.table, parseErrs ++ kept)
     })
-    tables.values.foreach(_.unpersist())
+    if (fuseScan) fused.foreach(_.unpersist())
+    else tables.values.foreach(_.unpersist())
     rawFrames.foreach(_.unpersist(blocking = false))
     report
   }

@@ -23,15 +23,31 @@ private[graft] object CacheScope {
     *
     * The cache is populated LAZILY — deliberately, re-measured r17:
     * pre-populating it with an eager count before `body` (tried to
-    * stop AQE's concurrent leaf stages from racing the population and
-    * re-deriving the upstream pipeline once per scanner) lost 20–30%
-    * wall on every A/B'd operator (x_dedup_editdist_compact 6.3 →
-    * 9.1 s, x_graph_lpa_deep 11.6 → 14.1 s, x_stream_ivf_ingest 5.9 →
-    * 7.6 s, x_stream_pipeline_admit 12.4 → 17.4 s): the lazy path
-    * overlaps population with the first consumer's real work and
-    * costs no extra action per call — which multiplies in foreachBatch
-    * loops — while the racing duplicates burn only task-CPU that the
-    * 32-way local run absorbs. Revisit only with wall evidence.
+    * stop AQE's concurrent leaf stages from racing the population)
+    * lost 20–30% wall on every A/B'd operator
+    * (x_dedup_editdist_compact 6.3 → 9.1 s, x_graph_lpa_deep 11.6 →
+    * 14.1 s, x_stream_ivf_ingest 5.9 → 7.6 s, x_stream_pipeline_admit
+    * 12.4 → 17.4 s): the lazy path overlaps population with the first
+    * consumer's real work and costs no extra action per call — which
+    * multiplies in foreachBatch loops. Revisit only with wall
+    * evidence.
+    *
+    * What the race actually costs (pinned r18): concurrent consumers
+    * of the COLD cache do not recompute the upstream — they serialize
+    * on BlockManager partition locks, each blocked task holding an
+    * executor slot and billing executorRunTime while it waits (the
+    * same mechanism Validate.validateCsv measured: cold-cache
+    * concurrent checks 28.9 s wall / 75 s task, ~25 s of it
+    * lock-wait). So the hazard is specific to bodies that fan out to
+    * SEVERAL concurrent first consumers — AQE leaf stages and
+    * broadcast-exchange threads — with no intermediate action. The
+    * remedy is per-operator, not global: give such a body one cheap
+    * serial action it needs anyway (a bounded aggregate,
+    * localCheckpoint'ed) whose full scan primes the cache before the
+    * fan-out — see Profile.jsDivergence / Profile.mutualInfo. Bodies
+    * whose first consumer is already serial (most callers: a `head`
+    * guard, an iterative loop, a foreachBatch step) get warm-cache
+    * behavior for free and must NOT pay a priming pass.
     */
   def withCached(frame: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
     val cached = frame.cache()

@@ -1260,12 +1260,15 @@ object Profile {
     * JVM double literal the oracle embeds.
     *
     * Scale: one hash agg collapses rows to (group, value)
-    * frequencies; each frequency row then replicates to the ≤ k−1
-    * pairs containing its group via a broadcast nested-loop against
-    * the k²-bounded pair frame (k = #groups, small by contract —
-    * sources, languages, shards), and one hash agg per (pair, value)
-    * builds the union domain with zeros where a side is absent.
-    * Output: k(k−1)/2 rows.
+    * frequencies; tokens present in BOTH groups of a pair come from
+    * ONE value equi-join of that cell frame with itself (ka < kb),
+    * aggregated straight to the k²-bounded pair keys (k = #groups,
+    * small by contract — sources, languages, shards); the mass of
+    * tokens PRIVATE to one side is redistributed exactly from each
+    * group's snapped ½·p·ln2 total minus the shared part — all exact
+    * longs, bit-identical to enumerating the union domain (the r16
+    * broadcast nested-loop shape, retired r17; PlanSpec asserts no
+    * BNLJ touches the cell stream). Output: k(k−1)/2 rows.
     */
   def jsDivergence(df: DataFrame, key: Column, value: Column)
       : DataFrame = {
@@ -1273,7 +1276,18 @@ object Profile {
       .where(col("__k").isNotNull && col("__v").isNotNull)
       .groupBy("__k", "__v").agg(count(lit(1)).as("__c"))
     CacheScope.withCached(cells) { cl =>
+      // r18: materialize the k-row group totals EAGERLY. This one
+      // serial aggregate (needed anyway — pairs ×2, broadcast into cn)
+      // scans every cell partition, so it doubles as the cache primer:
+      // without it the final action's concurrent consumers (the shared
+      // self-join's two scans plus the privTot broadcast exchange) all
+      // hit the COLD cell cache at once and serialize on BlockManager
+      // partition locks, holding executor slots while they wait — the
+      // r17 driver billed this row ×2.8 task_ms / ×1.39 wall (the same
+      // lock-wait mechanism Validate.validateCsv documents and warms
+      // its typed caches against).
       val tot = cl.groupBy("__k").agg(sum(col("__c")).as("__n"))
+        .localCheckpoint(eager = true)
       val pairs = tot.select(col("__k").as("__ka"), col("__n").as("__na"))
         .join(tot.select(col("__k").as("__kb"), col("__n").as("__nb")),
           col("__ka") < col("__kb"))
@@ -1364,8 +1378,13 @@ object Profile {
     CacheScope.withCached(cellsRaw) { cells =>
       val ra = cells.groupBy("__a").agg(sum(col("__o")).as("__r"))
       val cb = cells.groupBy("__b").agg(sum(col("__o")).as("__c"))
+      // r18: the 1-row total is needed by three broadcast exchanges
+      // (mi12, ent(ra), ent(cb)) that otherwise all race the COLD cell
+      // cache concurrently and lock-wait on BlockManager partition
+      // locks (see jsDivergence) — materializing it eagerly is one
+      // serial full scan that primes the cache for everything after.
       val tot = cells.agg(sum(col("__o")).as("__nt"),
-        count(lit(1)).as("__ncells"))
+        count(lit(1)).as("__ncells")).localCheckpoint(eager = true)
       def d(c: Column) = c.cast("double")
       val snap = (c: Column) => round(c * 1e12).cast("long")
       val miTerm = (d(col("__o")) / d(col("__nt"))) *

@@ -556,9 +556,17 @@ object StreamingValidate {
     // STANDING baseline — its frequency table is aggregated ONCE and
     // materialized here (the tokenDriftHead treatment), not re-scanned
     // per micro-batch; identical rows (the inline path built exactly
-    // this frame each batch).
-    val refCounts = graft.ext.Profile.refFrequencies(reference, col("v"))
-      .localCheckpoint(eager = true)
+    // this frame each batch). r18: the materialization is paid ONLY
+    // when it can amortize — `filesPerTrigger == 0` means AvailableNow
+    // drains the whole backlog in ONE micro-batch, so the upfront
+    // checkpoint action is pure overhead there (r17 driver:
+    // x_stream_drift_batched ×1.26 norm); the single batch inlines the
+    // reference aggregate into its own plan instead, exactly the
+    // pre-r17 shape. Multi-batch monitors keep the standing artifact.
+    val refFreq = graft.ext.Profile.refFrequencies(reference, col("v"))
+    val refCounts =
+      if (filesPerTrigger == 0) refFreq
+      else refFreq.localCheckpoint(eager = true)
     serveAvailableNow(spark, windowsDir, filesPerTrigger, batch =>
       graft.ext.Profile.ksTwoSampleByGroupCounts(batch, col("window_id"),
           col("v"), refCounts, maxDomain)

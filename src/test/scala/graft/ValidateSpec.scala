@@ -368,6 +368,38 @@ class ValidateSpec extends SparkSpec {
     assert(rows(typedRow) === rows(typedDict))
   }
 
+  test("fused single-scan parse ≡ legacy two-scan parse, result for result") {
+    // r18 (guide §6): the fused mode derives the invalid-cell column
+    // from the typed value inside ONE scan — every violation count,
+    // every bounded sample, the failed set, and every typed cell must
+    // be identical to the legacy raw-scan aggregate. Exercises: a good
+    // date, a bad date, a missing token, a bad number, a plain string
+    // (never invalid), and an untranslatable field (schema-error path).
+    val csv = "d,n,s\n2024-01-31,1.5,a\nnot-a-date,2.5,b\n,xx,c\n" +
+      "2024-01-31,7,\n9999-99,0,d\n"
+    val res = Resource("t", write("fused.csv", csv),
+      TableSchema(fields = Seq(Field("d", "date"), Field("n", "number"),
+        Field("s", "string")), missingValues = Seq("")))
+    val raw = Validate.readResource(spark, res)
+    val (typedL, errsL, failedL) = Validate.parseTable(raw, res.schema)
+    val buf = scala.collection.mutable.ListBuffer[
+      org.apache.spark.sql.DataFrame]()
+    val (typedF, errsF, failedF) = Validate.parseTable(raw, res.schema,
+      Set.empty, Validate.MaxDictValues, Some(buf))
+    try {
+      assert(failedL === failedF)
+      assert(errsL.map(e => (e.code, e.field, e.violations,
+        e.sampleValues)) ===
+        errsF.map(e => (e.code, e.field, e.violations, e.sampleValues)))
+      assert(typedL.schema === typedF.schema)
+      val rows = (df: org.apache.spark.sql.DataFrame) =>
+        df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+          .toSeq.sorted
+      assert(rows(typedL) === rows(typedF))
+      assert(buf.size === 1, "fused mode must register its one cache")
+    } finally buf.foreach(_.unpersist(blocking = false))
+  }
+
   test("dict parse falls back to row parse past the cardinality cap") {
     // 3 distinct dates under a cap of 2: field must silently take the
     // per-row path — same verdicts, same typed cells, no error

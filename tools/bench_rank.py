@@ -33,6 +33,10 @@ def table(d, n):
     jobs = d.get("jobs", {})
     rows = sorted(qs.items(), key=lambda kv: -kv[1])
     total = sum(v for v in qs.values() if v >= 0)
+    if total <= 0:
+        print(f"no successful rows in artifact ({len(qs)} entries, "
+              f"all walls < 0)")
+        return
     print(f"total {total:.1f}s over {len(qs)} entries")
     cum = 0.0
     print(f"{'query':44s} {'wall':>7s} {'cum%':>5s} {'task_ms':>8s} "
